@@ -1,0 +1,73 @@
+#!/usr/bin/env python
+"""Benchmark harness: run the headline queries at $SPARK_GRAFT_SF_DIR
+(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and print ONE
+JSON line with per-query wall seconds.
+
+Each query is executed to completion (count of the result) so the full
+plan — scan, shuffle, agg — runs; results are not collected to the driver.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from big_data_processing_with_aws_glue_workshop_spark.queries import QUERIES
+from big_data_processing_with_aws_glue_workshop_spark.session import get_session
+
+HEADLINE = [
+    "pricing_summary",
+    "active_customers_by_segment",
+    "avg_balance_by_nation",
+    "fulfillment_rate_by_nation",
+    "validation_profile",
+    "latest_order_per_customer",
+    "customers_without_orders",
+    "revenue_by_supplier_nation",
+    "customer_geography_rollup",
+    "multiformat_date_parsing",
+    "order_aging",
+    "priority_filter",
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    m = re.search(r"sf([0-9.]+)", sf_dir)
+    sf = float(m.group(1).rstrip(".")) if m else -1.0
+
+    spark = get_session(app_name="bench")
+
+    names = [n for n in HEADLINE if n in QUERIES]
+    # warm the JVM + parquet footer caches once, outside the timed region
+    QUERIES[names[0]](spark, sf_dir).count()
+
+    timings: dict[str, float] = {}
+    for name in names:
+        t0 = time.perf_counter()
+        df = QUERIES[name](spark, sf_dir)
+        df.count()
+        timings[name] = round(time.perf_counter() - t0, 4)
+
+    total = round(sum(timings.values()), 4)
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_total",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf,
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,18 @@
+"""Driver-facing query registry.
+
+``QUERIES`` maps name -> callable(spark, sf_dir) -> DataFrame.
+``ORACLES`` maps name -> equivalent ANSI SQL for the DuckDB oracle
+(the driver pre-registers the parquet tables as views).
+
+Every query here is the Spark-first re-expression of an operator family from
+SURVEY.md §2 (file:line citations in each docstring). Queries whose semantics
+are not SQL-expressible (approximate/LSH ops) appear in QUERIES only.
+"""
+
+from .relational import QUERIES as _REL_QUERIES, ORACLES as _REL_ORACLES
+from .events import QUERIES as _EV_QUERIES, ORACLES as _EV_ORACLES
+from .textops import QUERIES as _TX_QUERIES, ORACLES as _TX_ORACLES
+from .vectors import QUERIES as _VC_QUERIES, ORACLES as _VC_ORACLES
+
+QUERIES = {**_REL_QUERIES, **_EV_QUERIES, **_TX_QUERIES, **_VC_QUERIES}
+ORACLES = {**_REL_ORACLES, **_EV_ORACLES, **_TX_ORACLES, **_VC_ORACLES}

@@ -1,0 +1,595 @@
+"""Relational query surface: the reference's operator families (SURVEY.md §2)
+re-expressed over the driver's TPC-H-ish star schema.
+
+Each query cites the reference operators it covers. Numeric determinism
+contract (so the DuckDB oracle hash-matches bit-for-bit):
+
+- Sums over floating columns go through ``decimal(18,2)`` (exact, order-
+  independent) and are cast back to double at the end.
+- Averages/ratios are a SINGLE IEEE-754 double division of exact inputs —
+  never ``avg()`` over doubles (whose accumulation order differs per engine)
+  and never ``round()`` on doubles (whose tie-breaking differs per engine).
+- Top-k queries carry a unique-key tiebreak so LIMIT is deterministic.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ._tables import load
+
+
+def _dec(c: str) -> F.Column:
+    """Exact fixed-point view of a 2-decimal monetary/quantity column."""
+    return F.col(c).cast("decimal(18,2)")
+
+
+# ---------------------------------------------------------------------------
+# Aggregation family (reference A1-A9: src/silver/job-silver-rues.py:355-391,
+# test/query_gold_validations.sql:5-50)
+# ---------------------------------------------------------------------------
+
+
+def q_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grouped multi-aggregate in one pass (A2 single-pass pattern, A6 avg).
+
+    Spark plan: parquet scan with pushed filter -> partial hash agg ->
+    shuffle on (l_returnflag, l_linestatus) -> final hash agg. Map-side
+    partial aggregation keeps the shuffle tiny at 100 TB.
+    """
+    l = load(spark, sf_dir, "lineitem")
+    agg = (
+        l.filter(F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum(_dec("l_quantity")).alias("_sum_qty"),
+            F.sum(_dec("l_extendedprice")).alias("_sum_base"),
+            F.sum(
+                _dec("l_extendedprice")
+                * (F.lit(1).cast("decimal(18,2)") - _dec("l_discount"))
+            ).alias("_sum_disc"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+    )
+    return agg.select(
+        "l_returnflag",
+        "l_linestatus",
+        F.col("_sum_qty").cast("double").alias("sum_qty"),
+        F.col("_sum_base").cast("double").alias("sum_base_price"),
+        F.col("_sum_disc").cast("double").alias("sum_disc_price"),
+        (F.col("_sum_qty").cast("double") / F.col("count_order")).alias("avg_qty"),
+        (F.col("_sum_base").cast("double") / F.col("count_order")).alias("avg_price"),
+        "count_order",
+    )
+
+
+def q_active_customers_by_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gold validation Q1 analog: inner join + UPPER filter + grouped
+    COUNT(DISTINCT) (J4/P7/A5/O1; test/query_gold_validations.sql:5-13)."""
+    orders = load(spark, sf_dir, "orders")
+    customer = load(spark, sf_dir, "customer")
+    return (
+        orders.join(customer, orders.o_custkey == customer.c_custkey, "inner")
+        .filter(F.upper(F.col("o_orderstatus")) == "O")
+        .groupBy("c_mktsegment")
+        .agg(
+            F.countDistinct("o_custkey").alias("active_customers"),
+            F.count(F.lit(1)).alias("n_orders"),
+        )
+        .orderBy(F.col("active_customers").desc(), F.col("c_mktsegment"))
+    )
+
+
+def q_avg_balance_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gold validation Q2 analog: join + AVG + HAVING + top-5
+    (J4/A6/A9/O2; test/query_gold_validations.sql:20-31)."""
+    customer = load(spark, sf_dir, "customer")
+    nation = load(spark, sf_dir, "nation")
+    return (
+        customer.join(F.broadcast(nation), customer.c_nationkey == nation.n_nationkey)
+        .groupBy("n_name")
+        .agg(
+            F.count(F.lit(1)).alias("n_customers"),
+            F.sum(_dec("c_acctbal")).alias("_sum_bal"),
+        )
+        .filter(F.col("n_customers") > 5)
+        .select(
+            "n_name",
+            "n_customers",
+            (F.col("_sum_bal").cast("double") / F.col("n_customers")).alias(
+                "avg_acctbal"
+            ),
+        )
+        .orderBy(F.col("avg_acctbal").desc(), F.col("n_name"))
+        .limit(5)
+    )
+
+
+def q_fulfillment_rate_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gold validation Q3 analog: conditional COUNT(DISTINCT) + ratio of
+    aggregates (A7/A8; test/query_gold_validations.sql:38-44)."""
+    orders = load(spark, sf_dir, "orders")
+    customer = load(spark, sf_dir, "customer")
+    nation = load(spark, sf_dir, "nation")
+    return (
+        orders.join(customer, orders.o_custkey == customer.c_custkey)
+        .join(F.broadcast(nation), customer.c_nationkey == nation.n_nationkey)
+        .groupBy("n_name")
+        .agg(
+            F.countDistinct("o_custkey").alias("total_customers"),
+            F.countDistinct(
+                F.when(F.upper(F.col("o_orderstatus")) == "F", F.col("o_custkey"))
+            ).alias("fulfilled_customers"),
+        )
+        .select(
+            "n_name",
+            "total_customers",
+            "fulfilled_customers",
+            (
+                (F.col("fulfilled_customers") * F.lit(100.0))
+                / F.col("total_customers")
+            ).alias("fulfillment_pct"),
+        )
+    )
+
+
+def q_validation_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Single-pass consolidated DQ validation (A2/D2): one aggregate node
+    computing every rule's violation count in one scan — the reference's
+    explicitly 'OPTIMIZADO' pattern (src/silver/job-silver-rues.py:355-391)."""
+    l = load(spark, sf_dir, "lineitem")
+    return l.agg(
+        F.count(F.lit(1)).alias("total_rows"),
+        F.count(F.when(F.col("l_quantity").isNull(), 1)).alias("null_quantity"),
+        F.count(F.when(F.col("l_quantity") < 0, 1)).alias("negative_quantity"),
+        F.count(F.when(F.col("l_discount") > 0.05, 1)).alias("high_discount"),
+        F.count(F.when(F.col("l_returnflag") == "R", 1)).alias("returned_rows"),
+        F.count(
+            F.when(
+                F.col("l_shipdate") > F.lit("1998-06-01").cast("timestamp"), 1
+            )
+        ).alias("late_shipments"),
+        F.count(F.when(F.col("l_tax").isNull() | (F.col("l_tax") < 0), 1)).alias(
+            "bad_tax"
+        ),
+    )
+
+
+def q_distinct_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DISTINCT dedup projection (A10; src/gold/job-gold-rues.py:92-119)."""
+    return (
+        load(spark, sf_dir, "customer")
+        .select("c_nationkey", "c_mktsegment")
+        .distinct()
+    )
+
+
+# ---------------------------------------------------------------------------
+# Window / dedup family (W1/W2: src/silver/job-silver-rues.py:208-211)
+# ---------------------------------------------------------------------------
+
+
+def q_latest_order_per_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Keep-latest window dedup (RN-002 analog, W1/W2): row_number over
+    (partition key, desc order, unique tiebreak) then keep rank 1."""
+    orders = load(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.col("o_orderdate").desc_nulls_last(), F.col("o_orderkey").desc()
+    )
+    return (
+        orders.withColumn("row_num", F.row_number().over(w))
+        .filter(F.col("row_num") == 1)
+        .select(
+            "o_custkey",
+            "o_orderkey",
+            F.col("o_orderdate").cast("date").alias("order_date"),
+            "o_totalprice",
+        )
+    )
+
+
+def q_top5_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Global top-k with deterministic tiebreak (O2) -> TakeOrderedAndProject."""
+    return (
+        load(spark, sf_dir, "orders")
+        .select("o_orderkey", "o_custkey", "o_totalprice")
+        .orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey"))
+        .limit(5)
+    )
+
+
+# ---------------------------------------------------------------------------
+# Join family (J1-J5)
+# ---------------------------------------------------------------------------
+
+
+def q_customers_without_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left-anti referential-integrity check (J3/D3;
+    src/gold/job-gold-rues.py:215-224)."""
+    customer = load(spark, sf_dir, "customer")
+    orders = load(spark, sf_dir, "orders")
+    return (
+        customer.join(
+            orders.select("o_custkey"),
+            customer.c_custkey == F.col("o_custkey"),
+            "left_anti",
+        )
+        .select("c_custkey", "c_name", "c_acctbal")
+    )
+
+
+def q_customer_geography_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-hop broadcast dim-enrichment chain (J1/J2 analog): customer ->
+    nation -> region, both dims broadcast (9/505-row catalog joins in the
+    reference: src/silver/job-silver-rues.py:224-292)."""
+    customer = load(spark, sf_dir, "customer")
+    nation = load(spark, sf_dir, "nation")
+    region = load(spark, sf_dir, "region")
+    return (
+        customer.join(F.broadcast(nation), customer.c_nationkey == nation.n_nationkey, "left")
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey, "left")
+        .groupBy("r_name", "n_name")
+        .agg(
+            F.count(F.lit(1)).alias("n_customers"),
+            F.sum(_dec("c_acctbal")).cast("double").alias("total_acctbal"),
+        )
+    )
+
+
+def q_revenue_by_supplier_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Large-fact x small-dim join chain with decimal-exact revenue
+    (J4 at scale): lineitem |X| supplier (broadcast) |X| nation (broadcast)."""
+    l = load(spark, sf_dir, "lineitem")
+    supplier = load(spark, sf_dir, "supplier")
+    nation = load(spark, sf_dir, "nation")
+    return (
+        l.join(F.broadcast(supplier), l.l_suppkey == supplier.s_suppkey)
+        .join(F.broadcast(nation), supplier.s_nationkey == nation.n_nationkey)
+        .groupBy("n_name")
+        .agg(
+            F.sum(
+                _dec("l_extendedprice")
+                * (F.lit(1).cast("decimal(18,2)") - _dec("l_discount"))
+            )
+            .cast("double")
+            .alias("revenue"),
+            F.count(F.lit(1)).alias("n_lineitems"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Scalar-function family (F1-F21) and filters (P1-P13)
+# ---------------------------------------------------------------------------
+
+
+def q_multiformat_date_parsing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RN-001 analog (F8/F9/F16): strings in two date formats, standardized
+    with coalesce(to_date fmt A, to_date fmt B); NULL when neither matches
+    (src/silver/job-silver-rues.py:157-171). ANSI off => null-on-parse-fail."""
+    orders = load(spark, sf_dir, "orders")
+    raw = orders.withColumn(
+        "raw_date",
+        F.when(
+            F.col("o_orderkey") % 2 == 0,
+            F.date_format("o_orderdate", "yyyyMMdd"),
+        ).otherwise(F.date_format("o_orderdate", "yyyy/MM/dd HH:mm:ss")),
+    )
+    parsed = raw.withColumn(
+        "parsed_date",
+        F.coalesce(
+            F.to_date(F.col("raw_date"), "yyyyMMdd"),
+            F.to_date(F.col("raw_date"), "yyyy/MM/dd HH:mm:ss"),
+        ),
+    )
+    return (
+        parsed.groupBy(F.year("parsed_date").cast("int").alias("order_year"))
+        .agg(F.count(F.lit(1)).alias("n_orders"))
+        .orderBy("order_year")
+    )
+
+
+def q_balance_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-branch CASE bucketing (F15 segmento_antiguedad analog;
+    test/query_gold_validations.sql:148-153)."""
+    customer = load(spark, sf_dir, "customer")
+    bucket = (
+        F.when(F.col("c_acctbal") < 0, "NEGATIVE")
+        .when(F.col("c_acctbal") < 1000, "LOW")
+        .when(F.col("c_acctbal") < 5000, "MID")
+        .otherwise("HIGH")
+    )
+    return (
+        customer.withColumn("balance_bucket", bucket)
+        .groupBy("balance_bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n_customers"),
+            F.sum(_dec("c_acctbal")).cast("double").alias("total_bal"),
+        )
+    )
+
+
+def q_supplier_unique_key(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """concat_ws surrogate-key builder (F4/RN-006 id_unico;
+    src/silver/job-silver-rues.py:336-339)."""
+    supplier = load(spark, sf_dir, "supplier")
+    return supplier.select(
+        "s_suppkey",
+        F.concat_ws(
+            "_",
+            F.col("s_nationkey").cast("string"),
+            F.col("s_suppkey").cast("string"),
+            F.col("s_name"),
+        ).alias("id_unico"),
+    )
+
+
+def q_order_aging(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """fact_renovacion computed columns (F11/F12/F14): datediff against an
+    INJECTED reference date (determinism: the reference's current_date is
+    parameterized away, SURVEY §7.4) + 0/1 flag (src/gold/job-gold-rues.py:134-148)."""
+    orders = load(spark, sf_dir, "orders")
+    ref = F.lit("1998-12-01").cast("date")
+    return orders.select(
+        "o_orderkey",
+        F.col("o_orderdate").cast("date").alias("order_date"),
+        F.datediff(ref, F.col("o_orderdate").cast("date")).cast("int").alias(
+            "days_open"
+        ),
+        F.when(F.col("o_orderdate") < F.lit("1995-01-01").cast("timestamp"), 1)
+        .otherwise(0)
+        .cast("int")
+        .alias("flag_old"),
+    )
+
+
+def q_deterministic_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic sampling stand-in for ORDER BY RAND() LIMIT / Bernoulli
+    sample (O3/O4): modulo-hash on the key so both engines agree."""
+    orders = load(spark, sf_dir, "orders")
+    return orders.filter(F.col("o_orderkey") % 97 == 0).select(
+        "o_orderkey", "o_custkey", "o_totalprice"
+    )
+
+
+def q_priority_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IN-list + BETWEEN + timestamp range predicates (P6/P8/P10;
+    test/query_gold_validations.sql:95,150-151)."""
+    orders = load(spark, sf_dir, "orders")
+    return (
+        orders.filter(
+            F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+            & F.col("o_totalprice").between(1000.0, 100000.0)
+            & (F.col("o_orderdate") >= F.lit("1995-01-01").cast("timestamp"))
+        )
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum(_dec("o_totalprice")).cast("double").alias("total_price"),
+        )
+    )
+
+
+def q_name_pattern_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Regex + containment + upper/trim normalization predicates
+    (P7/P11/P12/F1-F3; src/silver/job-silver-rues.py:160-166,190-193)."""
+    customer = load(spark, sf_dir, "customer")
+    return customer.filter(
+        (F.upper(F.trim(F.col("c_mktsegment"))) == "BUILDING")
+        & F.col("c_name").rlike("[0-9]{2}$")
+        & F.col("c_name").contains("#")
+    ).select(
+        "c_custkey",
+        "c_name",
+        F.length("c_name").cast("int").alias("name_len"),
+    )
+
+
+QUERIES = {
+    "pricing_summary": q_pricing_summary,
+    "active_customers_by_segment": q_active_customers_by_segment,
+    "avg_balance_by_nation": q_avg_balance_by_nation,
+    "fulfillment_rate_by_nation": q_fulfillment_rate_by_nation,
+    "validation_profile": q_validation_profile,
+    "distinct_projection": q_distinct_projection,
+    "latest_order_per_customer": q_latest_order_per_customer,
+    "top5_orders": q_top5_orders,
+    "customers_without_orders": q_customers_without_orders,
+    "customer_geography_rollup": q_customer_geography_rollup,
+    "revenue_by_supplier_nation": q_revenue_by_supplier_nation,
+    "multiformat_date_parsing": q_multiformat_date_parsing,
+    "balance_buckets": q_balance_buckets,
+    "supplier_unique_key": q_supplier_unique_key,
+    "order_aging": q_order_aging,
+    "deterministic_sample": q_deterministic_sample,
+    "priority_filter": q_priority_filter,
+    "name_pattern_filter": q_name_pattern_filter,
+}
+
+
+ORACLES = {
+    "pricing_summary": """
+        SELECT
+          l_returnflag,
+          l_linestatus,
+          CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+          CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
+          CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+               * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE)
+            AS sum_disc_price,
+          CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / COUNT(1) AS avg_qty,
+          CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) / COUNT(1) AS avg_price,
+          COUNT(1) AS count_order
+        FROM lineitem
+        WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+        GROUP BY l_returnflag, l_linestatus
+    """,
+    "active_customers_by_segment": """
+        SELECT
+          c_mktsegment,
+          COUNT(DISTINCT o_custkey) AS active_customers,
+          COUNT(1) AS n_orders
+        FROM orders JOIN customer ON o_custkey = c_custkey
+        WHERE UPPER(o_orderstatus) = 'O'
+        GROUP BY c_mktsegment
+        ORDER BY active_customers DESC, c_mktsegment
+    """,
+    "avg_balance_by_nation": """
+        SELECT
+          n_name,
+          COUNT(1) AS n_customers,
+          CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) / COUNT(1) AS avg_acctbal
+        FROM customer JOIN nation ON c_nationkey = n_nationkey
+        GROUP BY n_name
+        HAVING COUNT(1) > 5
+        ORDER BY avg_acctbal DESC, n_name
+        LIMIT 5
+    """,
+    "fulfillment_rate_by_nation": """
+        SELECT
+          n_name,
+          COUNT(DISTINCT o_custkey) AS total_customers,
+          COUNT(DISTINCT CASE WHEN UPPER(o_orderstatus) = 'F' THEN o_custkey END)
+            AS fulfilled_customers,
+          (COUNT(DISTINCT CASE WHEN UPPER(o_orderstatus) = 'F' THEN o_custkey END) * 100.0)
+            / COUNT(DISTINCT o_custkey) AS fulfillment_pct
+        FROM orders
+        JOIN customer ON o_custkey = c_custkey
+        JOIN nation ON c_nationkey = n_nationkey
+        GROUP BY n_name
+    """,
+    "validation_profile": """
+        SELECT
+          COUNT(1) AS total_rows,
+          COUNT(CASE WHEN l_quantity IS NULL THEN 1 END) AS null_quantity,
+          COUNT(CASE WHEN l_quantity < 0 THEN 1 END) AS negative_quantity,
+          COUNT(CASE WHEN l_discount > 0.05 THEN 1 END) AS high_discount,
+          COUNT(CASE WHEN l_returnflag = 'R' THEN 1 END) AS returned_rows,
+          COUNT(CASE WHEN l_shipdate > TIMESTAMP '1998-06-01' THEN 1 END) AS late_shipments,
+          COUNT(CASE WHEN l_tax IS NULL OR l_tax < 0 THEN 1 END) AS bad_tax
+        FROM lineitem
+    """,
+    "distinct_projection": """
+        SELECT DISTINCT c_nationkey, c_mktsegment FROM customer
+    """,
+    "latest_order_per_customer": """
+        SELECT o_custkey, o_orderkey, CAST(o_orderdate AS DATE) AS order_date, o_totalprice
+        FROM (
+          SELECT *,
+                 ROW_NUMBER() OVER (
+                   PARTITION BY o_custkey
+                   ORDER BY o_orderdate DESC, o_orderkey DESC
+                 ) AS row_num
+          FROM orders
+        ) t
+        WHERE row_num = 1
+    """,
+    "top5_orders": """
+        SELECT o_orderkey, o_custkey, o_totalprice
+        FROM orders
+        ORDER BY o_totalprice DESC, o_orderkey
+        LIMIT 5
+    """,
+    "customers_without_orders": """
+        SELECT c_custkey, c_name, c_acctbal
+        FROM customer
+        WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+    """,
+    "customer_geography_rollup": """
+        SELECT
+          r_name,
+          n_name,
+          COUNT(1) AS n_customers,
+          CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS total_acctbal
+        FROM customer
+        LEFT JOIN nation ON c_nationkey = n_nationkey
+        LEFT JOIN region ON n_regionkey = r_regionkey
+        GROUP BY r_name, n_name
+    """,
+    "revenue_by_supplier_nation": """
+        SELECT
+          n_name,
+          CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+               * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE)
+            AS revenue,
+          COUNT(1) AS n_lineitems
+        FROM lineitem
+        JOIN supplier ON l_suppkey = s_suppkey
+        JOIN nation ON s_nationkey = n_nationkey
+        GROUP BY n_name
+    """,
+    "multiformat_date_parsing": """
+        WITH raw AS (
+          SELECT CASE WHEN o_orderkey % 2 = 0
+                      THEN strftime(o_orderdate, '%Y%m%d')
+                      ELSE strftime(o_orderdate, '%Y/%m/%d %H:%M:%S')
+                 END AS raw_date
+          FROM orders
+        ), parsed AS (
+          SELECT COALESCE(
+                   CAST(try_strptime(raw_date, '%Y%m%d') AS DATE),
+                   CAST(try_strptime(raw_date, '%Y/%m/%d %H:%M:%S') AS DATE)
+                 ) AS parsed_date
+          FROM raw
+        )
+        SELECT CAST(year(parsed_date) AS INTEGER) AS order_year, COUNT(1) AS n_orders
+        FROM parsed
+        GROUP BY 1
+        ORDER BY order_year
+    """,
+    "balance_buckets": """
+        SELECT
+          CASE WHEN c_acctbal < 0 THEN 'NEGATIVE'
+               WHEN c_acctbal < 1000 THEN 'LOW'
+               WHEN c_acctbal < 5000 THEN 'MID'
+               ELSE 'HIGH' END AS balance_bucket,
+          COUNT(1) AS n_customers,
+          CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS total_bal
+        FROM customer
+        GROUP BY 1
+    """,
+    "supplier_unique_key": """
+        SELECT
+          s_suppkey,
+          CONCAT_WS('_', CAST(s_nationkey AS VARCHAR), CAST(s_suppkey AS VARCHAR), s_name)
+            AS id_unico
+        FROM supplier
+    """,
+    "order_aging": """
+        SELECT
+          o_orderkey,
+          CAST(o_orderdate AS DATE) AS order_date,
+          CAST(date_diff('day', CAST(o_orderdate AS DATE), DATE '1998-12-01') AS INTEGER)
+            AS days_open,
+          CAST(CASE WHEN o_orderdate < TIMESTAMP '1995-01-01' THEN 1 ELSE 0 END AS INTEGER)
+            AS flag_old
+        FROM orders
+    """,
+    "deterministic_sample": """
+        SELECT o_orderkey, o_custkey, o_totalprice
+        FROM orders
+        WHERE o_orderkey % 97 = 0
+    """,
+    "priority_filter": """
+        SELECT
+          o_orderpriority,
+          COUNT(1) AS n_orders,
+          CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_price
+        FROM orders
+        WHERE o_orderpriority IN ('1-URGENT', '2-HIGH')
+          AND o_totalprice BETWEEN 1000.0 AND 100000.0
+          AND o_orderdate >= TIMESTAMP '1995-01-01'
+        GROUP BY o_orderpriority
+    """,
+    "name_pattern_filter": """
+        SELECT
+          c_custkey,
+          c_name,
+          CAST(LENGTH(c_name) AS INTEGER) AS name_len
+        FROM customer
+        WHERE UPPER(TRIM(c_mktsegment)) = 'BUILDING'
+          AND regexp_matches(c_name, '[0-9]{2}$')
+          AND contains(c_name, '#')
+    """,
+}

@@ -1,0 +1,26 @@
+"""Every registered query must hash-match its DuckDB oracle at sf0.01 —
+the local replica of the driver's CORRECTNESS gate."""
+
+import pytest
+
+from big_data_processing_with_aws_glue_workshop_spark.queries import ORACLES, QUERIES
+
+from .oracle_harness import compare
+
+
+@pytest.mark.parametrize("name", sorted(QUERIES))
+def test_query_matches_oracle(name, spark, sf_dir):
+    df = QUERIES[name](spark, sf_dir)
+    if name not in ORACLES:
+        # rows-only check (driver's weaker path for non-SQL-expressible ops)
+        assert df.count() >= 0
+        return
+    compare(df, ORACLES[name], sf_dir)
+
+
+def test_entry_smoke(spark):
+    import __spark_entry__ as e
+
+    df = e.entry(spark)
+    assert df.count() > 0
+    assert set(e.oracle_sql()) <= set(e.queries())
