@@ -1,0 +1,42 @@
+"""Date standardization expressions (RN-001 family).
+
+Reference semantics (src/silver/job-silver-rues.py:144-179): a string date
+column may arrive as ``yyyyMMdd`` (8 digits), as a slash timestamp
+``yyyy/MM/dd HH:mm:ss.SSSSSSSSS`` (9 fractional digits — Spark parses the
+pattern and truncates beyond micros), or as garbage (-> NULL). Guards
+(length/regex for format A, '/'-containment for format B) keep each parser
+from even attempting the wrong shape.
+
+All expressions are native Columns — whole-stage-codegen'd, no UDFs.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+FORMAT_COMPACT = "yyyyMMdd"
+FORMAT_TS9 = "yyyy/MM/dd HH:mm:ss.SSSSSSSSS"
+
+
+def compact_date(col: Column) -> Column:
+    """8-digit ``yyyyMMdd`` -> date, NULL when the shape doesn't match."""
+    trimmed = F.trim(col.cast("string"))
+    return F.when(
+        (F.length(trimmed) == 8) & trimmed.rlike(r"^[0-9]{8}$"),
+        F.to_date(trimmed, FORMAT_COMPACT),
+    )
+
+
+def ts9_to_date(col: Column) -> Column:
+    """Slash timestamp with 9 fractional digits -> date (time dropped)."""
+    return F.when(
+        col.cast("string").contains("/"),
+        F.to_date(F.to_timestamp(col.cast("string"), FORMAT_TS9)),
+    )
+
+
+def multi_format_date(col: Column) -> Column:
+    """First-matching-format standardizer: compact, then ts9, else NULL
+    (typed NULL so downstream schema is DateType either way)."""
+    return F.coalesce(compact_date(col), ts9_to_date(col), F.lit(None).cast("date"))

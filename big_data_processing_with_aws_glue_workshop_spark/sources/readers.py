@@ -1,0 +1,91 @@
+"""Source readers.
+
+Replaces the reference's GlueContext/DynamicFrame I/O adapters with native
+DataFrameReader calls (the reference only used DynamicFrame as a thin wrapper
+around reads/writes — see reference src/gold/job-gold-rues.py:66-75).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterable, Mapping
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import types as T
+
+# Exact robust-CSV option set of the reference bronze ingest
+# (reference src/bronze/job-bronze-rues.py:55-67): header, NO inference (all
+# string), UTF-8, quoted/escaped with '"', multiline records, whitespace
+# trimming, PERMISSIVE recovery, bounded column count.
+ROBUST_CSV_OPTIONS: dict[str, str] = {
+    "header": "true",
+    "inferSchema": "false",
+    "encoding": "UTF-8",
+    "sep": ",",
+    "quote": '"',
+    "escape": '"',
+    "multiLine": "true",
+    "ignoreLeadingWhiteSpace": "true",
+    "ignoreTrailingWhiteSpace": "true",
+    "mode": "PERMISSIVE",
+    "maxColumns": "50",
+}
+
+
+def read_csv_robust(
+    spark: SparkSession,
+    path: str,
+    schema: T.StructType | None = None,
+    **overrides: str,
+) -> DataFrame:
+    """Bronze-grade CSV scan (operator S1). All-string unless a schema is
+    given; PERMISSIVE so malformed rows surface as NULLs, never as job
+    failures. multiLine=true disables input splitting — at 100 TB prefer
+    pre-split files or multiLine=false via an override."""
+    reader = spark.read.format("csv").options(**{**ROBUST_CSV_OPTIONS, **overrides})
+    if schema is not None:
+        reader = reader.schema(schema)
+    return reader.load(path)
+
+
+def read_csv_inferred(spark: SparkSession, path: str) -> DataFrame:
+    """Catalog-dim CSV scan with schema inference (operator S2; reference
+    src/silver/job-silver-rues.py:92-96). Inference double-reads the file —
+    acceptable only for small dims."""
+    return (
+        spark.read.format("csv")
+        .option("header", "true")
+        .option("inferSchema", "true")
+        .option("encoding", "UTF-8")
+        .load(path)
+    )
+
+
+def read_parquet_lake(
+    spark: SparkSession, path: str, drop_partition_cols: Iterable[str] = ()
+) -> DataFrame:
+    """Partitioned-parquet lake scan (operator S3); partition directories are
+    pruned by Catalyst when queries filter on them. The medallion layers drop
+    the physical partition column after read (reference
+    src/silver/job-silver-rues.py:76-79)."""
+    df = spark.read.parquet(path)
+    for c in drop_partition_cols:
+        if c in df.columns:
+            df = df.drop(c)
+    return df
+
+
+def rows_to_df(
+    spark: SparkSession,
+    rows: list[Mapping],
+    schema: T.StructType | str,
+) -> DataFrame:
+    """In-memory rows -> DataFrame with an EXPLICIT schema (operator S8).
+    The reference let createDataFrame infer from dicts; an explicit schema
+    keeps empty error logs schema-stable."""
+    return spark.createDataFrame([tuple(r[f] for f in _field_names(schema)) for r in rows], schema)
+
+
+def _field_names(schema: T.StructType | str) -> list[str]:
+    if isinstance(schema, str):
+        return [part.strip().split(" ")[0] for part in schema.split(",")]
+    return schema.fieldNames()
