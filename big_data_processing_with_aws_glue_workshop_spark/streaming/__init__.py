@@ -1,0 +1,15 @@
+from .windows import (
+    read_events_stream,
+    run_streaming_query,
+    streaming_session_agg,
+    streaming_sliding_agg,
+    streaming_tumbling_agg,
+)
+
+__all__ = [
+    "read_events_stream",
+    "streaming_tumbling_agg",
+    "streaming_sliding_agg",
+    "streaming_session_agg",
+    "run_streaming_query",
+]

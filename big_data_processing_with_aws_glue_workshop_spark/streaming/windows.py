@@ -1,0 +1,100 @@
+"""Structured Streaming event-time operators (SURVEY §2.10 extension).
+
+The SAME window expressions as the batch queries in queries/events.py,
+lifted onto a streaming source with watermarked late-data handling. Batch
+mode verifies values (DuckDB oracle); these verify the streaming lifecycle:
+watermark, incremental state, append/update output.
+
+Source here is the file stream reader over the testdata parquet (one-shot);
+production swaps in kafka/kinesis without touching the aggregation plans.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+EVENTS_SCHEMA = T.StructType(
+    [
+        T.StructField("event_id", T.LongType(), True),
+        T.StructField("ts", T.LongType(), True),  # int64 nanos (nanosAsLong)
+        T.StructField("user_id", T.LongType(), True),
+        T.StructField("event_type", T.StringType(), True),
+        T.StructField("value", T.DoubleType(), True),
+        T.StructField("props", T.StringType(), True),
+    ]
+)
+
+
+def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """File-based streaming source over the events table. The nanos->micros
+    conversion mirrors queries/_tables.py."""
+    raw = (
+        spark.readStream.schema(EVENTS_SCHEMA)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir)
+    )
+    return raw.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
+
+
+def streaming_tumbling_agg(events: DataFrame, watermark: str = "30 minutes") -> DataFrame:
+    """Watermarked 10-minute tumbling counts per event type. State for a
+    window is dropped once the watermark passes its end — bounded memory on
+    unbounded streams."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", "10 minutes").alias("w"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n_events"), F.sum("value").alias("total_value"))
+        .select(
+            F.col("w.start").alias("window_start"),
+            "event_type",
+            "n_events",
+            "total_value",
+        )
+    )
+
+
+def streaming_sliding_agg(events: DataFrame, watermark: str = "30 minutes") -> DataFrame:
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", "10 minutes", "5 minutes").alias("w"))
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(F.col("w.start").alias("window_start"), "n_events")
+    )
+
+
+def streaming_session_agg(events: DataFrame, gap: str = "30 minutes") -> DataFrame:
+    """Watermarked session windows per user — native stateful session
+    operator; merges adjacent state as events arrive."""
+    return (
+        events.withWatermark("ts", "30 minutes")
+        .groupBy(F.session_window("ts", gap).alias("w"), "user_id")
+        .agg(F.count(F.lit(1)).alias("n_events"), F.sum("value").alias("total_value"))
+        .select(
+            F.col("w.start").alias("session_start"),
+            F.col("w.end").alias("session_end"),
+            "user_id",
+            "n_events",
+            "total_value",
+        )
+    )
+
+
+def run_streaming_query(
+    agg: DataFrame, name: str, output_mode: str = "append"
+) -> DataFrame:
+    """Drive a streaming aggregation to completion against the finite file
+    source via the memory sink; returns the materialized result table."""
+    q = (
+        agg.writeStream.outputMode(output_mode)
+        .format("memory")
+        .queryName(name)
+        .trigger(availableNow=True)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    return agg.sparkSession.sql(f"SELECT * FROM {name}")

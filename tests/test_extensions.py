@@ -1,0 +1,84 @@
+"""Property/recall tests for the approximate extensions (the exact
+counterparts are oracle-checked in test_queries_oracle.py)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from big_data_processing_with_aws_glue_workshop_spark.extensions.dedup_fuzzy import (
+    minhash_near_duplicates,
+    minhash_signatures,
+    simhash,
+    simhash_near_duplicates,
+)
+from big_data_processing_with_aws_glue_workshop_spark.extensions.similarity import ann_lsh_topk
+from big_data_processing_with_aws_glue_workshop_spark.queries import QUERIES
+
+
+@pytest.fixture(scope="module")
+def documents(spark, sf_dir):
+    return spark.read.parquet(f"{sf_dir}/documents.parquet").cache()
+
+
+@pytest.fixture(scope="module")
+def embeddings(spark, sf_dir):
+    return spark.read.parquet(f"{sf_dir}/embeddings.parquet").cache()
+
+
+def test_minhash_signatures_shape(documents):
+    sigs = minhash_signatures(documents, n_hashes=16)
+    rows = sigs.collect()
+    assert len(rows) == documents.count()
+    assert all(len(r["signature"]) == 16 for r in rows)
+    # deterministic across runs
+    again = minhash_signatures(documents, n_hashes=16).collect()
+    assert sorted(map(str, rows)) == sorted(map(str, again))
+
+
+def test_minhash_lsh_recall_vs_exact(documents, spark, sf_dir):
+    """LSH + exact-verify must recover a high fraction of the true
+    Jaccard>=0.8 pairs found by the exact shingle join, and must never
+    report a pair below threshold (verification is exact)."""
+    exact = {
+        (r["d1"], r["d2"])
+        for r in QUERIES["ngram_jaccard_pairs"](spark, sf_dir).collect()
+    }
+    approx_rows = minhash_near_duplicates(
+        documents, n_hashes=32, bands=8, threshold=0.8
+    ).collect()
+    approx = {(r["d1"], r["d2"]) for r in approx_rows}
+    assert approx <= exact  # no false positives (exact verify)
+    assert exact, "fixture must contain near-duplicate pairs"
+    recall = len(approx & exact) / len(exact)
+    assert recall >= 0.8, f"LSH recall too low: {recall:.2f}"
+    assert all(r["jaccard"] >= 0.8 for r in approx_rows)
+
+
+def test_simhash_near_duplicates(documents):
+    hashes = simhash(documents, n_bits=32)
+    assert hashes.count() == documents.count()
+    pairs = simhash_near_duplicates(documents, n_bits=32, max_hamming=3, n_blocks=4)
+    rows = pairs.collect()
+    # block-trick candidates verified by exact hamming
+    assert all(0 <= r["hamming"] <= 3 for r in rows)
+    assert all(r["d1"] < r["d2"] for r in rows)
+
+
+def test_ann_lsh_recall(embeddings, spark, sf_dir):
+    """LSH ANN recall@5 against the exact brute-force top-5."""
+    exact = QUERIES["cosine_topk"](spark, sf_dir).collect()
+    truth: dict[int, set[int]] = {}
+    for r in exact:
+        truth.setdefault(r["query_id"], set()).add(r["neighbor_id"])
+
+    queries = embeddings.filter(F.col("vec_id") < 20)
+    approx = ann_lsh_topk(embeddings, queries, k=5, n_planes=4, n_tables=16)
+    got: dict[int, set[int]] = {}
+    for r in approx.collect():
+        got.setdefault(r["query_id"], set()).add(r["neighbor_id"])
+
+    hits = sum(len(got.get(q, set()) & t) for q, t in truth.items())
+    total = sum(len(t) for t in truth.values())
+    recall = hits / total
+    assert recall >= 0.8, f"ANN recall@5 too low: {recall:.2f}"

@@ -1,0 +1,68 @@
+"""Multimodal binary-column plumbing: synthetic payloads with the FakeCodec
+header, driven through the real mapInPandas stages."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from big_data_processing_with_aws_glue_workshop_spark.extensions.multimodal import (
+    FakeCodec,
+    MEDIA_SCHEMA,
+    byte_histogram_features,
+    probe_media,
+    sample_frames,
+)
+
+
+def _payload(w: int, h: int, frames: int, rate: int, body: bytes) -> bytes:
+    return (
+        w.to_bytes(4, "big")
+        + h.to_bytes(4, "big")
+        + frames.to_bytes(4, "big")
+        + rate.to_bytes(4, "big")
+        + body
+    )
+
+
+@pytest.fixture(scope="module")
+def media(spark):
+    rows = [
+        (1, "image", _payload(640, 480, 1, 0, b"\x01\x02" * 100), "image/fake", 216),
+        (2, "video", _payload(1920, 1080, 95, 30, b"\xff" * 64), "video/fake", 80),
+        (3, "audio", _payload(0, 0, 0, 44100, b"\x00\x80" * 256), "audio/fake", 528),
+        (4, "image", b"\x00\x01", "image/fake", 2),  # corrupt: short header
+        (5, "image", None, "image/fake", 0),  # missing payload
+    ]
+    return spark.createDataFrame(rows, MEDIA_SCHEMA)
+
+
+def test_probe_media(media):
+    got = {r["media_id"]: r.asDict() for r in probe_media(media).collect()}
+    assert got[1]["width"] == 640 and got[1]["height"] == 480 and got[1]["valid"]
+    assert got[2]["n_frames"] == 95 and got[2]["sample_rate"] == 30
+    assert got[3]["sample_rate"] == 44100
+    assert not got[4]["valid"] and got[4]["width"] is None  # corrupt -> flagged, kept
+    assert not got[5]["valid"]
+
+
+def test_byte_histogram_features(media):
+    feats = {r["media_id"]: r["features"] for r in byte_histogram_features(media).collect()}
+    assert len(feats[1]) == 16
+    assert abs(sum(feats[1]) - 1.0) < 1e-5  # normalized histogram
+    assert feats[5] == [0.0] * 16  # missing payload -> zero vector
+
+
+def test_sample_frames(media):
+    frames = sample_frames(media, every_nth=10).collect()
+    by_id: dict[int, list[int]] = {}
+    for r in frames:
+        by_id.setdefault(r["media_id"], []).append(r["frame_idx"])
+    assert sorted(by_id[2]) == list(range(0, 95, 10))  # video frames sampled
+    assert 3 not in by_id  # audio: n_frames == 0 -> excluded
+    assert 4 not in by_id  # corrupt excluded
+
+
+def test_decode_stub_is_explicit():
+    with pytest.raises(NotImplementedError):
+        FakeCodec.decode_pixels(b"anything")
