@@ -127,9 +127,23 @@ def minhash_near_duplicates(
     verify join proportional to the candidate count."""
     rows_per_band = n_hashes // bands
     sigs = minhash_signatures(df, id_col, text_col, n_hashes, shingle_n, seed)
-    cands = lsh_candidate_pairs(sigs, bands, rows_per_band)
+    cands = lsh_candidate_pairs(sigs, bands, rows_per_band).cache()
 
-    sh = shingle_frame(df, id_col, text_col, shingle_n)
+    # verification only needs the shingles of CANDIDATE docs: restrict via a
+    # semi join before re-shingling, then cache the (tiny) survivor set.
+    # At 100 TB this is the difference between re-reading the corpus and
+    # touching only the near-duplicate cluster.
+    cand_docs = (
+        cands.select(F.col("d1").alias("doc_id"))
+        .union(cands.select(F.col("d2").alias("doc_id")))
+        .distinct()
+    )
+    sh = shingle_frame(
+        df.join(cand_docs, df[id_col] == cand_docs.doc_id, "left_semi"),
+        id_col,
+        text_col,
+        shingle_n,
+    ).cache()
     counts = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
     a = sh.select(F.col("doc_id").alias("d1"), "shingle")
     b = sh.select(F.col("doc_id").alias("d2"), "shingle")

@@ -386,6 +386,82 @@ def q_name_pattern_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ---------------------------------------------------------------------------
+# Grouping-set / pivot / set-operation family (§2.4/§2.7: absent from the
+# reference but free in Spark — included so the engine's surface is complete)
+# ---------------------------------------------------------------------------
+
+
+def q_status_priority_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROLLUP grouping sets: per (status, priority), per status, grand total."""
+    orders = load(spark, sf_dir, "orders")
+    return (
+        orders.rollup("o_orderstatus", "o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum(_dec("o_totalprice")).cast("double").alias("total_price"),
+        )
+    )
+
+
+def q_returnflag_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot l_linestatus into columns per l_returnflag row."""
+    l = load(spark, sf_dir, "lineitem")
+    pivoted = (
+        l.groupBy("l_returnflag")
+        .pivot("l_linestatus", ["O", "F"])
+        .agg(F.count(F.lit(1)))
+    )
+    # absent (flag, status) combinations pivot to NULL; normalize to 0 to
+    # match conditional-aggregation semantics
+    return pivoted.select(
+        "l_returnflag",
+        F.coalesce(F.col("O"), F.lit(0)).alias("n_open"),
+        F.coalesce(F.col("F"), F.lit(0)).alias("n_fulfilled"),
+    )
+
+
+def q_segment_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Set operations: (urgent-order custkeys UNION high-order custkeys)
+    INTERSECT building-segment custkeys EXCEPT negative-balance custkeys."""
+    orders = load(spark, sf_dir, "orders")
+    customer = load(spark, sf_dir, "customer")
+    urgent = orders.filter(F.col("o_orderpriority") == "1-URGENT").select(
+        F.col("o_custkey").alias("custkey")
+    )
+    high = orders.filter(F.col("o_orderpriority") == "2-HIGH").select(
+        F.col("o_custkey").alias("custkey")
+    )
+    building = customer.filter(F.col("c_mktsegment") == "BUILDING").select(
+        F.col("c_custkey").alias("custkey")
+    )
+    negative = customer.filter(F.col("c_acctbal") < 0).select(
+        F.col("c_custkey").alias("custkey")
+    )
+    return urgent.union(high).intersect(building).exceptAll(negative)
+
+
+def q_approx_distinct_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """approx_count_distinct (HLL++) next to the exact count — the scalable
+    stand-in for grouped COUNT(DISTINCT) at 100 TB (SURVEY §2.4 note).
+    Rows-only check: HLL sketches are implementation-specific."""
+    l = load(spark, sf_dir, "lineitem")
+    return l.groupBy("l_returnflag").agg(
+        F.countDistinct("l_orderkey").alias("exact_orders"),
+        F.approx_count_distinct("l_orderkey", 0.02).alias("approx_orders"),
+    )
+
+
+def q_bernoulli_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Seeded Bernoulli sample (O4; reference src/bronze/job-bronze-rues.py:84).
+    Rows-only check: the sampling RNG is engine-specific, but the seed makes
+    it reproducible run-to-run within Spark."""
+    orders = load(spark, sf_dir, "orders")
+    return orders.sample(withReplacement=False, fraction=0.01, seed=42).select(
+        "o_orderkey", "o_custkey", "o_totalprice"
+    )
+
+
 QUERIES = {
     "pricing_summary": q_pricing_summary,
     "active_customers_by_segment": q_active_customers_by_segment,
@@ -405,6 +481,11 @@ QUERIES = {
     "deterministic_sample": q_deterministic_sample,
     "priority_filter": q_priority_filter,
     "name_pattern_filter": q_name_pattern_filter,
+    "status_priority_rollup": q_status_priority_rollup,
+    "returnflag_pivot": q_returnflag_pivot,
+    "segment_set_ops": q_segment_set_ops,
+    "approx_distinct_profile": q_approx_distinct_profile,
+    "bernoulli_sample": q_bernoulli_sample,
 }
 
 
@@ -591,5 +672,35 @@ ORACLES = {
         WHERE UPPER(TRIM(c_mktsegment)) = 'BUILDING'
           AND regexp_matches(c_name, '[0-9]{2}$')
           AND contains(c_name, '#')
+    """,
+    "status_priority_rollup": """
+        SELECT
+          o_orderstatus,
+          o_orderpriority,
+          COUNT(1) AS n_orders,
+          CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_price
+        FROM orders
+        GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
+    """,
+    "returnflag_pivot": """
+        SELECT
+          l_returnflag,
+          COUNT(CASE WHEN l_linestatus = 'O' THEN 1 END) AS n_open,
+          COUNT(CASE WHEN l_linestatus = 'F' THEN 1 END) AS n_fulfilled
+        FROM lineitem
+        GROUP BY l_returnflag
+    """,
+    "segment_set_ops": """
+        SELECT custkey FROM (
+          SELECT custkey FROM (
+            SELECT o_custkey AS custkey FROM orders WHERE o_orderpriority = '1-URGENT'
+            UNION ALL
+            SELECT o_custkey AS custkey FROM orders WHERE o_orderpriority = '2-HIGH'
+          )
+          INTERSECT
+          SELECT c_custkey AS custkey FROM customer WHERE c_mktsegment = 'BUILDING'
+        )
+        EXCEPT ALL
+        SELECT c_custkey AS custkey FROM customer WHERE c_acctbal < 0
     """,
 }

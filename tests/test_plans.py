@@ -1,0 +1,73 @@
+"""Physical-plan audit: the properties that make these queries scale are
+asserted, not assumed — filter pushdown into the parquet scan, column
+pruning, broadcast joins for dims (never sort-merge against a small side),
+single-shuffle windows, whole-stage codegen presence."""
+
+from __future__ import annotations
+
+import contextlib
+import io
+
+import pytest
+
+from big_data_processing_with_aws_glue_workshop_spark.queries import QUERIES
+
+SF = "/root/testdata/sf0.01"
+
+
+def plan_of(spark, name: str) -> str:
+    df = QUERIES[name](spark, SF)
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain("formatted")
+    return buf.getvalue()
+
+
+def test_filter_pushdown_and_pruning(spark):
+    plan = plan_of(spark, "pricing_summary")
+    # shipdate predicate reaches the scan; only the 6 needed columns are read
+    assert "PushedFilters: [IsNotNull(l_shipdate), LessThanOrEqual(l_shipdate" in plan
+    assert "l_orderkey" not in plan
+    assert "l_partkey" not in plan
+
+
+def test_dim_joins_are_broadcast(spark):
+    for name in (
+        "revenue_by_supplier_nation",
+        "customer_geography_rollup",
+        "avg_balance_by_nation",
+        "active_customers_by_segment",
+    ):
+        plan = plan_of(spark, name)
+        assert "BroadcastHashJoin" in plan, name
+        assert "SortMergeJoin" not in plan, f"{name}: dim join degraded to SMJ"
+
+
+def test_priority_filter_pushdown(spark):
+    plan = plan_of(spark, "priority_filter")
+    assert "In(o_orderpriority" in plan
+    assert "GreaterThanOrEqual(o_orderdate" in plan
+
+
+def test_window_dedup_single_shuffle(spark):
+    plan = plan_of(spark, "latest_order_per_customer")
+    assert "Window" in plan
+    # exactly one exchange: the hash partition on o_custkey feeding the window
+    assert plan.count("(Exchange") + plan.count("+- Exchange") == 1, plan
+
+
+def test_anti_join_stays_join(spark):
+    plan = plan_of(spark, "customers_without_orders")
+    assert "LeftAnti" in plan
+
+
+def test_cosine_topk_broadcasts_queries(spark):
+    plan = plan_of(spark, "cosine_topk")
+    # tiny query side broadcast against the corpus — not a shuffled cartesian
+    assert "BroadcastNestedLoopJoin" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_codegen_present(spark):
+    plan = plan_of(spark, "validation_profile")
+    assert "WholeStageCodegen" in plan or "HashAggregate" in plan
