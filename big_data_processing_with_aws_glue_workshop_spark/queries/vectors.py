@@ -46,12 +46,18 @@ def q_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     the pattern that scales to 'small query batch x huge corpus'. Tiebreak
     on neighbor id keeps LIMIT deterministic."""
     e = load(spark, sf_dir, "embeddings")
+    # norms are precomputed per vector BEFORE the pair join: one fold per
+    # pair instead of three (dot + both norms) — 3x less expression work on
+    # the quadratic path, same values bit-for-bit
     queries = e.filter(F.col("vec_id") < N_QUERIES).select(
-        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qv")
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("qv"),
+        norm(F.col("embedding")).alias("qnorm"),
     )
     corpus = e.select(
         F.col("vec_id").alias("neighbor_id"),
         F.col("embedding").alias("nv"),
+        norm(F.col("embedding")).alias("nnorm"),
         F.col("label").alias("neighbor_label"),
     )
     scored = (
@@ -62,7 +68,9 @@ def q_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             "query_id",
             "neighbor_id",
             "neighbor_label",
-            cosine(F.col("qv"), F.col("nv")).alias("cos_sim"),
+            (dot(F.col("qv"), F.col("nv")) / (F.col("qnorm") * F.col("nnorm"))).alias(
+                "cos_sim"
+            ),
         )
     )
     w = Window.partitionBy("query_id").orderBy(
@@ -128,12 +136,26 @@ def q_embedding_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     all-pairs baseline (a < b). The LSH-bucketed scale path is
     extensions/similarity.py; this exact form is the oracle-checked one."""
     e = load(spark, sf_dir, "embeddings")
-    a = e.select(F.col("vec_id").alias("id_a"), F.col("embedding").alias("va"))
-    b = e.select(F.col("vec_id").alias("id_b"), F.col("embedding").alias("vb"))
+    a = e.select(
+        F.col("vec_id").alias("id_a"),
+        F.col("embedding").alias("va"),
+        norm(F.col("embedding")).alias("norm_a"),
+    )
+    b = e.select(
+        F.col("vec_id").alias("id_b"),
+        F.col("embedding").alias("vb"),
+        norm(F.col("embedding")).alias("norm_b"),
+    )
     return (
         a.crossJoin(b)
         .filter(F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b", cosine(F.col("va"), F.col("vb")).alias("cos_sim"))
+        .select(
+            "id_a",
+            "id_b",
+            (dot(F.col("va"), F.col("vb")) / (F.col("norm_a") * F.col("norm_b"))).alias(
+                "cos_sim"
+            ),
+        )
         .filter(F.col("cos_sim") >= NEAR_DUP_THRESHOLD)
     )
 

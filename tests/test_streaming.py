@@ -53,3 +53,37 @@ def test_streaming_sessions(spark, sf_dir):
         result.agg(F.sum("n_events")).collect()[0][0]
         == batch.agg(F.sum("n_events")).collect()[0][0]
     )
+
+
+def test_stateful_running_user_stats(spark, sf_dir):
+    """applyInPandasWithState lifetime counters equal the batch aggregation
+    after the finite stream drains."""
+    from big_data_processing_with_aws_glue_workshop_spark.streaming.stateful import (
+        running_user_stats,
+    )
+
+    stream = read_events_stream(spark, sf_dir)
+    result = run_streaming_query(
+        running_user_stats(stream), "t_stateful", output_mode="update"
+    )
+    # update mode may emit a row per user per micro-batch: keep the last
+    got = {
+        r["user_id"]: r
+        for r in result.collect()  # single-batch source -> one row per user
+    }
+    batch = (
+        spark.read.parquet(f"{sf_dir}/events.parquet")
+        .groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum("value").alias("total_value"),
+            F.max("value").alias("max_value"),
+        )
+        .collect()
+    )
+    assert len(got) == len(batch)
+    for r in batch:
+        g = got[r["user_id"]]
+        assert g["n_events"] == r["n_events"]
+        assert abs(g["total_value"] - r["total_value"]) < 1e-6
+        assert g["max_value"] == r["max_value"]
