@@ -99,11 +99,46 @@ def q_json_props_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_asof_last_click_before_error(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join (operator Spark lacks natively; operators/asof.py): for
+    every 'error' event, the most recent 'click' by the same user at or
+    before it. One shuffle on user_id — checked against DuckDB's native
+    ASOF JOIN."""
+    from ..operators.asof import asof_join
+
+    ev = load(spark, sf_dir, "events")
+    errors = ev.filter(F.col("event_type") == "error").select(
+        "event_id", "user_id", "ts"
+    )
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "user_id",
+        F.col("ts").alias("click_ts"),
+        F.col("value").alias("click_value"),
+    )
+    joined = asof_join(
+        errors,
+        clicks,
+        on=["user_id"],
+        left_time="ts",
+        right_time="click_ts",
+        value_cols=["click_ts", "click_value"],
+        suffix="",
+    )
+    return joined.select(
+        "event_id",
+        "user_id",
+        F.unix_millis("ts").alias("error_ts_ms"),
+        F.unix_millis("click_ts").alias("last_click_ts_ms"),
+        F.col("click_value").alias("last_click_value"),
+    )
+
+
 QUERIES = {
     "tumbling_windows": q_tumbling_windows,
     "sliding_windows": q_sliding_windows,
     "session_windows": q_session_windows,
     "json_props_extract": q_json_props_extract,
+    "asof_last_click_before_error": q_asof_last_click_before_error,
 }
 
 ORACLES = {
@@ -158,6 +193,24 @@ ORACLES = {
                CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
         FROM sessions
         GROUP BY user_id, session_id
+    """,
+    # LEFT ASOF JOIN: nearest click at-or-before each error per user
+    "asof_last_click_before_error": """
+        WITH errors AS (
+          SELECT event_id, user_id, ts FROM events WHERE event_type = 'error'
+        ),
+        clicks AS (
+          SELECT user_id, ts AS click_ts, value AS click_value
+          FROM events WHERE event_type = 'click'
+        )
+        SELECT e.event_id,
+               e.user_id,
+               epoch_ms(e.ts) AS error_ts_ms,
+               epoch_ms(c.click_ts) AS last_click_ts_ms,
+               c.click_value AS last_click_value
+        FROM errors e
+        ASOF LEFT JOIN clicks c
+          ON e.user_id = c.user_id AND e.ts >= c.click_ts
     """,
     "json_props_extract": """
         SELECT

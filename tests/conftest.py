@@ -12,10 +12,17 @@ SF_DIR = os.environ.get("SPARK_GRAFT_TEST_SF_DIR", "/root/testdata/sf0.01")
 
 @pytest.fixture(scope="session")
 def spark():
+    import tempfile
+
     s = get_session(
         app_name="engine-tests",
         master="local[4]",
         shuffle_partitions=8,
+        extra_conf={
+            "spark.sql.warehouse.dir": tempfile.mkdtemp(prefix="spark-warehouse-"),
+            # dim tables here are tiny; disable auto-broadcast ONLY where a
+            # test needs to observe bucketing (set per-test via spark.conf)
+        },
     )
     yield s
 
