@@ -1,0 +1,45 @@
+"""Range (interval-containment) join — bucketized so it scales.
+
+A naive point-in-interval join is a cross join with a BETWEEN filter; Spark
+plans it as BroadcastNestedLoopJoin (fine for small interval sets, quadratic
+otherwise). ``bucketized_range_join`` converts it to an EQUI-join: intervals
+explode into the fixed-width time buckets they overlap, points map to their
+bucket, the join runs hash-partitioned on the bucket key, and the exact
+BETWEEN predicate filters within buckets. Cost ~ points + intervals x
+avg_buckets_per_interval — linear, shuffle-friendly, skew-handled by AQE.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def bucketized_range_join(
+    points: DataFrame,
+    intervals: DataFrame,
+    point_ts: str,
+    interval_start: str,
+    interval_end: str,
+    bucket_seconds: int = 3600,
+    how: str = "inner",
+) -> DataFrame:
+    """Join each point to every interval containing it
+    (start <= ts < end). Columns from both inputs are preserved."""
+    bucket = lambda c: (F.unix_timestamp(c) / F.lit(bucket_seconds)).cast("long")
+
+    p = points.withColumn("__bucket", bucket(F.col(point_ts)))
+    i = intervals.withColumn(
+        "__bucket",
+        F.explode(
+            F.sequence(
+                bucket(F.col(interval_start)),
+                bucket(F.col(interval_end)),
+            )
+        ),
+    )
+    joined = p.join(i, "__bucket", how).filter(
+        (F.col(point_ts) >= F.col(interval_start))
+        & (F.col(point_ts) < F.col(interval_end))
+    )
+    return joined.drop("__bucket")

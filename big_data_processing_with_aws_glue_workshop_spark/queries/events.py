@@ -133,12 +133,39 @@ def q_asof_last_click_before_error(spark: SparkSession, sf_dir: str) -> DataFram
     )
 
 
+# deterministic interval set for the range-join query: 12-hour windows every
+# 50 hours across the events month (shared with the SQL oracle below)
+RANGE_INTERVALS = [
+    (i, f"2024-01-01 00:00:00", 50 * i, 50 * i + 12) for i in range(15)
+]
+
+
+def q_range_join_interval_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Range (point-in-interval) join via the bucketized equi-join rewrite
+    (operators/rangejoin.py): events counted into literal 12h windows.
+    Oracle: the naive BETWEEN join — same answer, quadratic plan."""
+    from ..operators.rangejoin import bucketized_range_join
+
+    ev = load(spark, sf_dir, "events").select("event_id", "ts")
+    base = F.lit("2024-01-01 00:00:00").cast("timestamp")
+    intervals = spark.createDataFrame(
+        [(i,) for i, _, _, _ in RANGE_INTERVALS], "interval_id long"
+    ).select(
+        "interval_id",
+        (base + F.make_interval(hours=F.col("interval_id") * 50)).alias("start"),
+        (base + F.make_interval(hours=F.col("interval_id") * 50 + 12)).alias("end"),
+    )
+    joined = bucketized_range_join(ev, intervals, "ts", "start", "end")
+    return joined.groupBy("interval_id").agg(F.count(F.lit(1)).alias("n_events"))
+
+
 QUERIES = {
     "tumbling_windows": q_tumbling_windows,
     "sliding_windows": q_sliding_windows,
     "session_windows": q_session_windows,
     "json_props_extract": q_json_props_extract,
     "asof_last_click_before_error": q_asof_last_click_before_error,
+    "range_join_interval_counts": q_range_join_interval_counts,
 }
 
 ORACLES = {
@@ -211,6 +238,18 @@ ORACLES = {
         FROM errors e
         ASOF LEFT JOIN clicks c
           ON e.user_id = c.user_id AND e.ts >= c.click_ts
+    """,
+    "range_join_interval_counts": """
+        WITH intervals AS (
+          SELECT i AS interval_id,
+                 TIMESTAMP '2024-01-01 00:00:00' + to_hours(50 * i) AS w_start,
+                 TIMESTAMP '2024-01-01 00:00:00' + to_hours(50 * i + 12) AS w_end
+          FROM range(0, 15) t(i)
+        )
+        SELECT interval_id, COUNT(1) AS n_events
+        FROM events JOIN intervals
+          ON ts >= w_start AND ts < w_end
+        GROUP BY interval_id
     """,
     "json_props_extract": """
         SELECT

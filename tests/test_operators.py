@@ -1,0 +1,111 @@
+"""Unit tests for the standalone operators: salted aggregation equivalence,
+range join vs naive BETWEEN join, MERGE/upsert/SCD2 semantics."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+import pytest
+from pyspark.sql import functions as F
+
+from big_data_processing_with_aws_glue_workshop_spark.operators.dedup import (
+    exact_dedup_count,
+    salt_partitions,
+)
+from big_data_processing_with_aws_glue_workshop_spark.operators.merge import (
+    scd2_apply,
+    upsert,
+)
+from big_data_processing_with_aws_glue_workshop_spark.operators.rangejoin import (
+    bucketized_range_join,
+)
+
+
+def test_salted_two_phase_agg_equals_direct(spark, sf_dir):
+    """Salted (skew-safe) two-phase aggregation must produce exactly the
+    direct aggregation's result."""
+    l = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    direct = {
+        (r["l_returnflag"], r["l_linestatus"]): r["n"]
+        for r in l.groupBy("l_returnflag", "l_linestatus")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    salted = salt_partitions(l, ["l_returnflag", "l_linestatus"], buckets=16)
+    two_phase = (
+        salted.groupBy("l_returnflag", "l_linestatus", "__salt")
+        .agg(F.count(F.lit(1)).alias("pn"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(F.sum("pn").alias("n"))
+    )
+    got = {
+        (r["l_returnflag"], r["l_linestatus"]): r["n"] for r in two_phase.collect()
+    }
+    assert got == direct
+
+
+def test_bucketized_range_join_equals_naive(spark, sf_dir):
+    """Bucketized interval join must equal the naive BETWEEN join."""
+    # nanos→micros handled by the queries loader; reuse it
+    from big_data_processing_with_aws_glue_workshop_spark.queries._tables import load
+
+    ev = load(spark, sf_dir, "events").select("event_id", "ts", "user_id")
+    # deterministic synthetic intervals: 12h windows every 50h across January
+    base = dt.datetime(2024, 1, 1)
+    intervals = spark.createDataFrame(
+        [
+            (i, base + dt.timedelta(hours=50 * i), base + dt.timedelta(hours=50 * i + 12))
+            for i in range(15)
+        ],
+        "interval_id long, start timestamp, end timestamp",
+    )
+    fast = bucketized_range_join(ev, intervals, "ts", "start", "end")
+    naive = ev.join(
+        intervals, (F.col("ts") >= F.col("start")) & (F.col("ts") < F.col("end"))
+    )
+    fast_set = {(r["event_id"], r["interval_id"]) for r in fast.collect()}
+    naive_set = {(r["event_id"], r["interval_id"]) for r in naive.collect()}
+    assert fast_set == naive_set
+    assert fast_set, "intervals must capture some events"
+
+
+def test_upsert(spark):
+    target = spark.createDataFrame(
+        [(1, "a", 10), (2, "b", 20), (3, "c", 30)], "id long, name string, v long"
+    )
+    source = spark.createDataFrame(
+        [(2, "B", 21), (4, "d", 40)], "id long, name string, v long"
+    )
+    got = {r["id"]: (r["name"], r["v"]) for r in upsert(target, source, ["id"]).collect()}
+    assert got == {1: ("a", 10), 2: ("B", 21), 3: ("c", 30), 4: ("d", 40)}
+
+
+def test_scd2_apply(spark):
+    t0 = dt.datetime(2024, 1, 1)
+    t1 = dt.datetime(2024, 6, 1)
+    target = spark.createDataFrame(
+        [
+            (1, "alice@old", t0, t1, False),   # closed history
+            (1, "alice@mid", t1, None, True),  # current, will be closed
+            (2, "bob@v1", t0, None, True),     # untouched current
+        ],
+        "id long, email string, valid_from timestamp, valid_to timestamp, is_current boolean",
+    )
+    t2 = dt.datetime(2024, 9, 1)
+    source = spark.createDataFrame(
+        [(1, "alice@new", t2), (3, "carol@v1", t2)],
+        "id long, email string, changed_at timestamp",
+    )
+    out = scd2_apply(target, source, ["id"], "changed_at").collect()
+    rows = {(r["id"], r["email"]): r for r in out}
+    assert len(out) == 5
+    # old history preserved untouched
+    assert rows[(1, "alice@old")]["valid_to"] == t1
+    # previous current closed at the source effective time
+    closed = rows[(1, "alice@mid")]
+    assert closed["valid_to"] == t2 and not closed["is_current"]
+    # new versions open-ended and current
+    for key in [(1, "alice@new"), (3, "carol@v1")]:
+        assert rows[key]["is_current"] and rows[key]["valid_to"] is None
+    # unrelated key untouched
+    assert rows[(2, "bob@v1")]["is_current"]
