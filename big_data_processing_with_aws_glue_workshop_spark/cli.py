@@ -1,0 +1,198 @@
+"""Runnable medallion jobs — the drop-in replacement for the reference's
+three Glue jobs (EP1 bronze, EP2 silver, EP3 gold) plus the Athena
+analytics surface (EP4), on plain open-source Spark over local/posix paths.
+
+    python -m big_data_processing_with_aws_glue_workshop_spark.cli bronze \
+        --input raw.csv --output lake/bronze
+    python -m big_data_processing_with_aws_glue_workshop_spark.cli silver \
+        --bronze lake/bronze --catalogs data/catalogs --output lake/silver \
+        --error-logs lake/logs --reference-year 2025
+    python -m big_data_processing_with_aws_glue_workshop_spark.cli gold \
+        --silver lake/silver --output lake/gold --today 2025-06-30
+    python -m big_data_processing_with_aws_glue_workshop_spark.cli analytics \
+        --gold lake/gold --query q1 --year 2025
+
+Job parameterization (operator S9) is argparse; job bookmarks (S10) are
+intentionally absent (unused by the reference). Each command prints one
+JSON summary line on stdout.
+"""
+
+from __future__ import annotations
+
+import argparse
+import datetime as dt
+import json
+import os
+import sys
+
+from pyspark.sql import functions as F
+
+from .functions.text import snake_case_columns
+from .operators.dq import consolidated_validation
+from .operators.joins import anti_join_orphans
+from .plans import analytics
+from .plans.rues import (
+    RuesConfig,
+    apply_rules,
+    bronze_year_partition,
+    build_dim_empresa,
+    build_fact_renovacion,
+    silver_rules,
+    silver_validation_rules,
+    silver_year_partition,
+)
+from .session import get_session
+from .sources import (
+    read_csv_robust,
+    read_parquet_lake,
+    write_csv_single,
+    write_parquet,
+    write_parquet_partitioned,
+)
+
+
+def _emit(summary: dict) -> None:
+    print(json.dumps(summary, default=str))
+
+
+def cmd_bronze(args: argparse.Namespace) -> None:
+    spark = get_session(app_name="job-bronze")
+    df = snake_case_columns(read_csv_robust(spark, args.input))
+    from .operators.dq import sampled_profile
+
+    n_sample, nulls, dups = sampled_profile(df, fraction=args.sample_fraction, seed=42)
+    bronze = bronze_year_partition(df)
+    write_parquet_partitioned(bronze, args.output, "year_partition", args.num_files)
+    _emit(
+        {
+            "job": "bronze",
+            "output": args.output,
+            "sample_rows": n_sample,
+            "columns_with_nulls": sum(1 for v in nulls.values() if v > 0),
+            "duplicate_rows_in_sample": dups,
+        }
+    )
+
+
+def cmd_silver(args: argparse.Namespace) -> None:
+    spark = get_session(app_name="job-silver")
+    df = read_parquet_lake(spark, args.bronze, drop_partition_cols=["year_partition"])
+    cat_ident = read_csv_robust(
+        spark, os.path.join(args.catalogs, "catalogo_clases_identificaciones.csv")
+    )
+    cat_ciiu = read_csv_robust(
+        spark, os.path.join(args.catalogs, "catalogo_codigos_ciuu.csv")
+    )
+    config = RuesConfig(reference_year=args.reference_year)
+    silver = apply_rules(df, silver_rules(cat_ident, cat_ciiu, config))
+    silver.cache()
+    try:
+        counts, error_df = consolidated_validation(silver, silver_validation_rules())
+        if args.error_logs and error_df.count() > 0:
+            stamp = dt.datetime.now().strftime("%Y%m%d_%H%M%S")
+            write_csv_single(error_df, os.path.join(args.error_logs, f"errors_{stamp}.csv"))
+        write_parquet_partitioned(
+            silver_year_partition(silver), args.output, "year_partition", args.num_files
+        )
+    finally:
+        silver.unpersist()
+    _emit(
+        {
+            "job": "silver",
+            "output": args.output,
+            "violations": {k: v for k, v in counts.items() if v > 0},
+        }
+    )
+
+
+def cmd_gold(args: argparse.Namespace) -> None:
+    spark = get_session(app_name="job-gold")
+    silver = read_parquet_lake(spark, args.silver, drop_partition_cols=["year_partition"])
+    config = RuesConfig(today=args.today)
+    dim = build_dim_empresa(silver)
+    fact = build_fact_renovacion(silver, config)
+    orphans = anti_join_orphans(fact, dim, "matricula").count()
+    write_parquet(dim, os.path.join(args.output, "dim_empresa"), num_files=20)
+    write_parquet_partitioned(
+        fact, os.path.join(args.output, "fact_renovacion"), "estado_matricula", 30
+    )
+    _emit(
+        {
+            "job": "gold",
+            "output": args.output,
+            "dim_rows": dim.count(),
+            "fact_rows": fact.count(),
+            "orphan_matriculas": orphans,
+        }
+    )
+
+
+def cmd_analytics(args: argparse.Namespace) -> None:
+    spark = get_session(app_name="analytics")
+    dim = spark.read.parquet(os.path.join(args.gold, "dim_empresa"))
+    fact = spark.read.parquet(os.path.join(args.gold, "fact_renovacion"))
+    analytics.register_gold_views(spark, dim, fact)
+    runners = {
+        "q1": lambda: analytics.q1_active_by_society_type(spark),
+        "q2": lambda: analytics.q2_avg_age_by_activity(spark),
+        "q3": lambda: analytics.q3_renewal_rate_by_chamber(spark),
+        "q4": lambda: analytics.q4_ml_renewal_dataset(
+            spark, current_year=args.year, sample_limit=args.limit, seed=args.seed
+        ),
+    }
+    df = runners[args.query]()
+    rows = df.limit(args.show).collect()
+    _emit(
+        {
+            "job": "analytics",
+            "query": args.query,
+            "total_rows": df.count(),
+            "rows": [r.asDict() for r in rows],
+        }
+    )
+
+
+def build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(prog="big_data_processing_with_aws_glue_workshop_spark")
+    sub = p.add_subparsers(dest="command", required=True)
+
+    b = sub.add_parser("bronze", help="robust CSV ingest -> partitioned parquet")
+    b.add_argument("--input", required=True)
+    b.add_argument("--output", required=True)
+    b.add_argument("--num-files", type=int, default=30)
+    b.add_argument("--sample-fraction", type=float, default=0.01)
+    b.set_defaults(func=cmd_bronze)
+
+    s = sub.add_parser("silver", help="RN-001..RN-010 business rules")
+    s.add_argument("--bronze", required=True)
+    s.add_argument("--catalogs", required=True)
+    s.add_argument("--output", required=True)
+    s.add_argument("--error-logs", default=None)
+    s.add_argument("--reference-year", type=int, default=dt.date.today().year)
+    s.add_argument("--num-files", type=int, default=30)
+    s.set_defaults(func=cmd_silver)
+
+    g = sub.add_parser("gold", help="star schema: dim_empresa + fact_renovacion")
+    g.add_argument("--silver", required=True)
+    g.add_argument("--output", required=True)
+    g.add_argument("--today", default=str(dt.date.today()))
+    g.set_defaults(func=cmd_gold)
+
+    a = sub.add_parser("analytics", help="gold validation queries q1-q4")
+    a.add_argument("--gold", required=True)
+    a.add_argument("--query", choices=["q1", "q2", "q3", "q4"], default="q1")
+    a.add_argument("--year", type=int, default=dt.date.today().year)
+    a.add_argument("--limit", type=int, default=500_000)
+    a.add_argument("--seed", type=int, default=42)
+    a.add_argument("--show", type=int, default=10)
+    a.set_defaults(func=cmd_analytics)
+    return p
+
+
+def main(argv: list[str] | None = None) -> None:
+    args = build_parser().parse_args(argv)
+    args.func(args)
+
+
+if __name__ == "__main__":
+    main()
