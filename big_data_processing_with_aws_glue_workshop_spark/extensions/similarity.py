@@ -14,6 +14,8 @@ from __future__ import annotations
 
 import random
 
+import numpy as np
+import pandas as pd
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
@@ -28,24 +30,6 @@ def _hyperplanes(dim: int, n_planes: int, n_tables: int, seed: int) -> list[list
     ]
 
 
-def _bucket(vec: Column, planes: list[list[float]]) -> Column:
-    """P-bit sign pattern of the projections onto ``planes`` as a bigint."""
-    acc = F.lit(0).cast("bigint")
-    for p_idx, plane in enumerate(planes):
-        proj = F.aggregate(
-            F.zip_with(
-                vec,
-                F.array(*[F.lit(w) for w in plane]),
-                lambda x, w: x.cast("double") * w,
-            ),
-            F.lit(0.0),
-            lambda a, v: a + v,
-        )
-        bit = F.when(proj >= 0, F.lit(1).cast("bigint")).otherwise(F.lit(0).cast("bigint"))
-        acc = acc + F.shiftleft(bit, p_idx)
-    return acc
-
-
 def lsh_bucketize(
     df: DataFrame,
     vec_col: str = "embedding",
@@ -55,27 +39,32 @@ def lsh_bucketize(
     n_tables: int = 4,
     seed: int = 42,
 ) -> DataFrame:
-    """(id, table_idx, bucket): one row per vector per table."""
-    planes = _hyperplanes(dim, n_planes, n_tables, seed)
-    buckets = F.array(
-        *[
-            F.struct(
-                F.lit(t).alias("table_idx"),
-                _bucket(F.col(vec_col), planes[t]).alias("bucket"),
-            )
-            for t in range(n_tables)
-        ]
-    )
-    return df.select(
+    """(id, table_idx, bucket): one row per vector per table.
+
+    Projection is an Arrow-batched pandas UDF doing ONE numpy matmul
+    (batch x dim) @ (dim x tables*planes) per batch — the documented
+    slow-path exception: unrolling tables*planes fold expressions into
+    Catalyst produced multi-thousand-term codegen units (~10s compile);
+    the vectorized matmul is both faster to plan and to run. Sign bits are
+    robust to summation-order effects, so determinism is unaffected."""
+    planes = np.array(_hyperplanes(dim, n_planes, n_tables, seed))  # (T, P, D)
+    proj_matrix = planes.reshape(n_tables * n_planes, dim).T  # (D, T*P)
+    weights = np.power(2.0, np.arange(n_planes))  # bit packing per table
+
+    @F.pandas_udf("array<long>")
+    def _buckets(vecs: pd.Series) -> pd.Series:
+        mat = np.vstack(vecs.to_numpy()).astype("float64")  # (B, D)
+        signs = (mat @ proj_matrix) >= 0  # (B, T*P)
+        bits = signs.reshape(len(mat), n_tables, n_planes)
+        packed = (bits * weights).sum(axis=2).astype("int64")  # (B, T)
+        return pd.Series(list(packed))
+
+    bucketed = df.select(
         F.col(id_col).alias("vec_id"),
         F.col(vec_col).alias("embedding"),
-        F.explode(buckets).alias("tb"),
-    ).select(
-        "vec_id",
-        "embedding",
-        F.col("tb.table_idx").alias("table_idx"),
-        F.col("tb.bucket").alias("bucket"),
+        F.posexplode(_buckets(F.col(vec_col))).alias("table_idx", "bucket"),
     )
+    return bucketed
 
 
 def ann_lsh_topk(
@@ -94,31 +83,43 @@ def ann_lsh_topk(
     window top-k. Output: (query_id, rank, neighbor_id, cos_sim)."""
     from pyspark.sql import Window
 
+    from ..queries.vectors import dot, norm
+
     cb = lsh_bucketize(corpus, vec_col, id_col, dim, n_planes, n_tables, seed)
-    qb = lsh_bucketize(queries, vec_col, id_col, dim, n_planes, n_tables, seed).select(
-        F.col("vec_id").alias("query_id"),
-        F.col("embedding").alias("qv"),
-        "table_idx",
-        "bucket",
-    )
-    candidates = (
-        qb.join(
-            cb.select(
-                F.col("vec_id").alias("neighbor_id"),
-                F.col("embedding").alias("nv"),
-                "table_idx",
-                "bucket",
-            ),
+    qb = lsh_bucketize(queries, vec_col, id_col, dim, n_planes, n_tables, seed)
+    # dedup candidate PAIRS (ids only — distinct over array columns would
+    # shuffle the vectors themselves), then re-attach vectors + precomputed
+    # norms for the exact rerank
+    cand_pairs = (
+        qb.select(F.col("vec_id").alias("query_id"), "table_idx", "bucket")
+        .join(
+            cb.select(F.col("vec_id").alias("neighbor_id"), "table_idx", "bucket"),
             ["table_idx", "bucket"],
         )
         .filter(F.col("query_id") != F.col("neighbor_id"))
-        .select("query_id", "qv", "neighbor_id", "nv")
+        .select("query_id", "neighbor_id")
         .distinct()
     )
-    scored = candidates.select(
-        "query_id",
-        "neighbor_id",
-        cosine(F.col("qv"), F.col("nv")).alias("cos_sim"),
+    q_vecs = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("qv"),
+        norm(F.col(vec_col)).alias("qnorm"),
+    )
+    n_vecs = corpus.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("nv"),
+        norm(F.col(vec_col)).alias("nnorm"),
+    )
+    scored = (
+        cand_pairs.join(F.broadcast(q_vecs), "query_id")
+        .join(n_vecs, "neighbor_id")
+        .select(
+            "query_id",
+            "neighbor_id",
+            (dot(F.col("qv"), F.col("nv")) / (F.col("qnorm") * F.col("nnorm"))).alias(
+                "cos_sim"
+            ),
+        )
     )
     w = Window.partitionBy("query_id").orderBy(F.col("cos_sim").desc(), F.col("neighbor_id"))
     return (
