@@ -159,8 +159,51 @@ def q_range_join_interval_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     return joined.groupBy("interval_id").agg(F.count(F.lit(1)).alias("n_events"))
 
 
+def q_user_event_deltas(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Window-analytics family (lag + running frame aggregates + rank) —
+    beyond the reference's row_number-only usage: per user, time since the
+    previous event, running event count, and per-user recency rank."""
+    from pyspark.sql import Window
+
+    ev = load(spark, sf_dir, "events")
+    w_time = Window.partitionBy("user_id").orderBy(F.col("ts"), F.col("event_id"))
+    w_run = w_time.rowsBetween(Window.unboundedPreceding, 0)
+    return (
+        ev.filter(F.col("event_id") < 2000)
+        .select(
+            "event_id",
+            "user_id",
+            F.unix_millis("ts").alias("ts_ms"),
+            (
+                F.unix_millis("ts") - F.unix_millis(F.lag("ts").over(w_time))
+            ).alias("ms_since_prev"),
+            F.row_number().over(w_time).alias("event_seq"),
+            F.count(F.lit(1)).over(w_run).alias("running_events"),
+            F.sum(F.col("value").cast("decimal(18,2)"))
+            .over(w_run)
+            .cast("double")
+            .alias("running_value"),
+        )
+    )
+
+
+def q_event_value_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact percentiles per event type (sort-based; the approximate
+    percentile_approx is the 100-TB variant, same API shape)."""
+    ev = load(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.percentile("value", 0.5).alias("p50_value"),
+        F.percentile("value", 0.9).alias("p90_value"),
+        F.min("value").alias("min_value"),
+        F.max("value").alias("max_value"),
+    )
+
+
 QUERIES = {
     "tumbling_windows": q_tumbling_windows,
+    "event_value_percentiles": q_event_value_percentiles,
+    "user_event_deltas": q_user_event_deltas,
     "sliding_windows": q_sliding_windows,
     "session_windows": q_session_windows,
     "json_props_extract": q_json_props_extract,
@@ -220,6 +263,29 @@ ORACLES = {
                CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
         FROM sessions
         GROUP BY user_id, session_id
+    """,
+    "event_value_percentiles": """
+        SELECT event_type,
+               COUNT(1) AS n_events,
+               quantile_cont(value, 0.5) AS p50_value,
+               quantile_cont(value, 0.9) AS p90_value,
+               MIN(value) AS min_value,
+               MAX(value) AS max_value
+        FROM events
+        GROUP BY event_type
+    """,
+    "user_event_deltas": """
+        SELECT event_id,
+               user_id,
+               epoch_ms(ts) AS ts_ms,
+               epoch_ms(ts) - epoch_ms(LAG(ts) OVER w) AS ms_since_prev,
+               CAST(ROW_NUMBER() OVER w AS INTEGER) AS event_seq,
+               COUNT(1) OVER (w ROWS UNBOUNDED PRECEDING) AS running_events,
+               CAST(SUM(CAST(value AS DECIMAL(18,2)))
+                    OVER (w ROWS UNBOUNDED PRECEDING) AS DOUBLE) AS running_value
+        FROM events
+        WHERE event_id < 2000
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
     """,
     # LEFT ASOF JOIN: nearest click at-or-before each error per user
     "asof_last_click_before_error": """

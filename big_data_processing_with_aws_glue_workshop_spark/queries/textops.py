@@ -32,10 +32,14 @@ def q_doc_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load(spark, sf_dir, "documents")
     toks = F.size(_tokens(F.col("text")))
     chars_no_ws = F.length(F.regexp_replace(F.col("text"), r"\s", ""))
+    # BPE-ish token estimate: letter runs / digit runs / punctuation runs —
+    # the regex family BPE pre-tokenizers use, portable across regex engines
+    bpe_tokens = F.regexp_count(F.col("text"), F.lit(r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]+"))
     return d.select(
         "doc_id",
         "lang",
         toks.alias("n_tokens"),
+        bpe_tokens.cast("int").alias("n_bpe_tokens"),
         chars_no_ws.alias("n_chars_no_ws"),
         (chars_no_ws.cast("double") / toks).alias("avg_token_len"),
         F.when(F.col("n_chars") < 100, 1).otherwise(0).cast("int").alias("flag_short"),
@@ -224,6 +228,8 @@ ORACLES = {
           doc_id,
           lang,
           CAST(len(string_split_regex(trim(lower(text)), '\\s+')) AS INTEGER) AS n_tokens,
+          CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]+'))
+               AS INTEGER) AS n_bpe_tokens,
           CAST(length(regexp_replace(text, '\\s', '', 'g')) AS INTEGER) AS n_chars_no_ws,
           CAST(length(regexp_replace(text, '\\s', '', 'g')) AS DOUBLE)
             / len(string_split_regex(trim(lower(text)), '\\s+')) AS avg_token_len,
