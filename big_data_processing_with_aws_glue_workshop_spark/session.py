@@ -49,7 +49,11 @@ def get_session(
     if master is None:
         master = f"local[{cpus}]"
     if shuffle_partitions is None:
-        shuffle_partitions = max(4, cpus)
+        # default: one shuffle partition per core (scale posture: on a real
+        # cluster this is sized to total cores x 2-3); $SPARK_GRAFT_SHUFFLE
+        # overrides for latency-sensitive small-data runs
+        env_shuffle = os.environ.get("SPARK_GRAFT_SHUFFLE")
+        shuffle_partitions = int(env_shuffle) if env_shuffle else max(4, cpus)
 
     builder = (
         SparkSession.builder.master(master)

@@ -200,3 +200,63 @@ def test_analytics_queries(medallion, spark):
     # seeded subsample is reproducible
     again = analytics.q4_ml_renewal_dataset(spark, current_year=2025, seed=42).collect()
     assert rows == again
+
+
+def test_track_records_sql(medallion, spark):
+    """The reference's track-records validation queries (EP4;
+    test/query_track_records_validation.sql) as Spark SQL over the three
+    layers. Engine canon: column `codigo_identificacion`, NIT -> 11
+    (the reference file's silver comment shows 02/codigo_clase_identificacion
+    — documented inconsistencies, SURVEY §5 ⚠)."""
+    medallion["bronze"].createOrReplaceTempView("bronze_rues")
+    medallion["silver"].createOrReplaceTempView("silver_rues")
+
+    bronze_row = spark.sql(
+        """
+        SELECT matricula, fecha_matricula, fecha_renovacion, fecha_actualizacion,
+               estado_matricula, clase_identificacion, numero_identificacion,
+               razon_social
+        FROM bronze_rues
+        WHERE matricula = '21590' AND estado_matricula = 'Activa'
+        ORDER BY fecha_actualizacion DESC LIMIT 1
+        """
+    ).collect()[0]
+    assert bronze_row["fecha_matricula"] == "20061108"
+    assert bronze_row["fecha_actualizacion"] == "2025/05/13 14:51:55.923000000"
+
+    silver_row = spark.sql(
+        """
+        SELECT matricula, fecha_matricula, fecha_renovacion, fecha_actualizacion,
+               antiguedad_empresa, clase_identificacion, codigo_identificacion,
+               numero_identificacion, tipo_persona, razon_social, id_unico
+        FROM silver_rues
+        WHERE matricula = '21590' AND estado_matricula = 'ACTIVA'
+        ORDER BY fecha_actualizacion DESC LIMIT 1
+        """
+    ).collect()[0]
+    assert str(silver_row["fecha_matricula"]) == "2006-11-08"
+    assert silver_row["antiguedad_empresa"] == 19
+    assert silver_row["codigo_identificacion"] == 11
+    assert silver_row["tipo_persona"] == 2
+    assert silver_row["id_unico"] == "19_21590_OPTICA CRISTAL MAGANGUE LTDA."
+
+    gold_rows = spark.sql(
+        """
+        SELECT d.matricula, f.fecha_matricula, f.fecha_renovacion,
+               f.fecha_actualizacion, d.antiguedad_empresa,
+               d.clase_identificacion,
+               d.codigo_identificacion AS codigo_clase_identificacion,
+               d.numero_identificacion, d.tipo_persona, d.razon_social,
+               CONCAT(d.codigo_camara, '_', d.matricula, '_', d.razon_social)
+                 AS id_unico
+        FROM gold_dim_empresa d
+        LEFT JOIN gold_fact_renovacion f ON d.matricula = f.matricula
+        WHERE d.matricula = '21590' AND f.estado_matricula = 'ACTIVA'
+          AND d.numero_identificacion = '900118485'
+        ORDER BY f.fecha_actualizacion DESC
+        """
+    ).collect()
+    assert len(gold_rows) == 1
+    g = gold_rows[0]
+    assert g["codigo_clase_identificacion"] == 11
+    assert g["id_unico"] == "19_21590_OPTICA CRISTAL MAGANGUE LTDA."
