@@ -35,13 +35,21 @@ def read_csv_robust(
     spark: SparkSession,
     path: str,
     schema: T.StructType | None = None,
+    corrupt_record_col: str | None = None,
     **overrides: str,
 ) -> DataFrame:
     """Bronze-grade CSV scan (operator S1). All-string unless a schema is
     given; PERMISSIVE so malformed rows surface as NULLs, never as job
     failures. multiLine=true disables input splitting — at 100 TB prefer
-    pre-split files or multiLine=false via an override."""
-    reader = spark.read.format("csv").options(**{**ROBUST_CSV_OPTIONS, **overrides})
+    pre-split files or multiLine=false via an override.
+
+    ``corrupt_record_col``: capture unparseable raw lines into this column
+    (requires an explicit schema that includes the column) so DQ can count
+    and quarantine them instead of silently nulling."""
+    opts = {**ROBUST_CSV_OPTIONS, **overrides}
+    if corrupt_record_col:
+        opts["columnNameOfCorruptRecord"] = corrupt_record_col
+    reader = spark.read.format("csv").options(**opts)
     if schema is not None:
         reader = reader.schema(schema)
     return reader.load(path)
