@@ -200,8 +200,29 @@ def q_event_value_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_value_zscore_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-type z-score anomaly flagging with EXACT moment computation:
+    sum and sum-of-squares accumulate in decimal (order-independent), the
+    mean/variance arithmetic is a fixed sequence of IEEE double ops written
+    identically in the oracle, so z-scores match bit-for-bit."""
+    from pyspark.sql import Window
+
+    ev = load(spark, sf_dir, "events")
+    w = Window.partitionBy("event_type")
+    d = F.col("value").cast("decimal(18,2)")
+    n = F.count(F.lit(1)).over(w)
+    s = F.sum(d).over(w).cast("double")
+    ss = F.sum(d * d).over(w).cast("double")
+    mean = s / n
+    var = ss / n - mean * mean
+    z = (F.col("value") - mean) / F.sqrt(var)
+    scored = ev.select("event_id", "event_type", "value", z.alias("zscore"))
+    return scored.filter((F.col("zscore") > 3.0) | (F.col("zscore") < -3.0))
+
+
 QUERIES = {
     "tumbling_windows": q_tumbling_windows,
+    "value_zscore_outliers": q_value_zscore_outliers,
     "event_value_percentiles": q_event_value_percentiles,
     "user_event_deltas": q_user_event_deltas,
     "sliding_windows": q_sliding_windows,
@@ -263,6 +284,22 @@ ORACLES = {
                CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
         FROM sessions
         GROUP BY user_id, session_id
+    """,
+    "value_zscore_outliers": """
+        WITH stats AS (
+          SELECT event_id, event_type, value,
+                 COUNT(1) OVER w AS n,
+                 CAST(SUM(CAST(value AS DECIMAL(18,2))) OVER w AS DOUBLE) AS s,
+                 CAST(SUM(CAST(value AS DECIMAL(18,2)) * CAST(value AS DECIMAL(18,2)))
+                      OVER w AS DOUBLE) AS ss
+          FROM events
+          WINDOW w AS (PARTITION BY event_type)
+        )
+        SELECT event_id, event_type, value,
+               (value - s / n) / sqrt(ss / n - (s / n) * (s / n)) AS zscore
+        FROM stats
+        WHERE (value - s / n) / sqrt(ss / n - (s / n) * (s / n)) > 3.0
+           OR (value - s / n) / sqrt(ss / n - (s / n) * (s / n)) < -3.0
     """,
     "event_value_percentiles": """
         SELECT event_type,
