@@ -152,6 +152,26 @@ def cmd_analytics(args: argparse.Namespace) -> None:
     )
 
 
+def cmd_query(args: argparse.Namespace) -> None:
+    from .queries import ORACLES, QUERIES
+
+    if args.list:
+        for name in sorted(QUERIES):
+            print(f"{name}\t{'oracle' if name in ORACLES else 'rows-only'}")
+        return
+    spark = get_session(app_name=f"query-{args.name}")
+    df = QUERIES[args.name](spark, args.sf_dir)
+    rows = df.limit(args.show).collect()
+    _emit(
+        {
+            "query": args.name,
+            "sf_dir": args.sf_dir,
+            "total_rows": df.count(),
+            "rows": [r.asDict() for r in rows],
+        }
+    )
+
+
 def build_parser() -> argparse.ArgumentParser:
     p = argparse.ArgumentParser(prog="big_data_processing_with_aws_glue_workshop_spark")
     sub = p.add_subparsers(dest="command", required=True)
@@ -186,6 +206,13 @@ def build_parser() -> argparse.ArgumentParser:
     a.add_argument("--seed", type=int, default=42)
     a.add_argument("--show", type=int, default=10)
     a.set_defaults(func=cmd_analytics)
+
+    q = sub.add_parser("query", help="run a registered engine query by name")
+    q.add_argument("--name", default="pricing_summary")
+    q.add_argument("--sf-dir", default="/root/testdata/sf0.01")
+    q.add_argument("--show", type=int, default=10)
+    q.add_argument("--list", action="store_true", help="list registered queries")
+    q.set_defaults(func=cmd_query)
     return p
 
 

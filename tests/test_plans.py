@@ -71,3 +71,43 @@ def test_cosine_topk_broadcasts_queries(spark):
 def test_codegen_present(spark):
     plan = plan_of(spark, "validation_profile")
     assert "WholeStageCodegen" in plan or "HashAggregate" in plan
+
+
+def test_aqe_skew_join_splits_hot_key(spark):
+    """A 90%-hot-key join must trigger AQE's skew split (the mechanism the
+    session factory relies on at 100 TB instead of manual salting). Verified
+    on the executed adaptive plan: SortMergeJoin(skew=true)."""
+    from pyspark.sql import functions as F
+
+    prev = {
+        k: spark.conf.get(k)
+        for k in (
+            "spark.sql.autoBroadcastJoinThreshold",
+            "spark.sql.adaptive.skewJoin.skewedPartitionFactor",
+            "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes",
+            "spark.sql.adaptive.advisoryPartitionSizeInBytes",
+        )
+    }
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    spark.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionFactor", "2")
+    spark.conf.set(
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "1MB"
+    )
+    spark.conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "1MB")
+    try:
+        left = spark.range(0, 2_000_000).select(
+            F.when(F.col("id") % 10 != 0, 0).otherwise(F.col("id")).alias("k"),
+            F.rand(1).alias("x"),
+        )
+        right = spark.range(0, 50_000).select(
+            F.col("id").alias("k"), F.rand(2).alias("y")
+        )
+        joined = left.join(right, "k")
+        # execute THIS QueryExecution (count() would plan a separate one)
+        joined._jdf.queryExecution().toRdd().count()
+        plan = joined._jdf.queryExecution().executedPlan().toString()
+        assert "isFinalPlan=true" in plan
+        assert "skew=true" in plan, plan
+    finally:
+        for k, v in prev.items():
+            spark.conf.set(k, v)
