@@ -24,22 +24,12 @@ from pyspark.sql import functions as F
 def shingle_frame(
     df: DataFrame, id_col: str = "doc_id", text_col: str = "text", n: int = 3
 ) -> DataFrame:
-    """(id, shingle) distinct word n-grams — same two-step materialization
-    as queries/textops.py (split once per row, not per element_at)."""
-    tokenized = df.select(
-        F.col(id_col).alias("doc_id"),
-        F.split(F.trim(F.lower(F.col(text_col))), r"\s+").alias("toks"),
-    )
-    toks = F.col("toks")
-    grams = F.transform(
-        F.sequence(F.lit(0), F.size(toks) - n),
-        lambda i: F.concat_ws(
-            " ", *[F.element_at(toks, (i + k + 1).cast("int")) for k in range(n)]
-        ),
-    )
-    return tokenized.select(
-        "doc_id", F.explode(F.array_distinct(grams)).alias("shingle")
-    )
+    """Shared word-n-gram tokenizer (functions/text.py::word_shingles) —
+    the LSH path MUST shingle identically to the exact join for the
+    'LSH result equals exact result' oracle contract to hold."""
+    from ..functions.text import word_shingles
+
+    return word_shingles(df, id_col, text_col, n)
 
 
 def _perm_params(n_hashes: int, seed: int) -> list[tuple[int, int]]:
@@ -75,11 +65,27 @@ def minhash_signatures(
 
 
 def lsh_candidate_pairs(
-    signatures: DataFrame, bands: int = 8, rows_per_band: int = 4
+    signatures: DataFrame,
+    bands: int = 8,
+    rows_per_band: int = 4,
+    n_hashes: int | None = None,
 ) -> DataFrame:
     """Banded LSH: split each signature into ``bands`` rows-per-band chunks,
     hash each chunk, and join docs sharing any (band, chunk-hash) bucket.
-    Returns distinct candidate (d1 < d2) pairs."""
+    Returns distinct candidate (d1 < d2) pairs.
+
+    The banding MUST cover at most the signature width: out-of-bounds
+    element_at would return NULL under ANSI-off, hash every doc into one
+    constant bucket, and silently degrade the band join to all-pairs.
+    Pass ``n_hashes`` (cheap, static) or the width is probed with one row."""
+    if n_hashes is None:
+        first = signatures.select(F.size("signature").alias("n")).first()
+        n_hashes = int(first["n"]) if first is not None else bands * rows_per_band
+    if bands * rows_per_band > n_hashes:
+        raise ValueError(
+            f"bands({bands}) x rows_per_band({rows_per_band}) exceeds the "
+            f"signature length {n_hashes} — banding would read past the array"
+        )
     banded = signatures.select(
         "doc_id",
         F.explode(
@@ -127,7 +133,7 @@ def minhash_near_duplicates(
     verify join proportional to the candidate count."""
     rows_per_band = n_hashes // bands
     sigs = minhash_signatures(df, id_col, text_col, n_hashes, shingle_n, seed)
-    cands = lsh_candidate_pairs(sigs, bands, rows_per_band).cache()
+    cands = lsh_candidate_pairs(sigs, bands, rows_per_band, n_hashes=n_hashes).cache()
 
     # verification only needs the shingles of CANDIDATE docs: restrict via a
     # semi join before re-shingling, then cache the (tiny) survivor set.

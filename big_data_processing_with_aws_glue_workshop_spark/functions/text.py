@@ -33,6 +33,36 @@ def normalize_upper_trim(col: Column) -> Column:
     return F.upper(F.trim(col))
 
 
+def word_shingles(df: DataFrame, id_col: str, text_col: str, n: int = 3) -> DataFrame:
+    """(doc_id, shingle) DISTINCT word n-grams — THE shared tokenizer for the
+    exact n-gram join and the MinHash path (one definition so the 'LSH result
+    equals exact join' contract cannot diverge).
+
+    The token array is materialized in its own projection FIRST: inlining
+    split() into the transform lambda re-evaluates it per element_at
+    reference (codegen does not CSE across lambda invocations; measured
+    ~20x slower). Documents with fewer than ``n`` tokens yield no shingles
+    (guarded — an unguarded descending sequence() would index element 0 and
+    throw INVALID_INDEX_OF_ZERO)."""
+    tokenized = df.select(
+        F.col(id_col).alias("doc_id"),
+        F.split(F.trim(F.lower(F.col(text_col))), r"\s+").alias("toks"),
+    )
+    toks = F.col("toks")
+    grams = F.when(
+        F.size(toks) >= n,
+        F.transform(
+            F.sequence(F.lit(0), F.size(toks) - n),
+            lambda i: F.concat_ws(
+                " ", *[F.element_at(toks, (i + k + 1).cast("int")) for k in range(n)]
+            ),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    return tokenized.select(
+        "doc_id", F.explode(F.array_distinct(grams)).alias("shingle")
+    )
+
+
 def surrogate_key(*cols: Column | str, sep: str = "_") -> Column:
     """concat_ws surrogate key (RN-006 id_unico; reference
     src/silver/job-silver-rues.py:334-340). concat_ws skips NULLs — a NULL

@@ -55,10 +55,18 @@ def scd2_apply(
         changed_keys, on=keys, how="left_semi"
     )
 
+    # multiple source versions of one key must CHAIN: each version closes at
+    # the next version's effective time; only the latest stays current
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(*keys).orderBy(F.col(effective_col))
     opening = (
         source.withColumn(valid_from, F.col(effective_col))
-        .withColumn(valid_to, F.lit(None).cast(target.schema[valid_to].dataType))
-        .withColumn(current_flag, F.lit(True))
+        .withColumn(
+            valid_to,
+            F.lead(effective_col).over(w).cast(target.schema[valid_to].dataType),
+        )
+        .withColumn(current_flag, F.lead(effective_col).over(w).isNull())
         .drop(effective_col)
     )
     return (

@@ -24,8 +24,13 @@ def bucketized_range_join(
     bucket_seconds: int = 3600,
     how: str = "inner",
 ) -> DataFrame:
-    """Join each point to every interval containing it
-    (start <= ts < end). Columns from both inputs are preserved."""
+    """Join each point to every interval containing it (start <= ts < end).
+    ``how='inner'`` keeps matched points only; ``how='left'`` also keeps
+    points matching no interval, with NULL interval columns (the containment
+    filter runs on the inner core, THEN unmatched points are appended —
+    filtering after a null-padded outer join would silently drop them)."""
+    if how not in ("inner", "left"):
+        raise ValueError(f"how must be 'inner' or 'left', got {how!r}")
     bucket = lambda c: (F.unix_timestamp(c) / F.lit(bucket_seconds)).cast("long")
 
     p = points.withColumn("__bucket", bucket(F.col(point_ts)))
@@ -38,8 +43,17 @@ def bucketized_range_join(
             )
         ),
     )
-    joined = p.join(i, "__bucket", how).filter(
+    matched = p.join(i, "__bucket", "inner").filter(
         (F.col(point_ts) >= F.col(interval_start))
         & (F.col(point_ts) < F.col(interval_end))
+    ).drop("__bucket")
+    if how == "inner":
+        return matched
+    unmatched = points.join(
+        matched.select(*points.columns).distinct(), on=points.columns, how="left_anti"
     )
-    return joined.drop("__bucket")
+    for c in intervals.columns:
+        unmatched = unmatched.withColumn(
+            c, F.lit(None).cast(intervals.schema[c].dataType)
+        )
+    return matched.unionByName(unmatched)

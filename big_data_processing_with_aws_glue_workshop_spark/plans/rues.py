@@ -134,7 +134,11 @@ def rn008_map_identification(cat_identificacion: DataFrame) -> Rule:
 
 def rn009_person_type(df: DataFrame) -> DataFrame:
     """RN-009 tipo_persona: 2 (juridical) when clase is NIT, else 1
-    (ref :254-264)."""
+    (ref :254-264). Column-presence guard added for consistency with the
+    sibling rules (the reference's version would crash on a frame without
+    clase_identificacion)."""
+    if "clase_identificacion" not in df.columns:
+        return df
     return df.withColumn(
         "tipo_persona",
         F.when(F.upper(F.col("clase_identificacion")) == "NIT", 2).otherwise(1),

@@ -133,11 +133,12 @@ def q_asof_last_click_before_error(spark: SparkSession, sf_dir: str) -> DataFram
     )
 
 
-# deterministic interval set for the range-join query: 12-hour windows every
-# 50 hours across the events month (shared with the SQL oracle below)
-RANGE_INTERVALS = [
-    (i, f"2024-01-01 00:00:00", 50 * i, 50 * i + 12) for i in range(15)
-]
+# deterministic interval set for the range-join query, single source of
+# truth for BOTH the Spark query and the SQL oracle below
+N_INTERVALS = 15
+INTERVAL_SPACING_H = 50
+INTERVAL_WIDTH_H = 12
+INTERVAL_BASE = "2024-01-01 00:00:00"
 
 
 def q_range_join_interval_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -147,13 +148,20 @@ def q_range_join_interval_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.rangejoin import bucketized_range_join
 
     ev = load(spark, sf_dir, "events").select("event_id", "ts")
-    base = F.lit("2024-01-01 00:00:00").cast("timestamp")
+    base = F.lit(INTERVAL_BASE).cast("timestamp")
     intervals = spark.createDataFrame(
-        [(i,) for i, _, _, _ in RANGE_INTERVALS], "interval_id long"
+        [(i,) for i in range(N_INTERVALS)], "interval_id long"
     ).select(
         "interval_id",
-        (base + F.make_interval(hours=F.col("interval_id") * 50)).alias("start"),
-        (base + F.make_interval(hours=F.col("interval_id") * 50 + 12)).alias("end"),
+        (base + F.make_interval(hours=F.col("interval_id") * INTERVAL_SPACING_H)).alias(
+            "start"
+        ),
+        (
+            base
+            + F.make_interval(
+                hours=F.col("interval_id") * INTERVAL_SPACING_H + INTERVAL_WIDTH_H
+            )
+        ).alias("end"),
     )
     joined = bucketized_range_join(ev, intervals, "ts", "start", "end")
     return joined.groupBy("interval_id").agg(F.count(F.lit(1)).alias("n_events"))
@@ -261,12 +269,14 @@ ORACLES = {
         GROUP BY 1
     """,
     # gaps-and-islands sessionization: a new session starts when the gap from
-    # the previous event of the same user exceeds 30 minutes
+    # the previous event of the same user reaches 30 minutes. '>=' matches
+    # Spark's half-open [ts, ts+gap) session windows: an event exactly at the
+    # previous window's end starts a NEW session
     "session_windows": """
         WITH flagged AS (
           SELECT user_id, ts, value,
                  CASE WHEN ts - LAG(ts) OVER (PARTITION BY user_id ORDER BY ts)
-                           > INTERVAL '30 minutes'
+                           >= INTERVAL '30 minutes'
                       OR LAG(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
                       THEN 1 ELSE 0 END AS new_session
           FROM events
@@ -342,12 +352,14 @@ ORACLES = {
         ASOF LEFT JOIN clicks c
           ON e.user_id = c.user_id AND e.ts >= c.click_ts
     """,
-    "range_join_interval_counts": """
+    "range_join_interval_counts": f"""
         WITH intervals AS (
           SELECT i AS interval_id,
-                 TIMESTAMP '2024-01-01 00:00:00' + to_hours(50 * i) AS w_start,
-                 TIMESTAMP '2024-01-01 00:00:00' + to_hours(50 * i + 12) AS w_end
-          FROM range(0, 15) t(i)
+                 TIMESTAMP '{INTERVAL_BASE}'
+                   + to_hours({INTERVAL_SPACING_H} * i) AS w_start,
+                 TIMESTAMP '{INTERVAL_BASE}'
+                   + to_hours({INTERVAL_SPACING_H} * i + {INTERVAL_WIDTH_H}) AS w_end
+          FROM range(0, {N_INTERVALS}) t(i)
         )
         SELECT interval_id, COUNT(1) AS n_events
         FROM events JOIN intervals

@@ -107,24 +107,11 @@ def q_doc_dedup_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _shingles(df: DataFrame, n: int = 3) -> DataFrame:
-    """(doc_id, shingle) with DISTINCT word n-grams — pure JVM expressions
-    (split -> sequence -> transform -> explode), no Python in the loop.
+    """Shared word-n-gram tokenizer (functions/text.py::word_shingles) —
+    one definition for the exact join AND the MinHash path."""
+    from ..functions.text import word_shingles
 
-    The token array is materialized in its own projection FIRST: inlining
-    the split() into the transform lambda would re-split the full text once
-    per element_at reference (3 x n_shingles times per row — measured ~20x
-    slower), because codegen does not CSE across lambda invocations."""
-    tokenized = df.select("doc_id", _tokens(F.col("text")).alias("toks"))
-    toks = F.col("toks")
-    grams = F.transform(
-        F.sequence(F.lit(0), F.size(toks) - n),
-        lambda i: F.concat_ws(
-            " ", *[F.element_at(toks, (i + k + 1).cast("int")) for k in range(n)]
-        ),
-    )
-    return tokenized.select(
-        "doc_id", F.explode(F.array_distinct(grams)).alias("shingle")
-    )
+    return word_shingles(df, "doc_id", "text", n)
 
 
 def q_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:

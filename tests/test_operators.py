@@ -109,3 +109,71 @@ def test_scd2_apply(spark):
         assert rows[key]["is_current"] and rows[key]["valid_to"] is None
     # unrelated key untouched
     assert rows[(2, "bob@v1")]["is_current"]
+
+
+def test_range_join_left_keeps_unmatched(spark):
+    """how='left' must keep points with no containing interval (review
+    finding: the post-join filter used to drop the null-padded rows)."""
+    pts = spark.createDataFrame(
+        [(1, dt.datetime(2024, 1, 1, 1)), (2, dt.datetime(2024, 3, 1))],
+        "pid long, ts timestamp",
+    )
+    iv = spark.createDataFrame(
+        [(10, dt.datetime(2024, 1, 1), dt.datetime(2024, 1, 2))],
+        "interval_id long, start timestamp, end timestamp",
+    )
+    got = {
+        r["pid"]: r["interval_id"]
+        for r in bucketized_range_join(pts, iv, "ts", "start", "end", how="left").collect()
+    }
+    assert got == {1: 10, 2: None}
+    with pytest.raises(ValueError, match="inner.*left"):
+        bucketized_range_join(pts, iv, "ts", "start", "end", how="full")
+
+
+def test_scd2_chains_multiple_source_versions(spark):
+    """Two source versions of one key must chain: v1 closes at v2's
+    effective time; only v2 stays current (review finding)."""
+    t0, t1, t2 = (dt.datetime(2024, m, 1) for m in (1, 6, 9))
+    target = spark.createDataFrame(
+        [(1, "v0", t0, None, True)],
+        "id long, email string, valid_from timestamp, valid_to timestamp, is_current boolean",
+    )
+    source = spark.createDataFrame(
+        [(1, "v1", t1), (1, "v2", t2)], "id long, email string, changed_at timestamp"
+    )
+    rows = {r["email"]: r for r in scd2_apply(target, source, ["id"], "changed_at").collect()}
+    assert rows["v0"]["valid_to"] == t1 and not rows["v0"]["is_current"]
+    assert rows["v1"]["valid_to"] == t2 and not rows["v1"]["is_current"]
+    assert rows["v2"]["valid_to"] is None and rows["v2"]["is_current"]
+
+
+def test_shingles_short_documents(spark):
+    """Documents with fewer than n tokens yield zero shingles, not a crash
+    (review finding: descending sequence hit element_at index 0)."""
+    from big_data_processing_with_aws_glue_workshop_spark.functions.text import word_shingles
+
+    docs = spark.createDataFrame(
+        [(1, "hello world"), (2, "one"), (3, ""), (4, "a b c d")],
+        "doc_id long, text string",
+    )
+    got = word_shingles(docs, "doc_id", "text", n=3).collect()
+    by_doc = {}
+    for r in got:
+        by_doc.setdefault(r["doc_id"], []).append(r["shingle"])
+    assert set(by_doc) == {4}
+    assert sorted(by_doc[4]) == ["a b c", "b c d"]
+
+
+def test_lsh_banding_bounds_checked(spark):
+    from big_data_processing_with_aws_glue_workshop_spark.extensions.dedup_fuzzy import (
+        lsh_candidate_pairs,
+        minhash_signatures,
+    )
+
+    docs = spark.createDataFrame(
+        [(1, "a b c d e f g h"), (2, "a b c d e f g x")], "doc_id long, text string"
+    )
+    sigs = minhash_signatures(docs, n_hashes=16)
+    with pytest.raises(ValueError, match="exceeds the signature length"):
+        lsh_candidate_pairs(sigs, bands=8, rows_per_band=4, n_hashes=16)
