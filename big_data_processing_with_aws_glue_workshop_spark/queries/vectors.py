@@ -171,11 +171,23 @@ def q_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ann_lsh_topk(e, queries, k=TOP_K, n_planes=4, n_tables=16, seed=42)
 
 
+def q_ivf_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF coarse-quantizer ANN (rows-only: k-means index is approximate by
+    design; recall vs brute force asserted in tests/test_extensions.py).
+    Implementation: extensions/ivf.py."""
+    from ..extensions.ivf import ivf_topk
+
+    e = load(spark, sf_dir, "embeddings")
+    queries = e.filter(F.col("vec_id") < N_QUERIES)
+    return ivf_topk(e, queries, k=TOP_K, nlist=16, nprobe=6, seed=42)
+
+
 QUERIES = {
     "cosine_topk": q_cosine_topk,
     "label_similarity_profile": q_label_similarity_profile,
     "embedding_near_dup_pairs": q_embedding_near_dup_pairs,
     "ann_lsh_topk": q_ann_lsh_topk,
+    "ivf_ann_topk": q_ivf_ann_topk,
 }
 
 ORACLES = {

@@ -82,3 +82,25 @@ def test_ann_lsh_recall(embeddings, spark, sf_dir):
     total = sum(len(t) for t in truth.values())
     recall = hits / total
     assert recall >= 0.8, f"ANN recall@5 too low: {recall:.2f}"
+
+
+def test_ivf_topk_recall(embeddings, spark, sf_dir):
+    """IVF coarse-quantizer ANN: recall@5 vs brute force with nprobe=6 of
+    nlist=16 cells (touching ~38% of the corpus per query)."""
+    from big_data_processing_with_aws_glue_workshop_spark.extensions.ivf import ivf_topk
+
+    exact = QUERIES["cosine_topk"](spark, sf_dir).collect()
+    truth: dict[int, set[int]] = {}
+    for r in exact:
+        truth.setdefault(r["query_id"], set()).add(r["neighbor_id"])
+
+    queries = embeddings.filter(F.col("vec_id") < 20)
+    approx = ivf_topk(embeddings, queries, k=5, nlist=16, nprobe=6)
+    got: dict[int, set[int]] = {}
+    for r in approx.collect():
+        got.setdefault(r["query_id"], set()).add(r["neighbor_id"])
+
+    hits = sum(len(got.get(q, set()) & t) for q, t in truth.items())
+    total = sum(len(t) for t in truth.values())
+    recall = hits / total
+    assert recall >= 0.6, f"IVF recall@5 too low: {recall:.2f}"
