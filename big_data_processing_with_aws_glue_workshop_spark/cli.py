@@ -109,22 +109,27 @@ def cmd_gold(args: argparse.Namespace) -> None:
     spark = get_session(app_name="job-gold")
     silver = read_parquet_lake(spark, args.silver, drop_partition_cols=["year_partition"])
     config = RuesConfig(today=args.today)
-    dim = build_dim_empresa(silver)
-    fact = build_fact_renovacion(silver, config)
-    orphans = anti_join_orphans(fact, dim, "matricula").count()
-    write_parquet(dim, os.path.join(args.output, "dim_empresa"), num_files=20)
-    write_parquet_partitioned(
-        fact, os.path.join(args.output, "fact_renovacion"), "estado_matricula", 30
-    )
-    _emit(
-        {
+    # cache: dim/fact are each consumed by the integrity check, the write,
+    # and the summary count — without it the silver scan + distinct re-run 3x
+    dim = build_dim_empresa(silver).cache()
+    fact = build_fact_renovacion(silver, config).cache()
+    try:
+        orphans = anti_join_orphans(fact, dim, "matricula").count()
+        write_parquet(dim, os.path.join(args.output, "dim_empresa"), num_files=20)
+        write_parquet_partitioned(
+            fact, os.path.join(args.output, "fact_renovacion"), "estado_matricula", 30
+        )
+        summary = {
             "job": "gold",
             "output": args.output,
             "dim_rows": dim.count(),
             "fact_rows": fact.count(),
             "orphan_matriculas": orphans,
         }
-    )
+    finally:
+        dim.unpersist()
+        fact.unpersist()
+    _emit(summary)
 
 
 def cmd_analytics(args: argparse.Namespace) -> None:
@@ -140,16 +145,17 @@ def cmd_analytics(args: argparse.Namespace) -> None:
             spark, current_year=args.year, sample_limit=args.limit, seed=args.seed
         ),
     }
-    df = runners[args.query]()
-    rows = df.limit(args.show).collect()
-    _emit(
-        {
+    df = runners[args.query]().cache()
+    try:
+        summary = {
             "job": "analytics",
             "query": args.query,
             "total_rows": df.count(),
-            "rows": [r.asDict() for r in rows],
+            "rows": [r.asDict() for r in df.limit(args.show).collect()],
         }
-    )
+    finally:
+        df.unpersist()
+    _emit(summary)
 
 
 def cmd_query(args: argparse.Namespace) -> None:
@@ -160,16 +166,17 @@ def cmd_query(args: argparse.Namespace) -> None:
             print(f"{name}\t{'oracle' if name in ORACLES else 'rows-only'}")
         return
     spark = get_session(app_name=f"query-{args.name}")
-    df = QUERIES[args.name](spark, args.sf_dir)
-    rows = df.limit(args.show).collect()
-    _emit(
-        {
+    df = QUERIES[args.name](spark, args.sf_dir).cache()
+    try:
+        summary = {
             "query": args.name,
             "sf_dir": args.sf_dir,
             "total_rows": df.count(),
-            "rows": [r.asDict() for r in rows],
+            "rows": [r.asDict() for r in df.limit(args.show).collect()],
         }
-    )
+    finally:
+        df.unpersist()
+    _emit(summary)
 
 
 def build_parser() -> argparse.ArgumentParser:

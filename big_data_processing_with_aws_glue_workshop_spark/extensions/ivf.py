@@ -46,17 +46,9 @@ def train_ivf_index(
         F.col(vec_col).alias("embedding"),
         F.col("__cell").alias("cell"),
     )
-    centroids = (
-        corpus.sparkSession.createDataFrame(
-            [(i,) for i in range(nlist)], "cell int"
-        )
-        .join(
-            corpus.sparkSession.createDataFrame(
-                [(i, [float(x) for x in c]) for i, c in enumerate(model.clusterCenters())],
-                "cell int, centroid array<double>",
-            ),
-            "cell",
-        )
+    centroids = corpus.sparkSession.createDataFrame(
+        [(i, [float(x) for x in c]) for i, c in enumerate(model.clusterCenters())],
+        "cell int, centroid array<double>",
     )
     return assigned, centroids, model
 
@@ -81,13 +73,21 @@ def ivf_topk(
         F.col(vec_col).alias("qv"),
         norm(F.col(vec_col)).alias("qnorm"),
     )
-    # distance of each query to each centroid; keep nprobe nearest cells
-    qc = q.crossJoin(F.broadcast(centroids)).select(
+    # probe ranking must use the SAME metric the k-means quantizer assigned
+    # with (Euclidean): rank by -||q-c||^2 = 2*dot(q,c) - ||c||^2 (the
+    # ||q||^2 term is constant per query). Raw dot product would bias toward
+    # large-norm centroids and systematically miss the assigned cells.
+    with_norm2 = centroids.withColumn(
+        "__cnorm2", dot(F.col("centroid"), F.col("centroid"))
+    )
+    qc = q.crossJoin(F.broadcast(with_norm2)).select(
         "query_id",
         "qv",
         "qnorm",
         "cell",
-        dot(F.col("qv"), F.col("centroid")).alias("__sim"),
+        (F.lit(2.0) * dot(F.col("qv"), F.col("centroid")) - F.col("__cnorm2")).alias(
+            "__sim"
+        ),
     )
     w = Window.partitionBy("query_id").orderBy(F.col("__sim").desc(), F.col("cell"))
     probed = (

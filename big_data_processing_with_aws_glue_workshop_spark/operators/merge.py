@@ -15,11 +15,23 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
+def _null_safe_key_cond(left: DataFrame, right: DataFrame, keys: Sequence[str]):
+    """NULL-safe key equality: a NULL key must match a NULL key, otherwise
+    replace-by-key semantics silently keep both versions of NULL-keyed rows."""
+    cond = left[keys[0]].eqNullSafe(right[keys[0]])
+    for k in keys[1:]:
+        cond = cond & left[k].eqNullSafe(right[k])
+    return cond
+
+
 def upsert(target: DataFrame, source: DataFrame, keys: Sequence[str]) -> DataFrame:
     """SCD1 upsert: target rows whose key appears in source are replaced by
     the source rows; unmatched target rows survive; new keys insert."""
     keys = list(keys)
-    kept = target.join(source.select(*keys).distinct(), on=keys, how="left_anti")
+    src_keys = source.select(*keys).distinct()
+    kept = target.join(
+        src_keys, on=_null_safe_key_cond(target, src_keys, keys), how="left_anti"
+    )
     return kept.unionByName(source)
 
 
@@ -39,20 +51,29 @@ def scd2_apply(
     keys = list(keys)
     changed_keys = source.select(*keys).distinct()
 
+    # NULL is_current is treated as not-current history (a bare F.col /
+    # ~F.col pair would route NULL-flag rows into NEITHER branch and lose
+    # them); key joins are null-safe like upsert's
+    is_current = F.coalesce(F.col(current_flag), F.lit(False))
+    firsts = source.groupBy(*keys).agg(F.min(effective_col).alias("__eff"))
+    current_rows = target.filter(is_current)
     closing = (
-        target.filter(F.col(current_flag))
-        .join(
-            source.groupBy(*keys).agg(F.min(effective_col).alias("__eff")),
-            on=keys,
-            how="inner",
+        current_rows.join(
+            firsts, on=_null_safe_key_cond(current_rows, firsts, keys), how="inner"
         )
+        .drop(*[firsts[k] for k in keys])
         .withColumn(valid_to, F.col("__eff"))
         .withColumn(current_flag, F.lit(False))
         .drop("__eff")
     )
-    untouched = target.join(changed_keys, on=keys, how="left_anti")
-    closed_history = target.filter(~F.col(current_flag)).join(
-        changed_keys, on=keys, how="left_semi"
+    untouched = target.join(
+        changed_keys, on=_null_safe_key_cond(target, changed_keys, keys), how="left_anti"
+    )
+    history_rows = target.filter(~is_current)
+    closed_history = history_rows.join(
+        changed_keys,
+        on=_null_safe_key_cond(history_rows, changed_keys, keys),
+        how="left_semi",
     )
 
     # multiple source versions of one key must CHAIN: each version closes at

@@ -33,7 +33,12 @@ def bucketized_range_join(
         raise ValueError(f"how must be 'inner' or 'left', got {how!r}")
     bucket = lambda c: (F.unix_timestamp(c) / F.lit(bucket_seconds)).cast("long")
 
-    p = points.withColumn("__bucket", bucket(F.col(point_ts)))
+    # synthetic unique row id: 'left' re-attaches unmatched points by THIS id
+    # (anti-joining on the natural columns would be null-unsafe — a matched
+    # row with a NULL attribute would fail to match itself and duplicate)
+    p = points.withColumn("__pid", F.monotonically_increasing_id()).withColumn(
+        "__bucket", bucket(F.col(point_ts))
+    )
     i = intervals.withColumn(
         "__bucket",
         F.explode(
@@ -48,12 +53,12 @@ def bucketized_range_join(
         & (F.col(point_ts) < F.col(interval_end))
     ).drop("__bucket")
     if how == "inner":
-        return matched
-    unmatched = points.join(
-        matched.select(*points.columns).distinct(), on=points.columns, how="left_anti"
+        return matched.drop("__pid")
+    unmatched = p.drop("__bucket").join(
+        matched.select("__pid").distinct(), on="__pid", how="left_anti"
     )
     for c in intervals.columns:
         unmatched = unmatched.withColumn(
             c, F.lit(None).cast(intervals.schema[c].dataType)
         )
-    return matched.unionByName(unmatched)
+    return matched.unionByName(unmatched).drop("__pid")

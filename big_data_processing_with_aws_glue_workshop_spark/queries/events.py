@@ -224,8 +224,16 @@ def q_value_zscore_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     mean = s / n
     var = ss / n - mean * mean
     z = (F.col("value") - mean) / F.sqrt(var)
-    scored = ev.select("event_id", "event_type", "value", z.alias("zscore"))
-    return scored.filter((F.col("zscore") > 3.0) | (F.col("zscore") < -3.0))
+    # degenerate groups are excluded BEFORE sqrt: FP cancellation can leave
+    # var at a tiny negative (sqrt -> NaN, and Spark orders NaN above any
+    # number, flagging entire constant groups), and var == 0 divides by zero
+    # with different engine semantics — the guard is mirrored in the oracle
+    scored = ev.select(
+        "event_id", "event_type", "value", var.alias("__var"), z.alias("zscore")
+    ).filter(F.col("__var") > 1e-12)
+    return scored.drop("__var").filter(
+        (F.col("zscore") > 3.0) | (F.col("zscore") < -3.0)
+    )
 
 
 QUERIES = {
@@ -308,8 +316,9 @@ ORACLES = {
         SELECT event_id, event_type, value,
                (value - s / n) / sqrt(ss / n - (s / n) * (s / n)) AS zscore
         FROM stats
-        WHERE (value - s / n) / sqrt(ss / n - (s / n) * (s / n)) > 3.0
-           OR (value - s / n) / sqrt(ss / n - (s / n) * (s / n)) < -3.0
+        WHERE ss / n - (s / n) * (s / n) > 1e-12
+          AND ((value - s / n) / sqrt(ss / n - (s / n) * (s / n)) > 3.0
+            OR (value - s / n) / sqrt(ss / n - (s / n) * (s / n)) < -3.0)
     """,
     "event_value_percentiles": """
         SELECT event_type,

@@ -70,8 +70,9 @@ def require_format(spark: SparkSession, fmt: str) -> None:
     except Exception:
         loaded = False
     if not loaded:
+        hint = _TABLE_FORMAT_HINTS.get(fmt, f"the {fmt} connector package")
         raise ModuleNotFoundError(
-            f"table format {fmt!r} needs {_TABLE_FORMAT_HINTS[fmt]} on the "
+            f"table format {fmt!r} needs {hint} on the "
             "classpath (not bundled in this environment). For MERGE/upsert "
             "semantics without jars, use "
             "big_data_processing_with_aws_glue_workshop_spark.operators.merge (SCD1/SCD2 over parquet)."

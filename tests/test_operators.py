@@ -177,3 +177,45 @@ def test_lsh_banding_bounds_checked(spark):
     sigs = minhash_signatures(docs, n_hashes=16)
     with pytest.raises(ValueError, match="exceeds the signature length"):
         lsh_candidate_pairs(sigs, bands=8, rows_per_band=4, n_hashes=16)
+
+
+def test_range_join_left_null_attribute_no_duplicates(spark):
+    """A matched point carrying a NULL attribute must appear exactly once
+    (review finding: null-unsafe anti-join re-emitted it as unmatched)."""
+    pts = spark.createDataFrame(
+        [(1, dt.datetime(2024, 1, 1, 1), None), (2, dt.datetime(2024, 3, 1), "x")],
+        "pid long, ts timestamp, attr string",
+    )
+    iv = spark.createDataFrame(
+        [(10, dt.datetime(2024, 1, 1), dt.datetime(2024, 1, 2))],
+        "interval_id long, start timestamp, end timestamp",
+    )
+    rows = bucketized_range_join(pts, iv, "ts", "start", "end", how="left").collect()
+    assert len(rows) == 2
+    got = {r["pid"]: r["interval_id"] for r in rows}
+    assert got == {1: 10, 2: None}
+
+
+def test_upsert_null_key_replaced(spark):
+    """NULL-keyed target rows are replaced by NULL-keyed source rows
+    (review finding: null-unsafe anti-join kept both)."""
+    target = spark.createDataFrame([(None, "old")], "id string, v string")
+    source = spark.createDataFrame([(None, "new")], "id string, v string")
+    got = upsert(target, source, ["id"]).collect()
+    assert [(r["id"], r["v"]) for r in got] == [(None, "new")]
+
+
+def test_scd2_null_current_flag_preserved(spark):
+    """Target rows with NULL is_current are history, not silently dropped
+    (review finding: F.col/~F.col both excluded NULL)."""
+    t0, t1 = dt.datetime(2024, 1, 1), dt.datetime(2024, 6, 1)
+    target = spark.createDataFrame(
+        [(1, "legacy", t0, None, None)],
+        "id long, email string, valid_from timestamp, valid_to timestamp, is_current boolean",
+    )
+    source = spark.createDataFrame(
+        [(1, "new", t1)], "id long, email string, changed_at timestamp"
+    )
+    rows = {r["email"]: r for r in scd2_apply(target, source, ["id"], "changed_at").collect()}
+    assert set(rows) == {"legacy", "new"}
+    assert rows["new"]["is_current"]
