@@ -441,6 +441,34 @@ def q_segment_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
     return urgent.union(high).intersect(building).exceptAll(negative)
 
 
+def q_unpivot_status_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unpivot/melt: wide per-status aggregates back to long (metric, value)
+    form — the inverse of the pivot family."""
+    orders = load(spark, sf_dir, "orders")
+    wide = orders.groupBy("o_orderstatus").agg(
+        F.count(F.lit(1)).cast("double").alias("n_orders"),
+        F.sum(_dec("o_totalprice")).cast("double").alias("total_price"),
+        F.countDistinct("o_custkey").cast("double").alias("n_customers"),
+    )
+    return wide.unpivot(
+        ids=["o_orderstatus"],
+        values=["n_orders", "total_price", "n_customers"],
+        variableColumnName="metric",
+        valueColumnName="value",
+    )
+
+
+def q_customers_with_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left-semi join (EXISTS): customers that placed at least one urgent
+    order — the positive counterpart of the anti-join integrity check."""
+    customer = load(spark, sf_dir, "customer")
+    orders = load(spark, sf_dir, "orders")
+    urgent = orders.filter(F.col("o_orderpriority") == "1-URGENT").select("o_custkey")
+    return customer.join(
+        urgent, customer.c_custkey == urgent.o_custkey, "left_semi"
+    ).select("c_custkey", "c_name", "c_mktsegment")
+
+
 def q_approx_distinct_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     """approx_count_distinct (HLL++) next to the exact count — the scalable
     stand-in for grouped COUNT(DISTINCT) at 100 TB (SURVEY §2.4 note).
@@ -522,6 +550,8 @@ QUERIES = {
     "name_pattern_filter": q_name_pattern_filter,
     "status_priority_rollup": q_status_priority_rollup,
     "returnflag_pivot": q_returnflag_pivot,
+    "unpivot_status_metrics": q_unpivot_status_metrics,
+    "customers_with_orders": q_customers_with_orders,
     "segment_set_ops": q_segment_set_ops,
     "approx_distinct_profile": q_approx_distinct_profile,
     "bernoulli_sample": q_bernoulli_sample,
@@ -747,6 +777,26 @@ ORACLES = {
           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_price
         FROM orders
         GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
+    """,
+    "unpivot_status_metrics": """
+        WITH wide AS (
+          SELECT o_orderstatus,
+                 CAST(COUNT(1) AS DOUBLE) AS n_orders,
+                 CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_price,
+                 CAST(COUNT(DISTINCT o_custkey) AS DOUBLE) AS n_customers
+          FROM orders GROUP BY o_orderstatus
+        )
+        SELECT o_orderstatus, 'n_orders' AS metric, n_orders AS value FROM wide
+        UNION ALL
+        SELECT o_orderstatus, 'total_price', total_price FROM wide
+        UNION ALL
+        SELECT o_orderstatus, 'n_customers', n_customers FROM wide
+    """,
+    "customers_with_orders": """
+        SELECT c_custkey, c_name, c_mktsegment
+        FROM customer
+        WHERE EXISTS (SELECT 1 FROM orders
+                      WHERE o_custkey = c_custkey AND o_orderpriority = '1-URGENT')
     """,
     "returnflag_pivot": """
         SELECT
