@@ -87,3 +87,77 @@ def test_stateful_running_user_stats(spark, sf_dir):
         assert g["n_events"] == r["n_events"]
         assert abs(g["total_value"] - r["total_value"]) < 1e-6
         assert g["max_value"] == r["max_value"]
+
+
+def test_watermark_drops_late_data(spark, tmp_path):
+    """Append-mode watermark semantics with REAL late data: a second
+    micro-batch carrying events older than the advanced watermark must be
+    dropped from the aggregation (the bounded-lateness contract that makes
+    streaming state finite)."""
+    import datetime as dt
+    import os
+    import time as _time
+
+    from pyspark.sql import functions as F
+
+    src = tmp_path / "stream_src"
+    src.mkdir()
+
+    def write_file(name, rows):
+        df = spark.createDataFrame(rows, "event_id long, ts timestamp, value double")
+        df.coalesce(1).write.mode("overwrite").parquet(str(tmp_path / name))
+        # move the part file into the watched dir with a fresh mtime so the
+        # file source orders the batches deterministically
+        part = next(
+            p for p in (tmp_path / name).iterdir() if p.name.endswith(".parquet")
+        )
+        dest = src / f"{name}.parquet"
+        part.rename(dest)
+        return dest
+
+    base = dt.datetime(2024, 5, 1, 10, 0, 0)
+    on_time = [
+        (i, base + dt.timedelta(minutes=10 * i), 1.0) for i in range(12)
+    ]  # 10:00 .. 11:50 -> watermark advances to 11:20
+    write_file("f1", on_time)
+    _time.sleep(1.1)
+    # a watermark becomes ENFORCEABLE one batch after it advances (Spark
+    # updates it at batch end); this middle on-time batch puts it in force
+    write_file("f2", [(50, base + dt.timedelta(hours=2), 1.0)])
+    _time.sleep(1.1)
+    late = [(100, base - dt.timedelta(hours=1), 99.0)]  # 09:00 — far too late
+    write_file("f3", late)
+
+    stream = (
+        spark.readStream.schema("event_id long, ts timestamp, value double")
+        .option("maxFilesPerTrigger", "1")
+        .parquet(str(src))
+    )
+    agg = (
+        stream.withWatermark("ts", "30 minutes")
+        .groupBy(F.window("ts", "10 minutes").alias("w"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(F.col("w.start").alias("start"), "n")
+    )
+    q = (
+        agg.writeStream.outputMode("append")
+        .format("memory")
+        .queryName("t_late")
+        .trigger(availableNow=True)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    got = {r["start"]: r["n"] for r in spark.sql("SELECT * FROM t_late").collect()}
+
+    # the late 09:00 event's window must NOT appear; on-time windows below
+    # the final watermark were emitted; the drop is visible in the metrics
+    assert dt.datetime(2024, 5, 1, 9, 0) not in got
+    assert got.get(dt.datetime(2024, 5, 1, 10, 0)) == 1
+    dropped = sum(
+        (p["stateOperators"][0].get("numRowsDroppedByWatermark", 0) if p["stateOperators"] else 0)
+        for p in q.recentProgress
+    )
+    assert dropped == 1
