@@ -236,8 +236,30 @@ def q_value_zscore_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_hourly_rollup_from_minutes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hierarchical time rollup (operators/rollup_time.py): hourly
+    aggregates computed FROM the minute-level rollup, not from raw rows —
+    partial-aggregate reuse. Oracle: direct hourly aggregation of the raw
+    table, which must be identical (sum/count/max are decomposable)."""
+    from ..operators.rollup_time import time_rollup_chain
+
+    ev = load(spark, sf_dir, "events")
+    levels = time_rollup_chain(
+        ev, ts_col="ts", key_cols=["event_type"], levels_seconds=(60, 3600)
+    )
+    hourly = levels[3600]
+    return hourly.select(
+        F.unix_millis("bucket_ts").alias("hour_start_ms"),
+        "event_type",
+        "n",
+        F.col("total").cast("double").alias("total_value"),
+        "max_value",
+    )
+
+
 QUERIES = {
     "tumbling_windows": q_tumbling_windows,
+    "hourly_rollup_from_minutes": q_hourly_rollup_from_minutes,
     "value_zscore_outliers": q_value_zscore_outliers,
     "event_value_percentiles": q_event_value_percentiles,
     "user_event_deltas": q_user_event_deltas,
@@ -302,6 +324,16 @@ ORACLES = {
                CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
         FROM sessions
         GROUP BY user_id, session_id
+    """,
+    "hourly_rollup_from_minutes": """
+        SELECT
+          epoch_ms(time_bucket(INTERVAL '1 hour', ts)) AS hour_start_ms,
+          event_type,
+          COUNT(1) AS n,
+          CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value,
+          MAX(value) AS max_value
+        FROM events
+        GROUP BY 1, 2
     """,
     "value_zscore_outliers": """
         WITH stats AS (
