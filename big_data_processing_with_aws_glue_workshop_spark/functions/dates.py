@@ -36,6 +36,14 @@ def ts9_to_date(col: Column) -> Column:
     )
 
 
+def floor_time_bucket(col: Column, bucket_seconds: int) -> Column:
+    """Epoch-aligned fixed-width time bucket START for a timestamp column.
+    Uses floor(), not cast-to-long: casting truncates toward zero, which
+    mis-buckets pre-epoch timestamps (DuckDB's time_bucket floors).
+    Shared by the range join and the hierarchical time rollup."""
+    return F.floor(F.unix_timestamp(col) / F.lit(bucket_seconds)).cast("long")
+
+
 def multi_format_date(col: Column) -> Column:
     """First-matching-format standardizer: compact, then ts9, else NULL
     (typed NULL so downstream schema is DateType either way)."""

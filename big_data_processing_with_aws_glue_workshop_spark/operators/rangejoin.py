@@ -31,7 +31,9 @@ def bucketized_range_join(
     filtering after a null-padded outer join would silently drop them)."""
     if how not in ("inner", "left"):
         raise ValueError(f"how must be 'inner' or 'left', got {how!r}")
-    bucket = lambda c: (F.unix_timestamp(c) / F.lit(bucket_seconds)).cast("long")
+    from ..functions.dates import floor_time_bucket
+
+    bucket = lambda c: floor_time_bucket(c, bucket_seconds)
 
     # synthetic unique row id: 'left' re-attaches unmatched points by THIS id
     # (anti-joining on the natural columns would be null-unsafe — a matched

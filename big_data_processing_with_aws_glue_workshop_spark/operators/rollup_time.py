@@ -16,11 +16,11 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from ..functions.dates import floor_time_bucket
+
 
 def _bucket(col, seconds: int):
-    return F.timestamp_seconds(
-        (F.unix_timestamp(col) / F.lit(seconds)).cast("long") * F.lit(seconds)
-    )
+    return F.timestamp_seconds(floor_time_bucket(col, seconds) * F.lit(seconds))
 
 
 def aggregate_level(

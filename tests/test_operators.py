@@ -219,3 +219,50 @@ def test_scd2_null_current_flag_preserved(spark):
     rows = {r["email"]: r for r in scd2_apply(target, source, ["id"], "changed_at").collect()}
     assert set(rows) == {"legacy", "new"}
     assert rows["new"]["is_current"]
+
+
+def test_time_rollup_three_level_chain(spark, sf_dir):
+    """Deep chaining: the day level built from hour partials (which were
+    built from minute partials) must equal direct day aggregation of raw
+    rows — plus pre-epoch bucketing floors (not truncates) and the
+    non-multiple level validation raises."""
+    from big_data_processing_with_aws_glue_workshop_spark.operators.rollup_time import (
+        time_rollup_chain,
+    )
+    from big_data_processing_with_aws_glue_workshop_spark.queries._tables import load
+
+    ev = load(spark, sf_dir, "events")
+    levels = time_rollup_chain(
+        ev, ts_col="ts", key_cols=["event_type"], levels_seconds=(60, 3600, 86400)
+    )
+    chained_day = {
+        (r["bucket_ts"], r["event_type"]): (r["n"], float(r["total"]), r["max_value"])
+        for r in levels[86400].collect()
+    }
+    direct_day = {
+        (r["b"], r["event_type"]): (r["n"], float(r["t"]), r["m"])
+        for r in ev.groupBy(
+            F.timestamp_seconds(
+                F.floor(F.unix_timestamp("ts") / 86400).cast("long") * 86400
+            ).alias("b"),
+            "event_type",
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("value").cast("decimal(18,2)")).alias("t"),
+            F.max("value").alias("m"),
+        )
+        .collect()
+    }
+    assert chained_day == direct_day
+
+    # pre-epoch timestamps floor into the PREVIOUS bucket
+    pre = spark.createDataFrame(
+        [(1, dt.datetime(1969, 12, 31, 23, 59, 30), 1.0)],
+        "event_id long, ts timestamp, value double",
+    )
+    minute = time_rollup_chain(pre, ts_col="ts", levels_seconds=(60,))[60].collect()
+    assert minute[0]["bucket_ts"] == dt.datetime(1969, 12, 31, 23, 59, 0)
+
+    with pytest.raises(ValueError, match="not a multiple"):
+        time_rollup_chain(ev, ts_col="ts", levels_seconds=(60, 90))

@@ -95,7 +95,6 @@ def test_watermark_drops_late_data(spark, tmp_path):
     dropped from the aggregation (the bounded-lateness contract that makes
     streaming state finite)."""
     import datetime as dt
-    import os
     import time as _time
 
     from pyspark.sql import functions as F
@@ -106,8 +105,9 @@ def test_watermark_drops_late_data(spark, tmp_path):
     def write_file(name, rows):
         df = spark.createDataFrame(rows, "event_id long, ts timestamp, value double")
         df.coalesce(1).write.mode("overwrite").parquet(str(tmp_path / name))
-        # move the part file into the watched dir with a fresh mtime so the
-        # file source orders the batches deterministically
+        # move the part file into the watched dir; batch ORDER comes from the
+        # original write mtimes plus the sleeps between writes (rename
+        # preserves mtime — the sleeps are what keep ordering deterministic)
         part = next(
             p for p in (tmp_path / name).iterdir() if p.name.endswith(".parquet")
         )
