@@ -490,6 +490,70 @@ def q_bernoulli_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_shipping_priority_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Big-fact x big-fact join chain (TPC-H Q3 shape): customer |X| orders
+    |X| lineitem with selective filters on BOTH fact sides, grouped revenue,
+    deterministic top-10. This is the one join shape the dim-enrichment
+    queries don't exercise: neither side broadcasts, so the plan is a
+    shuffle (sort-merge or AQE-chosen shuffled-hash) join on o_custkey then
+    o_orderkey. At 100 TB the date/segment filters are pushed to the parquet
+    scans (PushedFilters), shrinking the shuffled sides by ~an order of
+    magnitude before any exchange; AQE coalesces the post-filter partitions.
+    """
+    customer = load(spark, sf_dir, "customer")
+    orders = load(spark, sf_dir, "orders")
+    l = load(spark, sf_dir, "lineitem")
+    cutoff = F.lit("1995-03-15").cast("timestamp")
+    return (
+        customer.filter(F.col("c_mktsegment") == "BUILDING")
+        .join(orders, customer.c_custkey == orders.o_custkey)
+        .filter(F.col("o_orderdate") < cutoff)
+        .join(l, orders.o_orderkey == l.l_orderkey)
+        .filter(F.col("l_shipdate") > cutoff)
+        .groupBy(
+            F.col("o_orderkey").alias("order_key"),
+            F.col("o_orderdate").cast("date").alias("order_date"),
+            "o_orderpriority",
+        )
+        .agg(
+            F.sum(
+                _dec("l_extendedprice")
+                * (F.lit(1).cast("decimal(18,2)") - _dec("l_discount"))
+            )
+            .cast("double")
+            .alias("revenue"),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+        .orderBy(F.col("revenue").desc(), F.col("order_key"))
+        .limit(10)
+    )
+
+
+def q_above_nation_avg_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated-subquery pattern (customers above their nation's average
+    balance), decorrelated into a single window pass: one shuffle on
+    c_nationkey computes the per-nation exact sum/count alongside every row,
+    instead of a second scan + self-join. The average is one IEEE division
+    of exact decimal/int inputs (oracle-determinism contract)."""
+    customer = load(spark, sf_dir, "customer")
+    w = Window.partitionBy("c_nationkey")
+    nation_avg = (
+        F.sum(_dec("c_acctbal")).over(w).cast("double")
+        / F.count(F.lit(1)).over(w)
+    )
+    return (
+        customer.withColumn("nation_avg", nation_avg)
+        .filter(F.col("c_acctbal") > F.col("nation_avg"))
+        .select(
+            "c_custkey",
+            "c_name",
+            "c_nationkey",
+            F.col("c_acctbal").cast("double").alias("acctbal"),
+            "nation_avg",
+        )
+    )
+
+
 def q_ml_feature_dataset(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Composite flagship: the reference's ML-dataset pattern (analytics Q4,
     test/query_gold_validations.sql:75-165) on the TPC-H analog — filtered
@@ -555,6 +619,8 @@ QUERIES = {
     "segment_set_ops": q_segment_set_ops,
     "approx_distinct_profile": q_approx_distinct_profile,
     "bernoulli_sample": q_bernoulli_sample,
+    "shipping_priority_topk": q_shipping_priority_topk,
+    "above_nation_avg_customers": q_above_nation_avg_customers,
 }
 
 
@@ -805,6 +871,38 @@ ORACLES = {
           COUNT(CASE WHEN l_linestatus = 'F' THEN 1 END) AS n_fulfilled
         FROM lineitem
         GROUP BY l_returnflag
+    """,
+    "shipping_priority_topk": """
+        SELECT
+          o_orderkey AS order_key,
+          CAST(o_orderdate AS DATE) AS order_date,
+          o_orderpriority,
+          CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+               * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE)
+            AS revenue,
+          COUNT(1) AS n_items
+        FROM customer
+        JOIN orders ON c_custkey = o_custkey
+        JOIN lineitem ON o_orderkey = l_orderkey
+        WHERE c_mktsegment = 'BUILDING'
+          AND o_orderdate < TIMESTAMP '1995-03-15'
+          AND l_shipdate > TIMESTAMP '1995-03-15'
+        GROUP BY 1, 2, 3
+        ORDER BY revenue DESC, order_key
+        LIMIT 10
+    """,
+    "above_nation_avg_customers": """
+        SELECT c_custkey, c_name, c_nationkey,
+               CAST(c_acctbal AS DOUBLE) AS acctbal,
+               nation_avg
+        FROM (
+          SELECT c_custkey, c_name, c_nationkey, c_acctbal,
+                 CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2)))
+                        OVER (PARTITION BY c_nationkey) AS DOUBLE)
+                   / COUNT(1) OVER (PARTITION BY c_nationkey) AS nation_avg
+          FROM customer
+        ) t
+        WHERE c_acctbal > nation_avg
     """,
     "segment_set_ops": """
         SELECT custkey FROM (

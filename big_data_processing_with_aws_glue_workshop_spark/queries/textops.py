@@ -89,6 +89,42 @@ def q_language_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_doc_quality_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document quality scoring — the filter stage of a pretraining
+    pipeline: punctuation ratio, stopword ratio, and a rule-based quality
+    bucket per document. One narrow projection over the scan (no shuffle;
+    embarrassingly parallel at 100 TB). Ratios are single IEEE divisions of
+    exact integer counts; occurrence counts use the length/replace trick so
+    Java-regex vs RE2 differences can't bite."""
+    d = load(spark, sf_dir, "documents")
+    padded = F.concat(F.lit(" "), F.lower(F.col("text")), F.lit(" "))
+    n_chars = F.length("text")
+    n_punct = n_chars - F.length(
+        F.regexp_replace(F.col("text"), r"[^A-Za-z0-9\s]", "")
+    )
+    stop_hits = sum(
+        _occurrences(padded, w) for w in (" the ", " and ", " of ", " to ")
+    ).cast("int")
+    toks = F.size(_tokens(F.col("text")))
+    out = d.select(
+        "doc_id",
+        "lang",
+        n_chars.cast("int").alias("n_chars_total"),
+        n_punct.cast("int").alias("n_punct"),
+        stop_hits.alias("n_stopword_hits"),
+        toks.alias("n_tokens"),
+        (n_punct.cast("double") / n_chars).alias("punct_ratio"),
+        (stop_hits.cast("double") / toks).alias("stopword_ratio"),
+    ).filter(F.col("n_chars_total") > 0)
+    bucket = (
+        F.when(F.col("n_chars_total") < 100, "SHORT")
+        .when(F.col("punct_ratio") > 0.1, "NOISY")
+        .when(F.col("stopword_ratio") >= 0.05, "FLUENT")
+        .otherwise("OK")
+    )
+    return out.withColumn("quality_bucket", bucket)
+
+
 def q_doc_dedup_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact-duplicate profile: hash-groupBy on content md5 (the scalable
     exact-dedup primitive — dedup on a 16-byte digest, not the full text)."""
@@ -189,6 +225,7 @@ def q_simhash_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 QUERIES = {
     "doc_token_stats": q_doc_token_stats,
+    "doc_quality_scores": q_doc_quality_scores,
     "language_id": q_language_id,
     "doc_dedup_profile": q_doc_dedup_profile,
     "ngram_jaccard_pairs": q_ngram_jaccard_pairs,
@@ -222,6 +259,38 @@ ORACLES = {
             / len(string_split_regex(trim(lower(text)), '\\s+')) AS avg_token_len,
           CAST(CASE WHEN n_chars < 100 THEN 1 ELSE 0 END AS INTEGER) AS flag_short
         FROM documents
+    """,
+    "doc_quality_scores": """
+        WITH base AS (
+          SELECT doc_id, lang,
+                 length(text) AS n_chars_total,
+                 length(text) - length(regexp_replace(text, '[^A-Za-z0-9\\s]', '', 'g'))
+                   AS n_punct,
+                 CAST((length(p) - length(replace(p, ' the ', ''))) / 5.0
+                    + (length(p) - length(replace(p, ' and ', ''))) / 5.0
+                    + (length(p) - length(replace(p, ' of ', ''))) / 4.0
+                    + (length(p) - length(replace(p, ' to ', ''))) / 4.0 AS INTEGER)
+                   AS n_stopword_hits,
+                 len(string_split_regex(trim(lower(text)), '\\s+')) AS n_tokens
+          FROM (SELECT *, ' ' || lower(text) || ' ' AS p FROM documents)
+        ),
+        scored AS (
+          SELECT doc_id, lang,
+                 CAST(n_chars_total AS INTEGER) AS n_chars_total,
+                 CAST(n_punct AS INTEGER) AS n_punct,
+                 n_stopword_hits,
+                 CAST(n_tokens AS INTEGER) AS n_tokens,
+                 CAST(n_punct AS DOUBLE) / n_chars_total AS punct_ratio,
+                 CAST(n_stopword_hits AS DOUBLE) / n_tokens AS stopword_ratio
+          FROM base
+          WHERE n_chars_total > 0
+        )
+        SELECT *,
+               CASE WHEN n_chars_total < 100 THEN 'SHORT'
+                    WHEN punct_ratio > 0.1 THEN 'NOISY'
+                    WHEN stopword_ratio >= 0.05 THEN 'FLUENT'
+                    ELSE 'OK' END AS quality_bucket
+        FROM scored
     """,
     "language_id": """
         WITH scored AS (
