@@ -29,6 +29,8 @@ HEADLINE = [
     "latest_order_per_customer",
     "customers_without_orders",
     "revenue_by_supplier_nation",
+    "shipping_priority_topk",
+    "promo_revenue_share",
     "customer_geography_rollup",
     "multiformat_date_parsing",
     "order_aging",

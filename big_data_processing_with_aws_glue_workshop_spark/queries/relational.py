@@ -554,6 +554,45 @@ def q_above_nation_avg_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_promo_revenue_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Promo revenue share per brand (TPC-H Q14 shape): lineitem |X| part
+    with a startswith predicate feeding a conditional sum / total sum ratio.
+    The part side broadcasts (bounded catalog vs the unbounded fact), the
+    date filter is pushed to the lineitem scan, and the conditional and
+    unconditional sums come out of ONE aggregate pass — no second scan for
+    the denominator. Exact decimal sums; the share is one IEEE division."""
+    l = load(spark, sf_dir, "lineitem")
+    part = load(spark, sf_dir, "part")
+    revenue = _dec("l_extendedprice") * (
+        F.lit(1).cast("decimal(18,2)") - _dec("l_discount")
+    )
+    is_promo = F.col("p_type").startswith("ECONOMY")
+    return (
+        l.filter(
+            (F.col("l_shipdate") >= F.lit("1995-01-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1996-01-01").cast("timestamp"))
+        )
+        .join(F.broadcast(part), l.l_partkey == part.p_partkey)
+        .groupBy("p_brand")
+        .agg(
+            F.sum(F.when(is_promo, revenue).otherwise(F.lit(0).cast("decimal(18,2)")))
+            .alias("_promo"),
+            F.sum(revenue).alias("_total"),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+        .select(
+            "p_brand",
+            F.col("_promo").cast("double").alias("promo_revenue"),
+            F.col("_total").cast("double").alias("total_revenue"),
+            (
+                F.col("_promo").cast("double") * F.lit(100.0)
+                / F.col("_total").cast("double")
+            ).alias("promo_pct"),
+            "n_items",
+        )
+    )
+
+
 def q_ml_feature_dataset(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Composite flagship: the reference's ML-dataset pattern (analytics Q4,
     test/query_gold_validations.sql:75-165) on the TPC-H analog — filtered
@@ -621,6 +660,7 @@ QUERIES = {
     "bernoulli_sample": q_bernoulli_sample,
     "shipping_priority_topk": q_shipping_priority_topk,
     "above_nation_avg_customers": q_above_nation_avg_customers,
+    "promo_revenue_share": q_promo_revenue_share,
 }
 
 
@@ -890,6 +930,30 @@ ORACLES = {
         GROUP BY 1, 2, 3
         ORDER BY revenue DESC, order_key
         LIMIT 10
+    """,
+    "promo_revenue_share": """
+        SELECT
+          p_brand,
+          CAST(SUM(CASE WHEN p_type LIKE 'ECONOMY%'
+                        THEN CAST(l_extendedprice AS DECIMAL(18,2))
+                             * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))
+                        ELSE CAST(0 AS DECIMAL(18,2)) END) AS DOUBLE) AS promo_revenue,
+          CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+               * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE)
+            AS total_revenue,
+          CAST(SUM(CASE WHEN p_type LIKE 'ECONOMY%'
+                        THEN CAST(l_extendedprice AS DECIMAL(18,2))
+                             * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))
+                        ELSE CAST(0 AS DECIMAL(18,2)) END) AS DOUBLE) * 100.0
+            / CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+                 * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE)
+            AS promo_pct,
+          COUNT(1) AS n_items
+        FROM lineitem
+        JOIN part ON l_partkey = p_partkey
+        WHERE l_shipdate >= TIMESTAMP '1995-01-01'
+          AND l_shipdate < TIMESTAMP '1996-01-01'
+        GROUP BY p_brand
     """,
     "above_nation_avg_customers": """
         SELECT c_custkey, c_name, c_nationkey,
