@@ -12,9 +12,11 @@ analytics surface (EP4), on plain open-source Spark over local/posix paths.
     python -m big_data_processing_with_aws_glue_workshop_spark.cli analytics \
         --gold lake/gold --query q1 --year 2025
 
-Job parameterization (operator S9) is argparse; job bookmarks (S10) are
-intentionally absent (unused by the reference). Each command prints one
-JSON summary line on stdout.
+Job parameterization (operator S9) is argparse; job bookmarks (S10) live in
+``sources/bookmarks.py`` (file-set and watermark incremental ingest — the
+reference declares but never uses its bookmarks, so the CLI jobs stay
+full-refresh by default). Each command prints one JSON summary line on
+stdout.
 """
 
 from __future__ import annotations

@@ -64,3 +64,99 @@ def test_table_format_stubs_raise_clearly(spark, fmt):
     assembly — the registry probe still correctly reports undeployable)."""
     with pytest.raises(ModuleNotFoundError, match=fmt):
         require_format(spark, fmt)
+
+
+# ---------------------------------------------------------------------------
+# Job bookmarks (operator S10): incremental ingest with Glue commit semantics
+# ---------------------------------------------------------------------------
+
+
+def _write_batch(spark, path, rows):
+    spark.createDataFrame(rows, "id int, ts timestamp").coalesce(1).write.mode(
+        "overwrite"
+    ).parquet(str(path))
+
+
+def test_bookmark_file_mode_reads_only_new_files(spark, tmp_path):
+    """File-set bookmark: second run sees only files added after commit, and
+    the reader is given the explicit new-file list (scan pruned pre-read)."""
+    from big_data_processing_with_aws_glue_workshop_spark.sources.bookmarks import JobBookmark
+
+    import datetime as dt
+
+    d1 = dt.datetime(2024, 1, 1)
+    _write_batch(spark, tmp_path / "in1", [(1, d1), (2, d1)])
+    bm = JobBookmark(str(tmp_path / "state.json"), job_name="ingest")
+
+    pattern = str(tmp_path / "in*" / "*.parquet")
+    df, files = bm.read_incremental(spark, pattern)
+    assert df.count() == 2 and len(files) == 1
+    bm.commit_files(files)
+
+    _write_batch(spark, tmp_path / "in2", [(3, d1)])
+    df2, files2 = bm.read_incremental(spark, pattern)
+    assert df2.count() == 1 and df2.first()["id"] == 3
+    assert files2 and all("in2" in f for f in files2)
+
+
+def test_bookmark_uncommitted_run_replays(spark, tmp_path):
+    """Glue semantics: without commit_files, the next run re-reads the same
+    increment (at-least-once), and a fresh JobBookmark instance reloading
+    the state file sees the committed set."""
+    from big_data_processing_with_aws_glue_workshop_spark.sources.bookmarks import JobBookmark
+
+    import datetime as dt
+
+    _write_batch(spark, tmp_path / "in1", [(1, dt.datetime(2024, 1, 1))])
+    state = str(tmp_path / "state.json")
+    pattern = str(tmp_path / "in*" / "*.parquet")
+
+    bm = JobBookmark(state, job_name="ingest")
+    _, files = bm.read_incremental(spark, pattern)
+    # no commit -> replay
+    _, files_again = JobBookmark(state, job_name="ingest").read_incremental(
+        spark, pattern
+    )
+    assert files_again == files
+    bm.commit_files(files)
+    df3, files3 = JobBookmark(state, job_name="ingest").read_incremental(
+        spark, pattern
+    )
+    assert files3 == [] and df3.count() == 0
+    # empty increment keeps the source schema for downstream unions
+    assert df3.schema.fieldNames() == ["id", "ts"]
+
+
+def test_bookmark_watermark_mode_timestamp_and_int(spark, tmp_path):
+    """Column watermark: only rows strictly newer than the committed max
+    survive; numeric watermarks compare numerically (10 > 9), timestamps
+    round-trip through ISO strings."""
+    from big_data_processing_with_aws_glue_workshop_spark.sources.bookmarks import JobBookmark
+
+    import datetime as dt
+
+    state = str(tmp_path / "state.json")
+    bm = JobBookmark(state, job_name="wm")
+    batch1 = spark.createDataFrame(
+        [(9, dt.datetime(2024, 1, 1, 10)), (10, dt.datetime(2024, 1, 1, 11))],
+        "seq int, ts timestamp",
+    )
+    assert bm.filter_new_rows(batch1, "seq").count() == 2  # first run: all
+    bm.advance_watermark(batch1, "seq")
+    assert bm.watermark == 10
+
+    batch2 = spark.createDataFrame(
+        [(10, dt.datetime(2024, 1, 1, 11)), (11, dt.datetime(2024, 1, 1, 12))],
+        "seq int, ts timestamp",
+    )
+    fresh = JobBookmark(state, job_name="wm")  # reload from disk
+    assert [r["seq"] for r in fresh.filter_new_rows(batch2, "seq").collect()] == [11]
+
+    tbm = JobBookmark(state, job_name="wm_ts")
+    tbm.advance_watermark(batch1, "ts")
+    assert tbm.watermark == "2024-01-01 11:00:00"
+    kept = tbm.filter_new_rows(batch2, "ts").collect()
+    assert [r["seq"] for r in kept] == [11]
+    # empty batch never regresses the watermark
+    tbm.advance_watermark(batch1.limit(0), "ts")
+    assert tbm.watermark == "2024-01-01 11:00:00"
