@@ -161,3 +161,72 @@ def test_watermark_drops_late_data(spark, tmp_path):
         for p in q.recentProgress
     )
     assert dropped == 1
+
+
+# ---------------------------------------------------------------------------
+# foreachBatch upsert sink: exactly-once keyed merge into versioned parquet
+# ---------------------------------------------------------------------------
+
+
+def test_upsert_sink_merges_and_skips_replayed_batches(spark, tmp_path):
+    from big_data_processing_with_aws_glue_workshop_spark.streaming.sinks import (
+        UpsertSink,
+        read_current,
+    )
+
+    target = str(tmp_path / "table")
+    sink = UpsertSink(target, keys=["user_id"], order_col="seq")
+
+    b0 = spark.createDataFrame(
+        [(1, 10, "a"), (1, 11, "b"), (2, 10, "x")], "user_id int, seq int, v string"
+    )
+    sink(b0, 0)
+    t0 = {(r["user_id"], r["v"]) for r in read_current(spark, target).collect()}
+    assert t0 == {(1, "b"), (2, "x")}  # within-batch keep-latest by seq
+
+    b1 = spark.createDataFrame([(2, 20, "y"), (3, 20, "z")], "user_id int, seq int, v string")
+    sink(b1, 1)
+    t1 = {(r["user_id"], r["v"]) for r in read_current(spark, target).collect()}
+    assert t1 == {(1, "b"), (2, "y"), (3, "z")}  # update + insert + untouched
+
+    # replay of an applied batch (foreachBatch after recovery) is a no-op
+    sink(b0, 0)
+    assert {
+        (r["user_id"], r["v"]) for r in read_current(spark, target).collect()
+    } == t1
+
+
+def test_foreach_batch_upsert_end_to_end(spark, sf_dir, tmp_path):
+    """Drive the real writeStream.foreachBatch path: stream the events table
+    and keep the latest event per user; result equals the batch keep-latest."""
+    from big_data_processing_with_aws_glue_workshop_spark.queries._tables import load
+    from big_data_processing_with_aws_glue_workshop_spark.streaming.sinks import (
+        read_current,
+        run_foreach_batch_upsert,
+    )
+    from big_data_processing_with_aws_glue_workshop_spark.streaming.windows import (
+        read_events_stream,
+    )
+    from big_data_processing_with_aws_glue_workshop_spark.operators.dedup import keep_latest
+
+    target = str(tmp_path / "latest_per_user")
+    stream = read_events_stream(spark, sf_dir).select("user_id", "ts", "event_type")
+    run_foreach_batch_upsert(
+        stream,
+        target,
+        keys=["user_id"],
+        order_col="ts",
+        checkpoint_dir=str(tmp_path / "ckpt"),
+    )
+
+    got = read_current(spark, target)
+    expected = keep_latest(
+        load(spark, sf_dir, "events").select("user_id", "ts", "event_type"),
+        ["user_id"],
+        "ts",
+    )
+    assert got.count() == expected.count()
+    joined = got.select("user_id", F.col("ts").alias("got_ts")).join(
+        expected.select("user_id", F.col("ts").alias("exp_ts")), "user_id"
+    )
+    assert joined.filter(F.col("got_ts") != F.col("exp_ts")).count() == 0
