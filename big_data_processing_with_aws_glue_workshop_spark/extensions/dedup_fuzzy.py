@@ -183,7 +183,7 @@ def simhash(
     """Per-document SimHash fingerprint: explode tokens, hash once, then one
     groupBy computing per-bit majorities and packing them into a bigint —
     n_bits conditional-sum aggregates in a single pass."""
-    toks = F.split(F.trim(F.lower(F.col(text_col))), r"\s+")
+    toks = F.split(F.trim(F.lower(F.col(text_col))), r"[ \t\n\f\r]+")
     tokens = df.select(
         F.col(id_col).alias("doc_id"), F.explode(toks).alias("token")
     ).withColumn("h", F.xxhash64("token"))

@@ -46,7 +46,9 @@ def word_shingles(df: DataFrame, id_col: str, text_col: str, n: int = 3) -> Data
     throw INVALID_INDEX_OF_ZERO)."""
     tokenized = df.select(
         F.col(id_col).alias("doc_id"),
-        F.split(F.trim(F.lower(F.col(text_col))), r"\s+").alias("toks"),
+        # explicit whitespace class: Java \s includes \x0B, RE2's does not —
+        # the DuckDB oracle twin must tokenize identically
+        F.split(F.trim(F.lower(F.col(text_col))), r"[ \t\n\f\r]+").alias("toks"),
     )
     toks = F.col("toks")
     grams = F.when(

@@ -494,12 +494,15 @@ def q_shipping_priority_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Big-fact x big-fact join chain (TPC-H Q3 shape): customer |X| orders
     |X| lineitem with selective filters on BOTH fact sides, grouped revenue,
     deterministic top-10. This is the one join shape the dim-enrichment
-    queries don't exercise: neither side broadcasts, so the plan is a
-    shuffle (sort-merge or AQE-chosen shuffled-hash) join on o_custkey then
-    o_orderkey. At 100 TB the date/segment filters are pushed to the parquet
-    scans (PushedFilters), shrinking the shuffled sides by ~an order of
-    magnitude before any exchange; AQE coalesces the post-filter partitions.
-    """
+    queries don't exercise: at production scale neither side fits the
+    broadcast threshold, so the plan is a shuffle (sort-merge or AQE-chosen
+    shuffled-hash) join on o_custkey then o_orderkey — pinned by
+    tests/test_plans.py::test_fact_fact_join_shuffle_shape with broadcasting
+    disabled (at test SF the post-filter inputs are small enough that
+    Catalyst correctly broadcasts instead). The date/segment filters are
+    pushed to the parquet scans (PushedFilters), shrinking the shuffled
+    sides by ~an order of magnitude before any exchange; AQE coalesces the
+    post-filter partitions."""
     customer = load(spark, sf_dir, "customer")
     orders = load(spark, sf_dir, "orders")
     l = load(spark, sf_dir, "lineitem")

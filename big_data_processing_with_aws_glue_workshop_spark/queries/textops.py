@@ -10,8 +10,10 @@ Everything here is exactly SQL-expressible, so each query has a DuckDB twin:
 - 1-permutation MinHash-style document fingerprint (min md5 over shingles).
 
 Determinism: counts are exact ints; every emitted double is one IEEE
-division of exact ints. Occurrence counts use the length/replace trick
-instead of regex so Java-regex vs RE2 differences can't bite.
+division of exact ints. Marker-word occurrence counts use the
+length/replace trick instead of regex, and the regexes that remain use
+only explicit character classes (see ``_WS``) — both guard against
+Java-regex (Spark) vs RE2 (DuckDB) semantic differences.
 """
 
 from __future__ import annotations
@@ -22,8 +24,14 @@ from pyspark.sql import functions as F
 from ._tables import load
 
 
+# Portable whitespace class: Java regex \s includes \x0B (vertical tab),
+# RE2's (DuckDB) does not — spelling the class out keeps Spark and the
+# oracle bit-identical on any input.
+_WS = r"[ \t\n\f\r]"
+
+
 def _tokens(col):
-    return F.split(F.trim(F.lower(col)), r"\s+")
+    return F.split(F.trim(F.lower(col)), _WS + "+")
 
 
 def q_doc_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -31,10 +39,12 @@ def q_doc_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     the quality-scoring primitives of a pretraining data pipeline."""
     d = load(spark, sf_dir, "documents")
     toks = F.size(_tokens(F.col("text")))
-    chars_no_ws = F.length(F.regexp_replace(F.col("text"), r"\s", ""))
+    chars_no_ws = F.length(F.regexp_replace(F.col("text"), _WS, ""))
     # BPE-ish token estimate: letter runs / digit runs / punctuation runs —
     # the regex family BPE pre-tokenizers use, portable across regex engines
-    bpe_tokens = F.regexp_count(F.col("text"), F.lit(r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]+"))
+    bpe_tokens = F.regexp_count(
+        F.col("text"), F.lit(r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9 \t\n\f\r]+")
+    )
     return d.select(
         "doc_id",
         "lang",
@@ -100,7 +110,7 @@ def q_doc_quality_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     padded = F.concat(F.lit(" "), F.lower(F.col("text")), F.lit(" "))
     n_chars = F.length("text")
     n_punct = n_chars - F.length(
-        F.regexp_replace(F.col("text"), r"[^A-Za-z0-9\s]", "")
+        F.regexp_replace(F.col("text"), r"[^A-Za-z0-9 \t\n\f\r]", "")
     )
     stop_hits = sum(
         _occurrences(padded, w) for w in (" the ", " and ", " of ", " to ")
@@ -236,7 +246,7 @@ QUERIES = {
 
 _DUCK_SHINGLES = """
         toks AS (
-          SELECT doc_id, string_split_regex(trim(lower(text)), '\\s+') AS w
+          SELECT doc_id, string_split_regex(trim(lower(text)), '[ \\t\\n\\f\\r]+') AS w
           FROM documents
         ),
         shingles AS (
@@ -251,12 +261,12 @@ ORACLES = {
         SELECT
           doc_id,
           lang,
-          CAST(len(string_split_regex(trim(lower(text)), '\\s+')) AS INTEGER) AS n_tokens,
-          CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]+'))
+          CAST(len(string_split_regex(trim(lower(text)), '[ \\t\\n\\f\\r]+')) AS INTEGER) AS n_tokens,
+          CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9 \\t\\n\\f\\r]+'))
                AS INTEGER) AS n_bpe_tokens,
-          CAST(length(regexp_replace(text, '\\s', '', 'g')) AS INTEGER) AS n_chars_no_ws,
-          CAST(length(regexp_replace(text, '\\s', '', 'g')) AS DOUBLE)
-            / len(string_split_regex(trim(lower(text)), '\\s+')) AS avg_token_len,
+          CAST(length(regexp_replace(text, '[ \\t\\n\\f\\r]', '', 'g')) AS INTEGER) AS n_chars_no_ws,
+          CAST(length(regexp_replace(text, '[ \\t\\n\\f\\r]', '', 'g')) AS DOUBLE)
+            / len(string_split_regex(trim(lower(text)), '[ \\t\\n\\f\\r]+')) AS avg_token_len,
           CAST(CASE WHEN n_chars < 100 THEN 1 ELSE 0 END AS INTEGER) AS flag_short
         FROM documents
     """,
@@ -264,14 +274,14 @@ ORACLES = {
         WITH base AS (
           SELECT doc_id, lang,
                  length(text) AS n_chars_total,
-                 length(text) - length(regexp_replace(text, '[^A-Za-z0-9\\s]', '', 'g'))
+                 length(text) - length(regexp_replace(text, '[^A-Za-z0-9 \\t\\n\\f\\r]', '', 'g'))
                    AS n_punct,
                  CAST((length(p) - length(replace(p, ' the ', ''))) / 5.0
                     + (length(p) - length(replace(p, ' and ', ''))) / 5.0
                     + (length(p) - length(replace(p, ' of ', ''))) / 4.0
                     + (length(p) - length(replace(p, ' to ', ''))) / 4.0 AS INTEGER)
                    AS n_stopword_hits,
-                 len(string_split_regex(trim(lower(text)), '\\s+')) AS n_tokens
+                 len(string_split_regex(trim(lower(text)), '[ \\t\\n\\f\\r]+')) AS n_tokens
           FROM (SELECT *, ' ' || lower(text) || ' ' AS p FROM documents)
         ),
         scored AS (

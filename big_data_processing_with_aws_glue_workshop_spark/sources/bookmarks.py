@@ -26,6 +26,7 @@ mid-commit leaves the previous bookmark intact.
 
 from __future__ import annotations
 
+import contextlib
 import datetime
 import glob
 import json
@@ -34,6 +35,31 @@ import os
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
+
+from ..util import atomic_write_json
+
+try:  # POSIX advisory locking; absent on some platforms
+    import fcntl
+except ImportError:  # pragma: no cover
+    fcntl = None
+
+
+@contextlib.contextmanager
+def _state_lock(state_path: str):
+    """Serialize read-modify-write of the shared state file across jobs
+    (different job_names may share one state_path): an flock'd sidecar so
+    one job's commit can't overwrite another's from a stale read."""
+    if fcntl is None:
+        yield
+        return
+    parent = os.path.dirname(os.path.abspath(state_path))
+    os.makedirs(parent, exist_ok=True)
+    with open(state_path + ".lock", "a+", encoding="utf-8") as lock_f:
+        fcntl.flock(lock_f, fcntl.LOCK_EX)
+        try:
+            yield
+        finally:
+            fcntl.flock(lock_f, fcntl.LOCK_UN)
 
 
 class JobBookmark:
@@ -58,17 +84,15 @@ class JobBookmark:
         return {}
 
     def _persist(self) -> None:
-        all_state: dict = {}
-        if os.path.exists(self.state_path):
-            with open(self.state_path, encoding="utf-8") as f:
-                all_state = json.load(f)
-        all_state[self.job_name] = self._state
-        parent = os.path.dirname(os.path.abspath(self.state_path))
-        os.makedirs(parent, exist_ok=True)
-        tmp = self.state_path + ".tmp"
-        with open(tmp, "w", encoding="utf-8") as f:
-            json.dump(all_state, f, indent=1, sort_keys=True)
-        os.replace(tmp, self.state_path)
+        # lock across the re-read + write so a concurrent job committing a
+        # different job_name between them isn't erased
+        with _state_lock(self.state_path):
+            all_state: dict = {}
+            if os.path.exists(self.state_path):
+                with open(self.state_path, encoding="utf-8") as f:
+                    all_state = json.load(f)
+            all_state[self.job_name] = self._state
+            atomic_write_json(self.state_path, all_state)
 
     def reset(self) -> None:
         """Glue's 'reset bookmark': forget everything; next run is full."""
@@ -97,15 +121,25 @@ class JobBookmark:
         """Read only not-yet-committed files; returns (df, new_files).
 
         With zero new files the DataFrame is empty but keeps the source
-        schema (explicit ``schema`` if given, else inferred from the full
-        pattern) so downstream writers/unions stay schema-stable.
+        schema so downstream writers/unions stay schema-stable: from the
+        explicit ``schema`` if given (no filesystem access), else from one
+        committed file's footer. A pattern that has never matched ANY file
+        and has no schema is an error (there is nothing to infer from).
         """
         new_files = self.pending_files(pattern)
         reader = spark.read.format(fmt).options(**options)
         if schema is not None:
             reader = reader.schema(schema)
         if not new_files:
-            return reader.load(pattern).limit(0), []
+            if schema is not None:
+                return spark.createDataFrame([], schema), []
+            committed = sorted(set(glob.glob(pattern)) & self.processed_files)
+            if not committed:
+                raise FileNotFoundError(
+                    f"bookmark '{self.job_name}': no files match {pattern!r} and "
+                    "no schema was given — cannot build an empty increment"
+                )
+            return reader.load(committed[0]).limit(0), []
         return reader.load(new_files), new_files
 
     def commit_files(self, files: list[str]) -> None:

@@ -27,6 +27,9 @@ import shutil
 from collections.abc import Sequence
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..util import atomic_write_json
 
 
 class UpsertSink:
@@ -61,10 +64,9 @@ class UpsertSink:
 
     def _commit_pointer(self, batch_id: int, version_dir: str) -> None:
         os.makedirs(self.target_dir, exist_ok=True)
-        tmp = self._pointer_path + ".tmp"
-        with open(tmp, "w", encoding="utf-8") as f:
-            json.dump({"batch_id": batch_id, "version": version_dir}, f)
-        os.replace(tmp, self._pointer_path)
+        atomic_write_json(
+            self._pointer_path, {"batch_id": batch_id, "version": version_dir}
+        )
 
     # -- the sink ----------------------------------------------------------
 
@@ -85,7 +87,21 @@ class UpsertSink:
             current = spark.read.parquet(
                 os.path.join(self.target_dir, pointer["version"])
             )
-            merged = upsert(current, source, self.keys)
+            if self.order_col is not None:
+                # order-aware merge: a LATE (older order_col) source row must
+                # not regress a newer target row — blind replace-by-key only
+                # applies when no ordering column is declared. Ties go to the
+                # incoming row (stream order) via the priority tiebreak.
+                merged = keep_latest(
+                    current.withColumn("__src", F.lit(0)).unionByName(
+                        source.withColumn("__src", F.lit(1))
+                    ),
+                    self.keys,
+                    self.order_col,
+                    tiebreak_cols=["__src"],
+                ).drop("__src")
+            else:
+                merged = upsert(current, source, self.keys)
         else:
             merged = source
 
@@ -94,7 +110,12 @@ class UpsertSink:
         if os.path.exists(out):  # stale leftover from a crashed attempt
             shutil.rmtree(out)
         merged.write.mode("overwrite").parquet(out)
+        previous = pointer["version"] if pointer is not None else None
         self._commit_pointer(batch_id, version_dir)
+        # retention: superseded snapshots are unreachable once the pointer
+        # flips — drop them so disk stays O(table), not O(batches x table)
+        if previous is not None and previous != version_dir:
+            shutil.rmtree(os.path.join(self.target_dir, previous), ignore_errors=True)
 
 
 def read_current(spark: SparkSession, target_dir: str) -> DataFrame:
@@ -114,8 +135,21 @@ def run_foreach_batch_upsert(
 ) -> None:
     """Drive a stream into an UpsertSink with availableNow (drain-the-source
     batch mode); with a checkpoint dir the batch-id sequence survives
-    restarts, which is what makes the skip-replayed-batch check meaningful."""
-    writer = stream_df.writeStream.foreachBatch(UpsertSink(target_dir, keys, order_col))
+    restarts, which is what makes the skip-replayed-batch check meaningful.
+
+    Refuses to run WITHOUT a checkpoint against a target that already has
+    committed batches: a fresh (or absent) checkpoint restarts batch ids at
+    0, every batch would hit the replay guard, and new data would be
+    silently discarded instead of merged."""
+    sink = UpsertSink(target_dir, keys, order_col)
+    if checkpoint_dir is None and sink._read_pointer() is not None:
+        raise ValueError(
+            f"target {target_dir!r} has committed batches; running without a "
+            "checkpoint restarts batch ids at 0 and the idempotence guard "
+            "would silently skip all new data — pass the original "
+            "checkpoint_dir (or reset the target)"
+        )
+    writer = stream_df.writeStream.foreachBatch(sink)
     if checkpoint_dir is not None:
         writer = writer.option("checkpointLocation", checkpoint_dir)
     q = writer.trigger(availableNow=True).start()

@@ -111,3 +111,20 @@ def test_aqe_skew_join_splits_hot_key(spark):
     finally:
         for k, v in prev.items():
             spark.conf.set(k, v)
+
+
+def test_fact_fact_join_shuffle_shape(spark):
+    """shipping_priority_topk is the big-fact x big-fact query: with
+    broadcasting disabled (emulating sides too big for the threshold, as at
+    production SF) it must run as shuffle joins with both filters still
+    pushed to the scans — the shape the docstring promises for 100 TB."""
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        plan = plan_of(spark, "shipping_priority_topk")
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+    assert "BroadcastHashJoin" not in plan
+    assert "SortMergeJoin" in plan or "ShuffledHashJoin" in plan
+    assert "EqualTo(c_mktsegment,BUILDING)" in plan
+    assert "GreaterThan(l_shipdate" in plan

@@ -160,3 +160,18 @@ def test_bookmark_watermark_mode_timestamp_and_int(spark, tmp_path):
     # empty batch never regresses the watermark
     tbm.advance_watermark(batch1.limit(0), "ts")
     assert tbm.watermark == "2024-01-01 11:00:00"
+
+
+def test_bookmark_empty_pattern_with_schema(spark, tmp_path):
+    """A pattern that matches nothing yet: schema-given reads return a
+    schema-stable empty increment without touching the filesystem; with no
+    schema the error is explicit, not an AnalysisException from the scan."""
+    from big_data_processing_with_aws_glue_workshop_spark.sources.bookmarks import JobBookmark
+
+    bm = JobBookmark(str(tmp_path / "state.json"), job_name="ingest")
+    pattern = str(tmp_path / "in*" / "*.parquet")
+    schema = T.StructType([T.StructField("id", T.IntegerType())])
+    df, files = bm.read_incremental(spark, pattern, schema=schema)
+    assert files == [] and df.count() == 0 and df.schema.fieldNames() == ["id"]
+    with pytest.raises(FileNotFoundError, match="no files match"):
+        bm.read_incremental(spark, pattern)

@@ -230,3 +230,43 @@ def test_foreach_batch_upsert_end_to_end(spark, sf_dir, tmp_path):
         expected.select("user_id", F.col("ts").alias("exp_ts")), "user_id"
     )
     assert joined.filter(F.col("got_ts") != F.col("exp_ts")).count() == 0
+
+
+def test_upsert_sink_late_rows_and_retention(spark, tmp_path):
+    """Order-aware merge: a late (older order_col) row in a later batch must
+    not regress the table; superseded snapshot dirs are vacuumed."""
+    import os
+
+    from big_data_processing_with_aws_glue_workshop_spark.streaming.sinks import (
+        UpsertSink,
+        read_current,
+    )
+
+    target = str(tmp_path / "table")
+    sink = UpsertSink(target, keys=["user_id"], order_col="seq")
+    sink(spark.createDataFrame([(1, 12, "new")], "user_id int, seq int, v string"), 0)
+    sink(spark.createDataFrame([(1, 11, "late"), (2, 5, "x")],
+                               "user_id int, seq int, v string"), 1)
+    rows = {(r["user_id"], r["seq"], r["v"]) for r in read_current(spark, target).collect()}
+    assert rows == {(1, 12, "new"), (2, 5, "x")}  # late row did not win
+    # equal-order ties go to the incoming batch
+    sink(spark.createDataFrame([(2, 5, "y")], "user_id int, seq int, v string"), 2)
+    assert (2, 5, "y") in {
+        (r["user_id"], r["seq"], r["v"]) for r in read_current(spark, target).collect()
+    }
+    versions = [d for d in os.listdir(target) if d.startswith("v")]
+    assert versions == ["v2"]  # superseded snapshots vacuumed
+
+
+def test_foreach_batch_refuses_checkpointless_restart(spark, tmp_path):
+    import pytest
+
+    from big_data_processing_with_aws_glue_workshop_spark.streaming.sinks import (
+        UpsertSink,
+        run_foreach_batch_upsert,
+    )
+
+    target = str(tmp_path / "table")
+    UpsertSink(target, keys=["k"])(spark.createDataFrame([(1,)], "k int"), 0)
+    with pytest.raises(ValueError, match="checkpoint"):
+        run_foreach_batch_upsert(spark.createDataFrame([(2,)], "k int"), target, ["k"])
