@@ -7,15 +7,15 @@ signatures are fixed-width per doc; the LSH band join shuffles on
 probability, not corpus size. Everything is native Column expressions —
 shingling, hashing, permutations, banding are all JVM-side.
 
-Permutation family: h_i(x) = (a_i * x + b_i) mod M over the base
-xxhash64(shingle), with odd multipliers from a seeded Python PRNG (driver-
-side constants; no runtime randomness). Arithmetic wraps in int64 — fine
-for min-hashing, which only needs a uniform-ish total order per permutation.
+Permutation family: h_i(x) = xxhash64(x, i) over the base xxhash64(shingle)
+— one seeded re-hash per permutation index. Min-hashing only needs an
+independent uniform-ish total order per permutation, which a keyed hash
+gives directly, with no multiply-add arithmetic that could overflow int64
+(an earlier (a*x+b) family relied on silent wraparound and threw
+ARITHMETIC_OVERFLOW under ANSI-on sessions; this family is ANSI-proof).
 """
 
 from __future__ import annotations
-
-import random
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
@@ -32,16 +32,6 @@ def shingle_frame(
     return word_shingles(df, id_col, text_col, n)
 
 
-def _perm_params(n_hashes: int, seed: int) -> list[tuple[int, int]]:
-    rng = random.Random(seed)
-    out = []
-    for _ in range(n_hashes):
-        a = rng.randrange(1, 2**61) | 1  # odd multiplier
-        b = rng.randrange(0, 2**61)
-        out.append((a, b))
-    return out
-
-
 def minhash_signatures(
     df: DataFrame,
     id_col: str = "doc_id",
@@ -51,12 +41,17 @@ def minhash_signatures(
     seed: int = 42,
 ) -> DataFrame:
     """(doc_id, signature: array<bigint>[n_hashes]). One explode + one
-    groupBy with n_hashes min-aggregates — a single shuffle on doc_id."""
+    groupBy with n_hashes min-aggregates — a single shuffle on doc_id.
+
+    Permutation i is ``xxhash64(h, seed, i)`` — pure hashing, no arithmetic
+    that can overflow, so the operator behaves identically on ANSI-on and
+    ANSI-off sessions.
+    """
     sh = shingle_frame(df, id_col, text_col, shingle_n)
     base = sh.withColumn("h", F.xxhash64("shingle"))
     mins = [
-        F.min(F.col("h") * F.lit(a) + F.lit(b)).alias(f"m{i}")
-        for i, (a, b) in enumerate(_perm_params(n_hashes, seed))
+        F.min(F.xxhash64(F.col("h"), F.lit(seed), F.lit(i))).alias(f"m{i}")
+        for i in range(n_hashes)
     ]
     agg = base.groupBy("doc_id").agg(*mins)
     return agg.select(

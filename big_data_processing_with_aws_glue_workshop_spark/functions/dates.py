@@ -20,19 +20,29 @@ FORMAT_TS9 = "yyyy/MM/dd HH:mm:ss.SSSSSSSSS"
 
 
 def compact_date(col: Column) -> Column:
-    """8-digit ``yyyyMMdd`` -> date, NULL when the shape doesn't match."""
+    """8-digit ``yyyyMMdd`` -> date, NULL when the shape doesn't match.
+
+    ``try_to_timestamp`` (not ``to_date``) so a regex-shaped but invalid
+    value (e.g. month 13) yields NULL under ANSI-on instead of throwing —
+    queries must not depend on session ANSI mode.
+    """
     trimmed = F.trim(col.cast("string"))
     return F.when(
         (F.length(trimmed) == 8) & trimmed.rlike(r"^[0-9]{8}$"),
-        F.to_date(trimmed, FORMAT_COMPACT),
+        F.to_date(F.try_to_timestamp(trimmed, F.lit(FORMAT_COMPACT))),
     )
 
 
 def ts9_to_date(col: Column) -> Column:
-    """Slash timestamp with 9 fractional digits -> date (time dropped)."""
+    """Slash timestamp with 9 fractional digits -> date (time dropped).
+
+    Slash strings without the fractional part (``1997/05/28 00:00:00``) must
+    map to NULL, not raise — hence ``try_to_timestamp``, which is
+    NULL-on-mismatch regardless of ``spark.sql.ansi.enabled``.
+    """
     return F.when(
         col.cast("string").contains("/"),
-        F.to_date(F.to_timestamp(col.cast("string"), FORMAT_TS9)),
+        F.to_date(F.try_to_timestamp(col.cast("string"), F.lit(FORMAT_TS9))),
     )
 
 

@@ -333,10 +333,11 @@ ORACLES = {
         WITH groups AS (
           SELECT md5(text) AS h, COUNT(1) AS n FROM documents GROUP BY 1
         )
-        SELECT SUM(n) AS n_docs,
+        SELECT CAST(SUM(n) AS BIGINT) AS n_docs,
                COUNT(1) AS n_distinct_texts,
                COUNT(CASE WHEN n > 1 THEN 1 END) AS n_dup_groups,
-               SUM(CASE WHEN n > 1 THEN n - 1 ELSE 0 END) AS n_redundant_docs
+               CAST(SUM(CASE WHEN n > 1 THEN n - 1 ELSE 0 END) AS BIGINT)
+                 AS n_redundant_docs
         FROM groups
     """,
     "ngram_jaccard_pairs": f"""
