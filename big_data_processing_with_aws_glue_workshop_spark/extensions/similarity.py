@@ -8,10 +8,15 @@ the full corpus — at 100 TB the bucket join replaces the cross join.
 Hyperplanes are seeded driver-side constants (deterministic, no runtime
 randomness) injected as array literals; projections fold sequentially
 JVM-side like the exact path in queries/vectors.py.
+
+Also here: ``near_dup_pairs_clustered`` — the EXACT (recall-1.0) pruned
+alternative to the all-pairs cosine near-dup cross join, via the angular
+triangle inequality over a k-means coarse partition.
 """
 
 from __future__ import annotations
 
+import math
 import random
 
 import numpy as np
@@ -124,4 +129,108 @@ def ann_lsh_topk(
         scored.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
         .select("query_id", "rank", "neighbor_id", "cos_sim")
+    )
+
+
+def near_dup_pairs_clustered(
+    corpus: DataFrame,
+    threshold: float = 0.45,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    nlist: int = 16,
+    seed: int = 42,
+) -> DataFrame:
+    """Exact cosine near-duplicate pairs (cos >= threshold) WITHOUT the
+    all-pairs cross join, by pruning cluster pairs with the angular triangle
+    inequality.
+
+    Angular distance theta(a,b) = arccos(cos(a,b)) is a metric on the unit
+    sphere, so for vectors a in cluster c1 and b in cluster c2:
+
+        theta(a,b) >= theta(cent1,cent2) - radius(c1) - radius(c2)
+
+    Any cluster pair whose centroids are further apart than
+    radius(c1) + radius(c2) + arccos(threshold) therefore cannot contain a
+    qualifying pair and is never joined — recall is 1.0 by construction,
+    unlike an LSH band scheme whose recall is probabilistic. The verify step
+    recomputes the exact sequential-fold cosine, so emitted values are
+    bit-identical to the all-pairs baseline (queries/vectors.py).
+
+    Plan shape: k-means assignment (one pass), per-cluster radius (one
+    narrow groupBy), a driver-side nlist x nlist allowlist (tiny — two
+    collects of nlist rows, not data rows), then one equi-join per side on
+    the cluster id restricted to allowed pairs. Pruning scales with how
+    clustered the corpus is: random testdata is the worst case (most cluster
+    pairs stay allowed); real embedding corpora cluster strongly and drop
+    most of the n^2 work. 100 TB posture: the cluster id is the shuffle
+    key, candidate volume is sum over allowed (c1,c2) of |c1|*|c2| instead
+    of n^2.
+    """
+    from ..queries.vectors import dot, norm
+    from .ivf import train_ivf_index
+
+    assigned, centroids, _ = train_ivf_index(corpus, vec_col, id_col, nlist, seed)
+
+    # assigned's vector column is always aliased "embedding" by train_ivf_index
+    unit_cos = dot(F.col("embedding"), F.col("centroid")) / (
+        norm(F.col("embedding")) * norm(F.col("centroid"))
+    )
+    angle = F.acos(F.greatest(F.lit(-1.0), F.least(F.lit(1.0), unit_cos)))
+    radii = (
+        assigned.join(F.broadcast(centroids), "cell")
+        .select(F.col("cell"), angle.alias("__theta"))
+        .groupBy("cell")
+        .agg(F.max("__theta").alias("radius"))
+    )
+
+    # Driver-side allowlist over centroid/radius rows: nlist rows each — a
+    # metadata collect, not a data collect.
+    cent_rows = {r["cell"]: r["centroid"] for r in centroids.collect()}
+    radius_rows = {r["cell"]: r["radius"] for r in radii.collect()}
+    theta_t = math.acos(max(-1.0, min(1.0, threshold)))
+    eps = 1e-6  # float slack: widens the bound, can only ADD candidates
+
+    def _angle(u: list[float], v: list[float]) -> float:
+        du = math.sqrt(sum(x * x for x in u))
+        dv = math.sqrt(sum(x * x for x in v))
+        c = sum(x * y for x, y in zip(u, v)) / (du * dv)
+        return math.acos(max(-1.0, min(1.0, c)))
+
+    allowed: list[tuple[int, int]] = []
+    cells = sorted(radius_rows)  # cells with at least one member
+    for i, c1 in enumerate(cells):
+        for c2 in cells[i:]:
+            bound = radius_rows[c1] + radius_rows[c2] + theta_t + eps
+            if c1 == c2 or _angle(cent_rows[c1], cent_rows[c2]) <= bound:
+                allowed.append((c1, c2))
+                if c1 != c2:
+                    allowed.append((c2, c1))  # symmetric closure
+    allow_df = corpus.sparkSession.createDataFrame(allowed, "c1 int, c2 int")
+
+    a = assigned.select(
+        F.col("vec_id").alias("id_a"),
+        F.col("embedding").alias("va"),
+        norm(F.col("embedding")).alias("norm_a"),
+        F.col("cell").alias("c1"),
+    )
+    b = assigned.select(
+        F.col("vec_id").alias("id_b"),
+        F.col("embedding").alias("vb"),
+        norm(F.col("embedding")).alias("norm_b"),
+        F.col("cell").alias("c2"),
+    )
+    # each unordered pair fires exactly once: the a-side row is the one whose
+    # cluster is the allowlist's c1, and id_a < id_b picks one orientation
+    return (
+        a.join(F.broadcast(allow_df), "c1")
+        .join(b, "c2")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select(
+            "id_a",
+            "id_b",
+            (dot(F.col("va"), F.col("vb")) / (F.col("norm_a") * F.col("norm_b"))).alias(
+                "cos_sim"
+            ),
+        )
+        .filter(F.col("cos_sim") >= threshold)
     )

@@ -133,8 +133,10 @@ NEAR_DUP_THRESHOLD = 0.45  # calibrated: max pairwise cosine in testdata ~0.51
 
 def q_embedding_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-cosine near-duplicate pairs above a threshold — exact
-    all-pairs baseline (a < b). The LSH-bucketed scale path is
-    extensions/similarity.py; this exact form is the oracle-checked one."""
+    all-pairs VERIFICATION baseline (a < b). The production scale path is
+    q_embedding_near_dup_clustered (triangle-inequality cluster pruning,
+    same oracle, no cross join); keep this crossJoin form only as the
+    ground-truth twin."""
     e = load(spark, sf_dir, "embeddings")
     a = e.select(
         F.col("vec_id").alias("id_a"),
@@ -157,6 +159,20 @@ def q_embedding_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
         .filter(F.col("cos_sim") >= NEAR_DUP_THRESHOLD)
+    )
+
+
+def q_embedding_near_dup_clustered(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cosine near-dup pairs via the SCALE path: k-means cluster pruning with
+    the angular triangle inequality (extensions/similarity.py). Exact by
+    construction (recall 1.0 — pruned cluster pairs provably cannot contain a
+    qualifying pair), so it shares the all-pairs oracle; the crossJoin form in
+    q_embedding_near_dup_pairs is the verification baseline."""
+    from ..extensions.similarity import near_dup_pairs_clustered
+
+    e = load(spark, sf_dir, "embeddings")
+    return near_dup_pairs_clustered(
+        e, threshold=NEAR_DUP_THRESHOLD, nlist=16, seed=42
     )
 
 
@@ -186,6 +202,7 @@ QUERIES = {
     "cosine_topk": q_cosine_topk,
     "label_similarity_profile": q_label_similarity_profile,
     "embedding_near_dup_pairs": q_embedding_near_dup_pairs,
+    "embedding_near_dup_clustered": q_embedding_near_dup_clustered,
     "ann_lsh_topk": q_ann_lsh_topk,
     "ivf_ann_topk": q_ivf_ann_topk,
 }
@@ -239,6 +256,19 @@ ORACLES = {
         GROUP BY same_label
     """,
     "embedding_near_dup_pairs": f"""
+        WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings)
+        SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+               list_dot_product(a.e, b.e)
+                 / (sqrt(list_dot_product(a.e, a.e)) * sqrt(list_dot_product(b.e, b.e)))
+                 AS cos_sim
+        FROM v a JOIN v b ON a.vec_id < b.vec_id
+        WHERE list_dot_product(a.e, b.e)
+                / (sqrt(list_dot_product(a.e, a.e)) * sqrt(list_dot_product(b.e, b.e)))
+              >= {NEAR_DUP_THRESHOLD}
+    """,
+    # the clustered scale path is EXACT (triangle-inequality pruning never
+    # drops a qualifying pair), so it is held to the same all-pairs oracle
+    "embedding_near_dup_clustered": f"""
         WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings)
         SELECT a.vec_id AS id_a, b.vec_id AS id_b,
                list_dot_product(a.e, b.e)

@@ -104,3 +104,23 @@ def test_ivf_topk_recall(embeddings, spark, sf_dir):
     total = sum(len(t) for t in truth.values())
     recall = hits / total
     assert recall >= 0.6, f"IVF recall@5 too low: {recall:.2f}"
+
+
+def test_clustered_near_dup_exact_equivalence(embeddings, spark, sf_dir):
+    """The triangle-inequality cluster pruning must reproduce the all-pairs
+    result EXACTLY (ids and cos_sim values) — recall 1.0 is a theorem here,
+    not a tuning outcome."""
+    from big_data_processing_with_aws_glue_workshop_spark.extensions.similarity import (
+        near_dup_pairs_clustered,
+    )
+
+    exact = sorted(
+        (r["id_a"], r["id_b"], r["cos_sim"])
+        for r in QUERIES["embedding_near_dup_pairs"](spark, sf_dir).collect()
+    )
+    pruned = sorted(
+        (r["id_a"], r["id_b"], r["cos_sim"])
+        for r in near_dup_pairs_clustered(embeddings, threshold=0.45).collect()
+    )
+    assert pruned == exact
+    assert len(exact) > 0  # the fixture must actually exercise the threshold
