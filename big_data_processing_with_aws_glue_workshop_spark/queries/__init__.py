@@ -16,6 +16,7 @@ from .relational import QUERIES as _REL_QUERIES, ORACLES as _REL_ORACLES
 from .events import QUERIES as _EV_QUERIES, ORACLES as _EV_ORACLES
 from .textops import QUERIES as _TX_QUERIES, ORACLES as _TX_ORACLES
 from .vectors import QUERIES as _VC_QUERIES, ORACLES as _VC_ORACLES
+from .media import QUERIES as _MD_QUERIES, ORACLES as _MD_ORACLES
 
 
 def _self_sufficient(fn):
@@ -35,6 +36,12 @@ def _self_sufficient(fn):
 
 QUERIES = {
     name: _self_sufficient(fn)
-    for name, fn in {**_REL_QUERIES, **_EV_QUERIES, **_TX_QUERIES, **_VC_QUERIES}.items()
+    for name, fn in {
+        **_REL_QUERIES,
+        **_EV_QUERIES,
+        **_TX_QUERIES,
+        **_VC_QUERIES,
+        **_MD_QUERIES,
+    }.items()
 }
-ORACLES = {**_REL_ORACLES, **_EV_ORACLES, **_TX_ORACLES, **_VC_ORACLES}
+ORACLES = {**_REL_ORACLES, **_EV_ORACLES, **_TX_ORACLES, **_VC_ORACLES, **_MD_ORACLES}

@@ -66,3 +66,20 @@ def test_sample_frames(media):
 def test_decode_stub_is_explicit():
     with pytest.raises(NotImplementedError):
         FakeCodec.decode_pixels(b"anything")
+
+
+def test_media_probe_profile_oracle(spark, sf_dir):
+    """Driver-facing round-trip: JVM-packed header bytes parsed back by the
+    mapInPandas prober must match the analytic DuckDB twin."""
+    from big_data_processing_with_aws_glue_workshop_spark.queries import ORACLES, QUERIES
+    from tests.oracle_harness import compare
+
+    compare(QUERIES["media_probe_profile"](spark, sf_dir), ORACLES["media_probe_profile"], sf_dir)
+
+
+def test_media_byte_histogram_shape(spark, sf_dir):
+    from big_data_processing_with_aws_glue_workshop_spark.queries import QUERIES
+
+    rows = QUERIES["media_byte_histogram"](spark, sf_dir).collect()
+    assert [r["media_type"] for r in rows] == ["audio", "image", "video"]
+    assert all(0.0 <= r["mean_bin0_weight"] <= 1.0 for r in rows)
