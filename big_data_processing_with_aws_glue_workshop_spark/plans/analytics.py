@@ -7,6 +7,13 @@ Differences from the Athena originals, per engine canon:
 - ``YEAR(CURRENT_DATE)`` is parameterized (``current_year``) for determinism.
 - ``ORDER BY RAND()`` is seeded (``F.rand(seed)``) so the ML subsample is
   reproducible (SURVEY §7.4).
+- ``ROUND(<double>, 2)`` is dropped (Q2/Q3): rounding doubles is engine-
+  ambiguous near decimal halves (Spark HALF_UP on the shortest decimal
+  repr vs C-library round on the binary value), so the canon emits the
+  unrounded value — an exact integer sum/count through one IEEE division,
+  bit-identical across engines (see queries/relational.py's contract).
+- Top-k ``ORDER BY ... LIMIT`` carries a deterministic group-key tiebreak
+  (Q2/Q3) so the LIMIT cliff cannot select engine-dependent rows.
 """
 
 from __future__ import annotations
@@ -44,14 +51,14 @@ def q2_avg_age_by_activity(spark: SparkSession) -> DataFrame:
     return spark.sql(
         """
         SELECT d.actividad_economica,
-               ROUND(AVG(d.antiguedad_empresa), 2) AS antiguedad_promedio,
+               AVG(d.antiguedad_empresa) AS antiguedad_promedio,
                COUNT(DISTINCT d.matricula) AS total_empresas
         FROM gold_dim_empresa d
         JOIN gold_fact_renovacion f ON d.matricula = f.matricula
         WHERE UPPER(f.estado_matricula) = 'ACTIVA'
         GROUP BY d.actividad_economica
         HAVING COUNT(DISTINCT d.matricula) > 5
-        ORDER BY antiguedad_promedio DESC
+        ORDER BY antiguedad_promedio DESC, d.actividad_economica
         LIMIT 5
         """
     )
@@ -66,13 +73,13 @@ def q3_renewal_rate_by_chamber(spark: SparkSession) -> DataFrame:
                COUNT(DISTINCT CASE WHEN UPPER(f.estado_matricula) = 'ACTIVA'
                                    THEN d.matricula END) AS empresas_activas,
                COUNT(DISTINCT d.matricula) AS total_empresas,
-               ROUND(COUNT(DISTINCT CASE WHEN UPPER(f.estado_matricula) = 'ACTIVA'
-                                         THEN d.matricula END) * 100.0
-                     / COUNT(DISTINCT d.matricula), 2) AS tasa_renovacion_pct
+               CAST(COUNT(DISTINCT CASE WHEN UPPER(f.estado_matricula) = 'ACTIVA'
+                                        THEN d.matricula END) AS DOUBLE) * 100.0
+                 / COUNT(DISTINCT d.matricula) AS tasa_renovacion_pct
         FROM gold_dim_empresa d
         JOIN gold_fact_renovacion f ON d.matricula = f.matricula
         GROUP BY d.camara_comercio
-        ORDER BY tasa_renovacion_pct DESC
+        ORDER BY tasa_renovacion_pct DESC, d.camara_comercio
         LIMIT 5
         """
     )

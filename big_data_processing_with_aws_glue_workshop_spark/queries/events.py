@@ -412,7 +412,7 @@ ORACLES = {
           event_type,
           COUNT(CASE WHEN CAST(json_extract(props, '$.k') AS INTEGER) IS NOT NULL
                      THEN 1 END) AS n_with_k,
-          SUM(CAST(CAST(json_extract(props, '$.k') AS INTEGER) AS BIGINT)) AS sum_k,
+          CAST(SUM(CAST(json_extract(props, '$.k') AS INTEGER)) AS BIGINT) AS sum_k,
           MIN(CAST(json_extract(props, '$.k') AS INTEGER)) AS min_k,
           MAX(CAST(json_extract(props, '$.k') AS INTEGER)) AS max_k
         FROM events
