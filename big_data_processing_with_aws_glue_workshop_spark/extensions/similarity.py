@@ -175,7 +175,14 @@ def near_dup_pairs_clustered(
     unit_cos = dot(F.col("embedding"), F.col("centroid")) / (
         norm(F.col("embedding")) * norm(F.col("centroid"))
     )
-    angle = F.acos(F.greatest(F.lit(-1.0), F.least(F.lit(1.0), unit_cos)))
+    # a zero-norm member (or centroid) makes unit_cos NaN; since Spark sorts
+    # NaN above every double, F.max would propagate it into the radius and
+    # every bound comparison against that cell would fail, silently PRUNING
+    # qualifying pairs. Treat undefined angles as worst-case pi instead —
+    # that can only widen the allowlist, preserving recall 1.0.
+    angle = F.when(F.isnan(unit_cos), F.lit(math.pi)).otherwise(
+        F.acos(F.greatest(F.lit(-1.0), F.least(F.lit(1.0), unit_cos)))
+    )
     radii = (
         assigned.join(F.broadcast(centroids), "cell")
         .select(F.col("cell"), angle.alias("__theta"))
@@ -193,6 +200,8 @@ def near_dup_pairs_clustered(
     def _angle(u: list[float], v: list[float]) -> float:
         du = math.sqrt(sum(x * x for x in u))
         dv = math.sqrt(sum(x * x for x in v))
+        if du == 0.0 or dv == 0.0:
+            return 0.0  # undefined angle -> keep the cluster pair allowed
         c = sum(x * y for x, y in zip(u, v)) / (du * dv)
         return math.acos(max(-1.0, min(1.0, c)))
 

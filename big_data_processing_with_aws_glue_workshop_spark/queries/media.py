@@ -47,7 +47,11 @@ def media_fixture(spark: SparkSession, sf_dir: str) -> DataFrame:
     content = F.when(
         F.col("doc_id") % CORRUPT_EVERY == 0,
         F.unhex(F.lit("00")),  # 1 byte: shorter than any header
-    ).otherwise(F.concat(header, F.encode(F.col("text"), "UTF-8")))
+    ).otherwise(
+        # coalesce: a NULL text must yield an empty payload, not a NULL
+        # content (which would silently flip the row to the corrupt path)
+        F.concat(header, F.encode(F.coalesce(F.col("text"), F.lit("")), "UTF-8"))
+    )
     media_type = F.element_at(
         F.array(F.lit("image"), F.lit("audio"), F.lit("video")),
         (F.col("doc_id") % 3 + 1).cast("int"),
@@ -114,7 +118,7 @@ ORACLES = {
                     ELSE CAST(8000 + (doc_id % 3) * 4000 AS INTEGER)
                END AS sample_rate,
                CASE WHEN doc_id % {CORRUPT_EVERY} = 0 THEN CAST(1 AS BIGINT)
-                    ELSE CAST(16 + octet_length(encode(text)) AS BIGINT)
+                    ELSE CAST(16 + octet_length(encode(coalesce(text, ''))) AS BIGINT)
                END AS n_bytes,
                doc_id % {CORRUPT_EVERY} <> 0 AS valid
         FROM documents

@@ -84,48 +84,92 @@ def q_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_label_similarity_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Mean pairwise cosine within vs across labels for a deterministic
-    probe subset — a separability profile. Sums go through the sequential
-    fold; the final mean is a single double division."""
+    """Mean pairwise cosine within vs across labels over the FULL corpus — a
+    separability profile — computed by centroid algebra, never a pair join.
+
+    For unit vectors, sum_{i<j} u_i . u_j = (||S||^2 - sum_i ||u_i||^2) / 2
+    with S the elementwise sum, so per-label sums of unit coordinates (one
+    posexplode + two narrow groupBys, all linear) yield every within/across
+    mean. The r2 crossJoin form grew O((n/10)^2) at scale and was flagged as
+    a scale-killer (VERDICT r2 #3); this plan is one pass, shuffle keys
+    (label, dim) with at most |labels| x dim rows after aggregation.
+
+    Determinism: unit coordinates are floor-quantized to 1e-9 and all sums
+    run in exact integer/decimal arithmetic (order-independent); the only
+    float steps are the shared norm fold and one final division, mirrored
+    operand-for-operand in the DuckDB oracle.
+    """
     e = load(spark, sf_dir, "embeddings")
-    probe = e.filter(F.col("vec_id") % 10 == 0).select(
-        F.col("vec_id").alias("id_a"),
-        F.col("embedding").alias("va"),
-        F.col("label").alias("label_a"),
+    with_norm = e.select(
+        "vec_id", "label", "embedding", norm(F.col("embedding")).alias("nrm")
     )
-    other = e.filter(F.col("vec_id") % 10 == 0).select(
-        F.col("vec_id").alias("id_b"),
-        F.col("embedding").alias("vb"),
-        F.col("label").alias("label_b"),
+    expl = with_norm.select(
+        "label",
+        "nrm",
+        F.posexplode("embedding").alias("dim", "val"),
     )
-    pairs = (
-        probe.crossJoin(other)
-        .filter(F.col("id_a") < F.col("id_b"))
-        .select(
-            F.when(F.col("label_a") == F.col("label_b"), 1)
-            .otherwise(0)
-            .cast("int")
-            .alias("same_label"),
-            cosine(F.col("va"), F.col("vb")).alias("cos_sim"),
+    q = F.floor(
+        F.when(F.col("nrm") == 0, F.lit(0.0)).otherwise(
+            F.col("val").cast("double") / F.col("nrm") * F.lit(1e9)
         )
+    )  # long, |q| <= 1e9
+    quant = expl.select("label", "dim", q.alias("q"))
+    qd = F.col("q").cast("decimal(20,0)")
+    # ONE pass over the exploded corpus: per-(label, dim) centroid coordinate
+    # sums AND squared-coordinate sums. Persisted (|labels| x dim rows, tiny)
+    # because three downstream aggregates consume it — without the persist
+    # Spark re-runs the scan+explode subtree per consumer.
+    sld = (
+        quant.groupBy("label", "dim")
+        .agg(F.sum("q").alias("s"), F.sum(qd * qd).alias("s2"))
+        .persist()
     )
-    # decimal-exact mean: quantize each similarity to 9 dp (floor) before the
-    # sum so accumulation order cannot perturb the result
-    q = F.floor(F.col("cos_sim") * F.lit(1e9)).cast("decimal(28,0)")
-    return (
-        pairs.groupBy("same_label")
-        .agg(
-            F.count(F.lit(1)).alias("n_pairs"),
-            F.sum(q).alias("_sum_q"),
-        )
-        .select(
-            "same_label",
-            "n_pairs",
-            (F.col("_sum_q").cast("double") / (F.col("n_pairs") * F.lit(1e9))).alias(
-                "mean_cos_sim"
-            ),
-        )
+    sd = F.col("s").cast("decimal(20,0)")
+    # per-label: ||S_l||^2 and T_l = sum of squared member norms (quantized)
+    per_label_base = sld.groupBy("label").agg(
+        F.sum(sd * sd).alias("ss"), F.sum("s2").alias("t")
     )
+    nl = e.groupBy("label").agg(F.count(F.lit(1)).alias("n"))
+    per_label = per_label_base.join(nl, "label")
+    within_row = per_label.agg(
+        F.sum(F.col("ss") - F.col("t")).alias("wnum2"),
+        F.sum(F.shiftright(F.col("n") * (F.col("n") - 1), 1)).alias("wpairs"),
+        F.sum("t").alias("t_all"),
+        F.sum("n").alias("n_all"),
+    )
+    # global ||S||^2 from the per-dim sums of the per-label sums
+    all_row = (
+        sld.groupBy("dim")
+        .agg(F.sum("s").alias("sdim"))
+        .agg(F.sum(F.col("sdim").cast("decimal(20,0)") * F.col("sdim").cast("decimal(20,0)")).alias("ssall"))
+    )
+    stats = within_row.crossJoin(all_row)  # 1 row x 1 row — metadata join
+    tpairs = F.shiftright(F.col("n_all") * (F.col("n_all") - 1), 1)
+    apairs = (tpairs - F.col("wpairs")).alias("apairs")
+    anum2 = (F.col("ssall") - F.col("t_all")) - F.col("wnum2")
+    scale = F.lit(2e18)  # quantized dot ~ cos * 1e18; num2 double-counts pairs
+    rows = stats.select(
+        F.explode(
+            F.array(
+                F.struct(
+                    F.lit(1).cast("int").alias("same_label"),
+                    F.col("wpairs").alias("n_pairs"),
+                    (
+                        F.col("wnum2").cast("double")
+                        / (F.col("wpairs").cast("double") * scale)
+                    ).alias("mean_cos_sim"),
+                ),
+                F.struct(
+                    F.lit(0).cast("int").alias("same_label"),
+                    apairs.alias("n_pairs"),
+                    (anum2.cast("double") / (apairs.cast("double") * scale)).alias(
+                        "mean_cos_sim"
+                    ),
+                ),
+            )
+        ).alias("r")
+    )
+    return rows.select("r.same_label", "r.n_pairs", "r.mean_cos_sim")
 
 
 NEAR_DUP_THRESHOLD = 0.45  # calibrated: max pairwise cosine in testdata ~0.51
@@ -235,25 +279,56 @@ ORACLES = {
                neighbor_label, cos_sim
         FROM ranked WHERE rank <= {TOP_K}
     """,
+    # centroid algebra, mirrored step-for-step: sum_{i<j} u_i.u_j =
+    # (||S||^2 - sum ||u_i||^2) / 2 over 1e-9-floor-quantized unit coords,
+    # exact integer sums (HUGEINT), one final double division per row
     "label_similarity_profile": """
-        WITH probe AS (
-          SELECT vec_id, embedding::DOUBLE[] AS v, label
-          FROM embeddings WHERE vec_id % 10 = 0
+        WITH base AS (
+          SELECT vec_id, label, embedding::DOUBLE[] AS v,
+                 sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS nrm
+          FROM embeddings
         ),
-        pairs AS (
-          SELECT CAST(CASE WHEN a.label = b.label THEN 1 ELSE 0 END AS INTEGER)
-                   AS same_label,
-                 list_dot_product(a.v, b.v)
-                   / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v)))
-                   AS cos_sim
-          FROM probe a JOIN probe b ON a.vec_id < b.vec_id
+        expl AS (
+          SELECT label,
+                 generate_subscripts(v, 1) AS dim,
+                 unnest(v) AS val,
+                 nrm
+          FROM base
+        ),
+        quant AS (
+          SELECT label, dim,
+                 CAST(FLOOR(CASE WHEN nrm = 0 THEN 0.0
+                                 ELSE val / nrm * 1e9 END) AS BIGINT) AS q
+          FROM expl
+        ),
+        sld AS (SELECT label, dim, SUM(q) AS s, SUM(CAST(q AS HUGEINT) * q) AS s2
+                FROM quant GROUP BY label, dim),
+        per_label AS (SELECT label, SUM(s * s) AS ss, SUM(s2) AS t
+                      FROM sld GROUP BY label),
+        nl AS (SELECT label, COUNT(1) AS n FROM embeddings GROUP BY label),
+        w AS (
+          SELECT SUM(ss - t) AS wnum2,
+                 SUM(n * (n - 1) // 2) AS wpairs,
+                 SUM(t) AS t_all,
+                 SUM(n) AS n_all
+          FROM per_label JOIN nl USING(label)
+        ),
+        a AS (
+          SELECT SUM(sdim * sdim) AS ssall
+          FROM (SELECT dim, SUM(s) AS sdim FROM sld GROUP BY dim)
         )
-        SELECT same_label,
-               COUNT(1) AS n_pairs,
-               CAST(SUM(CAST(FLOOR(cos_sim * 1e9) AS DECIMAL(28,0))) AS DOUBLE)
-                 / (COUNT(1) * 1e9) AS mean_cos_sim
-        FROM pairs
-        GROUP BY same_label
+        SELECT CAST(1 AS INTEGER) AS same_label,
+               CAST(wpairs AS BIGINT) AS n_pairs,
+               CAST(wnum2 AS DOUBLE) / (CAST(wpairs AS DOUBLE) * 2e18)
+                 AS mean_cos_sim
+        FROM w
+        UNION ALL
+        SELECT CAST(0 AS INTEGER) AS same_label,
+               CAST(n_all * (n_all - 1) // 2 - wpairs AS BIGINT) AS n_pairs,
+               CAST((ssall - t_all) - wnum2 AS DOUBLE)
+                 / (CAST(n_all * (n_all - 1) // 2 - wpairs AS DOUBLE) * 2e18)
+                 AS mean_cos_sim
+        FROM w, a
     """,
     "embedding_near_dup_pairs": f"""
         WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings)

@@ -68,6 +68,19 @@ def test_cosine_topk_broadcasts_queries(spark):
     assert "CartesianProduct" not in plan
 
 
+def test_label_similarity_profile_is_linear(spark):
+    """The separability profile must stay centroid-algebra: no pair join at
+    all. The only nested-loop join allowed is the final 1-row x 1-row
+    scalar combine; nothing in the plan may join two corpus-sized sides."""
+    plan = plan_of(spark, "label_similarity_profile")
+    assert "CartesianProduct" not in plan
+    # one 1x1 scalar combine is fine; a second NLJ would mean a pair join
+    # (formatted explain prints each node twice: tree line + detail header)
+    assert plan.count("BroadcastNestedLoopJoin") <= 2, plan
+    # the quadratic form's signature: a self-join filter on vec_id ordering
+    assert "id_a" not in plan and "id_b" not in plan
+
+
 def test_codegen_present(spark):
     plan = plan_of(spark, "validation_profile")
     assert "WholeStageCodegen" in plan or "HashAggregate" in plan
