@@ -40,6 +40,14 @@ HEADLINE = [
     "doc_token_stats",
     "minhash_near_duplicates",
     "cosine_topk",
+    # scale-path flagships (r3): pruned/bucketed similarity + media plumbing
+    "label_similarity_profile",
+    "embedding_near_dup_clustered",
+    "ann_lsh_topk",
+    "ivf_ann_topk",
+    "media_probe_profile",
+    # literal Athena SQL surface
+    "athena_q3_renewal_rate_by_chamber",
 ]
 
 

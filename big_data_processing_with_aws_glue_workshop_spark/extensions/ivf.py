@@ -30,16 +30,29 @@ def train_ivf_index(
     id_col: str = "vec_id",
     nlist: int = 16,
     seed: int = 42,
+    max_iter: int = 20,
+    init_mode: str = "k-means||",
 ):
     """Returns (assigned_corpus, centroids_df, model): corpus rows tagged
-    with their cell id, plus the centroid table for query-side probing."""
+    with their cell id, plus the centroid table for query-side probing.
+
+    ``max_iter`` / ``init_mode`` let callers that only need a coarse
+    partition (e.g. the exact near-dup pruner, whose recall is guaranteed
+    by the triangle inequality regardless of cluster quality) trade
+    centroid quality for fewer distributed passes; both are deterministic
+    under a fixed seed."""
     _require_ml()
     from pyspark.ml.clustering import KMeans
     from pyspark.ml.functions import array_to_vector, vector_to_array
 
     featurized = corpus.withColumn("__features", array_to_vector(F.col(vec_col)))
     model = KMeans(
-        k=nlist, seed=seed, featuresCol="__features", predictionCol="__cell"
+        k=nlist,
+        seed=seed,
+        featuresCol="__features",
+        predictionCol="__cell",
+        maxIter=max_iter,
+        initMode=init_mode,
     ).fit(featurized)
     assigned = model.transform(featurized).select(
         F.col(id_col).alias("vec_id"),
