@@ -1,27 +1,56 @@
 """IVF (inverted-file) approximate nearest-neighbor search — the coarse-
 quantizer alternative to the hyperplane LSH in ``similarity.py``.
 
-Index: a seeded k-means (pyspark.ml, deterministic via initSteps + seed)
-partitions the corpus into nlist cells; each vector is stored under its
-nearest centroid. Query: probe the nprobe nearest cells only, then exact-
-cosine rerank within them. At 100 TB the cell assignment is the partition
-key — a probe touches nprobe/nlist of the data instead of all of it.
+Index: a seeded k-means partitions the corpus into nlist cells; each vector
+is stored under its nearest centroid. Query: probe the nprobe nearest cells
+only, then exact-cosine rerank within them. At 100 TB the cell assignment is
+the partition key — a probe touches nprobe/nlist of the data instead of all
+of it.
+
+Training is SAMPLE-BASED by design, not a distributed k-means: a
+deterministic fixed-size sample is collected to the driver (one TakeOrdered
+pass, bounded bytes), Lloyd's iterations run in numpy there (milliseconds
+for 4096 x 64), and the full corpus is assigned in ONE Arrow-batched pass
+against the broadcast centroid matrix. A k-means|| fit would re-scan 100 TB
+once per iteration; sample-fit + broadcast-assign scans it once total,
+which is how production IVF indexes (FAISS et al.) train at scale. Under a
+fixed seed the whole pipeline is deterministic.
 """
 
 from __future__ import annotations
 
+from typing import Iterator
+
+import numpy as np
+import pandas as pd
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from ..queries.vectors import dot, norm
 
 
-def _require_ml():
-    try:
-        from pyspark.ml.clustering import KMeans  # noqa: F401
-        from pyspark.ml.functions import array_to_vector  # noqa: F401
-    except ImportError as e:  # pragma: no cover - pyspark.ml ships with pyspark
-        raise ModuleNotFoundError("pyspark.ml is required for IVF indexing") from e
+def _kmeans_fit(sample: np.ndarray, nlist: int, seed: int, iters: int = 15) -> np.ndarray:
+    """Seeded Lloyd's on a driver-side sample. Empty clusters keep their
+    previous centroid (deterministic; they simply attract no members)."""
+    rng = np.random.default_rng(seed)
+    n = len(sample)
+    k = min(nlist, n)
+    centroids = sample[rng.choice(n, size=k, replace=False)].copy()
+    for _ in range(iters):
+        # pairwise squared distances via ||x||^2 - 2 x.c + ||c||^2
+        d2 = (
+            (sample * sample).sum(axis=1)[:, None]
+            - 2.0 * sample @ centroids.T
+            + (centroids * centroids).sum(axis=1)[None, :]
+        )
+        labels = d2.argmin(axis=1)
+        for c in range(k):
+            members = sample[labels == c]
+            if len(members):
+                centroids[c] = members.mean(axis=0)
+    if k < nlist:  # degenerate corpus smaller than nlist: pad by repetition
+        centroids = np.vstack([centroids, centroids[np.arange(nlist - k) % k]])
+    return centroids
 
 
 def train_ivf_index(
@@ -30,40 +59,76 @@ def train_ivf_index(
     id_col: str = "vec_id",
     nlist: int = 16,
     seed: int = 42,
-    max_iter: int = 20,
-    init_mode: str = "k-means||",
+    sample_cap: int = 4096,
+    iters: int = 15,
+    emit_angle: bool = False,
 ):
-    """Returns (assigned_corpus, centroids_df, model): corpus rows tagged
-    with their cell id, plus the centroid table for query-side probing.
+    """Returns (assigned_corpus, centroids_df, centroid_matrix): corpus rows
+    tagged with their cell id, the centroid table for query-side probing,
+    and the raw numpy centroid matrix.
 
-    ``max_iter`` / ``init_mode`` let callers that only need a coarse
-    partition (e.g. the exact near-dup pruner, whose recall is guaranteed
-    by the triangle inequality regardless of cluster quality) trade
-    centroid quality for fewer distributed passes; both are deterministic
-    under a fixed seed."""
-    _require_ml()
-    from pyspark.ml.clustering import KMeans
-    from pyspark.ml.functions import array_to_vector, vector_to_array
+    One TakeOrdered sample pass + one assignment pass over the corpus; the
+    sample order key is ``xxhash64(id)`` so the sample is deterministic and
+    independent of partitioning. ``iters`` trades centroid quality for
+    driver CPU only — callers that need just a coarse partition (e.g. the
+    exact near-dup pruner, whose recall is guaranteed by the triangle
+    inequality regardless of cluster quality) can lower it freely.
 
-    featurized = corpus.withColumn("__features", array_to_vector(F.col(vec_col)))
-    model = KMeans(
-        k=nlist,
-        seed=seed,
-        featuresCol="__features",
-        predictionCol="__cell",
-        maxIter=max_iter,
-        initMode=init_mode,
-    ).fit(featurized)
-    assigned = model.transform(featurized).select(
+    ``emit_angle`` adds a ``theta`` column — the angle (radians) between
+    each member and its cell centroid, computed from the SAME matmul that
+    picked the cell (no extra pass, no Catalyst fold expressions); a
+    zero-norm member or centroid yields the worst-case pi so downstream
+    triangle-inequality bounds stay conservative.
+    """
+    sample_rows = (
+        corpus.select(F.col(vec_col).alias("v"))
+        .orderBy(F.xxhash64(F.col(id_col)), F.col(id_col))
+        .limit(sample_cap)
+        .collect()
+    )
+    sample = np.array([r["v"] for r in sample_rows], dtype="float64")
+    centroids_np = _kmeans_fit(sample, nlist, seed, iters)
+
+    # broadcast-assign: one Arrow-batched matmul per batch against the
+    # (nlist x dim) centroid matrix captured in the closure
+    cmat = centroids_np
+    cnorm2 = (cmat * cmat).sum(axis=1)
+    cnorm = np.sqrt(cnorm2)
+
+    @F.pandas_udf("struct<cell:int,theta:double>")
+    def _assign(it: Iterator[pd.Series]) -> Iterator[pd.DataFrame]:
+        for vecs in it:
+            X = np.vstack(vecs.to_numpy()).astype("float64")
+            dots = X @ cmat.T
+            xnorm2 = (X * X).sum(axis=1)
+            d2 = xnorm2[:, None] - 2.0 * dots + cnorm2[None, :]
+            cells = d2.argmin(axis=1)
+            rows = np.arange(len(X))
+            denom = np.sqrt(xnorm2) * cnorm[cells]
+            with np.errstate(invalid="ignore", divide="ignore"):
+                cos = dots[rows, cells] / denom
+            theta = np.where(
+                denom == 0.0, np.pi, np.arccos(np.clip(cos, -1.0, 1.0))
+            )
+            yield pd.DataFrame(
+                {"cell": cells.astype("int32"), "theta": theta}
+            )
+
+    assigned = corpus.select(
         F.col(id_col).alias("vec_id"),
         F.col(vec_col).alias("embedding"),
-        F.col("__cell").alias("cell"),
+        _assign(F.col(vec_col)).alias("__a"),
+    ).select(
+        "vec_id",
+        "embedding",
+        F.col("__a.cell").alias("cell"),
+        *([F.col("__a.theta").alias("theta")] if emit_angle else []),
     )
     centroids = corpus.sparkSession.createDataFrame(
-        [(i, [float(x) for x in c]) for i, c in enumerate(model.clusterCenters())],
+        [(i, [float(x) for x in c]) for i, c in enumerate(centroids_np)],
         "cell int, centroid array<double>",
     )
-    return assigned, centroids, model
+    return assigned, centroids, centroids_np
 
 
 def ivf_topk(

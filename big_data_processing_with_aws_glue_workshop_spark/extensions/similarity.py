@@ -156,9 +156,10 @@ def near_dup_pairs_clustered(
     recomputes the exact sequential-fold cosine, so emitted values are
     bit-identical to the all-pairs baseline (queries/vectors.py).
 
-    Plan shape: k-means assignment (one pass), per-cluster radius (one
-    narrow groupBy), a driver-side nlist x nlist allowlist (tiny — two
-    collects of nlist rows, not data rows), then a TWO-STAGE scorer over the
+    Plan shape: sample-fit k-means assignment (one pass, angles piggybacked
+    on the assignment matmul), per-cluster radius (one narrow groupBy over
+    nlist rows), a driver-side nlist x nlist allowlist, then a TWO-STAGE
+    scorer over the
     allowed cluster pairs: (1) cogrouped block-matmul prefilter — one
     Arrow-batched numpy matmul per allowed (c1, c2) block, emitting id
     pairs whose approximate cosine clears threshold-minus-margin (a strict
@@ -176,35 +177,24 @@ def near_dup_pairs_clustered(
     from .ivf import train_ivf_index
 
     # coarse partition only: exactness never depends on cluster quality
-    # (triangle-inequality bound), so spend 5 iterations from a seeded
-    # random init rather than the full k-means|| + 20-iteration budget
-    assigned, centroids, _ = train_ivf_index(
-        corpus, vec_col, id_col, nlist, seed, max_iter=5, init_mode="random"
+    # (triangle-inequality bound), so spend 5 Lloyd's iterations on the
+    # driver-side sample rather than the trainer's full budget. emit_angle
+    # piggybacks each member's angle-to-centroid on the assignment matmul
+    # (zero-norm members report worst-case pi, so the bound below can only
+    # widen — recall stays 1.0 on arbitrary data). assigned is cached: the
+    # radius collect and both sides of the block join reuse it.
+    assigned, _, cmat = train_ivf_index(
+        corpus, vec_col, id_col, nlist, seed, iters=5, emit_angle=True
     )
+    assigned = assigned.cache()
 
-    # assigned's vector column is always aliased "embedding" by train_ivf_index
-    unit_cos = dot(F.col("embedding"), F.col("centroid")) / (
-        norm(F.col("embedding")) * norm(F.col("centroid"))
-    )
-    # a zero-norm member (or centroid) makes unit_cos NaN; since Spark sorts
-    # NaN above every double, F.max would propagate it into the radius and
-    # every bound comparison against that cell would fail, silently PRUNING
-    # qualifying pairs. Treat undefined angles as worst-case pi instead —
-    # that can only widen the allowlist, preserving recall 1.0.
-    angle = F.when(F.isnan(unit_cos), F.lit(math.pi)).otherwise(
-        F.acos(F.greatest(F.lit(-1.0), F.least(F.lit(1.0), unit_cos)))
-    )
-    radii = (
-        assigned.join(F.broadcast(centroids), "cell")
-        .select(F.col("cell"), angle.alias("__theta"))
-        .groupBy("cell")
-        .agg(F.max("__theta").alias("radius"))
-    )
-
-    # Driver-side allowlist over centroid/radius rows: nlist rows each — a
-    # metadata collect, not a data collect.
-    cent_rows = {r["cell"]: r["centroid"] for r in centroids.collect()}
-    radius_rows = {r["cell"]: r["radius"] for r in radii.collect()}
+    # Driver-side allowlist metadata: radii from one narrow groupBy collect
+    # (nlist rows, not data rows); centroids already driver-side from fit.
+    cent_rows = {i: [float(x) for x in c] for i, c in enumerate(cmat)}
+    radius_rows = {
+        r["cell"]: r["radius"]
+        for r in assigned.groupBy("cell").agg(F.max("theta").alias("radius")).collect()
+    }
     theta_t = math.acos(max(-1.0, min(1.0, threshold)))
     eps = 1e-6  # float slack: widens the bound, can only ADD candidates
 
