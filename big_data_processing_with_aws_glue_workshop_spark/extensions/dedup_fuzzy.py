@@ -177,11 +177,19 @@ def simhash(
 ) -> DataFrame:
     """Per-document SimHash fingerprint: explode tokens, hash once, then one
     groupBy computing per-bit majorities and packing them into a bigint —
-    n_bits conditional-sum aggregates in a single pass."""
+    n_bits conditional-sum aggregates in a single pass.
+
+    The per-token hash is the first 15 hex chars of md5 (60 usable bits) —
+    deliberately md5 rather than xxhash64 so the fingerprints are
+    reproducible by any engine with a standard md5 (the DuckDB oracle twin
+    computes the identical value); both hash JVM-side / vectorized."""
+    assert n_bits <= 60, "md5-derived hash exposes 60 bits (15 hex chars)"
     toks = F.split(F.trim(F.lower(F.col(text_col))), r"[ \t\n\f\r]+")
     tokens = df.select(
         F.col(id_col).alias("doc_id"), F.explode(toks).alias("token")
-    ).withColumn("h", F.xxhash64("token"))
+    ).withColumn(
+        "h", F.conv(F.substring(F.md5("token"), 1, 15), 16, 10).cast("bigint")
+    )
     bit_sums = [
         F.sum(
             F.when(F.shiftright(F.col("h"), b).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)

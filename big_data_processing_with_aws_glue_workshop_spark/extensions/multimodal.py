@@ -1,8 +1,10 @@
 """Multimodal column plumbing: image/audio/video as opaque ``binary``
 columns with typed metadata, processed by Arrow-batched pandas iterators
-(``mapInPandas``) — the Spark-side architecture is real and tested; the
-actual codec calls are stubbed (no image/audio libraries in this
-environment) behind ``FakeCodec``, clearly marked.
+(``mapInPandas``) — the Spark-side architecture is real and tested.
+Uncompressed image decode is REAL (``decode_ppm``: a pure-Python binary-PPM
+parser, driven end-to-end by ``image_pixel_stats``); compressed codecs
+(JPEG/audio/video) would need libraries absent from this environment and
+stay stubbed behind ``FakeCodec``, clearly marked.
 
 Design for 100 TB: binary payloads never pass through Python row-by-row —
 mapInPandas streams Arrow record batches; metadata-only plans (filters on
@@ -53,11 +55,60 @@ class FakeCodec:
         return w, h, frames, rate
 
     @staticmethod
-    def decode_pixels(payload: bytes):  # pragma: no cover - documented stub
+    def decode_pixels(payload: bytes):
+        """Pixel decode. PPM (P6) payloads decode for real via
+        ``decode_ppm``; compressed formats (JPEG/PNG) would need an image
+        library not present in this environment and stay unsupported."""
+        if payload is not None and payload[:2] == b"P6":
+            return decode_ppm(payload)
         raise NotImplementedError(
-            "real pixel decode requires an image library (PIL/libjpeg); "
-            "not available in this environment"
+            "compressed pixel decode requires an image library (PIL/libjpeg); "
+            "only uncompressed PPM (P6) is supported in this environment"
         )
+
+
+def decode_ppm(payload: bytes):
+    """REAL pure-Python decoder for binary PPM (P6): parses the whitespace/
+    comment-tolerant ASCII header, then views the raw RGB plane as a numpy
+    (height, width, 3) uint8 array — zero copies beyond the frombuffer view.
+
+    Raises ValueError on anything malformed (wrong magic, truncated header,
+    16-bit maxval, short pixel plane) so callers can route corrupt files to
+    the invalid path exactly like a libjpeg failure would.
+    """
+    import numpy as np
+
+    if payload is None or payload[:2] != b"P6":
+        raise ValueError("not a binary PPM (P6) payload")
+    pos, fields = 2, []
+    n = len(payload)
+    while len(fields) < 3:
+        while pos < n and payload[pos : pos + 1].isspace():
+            pos += 1
+        if pos < n and payload[pos : pos + 1] == b"#":
+            while pos < n and payload[pos] != 0x0A:
+                pos += 1
+            continue
+        start = pos
+        while pos < n and not payload[pos : pos + 1].isspace():
+            pos += 1
+        if pos == start:
+            raise ValueError("truncated PPM header")
+        try:
+            fields.append(int(payload[start:pos]))
+        except ValueError as e:
+            raise ValueError("malformed PPM header field") from e
+    pos += 1  # the single whitespace byte terminating the maxval field
+    width, height, maxval = fields
+    if width <= 0 or height <= 0:
+        raise ValueError("non-positive PPM dimensions")
+    if not 0 < maxval < 256:
+        raise ValueError("only 8-bit PPM supported")
+    need = width * height * 3
+    plane = payload[pos : pos + need]
+    if len(plane) < need:
+        raise ValueError("truncated PPM pixel plane")
+    return width, height, np.frombuffer(plane, dtype=np.uint8).reshape(height, width, 3)
 
 
 PROBE_SCHEMA = (
@@ -118,6 +169,51 @@ def byte_histogram_features(df: DataFrame, n_bins: int = 16) -> DataFrame:
             yield pd.DataFrame(rows, columns=["media_id", "features"])
 
     return df.select("media_id", "content").mapInPandas(_feats, schema=FEATURE_SCHEMA)
+
+
+PIXEL_STATS_SCHEMA = (
+    "media_id long, valid boolean, width int, height int, n_pixels int, "
+    "mean_r double, mean_g double, mean_b double, byte_sum long"
+)
+
+
+def image_pixel_stats(df: DataFrame) -> DataFrame:
+    """REAL decode path: run every payload through the PPM decoder in
+    Arrow batches and emit per-image channel statistics — the exact shape a
+    resize/feature-extract stage would take. Corrupt payloads (bad magic,
+    truncated plane) surface as valid=false rows, not task failures."""
+
+    def _stats(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for media_id, content in zip(pdf["media_id"], pdf["content"]):
+                try:
+                    w, h, px = decode_ppm(content)
+                    flat = px.reshape(-1, 3).astype("int64")
+                    rows.append(
+                        (
+                            media_id, True, w, h, w * h,
+                            float(flat[:, 0].mean()),
+                            float(flat[:, 1].mean()),
+                            float(flat[:, 2].mean()),
+                            int(flat.sum()),
+                        )
+                    )
+                except ValueError:
+                    rows.append(
+                        (media_id, False, None, None, None, None, None, None, None)
+                    )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "media_id", "valid", "width", "height", "n_pixels",
+                    "mean_r", "mean_g", "mean_b", "byte_sum",
+                ],
+            )
+
+    return df.select("media_id", "content").mapInPandas(
+        _stats, schema=PIXEL_STATS_SCHEMA
+    )
 
 
 def sample_frames(df: DataFrame, every_nth: int = 10) -> DataFrame:

@@ -73,6 +73,54 @@ def q_media_probe_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     return probe_media(media_fixture(spark, sf_dir))
 
 
+def ppm_image_fixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic REAL binary-PPM images built JVM-side from documents:
+    ASCII header ``P6\\n{w} {h}\\n255\\n`` + a uniform RGB plane (every byte
+    = doc_id % 256, packed via unhex(repeat(..))). Dimensions stay small
+    (w<=16, h<=8) so the fixture is a few hundred bytes per row; doc_id %
+    97 == 0 rows are truncated after 5 bytes to exercise the corrupt path."""
+    d = load(spark, sf_dir, "documents")
+    width = (F.col("doc_id") % 16 + 1).cast("int")
+    height = (F.col("doc_id") % 8 + 1).cast("int")
+    header = F.encode(
+        F.concat_ws(
+            "",
+            F.lit("P6\n"),
+            width.cast("string"),
+            F.lit(" "),
+            height.cast("string"),
+            F.lit("\n255\n"),
+        ),
+        "UTF-8",
+    )
+    plane = F.unhex(
+        F.expr("repeat(lpad(hex(doc_id % 256), 2, '0'), "
+               "int((doc_id % 16 + 1) * (doc_id % 8 + 1) * 3))")
+    )
+    full = F.concat(header, plane)
+    content = F.when(
+        F.col("doc_id") % CORRUPT_EVERY == 0, F.substring(full, 1, 5)
+    ).otherwise(full)
+    return d.select(
+        F.col("doc_id").alias("media_id"),
+        F.lit("image").alias("media_type"),
+        content.alias("content"),
+    )
+
+
+def q_media_pixel_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL image decode, driver-checked: pack genuine binary PPM files
+    JVM-side, decode them with the pure-Python PPM parser in Arrow batches
+    (extensions/multimodal.py::decode_ppm), and emit per-image channel
+    stats. The oracle predicts every field analytically from the fixture
+    parameters, so a single flipped byte anywhere in pack -> binary column
+    -> Arrow transfer -> header parse -> numpy plane view shows up as a
+    value mismatch. Truncated payloads must surface as valid=false rows."""
+    from ..extensions.multimodal import image_pixel_stats
+
+    return image_pixel_stats(ppm_image_fixture(spark, sf_dir))
+
+
 def q_media_byte_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Payload feature extraction (normalized 16-bin byte histogram) per
     media type: mean first-bin weight and mean payload size. Rows-only
@@ -99,6 +147,7 @@ def q_media_byte_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 QUERIES = {
     "media_probe_profile": q_media_probe_profile,
+    "media_pixel_stats": q_media_pixel_stats,
     "media_byte_histogram": q_media_byte_histogram,
 }
 
@@ -121,6 +170,32 @@ ORACLES = {
                     ELSE CAST(16 + octet_length(encode(coalesce(text, ''))) AS BIGINT)
                END AS n_bytes,
                doc_id % {CORRUPT_EVERY} <> 0 AS valid
+        FROM documents
+    """,
+    # Every field of the decoded stats is analytically determined by the
+    # fixture: uniform plane value v = doc_id % 256 makes each channel mean
+    # exactly v (integer sums are exact in float64 and the final division
+    # is exact because v is representable), byte_sum = w*h*3*v.
+    "media_pixel_stats": f"""
+        SELECT doc_id AS media_id,
+               doc_id % {CORRUPT_EVERY} <> 0 AS valid,
+               CASE WHEN doc_id % {CORRUPT_EVERY} = 0 THEN NULL
+                    ELSE CAST(doc_id % 16 + 1 AS INTEGER) END AS width,
+               CASE WHEN doc_id % {CORRUPT_EVERY} = 0 THEN NULL
+                    ELSE CAST(doc_id % 8 + 1 AS INTEGER) END AS height,
+               CASE WHEN doc_id % {CORRUPT_EVERY} = 0 THEN NULL
+                    ELSE CAST((doc_id % 16 + 1) * (doc_id % 8 + 1) AS INTEGER)
+               END AS n_pixels,
+               CASE WHEN doc_id % {CORRUPT_EVERY} = 0 THEN NULL
+                    ELSE CAST(doc_id % 256 AS DOUBLE) END AS mean_r,
+               CASE WHEN doc_id % {CORRUPT_EVERY} = 0 THEN NULL
+                    ELSE CAST(doc_id % 256 AS DOUBLE) END AS mean_g,
+               CASE WHEN doc_id % {CORRUPT_EVERY} = 0 THEN NULL
+                    ELSE CAST(doc_id % 256 AS DOUBLE) END AS mean_b,
+               CASE WHEN doc_id % {CORRUPT_EVERY} = 0 THEN NULL
+                    ELSE CAST((doc_id % 16 + 1) * (doc_id % 8 + 1) * 3
+                              * (doc_id % 256) AS BIGINT)
+               END AS byte_sum
         FROM documents
     """,
 }

@@ -226,8 +226,10 @@ def q_minhash_near_duplicates(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_simhash_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SimHash 32-bit fingerprints (rows-only check: xxhash64 isn't
-    reproducible in the SQL oracle). Implementation: extensions/dedup_fuzzy.py."""
+    """SimHash 32-bit fingerprints. Hash-checked against a full DuckDB twin:
+    the per-token hash is md5-derived (extensions/dedup_fuzzy.py), so the
+    oracle reproduces every fingerprint bit-for-bit — per-bit +-1 majority
+    sums over exploded tokens, packed into a bigint."""
     from ..extensions.dedup_fuzzy import simhash
 
     return simhash(load(spark, sf_dir, "documents"), n_bits=32)
@@ -368,3 +370,28 @@ ORACLES = {
 
 # the LSH path must reproduce the exact join's answer (see its docstring)
 ORACLES["minhash_near_duplicates"] = ORACLES["ngram_jaccard_pairs"]
+
+# SimHash twin: same md5-derived 60-bit token hash as the engine
+# (('0x'||hex)::BIGINT == Spark conv(hex,16,10)), same per-bit majority and
+# bit packing. range(32) supplies the bit positions.
+ORACLES["simhash_fingerprints"] = """
+    WITH toks AS (
+      SELECT doc_id,
+             unnest(string_split_regex(trim(lower(text)), '[ \\t\\n\\f\\r]+')) AS token
+      FROM documents
+    ),
+    hashed AS (
+      SELECT doc_id, ('0x' || substr(md5(token), 1, 15))::BIGINT AS h FROM toks
+    ),
+    bits AS (
+      SELECT doc_id, b,
+             SUM(CASE WHEN ((h >> CAST(b AS INTEGER)) & 1) = 1 THEN 1 ELSE -1 END) AS s
+      FROM hashed CROSS JOIN (SELECT unnest(range(32)) AS b) bs
+      GROUP BY doc_id, b
+    )
+    SELECT doc_id,
+           CAST(SUM(CASE WHEN s > 0 THEN (CAST(1 AS BIGINT) << CAST(b AS INTEGER))
+                         ELSE 0 END) AS BIGINT) AS simhash
+    FROM bits
+    GROUP BY doc_id
+"""

@@ -63,9 +63,50 @@ def test_sample_frames(media):
     assert 4 not in by_id  # corrupt excluded
 
 
-def test_decode_stub_is_explicit():
+def test_decode_stub_is_explicit_for_compressed():
     with pytest.raises(NotImplementedError):
-        FakeCodec.decode_pixels(b"anything")
+        FakeCodec.decode_pixels(b"\xff\xd8\xff\xe0 jpeg-ish")
+
+
+def test_decode_ppm_real_bytes():
+    """The PPM decoder parses genuine P6 bytes, comments and all."""
+    import numpy as np
+
+    from big_data_processing_with_aws_glue_workshop_spark.extensions.multimodal import decode_ppm
+
+    plane = bytes(range(2 * 3 * 3))  # 2x3 image, distinct bytes
+    w, h, px = decode_ppm(b"P6\n# a comment\n3 2\n255\n" + plane)
+    assert (w, h) == (3, 2) and px.shape == (2, 3, 3)
+    assert px.dtype == np.uint8 and px.reshape(-1).tolist() == list(plane)
+    # FakeCodec routes P6 payloads to the real decoder
+    assert FakeCodec.decode_pixels(b"P6\n1 1\n255\nabc")[2].shape == (1, 1, 3)
+
+
+@pytest.mark.parametrize(
+    "payload",
+    [
+        None,
+        b"P5\n1 1\n255\nx",  # wrong magic (PGM)
+        b"P6\n2 2\n255\nshort",  # truncated plane
+        b"P6\n2",  # truncated header
+        b"P6\n1 1\n65535\n\x00\x00",  # 16-bit maxval
+        b"P6\n0 1\n255\n",  # degenerate dimensions
+    ],
+)
+def test_decode_ppm_rejects_malformed(payload):
+    from big_data_processing_with_aws_glue_workshop_spark.extensions.multimodal import decode_ppm
+
+    with pytest.raises(ValueError):
+        decode_ppm(payload)
+
+
+def test_media_pixel_stats_oracle(spark, sf_dir):
+    """REAL decode round-trip: JVM-packed PPM bytes decoded by the numpy
+    parser must match the fixture's analytic predictions."""
+    from big_data_processing_with_aws_glue_workshop_spark.queries import ORACLES, QUERIES
+    from tests.oracle_harness import compare
+
+    compare(QUERIES["media_pixel_stats"](spark, sf_dir), ORACLES["media_pixel_stats"], sf_dir)
 
 
 def test_media_probe_profile_oracle(spark, sf_dir):
