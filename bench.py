@@ -46,6 +46,8 @@ HEADLINE = [
     "ann_lsh_topk",
     "ivf_ann_topk",
     "media_probe_profile",
+    "media_pixel_stats",
+    "simhash_fingerprints",
     # literal Athena SQL surface
     "athena_q3_renewal_rate_by_chamber",
 ]

@@ -261,3 +261,55 @@ def simhash_near_duplicates(
         .distinct()
         .filter(F.col("hamming") <= max_hamming)
     )
+
+
+def connected_components(
+    pairs: DataFrame,
+    a_col: str = "d1",
+    b_col: str = "d2",
+    max_iter: int = 25,
+) -> DataFrame:
+    """Connected components over an undirected edge list by iterative
+    min-label propagation — the canonicalization step of a dedup pipeline
+    (every doc in a near-dup component maps to one representative).
+
+    Each round every node adopts the minimum label among itself and its
+    neighbors; convergence (no label decreased) is checked with a LIMIT 1
+    existence probe, and labels are localCheckpoint()ed per round so the
+    plan stays flat instead of growing a 2^iter lineage. Near-dup graphs
+    are shallow (components are tiny cliques/chains), so rounds ~ graph
+    diameter, each one shuffle on the node id. At 100 TB this is the
+    standard large-graph CC recipe (cf. GraphX/GraphFrames' label
+    propagation); checkpointing would target HDFS instead of local disk.
+
+    Returns (id, label): one row per node appearing in any edge; label =
+    the component's minimum node id.
+    """
+    e = pairs.select(F.col(a_col).alias("a"), F.col(b_col).alias("b"))
+    sym = e.union(e.select(F.col("b").alias("a"), F.col("a").alias("b"))).distinct()
+    sym = sym.localCheckpoint()
+    labels = sym.select(F.col("a").alias("id")).distinct().withColumn(
+        "label", F.col("id")
+    )
+    for _ in range(max_iter):
+        msgs = sym.join(labels, sym["a"] == labels["id"]).select(
+            F.col("b").alias("id"), F.col("label")
+        )
+        new_labels = (
+            labels.select("id", "label")
+            .union(msgs)
+            .groupBy("id")
+            .agg(F.min("label").alias("label"))
+            .localCheckpoint()
+        )
+        shrank = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "id")
+            .filter(F.col("n.label") < F.col("o.label"))
+            .limit(1)
+            .count()
+        )
+        labels = new_labels
+        if shrank == 0:
+            break
+    return labels

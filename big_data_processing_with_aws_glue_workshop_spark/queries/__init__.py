@@ -31,6 +31,10 @@ entries in iteration order. The registry is therefore laid out explicitly:
     them every run.
   * ``approx_distinct_profile`` (HLL estimates are engine-specific) and
     ``bernoulli_sample`` (engine RNG) — rows-only by design.
+  * ``doc_dup_components`` — iterative min-label-propagation connected
+    components over the near-dup edge list, oracle-backed via a DuckDB
+    recursive CTE; in the tail only because the 50-row window is full, the
+    pytest gate hash-checks it every run.
 """
 
 import functools
@@ -121,6 +125,7 @@ _TAIL = (
     "unpivot_status_metrics",
     "approx_distinct_profile",
     "bernoulli_sample",
+    "doc_dup_components",
 )
 
 assert len(_SCORED) == 50, f"scored window must be exactly 50, got {len(_SCORED)}"

@@ -18,7 +18,7 @@ Java-regex (Spark) vs RE2 (DuckDB) semantic differences.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ._tables import load
@@ -235,6 +235,31 @@ def q_simhash_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     return simhash(load(spark, sf_dir, "documents"), n_bits=32)
 
 
+def q_doc_dup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dedup canonicalization: near-dup pairs (the minhash_near_duplicates
+    edge list) -> connected components by iterative min-label propagation
+    (extensions/dedup_fuzzy.py::connected_components) -> one canonical doc
+    per component. A genuinely ITERATIVE distributed algorithm, yet still
+    oracle-checkable: the DuckDB twin walks the same edge list with a
+    recursive CTE and takes MIN(reachable id)."""
+    from ..extensions.dedup_fuzzy import connected_components, minhash_near_duplicates
+
+    d = load(spark, sf_dir, "documents")
+    pairs = minhash_near_duplicates(
+        d, n_hashes=64, bands=16, shingle_n=3, threshold=0.8, seed=42
+    )
+    labels = connected_components(pairs, "d1", "d2")
+    w = Window.partitionBy("component")
+    return labels.select(
+        F.col("id").alias("doc_id"), F.col("label").alias("component")
+    ).select(
+        "doc_id",
+        "component",
+        F.count(F.lit(1)).over(w).alias("component_size"),
+        (F.col("doc_id") == F.col("component")).alias("is_canonical"),
+    )
+
+
 QUERIES = {
     "doc_token_stats": q_doc_token_stats,
     "doc_quality_scores": q_doc_quality_scores,
@@ -244,6 +269,7 @@ QUERIES = {
     "doc_fingerprint": q_doc_fingerprint,
     "minhash_near_duplicates": q_minhash_near_duplicates,
     "simhash_fingerprints": q_simhash_fingerprints,
+    "doc_dup_components": q_doc_dup_components,
 }
 
 _DUCK_SHINGLES = """
@@ -370,6 +396,42 @@ ORACLES = {
 
 # the LSH path must reproduce the exact join's answer (see its docstring)
 ORACLES["minhash_near_duplicates"] = ORACLES["ngram_jaccard_pairs"]
+
+# Connected components: DuckDB's recursive CTE computes, for every doc in
+# the near-dup edge list (identical to the minhash oracle's pair set),
+# the minimum reachable doc id — exactly the fixpoint the engine's
+# min-label propagation converges to. UNION (not UNION ALL) dedups the
+# frontier, so the recursion terminates.
+ORACLES["doc_dup_components"] = f"""
+    WITH RECURSIVE {_DUCK_SHINGLES},
+    counts AS (SELECT doc_id, COUNT(1) AS n_sh FROM shingles GROUP BY 1),
+    inter AS (
+      SELECT a.doc_id AS d1, b.doc_id AS d2, COUNT(1) AS n_inter
+      FROM shingles a JOIN shingles b
+        ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    ),
+    pairs AS (
+      SELECT d1, d2
+      FROM inter
+      JOIN counts ca ON ca.doc_id = d1
+      JOIN counts cb ON cb.doc_id = d2
+      WHERE CAST(n_inter AS DOUBLE) / (ca.n_sh + cb.n_sh - n_inter) >= 0.8
+    ),
+    edges AS (SELECT d1 AS a, d2 AS b FROM pairs
+              UNION ALL SELECT d2, d1 FROM pairs),
+    nodes AS (SELECT DISTINCT a AS id FROM edges),
+    reach AS (
+      SELECT id AS src, id AS dst FROM nodes
+      UNION
+      SELECT r.src, e.b FROM reach r JOIN edges e ON e.a = r.dst
+    ),
+    comp AS (SELECT src AS doc_id, MIN(dst) AS component FROM reach GROUP BY src)
+    SELECT doc_id, component,
+           CAST(COUNT(1) OVER (PARTITION BY component) AS BIGINT) AS component_size,
+           doc_id = component AS is_canonical
+    FROM comp
+"""
 
 # SimHash twin: same md5-derived 60-bit token hash as the engine
 # (('0x'||hex)::BIGINT == Spark conv(hex,16,10)), same per-bit majority and

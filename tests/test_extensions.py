@@ -124,3 +124,22 @@ def test_clustered_near_dup_exact_equivalence(embeddings, spark, sf_dir):
     )
     assert pruned == exact
     assert len(exact) > 0  # the fixture must actually exercise the threshold
+
+
+def test_connected_components_multi_hop(spark):
+    """A 5-node chain needs several propagation rounds; two singleton-ish
+    extra edges check component independence."""
+    from big_data_processing_with_aws_glue_workshop_spark.extensions.dedup_fuzzy import (
+        connected_components,
+    )
+
+    edges = spark.createDataFrame(
+        [(4, 5), (3, 4), (2, 3), (1, 2), (10, 11), (20, 21), (11, 12)],
+        "d1 bigint, d2 bigint",
+    )
+    got = {r["id"]: r["label"] for r in connected_components(edges).collect()}
+    assert got == {
+        1: 1, 2: 1, 3: 1, 4: 1, 5: 1,
+        10: 10, 11: 10, 12: 10,
+        20: 20, 21: 20,
+    }
