@@ -128,6 +128,11 @@ def minhash_near_duplicates(
     verify join proportional to the candidate count."""
     rows_per_band = n_hashes // bands
     sigs = minhash_signatures(df, id_col, text_col, n_hashes, shingle_n, seed)
+    # cache(), not localCheckpoint: one lazy materialization inside the
+    # SAME action feeds the semi-join restriction and the verify join
+    # (eager checkpointing here costs two extra jobs per invocation);
+    # entries are plan-keyed (identical re-invocations share one) and
+    # LRU-evictable, so storage is bounded, not leaked.
     cands = lsh_candidate_pairs(sigs, bands, rows_per_band, n_hashes=n_hashes).cache()
 
     # verification only needs the shingles of CANDIDATE docs: restrict via a
@@ -312,4 +317,12 @@ def connected_components(
         labels = new_labels
         if shrank == 0:
             break
+    else:
+        # a silent early exit would split components (two canonical docs for
+        # one true component) — fail loud; callers with deeper graphs pass a
+        # larger max_iter (rounds needed ~ graph diameter).
+        raise RuntimeError(
+            f"connected_components did not converge within max_iter={max_iter} "
+            "rounds; the component graph is deeper than expected"
+        )
     return labels

@@ -65,7 +65,8 @@ def train_ivf_index(
 ):
     """Returns (assigned_corpus, centroids_df, centroid_matrix): corpus rows
     tagged with their cell id, the centroid table for query-side probing,
-    and the raw numpy centroid matrix.
+    and the raw numpy centroid matrix — or (None, None, None) for an empty
+    corpus.
 
     One TakeOrdered sample pass + one assignment pass over the corpus; the
     sample order key is ``xxhash64(id)`` so the sample is deterministic and
@@ -86,6 +87,11 @@ def train_ivf_index(
         .limit(sample_cap)
         .collect()
     )
+    if not sample_rows:
+        # empty corpus: nothing to index. Returning (None, None, None) lets
+        # callers choose their empty-result shape instead of hitting an
+        # obscure numpy axis error inside Lloyd's.
+        return None, None, None
     sample = np.array([r["v"] for r in sample_rows], dtype="float64")
     centroids_np = _kmeans_fit(sample, nlist, seed, iters)
 
@@ -145,6 +151,8 @@ def ivf_topk(
     nprobe nearest centroids (broadcast centroid table — tiny), rerank
     exactly within the probed cells."""
     assigned, centroids, _ = train_ivf_index(corpus, vec_col, id_col, nlist, seed)
+    if assigned is None:
+        raise ValueError("cannot build an IVF index over an empty corpus")
 
     q = queries.select(
         F.col(id_col).alias("query_id"),

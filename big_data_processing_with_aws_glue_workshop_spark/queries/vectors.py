@@ -118,7 +118,8 @@ def q_label_similarity_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     # ONE pass over the exploded corpus: per-(label, dim) centroid coordinate
     # sums AND squared-coordinate sums. Persisted (|labels| x dim rows, tiny)
     # because three downstream aggregates consume it — without the persist
-    # Spark re-runs the scan+explode subtree per consumer.
+    # Spark re-runs the scan+explode subtree per consumer; entries are
+    # plan-keyed and LRU-evictable, so repeated invocations share storage.
     sld = (
         quant.groupBy("label", "dim")
         .agg(F.sum("q").alias("s"), F.sum(qd * qd).alias("s2"))
