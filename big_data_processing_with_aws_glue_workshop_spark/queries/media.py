@@ -121,6 +121,80 @@ def q_media_pixel_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return image_pixel_stats(ppm_image_fixture(spark, sf_dir))
 
 
+def _le16(col: Column) -> Column:
+    """Pack a value (interpreted mod 2^16, two's complement) as 2
+    little-endian bytes, JVM-side."""
+    hx = F.lpad(F.hex(col.cast("bigint").bitwiseAND(F.lit(65535))), 4, "0")
+    return F.unhex(F.concat(F.substring(hx, 3, 2), F.substring(hx, 1, 2)))
+
+
+def _le32(col: Column) -> Column:
+    """Pack a non-negative int (< 2^32) as 4 little-endian bytes, JVM-side."""
+    hx = F.lpad(F.hex(col.cast("bigint")), 8, "0")
+    return F.unhex(
+        F.concat(
+            F.substring(hx, 7, 2),
+            F.substring(hx, 5, 2),
+            F.substring(hx, 3, 2),
+            F.substring(hx, 1, 2),
+        )
+    )
+
+
+def wav_audio_fixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic REAL RIFF/WAVE PCM16 mono clips built JVM-side from
+    documents: canonical RIFF header + fmt + data chunks, with every sample
+    equal to doc_id % 2048 - 1024 (negatives exercise the little-endian
+    two's-complement path). doc_id % 97 == 0 rows are truncated after 8
+    bytes (mid-RIFF-header) for the corrupt path."""
+    d = load(spark, sf_dir, "documents")
+    n_samples = (F.col("doc_id") % 100 + 1).cast("int")
+    rate = F.element_at(
+        F.array(F.lit(8000), F.lit(16000), F.lit(44100)),
+        (F.col("doc_id") % 3 + 1).cast("int"),
+    )
+    data_size = (n_samples * 2).cast("bigint")
+    header = F.concat(
+        F.encode(F.lit("RIFF"), "UTF-8"),
+        _le32(data_size + 36),
+        F.encode(F.lit("WAVEfmt "), "UTF-8"),
+        _le32(F.lit(16)),
+        _le16(F.lit(1)),              # PCM
+        _le16(F.lit(1)),              # mono
+        _le32(rate),
+        _le32(rate * 2),              # byte rate
+        _le16(F.lit(2)),              # block align
+        _le16(F.lit(16)),             # bits per sample
+        F.encode(F.lit("data"), "UTF-8"),
+        _le32(data_size),
+    )
+    # the sample plane: one LE16 hex pattern repeated n_samples times
+    # (expr: repeat() needs a column count)
+    plane = F.unhex(F.expr(
+        "repeat(concat(substring(lpad(hex(int(doc_id % 2048 - 1024) & 65535), 4, '0'), 3, 2),"
+        "              substring(lpad(hex(int(doc_id % 2048 - 1024) & 65535), 4, '0'), 1, 2)),"
+        "       int(doc_id % 100 + 1))"
+    ))
+    full = F.concat(header, plane)
+    content = F.when(
+        F.col("doc_id") % CORRUPT_EVERY == 0, F.substring(full, 1, 8)
+    ).otherwise(full)
+    return d.select(
+        F.col("doc_id").alias("media_id"),
+        F.lit("audio").alias("media_type"),
+        content.alias("content"),
+    )
+
+
+def q_media_audio_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL audio decode, driver-checked: JVM-packed RIFF/WAV PCM16 clips
+    parsed back by the pure-Python chunk walker (extensions/multimodal.py::
+    decode_wav); every stat is analytically predicted by the oracle."""
+    from ..extensions.multimodal import audio_sample_stats
+
+    return audio_sample_stats(wav_audio_fixture(spark, sf_dir))
+
+
 def q_media_byte_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Payload feature extraction (normalized 16-bin byte histogram) per
     media type: mean first-bin weight and mean payload size. Rows-only
@@ -148,6 +222,7 @@ def q_media_byte_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
 QUERIES = {
     "media_probe_profile": q_media_probe_profile,
     "media_pixel_stats": q_media_pixel_stats,
+    "media_audio_stats": q_media_audio_stats,
     "media_byte_histogram": q_media_byte_histogram,
 }
 
@@ -197,5 +272,31 @@ ORACLES = {
                               * (doc_id % 256) AS BIGINT)
                END AS byte_sum
         FROM documents
+    """,
+    # WAV analytic twin: constant-sample PCM16 clips, so every decoded stat
+    # is a closed-form function of doc_id. duration_ms is one IEEE division
+    # on both sides (n_samples * 1000.0 / rate), mean is exactly the sample
+    # value (identical int16 samples).
+    "media_audio_stats": f"""
+        WITH params AS (
+          SELECT doc_id,
+                 doc_id % {CORRUPT_EVERY} <> 0 AS ok,
+                 CAST(doc_id % 100 + 1 AS INTEGER) AS n_samples,
+                 CAST(CASE CAST(doc_id % 3 AS INTEGER)
+                      WHEN 0 THEN 8000 WHEN 1 THEN 16000 ELSE 44100
+                 END AS INTEGER) AS rate,
+                 CAST(doc_id % 2048 - 1024 AS INTEGER) AS v
+          FROM documents
+        )
+        SELECT doc_id AS media_id,
+               ok AS valid,
+               CASE WHEN ok THEN 1 END AS n_channels,
+               CASE WHEN ok THEN rate END AS sample_rate,
+               CASE WHEN ok THEN n_samples END AS n_samples,
+               CASE WHEN ok THEN CAST(v AS DOUBLE) END AS mean_amplitude,
+               CASE WHEN ok THEN abs(v) END AS peak_amplitude,
+               CASE WHEN ok THEN n_samples * CAST(1000 AS DOUBLE) / rate
+               END AS duration_ms
+        FROM params
     """,
 }

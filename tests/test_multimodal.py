@@ -124,3 +124,46 @@ def test_media_byte_histogram_shape(spark, sf_dir):
     rows = QUERIES["media_byte_histogram"](spark, sf_dir).collect()
     assert [r["media_type"] for r in rows] == ["audio", "image", "video"]
     assert all(0.0 <= r["mean_bin0_weight"] <= 1.0 for r in rows)
+
+
+def _wav(channels=1, rate=8000, bits=16, samples=b"\x00\x01\xff\xff", fmt=1):
+    import struct
+
+    fmt_body = struct.pack(
+        "<HHIIHH", fmt, channels, rate, rate * channels * bits // 8,
+        channels * bits // 8, bits,
+    )
+    return (
+        b"RIFF" + struct.pack("<I", 20 + len(fmt_body) + len(samples)) + b"WAVE"
+        + b"fmt " + struct.pack("<I", len(fmt_body)) + fmt_body
+        + b"data" + struct.pack("<I", len(samples)) + samples
+    )
+
+
+def test_decode_wav_real_bytes():
+    from big_data_processing_with_aws_glue_workshop_spark.extensions.multimodal import decode_wav
+
+    ch, rate, samples = decode_wav(_wav())
+    assert (ch, rate) == (1, 8000)
+    assert samples.tolist() == [256, -1]  # little-endian signed int16
+    # stereo interleaved
+    ch, _, samples = decode_wav(_wav(channels=2, samples=b"\x01\x00\x02\x00"))
+    assert ch == 2 and samples.tolist() == [1, 2]
+
+
+@pytest.mark.parametrize(
+    "payload",
+    [
+        None,
+        b"RIFX" + b"\x00" * 40,  # wrong magic
+        _wav()[:20],  # truncated chunk
+        _wav(fmt=3),  # non-PCM (IEEE float)
+        _wav(bits=8),  # unsupported width
+        _wav(samples=b"\x00"),  # odd data length
+    ],
+)
+def test_decode_wav_rejects_malformed(payload):
+    from big_data_processing_with_aws_glue_workshop_spark.extensions.multimodal import decode_wav
+
+    with pytest.raises(ValueError):
+        decode_wav(payload)
