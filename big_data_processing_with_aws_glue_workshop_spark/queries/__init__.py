@@ -35,9 +35,10 @@ entries in iteration order. The registry is therefore laid out explicitly:
     components over the near-dup edge list, oracle-backed via a DuckDB
     recursive CTE; in the tail only because the 50-row window is full, the
     pytest gate hash-checks it every run.
-  * ``media_audio_stats`` — REAL RIFF/WAV PCM16 decode round-trip with an
-    analytic oracle; tail for the same reason (window full), hash-checked
-    by the pytest gate.
+  * ``media_audio_stats`` / ``media_frame_stats`` — REAL RIFF/WAV PCM16
+    decode and framed-video sampled-frame decode round-trips with analytic
+    oracles; tail for the same reason (window full), hash-checked by the
+    pytest gate.
 """
 
 import functools
@@ -130,6 +131,7 @@ _TAIL = (
     "bernoulli_sample",
     "doc_dup_components",
     "media_audio_stats",
+    "media_frame_stats",
 )
 
 assert len(_SCORED) == 50, f"scored window must be exactly 50, got {len(_SCORED)}"

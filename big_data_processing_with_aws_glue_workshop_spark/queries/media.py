@@ -195,6 +195,61 @@ def q_media_audio_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return audio_sample_stats(wav_audio_fixture(spark, sf_dir))
 
 
+def framed_video_fixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic VID0 video containers built JVM-side from documents:
+    magic + le32 frame count + length-prefixed 4x2 PPM frames whose uniform
+    pixel value VARIES per frame ((doc_id + 7*frame) % 256), so sampled
+    decode must seek to the right frame to score. The per-frame bytes are
+    assembled with a higher-order F.aggregate over sequence(0, n-1) — all
+    JVM-side, no Python in the packer. doc_id % 97 == 0 rows are truncated
+    after 6 bytes (mid frame table) for the corrupt path."""
+    d = load(spark, sf_dir, "documents")
+    n_frames = (F.col("doc_id") % 10 + 1).cast("int")
+    # one frame: le32(35) + "P6\n4 2\n255\n" (11 ascii bytes) + 24 plane bytes
+    frame_header = F.concat(
+        _le32(F.lit(35)), F.encode(F.lit("P6\n4 2\n255\n"), "UTF-8")
+    )
+    frames = F.aggregate(
+        F.sequence(F.lit(0), n_frames - 1),
+        F.lit(b""),
+        lambda acc, f: F.concat(
+            acc,
+            frame_header,
+            F.unhex(
+                F.repeat(
+                    F.lpad(
+                        F.hex(((F.col("doc_id") + 7 * f) % 256).cast("bigint")),
+                        2,
+                        "0",
+                    ),
+                    24,
+                )
+            ),
+        ),
+    )
+    full = F.concat(F.encode(F.lit("VID0"), "UTF-8"), _le32(n_frames), frames)
+    content = F.when(
+        F.col("doc_id") % CORRUPT_EVERY == 0, F.substring(full, 1, 6)
+    ).otherwise(full)
+    return d.select(
+        F.col("doc_id").alias("media_id"),
+        F.lit("video").alias("media_type"),
+        content.alias("content"),
+    )
+
+
+def q_media_frame_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL video decode, driver-checked: JVM-packed framed containers,
+    frame table indexed and ONLY every 3rd frame decoded (extensions/
+    multimodal.py::video_frame_stats). The oracle regenerates the sampled
+    frame set and the per-frame means analytically, so a wrong seek, a
+    misread length prefix, or an off-by-one in sampling all surface as
+    value mismatches."""
+    from ..extensions.multimodal import video_frame_stats
+
+    return video_frame_stats(framed_video_fixture(spark, sf_dir), every_nth=3)
+
+
 def q_media_byte_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Payload feature extraction (normalized 16-bin byte histogram) per
     media type: mean first-bin weight and mean payload size. Rows-only
@@ -223,6 +278,7 @@ QUERIES = {
     "media_probe_profile": q_media_probe_profile,
     "media_pixel_stats": q_media_pixel_stats,
     "media_audio_stats": q_media_audio_stats,
+    "media_frame_stats": q_media_frame_stats,
     "media_byte_histogram": q_media_byte_histogram,
 }
 
@@ -298,5 +354,18 @@ ORACLES = {
                CASE WHEN ok THEN n_samples * CAST(1000 AS DOUBLE) / rate
                END AS duration_ms
         FROM params
+    """,
+    # Video analytic twin: the engine decodes frames 0, 3, 6, ... of an
+    # n = doc_id%10+1 frame container; each frame's uniform pixel value is
+    # (doc_id + 7*frame) % 256. Corrupt rows collapse to (-1, NULL).
+    "media_frame_stats": f"""
+        SELECT doc_id AS media_id,
+               CAST(f AS INTEGER) AS frame_idx,
+               CAST((doc_id + 7 * f) % 256 AS DOUBLE) AS mean_px
+        FROM documents
+        CROSS JOIN LATERAL unnest(range(0, CAST(doc_id % 10 + 1 AS BIGINT), 3)) AS t(f)
+        WHERE doc_id % {CORRUPT_EVERY} <> 0
+        UNION ALL
+        SELECT doc_id, -1, NULL FROM documents WHERE doc_id % {CORRUPT_EVERY} = 0
     """,
 }

@@ -167,3 +167,47 @@ def test_decode_wav_rejects_malformed(payload):
 
     with pytest.raises(ValueError):
         decode_wav(payload)
+
+
+def _vid(frames: list[bytes], n_override: int | None = None) -> bytes:
+    import struct
+
+    n = len(frames) if n_override is None else n_override
+    return b"VID0" + struct.pack("<I", n) + b"".join(
+        struct.pack("<I", len(f)) + f for f in frames
+    )
+
+
+def test_video_frame_offsets_and_sampled_decode():
+    from big_data_processing_with_aws_glue_workshop_spark.extensions.multimodal import (
+        decode_ppm,
+        video_frame_offsets,
+    )
+
+    f0 = b"P6\n1 1\n255\n\x01\x01\x01"
+    f1 = b"P6\n1 1\n255\n\x02\x02\x02"
+    payload = _vid([f0, f1])
+    offs = video_frame_offsets(payload)
+    assert len(offs) == 2
+    # seek to frame 1 only and decode it
+    off, ln = offs[1]
+    assert payload[off : off + ln] == f1
+    assert decode_ppm(payload[off : off + ln])[2].reshape(-1).tolist() == [2, 2, 2]
+
+
+@pytest.mark.parametrize(
+    "payload",
+    [
+        None,
+        b"VID1" + b"\x00" * 8,  # wrong magic
+        _vid([b"xy"], n_override=3),  # frame table longer than data
+        _vid([b"xy"])[:-1],  # truncated final frame
+    ],
+)
+def test_video_frame_offsets_rejects_malformed(payload):
+    from big_data_processing_with_aws_glue_workshop_spark.extensions.multimodal import (
+        video_frame_offsets,
+    )
+
+    with pytest.raises(ValueError):
+        video_frame_offsets(payload)
