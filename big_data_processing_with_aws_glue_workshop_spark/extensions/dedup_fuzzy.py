@@ -189,6 +189,11 @@ def simhash(
     reproducible by any engine with a standard md5 (the DuckDB oracle twin
     computes the identical value); both hash JVM-side / vectorized."""
     assert n_bits <= 60, "md5-derived hash exposes 60 bits (15 hex chars)"
+    from ..queries._tables import parallelize_scan
+
+    # md5-per-token + 32 conditional sums is the expensive narrow stage;
+    # keyed on doc_id so the bit-majority groupBy reuses the distribution
+    df = parallelize_scan(df, id_col)
     toks = F.split(F.trim(F.lower(F.col(text_col))), r"[ \t\n\f\r]+")
     tokens = df.select(
         F.col(id_col).alias("doc_id"), F.explode(toks).alias("token")

@@ -95,6 +95,13 @@ def train_ivf_index(
     sample = np.array([r["v"] for r in sample_rows], dtype="float64")
     centroids_np = _kmeans_fit(sample, nlist, seed, iters)
 
+    # the assignment matmul is the expensive narrow stage; an under-split
+    # source (one row group) would run it on one core. Keyed on the vector
+    # id: deterministic, and downstream per-cell work reshuffles anyway.
+    from ..queries._tables import parallelize_scan
+
+    corpus = parallelize_scan(corpus, id_col)
+
     # broadcast-assign: one Arrow-batched matmul per batch against the
     # (nlist x dim) centroid matrix captured in the closure
     cmat = centroids_np

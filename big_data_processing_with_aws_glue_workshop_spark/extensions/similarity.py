@@ -50,6 +50,11 @@ def lsh_bucketize(
     Catalyst produced multi-thousand-term codegen units (~10s compile);
     the vectorized matmul is both faster to plan and to run. Sign bits are
     robust to summation-order effects, so determinism is unaffected."""
+    from ..queries._tables import parallelize_scan
+
+    # the projection matmul is the expensive narrow stage; under-split
+    # sources (one row group) would run it on one core
+    df = parallelize_scan(df, id_col)
     planes = np.array(_hyperplanes(dim, n_planes, n_tables, seed))  # (T, P, D)
     proj_matrix = planes.reshape(n_tables * n_planes, dim).T  # (D, T*P)
     weights = np.power(2.0, np.arange(n_planes))  # bit packing per table

@@ -43,7 +43,17 @@ def word_shingles(df: DataFrame, id_col: str, text_col: str, n: int = 3) -> Data
     reference (codegen does not CSE across lambda invocations; measured
     ~20x slower). Documents with fewer than ``n`` tokens yield no shingles
     (guarded — an unguarded descending sequence() would index element 0 and
-    throw INVALID_INDEX_OF_ZERO)."""
+    throw INVALID_INDEX_OF_ZERO).
+
+    The input is redistributed via parallelize_scan on ``id_col`` when the
+    source arrived under-split (single row group): shingle explode + concat
+    is the expensive narrow stage of every dedup pipeline, and hash
+    distribution on the doc id is exactly what the downstream signature /
+    fingerprint groupBys need, so the exchange moves earlier rather than
+    being added."""
+    from ..queries._tables import parallelize_scan
+
+    df = parallelize_scan(df, id_col)
     tokenized = df.select(
         F.col(id_col).alias("doc_id"),
         # explicit whitespace class: Java \s includes \x0B, RE2's does not —

@@ -66,3 +66,34 @@ def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         # exact-integer range, so float division would corrupt low microseconds
         df = df.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
     return df
+
+
+def parallelize_scan(df: DataFrame, *key_cols: str) -> DataFrame:
+    """Give a poorly-split source scan full parallelism before per-row-heavy
+    compute (shingling, hashing, vector math, media packing/decoding).
+
+    A source that yields fewer splits than the cluster has cores — one row
+    group per file (this driver's testdata), unsplittable codecs, a handful
+    of huge files — leaves every expensive narrow stage running on a
+    fraction of the machine until the first shuffle. Policy: if the scan
+    arrives with fewer partitions than ``defaultParallelism``, redistribute
+    ONCE right after it; well-split sources (the 100 TB case, thousands of
+    row groups) hit the fast path and are untouched.
+
+    Always hash-partitions on ``key_cols`` (callers pass the downstream
+    grouping key, usually the row id): when a later groupBy uses the same
+    key, the exchange MOVES here instead of being added — hash distribution
+    on the key satisfies the aggregation's clustering requirement — and a
+    keyed exchange avoids round-robin's defensive full-row sort
+    (spark.sql.execution.sortBeforeRepartition) on wide binary columns.
+
+    Only safe for order-insensitive computations (per-row projections,
+    min/max/integer aggregates, exact rerank folds): floating-point SUM/AVG
+    reductions change addition order under a different partitioning, so
+    oracle-hash-matched FP aggregations must NOT go through this helper.
+    """
+    spark = df.sparkSession
+    target = spark.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() >= target:
+        return df
+    return df.repartition(target, *[F.col(c) for c in key_cols])

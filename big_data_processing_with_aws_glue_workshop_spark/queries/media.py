@@ -26,7 +26,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ._tables import load
+from ._tables import load, parallelize_scan
 
 CORRUPT_EVERY = 97  # doc_id % 97 == 0 -> truncated payload (corrupt-file path)
 
@@ -38,7 +38,7 @@ def _be32(col: Column) -> Column:
 
 def media_fixture(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic (media_id, media_type, content) built from documents."""
-    d = load(spark, sf_dir, "documents")
+    d = parallelize_scan(load(spark, sf_dir, "documents"), "doc_id")
     width = F.col("doc_id") % 640 + 16
     height = F.col("doc_id") % 480 + 16
     frames = F.col("doc_id") % 100
@@ -79,7 +79,7 @@ def ppm_image_fixture(spark: SparkSession, sf_dir: str) -> DataFrame:
     = doc_id % 256, packed via unhex(repeat(..))). Dimensions stay small
     (w<=16, h<=8) so the fixture is a few hundred bytes per row; doc_id %
     97 == 0 rows are truncated after 5 bytes to exercise the corrupt path."""
-    d = load(spark, sf_dir, "documents")
+    d = parallelize_scan(load(spark, sf_dir, "documents"), "doc_id")
     width = (F.col("doc_id") % 16 + 1).cast("int")
     height = (F.col("doc_id") % 8 + 1).cast("int")
     header = F.encode(
@@ -147,7 +147,7 @@ def wav_audio_fixture(spark: SparkSession, sf_dir: str) -> DataFrame:
     equal to doc_id % 2048 - 1024 (negatives exercise the little-endian
     two's-complement path). doc_id % 97 == 0 rows are truncated after 8
     bytes (mid-RIFF-header) for the corrupt path."""
-    d = load(spark, sf_dir, "documents")
+    d = parallelize_scan(load(spark, sf_dir, "documents"), "doc_id")
     n_samples = (F.col("doc_id") % 100 + 1).cast("int")
     rate = F.element_at(
         F.array(F.lit(8000), F.lit(16000), F.lit(44100)),
@@ -203,7 +203,7 @@ def framed_video_fixture(spark: SparkSession, sf_dir: str) -> DataFrame:
     assembled with a higher-order F.aggregate over sequence(0, n-1) — all
     JVM-side, no Python in the packer. doc_id % 97 == 0 rows are truncated
     after 6 bytes (mid frame table) for the corrupt path."""
-    d = load(spark, sf_dir, "documents")
+    d = parallelize_scan(load(spark, sf_dir, "documents"), "doc_id")
     n_frames = (F.col("doc_id") % 10 + 1).cast("int")
     # one frame: le32(35) + "P6\n4 2\n255\n" (11 ascii bytes) + 24 plane bytes
     frame_header = F.concat(
