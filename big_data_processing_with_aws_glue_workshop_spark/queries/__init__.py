@@ -132,6 +132,12 @@ _TAIL = (
     "doc_dup_components",
     "media_audio_stats",
     "media_frame_stats",
+    # r3 additions (window full): TF-IDF salience, winnowing rolling-hash
+    # fingerprints, eval-set n-gram contamination — all oracle-backed and
+    # hash-checked by the pytest gate every run.
+    "tfidf_top_terms",
+    "doc_winnow_fingerprint",
+    "benchmark_contamination",
 )
 
 assert len(_SCORED) == 50, f"scored window must be exactly 50, got {len(_SCORED)}"

@@ -21,7 +21,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from ._tables import load
+from ._tables import load, parallelize_scan
 
 
 # Portable whitespace class: Java regex \s includes \x0B (vertical tab),
@@ -260,6 +260,172 @@ def q_doc_dup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TF-IDF term salience: top-3 terms per document by tf x idf.
+
+    idf is the RAW inverse-frequency ratio N/df, not ln(N/df): Spark's
+    Math.log and DuckDB's libm ln disagree in the last ulp on ~8% of
+    rational inputs (measured), while +,*,/ are IEEE-exact in both — so the
+    ratio form is hash-reproducible cross-engine where the log form is not
+    (both are monotone decreasing in df). Plan: one shuffle to (doc, term)
+    counts, one to term doc-frequencies, a shuffle join back on term (vocab
+    is corpus-sized at 100 TB — no broadcast), the one-row corpus count
+    broadcast, then a per-doc top-k window. Ties broken by token asc."""
+    d = parallelize_scan(load(spark, sf_dir, "documents"), "doc_id")
+    toks = d.select("doc_id", F.explode(_tokens(F.col("text"))).alias("token"))
+    tf = toks.groupBy("doc_id", "token").agg(F.count(F.lit(1)).alias("tf"))
+    dfreq = tf.groupBy("token").agg(F.count(F.lit(1)).alias("df"))
+    n_docs = d.select(F.count(F.lit(1)).cast("double").alias("n_docs"))
+    scored = (
+        tf.join(dfreq, "token")
+        .crossJoin(F.broadcast(n_docs))
+        .select(
+            "doc_id",
+            "token",
+            "tf",
+            "df",
+            (F.col("tf") * (F.col("n_docs") / F.col("df"))).alias("tfidf"),
+        )
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.col("tfidf").desc(), F.col("token"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 3)
+        .select(
+            "doc_id",
+            F.col("rank").cast("int").alias("rank"),
+            "token",
+            F.col("tf").cast("int").alias("tf"),
+            F.col("df").cast("int").alias("df"),
+            "tfidf",
+        )
+    )
+
+
+# winnowing parameters (Schleimer et al., MOSS): K-token grams, window W
+_WINNOW_K, _WINNOW_W, _WINNOW_B, _WINNOW_M = 4, 5, 131, 2147483647
+
+
+def q_doc_winnow_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling-hash document fingerprinting by winnowing: polynomial
+    Rabin-Karp hashes over K-token grams, then the minimum hash of each
+    sliding window of W consecutive gram hashes is selected as a
+    fingerprint (the MOSS scheme — guarantees any shared run of K+W-1
+    tokens yields a shared fingerprint). Output per doc: gram count,
+    distinct-fingerprint count, min/max fingerprint.
+
+    All arithmetic is integer mod M=2^31-1 with md5-derived token hashes,
+    so every value is engine-exact (the DuckDB twin reproduces each
+    fingerprint bit-for-bit) and overflow-free under ANSI: the largest
+    intermediate is (M-1)*B^3 + ... ~ 4.9e15 << 2^63. Token hashes are
+    materialized in their own projection first — codegen does not CSE
+    inside higher-order-function lambdas."""
+    K, W, B, M = _WINNOW_K, _WINNOW_W, _WINNOW_B, _WINNOW_M
+    d = parallelize_scan(load(spark, sf_dir, "documents"), "doc_id")
+    th = d.select(
+        "doc_id",
+        F.transform(
+            _tokens(F.col("text")),
+            lambda t: F.conv(F.substring(F.md5(t), 1, 15), 16, 10).cast("bigint")
+            % M,
+        ).alias("hs"),
+    )
+    hs = F.col("hs")
+    grams = F.when(
+        F.size(hs) >= K,
+        F.transform(
+            F.sequence(F.lit(1), F.size(hs) - (K - 1)),
+            lambda i: (
+                F.element_at(hs, i.cast("int")) * (B**3)
+                + F.element_at(hs, (i + 1).cast("int")) * (B**2)
+                + F.element_at(hs, (i + 2).cast("int")) * B
+                + F.element_at(hs, (i + 3).cast("int"))
+            )
+            % M,
+        ),
+    ).otherwise(F.array().cast("array<bigint>"))
+    kgf = th.select("doc_id", grams.alias("kg"))
+    exploded = kgf.select("doc_id", F.posexplode("kg").alias("pos", "kh"))
+    wspec = Window.partitionBy("doc_id").orderBy("pos").rowsBetween(0, W - 1)
+    wcnt = Window.partitionBy("doc_id")
+    fps = (
+        exploded.select(
+            "doc_id",
+            "pos",
+            F.min("kh").over(wspec).alias("fp"),
+            F.count(F.lit(1)).over(wcnt).alias("nk"),
+        )
+        # only complete windows select fingerprints
+        .filter(F.col("pos") <= F.col("nk") - W)
+        .groupBy("doc_id")
+        .agg(
+            F.countDistinct("fp").alias("n_fingerprints"),
+            F.min("fp").alias("min_fp"),
+            F.max("fp").alias("max_fp"),
+        )
+    )
+    return (
+        kgf.select("doc_id", F.size("kg").alias("n_kgrams"))
+        .join(fps, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.col("n_kgrams").cast("int").alias("n_kgrams"),
+            F.coalesce(F.col("n_fingerprints"), F.lit(0))
+            .cast("int")
+            .alias("n_fingerprints"),
+            "min_fp",
+            "max_fp",
+        )
+    )
+
+
+# contamination check: eval set = doc_id % 17 == 0, 5-gram overlap >= 1
+_EVAL_MOD, _CONTAM_N = 17, 5
+
+
+def q_benchmark_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination for training corpora: find training docs
+    sharing >= 1 distinct 5-token gram with any held-out eval doc (the
+    GPT-3 / Pile n-gram-collision recipe). The eval set is the
+    deterministic doc_id % 17 == 0 slice. Output per contaminated training
+    doc: how many eval docs it collides with, the worst offender (most
+    shared grams, ties to lowest eval id), and the shared-gram count.
+
+    Plan shape at 100 TB: both sides shingle once (explode + distinct),
+    the join key is the gram itself — corpus-sized shuffle, the same shape
+    as the exact n-gram Jaccard join — then two narrow aggregations. The
+    eval side is typically small enough to broadcast in production; it is
+    a filtered slice of the same table here, so Spark's stats pick the
+    strategy (AQE converts to broadcast when the build side is small)."""
+    from ..functions.text import word_shingles
+
+    d = load(spark, sf_dir, "documents")
+    sh = word_shingles(d, "doc_id", "text", n=_CONTAM_N)
+    eval_sh = sh.filter((F.col("doc_id") % _EVAL_MOD) == 0).select(
+        F.col("doc_id").alias("eval_id"), "shingle"
+    )
+    train_sh = sh.filter((F.col("doc_id") % _EVAL_MOD) != 0)
+    overlap = (
+        train_sh.join(eval_sh, "shingle")
+        .groupBy("doc_id", "eval_id")
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+    )
+    w = Window.partitionBy("doc_id").orderBy(
+        F.col("n_shared").desc(), F.col("eval_id")
+    )
+    return (
+        overlap.withColumn("rn", F.row_number().over(w))
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("int").alias("n_eval_matches"),
+            F.max(F.when(F.col("rn") == 1, F.col("eval_id"))).alias("top_eval_id"),
+            F.max(F.when(F.col("rn") == 1, F.col("n_shared")))
+            .cast("int")
+            .alias("top_shared"),
+        )
+    )
+
+
 QUERIES = {
     "doc_token_stats": q_doc_token_stats,
     "doc_quality_scores": q_doc_quality_scores,
@@ -270,6 +436,9 @@ QUERIES = {
     "minhash_near_duplicates": q_minhash_near_duplicates,
     "simhash_fingerprints": q_simhash_fingerprints,
     "doc_dup_components": q_doc_dup_components,
+    "tfidf_top_terms": q_tfidf_top_terms,
+    "doc_winnow_fingerprint": q_doc_winnow_fingerprint,
+    "benchmark_contamination": q_benchmark_contamination,
 }
 
 _DUCK_SHINGLES = """
@@ -456,4 +625,98 @@ ORACLES["simhash_fingerprints"] = """
                          ELSE 0 END) AS BIGINT) AS simhash
     FROM bits
     GROUP BY doc_id
+"""
+
+# TF-IDF twin: ratio idf (see q_tfidf_top_terms docstring — ln is not
+# cross-engine ulp-exact; * and / are). Association order mirrors the
+# Spark expression exactly: tf * (N / df).
+ORACLES["tfidf_top_terms"] = """
+    WITH toks AS (
+      SELECT doc_id,
+             unnest(string_split_regex(trim(lower(text)), '[ \\t\\n\\f\\r]+')) AS token
+      FROM documents
+    ),
+    tf AS (SELECT doc_id, token, COUNT(*) AS tf FROM toks GROUP BY 1, 2),
+    dfreq AS (SELECT token, COUNT(*) AS df FROM tf GROUP BY 1),
+    n AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n_docs FROM documents),
+    scored AS (
+      SELECT tf.doc_id, tf.token, tf.tf, dfreq.df,
+             tf.tf * (n.n_docs / dfreq.df) AS tfidf
+      FROM tf JOIN dfreq USING (token) CROSS JOIN n
+    ),
+    ranked AS (
+      SELECT *, row_number() OVER (ORDER BY doc_id, tfidf DESC, token) -
+                row_number() OVER (PARTITION BY doc_id ORDER BY tfidf DESC, token) + 1 AS _x,
+             row_number() OVER (PARTITION BY doc_id ORDER BY tfidf DESC, token) AS rnk
+      FROM scored
+    )
+    SELECT doc_id, CAST(rnk AS INTEGER) AS rank, token,
+           CAST(tf AS INTEGER) AS tf, CAST(df AS INTEGER) AS df, tfidf
+    FROM ranked WHERE rnk <= 3
+"""
+
+# Winnowing twin: identical md5-derived token hashes, identical polynomial
+# (B=131, M=2^31-1), identical W=5 min-window selection.
+ORACLES["doc_winnow_fingerprint"] = """
+    WITH toks AS (
+      SELECT doc_id, string_split_regex(trim(lower(text)), '[ \\t\\n\\f\\r]+') AS w
+      FROM documents
+    ),
+    hashed AS (
+      SELECT doc_id,
+             list_transform(w, t -> ('0x' || substr(md5(t), 1, 15))::BIGINT % 2147483647) AS hs
+      FROM toks
+    ),
+    kgrams AS (
+      SELECT doc_id, CAST(i - 1 AS INTEGER) AS pos,
+             (hs[i] * 2248091 + hs[i+1] * 17161 + hs[i+2] * 131 + hs[i+3]) % 2147483647 AS kh
+      FROM hashed, UNNEST(range(1, len(hs) - 2)) AS t(i)
+    ),
+    winnow AS (
+      SELECT doc_id, pos,
+             MIN(kh) OVER (PARTITION BY doc_id ORDER BY pos
+                           ROWS BETWEEN CURRENT ROW AND 4 FOLLOWING) AS fp,
+             COUNT(*) OVER (PARTITION BY doc_id) AS nk
+      FROM kgrams
+    ),
+    agg AS (
+      SELECT doc_id, COUNT(DISTINCT fp) AS n_fingerprints,
+             MIN(fp) AS min_fp, MAX(fp) AS max_fp
+      FROM winnow WHERE pos <= nk - 5 GROUP BY doc_id
+    )
+    SELECT h.doc_id,
+           CAST(GREATEST(len(h.hs) - 3, 0) AS INTEGER) AS n_kgrams,
+           CAST(COALESCE(a.n_fingerprints, 0) AS INTEGER) AS n_fingerprints,
+           a.min_fp, a.max_fp
+    FROM hashed h LEFT JOIN agg a USING (doc_id)
+"""
+
+# Contamination twin: same eval slice (doc_id % 17 = 0), same DISTINCT
+# 5-gram tokenization as _DUCK_SHINGLES but width 5.
+ORACLES["benchmark_contamination"] = """
+    WITH toks AS (
+      SELECT doc_id, string_split_regex(trim(lower(text)), '[ \\t\\n\\f\\r]+') AS w
+      FROM documents
+    ),
+    shingles AS (
+      SELECT DISTINCT doc_id,
+             w[i] || ' ' || w[i+1] || ' ' || w[i+2] || ' ' || w[i+3] || ' ' || w[i+4] AS shingle
+      FROM toks, UNNEST(range(1, len(w) - 3)) AS t(i)
+    ),
+    overlap AS (
+      SELECT t.doc_id, e.doc_id AS eval_id, COUNT(*) AS n_shared
+      FROM shingles t JOIN shingles e USING (shingle)
+      WHERE t.doc_id % 17 <> 0 AND e.doc_id % 17 = 0
+      GROUP BY 1, 2
+    ),
+    ranked AS (
+      SELECT *, row_number() OVER (PARTITION BY doc_id
+                                   ORDER BY n_shared DESC, eval_id) AS rn
+      FROM overlap
+    )
+    SELECT doc_id,
+           CAST(COUNT(*) AS INTEGER) AS n_eval_matches,
+           MAX(CASE WHEN rn = 1 THEN eval_id END) AS top_eval_id,
+           CAST(MAX(CASE WHEN rn = 1 THEN n_shared END) AS INTEGER) AS top_shared
+    FROM ranked GROUP BY doc_id
 """

@@ -1,0 +1,143 @@
+"""Semantic tests for the r3 training-pipeline text operators — the
+guarantees the oracle hash-check can't express directly:
+- winnowing's detection contract (any shared token run of K+W-1 tokens
+  yields at least one shared fingerprint),
+- contamination detection of a planted eval overlap,
+- TF-IDF ordering sanity (rarer terms outrank ubiquitous ones).
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+
+from big_data_processing_with_aws_glue_workshop_spark.queries.textops import (
+    _CONTAM_N,
+    _EVAL_MOD,
+    _WINNOW_K,
+    _WINNOW_W,
+)
+
+
+def _docs(spark, rows):
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def _winnow_fps(spark, rows):
+    """Run the winnowing pipeline on an in-memory docs frame by reusing the
+    registered query's internals via a temp parquet-free path: rebuild the
+    same expressions directly (the query itself is pinned by the oracle
+    gate; this exercises the CONTRACT on crafted inputs)."""
+    from pyspark.sql import Window
+
+    K, W, B, M = _WINNOW_K, _WINNOW_W, 131, 2147483647
+    d = _docs(spark, rows)
+    th = d.select(
+        "doc_id",
+        F.transform(
+            F.split(F.trim(F.lower(F.col("text"))), r"[ \t\n\f\r]+"),
+            lambda t: F.conv(F.substring(F.md5(t), 1, 15), 16, 10).cast("bigint")
+            % M,
+        ).alias("hs"),
+    )
+    hs = F.col("hs")
+    grams = F.when(
+        F.size(hs) >= K,
+        F.transform(
+            F.sequence(F.lit(1), F.size(hs) - (K - 1)),
+            lambda i: (
+                F.element_at(hs, i.cast("int")) * (B**3)
+                + F.element_at(hs, (i + 1).cast("int")) * (B**2)
+                + F.element_at(hs, (i + 2).cast("int")) * B
+                + F.element_at(hs, (i + 3).cast("int"))
+            )
+            % M,
+        ),
+    ).otherwise(F.array().cast("array<bigint>"))
+    exploded = th.select("doc_id", grams.alias("kg")).select(
+        "doc_id", F.posexplode("kg").alias("pos", "kh")
+    )
+    wspec = Window.partitionBy("doc_id").orderBy("pos").rowsBetween(0, W - 1)
+    wcnt = Window.partitionBy("doc_id")
+    fps = (
+        exploded.select(
+            "doc_id",
+            "pos",
+            F.min("kh").over(wspec).alias("fp"),
+            F.count(F.lit(1)).over(wcnt).alias("nk"),
+        )
+        .filter(F.col("pos") <= F.col("nk") - W)
+        .select("doc_id", "fp")
+        .distinct()
+    )
+    out = {}
+    for r in fps.collect():
+        out.setdefault(r["doc_id"], set()).add(r["fp"])
+    return out
+
+
+def test_winnowing_detects_shared_runs(spark):
+    # docs 1 and 2 share a run of exactly K+W-1 = 8 tokens (the winnowing
+    # detection threshold); doc 3 shares nothing
+    shared = "alpha bravo charlie delta echo foxtrot golf hotel"
+    rows = [
+        (1, f"one two three {shared} four five six"),
+        (2, f"{shared} seven eight nine ten eleven twelve"),
+        (3, "completely different words with no common run at all here"),
+    ]
+    fps = _winnow_fps(spark, rows)
+    assert fps[1] & fps[2], "shared K+W-1 token run must share a fingerprint"
+    assert not (fps[1] & fps[3])
+    assert not (fps[2] & fps[3])
+
+
+def test_winnowing_short_doc_has_no_fingerprints(spark):
+    need = _WINNOW_K + _WINNOW_W - 1
+    rows = [(1, " ".join(f"t{i}" for i in range(need - 1)))]
+    fps = _winnow_fps(spark, rows)
+    assert 1 not in fps  # fewer than K+W-1 tokens -> zero complete windows
+
+
+def test_contamination_flags_planted_overlap(spark, tmp_path):
+    # build a tiny documents table: doc 17 (eval: 17 % 17 == 0) shares a
+    # 5-gram with training doc 1; training doc 2 is clean
+    gram = "lorem ipsum dolor sit amet"
+    rows = [
+        (_EVAL_MOD, f"eval doc containing {gram} exactly once"),
+        (1, f"training doc where {gram} also appears verbatim"),
+        (2, "clean training doc sharing nothing with the eval slice"),
+    ]
+    df = _docs(spark, rows).withColumn("lang", F.lit("en"))
+    path = str(tmp_path / "documents.parquet")
+    df.coalesce(1).write.parquet(path)
+    # the query reads {sf_dir}/documents.parquet
+    from big_data_processing_with_aws_glue_workshop_spark.queries.textops import (
+        q_benchmark_contamination,
+    )
+
+    out = {
+        r["doc_id"]: r
+        for r in q_benchmark_contamination(spark, str(tmp_path)).collect()
+    }
+    assert 1 in out and out[1]["top_eval_id"] == _EVAL_MOD
+    assert out[1]["top_shared"] >= 1 and out[1]["n_eval_matches"] == 1
+    assert 2 not in out
+    assert _CONTAM_N == 5  # the planted gram length must match the operator
+
+
+def test_tfidf_prefers_rare_terms(spark, tmp_path):
+    rows = [
+        (1, "common common rareword filler"),
+        (2, "common filler text here"),
+        (3, "common another filler document"),
+    ]
+    df = _docs(spark, rows).withColumn("lang", F.lit("en"))
+    df.coalesce(1).write.parquet(str(tmp_path / "documents.parquet"))
+    from big_data_processing_with_aws_glue_workshop_spark.queries.textops import (
+        q_tfidf_top_terms,
+    )
+
+    out = q_tfidf_top_terms(spark, str(tmp_path))
+    top_doc1 = out.filter((F.col("doc_id") == 1) & (F.col("rank") == 1)).first()
+    # df(rareword)=1 so idf=3.0; tf(common)=2 but idf=1.0 -> rareword wins
+    assert top_doc1["token"] == "rareword"
+    assert top_doc1["df"] == 1 and top_doc1["tf"] == 1
