@@ -138,6 +138,7 @@ _TAIL = (
     "tfidf_top_terms",
     "doc_winnow_fingerprint",
     "benchmark_contamination",
+    "source_mixture_plan",
 )
 
 assert len(_SCORED) == 50, f"scored window must be exactly 50, got {len(_SCORED)}"

@@ -426,6 +426,63 @@ def q_benchmark_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_source_mixture_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training-data mixture planning: downsample every source to the SAME
+    token budget (the smallest source's total) with deterministic
+    hash-based selection — the reproducible alternative to rand()-based
+    sampling (identical membership on every engine, every partitioning,
+    every rerun; a doc's fate depends only on its id).
+
+    Selection: md5-derived uniform hash of the doc id in [0, 1e6); doc
+    kept iff hash < rate * 1e6 where rate = target_tokens / source_tokens.
+    Expected selected-token mass per source ~ the target budget. Plan: one
+    shuffle to per-source totals (source cardinality is tiny vs corpus —
+    thousands at 100 TB), the one-row global min broadcast, the 20-row
+    rate table broadcast back onto the per-doc frame, then one more
+    per-source aggregation of the survivors. All counts integer-exact; the
+    rate and the threshold comparison are single IEEE ops, so the DuckDB
+    twin reproduces membership bit-for-bit."""
+    d = parallelize_scan(load(spark, sf_dir, "documents"), "doc_id")
+    per_doc = d.select(
+        "doc_id",
+        "source",
+        F.size(_tokens(F.col("text"))).alias("n_tokens"),
+        (
+            F.conv(
+                F.substring(F.md5(F.col("doc_id").cast("string")), 1, 15), 16, 10
+            ).cast("bigint")
+            % 1000000
+        ).alias("h"),
+    )
+    totals = per_doc.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"), F.sum("n_tokens").alias("total_tokens")
+    )
+    target = totals.agg(F.min("total_tokens").cast("double").alias("target"))
+    rated = totals.crossJoin(F.broadcast(target)).select(
+        "source",
+        "n_docs",
+        "total_tokens",
+        (F.col("target") / F.col("total_tokens")).alias("rate"),
+    )
+    survivors = per_doc.join(F.broadcast(rated.select("source", "rate")), "source").filter(
+        F.col("h").cast("double") < F.col("rate") * 1000000.0
+    )
+    sel = survivors.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_selected"),
+        F.sum("n_tokens").alias("selected_tokens"),
+    )
+    return rated.join(sel, "source", "left").select(
+        "source",
+        F.col("n_docs").cast("int").alias("n_docs"),
+        F.col("total_tokens").cast("bigint").alias("total_tokens"),
+        "rate",
+        F.coalesce(F.col("n_selected"), F.lit(0)).cast("int").alias("n_selected"),
+        F.coalesce(F.col("selected_tokens"), F.lit(0))
+        .cast("bigint")
+        .alias("selected_tokens"),
+    )
+
+
 QUERIES = {
     "doc_token_stats": q_doc_token_stats,
     "doc_quality_scores": q_doc_quality_scores,
@@ -439,6 +496,7 @@ QUERIES = {
     "tfidf_top_terms": q_tfidf_top_terms,
     "doc_winnow_fingerprint": q_doc_winnow_fingerprint,
     "benchmark_contamination": q_benchmark_contamination,
+    "source_mixture_plan": q_source_mixture_plan,
 }
 
 _DUCK_SHINGLES = """
@@ -719,4 +777,42 @@ ORACLES["benchmark_contamination"] = """
            MAX(CASE WHEN rn = 1 THEN eval_id END) AS top_eval_id,
            CAST(MAX(CASE WHEN rn = 1 THEN n_shared END) AS INTEGER) AS top_shared
     FROM ranked GROUP BY doc_id
+"""
+
+# Mixture twin: identical md5-derived membership hash, identical IEEE rate
+# arithmetic. SUM(int) promotes to HUGEINT in DuckDB -> cast the RESULT
+# (not the argument) to BIGINT, or pandas renders float64 and the value
+# hash diverges on identical data.
+ORACLES["source_mixture_plan"] = """
+    WITH per_doc AS (
+      SELECT doc_id, source,
+             len(string_split_regex(trim(lower(text)), '[ \\t\\n\\f\\r]+')) AS n_tokens,
+             ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT % 1000000 AS h
+      FROM documents
+    ),
+    totals AS (
+      SELECT source, COUNT(*) AS n_docs,
+             CAST(SUM(n_tokens) AS BIGINT) AS total_tokens
+      FROM per_doc GROUP BY source
+    ),
+    target AS (SELECT CAST(MIN(total_tokens) AS DOUBLE) AS target FROM totals),
+    rated AS (
+      SELECT source, n_docs, total_tokens,
+             target.target / total_tokens AS rate
+      FROM totals CROSS JOIN target
+    ),
+    sel AS (
+      SELECT p.source, COUNT(*) AS n_selected,
+             CAST(SUM(p.n_tokens) AS BIGINT) AS selected_tokens
+      FROM per_doc p JOIN rated r USING (source)
+      WHERE CAST(p.h AS DOUBLE) < r.rate * 1000000.0
+      GROUP BY p.source
+    )
+    SELECT r.source,
+           CAST(r.n_docs AS INTEGER) AS n_docs,
+           r.total_tokens,
+           r.rate,
+           CAST(COALESCE(s.n_selected, 0) AS INTEGER) AS n_selected,
+           CAST(COALESCE(s.selected_tokens, 0) AS BIGINT) AS selected_tokens
+    FROM rated r LEFT JOIN sel s USING (source)
 """
