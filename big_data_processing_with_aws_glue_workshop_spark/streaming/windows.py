@@ -81,6 +81,24 @@ def streaming_session_agg(events: DataFrame, gap: str = "30 minutes") -> DataFra
     )
 
 
+def streaming_dedup(
+    events: DataFrame, keys: list[str] | None = None, watermark: str = "30 minutes"
+) -> DataFrame:
+    """Streaming exact deduplication for at-least-once sources:
+    ``dropDuplicatesWithinWatermark`` keeps the FIRST arrival of each key
+    and suppresses re-deliveries while the key is within the watermark
+    horizon, then expires the key's state — bounded memory on unbounded
+    streams (a plain dropDuplicates would grow state forever).
+
+    This is the streaming face of the batch exact-dedup family
+    (queries/textops.py::q_doc_dedup_profile): same hash-key semantics,
+    state lifetime bounded by event-time instead of corpus size. In a
+    training-data ingest pipeline this is the first stage after the
+    source — duplicate suppression before any expensive enrichment."""
+    keys = keys or ["event_id"]
+    return events.withWatermark("ts", watermark).dropDuplicatesWithinWatermark(keys)
+
+
 def run_streaming_query(
     agg: DataFrame, name: str, output_mode: str = "append"
 ) -> DataFrame:

@@ -270,3 +270,57 @@ def test_foreach_batch_refuses_checkpointless_restart(spark, tmp_path):
     UpsertSink(target, keys=["k"])(spark.createDataFrame([(1,)], "k int"), 0)
     with pytest.raises(ValueError, match="checkpoint"):
         run_foreach_batch_upsert(spark.createDataFrame([(2,)], "k int"), target, ["k"])
+
+
+def test_streaming_dedup_within_watermark(spark, tmp_path):
+    """dropDuplicatesWithinWatermark suppresses re-delivered keys across
+    micro-batches (at-least-once source -> exactly-once downstream) while
+    keeping state bounded by the watermark horizon."""
+    import datetime as dt
+    import time as _time
+
+    from big_data_processing_with_aws_glue_workshop_spark.streaming.windows import (
+        run_streaming_query,
+        streaming_dedup,
+    )
+
+    src = tmp_path / "dedup_src"
+    src.mkdir()
+
+    def write_file(name, rows):
+        df = spark.createDataFrame(rows, "event_id long, ts timestamp, value double")
+        df.coalesce(1).write.mode("overwrite").parquet(str(tmp_path / name))
+        part = next(
+            p for p in (tmp_path / name).iterdir() if p.name.endswith(".parquet")
+        )
+        part.rename(src / f"{name}.parquet")
+
+    base = dt.datetime(2024, 5, 1, 10, 0, 0)
+    write_file(
+        "b1",
+        [
+            (1, base, 1.0),
+            (2, base + dt.timedelta(minutes=1), 2.0),
+            (3, base + dt.timedelta(minutes=2), 3.0),
+        ],
+    )
+    _time.sleep(1.1)
+    # batch 2 re-delivers key 2 (different payload — first arrival wins)
+    # and adds key 4; all within the 30-minute watermark horizon
+    write_file(
+        "b2",
+        [
+            (2, base + dt.timedelta(minutes=3), 99.0),
+            (4, base + dt.timedelta(minutes=4), 4.0),
+        ],
+    )
+
+    stream = (
+        spark.readStream.schema("event_id long, ts timestamp, value double")
+        .option("maxFilesPerTrigger", "1")
+        .parquet(str(src))
+    )
+    out = run_streaming_query(streaming_dedup(stream), "dedup_test")
+    rows = {r["event_id"]: r["value"] for r in out.collect()}
+    assert set(rows) == {1, 2, 3, 4}
+    assert rows[2] == 2.0  # the first arrival's payload survived
