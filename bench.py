@@ -50,6 +50,12 @@ HEADLINE = [
     "simhash_fingerprints",
     # literal Athena SQL surface
     "athena_q3_renewal_rate_by_chamber",
+    # r3 training-pipeline additions
+    "tfidf_top_terms",
+    "doc_winnow_fingerprint",
+    "benchmark_contamination",
+    "source_mixture_plan",
+    "media_frame_stats",
 ]
 
 
