@@ -139,6 +139,8 @@ _TAIL = (
     "doc_winnow_fingerprint",
     "benchmark_contamination",
     "source_mixture_plan",
+    "doc_repetition_scores",
+    "sequence_packing_plan",
 )
 
 assert len(_SCORED) == 50, f"scored window must be exactly 50, got {len(_SCORED)}"

@@ -483,6 +483,83 @@ def q_source_mixture_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_doc_repetition_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Within-document repetition scoring (the Gopher/MassiveText quality
+    signal): fraction of NON-distinct word 3-grams inside each doc. Highly
+    repetitive machine-generated text scores near 1; natural prose near 0.
+
+    Entirely array-native per row — gram construction, distinct, and the
+    ratio all run inside one narrow projection, so the operator is
+    shuffle-FREE and embarrassingly parallel at 100 TB (contrast with the
+    cross-doc dedup family, which must join). The ratio is one IEEE
+    division of exact ints."""
+    d = parallelize_scan(load(spark, sf_dir, "documents"), "doc_id")
+    tokenized = d.select("doc_id", _tokens(F.col("text")).alias("toks"))
+    toks = F.col("toks")
+    grams = F.when(
+        F.size(toks) >= 3,
+        F.transform(
+            F.sequence(F.lit(0), F.size(toks) - 3),
+            lambda i: F.concat_ws(
+                " ",
+                F.element_at(toks, (i + 1).cast("int")),
+                F.element_at(toks, (i + 2).cast("int")),
+                F.element_at(toks, (i + 3).cast("int")),
+            ),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    g = tokenized.select("doc_id", grams.alias("g"))
+    n_grams = F.size("g")
+    n_distinct = F.size(F.array_distinct("g"))
+    return g.select(
+        "doc_id",
+        n_grams.cast("int").alias("n_grams"),
+        n_distinct.cast("int").alias("n_distinct_grams"),
+        F.when(
+            n_grams > 0,
+            (n_grams - n_distinct).cast("double") / n_grams,
+        ).alias("dup_gram_ratio"),
+    )
+
+
+_PACK_BUDGET = 2048
+
+
+def q_sequence_packing_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training-batch construction: pack documents into fixed token-budget
+    sequences (budget 2048) per source, in deterministic doc_id order —
+    the greedy-prefix packing a sequence-building pipeline runs before
+    tokenizer concatenation. A doc belongs to the sequence its starting
+    offset falls in: seq_id = (running_total_before_doc) div budget.
+
+    Plan: one shuffle on source for the ordered running sum (window
+    cumsum), then a narrow re-aggregation on (source, seq_id) — the window
+    and the groupBy share the source partitioning. At 100 TB the order-by
+    key inside each source partition is a monotone id, so the window is
+    one sort per partition, not a global sort. All arithmetic is exact
+    integer; fill_ratio is one IEEE division."""
+    d = parallelize_scan(load(spark, sf_dir, "documents"), "doc_id")
+    per_doc = d.select(
+        "doc_id", "source", F.size(_tokens(F.col("text"))).alias("n_tokens")
+    )
+    w = (
+        Window.partitionBy("source")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    offset = F.sum("n_tokens").over(w) - F.col("n_tokens")
+    packed = per_doc.select(
+        "source",
+        "n_tokens",
+        F.floor(offset.cast("double") / _PACK_BUDGET).cast("bigint").alias("seq_id"),
+    )
+    return packed.groupBy("source", "seq_id").agg(
+        F.count(F.lit(1)).cast("int").alias("n_docs"),
+        F.sum("n_tokens").alias("seq_tokens"),
+        (F.sum("n_tokens").cast("double") / _PACK_BUDGET).alias("fill_ratio"),
+    )
+
+
 QUERIES = {
     "doc_token_stats": q_doc_token_stats,
     "doc_quality_scores": q_doc_quality_scores,
@@ -497,6 +574,8 @@ QUERIES = {
     "doc_winnow_fingerprint": q_doc_winnow_fingerprint,
     "benchmark_contamination": q_benchmark_contamination,
     "source_mixture_plan": q_source_mixture_plan,
+    "doc_repetition_scores": q_doc_repetition_scores,
+    "sequence_packing_plan": q_sequence_packing_plan,
 }
 
 _DUCK_SHINGLES = """
@@ -815,4 +894,50 @@ ORACLES["source_mixture_plan"] = """
            CAST(COALESCE(s.n_selected, 0) AS INTEGER) AS n_selected,
            CAST(COALESCE(s.selected_tokens, 0) AS BIGINT) AS selected_tokens
     FROM rated r LEFT JOIN sel s USING (source)
+"""
+
+# Repetition twin: non-distinct grams via UNNEST + COUNT vs COUNT(DISTINCT);
+# docs with <3 tokens re-enter via LEFT JOIN with zero grams.
+ORACLES["doc_repetition_scores"] = """
+    WITH toks AS (
+      SELECT doc_id, string_split_regex(trim(lower(text)), '[ \\t\\n\\f\\r]+') AS w
+      FROM documents
+    ),
+    grams AS (
+      SELECT doc_id, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS g
+      FROM toks, UNNEST(range(1, len(w) - 1)) AS t(i)
+    ),
+    agg AS (
+      SELECT doc_id, COUNT(*) AS n_grams, COUNT(DISTINCT g) AS n_distinct
+      FROM grams GROUP BY doc_id
+    )
+    SELECT d.doc_id,
+           CAST(COALESCE(a.n_grams, 0) AS INTEGER) AS n_grams,
+           CAST(COALESCE(a.n_distinct, 0) AS INTEGER) AS n_distinct_grams,
+           CASE WHEN a.n_grams > 0
+                THEN CAST(a.n_grams - a.n_distinct AS DOUBLE) / a.n_grams
+           END AS dup_gram_ratio
+    FROM documents d LEFT JOIN agg a USING (doc_id)
+"""
+
+# Packing twin: same running sum (doc_id order within source), same
+# floor((offset)/budget) sequence assignment, HUGEINT-safe sums.
+ORACLES["sequence_packing_plan"] = """
+    WITH per_doc AS (
+      SELECT doc_id, source,
+             len(string_split_regex(trim(lower(text)), '[ \\t\\n\\f\\r]+')) AS n_tokens
+      FROM documents
+    ),
+    packed AS (
+      SELECT source, n_tokens,
+             CAST(FLOOR(CAST(SUM(n_tokens) OVER (PARTITION BY source ORDER BY doc_id
+                              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                        - n_tokens AS DOUBLE) / 2048) AS BIGINT) AS seq_id
+      FROM per_doc
+    )
+    SELECT source, seq_id,
+           CAST(COUNT(*) AS INTEGER) AS n_docs,
+           CAST(SUM(n_tokens) AS BIGINT) AS seq_tokens,
+           CAST(SUM(n_tokens) AS DOUBLE) / 2048 AS fill_ratio
+    FROM packed GROUP BY source, seq_id
 """
