@@ -35,10 +35,21 @@ def write_avro(df: DataFrame, path: str, mode: str = "overwrite") -> None:
 
 
 def read_jsonl(
-    spark: SparkSession, path: str, schema: T.StructType | str | None = None
+    spark: SparkSession,
+    path: str,
+    schema: T.StructType | str | None = None,
+    corrupt_record_col: str | None = None,
 ) -> DataFrame:
-    """JSON-lines scan; pass a schema in production — inference double-reads."""
-    reader = spark.read
+    """JSON-lines scan; pass a schema in production — inference double-reads.
+
+    PERMISSIVE like the bronze CSV scan: malformed lines become NULL rows
+    instead of failing the job; pass ``corrupt_record_col`` (and include it
+    in the schema) to capture the raw bad line for DQ quarantine. JSONL
+    splits by line, so it parallelizes over byte ranges at any file size —
+    unlike multiLine CSV/JSON."""
+    reader = spark.read.option("mode", "PERMISSIVE")
+    if corrupt_record_col:
+        reader = reader.option("columnNameOfCorruptRecord", corrupt_record_col)
     if schema is not None:
         reader = reader.schema(schema)
     return reader.json(path)

@@ -97,3 +97,4 @@ def _field_names(schema: T.StructType | str) -> list[str]:
     if isinstance(schema, str):
         return [part.strip().split(" ")[0] for part in schema.split(",")]
     return schema.fieldNames()
+

@@ -43,3 +43,4 @@ def write_csv_single(df: DataFrame, path: str, mode: str = "overwrite") -> None:
     reference src/silver/job-silver-rues.py:452-457). coalesce(1) is only
     safe for driver-scale data — keep it off any large path."""
     df.coalesce(1).write.mode(mode).option("header", "true").csv(path)
+

@@ -175,3 +175,47 @@ def test_bookmark_empty_pattern_with_schema(spark, tmp_path):
     assert files == [] and df.count() == 0 and df.schema.fieldNames() == ["id"]
     with pytest.raises(FileNotFoundError, match="no files match"):
         bm.read_incremental(spark, pattern)
+
+
+def test_json_lines_round_trip(spark, tmp_path):
+    from big_data_processing_with_aws_glue_workshop_spark.sources.formats import read_jsonl, write_jsonl
+
+    df = spark.createDataFrame(
+        [(1, "alpha", 1.5), (2, "beta", -2.0), (3, None, 0.25)],
+        "id long, name string, score double",
+    )
+    path = str(tmp_path / "jsonl")
+    write_jsonl(df, path)
+    back = read_jsonl(spark, path, schema="id long, name string, score double")
+    assert sorted(back.collect(), key=lambda r: r["id"]) == sorted(
+        df.collect(), key=lambda r: r["id"]
+    )
+
+
+def test_json_lines_corrupt_capture(spark, tmp_path):
+    from big_data_processing_with_aws_glue_workshop_spark.sources.formats import read_jsonl
+
+    src = tmp_path / "bad.jsonl"
+    src.write_text('{"id": 1, "name": "ok"}\nNOT JSON AT ALL\n{"id": 2, "name": "fine"}\n')
+    back = read_jsonl(
+        spark,
+        str(src),
+        schema="id long, name string, _bad string",
+        corrupt_record_col="_bad",
+    )
+    rows = back.collect()
+    assert len(rows) == 3
+    bad = [r for r in rows if r["_bad"] is not None]
+    assert len(bad) == 1 and "NOT JSON" in bad[0]["_bad"]
+
+
+def test_orc_round_trip_and_pushdown(spark, tmp_path):
+    from big_data_processing_with_aws_glue_workshop_spark.sources.formats import read_orc, write_orc
+
+    df = spark.range(100).withColumn("v", F.col("id") * 2)
+    path = str(tmp_path / "orc")
+    write_orc(df, path)
+    back = read_orc(spark, path).filter(F.col("id") > 90)
+    assert back.count() == 9
+    plan = back._jdf.queryExecution().executedPlan().toString()
+    assert "PushedFilters" in plan and "id" in plan  # pushdown reaches the ORC scan
