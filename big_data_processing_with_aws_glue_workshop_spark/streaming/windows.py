@@ -81,6 +81,17 @@ def streaming_session_agg(events: DataFrame, gap: str = "30 minutes") -> DataFra
     )
 
 
+def streaming_enrich(
+    events: DataFrame, dim: DataFrame, on: str = "user_id", how: str = "left"
+) -> DataFrame:
+    """Stream-static enrichment join: each micro-batch joins against the
+    CURRENT state of the static side (Spark re-plans the static scan per
+    batch, so slowly-changing dims refresh without restarting the query).
+    The static side is broadcast-pinned — dim enrichment must never
+    shuffle the stream. Stateless: no watermark required."""
+    return events.join(F.broadcast(dim), on, how)
+
+
 def streaming_dedup(
     events: DataFrame, keys: list[str] | None = None, watermark: str = "30 minutes"
 ) -> DataFrame:

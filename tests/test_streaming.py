@@ -324,3 +324,35 @@ def test_streaming_dedup_within_watermark(spark, tmp_path):
     rows = {r["event_id"]: r["value"] for r in out.collect()}
     assert set(rows) == {1, 2, 3, 4}
     assert rows[2] == 2.0  # the first arrival's payload survived
+
+
+def test_stream_static_enrichment_join(spark, sf_dir):
+    """Stream-static broadcast join: the events stream enriched with a
+    static user-tier dim; per-tier counts must equal the batch equivalent."""
+    from pyspark.sql import functions as F
+
+    from big_data_processing_with_aws_glue_workshop_spark.streaming.windows import (
+        read_events_stream,
+        run_streaming_query,
+        streaming_enrich,
+    )
+
+    dim = spark.range(0, 2000).select(
+        F.col("id").alias("user_id"),
+        F.when(F.col("id") % 3 == 0, "gold").otherwise("basic").alias("tier"),
+    )
+    stream = read_events_stream(spark, sf_dir)
+    enriched = streaming_enrich(stream, dim).groupBy("tier").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    out = run_streaming_query(enriched, "enrich_test", output_mode="complete")
+    got = {r["tier"]: r["n"] for r in out.collect()}
+
+    batch = (
+        spark.read.parquet(f"{sf_dir}/events.parquet")
+        .join(F.broadcast(dim), "user_id", "left")
+        .groupBy("tier")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    want = {r["tier"]: r["n"] for r in batch.collect()}
+    assert got == want and set(got) == {"gold", "basic"}
