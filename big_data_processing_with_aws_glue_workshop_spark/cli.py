@@ -160,6 +160,20 @@ def cmd_analytics(args: argparse.Namespace) -> None:
     _emit(summary)
 
 
+def cmd_textpipe(args: argparse.Namespace) -> None:
+    from .plans.textpipe import run_text_pipeline
+
+    spark = get_session(app_name="textpipe")
+    summary = run_text_pipeline(
+        spark,
+        args.sf_dir,
+        out_dir=args.output,
+        min_chars=args.min_chars,
+        budget=args.budget,
+    )
+    _emit({"job": "textpipe", **summary})
+
+
 def cmd_query(args: argparse.Namespace) -> None:
     from .queries import ORACLES, QUERIES
 
@@ -215,6 +229,17 @@ def build_parser() -> argparse.ArgumentParser:
     a.add_argument("--seed", type=int, default=42)
     a.add_argument("--show", type=int, default=10)
     a.set_defaults(func=cmd_analytics)
+
+    t = sub.add_parser(
+        "textpipe",
+        help="end-to-end training-data prep: quality -> dedup -> "
+        "decontaminate -> mix -> pack",
+    )
+    t.add_argument("--sf-dir", default="/root/testdata/sf0.01")
+    t.add_argument("--output", default=None)
+    t.add_argument("--min-chars", type=int, default=100)
+    t.add_argument("--budget", type=int, default=2048)
+    t.set_defaults(func=cmd_textpipe)
 
     q = sub.add_parser("query", help="run a registered engine query by name")
     q.add_argument("--name", default="pricing_summary")

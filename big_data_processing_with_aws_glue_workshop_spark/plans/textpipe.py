@@ -1,0 +1,150 @@
+"""End-to-end training-data preparation pipeline over ``documents`` —
+the composed counterpart of the individual query-registry operators.
+
+Stage order follows production pretraining pipelines (quality gate before
+expensive pairwise work; contamination last so eval grams can't leak back
+in via near-dup survivors):
+
+  1. quality filter      — drop SHORT docs (the cheap narrow gate first)
+  2. exact dedup         — keep the min doc_id per content md5
+  3. near-dup dedup      — MinHash-LSH pairs -> connected components ->
+                           keep each component's canonical (min id) doc
+  4. decontamination     — drop the eval slice and every training doc
+                           sharing a 5-gram with it
+  5. mixture sampling    — deterministic hash-downsample each source to
+                           the smallest surviving source's token budget
+  6. sequence packing    — greedy-prefix pack survivors into fixed
+                           token-budget sequences per source
+
+Every stage is the SAME operator the query registry exposes individually
+(docstrings there carry the 100 TB design notes); this module only wires
+them, counts what each stage dropped, and writes the final packed corpus.
+All selection logic is deterministic (content hashes, id hashes, min-id
+canonicals) — two runs on the same input produce byte-identical stage
+decisions, which is what makes a 100 TB rerun auditable.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..queries._tables import load, parallelize_scan
+from ..queries.textops import _CONTAM_N, _EVAL_MOD, _PACK_BUDGET, _tokens
+
+
+def _with_tokens(docs: DataFrame) -> DataFrame:
+    return docs.withColumn("n_tokens", F.size(_tokens(F.col("text"))))
+
+
+def run_text_pipeline(
+    spark: SparkSession,
+    sf_dir: str,
+    out_dir: str | None = None,
+    min_chars: int = 100,
+    budget: int = _PACK_BUDGET,
+) -> dict:
+    """Run the full pipeline; returns a summary dict of per-stage counts.
+    If ``out_dir`` is given, writes the packed corpus parquet plus a
+    summary.json next to it."""
+    from ..extensions.dedup_fuzzy import connected_components, minhash_near_duplicates
+    from ..functions.text import word_shingles
+
+    docs = parallelize_scan(load(spark, sf_dir, "documents"), "doc_id")
+    n_input = docs.count()
+
+    # 1. quality: cheap narrow filter first — everything downstream pays
+    # per-row cost, so shed rows before shuffling anything
+    quality = docs.filter(F.length("text") >= min_chars)
+    n_quality = quality.count()
+
+    # 2. exact dedup on the 16-byte digest, min-id winner
+    keep_exact = (
+        quality.groupBy(F.md5(F.col("text").cast("binary")).alias("h"))
+        .agg(F.min("doc_id").alias("doc_id"))
+        .select("doc_id")
+    )
+    exact = quality.join(keep_exact, "doc_id", "left_semi")
+    n_exact = exact.count()
+
+    # 3. near-dup: LSH pairs -> CC -> drop non-canonical members
+    pairs = minhash_near_duplicates(
+        exact, n_hashes=64, bands=16, shingle_n=3, threshold=0.8, seed=42
+    )
+    labels = connected_components(pairs, "d1", "d2")
+    losers = labels.filter(F.col("id") != F.col("label")).select(
+        F.col("id").alias("doc_id")
+    )
+    neardup = exact.join(losers, "doc_id", "left_anti")
+    n_neardup = neardup.count()
+
+    # 4. decontamination: drop the eval slice itself and any training doc
+    # sharing a _CONTAM_N-gram with it
+    sh = word_shingles(neardup, "doc_id", "text", n=_CONTAM_N)
+    eval_sh = sh.filter((F.col("doc_id") % _EVAL_MOD) == 0).select("shingle")
+    contaminated = (
+        sh.filter((F.col("doc_id") % _EVAL_MOD) != 0)
+        .join(eval_sh, "shingle", "left_semi")
+        .select("doc_id")
+        .distinct()
+    )
+    clean = neardup.filter((F.col("doc_id") % _EVAL_MOD) != 0).join(
+        contaminated, "doc_id", "left_anti"
+    )
+    n_clean = clean.count()
+
+    # 5. mixture: equalize per-source token budgets on the SURVIVORS
+    with_tok = _with_tokens(clean)
+    totals = with_tok.groupBy("source").agg(
+        F.sum("n_tokens").alias("total_tokens")
+    )
+    target = totals.agg(F.min("total_tokens").cast("double").alias("target"))
+    rates = totals.crossJoin(F.broadcast(target)).select(
+        "source", (F.col("target") / F.col("total_tokens")).alias("rate")
+    )
+    h = (
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 15), 16, 10)
+        .cast("bigint")
+        % 1000000
+    )
+    mixed = (
+        with_tok.withColumn("h", h)
+        .join(F.broadcast(rates), "source")
+        .filter(F.col("h").cast("double") < F.col("rate") * 1000000.0)
+        .drop("h", "rate")
+    )
+    n_mixed = mixed.count()
+
+    # 6. packing: greedy-prefix sequences per source in doc_id order
+    w = (
+        Window.partitionBy("source")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    offset = F.sum("n_tokens").over(w) - F.col("n_tokens")
+    packed = mixed.withColumn(
+        "seq_id", F.floor(offset.cast("double") / budget).cast("bigint")
+    )
+    n_sequences = packed.select("source", "seq_id").distinct().count()
+
+    summary = {
+        "input_docs": n_input,
+        "after_quality": n_quality,
+        "after_exact_dedup": n_exact,
+        "after_near_dedup": n_neardup,
+        "after_decontamination": n_clean,
+        "after_mixture": n_mixed,
+        "packed_sequences": n_sequences,
+    }
+    if out_dir:
+        packed.select(
+            "doc_id", "source", "lang", "n_tokens", "seq_id", "text"
+        ).write.mode("overwrite").partitionBy("source").parquet(
+            os.path.join(out_dir, "packed_corpus")
+        )
+        with open(os.path.join(out_dir, "summary.json"), "w", encoding="utf-8") as f:
+            json.dump(summary, f, indent=2)
+    return summary

@@ -57,3 +57,38 @@ def test_cli_full_pipeline(tmp_path):
     a = run_job(["analytics", "--gold", gold, "--query", "q1"])
     assert a["total_rows"] > 0
     assert a["rows"][0]["total_empresas_activas"] >= a["rows"][-1]["total_empresas_activas"]
+
+
+def test_textpipe_end_to_end(spark, sf_dir, tmp_path):
+    """The composed training-data pipeline: stage counts monotonically
+    decrease, stage invariants hold on the final corpus, output written."""
+    import json
+
+    import pyspark.sql.functions as F
+
+    from big_data_processing_with_aws_glue_workshop_spark.plans.textpipe import run_text_pipeline
+    from big_data_processing_with_aws_glue_workshop_spark.queries.textops import _EVAL_MOD
+
+    out = str(tmp_path / "pipe")
+    s = run_text_pipeline(spark, sf_dir, out_dir=out)
+    assert (
+        s["input_docs"]
+        >= s["after_quality"]
+        >= s["after_exact_dedup"]
+        >= s["after_near_dedup"]
+        >= s["after_decontamination"]
+        >= s["after_mixture"]
+        > 0
+    )
+    assert s["packed_sequences"] > 0
+    corpus = spark.read.parquet(f"{out}/packed_corpus")
+    assert corpus.count() == s["after_mixture"]
+    # invariant: no exact duplicates survive
+    assert (
+        corpus.select(F.md5(F.col("text").cast("binary"))).distinct().count()
+        == s["after_mixture"]
+    )
+    # invariant: the eval slice never reaches the training corpus
+    assert corpus.filter(F.col("doc_id") % _EVAL_MOD == 0).count() == 0
+    with open(f"{out}/summary.json", encoding="utf-8") as f:
+        assert json.load(f) == s
