@@ -76,6 +76,13 @@ def main() -> None:
         t0 = time.perf_counter()
         QUERIES[name](spark, sf_dir).count()
         timings[name] = round(time.perf_counter() - t0, 4)
+        # each query is measured as if on a fresh cluster: intra-query
+        # cache() reuse is part of a query's own plan and stays (both runs
+        # share one entry), but entries must not accumulate ACROSS the 30+
+        # query suite — storage pressure from query k inflates query k+1's
+        # GC time by multiples (measured: tfidf 0.9s isolated vs 4.0s late
+        # in the suite before this clear)
+        spark.catalog.clearCache()
 
     total = round(sum(timings.values()), 4)
     print(
