@@ -56,6 +56,12 @@ HEADLINE = [
     "benchmark_contamination",
     "source_mixture_plan",
     "media_frame_stats",
+    # r4 promotions: remaining training-pipeline flagships + real decoders
+    "doc_dup_components",
+    "doc_repetition_scores",
+    "sequence_packing_plan",
+    "media_audio_stats",
+    "training_pipeline_summary",
 ]
 
 

@@ -20,6 +20,8 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from ..util import tracked_cache
+
 
 def shingle_frame(
     df: DataFrame, id_col: str = "doc_id", text_col: str = "text", n: int = 3
@@ -132,8 +134,10 @@ def minhash_near_duplicates(
     # SAME action feeds the semi-join restriction and the verify join
     # (eager checkpointing here costs two extra jobs per invocation);
     # entries are plan-keyed (identical re-invocations share one) and
-    # LRU-evictable, so storage is bounded, not leaked.
-    cands = lsh_candidate_pairs(sigs, bands, rows_per_band, n_hashes=n_hashes).cache()
+    # LRU-evictable, so storage is bounded, not leaked. Registered with
+    # util.tracked_cache so long-lived sessions (driver harness, textpipe
+    # reruns) release prior entries instead of accumulating them.
+    cands = tracked_cache(lsh_candidate_pairs(sigs, bands, rows_per_band, n_hashes=n_hashes))
 
     # verification only needs the shingles of CANDIDATE docs: restrict via a
     # semi join before re-shingling, then cache the (tiny) survivor set.
@@ -144,12 +148,14 @@ def minhash_near_duplicates(
         .union(cands.select(F.col("d2").alias("doc_id")))
         .distinct()
     )
-    sh = shingle_frame(
-        df.join(cand_docs, df[id_col] == cand_docs.doc_id, "left_semi"),
-        id_col,
-        text_col,
-        shingle_n,
-    ).cache()
+    sh = tracked_cache(
+        shingle_frame(
+            df.join(cand_docs, df[id_col] == cand_docs.doc_id, "left_semi"),
+            id_col,
+            text_col,
+            shingle_n,
+        )
+    )
     counts = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
     a = sh.select(F.col("doc_id").alias("d1"), "shingle")
     b = sh.select(F.col("doc_id").alias("d2"), "shingle")

@@ -98,7 +98,15 @@ def decode_ppm(payload: bytes):
             fields.append(int(payload[start:pos]))
         except ValueError as e:
             raise ValueError("malformed PPM header field") from e
-    pos += 1  # the single whitespace byte terminating the maxval field
+    # the spec mandates EXACTLY ONE whitespace byte between maxval and the
+    # pixel plane; reject anything else explicitly (a CRLF-separated header
+    # would otherwise shift the plane read one byte early and surface only
+    # as a confusing truncated-plane error)
+    if not payload[pos : pos + 1].isspace():
+        raise ValueError(
+            "PPM header: maxval must be terminated by a single whitespace byte"
+        )
+    pos += 1
     width, height, maxval = fields
     if width <= 0 or height <= 0:
         raise ValueError("non-positive PPM dimensions")
@@ -149,26 +157,50 @@ def probe_media(df: DataFrame) -> DataFrame:
 FEATURE_SCHEMA = "media_id long, features array<float>"
 
 
-def byte_histogram_features(df: DataFrame, n_bins: int = 16) -> DataFrame:
+def byte_histogram_features(
+    df: DataFrame, n_bins: int = 16, carry: tuple[str, ...] = ()
+) -> DataFrame:
     """Feature extraction over the payload: normalized byte histogram —
     a stand-in for a real embedding model, with the identical mapInPandas
-    batch shape a model-serving UDF would use."""
+    batch shape a model-serving UDF would use.
+
+    ``carry`` names sidecar metadata columns to pass through the batch
+    unchanged (typed from the input schema), so callers that need both the
+    features AND the metadata don't have to re-derive the input frame and
+    join — at scale that join would re-run the whole payload-packing scan a
+    second time."""
+
+    carry_fields = [df.schema[c] for c in carry]
+    out_schema = T.StructType(
+        [
+            T.StructField("media_id", T.LongType()),
+            *carry_fields,
+            T.StructField("features", T.ArrayType(T.FloatType())),
+        ]
+    )
+    out_cols = ["media_id", *carry, "features"]
 
     def _feats(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         import numpy as np
 
         for pdf in batches:
             rows = []
-            for media_id, content in zip(pdf["media_id"], pdf["content"]):
+            for media_id, *extras, content in zip(
+                pdf["media_id"], *[pdf[c] for c in carry], pdf["content"]
+            ):
                 if content is None or len(content) == 0:
-                    rows.append((media_id, [0.0] * n_bins))
+                    rows.append((media_id, *extras, [0.0] * n_bins))
                     continue
                 arr = np.frombuffer(content, dtype=np.uint8)
                 hist, _ = np.histogram(arr, bins=n_bins, range=(0, 256))
-                rows.append((media_id, (hist / len(arr)).astype("float32").tolist()))
-            yield pd.DataFrame(rows, columns=["media_id", "features"])
+                rows.append(
+                    (media_id, *extras, (hist / len(arr)).astype("float32").tolist())
+                )
+            yield pd.DataFrame(rows, columns=out_cols)
 
-    return df.select("media_id", "content").mapInPandas(_feats, schema=FEATURE_SCHEMA)
+    return df.select("media_id", *carry, "content").mapInPandas(
+        _feats, schema=out_schema
+    )
 
 
 def decode_wav(payload: bytes):
@@ -249,14 +281,21 @@ def video_frame_stats(df: DataFrame, every_nth: int = 3) -> DataFrame:
         for pdf in batches:
             rows = []
             for media_id, content in zip(pdf["media_id"], pdf["content"]):
+                # accumulate per-container rows locally and publish only on
+                # full success: a container whose frame TABLE parses but
+                # whose sampled frame BYTES are malformed must yield exactly
+                # one corrupt sentinel, never valid-looking partial rows
+                # alongside it
+                frame_rows = []
                 try:
                     offsets = video_frame_offsets(content)
                     for idx in range(0, len(offsets), every_nth):
                         off, flen = offsets[idx]
                         _, _, px = decode_ppm(content[off : off + flen])
-                        rows.append(
+                        frame_rows.append(
                             (media_id, idx, float(px.astype("int64").mean()))
                         )
+                    rows.extend(frame_rows)
                 except ValueError:
                     rows.append((media_id, -1, None))
             yield pd.DataFrame(rows, columns=["media_id", "frame_idx", "mean_px"])

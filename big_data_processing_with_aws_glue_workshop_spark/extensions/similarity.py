@@ -24,6 +24,8 @@ import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from ..util import tracked_cache
+
 
 def _hyperplanes(dim: int, n_planes: int, n_tables: int, seed: int) -> list[list[list[float]]]:
     rng = random.Random(seed)
@@ -198,7 +200,7 @@ def near_dup_pairs_clustered(
         return corpus.sparkSession.createDataFrame(
             [], "id_a bigint, id_b bigint, cos_sim double"
         )
-    assigned = assigned.cache()
+    assigned = tracked_cache(assigned)
 
     # Driver-side allowlist metadata: radii from one narrow groupBy collect
     # (nlist rows, not data rows); centroids already driver-side from fit.

@@ -34,6 +34,7 @@ from pyspark.sql import functions as F
 
 from ..queries._tables import load, parallelize_scan
 from ..queries.textops import _CONTAM_N, _EVAL_MOD, _PACK_BUDGET, _tokens
+from ..util import release_tracked_caches, tracked_cache
 
 
 def _with_tokens(docs: DataFrame) -> DataFrame:
@@ -53,12 +54,18 @@ def run_text_pipeline(
     from ..extensions.dedup_fuzzy import connected_components, minhash_near_duplicates
     from ..functions.text import word_shingles
 
-    docs = parallelize_scan(load(spark, sf_dir, "documents"), "doc_id")
+    # Each stage output is persisted and materialized by its own count()
+    # action, so downstream stages (and their counts) read the cached stage
+    # instead of re-executing the whole upstream lineage from the scan —
+    # without the pins the final count re-runs quality->exact->LSH->CC->
+    # decontam->mix from scratch (~6 redundant corpus passes at 100 TB).
+    # All pins are released before returning (summary is a plain dict).
+    docs = tracked_cache(parallelize_scan(load(spark, sf_dir, "documents"), "doc_id"))
     n_input = docs.count()
 
     # 1. quality: cheap narrow filter first — everything downstream pays
     # per-row cost, so shed rows before shuffling anything
-    quality = docs.filter(F.length("text") >= min_chars)
+    quality = tracked_cache(docs.filter(F.length("text") >= min_chars))
     n_quality = quality.count()
 
     # 2. exact dedup on the 16-byte digest, min-id winner
@@ -67,7 +74,7 @@ def run_text_pipeline(
         .agg(F.min("doc_id").alias("doc_id"))
         .select("doc_id")
     )
-    exact = quality.join(keep_exact, "doc_id", "left_semi")
+    exact = tracked_cache(quality.join(keep_exact, "doc_id", "left_semi"))
     n_exact = exact.count()
 
     # 3. near-dup: LSH pairs -> CC -> drop non-canonical members
@@ -78,7 +85,7 @@ def run_text_pipeline(
     losers = labels.filter(F.col("id") != F.col("label")).select(
         F.col("id").alias("doc_id")
     )
-    neardup = exact.join(losers, "doc_id", "left_anti")
+    neardup = tracked_cache(exact.join(losers, "doc_id", "left_anti"))
     n_neardup = neardup.count()
 
     # 4. decontamination: drop the eval slice itself and any training doc
@@ -91,8 +98,10 @@ def run_text_pipeline(
         .select("doc_id")
         .distinct()
     )
-    clean = neardup.filter((F.col("doc_id") % _EVAL_MOD) != 0).join(
-        contaminated, "doc_id", "left_anti"
+    clean = tracked_cache(
+        neardup.filter((F.col("doc_id") % _EVAL_MOD) != 0).join(
+            contaminated, "doc_id", "left_anti"
+        )
     )
     n_clean = clean.count()
 
@@ -110,7 +119,7 @@ def run_text_pipeline(
         .cast("bigint")
         % 1000000
     )
-    mixed = (
+    mixed = tracked_cache(
         with_tok.withColumn("h", h)
         .join(F.broadcast(rates), "source")
         .filter(F.col("h").cast("double") < F.col("rate") * 1000000.0)
@@ -147,4 +156,8 @@ def run_text_pipeline(
         )
         with open(os.path.join(out_dir, "summary.json"), "w", encoding="utf-8") as f:
             json.dump(summary, f, indent=2)
+    # every consumer of the stage pins (counts, the optional write) has run;
+    # release them plus the library-internal caches (LSH candidate/shingle
+    # sets) so repeated pipeline runs in one session don't accumulate entries
+    release_tracked_caches()
     return summary

@@ -91,6 +91,13 @@ def parallelize_scan(df: DataFrame, *key_cols: str) -> DataFrame:
     min/max/integer aggregates, exact rerank folds): floating-point SUM/AVG
     reductions change addition order under a different partitioning, so
     oracle-hash-matched FP aggregations must NOT go through this helper.
+
+    CONTRACT: call this on a frame JUST AFTER its source scan (before any
+    join/aggregate/exchange). The partition probe below converts the plan to
+    an RDD and measures the WHOLE upstream plan's partitioning, not the leaf
+    scan's — cheap and accurate right after a load(), but both misleading
+    and non-free if applied downstream of exchanges. Every call site in this
+    package wraps load(...) directly.
     """
     spark = df.sparkSession
     target = spark.sparkContext.defaultParallelism

@@ -257,11 +257,14 @@ def q_media_byte_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     fixture and the float32 quantization inside the extractor."""
     from ..extensions.multimodal import byte_histogram_features
 
+    # media_type rides through the extractor as a carry column: ONE
+    # documents scan + ONE packing pass feed both the features and the
+    # grouping key (a join back to a re-derived fixture would re-run the
+    # scan and the JVM byte-packing a second time)
     media = media_fixture(spark, sf_dir)
-    feats = byte_histogram_features(media, n_bins=16)
-    joined = feats.join(media.select("media_id", "media_type"), "media_id")
+    feats = byte_histogram_features(media, n_bins=16, carry=("media_type",))
     return (
-        joined.select(
+        feats.select(
             "media_type",
             F.element_at(F.col("features"), 1).cast("double").alias("bin0"),
         )

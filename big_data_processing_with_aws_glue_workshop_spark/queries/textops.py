@@ -22,6 +22,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ._tables import load, parallelize_scan
+from ..util import tracked_cache
 
 
 # Portable whitespace class: Java regex \s includes \x0B (vertical tab),
@@ -170,7 +171,7 @@ def q_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     approximate MinHash-LSH variant (extensions/dedup_fuzzy.py) replaces the
     full join with banded buckets when pair cardinality explodes."""
     d = load(spark, sf_dir, "documents")
-    sh = _shingles(d).cache()
+    sh = tracked_cache(_shingles(d))
     counts = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
     a = sh.select(F.col("doc_id").alias("d1"), "shingle")
     b = sh.select(F.col("doc_id").alias("d2"), "shingle")
@@ -560,6 +561,39 @@ def q_sequence_packing_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_training_pipeline_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end training-data prep pipeline, driver-visible: run
+    plans/textpipe.py::run_text_pipeline (quality -> exact dedup -> LSH
+    near-dup + connected components -> 5-gram decontamination -> mixture
+    sampling -> sequence packing) and return the per-stage survivor counts
+    as ONE row. Every stage is deterministic (content hashes, id hashes,
+    min-id canonicals) and SQL-expressible, so a full DuckDB twin replays
+    the whole composition — including the recursive-CTE connected
+    components — and must reproduce every count exactly.
+
+    The counts are computed by the pipeline itself (each stage persisted
+    and materialized once — see textpipe.py); this wrapper only lifts the
+    summary dict into a one-row DataFrame with pinned bigint types."""
+    from ..plans.textpipe import run_text_pipeline
+
+    s = run_text_pipeline(spark, sf_dir)
+    schema = (
+        "input_docs bigint, after_quality bigint, after_exact_dedup bigint, "
+        "after_near_dedup bigint, after_decontamination bigint, "
+        "after_mixture bigint, packed_sequences bigint"
+    )
+    row = (
+        int(s["input_docs"]),
+        int(s["after_quality"]),
+        int(s["after_exact_dedup"]),
+        int(s["after_near_dedup"]),
+        int(s["after_decontamination"]),
+        int(s["after_mixture"]),
+        int(s["packed_sequences"]),
+    )
+    return spark.createDataFrame([row], schema)
+
+
 QUERIES = {
     "doc_token_stats": q_doc_token_stats,
     "doc_quality_scores": q_doc_quality_scores,
@@ -576,6 +610,7 @@ QUERIES = {
     "source_mixture_plan": q_source_mixture_plan,
     "doc_repetition_scores": q_doc_repetition_scores,
     "sequence_packing_plan": q_sequence_packing_plan,
+    "training_pipeline_summary": q_training_pipeline_summary,
 }
 
 _DUCK_SHINGLES = """
@@ -940,4 +975,102 @@ ORACLES["sequence_packing_plan"] = """
            CAST(SUM(n_tokens) AS BIGINT) AS seq_tokens,
            CAST(SUM(n_tokens) AS DOUBLE) / 2048 AS fill_ratio
     FROM packed GROUP BY source, seq_id
+"""
+
+# Full-pipeline twin: replays quality (length >= 100) -> exact dedup (md5
+# min-id) -> exact 3-gram Jaccard >= 0.8 pairs over the survivors (the LSH
+# path's oracle contract) -> recursive-CTE connected components, drop
+# non-canonical members -> 5-gram eval-slice decontamination -> min-budget
+# mixture with the md5 membership hash -> token-budget packing; emits the
+# same seven stage counts the engine's summary row carries.
+ORACLES["training_pipeline_summary"] = """
+    WITH RECURSIVE
+    quality AS (SELECT * FROM documents WHERE length(text) >= 100),
+    keep_exact AS (SELECT MIN(doc_id) AS doc_id FROM quality GROUP BY md5(text)),
+    exact AS (SELECT * FROM quality WHERE doc_id IN (SELECT doc_id FROM keep_exact)),
+    toks3 AS (
+      SELECT doc_id, string_split_regex(trim(lower(text)), '[ \\t\\n\\f\\r]+') AS w
+      FROM exact
+    ),
+    sh3 AS (
+      SELECT DISTINCT doc_id, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS shingle
+      FROM toks3, UNNEST(range(1, len(w) - 1)) AS t(i)
+    ),
+    counts AS (SELECT doc_id, COUNT(1) AS n_sh FROM sh3 GROUP BY 1),
+    inter AS (
+      SELECT a.doc_id AS d1, b.doc_id AS d2, COUNT(1) AS n_inter
+      FROM sh3 a JOIN sh3 b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    ),
+    pairs AS (
+      SELECT d1, d2 FROM inter
+      JOIN counts ca ON ca.doc_id = d1
+      JOIN counts cb ON cb.doc_id = d2
+      WHERE CAST(n_inter AS DOUBLE) / (ca.n_sh + cb.n_sh - n_inter) >= 0.8
+    ),
+    edges AS (SELECT d1 AS a, d2 AS b FROM pairs
+              UNION ALL SELECT d2, d1 FROM pairs),
+    nodes AS (SELECT DISTINCT a AS id FROM edges),
+    reach AS (
+      SELECT id AS src, id AS dst FROM nodes
+      UNION
+      SELECT r.src, e.b FROM reach r JOIN edges e ON e.a = r.dst
+    ),
+    comp AS (SELECT src AS doc_id, MIN(dst) AS label FROM reach GROUP BY src),
+    neardup AS (
+      SELECT * FROM exact
+      WHERE doc_id NOT IN (SELECT doc_id FROM comp WHERE doc_id <> label)
+    ),
+    toks5 AS (
+      SELECT doc_id, string_split_regex(trim(lower(text)), '[ \\t\\n\\f\\r]+') AS w
+      FROM neardup
+    ),
+    sh5 AS (
+      SELECT DISTINCT doc_id,
+             w[i] || ' ' || w[i+1] || ' ' || w[i+2] || ' ' || w[i+3] || ' ' || w[i+4]
+               AS shingle
+      FROM toks5, UNNEST(range(1, len(w) - 3)) AS t(i)
+    ),
+    contaminated AS (
+      SELECT DISTINCT t.doc_id
+      FROM sh5 t JOIN sh5 e ON t.shingle = e.shingle
+      WHERE t.doc_id % 17 <> 0 AND e.doc_id % 17 = 0
+    ),
+    clean AS (
+      SELECT * FROM neardup
+      WHERE doc_id % 17 <> 0 AND doc_id NOT IN (SELECT doc_id FROM contaminated)
+    ),
+    with_tok AS (
+      SELECT doc_id, source,
+             len(string_split_regex(trim(lower(text)), '[ \\t\\n\\f\\r]+')) AS n_tokens
+      FROM clean
+    ),
+    totals AS (SELECT source, SUM(n_tokens) AS total_tokens FROM with_tok GROUP BY source),
+    target AS (SELECT CAST(MIN(total_tokens) AS DOUBLE) AS target FROM totals),
+    rates AS (
+      SELECT source, target.target / total_tokens AS rate
+      FROM totals CROSS JOIN target
+    ),
+    mixed AS (
+      SELECT w.doc_id, w.source, w.n_tokens
+      FROM with_tok w JOIN rates r USING (source)
+      WHERE CAST(('0x' || substr(md5(CAST(w.doc_id AS VARCHAR)), 1, 15))::BIGINT
+                 % 1000000 AS DOUBLE) < r.rate * 1000000.0
+    ),
+    packed AS (
+      SELECT source,
+             CAST(FLOOR(CAST(SUM(n_tokens) OVER (PARTITION BY source ORDER BY doc_id
+                              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                        - n_tokens AS DOUBLE) / 2048) AS BIGINT) AS seq_id
+      FROM mixed
+    )
+    SELECT
+      (SELECT COUNT(*) FROM documents) AS input_docs,
+      (SELECT COUNT(*) FROM quality) AS after_quality,
+      (SELECT COUNT(*) FROM exact) AS after_exact_dedup,
+      (SELECT COUNT(*) FROM neardup) AS after_near_dedup,
+      (SELECT COUNT(*) FROM clean) AS after_decontamination,
+      (SELECT COUNT(*) FROM mixed) AS after_mixture,
+      (SELECT COUNT(*) FROM (SELECT DISTINCT source, seq_id FROM packed))
+        AS packed_sequences
 """

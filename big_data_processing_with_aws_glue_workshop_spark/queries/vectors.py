@@ -16,6 +16,7 @@ from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ._tables import load
+from ..util import tracked_cache
 
 N_QUERIES = 20  # first N vec_ids serve as the query set
 TOP_K = 5
@@ -120,10 +121,10 @@ def q_label_similarity_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     # because three downstream aggregates consume it — without the persist
     # Spark re-runs the scan+explode subtree per consumer; entries are
     # plan-keyed and LRU-evictable, so repeated invocations share storage.
-    sld = (
-        quant.groupBy("label", "dim")
-        .agg(F.sum("q").alias("s"), F.sum(qd * qd).alias("s2"))
-        .persist()
+    sld = tracked_cache(
+        quant.groupBy("label", "dim").agg(
+            F.sum("q").alias("s"), F.sum(qd * qd).alias("s2")
+        )
     )
     sd = F.col("s").cast("decimal(20,0)")
     # per-label: ||S_l||^2 and T_l = sum of squared member norms (quantized)

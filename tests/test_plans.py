@@ -81,6 +81,18 @@ def test_label_similarity_profile_is_linear(spark):
     assert "id_a" not in plan and "id_b" not in plan
 
 
+def test_media_byte_histogram_single_scan(spark):
+    """media_type rides through the feature extractor as a carry column:
+    the plan must contain exactly ONE parquet scan and no join — a join
+    back to a re-derived fixture would pack every payload twice."""
+    import re
+
+    plan = plan_of(spark, "media_byte_histogram")
+    scans = re.findall(r"\(\d+\) Scan parquet", plan)
+    assert len(scans) == 1, plan
+    assert "Join" not in plan, plan
+
+
 def test_codegen_present(spark):
     plan = plan_of(spark, "validation_profile")
     assert "WholeStageCodegen" in plan or "HashAggregate" in plan
