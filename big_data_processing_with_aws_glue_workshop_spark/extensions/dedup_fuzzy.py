@@ -290,13 +290,17 @@ def connected_components(
     (every doc in a near-dup component maps to one representative).
 
     Each round every node adopts the minimum label among itself and its
-    neighbors; convergence (no label decreased) is checked with a LIMIT 1
-    existence probe, and labels are localCheckpoint()ed per round so the
-    plan stays flat instead of growing a 2^iter lineage. Near-dup graphs
-    are shallow (components are tiny cliques/chains), so rounds ~ graph
-    diameter, each one shuffle on the node id. At 100 TB this is the
-    standard large-graph CC recipe (cf. GraphX/GraphFrames' label
-    propagation); checkpointing would target HDFS instead of local disk.
+    neighbors, and labels are localCheckpoint()ed per round so the plan
+    stays flat instead of growing a 2^iter lineage. ONE Spark job per
+    round: the checkpoint is LAZY (eager=False) and the convergence probe —
+    a full COUNT of decreased labels, deliberately not LIMIT 1, so no
+    partition is skipped — both materializes it and decides termination;
+    the previous round's checkpoint storage is released immediately.
+    Near-dup graphs are shallow (components are tiny cliques/chains), so
+    rounds ~ graph diameter, each one shuffle on the node id. At 100 TB
+    this is the standard large-graph CC recipe (cf. GraphX/GraphFrames'
+    label propagation); checkpointing would target HDFS instead of local
+    disk.
 
     Returns (id, label): one row per node appearing in any edge; label =
     the component's minimum node id.
@@ -316,16 +320,20 @@ def connected_components(
             .union(msgs)
             .groupBy("id")
             .agg(F.min("label").alias("label"))
-            .localCheckpoint()
+            .localCheckpoint(eager=False)
         )
         shrank = (
             new_labels.alias("n")
             .join(labels.alias("o"), "id")
             .filter(F.col("n.label") < F.col("o.label"))
-            .limit(1)
             .count()
         )
+        old = labels
         labels = new_labels
+        try:
+            old.unpersist()  # no-op on the round-0 non-checkpointed frame
+        except Exception:
+            pass
         if shrank == 0:
             break
     else:
