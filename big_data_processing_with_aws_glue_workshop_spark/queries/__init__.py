@@ -153,6 +153,13 @@ _TAIL = (
     "doc_fingerprint",
     "ngram_jaccard_pairs",
     "media_byte_histogram",
+    # r4 additions (oracle-backed, pytest-gated; driver rows on the next
+    # rotation): OLAP grouping sets, ntile windows, corpus vocab/Zipf
+    # profile, per-source language mix
+    "lineitem_cube_aggregates",
+    "customer_balance_ntiles",
+    "corpus_vocab_stats",
+    "source_lang_profile",
 )
 
 # Module-level invariants the correctness driver depends on. Explicit raises,

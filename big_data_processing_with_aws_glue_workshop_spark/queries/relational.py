@@ -634,6 +634,62 @@ def q_ml_feature_dataset(spark: SparkSession, sf_dir: str) -> DataFrame:
     return featured.filter(F.col("c_custkey") % 3 == 0)
 
 
+def q_lineitem_cube_aggregates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OLAP CUBE (beyond-ref §2.7 widening; ROLLUP's partial lattice is
+    covered by status_priority_rollup): ALL FOUR grouping sets over
+    (l_returnflag, l_linestatus) — detail, both one-column marginals, and
+    the grand total in ONE pass, each row tagged with the SQL-standard
+    GROUPING bitmask so consumers can tell a real NULL from a subtotal.
+
+    Plan shape: Spark expands the cube into a single Expand + hash
+    aggregate — one scan, one shuffle, rows multiplied only by the number
+    of grouping sets (4 here), not re-scanned per set. Sums stay exact
+    (decimal) until the final double cast."""
+    l = load(spark, sf_dir, "lineitem")
+    return (
+        l.cube("l_returnflag", "l_linestatus")
+        .agg(
+            F.grouping_id().cast("int").alias("grouping_set"),
+            F.sum(_dec("l_quantity")).alias("_sq"),
+            F.sum(_dec("l_extendedprice")).alias("_sp"),
+            F.count(F.lit(1)).alias("n_rows"),
+        )
+        .select(
+            "l_returnflag",
+            "l_linestatus",
+            "grouping_set",
+            F.col("_sq").cast("double").alias("sum_qty"),
+            F.col("_sp").cast("double").alias("sum_base_price"),
+            "n_rows",
+        )
+    )
+
+
+def q_customer_balance_ntiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quartile assignment per nation (window-family widening): ntile(4)
+    over account balance inside each nation — the SQL-standard fixed-bucket
+    split (first n%4 buckets take the extra rows) — then one aggregation
+    per (nation, quartile). The ordering carries the unique custkey
+    tiebreak so bucket boundaries are total and engine-independent; min/max
+    are exact decimal reads cast to double."""
+    customer = load(spark, sf_dir, "customer")
+    nation = load(spark, sf_dir, "nation")
+    w = Window.partitionBy("n_name").orderBy(
+        F.col("c_acctbal").desc(), F.col("c_custkey")
+    )
+    return (
+        customer.join(F.broadcast(nation), customer.c_nationkey == nation.n_nationkey)
+        .select("n_name", "c_custkey", "c_acctbal", _dec("c_acctbal").alias("_bal"))
+        .withColumn("quartile", F.ntile(4).over(w).cast("int"))
+        .groupBy("n_name", "quartile")
+        .agg(
+            F.count(F.lit(1)).alias("n_customers"),
+            F.max("_bal").cast("double").alias("max_acctbal"),
+            F.min("_bal").cast("double").alias("min_acctbal"),
+        )
+    )
+
+
 QUERIES = {
     "pricing_summary": q_pricing_summary,
     "ml_feature_dataset": q_ml_feature_dataset,
@@ -664,6 +720,8 @@ QUERIES = {
     "shipping_priority_topk": q_shipping_priority_topk,
     "above_nation_avg_customers": q_above_nation_avg_customers,
     "promo_revenue_share": q_promo_revenue_share,
+    "lineitem_cube_aggregates": q_lineitem_cube_aggregates,
+    "customer_balance_ntiles": q_customer_balance_ntiles,
 }
 
 
@@ -983,5 +1041,34 @@ ORACLES = {
         )
         EXCEPT ALL
         SELECT c_custkey AS custkey FROM customer WHERE c_acctbal < 0
+    """,
+    # GROUPING() bitmask is SQL-standard in both engines: bit per column,
+    # leftmost column = most significant (detail 0, status marginal 1,
+    # flag marginal 2, grand total 3)
+    "lineitem_cube_aggregates": """
+        SELECT l_returnflag, l_linestatus,
+               CAST(GROUPING(l_returnflag, l_linestatus) AS INTEGER) AS grouping_set,
+               CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+               CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)
+                 AS sum_base_price,
+               COUNT(1) AS n_rows
+        FROM lineitem
+        GROUP BY CUBE (l_returnflag, l_linestatus)
+    """,
+    "customer_balance_ntiles": """
+        WITH tiled AS (
+          SELECT n_name,
+                 CAST(c_acctbal AS DECIMAL(18,2)) AS bal,
+                 NTILE(4) OVER (PARTITION BY n_name
+                                ORDER BY c_acctbal DESC, c_custkey) AS quartile
+          FROM customer JOIN nation ON c_nationkey = n_nationkey
+        )
+        SELECT n_name,
+               CAST(quartile AS INTEGER) AS quartile,
+               COUNT(1) AS n_customers,
+               CAST(MAX(bal) AS DOUBLE) AS max_acctbal,
+               CAST(MIN(bal) AS DOUBLE) AS min_acctbal
+        FROM tiled
+        GROUP BY n_name, quartile
     """,
 }

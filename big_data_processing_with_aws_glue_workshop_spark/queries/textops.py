@@ -561,6 +561,69 @@ def q_sequence_packing_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_corpus_vocab_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus vocabulary profile (Zipf diagnostics for a training corpus):
+    total token instances, distinct terms, hapax legomena (terms occurring
+    exactly once — the long tail a tokenizer's vocab cut drops), and the
+    dominant term with its corpus share.
+
+    Scale shape: explode -> one groupBy on the term (corpus-sized key set,
+    map-side partials), then two SCALAR aggregations over the vocab frame.
+    The top term is found distributed-safe: max count first (scalar), then
+    min(token) among terms at that count — no global row_number window,
+    which would single-partition the corpus-sized vocab at 100 TB. Counts
+    are exact ints; the share is one IEEE division."""
+    d = parallelize_scan(load(spark, sf_dir, "documents"), "doc_id")
+    toks = d.select(F.explode(_tokens(F.col("text"))).alias("token"))
+    vocab = tracked_cache(
+        toks.groupBy("token").agg(F.count(F.lit(1)).alias("n"))
+    )
+    agg = vocab.agg(
+        F.sum("n").alias("n_token_instances"),
+        F.count(F.lit(1)).alias("n_distinct_terms"),
+        F.count(F.when(F.col("n") == 1, 1)).alias("n_hapax"),
+        F.max("n").alias("_mx"),
+    )
+    top = (
+        vocab.join(F.broadcast(agg.select("_mx")), vocab["n"] == F.col("_mx"))
+        .agg(F.min("token").alias("top_term"))
+    )
+    return agg.crossJoin(F.broadcast(top)).select(
+        "n_token_instances",
+        "n_distinct_terms",
+        "n_hapax",
+        "top_term",
+        F.col("_mx").alias("top_term_count"),
+        (F.col("_mx").cast("double") / F.col("n_token_instances")).alias(
+            "top_term_share"
+        ),
+    )
+
+
+def q_source_lang_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-(source, language) corpus composition — the mixture table a
+    pretraining run reports next to its sampling weights: doc counts, token
+    mass, and each language's share WITHIN its source (window sum over the
+    source partition). One groupBy plus one tiny window over the grouped
+    frame (|sources x langs| rows); integer-exact counts, one IEEE division
+    for the share."""
+    d = load(spark, sf_dir, "documents")
+    per = d.groupBy("source", "lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.size(_tokens(F.col("text")))).alias("total_tokens"),
+    )
+    w = Window.partitionBy("source")
+    return per.select(
+        "source",
+        "lang",
+        "n_docs",
+        "total_tokens",
+        (F.col("n_docs").cast("double") / F.sum("n_docs").over(w)).alias(
+            "share_of_source"
+        ),
+    )
+
+
 def q_training_pipeline_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     """End-to-end training-data prep pipeline, driver-visible: run
     plans/textpipe.py::run_text_pipeline (quality -> exact dedup -> LSH
@@ -611,6 +674,8 @@ QUERIES = {
     "doc_repetition_scores": q_doc_repetition_scores,
     "sequence_packing_plan": q_sequence_packing_plan,
     "training_pipeline_summary": q_training_pipeline_summary,
+    "corpus_vocab_stats": q_corpus_vocab_stats,
+    "source_lang_profile": q_source_lang_profile,
 }
 
 _DUCK_SHINGLES = """
@@ -975,6 +1040,44 @@ ORACLES["sequence_packing_plan"] = """
            CAST(SUM(n_tokens) AS BIGINT) AS seq_tokens,
            CAST(SUM(n_tokens) AS DOUBLE) / 2048 AS fill_ratio
     FROM packed GROUP BY source, seq_id
+"""
+
+# Vocab twin: same tokenizer, same two-phase top-term selection (max count,
+# then MIN(token) at that count). SUM over BIGINT -> HUGEINT in DuckDB, so
+# results are cast back to BIGINT for the hash compare.
+ORACLES["corpus_vocab_stats"] = """
+    WITH toks AS (
+      SELECT unnest(string_split_regex(trim(lower(text)), '[ \\t\\n\\f\\r]+')) AS token
+      FROM documents
+    ),
+    vocab AS (SELECT token, COUNT(*) AS n FROM toks GROUP BY token),
+    agg AS (
+      SELECT CAST(SUM(n) AS BIGINT) AS n_token_instances,
+             COUNT(*) AS n_distinct_terms,
+             COUNT(CASE WHEN n = 1 THEN 1 END) AS n_hapax,
+             CAST(MAX(n) AS BIGINT) AS mx
+      FROM vocab
+    )
+    SELECT n_token_instances,
+           n_distinct_terms,
+           n_hapax,
+           (SELECT MIN(token) FROM vocab WHERE n = agg.mx) AS top_term,
+           mx AS top_term_count,
+           CAST(mx AS DOUBLE) / n_token_instances AS top_term_share
+    FROM agg
+"""
+
+ORACLES["source_lang_profile"] = """
+    WITH per AS (
+      SELECT source, lang, COUNT(*) AS n_docs,
+             CAST(SUM(len(string_split_regex(trim(lower(text)), '[ \\t\\n\\f\\r]+')))
+                  AS BIGINT) AS total_tokens
+      FROM documents GROUP BY source, lang
+    )
+    SELECT source, lang, n_docs, total_tokens,
+           CAST(n_docs AS DOUBLE) / SUM(n_docs) OVER (PARTITION BY source)
+             AS share_of_source
+    FROM per
 """
 
 # Full-pipeline twin: replays quality (length >= 100) -> exact dedup (md5
