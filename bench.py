@@ -62,6 +62,14 @@ HEADLINE = [
     "sequence_packing_plan",
     "media_audio_stats",
     "training_pipeline_summary",
+    # r4 tail additions promoted in r5 + new r5 training-pipeline ops
+    "lineitem_cube_aggregates",
+    "customer_balance_ntiles",
+    "corpus_vocab_stats",
+    "doc_chunk_plan",
+    "boilerplate_ngram_profile",
+    "prefix_template_clusters",
+    "quality_filter_decisions",
 ]
 
 

@@ -28,6 +28,29 @@ carries a driver CORRECTNESS row at least once every two rounds, and the
 pytest oracle gate covers ALL of them on every run regardless of window
 position.
 
+Round-5 rotation (round 4 was cut short before the driver scored, so the
+round-4 window below went to the driver unscored and its promotions are all
+KEPT this round; only rows last green in round 3 rotate out):
+- promoted (never driver-scored): the r4 tail additions
+  ``lineitem_cube_aggregates`` (grouping sets — a NEW OLAP family in the
+  scored set), ``customer_balance_ntiles`` (ntile windows — new family),
+  ``corpus_vocab_stats``, ``source_lang_profile``, and the four new r5
+  training-pipeline ops ``doc_chunk_plan`` (context-window chunking),
+  ``boilerplate_ngram_profile`` (CCNet-style corpus-common-gram filter),
+  ``prefix_template_clusters`` (template screen), and
+  ``quality_filter_decisions`` (the Gopher rule stack as a decision table).
+- demoted (green in CORRECTNESS_r03, families still scored):
+  ``active_customers_by_segment`` (P7/A5 via athena_q1),
+  ``avg_balance_by_nation`` (A6/A9 via athena_q2),
+  ``fulfillment_rate_by_nation`` (A7/A8 via athena_q3),
+  ``priority_filter`` (P8 IN-list via ml_feature_dataset),
+  ``latest_order_per_customer`` (W1/W2 via ml_feature_dataset's CTE and the
+  medallion e2e RN-002 trace), ``distinct_projection`` (A10 via the e2e
+  gold dim builder; set-distinct semantics via segment_set_ops),
+  ``doc_token_stats`` (token stats via quality_filter_decisions +
+  corpus_vocab_stats), ``doc_quality_scores`` (strictly subsumed by
+  quality_filter_decisions: same signals plus the decision layer).
+
 Round-4 rotation (per the r3 verdict):
 - promoted (r3 pytest-green flagships, first driver rows): the training-data
   pipeline family ``doc_dup_components``, ``tfidf_top_terms``,
@@ -72,25 +95,21 @@ _ALL_QUERIES = {
 }
 
 _SCORED = (
-    # relational core (SURVEY §2.1-§2.8)
+    # relational core (SURVEY §2.1-§2.8) + beyond-ref OLAP
     "pricing_summary",
     "ml_feature_dataset",
-    "active_customers_by_segment",
-    "avg_balance_by_nation",
-    "fulfillment_rate_by_nation",
     "validation_profile",
-    "distinct_projection",
-    "latest_order_per_customer",
     "customers_without_orders",
     "customer_geography_rollup",
     "revenue_by_supplier_nation",
     "multiformat_date_parsing",
     "supplier_unique_key",
     "order_aging",
-    "priority_filter",
     "name_pattern_filter",
     "segment_set_ops",
     "shipping_priority_topk",
+    "lineitem_cube_aggregates",
+    "customer_balance_ntiles",
     # literal Athena SQL surface (reference test/query_gold_validations.sql)
     "athena_q1_active_by_society",
     "athena_q2_avg_age_by_activity",
@@ -103,10 +122,14 @@ _SCORED = (
     "asof_last_click_before_error",
     "range_join_interval_counts",
     # text / dedup / training-data pipeline
-    "doc_token_stats",
-    "doc_quality_scores",
     "language_id",
     "doc_dedup_profile",
+    "corpus_vocab_stats",
+    "source_lang_profile",
+    "doc_chunk_plan",
+    "boilerplate_ngram_profile",
+    "prefix_template_clusters",
+    "quality_filter_decisions",
     "minhash_near_duplicates",
     "simhash_fingerprints",
     "doc_dup_components",
@@ -153,13 +176,17 @@ _TAIL = (
     "doc_fingerprint",
     "ngram_jaccard_pairs",
     "media_byte_histogram",
-    # r4 additions (oracle-backed, pytest-gated; driver rows on the next
-    # rotation): OLAP grouping sets, ntile windows, corpus vocab/Zipf
-    # profile, per-source language mix
-    "lineitem_cube_aggregates",
-    "customer_balance_ntiles",
-    "corpus_vocab_stats",
-    "source_lang_profile",
+    # r5 demotions — green driver rows in CORRECTNESS_r03, rotated out per
+    # the two-round policy; every one of these stays hash-checked by the
+    # pytest oracle gate on every run.
+    "active_customers_by_segment",
+    "avg_balance_by_nation",
+    "fulfillment_rate_by_nation",
+    "priority_filter",
+    "latest_order_per_customer",
+    "distinct_projection",
+    "doc_token_stats",
+    "doc_quality_scores",
 )
 
 # Module-level invariants the correctness driver depends on. Explicit raises,

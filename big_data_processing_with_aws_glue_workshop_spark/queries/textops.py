@@ -624,6 +624,213 @@ def q_source_lang_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_CHUNK_SIZE = 32
+_CHUNK_STRIDE = 24
+
+
+def q_doc_chunk_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Context-window chunking — the sequence-prep step that slices each
+    document into fixed token windows (size 32, stride 24, i.e. 8-token
+    overlap) before tokenization, the way a long-context training pipeline
+    chunks documents that exceed the model's window.
+
+    Chunk starts are the stride multiples below n_tokens, so every token is
+    covered and consecutive chunks overlap by size-stride. Entirely
+    array-native per row (sequence -> explode -> slice): after the scan
+    redistribution there is NO shuffle — embarrassingly parallel at 100 TB.
+    The chunk content is carried as md5(joined tokens) so the hash compare
+    pins the exact slice boundaries, not just the counts."""
+    d = parallelize_scan(load(spark, sf_dir, "documents"), "doc_id")
+    toks = _tokens(F.col("text"))
+    t = d.select("doc_id", toks.alias("toks"), F.size(toks).alias("n_tokens")).filter(
+        F.col("n_tokens") > 0
+    )
+    starts = F.sequence(
+        F.lit(0), ((F.col("n_tokens") - 1) / _CHUNK_STRIDE).cast("int")
+    )
+    c = t.select("doc_id", "n_tokens", "toks", F.explode(starts).alias("chunk_idx"))
+    start = F.col("chunk_idx") * _CHUNK_STRIDE
+    clen = F.least(F.lit(_CHUNK_SIZE), F.col("n_tokens") - start)
+    return c.select(
+        "doc_id",
+        F.col("chunk_idx").cast("int").alias("chunk_idx"),
+        start.cast("int").alias("start_token"),
+        clen.cast("int").alias("chunk_tokens"),
+        F.md5(
+            F.concat_ws(" ", F.slice(F.col("toks"), start + 1, clen)).cast("binary")
+        ).alias("chunk_hash"),
+    )
+
+
+_BOILERPLATE_MIN_DF = 5
+
+
+def q_boilerplate_ngram_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Boilerplate detection (CCNet-style): word-3-grams that occur in >=5
+    DISTINCT documents are corpus boilerplate (headers, navigation chrome,
+    license blurbs); each document is scored by the fraction of its distinct
+    grams that are boilerplate — the signal used to drop template-heavy docs.
+
+    Scale shape: the shingle frame is per-doc DISTINCT (bounds hot keys),
+    document frequency is a hash aggregate on the gram (map-side partials —
+    deliberately NOT a count-over-window, whose unsplittable hot-gram
+    partition would OOM at 100 TB), the flag join shuffles on the gram key
+    (AQE skew-split applies; the filtered common set is usually small enough
+    to broadcast), and ONE doc_id aggregation computes both counts. Ratio is
+    one IEEE division of exact ints."""
+    d = load(spark, sf_dir, "documents")
+    sh = tracked_cache(_shingles(d))
+    common = (
+        sh.groupBy("shingle")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .filter(F.col("df") >= _BOILERPLATE_MIN_DF)
+        .select("shingle", F.lit(1).alias("is_common"))
+    )
+    per_doc = (
+        sh.join(common, "shingle", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_distinct_grams"),
+            F.count("is_common").alias("n_boilerplate_grams"),
+        )
+    )
+    return (
+        d.select("doc_id")
+        .join(per_doc, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("n_distinct_grams", F.lit(0)).cast("int").alias(
+                "n_distinct_grams"
+            ),
+            F.coalesce("n_boilerplate_grams", F.lit(0)).cast("int").alias(
+                "n_boilerplate_grams"
+            ),
+            F.when(
+                F.col("n_distinct_grams").isNotNull(),
+                F.coalesce("n_boilerplate_grams", F.lit(0)).cast("double")
+                / F.col("n_distinct_grams"),
+            ).alias("boilerplate_ratio"),
+        )
+    )
+
+
+_PREFIX_K = 12
+
+
+def q_prefix_template_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Template detection by shared document prefix: documents whose first
+    12 tokens are identical (md5 of the joined prefix) are instances of one
+    generation template — the cheap O(n) screen a pipeline runs before the
+    expensive near-dup pass, and the standard way to catch SEO/boilerplate
+    farms that vary only the tail.
+
+    One narrow projection (prefix hash) + one groupBy on the 16-byte hash;
+    dedup-on-digest, never on full text — the same 100 TB posture as the
+    exact-dedup profile. Emits only multi-doc clusters with their canonical
+    (min) member."""
+    d = parallelize_scan(load(spark, sf_dir, "documents"), "doc_id")
+    toks = _tokens(F.col("text"))
+    pref = d.select(
+        "doc_id",
+        F.when(
+            F.size(toks) >= _PREFIX_K,
+            F.md5(F.concat_ws(" ", F.slice(toks, 1, _PREFIX_K)).cast("binary")),
+        ).alias("prefix_hash"),
+    ).filter(F.col("prefix_hash").isNotNull())
+    return (
+        pref.groupBy("prefix_hash")
+        .agg(
+            F.count(F.lit(1)).cast("int").alias("n_docs"),
+            F.min("doc_id").alias("canonical_doc_id"),
+        )
+        .filter(F.col("n_docs") >= 2)
+    )
+
+
+def q_quality_filter_decisions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Composite quality filter (the Gopher/RedPajama rule stack as ONE
+    decision table): per document, the four signals a pretraining filter
+    gates on — token count, mean token length, within-doc 3-gram repetition,
+    stopword density (applied to English only) — each threshold as a rule,
+    plus the final keep flag and the FIRST failing rule as drop_reason.
+
+    This is the decision layer over the signal queries (doc_token_stats /
+    doc_quality_scores / doc_repetition_scores): what ships to the corpus is
+    keep=1; what the curator audits is the drop_reason histogram. One narrow
+    projection over the scan — all four signals are array/string expressions
+    on the row, so the operator is shuffle-free and embarrassingly parallel
+    at 100 TB. Ratios are single IEEE divisions of exact ints; threshold
+    comparisons on those doubles are engine-portable because both engines
+    compute bit-identical operands."""
+    d = parallelize_scan(load(spark, sf_dir, "documents"), "doc_id")
+    toksc = _tokens(F.col("text"))
+    padded = F.concat(F.lit(" "), F.lower(F.col("text")), F.lit(" "))
+    stop_hits = sum(
+        _occurrences(padded, w) for w in (" the ", " and ", " of ", " to ")
+    ).cast("int")
+    chars_no_ws = F.length(F.regexp_replace(F.col("text"), _WS, ""))
+    base = d.select(
+        "doc_id",
+        "lang",
+        toksc.alias("toks"),
+        F.size(toksc).alias("n_tokens"),
+        stop_hits.alias("n_stop"),
+        chars_no_ws.alias("n_chars_no_ws"),
+    )
+    toks = F.col("toks")
+    grams = F.when(
+        F.size(toks) >= 3,
+        F.transform(
+            F.sequence(F.lit(0), F.size(toks) - 3),
+            lambda i: F.concat_ws(
+                " ",
+                F.element_at(toks, (i + 1).cast("int")),
+                F.element_at(toks, (i + 2).cast("int")),
+                F.element_at(toks, (i + 3).cast("int")),
+            ),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    g = base.select(
+        "doc_id",
+        "lang",
+        "n_tokens",
+        "n_stop",
+        "n_chars_no_ws",
+        F.size(grams).alias("n_grams"),
+        F.size(F.array_distinct(grams)).alias("n_distinct_grams"),
+    )
+    avg_len = F.col("n_chars_no_ws").cast("double") / F.col("n_tokens")
+    stop_ratio = F.col("n_stop").cast("double") / F.col("n_tokens")
+    dup_ratio = F.when(
+        F.col("n_grams") > 0,
+        (F.col("n_grams") - F.col("n_distinct_grams")).cast("double")
+        / F.col("n_grams"),
+    ).otherwise(F.lit(0.0))
+    scored = g.select(
+        "doc_id",
+        "lang",
+        F.col("n_tokens").cast("int").alias("n_tokens"),
+        avg_len.alias("avg_token_len"),
+        stop_ratio.alias("stopword_ratio"),
+        dup_ratio.alias("dup_gram_ratio"),
+    )
+    fail_length = (F.col("n_tokens") < 20) | (F.col("n_tokens") > 5000)
+    fail_token_len = (F.col("avg_token_len") < 3.0) | (F.col("avg_token_len") > 8.0)
+    fail_repetition = F.col("dup_gram_ratio") > 0.2
+    fail_stopwords = (F.col("lang") == "en") & (F.col("stopword_ratio") < 0.01)
+    reason = (
+        F.when(fail_length, "LENGTH")
+        .when(fail_token_len, "TOKEN_LEN")
+        .when(fail_repetition, "REPETITION")
+        .when(fail_stopwords, "STOPWORDS")
+    )
+    return scored.select(
+        "*",
+        F.when(reason.isNull(), 1).otherwise(0).cast("int").alias("keep"),
+        reason.alias("drop_reason"),
+    )
+
+
 def q_training_pipeline_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     """End-to-end training-data prep pipeline, driver-visible: run
     plans/textpipe.py::run_text_pipeline (quality -> exact dedup -> LSH
@@ -676,6 +883,10 @@ QUERIES = {
     "training_pipeline_summary": q_training_pipeline_summary,
     "corpus_vocab_stats": q_corpus_vocab_stats,
     "source_lang_profile": q_source_lang_profile,
+    "doc_chunk_plan": q_doc_chunk_plan,
+    "boilerplate_ngram_profile": q_boilerplate_ngram_profile,
+    "prefix_template_clusters": q_prefix_template_clusters,
+    "quality_filter_decisions": q_quality_filter_decisions,
 }
 
 _DUCK_SHINGLES = """
@@ -1065,6 +1276,113 @@ ORACLES["corpus_vocab_stats"] = """
            mx AS top_term_count,
            CAST(mx AS DOUBLE) / n_token_instances AS top_term_share
     FROM agg
+"""
+
+# Chunking twin: identical start-multiple rule (range over ceil(n/stride)),
+# identical slice boundaries (DuckDB list slicing is 1-based inclusive, so
+# w[s+1 : s+len] == Spark slice(toks, s+1, len)), md5 over the same joined
+# string pins the content byte-for-byte.
+ORACLES["doc_chunk_plan"] = """
+    WITH toks AS (
+      SELECT doc_id, string_split_regex(trim(lower(text)), '[ \\t\\n\\f\\r]+') AS w
+      FROM documents
+    ),
+    chunks AS (
+      SELECT doc_id, len(w) AS n_tokens, w, CAST(t.i AS INTEGER) AS chunk_idx
+      FROM toks, UNNEST(range(0, (len(w) - 1) // 24 + 1)) AS t(i)
+      WHERE len(w) > 0
+    )
+    SELECT doc_id, chunk_idx,
+           CAST(chunk_idx * 24 AS INTEGER) AS start_token,
+           CAST(LEAST(32, n_tokens - chunk_idx * 24) AS INTEGER) AS chunk_tokens,
+           md5(array_to_string(
+             w[chunk_idx * 24 + 1 :
+               chunk_idx * 24 + LEAST(32, n_tokens - chunk_idx * 24)], ' '))
+             AS chunk_hash
+    FROM chunks
+"""
+
+ORACLES["boilerplate_ngram_profile"] = f"""
+    WITH {_DUCK_SHINGLES},
+    dfreq AS (SELECT shingle, COUNT(1) AS df FROM shingles GROUP BY 1),
+    per_doc AS (SELECT doc_id, COUNT(1) AS n FROM shingles GROUP BY 1),
+    hits AS (
+      SELECT s.doc_id, COUNT(1) AS nb
+      FROM shingles s JOIN dfreq USING (shingle)
+      WHERE df >= 5 GROUP BY 1
+    )
+    SELECT d.doc_id,
+           CAST(COALESCE(p.n, 0) AS INTEGER) AS n_distinct_grams,
+           CAST(COALESCE(h.nb, 0) AS INTEGER) AS n_boilerplate_grams,
+           CASE WHEN p.n IS NOT NULL
+                THEN CAST(COALESCE(h.nb, 0) AS DOUBLE) / p.n
+           END AS boilerplate_ratio
+    FROM documents d
+    LEFT JOIN per_doc p USING (doc_id)
+    LEFT JOIN hits h USING (doc_id)
+"""
+
+ORACLES["prefix_template_clusters"] = """
+    WITH t AS (
+      SELECT doc_id, string_split_regex(trim(lower(text)), '[ \\t\\n\\f\\r]+') AS w
+      FROM documents
+    ),
+    pref AS (
+      SELECT doc_id, md5(array_to_string(w[1:12], ' ')) AS prefix_hash
+      FROM t WHERE len(w) >= 12
+    )
+    SELECT prefix_hash,
+           CAST(COUNT(1) AS INTEGER) AS n_docs,
+           MIN(doc_id) AS canonical_doc_id
+    FROM pref GROUP BY 1 HAVING COUNT(1) >= 2
+"""
+
+# Filter-decision twin: same four signals (stopword counts via the
+# length/replace trick, 3-gram dup ratio as in doc_repetition_scores),
+# same thresholds, same first-failing-rule reason order.
+ORACLES["quality_filter_decisions"] = """
+    WITH base AS (
+      SELECT doc_id, lang,
+             string_split_regex(trim(lower(text)), '[ \\t\\n\\f\\r]+') AS w,
+             length(regexp_replace(text, '[ \\t\\n\\f\\r]', '', 'g')) AS n_chars_no_ws,
+             CAST((length(p) - length(replace(p, ' the ', ''))) / 5.0
+                + (length(p) - length(replace(p, ' and ', ''))) / 5.0
+                + (length(p) - length(replace(p, ' of ', ''))) / 4.0
+                + (length(p) - length(replace(p, ' to ', ''))) / 4.0 AS INTEGER)
+               AS n_stop
+      FROM (SELECT *, ' ' || lower(text) || ' ' AS p FROM documents)
+    ),
+    grams AS (
+      SELECT doc_id, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS g
+      FROM base, UNNEST(range(1, len(w) - 1)) AS t(i)
+    ),
+    gagg AS (
+      SELECT doc_id, COUNT(1) AS n_grams, COUNT(DISTINCT g) AS n_distinct
+      FROM grams GROUP BY 1
+    ),
+    scored AS (
+      SELECT b.doc_id, b.lang,
+             CAST(len(b.w) AS INTEGER) AS n_tokens,
+             CAST(b.n_chars_no_ws AS DOUBLE) / len(b.w) AS avg_token_len,
+             CAST(b.n_stop AS DOUBLE) / len(b.w) AS stopword_ratio,
+             CASE WHEN g.n_grams > 0
+                  THEN CAST(g.n_grams - g.n_distinct AS DOUBLE) / g.n_grams
+                  ELSE 0.0 END AS dup_gram_ratio
+      FROM base b LEFT JOIN gagg g USING (doc_id)
+    ),
+    decided AS (
+      SELECT *,
+             CASE WHEN n_tokens < 20 OR n_tokens > 5000 THEN 'LENGTH'
+                  WHEN avg_token_len < 3.0 OR avg_token_len > 8.0 THEN 'TOKEN_LEN'
+                  WHEN dup_gram_ratio > 0.2 THEN 'REPETITION'
+                  WHEN lang = 'en' AND stopword_ratio < 0.01 THEN 'STOPWORDS'
+             END AS drop_reason
+      FROM scored
+    )
+    SELECT doc_id, lang, n_tokens, avg_token_len, stopword_ratio, dup_gram_ratio,
+           CAST(CASE WHEN drop_reason IS NULL THEN 1 ELSE 0 END AS INTEGER) AS keep,
+           drop_reason
+    FROM decided
 """
 
 ORACLES["source_lang_profile"] = """

@@ -93,6 +93,36 @@ def test_media_byte_histogram_single_scan(spark):
     assert "Join" not in plan, plan
 
 
+def test_chunk_and_filter_are_shuffle_free(spark):
+    """doc_chunk_plan and quality_filter_decisions are per-row array ops:
+    after the one scan redistribution (parallelize_scan) the plan must hold
+    NO further exchange — the property that makes them embarrassingly
+    parallel at 100 TB."""
+    for name in ("doc_chunk_plan", "quality_filter_decisions"):
+        plan = plan_of(spark, name)
+        assert plan.count("REPARTITION_BY_NUM") <= 1, name
+        assert "ENSURE_REQUIREMENTS" not in plan, f"{name}: unexpected shuffle"
+        assert "Join" not in plan, name
+
+
+def test_prefix_clusters_dedup_on_digest(spark):
+    """prefix_template_clusters groups on the 16-byte md5, never the raw
+    prefix text: the aggregation key in the plan is the hash expression."""
+    plan = plan_of(spark, "prefix_template_clusters")
+    assert "md5" in plan
+    # one keyed scan redistribution + one aggregation exchange, nothing more
+    assert plan.count("ENSURE_REQUIREMENTS") <= 1, plan
+
+
+def test_boilerplate_profile_single_doc_agg(spark):
+    """The boilerplate profile computes both per-doc counts in ONE doc_id
+    aggregation (flag join + conditional count), not two groupBys with a
+    join of their results; document frequency is a hash aggregate (map-side
+    partials), never a count-over-window on the gram."""
+    plan = plan_of(spark, "boilerplate_ngram_profile")
+    assert "Window" not in plan, "df must be a hash agg, not a window"
+
+
 def test_codegen_present(spark):
     plan = plan_of(spark, "validation_profile")
     assert "WholeStageCodegen" in plan or "HashAggregate" in plan
