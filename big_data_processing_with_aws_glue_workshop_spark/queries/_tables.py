@@ -61,10 +61,20 @@ def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """
     ensure_session_confs(spark)
     df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
-    if name == "events" and isinstance(df.schema["ts"].dataType, T.LongType):
-        # integer DIV, not float '/': nanos ~1.7e18 exceed double's 53-bit
-        # exact-integer range, so float division would corrupt low microseconds
-        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
+    if name == "events":
+        ts_type = df.schema["ts"].dataType
+        if isinstance(ts_type, T.LongType):
+            # integer DIV, not float '/': nanos ~1.7e18 exceed double's 53-bit
+            # exact-integer range, so float division would corrupt low micros
+            df = df.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
+        elif isinstance(ts_type, T.TimestampNTZType):
+            # Spark 4.1+ reads TIMESTAMP(NANOS) natively as TIMESTAMP_NTZ
+            # (micros truncation), ignoring the legacy nanosAsLong conf. The
+            # session timezone is pinned to UTC above, so casting the naive
+            # wall time to TIMESTAMP yields the same instants the nanosAsLong
+            # path produced — and keeps instant-typed functions
+            # (unix_millis & co.) working across Spark versions.
+            df = df.withColumn("ts", F.col("ts").cast("timestamp"))
     return df
 
 
