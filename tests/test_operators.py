@@ -310,3 +310,59 @@ def test_time_rollup_three_level_chain(spark, sf_dir):
 
     with pytest.raises(ValueError, match="not a multiple"):
         time_rollup_chain(ev, ts_col="ts", levels_seconds=(60, 90))
+
+
+def test_ntz_to_utc_instant_is_session_tz_independent(spark):
+    """The NTZ wall->instant conversion must not depend on
+    spark.sql.session.timeZone: ensure_session_confs pins UTC but swallows
+    conf-set failures, so a locked non-UTC session would silently shift
+    every event timestamp if the conversion went through a plain cast."""
+    import datetime as dt
+
+    from pyspark.sql import functions as F
+    from pyspark.sql import types as T
+
+    from big_data_processing_with_aws_glue_workshop_spark.queries._tables import ntz_to_utc_instant
+
+    walls = [
+        dt.datetime(2024, 5, 1, 10, 0, 0, 123456),
+        dt.datetime(1969, 12, 31, 23, 59, 59, 999999),  # pre-epoch, -1 us
+        dt.datetime(2000, 2, 29, 0, 0, 0),
+    ]
+    df = spark.createDataFrame(
+        [(w,) for w in walls], T.StructType([T.StructField("ts", T.TimestampNTZType())])
+    )
+    want = [
+        int(w.replace(tzinfo=dt.timezone.utc).timestamp() * 1_000_000) for w in walls
+    ]
+    original_tz = spark.conf.get("spark.sql.session.timeZone")
+    try:
+        for tz in ("UTC", "America/New_York", "Asia/Tokyo"):
+            spark.conf.set("spark.sql.session.timeZone", tz)
+            got = [
+                r["m"]
+                for r in df.select(
+                    F.unix_micros(ntz_to_utc_instant(F.col("ts"))).alias("m")
+                ).collect()
+            ]
+            assert got == want, f"shifted under session TZ {tz}"
+    finally:
+        spark.conf.set("spark.sql.session.timeZone", original_tz)
+
+
+def test_keep_tracked_caches_suspends_registry_release(spark):
+    """The registry wrapper's hygiene release must be suspendable across a
+    warm+timed rerun pair (bench.py) but active by default."""
+    from big_data_processing_with_aws_glue_workshop_spark import util
+
+    df = spark.range(10)
+    util.tracked_cache(df)
+    assert len(util._LIVE_CACHES) == 1
+    with util.keep_tracked_caches():
+        util.maybe_release_tracked_caches()
+        assert len(util._LIVE_CACHES) == 1  # suppressed inside the scope
+        with util.keep_tracked_caches():
+            util.maybe_release_tracked_caches()
+            assert len(util._LIVE_CACHES) == 1  # nesting-safe
+    util.maybe_release_tracked_caches()
+    assert len(util._LIVE_CACHES) == 0  # active again after the scope

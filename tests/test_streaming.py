@@ -356,3 +356,92 @@ def test_stream_static_enrichment_join(spark, sf_dir):
     )
     want = {r["tier"]: r["n"] for r in batch.collect()}
     assert got == want and set(got) == {"gold", "basic"}
+
+
+# ---------------------------------------------------------------------------
+# Reader parity: the streaming events reader must yield the SAME instants as
+# the batch loader on every Spark build (the r4 Spark-4.1 upgrade silently
+# split the two paths — this pins them together)
+# ---------------------------------------------------------------------------
+
+
+def test_batch_stream_reader_parity(spark, sf_dir):
+    from big_data_processing_with_aws_glue_workshop_spark.queries._tables import load
+
+    stream = read_events_stream(spark, sf_dir)
+    # drain the finite stream with a passthrough projection; checksum ts
+    got = run_streaming_query(
+        stream.select("event_id", "ts"), "t_reader_parity", output_mode="append"
+    ).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.min("ts").alias("lo"),
+        F.max("ts").alias("hi"),
+        F.sum(F.unix_micros("ts")).alias("checksum"),
+    ).collect()[0]
+    want = (
+        load(spark, sf_dir, "events")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.min("ts").alias("lo"),
+            F.max("ts").alias("hi"),
+            F.sum(F.unix_micros("ts")).alias("checksum"),
+        )
+        .collect()[0]
+    )
+    assert got["n"] == want["n"] and got["n"] > 0
+    assert got["lo"] == want["lo"] and got["hi"] == want["hi"]
+    assert got["checksum"] == want["checksum"]
+
+
+@pytest.mark.parametrize("source_type", ["int64_nanos", "timestamp_ntz", "timestamp"])
+def test_stream_reader_source_type_variants(spark, tmp_path, source_type):
+    """read_events_stream handles every physical shape the ts column can
+    arrive in — int64 nanos (pre-4.1 nanosAsLong), TIMESTAMP_NTZ (Spark
+    4.1+ native nanos read), and plain TIMESTAMP — producing identical
+    instants from each, so a driver Spark bump can't silently change
+    values again."""
+    import datetime as dt
+
+    from pyspark.sql import types as T
+
+    base = dt.datetime(2024, 5, 1, 10, 0, 0)
+    instants = [base + dt.timedelta(minutes=7 * i, microseconds=i) for i in range(5)]
+    sf = tmp_path / f"sf_{source_type}"
+    sf.mkdir()
+
+    common = [
+        T.StructField("event_id", T.LongType()),
+        T.StructField("user_id", T.LongType()),
+        T.StructField("event_type", T.StringType()),
+        T.StructField("value", T.DoubleType()),
+        T.StructField("props", T.StringType()),
+    ]
+    if source_type == "int64_nanos":
+        rows = [
+            (i, int(t.replace(tzinfo=dt.timezone.utc).timestamp() * 1_000_000) * 1000,
+             i, "click", 1.0, "{}")
+            for i, t in enumerate(instants)
+        ]
+        ts_field = T.StructField("ts", T.LongType())
+    elif source_type == "timestamp_ntz":
+        rows = [(i, t, i, "click", 1.0, "{}") for i, t in enumerate(instants)]
+        ts_field = T.StructField("ts", T.TimestampNTZType())
+    else:
+        rows = [(i, t, i, "click", 1.0, "{}") for i, t in enumerate(instants)]
+        ts_field = T.StructField("ts", T.TimestampType())
+    schema = T.StructType([common[0], ts_field] + common[1:])
+    staging = tmp_path / f"staging_{source_type}"
+    spark.createDataFrame(rows, schema).coalesce(1).write.mode("overwrite").parquet(
+        str(staging)
+    )
+    # testdata layout is a single FILE named events.parquet (the reader's
+    # pathGlobFilter matches file names) — relocate the part file to match
+    part = next(p for p in staging.iterdir() if p.name.endswith(".parquet"))
+    part.rename(sf / "events.parquet")
+
+    stream = read_events_stream(spark, str(sf))
+    out = run_streaming_query(
+        stream.select("event_id", "ts"), f"t_src_{source_type}", output_mode="append"
+    )
+    got = {r["event_id"]: r["ts"] for r in out.collect()}
+    assert got == {i: t for i, t in enumerate(instants)}
