@@ -14,7 +14,8 @@ that computes the expected header fields analytically — a genuine check
 that pack -> binary column -> batch decode agree end to end. A sprinkling
 of deliberately-truncated payloads (doc_id % 97 == 0) exercises the corrupt-
 file path. ``media_byte_histogram`` aggregates the payload-derived features
-(rows-only: the histogram itself is not SQL-expressible in the oracle).
+exactly (integer low-byte counts recovered from the float32 weights, one
+final IEEE division) so even the histogram UDF carries a full DuckDB twin.
 
 Reference parity: the reference has no media surface; this family implements
 the brief's multimodal-column requirement (binary payload + typed metadata,
@@ -252,26 +253,41 @@ def q_media_frame_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_media_byte_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Payload feature extraction (normalized 16-bin byte histogram) per
-    media type: mean first-bin weight and mean payload size. Rows-only
-    check — the histogram UDF has no SQL twin; determinism is pinned by the
-    fixture and the float32 quantization inside the extractor."""
+    media type, aggregated EXACTLY so the DuckDB twin can hash-match it:
+    the per-payload bin-0 byte COUNT is recovered from the float32 weight
+    (round(weight * n_bytes) — exact while count < 2^23, payloads here are
+    hundreds of bytes), then only integer sums cross rows, and the final
+    share is one IEEE division. The oracle reconstructs each payload's
+    low-byte count analytically: the four big-endian header fields
+    contribute closed-form byte values and the text contributes its
+    sub-0x10 code points (1-byte in UTF-8; continuation/lead bytes are all
+    >= 0x80, so code-point counting IS byte counting)."""
     from ..extensions.multimodal import byte_histogram_features
 
-    # media_type rides through the extractor as a carry column: ONE
-    # documents scan + ONE packing pass feed both the features and the
-    # grouping key (a join back to a re-derived fixture would re-run the
-    # scan and the JVM byte-packing a second time)
-    media = media_fixture(spark, sf_dir)
-    feats = byte_histogram_features(media, n_bins=16, carry=("media_type",))
+    # media_type and n_bytes ride through the extractor as carry columns:
+    # ONE documents scan + ONE packing pass feed the features, the grouping
+    # key, and the denominator (a join back to a re-derived fixture would
+    # re-run the scan and the JVM byte-packing a second time)
+    media = media_fixture(spark, sf_dir).withColumn(
+        "n_bytes", F.octet_length("content").cast("bigint")
+    )
+    feats = byte_histogram_features(media, n_bins=16, carry=("media_type", "n_bytes"))
     return (
         feats.select(
             "media_type",
-            F.element_at(F.col("features"), 1).cast("double").alias("bin0"),
+            "n_bytes",
+            F.round(F.element_at(F.col("features"), 1).cast("double") * F.col("n_bytes"))
+            .cast("bigint")
+            .alias("bin0_count"),
         )
         .groupBy("media_type")
         .agg(
             F.count(F.lit(1)).alias("n_media"),
-            F.avg("bin0").alias("mean_bin0_weight"),
+            F.sum("bin0_count").alias("low_byte_count"),
+            F.sum("n_bytes").alias("total_bytes"),
+            (F.sum("bin0_count").cast("double") / F.sum("n_bytes")).alias(
+                "low_byte_share"
+            ),
         )
         .orderBy("media_type")
     )
@@ -357,6 +373,52 @@ ORACLES = {
                CASE WHEN ok THEN n_samples * CAST(1000 AS DOUBLE) / rate
                END AS duration_ms
         FROM params
+    """,
+    # Byte-histogram analytic twin: each payload's sub-0x10 byte count is
+    # reconstructed in closed form. Header: be32(width) and be32(height)
+    # contribute 3 low bytes each (two zero bytes + a high byte that is
+    # always < 16 because width <= 655, height <= 495) plus their low
+    # byte's test; be32(n_frames <= 99) contributes 3 zeros + (fr < 16);
+    # be32(rate in 8000/12000/16000) contributes exactly the 2 zero bytes
+    # (both value bytes >= 0x1F). Text: code points < 0x10 are single-byte
+    # in UTF-8 and no continuation/lead byte is < 0x80, so counting code
+    # points IS counting bytes. Corrupt rows are the single byte 0x00.
+    # Cross-row aggregation is integer-only; the share is one IEEE division.
+    "media_byte_histogram": f"""
+        WITH params AS (
+          SELECT CASE CAST(doc_id % 3 AS INTEGER)
+                   WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video'
+                 END AS media_type,
+                 doc_id % {CORRUPT_EVERY} = 0 AS corrupt,
+                 CAST(doc_id % 640 + 16 AS BIGINT) AS w,
+                 CAST(doc_id % 480 + 16 AS BIGINT) AS h,
+                 CAST(doc_id % 100 AS BIGINT) AS fr,
+                 octet_length(encode(coalesce(text, ''))) AS text_bytes,
+                 length(coalesce(text, ''))
+                   - length(regexp_replace(coalesce(text, ''),
+                                           '[\\x01-\\x0f]', '', 'g')) AS text_low
+          FROM documents
+        ), per AS (
+          SELECT media_type,
+                 CASE WHEN corrupt THEN CAST(1 AS BIGINT)
+                      ELSE 16 + text_bytes END AS n_bytes,
+                 CASE WHEN corrupt THEN CAST(1 AS BIGINT)
+                      ELSE 11
+                           + CASE WHEN (w & 255) < 16 THEN 1 ELSE 0 END
+                           + CASE WHEN (h & 255) < 16 THEN 1 ELSE 0 END
+                           + CASE WHEN fr < 16 THEN 1 ELSE 0 END
+                           + text_low
+                 END AS low_bytes
+          FROM params
+        )
+        SELECT media_type,
+               count(*) AS n_media,
+               sum(low_bytes) AS low_byte_count,
+               sum(n_bytes) AS total_bytes,
+               CAST(sum(low_bytes) AS DOUBLE) / sum(n_bytes) AS low_byte_share
+        FROM per
+        GROUP BY media_type
+        ORDER BY media_type
     """,
     # Video analytic twin: the engine decodes frames 0, 3, 6, ... of an
     # n = doc_id%10+1 frame container; each frame's uniform pixel value is

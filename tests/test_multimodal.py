@@ -118,12 +118,19 @@ def test_media_probe_profile_oracle(spark, sf_dir):
     compare(QUERIES["media_probe_profile"](spark, sf_dir), ORACLES["media_probe_profile"], sf_dir)
 
 
-def test_media_byte_histogram_shape(spark, sf_dir):
-    from big_data_processing_with_aws_glue_workshop_spark.queries import QUERIES
+def test_media_byte_histogram_oracle_exact(spark, sf_dir):
+    from big_data_processing_with_aws_glue_workshop_spark.queries import ORACLES, QUERIES
+    from tests.oracle_harness import compare
 
     rows = QUERIES["media_byte_histogram"](spark, sf_dir).collect()
     assert [r["media_type"] for r in rows] == ["audio", "image", "video"]
-    assert all(0.0 <= r["mean_bin0_weight"] <= 1.0 for r in rows)
+    assert all(0.0 <= r["low_byte_share"] <= 1.0 for r in rows)
+    assert all(r["low_byte_count"] <= r["total_bytes"] for r in rows)
+    compare(
+        QUERIES["media_byte_histogram"](spark, sf_dir),
+        ORACLES["media_byte_histogram"],
+        sf_dir,
+    )
 
 
 def _wav(channels=1, rate=8000, bits=16, samples=b"\x00\x01\xff\xff", fmt=1):
