@@ -279,6 +279,12 @@ def simhash_near_duplicates(
     )
 
 
+# Rounds the most recent connected_components() call took to converge.
+# Diagnostic only (tools/cc_chain_probe.py, SCALE.md curves); queries must
+# not branch on it.
+LAST_CC_ROUNDS = 0
+
+
 def connected_components(
     pairs: DataFrame,
     a_col: str = "d1",
@@ -305,13 +311,14 @@ def connected_components(
     Returns (id, label): one row per node appearing in any edge; label =
     the component's minimum node id.
     """
+    global LAST_CC_ROUNDS
     e = pairs.select(F.col(a_col).alias("a"), F.col(b_col).alias("b"))
     sym = e.union(e.select(F.col("b").alias("a"), F.col("a").alias("b"))).distinct()
     sym = sym.localCheckpoint()
     labels = sym.select(F.col("a").alias("id")).distinct().withColumn(
         "label", F.col("id")
     )
-    for _ in range(max_iter):
+    for rounds in range(1, max_iter + 1):
         msgs = sym.join(labels, sym["a"] == labels["id"]).select(
             F.col("b").alias("id"), F.col("label")
         )
@@ -335,6 +342,7 @@ def connected_components(
         except Exception:
             pass
         if shrank == 0:
+            LAST_CC_ROUNDS = rounds
             break
     else:
         # a silent early exit would split components (two canonical docs for

@@ -5,6 +5,16 @@ Validates that plans scale linearly-ish before they meet a real cluster;
 not part of the default test suite.
 
 Usage: python stress.py [replication_factor]
+       python stress.py lsh [n_docs ...]      # high-duplication LSH stress
+
+The ``lsh`` mode is the adversarial case for banded MinHash: a corpus where
+50% of documents are near-duplicates of another document. The danger at
+scale is candidate-set blowup — if banding degraded toward all-pairs, the
+verify join would be O(n^2). The planted corpus has exactly n/3 true dup
+pairs, so the probe reports candidates / n^2 (must stay tiny) and recall
+over the planted pairs (must be 1.0: each dup shares ~59 of 61 shingles,
+far above the 0.8 threshold, and 8 bands x 4 rows catches >0.999 of pairs
+at that similarity).
 """
 
 from __future__ import annotations
@@ -32,7 +42,81 @@ def inflate(df, factor: int, key_cols: list[str]):
     return out.drop("__rep")
 
 
+DUP_OFFSET = 1_000_000_000  # planted dup of doc i gets id i + DUP_OFFSET
+
+
+def dup_corpus(spark, n_docs: int):
+    """Deterministic corpus, 50% near-duplicates: 2n/3 base docs of 60
+    seeded vocab tokens; every even-id base doc (n/3 of the corpus) is
+    repeated with two extra tokens appended (Jaccard ~ 59/63 ~ 0.94)."""
+    n_base = (2 * n_docs) // 3
+    base = spark.range(n_base).select(
+        F.col("id").alias("doc_id"),
+        F.concat_ws(
+            " ",
+            *[
+                F.concat(
+                    F.lit("w"),
+                    (F.abs(F.xxhash64(F.col("id"), F.lit(i))) % 500).cast("string"),
+                )
+                for i in range(60)
+            ],
+        ).alias("text"),
+    )
+    dups = base.filter(F.col("doc_id") % 2 == 0).select(
+        (F.col("doc_id") + DUP_OFFSET).alias("doc_id"),
+        F.concat(F.col("text"), F.lit(" zza zzb")).alias("text"),
+    )
+    return base.union(dups)
+
+
+def lsh_stress(sizes: list[int]) -> None:
+    from big_data_processing_with_aws_glue_workshop_spark.extensions.dedup_fuzzy import (
+        lsh_candidate_pairs,
+        minhash_near_duplicates,
+        minhash_signatures,
+    )
+    from big_data_processing_with_aws_glue_workshop_spark.util import (
+        release_tracked_caches,
+    )
+
+    spark = get_session(app_name="lsh-stress")
+    # warm codegen/shuffle machinery
+    minhash_near_duplicates(dup_corpus(spark, 300)).count()
+    release_tracked_caches()
+
+    print("| n docs | planted pairs | candidates | cand/n^2 | found | recall | wall (s) |")
+    print("|---|---|---|---|---|---|---|")
+    for n in sizes:
+        corpus = dup_corpus(spark, n).localCheckpoint()
+        n_total = corpus.count()
+        planted = corpus.filter(F.col("doc_id") >= DUP_OFFSET).count()
+
+        sigs = minhash_signatures(corpus)
+        n_cand = lsh_candidate_pairs(sigs, 8, 4, n_hashes=32).count()
+
+        t0 = time.perf_counter()
+        found = minhash_near_duplicates(corpus, threshold=0.8)
+        hits = found.filter(
+            (F.col("d2") - F.col("d1") == DUP_OFFSET)
+            | (F.col("d1") - F.col("d2") == DUP_OFFSET)
+        ).count()
+        n_found = found.count()
+        dt = time.perf_counter() - t0
+        release_tracked_caches()
+
+        print(
+            f"| {n_total} | {planted} | {n_cand} | "
+            f"{n_cand / (n_total * n_total):.2e} | {n_found} | "
+            f"{hits / planted:.3f} | {dt:.2f} |"
+        )
+    spark.stop()
+
+
 def main() -> None:
+    if len(sys.argv) > 1 and sys.argv[1] == "lsh":
+        lsh_stress([int(s) for s in sys.argv[2:]] or [3000, 12000, 48000])
+        return
     factor = int(sys.argv[1]) if len(sys.argv) > 1 else 20
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     spark = get_session(app_name="stress")
