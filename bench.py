@@ -85,6 +85,9 @@ HEADLINE = [
     "boilerplate_ngram_profile",
     "prefix_template_clusters",
     "quality_filter_decisions",
+    # r5 additions: passage-granularity dedup + PII compliance sweep
+    "passage_dedup_profile",
+    "pii_redaction_profile",
 ]
 
 

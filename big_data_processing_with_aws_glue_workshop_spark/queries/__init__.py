@@ -203,6 +203,12 @@ _TAIL = (
     "label_similarity_profile",
     "ann_lsh_topk",
     "ivf_ann_topk",
+    # new in r5 (never driver-scored -> promote in the r6 rotation):
+    # passage-level dedup (Dolma-granularity boilerplate detection) and
+    # PII detection/redaction profiling — both full DuckDB twins,
+    # hash-gated by the pytest oracle gate from day one.
+    "passage_dedup_profile",
+    "pii_redaction_profile",
 )
 
 # Module-level invariants the correctness driver depends on. Explicit raises,

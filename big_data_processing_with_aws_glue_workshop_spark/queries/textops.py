@@ -864,6 +864,154 @@ def q_training_pipeline_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame([row], schema)
 
 
+_PASSAGE_WORDS = 8
+
+
+def q_passage_dedup_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Passage-level deduplication profile (the granularity Dolma's and
+    RefinedWeb's dedup stages work at between exact-doc and n-gram):
+    documents are cut into consecutive non-overlapping 8-word passages,
+    each keyed by md5 of its joined words, and each source is profiled by
+    how much passage-level repetition it carries — the signal that finds
+    boilerplate paragraphs and template chrome that doc-level dedup misses.
+
+    Per source: total passage instances, distinct passages, passages seen
+    in >=2 distinct documents (cross-doc boilerplate), and the duplicated-
+    instance share ((instances - distinct) / instances — ONE IEEE division
+    of exact ints).
+
+    Scale shape: per-row slicing is array-native and shuffle-free after
+    the scan redistribution; the only wide operations are a hash aggregate
+    on (source, 16-byte digest) — map-side partials, no hot keys: digests
+    are uniform — and the 20-row source rollup."""
+    d = parallelize_scan(load(spark, sf_dir, "documents"), "doc_id")
+    toks = _tokens(F.col("text"))
+    t = d.select("doc_id", "source", toks.alias("w"), F.size(toks).alias("n")).filter(
+        F.col("n") >= _PASSAGE_WORDS
+    )
+    blocks = F.explode(
+        F.sequence(F.lit(0), (F.col("n") / _PASSAGE_WORDS).cast("int") - 1)
+    )
+    inst = t.select("doc_id", "source", "w", blocks.alias("b")).select(
+        "doc_id",
+        "source",
+        F.md5(
+            F.concat_ws(
+                " ", F.slice(F.col("w"), F.col("b") * _PASSAGE_WORDS + 1, _PASSAGE_WORDS)
+            ).cast("binary")
+        ).alias("passage_hash"),
+    )
+    pstats = inst.groupBy("source", "passage_hash").agg(
+        F.count(F.lit(1)).alias("n_inst"),
+        F.countDistinct("doc_id").alias("n_docs"),
+    )
+    return pstats.groupBy("source").agg(
+        F.sum("n_inst").alias("n_passages"),
+        F.count(F.lit(1)).alias("n_distinct_passages"),
+        F.sum(F.when(F.col("n_docs") >= 2, 1).otherwise(0)).alias(
+            "n_cross_doc_passages"
+        ),
+        (
+            (F.sum("n_inst") - F.count(F.lit(1))).cast("double") / F.sum("n_inst")
+        ).alias("dup_instance_share"),
+    )
+
+
+# PII patterns: explicit character classes and bounded quantifiers ONLY —
+# the subset where Java regex (Spark) and RE2 (DuckDB) agree exactly.
+_PII_EMAIL = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+_PII_PHONE = r"[0-9]{3}-[0-9]{3}-[0-9]{4}"
+_PII_IP = r"([0-9]{1,3}\.){3}[0-9]{1,3}"
+
+
+def pii_fixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """documents with deterministically planted PII (the testdata corpus is
+    PII-free, so the detector needs known positives): doc_id % 7 == 0 rows
+    gain an email, % 11 a phone, % 13 an IPv4 — all built JVM-side from
+    doc_id, so the oracle replants them with the same arithmetic. Rows can
+    satisfy several conditions (91, 143, ...) and then carry several PII
+    kinds, exercising multi-pattern redaction on one document."""
+    d = parallelize_scan(load(spark, sf_dir, "documents"), "doc_id")
+    text = F.col("text")
+    text = F.when(
+        F.col("doc_id") % 7 == 0,
+        F.concat(text, F.lit(" contact user"), F.col("doc_id"), F.lit("@example.com")),
+    ).otherwise(text)
+    text = F.when(
+        F.col("doc_id") % 11 == 0,
+        F.concat(
+            text,
+            F.lit(" call 555-"),
+            F.lpad((F.col("doc_id") % 900).cast("string"), 3, "0"),
+            F.lit("-"),
+            F.lpad((F.col("doc_id") % 9000).cast("string"), 4, "0"),
+        ),
+    ).otherwise(text)
+    text = F.when(
+        F.col("doc_id") % 13 == 0,
+        F.concat(
+            text,
+            F.lit(" host 10."),
+            (F.col("doc_id") % 256).cast("string"),
+            F.lit("."),
+            (F.col("doc_id") % 200).cast("string"),
+            F.lit(".1"),
+        ),
+    ).otherwise(text)
+    return d.select("doc_id", "source", text.alias("text"))
+
+
+def q_pii_redaction_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII detection / redaction profile (the CCNet/RefinedWeb-style
+    compliance pass every pretraining pipeline runs before release):
+    count emails / phone numbers / IPv4 addresses per document with
+    engine-portable regexes, redact them to typed placeholders, and roll
+    up per source: docs scanned, docs carrying any PII, hits per kind,
+    total characters removed by redaction, and the PII-document share
+    (ONE IEEE division of exact ints).
+
+    Scale shape: regex matching is a narrow per-row projection inside
+    whole-stage codegen (no UDF, no Python); the only exchange is the
+    final 20-key source rollup with map-side partials. At 100 TB this is
+    scan-bound — exactly what a compliance sweep should be."""
+    d = pii_fixture(spark, sf_dir)
+    n_emails = F.regexp_count(F.col("text"), F.lit(_PII_EMAIL))
+    n_phones = F.regexp_count(F.col("text"), F.lit(_PII_PHONE))
+    n_ips = F.regexp_count(F.col("text"), F.lit(_PII_IP))
+    redacted = F.regexp_replace(
+        F.regexp_replace(
+            F.regexp_replace(F.col("text"), _PII_EMAIL, "[EMAIL]"),
+            _PII_PHONE,
+            "[PHONE]",
+        ),
+        _PII_IP,
+        "[IP]",
+    )
+    per_doc = d.select(
+        "source",
+        n_emails.alias("e"),
+        n_phones.alias("p"),
+        n_ips.alias("i"),
+        (F.length("text") - F.length(redacted)).alias("removed"),
+    )
+    return per_doc.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(
+            F.when(F.col("e") + F.col("p") + F.col("i") > 0, 1).otherwise(0)
+        ).alias("docs_with_pii"),
+        F.sum("e").cast("bigint").alias("n_emails"),
+        F.sum("p").cast("bigint").alias("n_phones"),
+        F.sum("i").cast("bigint").alias("n_ips"),
+        F.sum("removed").cast("bigint").alias("chars_redacted"),
+        (
+            F.sum(
+                F.when(F.col("e") + F.col("p") + F.col("i") > 0, 1).otherwise(0)
+            ).cast("double")
+            / F.count(F.lit(1))
+        ).alias("pii_doc_share"),
+    )
+
+
 QUERIES = {
     "doc_token_stats": q_doc_token_stats,
     "doc_quality_scores": q_doc_quality_scores,
@@ -887,6 +1035,8 @@ QUERIES = {
     "boilerplate_ngram_profile": q_boilerplate_ngram_profile,
     "prefix_template_clusters": q_prefix_template_clusters,
     "quality_filter_decisions": q_quality_filter_decisions,
+    "passage_dedup_profile": q_passage_dedup_profile,
+    "pii_redaction_profile": q_pii_redaction_profile,
 }
 
 _DUCK_SHINGLES = """
@@ -1495,3 +1645,75 @@ ORACLES["training_pipeline_summary"] = """
       (SELECT COUNT(*) FROM (SELECT DISTINCT source, seq_id FROM packed))
         AS packed_sequences
 """
+
+ORACLES["passage_dedup_profile"] = """
+    WITH toks AS (
+      SELECT doc_id, source,
+             string_split_regex(trim(lower(text)), '[ \\t\\n\\f\\r]+') AS w
+      FROM documents
+    ),
+    inst AS (
+      SELECT doc_id, source,
+             md5(array_to_string(w[b.i * 8 + 1 : b.i * 8 + 8], ' ')) AS passage_hash
+      FROM toks, UNNEST(range(0, len(w) // 8)) AS b(i)
+      WHERE len(w) >= 8
+    ),
+    pstats AS (
+      SELECT source, passage_hash,
+             COUNT(1) AS n_inst, COUNT(DISTINCT doc_id) AS n_docs
+      FROM inst GROUP BY 1, 2
+    )
+    SELECT source,
+           CAST(SUM(n_inst) AS BIGINT) AS n_passages,
+           COUNT(1) AS n_distinct_passages,
+           CAST(SUM(CASE WHEN n_docs >= 2 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_cross_doc_passages,
+           CAST(SUM(n_inst) - COUNT(1) AS DOUBLE) / SUM(n_inst)
+             AS dup_instance_share
+    FROM pstats GROUP BY source
+"""
+
+# The placeholders keep the single-source-of-truth patterns out of f-string
+# brace hell ({2,} would be parsed as a format field).
+ORACLES["pii_redaction_profile"] = """
+    WITH planted AS (
+      SELECT source,
+             text
+             || CASE WHEN doc_id % 7 = 0
+                THEN ' contact user' || doc_id || '@example.com' ELSE '' END
+             || CASE WHEN doc_id % 11 = 0
+                THEN ' call 555-' || lpad(CAST(doc_id % 900 AS VARCHAR), 3, '0')
+                     || '-' || lpad(CAST(doc_id % 9000 AS VARCHAR), 4, '0')
+                ELSE '' END
+             || CASE WHEN doc_id % 13 = 0
+                THEN ' host 10.' || (doc_id % 256) || '.' || (doc_id % 200) || '.1'
+                ELSE '' END AS text
+      FROM documents
+    ),
+    per_doc AS (
+      SELECT source,
+             len(regexp_extract_all(text, '@EMAIL@')) AS e,
+             len(regexp_extract_all(text, '@PHONE@')) AS p,
+             len(regexp_extract_all(text, '@IP@')) AS i,
+             length(text) - length(
+               regexp_replace(
+                 regexp_replace(
+                   regexp_replace(text, '@EMAIL@', '[EMAIL]', 'g'),
+                   '@PHONE@', '[PHONE]', 'g'),
+                 '@IP@', '[IP]', 'g')) AS removed
+      FROM planted
+    )
+    SELECT source,
+           COUNT(1) AS n_docs,
+           CAST(SUM(CASE WHEN e + p + i > 0 THEN 1 ELSE 0 END) AS BIGINT)
+             AS docs_with_pii,
+           CAST(SUM(e) AS BIGINT) AS n_emails,
+           CAST(SUM(p) AS BIGINT) AS n_phones,
+           CAST(SUM(i) AS BIGINT) AS n_ips,
+           CAST(SUM(removed) AS BIGINT) AS chars_redacted,
+           CAST(SUM(CASE WHEN e + p + i > 0 THEN 1 ELSE 0 END) AS DOUBLE)
+             / COUNT(1) AS pii_doc_share
+    FROM per_doc GROUP BY source
+""".replace("@EMAIL@", _PII_EMAIL).replace("@PHONE@", _PII_PHONE).replace(
+    "@IP@", _PII_IP
+)

@@ -183,3 +183,26 @@ def test_fact_fact_join_shuffle_shape(spark):
     assert "SortMergeJoin" in plan or "ShuffledHashJoin" in plan
     assert "EqualTo(c_mktsegment,BUILDING)" in plan
     assert "GreaterThan(l_shipdate" in plan
+
+
+def test_pii_profile_is_scan_bound(spark):
+    """pii_redaction_profile must be a narrow regex projection + one
+    source rollup: no join, no UDF/Python, at most the scan redistribution
+    plus the single aggregation exchange — at 100 TB a compliance sweep
+    must be scan-bound."""
+    plan = plan_of(spark, "pii_redaction_profile")
+    assert "Join" not in plan, plan
+    assert "Python" not in plan and "ArrowEval" not in plan, plan
+    assert plan.count("REPARTITION_BY_NUM") <= 1, plan
+    assert plan.count("ENSURE_REQUIREMENTS") <= 1, plan
+
+
+def test_passage_dedup_partial_aggregation(spark):
+    """passage_dedup_profile aggregates on (source, 16-byte digest) with
+    map-side partials (HashAggregate below the exchange) and never joins:
+    the digest keys are uniform, so no hot-key mitigation is needed and
+    the shuffle carries one row per distinct passage per partition."""
+    plan = plan_of(spark, "passage_dedup_profile")
+    assert "Join" not in plan, plan
+    assert "md5" in plan
+    assert "Window" not in plan, plan
