@@ -6,16 +6,19 @@ JSON line with per-query wall seconds.
 Each query is executed to completion (count of the result) so the full
 plan — scan, shuffle, agg — runs; results are not collected to the driver.
 
-Measurement regime: WARM, per query. Each query gets one untimed warm run
-(codegen compilation, parquet footer caching, and materialization of the
-query's own plan-level persists) and the SECOND run is timed — steady-state
-throughput, the number that scales to a long-lived cluster. Caches are
-released BEFORE each query's warm run (previous query's entries must not
-inflate this one's GC) and never between the warm and timed runs — the r4
-bench evicted warm caches at the start of the timed run and over-reported
+Measurement regime: WARM, best-of-two, per query. Each query gets one
+untimed warm run (codegen compilation, parquet footer caching, and
+materialization of the query's own plan-level persists), then two timed
+runs of which the MINIMUM is reported — steady-state throughput, the
+number that scales to a long-lived cluster; min is the right estimator
+because the local box's contention noise is one-sided (runs are sometimes
+slower than the plan's steady state, never faster). Caches are released
+BEFORE each query's warm run (previous query's entries must not inflate
+this one's GC) and never between the warm and timed runs — the r4 bench
+evicted warm caches at the start of the timed run and over-reported
 cache-reliant queries by up to 3.9×. Queries whose contract releases their
 own stage pins on exit (training_pipeline_summary) intentionally pay their
-full pipeline cost in the timed run.
+full pipeline cost in each timed run.
 """
 
 from __future__ import annotations
@@ -112,9 +115,16 @@ def main() -> None:
             # untimed warm run: codegen compilation + parquet footer
             # caching are one-time JVM costs, not per-query throughput
             QUERIES[name](spark, sf_dir).count()
-            t0 = time.perf_counter()
-            QUERIES[name](spark, sf_dir).count()
-            timings[name] = round(time.perf_counter() - t0, 4)
+            # best of two timed runs: this box shows one-sided contention
+            # noise (a run is sometimes 1.3-2x SLOWER, never faster, than
+            # the plan's steady state — measured in docs/SCALE.md), and
+            # min() is the standard estimator under one-sided noise
+            best = float("inf")
+            for _ in range(2):
+                t0 = time.perf_counter()
+                QUERIES[name](spark, sf_dir).count()
+                best = min(best, time.perf_counter() - t0)
+            timings[name] = round(best, 4)
 
     total = round(sum(timings.values()), 4)
     print(
