@@ -961,6 +961,34 @@ def pii_fixture(spark: SparkSession, sf_dir: str) -> DataFrame:
     return d.select("doc_id", "source", text.alias("text"))
 
 
+def pii_per_doc(d: DataFrame) -> DataFrame:
+    """Stateless per-document PII projection (source, e, p, i, removed).
+
+    Pure narrow projection — no shuffle, no state — so the SAME expression
+    tree runs unchanged on a batch frame or a streaming source (pinned by
+    tests/test_streaming.py::test_stateless_text_op_runs_on_stream: a
+    compliance sweep over a file-arrival stream needs no rewrite)."""
+    n_emails = F.regexp_count(F.col("text"), F.lit(_PII_EMAIL))
+    n_phones = F.regexp_count(F.col("text"), F.lit(_PII_PHONE))
+    n_ips = F.regexp_count(F.col("text"), F.lit(_PII_IP))
+    redacted = F.regexp_replace(
+        F.regexp_replace(
+            F.regexp_replace(F.col("text"), _PII_EMAIL, "[EMAIL]"),
+            _PII_PHONE,
+            "[PHONE]",
+        ),
+        _PII_IP,
+        "[IP]",
+    )
+    return d.select(
+        "source",
+        n_emails.alias("e"),
+        n_phones.alias("p"),
+        n_ips.alias("i"),
+        (F.length("text") - F.length(redacted)).alias("removed"),
+    )
+
+
 def q_pii_redaction_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PII detection / redaction profile (the CCNet/RefinedWeb-style
     compliance pass every pretraining pipeline runs before release):
@@ -974,26 +1002,7 @@ def q_pii_redaction_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     whole-stage codegen (no UDF, no Python); the only exchange is the
     final 20-key source rollup with map-side partials. At 100 TB this is
     scan-bound — exactly what a compliance sweep should be."""
-    d = pii_fixture(spark, sf_dir)
-    n_emails = F.regexp_count(F.col("text"), F.lit(_PII_EMAIL))
-    n_phones = F.regexp_count(F.col("text"), F.lit(_PII_PHONE))
-    n_ips = F.regexp_count(F.col("text"), F.lit(_PII_IP))
-    redacted = F.regexp_replace(
-        F.regexp_replace(
-            F.regexp_replace(F.col("text"), _PII_EMAIL, "[EMAIL]"),
-            _PII_PHONE,
-            "[PHONE]",
-        ),
-        _PII_IP,
-        "[IP]",
-    )
-    per_doc = d.select(
-        "source",
-        n_emails.alias("e"),
-        n_phones.alias("p"),
-        n_ips.alias("i"),
-        (F.length("text") - F.length(redacted)).alias("removed"),
-    )
+    per_doc = pii_per_doc(pii_fixture(spark, sf_dir))
     return per_doc.groupBy("source").agg(
         F.count(F.lit(1)).alias("n_docs"),
         F.sum(

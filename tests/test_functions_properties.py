@@ -85,3 +85,50 @@ def test_surrogate_key_null_skipping(spark):
     )
     got = [r["k"] for r in df.select(surrogate_key("a", "b", "c").alias("k")).collect()]
     assert got == ["19_21590_ACME", "21590_ACME", "19"]
+
+
+def test_ntz_to_utc_instant_batch(spark):
+    """One Spark pass over a hypothesis-style adversarial corpus of wall
+    times: the arithmetic NTZ->instant conversion must equal the
+    datetime.timestamp() ground truth at microsecond precision for every
+    case — pre-epoch, leap days, DST boundaries of common zones (which a
+    session-TZ-dependent cast would shift), the micros extremes."""
+    import datetime as dt
+
+    from pyspark.sql import functions as F
+    from pyspark.sql import types as T
+
+    from big_data_processing_with_aws_glue_workshop_spark.queries._tables import (
+        ntz_to_utc_instant,
+    )
+
+    walls = [
+        dt.datetime(1900, 1, 1, 0, 0, 0),
+        dt.datetime(1969, 12, 31, 23, 59, 59, 999999),
+        dt.datetime(1970, 1, 1, 0, 0, 0),
+        dt.datetime(1970, 1, 1, 0, 0, 0, 1),
+        dt.datetime(2000, 2, 29, 23, 59, 59, 500000),
+        dt.datetime(2016, 12, 31, 23, 59, 60 - 1, 999999),
+        # US DST spring-forward/fall-back wall times (nonexistent/ambiguous
+        # in America/New_York — exactly where a session-TZ cast diverges)
+        dt.datetime(2024, 3, 10, 2, 30, 0),
+        dt.datetime(2024, 11, 3, 1, 30, 0),
+        dt.datetime(2038, 1, 19, 3, 14, 8),
+        dt.datetime(2099, 12, 31, 23, 59, 59, 987654),
+    ] + [
+        dt.datetime(1960 + 7 * i, 1 + i, 1 + 2 * i, i, 59 - i, i * 5, 123450 + i)
+        for i in range(12)
+    ]
+    df = spark.createDataFrame(
+        [(w,) for w in walls], T.StructType([T.StructField("ts", T.TimestampNTZType())])
+    )
+    got = [
+        r["m"]
+        for r in df.select(
+            F.unix_micros(ntz_to_utc_instant(F.col("ts"))).alias("m")
+        ).collect()
+    ]
+    want = [
+        int(w.replace(tzinfo=dt.timezone.utc).timestamp() * 1_000_000) for w in walls
+    ]
+    assert got == want

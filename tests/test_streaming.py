@@ -445,3 +445,37 @@ def test_stream_reader_source_type_variants(spark, tmp_path, source_type):
     )
     got = {r["event_id"]: r["ts"] for r in out.collect()}
     assert got == {i: t for i, t in enumerate(instants)}
+
+
+def test_stateless_text_op_runs_on_stream(spark, sf_dir):
+    """The PII per-doc projection (a stateless narrow op) runs UNCHANGED on
+    a streaming source: stream the documents table, apply pii_per_doc, and
+    the drained totals must equal the batch run. This is the pattern that
+    lifts every stateless text operator onto a file-arrival ingest stream
+    without a rewrite."""
+    from big_data_processing_with_aws_glue_workshop_spark.queries.textops import (
+        pii_per_doc,
+    )
+
+    batch_docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    stream_docs = (
+        spark.readStream.schema(batch_docs.schema)
+        .option("pathGlobFilter", "documents.parquet")
+        .parquet(sf_dir)
+    )
+    out = run_streaming_query(pii_per_doc(stream_docs), "t_pii_stream")
+    got = out.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("e").alias("e"),
+        F.sum("p").alias("p"),
+        F.sum("i").alias("i"),
+        F.sum("removed").alias("removed"),
+    ).collect()[0]
+    want = pii_per_doc(batch_docs).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("e").alias("e"),
+        F.sum("p").alias("p"),
+        F.sum("i").alias("i"),
+        F.sum("removed").alias("removed"),
+    ).collect()[0]
+    assert got.asDict() == want.asDict() and got["n"] > 0
