@@ -88,9 +88,11 @@ HEADLINE = [
     "boilerplate_ngram_profile",
     "prefix_template_clusters",
     "quality_filter_decisions",
-    # r5 additions: passage-granularity dedup + PII compliance sweep
+    # r5 additions: passage-granularity dedup, PII compliance sweep,
+    # cross-modal curation join
     "passage_dedup_profile",
     "pii_redaction_profile",
+    "doc_embedding_typicality",
 ]
 
 

@@ -204,11 +204,13 @@ _TAIL = (
     "ann_lsh_topk",
     "ivf_ann_topk",
     # new in r5 (never driver-scored -> promote in the r6 rotation):
-    # passage-level dedup (Dolma-granularity boilerplate detection) and
-    # PII detection/redaction profiling — both full DuckDB twins,
+    # passage-level dedup (Dolma-granularity boilerplate detection),
+    # PII detection/redaction profiling, and the cross-modal
+    # documents x embeddings typicality join — all full DuckDB twins,
     # hash-gated by the pytest oracle gate from day one.
     "passage_dedup_profile",
     "pii_redaction_profile",
+    "doc_embedding_typicality",
 )
 
 # Module-level invariants the correctness driver depends on. Explicit raises,

@@ -244,6 +244,88 @@ def q_ivf_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ivf_topk(e, queries, k=TOP_K, nlist=16, nprobe=6, seed=42)
 
 
+_TYP_MIN_TOKENS = 20
+
+
+def q_doc_embedding_typicality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-modal curation join: documents ⋈ embeddings (doc_id = vec_id,
+    a 1:1 fact-fact join) scoring every document by how TYPICAL its
+    embedding is of its label cluster — cosine against the label centroid —
+    alongside a text-side signal (token count). The keep flag is the
+    curriculum/filter decision a multimodal curation pipeline makes: drop
+    texts that are embedding-space outliers for their label or too short.
+
+    Exactness (the label_similarity_profile recipe): unit coordinates are
+    floor-quantized to 1e-9, centroid coordinates are INTEGER sums of the
+    quantized units, and cos(v, centroid) = dot_q / (sqrt(|v_q|^2) *
+    sqrt(|S_label|^2)) runs in decimal integers until two IEEE sqrts and
+    one division — mirrored operand-for-operand in the DuckDB twin.
+    Centroids include the member itself (both sides define it so).
+
+    Scale shape: ONE posexplode pass over the corpus (the quantized frame
+    is persisted — narrow longs, 64 rows/vec; at 100 TB this is a
+    disk-backed persist or, if storage is tighter than scan bandwidth, a
+    second scan — either beats the un-persisted plan's THREE scans);
+    per-(label, dim) sums are |labels| x dim rows, also persisted and
+    BROADCAST back; the dot reduces by vec_id (shuffle on the unique id —
+    no hot keys); the final documents join is a 1:1 equality join that
+    bucketing on the shared id makes shuffle-free at 100 TB."""
+    from .textops import _tokens
+
+    e = load(spark, sf_dir, "embeddings")
+    with_norm = e.select(
+        "vec_id", "label", "embedding", norm(F.col("embedding")).alias("nrm")
+    )
+    expl = with_norm.select(
+        "vec_id", "label", F.posexplode("embedding").alias("dim", "val"), "nrm"
+    )
+    q = F.floor(
+        F.when(F.col("nrm") == 0, F.lit(0.0)).otherwise(
+            F.col("val").cast("double") / F.col("nrm") * F.lit(1e9)
+        )
+    )
+    # two consumers (centroid sums + the per-vec dot join) -> persist, or
+    # Spark re-runs the scan+explode subtree per consumer
+    quant = tracked_cache(expl.select("vec_id", "label", "dim", q.alias("q")))
+    qd = F.col("q").cast("decimal(38,0)")
+    cent = tracked_cache(quant.groupBy("label", "dim").agg(F.sum("q").alias("s")))
+    sd = F.col("s").cast("decimal(38,0)")
+    snorm2 = cent.groupBy("label").agg(F.sum(sd * sd).alias("snorm2"))
+    per_vec = (
+        quant.join(F.broadcast(cent), ["label", "dim"])
+        .groupBy("vec_id", "label")
+        .agg(
+            F.sum(qd * sd).alias("dot_q"),
+            F.sum(qd * qd).alias("qnorm2"),
+        )
+        .join(F.broadcast(snorm2), "label")
+        .select(
+            "vec_id",
+            "label",
+            (
+                F.col("dot_q").cast("double")
+                / (
+                    F.sqrt(F.col("qnorm2").cast("double"))
+                    * F.sqrt(F.col("snorm2").cast("double"))
+                )
+            ).alias("typicality"),
+        )
+    )
+    d = load(spark, sf_dir, "documents").select(
+        "doc_id", F.size(_tokens(F.col("text"))).alias("n_tokens")
+    )
+    joined = d.join(per_vec, d["doc_id"] == per_vec["vec_id"]).select(
+        "doc_id",
+        "label",
+        F.col("n_tokens").cast("int").alias("n_tokens"),
+        "typicality",
+    )
+    return joined.withColumn(
+        "keep",
+        (F.col("typicality") >= 0) & (F.col("n_tokens") >= _TYP_MIN_TOKENS),
+    )
+
+
 QUERIES = {
     "cosine_topk": q_cosine_topk,
     "label_similarity_profile": q_label_similarity_profile,
@@ -251,6 +333,7 @@ QUERIES = {
     "embedding_near_dup_clustered": q_embedding_near_dup_clustered,
     "ann_lsh_topk": q_ann_lsh_topk,
     "ivf_ann_topk": q_ivf_ann_topk,
+    "doc_embedding_typicality": q_doc_embedding_typicality,
 }
 
 ORACLES = {
@@ -357,3 +440,70 @@ ORACLES = {
               >= {NEAR_DUP_THRESHOLD}
     """,
 }
+
+def _exact_double(expr: str) -> str:
+    """DuckDB SQL for a CORRECTLY-ROUNDED int128 -> double conversion.
+
+    DuckDB's native CAST(HUGEINT AS DOUBLE) is off by one ulp for some
+    values above 2^53 (measured: 52237463692933344512 converts to
+    ...335e19 instead of ...334e19, flipping 49/500 typicality rows),
+    while Spark's decimal -> double (BigDecimal.doubleValue) rounds
+    correctly. Splitting |x| as hi * 2^32 + lo makes both terms exact in
+    double (hi < 2^34 here, the 2^32 scale is a power of two) so the one
+    addition performs the single correct rounding; the sign is reapplied
+    outside. Verified exact against Python's float() on 50k random
+    66-bit integers."""
+    a = f"abs({expr})"
+    return (
+        f"(CASE WHEN {expr} < 0 THEN -1 ELSE 1 END) * "
+        f"(CAST({a} // 4294967296 AS DOUBLE) * 4294967296 + "
+        f"CAST({a} % 4294967296 AS DOUBLE))"
+    )
+
+
+# Mirrors q_doc_embedding_typicality operand-for-operand: same 1e-9 floor
+# quantization of unit coordinates (list_dot_product is the same sequential
+# fold as the engine's norm), integer centroid sums, and the identical
+# final expression (two IEEE sqrts of exactly-converted integers, one
+# division). Integer -> double conversions go through _exact_double.
+ORACLES["doc_embedding_typicality"] = f"""
+    WITH nrm AS (
+      SELECT vec_id, label, embedding::DOUBLE[] AS v,
+             sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS nrm
+      FROM embeddings
+    ),
+    quant AS (
+      SELECT vec_id, label, t.i AS dim,
+             CAST(floor(CASE WHEN nrm = 0 THEN 0.0
+                             ELSE v[CAST(t.i AS INTEGER) + 1] / nrm * 1e9 END)
+                  AS BIGINT) AS q
+      FROM nrm, UNNEST(range(0, len(v))) AS t(i)
+    ),
+    cent AS (SELECT label, dim, SUM(q) AS s FROM quant GROUP BY 1, 2),
+    snorm2 AS (
+      SELECT label, SUM(CAST(s AS HUGEINT) * s) AS snorm2 FROM cent GROUP BY 1
+    ),
+    per_vec AS (
+      SELECT q.vec_id, q.label,
+             SUM(CAST(q.q AS HUGEINT) * c.s) AS dot_q,
+             SUM(CAST(q.q AS HUGEINT) * q.q) AS qnorm2
+      FROM quant q JOIN cent c USING (label, dim)
+      GROUP BY 1, 2
+    ),
+    scored AS (
+      SELECT p.vec_id, p.label,
+             {_exact_double("dot_q")}
+               / (sqrt({_exact_double("qnorm2")})
+                  * sqrt({_exact_double("s2.snorm2")}))
+               AS typicality
+      FROM per_vec p JOIN snorm2 s2 USING (label)
+    )
+    SELECT d.doc_id, s.label,
+           CAST(len(string_split_regex(trim(lower(d.text)), '[ \\t\\n\\f\\r]+'))
+                AS INTEGER) AS n_tokens,
+           s.typicality,
+           s.typicality >= 0
+             AND len(string_split_regex(trim(lower(d.text)), '[ \\t\\n\\f\\r]+'))
+                 >= {_TYP_MIN_TOKENS} AS keep
+    FROM documents d JOIN scored s ON d.doc_id = s.vec_id
+"""
