@@ -143,3 +143,47 @@ def test_connected_components_multi_hop(spark):
         10: 10, 11: 10, 12: 10,
         20: 20, 21: 20,
     }
+
+
+def test_cc_chain_probe_tool_smoke(spark):
+    """The SCALE.md chain-probe tool stays runnable: a depth-4 planted
+    chain graph converges in exactly depth+1 rounds with correct labels."""
+    import sys, os
+    sys.path.insert(0, os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "tools"))
+    from cc_chain_probe import chain_edges
+
+    from big_data_processing_with_aws_glue_workshop_spark.extensions import dedup_fuzzy
+    from pyspark.sql import functions as F
+
+    edges = chain_edges(spark, depth=4, width=16)
+    labels = dedup_fuzzy.connected_components(edges, max_iter=8)
+    assert dedup_fuzzy.LAST_CC_ROUNDS == 5  # diameter + 1 detection round
+    wrong = labels.filter(
+        F.col("label") != (F.col("id") - F.col("id") % 1_000_000)
+    ).count()
+    assert wrong == 0
+
+
+def test_lsh_stress_corpus_candidates_bounded(spark):
+    """The stress.py high-duplication corpus generator plants exactly
+    n_base/2 near-dup pairs, and banded LSH candidates stay equal to the
+    planted pairs (no bucket blowup) with full recall at threshold 0.8."""
+    import sys, os
+    sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+    from stress import DUP_OFFSET, dup_corpus
+
+    from big_data_processing_with_aws_glue_workshop_spark.extensions.dedup_fuzzy import (
+        minhash_near_duplicates,
+    )
+    from big_data_processing_with_aws_glue_workshop_spark.util import release_tracked_caches
+    from pyspark.sql import functions as F
+
+    corpus = dup_corpus(spark, 300)
+    planted = corpus.filter(F.col("doc_id") >= DUP_OFFSET).count()
+    assert planted == 100  # (2*300//3)//2
+    found = minhash_near_duplicates(corpus, threshold=0.8)
+    hits = found.filter(F.abs(F.col("d2") - F.col("d1")) == DUP_OFFSET).count()
+    total = found.count()
+    release_tracked_caches()
+    assert hits == planted  # full recall on planted pairs
+    assert total == planted  # nothing spurious at this similarity profile
