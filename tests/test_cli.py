@@ -92,3 +92,16 @@ def test_textpipe_end_to_end(spark, sf_dir, tmp_path):
     assert corpus.filter(F.col("doc_id") % _EVAL_MOD == 0).count() == 0
     with open(f"{out}/summary.json", encoding="utf-8") as f:
         assert json.load(f) == s
+
+
+def test_bench_headline_names_resolve():
+    """Every bench.py HEADLINE name must exist in the registry — a renamed
+    or demoted-and-deleted query would otherwise silently drop out of the
+    per-round BENCH record (bench filters unknown names instead of
+    failing)."""
+    import bench
+    from big_data_processing_with_aws_glue_workshop_spark.queries import QUERIES
+
+    missing = [n for n in bench.HEADLINE if n not in QUERIES]
+    assert not missing, f"stale bench HEADLINE entries: {missing}"
+    assert len(bench.HEADLINE) == len(set(bench.HEADLINE)), "duplicate names"
