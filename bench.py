@@ -93,6 +93,7 @@ HEADLINE = [
     "passage_dedup_profile",
     "pii_redaction_profile",
     "doc_embedding_typicality",
+    "dataset_split_assignment",
 ]
 
 

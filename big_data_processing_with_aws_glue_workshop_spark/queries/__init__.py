@@ -20,7 +20,7 @@ entries in iteration order. The registry is therefore laid out explicitly:
   hash-checked, the rest rows-only.
 
 ROTATION POLICY (two-round cadence): the window is finite (50), the
-registered surface is not (77). A query whose driver row was fully green in
+registered surface is not (81 and growing). A query whose driver row was fully green in
 round N-1 may rotate to the tail in round N; every query returns to the
 window within two rounds of its last driver row. Consequences: every
 query's most recent driver row is at most two rounds old, every operator
@@ -211,6 +211,7 @@ _TAIL = (
     "passage_dedup_profile",
     "pii_redaction_profile",
     "doc_embedding_typicality",
+    "dataset_split_assignment",
 )
 
 # Module-level invariants the correctness driver depends on. Explicit raises,

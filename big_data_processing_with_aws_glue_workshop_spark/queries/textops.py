@@ -1021,6 +1021,65 @@ def q_pii_redaction_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# train/val/test boundaries on the [0, 1e6) hash line: 90 / 5 / 5
+_SPLIT_TRAIN_LT = 900_000
+_SPLIT_VAL_LT = 950_000
+
+
+def q_dataset_split_assignment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic train/val/test split (90/5/5) — the reproducibility
+    primitive every training pipeline needs: a document's split depends
+    ONLY on its id, never on partitioning, engine, or rerun, so the same
+    corpus always splits identically and new documents join a split
+    without reshuffling old ones.
+
+    The hash is SALTED ('split:' prefix) so split membership is
+    independent of the mixture-sampling hash (q_source_mixture_plan) —
+    reusing one hash for both decisions would correlate them and bias the
+    sampled mixture's split ratios. Every doc lands in exactly one split
+    by construction (half-open ranges covering [0, 1e6)).
+
+    Report per (source, split): docs, token mass, and the within-source
+    doc share (ONE IEEE division of exact ints). Plan: one narrow
+    projection, one hash aggregate on (source, split) — at most
+    |sources| x 3 rows — and a broadcast join back for the shares."""
+    d = parallelize_scan(load(spark, sf_dir, "documents"), "doc_id")
+    h = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.lit("split:"), F.col("doc_id").cast("string"))),
+                1,
+                15,
+            ),
+            16,
+            10,
+        ).cast("bigint")
+        % 1_000_000
+    )
+    split = (
+        F.when(h < _SPLIT_TRAIN_LT, "train")
+        .when(h < _SPLIT_VAL_LT, "val")
+        .otherwise("test")
+    )
+    per_doc = d.select(
+        "source",
+        split.alias("split"),
+        F.size(_tokens(F.col("text"))).alias("n_tokens"),
+    )
+    agg = per_doc.groupBy("source", "split").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tokens").cast("bigint").alias("split_tokens"),
+    )
+    totals = per_doc.groupBy("source").agg(F.count(F.lit(1)).alias("source_docs"))
+    return agg.join(F.broadcast(totals), "source").select(
+        "source",
+        "split",
+        F.col("n_docs").cast("int").alias("n_docs"),
+        "split_tokens",
+        (F.col("n_docs").cast("double") / F.col("source_docs")).alias("doc_share"),
+    )
+
+
 QUERIES = {
     "doc_token_stats": q_doc_token_stats,
     "doc_quality_scores": q_doc_quality_scores,
@@ -1046,6 +1105,7 @@ QUERIES = {
     "quality_filter_decisions": q_quality_filter_decisions,
     "passage_dedup_profile": q_passage_dedup_profile,
     "pii_redaction_profile": q_pii_redaction_profile,
+    "dataset_split_assignment": q_dataset_split_assignment,
 }
 
 _DUCK_SHINGLES = """
@@ -1726,3 +1786,29 @@ ORACLES["pii_redaction_profile"] = """
 """.replace("@EMAIL@", _PII_EMAIL).replace("@PHONE@", _PII_PHONE).replace(
     "@IP@", _PII_IP
 )
+
+ORACLES["dataset_split_assignment"] = f"""
+    WITH per_doc AS (
+      SELECT source,
+             CASE
+               WHEN ('0x' || substr(md5('split:' || CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT
+                    % 1000000 < {_SPLIT_TRAIN_LT} THEN 'train'
+               WHEN ('0x' || substr(md5('split:' || CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT
+                    % 1000000 < {_SPLIT_VAL_LT} THEN 'val'
+               ELSE 'test'
+             END AS split,
+             len(string_split_regex(trim(lower(text)), '[ \\t\\n\\f\\r]+')) AS n_tokens
+      FROM documents
+    ),
+    agg AS (
+      SELECT source, split, COUNT(*) AS n_docs,
+             CAST(SUM(n_tokens) AS BIGINT) AS split_tokens
+      FROM per_doc GROUP BY 1, 2
+    ),
+    totals AS (SELECT source, COUNT(*) AS source_docs FROM per_doc GROUP BY 1)
+    SELECT a.source, a.split,
+           CAST(a.n_docs AS INTEGER) AS n_docs,
+           a.split_tokens,
+           CAST(a.n_docs AS DOUBLE) / t.source_docs AS doc_share
+    FROM agg a JOIN totals t USING (source)
+"""
