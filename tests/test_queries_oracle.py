@@ -24,3 +24,20 @@ def test_entry_smoke(spark):
     df = e.entry(spark)
     assert df.count() > 0
     assert set(e.oracle_sql()) <= set(e.queries())
+
+
+def test_rows_only_queries_are_the_documented_allowlist():
+    """Every registered query must carry a DuckDB oracle unless it is one
+    of the four documented by-design exceptions (approximate ANN paths
+    with pytest-pinned recall, the HLL sketch profile, the engine-RNG
+    sample). A new query landing without an oracle fails here instead of
+    silently downgrading to the driver's weaker rows-only check."""
+    from big_data_processing_with_aws_glue_workshop_spark.queries import ORACLES, QUERIES
+
+    allowed = {
+        "ann_lsh_topk",
+        "ivf_ann_topk",
+        "approx_distinct_profile",
+        "bernoulli_sample",
+    }
+    assert set(QUERIES) - set(ORACLES) == allowed
