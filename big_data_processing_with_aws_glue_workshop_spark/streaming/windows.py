@@ -170,3 +170,52 @@ def run_streaming_query(
     finally:
         q.stop()
     return agg.sparkSession.sql(f"SELECT * FROM {name}")
+
+
+def streaming_interval_join(
+    events: DataFrame,
+    left_type: str = "click",
+    right_type: str = "error",
+    within: str = "10 minutes",
+    watermark: str = "30 minutes",
+) -> DataFrame:
+    """Stream-stream interval join — the hardest Structured Streaming
+    operator surface: match every ``right_type`` event to the same user's
+    ``left_type`` events in the preceding ``within`` interval.
+
+    Both sides carry a watermark AND the join condition bounds their time
+    difference; together these let Spark EXPIRE buffered rows (a left
+    click older than right-watermark - within can never match again), so
+    state stays finite on unbounded streams — without the time bound the
+    state store would grow forever. Inner join in append mode: a match is
+    emitted once both sides have arrived, exactly the semantics of the
+    batch twin (tests/test_streaming.py pins count parity against the
+    equivalent batch join on the same data).
+
+    The two sides here are two filters over ONE source stream; Spark
+    plans them as independent stream inputs, so the same code serves two
+    genuinely distinct sources (clicks topic ⋈ errors topic)."""
+    left = (
+        events.filter(F.col("event_type") == left_type)
+        .select(
+            F.col("user_id").alias("l_user"),
+            F.col("ts").alias("l_ts"),
+            F.col("event_id").alias("l_id"),
+        )
+        .withWatermark("l_ts", watermark)
+    )
+    right = (
+        events.filter(F.col("event_type") == right_type)
+        .select(
+            F.col("user_id").alias("r_user"),
+            F.col("ts").alias("r_ts"),
+            F.col("event_id").alias("r_id"),
+        )
+        .withWatermark("r_ts", watermark)
+    )
+    return left.join(
+        right,
+        F.expr(
+            f"l_user = r_user AND r_ts >= l_ts AND r_ts <= l_ts + INTERVAL {within}"
+        ),
+    )

@@ -479,3 +479,42 @@ def test_stateless_text_op_runs_on_stream(spark, sf_dir):
         F.sum("removed").alias("removed"),
     ).collect()[0]
     assert got.asDict() == want.asDict() and got["n"] > 0
+
+
+def test_stream_stream_interval_join_matches_batch(spark, sf_dir):
+    """Stream-stream watermarked interval join (click ⋈ error within 10
+    minutes per user) drained over the finite source must produce exactly
+    the batch join's pairs — the append-mode inner-join contract."""
+    from big_data_processing_with_aws_glue_workshop_spark.queries._tables import load
+    from big_data_processing_with_aws_glue_workshop_spark.streaming.windows import (
+        streaming_interval_join,
+    )
+
+    stream = read_events_stream(spark, sf_dir)
+    got = run_streaming_query(
+        streaming_interval_join(stream), "t_interval_join"
+    ).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("l_id") * F.lit(1_000_003) + F.col("r_id")).alias("pair_sum"),
+    ).collect()[0]
+
+    ev = load(spark, sf_dir, "events")
+    left = ev.filter(F.col("event_type") == "click").select(
+        F.col("user_id").alias("l_user"), F.col("ts").alias("l_ts"),
+        F.col("event_id").alias("l_id"),
+    )
+    right = ev.filter(F.col("event_type") == "error").select(
+        F.col("user_id").alias("r_user"), F.col("ts").alias("r_ts"),
+        F.col("event_id").alias("r_id"),
+    )
+    want = left.join(
+        right,
+        F.expr("l_user = r_user AND r_ts >= l_ts AND r_ts <= l_ts + INTERVAL 10 minutes"),
+    ).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("l_id") * F.lit(1_000_003) + F.col("r_id")).alias("pair_sum"),
+    ).collect()[0]
+
+    assert want["n"] > 0  # the fixture must actually exercise the join
+    assert got["n"] == want["n"]
+    assert got["pair_sum"] == want["pair_sum"]  # same PAIRS, not just count
