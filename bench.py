@@ -94,6 +94,7 @@ HEADLINE = [
     "pii_redaction_profile",
     "doc_embedding_typicality",
     "dataset_split_assignment",
+    "user_conversion_funnel",
 ]
 
 

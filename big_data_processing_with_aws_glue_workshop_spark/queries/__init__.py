@@ -212,6 +212,7 @@ _TAIL = (
     "pii_redaction_profile",
     "doc_embedding_typicality",
     "dataset_split_assignment",
+    "user_conversion_funnel",
 )
 
 # Module-level invariants the correctness driver depends on. Explicit raises,

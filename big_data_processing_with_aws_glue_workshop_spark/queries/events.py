@@ -257,8 +257,94 @@ def q_hourly_rollup_from_minutes(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_FUNNEL = ("view", "click", "purchase")
+
+
+def q_user_conversion_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered-sequence funnel analysis (view -> click -> purchase): a user
+    converts a stage only with an event STRICTLY AFTER their previous
+    stage's converting event (first view, then first click after that
+    view, then first purchase after that click). This is the sequential-
+    pattern family the as-of join does not cover — order matters, not
+    just proximity.
+
+    Spark-first shape: ONE shuffle (groupBy user collecting the sorted
+    (ts, type) sequence), then the stage walk runs entirely in
+    higher-order array functions (filter + element_at) inside the same
+    stage — no self-joins, no second shuffle, no per-row Python. At
+    100 TB the alternative 3-level dependent-join plan (the oracle's CTE
+    chain) costs three shuffles; the collected per-user sequence here is
+    bounded by events-per-user, the natural skew unit either way.
+
+    Output: one row per stage with converted-user counts and the
+    conversion rate from the previous stage (one IEEE division of exact
+    ints; NULL for the first stage)."""
+    seq = F.sort_array(F.collect_list(F.struct("ts", "event_type")))
+    per_user = (
+        load(spark, sf_dir, "events")
+        .filter(F.col("event_type").isin(*_FUNNEL))
+        .groupBy("user_id")
+        .agg(seq.alias("seq"))
+    )
+
+    def first_after(typ, prev_ts):
+        cond = (
+            (lambda x: x["event_type"] == typ)
+            if prev_ts is None
+            else (lambda x: (x["event_type"] == typ) & (x["ts"] > prev_ts))
+        )
+        return F.element_at(F.filter(F.col("seq"), cond), 1)["ts"]
+
+    staged = (
+        per_user.withColumn("vt", first_after("view", None))
+        .withColumn("ct", first_after("click", F.col("vt")))
+        .withColumn("pt", first_after("purchase", F.col("ct")))
+    )
+    # ts_checksum pins WHICH event converted each user (sum of the stage
+    # timestamps in epoch millis) — on a dense corpus the raw counts alone
+    # would not distinguish a broken ordering walk from the correct one
+    counts = staged.agg(
+        F.count("vt").alias("n_view"),
+        F.count("ct").alias("n_click"),
+        F.count("pt").alias("n_purchase"),
+        F.sum(F.unix_millis("vt")).alias("vt_sum"),
+        F.sum(F.unix_millis("ct")).alias("ct_sum"),
+        F.sum(F.unix_millis("pt")).alias("pt_sum"),
+    )
+    stages = counts.select(
+        F.explode(
+            F.array(
+                F.struct(
+                    F.lit("1_view").alias("stage"),
+                    F.col("n_view").alias("n_users"),
+                    F.lit(None).cast("double").alias("rate_from_prev"),
+                    F.col("vt_sum").alias("ts_checksum"),
+                ),
+                F.struct(
+                    F.lit("2_click").alias("stage"),
+                    F.col("n_click").alias("n_users"),
+                    (F.col("n_click").cast("double") / F.col("n_view")).alias(
+                        "rate_from_prev"
+                    ),
+                    F.col("ct_sum").alias("ts_checksum"),
+                ),
+                F.struct(
+                    F.lit("3_purchase").alias("stage"),
+                    F.col("n_purchase").alias("n_users"),
+                    (F.col("n_purchase").cast("double") / F.col("n_click")).alias(
+                        "rate_from_prev"
+                    ),
+                    F.col("pt_sum").alias("ts_checksum"),
+                ),
+            )
+        ).alias("r")
+    )
+    return stages.select("r.stage", "r.n_users", "r.rate_from_prev", "r.ts_checksum")
+
+
 QUERIES = {
     "tumbling_windows": q_tumbling_windows,
+    "user_conversion_funnel": q_user_conversion_funnel,
     "hourly_rollup_from_minutes": q_hourly_rollup_from_minutes,
     "value_zscore_outliers": q_value_zscore_outliers,
     "event_value_percentiles": q_event_value_percentiles,
@@ -271,6 +357,44 @@ QUERIES = {
 }
 
 ORACLES = {
+    # funnel twin: the classic 3-level dependent-aggregation chain (each
+    # stage joins the previous stage's converting timestamp); the engine's
+    # single-shuffle array walk must reproduce these counts exactly
+    "user_conversion_funnel": """
+        WITH v AS (
+          SELECT user_id, MIN(ts) AS vt FROM events
+          WHERE event_type = 'view' GROUP BY 1
+        ),
+        c AS (
+          SELECT e.user_id, MIN(e.ts) AS ct
+          FROM events e JOIN v USING (user_id)
+          WHERE e.event_type = 'click' AND e.ts > v.vt GROUP BY 1
+        ),
+        p AS (
+          SELECT e.user_id, MIN(e.ts) AS pt
+          FROM events e JOIN c USING (user_id)
+          WHERE e.event_type = 'purchase' AND e.ts > c.ct GROUP BY 1
+        ),
+        n AS (
+          SELECT (SELECT COUNT(*) FROM v) AS n_view,
+                 (SELECT COUNT(*) FROM c) AS n_click,
+                 (SELECT COUNT(*) FROM p) AS n_purchase,
+                 (SELECT SUM(epoch_ms(vt)) FROM v) AS vt_sum,
+                 (SELECT SUM(epoch_ms(ct)) FROM c) AS ct_sum,
+                 (SELECT SUM(epoch_ms(pt)) FROM p) AS pt_sum
+        )
+        SELECT '1_view' AS stage, CAST(n_view AS BIGINT) AS n_users,
+               CAST(NULL AS DOUBLE) AS rate_from_prev,
+               CAST(vt_sum AS BIGINT) AS ts_checksum FROM n
+        UNION ALL
+        SELECT '2_click', CAST(n_click AS BIGINT),
+               CAST(n_click AS DOUBLE) / n_view,
+               CAST(ct_sum AS BIGINT) FROM n
+        UNION ALL
+        SELECT '3_purchase', CAST(n_purchase AS BIGINT),
+               CAST(n_purchase AS DOUBLE) / n_click,
+               CAST(pt_sum AS BIGINT) FROM n
+    """,
     "tumbling_windows": """
         SELECT
           epoch_ms(time_bucket(INTERVAL '10 minutes', ts)) AS window_start_ms,
