@@ -413,8 +413,8 @@ ORACLES = {
         )
         SELECT media_type,
                count(*) AS n_media,
-               sum(low_bytes) AS low_byte_count,
-               sum(n_bytes) AS total_bytes,
+               CAST(sum(low_bytes) AS BIGINT) AS low_byte_count,
+               CAST(sum(n_bytes) AS BIGINT) AS total_bytes,
                CAST(sum(low_bytes) AS DOUBLE) / sum(n_bytes) AS low_byte_share
         FROM per
         GROUP BY media_type

@@ -57,7 +57,25 @@ def compare(spark_df, oracle_sql: str, sf_dir: str) -> None:
     sp_c, du_c = _canon(sp), _canon(du)
     for c in sp_c.columns:
         a, b = sp_c[c], du_c[c]
-        if pd.api.types.is_float_dtype(a) or pd.api.types.is_float_dtype(b):
+        # Dtype-KIND strictness: the driver's value hash stringifies each
+        # cell, so int64 1856 vs float64 1856.0 is a driver FAIL even when
+        # the values are numerically identical (the r5 media_byte_histogram
+        # lesson: DuckDB HUGEINT -> pandas float64 while Spark returns
+        # int64). An integer column on one side must therefore never be
+        # compared against a float column on the other — that is an oracle
+        # typing bug (missing CAST(... AS BIGINT)), not a tolerable drift.
+        a_int = pd.api.types.is_integer_dtype(a)
+        b_int = pd.api.types.is_integer_dtype(b)
+        a_flt = pd.api.types.is_float_dtype(a)
+        b_flt = pd.api.types.is_float_dtype(b)
+        if (a_int and b_flt) or (a_flt and b_int):
+            raise AssertionError(
+                f"dtype-kind mismatch in column {c!r}: spark={a.dtype} "
+                f"duckdb={b.dtype} — integer-vs-float drift stringifies "
+                "differently under the driver hash; CAST the oracle "
+                "aggregate (AS BIGINT / AS DOUBLE) to match the engine"
+            )
+        if a_flt or b_flt:
             af = a.astype(float)
             bf = b.astype(float)
             both_nan = af.isna() & bf.isna()

@@ -26,6 +26,23 @@ def test_entry_smoke(spark):
     assert set(e.oracle_sql()) <= set(e.queries())
 
 
+def test_harness_rejects_int_vs_float_dtype_drift(spark, sf_dir):
+    """The r5 media_byte_histogram escape: DuckDB HUGEINT -> pandas float64
+    vs Spark int64 passed the old float-coercing compare() but failed the
+    driver's stringified value hash. The harness must now reject exactly
+    that shape — an uncast SUM over BIGINT (HUGEINT result) against an
+    integer engine column — before the driver ever sees it."""
+    import pyspark.sql.functions as F
+
+    df = spark.range(3).agg(F.sum("id").alias("s"))  # int64 side
+    uncast = "SELECT SUM(doc_id) AS s FROM (SELECT 1 AS doc_id UNION ALL SELECT 2)"
+    with pytest.raises(AssertionError, match="dtype-kind mismatch"):
+        compare(df, uncast, sf_dir)
+    # and the repo-convention CAST fixes it (values intentionally equal: 3)
+    compare(df, "SELECT CAST(SUM(doc_id) AS BIGINT) AS s FROM "
+                "(SELECT 1 AS doc_id UNION ALL SELECT 2)", sf_dir)
+
+
 def test_rows_only_queries_are_the_documented_allowlist():
     """Every registered query must carry a DuckDB oracle unless it is one
     of the four documented by-design exceptions (approximate ANN paths
