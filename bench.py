@@ -95,6 +95,13 @@ HEADLINE = [
     "doc_embedding_typicality",
     "dataset_split_assignment",
     "user_conversion_funnel",
+    # r6 additions: interval-join batch twin, behavioral transitions,
+    # length histogram, collocation lift, int8 code histogram
+    "interval_join_batch",
+    "event_type_transition_matrix",
+    "token_length_histogram",
+    "bigram_association_scores",
+    "embedding_quantization_profile",
 ]
 
 

@@ -12,87 +12,90 @@ entries in iteration order. The registry is therefore laid out explicitly:
 
 - ``_SCORED`` (exactly 50 names): the window the driver scores this round,
   oracle-backed wherever SQL can express the semantics. Exactly two scored
-  entries are rows-only BY DESIGN this round: ``approx_distinct_profile``
-  (HLL sketch — approximate by construction; error bound pytest-pinned)
-  and ``bernoulli_sample`` (engine RNG).
+  entries are rows-only BY DESIGN this round: ``ann_lsh_topk`` and
+  ``ivf_ann_topk`` (approximate ANN — recall pytest-pinned in
+  tests/test_extensions.py, not SQL-expressible).
 - ``_TAIL`` (unscored, still registered): every tail query is gated by
   tests/test_queries_oracle.py on every pytest run — oracle-backed ones
   hash-checked, the rest rows-only.
+- ``_RETIRED`` (empty today): the retirement mechanism for when the
+  two-round arithmetic below stops fitting — a retired query keeps its
+  implementation and pytest oracle coverage but leaves the driver
+  registry. Nothing is retired yet.
 
-ROTATION POLICY (two-round cadence): the window is finite (50), the
-registered surface is not (81 and growing). A query whose driver row was fully green in
-round N-1 may rotate to the tail in round N; every query returns to the
-window within two rounds of its last driver row. Consequences: every
-query's most recent driver row is at most two rounds old, every operator
-family always has a row at most two rounds old, and the pytest oracle gate
-covers ALL queries on every run regardless of window position. Preference
-when choosing which green-last-round rows to keep scored: sole
+ROTATION POLICY (two-round cadence) and its arithmetic: a query whose
+driver row was fully green in round N-1 may rotate to the tail in round
+N; every query returns to the window within two rounds of its last
+driver row. With a 50-slot window this is satisfiable **iff the
+registered surface stays ≤ 100** (two disjoint windows cover at most 100
+queries in two rounds). The surface is 87 after round 6 (82 + 5 new);
+growth of ~5 queries/round hits the ceiling around round 9. Standing
+decision (resolving the r5 verdict's "What's wrong #3"): the two-round
+promise stays; the round that would push the surface past 100 must
+either add fewer queries or move superseded ones to ``_RETIRED`` —
+first candidates ``doc_fingerprint`` (superseded by
+``doc_winnow_fingerprint``) and ``tumbling_windows``/``sliding_windows``
+(the session/hourly-rollup pair covers the family). Preference when
+choosing which green-last-round rows to keep scored: sole
 representatives of an operator family (cube, ntile, as-of join, range
 join, JSON extraction, connected components) and the composed flagships
 (training_pipeline_summary, the clustered embedding scale path) stay in.
 
-Round-5 rotation (applied this round; CORRECTNESS_r04 scored the full
-previous window green, so every r4-green row is rotation-eligible):
-- promoted (every query whose last driver row is r2 or r3 — 27 in all):
-  the r3-green rows demoted over r4/r5 planning
-  (``top5_orders``, ``balance_buckets``, ``deterministic_sample``,
-  ``hourly_rollup_from_minutes``, ``value_zscore_outliers``,
-  ``event_value_percentiles``, ``user_event_deltas``, ``doc_fingerprint``,
-  ``ngram_jaccard_pairs``, ``media_byte_histogram`` — NEWLY oracle-backed
-  this round: exact integer low-byte counts recovered from the float32
-  histogram weights, closing the last could-carry-an-oracle rows-only gap —
-  ``active_customers_by_segment``, ``avg_balance_by_nation``,
-  ``fulfillment_rate_by_nation``, ``priority_filter``,
-  ``latest_order_per_customer``, ``distinct_projection``,
-  ``doc_token_stats``, ``doc_quality_scores``) and the r2-green tail
-  (``above_nation_avg_customers``, ``approx_distinct_profile``,
-  ``bernoulli_sample``, ``customers_with_orders``,
-  ``embedding_near_dup_pairs``, ``promo_revenue_share``,
-  ``returnflag_pivot``, ``status_priority_rollup``,
-  ``unpivot_status_metrics``).
-- demoted (all green in CORRECTNESS_r04; due back by round 7): the
-  relational core minus the anti-join sole representative
+Round-6 rotation (applied this round):
+- kept scored (13): the sole family representatives + flagships
+  (``customers_without_orders``, ``lineitem_cube_aggregates``,
+  ``customer_balance_ntiles``, ``session_windows``, ``json_props_extract``,
+  ``asof_last_click_before_error``, ``range_join_interval_counts``,
+  ``doc_dup_components``, ``tfidf_top_terms``, ``doc_winnow_fingerprint``,
+  ``training_pipeline_summary``, ``embedding_near_dup_clustered``) and
+  ``media_byte_histogram`` — its r5 row is the round's one hash FAIL
+  (oracle HUGEINT->float64 type bug, fixed this round), so it stays in
+  to produce the green driver row the fix claims.
+- promoted, never driver-scored r5 additions (5):
+  ``passage_dedup_profile``, ``pii_redaction_profile``,
+  ``doc_embedding_typicality``, ``dataset_split_assignment``,
+  ``user_conversion_funnel``.
+- promoted, returning r5 demotions (27, last driver row r4 — the
+  two-round promise lands them here): the relational core
   (``pricing_summary``, ``ml_feature_dataset``, ``validation_profile``,
   ``customer_geography_rollup``, ``revenue_by_supplier_nation``,
   ``multiformat_date_parsing``, ``supplier_unique_key``, ``order_aging``,
   ``name_pattern_filter``, ``segment_set_ops``, ``shipping_priority_topk``),
   the literal Athena ports (``athena_q1_active_by_society``,
-  ``athena_q2_avg_age_by_activity``, ``athena_q3_renewal_rate_by_chamber``
-  — their promoted DataFrame equivalents carry the same families, and the
-  literal SQL stays e2e-tested in tests/test_rues_medallion.py),
-  ``tumbling_windows`` / ``sliding_windows`` (session_windows keeps the
-  batch event-time-window family), the text queries whose semantics the
-  scored composed pipeline replays stage-by-stage (``language_id``,
-  ``doc_dedup_profile``, ``simhash_fingerprints``,
-  ``minhash_near_duplicates`` — promoted ngram_jaccard_pairs IS its exact
-  oracle twin — ``benchmark_contamination``, ``source_mixture_plan``,
-  ``doc_repetition_scores``), and the vector paths whose exact twin is
-  promoted (``cosine_topk``, ``label_similarity_profile``,
-  ``ann_lsh_topk``, ``ivf_ann_topk`` — the two by-design rows-only ANN
-  entries leave the window, so r5's window swaps them for oracle-backed
-  rows; recall stays pytest-pinned in tests/test_extensions.py).
-
-Round-4 rotation (per the r3 verdict):
-- promoted (r3 pytest-green flagships, first driver rows): the training-data
-  pipeline family ``doc_dup_components``, ``tfidf_top_terms``,
-  ``doc_winnow_fingerprint``, ``benchmark_contamination``,
-  ``source_mixture_plan``, ``doc_repetition_scores``,
-  ``sequence_packing_plan``, the composed ``training_pipeline_summary``
-  (new: quality->dedup->decontaminate->mix->pack survivor counts, full
-  DuckDB twin incl. the recursive-CTE connected components), and the real
-  decoders ``media_audio_stats`` / ``media_frame_stats``.
-- demoted (all green in CORRECTNESS_r03, families still covered):
-  ``top5_orders`` (O2 via shipping_priority_topk), ``balance_buckets``
-  (F14/F15 via ml_feature_dataset), ``deterministic_sample`` (O3 via
-  ml_feature_dataset; D4 via the medallion e2e), ``hourly_rollup_from_minutes``,
-  ``value_zscore_outliers``, ``event_value_percentiles``, ``user_event_deltas``
-  (beyond-ref event variants; the family keeps tumbling/sliding/session +
-  json_props + asof/range_join), ``doc_fingerprint`` (superseded by the
-  winnowing fingerprint; 1-perm variant stays pytest-gated),
-  ``ngram_jaccard_pairs`` (its exact-join semantics ARE the scored
-  minhash_near_duplicates oracle), and ``media_byte_histogram`` (rows-only
-  by design — swapping it for the oracle-backed media_frame_stats is a
-  strict gain in hash-checked coverage).
+  ``athena_q2_avg_age_by_activity``, ``athena_q3_renewal_rate_by_chamber``),
+  ``tumbling_windows``, ``sliding_windows``, the text family
+  (``language_id``, ``doc_dedup_profile``, ``simhash_fingerprints``,
+  ``minhash_near_duplicates``, ``benchmark_contamination``,
+  ``source_mixture_plan``, ``doc_repetition_scores``) and the vector
+  family (``cosine_topk``, ``label_similarity_profile``, ``ann_lsh_topk``,
+  ``ivf_ann_topk``).
+- new in round 6, scored from day one (5): ``interval_join_batch``
+  (the stream-stream watermarked interval join's batch twin — same
+  plan-building code path), ``event_type_transition_matrix``,
+  ``token_length_histogram``, ``bigram_association_scores``,
+  ``embedding_quantization_profile``.
+- demoted (37, all driver-green in CORRECTNESS_r05, due back by round 8):
+  ``corpus_vocab_stats``, ``source_lang_profile``, ``doc_chunk_plan``,
+  ``boilerplate_ngram_profile``, ``prefix_template_clusters``,
+  ``quality_filter_decisions``, ``sequence_packing_plan``,
+  ``media_probe_profile``, ``media_pixel_stats``, ``media_audio_stats``,
+  ``media_frame_stats``, ``top5_orders``, ``balance_buckets``,
+  ``deterministic_sample``, ``hourly_rollup_from_minutes``,
+  ``value_zscore_outliers``, ``event_value_percentiles``,
+  ``user_event_deltas``, ``doc_fingerprint``, ``ngram_jaccard_pairs``,
+  ``active_customers_by_segment``, ``avg_balance_by_nation``,
+  ``fulfillment_rate_by_nation``, ``priority_filter``,
+  ``latest_order_per_customer``, ``distinct_projection``,
+  ``doc_token_stats``, ``doc_quality_scores``,
+  ``above_nation_avg_customers``, ``approx_distinct_profile``,
+  ``bernoulli_sample``, ``customers_with_orders``,
+  ``embedding_near_dup_pairs``, ``promo_revenue_share``,
+  ``returnflag_pivot``, ``status_priority_rollup``,
+  ``unpivot_status_metrics``.
+- round-7 feasibility check: the 37 demotions are due back by r8 under
+  the letter of the policy, but r7 should take them all (37 + 13 slots
+  for keeps/new = 50) so r8 inherits no backlog; that bounds r7 to at
+  most 13 kept-or-new queries — plan accordingly.
 """
 
 import functools
@@ -116,7 +119,8 @@ _ALL_QUERIES = {
 }
 
 _SCORED = (
-    # kept from the r4 window: sole family representatives + flagships
+    # kept from the r5 window: sole family representatives + flagships,
+    # plus the fixed-oracle media_byte_histogram re-scoring
     "customers_without_orders",
     "lineitem_cube_aggregates",
     "customer_balance_ntiles",
@@ -124,58 +128,25 @@ _SCORED = (
     "json_props_extract",
     "asof_last_click_before_error",
     "range_join_interval_counts",
-    "corpus_vocab_stats",
-    "source_lang_profile",
-    "doc_chunk_plan",
-    "boilerplate_ngram_profile",
-    "prefix_template_clusters",
-    "quality_filter_decisions",
     "doc_dup_components",
     "tfidf_top_terms",
     "doc_winnow_fingerprint",
-    "sequence_packing_plan",
     "training_pipeline_summary",
     "embedding_near_dup_clustered",
-    "media_probe_profile",
-    "media_pixel_stats",
-    "media_audio_stats",
-    "media_frame_stats",
-    # promoted: last driver row r3 (demoted across the r4/r5 planning)
-    "top5_orders",
-    "balance_buckets",
-    "deterministic_sample",
-    "hourly_rollup_from_minutes",
-    "value_zscore_outliers",
-    "event_value_percentiles",
-    "user_event_deltas",
-    "doc_fingerprint",
-    "ngram_jaccard_pairs",
     "media_byte_histogram",
-    "active_customers_by_segment",
-    "avg_balance_by_nation",
-    "fulfillment_rate_by_nation",
-    "priority_filter",
-    "latest_order_per_customer",
-    "distinct_projection",
-    "doc_token_stats",
-    "doc_quality_scores",
-    # promoted: last driver row r2 (most-overdue tail)
-    "above_nation_avg_customers",
-    "approx_distinct_profile",
-    "bernoulli_sample",
-    "customers_with_orders",
-    "embedding_near_dup_pairs",
-    "promo_revenue_share",
-    "returnflag_pivot",
-    "status_priority_rollup",
-    "unpivot_status_metrics",
-)
-
-_TAIL = (
-    # r5 demotions — all green driver rows in CORRECTNESS_r04, rotated out
-    # per the two-round policy above (due back by round 7); the pytest
-    # oracle gate still hash-checks every oracle-backed one on every run,
-    # and bench.py still times every scale flagship here.
+    # promoted: the five r5 additions, first driver rows
+    "passage_dedup_profile",
+    "pii_redaction_profile",
+    "doc_embedding_typicality",
+    "dataset_split_assignment",
+    "user_conversion_funnel",
+    # new in round 6, scored from day one
+    "interval_join_batch",
+    "event_type_transition_matrix",
+    "token_length_histogram",
+    "bigram_association_scores",
+    "embedding_quantization_profile",
+    # promoted: returning r5 demotions (last driver row r4)
     "pricing_summary",
     "ml_feature_dataset",
     "validation_profile",
@@ -203,17 +174,56 @@ _TAIL = (
     "label_similarity_profile",
     "ann_lsh_topk",
     "ivf_ann_topk",
-    # new in r5 (never driver-scored -> promote in the r6 rotation):
-    # passage-level dedup (Dolma-granularity boilerplate detection),
-    # PII detection/redaction profiling, and the cross-modal
-    # documents x embeddings typicality join — all full DuckDB twins,
-    # hash-gated by the pytest oracle gate from day one.
-    "passage_dedup_profile",
-    "pii_redaction_profile",
-    "doc_embedding_typicality",
-    "dataset_split_assignment",
-    "user_conversion_funnel",
 )
+
+_TAIL = (
+    # r6 demotions — all green driver rows in CORRECTNESS_r05, rotated out
+    # per the two-round policy above (due back by round 8; round 7 should
+    # take them all — see the feasibility check in the docstring). The
+    # pytest oracle gate still hash-checks every oracle-backed one on
+    # every run, and bench.py still times every scale flagship here.
+    "corpus_vocab_stats",
+    "source_lang_profile",
+    "doc_chunk_plan",
+    "boilerplate_ngram_profile",
+    "prefix_template_clusters",
+    "quality_filter_decisions",
+    "sequence_packing_plan",
+    "media_probe_profile",
+    "media_pixel_stats",
+    "media_audio_stats",
+    "media_frame_stats",
+    "top5_orders",
+    "balance_buckets",
+    "deterministic_sample",
+    "hourly_rollup_from_minutes",
+    "value_zscore_outliers",
+    "event_value_percentiles",
+    "user_event_deltas",
+    "doc_fingerprint",
+    "ngram_jaccard_pairs",
+    "active_customers_by_segment",
+    "avg_balance_by_nation",
+    "fulfillment_rate_by_nation",
+    "priority_filter",
+    "latest_order_per_customer",
+    "distinct_projection",
+    "doc_token_stats",
+    "doc_quality_scores",
+    "above_nation_avg_customers",
+    "approx_distinct_profile",
+    "bernoulli_sample",
+    "customers_with_orders",
+    "embedding_near_dup_pairs",
+    "promo_revenue_share",
+    "returnflag_pivot",
+    "status_priority_rollup",
+    "unpivot_status_metrics",
+)
+
+# Retirement mechanism (see docstring): retired names leave the driver
+# registry but MUST keep their implementation + pytest oracle coverage.
+_RETIRED = ()
 
 # Module-level invariants the correctness driver depends on. Explicit raises,
 # not assert: python -O strips asserts, which would silently disable the
@@ -222,10 +232,16 @@ if len(_SCORED) != 50:
     raise RuntimeError(f"scored window must be exactly 50, got {len(_SCORED)}")
 if set(_SCORED) & set(_TAIL):
     raise RuntimeError(f"scored/tail overlap: {set(_SCORED) & set(_TAIL)}")
-if set(_SCORED + _TAIL) != set(_ALL_QUERIES):
+if len(_SCORED + _TAIL) > 100:
+    raise RuntimeError(
+        "registered surface exceeds 100: the two-round rotation promise is "
+        "no longer satisfiable with a 50-slot window — retire superseded "
+        "queries (move to _RETIRED) or amend the policy docstring first"
+    )
+if set(_SCORED + _TAIL) != set(_ALL_QUERIES) - set(_RETIRED):
     raise RuntimeError(
         "registry ordering drifted from the query modules: "
-        f"missing={set(_ALL_QUERIES) - set(_SCORED + _TAIL)} "
+        f"missing={set(_ALL_QUERIES) - set(_SCORED + _TAIL) - set(_RETIRED)} "
         f"stale={set(_SCORED + _TAIL) - set(_ALL_QUERIES)}"
     )
 
@@ -253,4 +269,15 @@ def _self_sufficient(fn):
 
 
 QUERIES = {name: _self_sufficient(_ALL_QUERIES[name]) for name in _SCORED + _TAIL}
-ORACLES = {**_REL_ORACLES, **_AT_ORACLES, **_EV_ORACLES, **_TX_ORACLES, **_VC_ORACLES, **_MD_ORACLES}
+ORACLES = {
+    name: sql
+    for name, sql in {
+        **_REL_ORACLES,
+        **_AT_ORACLES,
+        **_EV_ORACLES,
+        **_TX_ORACLES,
+        **_VC_ORACLES,
+        **_MD_ORACLES,
+    }.items()
+    if name not in _RETIRED
+}

@@ -342,8 +342,73 @@ def q_user_conversion_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     return stages.select("r.stage", "r.n_users", "r.rate_from_prev", "r.ts_checksum")
 
 
+def q_interval_join_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch twin of the stream-stream watermarked interval join
+    (streaming/windows.py:175): every 'error' event matched to the same
+    user's 'click' events in the preceding 10 minutes, rolled up to one
+    row per matched error.
+
+    This calls the STREAMING operator itself — ``withWatermark`` is a
+    no-op on batch DataFrames, so the identical plan-building code serves
+    both execution modes (the batch/stream unification Structured
+    Streaming promises). The join is a hash join on user_id with the
+    time bound as a residual predicate plus a map-side partial count —
+    one shuffle; at 100 TB the user_id key is the natural skew unit and
+    AQE skew-join splitting applies. Inner-join semantics match the
+    streaming append-mode emission exactly (tests/test_streaming.py pins
+    count parity between the two modes on the same data)."""
+    from ..streaming.windows import streaming_interval_join
+
+    ev = load(spark, sf_dir, "events")
+    pairs = streaming_interval_join(ev)  # click ⋈ error, 10-minute bound
+    # ts_checksum pins WHICH clicks matched, not just how many
+    return (
+        pairs.groupBy(
+            F.col("r_id").alias("error_event_id"),
+            F.col("r_user").alias("user_id"),
+            F.unix_millis("r_ts").alias("error_ts_ms"),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_clicks_before"),
+            F.sum(F.unix_millis("l_ts")).alias("click_ts_checksum"),
+        )
+    )
+
+
+def q_event_type_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order behavioral transition matrix: for each user's event
+    sequence (ordered by ts, event_id), count event_type -> next
+    event_type transitions and each origin state's outgoing share — the
+    Markov-chain profile behind session-behavior modeling.
+
+    One shuffle on user_id for the lead() window, then a hash aggregate
+    on the (from, to) pair — at 100 TB the pair space is tiny (|types|²),
+    so the final agg is map-side-combined to almost nothing. The share is
+    one IEEE division of exact counts (both < 2^53, exactly
+    representable)."""
+    from pyspark.sql import Window
+
+    ev = load(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy(F.col("ts"), F.col("event_id"))
+    pairs = (
+        ev.withColumn("to_type", F.lead("event_type").over(w))
+        .filter(F.col("to_type").isNotNull())
+        .select(F.col("event_type").alias("from_type"), "to_type")
+    )
+    counted = pairs.groupBy("from_type", "to_type").agg(
+        F.count(F.lit(1)).alias("n_transitions")
+    )
+    w_from = Window.partitionBy("from_type")
+    return counted.withColumn(
+        "share_from",
+        F.col("n_transitions").cast("double") / F.sum("n_transitions").over(w_from),
+    )
+
+
 QUERIES = {
     "tumbling_windows": q_tumbling_windows,
+    "interval_join_batch": q_interval_join_batch,
+    "event_type_transition_matrix": q_event_type_transition_matrix,
     "user_conversion_funnel": q_user_conversion_funnel,
     "hourly_rollup_from_minutes": q_hourly_rollup_from_minutes,
     "value_zscore_outliers": q_value_zscore_outliers,
@@ -530,6 +595,37 @@ ORACLES = {
         FROM events JOIN intervals
           ON ts >= w_start AND ts < w_end
         GROUP BY interval_id
+    """,
+    # interval-join twin: the naive BETWEEN self-join, rolled up per error;
+    # inner join == streaming append-mode emission (only matched errors)
+    "interval_join_batch": """
+        SELECT r.event_id AS error_event_id,
+               r.user_id,
+               epoch_ms(r.ts) AS error_ts_ms,
+               COUNT(1) AS n_clicks_before,
+               CAST(SUM(epoch_ms(l.ts)) AS BIGINT) AS click_ts_checksum
+        FROM events r
+        JOIN events l
+          ON l.user_id = r.user_id
+         AND r.event_type = 'error' AND l.event_type = 'click'
+         AND r.ts >= l.ts AND r.ts <= l.ts + INTERVAL '10 minutes'
+        GROUP BY 1, 2, 3
+    """,
+    "event_type_transition_matrix": """
+        WITH seq AS (
+          SELECT event_type,
+                 LEAD(event_type) OVER (PARTITION BY user_id
+                                        ORDER BY ts, event_id) AS to_type
+          FROM events
+        )
+        SELECT event_type AS from_type,
+               to_type,
+               COUNT(1) AS n_transitions,
+               CAST(COUNT(1) AS DOUBLE)
+                 / SUM(COUNT(1)) OVER (PARTITION BY event_type) AS share_from
+        FROM seq
+        WHERE to_type IS NOT NULL
+        GROUP BY 1, 2
     """,
     "json_props_extract": """
         SELECT

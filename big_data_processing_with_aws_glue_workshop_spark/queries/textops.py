@@ -919,9 +919,18 @@ def q_passage_dedup_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # PII patterns: explicit character classes and bounded quantifiers ONLY —
 # the subset where Java regex (Spark) and RE2 (DuckDB) agree exactly.
+# The five shapes are mutually non-overlapping by construction (dash
+# groupings 3-3-4 vs 3-2-4 cannot share a match; IBAN needs leading
+# uppercase letters; IP needs dots), so detection counts and redaction
+# order are independent.
 _PII_EMAIL = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
 _PII_PHONE = r"[0-9]{3}-[0-9]{3}-[0-9]{4}"
 _PII_IP = r"([0-9]{1,3}\.){3}[0-9]{1,3}"
+# IBAN-like: country code + 2 check digits + 12-30 BBAN chars (uppercase
+# alphanumeric — the corpus is lowercase, so no word-soup false positives)
+_PII_IBAN = r"[A-Z]{2}[0-9]{2}[A-Z0-9]{12,30}"
+# national-ID shape (SSN-style 3-2-4 dash grouping)
+_PII_NATID = r"[0-9]{3}-[0-9]{2}-[0-9]{4}"
 
 
 def pii_fixture(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -958,6 +967,27 @@ def pii_fixture(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.lit(".1"),
         ),
     ).otherwise(text)
+    text = F.when(
+        F.col("doc_id") % 17 == 0,
+        F.concat(
+            text,
+            F.lit(" iban DE"),
+            F.lpad((F.col("doc_id") % 100).cast("string"), 2, "0"),
+            F.lpad(F.col("doc_id").cast("string"), 16, "0"),
+        ),
+    ).otherwise(text)
+    text = F.when(
+        F.col("doc_id") % 19 == 0,
+        F.concat(
+            text,
+            F.lit(" ssn "),
+            F.lpad((F.col("doc_id") % 900).cast("string"), 3, "0"),
+            F.lit("-"),
+            F.lpad((F.col("doc_id") % 90).cast("string"), 2, "0"),
+            F.lit("-"),
+            F.lpad((F.col("doc_id") % 9000).cast("string"), 4, "0"),
+        ),
+    ).otherwise(text)
     return d.select("doc_id", "source", text.alias("text"))
 
 
@@ -971,20 +1001,32 @@ def pii_per_doc(d: DataFrame) -> DataFrame:
     n_emails = F.regexp_count(F.col("text"), F.lit(_PII_EMAIL))
     n_phones = F.regexp_count(F.col("text"), F.lit(_PII_PHONE))
     n_ips = F.regexp_count(F.col("text"), F.lit(_PII_IP))
+    n_ibans = F.regexp_count(F.col("text"), F.lit(_PII_IBAN))
+    n_natids = F.regexp_count(F.col("text"), F.lit(_PII_NATID))
     redacted = F.regexp_replace(
         F.regexp_replace(
-            F.regexp_replace(F.col("text"), _PII_EMAIL, "[EMAIL]"),
-            _PII_PHONE,
-            "[PHONE]",
+            F.regexp_replace(
+                F.regexp_replace(
+                    F.regexp_replace(F.col("text"), _PII_EMAIL, "[EMAIL]"),
+                    _PII_PHONE,
+                    "[PHONE]",
+                ),
+                _PII_IP,
+                "[IP]",
+            ),
+            _PII_IBAN,
+            "[IBAN]",
         ),
-        _PII_IP,
-        "[IP]",
+        _PII_NATID,
+        "[ID]",
     )
     return d.select(
         "source",
         n_emails.alias("e"),
         n_phones.alias("p"),
         n_ips.alias("i"),
+        n_ibans.alias("b"),
+        n_natids.alias("s"),
         (F.length("text") - F.length(redacted)).alias("removed"),
     )
 
@@ -1003,19 +1045,20 @@ def q_pii_redaction_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     final 20-key source rollup with map-side partials. At 100 TB this is
     scan-bound — exactly what a compliance sweep should be."""
     per_doc = pii_per_doc(pii_fixture(spark, sf_dir))
+    any_pii = (
+        F.col("e") + F.col("p") + F.col("i") + F.col("b") + F.col("s") > 0
+    )
     return per_doc.groupBy("source").agg(
         F.count(F.lit(1)).alias("n_docs"),
-        F.sum(
-            F.when(F.col("e") + F.col("p") + F.col("i") > 0, 1).otherwise(0)
-        ).alias("docs_with_pii"),
+        F.sum(F.when(any_pii, 1).otherwise(0)).alias("docs_with_pii"),
         F.sum("e").cast("bigint").alias("n_emails"),
         F.sum("p").cast("bigint").alias("n_phones"),
         F.sum("i").cast("bigint").alias("n_ips"),
+        F.sum("b").cast("bigint").alias("n_ibans"),
+        F.sum("s").cast("bigint").alias("n_natids"),
         F.sum("removed").cast("bigint").alias("chars_redacted"),
         (
-            F.sum(
-                F.when(F.col("e") + F.col("p") + F.col("i") > 0, 1).otherwise(0)
-            ).cast("double")
+            F.sum(F.when(any_pii, 1).otherwise(0)).cast("double")
             / F.count(F.lit(1))
         ).alias("pii_doc_share"),
     )
@@ -1080,8 +1123,96 @@ def q_dataset_split_assignment(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_token_length_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Log2-bucketed document-length histogram per source — the
+    length-distribution profile every pretraining pipeline reads before
+    choosing chunking and packing parameters (and the cheap skew check:
+    one bucket dominating a source means packing will stall there).
+
+    The bucket index is floor(log2(n_tokens)) computed EXACTLY via the
+    binary-string length (length(bin(n)) - 1) — never floating log2,
+    whose rounding at power-of-two boundaries differs between libm
+    implementations. Plan: narrow projection over the scan, one hash
+    aggregate on (source, bucket) — |sources| x ~12 groups, map-side
+    combined; embarrassingly parallel at 100 TB."""
+    d = load(spark, sf_dir, "documents")
+    n = F.size(_tokens(F.col("text")))
+    per = d.select(
+        "source",
+        n.alias("n_tokens"),
+        (F.length(F.bin(n.cast("bigint"))) - 1).cast("int").alias("log2_bucket"),
+    )
+    return per.groupBy("source", "log2_bucket").agg(
+        F.count(F.lit(1)).cast("int").alias("n_docs"),
+        F.sum("n_tokens").cast("bigint").alias("total_tokens"),
+        F.min("n_tokens").alias("min_tokens"),
+        F.max("n_tokens").alias("max_tokens"),
+    )
+
+
+def q_bigram_association_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Adjacent-bigram association (lift) scores over the corpus — the
+    collocation-mining primitive (phrase detection, tokenizer-merge
+    candidates). lift(a,b) = P(ab) / (P(a)P(b)) rewritten over exact
+    counts as (n_ab * T) / (n_a * n_b): the numerator and denominator
+    are exact int64 products (< 2^53 at any tested SF), so the score is
+    ONE IEEE division — bit-reproducible cross-engine, no logs.
+
+    Spark-first shape: bigrams come from zip_with over two slices of the
+    per-doc token array (narrow, inside the scan stage — no positional
+    self-join); then two bounded hash aggregates (vocab and vocab² keys)
+    and broadcast joins of the unigram counts back onto the pair table.
+    At 100 TB the vocab tables stay bounded (natural-language vocabulary
+    growth is sublinear), so the broadcasts hold; if a vocab outgrows the
+    threshold the same plan degrades gracefully to shuffle joins on the
+    word key."""
+    d = load(spark, sf_dir, "documents")
+    toks = _tokens(F.col("text"))
+    words = d.select(F.explode(toks).alias("tok"))
+    # vocab-sized (bounded at any corpus scale) -> persist once; the total
+    # token count then derives from the SAME aggregate instead of a second
+    # full scan+explode of the corpus
+    unic = tracked_cache(words.groupBy("tok").agg(F.count(F.lit(1)).alias("n_tok")))
+    total = unic.agg(F.sum("n_tok").cast("bigint").alias("t"))
+    arr = d.select(toks.alias("w")).filter(F.size("w") >= 2)
+    pairs = arr.select(
+        F.explode(
+            F.zip_with(
+                F.slice("w", 1, F.size("w") - 1),
+                F.slice("w", 2, F.size("w") - 1),
+                lambda a, b: F.struct(a.alias("w1"), b.alias("w2")),
+            )
+        ).alias("p")
+    ).select("p.w1", "p.w2")
+    bigc = pairs.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("n_pair"))
+    scored = (
+        bigc.join(
+            F.broadcast(unic.select(F.col("tok").alias("w1"), F.col("n_tok").alias("n_w1"))),
+            "w1",
+        )
+        .join(
+            F.broadcast(unic.select(F.col("tok").alias("w2"), F.col("n_tok").alias("n_w2"))),
+            "w2",
+        )
+        .crossJoin(F.broadcast(total))
+    )
+    return scored.select(
+        "w1",
+        "w2",
+        "n_pair",
+        "n_w1",
+        "n_w2",
+        (
+            (F.col("n_pair") * F.col("t")).cast("double")
+            / (F.col("n_w1") * F.col("n_w2"))
+        ).alias("lift"),
+    )
+
+
 QUERIES = {
     "doc_token_stats": q_doc_token_stats,
+    "token_length_histogram": q_token_length_histogram,
+    "bigram_association_scores": q_bigram_association_scores,
     "doc_quality_scores": q_doc_quality_scores,
     "language_id": q_language_id,
     "doc_dedup_profile": q_doc_dedup_profile,
@@ -1133,6 +1264,50 @@ ORACLES = {
             / len(string_split_regex(trim(lower(text)), '[ \\t\\n\\f\\r]+')) AS avg_token_len,
           CAST(CASE WHEN n_chars < 100 THEN 1 ELSE 0 END AS INTEGER) AS flag_short
         FROM documents
+    """,
+    # exact floor(log2) via binary-string length on both engines — no
+    # floating log2 at power-of-two boundaries
+    "token_length_histogram": """
+        WITH per AS (
+          SELECT source,
+                 CAST(len(string_split_regex(trim(lower(text)), '[ \\t\\n\\f\\r]+'))
+                      AS INTEGER) AS n_tokens
+          FROM documents
+        )
+        SELECT source,
+               CAST(length(bin(CAST(n_tokens AS BIGINT))) - 1 AS INTEGER)
+                 AS log2_bucket,
+               CAST(COUNT(1) AS INTEGER) AS n_docs,
+               CAST(SUM(n_tokens) AS BIGINT) AS total_tokens,
+               MIN(n_tokens) AS min_tokens,
+               MAX(n_tokens) AS max_tokens
+        FROM per
+        GROUP BY 1, 2
+    """,
+    # lift = (n_ab * T) / (n_a * n_b): exact int64 products, ONE division
+    "bigram_association_scores": """
+        WITH toks AS (
+          SELECT string_split_regex(trim(lower(text)), '[ \\t\\n\\f\\r]+') AS w
+          FROM documents
+        ),
+        uni AS (SELECT unnest(w) AS tok FROM toks),
+        unic AS (SELECT tok, COUNT(1) AS n FROM uni GROUP BY 1),
+        tot AS (SELECT CAST(COUNT(1) AS BIGINT) AS t FROM uni),
+        big AS (
+          SELECT w[CAST(i AS INTEGER)] AS w1,
+                 w[CAST(i AS INTEGER) + 1] AS w2
+          FROM toks, UNNEST(range(1, len(w))) AS r(i)
+        ),
+        bigc AS (SELECT w1, w2, COUNT(1) AS n_pair FROM big GROUP BY 1, 2)
+        SELECT bigc.w1, bigc.w2,
+               bigc.n_pair,
+               a.n AS n_w1,
+               b.n AS n_w2,
+               CAST(bigc.n_pair * tot.t AS DOUBLE) / (a.n * b.n) AS lift
+        FROM bigc
+        CROSS JOIN tot
+        JOIN unic a ON bigc.w1 = a.tok
+        JOIN unic b ON bigc.w2 = b.tok
     """,
     "doc_quality_scores": """
         WITH base AS (
@@ -1756,6 +1931,15 @@ ORACLES["pii_redaction_profile"] = """
                 ELSE '' END
              || CASE WHEN doc_id % 13 = 0
                 THEN ' host 10.' || (doc_id % 256) || '.' || (doc_id % 200) || '.1'
+                ELSE '' END
+             || CASE WHEN doc_id % 17 = 0
+                THEN ' iban DE' || lpad(CAST(doc_id % 100 AS VARCHAR), 2, '0')
+                     || lpad(CAST(doc_id AS VARCHAR), 16, '0')
+                ELSE '' END
+             || CASE WHEN doc_id % 19 = 0
+                THEN ' ssn ' || lpad(CAST(doc_id % 900 AS VARCHAR), 3, '0')
+                     || '-' || lpad(CAST(doc_id % 90 AS VARCHAR), 2, '0')
+                     || '-' || lpad(CAST(doc_id % 9000 AS VARCHAR), 4, '0')
                 ELSE '' END AS text
       FROM documents
     ),
@@ -1764,28 +1948,36 @@ ORACLES["pii_redaction_profile"] = """
              len(regexp_extract_all(text, '@EMAIL@')) AS e,
              len(regexp_extract_all(text, '@PHONE@')) AS p,
              len(regexp_extract_all(text, '@IP@')) AS i,
+             len(regexp_extract_all(text, '@IBAN@')) AS b,
+             len(regexp_extract_all(text, '@NATID@')) AS s,
              length(text) - length(
                regexp_replace(
                  regexp_replace(
-                   regexp_replace(text, '@EMAIL@', '[EMAIL]', 'g'),
-                   '@PHONE@', '[PHONE]', 'g'),
-                 '@IP@', '[IP]', 'g')) AS removed
+                   regexp_replace(
+                     regexp_replace(
+                       regexp_replace(text, '@EMAIL@', '[EMAIL]', 'g'),
+                       '@PHONE@', '[PHONE]', 'g'),
+                     '@IP@', '[IP]', 'g'),
+                   '@IBAN@', '[IBAN]', 'g'),
+                 '@NATID@', '[ID]', 'g')) AS removed
       FROM planted
     )
     SELECT source,
            COUNT(1) AS n_docs,
-           CAST(SUM(CASE WHEN e + p + i > 0 THEN 1 ELSE 0 END) AS BIGINT)
+           CAST(SUM(CASE WHEN e + p + i + b + s > 0 THEN 1 ELSE 0 END) AS BIGINT)
              AS docs_with_pii,
            CAST(SUM(e) AS BIGINT) AS n_emails,
            CAST(SUM(p) AS BIGINT) AS n_phones,
            CAST(SUM(i) AS BIGINT) AS n_ips,
+           CAST(SUM(b) AS BIGINT) AS n_ibans,
+           CAST(SUM(s) AS BIGINT) AS n_natids,
            CAST(SUM(removed) AS BIGINT) AS chars_redacted,
-           CAST(SUM(CASE WHEN e + p + i > 0 THEN 1 ELSE 0 END) AS DOUBLE)
+           CAST(SUM(CASE WHEN e + p + i + b + s > 0 THEN 1 ELSE 0 END) AS DOUBLE)
              / COUNT(1) AS pii_doc_share
     FROM per_doc GROUP BY source
 """.replace("@EMAIL@", _PII_EMAIL).replace("@PHONE@", _PII_PHONE).replace(
     "@IP@", _PII_IP
-)
+).replace("@IBAN@", _PII_IBAN).replace("@NATID@", _PII_NATID)
 
 ORACLES["dataset_split_assignment"] = f"""
     WITH per_doc AS (

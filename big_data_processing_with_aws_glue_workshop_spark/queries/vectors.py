@@ -314,7 +314,18 @@ def q_doc_embedding_typicality(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load(spark, sf_dir, "documents").select(
         "doc_id", F.size(_tokens(F.col("text"))).alias("n_tokens")
     )
-    joined = d.join(per_vec, d["doc_id"] == per_vec["vec_id"]).select(
+    return typicality_join(d, per_vec)
+
+
+def typicality_join(docs: DataFrame, per_vec: DataFrame) -> DataFrame:
+    """The curation pipeline's final 1:1 equality join (doc_id = vec_id)
+    plus the keep decision. Factored out so the zero-Exchange claim in
+    q_doc_embedding_typicality's docstring is testable in isolation:
+    tests/test_bucketing.py::test_typicality_final_join_no_shuffle saves
+    both sides bucketed on their id key and asserts this exact join plans
+    with NO Exchange — the 100 TB posture where both tables are written
+    bucketed by the shared id."""
+    joined = docs.join(per_vec, docs["doc_id"] == per_vec["vec_id"]).select(
         "doc_id",
         "label",
         F.col("n_tokens").cast("int").alias("n_tokens"),
@@ -326,8 +337,48 @@ def q_doc_embedding_typicality(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_embedding_quantization_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Int8-code histogram of symmetric per-vector quantization — the
+    codebook-design profile an ANN/compression pipeline reads before
+    committing to a quantization scheme (saturation at ±127 or a hole
+    around 0 means the scheme loses recall).
+
+    Each coordinate maps to floor(x * 127 / max_abs(vector)) ∈
+    [-127, 127]. Every step is exact or single-rounded cross-engine:
+    x is float32 (exact in double), x*127 needs 31 significand bits
+    (exact), the division is ONE correctly-rounded IEEE op, floor is
+    exact — no round(), whose half-way rule differs between engines.
+    Counts are exact ints; the per-label share is one IEEE division.
+
+    Plan: posexplode over the scan, hash aggregate on (label, code) —
+    at most |labels| x 255 groups, map-side combined — then a window
+    sum over that bounded result. Scan-bound and embarrassingly
+    parallel at 100 TB."""
+    e = load(spark, sf_dir, "embeddings")
+    mx = F.array_max(F.transform("embedding", lambda x: F.abs(x)))
+    expl = e.select(
+        "label",
+        F.explode("embedding").alias("val"),
+        mx.alias("mx"),
+    ).filter(F.col("mx") > 0)
+    code = F.floor(
+        F.col("val").cast("double") * 127 / F.col("mx").cast("double")
+    ).cast("int")
+    counted = (
+        expl.select("label", code.alias("q_code"))
+        .groupBy("label", "q_code")
+        .agg(F.count(F.lit(1)).alias("n_values"))
+    )
+    w = Window.partitionBy("label")
+    return counted.withColumn(
+        "label_share",
+        F.col("n_values").cast("double") / F.sum("n_values").over(w),
+    )
+
+
 QUERIES = {
     "cosine_topk": q_cosine_topk,
+    "embedding_quantization_profile": q_embedding_quantization_profile,
     "label_similarity_profile": q_label_similarity_profile,
     "embedding_near_dup_pairs": q_embedding_near_dup_pairs,
     "embedding_near_dup_clustered": q_embedding_near_dup_clustered,
@@ -448,17 +499,45 @@ def _exact_double(expr: str) -> str:
     values above 2^53 (measured: 52237463692933344512 converts to
     ...335e19 instead of ...334e19, flipping 49/500 typicality rows),
     while Spark's decimal -> double (BigDecimal.doubleValue) rounds
-    correctly. Splitting |x| as hi * 2^32 + lo makes both terms exact in
-    double (hi < 2^34 here, the 2^32 scale is a power of two) so the one
-    addition performs the single correct rounding; the sign is reapplied
-    outside. Verified exact against Python's float() on 50k random
-    66-bit integers."""
+    correctly. Splitting |x| as hi * 2^32 + lo makes lo exact and the
+    2^32 scale a power of two, so the one addition performs the single
+    correct rounding PROVIDED hi itself converts exactly — i.e. hi <
+    2^53, equivalently |x| < 2^85. The typicality operands are well
+    inside that: dot_q ~ 2^70 and snorm2 grows quadratically with
+    label-cluster size (members^2 * 1e18, ~2^80 for a 1M-member label)
+    — both < 2^85, but callers adding new uses must re-check the bound,
+    not assume the old (wrong) 2^34 margin. Verified exact against
+    Python's float() on 50k random 66-bit integers."""
     a = f"abs({expr})"
     return (
         f"(CASE WHEN {expr} < 0 THEN -1 ELSE 1 END) * "
         f"(CAST({a} // 4294967296 AS DOUBLE) * 4294967296 + "
         f"CAST({a} % 4294967296 AS DOUBLE))"
     )
+
+
+# Mirrors q_embedding_quantization_profile operand-for-operand: double cast
+# before the (exact) *127, ONE division, exact floor — no round().
+ORACLES["embedding_quantization_profile"] = """
+    WITH base AS (
+      SELECT label, embedding AS e,
+             list_max(list_transform(embedding, x -> abs(x))) AS mx
+      FROM embeddings
+    ),
+    codes AS (
+      SELECT label,
+             CAST(floor(CAST(x AS DOUBLE) * 127 / CAST(mx AS DOUBLE))
+                  AS INTEGER) AS q_code
+      FROM base, UNNEST(e) AS t(x)
+      WHERE mx > 0
+    )
+    SELECT label, q_code,
+           COUNT(1) AS n_values,
+           CAST(COUNT(1) AS DOUBLE)
+             / SUM(COUNT(1)) OVER (PARTITION BY label) AS label_share
+    FROM codes
+    GROUP BY 1, 2
+"""
 
 
 # Mirrors q_doc_embedding_typicality operand-for-operand: same 1e-9 floor
