@@ -114,6 +114,16 @@ def main() -> None:
 
     names = [n for n in HEADLINE if n in QUERIES]
 
+    # Suite-level warm-up BEFORE the first timed entry: per-query warm runs
+    # absorb each query's own codegen/footer costs, but JVM-wide ramp (JIT
+    # background compilation, GC sizing, shuffle service init) still lands
+    # on whichever query runs first — the r5 driver bench measured the
+    # first-position query at 3.6x its quiet-box time while a quiet-box
+    # rerun showed no plan regression (docs/SCALE.md r6 confirm-run). A
+    # throwaway full action takes that hit instead.
+    if names:
+        QUERIES[names[0]](spark, sf_dir).count()
+
     timings: dict[str, float] = {}
     for name in names:
         # cross-query hygiene BEFORE the warm run: the previous query's

@@ -1,10 +1,21 @@
-"""Custom stateful streaming operator via applyInPandasWithState.
+"""Custom stateful streaming operators.
 
 ``running_user_stats`` keeps (n_events, total_value, max_value) per user in
 managed state across micro-batches and emits the updated running totals
 whenever the user receives events — the arbitrary-stateful pattern
 (GroupState) the built-in window aggregations can't express, e.g. lifetime
 counters, per-entity CUSUM/anomaly scores, or custom session logic.
+
+Two implementations of the same semantics, one per Spark stateful API
+generation — both kept because the old API is the compatibility path and
+the new one is where Spark 4.x invests (state schema evolution, timers,
+composite state):
+
+- ``running_user_stats`` — applyInPandasWithState (GroupState; Spark 3.4+).
+- ``running_user_stats_tws`` — transformWithStateInPandas
+  (StatefulProcessor + ValueState; Spark 4.x, requires the RocksDB state
+  store provider). tests/test_streaming.py pins both against the same
+  batch aggregation.
 
 State is a single fixed-width row per user: memory is O(distinct users),
 independent of stream length; the state store shuffles by user_id so each
@@ -69,5 +80,78 @@ def running_user_stats(events: DataFrame) -> DataFrame:
             stateStructType=STATE_SCHEMA,
             outputMode="update",
             timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )
+
+
+try:  # Spark 4.x arbitrary-state API
+    from pyspark.sql.streaming.stateful_processor import StatefulProcessor
+
+    # the TransformWithState Python driver worker talks to the JVM state
+    # server over protobuf — without the protobuf package the worker
+    # crashes at init (measured: STREAMING_PYTHON_RUNNER_INITIALIZATION_
+    # FAILURE, ImportError google.protobuf.descriptor), so availability
+    # means BOTH the API and its wire dependency
+    try:
+        from google.protobuf import descriptor as _pb_descriptor  # noqa: F401
+
+        HAS_TRANSFORM_WITH_STATE = True
+    except ImportError:
+        HAS_TRANSFORM_WITH_STATE = False
+except ImportError:  # pragma: no cover — Spark < 4.0 fallback
+    StatefulProcessor = object
+    HAS_TRANSFORM_WITH_STATE = False
+
+
+class _RunningStatsProcessor(StatefulProcessor):
+    """Same fold as _update, expressed as a StatefulProcessor with a
+    single ValueState cell per user (fixed-width, O(distinct users))."""
+
+    def init(self, handle) -> None:
+        self._state = handle.getValueState("stats", STATE_SCHEMA)
+
+    def handleInputRows(self, key, rows, timer_values):
+        if self._state.exists():
+            n, total, mx = self._state.get()
+        else:
+            n, total, mx = 0, 0.0, float("-inf")
+        for pdf in rows:
+            vals = pdf["value"].dropna()
+            n += len(pdf)
+            total += float(vals.sum())
+            if len(vals):
+                mx = max(mx, float(vals.max()))
+        self._state.update((n, total, mx))
+        yield pd.DataFrame(
+            [(key[0], n, total, mx if mx != float("-inf") else None)],
+            columns=["user_id", "n_events", "total_value", "max_value"],
+        )
+
+    def close(self) -> None:
+        pass
+
+
+def running_user_stats_tws(events: DataFrame) -> DataFrame:
+    """``running_user_stats`` on the transformWithState API (Spark 4.x) —
+    the forward path for custom stateful operators: explicit state cells
+    (ValueState here; List/MapState and timers are available for session
+    logic), state-schema evolution, and the RocksDB provider requirement
+    that also unlocks changelog checkpointing at cluster scale. Semantics
+    are identical to the GroupState implementation; the session must set
+    spark.sql.streaming.stateStore.providerClass to the RocksDB provider
+    before starting the query."""
+    if not HAS_TRANSFORM_WITH_STATE:
+        raise NotImplementedError(
+            "transformWithStateInPandas requires Spark >= 4.0 and the "
+            "protobuf package (the state-server wire protocol)"
+        )
+    return (
+        events.select("user_id", "value")
+        .groupBy("user_id")
+        .transformWithStateInPandas(
+            statefulProcessor=_RunningStatsProcessor(),
+            outputStructType=OUTPUT_SCHEMA,
+            outputMode="Update",
+            timeMode="None",
         )
     )

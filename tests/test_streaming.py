@@ -89,6 +89,56 @@ def test_stateful_running_user_stats(spark, sf_dir):
         assert g["max_value"] == r["max_value"]
 
 
+def test_stateful_running_user_stats_transform_with_state(spark, sf_dir):
+    """The transformWithState (Spark 4.x StatefulProcessor) implementation
+    must produce the same lifetime counters as the GroupState one — both
+    are pinned against the identical batch aggregation. Requires the
+    RocksDB state store provider; skipped on engines without the API."""
+    from big_data_processing_with_aws_glue_workshop_spark.streaming.stateful import (
+        HAS_TRANSFORM_WITH_STATE,
+        running_user_stats_tws,
+    )
+
+    if not HAS_TRANSFORM_WITH_STATE:
+        pytest.skip(
+            "transformWithStateInPandas unavailable (needs Spark >= 4.0 "
+            "AND the protobuf package for the state-server protocol)"
+        )
+    provider_key = "spark.sql.streaming.stateStore.providerClass"
+    prev = spark.conf.get(provider_key, None)
+    spark.conf.set(
+        provider_key,
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
+    )
+    try:
+        stream = read_events_stream(spark, sf_dir)
+        result = run_streaming_query(
+            running_user_stats_tws(stream), "t_stateful_tws", output_mode="update"
+        )
+        got = {r["user_id"]: r for r in result.collect()}
+        batch = (
+            spark.read.parquet(f"{sf_dir}/events.parquet")
+            .groupBy("user_id")
+            .agg(
+                F.count(F.lit(1)).alias("n_events"),
+                F.sum("value").alias("total_value"),
+                F.max("value").alias("max_value"),
+            )
+            .collect()
+        )
+        assert len(got) == len(batch)
+        for r in batch:
+            g = got[r["user_id"]]
+            assert g["n_events"] == r["n_events"]
+            assert abs(g["total_value"] - r["total_value"]) < 1e-6
+            assert g["max_value"] == r["max_value"]
+    finally:
+        if prev is None:
+            spark.conf.unset(provider_key)
+        else:
+            spark.conf.set(provider_key, prev)
+
+
 def test_watermark_drops_late_data(spark, tmp_path):
     """Append-mode watermark semantics with REAL late data: a second
     micro-batch carrying events older than the advanced watermark must be
