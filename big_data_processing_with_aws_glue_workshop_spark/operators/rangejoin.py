@@ -15,6 +15,51 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 
+def bucketized_interval_join(
+    left: DataFrame,
+    right: DataFrame,
+    keys: list[str],
+    left_ts: str,
+    right_ts: str,
+    within_seconds: int,
+    bucket_seconds: int | None = None,
+) -> DataFrame:
+    """Time-bounded equi-key join: every right row matched to the same-key
+    left rows with ``left_ts`` in ``[right_ts - within, right_ts]`` — the
+    batch shape of the stream-stream interval join
+    (streaming/windows.py::streaming_interval_join).
+
+    WHY: the direct plan (hash join on the key + residual time predicate)
+    evaluates every same-key (left, right) pair — per-key QUADRATIC in
+    history length. Measured (stress.py interval): 20 users x 100k events
+    = 5e10 candidate evaluations, 496 s for 75M output pairs, while the
+    same row count spread over 20k users runs in 1.6 s. Streaming never
+    hits this (the watermark expires old state); batch backfill over deep
+    histories does. Bucketizing BOTH sides onto fixed-width time buckets
+    ((key, bucket) equi-join; each right row explodes to the
+    ceil(within/bucket)+1 buckets that can hold a match) bounds candidates
+    to adjacent buckets — cost ~ output pairs + rows, independent of
+    per-key history depth, at the price of a small right-side fanout."""
+    bs = bucket_seconds or within_seconds
+    n_back = -(-within_seconds // bs)  # ceil
+    from ..functions.dates import floor_time_bucket
+
+    l = left.withColumn("__bucket", floor_time_bucket(F.col(left_ts), bs))
+    rb = floor_time_bucket(F.col(right_ts), bs)
+    r = right.withColumn("__bucket", F.explode(F.sequence(rb - n_back, rb)))
+    return (
+        l.join(r, keys + ["__bucket"], "inner")
+        .filter(
+            (F.col(right_ts) >= F.col(left_ts))
+            & (
+                F.col(right_ts)
+                <= F.col(left_ts) + F.make_interval(secs=F.lit(within_seconds))
+            )
+        )
+        .drop("__bucket")
+    )
+
+
 def bucketized_range_join(
     points: DataFrame,
     intervals: DataFrame,

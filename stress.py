@@ -113,9 +113,86 @@ def lsh_stress(sizes: list[int]) -> None:
     spark.stop()
 
 
+def interval_corpus(spark, n_users: int, events_per_user: int, spacing_s: int):
+    """Deterministic click/error stream: per user, one event every
+    ``spacing_s`` seconds alternating click/error. With the join's 600 s
+    bound, each error matches ~300/spacing_s preceding clicks — spacing
+    dials the match density independently of the row count."""
+    e = spark.range(n_users * events_per_user)
+    seq = F.col("id") % events_per_user
+    return e.select(
+        F.col("id").alias("event_id"),
+        (F.col("id") / events_per_user).cast("long").alias("user_id"),
+        F.timestamp_seconds(F.lit(1_700_000_000) + seq * spacing_s).alias("ts"),
+        F.when(seq % 2 == 0, "click").otherwise("error").alias("event_type"),
+    )
+
+
+def interval_stress(cases: list[tuple[int, int, int]], bucketized: bool) -> None:
+    """Density scaling of the (batch-mode) stream-stream interval join: the
+    danger case is hot users — the direct equality-join-plus-residual plan
+    is per-key quadratic in history depth (measured: 20 users x 100k
+    events -> 496 s). ``bucketized`` runs the time-bucketed rewrite
+    (operators/rangejoin.py::bucketized_interval_join), which bounds
+    candidates to adjacent buckets."""
+    from big_data_processing_with_aws_glue_workshop_spark.operators.rangejoin import (
+        bucketized_interval_join,
+    )
+    from big_data_processing_with_aws_glue_workshop_spark.streaming.windows import (
+        streaming_interval_join,
+    )
+
+    def run(ev):
+        if not bucketized:
+            return streaming_interval_join(ev)
+        clicks = ev.filter(F.col("event_type") == "click").select(
+            F.col("user_id"), F.col("ts").alias("l_ts"), F.col("event_id").alias("l_id")
+        )
+        errors = ev.filter(F.col("event_type") == "error").select(
+            F.col("user_id"), F.col("ts").alias("r_ts"), F.col("event_id").alias("r_id")
+        )
+        return bucketized_interval_join(
+            clicks, errors, ["user_id"], "l_ts", "r_ts", within_seconds=600
+        )
+
+    spark = get_session(app_name="interval-stress")
+    run(interval_corpus(spark, 100, 20, 60)).count()  # warm
+
+    print(f"impl: {'bucketized' if bucketized else 'direct (streaming twin)'}")
+    print("| users | events/user | spacing (s) | rows | pairs | wall (s) | pairs/s |")
+    print("|---|---|---|---|---|---|---|")
+    for n_users, epu, spacing in cases:
+        ev = interval_corpus(spark, n_users, epu, spacing).localCheckpoint()
+        n_rows = ev.count()
+        t0 = time.perf_counter()
+        pairs = run(ev).count()
+        dt = time.perf_counter() - t0
+        print(
+            f"| {n_users} | {epu} | {spacing} | {n_rows} | {pairs} | "
+            f"{dt:.2f} | {pairs / dt:,.0f} |"
+        )
+    spark.stop()
+
+
 def main() -> None:
     if len(sys.argv) > 1 and sys.argv[1] == "lsh":
         lsh_stress([int(s) for s in sys.argv[2:]] or [3000, 12000, 48000])
+        return
+    if len(sys.argv) > 1 and sys.argv[1] == "interval":
+        interval_stress(
+            [
+                # row-count scaling at fixed density (~5 matches/error)
+                (2_000, 100, 60),
+                (20_000, 100, 60),
+                # density scaling at fixed rows: ~1 -> ~20 -> ~75 matches
+                (20_000, 100, 600),
+                (20_000, 100, 15),
+                (20_000, 100, 4),
+                # one pathological hot-user shape: few users, long history
+                (20, 100_000, 4),
+            ],
+            bucketized="bucketized" in sys.argv[2:],
+        )
         return
     factor = int(sys.argv[1]) if len(sys.argv) > 1 else 20
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -113,6 +113,42 @@ def test_bucketized_range_join_equals_naive(spark, sf_dir):
     assert fast_set, "intervals must capture some events"
 
 
+def test_bucketized_interval_join_equals_streaming_twin(spark, sf_dir):
+    """The time-bucketized interval join (the deep-history scale path) must
+    produce the exact pair set of the direct plan the streaming operator
+    builds — same keys, same 10-minute bound, real events data."""
+    from big_data_processing_with_aws_glue_workshop_spark.operators.rangejoin import (
+        bucketized_interval_join,
+    )
+    from big_data_processing_with_aws_glue_workshop_spark.queries._tables import load
+    from big_data_processing_with_aws_glue_workshop_spark.streaming.windows import (
+        streaming_interval_join,
+    )
+
+    ev = load(spark, sf_dir, "events")
+    direct = streaming_interval_join(ev)  # watermark no-op in batch
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "user_id", F.col("ts").alias("l_ts"), F.col("event_id").alias("l_id")
+    )
+    errors = ev.filter(F.col("event_type") == "error").select(
+        "user_id", F.col("ts").alias("r_ts"), F.col("event_id").alias("r_id")
+    )
+    fast = bucketized_interval_join(
+        clicks, errors, ["user_id"], "l_ts", "r_ts", within_seconds=600
+    )
+    # a bucket width NOT dividing the bound exercises the ceil fanout path
+    fast_odd = bucketized_interval_join(
+        clicks, errors, ["user_id"], "l_ts", "r_ts",
+        within_seconds=600, bucket_seconds=450,
+    )
+    direct_set = {(r["l_id"], r["r_id"]) for r in direct.collect()}
+    fast_set = {(r["l_id"], r["r_id"]) for r in fast.collect()}
+    odd_set = {(r["l_id"], r["r_id"]) for r in fast_odd.collect()}
+    assert fast_set == direct_set
+    assert odd_set == direct_set
+    assert fast_set, "bound must capture some pairs"
+
+
 def test_upsert(spark):
     target = spark.createDataFrame(
         [(1, "a", 10), (2, "b", 20), (3, "c", 30)], "id long, name string, v long"
