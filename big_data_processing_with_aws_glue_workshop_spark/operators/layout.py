@@ -1,0 +1,95 @@
+"""Z-order (Morton-curve) data layout for multi-column file pruning.
+
+A table sorted by one column prunes parquet files/row-groups only for
+filters on THAT column; filters on any other column touch every file.
+Interleaving the bits of several normalized sort keys into one Morton key
+and range-partitioning + sorting the write by it clusters rows so that
+EVERY participating column's min/max file statistics stay narrow — the
+layout behind `OPTIMIZE ZORDER BY` in public lakehouse engines, here as a
+plain DataFrame transform over standard parquet.
+
+Scale shape: one agg pass for per-column (min, max) scalars (broadcast as
+literals into the key expression), then `repartitionByRange` on the key
+(Spark samples the key distribution — no global sort) and a
+sort-within-partitions. Cost ~ one shuffle of the data, the same as any
+clustered write; no driver materialization beyond the 2-scalars-per-column
+bounds row.
+
+Min/max normalization assumes roughly uniform key spreads (ids, dates,
+hashes). For heavily skewed keys, substitute quantile binning
+(approxQuantile boundaries + a searchsorted bucket) for `_normalize` —
+the interleave and write path stay identical.
+
+Measured (tests/test_layout.py, lineitem sf0.01, 16 files): a range
+filter on either z-ordered dimension touches ≤ half the files, while the
+single-column-sorted baseline layout touches all files for the
+non-sorted dimension.
+"""
+
+from __future__ import annotations
+
+import functools
+import operator
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+DEFAULT_BITS = 16
+
+
+def _normalize(col: Column, lo: Column, hi: Column, bits: int) -> Column:
+    """Scale a numeric column to an integer in [0, 2^bits - 1] using
+    min/max bounds. Constant columns (hi == lo) map to 0."""
+    span = hi - lo
+    scaled = F.when(
+        span > 0,
+        F.floor(
+            (col.cast("double") - lo) / span * F.lit((1 << bits) - 1)
+        ),
+    ).otherwise(F.lit(0))
+    return scaled.cast("long")
+
+
+def zorder_key(normalized: list[Column], bits: int = DEFAULT_BITS) -> Column:
+    """Interleave the bits of pre-normalized integer columns into one
+    Morton key (column i contributes bit b to output bit b*n + i). The
+    expression tree is static (bits x columns shift/mask/or terms), fully
+    JVM-evaluated inside whole-stage codegen."""
+    n = len(normalized)
+    terms = [
+        F.shiftleft(
+            F.shiftright(c, b).bitwiseAND(F.lit(1)), b * n + i
+        )
+        for b in range(bits)
+        for i, c in enumerate(normalized)
+    ]
+    return functools.reduce(operator.add, terms)  # disjoint bits: add == or
+
+
+def zorder_dataframe(
+    df: DataFrame, cols: list[str], n_files: int, bits: int = DEFAULT_BITS
+) -> DataFrame:
+    """Return ``df`` clustered for a z-ordered write: rows range-partitioned
+    into ``n_files`` partitions by the Morton key of ``cols`` and sorted by
+    it within each partition. Write with ``.write.parquet`` (one file per
+    partition) and every ``cols`` member gets narrow per-file min/max
+    stats, so engine file skipping prunes on any of them."""
+    bounds_row = df.agg(
+        *[F.min(c).cast("double").alias(f"__lo_{c}") for c in cols],
+        *[F.max(c).cast("double").alias(f"__hi_{c}") for c in cols],
+    ).collect()[0]
+    normalized = [
+        _normalize(
+            F.col(c),
+            F.lit(bounds_row[f"__lo_{c}"]),
+            F.lit(bounds_row[f"__hi_{c}"]),
+            bits,
+        )
+        for c in cols
+    ]
+    keyed = df.withColumn("__zkey", zorder_key(normalized, bits))
+    return (
+        keyed.repartitionByRange(n_files, "__zkey")
+        .sortWithinPartitions("__zkey")
+        .drop("__zkey")
+    )

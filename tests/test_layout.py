@@ -1,0 +1,69 @@
+"""Z-order layout: multi-column clustering must be MEASURABLE, not
+asserted. The metric is the number of files CONTAINING matching rows —
+the lower bound on what any stats-based file skipper must read, and the
+quantity the layout controls (engines skip a file exactly when its
+min/max exclude the predicate, so fewer match-bearing files = more
+skippable files)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from big_data_processing_with_aws_glue_workshop_spark.operators.layout import (
+    zorder_dataframe,
+    zorder_key,
+)
+
+N_FILES = 16
+
+
+def _files_with_matches(spark, path: str, predicate) -> int:
+    df = spark.read.parquet(path).filter(predicate)
+    return df.select(F.input_file_name()).distinct().count()
+
+
+def test_zorder_prunes_both_dimensions(spark, sf_dir, tmp_path):
+    """Baseline: sorted by suppkey only — a partkey filter touches every
+    file. Z-ordered by (suppkey, partkey): a comparable range filter on
+    EITHER column touches at most half the files."""
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet").select(
+        "l_orderkey", "l_partkey", "l_suppkey", "l_quantity"
+    )
+    lo_s, hi_s = li.agg(F.min("l_suppkey"), F.max("l_suppkey")).collect()[0]
+    lo_p, hi_p = li.agg(F.min("l_partkey"), F.max("l_partkey")).collect()[0]
+    # ~1/16 of each key range: narrow enough that clustering matters
+    s_pred = F.col("l_suppkey").between(lo_s, lo_s + max(1, (hi_s - lo_s) // 16))
+    p_pred = F.col("l_partkey").between(lo_p, lo_p + max(1, (hi_p - lo_p) // 16))
+
+    base_path = str(tmp_path / "sorted_one_col")
+    (
+        li.repartitionByRange(N_FILES, "l_suppkey")
+        .sortWithinPartitions("l_suppkey")
+        .write.parquet(base_path)
+    )
+    z_path = str(tmp_path / "zordered")
+    zorder_dataframe(li, ["l_suppkey", "l_partkey"], N_FILES).write.parquet(z_path)
+
+    # the baseline layout prunes its own sort column but not the other
+    assert _files_with_matches(spark, base_path, s_pred) <= N_FILES // 4
+    assert _files_with_matches(spark, base_path, p_pred) >= N_FILES - 1
+
+    z_s = _files_with_matches(spark, z_path, s_pred)
+    z_p = _files_with_matches(spark, z_path, p_pred)
+    assert z_s <= N_FILES // 2, f"suppkey filter touched {z_s}/{N_FILES} files"
+    assert z_p <= N_FILES // 2, f"partkey filter touched {z_p}/{N_FILES} files"
+
+    # layout must not change content
+    assert (
+        spark.read.parquet(z_path).count()
+        == li.count()
+        == spark.read.parquet(base_path).count()
+    )
+
+
+def test_zorder_key_interleaves_bits(spark):
+    """2-bit sanity: key(a=0b11, b=0b01) = b1 a1 b0 a0 = 0b0111."""
+    df = spark.range(1).select(
+        zorder_key([F.lit(3).cast("long"), F.lit(1).cast("long")], bits=2).alias("z")
+    )
+    assert df.collect()[0]["z"] == 0b0111
