@@ -174,6 +174,26 @@ def cmd_textpipe(args: argparse.Namespace) -> None:
     _emit({"job": "textpipe", **summary})
 
 
+def cmd_zorder(args: argparse.Namespace) -> None:
+    from .operators.layout import zorder_dataframe
+
+    spark = get_session(app_name="zorder")
+    df = spark.read.parquet(args.input)
+    zorder_dataframe(df, args.by, args.num_files).write.mode("overwrite").parquet(
+        args.output
+    )
+    _emit(
+        {
+            "job": "zorder",
+            "input": args.input,
+            "output": args.output,
+            "by": args.by,
+            "files": args.num_files,
+            "rows": spark.read.parquet(args.output).count(),
+        }
+    )
+
+
 def cmd_query(args: argparse.Namespace) -> None:
     from .queries import ORACLES, QUERIES
 
@@ -240,6 +260,17 @@ def build_parser() -> argparse.ArgumentParser:
     t.add_argument("--min-chars", type=int, default=100)
     t.add_argument("--budget", type=int, default=2048)
     t.set_defaults(func=cmd_textpipe)
+
+    z = sub.add_parser(
+        "zorder",
+        help="rewrite a parquet table z-ordered by several columns "
+        "(multi-column file pruning; operators/layout.py)",
+    )
+    z.add_argument("--input", required=True)
+    z.add_argument("--output", required=True)
+    z.add_argument("--by", nargs="+", required=True)
+    z.add_argument("--num-files", type=int, default=32)
+    z.set_defaults(func=cmd_zorder)
 
     q = sub.add_parser("query", help="run a registered engine query by name")
     q.add_argument("--name", default="pricing_summary")

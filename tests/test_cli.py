@@ -59,6 +59,27 @@ def test_cli_full_pipeline(tmp_path):
     assert a["rows"][0]["total_empresas_activas"] >= a["rows"][-1]["total_empresas_activas"]
 
 
+def test_cli_zorder(spark, sf_dir, tmp_path):
+    """zorder subcommand rewrites a parquet table with unchanged content
+    (the pruning quality itself is measured in test_layout.py)."""
+    from big_data_processing_with_aws_glue_workshop_spark.cli import main
+
+    out = str(tmp_path / "z")
+    main(
+        [
+            "zorder",
+            "--input", f"{sf_dir}/orders.parquet",
+            "--output", out,
+            "--by", "o_custkey", "o_orderkey",
+            "--num-files", "4",
+        ]
+    )
+    src = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    dst = spark.read.parquet(out)
+    assert dst.count() == src.count()
+    assert sorted(dst.columns) == sorted(src.columns)
+
+
 def test_textpipe_end_to_end(spark, sf_dir, tmp_path):
     """The composed training-data pipeline: stage counts monotonically
     decrease, stage invariants hold on the final corpus, output written."""
