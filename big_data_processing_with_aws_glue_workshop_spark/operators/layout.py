@@ -16,9 +16,11 @@ clustered write; no driver materialization beyond the 2-scalars-per-column
 bounds row.
 
 Min/max normalization assumes roughly uniform key spreads (ids, dates,
-hashes). For heavily skewed keys, substitute quantile binning
-(approxQuantile boundaries + a searchsorted bucket) for `_normalize` —
-the interleave and write path stay identical.
+hashes) — a heavy-tailed column collapses most rows into one bucket and
+the curve degenerates to the other dimensions. ``quantile=True``
+substitutes equi-depth binning: approxQuantile boundaries (bounded
+driver-side list, one pass) and a searchsorted bucket via a JVM-side
+higher-order filter. The interleave and write path are identical.
 
 Measured (tests/test_layout.py, lineitem sf0.01, 16 files): a range
 filter on either z-ordered dimension touches ≤ half the files, while the
@@ -66,27 +68,56 @@ def zorder_key(normalized: list[Column], bits: int = DEFAULT_BITS) -> Column:
     return functools.reduce(operator.add, terms)  # disjoint bits: add == or
 
 
+def _normalize_quantile(col: Column, boundaries: list[float]) -> Column:
+    """Equi-depth bucket index: the number of quantile boundaries at or
+    below the value (a searchsorted over a broadcast literal array,
+    evaluated JVM-side per row — len(boundaries) is 2^bits - 1, small)."""
+    arr = F.array(*[F.lit(float(b)) for b in boundaries])
+    return F.size(F.filter(arr, lambda b: col.cast("double") >= b)).cast("long")
+
+
 def zorder_dataframe(
-    df: DataFrame, cols: list[str], n_files: int, bits: int = DEFAULT_BITS
+    df: DataFrame,
+    cols: list[str],
+    n_files: int,
+    bits: int = DEFAULT_BITS,
+    quantile: bool = False,
 ) -> DataFrame:
     """Return ``df`` clustered for a z-ordered write: rows range-partitioned
     into ``n_files`` partitions by the Morton key of ``cols`` and sorted by
     it within each partition. Write with ``.write.parquet`` (one file per
     partition) and every ``cols`` member gets narrow per-file min/max
-    stats, so engine file skipping prunes on any of them."""
-    bounds_row = df.agg(
-        *[F.min(c).cast("double").alias(f"__lo_{c}") for c in cols],
-        *[F.max(c).cast("double").alias(f"__hi_{c}") for c in cols],
-    ).collect()[0]
-    normalized = [
-        _normalize(
-            F.col(c),
-            F.lit(bounds_row[f"__lo_{c}"]),
-            F.lit(bounds_row[f"__hi_{c}"]),
-            bits,
-        )
-        for c in cols
-    ]
+    stats, so engine file skipping prunes on any of them.
+
+    ``quantile=True`` switches to equi-depth (approxQuantile) binning with
+    2^8 buckets per column — use for heavy-tailed keys, where min/max
+    scaling would put almost every row in one bucket."""
+    if quantile:
+        qbits = 8  # 255 boundaries per column: plenty for 2^k files
+        normalized = [
+            _normalize_quantile(
+                F.col(c),
+                df.approxQuantile(
+                    c, [i / (1 << qbits) for i in range(1, 1 << qbits)], 0.001
+                ),
+            )
+            for c in cols
+        ]
+        bits = qbits
+    else:
+        bounds_row = df.agg(
+            *[F.min(c).cast("double").alias(f"__lo_{c}") for c in cols],
+            *[F.max(c).cast("double").alias(f"__hi_{c}") for c in cols],
+        ).collect()[0]
+        normalized = [
+            _normalize(
+                F.col(c),
+                F.lit(bounds_row[f"__lo_{c}"]),
+                F.lit(bounds_row[f"__hi_{c}"]),
+                bits,
+            )
+            for c in cols
+        ]
     keyed = df.withColumn("__zkey", zorder_key(normalized, bits))
     return (
         keyed.repartitionByRange(n_files, "__zkey")

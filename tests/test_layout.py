@@ -61,6 +61,45 @@ def test_zorder_prunes_both_dimensions(spark, sf_dir, tmp_path):
     )
 
 
+def test_zorder_quantile_handles_heavy_tail(spark, tmp_path):
+    """Heavy-tailed dimension: 99% of values sit in [0, 1000) with a 1%
+    tail at 1e9. Min/max scaling collapses the bulk into bucket 0 — the
+    curve degenerates and a filter over the bulk's lower half touches
+    every file. Equi-depth (quantile) binning keeps both dimensions
+    clustered."""
+    # hash-decorrelated dimensions: no accidental modulus correlation
+    h = lambda salt: F.abs(F.xxhash64(F.col("id"), F.lit(salt)))
+    df = spark.range(40_000).select(
+        F.col("id"),
+        F.when(h(0) % 100 == 0, F.lit(1_000_000_000))
+        .otherwise(h(1) % 1000)
+        .alias("skewed"),
+        (h(2) % 4000).alias("uniform"),
+    )
+    pred = F.col("skewed").between(0, 1000 // 16)  # 1/16 of the bulk range
+
+    minmax_path = str(tmp_path / "minmax")
+    zorder_dataframe(df, ["skewed", "uniform"], N_FILES).write.parquet(minmax_path)
+    quant_path = str(tmp_path / "quantile")
+    zorder_dataframe(df, ["skewed", "uniform"], N_FILES, quantile=True).write.parquet(
+        quant_path
+    )
+
+    minmax_files = _files_with_matches(spark, minmax_path, pred)
+    quant_files = _files_with_matches(spark, quant_path, pred)
+    # min/max scaling collapses the whole bulk into z-bucket 0 of the
+    # skewed axis: the curve carries no information about it and the
+    # filter's matches spread across every file
+    assert minmax_files >= N_FILES - 2, "expected min/max scaling to degenerate"
+    assert quant_files <= N_FILES // 2, (
+        f"quantile z-order should cluster the bulk: {quant_files}/{N_FILES}"
+    )
+    # the other dimension must stay clustered too
+    u_pred = F.col("uniform").between(0, 4000 // 16)
+    assert _files_with_matches(spark, quant_path, u_pred) <= N_FILES // 2
+    assert spark.read.parquet(quant_path).count() == 40_000
+
+
 def test_zorder_key_interleaves_bits(spark):
     """2-bit sanity: key(a=0b11, b=0b01) = b1 a1 b0 a0 = 0b0111."""
     df = spark.range(1).select(
