@@ -84,6 +84,103 @@ def running_user_stats(events: DataFrame) -> DataFrame:
     )
 
 
+SESSION_OUTPUT_SCHEMA = T.StructType(
+    [
+        T.StructField("user_id", T.LongType(), False),
+        T.StructField("session_start_ms", T.LongType(), False),
+        T.StructField("session_end_ms", T.LongType(), False),
+        T.StructField("n_events", T.LongType(), False),
+        T.StructField("total_value", T.DoubleType(), True),
+    ]
+)
+
+SESSION_STATE_SCHEMA = T.StructType(
+    [
+        T.StructField("start_ms", T.LongType(), False),
+        T.StructField("last_ms", T.LongType(), False),
+        T.StructField("n_events", T.LongType(), False),
+        T.StructField("total_value", T.DoubleType(), False),
+    ]
+)
+
+
+def sessionize_with_timeout(
+    events: DataFrame, gap_minutes: int = 30, watermark: str = "30 minutes"
+) -> DataFrame:
+    """Custom sessionization with EVENT-TIME TIMERS — the stateful pattern
+    the built-in ``session_window`` cannot express when the per-session
+    output needs custom close logic: a user's session closes either when
+    a later event arrives past the gap (emitted immediately) or when the
+    WATERMARK passes last_event + gap with no further events
+    (``GroupStateTimeout.EventTimeTimeout`` fires the handler with
+    ``state.hasTimedOut``, emitting the final open session and freeing
+    its state). Only CLOSED sessions are emitted, exactly once.
+
+    State: one fixed-width row per user with an open session; timers and
+    the watermark bound both memory and emission latency. Cross-batch
+    event-time regressions inside the allowed lateness merge into the
+    open session by arrival order (the same contract as any incremental
+    sessionizer); the watermark drops older ones.
+
+    Timestamps are emitted as epoch millis (timezone-proof, matching the
+    batch event-time queries)."""
+    gap_ms = gap_minutes * 60_000
+
+    def update(
+        key: tuple[Any, ...], batches: Iterable[pd.DataFrame], state: GroupState
+    ):
+        (user_id,) = key
+        closed: list[tuple] = []
+        if state.hasTimedOut:
+            start_ms, last_ms, n, total = state.get
+            state.remove()
+            closed.append((user_id, start_ms, last_ms, n, total))
+        else:
+            cur = state.get if state.exists else None
+            for pdf in batches:
+                if not len(pdf):
+                    continue
+                pdf = pdf.sort_values("ts")
+                ts_ms = pdf["ts"].values.astype("datetime64[ms]").astype("int64")
+                vals = pdf["value"].astype(float).values
+                for t, v in zip(ts_ms, vals):
+                    if cur is None:
+                        cur = (int(t), int(t), 1, float(v))
+                    elif t - cur[1] >= gap_ms:
+                        closed.append((user_id, *cur))
+                        cur = (int(t), int(t), 1, float(v))
+                    else:
+                        cur = (cur[0], int(t), cur[2] + 1, cur[3] + float(v))
+            if cur is not None:
+                state.update(cur)
+                # fire when the watermark passes the open session's gap end
+                state.setTimeoutTimestamp(cur[1] + gap_ms)
+        if closed:
+            yield pd.DataFrame(
+                closed,
+                columns=[
+                    "user_id",
+                    "session_start_ms",
+                    "session_end_ms",
+                    "n_events",
+                    "total_value",
+                ],
+            )
+
+    return (
+        events.select("user_id", "ts", "value")
+        .withWatermark("ts", watermark)
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            update,
+            outputStructType=SESSION_OUTPUT_SCHEMA,
+            stateStructType=SESSION_STATE_SCHEMA,
+            outputMode="update",
+            timeoutConf=GroupStateTimeout.EventTimeTimeout,
+        )
+    )
+
+
 try:  # Spark 4.x arbitrary-state API
     from pyspark.sql.streaming.stateful_processor import StatefulProcessor
 

@@ -139,6 +139,69 @@ def test_stateful_running_user_stats_transform_with_state(spark, sf_dir):
             spark.conf.set(provider_key, prev)
 
 
+def test_sessionize_with_timeout_both_close_paths(spark, tmp_path):
+    """Timer-based sessionization must close sessions BOTH ways: by a
+    later same-user event past the gap (emitted in that batch) and by the
+    WATERMARK passing last_event + gap with no further events (the
+    EventTimeTimeout path — the part session_window can't customize).
+    Three ordered micro-batches; only closed sessions are ever emitted."""
+    import datetime as dt
+    import time as _time
+
+    from big_data_processing_with_aws_glue_workshop_spark.streaming.stateful import (
+        sessionize_with_timeout,
+    )
+
+    src = tmp_path / "sess_src"
+    src.mkdir()
+
+    def write_file(name, rows):
+        df = spark.createDataFrame(rows, "user_id long, ts timestamp, value double")
+        df.coalesce(1).write.mode("overwrite").parquet(str(tmp_path / name))
+        part = next(
+            p for p in (tmp_path / name).iterdir() if p.name.endswith(".parquet")
+        )
+        part.rename(src / f"{name}.parquet")
+
+    base = dt.datetime(2024, 5, 1, 10, 0, 0)
+    m = lambda k: base + dt.timedelta(minutes=k)
+    ms = lambda k: int((m(k) - dt.datetime(1970, 1, 1)).total_seconds() * 1000)
+
+    # batch 1 — user 1: 10:00, 10:05, then 10:50 (>=30 min gap closes the
+    # first session IN-BATCH); user 2: a single event at 10:00
+    write_file("f1", [(1, m(0), 1.0), (1, m(5), 2.0), (1, m(50), 4.0), (2, m(0), 8.0)])
+    _time.sleep(1.1)
+    # batch 2 — user 1 at 13:00: closes the 10:50 session by arrival;
+    # advances the watermark to 12:30 (in force next batch)
+    write_file("f2", [(1, m(180), 16.0)])
+    _time.sleep(1.1)
+    # batch 3 — user 3 keeps the stream moving; under the now-enforced
+    # 12:30 watermark user 2's timer (10:30) fires -> timeout-close
+    write_file("f3", [(3, m(240), 32.0)])
+
+    stream = (
+        spark.readStream.schema("user_id long, ts timestamp, value double")
+        .option("maxFilesPerTrigger", "1")
+        .parquet(str(src))
+    )
+    out = run_streaming_query(
+        sessionize_with_timeout(stream, gap_minutes=30),
+        "t_sessions_timeout",
+        output_mode="update",
+    )
+    got = {
+        (r["user_id"], r["session_start_ms"]): r for r in out.collect()
+    }
+    # exactly three CLOSED sessions; the open ones (u1@13:00, u3@14:00) absent
+    assert set(got) == {(1, ms(0)), (1, ms(50)), (2, ms(0))}
+    s1 = got[(1, ms(0))]
+    assert (s1["session_end_ms"], s1["n_events"], s1["total_value"]) == (ms(5), 2, 3.0)
+    s2 = got[(1, ms(50))]
+    assert (s2["session_end_ms"], s2["n_events"], s2["total_value"]) == (ms(50), 1, 4.0)
+    s3 = got[(2, ms(0))]  # closed by TIMEOUT, not by a later event
+    assert (s3["session_end_ms"], s3["n_events"], s3["total_value"]) == (ms(0), 1, 8.0)
+
+
 def test_watermark_drops_late_data(spark, tmp_path):
     """Append-mode watermark semantics with REAL late data: a second
     micro-batch carrying events older than the advanced watermark must be
