@@ -279,10 +279,16 @@ def q_user_conversion_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     Output: one row per stage with converted-user counts and the
     conversion rate from the previous stage (one IEEE division of exact
     ints; NULL for the first stage)."""
+    return funnel_stages(load(spark, sf_dir, "events"))
+
+
+def funnel_stages(events: DataFrame) -> DataFrame:
+    """The funnel core on any events frame (stress.py drives it on
+    synthetic hot-user corpora; see q_user_conversion_funnel for the
+    operator story and SCALE.md for the measured depth curve)."""
     seq = F.sort_array(F.collect_list(F.struct("ts", "event_type")))
     per_user = (
-        load(spark, sf_dir, "events")
-        .filter(F.col("event_type").isin(*_FUNNEL))
+        events.filter(F.col("event_type").isin(*_FUNNEL))
         .groupBy("user_id")
         .agg(seq.alias("seq"))
     )

@@ -174,6 +174,44 @@ def interval_stress(cases: list[tuple[int, int, int]], bucketized: bool) -> None
     spark.stop()
 
 
+def funnel_corpus(spark, n_users: int, events_per_user: int):
+    """view/click/purchase cycle per user, one event a minute."""
+    e = spark.range(n_users * events_per_user)
+    seq = F.col("id") % events_per_user
+    stage = seq % 3
+    return e.select(
+        (F.col("id") / events_per_user).cast("long").alias("user_id"),
+        F.timestamp_seconds(F.lit(1_700_000_000) + seq * 60).alias("ts"),
+        F.when(stage == 0, "view")
+        .when(stage == 1, "click")
+        .otherwise("purchase")
+        .alias("event_type"),
+    )
+
+
+def funnel_stress(cases: list[tuple[int, int]]) -> None:
+    """History-depth scaling of the conversion funnel: the per-user
+    collect_list is the skew unit — wall time must stay bounded by total
+    rows, and the deep-history shapes show the per-user array cost."""
+    from big_data_processing_with_aws_glue_workshop_spark.queries.events import (
+        funnel_stages,
+    )
+
+    spark = get_session(app_name="funnel-stress")
+    funnel_stages(funnel_corpus(spark, 100, 30)).collect()  # warm
+
+    print("| users | events/user | rows | wall (s) |")
+    print("|---|---|---|---|")
+    for n_users, epu in cases:
+        ev = funnel_corpus(spark, n_users, epu).localCheckpoint()
+        n_rows = ev.count()
+        t0 = time.perf_counter()
+        funnel_stages(ev).collect()
+        dt = time.perf_counter() - t0
+        print(f"| {n_users} | {epu} | {n_rows} | {dt:.2f} |")
+    spark.stop()
+
+
 def main() -> None:
     if len(sys.argv) > 1 and sys.argv[1] == "lsh":
         lsh_stress([int(s) for s in sys.argv[2:]] or [3000, 12000, 48000])
@@ -192,6 +230,17 @@ def main() -> None:
                 (20, 100_000, 4),
             ],
             bucketized="bucketized" in sys.argv[2:],
+        )
+        return
+    if len(sys.argv) > 1 and sys.argv[1] == "funnel":
+        funnel_stress(
+            [
+                (100_000, 20),
+                (10_000, 200),
+                (100, 20_000),
+                # hot-user pathology: 3 users own the whole stream
+                (3, 666_666),
+            ]
         )
         return
     factor = int(sys.argv[1]) if len(sys.argv) > 1 else 20
