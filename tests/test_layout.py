@@ -106,3 +106,34 @@ def test_zorder_key_interleaves_bits(spark):
         zorder_key([F.lit(3).cast("long"), F.lit(1).cast("long")], bits=2).alias("z")
     )
     assert df.collect()[0]["z"] == 0b0111
+
+
+def _ref_morton(a: int, b: int, bits: int = 16) -> int:
+    """Independent pure-python Morton reference (column i bit j -> 2j+i)."""
+    z = 0
+    for j in range(bits):
+        z |= ((a >> j) & 1) << (2 * j)
+        z |= ((b >> j) & 1) << (2 * j + 1)
+    return z
+
+
+def test_zorder_key_matches_reference_and_is_monotone(spark):
+    """One Spark pass over a seeded corpus: the Column expression must equal
+    the independent reference for every pair (bijectivity follows), and the
+    reference must be monotone under componentwise dominance — the property
+    that makes per-file min/max stats usable for every participating
+    column."""
+    import random
+
+    rng = random.Random(42)
+    pairs = [(rng.randrange(1 << 16), rng.randrange(1 << 16)) for _ in range(500)]
+    df = spark.createDataFrame(pairs, "a long, b long").select(
+        "a", "b", zorder_key([F.col("a"), F.col("b")]).alias("z")
+    )
+    for r in df.collect():
+        assert r["z"] == _ref_morton(r["a"], r["b"])
+    # dominance monotonicity, checked on the reference across the corpus
+    for (a1, b1), (a2, b2) in zip(pairs[:-1], pairs[1:]):
+        lo = (min(a1, a2), min(b1, b2))
+        hi = (max(a1, a2), max(b1, b2))
+        assert _ref_morton(*lo) <= _ref_morton(*hi)

@@ -149,6 +149,59 @@ def test_bucketized_interval_join_equals_streaming_twin(spark, sf_dir):
     assert fast_set, "bound must capture some pairs"
 
 
+def test_bucketized_interval_join_randomized_equivalence(spark):
+    """Seeded randomized sweep over adversarial timestamp layouts (bucket
+    boundaries, exact-bound hits, duplicate timestamps): the bucketized
+    join must equal the naive BETWEEN join for bucket widths equal to,
+    smaller than, and larger than the bound."""
+    import random
+
+    from big_data_processing_with_aws_glue_workshop_spark.operators.rangejoin import (
+        bucketized_interval_join,
+    )
+
+    rng = random.Random(7)
+    within = 600
+    for trial in range(5):
+        rows = [
+            (
+                i,
+                rng.randrange(3),
+                # offsets cluster near multiples of the bound to hit edges
+                rng.choice([0, within, 2 * within]) + rng.randrange(-2, 3),
+            )
+            for i in range(120)
+        ]
+        ev = spark.createDataFrame(rows, "event_id long, user_id long, off long").select(
+            "event_id",
+            "user_id",
+            F.timestamp_seconds(F.lit(1_700_000_000) + F.col("off")).alias("ts"),
+            (F.col("event_id") % 2 == 0).alias("is_left"),
+        )
+        left = ev.filter("is_left").select(
+            "user_id", F.col("ts").alias("l_ts"), F.col("event_id").alias("l_id")
+        )
+        right = ev.filter("NOT is_left").select(
+            "user_id", F.col("ts").alias("r_ts"), F.col("event_id").alias("r_id")
+        )
+        naive = left.join(
+            right,
+            (left["user_id"] == right["user_id"])
+            & (F.col("r_ts") >= F.col("l_ts"))
+            & (F.col("r_ts") <= F.col("l_ts") + F.expr(f"INTERVAL {within} SECONDS")),
+        )
+        want = {(r["l_id"], r["r_id"]) for r in naive.collect()}
+        for bucket in (within, 137, 7 * within):
+            got = {
+                (r["l_id"], r["r_id"])
+                for r in bucketized_interval_join(
+                    left, right, ["user_id"], "l_ts", "r_ts",
+                    within_seconds=within, bucket_seconds=bucket,
+                ).collect()
+            }
+            assert got == want, f"trial {trial} bucket {bucket}"
+
+
 def test_upsert(spark):
     target = spark.createDataFrame(
         [(1, "a", 10), (2, "b", 20), (3, "c", 30)], "id long, name string, v long"
