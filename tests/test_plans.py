@@ -206,3 +206,34 @@ def test_passage_dedup_partial_aggregation(spark):
     assert "Join" not in plan, plan
     assert "md5" in plan
     assert "Window" not in plan, plan
+
+
+def test_interval_join_batch_pushes_type_filters(spark):
+    """Both event_type filters must reach their parquet scans (the join's
+    two sides are filters over one source — each scan should read only
+    its slice), and the time bound stays a join-level predicate, not a
+    post-join filter over a cross product."""
+    plan = plan_of(spark, "interval_join_batch")
+    assert "EqualTo(event_type,click)" in plan, plan
+    assert "EqualTo(event_type,error)" in plan, plan
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan, plan
+
+
+def test_bigram_scores_broadcast_vocab(spark):
+    """The vocab-sized unigram tables join back onto the pair table as
+    broadcasts; nothing shuffles the corpus-sized side for them, and the
+    whole query carries no Python."""
+    plan = plan_of(spark, "bigram_association_scores")
+    assert plan.count("BroadcastHashJoin") >= 2, plan
+    assert "SortMergeJoin" not in plan, plan
+    assert "Python" not in plan and "ArrowEval" not in plan, plan
+
+
+def test_quantization_profile_is_scan_bound(spark):
+    """embedding_quantization_profile: explode + hash aggregate on a
+    bounded (label, code) key space — no join, no Python, map-side
+    partials ahead of the single aggregation exchange."""
+    plan = plan_of(spark, "embedding_quantization_profile")
+    assert "Join" not in plan, plan
+    assert "Python" not in plan and "ArrowEval" not in plan, plan
+    assert "HashAggregate" in plan, plan
