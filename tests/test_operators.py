@@ -354,6 +354,81 @@ def test_scd2_null_current_flag_preserved(spark):
     assert rows["new"]["is_current"]
 
 
+def test_resample_fills_gaps_both_modes(spark):
+    """Hand-computable fixture: user 1 has events in minutes 0, 1 and 4
+    (gap at 2-3); counts zero-fill, the gauge forward-fills; spans are
+    per-key (user 2's single bucket emits one row, no global spine)."""
+    import datetime as dt
+
+    from big_data_processing_with_aws_glue_workshop_spark.operators.resample import (
+        resample,
+    )
+
+    base = dt.datetime(2024, 5, 1, 10, 0, 0)
+    rows = [
+        (1, base + dt.timedelta(minutes=0, seconds=10), 10.0),
+        (1, base + dt.timedelta(minutes=1, seconds=5), 20.0),
+        (1, base + dt.timedelta(minutes=1, seconds=40), 30.0),
+        (1, base + dt.timedelta(minutes=4, seconds=59), 40.0),
+        (2, base + dt.timedelta(minutes=2), 7.0),
+    ]
+    df = spark.createDataFrame(rows, "user_id long, ts timestamp, value double")
+    out = resample(
+        df,
+        ["user_id"],
+        "ts",
+        60,
+        aggs={"n": F.count(F.lit(1)), "last_value": F.max("value")},
+        fill={"n": "zero", "last_value": "ffill"},
+    )
+    got = {
+        (r["user_id"], r["bucket_ts"].minute): (r["n"], r["last_value"])
+        for r in out.collect()
+    }
+    assert got == {
+        (1, 0): (1, 10.0),
+        (1, 1): (2, 30.0),
+        (1, 2): (0, 30.0),  # gap: count zero-filled, gauge carried forward
+        (1, 3): (0, 30.0),
+        (1, 4): (1, 40.0),
+        (2, 2): (1, 7.0),
+    }
+
+
+def test_resample_events_table_dense_spans(spark, sf_dir):
+    """On the real events table: per event_type hourly resampling emits
+    exactly (max_hour - min_hour + 1) rows per type — no missing buckets —
+    and zero-filled counts sum to the raw row count."""
+    from big_data_processing_with_aws_glue_workshop_spark.operators.resample import (
+        resample,
+    )
+    from big_data_processing_with_aws_glue_workshop_spark.queries._tables import load
+
+    ev = load(spark, sf_dir, "events")
+    out = resample(
+        ev, ["event_type"], "ts", 3600,
+        aggs={"n": F.count(F.lit(1))}, fill={"n": "zero"},
+    ).cache()
+    try:
+        spans = (
+            ev.groupBy("event_type")
+            .agg(
+                (
+                    F.floor(F.unix_timestamp(F.max("ts")) / 3600)
+                    - F.floor(F.unix_timestamp(F.min("ts")) / 3600)
+                    + 1
+                ).alias("want_rows")
+            )
+            .collect()
+        )
+        got_rows = {r["event_type"]: r["n"] for r in out.groupBy("event_type").count().withColumnRenamed("count", "n").collect()}
+        for r in spans:
+            assert got_rows[r["event_type"]] == r["want_rows"]
+        assert out.agg(F.sum("n")).collect()[0][0] == ev.count()
+    finally:
+        out.unpersist()
+
+
 def test_time_rollup_three_level_chain(spark, sf_dir):
     """Deep chaining: the day level built from hour partials (which were
     built from minute partials) must equal direct day aggregation of raw
