@@ -28,8 +28,10 @@ driver row was fully green in round N-1 may rotate to the tail in round
 N; every query returns to the window within two rounds of its last
 driver row. With a 50-slot window this is satisfiable **iff the
 registered surface stays ≤ 100** (two disjoint windows cover at most 100
-queries in two rounds). The surface is 87 after round 6 (82 + 5 new);
-growth of ~5 queries/round hits the ceiling around round 9. Standing
+queries in two rounds). The surface is 88 after round 6 (82 + 5 new
+scored + 1 new tail: ``trailing_window_rates``, the RANGE-interval frame
+family, oracle-gated from day one and due for promotion in r7); growth
+of ~6 queries/round hits the ceiling around round 9. Standing
 decision (resolving the r5 verdict's "What's wrong #3"): the two-round
 promise stays; the round that would push the surface past 100 must
 either add fewer queries or move superseded ones to ``_RETIRED`` —
@@ -93,9 +95,10 @@ Round-6 rotation (applied this round):
   ``returnflag_pivot``, ``status_priority_rollup``,
   ``unpivot_status_metrics``.
 - round-7 feasibility check: the 37 demotions are due back by r8 under
-  the letter of the policy, but r7 should take them all (37 + 13 slots
-  for keeps/new = 50) so r8 inherits no backlog; that bounds r7 to at
-  most 13 kept-or-new queries — plan accordingly.
+  the letter of the policy, but r7 should take them all PLUS the
+  never-scored ``trailing_window_rates`` (38 + 12 slots for keeps/new =
+  50) so r8 inherits no backlog; that bounds r7 to at most 12
+  kept-or-new queries — plan accordingly.
 """
 
 import functools
@@ -219,6 +222,9 @@ _TAIL = (
     "returnflag_pivot",
     "status_priority_rollup",
     "unpivot_status_metrics",
+    # new in r6 AFTER the window was fixed (promote in r7): RANGE-interval
+    # window frames — oracle-gated by the pytest gate from day one
+    "trailing_window_rates",
 )
 
 # Retirement mechanism (see docstring): retired names leave the driver

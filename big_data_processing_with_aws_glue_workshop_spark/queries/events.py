@@ -348,6 +348,36 @@ def funnel_stages(events: DataFrame) -> DataFrame:
     return stages.select("r.stage", "r.n_users", "r.rate_from_prev", "r.ts_checksum")
 
 
+def q_trailing_window_rates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RANGE-interval window frames — the frame family the row-based
+    running windows (user_event_deltas) can't express: per user, the
+    TRAILING 1-HOUR event count and value sum at every event, where the
+    frame is bounded by event-time distance, not row position (rate
+    limiting, rolling quotas, short-horizon feature windows).
+
+    rangeBetween over unix seconds includes ALL peers at equal timestamps
+    on both engines — tie semantics are the point of RANGE vs ROWS and
+    are pinned by the oracle. One shuffle on user_id; the frame scan is
+    the sorted per-user pass. Sum runs in decimal (order-independent),
+    one cast to double at the end."""
+    from pyspark.sql import Window
+
+    ev = load(spark, sf_dir, "events")
+    sec = F.unix_timestamp("ts")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(sec)
+        .rangeBetween(-3599, Window.currentRow)
+    )
+    return ev.filter(F.col("event_id") < 2000).select(
+        "event_id",
+        "user_id",
+        F.unix_millis("ts").alias("ts_ms"),
+        F.count(F.lit(1)).over(w).alias("trailing_1h_events"),
+        F.sum(_dec("value")).over(w).cast("double").alias("trailing_1h_value"),
+    )
+
+
 def q_interval_join_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Batch twin of the stream-stream watermarked interval join
     (streaming/windows.py:175): every 'error' event matched to the same
@@ -415,6 +445,7 @@ QUERIES = {
     "tumbling_windows": q_tumbling_windows,
     "interval_join_batch": q_interval_join_batch,
     "event_type_transition_matrix": q_event_type_transition_matrix,
+    "trailing_window_rates": q_trailing_window_rates,
     "user_conversion_funnel": q_user_conversion_funnel,
     "hourly_rollup_from_minutes": q_hourly_rollup_from_minutes,
     "value_zscore_outliers": q_value_zscore_outliers,
@@ -601,6 +632,21 @@ ORACLES = {
         FROM events JOIN intervals
           ON ts >= w_start AND ts < w_end
         GROUP BY interval_id
+    """,
+    # RANGE frame twin: same event-time-bounded trailing frame; equal-ts
+    # peers are included by RANGE semantics in both engines
+    "trailing_window_rates": """
+        SELECT event_id,
+               user_id,
+               epoch_ms(ts) AS ts_ms,
+               COUNT(1) OVER w AS trailing_1h_events,
+               CAST(SUM(CAST(value AS DECIMAL(18,2))) OVER w AS DOUBLE)
+                 AS trailing_1h_value
+        FROM events
+        WHERE event_id < 2000
+        WINDOW w AS (PARTITION BY user_id
+                     ORDER BY CAST(epoch(ts) AS BIGINT)
+                     RANGE BETWEEN 3599 PRECEDING AND CURRENT ROW)
     """,
     # interval-join twin: the naive BETWEEN self-join, rolled up per error;
     # inner join == streaming append-mode emission (only matched errors)
