@@ -187,3 +187,33 @@ def test_lsh_stress_corpus_candidates_bounded(spark):
     release_tracked_caches()
     assert hits == planted  # full recall on planted pairs
     assert total == planted  # nothing spurious at this similarity profile
+
+
+def test_stress_probe_corpora_shapes(spark):
+    """The interval/funnel probe corpus builders must keep the analytic
+    shapes their SCALE.md tables assume: match counts follow the
+    spacing-density formula, and the funnel corpus converts every user."""
+    import os
+    import sys
+
+    sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+    from stress import funnel_corpus, interval_corpus
+
+    from big_data_processing_with_aws_glue_workshop_spark.queries.events import (
+        funnel_stages,
+    )
+    from big_data_processing_with_aws_glue_workshop_spark.streaming.windows import (
+        streaming_interval_join,
+    )
+
+    # spacing 600s with a 600s bound: each error matches exactly its
+    # immediately preceding click (clicks at even seq, errors at odd)
+    ev = interval_corpus(spark, 50, 10, 600)
+    assert ev.count() == 500
+    assert streaming_interval_join(ev).count() == 50 * 5
+    # every user sees view -> click -> purchase in order: all 3 stages full
+    stages = {r["stage"]: r for r in funnel_stages(funnel_corpus(spark, 40, 9)).collect()}
+    assert stages["1_view"]["n_users"] == 40
+    assert stages["2_click"]["n_users"] == 40
+    assert stages["3_purchase"]["n_users"] == 40
+    assert stages["3_purchase"]["rate_from_prev"] == 1.0
