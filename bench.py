@@ -102,6 +102,11 @@ HEADLINE = [
     "token_length_histogram",
     "bigram_association_scores",
     "embedding_quantization_profile",
+    # r6 second batch: CBO column stats, source-overlap matrix,
+    # per-dimension embedding moments
+    "table_stats_profile",
+    "cross_source_overlap",
+    "embedding_dimension_profile",
 ]
 
 

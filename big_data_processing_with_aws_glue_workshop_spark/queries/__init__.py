@@ -28,10 +28,11 @@ driver row was fully green in round N-1 may rotate to the tail in round
 N; every query returns to the window within two rounds of its last
 driver row. With a 50-slot window this is satisfiable **iff the
 registered surface stays ≤ 100** (two disjoint windows cover at most 100
-queries in two rounds). The surface is 88 after round 6 (82 + 5 new
-scored + 1 new tail: ``trailing_window_rates``, the RANGE-interval frame
-family, oracle-gated from day one and due for promotion in r7); growth
-of ~6 queries/round hits the ceiling around round 9. Standing
+queries in two rounds). The surface is 91 after round 6 (82 + 5 new
+scored + 4 new tail: ``trailing_window_rates``, ``table_stats_profile``,
+``cross_source_overlap``, ``embedding_dimension_profile`` — all
+oracle-gated from day one and due for promotion in r7); growth
+of ~6 queries/round hits the ceiling around round 8–9. Standing
 decision (resolving the r5 verdict's "What's wrong #3"): the two-round
 promise stays; the round that would push the surface past 100 must
 either add fewer queries or move superseded ones to ``_RETIRED`` —
@@ -95,10 +96,13 @@ Round-6 rotation (applied this round):
   ``returnflag_pivot``, ``status_priority_rollup``,
   ``unpivot_status_metrics``.
 - round-7 feasibility check: the 37 demotions are due back by r8 under
-  the letter of the policy, but r7 should take them all PLUS the
-  never-scored ``trailing_window_rates`` (38 + 12 slots for keeps/new =
-  50) so r8 inherits no backlog; that bounds r7 to at most 12
-  kept-or-new queries — plan accordingly.
+  the letter of the policy, but r7 should take them all PLUS the four
+  never-scored tail queries (``trailing_window_rates``,
+  ``table_stats_profile``, ``cross_source_overlap``,
+  ``embedding_dimension_profile``): 37 + 4 = 41 promotions, leaving at
+  most 9 slots for keeps/new — so r7 keeps only a handful of sole
+  family representatives and adds few or no new queries (or starts
+  retiring: ``doc_fingerprint`` first). Plan accordingly.
 """
 
 import functools
@@ -225,6 +229,13 @@ _TAIL = (
     # new in r6 AFTER the window was fixed (promote in r7): RANGE-interval
     # window frames — oracle-gated by the pytest gate from day one
     "trailing_window_rates",
+    # new in r6, second batch (promote in r7, same contract): CBO-style
+    # column statistics, source x source shingle-overlap matrix, and the
+    # per-dimension embedding moment profile — all oracle-gated from day
+    # one by the pytest gate
+    "table_stats_profile",
+    "cross_source_overlap",
+    "embedding_dimension_profile",
 )
 
 # Retirement mechanism (see docstring): retired names leave the driver

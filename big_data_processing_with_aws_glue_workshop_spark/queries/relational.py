@@ -690,6 +690,66 @@ def q_customer_balance_ntiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Columns profiled by q_table_stats_profile — every orders column, mixed
+# types (bigint / varchar / double / timestamp) to exercise the uniform
+# string-cast melt.
+_STATS_COLS = (
+    "o_orderkey",
+    "o_custkey",
+    "o_orderstatus",
+    "o_totalprice",
+    "o_orderdate",
+    "o_orderpriority",
+)
+
+
+def q_table_stats_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANALYZE-style per-column statistics (row count, NULL count, exact
+    NDV, null fraction) over ``orders`` — the cost-based-optimizer input
+    every engine's ``ANALYZE TABLE ... COMPUTE STATISTICS FOR COLUMNS``
+    collects (the catalog-integrated path in Spark; this is the
+    engine-internal equivalent with exact NDV, feeding join reordering and
+    broadcast decisions).
+
+    Spark-first shape: ONE scan melts all profiled columns via ``stack``
+    into (column_name, value-as-string) rows — the string cast is a
+    DISTINCTNESS carrier only (injective per column type on both engines:
+    shortest-round-trip doubles, ISO timestamps), never emitted — then a
+    two-phase aggregate: hash agg on (column, value) with map-side
+    partials, then the |columns|-keyed rollup. Cost is one shuffle of
+    (rows x n_cols) near-unique keys; at 100 TB swap the exact phase for
+    ``approx_count_distinct`` (fixed HLL state, one pass, no melt — see
+    q_approx_distinct_profile) and keep this exact plan for the
+    verification tier."""
+    o = load(spark, sf_dir, "orders")
+    stack_expr = ", ".join(
+        f"'{c}', CAST({c} AS STRING)" for c in _STATS_COLS
+    )
+    melted = o.select(
+        F.expr(f"stack({len(_STATS_COLS)}, {stack_expr}) AS (column_name, v)")
+    )
+    per_value = melted.groupBy("column_name", "v").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    return (
+        per_value.groupBy("column_name")
+        .agg(
+            F.sum("n").alias("n_rows"),
+            F.sum(F.when(F.col("v").isNull(), F.col("n")).otherwise(F.lit(0))).alias(
+                "n_nulls"
+            ),
+            F.count("v").alias("n_distinct"),
+        )
+        .select(
+            "column_name",
+            "n_rows",
+            "n_nulls",
+            "n_distinct",
+            (F.col("n_nulls").cast("double") / F.col("n_rows")).alias("null_fraction"),
+        )
+    )
+
+
 QUERIES = {
     "pricing_summary": q_pricing_summary,
     "ml_feature_dataset": q_ml_feature_dataset,
@@ -722,7 +782,26 @@ QUERIES = {
     "promo_revenue_share": q_promo_revenue_share,
     "lineitem_cube_aggregates": q_lineitem_cube_aggregates,
     "customer_balance_ntiles": q_customer_balance_ntiles,
+    "table_stats_profile": q_table_stats_profile,
 }
+
+
+# The oracle computes each column's stats directly on the typed values
+# (no string melt needed single-node); counts match because the engine's
+# string cast is injective per column. COUNT(...) is BIGINT on both
+# engines — no HUGEINT sum in sight (the dtype trap of r5's
+# media_byte_histogram).
+_STATS_ORACLE = "\nUNION ALL\n".join(
+    f"""
+        SELECT '{c}' AS column_name,
+               CAST(COUNT(1) AS BIGINT) AS n_rows,
+               CAST(COUNT(1) - COUNT({c}) AS BIGINT) AS n_nulls,
+               CAST(COUNT(DISTINCT {c}) AS BIGINT) AS n_distinct,
+               CAST(COUNT(1) - COUNT({c}) AS DOUBLE) / COUNT(1) AS null_fraction
+        FROM orders
+    """
+    for c in _STATS_COLS
+)
 
 
 ORACLES = {
@@ -1071,4 +1150,5 @@ ORACLES = {
         FROM tiled
         GROUP BY n_name, quartile
     """,
+    "table_stats_profile": _STATS_ORACLE,
 }

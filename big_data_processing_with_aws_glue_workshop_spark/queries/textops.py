@@ -1209,6 +1209,86 @@ def q_bigram_association_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Ubiquity cap for cross-source overlap: shingles present in more than
+# this many sources are boilerplate (navigation chrome, licence headers)
+# and are excluded BEFORE the pair join — they carry no discriminative
+# signal and are exactly the keys whose per-shingle fanout would explode
+# quadratically in |sources| at corpus scale.
+_OVERLAP_MAX_SOURCES = 10
+
+
+def source_overlap_matrix(d: DataFrame, max_sources: int) -> DataFrame:
+    """Core of q_cross_source_overlap over any (doc_id, text, source)
+    frame, with the ubiquity cap as a parameter so the scale probe
+    (stress.py overlap) can measure the capped vs uncapped join fanout
+    on a planted high-boilerplate corpus."""
+    sh = _shingles(d).join(
+        d.select("doc_id", "source"), "doc_id"
+    ).select("source", "shingle").distinct()
+    per_shingle = sh.groupBy("shingle").agg(
+        F.count(F.lit(1)).alias("src_cnt")
+    )
+    kept = tracked_cache(
+        sh.join(
+            per_shingle.filter(F.col("src_cnt") <= max_sources),
+            "shingle",
+        ).select("source", "shingle")
+    )
+    per_source = kept.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_shingles")
+    )
+    a = kept.select(F.col("source").alias("source_a"), "shingle")
+    b = kept.select(F.col("source").alias("source_b"), "shingle")
+    pairs = (
+        a.join(b, "shingle")
+        .filter(F.col("source_a") < F.col("source_b"))
+        .groupBy("source_a", "source_b")
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+    )
+    na = per_source.select(
+        F.col("source").alias("source_a"), F.col("n_shingles").alias("_na")
+    )
+    nb = per_source.select(
+        F.col("source").alias("source_b"), F.col("n_shingles").alias("_nb")
+    )
+    return (
+        pairs.join(F.broadcast(na), "source_a")
+        .join(F.broadcast(nb), "source_b")
+        .select(
+            "source_a",
+            "source_b",
+            "n_shared",
+            (F.col("n_shared").cast("double") / F.col("_na")).alias("share_of_a"),
+            (F.col("n_shared").cast("double") / F.col("_nb")).alias("share_of_b"),
+        )
+    )
+
+
+def q_cross_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Source x source content-overlap matrix via shared word-3-gram
+    shingles — the corpus-curation view that finds mirrored/scraped
+    content BETWEEN sources (a crawl snapshot duplicated under two names,
+    a dataset vendored into another) before mixture weights are chosen.
+    Whole-document digests miss this (near-identical docs differ in one
+    byte); shingle containment catches partial overlap.
+
+    Spark-first shape: the ONE shared shingle definition
+    (functions/text.py::word_shingles — the same tokenizer the dedup
+    family uses) -> distinct (source, shingle) -> per-shingle source
+    count -> ubiquity cap (see _OVERLAP_MAX_SOURCES: bounds the
+    per-shingle pair fanout at cap^2 and drops boilerplate) ->
+    shingle-keyed self-join with source_a < source_b -> |sources|^2
+    rollup. All joins are equi-joins on the shingle digest-space; the
+    per-source denominators are a |sources|-row broadcast. Containment
+    shares are relative to each source's capped shingle vocabulary, ONE
+    IEEE division of exact counts. The cap's fanout effect is MEASURED
+    on a planted high-boilerplate corpus (stress.py overlap; table in
+    docs/SCALE.md)."""
+    return source_overlap_matrix(
+        load(spark, sf_dir, "documents"), _OVERLAP_MAX_SOURCES
+    )
+
+
 QUERIES = {
     "doc_token_stats": q_doc_token_stats,
     "token_length_histogram": q_token_length_histogram,
@@ -1237,6 +1317,7 @@ QUERIES = {
     "passage_dedup_profile": q_passage_dedup_profile,
     "pii_redaction_profile": q_pii_redaction_profile,
     "dataset_split_assignment": q_dataset_split_assignment,
+    "cross_source_overlap": q_cross_source_overlap,
 }
 
 _DUCK_SHINGLES = """
@@ -2003,4 +2084,36 @@ ORACLES["dataset_split_assignment"] = f"""
            a.split_tokens,
            CAST(a.n_docs AS DOUBLE) / t.source_docs AS doc_share
     FROM agg a JOIN totals t USING (source)
+"""
+
+
+# Mirrors q_cross_source_overlap: the SAME shingle fragment the dedup
+# oracles use, the same ubiquity cap, counts only (COUNT is BIGINT on
+# both engines — no HUGEINT), one IEEE division per share.
+ORACLES["cross_source_overlap"] = f"""
+    WITH {_DUCK_SHINGLES},
+    src AS (
+      SELECT DISTINCT d.source, s.shingle
+      FROM shingles s JOIN documents d USING (doc_id)
+    ),
+    cnt AS (SELECT shingle, COUNT(1) AS c FROM src GROUP BY 1),
+    kept AS (
+      SELECT source, shingle
+      FROM src JOIN cnt USING (shingle)
+      WHERE c <= {_OVERLAP_MAX_SOURCES}
+    ),
+    per AS (SELECT source, CAST(COUNT(1) AS BIGINT) AS n FROM kept GROUP BY 1),
+    pr AS (
+      SELECT a.source AS source_a, b.source AS source_b,
+             CAST(COUNT(1) AS BIGINT) AS n_shared
+      FROM kept a JOIN kept b
+        ON a.shingle = b.shingle AND a.source < b.source
+      GROUP BY 1, 2
+    )
+    SELECT source_a, source_b, n_shared,
+           CAST(n_shared AS DOUBLE) / pa.n AS share_of_a,
+           CAST(n_shared AS DOUBLE) / pb.n AS share_of_b
+    FROM pr
+    JOIN per pa ON pr.source_a = pa.source
+    JOIN per pb ON pr.source_b = pb.source
 """

@@ -376,6 +376,55 @@ def q_embedding_quantization_profile(spark: SparkSession, sf_dir: str) -> DataFr
     )
 
 
+def q_embedding_dimension_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-dimension distribution profile (count, mean, population
+    variance, min/max) over the embedding column — the feature-selection /
+    whitening precursor of every ANN index build (dead dimensions -> drop
+    before indexing; dominant-variance dimensions -> rotate or re-scale
+    before product quantization; PCA starts from exactly these moments).
+
+    Exactness: coordinates quantize to q = floor(double(x) * 1e9)
+    (float->double is exact, one IEEE multiply identical cross-engine,
+    exact floor). Then all aggregates are exact integers: sum_q in int64
+    (|sum_q| < n * 5.3e8 — exact and < 2^53 up to ~1e7 vectors), sum of
+    q^2 in decimal(38,0) / HUGEINT, converted once through the correctly
+    rounded path (Spark BigDecimal.doubleValue; _exact_double in the
+    oracle — s2 < 2^85 holds up to ~1e8 vectors per dim, re-check per
+    _exact_double's contract). mean and var_pop are then the identical
+    IEEE sequence on both engines: s1/n and s2/n - (s1/n)^2.
+
+    Plan shape: posexplode inside the scan stage (narrow), then ONE hash
+    aggregate onto |dims| keys — map-side partials flatten the shuffle to
+    num_map_partitions x dims rows, so the 64-key reduce is never a
+    bottleneck; embarrassingly parallel at 100 TB. At cluster scale the
+    same moments come from Welford-style double accumulation if the
+    integer-width bounds above are outgrown."""
+    e = load(spark, sf_dir, "embeddings")
+    per = e.select(F.posexplode("embedding").alias("dim", "x")).select(
+        "dim",
+        F.floor(F.col("x").cast("double") * F.lit(1e9)).cast("bigint").alias("q"),
+    )
+    agg = per.groupBy("dim").agg(
+        F.count(F.lit(1)).alias("n_values"),
+        F.sum("q").alias("sum_q"),
+        F.sum(F.col("q").cast("decimal(38,0)") * F.col("q")).alias("_s2"),
+        F.min("q").alias("min_q"),
+        F.max("q").alias("max_q"),
+    )
+    mean = F.col("sum_q").cast("double") / F.col("n_values")
+    return agg.select(
+        F.col("dim").cast("int").alias("dim"),
+        "n_values",
+        "sum_q",
+        "min_q",
+        "max_q",
+        mean.alias("mean_q"),
+        (F.col("_s2").cast("double") / F.col("n_values") - mean * mean).alias(
+            "var_q"
+        ),
+    )
+
+
 QUERIES = {
     "cosine_topk": q_cosine_topk,
     "embedding_quantization_profile": q_embedding_quantization_profile,
@@ -385,6 +434,7 @@ QUERIES = {
     "ann_lsh_topk": q_ann_lsh_topk,
     "ivf_ann_topk": q_ivf_ann_topk,
     "doc_embedding_typicality": q_doc_embedding_typicality,
+    "embedding_dimension_profile": q_embedding_dimension_profile,
 }
 
 ORACLES = {
@@ -585,4 +635,36 @@ ORACLES["doc_embedding_typicality"] = f"""
              AND len(string_split_regex(trim(lower(d.text)), '[ \\t\\n\\f\\r]+'))
                  >= {_TYP_MIN_TOKENS} AS keep
     FROM documents d JOIN scored s ON d.doc_id = s.vec_id
+"""
+
+
+# Mirrors q_embedding_dimension_profile operand-for-operand: same 1e9
+# floor quantization, integer sums (SUM(BIGINT) is HUGEINT in DuckDB —
+# cast back to BIGINT; q^2 summed in HUGEINT and converted through
+# _exact_double), then the identical s1/n and s2/n - (s1/n)^2 IEEE
+# sequence.
+ORACLES["embedding_dimension_profile"] = f"""
+    WITH expl AS (
+      SELECT t.i AS dim,
+             CAST(floor(CAST(v[CAST(t.i AS INTEGER) + 1] AS DOUBLE) * 1e9)
+                  AS BIGINT) AS q
+      FROM (SELECT embedding::DOUBLE[] AS v FROM embeddings),
+           UNNEST(range(0, len(v))) AS t(i)
+    ),
+    agg AS (
+      SELECT dim,
+             CAST(COUNT(1) AS BIGINT) AS n_values,
+             CAST(SUM(q) AS BIGINT) AS sum_q,
+             SUM(CAST(q AS HUGEINT) * q) AS s2,
+             MIN(q) AS min_q,
+             MAX(q) AS max_q
+      FROM expl GROUP BY 1
+    )
+    SELECT CAST(dim AS INTEGER) AS dim,
+           n_values, sum_q, min_q, max_q,
+           CAST(sum_q AS DOUBLE) / n_values AS mean_q,
+           {_exact_double("s2")} / n_values
+             - (CAST(sum_q AS DOUBLE) / n_values)
+               * (CAST(sum_q AS DOUBLE) / n_values) AS var_q
+    FROM agg
 """

@@ -212,7 +212,71 @@ def funnel_stress(cases: list[tuple[int, int]]) -> None:
     spark.stop()
 
 
+def overlap_corpus(spark, n_sources: int, docs_per_source: int):
+    """Cross-source overlap worst case: every doc opens with the SAME
+    40-token boilerplate header (licence banner / site chrome), so ~38
+    shingles are present in ALL sources; each doc then carries 30 unique
+    tokens, and source pairs (2k, 2k+1) share 10 genuine-overlap tokens."""
+    boiler = " ".join(f"b{i}" for i in range(40))
+    d = spark.range(n_sources * docs_per_source)
+    src = (F.col("id") / docs_per_source).cast("long")
+    uniq = F.concat_ws(
+        " ",
+        *[
+            F.concat(
+                F.lit("u"),
+                F.abs(F.xxhash64(F.col("id"), F.lit(i))).cast("string"),
+            )
+            for i in range(30)
+        ],
+    )
+    shared = F.concat_ws(
+        " ",
+        *[
+            F.concat(F.lit("p"), (src / 2).cast("long").cast("string"), F.lit("x"), F.lit(str(i)))
+            for i in range(10)
+        ],
+    )
+    return d.select(
+        F.col("id").alias("doc_id"),
+        F.concat(F.lit("s"), src.cast("string")).alias("source"),
+        F.concat_ws(" ", F.lit(boiler), shared, uniq).alias("text"),
+    )
+
+
+def overlap_stress(cases: list[tuple[int, int]]) -> None:
+    """Measures the ubiquity cap's effect on the cross-source overlap
+    self-join: boilerplate shingles present in all S sources produce
+    S(S-1)/2 pair rows EACH when uncapped — quadratic in source count —
+    while the capped plan drops them before the join. Reports wall time
+    and the pair-join output row count for both variants."""
+    from big_data_processing_with_aws_glue_workshop_spark.queries.textops import (
+        source_overlap_matrix,
+    )
+
+    spark = get_session(app_name="overlap-stress")
+    source_overlap_matrix(overlap_corpus(spark, 8, 20), 10).collect()  # warm
+
+    print("| sources | docs | capped (s) | pairs | uncapped (s) | pairs |")
+    print("|---|---|---|---|---|---|")
+    for n_sources, dps in cases:
+        d = overlap_corpus(spark, n_sources, dps).localCheckpoint()
+        row = [str(n_sources), str(n_sources * dps)]
+        for cap in (10, 1 << 40):
+            t0 = time.perf_counter()
+            res = source_overlap_matrix(d, cap).agg(
+                F.count(F.lit(1)), F.sum("n_shared")
+            ).collect()[0]
+            dt = time.perf_counter() - t0
+            row += [f"{dt:.2f}", str(res[1])]
+        print("| " + " | ".join(row) + " |")
+    spark.stop()
+
+
 def main() -> None:
+    if len(sys.argv) > 1 and sys.argv[1] == "overlap":
+        overlap_stress([(50, 40), (200, 40), (800, 40)])
+        return
     if len(sys.argv) > 1 and sys.argv[1] == "lsh":
         lsh_stress([int(s) for s in sys.argv[2:]] or [3000, 12000, 48000])
         return

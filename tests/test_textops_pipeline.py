@@ -141,3 +141,37 @@ def test_tfidf_prefers_rare_terms(spark, tmp_path):
     # df(rareword)=1 so idf=3.0; tf(common)=2 but idf=1.0 -> rareword wins
     assert top_doc1["token"] == "rareword"
     assert top_doc1["df"] == 1 and top_doc1["tf"] == 1
+
+
+def test_source_overlap_cap_drops_ubiquitous_shingles(spark):
+    """The ubiquity cap must drop boilerplate shingles (present in more
+    sources than the cap) BEFORE the pair join, both from the pair counts
+    and from the containment denominators, while genuine two-source
+    overlap survives."""
+    from big_data_processing_with_aws_glue_workshop_spark.queries.textops import (
+        source_overlap_matrix,
+    )
+
+    boiler = "common header tokens here"  # 2 shingles, in ALL sources
+    rows = [
+        (1, boiler + " alpha beta gamma delta", "s1"),
+        (2, boiler + " alpha beta gamma delta", "s2"),  # real overlap w/ s1
+        (3, boiler + " completely different words now", "s3"),
+    ]
+    d = spark.createDataFrame(rows, "doc_id long, text string, source string")
+
+    capped = {
+        (r["source_a"], r["source_b"]): r["n_shared"]
+        for r in source_overlap_matrix(d, 2).collect()
+    }
+    # boilerplate (3 sources > cap 2) gone: s3 pairs with nobody; the
+    # bridge shingles spanning boiler->payload differ per payload
+    assert set(capped) == {("s1", "s2")}
+    uncapped = {
+        (r["source_a"], r["source_b"]): r["n_shared"]
+        for r in source_overlap_matrix(d, 10).collect()
+    }
+    # uncapped keeps the 2 boilerplate shingles -> every pair appears
+    assert set(uncapped) == {("s1", "s2"), ("s1", "s3"), ("s2", "s3")}
+    assert uncapped[("s1", "s3")] == 2
+    assert uncapped[("s1", "s2")] == capped[("s1", "s2")] + 2
