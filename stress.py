@@ -275,7 +275,7 @@ def overlap_stress(cases: list[tuple[int, int]]) -> None:
 
 def main() -> None:
     if len(sys.argv) > 1 and sys.argv[1] == "overlap":
-        overlap_stress([(50, 40), (200, 40), (800, 40)])
+        overlap_stress([(50, 40), (200, 40), (800, 40), (3200, 10)])
         return
     if len(sys.argv) > 1 and sys.argv[1] == "lsh":
         lsh_stress([int(s) for s in sys.argv[2:]] or [3000, 12000, 48000])
