@@ -1222,9 +1222,17 @@ def source_overlap_matrix(d: DataFrame, max_sources: int) -> DataFrame:
     frame, with the ubiquity cap as a parameter so the scale probe
     (stress.py overlap) can measure the capped vs uncapped join fanout
     on a planted high-boilerplate corpus."""
-    sh = _shingles(d).join(
-        d.select("doc_id", "source"), "doc_id"
-    ).select("source", "shingle").distinct()
+    # distinct (source, shingle) is consumed twice (the per-shingle source
+    # count AND the capped join input, both sides of whose lineage would
+    # otherwise re-run the explode+join) -> stage-persist once, same
+    # pattern as the MinHash shingle stage; entries are plan-keyed and
+    # released by the registry wrapper after the query
+    sh = tracked_cache(
+        _shingles(d)
+        .join(d.select("doc_id", "source"), "doc_id")
+        .select("source", "shingle")
+        .distinct()
+    )
     per_shingle = sh.groupBy("shingle").agg(
         F.count(F.lit(1)).alias("src_cnt")
     )
