@@ -194,6 +194,36 @@ def cmd_zorder(args: argparse.Namespace) -> None:
     )
 
 
+def cmd_refresh(args: argparse.Namespace) -> None:
+    """Bookmark-driven incremental upsert of newly-landed files into a
+    versioned snapshot table (plans/incremental.py) — identity transform,
+    keep-latest merge when --order-col is given."""
+    from .plans.incremental import incremental_refresh, read_refreshed
+    from .sources.bookmarks import JobBookmark
+
+    spark = get_session(app_name="refresh")
+    bm = JobBookmark(args.bookmark, args.job_name)
+    n = incremental_refresh(
+        spark,
+        bm,
+        args.pattern,
+        lambda df: df,
+        args.target,
+        keys=args.keys,
+        order_col=args.order_col,
+    )
+    has_table = os.path.exists(os.path.join(args.target, "current.json"))
+    _emit(
+        {
+            "job": "refresh",
+            "new_files": n,
+            "target_rows": read_refreshed(spark, args.target).count()
+            if has_table
+            else 0,
+        }
+    )
+
+
 def cmd_query(args: argparse.Namespace) -> None:
     from .queries import ORACLES, QUERIES
 
@@ -271,6 +301,19 @@ def build_parser() -> argparse.ArgumentParser:
     z.add_argument("--by", nargs="+", required=True)
     z.add_argument("--num-files", type=int, default=32)
     z.set_defaults(func=cmd_zorder)
+
+    r = sub.add_parser(
+        "refresh",
+        help="bookmark-driven incremental upsert of new files into a "
+        "versioned snapshot table (plans/incremental.py)",
+    )
+    r.add_argument("--pattern", required=True, help="glob of landing files")
+    r.add_argument("--bookmark", required=True, help="bookmark state file")
+    r.add_argument("--job-name", default="refresh")
+    r.add_argument("--target", required=True, help="snapshot table dir")
+    r.add_argument("--keys", nargs="+", required=True)
+    r.add_argument("--order-col", default=None)
+    r.set_defaults(func=cmd_refresh)
 
     q = sub.add_parser("query", help="run a registered engine query by name")
     q.add_argument("--name", default="pricing_summary")

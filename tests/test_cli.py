@@ -126,3 +126,46 @@ def test_bench_headline_names_resolve():
     missing = [n for n in bench.HEADLINE if n not in QUERIES]
     assert not missing, f"stale bench HEADLINE entries: {missing}"
     assert len(bench.HEADLINE) == len(set(bench.HEADLINE)), "duplicate names"
+
+
+def test_cli_refresh_incremental_upsert(spark, tmp_path, capsys):
+    """refresh subcommand: two landings, second run reads only the new
+    file and upserts it (keep-latest on the order column)."""
+    import json as _json
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from big_data_processing_with_aws_glue_workshop_spark.cli import main
+    from big_data_processing_with_aws_glue_workshop_spark.plans.incremental import (
+        read_refreshed,
+    )
+
+    landing = tmp_path / "landing"
+    landing.mkdir()
+    args = [
+        "refresh",
+        "--pattern", str(landing / "*.parquet"),
+        "--bookmark", str(tmp_path / "bm.json"),
+        "--target", str(tmp_path / "tbl"),
+        "--keys", "id",
+        "--order-col", "ts",
+    ]
+
+    def land(name, rows):
+        pq.write_table(
+            pa.Table.from_pandas(pd.DataFrame(rows, columns=["id", "v", "ts"])),
+            str(landing / name),
+        )
+
+    land("b1.parquet", [(1, "a", 1), (2, "b", 1)])
+    main(args)
+    out1 = _json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert out1 == {"job": "refresh", "new_files": 1, "target_rows": 2}
+
+    land("b2.parquet", [(2, "b2", 2), (3, "c", 2)])
+    main(args)
+    out2 = _json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert out2 == {"job": "refresh", "new_files": 1, "target_rows": 3}
+    got = {r["id"]: r["v"] for r in read_refreshed(spark, str(tmp_path / "tbl")).collect()}
+    assert got == {1: "a", 2: "b2", 3: "c"}
