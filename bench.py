@@ -107,6 +107,7 @@ HEADLINE = [
     "table_stats_profile",
     "cross_source_overlap",
     "embedding_dimension_profile",
+    "normalized_dedup_profile",
 ]
 
 

@@ -33,6 +33,28 @@ def normalize_upper_trim(col: Column) -> Column:
     return F.upper(F.trim(col))
 
 
+# Explicit accent-fold table (CCNet-style normalization, Latin subset).
+# translate() with an explicit table is engine-portable — unlike Unicode
+# NFKD/strip-accents, whose mapping tables can differ across engines —
+# and the DuckDB oracle twin uses the identical pair of strings.
+ACCENT_FROM = "áéíóúüñàèìòùâêîôûäëïöç"
+ACCENT_TO = "aeiouunaeiouaeiouaeioc"
+
+
+def normalize_for_dedup(col: Column) -> Column:
+    """Canonical text form for normalization-robust exact dedup:
+    lowercase -> accent-fold (explicit table) -> drop everything outside
+    [a-z0-9 + whitespace] -> collapse whitespace runs to one space ->
+    trim. Every step is an explicit-table or explicit-class operation so
+    Spark (Java regex) and DuckDB (RE2) produce byte-identical output;
+    the md5 over this form is the dedup key that survives punctuation,
+    casing, accent, and whitespace edits."""
+    s = F.translate(F.lower(col), ACCENT_FROM, ACCENT_TO)
+    s = F.regexp_replace(s, r"[^a-z0-9 \t\n\f\r]+", "")
+    s = F.regexp_replace(s, r"[ \t\n\f\r]+", " ")
+    return F.trim(s)
+
+
 def word_shingles(df: DataFrame, id_col: str, text_col: str, n: int = 3) -> DataFrame:
     """(doc_id, shingle) DISTINCT word n-grams — THE shared tokenizer for the
     exact n-gram join and the MinHash path (one definition so the 'LSH result

@@ -28,11 +28,12 @@ driver row was fully green in round N-1 may rotate to the tail in round
 N; every query returns to the window within two rounds of its last
 driver row. With a 50-slot window this is satisfiable **iff the
 registered surface stays ≤ 100** (two disjoint windows cover at most 100
-queries in two rounds). The surface is 91 after round 6 (82 + 5 new
-scored + 4 new tail: ``trailing_window_rates``, ``table_stats_profile``,
-``cross_source_overlap``, ``embedding_dimension_profile`` — all
-oracle-gated from day one and due for promotion in r7); growth
-of ~6 queries/round hits the ceiling around round 8–9. Standing
+queries in two rounds). The surface is 92 after round 6 (82 + 5 new
+scored + 5 new tail: ``trailing_window_rates``, ``table_stats_profile``,
+``cross_source_overlap``, ``embedding_dimension_profile``,
+``normalized_dedup_profile`` — all oracle-gated from day one and due
+for promotion in r7); growth of ~6 queries/round hits the ceiling
+around round 8–9. Standing
 decision (resolving the r5 verdict's "What's wrong #3"): the two-round
 promise stays; the round that would push the surface past 100 must
 either add fewer queries or move superseded ones to ``_RETIRED`` —
@@ -99,10 +100,11 @@ Round-6 rotation (applied this round):
   the letter of the policy, but r7 should take them all PLUS the four
   never-scored tail queries (``trailing_window_rates``,
   ``table_stats_profile``, ``cross_source_overlap``,
-  ``embedding_dimension_profile``): 37 + 4 = 41 promotions, leaving at
-  most 9 slots for keeps/new — so r7 keeps only a handful of sole
-  family representatives and adds few or no new queries (or starts
-  retiring: ``doc_fingerprint`` first). Plan accordingly.
+  ``embedding_dimension_profile``, ``normalized_dedup_profile``):
+  37 + 5 = 42 promotions, leaving at most 8 slots for keeps/new — so
+  r7 keeps only a handful of sole family representatives and adds few
+  or no new queries (or starts retiring: ``doc_fingerprint`` first).
+  Plan accordingly.
 """
 
 import functools
@@ -236,6 +238,7 @@ _TAIL = (
     "table_stats_profile",
     "cross_source_overlap",
     "embedding_dimension_profile",
+    "normalized_dedup_profile",
 )
 
 # Retirement mechanism (see docstring): retired names leave the driver

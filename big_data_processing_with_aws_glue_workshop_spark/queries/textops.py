@@ -1297,6 +1297,49 @@ def q_cross_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_normalized_dedup_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Normalization-robust dedup profile per source: how many documents
+    remain distinct after canonicalizing text (lowercase, accent-fold,
+    punctuation strip, whitespace collapse — functions/text.py::
+    normalize_for_dedup, the CCNet-style form), versus raw-byte
+    distinctness — the pre-dedup audit that tells a pipeline whether
+    trivial formatting variants are inflating the corpus, plus how many
+    bytes normalization removes.
+
+    Exactness: digests are md5 over byte-identical canonical forms
+    (explicit translate table + explicit character classes — no Unicode
+    mapping tables, which differ across engines); counts and length sums
+    are exact int64; removal_ratio is ONE IEEE division.
+
+    Plan shape: narrow per-doc projection (digest + two lengths) inside
+    the scan stage, then one grouped aggregate with two COUNT(DISTINCT
+    digest)s — Spark expands 2x for the multi-distinct, keys are
+    (source, 16-byte digest): uniform, map-side partials. At 100 TB the
+    same profile runs with approx_count_distinct (fixed HLL state, no
+    expand) and this exact plan stays the verification tier."""
+    from ..functions.text import normalize_for_dedup
+
+    d = load(spark, sf_dir, "documents")
+    per = d.select(
+        "source",
+        F.md5(F.col("text")).alias("raw_digest"),
+        F.md5(normalize_for_dedup(F.col("text"))).alias("norm_digest"),
+        F.length("text").alias("raw_len"),
+        F.length(normalize_for_dedup(F.col("text"))).alias("norm_len"),
+    )
+    return per.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.count_distinct("raw_digest").alias("n_raw_distinct"),
+        F.count_distinct("norm_digest").alias("n_norm_distinct"),
+        F.sum("raw_len").cast("bigint").alias("chars_total"),
+        (F.sum("raw_len") - F.sum("norm_len")).cast("bigint").alias("chars_removed"),
+        (
+            (F.sum("raw_len") - F.sum("norm_len")).cast("double")
+            / F.sum("raw_len")
+        ).alias("removal_ratio"),
+    )
+
+
 QUERIES = {
     "doc_token_stats": q_doc_token_stats,
     "token_length_histogram": q_token_length_histogram,
@@ -1326,6 +1369,7 @@ QUERIES = {
     "pii_redaction_profile": q_pii_redaction_profile,
     "dataset_split_assignment": q_dataset_split_assignment,
     "cross_source_overlap": q_cross_source_overlap,
+    "normalized_dedup_profile": q_normalized_dedup_profile,
 }
 
 _DUCK_SHINGLES = """
@@ -2124,4 +2168,36 @@ ORACLES["cross_source_overlap"] = f"""
     FROM pr
     JOIN per pa ON pr.source_a = pa.source
     JOIN per pb ON pr.source_b = pb.source
+"""
+
+
+# Mirrors q_normalized_dedup_profile: identical accent table and explicit
+# classes (byte-identical canonical form), BIGINT casts on the HUGEINT
+# sums, one IEEE division.
+from ..functions.text import ACCENT_FROM as _ACC_FROM, ACCENT_TO as _ACC_TO
+
+ORACLES["normalized_dedup_profile"] = f"""
+    WITH per AS (
+      SELECT source,
+             md5(text) AS raw_digest,
+             md5(trim(regexp_replace(regexp_replace(
+                    translate(lower(text), '{_ACC_FROM}', '{_ACC_TO}'),
+                    '[^a-z0-9 \\t\\n\\f\\r]+', '', 'g'),
+                  '[ \\t\\n\\f\\r]+', ' ', 'g'))) AS norm_digest,
+             length(text) AS raw_len,
+             length(trim(regexp_replace(regexp_replace(
+                    translate(lower(text), '{_ACC_FROM}', '{_ACC_TO}'),
+                    '[^a-z0-9 \\t\\n\\f\\r]+', '', 'g'),
+                  '[ \\t\\n\\f\\r]+', ' ', 'g'))) AS norm_len
+      FROM documents
+    )
+    SELECT source,
+           CAST(COUNT(1) AS BIGINT) AS n_docs,
+           CAST(COUNT(DISTINCT raw_digest) AS BIGINT) AS n_raw_distinct,
+           CAST(COUNT(DISTINCT norm_digest) AS BIGINT) AS n_norm_distinct,
+           CAST(SUM(raw_len) AS BIGINT) AS chars_total,
+           CAST(SUM(raw_len) - SUM(norm_len) AS BIGINT) AS chars_removed,
+           CAST(SUM(raw_len) - SUM(norm_len) AS DOUBLE)
+             / CAST(SUM(raw_len) AS BIGINT) AS removal_ratio
+    FROM per GROUP BY 1
 """

@@ -175,3 +175,27 @@ def test_source_overlap_cap_drops_ubiquitous_shingles(spark):
     assert set(uncapped) == {("s1", "s2"), ("s1", "s3"), ("s2", "s3")}
     assert uncapped[("s1", "s3")] == 2
     assert uncapped[("s1", "s2")] == capped[("s1", "s2")] + 2
+
+
+def test_normalize_for_dedup_collapses_formatting_variants(spark):
+    """Formatting variants (case, accents, punctuation, whitespace) must
+    canonicalize to the SAME form; genuinely different text must not."""
+    from big_data_processing_with_aws_glue_workshop_spark.functions.text import (
+        normalize_for_dedup,
+    )
+
+    rows = [
+        (1, "Hello,   World!"),
+        (2, "héllo wörld"),          # accents + case + punct + ws
+        (3, "HELLO WORLD\t"),
+        (4, "hello worlds"),          # different content
+    ]
+    d = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        r["doc_id"]: r["n"]
+        for r in d.select(
+            "doc_id", normalize_for_dedup(F.col("text")).alias("n")
+        ).collect()
+    }
+    assert got[1] == got[2] == got[3] == "hello world"
+    assert got[4] == "hello worlds"
