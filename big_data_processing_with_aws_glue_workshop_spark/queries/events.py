@@ -197,7 +197,10 @@ def q_user_event_deltas(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_event_value_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact percentiles per event type (sort-based; the approximate
-    percentile_approx is the 100-TB variant, same API shape)."""
+    percentile_approx is the 100-TB variant, same API shape — MEASURED
+    at 10M/60M rows in docs/SCALE.md: 9-13x faster with <0.1% value
+    error at accuracy 10k, fixed-width sketch state vs a value-count
+    map that grows with distinct values)."""
     ev = load(spark, sf_dir, "events")
     return ev.groupBy("event_type").agg(
         F.count(F.lit(1)).alias("n_events"),

@@ -273,7 +273,45 @@ def overlap_stress(cases: list[tuple[int, int]]) -> None:
     spark.stop()
 
 
+def quantile_stress(sizes: list[int]) -> None:
+    """Exact percentile vs approx_percentile (GK sketch) on a heavy-tailed
+    column: wall time and worst relative value error across p50/p90/p99/
+    p999. Exact percentile materializes per-group sorted state (memory
+    O(n) on the reducer at these shapes); the sketch is fixed-width —
+    the 100 TB variant — and the probe quantifies what its accuracy knob
+    actually buys."""
+    spark = get_session(app_name="quantile-stress")
+    ps = [0.5, 0.9, 0.99, 0.999]
+
+    print("| rows | exact (s) | approx@1k (s) | err@1k | approx@10k (s) | err@10k |")
+    print("|---|---|---|---|---|---|")
+    for n in sizes:
+        # deterministic heavy tail: exp(6 * u^4), u uniform from a hash
+        u = (F.abs(F.xxhash64("id")) % 1_000_000) / 1_000_000.0
+        df = spark.range(n).select(F.exp(u * u * u * u * 6).alias("v"))
+        df = df.localCheckpoint()
+
+        t0 = time.perf_counter()
+        exact = df.agg(F.percentile("v", ps).alias("q")).first()["q"]
+        t_exact = time.perf_counter() - t0
+
+        cells = [str(n), f"{t_exact:.1f}"]
+        for acc in (1_000, 10_000):
+            t0 = time.perf_counter()
+            approx = df.agg(
+                F.percentile_approx("v", ps, F.lit(acc)).alias("q")
+            ).first()["q"]
+            dt = time.perf_counter() - t0
+            err = max(abs(a - e) / e for a, e in zip(approx, exact))
+            cells += [f"{dt:.1f}", f"{err:.2e}"]
+        print("| " + " | ".join(cells) + " |")
+    spark.stop()
+
+
 def main() -> None:
+    if len(sys.argv) > 1 and sys.argv[1] == "quantile":
+        quantile_stress([int(s) for s in sys.argv[2:]] or [10_000_000, 60_000_000])
+        return
     if len(sys.argv) > 1 and sys.argv[1] == "overlap":
         overlap_stress([(50, 40), (200, 40), (800, 40), (3200, 10)])
         return
