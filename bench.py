@@ -108,6 +108,7 @@ HEADLINE = [
     "cross_source_overlap",
     "embedding_dimension_profile",
     "normalized_dedup_profile",
+    "balanced_sample_plan",
 ]
 
 

@@ -28,10 +28,11 @@ driver row was fully green in round N-1 may rotate to the tail in round
 N; every query returns to the window within two rounds of its last
 driver row. With a 50-slot window this is satisfiable **iff the
 registered surface stays ≤ 100** (two disjoint windows cover at most 100
-queries in two rounds). The surface is 92 after round 6 (82 + 5 new
-scored + 5 new tail: ``trailing_window_rates``, ``table_stats_profile``,
+queries in two rounds). The surface is 93 after round 6 (82 + 5 new
+scored + 6 new tail: ``trailing_window_rates``, ``table_stats_profile``,
 ``cross_source_overlap``, ``embedding_dimension_profile``,
-``normalized_dedup_profile`` — all oracle-gated from day one and due
+``normalized_dedup_profile``, ``balanced_sample_plan`` — all
+oracle-gated from day one and due
 for promotion in r7); growth of ~6 queries/round hits the ceiling
 around round 8–9. Standing
 decision (resolving the r5 verdict's "What's wrong #3"): the two-round
@@ -97,11 +98,12 @@ Round-6 rotation (applied this round):
   ``returnflag_pivot``, ``status_priority_rollup``,
   ``unpivot_status_metrics``.
 - round-7 feasibility check: the 37 demotions are due back by r8 under
-  the letter of the policy, but r7 should take them all PLUS the four
+  the letter of the policy, but r7 should take them all PLUS the six
   never-scored tail queries (``trailing_window_rates``,
   ``table_stats_profile``, ``cross_source_overlap``,
-  ``embedding_dimension_profile``, ``normalized_dedup_profile``):
-  37 + 5 = 42 promotions, leaving at most 8 slots for keeps/new — so
+  ``embedding_dimension_profile``, ``normalized_dedup_profile``,
+  ``balanced_sample_plan``): 37 + 6 = 43 promotions, leaving at most
+  7 slots for keeps/new — so
   r7 keeps only a handful of sole family representatives and adds few
   or no new queries (or starts retiring: ``doc_fingerprint`` first).
   Plan accordingly.
@@ -239,6 +241,7 @@ _TAIL = (
     "cross_source_overlap",
     "embedding_dimension_profile",
     "normalized_dedup_profile",
+    "balanced_sample_plan",
 )
 
 # Retirement mechanism (see docstring): retired names leave the driver

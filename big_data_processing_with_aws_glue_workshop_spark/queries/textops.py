@@ -1340,6 +1340,42 @@ def q_normalized_dedup_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_BALANCED_K = 10  # docs per source in the balanced sample
+
+
+def q_balanced_sample_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source fixed-size balanced sample: exactly K documents from
+    EVERY source, chosen by deterministic hash rank — the eval-set /
+    inspection-set construction primitive (uniform Bernoulli sampling
+    over-represents big sources; mixture sampling weights by token
+    budget; this gives each stratum equal representation, reproducibly).
+
+    Selection is rank-by-md5(doc_id) with the raw digest as its own
+    total tiebreak, so membership is independent of partition layout and
+    engine, and re-runs (or a re-shard of the corpus) pick the identical
+    documents. Plan: narrow digest projection -> ONE window shuffle on
+    the source key -> rank filter. Catalyst rewrites the rank<=K filter
+    into a map-side WindowGroupLimit before the exchange (same rewrite
+    the keep-latest dedup relies on), so each reducer receives at most
+    map_partitions x K rows per source — hot sources cost the same as
+    cold ones, which is what makes this safe at 100 TB."""
+    d = load(spark, sf_dir, "documents")
+    w = Window.partitionBy("source").orderBy("pick_key")
+    return (
+        d.select(
+            "doc_id",
+            "source",
+            F.md5(F.concat(F.lit("bal:"), F.col("doc_id").cast("string"))).alias(
+                "pick_key"
+            ),
+            F.size(_tokens(F.col("text"))).alias("n_tokens"),
+        )
+        .withColumn("sample_rank", F.row_number().over(w).cast("int"))
+        .filter(F.col("sample_rank") <= _BALANCED_K)
+        .select("source", "sample_rank", "doc_id", "n_tokens")
+    )
+
+
 QUERIES = {
     "doc_token_stats": q_doc_token_stats,
     "token_length_histogram": q_token_length_histogram,
@@ -1370,6 +1406,7 @@ QUERIES = {
     "dataset_split_assignment": q_dataset_split_assignment,
     "cross_source_overlap": q_cross_source_overlap,
     "normalized_dedup_profile": q_normalized_dedup_profile,
+    "balanced_sample_plan": q_balanced_sample_plan,
 }
 
 _DUCK_SHINGLES = """
@@ -2200,4 +2237,26 @@ ORACLES["normalized_dedup_profile"] = f"""
            CAST(SUM(raw_len) - SUM(norm_len) AS DOUBLE)
              / CAST(SUM(raw_len) AS BIGINT) AS removal_ratio
     FROM per GROUP BY 1
+"""
+
+
+# Mirrors q_balanced_sample_plan: identical md5 pick key, ROW_NUMBER over
+# the same (source, pick_key) total order.
+ORACLES["balanced_sample_plan"] = f"""
+    WITH keyed AS (
+      SELECT doc_id, source,
+             md5('bal:' || CAST(doc_id AS VARCHAR)) AS pick_key,
+             CAST(len(string_split_regex(trim(lower(text)), '[ \\t\\n\\f\\r]+'))
+                  AS INTEGER) AS n_tokens
+      FROM documents
+    ),
+    ranked AS (
+      SELECT source,
+             CAST(ROW_NUMBER() OVER (PARTITION BY source ORDER BY pick_key)
+                  AS INTEGER) AS sample_rank,
+             doc_id, n_tokens
+      FROM keyed
+    )
+    SELECT source, sample_rank, doc_id, n_tokens
+    FROM ranked WHERE sample_rank <= {_BALANCED_K}
 """

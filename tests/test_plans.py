@@ -237,3 +237,17 @@ def test_quantization_profile_is_scan_bound(spark):
     assert "Join" not in plan, plan
     assert "Python" not in plan and "ArrowEval" not in plan, plan
     assert "HashAggregate" in plan, plan
+
+
+def test_balanced_sample_map_side_group_limit(spark):
+    """The rank<=K filter must be rewritten into a Partial
+    WindowGroupLimit BEFORE the exchange (the property the docstring's
+    hot-source claim rests on): each mapper forwards at most K rows per
+    source, so a hot source costs what a cold one does."""
+    plan = plan_of(spark, "balanced_sample_plan")
+    # two WindowGroupLimit nodes: the Partial one below the Exchange
+    # (map-side) and the Final one above it
+    assert plan.count("WindowGroupLimit") >= 2, plan
+    tree = plan.split("(1) Scan")[0]
+    assert tree.index("Exchange") < tree.rindex("WindowGroupLimit"), tree
+    assert "Partial" in plan, plan
