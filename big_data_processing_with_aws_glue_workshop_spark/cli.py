@@ -224,6 +224,32 @@ def cmd_refresh(args: argparse.Namespace) -> None:
     )
 
 
+def cmd_compact(args: argparse.Namespace) -> None:
+    """Small-file compaction of a (possibly hive-partitioned) parquet lake
+    (operators/compaction.py): rewrite each oversized partition into
+    ceil(bytes / target) files; metadata-only plan with --dry-run."""
+    from .operators.compaction import compact_parquet_lake, plan_compaction
+
+    spark = get_session(app_name="compact")
+    target = args.target_mb * 1024 * 1024
+    if args.dry_run:
+        plans = [p for p in plan_compaction(spark, args.path, target)]
+        executed = [p for p in plans if p.needs_compaction]
+    else:
+        executed = compact_parquet_lake(spark, args.path, target)
+    _emit(
+        {
+            "job": "compact",
+            "path": args.path,
+            "dry_run": args.dry_run,
+            "partitions_compacted": len(executed),
+            "files_before": sum(p.n_files for p in executed),
+            "files_after": sum(p.target_files for p in executed),
+            "bytes": sum(p.total_bytes for p in executed),
+        }
+    )
+
+
 def cmd_query(args: argparse.Namespace) -> None:
     from .queries import ORACLES, QUERIES
 
@@ -314,6 +340,16 @@ def build_parser() -> argparse.ArgumentParser:
     r.add_argument("--keys", nargs="+", required=True)
     r.add_argument("--order-col", default=None)
     r.set_defaults(func=cmd_refresh)
+
+    c = sub.add_parser(
+        "compact",
+        help="small-file compaction: rewrite oversized partitions into "
+        "right-sized parquet files (operators/compaction.py)",
+    )
+    c.add_argument("--path", required=True, help="lake root directory")
+    c.add_argument("--target-mb", type=int, default=128)
+    c.add_argument("--dry-run", action="store_true")
+    c.set_defaults(func=cmd_compact)
 
     q = sub.add_parser("query", help="run a registered engine query by name")
     q.add_argument("--name", default="pricing_summary")

@@ -1,0 +1,222 @@
+"""Small-file compaction for plain-parquet lakes.
+
+The 100 TB failure mode this addresses: incremental/streaming writers and
+over-parallel jobs leave Hive partitions holding thousands of KB-scale
+parquet files. Every downstream scan then pays per-file open/footer-parse
+costs, the driver pays O(files) listing and split planning, and the
+NameNode/object-store pays the metadata load — scan time becomes dominated
+by file count, not data volume. Compaction rewrites each oversized
+partition into ``ceil(bytes / target_file_bytes)`` right-sized files
+(the reference hand-sizes its writes for the same reason — repartition(30)
+at src/bronze/job-bronze-rues.py:135-136 — but never maintains the layout
+after the fact; this operator is the missing maintenance half).
+
+Design:
+
+- **Metadata-bounded planning.** The plan comes from a recursive Hadoop
+  ``FileSystem.listFiles`` walk (works on HDFS/S3A/local alike) grouped by
+  partition directory — no data is read to decide what to compact. Only
+  partitions whose file count exceeds their byte-derived target are
+  touched; an already-compact lake is a no-op (idempotent).
+- **Per-partition rewrite, not a global one.** Each selected partition is
+  read from its explicit file list (so the job scans exactly the files
+  being replaced, never the whole lake) and rewritten with
+  ``repartition(target_files)``. Partition-column values never enter the
+  job: hive layout keeps them in directory names and the rewritten files
+  land back in the same directory. A driver-side loop over partitions is
+  metadata-scale work; each iteration is one bounded Spark job.
+- **Crash-recoverable swap protocol.** Plain parquet has no transaction
+  log, so a fully atomic swap is impossible (that is what table formats
+  add; see ``sources/formats.py::require_format``). The protocol here
+  makes every crash window recoverable with no duplicates and no loss:
+
+      1. write compacted files under <root>/.compaction_tmp/<partition>/
+      2. delete the partition's OLD data files
+      3. rename each tmp file into the partition directory
+      4. remove the tmp directory
+
+  Rename is atomic per file on HDFS and local filesystems. A crash before
+  step 2 leaves the lake untouched (tmp is ignored by readers: dot-prefixed
+  directories are hidden from Spark/Hive listings). A crash during 2-4
+  leaves the partition's surviving rows exactly once across partition dir
+  + tmp; ``recover_compaction`` completes steps 3-4 (each file moves at
+  most once, so re-running it is also safe). Concurrent readers during the
+  swap can see a partial partition — schedule compaction off-peak, or use
+  a transactional table format where that is unacceptable. On S3A, rename
+  is copy+delete (slower, still per-file recoverable via the same
+  protocol).
+"""
+
+from __future__ import annotations
+
+import math
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, SparkSession
+
+DEFAULT_TARGET_FILE_BYTES = 128 * 1024 * 1024
+TMP_DIR_NAME = ".compaction_tmp"
+
+
+@dataclass(frozen=True)
+class PartitionPlan:
+    """One partition's compaction decision (partition == '' for an
+    unpartitioned lake root)."""
+
+    partition: str
+    n_files: int
+    total_bytes: int
+    target_files: int
+
+    @property
+    def needs_compaction(self) -> bool:
+        return self.n_files > self.target_files
+
+
+def _fs_and_path(spark: SparkSession, path: str):
+    jvm = spark._jvm  # noqa: SLF001 — Hadoop FS API has no public pyspark surface
+    hpath = jvm.org.apache.hadoop.fs.Path(path)
+    fs = hpath.getFileSystem(spark._jsc.hadoopConfiguration())  # noqa: SLF001
+    return fs, hpath, jvm
+
+
+def _is_hidden(name: str) -> bool:
+    return name.startswith(".") or name.startswith("_")
+
+
+def list_data_files(
+    spark: SparkSession, root: str
+) -> dict[str, list[tuple[str, int]]]:
+    """Recursively list the lake's data files, grouped by partition
+    directory relative to ``root`` ('' for files directly under it).
+    Hidden files/dirs (``_SUCCESS``, ``.compaction_tmp``, ...) are skipped,
+    mirroring what Spark's own file index ignores."""
+    fs, hroot, _ = _fs_and_path(spark, root)
+    root_uri = fs.makeQualified(hroot).toString().rstrip("/")
+    groups: dict[str, list[tuple[str, int]]] = {}
+    it = fs.listFiles(hroot, True)
+    while it.hasNext():
+        status = it.next()
+        p = status.getPath()
+        rel = p.toString()[len(root_uri) :].lstrip("/")
+        parts = rel.split("/")
+        if any(_is_hidden(seg) for seg in parts):
+            continue
+        partition = "/".join(parts[:-1])
+        groups.setdefault(partition, []).append((p.toString(), status.getLen()))
+    return groups
+
+
+def plan_compaction(
+    spark: SparkSession,
+    root: str,
+    target_file_bytes: int = DEFAULT_TARGET_FILE_BYTES,
+) -> list[PartitionPlan]:
+    """Metadata-only compaction plan: one row per partition, with the
+    byte-derived target file count. Nothing is read or written."""
+    plans = []
+    for partition, files in sorted(list_data_files(spark, root).items()):
+        total = sum(size for _, size in files)
+        target = max(1, math.ceil(total / target_file_bytes))
+        plans.append(
+            PartitionPlan(
+                partition=partition,
+                n_files=len(files),
+                total_bytes=total,
+                target_files=target,
+            )
+        )
+    return plans
+
+
+def _move_tmp_into(fs, jvm, tmp_dir: str, dest_dir: str) -> int:
+    """Step 3+4 of the swap: rename every data file under ``tmp_dir`` into
+    ``dest_dir``, then drop ``tmp_dir``. Idempotent — each file moves at
+    most once, so completing a crashed swap is a re-run."""
+    htmp = jvm.org.apache.hadoop.fs.Path(tmp_dir)
+    if not fs.exists(htmp):
+        return 0
+    moved = 0
+    for status in fs.listStatus(htmp):
+        name = status.getPath().getName()
+        if _is_hidden(name):
+            continue
+        dest = jvm.org.apache.hadoop.fs.Path(dest_dir + "/" + name)
+        if not fs.rename(status.getPath(), dest):  # pragma: no cover
+            raise IOError(f"rename failed: {status.getPath()} -> {dest}")
+        moved += 1
+    fs.delete(htmp, True)
+    return moved
+
+
+def compact_parquet_lake(
+    spark: SparkSession,
+    root: str,
+    target_file_bytes: int = DEFAULT_TARGET_FILE_BYTES,
+) -> list[PartitionPlan]:
+    """Rewrite every partition holding more files than its byte-derived
+    target into exactly ``target_files`` files. Returns the plans that were
+    executed (empty list == lake already compact). Values, schema, and
+    hive partition layout are preserved bit-for-bit; only file boundaries
+    change."""
+    fs, hroot, jvm = _fs_and_path(spark, root)
+    root_uri = fs.makeQualified(hroot).toString().rstrip("/")
+    executed = []
+    for plan in plan_compaction(spark, root, target_file_bytes):
+        if not plan.needs_compaction:
+            continue
+        part_suffix = f"/{plan.partition}" if plan.partition else ""
+        part_dir = root_uri + part_suffix
+        tmp_dir = f"{root_uri}/{TMP_DIR_NAME}{part_suffix}"
+        old_files = [f for f, _ in list_data_files(spark, root)[plan.partition]]
+        # 1. write right-sized files to the hidden tmp dir (reads ONLY the
+        # files being replaced; partition values stay in the dir name)
+        (
+            spark.read.parquet(*old_files)
+            .repartition(plan.target_files)
+            .write.mode("overwrite")
+            .option("compression", "snappy")
+            .parquet(tmp_dir)
+        )
+        # 2. delete the replaced files; 3.+4. swap the new ones in
+        for f in old_files:
+            fs.delete(jvm.org.apache.hadoop.fs.Path(f), False)
+        _move_tmp_into(fs, jvm, tmp_dir, part_dir)
+        executed.append(plan)
+    # drop the (now empty) tmp root so readers never see the hidden dir
+    fs.delete(jvm.org.apache.hadoop.fs.Path(root_uri + "/" + TMP_DIR_NAME), True)
+    return executed
+
+
+def recover_compaction(spark: SparkSession, root: str) -> int:
+    """Complete a swap interrupted after its delete step: move any files
+    still parked under ``.compaction_tmp`` into their partition
+    directories. Returns the number of files restored. Safe to run
+    unconditionally (no tmp dir == 0)."""
+    fs, hroot, jvm = _fs_and_path(spark, root)
+    root_uri = fs.makeQualified(hroot).toString().rstrip("/")
+    tmp_root = root_uri + "/" + TMP_DIR_NAME
+    htmp_root = jvm.org.apache.hadoop.fs.Path(tmp_root)
+    if not fs.exists(htmp_root):
+        return 0
+    # tmp mirrors the partition tree: walk to the dirs that hold files
+    restored = 0
+    stack = [htmp_root]
+    while stack:
+        d = stack.pop()
+        statuses = list(fs.listStatus(d))
+        subdirs = [s for s in statuses if s.isDirectory()]
+        files = [s for s in statuses if not s.isDirectory()]
+        if files:
+            rel = d.toString()[len(tmp_root) :].lstrip("/")
+            dest = root_uri + (f"/{rel}" if rel else "")
+            restored += _move_tmp_into(fs, jvm, d.toString(), dest)
+        stack.extend(s.getPath() for s in subdirs)
+    fs.delete(htmp_root, True)
+    return restored
+
+
+def read_lake(spark: SparkSession, root: str) -> DataFrame:
+    """Plain partition-discovering read of the lake (convenience for
+    CLI/test verification)."""
+    return spark.read.parquet(root)
