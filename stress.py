@@ -308,7 +308,63 @@ def quantile_stress(sizes: list[int]) -> None:
     spark.stop()
 
 
+def compaction_stress(file_counts: list[int]) -> None:
+    """Fragmentation cost curve: the same lineitem bytes laid out as n
+    small files, scan-agg time per layout, then the compaction pass
+    (operators/compaction.py) and the recovered scan time. Quantifies the
+    'file count, not data volume' failure mode the compactor exists for —
+    at 100 TB the per-file open/footer/listing overhead multiplies by the
+    task count, so the local curve is the lower bound on the damage."""
+    import shutil
+    import tempfile
+
+    from big_data_processing_with_aws_glue_workshop_spark.operators.compaction import (
+        compact_parquet_lake,
+        list_data_files,
+    )
+
+    spark = get_session(app_name="compaction-stress")
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    src = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+
+    def scan_time(path: str) -> float:
+        spark.catalog.clearCache()
+        t0 = time.perf_counter()
+        (
+            spark.read.parquet(path)
+            .groupBy("l_returnflag")
+            .agg(F.sum("l_extendedprice"))
+            .collect()
+        )
+        return time.perf_counter() - t0
+
+    print("| files | scan (s) | compact (s) | files after | scan after (s) |")
+    print("|---|---|---|---|---|")
+    for n in file_counts:
+        lake = tempfile.mkdtemp(prefix=f"frag{n}-")
+        try:
+            src.repartition(n).write.mode("overwrite").parquet(lake)
+            t_frag = scan_time(lake)
+            t0 = time.perf_counter()
+            compact_parquet_lake(spark, lake)  # default 128 MB target
+            t_compact = time.perf_counter() - t0
+            n_after = len(list_data_files(spark, lake)[""])
+            t_comp = scan_time(lake)
+            print(
+                f"| {n} | {t_frag:.2f} | {t_compact:.2f} "
+                f"| {n_after} | {t_comp:.2f} |"
+            )
+        finally:
+            shutil.rmtree(lake, ignore_errors=True)
+    spark.stop()
+
+
 def main() -> None:
+    if len(sys.argv) > 1 and sys.argv[1] == "compaction":
+        compaction_stress(
+            [int(s) for s in sys.argv[2:]] or [16, 256, 2048, 8192]
+        )
+        return
     if len(sys.argv) > 1 and sys.argv[1] == "quantile":
         quantile_stress([int(s) for s in sys.argv[2:]] or [10_000_000, 60_000_000])
         return
