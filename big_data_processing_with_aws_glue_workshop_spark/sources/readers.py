@@ -82,6 +82,47 @@ def read_parquet_lake(
     return df
 
 
+def read_parquet_tolerant(
+    spark: SparkSession,
+    path: str,
+    merge_schema: bool = False,
+    ignore_corrupt: bool = False,
+    ignore_missing: bool = True,
+    modified_after: str | None = None,
+    recursive: bool = False,
+) -> DataFrame:
+    """Lake scan hardened for the failure modes a 100 TB corpus actually
+    has (none of which the reference meets on its single curated CSV):
+
+    - ``merge_schema``: schema evolution across files — a column added by
+      a newer writer appears (nullable NULL) for older files instead of
+      whichever single file footer Spark sampled deciding the schema.
+      Costs a footer read per file at planning; leave off for
+      schema-stable lakes.
+    - ``ignore_corrupt``: skip unreadable/truncated files (a failed
+      writer's torn output) instead of failing the whole scan N hours in.
+      Per-read option, so one quarantine-aware job can opt in while the
+      default strict contract stays job-failing.
+    - ``ignore_missing``: tolerate files deleted between driver listing
+      and task execution (compaction/retention running concurrently —
+      e.g. ``operators/compaction.py`` swaps, whose windows are benign
+      for idempotent readers).
+    - ``modified_after`` (``YYYY-MM-DDTHH:MM:SS``): driver-side listing
+      filter on modification time — a poor-man's incremental read when no
+      bookmark state exists (``sources/bookmarks.py`` is the real one).
+    - ``recursive``: pick up nested non-hive directory trees.
+    """
+    reader = (
+        spark.read.option("mergeSchema", str(merge_schema).lower())
+        .option("ignoreCorruptFiles", str(ignore_corrupt).lower())
+        .option("ignoreMissingFiles", str(ignore_missing).lower())
+        .option("recursiveFileLookup", str(recursive).lower())
+    )
+    if modified_after:
+        reader = reader.option("modifiedAfter", modified_after)
+    return reader.parquet(path)
+
+
 def rows_to_df(
     spark: SparkSession,
     rows: list[Mapping],

@@ -219,3 +219,65 @@ def test_orc_round_trip_and_pushdown(spark, tmp_path):
     assert back.count() == 9
     plan = back._jdf.queryExecution().executedPlan().toString()
     assert "PushedFilters" in plan and "id" in plan  # pushdown reaches the ORC scan
+
+
+# -- tolerant lake reads (read_parquet_tolerant) -----------------------------
+
+
+def test_tolerant_merge_schema_evolution(spark, tmp_path):
+    from big_data_processing_with_aws_glue_workshop_spark.sources.readers import (
+        read_parquet_tolerant,
+    )
+
+    lake = str(tmp_path / "evolving")
+    spark.range(3).select(F.col("id"), F.lit("a").alias("x")).write.parquet(
+        lake + "/f1"
+    )
+    spark.range(3, 6).select(
+        F.col("id"), F.lit("b").alias("x"), F.lit(1).alias("z")
+    ).write.parquet(lake + "/f2")
+
+    merged = read_parquet_tolerant(
+        spark, lake + "/f*", merge_schema=True
+    )
+    assert set(merged.columns) == {"id", "x", "z"}
+    rows = {r["id"]: r["z"] for r in merged.collect()}
+    assert rows[0] is None and rows[5] == 1  # old files -> NULL new column
+
+
+def test_tolerant_skips_corrupt_file_strict_fails(spark, tmp_path):
+    from big_data_processing_with_aws_glue_workshop_spark.sources.readers import (
+        read_parquet_tolerant,
+    )
+
+    lake = tmp_path / "corrupt"
+    spark.range(10).write.parquet(str(lake))
+    # a torn write: garbage bytes with a .parquet name
+    (lake / "part-junk.snappy.parquet").write_bytes(b"PAR1 not really parquet")
+
+    tolerant = read_parquet_tolerant(spark, str(lake), ignore_corrupt=True)
+    assert tolerant.count() == 10
+    with pytest.raises(Exception):
+        spark.read.parquet(str(lake)).count()  # strict default still fails
+
+
+def test_tolerant_modified_after_filters_old_files(spark, tmp_path):
+    import os
+
+    from big_data_processing_with_aws_glue_workshop_spark.sources.readers import (
+        read_parquet_tolerant,
+    )
+
+    lake = str(tmp_path / "aged")
+    spark.range(4).write.parquet(lake + "/old")
+    spark.range(4, 6).write.parquet(lake + "/new")
+    # age the first directory's files well into the past
+    past = 946684800  # 2000-01-01
+    for root, _, files in os.walk(lake + "/old"):
+        for f in files:
+            os.utime(os.path.join(root, f), (past, past))
+
+    recent = read_parquet_tolerant(
+        spark, lake + "/*", modified_after="2020-01-01T00:00:00"
+    )
+    assert sorted(r["id"] for r in recent.collect()) == [4, 5]
