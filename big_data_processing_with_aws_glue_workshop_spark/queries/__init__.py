@@ -28,18 +28,18 @@ driver row was fully green in round N-1 may rotate to the tail in round
 N; every query returns to the window within two rounds of its last
 driver row. With a 50-slot window this is satisfiable **iff the
 registered surface stays ≤ 100** (two disjoint windows cover at most 100
-queries in two rounds). The surface is 93 after round 6 (82 + 5 new
-scored + 6 new tail: ``trailing_window_rates``, ``table_stats_profile``,
-``cross_source_overlap``, ``embedding_dimension_profile``,
-``normalized_dedup_profile``, ``balanced_sample_plan`` — all
-oracle-gated from day one and due
-for promotion in r7); growth of ~6 queries/round hits the ceiling
-around round 8–9. Standing
+queries in two rounds). The LIVE surface is 95 after round 6
+(82 + 5 new scored + 6 early tail + 3 late tail − 1 retired; the nine
+tail additions are all oracle-gated from day one and due for promotion
+in r7); growth of ~6 queries/round hits the ceiling
+around round 8–9, so retirement starts this round. Standing
 decision (resolving the r5 verdict's "What's wrong #3"): the two-round
 promise stays; the round that would push the surface past 100 must
 either add fewer queries or move superseded ones to ``_RETIRED`` —
-first candidates ``doc_fingerprint`` (superseded by
-``doc_winnow_fingerprint``) and ``tumbling_windows``/``sliding_windows``
+executed for the first time this round: ``doc_fingerprint`` (superseded
+by ``doc_winnow_fingerprint``, whose winnowing generalizes the min-hash
+shingle fingerprint) is retired; next candidates are
+``tumbling_windows``/``sliding_windows``
 (the session/hourly-rollup pair covers the family). Preference when
 choosing which green-last-round rows to keep scored: sole
 representatives of an operator family (cube, ntile, as-of join, range
@@ -97,16 +97,27 @@ Round-6 rotation (applied this round):
   ``embedding_near_dup_pairs``, ``promo_revenue_share``,
   ``returnflag_pivot``, ``status_priority_rollup``,
   ``unpivot_status_metrics``.
-- round-7 feasibility check: the 37 demotions are due back by r8 under
-  the letter of the policy, but r7 should take them all PLUS the six
-  never-scored tail queries (``trailing_window_rates``,
+- retired this round (1): ``doc_fingerprint`` — superseded by
+  ``doc_winnow_fingerprint``; keeps its implementation and its pytest
+  oracle gate (``RETIRED_QUERIES``/``RETIRED_ORACLES`` below feed
+  tests/test_queries_oracle.py) but no longer claims a driver slot.
+- late-r6 additions to the tail (3, promote in r7, oracle-gated from
+  day one): ``user_cohort_retention`` (cohort retention triangle),
+  ``order_snapshot_diff`` (full-outer CDC reconciliation via
+  operators/diff.py), ``part_name_linkage`` (blocked Levenshtein
+  entity resolution).
+- round-7 feasibility check: due-back promotions in r7 are the 36
+  live r6 demotions (37 minus the retired ``doc_fingerprint``) + the
+  six early-r6 tail queries (``trailing_window_rates``,
   ``table_stats_profile``, ``cross_source_overlap``,
   ``embedding_dimension_profile``, ``normalized_dedup_profile``,
-  ``balanced_sample_plan``): 37 + 6 = 43 promotions, leaving at most
-  7 slots for keeps/new — so
-  r7 keeps only a handful of sole family representatives and adds few
-  or no new queries (or starts retiring: ``doc_fingerprint`` first).
-  Plan accordingly.
+  ``balanced_sample_plan``) + the three late-r6 tail queries above:
+  36 + 6 + 3 = 45 promotions, leaving 5 slots for keeps — so r7 keeps
+  only ~5 sole family representatives, adds NO new scored-from-day-one
+  queries, and any new r7 operators enter the tail (due r8, where the
+  due-back load is only the ~50-45=... the 50 r7 demotions minus
+  whatever r8 retires — run this same arithmetic again in r7's
+  registry update before adding anything).
 """
 
 import functools
@@ -211,7 +222,6 @@ _TAIL = (
     "value_zscore_outliers",
     "event_value_percentiles",
     "user_event_deltas",
-    "doc_fingerprint",
     "ngram_jaccard_pairs",
     "active_customers_by_segment",
     "avg_balance_by_nation",
@@ -242,11 +252,17 @@ _TAIL = (
     "embedding_dimension_profile",
     "normalized_dedup_profile",
     "balanced_sample_plan",
+    # late-r6 additions (promote in r7): retention triangle, CDC diff,
+    # blocked-Levenshtein linkage — oracle-gated from day one
+    "user_cohort_retention",
+    "order_snapshot_diff",
+    "part_name_linkage",
 )
 
 # Retirement mechanism (see docstring): retired names leave the driver
-# registry but MUST keep their implementation + pytest oracle coverage.
-_RETIRED = ()
+# registry but MUST keep their implementation + pytest oracle coverage
+# (exported as RETIRED_QUERIES/RETIRED_ORACLES for the pytest gate).
+_RETIRED = ("doc_fingerprint",)
 
 # Module-level invariants the correctness driver depends on. Explicit raises,
 # not assert: python -O strips asserts, which would silently disable the
@@ -291,16 +307,26 @@ def _self_sufficient(fn):
     return wrapped
 
 
+_ALL_ORACLES = {
+    **_REL_ORACLES,
+    **_AT_ORACLES,
+    **_EV_ORACLES,
+    **_TX_ORACLES,
+    **_VC_ORACLES,
+    **_MD_ORACLES,
+}
+
 QUERIES = {name: _self_sufficient(_ALL_QUERIES[name]) for name in _SCORED + _TAIL}
 ORACLES = {
-    name: sql
-    for name, sql in {
-        **_REL_ORACLES,
-        **_AT_ORACLES,
-        **_EV_ORACLES,
-        **_TX_ORACLES,
-        **_VC_ORACLES,
-        **_MD_ORACLES,
-    }.items()
-    if name not in _RETIRED
+    name: sql for name, sql in _ALL_ORACLES.items() if name not in _RETIRED
+}
+
+# Retired queries stay pytest-gated (tests/test_queries_oracle.py) even
+# though the driver no longer scores them: retirement frees a rotation
+# slot, it does not waive correctness.
+RETIRED_QUERIES = {
+    name: _self_sufficient(_ALL_QUERIES[name]) for name in _RETIRED
+}
+RETIRED_ORACLES = {
+    name: _ALL_ORACLES[name] for name in _RETIRED if name in _ALL_ORACLES
 }

@@ -13,7 +13,7 @@ buckets (2000-01-01 is a whole multiple of 5/10 minutes since the epoch).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ._tables import load
@@ -444,8 +444,63 @@ def q_event_type_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFram
     )
 
 
+def q_user_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort retention matrix: bucket every user into the epoch-week of
+    their FIRST event (the cohort), then count, for each (cohort, weeks
+    since first), how many of that cohort's users were active — the
+    standard product-analytics retention triangle.
+
+    Week buckets are integer floor-divisions of epoch microseconds
+    (``unix_micros(ts) DIV week``) — exact int64 arithmetic on both
+    engines, no timezone/week-start convention in play.
+
+    Spark plan: ONE shuffle on user_id computes the per-user first week as
+    a window MIN (no self-join back to a firsts table — the window reuses
+    the same hash partitioning the naive join would shuffle twice for),
+    then a count-distinct aggregate on the tiny (cohort, offset) matrix;
+    Spark plans the distinct as the standard two-phase Expand. The final
+    retention share divides each cell by its cohort's week-0 size via a
+    window over the matrix — a few dozen rows, cost-free. At 100 TB the
+    only big exchange is the user_id partitioning, and user_id is also the
+    natural key to pre-bucket the events lake on (making this, the funnel,
+    the transition matrix, and sessionization all exchange-free)."""
+    week_us = 7 * 24 * 3600 * 1_000_000
+    ev = load(spark, sf_dir, "events")
+    w_user = Window.partitionBy("user_id")
+    weekly = (
+        ev.select(
+            "user_id",
+            F.expr(f"unix_micros(ts) DIV {week_us}").alias("epoch_week"),
+        )
+        .withColumn("cohort_week", F.min("epoch_week").over(w_user))
+    )
+    matrix = weekly.groupBy(
+        "cohort_week",
+        (F.col("epoch_week") - F.col("cohort_week"))
+        .cast("int")
+        .alias("weeks_since_first"),
+    ).agg(
+        F.count_distinct("user_id").alias("n_active_users"),
+        F.count(F.lit(1)).alias("n_events"),
+    )
+    w_cohort = Window.partitionBy("cohort_week")
+    cohort_size = F.max(
+        F.when(F.col("weeks_since_first") == 0, F.col("n_active_users"))
+    ).over(w_cohort)
+    return matrix.select(
+        "cohort_week",
+        "weeks_since_first",
+        "n_active_users",
+        "n_events",
+        (F.col("n_active_users").cast("double") / cohort_size).alias(
+            "retention_share"
+        ),
+    )
+
+
 QUERIES = {
     "tumbling_windows": q_tumbling_windows,
+    "user_cohort_retention": q_user_cohort_retention,
     "interval_join_batch": q_interval_join_batch,
     "event_type_transition_matrix": q_event_type_transition_matrix,
     "trailing_window_rates": q_trailing_window_rates,
@@ -462,6 +517,32 @@ QUERIES = {
 }
 
 ORACLES = {
+    # retention twin: per-user first week via window MIN, then the cohort
+    # matrix with a MAX(CASE) window for the week-0 cohort size. Integer
+    # epoch-microsecond floor-division matches the engine exactly.
+    "user_cohort_retention": """
+        WITH weekly AS (
+          SELECT user_id,
+                 epoch_us(ts) // 604800000000 AS epoch_week,
+                 MIN(epoch_us(ts) // 604800000000)
+                   OVER (PARTITION BY user_id) AS cohort_week
+          FROM events
+        ),
+        matrix AS (
+          SELECT cohort_week,
+                 CAST(epoch_week - cohort_week AS INTEGER)
+                   AS weeks_since_first,
+                 CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_active_users,
+                 CAST(COUNT(1) AS BIGINT) AS n_events
+          FROM weekly
+          GROUP BY 1, 2
+        )
+        SELECT cohort_week, weeks_since_first, n_active_users, n_events,
+               CAST(n_active_users AS DOUBLE)
+                 / MAX(CASE WHEN weeks_since_first = 0 THEN n_active_users END)
+                     OVER (PARTITION BY cohort_week) AS retention_share
+        FROM matrix
+    """,
     # funnel twin: the classic 3-level dependent-aggregation chain (each
     # stage joins the previous stage's converting timestamp); the engine's
     # single-shuffle array walk must reproduce these counts exactly

@@ -750,6 +750,102 @@ def q_table_stats_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_order_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDC reconciliation audit (operators/diff.py::snapshot_diff): diff two
+    versions of the orders table and report, per change shape, how many keys
+    were added / removed / changed (and in which columns) / unchanged.
+
+    The two snapshots are derived deterministically from the one immutable
+    testdata table: the "old" version is missing every 11th-residue key
+    (inserted later), the "new" version is missing every 13th-residue key
+    (deleted since), and the new version re-prices every 7th-residue order
+    (+10.00, an exact IEEE double add — no rounding, so both engines see
+    the identical bit pattern) and re-flags every 19th-residue order's
+    priority. Overlapping residues exercise multi-column change rows.
+
+    Spark plan: two filtered scans of the same parquet → ONE full-outer
+    sort-merge join on o_orderkey → narrow change-classification projection
+    → hash agg on the tiny (change_type, changed_cols) key space. The join
+    is the irreducible cost of an exact diff; bucketed snapshots
+    (sources/catalog.py) make it exchange-free at 100 TB.
+    """
+    from ..operators.diff import snapshot_diff
+
+    o = load(spark, sf_dir, "orders")
+    old = o.filter(F.col("o_orderkey") % 11 != 3).select(
+        "o_orderkey",
+        F.col("o_totalprice").alias("price"),
+        F.col("o_orderpriority").alias("priority"),
+    )
+    new = o.filter(F.col("o_orderkey") % 13 != 5).select(
+        "o_orderkey",
+        F.when(
+            F.col("o_orderkey") % 7 == 2, F.col("o_totalprice") + F.lit(10.0)
+        )
+        .otherwise(F.col("o_totalprice"))
+        .alias("price"),
+        F.when(F.col("o_orderkey") % 19 == 4, F.lit("RE-REVIEW"))
+        .otherwise(F.col("o_orderpriority"))
+        .alias("priority"),
+    )
+    d = snapshot_diff(old, new, keys=["o_orderkey"])
+    return d.groupBy("change_type", "changed_cols").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum("o_orderkey").alias("key_checksum"),
+    )
+
+
+def q_part_name_linkage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fuzzy record linkage (entity resolution) over part names: blocked
+    pairwise Levenshtein matching, the classic dedup-across-sources shape
+    (Fellegi-Sunter blocking + edit-distance scoring).
+
+    Blocking is COMPOSITE — (product noun, brand) — so the per-block
+    candidate set is bounded: the quadratic pair generation runs inside
+    blocks of tens of rows, never across the table. Spark plan: one narrow
+    projection derives the block key (split_part), then a self equi-join
+    ON the block key (shuffle hash join; a_key < b_key dedups the pair
+    space) with the Levenshtein predicate as a JVM-side residual — no
+    Python, no crossJoin. At 100 TB the block key is the unit of skew: a
+    pathological block is capped the same way cross_source_overlap caps
+    shingle ubiquity (drop or sub-split blocks above a size bound; here the
+    composite key already bounds them).
+
+    Output is the per-block linkage profile (candidate volume, matches
+    within edit distance 3, exact-name collisions, and a partkey checksum
+    that pins WHICH pairs matched), not the raw pair stream.
+    """
+    p = load(spark, sf_dir, "part").select(
+        "p_partkey",
+        "p_name",
+        "p_brand",
+        F.split_part(F.col("p_name"), F.lit(" "), F.lit(2)).alias("noun"),
+    )
+    a, b = p.alias("a"), p.alias("b")
+    pairs = a.join(
+        b,
+        on=[
+            F.col("a.noun") == F.col("b.noun"),
+            F.col("a.p_brand") == F.col("b.p_brand"),
+            F.col("a.p_partkey") < F.col("b.p_partkey"),
+        ],
+    ).select(
+        F.col("a.noun").alias("noun"),
+        F.col("a.p_brand").alias("p_brand"),
+        F.col("a.p_partkey").alias("a_key"),
+        F.col("b.p_partkey").alias("b_key"),
+        F.levenshtein(F.col("a.p_name"), F.col("b.p_name")).alias("lev"),
+    )
+    return pairs.groupBy("noun", "p_brand").agg(
+        F.count(F.lit(1)).alias("n_candidate_pairs"),
+        F.count(F.when(F.col("lev") <= 3, 1)).alias("n_matches"),
+        F.count(F.when(F.col("lev") == 0, 1)).alias("n_exact_dups"),
+        F.sum(
+            F.when(F.col("lev") <= 3, F.col("a_key") + F.col("b_key"))
+        ).alias("match_key_checksum"),
+    )
+
+
 QUERIES = {
     "pricing_summary": q_pricing_summary,
     "ml_feature_dataset": q_ml_feature_dataset,
@@ -783,6 +879,8 @@ QUERIES = {
     "lineitem_cube_aggregates": q_lineitem_cube_aggregates,
     "customer_balance_ntiles": q_customer_balance_ntiles,
     "table_stats_profile": q_table_stats_profile,
+    "order_snapshot_diff": q_order_snapshot_diff,
+    "part_name_linkage": q_part_name_linkage,
 }
 
 
@@ -805,6 +903,74 @@ _STATS_ORACLE = "\nUNION ALL\n".join(
 
 
 ORACLES = {
+    # full-outer-join CDC twin: IS DISTINCT FROM mirrors the engine's
+    # null-safe compare; changed-col names in the same fixed order
+    "order_snapshot_diff": """
+        WITH old AS (
+          SELECT o_orderkey, o_totalprice AS price, o_orderpriority AS priority
+          FROM orders WHERE o_orderkey % 11 <> 3
+        ),
+        new AS (
+          SELECT o_orderkey,
+                 CASE WHEN o_orderkey % 7 = 2 THEN o_totalprice + 10.0
+                      ELSE o_totalprice END AS price,
+                 CASE WHEN o_orderkey % 19 = 4 THEN 'RE-REVIEW'
+                      ELSE o_orderpriority END AS priority
+          FROM orders WHERE o_orderkey % 13 <> 5
+        ),
+        d AS (
+          SELECT COALESCE(o.o_orderkey, n.o_orderkey) AS k,
+                 o.o_orderkey IS NOT NULL AS in_old,
+                 n.o_orderkey IS NOT NULL AS in_new,
+                 concat_ws(',',
+                   CASE WHEN o.price IS DISTINCT FROM n.price THEN 'price' END,
+                   CASE WHEN o.priority IS DISTINCT FROM n.priority
+                        THEN 'priority' END) AS cl
+          FROM old o FULL OUTER JOIN new n USING (o_orderkey)
+        ),
+        typed AS (
+          SELECT k,
+                 CASE WHEN NOT in_old THEN 'added'
+                      WHEN NOT in_new THEN 'removed'
+                      WHEN cl <> '' THEN 'changed'
+                      ELSE 'unchanged' END AS change_type,
+                 CASE WHEN in_old AND in_new AND cl <> '' THEN cl END
+                   AS changed_cols
+          FROM d
+        )
+        SELECT change_type, changed_cols,
+               CAST(COUNT(1) AS BIGINT) AS n_rows,
+               CAST(SUM(k) AS BIGINT) AS key_checksum
+        FROM typed
+        GROUP BY 1, 2
+    """,
+    # blocked-linkage twin: same composite block self-join; DuckDB's
+    # levenshtein agrees with Spark's (plain edit distance, ASCII input)
+    "part_name_linkage": """
+        WITH p AS (
+          SELECT p_partkey, p_name, p_brand,
+                 split_part(p_name, ' ', 2) AS noun
+          FROM part
+        ),
+        pairs AS (
+          SELECT a.noun, a.p_brand,
+                 a.p_partkey AS a_key, b.p_partkey AS b_key,
+                 levenshtein(a.p_name, b.p_name) AS lev
+          FROM p a JOIN p b
+            ON a.noun = b.noun AND a.p_brand = b.p_brand
+           AND a.p_partkey < b.p_partkey
+        )
+        SELECT noun, p_brand,
+               CAST(COUNT(1) AS BIGINT) AS n_candidate_pairs,
+               CAST(COUNT(CASE WHEN lev <= 3 THEN 1 END) AS BIGINT)
+                 AS n_matches,
+               CAST(COUNT(CASE WHEN lev = 0 THEN 1 END) AS BIGINT)
+                 AS n_exact_dups,
+               CAST(SUM(CASE WHEN lev <= 3 THEN a_key + b_key END) AS BIGINT)
+                 AS match_key_checksum
+        FROM pairs
+        GROUP BY 1, 2
+    """,
     "ml_feature_dataset": """
         WITH base AS (
           SELECT c_custkey, c_mktsegment, c_acctbal, o_orderdate, o_orderkey,

@@ -530,3 +530,38 @@ def test_keep_tracked_caches_suspends_registry_release(spark):
             assert len(util._LIVE_CACHES) == 1  # nesting-safe
     util.maybe_release_tracked_caches()
     assert len(util._LIVE_CACHES) == 0  # active again after the scope
+
+
+def test_snapshot_diff_classifies_all_change_shapes(spark):
+    """snapshot_diff must classify added/removed/changed/unchanged with
+    null-safe comparison: NULL vs NULL is unchanged, NULL vs value is a
+    change, and changed_cols lists differing columns in caller order."""
+    from big_data_processing_with_aws_glue_workshop_spark.operators.diff import snapshot_diff
+
+    old = spark.createDataFrame(
+        [(1, "a", 10.0), (2, None, 20.0), (3, "c", None), (4, "d", 40.0)],
+        "k int, s string, v double",
+    )
+    new = spark.createDataFrame(
+        [(1, "a", 10.0), (2, None, 21.0), (3, "c2", None), (5, "e", 50.0)],
+        "k int, s string, v double",
+    )
+    rows = {
+        r["k"]: (r["change_type"], r["changed_cols"])
+        for r in snapshot_diff(old, new, keys=["k"]).collect()
+    }
+    assert rows[1] == ("unchanged", None)  # incl. NULL==NULL on s? no: s='a'
+    assert rows[2] == ("changed", "v")  # NULL s on both sides is NOT a change
+    assert rows[3] == ("changed", "s")  # NULL v on both sides is NOT a change
+    assert rows[4] == ("removed", None)
+    assert rows[5] == ("added", None)
+    # multi-column change keeps compare_cols order
+    both = snapshot_diff(
+        spark.createDataFrame([(1, "x", 1.0)], "k int, s string, v double"),
+        spark.createDataFrame([(1, "y", None)], "k int, s string, v double"),
+        keys=["k"],
+    ).collect()[0]
+    assert both["change_type"] == "changed"
+    assert both["changed_cols"] == "s,v"  # value->NULL counts as a change
+    # evidence columns are carried through
+    assert both["old_v"] == 1.0 and both["new_v"] is None
