@@ -109,6 +109,11 @@ HEADLINE = [
     "embedding_dimension_profile",
     "normalized_dedup_profile",
     "balanced_sample_plan",
+    # r6 third batch: retention triangle, CDC full-outer diff,
+    # blocked-Levenshtein linkage
+    "user_cohort_retention",
+    "order_snapshot_diff",
+    "part_name_linkage",
 ]
 
 

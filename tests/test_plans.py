@@ -251,3 +251,86 @@ def test_balanced_sample_map_side_group_limit(spark):
     tree = plan.split("(1) Scan")[0]
     assert tree.index("Exchange") < tree.rindex("WindowGroupLimit"), tree
     assert "Partial" in plan, plan
+
+
+def test_dynamic_partition_pruning_on_partitioned_lake(spark, tmp_path):
+    """A hive-partitioned fact joined to a filtered dim must get a runtime
+    partition filter (DPP): the scan's PartitionFilters carries a
+    dynamicpruning subquery fed by the dim's broadcast, so at 100 TB only
+    the partitions matching the dim filter are listed and read — the
+    storage-layout payoff of sources/writers.py::write_parquet_partitioned."""
+    from pyspark.sql import functions as F
+
+    fact = spark.range(0, 20000).select(
+        "id", (F.col("id") % 20).alias("pk"), (F.col("id") * 3).alias("v")
+    )
+    fact.write.partitionBy("pk").mode("overwrite").parquet(str(tmp_path / "fact"))
+    dim = spark.range(0, 20).select(
+        F.col("id").alias("pk"),
+        F.when(F.col("id") < 3, "hot").otherwise("cold").alias("tag"),
+    )
+    j = (
+        spark.read.parquet(str(tmp_path / "fact"))
+        .join(dim, "pk")
+        .filter(F.col("tag") == "hot")
+        .groupBy("pk")
+        .agg(F.sum("v").alias("s"))
+    )
+    import contextlib, io
+
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        j.explain("formatted")
+    plan = buf.getvalue()
+    assert "dynamicpruning" in plan.lower(), plan
+    assert j.count() == 3  # and the pruned plan still computes all hot groups
+
+
+def test_runtime_bloom_filter_reduces_shuffle_join_probe_side(spark, tmp_path):
+    """With broadcast disabled (the 100 TB big-dim case), a selective join
+    must still be able to prune the probe side at runtime via Spark's
+    row-level bloom filter: the filtered build side aggregates a bloom
+    sketch and the fact scan applies might_contain BEFORE the shuffle, so
+    only candidate rows are exchanged. Thresholds are lowered to make the
+    optimizer fire on test-sized data; at real scale the defaults govern."""
+    from pyspark.sql import functions as F
+
+    fact = spark.range(0, 20000).select("id", (F.col("id") * 3).alias("v"))
+    fact.write.mode("overwrite").parquet(str(tmp_path / "fact"))
+    dim = spark.range(0, 200).select(
+        F.col("id").alias("pk"),
+        F.when(F.col("id") < 5, "hot").otherwise("cold").alias("tag"),
+    )
+    dim.write.mode("overwrite").parquet(str(tmp_path / "dim"))
+    saved = {
+        k: spark.conf.get(k, None)
+        for k in (
+            "spark.sql.autoBroadcastJoinThreshold",
+            "spark.sql.optimizer.runtime.bloomFilter.enabled",
+            "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold",
+        )
+    }
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        spark.conf.set("spark.sql.optimizer.runtime.bloomFilter.enabled", "true")
+        spark.conf.set(
+            "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold",
+            "0",
+        )
+        f = spark.read.parquet(str(tmp_path / "fact"))
+        d = spark.read.parquet(str(tmp_path / "dim")).filter(F.col("tag") == "hot")
+        j = f.join(d, f.id % 97 == d.pk).groupBy("pk").count()
+        import contextlib, io
+
+        buf = io.StringIO()
+        with contextlib.redirect_stdout(buf):
+            j.explain("formatted")
+        plan = buf.getvalue().lower()
+        assert "bloomfilter" in plan or "might_contain" in plan, plan
+        assert j.count() == 5
+    finally:
+        for k, v in saved.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
