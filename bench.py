@@ -114,6 +114,11 @@ HEADLINE = [
     "user_cohort_retention",
     "order_snapshot_diff",
     "part_name_linkage",
+    # r6 fourth batch: decorrelated Q21 shape, Q18 semi-join-on-aggregate,
+    # integer-exact iterative PageRank
+    "sole_late_supplier_blame",
+    "large_volume_customers",
+    "copurchase_pagerank",
 ]
 
 

@@ -846,6 +846,173 @@ def q_part_name_linkage(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_sole_late_supplier_blame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q21 shape: suppliers who were the ONLY late supplier on a
+    finished multi-supplier order. The textbook form is a correlated
+    EXISTS (another supplier on the order) + NOT EXISTS (another LATE
+    supplier on the order) — two correlated subqueries over the same fact.
+    Lateness here is l_shipdate > o_orderdate + 60 days (the synthetic
+    lineitem carries no receipt/commit dates).
+
+    Spark-first decorrelation: ONE pass over lineitem⋈orders builds the
+    per-(order, supplier) late flag; a per-order aggregate over THAT
+    (distinct-supplier count, late-supplier count) replaces both correlated
+    subqueries; the blame filter is a same-key join back. Because every
+    step after the fact⋈fact join is keyed by l_orderkey, the sort-merge
+    join's hash partitioning satisfies each downstream aggregate's
+    distribution — the whole chain runs on a single orderkey shuffle, plus
+    one final suppkey shuffle for the per-supplier count. The correlated
+    form would scan lineitem three times; this scans it once. Supplier
+    names attach by broadcast (bounded dim vs unbounded fact).
+    """
+    l = load(spark, sf_dir, "lineitem")
+    o = load(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "F")
+    supplier = load(spark, sf_dir, "supplier")
+    late = F.col("l_shipdate") > F.date_add(F.col("o_orderdate"), 60)
+    per_os = (
+        l.join(o, l.l_orderkey == o.o_orderkey)
+        .groupBy("l_orderkey", "l_suppkey")
+        .agg(F.max(late).alias("was_late"))
+    )
+    per_o = per_os.groupBy("l_orderkey").agg(
+        F.count(F.lit(1)).alias("n_suppliers"),
+        F.count(F.when(F.col("was_late"), 1)).alias("n_late_suppliers"),
+    )
+    blamed = (
+        per_os.filter(F.col("was_late"))
+        .join(
+            per_o.filter(
+                (F.col("n_suppliers") > 1) & (F.col("n_late_suppliers") == 1)
+            ),
+            "l_orderkey",
+        )
+        .groupBy("l_suppkey")
+        .agg(
+            F.count(F.lit(1)).alias("numwait"),
+            F.sum("l_orderkey").alias("order_key_checksum"),
+        )
+    )
+    return (
+        blamed.join(F.broadcast(supplier), blamed.l_suppkey == supplier.s_suppkey)
+        .select(
+            F.col("s_suppkey").alias("supp_key"),
+            "s_name",
+            "numwait",
+            "order_key_checksum",
+        )
+        .orderBy(F.desc("numwait"), "supp_key")
+        .limit(10)
+    )
+
+
+def q_large_volume_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q18 shape: orders whose total quantity exceeds a threshold,
+    re-joined to orders + customer (the classic aggregated-IN-subquery →
+    semi-join-on-aggregate rewrite).
+
+    Spark plan: lineitem aggregates to (orderkey, sum_qty) with map-side
+    partials — the shuffle carries one row per order, not per line — then
+    the HAVING filter cuts it to the big-order sliver BEFORE any join, so
+    the joins against orders and customer see thousands of rows, not
+    billions; AQE turns both into broadcasts at that size. Quantity sums
+    go through decimal (order-independent exactness).
+    """
+    l = load(spark, sf_dir, "lineitem")
+    o = load(spark, sf_dir, "orders")
+    c = load(spark, sf_dir, "customer")
+    big = (
+        l.groupBy("l_orderkey")
+        .agg(F.sum(_dec("l_quantity")).alias("sum_qty_dec"))
+        .filter(F.col("sum_qty_dec") > 300)
+    )
+    return (
+        big.join(o, big.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .select(
+            F.col("c_custkey").alias("cust_key"),
+            "c_name",
+            F.col("o_orderkey").alias("order_key"),
+            F.col("o_orderdate").cast("date").alias("order_date"),
+            F.col("o_totalprice").cast("double").alias("total_price"),
+            F.col("sum_qty_dec").cast("double").alias("sum_qty"),
+        )
+        .orderBy(F.desc("total_price"), "order_key")
+        .limit(20)
+    )
+
+
+def q_copurchase_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Iterative PageRank (3 damped rounds, d=0.85) over the part
+    co-purchase graph: parts are vertices, an edge links two parts that
+    appear on the same order. The second iterative-graph family alongside
+    connected components (doc_dup_components) — rank propagation instead
+    of label propagation.
+
+    Exactness contract: ranks are INTEGER micro-mass (total mass 10^12
+    split by integer division), every per-edge contribution is
+    ``rank div outdeg`` and every damping update is
+    ``(15*base + 85*incoming) div 100`` — all BIGINT ops, so the result is
+    order-independent and bit-identical to the oracle's chained-CTE
+    iterations (the same quantized-integer trick as the typicality
+    centroid algebra; doubles would make the incoming-sum order visible).
+    max |value| is 85 * 10^12, far under int64.
+
+    Spark plan per iteration: edges ⋈ ranks on src (both sides hash-
+    partitioned on the vertex key once — the join reuses it) → groupBy dst
+    with map-side partial sums. Edge building is array-native: collect_set
+    per order, explode the bounded basket twice (per-order fanout k² with
+    k = lines per order, single digits) — no self-join of the fact table.
+    The edge list with out-degrees is built once and persisted across
+    iterations. Fixed 3 iterations keeps lineage shallow (no checkpoint
+    needed; the CC operator's localCheckpoint pattern applies past ~10).
+    Co-purchase edges are symmetric, so every vertex has outdeg ≥ 1 —
+    no dangling-mass redistribution term.
+    """
+    from ..util import tracked_cache
+
+    SCALE = 1_000_000_000_000
+    l = load(spark, sf_dir, "lineitem")
+    baskets = l.groupBy("l_orderkey").agg(
+        F.collect_set("l_partkey").alias("parts")
+    )
+    edges = (
+        baskets.select(F.explode("parts").alias("src"), "parts")
+        .select("src", F.explode("parts").alias("dst"))
+        .filter(F.col("src") != F.col("dst"))
+        .distinct()
+    )
+    deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("outdeg"))
+    edges_deg = tracked_cache(edges.join(deg, "src"))
+    n_nodes = deg.count()
+    base = SCALE // n_nodes
+    ranks = deg.select(F.col("src").alias("node"), F.lit(base).alias("pr"))
+    for _ in range(3):
+        incoming = (
+            edges_deg.join(ranks, edges_deg.src == ranks.node)
+            .select(
+                F.col("dst"),
+                F.expr("pr div outdeg").alias("contrib"),
+            )
+            .groupBy("dst")
+            .agg(F.sum("contrib").alias("incoming"))
+        )
+        ranks = incoming.select(
+            F.col("dst").alias("node"),
+            (
+                F.lit(15 * base)
+                + F.lit(85) * F.col("incoming")
+            ).alias("num"),
+        ).select("node", F.expr("num div 100").alias("pr"))
+    return (
+        ranks.select(
+            F.col("node").alias("part_key"),
+            F.col("pr").cast("bigint").alias("rank_micromass"),
+        )
+        .orderBy(F.desc("rank_micromass"), "part_key")
+        .limit(20)
+    )
+
+
 QUERIES = {
     "pricing_summary": q_pricing_summary,
     "ml_feature_dataset": q_ml_feature_dataset,
@@ -881,6 +1048,9 @@ QUERIES = {
     "table_stats_profile": q_table_stats_profile,
     "order_snapshot_diff": q_order_snapshot_diff,
     "part_name_linkage": q_part_name_linkage,
+    "sole_late_supplier_blame": q_sole_late_supplier_blame,
+    "large_volume_customers": q_large_volume_customers,
+    "copurchase_pagerank": q_copurchase_pagerank,
 }
 
 
@@ -1317,4 +1487,119 @@ ORACLES = {
         GROUP BY n_name, quartile
     """,
     "table_stats_profile": _STATS_ORACLE,
+    # Q21-shape twin: the correlated EXISTS / NOT EXISTS pair is expressed
+    # directly as the decorrelated per-order aggregate (same semantics the
+    # engine uses — both forms are equivalent; DuckDB's own optimizer
+    # decorrelates the textbook form the same way). Spark's
+    # date_add(o_orderdate, 60) truncates the timestamp to a DATE first,
+    # so the twin casts before adding. sum(BIGINT) is HUGEINT in DuckDB —
+    # cast back (the r5 media_byte_histogram dtype lesson).
+    "sole_late_supplier_blame": """
+        WITH per_os AS (
+          SELECT l_orderkey, l_suppkey,
+                 max(l_shipdate > CAST(o_orderdate AS DATE)
+                                  + INTERVAL 60 DAY) AS was_late
+          FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+          WHERE o_orderstatus = 'F'
+          GROUP BY l_orderkey, l_suppkey
+        ), per_o AS (
+          SELECT l_orderkey,
+                 count(*) AS n_suppliers,
+                 count(*) FILTER (WHERE was_late) AS n_late_suppliers
+          FROM per_os GROUP BY l_orderkey
+        )
+        SELECT s.s_suppkey AS supp_key,
+               s.s_name,
+               CAST(count(*) AS BIGINT) AS numwait,
+               CAST(sum(p.l_orderkey) AS BIGINT) AS order_key_checksum
+        FROM per_os p
+        JOIN per_o o ON p.l_orderkey = o.l_orderkey
+        JOIN supplier s ON p.l_suppkey = s.s_suppkey
+        WHERE p.was_late AND o.n_suppliers > 1 AND o.n_late_suppliers = 1
+        GROUP BY s.s_suppkey, s.s_name
+        ORDER BY numwait DESC, supp_key
+        LIMIT 10
+    """,
+    # Q18-shape twin: HAVING over the decimal-exact quantity sum, then the
+    # re-join to orders/customer. DECIMAL sums are exact on both engines;
+    # the final DOUBLE casts are single conversions of exact values.
+    "large_volume_customers": """
+        WITH big AS (
+          SELECT l_orderkey,
+                 sum(CAST(l_quantity AS DECIMAL(18,2))) AS sum_qty_dec
+          FROM lineitem
+          GROUP BY l_orderkey
+          HAVING sum(CAST(l_quantity AS DECIMAL(18,2))) > 300
+        )
+        SELECT c_custkey AS cust_key,
+               c_name,
+               o_orderkey AS order_key,
+               CAST(o_orderdate AS DATE) AS order_date,
+               CAST(o_totalprice AS DOUBLE) AS total_price,
+               CAST(sum_qty_dec AS DOUBLE) AS sum_qty
+        FROM big
+        JOIN orders ON l_orderkey = o_orderkey
+        JOIN customer ON o_custkey = c_custkey
+        ORDER BY total_price DESC, order_key
+        LIMIT 20
+    """,
+    # PageRank twin: three chained-CTE damped iterations in the SAME
+    # integer micro-mass algebra as the engine (// is integer division on
+    # BIGINT/HUGEINT operands in DuckDB, matching Spark's `div`), so every
+    # intermediate is exact and order-independent — no floating sums to
+    # drift. The final CAST collapses DuckDB's HUGEINT back to BIGINT.
+    "copurchase_pagerank": """
+        WITH baskets AS (
+          SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+        ),
+        edges AS (
+          SELECT DISTINCT a.l_partkey AS src, b.l_partkey AS dst
+          FROM baskets a
+          JOIN baskets b
+            ON a.l_orderkey = b.l_orderkey AND a.l_partkey <> b.l_partkey
+        ),
+        deg AS (
+          SELECT src, CAST(count(*) AS BIGINT) AS outdeg
+          FROM edges GROUP BY src
+        ),
+        params AS (
+          SELECT CAST(1000000000000 AS BIGINT)
+                 // CAST(count(*) AS BIGINT) AS base
+          FROM deg
+        ),
+        r0 AS (
+          SELECT src AS node, (SELECT base FROM params) AS pr FROM deg
+        ),
+        r1 AS (
+          SELECT e.dst AS node,
+                 (15 * (SELECT base FROM params)
+                  + 85 * sum(r.pr // d.outdeg)) // 100 AS pr
+          FROM edges e
+          JOIN r0 r ON e.src = r.node
+          JOIN deg d ON e.src = d.src
+          GROUP BY e.dst
+        ),
+        r2 AS (
+          SELECT e.dst AS node,
+                 (15 * (SELECT base FROM params)
+                  + 85 * sum(r.pr // d.outdeg)) // 100 AS pr
+          FROM edges e
+          JOIN r1 r ON e.src = r.node
+          JOIN deg d ON e.src = d.src
+          GROUP BY e.dst
+        ),
+        r3 AS (
+          SELECT e.dst AS node,
+                 (15 * (SELECT base FROM params)
+                  + 85 * sum(r.pr // d.outdeg)) // 100 AS pr
+          FROM edges e
+          JOIN r2 r ON e.src = r.node
+          JOIN deg d ON e.src = d.src
+          GROUP BY e.dst
+        )
+        SELECT node AS part_key, CAST(pr AS BIGINT) AS rank_micromass
+        FROM r3
+        ORDER BY rank_micromass DESC, part_key
+        LIMIT 20
+    """,
 }
