@@ -224,6 +224,38 @@ def cmd_refresh(args: argparse.Namespace) -> None:
     )
 
 
+def cmd_agg_refresh(args: argparse.Namespace) -> None:
+    """Incremental aggregate maintenance (plans/incremental.py): monoid-
+    merge per-key partials from newly-landed files into the stored state —
+    the materialized view never re-reads the fact. --agg out=kind:col,
+    e.g. --agg n=count:* --agg total=sum:amount."""
+    from .plans.incremental import incremental_agg_refresh, read_refreshed
+    from .sources.bookmarks import JobBookmark
+
+    aggs: dict[str, tuple[str, str]] = {}
+    for spec in args.agg:
+        out, _, kindcol = spec.partition("=")
+        kind, _, col = kindcol.partition(":")
+        if not (out and kind and col):
+            raise SystemExit(f"bad --agg spec {spec!r}; want out=kind:col")
+        aggs[out] = (kind, col)
+    spark = get_session(app_name="agg-refresh")
+    bm = JobBookmark(args.bookmark, args.job_name)
+    n = incremental_agg_refresh(
+        spark, bm, args.pattern, args.keys, aggs, args.target
+    )
+    has_table = os.path.exists(os.path.join(args.target, "current.json"))
+    _emit(
+        {
+            "job": "agg-refresh",
+            "new_files": n,
+            "state_rows": read_refreshed(spark, args.target).count()
+            if has_table
+            else 0,
+        }
+    )
+
+
 def cmd_compact(args: argparse.Namespace) -> None:
     """Small-file compaction of a (possibly hive-partitioned) parquet lake
     (operators/compaction.py): rewrite each oversized partition into
@@ -340,6 +372,25 @@ def build_parser() -> argparse.ArgumentParser:
     r.add_argument("--keys", nargs="+", required=True)
     r.add_argument("--order-col", default=None)
     r.set_defaults(func=cmd_refresh)
+
+    ar = sub.add_parser(
+        "agg-refresh",
+        help="incremental aggregate maintenance: monoid-merge new-file "
+        "partials into a versioned per-key state table "
+        "(plans/incremental.py)",
+    )
+    ar.add_argument("--pattern", required=True, help="glob of landing files")
+    ar.add_argument("--bookmark", required=True, help="bookmark state file")
+    ar.add_argument("--job-name", default="agg-refresh")
+    ar.add_argument("--target", required=True, help="state table dir")
+    ar.add_argument("--keys", nargs="+", required=True)
+    ar.add_argument(
+        "--agg",
+        action="append",
+        required=True,
+        help="out=kind:col (kind: count|sum|min|max; col '*' with count)",
+    )
+    ar.set_defaults(func=cmd_agg_refresh)
 
     c = sub.add_parser(
         "compact",

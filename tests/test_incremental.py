@@ -9,6 +9,7 @@ bookmark commit was lost)."""
 from __future__ import annotations
 
 import pandas as pd
+import pytest
 import pyarrow as pa
 import pyarrow.parquet as pq
 import pyspark.sql.functions as F
@@ -119,3 +120,129 @@ def test_incremental_refresh_crash_replay_is_idempotent(spark, tmp_path):
     )
     assert n == 1
     assert _snapshot(spark, target) == before
+
+
+# ---------------------------------------------------------------------------
+# Incremental AGGREGATE maintenance (incremental_agg_refresh)
+# ---------------------------------------------------------------------------
+
+_AGG_SPEC = {
+    "n_rows": ("count", "*"),
+    "total": ("sum", "amount"),
+    "first_seen": ("min", "updated_at"),
+    "last_seen": ("max", "updated_at"),
+}
+
+
+def _write_fact(path, rows):
+    pq.write_table(
+        pa.Table.from_pandas(
+            pd.DataFrame(rows, columns=["key", "amount", "updated_at"])
+        ),
+        str(path),
+    )
+
+
+def _agg_state(spark, target):
+    return {
+        r["key"]: (r["n_rows"], r["total"], r["first_seen"], r["last_seen"])
+        for r in read_refreshed(spark, target).collect()
+    }
+
+
+def _full_rebuild(spark, landing):
+    df = spark.read.parquet(str(landing))
+    return {
+        r["key"]: (r["n_rows"], r["total"], r["first_seen"], r["last_seen"])
+        for r in df.groupBy("key")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum("amount").alias("total"),
+            F.min("updated_at").alias("first_seen"),
+            F.max("updated_at").alias("last_seen"),
+        )
+        .collect()
+    }
+
+
+def test_incremental_agg_refresh_equals_full_rebuild(spark, tmp_path):
+    """Three waves with overlapping keys: after each refresh the state
+    must equal the one-shot groupBy over every row ever landed, and the
+    published schema must stay stable across refreshes."""
+    from big_data_processing_with_aws_glue_workshop_spark.plans.incremental import (
+        incremental_agg_refresh,
+    )
+
+    landing = tmp_path / "facts"
+    landing.mkdir()
+    target = str(tmp_path / "agg")
+    bm = JobBookmark(str(tmp_path / "bm_agg.json"), "agg")
+    pattern = str(landing / "*.parquet")
+
+    waves = [
+        [(1, 10, 100), (1, 5, 90), (2, 7, 100)],
+        [(2, 3, 110), (3, 8, 50)],
+        [(1, 1, 200), (3, 2, 40), (4, 9, 300)],
+    ]
+    schema_seen = None
+    for i, rows in enumerate(waves):
+        _write_fact(landing / f"w{i}.parquet", rows)
+        n = incremental_agg_refresh(
+            spark, bm, pattern, ["key"], _AGG_SPEC, target
+        )
+        assert n == 1
+        assert _agg_state(spark, target) == _full_rebuild(spark, landing)
+        schema = read_refreshed(spark, target).schema
+        if schema_seen is None:
+            schema_seen = schema
+        assert schema == schema_seen, "published schema drifted across refreshes"
+
+    # no new files -> no work
+    assert incremental_agg_refresh(spark, bm, pattern, ["key"], _AGG_SPEC, target) == 0
+
+
+def test_incremental_agg_refresh_crash_replay_never_double_counts(spark, tmp_path):
+    """The monoid-merge trap: re-applying a sum delta double-counts. A rerun
+    whose increment fingerprint is already in the pointer (crash between
+    pointer flip and bookmark commit) must only re-commit the bookmark."""
+    from big_data_processing_with_aws_glue_workshop_spark.plans.incremental import (
+        incremental_agg_refresh,
+    )
+
+    landing = tmp_path / "facts"
+    landing.mkdir()
+    target = str(tmp_path / "agg")
+    pattern = str(landing / "*.parquet")
+
+    _write_fact(landing / "w0.parquet", [(1, 10, 100), (2, 7, 100)])
+    bm = JobBookmark(str(tmp_path / "bm_agg.json"), "agg")
+    incremental_agg_refresh(spark, bm, pattern, ["key"], _AGG_SPEC, target)
+    _write_fact(landing / "w1.parquet", [(1, 5, 110)])
+    incremental_agg_refresh(spark, bm, pattern, ["key"], _AGG_SPEC, target)
+    before = _agg_state(spark, target)
+    assert before[1] == (2, 15, 100, 110)
+
+    # bookmark that lost ONLY the last commit: w0 committed, w1 pending again
+    crashed = JobBookmark(str(tmp_path / "bm_crashed.json"), "agg")
+    crashed.commit_files([str(landing / "w0.parquet")])
+    n = incremental_agg_refresh(spark, crashed, pattern, ["key"], _AGG_SPEC, target)
+    assert n == 1
+    assert _agg_state(spark, target) == before  # NOT (3, 20, ...)
+    # and the bookmark is healed: nothing pending
+    assert incremental_agg_refresh(spark, crashed, pattern, ["key"], _AGG_SPEC, target) == 0
+
+
+def test_incremental_agg_refresh_rejects_unknown_kind(spark, tmp_path):
+    from big_data_processing_with_aws_glue_workshop_spark.plans.incremental import (
+        incremental_agg_refresh,
+    )
+
+    with pytest.raises(ValueError, match="unsupported kind"):
+        incremental_agg_refresh(
+            spark,
+            JobBookmark(str(tmp_path / "bm.json"), "agg"),
+            str(tmp_path / "*.parquet"),
+            ["key"],
+            {"d": ("avg", "amount")},
+            str(tmp_path / "agg"),
+        )
