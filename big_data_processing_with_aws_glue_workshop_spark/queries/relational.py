@@ -957,16 +957,21 @@ def q_copurchase_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     centroid algebra; doubles would make the incoming-sum order visible).
     max |value| is 85 * 10^12, far under int64.
 
-    Spark plan per iteration: edges ⋈ ranks on src (both sides hash-
-    partitioned on the vertex key once — the join reuses it) → groupBy dst
-    with map-side partial sums. Edge building is array-native: collect_set
-    per order, explode the bounded basket twice (per-order fanout k² with
-    k = lines per order, single digits) — no self-join of the fact table.
-    The edge list with out-degrees is built once and persisted across
-    iterations. Fixed 3 iterations keeps lineage shallow (no checkpoint
-    needed; the CC operator's localCheckpoint pattern applies past ~10).
-    Co-purchase edges are symmetric, so every vertex has outdeg ≥ 1 —
-    no dangling-mass redistribution term.
+    Spark plan: edge building is array-native — collect_set per order,
+    explode the bounded basket twice (per-order fanout k² with k = lines
+    per order, single digits), no self-join of the fact table. The pair
+    stream then aggregates ONCE by src into an adjacency list
+    (collect_set dedups, size() is the out-degree) — one shuffle where
+    distinct-pairs → degree-groupBy → edge⋈degree-join would take three.
+    The cached adjacency is the per-iteration input: explode is map-side,
+    the ranks join is vertex-keyed, groupBy dst runs map-side partials.
+    Fixed 3 iterations keeps lineage shallow (no checkpoint needed; the
+    CC operator's localCheckpoint pattern applies past ~10). Co-purchase
+    edges are symmetric, so every vertex has outdeg ≥ 1 — no
+    dangling-mass redistribution term. At 100 TB the adjacency row of a
+    ubiquitous part is the skew unit — cap neighbor lists the way
+    cross_source_overlap caps shingle ubiquity (a part co-bought with
+    everything carries no ranking signal).
     """
     from ..util import tracked_cache
 
@@ -975,17 +980,20 @@ def q_copurchase_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     baskets = l.groupBy("l_orderkey").agg(
         F.collect_set("l_partkey").alias("parts")
     )
-    edges = (
+    pairs = (
         baskets.select(F.explode("parts").alias("src"), "parts")
         .select("src", F.explode("parts").alias("dst"))
         .filter(F.col("src") != F.col("dst"))
-        .distinct()
     )
-    deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("outdeg"))
-    edges_deg = tracked_cache(edges.join(deg, "src"))
-    n_nodes = deg.count()
+    adj = tracked_cache(
+        pairs.groupBy("src").agg(F.collect_set("dst").alias("dsts"))
+    )
+    n_nodes = adj.count()
     base = SCALE // n_nodes
-    ranks = deg.select(F.col("src").alias("node"), F.lit(base).alias("pr"))
+    edges_deg = adj.select(
+        "src", F.size("dsts").alias("outdeg"), F.explode("dsts").alias("dst")
+    )
+    ranks = adj.select(F.col("src").alias("node"), F.lit(base).alias("pr"))
     for _ in range(3):
         incoming = (
             edges_deg.join(ranks, edges_deg.src == ranks.node)
