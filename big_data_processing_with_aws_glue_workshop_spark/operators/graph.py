@@ -1,0 +1,93 @@
+"""Iterative graph rank propagation (PageRank) on DataFrames.
+
+Companion to the min-label-propagation connected components in
+extensions/dedup_fuzzy.py — the other standard iterative-graph primitive
+a training-data pipeline needs (importance weighting of pages/documents
+in a link or co-occurrence graph, the classic crawl-prioritization and
+quality-prior signal).
+
+Exactness contract: ranks are INTEGER micro-mass (a fixed total mass
+split by integer division); every per-edge contribution is
+``pr div outdeg`` and every damping update is
+``(15*base + 85*incoming) div 100`` — all BIGINT ops, so results are
+independent of partitioning and aggregation order (a floating-point sum
+would expose both). Bit-identical to a chained-CTE SQL evaluation of the
+same algebra (pinned by the copurchase_pagerank driver oracle).
+
+Scale notes: the caller supplies a CACHED adjacency-list DataFrame
+``(src, dsts: array)`` — one row per vertex, built with one shuffle from
+the pair stream (see queries/relational.py::q_copurchase_pagerank).
+Per iteration: one vertex-keyed join (ranks ⋈ exploded adjacency; the
+explode is map-side off the cached adjacency) and one groupBy(dst) with
+map-side partial sums. Lineage grows one join+agg per round, so past a
+handful of rounds the plan itself becomes the bottleneck —
+``checkpoint_every`` truncates it with a lazy localCheckpoint, the same
+pattern the CC loop uses. Skew unit = the adjacency row of a ubiquitous
+vertex; cap neighbor lists upstream (a vertex linked to everything
+carries no ranking signal).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def pagerank_integer(
+    adj: DataFrame,
+    n_iter: int = 3,
+    scale: int = 1_000_000_000_000,
+    checkpoint_every: int = 8,
+) -> DataFrame:
+    """Damped (d=0.85) integer-exact PageRank over an adjacency list.
+
+    ``adj``: one row per vertex — ``(src, dsts: array)`` with dsts the
+    DISTINCT out-neighbors; must contain every vertex (graphs built from
+    symmetric co-occurrence edges satisfy this — no dangling vertices,
+    so no dangling-mass term). Returns ``(node, pr)`` with pr the BIGINT
+    micro-mass rank. Total mass is conserved up to integer-division
+    truncation (bounded by n_edges + n_nodes per round).
+    """
+    if n_iter < 0:
+        raise ValueError(f"n_iter must be >= 0, got {n_iter}")
+    n_nodes = adj.count()
+    base = scale // n_nodes
+    edges_deg = adj.select(
+        "src", F.size("dsts").alias("outdeg"), F.explode("dsts").alias("dst")
+    )
+    ranks = adj.select(F.col("src").alias("node"), F.lit(base).alias("pr"))
+    for i in range(n_iter):
+        incoming = (
+            edges_deg.join(ranks, edges_deg.src == ranks.node)
+            .select("dst", F.expr("pr div outdeg").alias("contrib"))
+            .groupBy("dst")
+            .agg(F.sum("contrib").alias("incoming"))
+        )
+        ranks = incoming.select(
+            F.col("dst").alias("node"),
+            (F.lit(15 * base) + F.lit(85) * F.col("incoming")).alias("num"),
+        ).select("node", F.expr("num div 100").alias("pr"))
+        if (i + 1) % checkpoint_every == 0 and i + 1 < n_iter:
+            # truncate lineage: past ~8 rounds the accumulated join+agg
+            # plan dominates executor time (measured in docs/SCALE.md)
+            ranks = ranks.localCheckpoint(eager=False)
+    return ranks
+
+
+def copurchase_adjacency(lineitem: DataFrame) -> DataFrame:
+    """Part co-purchase adjacency list from the lineitem fact: vertices
+    are parts, neighbors are parts sharing an order. Array-native build —
+    collect_set per order (bounded basket, single-digit k), explode the
+    basket twice (fanout k²), then ONE shuffle aggregates pairs into
+    per-vertex neighbor sets (collect_set dedups; size() is the
+    out-degree downstream). Callers should cache the result before
+    iterating on it."""
+    baskets = lineitem.groupBy("l_orderkey").agg(
+        F.collect_set("l_partkey").alias("parts")
+    )
+    pairs = (
+        baskets.select(F.explode("parts").alias("src"), "parts")
+        .select("src", F.explode("parts").alias("dst"))
+        .filter(F.col("src") != F.col("dst"))
+    )
+    return pairs.groupBy("src").agg(F.collect_set("dst").alias("dsts"))

@@ -857,20 +857,34 @@ def q_sole_late_supplier_blame(spark: SparkSession, sf_dir: str) -> DataFrame:
     Spark-first decorrelation: ONE pass over lineitem⋈orders builds the
     per-(order, supplier) late flag; a per-order aggregate over THAT
     (distinct-supplier count, late-supplier count) replaces both correlated
-    subqueries; the blame filter is a same-key join back. Because every
-    step after the fact⋈fact join is keyed by l_orderkey, the sort-merge
-    join's hash partitioning satisfies each downstream aggregate's
-    distribution — the whole chain runs on a single orderkey shuffle, plus
-    one final suppkey shuffle for the per-supplier count. The correlated
-    form would scan lineitem three times; this scans it once. Supplier
-    names attach by broadcast (bounded dim vs unbounded fact).
+    subqueries; the blame filter is a same-key join back. Plan (verified
+    in tests/test_plans.py): the fact is scanned ONCE and crosses ONE
+    fact-sized shuffle — the explicit orderkey repartition, whose
+    HashPartitioning(ok) satisfies the (ok, sk) aggregate's clustering so
+    the groupBy adds no exchange. per_os is cached because it feeds BOTH
+    sides of the blame join (Spark shares no common subplans; uncached,
+    the fact is scanned and shuffled twice — measured in the plan).
+    The blame join's own exchanges are per-(order,supplier)-AGGREGATE
+    sized, orders of magnitude below the fact (a cached AQE subplan's
+    partitioning is opaque to the outer planner, so Spark re-establishes
+    it — on the small side of the hierarchy, where it's cheap). One final
+    suppkey shuffle rolls up per supplier; names attach by broadcast.
     """
+    from ..util import tracked_cache
+
     l = load(spark, sf_dir, "lineitem")
     o = load(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "F")
     supplier = load(spark, sf_dir, "supplier")
     late = F.col("l_shipdate") > F.date_add(F.col("o_orderdate"), 60)
-    per_os = (
+    # ONE explicit orderkey shuffle, then every downstream step rides it:
+    # HashPartitioning(ok) satisfies the (ok, sk) aggregate's clustering,
+    # the (ok) aggregate's, AND the blame join's — zero further exchanges
+    # until the final per-supplier rollup. per_os is cached because it
+    # feeds BOTH sides of the blame join (Spark plans no common-subplan
+    # sharing — uncached, the fact would be scanned and shuffled twice).
+    per_os = tracked_cache(
         l.join(o, l.l_orderkey == o.o_orderkey)
+        .repartition("l_orderkey")
         .groupBy("l_orderkey", "l_suppkey")
         .agg(F.max(late).alias("was_late"))
     )
@@ -973,44 +987,12 @@ def q_copurchase_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     cross_source_overlap caps shingle ubiquity (a part co-bought with
     everything carries no ranking signal).
     """
+    from ..operators.graph import copurchase_adjacency, pagerank_integer
     from ..util import tracked_cache
 
-    SCALE = 1_000_000_000_000
     l = load(spark, sf_dir, "lineitem")
-    baskets = l.groupBy("l_orderkey").agg(
-        F.collect_set("l_partkey").alias("parts")
-    )
-    pairs = (
-        baskets.select(F.explode("parts").alias("src"), "parts")
-        .select("src", F.explode("parts").alias("dst"))
-        .filter(F.col("src") != F.col("dst"))
-    )
-    adj = tracked_cache(
-        pairs.groupBy("src").agg(F.collect_set("dst").alias("dsts"))
-    )
-    n_nodes = adj.count()
-    base = SCALE // n_nodes
-    edges_deg = adj.select(
-        "src", F.size("dsts").alias("outdeg"), F.explode("dsts").alias("dst")
-    )
-    ranks = adj.select(F.col("src").alias("node"), F.lit(base).alias("pr"))
-    for _ in range(3):
-        incoming = (
-            edges_deg.join(ranks, edges_deg.src == ranks.node)
-            .select(
-                F.col("dst"),
-                F.expr("pr div outdeg").alias("contrib"),
-            )
-            .groupBy("dst")
-            .agg(F.sum("contrib").alias("incoming"))
-        )
-        ranks = incoming.select(
-            F.col("dst").alias("node"),
-            (
-                F.lit(15 * base)
-                + F.lit(85) * F.col("incoming")
-            ).alias("num"),
-        ).select("node", F.expr("num div 100").alias("pr"))
+    adj = tracked_cache(copurchase_adjacency(l))
+    ranks = pagerank_integer(adj, n_iter=3)
     return (
         ranks.select(
             F.col("node").alias("part_key"),

@@ -565,3 +565,108 @@ def test_snapshot_diff_classifies_all_change_shapes(spark):
     assert both["changed_cols"] == "s,v"  # value->NULL counts as a change
     # evidence columns are carried through
     assert both["old_v"] == 1.0 and both["new_v"] is None
+
+
+# ---------------------------------------------------------------------------
+# operators/graph.py — integer-exact PageRank
+# ---------------------------------------------------------------------------
+
+
+def _adj(spark, pairs):
+    """Adjacency DataFrame from a {src: [dsts]} dict."""
+    return spark.createDataFrame(
+        [(s, ds) for s, ds in pairs.items()], "src long, dsts array<long>"
+    )
+
+
+def test_pagerank_hand_checked_triangle_plus_pendant(spark):
+    """4-node graph checked by hand in the integer algebra: a triangle
+    (1,2,3, all mutual) with node 4 attached to 1 only. After one round,
+    1 (two in-edges + the pendant) must outrank 2/3 (two in-edges), which
+    outrank 4 (one in-edge from a degree-3 node)."""
+    from big_data_processing_with_aws_glue_workshop_spark.operators.graph import (
+        pagerank_integer,
+    )
+
+    adj = _adj(
+        spark,
+        {1: [2, 3, 4], 2: [1, 3], 3: [1, 2], 4: [1]},
+    )
+    base = 10**12 // 4
+    got = {
+        r["node"]: r["pr"]
+        for r in pagerank_integer(adj, n_iter=1).collect()
+    }
+    # hand-computed: contrib(1->each)=base div 3, contrib(2/3->each)=base div 2,
+    # contrib(4->1)=base
+    c1, c2 = base // 3, base // 2
+    expect = {
+        1: (15 * base + 85 * (c2 + c2 + base)) // 100,
+        2: (15 * base + 85 * (c1 + c2)) // 100,
+        3: (15 * base + 85 * (c1 + c2)) // 100,
+        4: (15 * base + 85 * c1) // 100,
+    }
+    assert got == expect
+    assert got[1] > got[2] == got[3] > got[4]
+
+
+def test_pagerank_mass_conserved_and_deterministic(spark):
+    """Total micro-mass is conserved up to integer-truncation loss, and a
+    repartitioned input yields bit-identical ranks (the order-independence
+    the integer algebra buys)."""
+    from big_data_processing_with_aws_glue_workshop_spark.operators.graph import (
+        pagerank_integer,
+    )
+
+    # ring of 12 nodes, each linked both ways (symmetric, outdeg 2)
+    ring = {i: [(i - 1) % 12, (i + 1) % 12] for i in range(12)}
+    adj = _adj(spark, ring)
+    r1 = {r["node"]: r["pr"] for r in pagerank_integer(adj, n_iter=4).collect()}
+    total = sum(r1.values())
+    scale = 10**12
+    # per round loss <= n_edges + n_nodes + 100; 4 rounds of a 24-edge graph
+    assert scale - 4 * (24 + 12 + 100) <= total <= scale
+    r2 = {
+        r["node"]: r["pr"]
+        for r in pagerank_integer(adj.repartition(7), n_iter=4).collect()
+    }
+    assert r1 == r2
+
+
+def test_pagerank_deep_iteration_checkpoint_path(spark):
+    """n_iter past checkpoint_every exercises the lineage-truncation
+    branch; ranks must still be finite, conserved, and uniform on a
+    symmetric ring (symmetry is preserved by every round)."""
+    from big_data_processing_with_aws_glue_workshop_spark.operators.graph import (
+        pagerank_integer,
+    )
+
+    ring = {i: [(i - 1) % 8, (i + 1) % 8] for i in range(8)}
+    got = pagerank_integer(
+        _adj(spark, ring), n_iter=5, checkpoint_every=2
+    ).collect()
+    prs = {r["pr"] for r in got}
+    assert len(got) == 8
+    assert len(prs) == 1  # uniform: ring symmetry
+    assert abs(next(iter(prs)) - 10**12 // 8) < 1000
+
+
+def test_copurchase_adjacency_matches_naive_pairs(spark):
+    """The one-shuffle adjacency build equals the naive distinct-pair
+    self-join edge set."""
+    from big_data_processing_with_aws_glue_workshop_spark.operators.graph import (
+        copurchase_adjacency,
+    )
+
+    rows = [
+        (1, 10), (1, 11), (1, 12),
+        (2, 10), (2, 11),
+        (3, 13),          # single-part order: no edges
+        (4, 10), (4, 10),  # duplicate part in one order: no self-edge
+    ]
+    li = spark.createDataFrame(rows, "l_orderkey long, l_partkey long")
+    adj = {
+        r["src"]: sorted(r["dsts"])
+        for r in copurchase_adjacency(li).collect()
+    }
+    assert adj == {10: [11, 12], 11: [10, 12], 12: [10, 11]}

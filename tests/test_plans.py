@@ -334,3 +334,26 @@ def test_runtime_bloom_filter_reduces_shuffle_join_probe_side(spark, tmp_path):
                 spark.conf.unset(k)
             else:
                 spark.conf.set(k, v)
+
+
+def test_q21_blame_scans_fact_once(spark):
+    """sole_late_supplier_blame's decorrelation claim: the lineitem fact
+    is scanned ONCE (the cached per_os feeds both sides of the blame
+    join) and crosses ONE fact-sized shuffle (the explicit orderkey
+    repartition; HashPartitioning(ok) satisfies the (ok, sk) aggregate so
+    the groupBy adds no exchange)."""
+    df = QUERIES["sole_late_supplier_blame"](spark, SF)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    # both blame-join branches read the ONE cached per_os (toString prints
+    # the cached subplan under each reference, so every textual lineitem
+    # FileScan must sit inside an InMemoryRelation definition — an
+    # uncached fact scan would break the equality)
+    assert plan.count("InMemoryTableScan") == 2, plan
+    assert plan.count("lineitem.parquet") == plan.count("InMemoryRelation"), plan
+    # exactly one fact-sized shuffle per cached-plan printout: the
+    # explicit orderkey repartition; the (ok, sk) aggregate rides it with
+    # no ENSURE_REQUIREMENTS exchange in the cached subtree
+    assert plan.count("REPARTITION_BY_COL") == plan.count("InMemoryRelation"), plan
+    first_def = plan.split("InMemoryRelation", 1)[1]
+    agg_over_repartition = first_def.split("REPARTITION_BY_COL", 1)[0]
+    assert "ENSURE_REQUIREMENTS" not in agg_over_repartition, plan
