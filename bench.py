@@ -119,6 +119,7 @@ HEADLINE = [
     "sole_late_supplier_blame",
     "large_volume_customers",
     "copurchase_pagerank",
+    "copurchase_triangle_census",
 ]
 
 

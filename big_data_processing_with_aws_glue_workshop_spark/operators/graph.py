@@ -74,6 +74,76 @@ def pagerank_integer(
     return ranks
 
 
+def triangle_census(adj: DataFrame) -> DataFrame:
+    """Global triangle/wedge census of an undirected graph given as a
+    symmetric adjacency list ``(src, dsts: array)`` — one row:
+    (n_nodes, n_edges, n_wedges, n_triangles, global_clustering).
+
+    Scale design — the degree-ordered orientation trick (the standard
+    distributed triangle count): direct every undirected edge from its
+    lower-(degree, id) endpoint to the higher one. Each triangle then has
+    exactly ONE vertex with two out-edges into it, so counting = build
+    out-neighbor pairs per vertex ("wedges-at-the-lightest-vertex") and
+    semi-join them against the oriented edge set. The payoff is the
+    fanout bound: after orientation every out-degree is O(sqrt(m))
+    REGARDLESS of how skewed the raw degrees are — a celebrity vertex
+    with 10^7 neighbors contributes pairs only toward its few
+    HIGHER-degree peers, not C(10^7, 2) candidates. Candidate volume is
+    O(m^1.5) worst-case, the known optimum for exact counting.
+
+    n_wedges is the raw Σ C(deg, 2) over undirected degrees (the
+    clustering-coefficient denominator), computed in the same pass as
+    the degrees — no extra shuffle. global_clustering = 3·triangles /
+    wedges, ONE IEEE division of exact BIGINT inputs (oracle contract).
+    """
+    deg = adj.select(
+        "src",
+        F.size("dsts").alias("deg"),
+        "dsts",
+    )
+    stats = deg.agg(
+        F.count(F.lit(1)).alias("n_nodes"),
+        F.expr("sum(deg) div 2").alias("n_edges"),
+        F.sum(F.expr("deg * (deg - 1) div 2")).alias("n_wedges"),
+    )
+    # oriented edges: (src, dst) with (deg_src, src) < (deg_dst, dst)
+    edges = deg.select("src", F.col("deg").alias("sdeg"), F.explode("dsts").alias("dst"))
+    ddeg = deg.select(F.col("src").alias("dst"), F.col("deg").alias("ddeg"))
+    oriented = edges.join(ddeg, "dst").filter(
+        (F.col("sdeg") < F.col("ddeg"))
+        | ((F.col("sdeg") == F.col("ddeg")) & (F.col("src") < F.col("dst")))
+    )
+    # out-neighbor pairs at each lightest vertex, pair ordered by the SAME
+    # (deg, id) key so the closing oriented edge matches (lo -> hi)
+    out_adj = oriented.groupBy("src").agg(
+        F.collect_set(F.struct("ddeg", "dst")).alias("outs")
+    )
+    cand = (
+        out_adj.select(F.explode("outs").alias("a"), "outs")
+        .select("a", F.explode("outs").alias("b"))
+        .filter(F.col("a") < F.col("b"))
+        .select(F.col("a.dst").alias("src"), F.col("b.dst").alias("dst"))
+    )
+    # the candidate stream is the big side (O(m^1.5)); the closing-edge
+    # set is only m rows — broadcast it so the 10-30x larger candidate
+    # stream is filtered map-side instead of shuffled. (At graph sizes
+    # where m itself outgrows executor memory, drop the hint and let the
+    # shuffle semi-join run — the candidate bound is unchanged.)
+    closing = oriented.select("src", "dst")
+    tri = cand.join(F.broadcast(closing), ["src", "dst"], "left_semi").agg(
+        F.count(F.lit(1)).alias("n_triangles")
+    )
+    return stats.crossJoin(tri).select(
+        "n_nodes",
+        "n_edges",
+        "n_wedges",
+        "n_triangles",
+        (
+            (F.lit(3) * F.col("n_triangles")).cast("double") / F.col("n_wedges")
+        ).alias("global_clustering"),
+    )
+
+
 def copurchase_adjacency(lineitem: DataFrame) -> DataFrame:
     """Part co-purchase adjacency list from the lineitem fact: vertices
     are parts, neighbors are parts sharing an order. Array-native build —

@@ -1003,6 +1003,28 @@ def q_copurchase_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_copurchase_triangle_census(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Global triangle/wedge census of the part co-purchase graph —
+    the third iterative-graph family member (CC labels components,
+    PageRank ranks vertices, the census measures local density: the
+    clustering coefficient is the standard community-structure and
+    spam/anomaly signal over link graphs).
+
+    Scale story lives in operators/graph.py::triangle_census: the
+    degree-ordered orientation bounds per-vertex candidate fanout at
+    O(sqrt(m)) regardless of degree skew, giving the O(m^1.5) exact
+    count. The oracle twin counts the same triangles by the a<b<c
+    three-way self-join (each triangle once) and the same Σ C(deg,2)
+    wedge denominator — all BIGINT algebra, one final IEEE division.
+    """
+    from ..operators.graph import copurchase_adjacency, triangle_census
+    from ..util import tracked_cache
+
+    l = load(spark, sf_dir, "lineitem")
+    adj = tracked_cache(copurchase_adjacency(l))
+    return triangle_census(adj)
+
+
 QUERIES = {
     "pricing_summary": q_pricing_summary,
     "ml_feature_dataset": q_ml_feature_dataset,
@@ -1041,6 +1063,7 @@ QUERIES = {
     "sole_late_supplier_blame": q_sole_late_supplier_blame,
     "large_volume_customers": q_large_volume_customers,
     "copurchase_pagerank": q_copurchase_pagerank,
+    "copurchase_triangle_census": q_copurchase_triangle_census,
 }
 
 
@@ -1591,5 +1614,45 @@ ORACLES = {
         FROM r3
         ORDER BY rank_micromass DESC, part_key
         LIMIT 20
+    """,
+    # Triangle-census twin: a<b<c three-way self-join counts each
+    # triangle exactly once; wedges are the raw sum of C(deg,2) over
+    # undirected degrees. Integer algebra throughout (DuckDB // = Spark
+    # div); the sums come back HUGEINT and are cast to BIGINT; the
+    # clustering coefficient is ONE double division of exact inputs.
+    "copurchase_triangle_census": """
+        WITH baskets AS (
+          SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+        ),
+        und AS (
+          SELECT DISTINCT a.l_partkey AS a, b.l_partkey AS b
+          FROM baskets a
+          JOIN baskets b
+            ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+        ),
+        deg AS (
+          SELECT node, CAST(count(*) AS BIGINT) AS d
+          FROM (
+            SELECT a AS node FROM und
+            UNION ALL
+            SELECT b AS node FROM und
+          )
+          GROUP BY node
+        ),
+        stats AS (
+          SELECT CAST(count(*) AS BIGINT) AS n_nodes,
+                 CAST(sum(d) // 2 AS BIGINT) AS n_edges,
+                 CAST(sum(d * (d - 1) // 2) AS BIGINT) AS n_wedges
+          FROM deg
+        ),
+        tri AS (
+          SELECT CAST(count(*) AS BIGINT) AS n_triangles
+          FROM und e1
+          JOIN und e2 ON e2.a = e1.b
+          JOIN und e3 ON e3.a = e1.a AND e3.b = e2.b
+        )
+        SELECT n_nodes, n_edges, n_wedges, n_triangles,
+               CAST(3 * n_triangles AS DOUBLE) / n_wedges AS global_clustering
+        FROM stats, tri
     """,
 }

@@ -670,3 +670,41 @@ def test_copurchase_adjacency_matches_naive_pairs(spark):
         for r in copurchase_adjacency(li).collect()
     }
     assert adj == {10: [11, 12], 11: [10, 12], 12: [10, 11]}
+
+
+def test_triangle_census_hand_checked(spark):
+    """K4 (complete on 4): C(4,3)=4 triangles, 4*C(3,2)=12 wedges,
+    clustering 1.0. A 4-path (0-1-2-3): zero triangles, wedges 2."""
+    from big_data_processing_with_aws_glue_workshop_spark.operators.graph import (
+        triangle_census,
+    )
+
+    k4 = _adj(spark, {i: [j for j in range(4) if j != i] for i in range(4)})
+    row = triangle_census(k4).collect()[0]
+    assert (
+        row["n_nodes"], row["n_edges"], row["n_wedges"], row["n_triangles"]
+    ) == (4, 6, 12, 4)
+    assert row["global_clustering"] == 1.0
+
+    path = _adj(spark, {0: [1], 1: [0, 2], 2: [1, 3], 3: [2]})
+    row = triangle_census(path).collect()[0]
+    assert (row["n_edges"], row["n_wedges"], row["n_triangles"]) == (3, 2, 0)
+
+
+def test_triangle_census_star_plus_rim_orientation(spark):
+    """Hub-and-rim graph: hub 0 linked to all 6 rim nodes, rim a 6-cycle —
+    12 edges, 6 triangles (hub + each rim edge). The hub has the highest
+    degree, so after orientation it receives edges and contributes NO
+    candidate pairs — the case where naive wedge counting at the hub
+    would generate C(6,2) candidates and the orientation generates none."""
+    from big_data_processing_with_aws_glue_workshop_spark.operators.graph import (
+        triangle_census,
+    )
+
+    adj = {0: list(range(1, 7))}
+    for i in range(1, 7):
+        left = 6 if i == 1 else i - 1
+        right = 1 if i == 6 else i + 1
+        adj[i] = [0, left, right]
+    row = triangle_census(_adj(spark, adj)).collect()[0]
+    assert (row["n_nodes"], row["n_edges"], row["n_triangles"]) == (7, 12, 6)
