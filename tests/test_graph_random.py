@@ -1,0 +1,83 @@
+"""Randomized differential tests for operators/graph.py: the Spark
+implementations must EXACTLY equal pure-Python reference implementations
+on seeded random graphs (the integer algebra makes exact equality a fair
+demand — any partitioning/order sensitivity would show up as drift)."""
+
+from __future__ import annotations
+
+import random
+
+import pytest
+
+from big_data_processing_with_aws_glue_workshop_spark.operators.graph import (
+    pagerank_integer,
+    triangle_census,
+)
+
+
+def _random_symmetric_graph(seed: int, n: int, p: float) -> dict[int, list[int]]:
+    rng = random.Random(seed)
+    adj: dict[int, set[int]] = {i: set() for i in range(n)}
+    for a in range(n):
+        for b in range(a + 1, n):
+            if rng.random() < p:
+                adj[a].add(b)
+                adj[b].add(a)
+    # graph ops take vertices with >= 1 edge (no dangling by construction)
+    return {v: sorted(ns) for v, ns in adj.items() if ns}
+
+
+def _to_df(spark, adj):
+    return spark.createDataFrame(
+        [(v, ns) for v, ns in adj.items()], "src long, dsts array<long>"
+    )
+
+
+def _pagerank_reference(adj, n_iter, scale=10**12):
+    """Line-for-line integer reference: same div/damping algebra."""
+    nodes = sorted(adj)
+    base = scale // len(nodes)
+    pr = {v: base for v in nodes}
+    for _ in range(n_iter):
+        incoming = {v: 0 for v in nodes}
+        for v, ns in adj.items():
+            c = pr[v] // len(ns)
+            for w in ns:
+                incoming[w] += c
+        pr = {v: (15 * base + 85 * incoming[v]) // 100 for v in nodes}
+    return pr
+
+
+def _triangle_reference(adj):
+    nodes = sorted(adj)
+    deg = {v: len(ns) for v, ns in adj.items()}
+    n_edges = sum(deg.values()) // 2
+    n_wedges = sum(d * (d - 1) // 2 for d in deg.values())
+    tri = 0
+    sets = {v: set(ns) for v, ns in adj.items()}
+    for a in nodes:
+        for b in sets[a]:
+            if b <= a:
+                continue
+            tri += len([c for c in sets[a] & sets[b] if c > b])
+    return len(nodes), n_edges, n_wedges, tri
+
+
+@pytest.mark.parametrize("seed,n,p", [(1, 25, 0.15), (2, 40, 0.08), (3, 30, 0.4)])
+def test_pagerank_equals_pure_python_reference(spark, seed, n, p):
+    adj = _random_symmetric_graph(seed, n, p)
+    got = {
+        r["node"]: r["pr"]
+        for r in pagerank_integer(_to_df(spark, adj), n_iter=4).collect()
+    }
+    assert got == _pagerank_reference(adj, 4)
+
+
+@pytest.mark.parametrize("seed,n,p", [(11, 25, 0.2), (12, 35, 0.1), (13, 20, 0.5)])
+def test_triangle_census_equals_brute_force(spark, seed, n, p):
+    adj = _random_symmetric_graph(seed, n, p)
+    row = triangle_census(_to_df(spark, adj)).collect()[0]
+    nodes, edges, wedges, tri = _triangle_reference(adj)
+    assert (
+        row["n_nodes"], row["n_edges"], row["n_wedges"], row["n_triangles"]
+    ) == (nodes, edges, wedges, tri)

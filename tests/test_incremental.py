@@ -246,3 +246,41 @@ def test_incremental_agg_refresh_rejects_unknown_kind(spark, tmp_path):
             {"d": ("avg", "amount")},
             str(tmp_path / "agg"),
         )
+
+
+@pytest.mark.parametrize("seed", [7, 21, 99])
+def test_incremental_agg_refresh_random_wave_splits(spark, tmp_path, seed):
+    """Seeded random rows split into random-size waves: the final state
+    must equal a pandas groupby over all rows, for ANY split — the
+    associativity the monoid merge promises."""
+    import random
+
+    from big_data_processing_with_aws_glue_workshop_spark.plans.incremental import (
+        incremental_agg_refresh,
+    )
+
+    rng = random.Random(seed)
+    rows = [
+        (rng.randrange(12), rng.randrange(-50, 500), rng.randrange(1000))
+        for _ in range(400)
+    ]
+    cuts = sorted(rng.sample(range(1, 400), rng.randrange(2, 6)))
+    waves = [rows[a:b] for a, b in zip([0] + cuts, cuts + [400])]
+
+    landing = tmp_path / "facts"
+    landing.mkdir()
+    target = str(tmp_path / "agg")
+    bm = JobBookmark(str(tmp_path / "bm.json"), "agg")
+    for i, wave in enumerate(waves):
+        _write_fact(landing / f"w{i}.parquet", wave)
+        incremental_agg_refresh(
+            spark, bm, str(landing / "*.parquet"), ["key"], _AGG_SPEC, target
+        )
+
+    df = pd.DataFrame(rows, columns=["key", "amount", "updated_at"])
+    expect = {
+        int(k): (int(g["amount"].count()), int(g["amount"].sum()),
+                 int(g["updated_at"].min()), int(g["updated_at"].max()))
+        for k, g in df.groupby("key")
+    }
+    assert _agg_state(spark, target) == expect
