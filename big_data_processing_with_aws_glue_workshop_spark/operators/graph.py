@@ -79,17 +79,22 @@ def triangle_census(adj: DataFrame) -> DataFrame:
     symmetric adjacency list ``(src, dsts: array)`` — one row:
     (n_nodes, n_edges, n_wedges, n_triangles, global_clustering).
 
-    Scale design — the degree-ordered orientation trick (the standard
-    distributed triangle count): direct every undirected edge from its
-    lower-(degree, id) endpoint to the higher one. Each triangle then has
-    exactly ONE vertex with two out-edges into it, so counting = build
-    out-neighbor pairs per vertex ("wedges-at-the-lightest-vertex") and
-    semi-join them against the oriented edge set. The payoff is the
-    fanout bound: after orientation every out-degree is O(sqrt(m))
-    REGARDLESS of how skewed the raw degrees are — a celebrity vertex
-    with 10^7 neighbors contributes pairs only toward its few
-    HIGHER-degree peers, not C(10^7, 2) candidates. Candidate volume is
-    O(m^1.5) worst-case, the known optimum for exact counting.
+    Scale design — degree-ordered orientation + edge-iterator
+    intersection (the standard distributed triangle count): direct every
+    undirected edge from its lower-(degree, id) endpoint to the higher
+    one; each triangle then has exactly one vertex with out-edges to the
+    other two, so triangles = Σ over oriented edges (u,v) of
+    |N⁺(u) ∩ N⁺(v)| — each triangle counted once, at its (min, mid)
+    edge. The orientation bounds every out-degree at O(sqrt(m))
+    REGARDLESS of raw-degree skew (a celebrity vertex with 10^7
+    neighbors keeps out-edges only toward its few higher-degree peers),
+    so total intersection work is O(m^1.5) worst-case, the known optimum
+    for exact counting. The intersection runs as ONE array_intersect per
+    edge inside whole-stage codegen — no wedge-pair materialization: the
+    first-cut explode-pairs + semi-join variant shuffled ~35M candidate
+    rows at sf0.1 and ran 7.0 s; this formulation carries m rows with
+    two bounded arrays each and runs 4.6 s on the same graph
+    (docs/SCALE.md).
 
     n_wedges is the raw Σ C(deg, 2) over undirected degrees (the
     clustering-coefficient denominator), computed in the same pass as
@@ -112,26 +117,31 @@ def triangle_census(adj: DataFrame) -> DataFrame:
     oriented = edges.join(ddeg, "dst").filter(
         (F.col("sdeg") < F.col("ddeg"))
         | ((F.col("sdeg") == F.col("ddeg")) & (F.col("src") < F.col("dst")))
+    ).select("src", "dst")
+    # per-vertex out-neighbor sets (bounded at O(sqrt(m)) by orientation),
+    # attached to both endpoints of every oriented edge; a sink vertex has
+    # no out-set -> left join + empty-array coalesce contributes zero
+    out_adj = oriented.groupBy("src").agg(F.collect_set("dst").alias("outs"))
+    e_u = oriented.join(out_adj, "src").select(
+        "src", "dst", F.col("outs").alias("outs_u")
     )
-    # out-neighbor pairs at each lightest vertex, pair ordered by the SAME
-    # (deg, id) key so the closing oriented edge matches (lo -> hi)
-    out_adj = oriented.groupBy("src").agg(
-        F.collect_set(F.struct("ddeg", "dst")).alias("outs")
-    )
-    cand = (
-        out_adj.select(F.explode("outs").alias("a"), "outs")
-        .select("a", F.explode("outs").alias("b"))
-        .filter(F.col("a") < F.col("b"))
-        .select(F.col("a.dst").alias("src"), F.col("b.dst").alias("dst"))
-    )
-    # the candidate stream is the big side (O(m^1.5)); the closing-edge
-    # set is only m rows — broadcast it so the 10-30x larger candidate
-    # stream is filtered map-side instead of shuffled. (At graph sizes
-    # where m itself outgrows executor memory, drop the hint and let the
-    # shuffle semi-join run — the candidate bound is unchanged.)
-    closing = oriented.select("src", "dst")
-    tri = cand.join(F.broadcast(closing), ["src", "dst"], "left_semi").agg(
-        F.count(F.lit(1)).alias("n_triangles")
+    out_v = out_adj.select(F.col("src").alias("dst"), F.col("outs").alias("outs_v"))
+    tri = (
+        e_u.join(out_v, "dst", "left")
+        .select(
+            F.size(
+                F.array_intersect(
+                    "outs_u",
+                    F.coalesce(
+                        "outs_v",
+                        F.array().cast(
+                            out_adj.schema["outs"].dataType.simpleString()
+                        ),
+                    ),
+                )
+            ).alias("common")
+        )
+        .agg(F.sum("common").alias("n_triangles"))
     )
     return stats.crossJoin(tri).select(
         "n_nodes",
