@@ -18,10 +18,10 @@ entries in iteration order. The registry is therefore laid out explicitly:
 - ``_TAIL`` (unscored, still registered): every tail query is gated by
   tests/test_queries_oracle.py on every pytest run — oracle-backed ones
   hash-checked, the rest rows-only.
-- ``_RETIRED`` (empty today): the retirement mechanism for when the
-  two-round arithmetic below stops fitting — a retired query keeps its
-  implementation and pytest oracle coverage but leaves the driver
-  registry. Nothing is retired yet.
+- ``_RETIRED`` (holds ``doc_fingerprint`` today): the retirement
+  mechanism for when the two-round arithmetic below stops fitting — a
+  retired query keeps its implementation and pytest oracle coverage but
+  leaves the driver registry.
 
 ROTATION POLICY (two-round cadence) and its arithmetic: a query whose
 driver row was fully green in round N-1 may rotate to the tail in round
