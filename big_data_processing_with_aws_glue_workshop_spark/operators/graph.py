@@ -51,6 +51,12 @@ def pagerank_integer(
     if n_iter < 0:
         raise ValueError(f"n_iter must be >= 0, got {n_iter}")
     n_nodes = adj.count()
+    if n_nodes == 0:
+        raise ValueError(
+            "adjacency is empty — PageRank needs at least one vertex "
+            "(a source whose every order holds a single part builds an "
+            "edgeless co-purchase graph)"
+        )
     base = scale // n_nodes
     edges_deg = adj.select(
         "src", F.size("dsts").alias("outdeg"), F.explode("dsts").alias("dst")
@@ -67,7 +73,7 @@ def pagerank_integer(
             F.col("dst").alias("node"),
             (F.lit(15 * base) + F.lit(85) * F.col("incoming")).alias("num"),
         ).select("node", F.expr("num div 100").alias("pr"))
-        if (i + 1) % checkpoint_every == 0 and i + 1 < n_iter:
+        if checkpoint_every > 0 and (i + 1) % checkpoint_every == 0 and i + 1 < n_iter:
             # truncate lineage: past ~8 rounds the accumulated join+agg
             # plan dominates executor time (measured in docs/SCALE.md)
             ranks = ranks.localCheckpoint(eager=False)
@@ -106,10 +112,14 @@ def triangle_census(adj: DataFrame) -> DataFrame:
         F.size("dsts").alias("deg"),
         "dsts",
     )
+    # coalesce(0): an EMPTY adjacency must yield zero counts, not the
+    # NULLs SQL sums produce over zero rows
     stats = deg.agg(
         F.count(F.lit(1)).alias("n_nodes"),
-        F.expr("sum(deg) div 2").alias("n_edges"),
-        F.sum(F.expr("deg * (deg - 1) div 2")).alias("n_wedges"),
+        F.coalesce(F.expr("sum(deg) div 2"), F.lit(0)).alias("n_edges"),
+        F.coalesce(
+            F.sum(F.expr("deg * (deg - 1) div 2")), F.lit(0)
+        ).alias("n_wedges"),
     )
     # oriented edges: (src, dst) with (deg_src, src) < (deg_dst, dst)
     edges = deg.select("src", F.col("deg").alias("sdeg"), F.explode("dsts").alias("dst"))
@@ -141,16 +151,20 @@ def triangle_census(adj: DataFrame) -> DataFrame:
                 )
             ).alias("common")
         )
-        .agg(F.sum("common").alias("n_triangles"))
+        .agg(F.coalesce(F.sum("common"), F.lit(0)).alias("n_triangles"))
     )
     return stats.crossJoin(tri).select(
         "n_nodes",
         "n_edges",
         "n_wedges",
         "n_triangles",
-        (
-            (F.lit(3) * F.col("n_triangles")).cast("double") / F.col("n_wedges")
-        ).alias("global_clustering"),
+        # wedge-free graphs (perfect matchings, empty input) are in
+        # contract: clustering is 0.0 there, not a NULL division
+        F.when(
+            F.col("n_wedges") > 0,
+            (F.lit(3) * F.col("n_triangles")).cast("double")
+            / F.col("n_wedges"),
+        ).otherwise(F.lit(0.0)).alias("global_clustering"),
     )
 
 

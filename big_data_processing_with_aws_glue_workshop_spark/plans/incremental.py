@@ -28,6 +28,7 @@ bookmark/transform/merge contract is unchanged.
 
 from __future__ import annotations
 
+import os
 from collections.abc import Callable, Sequence
 
 from pyspark.sql import DataFrame, SparkSession
@@ -102,12 +103,6 @@ _AGG_PARTIAL = {
 _AGG_MERGE = {"count": F.sum, "sum": F.sum, "min": F.min, "max": F.max}
 
 
-def _delta_fingerprint(files: Sequence[str]) -> str:
-    import hashlib
-
-    return hashlib.sha256("\n".join(sorted(files)).encode()).hexdigest()
-
-
 def incremental_agg_refresh(
     spark: SparkSession,
     bookmark: JobBookmark,
@@ -138,10 +133,13 @@ def incremental_agg_refresh(
     Exactly-once EFFECT under crash-replay: unlike the keep-latest upsert
     (idempotent by construction), re-merging a sum delta would
     double-count. The snapshot pointer therefore records the increment's
-    file-set fingerprint; a rerun that observes its exact pending
-    file-set already applied (crash landed between the pointer flip and
-    the bookmark commit) only re-commits the bookmark and touches no
-    state.
+    FILE LIST (``delta_files``); every refresh first heals the bookmark
+    by committing any pending file that the pointer shows already merged
+    (the crash landed between the pointer flip and the bookmark commit),
+    then processes only the genuinely-new remainder — correct even when
+    MORE files land between the crash and the rerun (a fingerprint-
+    equality guard would miss that case and double-count the replayed
+    files).
 
     At 100 TB: the increment is the only data scanned; the merge shuffles
     on the group keys only, and both sides of the merge are
@@ -152,39 +150,40 @@ def incremental_agg_refresh(
     partitions the increment touches — the partial/merge algebra is
     unchanged.
     """
-    import os
-    import shutil
+    from ..streaming.sinks import commit_snapshot, read_pointer
 
-    from ..util import atomic_write_json
-
+    keys = list(group_keys)
     for out, (kind, _) in aggs.items():
         if kind not in _AGG_PARTIAL:
             raise ValueError(
                 f"aggregate {out!r}: unsupported kind {kind!r} "
                 f"(supported: {sorted(_AGG_PARTIAL)})"
             )
+        if out in keys:
+            raise ValueError(
+                f"aggregate output {out!r} collides with a group key — "
+                "rename the output column"
+            )
+
+    pointer = read_pointer(target_dir)
+
+    # heal FIRST: any pending file recorded in the pointer's delta_files
+    # is already merged into the state — the crash lost only the bookmark
+    # commit. Committing it here shrinks the incremental read below to
+    # the genuinely-new remainder.
+    healed = 0
+    if pointer is not None:
+        applied = set(pointer.get("delta_files", []))
+        stale = [f for f in bookmark.pending_files(pattern) if f in applied]
+        if stale:
+            bookmark.commit_files(stale)
+            healed = len(stale)
 
     new_df, new_files = bookmark.read_incremental(
         spark, pattern, fmt=fmt, **reader_options
     )
     if not new_files:
-        return 0
-    fp = _delta_fingerprint(new_files)
-
-    pointer_path = os.path.join(target_dir, "current.json")
-    pointer = None
-    if os.path.exists(pointer_path):
-        import json
-
-        with open(pointer_path, encoding="utf-8") as f:
-            pointer = json.load(f)
-    if pointer is not None and pointer.get("delta_fingerprint") == fp:
-        # crash-replay: this exact increment is already in the state —
-        # the crash lost only the bookmark commit. Re-commit and stop.
-        bookmark.commit_files(new_files)
-        return len(new_files)
-
-    keys = list(group_keys)
+        return healed
     partial = new_df.groupBy(*keys).agg(
         *[
             _AGG_PARTIAL[kind](col).alias(out)
@@ -219,19 +218,8 @@ def incremental_agg_refresh(
         merged = partial
         batch_id = 0
 
-    version_dir = f"v{batch_id}"
-    out_dir = os.path.join(target_dir, version_dir)
-    if os.path.exists(out_dir):  # stale leftover from a crashed attempt
-        shutil.rmtree(out_dir)
-    merged.write.mode("overwrite").parquet(out_dir)
-    os.makedirs(target_dir, exist_ok=True)
-    atomic_write_json(
-        pointer_path,
-        {"batch_id": batch_id, "version": version_dir, "delta_fingerprint": fp},
+    commit_snapshot(
+        merged, target_dir, batch_id, {"delta_files": sorted(new_files)}
     )
-    if pointer is not None and pointer["version"] != version_dir:
-        shutil.rmtree(
-            os.path.join(target_dir, pointer["version"]), ignore_errors=True
-        )
     bookmark.commit_files(new_files)
-    return len(new_files)
+    return healed + len(new_files)

@@ -32,6 +32,51 @@ from pyspark.sql import functions as F
 from ..util import atomic_write_json
 
 
+def read_pointer(target_dir: str) -> dict | None:
+    """The snapshot table's current-pointer JSON, or None before the
+    first commit."""
+    path = os.path.join(target_dir, "current.json")
+    if not os.path.exists(path):
+        return None
+    with open(path, encoding="utf-8") as f:
+        return json.load(f)
+
+
+def commit_snapshot(
+    df: DataFrame,
+    target_dir: str,
+    batch_id: int,
+    extra_pointer_fields: dict | None = None,
+) -> None:
+    """The shared snapshot-commit protocol (used by UpsertSink and
+    plans/incremental.py — one implementation, not two drifting copies):
+    write ``df`` as the immutable version directory ``v<batch_id>``, flip
+    the pointer atomically (tmp + rename), then retire EVERY other
+    version directory — not just the immediate predecessor, so a version
+    orphaned by a crash between a previous pointer flip and its cleanup
+    is healed by the next successful commit and disk stays O(table).
+    """
+    version_dir = f"v{batch_id}"
+    out = os.path.join(target_dir, version_dir)
+    if os.path.exists(out):  # stale leftover from a crashed attempt
+        shutil.rmtree(out)
+    df.write.mode("overwrite").parquet(out)
+    os.makedirs(target_dir, exist_ok=True)
+    atomic_write_json(
+        os.path.join(target_dir, "current.json"),
+        {
+            "batch_id": batch_id,
+            "version": version_dir,
+            **(extra_pointer_fields or {}),
+        },
+    )
+    for entry in os.listdir(target_dir):
+        if entry != version_dir and entry.startswith("v"):
+            stale = os.path.join(target_dir, entry)
+            if os.path.isdir(stale):
+                shutil.rmtree(stale, ignore_errors=True)
+
+
 class UpsertSink:
     """``foreachBatch`` callable: SCD1-upsert each micro-batch into the
     versioned parquet table at ``target_dir``, keyed by ``keys``.
@@ -57,16 +102,7 @@ class UpsertSink:
         return os.path.join(self.target_dir, "current.json")
 
     def _read_pointer(self) -> dict | None:
-        if not os.path.exists(self._pointer_path):
-            return None
-        with open(self._pointer_path, encoding="utf-8") as f:
-            return json.load(f)
-
-    def _commit_pointer(self, batch_id: int, version_dir: str) -> None:
-        os.makedirs(self.target_dir, exist_ok=True)
-        atomic_write_json(
-            self._pointer_path, {"batch_id": batch_id, "version": version_dir}
-        )
+        return read_pointer(self.target_dir)
 
     # -- the sink ----------------------------------------------------------
 
@@ -105,17 +141,7 @@ class UpsertSink:
         else:
             merged = source
 
-        version_dir = f"v{batch_id}"
-        out = os.path.join(self.target_dir, version_dir)
-        if os.path.exists(out):  # stale leftover from a crashed attempt
-            shutil.rmtree(out)
-        merged.write.mode("overwrite").parquet(out)
-        previous = pointer["version"] if pointer is not None else None
-        self._commit_pointer(batch_id, version_dir)
-        # retention: superseded snapshots are unreachable once the pointer
-        # flips — drop them so disk stays O(table), not O(batches x table)
-        if previous is not None and previous != version_dir:
-            shutil.rmtree(os.path.join(self.target_dir, previous), ignore_errors=True)
+        commit_snapshot(merged, self.target_dir, batch_id)
 
 
 def read_current(spark: SparkSession, target_dir: str) -> DataFrame:

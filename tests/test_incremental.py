@@ -284,3 +284,78 @@ def test_incremental_agg_refresh_random_wave_splits(spark, tmp_path, seed):
         for k, g in df.groupby("key")
     }
     assert _agg_state(spark, target) == expect
+
+
+def test_incremental_agg_refresh_crash_replay_with_new_arrivals(spark, tmp_path):
+    """The hard replay case: the crash loses the bookmark commit AND a new
+    file lands before the rerun. The rerun must heal the replayed file
+    (no re-merge) and process ONLY the genuinely-new one — a fingerprint-
+    equality guard misses this and double-counts."""
+    from big_data_processing_with_aws_glue_workshop_spark.plans.incremental import (
+        incremental_agg_refresh,
+    )
+
+    landing = tmp_path / "facts"
+    landing.mkdir()
+    target = str(tmp_path / "agg")
+    pattern = str(landing / "*.parquet")
+
+    _write_fact(landing / "w0.parquet", [(1, 10, 100)])
+    bm = JobBookmark(str(tmp_path / "bm.json"), "agg")
+    incremental_agg_refresh(spark, bm, pattern, ["key"], _AGG_SPEC, target)
+    _write_fact(landing / "w1.parquet", [(1, 5, 110)])
+    incremental_agg_refresh(spark, bm, pattern, ["key"], _AGG_SPEC, target)
+
+    # crash: w1's bookmark commit is lost; w2 lands before the rerun
+    crashed = JobBookmark(str(tmp_path / "bm_crashed.json"), "agg")
+    crashed.commit_files([str(landing / "w0.parquet")])
+    _write_fact(landing / "w2.parquet", [(1, 2, 120)])
+
+    n = incremental_agg_refresh(spark, crashed, pattern, ["key"], _AGG_SPEC, target)
+    assert n == 2  # 1 healed + 1 genuinely new
+    # exactly once: 10 + 5 + 2, NOT 10 + 5 + 5 + 2
+    assert _agg_state(spark, target)[1] == (3, 17, 100, 120)
+
+
+def test_incremental_agg_refresh_next_commit_heals_orphaned_versions(
+    spark, tmp_path
+):
+    """A crash between the pointer flip and the old-version cleanup
+    orphans a snapshot dir; the NEXT successful commit must sweep it
+    (retention = O(table), not O(crashes x table))."""
+    import os
+
+    from big_data_processing_with_aws_glue_workshop_spark.plans.incremental import (
+        incremental_agg_refresh,
+    )
+
+    landing = tmp_path / "facts"
+    landing.mkdir()
+    target = str(tmp_path / "agg")
+    pattern = str(landing / "*.parquet")
+    bm = JobBookmark(str(tmp_path / "bm.json"), "agg")
+
+    _write_fact(landing / "w0.parquet", [(1, 10, 100)])
+    incremental_agg_refresh(spark, bm, pattern, ["key"], _AGG_SPEC, target)
+    # simulate the orphan a crashed cleanup leaves behind
+    os.makedirs(os.path.join(target, "v998"))
+    _write_fact(landing / "w1.parquet", [(2, 7, 100)])
+    incremental_agg_refresh(spark, bm, pattern, ["key"], _AGG_SPEC, target)
+    versions = sorted(d for d in os.listdir(target) if d.startswith("v"))
+    assert versions == ["v1"], versions
+
+
+def test_incremental_agg_refresh_rejects_key_collision(spark, tmp_path):
+    from big_data_processing_with_aws_glue_workshop_spark.plans.incremental import (
+        incremental_agg_refresh,
+    )
+
+    with pytest.raises(ValueError, match="collides with a group key"):
+        incremental_agg_refresh(
+            spark,
+            JobBookmark(str(tmp_path / "bm.json"), "agg"),
+            str(tmp_path / "*.parquet"),
+            ["key"],
+            {"key": ("sum", "amount")},
+            str(tmp_path / "agg"),
+        )

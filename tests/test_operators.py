@@ -708,3 +708,46 @@ def test_triangle_census_star_plus_rim_orientation(spark):
         adj[i] = [0, left, right]
     row = triangle_census(_adj(spark, adj)).collect()[0]
     assert (row["n_nodes"], row["n_edges"], row["n_triangles"]) == (7, 12, 6)
+
+
+def test_triangle_census_degenerate_graphs(spark):
+    """In-contract degenerate shapes: a perfect matching (every degree 1)
+    has zero wedges -> clustering must be a defined 0.0, not NULL; an
+    empty adjacency yields zero counts, not NULL sums."""
+    from big_data_processing_with_aws_glue_workshop_spark.operators.graph import (
+        triangle_census,
+    )
+
+    matching = _adj(spark, {0: [1], 1: [0], 2: [3], 3: [2]})
+    row = triangle_census(matching).collect()[0]
+    assert (row["n_edges"], row["n_wedges"], row["n_triangles"]) == (2, 0, 0)
+    assert row["global_clustering"] == 0.0
+
+    empty = spark.createDataFrame([], "src long, dsts array<long>")
+    row = triangle_census(empty).collect()[0]
+    assert (
+        row["n_nodes"], row["n_edges"], row["n_wedges"],
+        row["n_triangles"], row["global_clustering"],
+    ) == (0, 0, 0, 0, 0.0)
+
+
+def test_pagerank_rejects_empty_adjacency(spark):
+    from big_data_processing_with_aws_glue_workshop_spark.operators.graph import (
+        pagerank_integer,
+    )
+
+    empty = spark.createDataFrame([], "src long, dsts array<long>")
+    with pytest.raises(ValueError, match="adjacency is empty"):
+        pagerank_integer(empty, n_iter=1)
+
+
+def test_pagerank_checkpoint_every_zero_means_never(spark):
+    from big_data_processing_with_aws_glue_workshop_spark.operators.graph import (
+        pagerank_integer,
+    )
+
+    ring = {i: [(i - 1) % 4, (i + 1) % 4] for i in range(4)}
+    got = pagerank_integer(
+        _adj(spark, ring), n_iter=3, checkpoint_every=0
+    ).collect()
+    assert len(got) == 4
