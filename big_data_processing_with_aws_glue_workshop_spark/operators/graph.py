@@ -23,8 +23,8 @@ map-side partial sums. Lineage grows one join+agg per round, so past a
 handful of rounds the plan itself becomes the bottleneck —
 ``checkpoint_every`` truncates it with a lazy localCheckpoint, the same
 pattern the CC loop uses. Skew unit = the adjacency row of a ubiquitous
-vertex; cap neighbor lists upstream (a vertex linked to everything
-carries no ranking signal).
+vertex; cap neighbor lists upstream with ``cap_vertex_degree`` (a
+vertex linked to everything carries no ranking signal).
 """
 
 from __future__ import annotations
@@ -165,6 +165,28 @@ def triangle_census(adj: DataFrame) -> DataFrame:
             (F.lit(3) * F.col("n_triangles")).cast("double")
             / F.col("n_wedges"),
         ).otherwise(F.lit(0.0)).alias("global_clustering"),
+    )
+
+
+def cap_vertex_degree(adj: DataFrame, cap: int) -> DataFrame:
+    """Bound every neighbor list at ``cap`` — the skew mitigation the
+    rank/census docstrings prescribe for ubiquitous vertices (a part
+    co-bought with everything, a page linked from everywhere: such hubs
+    dominate memory and carry little signal).
+
+    Deterministic: lists are sorted before slicing, so the kept neighbors
+    are partitioning-independent (same engine-portability rule as every
+    other sampling decision in this repo — never "first k seen").
+    Capping is explicitly an APPROXIMATION of the graph: it can break
+    edge symmetry (the capped hub keeps u, but u may keep the hub), so
+    run it BEFORE orientation/iteration as a curation step and treat
+    downstream counts as censuses of the capped graph. Cost: one
+    map-side projection, no shuffle.
+    """
+    if cap < 1:
+        raise ValueError(f"cap must be >= 1, got {cap}")
+    return adj.select(
+        "src", F.slice(F.array_sort("dsts"), 1, cap).alias("dsts")
     )
 
 

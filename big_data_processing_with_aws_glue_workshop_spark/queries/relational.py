@@ -983,9 +983,10 @@ def q_copurchase_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     CC operator's localCheckpoint pattern applies past ~10). Co-purchase
     edges are symmetric, so every vertex has outdeg ≥ 1 — no
     dangling-mass redistribution term. At 100 TB the adjacency row of a
-    ubiquitous part is the skew unit — cap neighbor lists the way
-    cross_source_overlap caps shingle ubiquity (a part co-bought with
-    everything carries no ranking signal).
+    ubiquitous part is the skew unit — cap neighbor lists with
+    operators/graph.py::cap_vertex_degree, the same move
+    cross_source_overlap makes on shingle ubiquity (a part co-bought
+    with everything carries no ranking signal).
     """
     from ..operators.graph import copurchase_adjacency, pagerank_integer
     from ..util import tracked_cache

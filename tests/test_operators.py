@@ -751,3 +751,26 @@ def test_pagerank_checkpoint_every_zero_means_never(spark):
         _adj(spark, ring), n_iter=3, checkpoint_every=0
     ).collect()
     assert len(got) == 4
+
+
+def test_cap_vertex_degree_deterministic_and_bounded(spark):
+    """Capping keeps the lexicographically-smallest `cap` neighbors
+    (partitioning-independent), never grows a list, and rejects cap<1."""
+    from big_data_processing_with_aws_glue_workshop_spark.operators.graph import (
+        cap_vertex_degree,
+    )
+
+    adj = _adj(spark, {1: [9, 3, 7, 5], 2: [4], 3: [1, 2, 8]})
+    capped = {
+        r["src"]: r["dsts"]
+        for r in cap_vertex_degree(adj, 2).collect()
+    }
+    assert capped == {1: [3, 5], 2: [4], 3: [1, 2]}
+    # repartitioned input yields the identical capped lists
+    capped2 = {
+        r["src"]: r["dsts"]
+        for r in cap_vertex_degree(adj.repartition(5), 2).collect()
+    }
+    assert capped2 == capped
+    with pytest.raises(ValueError, match="cap must be"):
+        cap_vertex_degree(adj, 0)
