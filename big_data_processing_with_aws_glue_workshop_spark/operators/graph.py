@@ -1,10 +1,12 @@
-"""Iterative graph rank propagation (PageRank) on DataFrames.
+"""Iterative graph primitives on DataFrames: PageRank, triangle census,
+k-core peeling, degree capping.
 
-Companion to the min-label-propagation connected components in
-extensions/dedup_fuzzy.py — the other standard iterative-graph primitive
-a training-data pipeline needs (importance weighting of pages/documents
-in a link or co-occurrence graph, the classic crawl-prioritization and
-quality-prior signal).
+Companions to the min-label-propagation connected components in
+extensions/dedup_fuzzy.py — together the standard graph toolkit a
+training-data pipeline needs over link/co-occurrence graphs: components
+(dedup canonicalization), rank (importance / crawl-prioritization /
+quality priors), local density (community structure, link-spam), cores
+(community kernels), and hub curation (skew control).
 
 Exactness contract: ranks are INTEGER micro-mass (a fixed total mass
 split by integer division); every per-edge contribution is
@@ -166,6 +168,70 @@ def triangle_census(adj: DataFrame) -> DataFrame:
             / F.col("n_wedges"),
         ).otherwise(F.lit(0.0)).alias("global_clustering"),
     )
+
+
+def k_core(adj: DataFrame, k: int, max_iter: int = 50) -> DataFrame:
+    """Vertices of the k-core — the maximal subgraph where every vertex
+    keeps degree ≥ k — by iterative peeling: drop every vertex whose
+    CURRENT degree is below k, delete its edges, repeat to fixpoint.
+    The fourth graph primitive alongside CC (components), PageRank
+    (importance) and the triangle census (density): cores isolate the
+    tightly-knit region of a link/co-occurrence graph (community
+    kernels; spam farms peel away early).
+
+    Input is the symmetric adjacency list ``(src, dsts: array)``;
+    output ``(node, core_degree)`` — the surviving vertices with their
+    within-core degree (every core_degree ≥ k by construction).
+
+    Scale shape, one Spark job per round (the CC loop's recipe): degrees
+    are one map-side size()/explode aggregation; peeling is two
+    semi-joins of the edge list against the survivor set; the edge list
+    is localCheckpoint()ed each round so lineage stays flat, and the
+    convergence probe (a full count of surviving vertices) is the action
+    that materializes it. Rounds = the graph's peeling depth, typically
+    tens even for billion-edge graphs (degeneracy ordering literature);
+    a non-converged loop fails loud like connected_components.
+    """
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+    edges = adj.select("src", F.explode("dsts").alias("dst")).localCheckpoint()
+    n_prev = edges.select("src").distinct().count()
+    converged = n_prev == 0  # an edgeless graph has an empty k-core
+    for _ in range(max_iter):
+        if converged:
+            break
+        deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("core_degree"))
+        keep = deg.filter(F.col("core_degree") >= k)
+        new_edges = (
+            edges.join(keep.select("src"), "src", "left_semi")
+            .join(
+                keep.select(F.col("src").alias("dst")), "dst", "left_semi"
+            )
+            .select("src", "dst")
+            .localCheckpoint(eager=False)
+        )
+        n_now = new_edges.select("src").distinct().count()
+        old = edges
+        edges = new_edges
+        try:
+            old.unpersist()
+        except Exception:
+            pass
+        if n_now in (n_prev, 0):
+            # fixpoint: edges are removed only when an endpoint is peeled,
+            # and any peeled/edge-stripped vertex leaves src — so an
+            # unchanged vertex count means new_edges == edges exactly
+            # (0 = everything peeled; the final aggregate is empty)
+            converged = True
+        n_prev = n_now
+    if not converged:
+        raise RuntimeError(
+            f"k_core did not converge within max_iter={max_iter} rounds; "
+            "the peeling cascade is deeper than expected — raise max_iter"
+        )
+    return edges.groupBy("src").agg(
+        F.count(F.lit(1)).alias("core_degree")
+    ).select(F.col("src").alias("node"), "core_degree")
 
 
 def cap_vertex_degree(adj: DataFrame, cap: int) -> DataFrame:

@@ -81,3 +81,48 @@ def test_triangle_census_equals_brute_force(spark, seed, n, p):
     assert (
         row["n_nodes"], row["n_edges"], row["n_wedges"], row["n_triangles"]
     ) == (nodes, edges, wedges, tri)
+
+
+def _k_core_reference(adj, k):
+    """Sequential peeling reference."""
+    sets = {v: set(ns) for v, ns in adj.items()}
+    changed = True
+    while changed:
+        changed = False
+        for v in [v for v, ns in sets.items() if len(ns) < k]:
+            for w in sets[v]:
+                sets[w].discard(v)
+            del sets[v]
+            changed = True
+    return {v: len(ns) for v, ns in sets.items()}
+
+
+def test_k_core_hand_checked_shapes(spark):
+    """K4 + pendant: the 3-core is exactly K4 (pendant peels, its
+    neighbor keeps degree 3). A chain peels to nothing at k=2; a cycle
+    IS its own 2-core. Peeling must CASCADE: in a chain, removing the
+    endpoints exposes new endpoints round after round."""
+    from big_data_processing_with_aws_glue_workshop_spark.operators.graph import k_core
+
+    k4p = {1: [2, 3, 4], 2: [1, 3, 4], 3: [1, 2, 4], 4: [1, 2, 3, 5], 5: [4]}
+    got = {r["node"]: r["core_degree"] for r in k_core(_to_df(spark, k4p), 3).collect()}
+    assert got == {1: 3, 2: 3, 3: 3, 4: 3}
+
+    chain = {0: [1], 1: [0, 2], 2: [1, 3], 3: [2, 4], 4: [3]}
+    assert k_core(_to_df(spark, chain), 2).count() == 0
+
+    cycle = {i: [(i - 1) % 6, (i + 1) % 6] for i in range(6)}
+    got = {r["node"]: r["core_degree"] for r in k_core(_to_df(spark, cycle), 2).collect()}
+    assert got == {i: 2 for i in range(6)}
+
+
+@pytest.mark.parametrize("seed,n,p,k", [(31, 30, 0.15, 3), (32, 40, 0.1, 2), (33, 25, 0.3, 4)])
+def test_k_core_equals_sequential_peeling(spark, seed, n, p, k):
+    from big_data_processing_with_aws_glue_workshop_spark.operators.graph import k_core
+
+    adj = _random_symmetric_graph(seed, n, p)
+    got = {
+        r["node"]: r["core_degree"]
+        for r in k_core(_to_df(spark, adj), k).collect()
+    }
+    assert got == _k_core_reference(adj, k)
