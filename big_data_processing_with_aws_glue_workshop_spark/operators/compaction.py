@@ -25,30 +25,38 @@ Design:
   job: hive layout keeps them in directory names and the rewritten files
   land back in the same directory. A driver-side loop over partitions is
   metadata-scale work; each iteration is one bounded Spark job.
-- **Crash-recoverable swap protocol.** Plain parquet has no transaction
-  log, so a fully atomic swap is impossible (that is what table formats
-  add; see ``sources/formats.py::require_format``). The protocol here
-  makes every crash window recoverable with no duplicates and no loss:
+- **Crash-recoverable swap protocol (write-ahead commit marker).** Plain
+  parquet has no transaction log, so a fully atomic swap is impossible
+  (that is what table formats add; see
+  ``sources/formats.py::require_format``). The protocol here makes every
+  crash window recoverable with no duplicates and no loss:
 
       1. write compacted files under <root>/.compaction_tmp/<partition>/
-      2. delete the partition's OLD data files
-      3. rename each tmp file into the partition directory
-      4. remove the tmp directory
+      2. write <tmp-partition>/.COMPACT_COMMIT recording the OLD file list
+      3. delete the partition's OLD data files
+      4. rename each tmp data file into the partition directory
+      5. remove the tmp partition directory (marker included)
 
-  Rename is atomic per file on HDFS and local filesystems. A crash before
-  step 2 leaves the lake untouched (tmp is ignored by readers: dot-prefixed
-  directories are hidden from Spark/Hive listings). A crash during 2-4
-  leaves the partition's surviving rows exactly once across partition dir
-  + tmp; ``recover_compaction`` completes steps 3-4 (each file moves at
-  most once, so re-running it is also safe). Concurrent readers during the
-  swap can see a partial partition — schedule compaction off-peak, or use
-  a transactional table format where that is unacceptable. On S3A, rename
-  is copy+delete (slower, still per-file recoverable via the same
-  protocol).
+  The marker is the transaction boundary: written only after the tmp copy
+  is complete, and its content names exactly the files step 3 deletes.
+  ``recover_compaction`` therefore never has to guess which side owns the
+  rows — a tmp partition WITHOUT a marker is an uncommitted write (the
+  old files are all still present) and is discarded; a tmp partition WITH
+  a marker is committed (the tmp copy is the source of truth), so
+  recovery re-runs steps 3-5: it deletes whichever listed old files still
+  survive, then moves the tmp copy in. Both paths are idempotent, so
+  re-running recovery is safe, and ``compact_parquet_lake`` runs recovery
+  FIRST so a routine re-run after a crash heals the lake instead of
+  clobbering the parked copy. Rename is atomic per file on HDFS and local
+  filesystems. Concurrent readers during the swap can see a partial
+  partition — schedule compaction off-peak, or use a transactional table
+  format where that is unacceptable. On S3A, rename is copy+delete
+  (slower, still per-file recoverable via the same protocol).
 """
 
 from __future__ import annotations
 
+import json
 import math
 from dataclasses import dataclass
 
@@ -56,6 +64,7 @@ from pyspark.sql import DataFrame, SparkSession
 
 DEFAULT_TARGET_FILE_BYTES = 128 * 1024 * 1024
 TMP_DIR_NAME = ".compaction_tmp"
+COMMIT_MARKER = ".COMPACT_COMMIT"
 
 
 @dataclass(frozen=True)
@@ -107,15 +116,11 @@ def list_data_files(
     return groups
 
 
-def plan_compaction(
-    spark: SparkSession,
-    root: str,
-    target_file_bytes: int = DEFAULT_TARGET_FILE_BYTES,
+def _plans_from_groups(
+    groups: dict[str, list[tuple[str, int]]], target_file_bytes: int
 ) -> list[PartitionPlan]:
-    """Metadata-only compaction plan: one row per partition, with the
-    byte-derived target file count. Nothing is read or written."""
     plans = []
-    for partition, files in sorted(list_data_files(spark, root).items()):
+    for partition, files in sorted(groups.items()):
         total = sum(size for _, size in files)
         target = max(1, math.ceil(total / target_file_bytes))
         plans.append(
@@ -129,23 +134,60 @@ def plan_compaction(
     return plans
 
 
-def _move_tmp_into(fs, jvm, tmp_dir: str, dest_dir: str) -> int:
-    """Step 3+4 of the swap: rename every data file under ``tmp_dir`` into
-    ``dest_dir``, then drop ``tmp_dir``. Idempotent — each file moves at
-    most once, so completing a crashed swap is a re-run."""
+def plan_compaction(
+    spark: SparkSession,
+    root: str,
+    target_file_bytes: int = DEFAULT_TARGET_FILE_BYTES,
+) -> list[PartitionPlan]:
+    """Metadata-only compaction plan: one row per partition, with the
+    byte-derived target file count. Nothing is read or written."""
+    return _plans_from_groups(list_data_files(spark, root), target_file_bytes)
+
+
+def _write_marker(fs, jvm, marker_path: str, old_files: list[str]) -> None:
+    out = fs.create(jvm.org.apache.hadoop.fs.Path(marker_path), True)
+    try:
+        out.write(json.dumps({"old_files": sorted(old_files)}).encode())
+    finally:
+        out.close()
+
+
+def _read_marker(fs, jvm, marker_path: str) -> list[str]:
+    stream = fs.open(jvm.org.apache.hadoop.fs.Path(marker_path))
+    try:
+        reader = jvm.java.io.BufferedReader(
+            jvm.java.io.InputStreamReader(stream, "UTF-8")
+        )
+        lines = []
+        while True:
+            line = reader.readLine()
+            if line is None:
+                break
+            lines.append(line)
+    finally:
+        stream.close()
+    return json.loads("\n".join(lines))["old_files"]
+
+
+def _move_data_files(fs, jvm, tmp_dir: str, dest_dir: str) -> int:
+    """Step 4 of the swap: rename every DATA file directly under
+    ``tmp_dir`` into ``dest_dir`` (markers/_SUCCESS are hidden and stay;
+    subdirectories are never renamed — a tmp partition dir holds only
+    files, and renaming a directory would nest layouts). Idempotent —
+    each file moves at most once, so completing a crashed swap is a
+    re-run."""
     htmp = jvm.org.apache.hadoop.fs.Path(tmp_dir)
     if not fs.exists(htmp):
         return 0
     moved = 0
     for status in fs.listStatus(htmp):
         name = status.getPath().getName()
-        if _is_hidden(name):
+        if _is_hidden(name) or status.isDirectory():
             continue
         dest = jvm.org.apache.hadoop.fs.Path(dest_dir + "/" + name)
         if not fs.rename(status.getPath(), dest):  # pragma: no cover
             raise IOError(f"rename failed: {status.getPath()} -> {dest}")
         moved += 1
-    fs.delete(htmp, True)
     return moved
 
 
@@ -161,14 +203,23 @@ def compact_parquet_lake(
     change."""
     fs, hroot, jvm = _fs_and_path(spark, root)
     root_uri = fs.makeQualified(hroot).toString().rstrip("/")
+    # heal any crashed prior swap FIRST — a routine re-run must complete
+    # the committed partitions and discard uncommitted tmp writes, never
+    # clobber a parked copy (the tmp root may hold a partition's only
+    # surviving data after a mid-swap crash)
+    recover_compaction(spark, root)
     executed = []
-    for plan in plan_compaction(spark, root, target_file_bytes):
+    # one metadata walk serves both the plan and the per-partition old-file
+    # lists (re-listing the whole lake inside the loop is O(P x F) listing
+    # calls — the exact object-store cost compaction exists to remove)
+    groups = list_data_files(spark, root)
+    for plan in _plans_from_groups(groups, target_file_bytes):
         if not plan.needs_compaction:
             continue
         part_suffix = f"/{plan.partition}" if plan.partition else ""
         part_dir = root_uri + part_suffix
         tmp_dir = f"{root_uri}/{TMP_DIR_NAME}{part_suffix}"
-        old_files = [f for f, _ in list_data_files(spark, root)[plan.partition]]
+        old_files = [f for f, _ in groups[plan.partition]]
         # 1. write right-sized files to the hidden tmp dir (reads ONLY the
         # files being replaced; partition values stay in the dir name)
         (
@@ -178,10 +229,13 @@ def compact_parquet_lake(
             .option("compression", "snappy")
             .parquet(tmp_dir)
         )
-        # 2. delete the replaced files; 3.+4. swap the new ones in
+        # 2. commit marker: from here on the tmp copy owns the rows
+        _write_marker(fs, jvm, f"{tmp_dir}/{COMMIT_MARKER}", old_files)
+        # 3. delete the replaced files; 4.+5. swap the new ones in
         for f in old_files:
             fs.delete(jvm.org.apache.hadoop.fs.Path(f), False)
-        _move_tmp_into(fs, jvm, tmp_dir, part_dir)
+        _move_data_files(fs, jvm, tmp_dir, part_dir)
+        fs.delete(jvm.org.apache.hadoop.fs.Path(tmp_dir), True)
         executed.append(plan)
     # drop the (now empty) tmp root so readers never see the hidden dir
     fs.delete(jvm.org.apache.hadoop.fs.Path(root_uri + "/" + TMP_DIR_NAME), True)
@@ -189,28 +243,53 @@ def compact_parquet_lake(
 
 
 def recover_compaction(spark: SparkSession, root: str) -> int:
-    """Complete a swap interrupted after its delete step: move any files
-    still parked under ``.compaction_tmp`` into their partition
-    directories. Returns the number of files restored. Safe to run
-    unconditionally (no tmp dir == 0)."""
+    """Heal a swap interrupted in ANY window, using the commit marker:
+
+    - tmp partition WITH ``.COMPACT_COMMIT``: committed — the tmp copy
+      owns the rows. Re-run the swap's tail: delete whichever of the
+      marker's listed old files still survive (a crash mid-delete leaves
+      some), then move the tmp data files in. No duplicates: every old
+      row's file is either in the marker list (deleted here) or was
+      already deleted.
+    - tmp partition WITHOUT a marker: uncommitted — the old files are all
+      still in place and the tmp copy may be incomplete. Discard it
+      (rollback); the interrupted compaction simply never happened.
+
+    Returns the number of files restored (moved out of tmp). Idempotent
+    and safe to run unconditionally (no tmp dir == 0);
+    ``compact_parquet_lake`` runs it automatically before planning."""
     fs, hroot, jvm = _fs_and_path(spark, root)
     root_uri = fs.makeQualified(hroot).toString().rstrip("/")
     tmp_root = root_uri + "/" + TMP_DIR_NAME
     htmp_root = jvm.org.apache.hadoop.fs.Path(tmp_root)
     if not fs.exists(htmp_root):
         return 0
-    # tmp mirrors the partition tree: walk to the dirs that hold files
+    # tmp mirrors the partition tree: walk to the dirs that hold files.
+    # Nothing is deleted during the walk (a recursive delete would race
+    # the stack on mixed file+subdir layouts); the single recursive
+    # delete of tmp_root at the end clears markers and empty dirs.
     restored = 0
     stack = [htmp_root]
     while stack:
         d = stack.pop()
         statuses = list(fs.listStatus(d))
         subdirs = [s for s in statuses if s.isDirectory()]
-        files = [s for s in statuses if not s.isDirectory()]
-        if files:
+        data_files = [
+            s
+            for s in statuses
+            if not s.isDirectory() and not _is_hidden(s.getPath().getName())
+        ]
+        marker = f"{d.toString()}/{COMMIT_MARKER}"
+        if fs.exists(jvm.org.apache.hadoop.fs.Path(marker)):
             rel = d.toString()[len(tmp_root) :].lstrip("/")
             dest = root_uri + (f"/{rel}" if rel else "")
-            restored += _move_tmp_into(fs, jvm, d.toString(), dest)
+            for old in _read_marker(fs, jvm, marker):
+                fs.delete(jvm.org.apache.hadoop.fs.Path(old), False)
+            restored += _move_data_files(fs, jvm, d.toString(), dest)
+        elif data_files:
+            # uncommitted write: olds intact, tmp copy possibly partial —
+            # rollback by leaving it for the final tmp_root delete
+            pass
         stack.extend(s.getPath() for s in subdirs)
     fs.delete(htmp_root, True)
     return restored

@@ -38,6 +38,8 @@ def resample(
     for name, mode in fill.items():
         if mode not in FILL_MODES:
             raise ValueError(f"fill[{name!r}] must be one of {FILL_MODES}, got {mode!r}")
+        if name not in aggs:
+            raise ValueError(f"fill[{name!r}] names no aggregate (aggs: {sorted(aggs)})")
 
     bucket = floor_time_bucket(F.col(ts_col), step_seconds)
     bucketed = df.groupBy(
@@ -65,8 +67,10 @@ def resample(
             out = out.withColumn(name, F.coalesce(F.col(name), F.lit(0)))
         elif mode == "ffill":
             out = out.withColumn(name, F.last(name, ignorenulls=True).over(w))
+    # every aggregate is emitted — fill only MODIFIES gap values; an agg
+    # absent from ``fill`` keeps NULL gaps (the "null" mode by default)
     return out.select(
         *key_cols,
         F.timestamp_seconds(F.col("__bucket") * step_seconds).alias("bucket_ts"),
-        *fill.keys(),
+        *aggs.keys(),
     )

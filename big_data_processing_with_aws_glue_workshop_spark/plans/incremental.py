@@ -70,8 +70,10 @@ def incremental_refresh(
         return 0
     delta = transform(new_df)
 
+    from ..streaming.sinks import read_pointer
+
     sink = UpsertSink(target_dir, keys, order_col)
-    pointer = sink._read_pointer()
+    pointer = read_pointer(target_dir)
     next_batch = pointer["batch_id"] + 1 if pointer is not None else 0
     sink(delta, next_batch)
 

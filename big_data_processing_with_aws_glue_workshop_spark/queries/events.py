@@ -729,7 +729,7 @@ ORACLES = {
         FROM events
         WHERE event_id < 2000
         WINDOW w AS (PARTITION BY user_id
-                     ORDER BY CAST(epoch(ts) AS BIGINT)
+                     ORDER BY CAST(floor(epoch(ts)) AS BIGINT)
                      RANGE BETWEEN 3599 PRECEDING AND CURRENT ROW)
     """,
     # interval-join twin: the naive BETWEEN self-join, rolled up per error;

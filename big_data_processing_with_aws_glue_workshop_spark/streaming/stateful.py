@@ -150,7 +150,15 @@ def sessionize_with_timeout(
                         closed.append((user_id, *cur))
                         cur = (int(t), int(t), 1, float(v))
                     else:
-                        cur = (cur[0], int(t), cur[2] + 1, cur[3] + float(v))
+                        # a LATE event (t < last) inside the allowed
+                        # lateness merges without regressing the session
+                        # bounds or the event-time timer
+                        cur = (
+                            min(cur[0], int(t)),
+                            max(cur[1], int(t)),
+                            cur[2] + 1,
+                            cur[3] + float(v),
+                        )
             if cur is not None:
                 state.update(cur)
                 # fire when the watermark passes the open session's gap end

@@ -7,6 +7,7 @@ import os
 from pyspark.sql import functions as F
 
 from big_data_processing_with_aws_glue_workshop_spark.operators.compaction import (
+    COMMIT_MARKER,
     TMP_DIR_NAME,
     compact_parquet_lake,
     list_data_files,
@@ -105,29 +106,95 @@ def test_plan_is_metadata_only(spark, sf_dir, tmp_path):
     assert _file_counts(spark, lake)[""] == n_written
 
 
-def test_recover_completes_interrupted_swap(spark, sf_dir, tmp_path):
-    """Simulate a crash between the delete step and the move step: new
-    files written to tmp, old files already deleted. recover_compaction
-    must restore the partition with no loss and no duplicates."""
-    lake = str(tmp_path / "rlake")
-    src = spark.read.parquet(os.path.join(sf_dir, "customer.parquet"))
-    src.repartition(16).write.parquet(lake)
-    before = _content_fingerprint(spark.read.parquet(lake))
+def _simulate_crash(spark, lake, *, marker: bool, delete: str = "all"):
+    """Run the swap protocol up to a chosen crash point: tmp write (step
+    1), optionally the commit marker (step 2), then delete all / half /
+    none of the old files (step 3). Returns the pre-crash fingerprint."""
+    import json
 
-    # steps 1-2 of the protocol, stopping before the move
+    before = _content_fingerprint(spark.read.parquet(lake))
     old_files = [f for f, _ in list_data_files(spark, lake)[""]]
     tmp_dir = os.path.join(lake, TMP_DIR_NAME)
     spark.read.parquet(*old_files).repartition(2).write.parquet(tmp_dir)
-    for f in old_files:
+    if marker:
+        with open(os.path.join(tmp_dir, COMMIT_MARKER), "w") as f:
+            json.dump({"old_files": sorted(old_files)}, f)
+    doomed = {
+        "all": old_files,
+        "half": old_files[: len(old_files) // 2],
+        "none": [],
+    }[delete]
+    for f in doomed:
         os.remove(f.removeprefix("file:"))
+    return before
+
+
+def test_recover_completes_interrupted_swap(spark, sf_dir, tmp_path):
+    """Crash between the delete step and the move step (marker written,
+    olds gone): recover must restore the partition — no loss, no dups."""
+    lake = str(tmp_path / "rlake")
+    src = spark.read.parquet(os.path.join(sf_dir, "customer.parquet"))
+    src.repartition(16).write.parquet(lake)
+    before = _simulate_crash(spark, lake, marker=True, delete="all")
 
     restored = recover_compaction(spark, lake)
     assert restored == 2
     after = _content_fingerprint(spark.read.parquet(lake))
     assert (before["h"], before["n"]) == (after["h"], after["n"])
-    assert not os.path.exists(tmp_dir)
+    assert not os.path.exists(os.path.join(lake, TMP_DIR_NAME))
     # idempotent: nothing left to recover
     assert recover_compaction(spark, lake) == 0
+
+
+def test_recover_heals_mid_delete_crash_without_duplicates(spark, sf_dir, tmp_path):
+    """Crash DURING the delete step (marker written, only half the olds
+    gone): the marker lists which files the committed swap owns, so
+    recovery deletes the survivors before moving the tmp copy in — the
+    window where marker-less recovery would duplicate every surviving
+    row."""
+    lake = str(tmp_path / "hlake")
+    src = spark.read.parquet(os.path.join(sf_dir, "customer.parquet"))
+    src.repartition(8).write.parquet(lake)
+    before = _simulate_crash(spark, lake, marker=True, delete="half")
+
+    assert recover_compaction(spark, lake) == 2
+    after = _content_fingerprint(spark.read.parquet(lake))
+    assert (before["h"], before["n"]) == (after["h"], after["n"])
+
+
+def test_recover_discards_uncommitted_tmp(spark, sf_dir, tmp_path):
+    """Crash during/after the tmp write but BEFORE the commit marker: the
+    old files are all still in place, so the (possibly incomplete) tmp
+    copy must be rolled back, not moved in alongside them."""
+    lake = str(tmp_path / "ulake")
+    src = spark.read.parquet(os.path.join(sf_dir, "nation.parquet"))
+    src.repartition(6).write.parquet(lake)
+    before = _simulate_crash(spark, lake, marker=False, delete="none")
+    n_files = _file_counts(spark, lake)[""]
+
+    assert recover_compaction(spark, lake) == 0
+    assert not os.path.exists(os.path.join(lake, TMP_DIR_NAME))
+    assert _file_counts(spark, lake)[""] == n_files
+    after = _content_fingerprint(spark.read.parquet(lake))
+    assert (before["h"], before["n"]) == (after["h"], after["n"])
+
+
+def test_compact_rerun_after_crash_heals_instead_of_destroying(
+    spark, sf_dir, tmp_path
+):
+    """The operational trap: after a mid-swap crash the partition's only
+    copy lives under tmp, and the operator re-runs compact_parquet_lake
+    (not recover). The re-run must heal the lake — a version that clears
+    tmp without recovering first destroys the partition silently."""
+    lake = str(tmp_path / "clake2")
+    src = spark.read.parquet(os.path.join(sf_dir, "customer.parquet"))
+    src.repartition(16).write.parquet(lake)
+    before = _simulate_crash(spark, lake, marker=True, delete="all")
+
+    compact_parquet_lake(spark, lake, target_file_bytes=1 << 30)
+    after = _content_fingerprint(spark.read.parquet(lake))
+    assert (before["h"], before["n"]) == (after["h"], after["n"])
+    assert not os.path.exists(os.path.join(lake, TMP_DIR_NAME))
 
 
 def test_compact_cli_dry_run(spark, sf_dir, tmp_path, capsys):

@@ -631,3 +631,59 @@ def test_stream_stream_interval_join_matches_batch(spark, sf_dir):
     assert want["n"] > 0  # the fixture must actually exercise the join
     assert got["n"] == want["n"]
     assert got["pair_sum"] == want["pair_sum"]  # same PAIRS, not just count
+
+
+def test_sessionize_late_event_never_regresses_session_bounds(spark, tmp_path):
+    """A LATE event (older than the open session's last event) arriving in
+    a later micro-batch within the allowed lateness must merge WITHOUT
+    regressing the session bounds: start extends backward (min), the end
+    and the event-time timer stay at the newest event (max). The buggy
+    arrival-order overwrite emitted session_end < a member event's ts."""
+    import datetime as dt
+    import time as _time
+
+    from big_data_processing_with_aws_glue_workshop_spark.streaming.stateful import (
+        sessionize_with_timeout,
+    )
+
+    src = tmp_path / "late_src"
+    src.mkdir()
+
+    def write_file(name, rows):
+        df = spark.createDataFrame(rows, "user_id long, ts timestamp, value double")
+        df.coalesce(1).write.mode("overwrite").parquet(str(tmp_path / name))
+        part = next(
+            p for p in (tmp_path / name).iterdir() if p.name.endswith(".parquet")
+        )
+        part.rename(src / f"{name}.parquet")
+
+    base = dt.datetime(2024, 5, 1, 10, 0, 0)
+    m = lambda k: base + dt.timedelta(minutes=k)
+    ms = lambda k: int((m(k) - dt.datetime(1970, 1, 1)).total_seconds() * 1000)
+
+    # batch 1 opens the session at 10:10; batch 2 delivers a LATE 10:05
+    # event (within lateness: watermark still trails); batch 3's 12:00
+    # event closes the session by arrival
+    write_file("f1", [(1, m(10), 1.0)])
+    _time.sleep(1.1)
+    write_file("f2", [(1, m(5), 2.0)])
+    _time.sleep(1.1)
+    write_file("f3", [(1, m(120), 4.0)])
+
+    stream = (
+        spark.readStream.schema("user_id long, ts timestamp, value double")
+        .option("maxFilesPerTrigger", "1")
+        .parquet(str(src))
+    )
+    out = run_streaming_query(
+        sessionize_with_timeout(stream, gap_minutes=30),
+        "t_sessions_late",
+        output_mode="update",
+    )
+    rows = out.collect()
+    assert len(rows) == 1
+    s = rows[0]
+    # start = min(10:05, 10:10), end = max: the late event extended the
+    # start backward and did NOT drag the end (or the timer) to 10:05
+    assert (s["session_start_ms"], s["session_end_ms"]) == (ms(5), ms(10))
+    assert (s["n_events"], s["total_value"]) == (2, 3.0)
