@@ -200,6 +200,7 @@ def cmd_refresh(args: argparse.Namespace) -> None:
     keep-latest merge when --order-col is given."""
     from .plans.incremental import incremental_refresh, read_refreshed
     from .sources.bookmarks import JobBookmark
+    from .streaming.sinks import read_pointer
 
     spark = get_session(app_name="refresh")
     bm = JobBookmark(args.bookmark, args.job_name)
@@ -212,7 +213,7 @@ def cmd_refresh(args: argparse.Namespace) -> None:
         keys=args.keys,
         order_col=args.order_col,
     )
-    has_table = os.path.exists(os.path.join(args.target, "current.json"))
+    has_table = read_pointer(args.target) is not None
     _emit(
         {
             "job": "refresh",
@@ -231,6 +232,7 @@ def cmd_agg_refresh(args: argparse.Namespace) -> None:
     e.g. --agg n=count:* --agg total=sum:amount."""
     from .plans.incremental import incremental_agg_refresh, read_refreshed
     from .sources.bookmarks import JobBookmark
+    from .streaming.sinks import read_pointer
 
     aggs: dict[str, tuple[str, str]] = {}
     for spec in args.agg:
@@ -244,7 +246,7 @@ def cmd_agg_refresh(args: argparse.Namespace) -> None:
     n = incremental_agg_refresh(
         spark, bm, args.pattern, args.keys, aggs, args.target
     )
-    has_table = os.path.exists(os.path.join(args.target, "current.json"))
+    has_table = read_pointer(args.target) is not None
     _emit(
         {
             "job": "agg-refresh",
