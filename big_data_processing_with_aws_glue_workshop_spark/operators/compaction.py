@@ -144,10 +144,11 @@ def plan_compaction(
     return _plans_from_groups(list_data_files(spark, root), target_file_bytes)
 
 
-def _write_marker(fs, jvm, marker_path: str, old_files: list[str]) -> None:
+def _write_marker(fs, jvm, marker_path: str, rel_old_files: list[str]) -> None:
+    """Commit marker content: the swap's old-file list, root-RELATIVE."""
     out = fs.create(jvm.org.apache.hadoop.fs.Path(marker_path), True)
     try:
-        out.write(json.dumps({"old_files": sorted(old_files)}).encode())
+        out.write(json.dumps({"old_files": sorted(rel_old_files)}).encode())
     finally:
         out.close()
 
@@ -229,8 +230,12 @@ def compact_parquet_lake(
             .option("compression", "snappy")
             .parquet(tmp_dir)
         )
-        # 2. commit marker: from here on the tmp copy owns the rows
-        _write_marker(fs, jvm, f"{tmp_dir}/{COMMIT_MARKER}", old_files)
+        # 2. commit marker: from here on the tmp copy owns the rows.
+        # Paths are recorded RELATIVE to the lake root so recovery still
+        # resolves them if the whole lake directory is relocated between
+        # a crash and the recover run.
+        rel_old = [f[len(root_uri) :].lstrip("/") for f in old_files]
+        _write_marker(fs, jvm, f"{tmp_dir}/{COMMIT_MARKER}", rel_old)
         # 3. delete the replaced files; 4.+5. swap the new ones in
         for f in old_files:
             fs.delete(jvm.org.apache.hadoop.fs.Path(f), False)
@@ -283,8 +288,11 @@ def recover_compaction(spark: SparkSession, root: str) -> int:
         if fs.exists(jvm.org.apache.hadoop.fs.Path(marker)):
             rel = d.toString()[len(tmp_root) :].lstrip("/")
             dest = root_uri + (f"/{rel}" if rel else "")
-            for old in _read_marker(fs, jvm, marker):
-                fs.delete(jvm.org.apache.hadoop.fs.Path(old), False)
+            for rel_old in _read_marker(fs, jvm, marker):
+                fs.delete(
+                    jvm.org.apache.hadoop.fs.Path(f"{root_uri}/{rel_old}"),
+                    False,
+                )
             restored += _move_data_files(fs, jvm, d.toString(), dest)
         elif data_files:
             # uncommitted write: olds intact, tmp copy possibly partial —

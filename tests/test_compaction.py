@@ -117,8 +117,14 @@ def _simulate_crash(spark, lake, *, marker: bool, delete: str = "all"):
     tmp_dir = os.path.join(lake, TMP_DIR_NAME)
     spark.read.parquet(*old_files).repartition(2).write.parquet(tmp_dir)
     if marker:
+        # the protocol records old files root-RELATIVE (lake relocation
+        # between crash and recovery must not strand them)
+        rel = sorted(
+            f.removeprefix("file:").removeprefix(lake).lstrip("/")
+            for f in old_files
+        )
         with open(os.path.join(tmp_dir, COMMIT_MARKER), "w") as f:
-            json.dump({"old_files": sorted(old_files)}, f)
+            json.dump({"old_files": rel}, f)
     doomed = {
         "all": old_files,
         "half": old_files[: len(old_files) // 2],
