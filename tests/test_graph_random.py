@@ -126,3 +126,85 @@ def test_k_core_equals_sequential_peeling(spark, seed, n, p, k):
         for r in k_core(_to_df(spark, adj), k).collect()
     }
     assert got == _k_core_reference(adj, k)
+
+
+def _ppr_reference(adj, seeds, n_iter, scale=10**12):
+    """Line-for-line integer reference of the sparse personalized update."""
+    seed_base = scale // len(seeds)
+    pr = {v: seed_base for v in seeds}
+    for _ in range(n_iter):
+        incoming = {}
+        for v, mass in pr.items():
+            if v not in adj:
+                continue
+            c = mass // len(adj[v])
+            for w in adj[v]:
+                incoming[w] = incoming.get(w, 0) + c
+        new = {}
+        for v in set(incoming) | set(seeds):
+            num = (15 * seed_base if v in seeds else 0) + 85 * incoming.get(v, 0)
+            if num // 100 > 0:
+                new[v] = num // 100
+        pr = new
+    return pr
+
+
+def test_personalized_pagerank_localizes_mass_on_a_path(spark):
+    """On a long path with the seed at one end, mass must stay within the
+    seed's n_iter-hop neighborhood (sparse frontier contract) and decay
+    with distance."""
+    from big_data_processing_with_aws_glue_workshop_spark.operators.graph import (
+        personalized_pagerank,
+    )
+
+    path = {i: [j for j in (i - 1, i + 1) if 0 <= j <= 19] for i in range(20)}
+    seeds = spark.createDataFrame([(0,)], "node long")
+    got = {
+        r["node"]: r["pr"]
+        for r in personalized_pagerank(_to_df(spark, path), seeds, n_iter=3).collect()
+    }
+    assert max(got) <= 3  # 3 rounds reach at most 3 hops
+    assert sum(got.values()) <= 10**12  # never creates mass
+    assert got == _ppr_reference(path, {0}, 3)
+
+    # dominance intuition needs a graph where mass RETURNS to the seed
+    # (on a path it travels outward as a wave): a star re-concentrates
+    # every round, so the center must outrank every leaf
+    star = {0: list(range(1, 11)), **{i: [0] for i in range(1, 11)}}
+    seeds = spark.createDataFrame([(0,)], "node long")
+    got = {
+        r["node"]: r["pr"]
+        for r in personalized_pagerank(_to_df(spark, star), seeds, n_iter=4).collect()
+    }
+    assert all(got[0] > v for k, v in got.items() if k != 0)
+    assert got == _ppr_reference(star, {0}, 4)
+
+
+@pytest.mark.parametrize(
+    "seed,n,p,seed_nodes", [(41, 30, 0.12, {0, 5}), (42, 25, 0.25, {3}), (43, 40, 0.08, {1, 2, 7})]
+)
+def test_personalized_pagerank_equals_pure_python_reference(
+    spark, seed, n, p, seed_nodes
+):
+    from big_data_processing_with_aws_glue_workshop_spark.operators.graph import (
+        personalized_pagerank,
+    )
+
+    adj = _random_symmetric_graph(seed, n, p)
+    seed_nodes = {s for s in seed_nodes if s in adj} or {min(adj)}
+    seeds = spark.createDataFrame([(s,) for s in sorted(seed_nodes)], "node long")
+    got = {
+        r["node"]: r["pr"]
+        for r in personalized_pagerank(_to_df(spark, adj), seeds, n_iter=4).collect()
+    }
+    assert got == _ppr_reference(adj, seed_nodes, 4)
+
+
+def test_personalized_pagerank_rejects_empty_seeds(spark):
+    from big_data_processing_with_aws_glue_workshop_spark.operators.graph import (
+        personalized_pagerank,
+    )
+
+    adj = _to_df(spark, {1: [2], 2: [1]})
+    with pytest.raises(ValueError, match="seed set is empty"):
+        personalized_pagerank(adj, spark.createDataFrame([], "node long"))
