@@ -120,6 +120,7 @@ HEADLINE = [
     "large_volume_customers",
     "copurchase_pagerank",
     "copurchase_triangle_census",
+    "copurchase_seed_affinity",
 ]
 
 

@@ -108,9 +108,18 @@ def personalized_pagerank(
     the full edge list is only ever probed, never materialized into the
     state. Returns ``(node, pr)`` for nodes with pr > 0.
     """
+    from ..util import tracked_cache
+
     if n_iter < 0:
         raise ValueError(f"n_iter must be >= 0, got {n_iter}")
-    seed_nodes = seeds.select(F.col(seeds.columns[0]).alias("node")).distinct()
+    # the seed set is referenced by every round's reset join plus the
+    # initial frontier; Spark shares no common subplans, so an uncached
+    # seed DataFrame re-executes its (possibly fact-sized) defining plan
+    # once per reference — measured 4x on the scored query. Seeds are
+    # small by definition; pin them.
+    seed_nodes = tracked_cache(
+        seeds.select(F.col(seeds.columns[0]).alias("node")).distinct()
+    )
     n_seeds = seed_nodes.count()
     if n_seeds == 0:
         raise ValueError("seed set is empty — personalized PageRank needs seeds")

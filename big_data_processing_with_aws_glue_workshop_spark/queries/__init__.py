@@ -28,13 +28,13 @@ driver row was fully green in round N-1 may rotate to the tail in round
 N; every query returns to the window within two rounds of its last
 driver row. With a 50-slot window this is satisfiable **iff the
 registered surface stays ≤ 100** (two disjoint windows cover at most 100
-queries in two rounds). The LIVE surface is 99 after round 6
-(82 + 5 new scored + 6 early tail + 3 late tail + 4 final tail − 1
+queries in two rounds). The LIVE surface is 100 after round 6
+(82 + 5 new scored + 6 early tail + 3 late tail + 5 final tail − 1
 retired; the early/late tail additions are oracle-gated from day one and
-due for promotion in r7, the four final-r6 additions in r8 — r7 is
-already exactly full). At 99 the ceiling is effectively reached: round 7
-adds nothing scored-from-day-one, and any r7 additions must be matched
-1:1 by retirements. Standing
+due for promotion in r7, the five final-r6 additions in r8 — r7 is
+already exactly full). The ceiling is now REACHED exactly: round 7
+adds nothing scored-from-day-one, and every r7+ addition must be
+matched 1:1 by a retirement (candidates named below). Standing
 decision (resolving the r5 verdict's "What's wrong #3"): the two-round
 promise stays; the round that would push the surface past 100 must
 either add fewer queries or move superseded ones to ``_RETIRED`` —
@@ -262,13 +262,15 @@ _TAIL = (
     # final-r6 additions (due r8, NOT r7 — the r7 window is already exactly
     # full at 45 due-backs + 5 keeps, see the feasibility check above):
     # Q21-shape decorrelated EXISTS/NOT-EXISTS, Q18-shape
-    # semi-join-on-aggregate, integer-exact iterative PageRank, and the
-    # degree-ordered-orientation triangle census — oracle-gated from
+    # semi-join-on-aggregate, integer-exact iterative PageRank, the
+    # degree-ordered-orientation triangle census, and sparse
+    # personalized PageRank (seed-set expansion) — oracle-gated from
     # day one
     "sole_late_supplier_blame",
     "large_volume_customers",
     "copurchase_pagerank",
     "copurchase_triangle_census",
+    "copurchase_seed_affinity",
 )
 
 # Retirement mechanism (see docstring): retired names leave the driver

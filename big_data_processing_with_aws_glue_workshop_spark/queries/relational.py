@@ -1026,6 +1026,43 @@ def q_copurchase_triangle_census(spark: SparkSession, sf_dir: str) -> DataFrame:
     return triangle_census(adj)
 
 
+def q_copurchase_seed_affinity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Personalized PageRank from a deterministic seed set — the
+    seed-expansion primitive driver-scored end-to-end: seeds are the five
+    most-ordered parts (distinct-order count, partkey tiebreak), and
+    three damped rounds rank every part by co-purchase proximity to
+    them (operators/graph.py::personalized_pagerank — related-item
+    retrieval / quality-prior propagation from a vetted set).
+
+    Exactness: the same integer micro-mass algebra as copurchase_pagerank
+    (reset mass on seeds), bit-identical to the oracle's chained-CTE
+    rounds — each CTE is the sparse frontier (FULL OUTER join of the
+    incoming-mass aggregate with the seed reset, pr > 0). Scale story in
+    the operator docstring: state is frontier-sized, not graph-sized.
+    """
+    from ..operators.graph import copurchase_adjacency, personalized_pagerank
+    from ..util import tracked_cache
+
+    l = load(spark, sf_dir, "lineitem")
+    adj = tracked_cache(copurchase_adjacency(l))
+    seeds = (
+        l.groupBy("l_partkey")
+        .agg(F.countDistinct("l_orderkey").alias("n_orders"))
+        .orderBy(F.desc("n_orders"), "l_partkey")
+        .limit(5)
+        .select(F.col("l_partkey").alias("node"))
+    )
+    ranks = personalized_pagerank(adj, seeds, n_iter=3)
+    return (
+        ranks.select(
+            F.col("node").alias("part_key"),
+            F.col("pr").cast("bigint").alias("affinity_micromass"),
+        )
+        .orderBy(F.desc("affinity_micromass"), "part_key")
+        .limit(20)
+    )
+
+
 QUERIES = {
     "pricing_summary": q_pricing_summary,
     "ml_feature_dataset": q_ml_feature_dataset,
@@ -1065,6 +1102,7 @@ QUERIES = {
     "large_volume_customers": q_large_volume_customers,
     "copurchase_pagerank": q_copurchase_pagerank,
     "copurchase_triangle_census": q_copurchase_triangle_census,
+    "copurchase_seed_affinity": q_copurchase_seed_affinity,
 }
 
 
@@ -1614,6 +1652,93 @@ ORACLES = {
         SELECT node AS part_key, CAST(pr AS BIGINT) AS rank_micromass
         FROM r3
         ORDER BY rank_micromass DESC, part_key
+        LIMIT 20
+    """,
+    # Personalized-PageRank twin: same chained-CTE integer rounds, but the
+    # reset term lands only on the deterministic seed set and each round's
+    # frontier is the FULL OUTER join of incoming mass with the seed
+    # reset, filtered to pr > 0 (the engine's sparse-frontier contract).
+    "copurchase_seed_affinity": """
+        WITH baskets AS (
+          SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+        ),
+        edges AS (
+          SELECT DISTINCT a.l_partkey AS src, b.l_partkey AS dst
+          FROM baskets a
+          JOIN baskets b
+            ON a.l_orderkey = b.l_orderkey AND a.l_partkey <> b.l_partkey
+        ),
+        deg AS (
+          SELECT src, CAST(count(*) AS BIGINT) AS outdeg
+          FROM edges GROUP BY src
+        ),
+        seeds AS (
+          SELECT l_partkey AS node
+          FROM lineitem
+          GROUP BY l_partkey
+          ORDER BY count(DISTINCT l_orderkey) DESC, l_partkey
+          LIMIT 5
+        ),
+        params AS (
+          SELECT CAST(1000000000000 AS BIGINT) // 5 AS seed_base
+        ),
+        r0 AS (
+          SELECT node, (SELECT seed_base FROM params) AS pr FROM seeds
+        ),
+        r1 AS (
+          SELECT node, pr FROM (
+            SELECT COALESCE(i.node, s.node) AS node,
+                   ((CASE WHEN s.node IS NOT NULL
+                          THEN 15 * (SELECT seed_base FROM params)
+                          ELSE 0 END)
+                    + 85 * COALESCE(i.incoming, 0)) // 100 AS pr
+            FROM (
+              SELECT e.dst AS node, sum(r.pr // d.outdeg) AS incoming
+              FROM edges e
+              JOIN r0 r ON e.src = r.node
+              JOIN deg d ON e.src = d.src
+              GROUP BY e.dst
+            ) i
+            FULL OUTER JOIN seeds s ON i.node = s.node
+          ) WHERE pr > 0
+        ),
+        r2 AS (
+          SELECT node, pr FROM (
+            SELECT COALESCE(i.node, s.node) AS node,
+                   ((CASE WHEN s.node IS NOT NULL
+                          THEN 15 * (SELECT seed_base FROM params)
+                          ELSE 0 END)
+                    + 85 * COALESCE(i.incoming, 0)) // 100 AS pr
+            FROM (
+              SELECT e.dst AS node, sum(r.pr // d.outdeg) AS incoming
+              FROM edges e
+              JOIN r1 r ON e.src = r.node
+              JOIN deg d ON e.src = d.src
+              GROUP BY e.dst
+            ) i
+            FULL OUTER JOIN seeds s ON i.node = s.node
+          ) WHERE pr > 0
+        ),
+        r3 AS (
+          SELECT node, pr FROM (
+            SELECT COALESCE(i.node, s.node) AS node,
+                   ((CASE WHEN s.node IS NOT NULL
+                          THEN 15 * (SELECT seed_base FROM params)
+                          ELSE 0 END)
+                    + 85 * COALESCE(i.incoming, 0)) // 100 AS pr
+            FROM (
+              SELECT e.dst AS node, sum(r.pr // d.outdeg) AS incoming
+              FROM edges e
+              JOIN r2 r ON e.src = r.node
+              JOIN deg d ON e.src = d.src
+              GROUP BY e.dst
+            ) i
+            FULL OUTER JOIN seeds s ON i.node = s.node
+          ) WHERE pr > 0
+        )
+        SELECT node AS part_key, CAST(pr AS BIGINT) AS affinity_micromass
+        FROM r3
+        ORDER BY affinity_micromass DESC, part_key
         LIMIT 20
     """,
     # Triangle-census twin: a<b<c three-way self-join counts each
