@@ -136,12 +136,23 @@ def main() -> None:
     # Suite-level warm-up BEFORE the first timed entry: per-query warm runs
     # absorb each query's own codegen/footer costs, but JVM-wide ramp (JIT
     # background compilation, GC sizing, shuffle service init) still lands
-    # on whichever query runs first — the r5 driver bench measured the
+    # on whichever queries run first — the r5 driver bench measured the
     # first-position query at 3.6x its quiet-box time while a quiet-box
-    # rerun showed no plan regression (docs/SCALE.md r6 confirm-run). A
-    # throwaway full action takes that hit instead.
-    if names:
-        QUERIES[names[0]](spark, sf_dir).count()
+    # rerun showed no plan regression (docs/SCALE.md r6 confirm-run). The
+    # ramp is also PATH-specific: window exec and the Arrow/Python runner
+    # are compiled on first use, so a scan+agg warm-up alone leaves the
+    # first window query ~2-3x over steady state (measured: the r6
+    # close-out bench timed latest_order_per_customer at 1.41s in early
+    # suite position vs 0.33s re-measured late-session). One throwaway
+    # query per major execution path takes those hits instead.
+    _WARMUP = [
+        "pricing_summary",  # scan + partial/final hash agg codegen
+        "latest_order_per_customer",  # shuffle + WindowExec path
+        "media_pixel_stats",  # Arrow batch + Python-runner startup
+    ]
+    for w in _WARMUP:
+        if w in QUERIES:
+            QUERIES[w](spark, sf_dir).count()
 
     timings: dict[str, float] = {}
     for name in names:
