@@ -116,6 +116,9 @@ HEADLINE = [
     "part_name_linkage",
     # r6 fourth batch: decorrelated Q21 shape, Q18 semi-join-on-aggregate,
     # integer-exact iterative PageRank
+    # late-r6 swap: exact substring-containment dedup (rarest-shingle
+    # anchor blocking), scored in tumbling_windows' retired slot
+    "contained_doc_pairs",
     "sole_late_supplier_blame",
     "large_volume_customers",
     "copurchase_pagerank",

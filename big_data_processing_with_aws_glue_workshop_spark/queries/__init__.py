@@ -18,10 +18,10 @@ entries in iteration order. The registry is therefore laid out explicitly:
 - ``_TAIL`` (unscored, still registered): every tail query is gated by
   tests/test_queries_oracle.py on every pytest run — oracle-backed ones
   hash-checked, the rest rows-only.
-- ``_RETIRED`` (holds ``doc_fingerprint`` today): the retirement
-  mechanism for when the two-round arithmetic below stops fitting — a
-  retired query keeps its implementation and pytest oracle coverage but
-  leaves the driver registry.
+- ``_RETIRED`` (holds ``doc_fingerprint`` and ``tumbling_windows``
+  today): the retirement mechanism for when the two-round arithmetic
+  below stops fitting — a retired query keeps its implementation and
+  pytest oracle coverage but leaves the driver registry.
 
 ROTATION POLICY (two-round cadence) and its arithmetic: a query whose
 driver row was fully green in round N-1 may rotate to the tail in round
@@ -99,10 +99,17 @@ Round-6 rotation (applied this round):
   ``embedding_near_dup_pairs``, ``promo_revenue_share``,
   ``returnflag_pivot``, ``status_priority_rollup``,
   ``unpivot_status_metrics``.
-- retired this round (1): ``doc_fingerprint`` — superseded by
-  ``doc_winnow_fingerprint``; keeps its implementation and its pytest
-  oracle gate (``RETIRED_QUERIES``/``RETIRED_ORACLES`` below feed
-  tests/test_queries_oracle.py) but no longer claims a driver slot.
+- retired this round (2): ``doc_fingerprint`` — superseded by
+  ``doc_winnow_fingerprint``; and ``tumbling_windows`` — the docstring's
+  next-named candidate (``sliding_windows``/``session_windows``/
+  ``hourly_rollup_from_minutes`` keep the event-window family scored),
+  retired in a late-r6 1:1 swap that frees its scored slot for
+  ``contained_doc_pairs`` (exact substring-containment dedup,
+  rarest-shingle anchor blocking — scored from day one; demotable in
+  r7, due back r9, so the r7 feasibility check below is unchanged).
+  Retired queries keep their implementation and pytest oracle gate
+  (``RETIRED_QUERIES``/``RETIRED_ORACLES`` below feed
+  tests/test_queries_oracle.py) but no longer claim a driver slot.
 - late-r6 additions to the tail (3, promote in r7, oracle-gated from
   day one): ``user_cohort_retention`` (cohort retention triangle),
   ``order_snapshot_diff`` (full-outer CDC reconciliation via
@@ -185,7 +192,11 @@ _SCORED = (
     "athena_q1_active_by_society",
     "athena_q2_avg_age_by_activity",
     "athena_q3_renewal_rate_by_chamber",
-    "tumbling_windows",
+    # late-r6 swap: ``tumbling_windows`` retired in place (the docstring's
+    # named candidate — sliding/session/hourly-rollup keep the family
+    # scored), freeing this slot for the new exact substring-containment
+    # dedup, scored from day one
+    "contained_doc_pairs",
     "sliding_windows",
     "language_id",
     "doc_dedup_profile",
@@ -276,7 +287,7 @@ _TAIL = (
 # Retirement mechanism (see docstring): retired names leave the driver
 # registry but MUST keep their implementation + pytest oracle coverage
 # (exported as RETIRED_QUERIES/RETIRED_ORACLES for the pytest gate).
-_RETIRED = ("doc_fingerprint",)
+_RETIRED = ("doc_fingerprint", "tumbling_windows")
 
 # Module-level invariants the correctness driver depends on. Explicit raises,
 # not assert: python -O strips asserts, which would silently disable the

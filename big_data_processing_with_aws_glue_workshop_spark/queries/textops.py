@@ -199,6 +199,114 @@ def q_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return jac
 
 
+# exact substring containment: anchor-shingle length in characters
+_CONTAIN_K = 24
+
+
+def q_contained_doc_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact substring-containment dedup: every (contained, container)
+    document pair where one doc's full text appears verbatim inside
+    another's — the exact-substring dedup variant from the public
+    training-data dedup literature (suffix-array ExactSubstr), here as
+    the containment special case that needs no suffix array. Complements
+    the whole-text md5 profile (equality only) and the approximate
+    MinHash/SimHash paths (near-dup, no containment guarantee).
+
+    Scale path (no all-pairs): if A is a substring of B then EVERY
+    K-char shingle of A is also a shingle of B, so blocking each doc on
+    ONE deterministic shingle of its own text has perfect recall. We
+    block on the doc's RAREST shingle — min by global document
+    frequency, digest tie-break — computed as: one explode of distinct
+    shingle digests per doc (16-hex md5 prefix -> bigint; the raw text
+    never rides a shuffle), one hash agg for document frequency, a
+    min-struct agg per doc for the anchor, an equi-join from anchors
+    back to the shingle index for candidates, then an exact contains()
+    verify on the bounded candidate set (md5-prefix collisions only add
+    candidates; the verify is exact). Rare-gram anchors keep candidate
+    fanout near-minimal; a high-duplication corpus (where even the
+    rarest gram is common) degrades toward the measured LSH
+    high-duplication curve (docs/SCALE.md), never toward n^2. Docs
+    shorter than K chars (none in this corpus at any SF; degenerate
+    boilerplate at scale) take a broadcast fallback against the full
+    table so recall stays exact. Equal texts under distinct ids
+    contain each other, so both directed pairs appear — matching the
+    oracle's position() semantics."""
+    K = _CONTAIN_K
+    d = tracked_cache(
+        parallelize_scan(load(spark, sf_dir, "documents"), "doc_id").select(
+            "doc_id", "text", F.length("text").alias("len")
+        )
+    )
+    longd = d.filter(F.col("len") >= K)
+    sh = tracked_cache(
+        longd.select(
+            "doc_id",
+            F.explode(
+                F.array_distinct(
+                    F.transform(
+                        F.sequence(F.lit(1), F.col("len") - (K - 1)),
+                        lambda i: F.conv(
+                            F.substring(
+                                F.md5(
+                                    F.col("text").substr(i.cast("int"), F.lit(K))
+                                ),
+                                1,
+                                15,
+                            ),
+                            16,
+                            10,
+                        ).cast("bigint"),
+                    )
+                )
+            ).alias("g"),
+        )
+    )
+    # shingles are per-doc DISTINCT, so count(*) per digest IS document
+    # frequency; one shuffle on the digest key
+    dfreq = sh.groupBy("g").agg(F.count(F.lit(1)).alias("dfreq"))
+    anchors = (
+        sh.join(dfreq, "g")
+        .groupBy("doc_id")
+        .agg(F.min(F.struct("dfreq", "g")).alias("a"))
+        .select("doc_id", F.col("a.g").alias("g"))
+    )
+    cands = (
+        anchors.select(F.col("doc_id").alias("inner_id"), "g")
+        .join(sh.select(F.col("doc_id").alias("outer_id"), "g"), "g")
+        .filter(F.col("inner_id") != F.col("outer_id"))
+        .select("inner_id", "outer_id")
+    )
+    short = d.filter(F.col("len") < K)
+    short_cands = (
+        d.select(F.col("doc_id").alias("outer_id"))
+        .crossJoin(F.broadcast(short.select(F.col("doc_id").alias("inner_id"))))
+        .filter(F.col("inner_id") != F.col("outer_id"))
+        .select("inner_id", "outer_id")
+    )
+    a = d.select(
+        F.col("doc_id").alias("inner_id"),
+        F.col("text").alias("inner_text"),
+        F.col("len").alias("contained_len"),
+    )
+    b = d.select(
+        F.col("doc_id").alias("outer_id"),
+        F.col("text").alias("outer_text"),
+        F.col("len").alias("container_len"),
+    )
+    return (
+        cands.unionByName(short_cands)
+        .join(a, "inner_id")
+        .join(b, "outer_id")
+        .filter(F.expr("contains(outer_text, inner_text)"))
+        .select(
+            F.col("inner_id").alias("contained_doc_id"),
+            F.col("outer_id").alias("container_doc_id"),
+            F.col("contained_len").cast("bigint").alias("contained_len"),
+            F.col("container_len").cast("bigint").alias("container_len"),
+        )
+    )
+
+
 def q_doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     """1-permutation MinHash-style fingerprint: min(md5(shingle)) per doc.
     Documents sharing a fingerprint are near-duplicate candidates — the
@@ -1384,6 +1492,7 @@ QUERIES = {
     "language_id": q_language_id,
     "doc_dedup_profile": q_doc_dedup_profile,
     "ngram_jaccard_pairs": q_ngram_jaccard_pairs,
+    "contained_doc_pairs": q_contained_doc_pairs,
     "doc_fingerprint": q_doc_fingerprint,
     "minhash_near_duplicates": q_minhash_near_duplicates,
     "simhash_fingerprints": q_simhash_fingerprints,
@@ -2259,4 +2368,19 @@ ORACLES["balanced_sample_plan"] = f"""
     )
     SELECT source, sample_rank, doc_id, n_tokens
     FROM ranked WHERE sample_rank <= {_BALANCED_K}
+"""
+
+# Quadratic position() scan — the oracle baseline for the anchor-blocked
+# engine path (q_contained_doc_pairs); both directed pairs appear for
+# equal texts under distinct ids, matching contains() on the engine side.
+ORACLES["contained_doc_pairs"] = """
+    WITH d AS (SELECT doc_id, text FROM documents)
+    SELECT a.doc_id AS contained_doc_id,
+           b.doc_id AS container_doc_id,
+           CAST(length(a.text) AS BIGINT) AS contained_len,
+           CAST(length(b.text) AS BIGINT) AS container_len
+    FROM d a
+    JOIN d b
+      ON a.doc_id <> b.doc_id
+     AND position(a.text IN b.text) > 0
 """

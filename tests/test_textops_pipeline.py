@@ -199,3 +199,43 @@ def test_normalize_for_dedup_collapses_formatting_variants(spark):
     }
     assert got[1] == got[2] == got[3] == "hello world"
     assert got[4] == "hello worlds"
+
+
+def test_contained_doc_pairs_planted_containment(spark, tmp_path):
+    """Crafted corpus for the exact substring-containment operator: a doc
+    embedded verbatim mid-text, equal texts under distinct ids (both
+    directed pairs), a doc shorter than the anchor shingle length (the
+    broadcast fallback branch), and near-miss text that must NOT match."""
+    from big_data_processing_with_aws_glue_workshop_spark.queries.textops import (
+        _CONTAIN_K,
+        q_contained_doc_pairs,
+    )
+
+    inner = "the quick brown fox jumps over the lazy dog near the river bank"
+    assert len(inner) >= _CONTAIN_K
+    short = "tiny snippet"  # < _CONTAIN_K chars: must take the fallback
+    assert len(short) < _CONTAIN_K
+    rows = [
+        (1, inner),
+        (2, f"prefix text before -- {inner} -- and a suffix after it"),
+        (3, f"another container holding {short} inside a longer body"),
+        (4, short),
+        # near miss: one char differs inside the would-be containment
+        (5, f"prefix text before -- {inner[:-1]}x -- and a suffix"),
+        (6, "completely unrelated content with nothing shared at all"),
+        (7, inner),  # equal text, distinct id: both directions must appear
+    ]
+    df = _docs(spark, rows).withColumn("lang", F.lit("en")).withColumn(
+        "source", F.lit("s")
+    )
+    df.coalesce(1).write.parquet(str(tmp_path / "documents.parquet"))
+    got = {
+        (r["contained_doc_id"], r["container_doc_id"])
+        for r in q_contained_doc_pairs(spark, str(tmp_path)).collect()
+    }
+    assert (1, 2) in got          # proper mid-text containment
+    assert (4, 3) in got          # short-doc fallback containment
+    assert (1, 7) in got and (7, 1) in got  # equal texts, both directions
+    assert (7, 2) in got          # equal twin is contained wherever 1 is
+    assert (1, 5) not in got      # near miss must not match
+    assert not any(a == 6 or b == 6 for a, b in got)
