@@ -53,7 +53,6 @@ HEADLINE = [
     "multiformat_date_parsing",
     "order_aging",
     "priority_filter",
-    "tumbling_windows",
     "session_windows",
     "doc_token_stats",
     "minhash_near_duplicates",
