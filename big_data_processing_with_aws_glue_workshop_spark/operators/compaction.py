@@ -145,12 +145,23 @@ def plan_compaction(
 
 
 def _write_marker(fs, jvm, marker_path: str, rel_old_files: list[str]) -> None:
-    """Commit marker content: the swap's old-file list, root-RELATIVE."""
-    out = fs.create(jvm.org.apache.hadoop.fs.Path(marker_path), True)
+    """Commit marker content: the swap's old-file list, root-RELATIVE.
+
+    Published atomically: the bytes go to a temp name first and are
+    renamed into place, so a crash mid-write can never leave a
+    present-but-truncated marker at the commit path (rename is atomic on
+    HDFS/local; on S3A the copy is all-or-nothing per object). Recovery
+    additionally treats an unparseable marker as uncommitted — belt and
+    braces for filesystems with weaker rename semantics."""
+    tmp_path = marker_path + ".inprogress"
+    htmp = jvm.org.apache.hadoop.fs.Path(tmp_path)
+    out = fs.create(htmp, True)
     try:
         out.write(json.dumps({"old_files": sorted(rel_old_files)}).encode())
     finally:
         out.close()
+    if not fs.rename(htmp, jvm.org.apache.hadoop.fs.Path(marker_path)):
+        raise IOError(f"marker publish rename failed: {tmp_path} -> {marker_path}")
 
 
 def _read_marker(fs, jvm, marker_path: str) -> list[str]:
@@ -285,10 +296,21 @@ def recover_compaction(spark: SparkSession, root: str) -> int:
             if not s.isDirectory() and not _is_hidden(s.getPath().getName())
         ]
         marker = f"{d.toString()}/{COMMIT_MARKER}"
+        marker_old_files = None
         if fs.exists(jvm.org.apache.hadoop.fs.Path(marker)):
+            # An empty/truncated marker means the crash hit before the
+            # atomic publish completed (possible only on filesystems with
+            # non-atomic rename): the old files are then still intact, so
+            # the safe reading is UNCOMMITTED — fall through to rollback
+            # rather than wedging every future recover/compact run.
+            try:
+                marker_old_files = _read_marker(fs, jvm, marker)
+            except (ValueError, KeyError):
+                marker_old_files = None
+        if marker_old_files is not None:
             rel = d.toString()[len(tmp_root) :].lstrip("/")
             dest = root_uri + (f"/{rel}" if rel else "")
-            for rel_old in _read_marker(fs, jvm, marker):
+            for rel_old in marker_old_files:
                 fs.delete(
                     jvm.org.apache.hadoop.fs.Path(f"{root_uri}/{rel_old}"),
                     False,

@@ -46,7 +46,11 @@ def pagerank_integer(
     ``adj``: one row per vertex — ``(src, dsts: array)`` with dsts the
     DISTINCT out-neighbors; must contain every vertex (graphs built from
     symmetric co-occurrence edges satisfy this — no dangling vertices,
-    so no dangling-mass term). Returns ``(node, pr)`` with pr the BIGINT
+    so no dangling-mass term). ASYMMETRIC input violates the contract:
+    a vertex with out-edges but zero in-edges receives no ``incoming``
+    row, so it silently leaves the rank vector after round 1 and its
+    base mass leaks — ``cap_vertex_degree`` output is only valid here
+    with ``resymmetrize=True``. Returns ``(node, pr)`` with pr the BIGINT
     micro-mass rank. Total mass is conserved up to integer-division
     truncation (bounded by n_edges + n_nodes per round).
     """
@@ -158,6 +162,10 @@ def triangle_census(adj: DataFrame) -> DataFrame:
     """Global triangle/wedge census of an undirected graph given as a
     symmetric adjacency list ``(src, dsts: array)`` — one row:
     (n_nodes, n_edges, n_wedges, n_triangles, global_clustering).
+    The symmetry is load-bearing: on asymmetric input (e.g. raw
+    ``cap_vertex_degree`` output) ``n_edges = sum(deg) div 2``
+    undercounts and the orientation can miss triangles — re-symmetrize
+    first (``cap_vertex_degree(..., resymmetrize=True)``).
 
     Scale design — degree-ordered orientation + edge-iterator
     intersection (the standard distributed triangle count): direct every
@@ -306,7 +314,9 @@ def k_core(adj: DataFrame, k: int, max_iter: int = 50) -> DataFrame:
     ).select(F.col("src").alias("node"), "core_degree")
 
 
-def cap_vertex_degree(adj: DataFrame, cap: int) -> DataFrame:
+def cap_vertex_degree(
+    adj: DataFrame, cap: int, resymmetrize: bool = False
+) -> DataFrame:
     """Bound every neighbor list at ``cap`` — the skew mitigation the
     rank/census docstrings prescribe for ubiquitous vertices (a part
     co-bought with everything, a page linked from everywhere: such hubs
@@ -315,16 +325,42 @@ def cap_vertex_degree(adj: DataFrame, cap: int) -> DataFrame:
     Deterministic: lists are sorted before slicing, so the kept neighbors
     are partitioning-independent (same engine-portability rule as every
     other sampling decision in this repo — never "first k seen").
-    Capping is explicitly an APPROXIMATION of the graph: it can break
-    edge symmetry (the capped hub keeps u, but u may keep the hub), so
-    run it BEFORE orientation/iteration as a curation step and treat
-    downstream counts as censuses of the capped graph. Cost: one
-    map-side projection, no shuffle.
+
+    Capping is explicitly an APPROXIMATION of the graph, and the raw
+    slice BREAKS edge symmetry: the capped hub may be dropped from a
+    neighbor's list while keeping that neighbor (or vice versa), which
+    violates the symmetric-adjacency input contract of
+    ``pagerank_integer`` (a vertex with out-edges but no in-edges
+    silently leaves the rank vector after round 1 and its base mass
+    leaks) and skews ``triangle_census``'s ``n_edges = sum(deg) div 2``.
+    Two supported modes:
+
+    - ``resymmetrize=False`` (default): one map-side projection, no
+      shuffle. Use ONLY where asymmetry is acceptable (e.g. feeding a
+      pair-stream consumer that re-canonicalizes edges itself); do NOT
+      feed the result to pagerank/census/k_core.
+    - ``resymmetrize=True``: keeps edge (u, v) iff it survived the slice
+      in BOTH directions, then rebuilds sorted neighbor lists — the
+      output is again a valid symmetric adjacency (degrees ≤ cap;
+      vertices left edgeless are dropped, matching
+      ``copurchase_adjacency``'s no-isolated-vertices shape). Costs one
+      self-join + one groupBy shuffle; this is the mode to use upstream
+      of the iterative operators.
     """
     if cap < 1:
         raise ValueError(f"cap must be >= 1, got {cap}")
-    return adj.select(
+    capped = adj.select(
         "src", F.slice(F.array_sort("dsts"), 1, cap).alias("dsts")
+    )
+    if not resymmetrize:
+        return capped
+    edges = capped.select("src", F.explode("dsts").alias("dst"))
+    reverse = edges.select(
+        F.col("dst").alias("src"), F.col("src").alias("dst")
+    )
+    mutual = edges.join(reverse, ["src", "dst"], "left_semi")
+    return mutual.groupBy("src").agg(
+        F.array_sort(F.collect_set("dst")).alias("dsts")
     )
 
 

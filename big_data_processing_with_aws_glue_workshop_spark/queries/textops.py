@@ -201,6 +201,10 @@ def q_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # exact substring containment: anchor-shingle length in characters
 _CONTAIN_K = 24
+# guard on the sub-K-char broadcast fallback: above this many short docs
+# the |docs|x|short| contains() verify is the quadratic regime the anchor
+# blocking exists to avoid — fail loud instead of silently going n^2
+_CONTAIN_SHORT_DOC_CAP = 10_000
 
 
 def q_contained_doc_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -277,6 +281,21 @@ def q_contained_doc_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("inner_id", "outer_id")
     )
     short = d.filter(F.col("len") < K)
+    # bounded broadcast fallback: exact for the rare sub-K doc, but a
+    # corpus with MANY short boilerplate docs would pay an uncapped
+    # |docs|x|short| verify — the quadratic regime this query exists to
+    # avoid. Fail loud there (same move as cross_source_overlap's shingle
+    # ubiquity cap); the fix at scale is a dedicated short-doc equality
+    # pass (exact dedup already covers equal shorts) or a raised K.
+    n_short = short.count()
+    if n_short > _CONTAIN_SHORT_DOC_CAP:
+        raise RuntimeError(
+            f"{n_short} documents shorter than K={K} chars exceeds the "
+            f"broadcast-fallback cap ({_CONTAIN_SHORT_DOC_CAP}): the "
+            "short-doc verify would be effectively all-pairs. Dedup "
+            "short boilerplate by exact digest first, or raise "
+            "_CONTAIN_SHORT_DOC_CAP deliberately."
+        )
     short_cands = (
         d.select(F.col("doc_id").alias("outer_id"))
         .crossJoin(F.broadcast(short.select(F.col("doc_id").alias("inner_id"))))

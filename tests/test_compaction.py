@@ -185,6 +185,32 @@ def test_recover_discards_uncommitted_tmp(spark, sf_dir, tmp_path):
     assert (before["h"], before["n"]) == (after["h"], after["n"])
 
 
+def test_recover_treats_truncated_marker_as_uncommitted(spark, sf_dir, tmp_path):
+    """Crash mid-marker-write on a filesystem without atomic rename: a
+    present-but-empty (or garbage) marker means the publish never
+    completed, so the old files are all intact — recovery must read the
+    partition as UNCOMMITTED and roll the tmp copy back, not raise on
+    json.loads and wedge every future recover/compact run."""
+    lake = str(tmp_path / "tlake")
+    src = spark.read.parquet(os.path.join(sf_dir, "nation.parquet"))
+    src.repartition(6).write.parquet(lake)
+    before = _simulate_crash(spark, lake, marker=False, delete="none")
+    n_files = _file_counts(spark, lake)[""]
+    # simulate the torn write: marker exists but holds no parseable JSON
+    with open(os.path.join(lake, TMP_DIR_NAME, COMMIT_MARKER), "w") as f:
+        f.write('{"old_fi')
+
+    assert recover_compaction(spark, lake) == 0
+    assert not os.path.exists(os.path.join(lake, TMP_DIR_NAME))
+    assert _file_counts(spark, lake)[""] == n_files
+    after = _content_fingerprint(spark.read.parquet(lake))
+    assert (before["h"], before["n"]) == (after["h"], after["n"])
+    # and a routine compact re-run stays healthy afterwards
+    compact_parquet_lake(spark, lake, target_file_bytes=1 << 30)
+    healed = _content_fingerprint(spark.read.parquet(lake))
+    assert (before["h"], before["n"]) == (healed["h"], healed["n"])
+
+
 def test_compact_rerun_after_crash_heals_instead_of_destroying(
     spark, sf_dir, tmp_path
 ):

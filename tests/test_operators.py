@@ -774,3 +774,36 @@ def test_cap_vertex_degree_deterministic_and_bounded(spark):
     assert capped2 == capped
     with pytest.raises(ValueError, match="cap must be"):
         cap_vertex_degree(adj, 0)
+
+
+def test_cap_vertex_degree_resymmetrize_restores_input_contract(spark):
+    """resymmetrize=True keeps an edge only if it survived the slice in
+    BOTH directions, so the output is a valid symmetric adjacency for
+    pagerank/census (the raw slice drops a capped hub from neighbors'
+    lists one-sidedly — its base mass would leak from the rank vector)."""
+    from big_data_processing_with_aws_glue_workshop_spark.operators.graph import (
+        cap_vertex_degree,
+        pagerank_integer,
+    )
+
+    # hub 9 touches everyone; cap=2 keeps only [1, 2] on the hub's side
+    sym = {9: [1, 2, 3, 4, 5], 1: [2, 9], 2: [1, 9], 3: [9], 4: [9], 5: [9]}
+    got = {
+        r["src"]: sorted(r["dsts"])
+        for r in cap_vertex_degree(_adj(spark, sym), 2, resymmetrize=True).collect()
+    }
+    # 3/4/5 lost their only (one-sided) edge and drop out entirely
+    assert got == {9: [1, 2], 1: [2, 9], 2: [1, 9]}
+    for src, dsts in got.items():
+        assert len(dsts) <= 2
+        for dst in dsts:
+            assert src in got[dst]  # symmetric
+    # the capped graph satisfies pagerank's contract: nobody vanishes,
+    # mass conserved up to integer-division truncation
+    scale = 1_000_000_000_000
+    ranks = pagerank_integer(
+        _adj(spark, got), n_iter=3, scale=scale
+    ).collect()
+    assert len(ranks) == 3
+    total = sum(r["pr"] for r in ranks)
+    assert scale - total < 1000  # truncation-bounded, no leaked base mass

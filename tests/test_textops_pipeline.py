@@ -9,6 +9,7 @@ guarantees the oracle hash-check can't express directly:
 from __future__ import annotations
 
 import pyspark.sql.functions as F
+import pytest
 
 from big_data_processing_with_aws_glue_workshop_spark.queries.textops import (
     _CONTAM_N,
@@ -239,3 +240,19 @@ def test_contained_doc_pairs_planted_containment(spark, tmp_path):
     assert (7, 2) in got          # equal twin is contained wherever 1 is
     assert (1, 5) not in got      # near miss must not match
     assert not any(a == 6 or b == 6 for a, b in got)
+
+
+def test_contained_doc_pairs_short_doc_cap_fails_loud(spark, tmp_path, monkeypatch):
+    """A corpus dominated by sub-K boilerplate would turn the broadcast
+    fallback into an all-pairs contains() verify — the guard must raise
+    instead of silently going quadratic."""
+    import big_data_processing_with_aws_glue_workshop_spark.queries.textops as textops
+
+    rows = [(i, f"s{i % 7}") for i in range(30)]  # all < _CONTAIN_K chars
+    df = _docs(spark, rows).withColumn("lang", F.lit("en")).withColumn(
+        "source", F.lit("s")
+    )
+    df.coalesce(1).write.parquet(str(tmp_path / "documents.parquet"))
+    monkeypatch.setattr(textops, "_CONTAIN_SHORT_DOC_CAP", 10)
+    with pytest.raises(RuntimeError, match="broadcast-fallback cap"):
+        textops.q_contained_doc_pairs(spark, str(tmp_path))
