@@ -12,121 +12,79 @@ entries in iteration order. The registry is therefore laid out explicitly:
 
 - ``_SCORED`` (exactly 50 names): the window the driver scores this round,
   oracle-backed wherever SQL can express the semantics. Exactly two scored
-  entries are rows-only BY DESIGN this round: ``ann_lsh_topk`` and
-  ``ivf_ann_topk`` (approximate ANN — recall pytest-pinned in
-  tests/test_extensions.py, not SQL-expressible).
+  entries are rows-only BY DESIGN this round: ``approx_distinct_profile``
+  (HLL sketch — engine-specific estimates, error bound pytest-pinned) and
+  ``bernoulli_sample`` (engine RNG; its oracle-backed twin
+  ``deterministic_sample`` is scored alongside it). The ANN pair
+  (``ann_lsh_topk``/``ivf_ann_topk``, recall pytest-pinned) sits in the
+  tail this round.
 - ``_TAIL`` (unscored, still registered): every tail query is gated by
   tests/test_queries_oracle.py on every pytest run — oracle-backed ones
   hash-checked, the rest rows-only.
-- ``_RETIRED`` (holds ``doc_fingerprint`` and ``tumbling_windows``
-  today): the retirement mechanism for when the two-round arithmetic
-  below stops fitting — a retired query keeps its implementation and
-  pytest oracle coverage but leaves the driver registry.
+- ``_RETIRED`` (holds ``doc_fingerprint``, ``tumbling_windows`` and
+  ``sliding_windows`` today): the retirement mechanism for when the
+  two-round arithmetic below stops fitting — a retired query keeps its
+  implementation and pytest oracle coverage but leaves the driver
+  registry.
 
 ROTATION POLICY (two-round cadence) and its arithmetic: a query whose
 driver row was fully green in round N-1 may rotate to the tail in round
 N; every query returns to the window within two rounds of its last
 driver row. With a 50-slot window this is satisfiable **iff the
 registered surface stays ≤ 100** (two disjoint windows cover at most 100
-queries in two rounds). The LIVE surface is 100 after round 6
-(82 + 5 new scored + 6 early tail + 3 late tail + 5 final tail − 1
-retired; the early/late tail additions are oracle-gated from day one and
-due for promotion in r7, the five final-r6 additions in r8 — r7 is
-already exactly full). The ceiling is now REACHED exactly: round 7
-adds nothing scored-from-day-one, and every r7+ addition must be
-matched 1:1 by a retirement (candidates named below). Standing
+queries in two rounds). The LIVE surface after the round-7 rotation is
+99 (100 after r6, − 1: ``sliding_windows`` retired in the 1:1 swap for
+this round's planned tail addition). The ceiling remains effectively
+REACHED: every addition must be matched 1:1 by a retirement. Standing
 decision (resolving the r5 verdict's "What's wrong #3"): the two-round
 promise stays; the round that would push the surface past 100 must
-either add fewer queries or move superseded ones to ``_RETIRED`` —
-executed for the first time this round: ``doc_fingerprint`` (superseded
-by ``doc_winnow_fingerprint``, whose winnowing generalizes the min-hash
-shingle fingerprint) is retired; next candidates are
-``tumbling_windows``/``sliding_windows``
-(the session/hourly-rollup pair covers the family). Preference when
+either add fewer queries or move superseded ones to ``_RETIRED``
+(executed in r6 for ``doc_fingerprint``/``tumbling_windows`` and in r7
+for ``sliding_windows``; the next named candidates are the superseded
+quadratic oracle twins ``ngram_jaccard_pairs`` and
+``embedding_near_dup_pairs``). Preference when
 choosing which green-last-round rows to keep scored: sole
 representatives of an operator family (cube, ntile, as-of join, range
 join, JSON extraction, connected components) and the composed flagships
 (training_pipeline_summary, the clustered embedding scale path) stay in.
 
-Round-6 rotation (applied this round):
-- kept scored (13): the sole family representatives + flagships
-  (``customers_without_orders``, ``lineitem_cube_aggregates``,
-  ``customer_balance_ntiles``, ``session_windows``, ``json_props_extract``,
-  ``asof_last_click_before_error``, ``range_join_interval_counts``,
-  ``doc_dup_components``, ``tfidf_top_terms``, ``doc_winnow_fingerprint``,
-  ``training_pipeline_summary``, ``embedding_near_dup_clustered``) and
-  ``media_byte_histogram`` — its r5 row is the round's one hash FAIL
-  (oracle HUGEINT->float64 type bug, fixed this round), so it stays in
-  to produce the green driver row the fix claims.
-- promoted, never driver-scored r5 additions (5):
-  ``passage_dedup_profile``, ``pii_redaction_profile``,
-  ``doc_embedding_typicality``, ``dataset_split_assignment``,
-  ``user_conversion_funnel``.
-- promoted, returning r5 demotions (27, last driver row r4 — the
-  two-round promise lands them here): the relational core
-  (``pricing_summary``, ``ml_feature_dataset``, ``validation_profile``,
-  ``customer_geography_rollup``, ``revenue_by_supplier_nation``,
-  ``multiformat_date_parsing``, ``supplier_unique_key``, ``order_aging``,
-  ``name_pattern_filter``, ``segment_set_ops``, ``shipping_priority_topk``),
-  the literal Athena ports (``athena_q1_active_by_society``,
-  ``athena_q2_avg_age_by_activity``, ``athena_q3_renewal_rate_by_chamber``),
-  ``tumbling_windows``, ``sliding_windows``, the text family
-  (``language_id``, ``doc_dedup_profile``, ``simhash_fingerprints``,
-  ``minhash_near_duplicates``, ``benchmark_contamination``,
-  ``source_mixture_plan``, ``doc_repetition_scores``) and the vector
-  family (``cosine_topk``, ``label_similarity_profile``, ``ann_lsh_topk``,
-  ``ivf_ann_topk``).
-- new in round 6, scored from day one (5): ``interval_join_batch``
-  (the stream-stream watermarked interval join's batch twin — same
-  plan-building code path), ``event_type_transition_matrix``,
-  ``token_length_histogram``, ``bigram_association_scores``,
-  ``embedding_quantization_profile``.
-- demoted (37, all driver-green in CORRECTNESS_r05, due back by round 8):
-  ``corpus_vocab_stats``, ``source_lang_profile``, ``doc_chunk_plan``,
-  ``boilerplate_ngram_profile``, ``prefix_template_clusters``,
-  ``quality_filter_decisions``, ``sequence_packing_plan``,
-  ``media_probe_profile``, ``media_pixel_stats``, ``media_audio_stats``,
-  ``media_frame_stats``, ``top5_orders``, ``balance_buckets``,
-  ``deterministic_sample``, ``hourly_rollup_from_minutes``,
-  ``value_zscore_outliers``, ``event_value_percentiles``,
-  ``user_event_deltas``, ``doc_fingerprint``, ``ngram_jaccard_pairs``,
-  ``active_customers_by_segment``, ``avg_balance_by_nation``,
-  ``fulfillment_rate_by_nation``, ``priority_filter``,
-  ``latest_order_per_customer``, ``distinct_projection``,
-  ``doc_token_stats``, ``doc_quality_scores``,
-  ``above_nation_avg_customers``, ``approx_distinct_profile``,
-  ``bernoulli_sample``, ``customers_with_orders``,
-  ``embedding_near_dup_pairs``, ``promo_revenue_share``,
-  ``returnflag_pivot``, ``status_priority_rollup``,
-  ``unpivot_status_metrics``.
-- retired this round (2): ``doc_fingerprint`` — superseded by
-  ``doc_winnow_fingerprint``; and ``tumbling_windows`` — the docstring's
-  next-named candidate (``sliding_windows``/``session_windows``/
-  ``hourly_rollup_from_minutes`` keep the event-window family scored),
-  retired in a late-r6 1:1 swap that frees its scored slot for
-  ``contained_doc_pairs`` (exact substring-containment dedup,
-  rarest-shingle anchor blocking — scored from day one; demotable in
-  r7, due back r9, so the r7 feasibility check below is unchanged).
-  Retired queries keep their implementation and pytest oracle gate
-  (``RETIRED_QUERIES``/``RETIRED_ORACLES`` below feed
-  tests/test_queries_oracle.py) but no longer claim a driver slot.
-- late-r6 additions to the tail (3, promote in r7, oracle-gated from
-  day one): ``user_cohort_retention`` (cohort retention triangle),
-  ``order_snapshot_diff`` (full-outer CDC reconciliation via
-  operators/diff.py), ``part_name_linkage`` (blocked Levenshtein
-  entity resolution).
-- round-7 feasibility check: due-back promotions in r7 are the 36
-  live r6 demotions (37 minus the retired ``doc_fingerprint``) + the
-  six early-r6 tail queries (``trailing_window_rates``,
-  ``table_stats_profile``, ``cross_source_overlap``,
-  ``embedding_dimension_profile``, ``normalized_dedup_profile``,
-  ``balanced_sample_plan``) + the three late-r6 tail queries above:
-  36 + 6 + 3 = 45 promotions, leaving 5 slots for keeps — so r7 keeps
-  only ~5 sole family representatives, adds NO new scored-from-day-one
-  queries, and any new r7 operators enter the tail (due r8, where the
-  due-back load is only the ~50-45=... the 50 r7 demotions minus
-  whatever r8 retires — run this same arithmetic again in r7's
-  registry update before adding anything).
+Round-7 rotation (applied this round — the exact plan the r6
+feasibility check prescribed: 45 due-back promotions + 5 keeps, zero
+new scored-from-day-one queries):
+- kept scored (5): sole family representatives + the composed flagship,
+  all green in CORRECTNESS_r06 — ``asof_last_click_before_error``
+  (as-of join), ``range_join_interval_counts`` (range join),
+  ``json_props_extract`` (JSON extraction), ``doc_dup_components``
+  (connected components), ``training_pipeline_summary`` (composed
+  pipeline).
+- promoted, returning r6 demotions (36, last driver row r5 — the
+  two-round promise lands them here): every name from the r6 demotion
+  list except the retired ``doc_fingerprint``.
+- promoted, never driver-scored r6 tail additions (9):
+  ``trailing_window_rates``, ``table_stats_profile``,
+  ``cross_source_overlap``, ``embedding_dimension_profile``,
+  ``normalized_dedup_profile``, ``balanced_sample_plan``,
+  ``user_cohort_retention``, ``order_snapshot_diff``,
+  ``part_name_linkage``.
+- demoted (44, all driver-green in CORRECTNESS_r06, due back by round
+  9): the 50-member r6 window minus the 5 keeps minus the retired
+  ``sliding_windows``.
+- retired this round (1): ``sliding_windows`` — the r6 docstring's
+  next-named candidate; ``session_windows`` / ``hourly_rollup_from_minutes``
+  keep the event-window family scored, and the retirement frees the
+  registered-surface slot for this round's new tail query (1:1 swap,
+  same mechanism as r6's ``tumbling_windows``).
+- round-8 feasibility check: due-back promotions in r8 are the 44 r7
+  demotions + the five final-r6 tail queries due r8
+  (``sole_late_supplier_blame``, ``large_volume_customers``,
+  ``copurchase_pagerank``, ``copurchase_triangle_census``,
+  ``copurchase_seed_affinity``) + any new r7 tail additions. At one new
+  r7 tail query that is 44 + 5 + 1 = 50 exactly — r8 keeps nothing and
+  adds nothing scored-from-day-one; if r8 needs slack, its named
+  retirement candidates are the two superseded quadratic oracle twins
+  ``ngram_jaccard_pairs`` (covered by ``minhash_near_duplicates`` +
+  ``contained_doc_pairs``) and ``embedding_near_dup_pairs`` (covered by
+  ``embedding_near_dup_clustered``), both green r7 by then.
 """
 
 import functools
@@ -150,73 +108,14 @@ _ALL_QUERIES = {
 }
 
 _SCORED = (
-    # kept from the r5 window: sole family representatives + flagships,
-    # plus the fixed-oracle media_byte_histogram re-scoring
-    "customers_without_orders",
-    "lineitem_cube_aggregates",
-    "customer_balance_ntiles",
-    "session_windows",
-    "json_props_extract",
+    # kept from the r6 window: sole family representatives + the composed
+    # flagship (all green r6)
     "asof_last_click_before_error",
     "range_join_interval_counts",
+    "json_props_extract",
     "doc_dup_components",
-    "tfidf_top_terms",
-    "doc_winnow_fingerprint",
     "training_pipeline_summary",
-    "embedding_near_dup_clustered",
-    "media_byte_histogram",
-    # promoted: the five r5 additions, first driver rows
-    "passage_dedup_profile",
-    "pii_redaction_profile",
-    "doc_embedding_typicality",
-    "dataset_split_assignment",
-    "user_conversion_funnel",
-    # new in round 6, scored from day one
-    "interval_join_batch",
-    "event_type_transition_matrix",
-    "token_length_histogram",
-    "bigram_association_scores",
-    "embedding_quantization_profile",
-    # promoted: returning r5 demotions (last driver row r4)
-    "pricing_summary",
-    "ml_feature_dataset",
-    "validation_profile",
-    "customer_geography_rollup",
-    "revenue_by_supplier_nation",
-    "multiformat_date_parsing",
-    "supplier_unique_key",
-    "order_aging",
-    "name_pattern_filter",
-    "segment_set_ops",
-    "shipping_priority_topk",
-    "athena_q1_active_by_society",
-    "athena_q2_avg_age_by_activity",
-    "athena_q3_renewal_rate_by_chamber",
-    # late-r6 swap: ``tumbling_windows`` retired in place (the docstring's
-    # named candidate — sliding/session/hourly-rollup keep the family
-    # scored), freeing this slot for the new exact substring-containment
-    # dedup, scored from day one
-    "contained_doc_pairs",
-    "sliding_windows",
-    "language_id",
-    "doc_dedup_profile",
-    "simhash_fingerprints",
-    "minhash_near_duplicates",
-    "benchmark_contamination",
-    "source_mixture_plan",
-    "doc_repetition_scores",
-    "cosine_topk",
-    "label_similarity_profile",
-    "ann_lsh_topk",
-    "ivf_ann_topk",
-)
-
-_TAIL = (
-    # r6 demotions — all green driver rows in CORRECTNESS_r05, rotated out
-    # per the two-round policy above (due back by round 8; round 7 should
-    # take them all — see the feasibility check in the docstring). The
-    # pytest oracle gate still hash-checks every oracle-backed one on
-    # every run, and bench.py still times every scale flagship here.
+    # promoted: returning r6 demotions (last driver row r5)
     "corpus_vocab_stats",
     "source_lang_profile",
     "doc_chunk_plan",
@@ -253,30 +152,75 @@ _TAIL = (
     "returnflag_pivot",
     "status_priority_rollup",
     "unpivot_status_metrics",
-    # new in r6 AFTER the window was fixed (promote in r7): RANGE-interval
-    # window frames — oracle-gated by the pytest gate from day one
+    # promoted: r6 tail additions, first driver rows (oracle-gated by the
+    # pytest gate since they landed)
     "trailing_window_rates",
-    # new in r6, second batch (promote in r7, same contract): CBO-style
-    # column statistics, source x source shingle-overlap matrix, and the
-    # per-dimension embedding moment profile — all oracle-gated from day
-    # one by the pytest gate
     "table_stats_profile",
     "cross_source_overlap",
     "embedding_dimension_profile",
     "normalized_dedup_profile",
     "balanced_sample_plan",
-    # late-r6 additions (promote in r7): retention triangle, CDC diff,
-    # blocked-Levenshtein linkage — oracle-gated from day one
     "user_cohort_retention",
     "order_snapshot_diff",
     "part_name_linkage",
-    # final-r6 additions (due r8, NOT r7 — the r7 window is already exactly
-    # full at 45 due-backs + 5 keeps, see the feasibility check above):
-    # Q21-shape decorrelated EXISTS/NOT-EXISTS, Q18-shape
-    # semi-join-on-aggregate, integer-exact iterative PageRank, the
-    # degree-ordered-orientation triangle census, and sparse
-    # personalized PageRank (seed-set expansion) — oracle-gated from
-    # day one
+)
+
+_TAIL = (
+    # r7 demotions — all green driver rows in CORRECTNESS_r06, rotated out
+    # per the two-round policy (due back by round 9; but note r8 is already
+    # exactly full with THESE 44 + the 5 graph/Q21 queries due r8 + this
+    # round's new tail additions — see the r8 feasibility check in the
+    # docstring). The pytest oracle gate still hash-checks every
+    # oracle-backed one on every run, and bench.py times the full
+    # registered surface.
+    "customers_without_orders",
+    "lineitem_cube_aggregates",
+    "customer_balance_ntiles",
+    "session_windows",
+    "tfidf_top_terms",
+    "doc_winnow_fingerprint",
+    "embedding_near_dup_clustered",
+    "media_byte_histogram",
+    "passage_dedup_profile",
+    "pii_redaction_profile",
+    "doc_embedding_typicality",
+    "dataset_split_assignment",
+    "user_conversion_funnel",
+    "interval_join_batch",
+    "event_type_transition_matrix",
+    "token_length_histogram",
+    "bigram_association_scores",
+    "embedding_quantization_profile",
+    "pricing_summary",
+    "ml_feature_dataset",
+    "validation_profile",
+    "customer_geography_rollup",
+    "revenue_by_supplier_nation",
+    "multiformat_date_parsing",
+    "supplier_unique_key",
+    "order_aging",
+    "name_pattern_filter",
+    "segment_set_ops",
+    "shipping_priority_topk",
+    "athena_q1_active_by_society",
+    "athena_q2_avg_age_by_activity",
+    "athena_q3_renewal_rate_by_chamber",
+    "contained_doc_pairs",
+    "language_id",
+    "doc_dedup_profile",
+    "simhash_fingerprints",
+    "minhash_near_duplicates",
+    "benchmark_contamination",
+    "source_mixture_plan",
+    "doc_repetition_scores",
+    "cosine_topk",
+    "label_similarity_profile",
+    "ann_lsh_topk",
+    "ivf_ann_topk",
+    # final-r6 additions, due r8 (oracle-gated from day one): Q21-shape
+    # decorrelated EXISTS/NOT-EXISTS, Q18-shape semi-join-on-aggregate,
+    # integer-exact iterative PageRank, degree-ordered triangle census,
+    # sparse personalized PageRank
     "sole_late_supplier_blame",
     "large_volume_customers",
     "copurchase_pagerank",
@@ -287,7 +231,7 @@ _TAIL = (
 # Retirement mechanism (see docstring): retired names leave the driver
 # registry but MUST keep their implementation + pytest oracle coverage
 # (exported as RETIRED_QUERIES/RETIRED_ORACLES for the pytest gate).
-_RETIRED = ("doc_fingerprint", "tumbling_windows")
+_RETIRED = ("doc_fingerprint", "tumbling_windows", "sliding_windows")
 
 # Module-level invariants the correctness driver depends on. Explicit raises,
 # not assert: python -O strips asserts, which would silently disable the
