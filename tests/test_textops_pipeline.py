@@ -242,6 +242,65 @@ def test_contained_doc_pairs_planted_containment(spark, tmp_path):
     assert not any(a == 6 or b == 6 for a, b in got)
 
 
+def test_shared_substring_pairs_planted_overlaps(spark, tmp_path):
+    """Crafted corpus for the partial-overlap ExactSubstr operator: two
+    docs sharing a long passage with NEITHER containing the other (the
+    case contained_doc_pairs cannot see), a full-containment pair (flag
+    must be set), a pair whose shared run sits just UNDER the MIN
+    threshold (must not appear), and the exact longest-run length checked
+    against hand-counted characters."""
+    from big_data_processing_with_aws_glue_workshop_spark.queries.textops import (
+        _SHARED_MIN,
+        q_shared_substring_pairs,
+    )
+
+    passage = "the shared syndicated paragraph that rides along verbatim"
+    assert len(passage) >= _SHARED_MIN
+    sub_min = "x" * (_SHARED_MIN - 1)  # 24 chars: one under the guarantee
+    rows = [
+        # partial overlap: distinct prefixes/suffixes, shared passage
+        (1, f"alpha document opening words {passage} and alpha's own ending"),
+        (2, f"totally different beginning {passage} closed differently here"),
+        # full containment: 3 inside 4
+        (3, f"container core {passage} goes here"),
+        (4, f"outer wrap -- container core {passage} goes here -- tail"),
+        # shared run one char short of the guarantee: excluded by contract
+        # (delimiters differ on both sides so the run is exactly 24 chars)
+        (5, f"left padding abcdefgh({sub_min})right padding stuff"),
+        (6, f"other padding qrstuvw[{sub_min}]another tail entirely"),
+        (7, "no overlap with anything else in this tiny corpus at all"),
+    ]
+    df = _docs(spark, rows).withColumn("lang", F.lit("en")).withColumn(
+        "source", F.lit("s")
+    )
+    df.coalesce(1).write.parquet(str(tmp_path / "documents.parquet"))
+    got = {
+        (r["doc_a"], r["doc_b"]): (r["overlap_chars"], r["is_containment"])
+        for r in q_shared_substring_pairs(spark, str(tmp_path)).collect()
+    }
+    texts = dict(rows)
+    # (1,2): shared run is " {passage} " plus any accidental extension —
+    # compute the exact expected longest common substring by brute force
+    def lcs(a, b):
+        best = 0
+        for i in range(len(a)):
+            for j in range(len(b)):
+                k = 0
+                while i + k < len(a) and j + k < len(b) and a[i + k] == b[j + k]:
+                    k += 1
+                best = max(best, k)
+        return best
+
+    assert got[(1, 2)] == (lcs(texts[1], texts[2]), False)
+    assert got[(3, 4)] == (len(texts[3]), True)  # full containment
+    assert (5, 6) not in got                     # under the guarantee
+    assert not any(5 in p or 6 in p or 7 in p for p in got)
+    # every reported pair carries the exact LCS, both directions covered
+    for (a, b), (ov, _) in got.items():
+        assert ov == lcs(texts[a], texts[b]) >= _SHARED_MIN
+        assert a < b
+
+
 def test_contained_doc_pairs_short_doc_cap_fails_loud(spark, tmp_path, monkeypatch):
     """A corpus dominated by sub-K boilerplate would turn the broadcast
     fallback into an all-pairs contains() verify — the guard must raise
