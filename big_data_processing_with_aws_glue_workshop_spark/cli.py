@@ -258,6 +258,27 @@ def cmd_agg_refresh(args: argparse.Namespace) -> None:
     )
 
 
+def cmd_dedup_refresh(args: argparse.Namespace) -> None:
+    """Incremental corpus dedup (plans/incremental.py): digest newly-landed
+    crawl files, drop duplicates within the increment (min-id wins) and
+    against the standing corpus digest set (standing wins), append the
+    survivors — the corpus text is never re-read."""
+    from .plans.incremental import incremental_dedup_refresh
+    from .sources.bookmarks import JobBookmark
+
+    spark = get_session(app_name="dedup-refresh")
+    bm = JobBookmark(args.bookmark, args.job_name)
+    stats = incremental_dedup_refresh(
+        spark,
+        bm,
+        args.pattern,
+        args.target,
+        id_col=args.id_col,
+        text_col=args.text_col,
+    )
+    _emit({"job": "dedup-refresh", **stats})
+
+
 def cmd_compact(args: argparse.Namespace) -> None:
     """Small-file compaction of a (possibly hive-partitioned) parquet lake
     (operators/compaction.py): rewrite each oversized partition into
@@ -393,6 +414,19 @@ def build_parser() -> argparse.ArgumentParser:
         help="out=kind:col (kind: count|sum|min|max; col '*' with count)",
     )
     ar.set_defaults(func=cmd_agg_refresh)
+
+    dr = sub.add_parser(
+        "dedup-refresh",
+        help="dedup newly-landed crawl files against the standing corpus "
+        "digest set (first wins; corpus text never re-read)",
+    )
+    dr.add_argument("--pattern", required=True, help="landing-glob of crawl files")
+    dr.add_argument("--target", required=True, help="deduped corpus directory")
+    dr.add_argument("--bookmark", required=True, help="bookmark state JSON path")
+    dr.add_argument("--job-name", default="dedup-refresh")
+    dr.add_argument("--id-col", default="doc_id")
+    dr.add_argument("--text-col", default="text")
+    dr.set_defaults(func=cmd_dedup_refresh)
 
     c = sub.add_parser(
         "compact",

@@ -88,6 +88,162 @@ def read_refreshed(spark: SparkSession, target_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Incremental corpus dedup (crawl-refresh dedup against a standing corpus)
+# ---------------------------------------------------------------------------
+
+
+def incremental_dedup_refresh(
+    spark: SparkSession,
+    bookmark: JobBookmark,
+    pattern: str,
+    target_dir: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    fmt: str = "parquet",
+    **reader_options: str,
+) -> dict:
+    """Dedup only NEW files against a standing corpus digest set — the
+    operation a 100 TB crawl refresh actually runs. The standing corpus's
+    TEXT is never re-read: new-file digests anti-join the (digest-only)
+    snapshot, survivors are appended, and the digest set is advanced.
+
+    State layout under ``target_dir`` (all publishes via the atomic
+    pointer flip the repo's snapshot sinks use):
+
+    - ``accepted/delta_<batch>/`` — parquet with the increment's surviving
+      rows (+ ``digest``). APPEND-ONLY: a refresh writes one delta dir and
+      never touches prior deltas, so the corpus data written is O(new
+      files) regardless of corpus size.
+    - ``digests/v<batch>/`` — the full digest set (one 32-hex column +
+      the owning batch). O(corpus) in DOC COUNT but tiny per row; at
+      real scale partition by digest prefix and rewrite only touched
+      partitions — the anti-join/append contract is unchanged.
+    - ``current.json`` — atomic pointer: batch_id, live digest version,
+      the list of published delta dirs (readers see only published
+      deltas: snapshot isolation), and the increment's file list for
+      crash healing.
+
+    Semantics: FIRST WINS. Within an increment, the row with the minimum
+    ``id_col`` per digest is kept (deterministic under any partitioning);
+    across increments, the standing corpus always wins — a re-crawled
+    duplicate is dropped, never replaces its original (the opposite
+    default from the keep-latest upsert, and the right one for training
+    corpora: stable doc identity, no churn from re-crawls).
+
+    Exactly-once EFFECT under crash-replay (same healing protocol as
+    ``incremental_agg_refresh``): a crash between the pointer flip and
+    the bookmark commit is healed by committing pointer-listed files
+    before reading; a crash before the flip leaves only an unpublished
+    (invisible) delta dir that the replayed batch overwrites. Pinned by
+    tests/test_incremental.py.
+
+    Returns {"new_files", "new_docs", "accepted", "dropped_within",
+    "dropped_vs_corpus"} (zeros when nothing landed).
+    """
+    from pyspark.sql.window import Window
+
+    from ..util import atomic_write_json
+
+    pointer_path = os.path.join(target_dir, "current.json")
+    pointer = None
+    if os.path.exists(pointer_path):
+        import json
+
+        with open(pointer_path) as f:
+            pointer = json.load(f)
+
+    healed = 0
+    if pointer is not None:
+        applied = set(pointer.get("delta_files", []))
+        stale = [f for f in bookmark.pending_files(pattern) if f in applied]
+        if stale:
+            bookmark.commit_files(stale)
+            healed = len(stale)
+
+    new_df, new_files = bookmark.read_incremental(
+        spark, pattern, fmt=fmt, **reader_options
+    )
+    if not new_files:
+        return {
+            "new_files": healed,
+            "new_docs": 0,
+            "accepted": 0,
+            "dropped_within": 0,
+            "dropped_vs_corpus": 0,
+        }
+
+    inc = new_df.withColumn("digest", F.md5(F.col(text_col)))
+    n_new = inc.count()
+    # within-increment first-wins: deterministic min-id per digest
+    w = Window.partitionBy("digest").orderBy(F.col(id_col).asc())
+    inc_unique = (
+        inc.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .drop("_rn")
+    )
+    n_unique = inc_unique.count()
+
+    if pointer is not None:
+        standing = spark.read.parquet(
+            os.path.join(target_dir, pointer["digest_version"])
+        ).select("digest")
+        survivors = inc_unique.join(standing, "digest", "left_anti")
+    else:
+        survivors = inc_unique
+
+    batch_id = pointer["batch_id"] + 1 if pointer is not None else 0
+    delta_rel = f"accepted/delta_{batch_id}"
+    # overwrite: a crash after this write but before the pointer flip
+    # replays the same batch id, so the rewrite lands clean
+    survivors.write.mode("overwrite").parquet(os.path.join(target_dir, delta_rel))
+    accepted_digests = spark.read.parquet(
+        os.path.join(target_dir, delta_rel)
+    ).select("digest")
+    n_accepted = accepted_digests.count()
+
+    digest_rel = f"digests/v{batch_id}"
+    new_digests = accepted_digests.withColumn(
+        "batch_id", F.lit(batch_id).cast("bigint")
+    )
+    if pointer is not None:
+        old = spark.read.parquet(os.path.join(target_dir, pointer["digest_version"]))
+        new_digests = old.unionByName(new_digests)
+    new_digests.write.mode("overwrite").parquet(os.path.join(target_dir, digest_rel))
+
+    deltas = (pointer["deltas"] if pointer is not None else []) + [delta_rel]
+    atomic_write_json(
+        pointer_path,
+        {
+            "batch_id": batch_id,
+            "digest_version": digest_rel,
+            "deltas": deltas,
+            "delta_files": sorted(new_files),
+        },
+    )
+    bookmark.commit_files(new_files)
+    return {
+        "new_files": healed + len(new_files),
+        "new_docs": n_new,
+        "accepted": n_accepted,
+        "dropped_within": n_new - n_unique,
+        "dropped_vs_corpus": n_unique - n_accepted,
+    }
+
+
+def read_deduped(spark: SparkSession, target_dir: str) -> DataFrame:
+    """Live view of the incrementally-deduped corpus: the union of every
+    PUBLISHED accepted-delta directory (snapshot isolation — an
+    in-flight refresh's unpublished delta is invisible)."""
+    import json
+
+    pointer_path = os.path.join(target_dir, "current.json")
+    with open(pointer_path) as f:
+        pointer = json.load(f)
+    paths = [os.path.join(target_dir, rel) for rel in pointer["deltas"]]
+    return spark.read.parquet(*paths)
+
+
+# ---------------------------------------------------------------------------
 # Incremental AGGREGATE maintenance (materialized-view upkeep)
 # ---------------------------------------------------------------------------
 

@@ -169,3 +169,54 @@ def test_cli_refresh_incremental_upsert(spark, tmp_path, capsys):
     assert out2 == {"job": "refresh", "new_files": 1, "target_rows": 3}
     got = {r["id"]: r["v"] for r in read_refreshed(spark, str(tmp_path / "tbl")).collect()}
     assert got == {1: "a", 2: "b2", 3: "c"}
+
+
+def test_cli_dedup_refresh(spark, tmp_path, capsys):
+    """dedup-refresh subcommand: two landings; the second drops the
+    re-crawled duplicate against the standing digest set and appends only
+    the genuinely-new doc."""
+    import json as _json
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from big_data_processing_with_aws_glue_workshop_spark.cli import main
+    from big_data_processing_with_aws_glue_workshop_spark.plans.incremental import (
+        read_deduped,
+    )
+
+    landing = tmp_path / "crawl"
+    landing.mkdir()
+    args = [
+        "dedup-refresh",
+        "--pattern", str(landing / "*.parquet"),
+        "--bookmark", str(tmp_path / "bm.json"),
+        "--target", str(tmp_path / "corpus"),
+    ]
+
+    def land(name, rows):
+        pq.write_table(
+            pa.Table.from_pandas(
+                pd.DataFrame(rows, columns=["doc_id", "text"]),
+                preserve_index=False,
+            ),
+            str(landing / name),
+        )
+
+    land("c1.parquet", [(1, "alpha"), (2, "beta"), (3, "alpha")])
+    main(args)
+    out1 = _json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert out1 == {
+        "job": "dedup-refresh", "new_files": 1, "new_docs": 3,
+        "accepted": 2, "dropped_within": 1, "dropped_vs_corpus": 0,
+    }
+
+    land("c2.parquet", [(4, "beta"), (5, "gamma")])
+    main(args)
+    out2 = _json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert out2 == {
+        "job": "dedup-refresh", "new_files": 1, "new_docs": 2,
+        "accepted": 1, "dropped_within": 0, "dropped_vs_corpus": 1,
+    }
+    got = {r["text"] for r in read_deduped(spark, str(tmp_path / "corpus")).collect()}
+    assert got == {"alpha", "beta", "gamma"}

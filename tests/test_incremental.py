@@ -359,3 +359,97 @@ def test_incremental_agg_refresh_rejects_key_collision(spark, tmp_path):
             {"key": ("sum", "amount")},
             str(tmp_path / "agg"),
         )
+
+
+# ---------------------------------------------------------------------------
+# Incremental corpus dedup
+# ---------------------------------------------------------------------------
+
+def _write_docs(path, rows):
+    pq.write_table(
+        pa.Table.from_pandas(
+            pd.DataFrame(rows, columns=["doc_id", "text"]),
+            preserve_index=False,
+        ),
+        str(path),
+    )
+
+
+def test_incremental_dedup_first_wins_across_waves(spark, tmp_path):
+    """New-file digests anti-join the standing digest set: a re-crawled
+    duplicate is DROPPED (standing corpus wins, stable doc identity);
+    within one increment the min-doc_id copy survives; the live view
+    equals the global first-wins dedup replayed in arrival order."""
+    from big_data_processing_with_aws_glue_workshop_spark.plans.incremental import (
+        incremental_dedup_refresh,
+        read_deduped,
+    )
+
+    landing = tmp_path / "crawl"
+    landing.mkdir()
+    target = str(tmp_path / "corpus")
+    pattern = str(landing / "*.parquet")
+    bm = JobBookmark(str(tmp_path / "bm_dedup.json"), "dedup")
+
+    _write_docs(landing / "w0.parquet", [(3, "alpha"), (1, "beta"), (9, "alpha")])
+    stats = incremental_dedup_refresh(spark, bm, pattern, target)
+    assert stats == {
+        "new_files": 1, "new_docs": 3, "accepted": 2,
+        "dropped_within": 1, "dropped_vs_corpus": 0,
+    }
+    got = {(r["doc_id"], r["text"]) for r in read_deduped(spark, target).collect()}
+    assert got == {(3, "alpha"), (1, "beta")}  # min id wins within wave
+
+    # wave 1: one standing dup (alpha), one internal dup pair (gamma), one new
+    _write_docs(
+        landing / "w1.parquet",
+        [(2, "alpha"), (7, "gamma"), (5, "gamma"), (8, "delta")],
+    )
+    stats = incremental_dedup_refresh(spark, bm, pattern, target)
+    assert stats == {
+        "new_files": 1, "new_docs": 4, "accepted": 2,
+        "dropped_within": 1, "dropped_vs_corpus": 1,
+    }
+    got = {(r["doc_id"], r["text"]) for r in read_deduped(spark, target).collect()}
+    assert got == {(3, "alpha"), (1, "beta"), (5, "gamma"), (8, "delta")}
+
+    # nothing new -> zero work, view unchanged
+    stats = incremental_dedup_refresh(spark, bm, pattern, target)
+    assert stats["new_files"] == 0 and stats["accepted"] == 0
+    assert {(r["doc_id"], r["text"]) for r in read_deduped(spark, target).collect()} == got
+
+
+def test_incremental_dedup_crash_replay_never_duplicates(spark, tmp_path):
+    """Crash between the pointer flip and the bookmark commit: the rerun
+    must heal the bookmark from the pointer's file list and process only
+    genuinely-new files — even when MORE files landed meanwhile — never
+    re-appending the already-published increment."""
+    from big_data_processing_with_aws_glue_workshop_spark.plans.incremental import (
+        incremental_dedup_refresh,
+        read_deduped,
+    )
+
+    landing = tmp_path / "crawl"
+    landing.mkdir()
+    target = str(tmp_path / "corpus")
+    pattern = str(landing / "*.parquet")
+
+    _write_docs(landing / "w0.parquet", [(1, "alpha"), (2, "beta")])
+    bm = JobBookmark(str(tmp_path / "bm.json"), "dedup")
+    incremental_dedup_refresh(spark, bm, pattern, target)
+    _write_docs(landing / "w1.parquet", [(4, "beta"), (5, "gamma")])
+    incremental_dedup_refresh(spark, bm, pattern, target)
+    before = {(r["doc_id"], r["text"]) for r in read_deduped(spark, target).collect()}
+    assert before == {(1, "alpha"), (2, "beta"), (5, "gamma")}
+
+    # bookmark that lost ONLY the last commit, while a new wave landed too
+    crashed = JobBookmark(str(tmp_path / "bm_crashed.json"), "dedup")
+    crashed.commit_files([str(landing / "w0.parquet")])
+    _write_docs(landing / "w2.parquet", [(6, "gamma"), (7, "epsilon")])
+    stats = incremental_dedup_refresh(spark, crashed, pattern, target)
+    # healed w1 + processed w2
+    assert stats["new_files"] == 2 and stats["accepted"] == 1
+    after = {(r["doc_id"], r["text"]) for r in read_deduped(spark, target).collect()}
+    assert after == before | {(7, "epsilon")}
+    # fully caught up
+    assert incremental_dedup_refresh(spark, crashed, pattern, target)["new_files"] == 0
