@@ -279,6 +279,28 @@ def cmd_dedup_refresh(args: argparse.Namespace) -> None:
     _emit({"job": "dedup-refresh", **stats})
 
 
+def cmd_neardup_refresh(args: argparse.Namespace) -> None:
+    """Incremental NEAR-dup refresh (plans/incremental.py): banded-LSH
+    bucket index + MinHash signature agreement against the standing
+    corpus — a lightly-edited re-crawl is dropped without reading any
+    corpus text."""
+    from .plans.incremental import incremental_neardup_refresh
+    from .sources.bookmarks import JobBookmark
+
+    spark = get_session(app_name="neardup-refresh")
+    bm = JobBookmark(args.bookmark, args.job_name)
+    stats = incremental_neardup_refresh(
+        spark,
+        bm,
+        args.pattern,
+        args.target,
+        id_col=args.id_col,
+        text_col=args.text_col,
+        sim_threshold=args.sim_threshold,
+    )
+    _emit({"job": "neardup-refresh", **stats})
+
+
 def cmd_compact(args: argparse.Namespace) -> None:
     """Small-file compaction of a (possibly hive-partitioned) parquet lake
     (operators/compaction.py): rewrite each oversized partition into
@@ -427,6 +449,20 @@ def build_parser() -> argparse.ArgumentParser:
     dr.add_argument("--id-col", default="doc_id")
     dr.add_argument("--text-col", default="text")
     dr.set_defaults(func=cmd_dedup_refresh)
+
+    nr = sub.add_parser(
+        "neardup-refresh",
+        help="near-dup newly-landed crawl files against the standing "
+        "corpus LSH index (signature agreement; corpus text never read)",
+    )
+    nr.add_argument("--pattern", required=True, help="landing-glob of crawl files")
+    nr.add_argument("--target", required=True, help="deduped corpus directory")
+    nr.add_argument("--bookmark", required=True, help="bookmark state JSON path")
+    nr.add_argument("--job-name", default="neardup-refresh")
+    nr.add_argument("--id-col", default="doc_id")
+    nr.add_argument("--text-col", default="text")
+    nr.add_argument("--sim-threshold", type=float, default=0.7)
+    nr.set_defaults(func=cmd_neardup_refresh)
 
     c = sub.add_parser(
         "compact",

@@ -230,6 +230,227 @@ def incremental_dedup_refresh(
     }
 
 
+def incremental_neardup_refresh(
+    spark: SparkSession,
+    bookmark: JobBookmark,
+    pattern: str,
+    target_dir: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n_hashes: int = 32,
+    bands: int = 8,
+    shingle_n: int = 3,
+    sim_threshold: float = 0.7,
+    seed: int = 42,
+    fmt: str = "parquet",
+    **reader_options: str,
+) -> dict:
+    """NEAR-duplicate twin of ``incremental_dedup_refresh``: drop newly
+    crawled docs that are near-duplicates of the standing corpus (or of a
+    smaller-id doc in the same increment) WITHOUT ever re-reading the
+    corpus text — the state is a banded-LSH bucket index plus the MinHash
+    signatures of accepted docs.
+
+    Mechanics per refresh (all pieces shared with the batch LSH path in
+    extensions/dedup_fuzzy.py — same shingling, same xxhash64
+    permutations, so thresholds calibrate identically):
+
+    1. signatures+buckets for the increment only (one shuffle on id);
+    2. candidates = increment buckets ⋈ standing bucket snapshot on
+       (band, bucket) + increment ⋈ increment (smaller id wins);
+    3. similarity = signature agreement fraction (zip_with equality over
+       the stored arrays — the textless estimator; E[agreement] =
+       Jaccard), drop at >= ``sim_threshold``;
+    4. survivors append as a delta; bucket/signature snapshots advance;
+       atomic pointer flip publishes, bookmark commits last (same
+       crash-healing protocol as the exact-dedup refresh).
+
+    Semantics note: within-increment dropping is CONSERVATIVE — a doc is
+    dropped if similar to ANY smaller-id increment doc, even one that was
+    itself dropped (a superset of the greedy keep-set a sequential
+    single-node pass would produce; transitive near-dup chains collapse
+    to their smallest member). Deterministic in one pass, no iteration.
+
+    At 100 TB: per-doc state is n_hashes bigints + bands bucket rows —
+    bytes per document, never text; the candidate join shuffles only
+    bucket collisions. The snapshot rewrite is O(corpus docs) metadata —
+    partition by bucket prefix past the size where that matters.
+    """
+    import json
+
+    from pyspark.sql.window import Window
+
+    from ..extensions.dedup_fuzzy import lsh_candidate_pairs, minhash_signatures
+    from ..util import atomic_write_json
+
+    rows_per_band = n_hashes // bands
+    pointer_path = os.path.join(target_dir, "current.json")
+    pointer = None
+    if os.path.exists(pointer_path):
+        with open(pointer_path) as f:
+            pointer = json.load(f)
+
+    healed = 0
+    if pointer is not None:
+        applied = set(pointer.get("delta_files", []))
+        stale = [f for f in bookmark.pending_files(pattern) if f in applied]
+        if stale:
+            bookmark.commit_files(stale)
+            healed = len(stale)
+
+    new_df, new_files = bookmark.read_incremental(
+        spark, pattern, fmt=fmt, **reader_options
+    )
+    if not new_files:
+        return {
+            "new_files": healed,
+            "new_docs": 0,
+            "accepted": 0,
+            "dropped_within": 0,
+            "dropped_vs_corpus": 0,
+        }
+
+    sigs = minhash_signatures(
+        new_df, id_col, text_col, n_hashes=n_hashes, shingle_n=shingle_n, seed=seed
+    ).withColumnRenamed("doc_id", id_col)
+    inc = new_df.join(sigs, id_col)
+    n_new = inc.count()
+
+    def banded(sig_df, id_name):
+        return sig_df.select(
+            F.col(id_col).alias(id_name),
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(
+                            F.lit(b).alias("band"),
+                            F.xxhash64(
+                                *[
+                                    F.element_at(
+                                        "signature", b * rows_per_band + r + 1
+                                    )
+                                    for r in range(rows_per_band)
+                                ]
+                            ).alias("bucket"),
+                        )
+                        for b in range(bands)
+                    ]
+                )
+            ).alias("bb"),
+        ).select(
+            id_name, F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket")
+        )
+
+    agreement = F.aggregate(
+        F.zip_with("sig_a", "sig_b", lambda a, b: (a == b).cast("int")),
+        F.lit(0),
+        lambda acc, x: acc + x,
+    ) / F.lit(n_hashes)
+
+    # vs-corpus drops: increment buckets ⋈ standing bucket snapshot, then
+    # the textless agreement estimator over stored signatures
+    drop_vs_corpus = None
+    if pointer is not None:
+        standing_buckets = spark.read.parquet(
+            os.path.join(target_dir, pointer["bucket_version"])
+        )
+        standing_sigs = spark.read.parquet(
+            os.path.join(target_dir, pointer["signature_version"])
+        )
+        cand = (
+            banded(inc.select(id_col, "signature"), "new_id")
+            .join(standing_buckets, ["band", "bucket"])
+            .select("new_id", F.col("doc_id").alias("old_id"))
+            .distinct()
+        )
+        scored = (
+            cand.join(
+                inc.select(
+                    F.col(id_col).alias("new_id"), F.col("signature").alias("sig_a")
+                ),
+                "new_id",
+            )
+            .join(
+                standing_sigs.select(
+                    F.col("doc_id").alias("old_id"), F.col("signature").alias("sig_b")
+                ),
+                "old_id",
+            )
+            .filter(agreement >= sim_threshold)
+        )
+        drop_vs_corpus = scored.select(F.col("new_id").alias(id_col)).distinct()
+
+    # within-increment drops: smaller id wins (conservative, see docstring)
+    inc_pairs = lsh_candidate_pairs(
+        sigs.select(F.col(id_col).alias("doc_id"), "signature"),
+        bands=bands,
+        rows_per_band=rows_per_band,
+        n_hashes=n_hashes,
+    )
+    sim_pairs = (
+        inc_pairs.join(
+            sigs.select(F.col(id_col).alias("d1"), F.col("signature").alias("sig_a")),
+            "d1",
+        )
+        .join(
+            sigs.select(F.col(id_col).alias("d2"), F.col("signature").alias("sig_b")),
+            "d2",
+        )
+        .filter(agreement >= sim_threshold)
+    )
+    drop_within = sim_pairs.select(F.col("d2").alias(id_col)).distinct()
+
+    survivors = inc.join(drop_within, id_col, "left_anti")
+    n_after_within = survivors.count()
+    if drop_vs_corpus is not None:
+        survivors = survivors.join(drop_vs_corpus, id_col, "left_anti")
+
+    batch_id = pointer["batch_id"] + 1 if pointer is not None else 0
+    delta_rel = f"accepted/delta_{batch_id}"
+    survivors.write.mode("overwrite").parquet(os.path.join(target_dir, delta_rel))
+    accepted = spark.read.parquet(os.path.join(target_dir, delta_rel))
+    n_accepted = accepted.count()
+
+    acc_sigs = accepted.select(
+        F.col(id_col).alias("doc_id"), "signature"
+    )
+    sig_rel = f"signatures/v{batch_id}"
+    bucket_rel = f"buckets/v{batch_id}"
+    new_sigs = acc_sigs
+    new_buckets = banded(
+        acc_sigs.withColumnRenamed("doc_id", id_col), "doc_id"
+    )
+    if pointer is not None:
+        new_sigs = spark.read.parquet(
+            os.path.join(target_dir, pointer["signature_version"])
+        ).unionByName(new_sigs)
+        new_buckets = spark.read.parquet(
+            os.path.join(target_dir, pointer["bucket_version"])
+        ).unionByName(new_buckets)
+    new_sigs.write.mode("overwrite").parquet(os.path.join(target_dir, sig_rel))
+    new_buckets.write.mode("overwrite").parquet(os.path.join(target_dir, bucket_rel))
+
+    deltas = (pointer["deltas"] if pointer is not None else []) + [delta_rel]
+    atomic_write_json(
+        pointer_path,
+        {
+            "batch_id": batch_id,
+            "signature_version": sig_rel,
+            "bucket_version": bucket_rel,
+            "deltas": deltas,
+            "delta_files": sorted(new_files),
+        },
+    )
+    bookmark.commit_files(new_files)
+    return {
+        "new_files": healed + len(new_files),
+        "new_docs": n_new,
+        "accepted": n_accepted,
+        "dropped_within": n_new - n_after_within,
+        "dropped_vs_corpus": n_after_within - n_accepted,
+    }
+
+
 def read_deduped(spark: SparkSession, target_dir: str) -> DataFrame:
     """Live view of the incrementally-deduped corpus: the union of every
     PUBLISHED accepted-delta directory (snapshot isolation — an

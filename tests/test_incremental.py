@@ -453,3 +453,63 @@ def test_incremental_dedup_crash_replay_never_duplicates(spark, tmp_path):
     assert after == before | {(7, "epsilon")}
     # fully caught up
     assert incremental_dedup_refresh(spark, crashed, pattern, target)["new_files"] == 0
+
+
+def test_incremental_neardup_refresh(spark, tmp_path):
+    """Near-dup twin: a lightly-edited re-crawl of a standing doc is
+    dropped via the signature agreement estimator (no corpus text read);
+    within-increment near-dups collapse to the smallest id; genuinely new
+    docs append."""
+    from big_data_processing_with_aws_glue_workshop_spark.plans.incremental import (
+        incremental_neardup_refresh,
+        read_deduped,
+    )
+
+    landing = tmp_path / "crawl"
+    landing.mkdir()
+    target = str(tmp_path / "corpus")
+    pattern = str(landing / "*.parquet")
+    bm = JobBookmark(str(tmp_path / "bm.json"), "neardup")
+
+    base = ("the quick brown fox jumps over the lazy dog while rain falls "
+            "softly on the quiet village roofs and children watch from warm "
+            "windows counting drops")
+    edited = base.replace("counting drops", "counting stars")
+    other = ("completely unrelated text about distributed query engines "
+             "shuffling partitioned columnar data across executor nodes "
+             "with adaptive plans and broadcast joins everywhere")
+
+    _write_docs(landing / "w0.parquet", [(1, base), (2, base + " extra"), (3, other)])
+    stats = incremental_neardup_refresh(
+        spark, bm, pattern, target, sim_threshold=0.5
+    )
+    assert stats["new_docs"] == 3
+    assert stats["dropped_within"] == 1      # 2 collapses into 1
+    assert stats["accepted"] == 2
+    got = {r["doc_id"] for r in read_deduped(spark, target).collect()}
+    assert got == {1, 3}
+
+    # re-crawl: lightly-edited base (near-dup of standing doc 1) + new doc
+    fresh = ("a genuinely novel document describing medieval bread baking "
+             "guild regulations and the millers seasonal water rights "
+             "disputes along the upper river valley")
+    _write_docs(landing / "w1.parquet", [(9, edited), (10, fresh)])
+    stats = incremental_neardup_refresh(
+        spark, bm, pattern, target, sim_threshold=0.5
+    )
+    assert stats["dropped_vs_corpus"] == 1   # edited ~ standing base
+    assert stats["accepted"] == 1
+    got = {r["doc_id"] for r in read_deduped(spark, target).collect()}
+    assert got == {1, 3, 10}
+
+    # crash between pointer flip and bookmark commit: heal, no re-append
+    crashed = JobBookmark(str(tmp_path / "bm_crashed.json"), "neardup")
+    crashed.commit_files([str(landing / "w0.parquet")])
+    stats = incremental_neardup_refresh(
+        spark, crashed, pattern, target, sim_threshold=0.5
+    )
+    assert stats == {
+        "new_files": 1, "new_docs": 0, "accepted": 0,
+        "dropped_within": 0, "dropped_vs_corpus": 0,
+    }
+    assert {r["doc_id"] for r in read_deduped(spark, target).collect()} == {1, 3, 10}
