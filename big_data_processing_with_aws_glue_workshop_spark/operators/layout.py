@@ -128,3 +128,58 @@ def zorder_dataframe(
         .sortWithinPartitions("__zkey")
         .drop("__zkey")
     )
+
+
+def zone_map_profile(path: str, cols: list[str]) -> dict:
+    """Audit a parquet directory's zone maps — footers only, no data
+    pages — and report how much pruning power the physical layout gives
+    each column.
+
+    Per column: ``n_row_groups`` and ``overlap_factor`` — the expected
+    number of row groups whose [min, max] covers a uniformly-drawn point
+    of the column's observed domain, i.e. exactly the number of row
+    groups a point lookup must read under footer-stats skipping. 1.0 is
+    perfect clustering, ``n_row_groups`` is none; a z-ordered layout
+    lands in between on every indexed column (~G^((d-1)/d) for d
+    columns, G groups). ``disjoint`` flags a non-overlapping chain of
+    ranges, the signature of a perfect single-column range layout.
+
+    This turns "trust me, the write was sorted" into a number a
+    regression test can pin (tests/test_layout.py), and at the real
+    scale it is the cheap health check to run after every compaction or
+    clustered rewrite: O(files x row_groups) footer reads, zero data.
+    """
+    import os
+
+    import pyarrow.parquet as pq
+
+    files = [
+        os.path.join(path, f)
+        for f in sorted(os.listdir(path))
+        if f.endswith(".parquet")
+    ]
+    out: dict = {}
+    for col in cols:
+        ranges = []
+        for fp in files:
+            meta = pq.ParquetFile(fp).metadata
+            idx = meta.schema.names.index(col)
+            for rg in range(meta.num_row_groups):
+                st = meta.row_group(rg).column(idx).statistics
+                if st is None or st.min is None:
+                    continue
+                ranges.append((float(st.min), float(st.max)))
+        if not ranges:
+            out[col] = {"n_row_groups": 0, "overlap_factor": None, "disjoint": True}
+            continue
+        width = (max(hi for _, hi in ranges) - min(lo for lo, _ in ranges)) or 1.0
+        overlap = sum((hi - lo) / width for lo, hi in ranges)
+        srt = sorted(ranges)
+        out[col] = {
+            "n_row_groups": len(ranges),
+            "overlap_factor": round(max(overlap, 1.0), 2),
+            "disjoint": all(
+                srt[i][1] <= srt[i + 1][0] for i in range(len(srt) - 1)
+            ),
+        }
+    return out

@@ -137,3 +137,35 @@ def test_zorder_key_matches_reference_and_is_monotone(spark):
         lo = (min(a1, a2), min(b1, b2))
         hi = (max(a1, a2), max(b1, b2))
         assert _ref_morton(*lo) <= _ref_morton(*hi)
+
+
+def test_zone_map_profile_quantifies_layout(spark, tmp_path):
+    """The footer-only audit must separate the three layouts on the same
+    data: range layout -> disjoint chain, overlap ~1; hash scatter ->
+    overlap ~n_row_groups; z-order -> strictly in between on BOTH
+    indexed columns (the G^((d-1)/d) regime)."""
+    from big_data_processing_with_aws_glue_workshop_spark.operators.layout import (
+        zone_map_profile,
+    )
+
+    h = lambda salt: F.abs(F.xxhash64(F.col("id"), F.lit(salt)))
+    df = spark.range(100_000).select(
+        (h(1) % 100_000).alias("x"), (h(2) % 100_000).alias("y")
+    )
+    rp, nn, zz = (str(tmp_path / d) for d in ("range", "none", "zorder"))
+    df.repartitionByRange(8, "x").sortWithinPartitions("x").write.parquet(rp)
+    df.repartition(8).write.parquet(nn)
+    zorder_dataframe(df, ["x", "y"], 16).write.parquet(zz)
+
+    pr = zone_map_profile(rp, ["x", "y"])
+    assert pr["x"]["disjoint"] and pr["x"]["overlap_factor"] <= 1.5
+    assert pr["y"]["overlap_factor"] >= pr["y"]["n_row_groups"] * 0.7
+
+    pn = zone_map_profile(nn, ["x"])
+    assert not pn["x"]["disjoint"]
+    assert pn["x"]["overlap_factor"] >= pn["x"]["n_row_groups"] * 0.7
+
+    pz = zone_map_profile(zz, ["x", "y"])
+    for c in ("x", "y"):
+        g = pz[c]["n_row_groups"]
+        assert 1.0 < pz[c]["overlap_factor"] <= g * 0.6, (c, pz[c])
