@@ -99,6 +99,7 @@ def incremental_dedup_refresh(
     target_dir: str,
     id_col: str = "doc_id",
     text_col: str = "text",
+    snapshot_compact_at: int = 16,
     fmt: str = "parquet",
     **reader_options: str,
 ) -> dict:
@@ -114,10 +115,15 @@ def incremental_dedup_refresh(
       rows (+ ``digest``). APPEND-ONLY: a refresh writes one delta dir and
       never touches prior deltas, so the corpus data written is O(new
       files) regardless of corpus size.
-    - ``digests/v<batch>/`` — the full digest set (one 32-hex column +
-      the owning batch). O(corpus) in DOC COUNT but tiny per row; at
-      real scale partition by digest prefix and rewrite only touched
-      partitions — the anti-join/append contract is unchanged.
+    - ``digests/d<batch>/`` — the increment's ACCEPTED digests only
+      (one 32-hex column + the owning batch). APPEND-ONLY like the data
+      deltas, so the per-refresh metadata WRITE is O(increment), not
+      O(corpus) — rewriting the full digest set every refresh would be
+      the quiet scale-killer at 1B+ docs. The anti-join still READS the
+      union of all digest deltas (intrinsic: any standing digest could
+      match), and once ``snapshot_compact_at`` deltas accumulate they
+      are compacted into one dir (written before the flip, superseded
+      dirs garbage-collected after it) to stop small-file fan-out.
     - ``current.json`` — atomic pointer: batch_id, live digest version,
       the list of published delta dirs (readers see only published
       deltas: snapshot isolation), and the increment's file list for
@@ -185,7 +191,7 @@ def incremental_dedup_refresh(
 
     if pointer is not None:
         standing = spark.read.parquet(
-            os.path.join(target_dir, pointer["digest_version"])
+            *[os.path.join(target_dir, d) for d in pointer["digest_deltas"]]
         ).select("digest")
         survivors = inc_unique.join(standing, "digest", "left_anti")
     else:
@@ -201,26 +207,39 @@ def incremental_dedup_refresh(
     ).select("digest")
     n_accepted = accepted_digests.count()
 
-    digest_rel = f"digests/v{batch_id}"
-    new_digests = accepted_digests.withColumn(
+    digest_rel = f"digests/d{batch_id}"
+    accepted_digests.withColumn(
         "batch_id", F.lit(batch_id).cast("bigint")
-    )
-    if pointer is not None:
-        old = spark.read.parquet(os.path.join(target_dir, pointer["digest_version"]))
-        new_digests = old.unionByName(new_digests)
-    new_digests.write.mode("overwrite").parquet(os.path.join(target_dir, digest_rel))
+    ).write.mode("overwrite").parquet(os.path.join(target_dir, digest_rel))
+    digest_deltas = (
+        pointer["digest_deltas"] if pointer is not None else []
+    ) + [digest_rel]
+    superseded: list = []
+    if len(digest_deltas) >= snapshot_compact_at:
+        compact_rel = f"digests/compact_{batch_id}"
+        spark.read.parquet(
+            *[os.path.join(target_dir, d) for d in digest_deltas]
+        ).write.mode("overwrite").parquet(os.path.join(target_dir, compact_rel))
+        superseded = digest_deltas
+        digest_deltas = [compact_rel]
 
     deltas = (pointer["deltas"] if pointer is not None else []) + [delta_rel]
     atomic_write_json(
         pointer_path,
         {
             "batch_id": batch_id,
-            "digest_version": digest_rel,
+            "digest_deltas": digest_deltas,
             "deltas": deltas,
             "delta_files": sorted(new_files),
         },
     )
     bookmark.commit_files(new_files)
+    # post-flip GC of compaction-superseded digest dirs: best-effort —
+    # readers only follow the pointer, so a crash here leaves inert dirs
+    import shutil
+
+    for d in superseded:
+        shutil.rmtree(os.path.join(target_dir, d), ignore_errors=True)
     return {
         "new_files": healed + len(new_files),
         "new_docs": n_new,
@@ -242,6 +261,7 @@ def incremental_neardup_refresh(
     shingle_n: int = 3,
     sim_threshold: float = 0.7,
     seed: int = 42,
+    snapshot_compact_at: int = 16,
     fmt: str = "parquet",
     **reader_options: str,
 ) -> dict:
@@ -273,8 +293,12 @@ def incremental_neardup_refresh(
 
     At 100 TB: per-doc state is n_hashes bigints + bands bucket rows —
     bytes per document, never text; the candidate join shuffles only
-    bucket collisions. The snapshot rewrite is O(corpus docs) metadata —
-    partition by bucket prefix past the size where that matters.
+    bucket collisions. Signature/bucket state is APPEND-ONLY delta dirs
+    like the exact path's digests: the per-refresh metadata WRITE is
+    O(increment); the candidate join reads the union of bucket deltas
+    (intrinsic — any standing bucket can collide), and
+    ``snapshot_compact_at`` accumulated deltas trigger a one-dir
+    compaction (written pre-flip, superseded dirs GC'd post-flip).
     """
     import json
 
@@ -310,9 +334,17 @@ def incremental_neardup_refresh(
             "dropped_vs_corpus": 0,
         }
 
-    sigs = minhash_signatures(
-        new_df, id_col, text_col, n_hashes=n_hashes, shingle_n=shingle_n, seed=seed
-    ).withColumnRenamed("doc_id", id_col)
+    # the signature computation (shingling + n_hashes xxhash64 mins) is
+    # the refresh's dominant map work and feeds four consumers (both drop
+    # joins, the survivor write, the index delta) — persist it once;
+    # released before return
+    sigs = (
+        minhash_signatures(
+            new_df, id_col, text_col, n_hashes=n_hashes, shingle_n=shingle_n, seed=seed
+        )
+        .withColumnRenamed("doc_id", id_col)
+        .persist()
+    )
     inc = new_df.join(sigs, id_col)
     n_new = inc.count()
 
@@ -352,10 +384,10 @@ def incremental_neardup_refresh(
     drop_vs_corpus = None
     if pointer is not None:
         standing_buckets = spark.read.parquet(
-            os.path.join(target_dir, pointer["bucket_version"])
+            *[os.path.join(target_dir, d) for d in pointer["bucket_deltas"]]
         )
         standing_sigs = spark.read.parquet(
-            os.path.join(target_dir, pointer["signature_version"])
+            *[os.path.join(target_dir, d) for d in pointer["signature_deltas"]]
         )
         cand = (
             banded(inc.select(id_col, "signature"), "new_id")
@@ -414,34 +446,49 @@ def incremental_neardup_refresh(
     acc_sigs = accepted.select(
         F.col(id_col).alias("doc_id"), "signature"
     )
-    sig_rel = f"signatures/v{batch_id}"
-    bucket_rel = f"buckets/v{batch_id}"
-    new_sigs = acc_sigs
-    new_buckets = banded(
+    sig_rel = f"signatures/d{batch_id}"
+    bucket_rel = f"buckets/d{batch_id}"
+    acc_sigs.write.mode("overwrite").parquet(os.path.join(target_dir, sig_rel))
+    banded(
         acc_sigs.withColumnRenamed("doc_id", id_col), "doc_id"
-    )
-    if pointer is not None:
-        new_sigs = spark.read.parquet(
-            os.path.join(target_dir, pointer["signature_version"])
-        ).unionByName(new_sigs)
-        new_buckets = spark.read.parquet(
-            os.path.join(target_dir, pointer["bucket_version"])
-        ).unionByName(new_buckets)
-    new_sigs.write.mode("overwrite").parquet(os.path.join(target_dir, sig_rel))
-    new_buckets.write.mode("overwrite").parquet(os.path.join(target_dir, bucket_rel))
+    ).write.mode("overwrite").parquet(os.path.join(target_dir, bucket_rel))
+
+    sig_deltas = (
+        pointer["signature_deltas"] if pointer is not None else []
+    ) + [sig_rel]
+    bucket_deltas = (
+        pointer["bucket_deltas"] if pointer is not None else []
+    ) + [bucket_rel]
+    superseded: list = []
+    if len(sig_deltas) >= snapshot_compact_at:
+        sig_c = f"signatures/compact_{batch_id}"
+        bucket_c = f"buckets/compact_{batch_id}"
+        spark.read.parquet(
+            *[os.path.join(target_dir, d) for d in sig_deltas]
+        ).write.mode("overwrite").parquet(os.path.join(target_dir, sig_c))
+        spark.read.parquet(
+            *[os.path.join(target_dir, d) for d in bucket_deltas]
+        ).write.mode("overwrite").parquet(os.path.join(target_dir, bucket_c))
+        superseded = sig_deltas + bucket_deltas
+        sig_deltas, bucket_deltas = [sig_c], [bucket_c]
 
     deltas = (pointer["deltas"] if pointer is not None else []) + [delta_rel]
     atomic_write_json(
         pointer_path,
         {
             "batch_id": batch_id,
-            "signature_version": sig_rel,
-            "bucket_version": bucket_rel,
+            "signature_deltas": sig_deltas,
+            "bucket_deltas": bucket_deltas,
             "deltas": deltas,
             "delta_files": sorted(new_files),
         },
     )
     bookmark.commit_files(new_files)
+    import shutil
+
+    for d in superseded:
+        shutil.rmtree(os.path.join(target_dir, d), ignore_errors=True)
+    sigs.unpersist()
     return {
         "new_files": healed + len(new_files),
         "new_docs": n_new,

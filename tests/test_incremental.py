@@ -513,3 +513,89 @@ def test_incremental_neardup_refresh(spark, tmp_path):
         "dropped_within": 0, "dropped_vs_corpus": 0,
     }
     assert {r["doc_id"] for r in read_deduped(spark, target).collect()} == {1, 3, 10}
+
+
+def test_incremental_dedup_snapshot_compaction(spark, tmp_path):
+    """Digest metadata is append-only deltas; at snapshot_compact_at the
+    deltas collapse into one dir, superseded dirs are GC'd, and dedup
+    semantics are unchanged across the compaction boundary."""
+    import json
+
+    from big_data_processing_with_aws_glue_workshop_spark.plans.incremental import (
+        incremental_dedup_refresh,
+        read_deduped,
+    )
+
+    landing = tmp_path / "crawl"
+    landing.mkdir()
+    target = str(tmp_path / "corpus")
+    pattern = str(landing / "*.parquet")
+    bm = JobBookmark(str(tmp_path / "bm.json"), "compact")
+
+    for w in range(4):
+        _write_docs(
+            landing / f"w{w}.parquet",
+            [(w * 10, f"fresh text {w}"), (w * 10 + 1, "repeated text")],
+        )
+        incremental_dedup_refresh(
+            spark, bm, pattern, target, snapshot_compact_at=3
+        )
+
+    pointer = json.loads((tmp_path / "corpus" / "current.json").read_text())
+    # wave 3 hit the threshold (3 deltas), compacted; wave 4 appended one
+    assert pointer["digest_deltas"] == ["digests/compact_2", "digests/d3"]
+    import os
+
+    live = set(os.listdir(tmp_path / "corpus" / "digests"))
+    assert live == {"compact_2", "d3"}  # superseded d0/d1/d2 GC'd
+
+    got = {r["doc_id"] for r in read_deduped(spark, target).collect()}
+    # "repeated text" kept only from wave 0; fresh rows all kept
+    assert got == {0, 1, 10, 20, 30}
+
+
+def test_incremental_neardup_snapshot_compaction(spark, tmp_path):
+    """Near-dup twin: signature/bucket deltas compact at the threshold
+    and the standing index still drops a later re-crawl."""
+    import json
+    import os
+
+    from big_data_processing_with_aws_glue_workshop_spark.plans.incremental import (
+        incremental_neardup_refresh,
+        read_deduped,
+    )
+
+    landing = tmp_path / "crawl"
+    landing.mkdir()
+    target = str(tmp_path / "corpus")
+    pattern = str(landing / "*.parquet")
+    bm = JobBookmark(str(tmp_path / "bm.json"), "ncompact")
+
+    texts = [
+        "alpha beta gamma delta epsilon zeta eta theta iota kappa "
+        "lambda mu nu xi omicron pi rho sigma tau upsilon",
+        "one two three four five six seven eight nine ten eleven "
+        "twelve thirteen fourteen fifteen sixteen seventeen",
+        "red orange yellow green blue indigo violet crimson amber "
+        "teal navy maroon olive coral salmon ivory",
+    ]
+    for w, t in enumerate(texts):
+        _write_docs(landing / f"w{w}.parquet", [(w * 10, t)])
+        incremental_neardup_refresh(
+            spark, bm, pattern, target, sim_threshold=0.5, snapshot_compact_at=2
+        )
+
+    pointer = json.loads((tmp_path / "corpus" / "current.json").read_text())
+    assert pointer["signature_deltas"] == ["signatures/compact_2"]
+    assert pointer["bucket_deltas"] == ["buckets/compact_2"]
+    assert set(os.listdir(tmp_path / "corpus" / "signatures")) == {"compact_2"}
+
+    # a light edit of wave-0's doc must still be dropped via the
+    # COMPACTED standing index
+    edited = texts[0].replace("upsilon", "omega")
+    _write_docs(landing / "w9.parquet", [(99, edited)])
+    stats = incremental_neardup_refresh(
+        spark, bm, pattern, target, sim_threshold=0.5, snapshot_compact_at=2
+    )
+    assert stats["dropped_vs_corpus"] == 1
+    assert {r["doc_id"] for r in read_deduped(spark, target).collect()} == {0, 10, 20}
