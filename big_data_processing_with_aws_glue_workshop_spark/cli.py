@@ -301,6 +301,33 @@ def cmd_neardup_refresh(args: argparse.Namespace) -> None:
     _emit({"job": "neardup-refresh", **stats})
 
 
+def cmd_bpe_learn(args: argparse.Namespace) -> None:
+    """Learn a BPE subword vocabulary from a document table
+    (operators/bpe.py): one corpus pass builds the word-frequency
+    table, then merge iterations run on that Zipf-small table only.
+    Writes the ordered merge list as JSON to --output."""
+    import json
+
+    from .operators.bpe import learn_bpe, word_counts
+
+    spark = get_session(app_name="bpe-learn")
+    docs = spark.read.parquet(args.input)
+    wc = word_counts(docs, text_col=args.text_col)
+    merges, vocab = learn_bpe(
+        wc, n_merges=args.n_merges, min_pair_freq=args.min_pair_freq
+    )
+    with open(args.output, "w") as f:
+        json.dump({"merges": [list(m) for m in merges]}, f)
+    _emit(
+        {
+            "job": "bpe-learn",
+            "n_merges": len(merges),
+            "vocab_size": vocab.count(),
+            "output": args.output,
+        }
+    )
+
+
 def cmd_compact(args: argparse.Namespace) -> None:
     """Small-file compaction of a (possibly hive-partitioned) parquet lake
     (operators/compaction.py): rewrite each oversized partition into
@@ -473,6 +500,18 @@ def build_parser() -> argparse.ArgumentParser:
     c.add_argument("--target-mb", type=int, default=128)
     c.add_argument("--dry-run", action="store_true")
     c.set_defaults(func=cmd_compact)
+
+    bp = sub.add_parser(
+        "bpe-learn",
+        help="learn a BPE subword vocabulary from a document table "
+        "(merge learning on the aggregated word-frequency table)",
+    )
+    bp.add_argument("--input", required=True, help="documents parquet path")
+    bp.add_argument("--output", required=True, help="merges JSON output path")
+    bp.add_argument("--text-col", default="text")
+    bp.add_argument("--n-merges", type=int, default=200)
+    bp.add_argument("--min-pair-freq", type=int, default=2)
+    bp.set_defaults(func=cmd_bpe_learn)
 
     q = sub.add_parser("query", help="run a registered engine query by name")
     q.add_argument("--name", default="pricing_summary")
