@@ -220,3 +220,40 @@ def test_cli_dedup_refresh(spark, tmp_path, capsys):
     }
     got = {r["text"] for r in read_deduped(spark, str(tmp_path / "corpus")).collect()}
     assert got == {"alpha", "beta", "gamma"}
+
+
+def test_cli_bpe_learn(spark, tmp_path, capsys):
+    """bpe-learn subcommand: learns merges from a tiny document table and
+    writes the ordered merge list JSON; the first merge must be the most
+    frequent adjacent pair of the corpus."""
+    import json as _json
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from big_data_processing_with_aws_glue_workshop_spark.cli import main
+
+    docs = tmp_path / "docs.parquet"
+    pq.write_table(
+        pa.Table.from_pandas(
+            pd.DataFrame(
+                [(1, "aaab aaab aaab"), (2, "aaab ccc")],
+                columns=["doc_id", "text"],
+            ),
+            preserve_index=False,
+        ),
+        str(docs),
+    )
+    out_path = tmp_path / "merges.json"
+    main([
+        "bpe-learn",
+        "--input", str(docs),
+        "--output", str(out_path),
+        "--n-merges", "3",
+    ])
+    out = _json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert out["job"] == "bpe-learn" and out["n_merges"] == 3
+    merges = _json.loads(out_path.read_text())["merges"]
+    # "aa" appears 2x per "aaab" occurrence (4 words) = freq 8, the max
+    assert merges[0] == ["a", "a"]
+    assert len(merges) == 3
