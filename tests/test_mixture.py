@@ -1,0 +1,107 @@
+"""Temperature mixture resampling: copy counts must match an
+independent per-doc reference calculation exactly (determinism), τ = 1
+must be the identity mixture, τ < 1 must upsample the rare source above
+1x, and realized token mass must track the tempered targets."""
+
+from __future__ import annotations
+
+import hashlib
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from big_data_processing_with_aws_glue_workshop_spark.operators.mixture import (
+    materialize_epoch,
+    temperature_mixture_plan,
+)
+
+
+def _h(doc_id: int) -> int:
+    return int(hashlib.md5(str(doc_id).encode()).hexdigest()[:15], 16) % 1_000_000
+
+
+@pytest.fixture()
+def corpus(spark):
+    # big source: 900 docs x 100 tokens; rare source: 60 docs x 50 tokens
+    rows = [(i, "big", 100) for i in range(900)] + [
+        (10_000 + i, "rare", 50) for i in range(60)
+    ]
+    return spark.createDataFrame(rows, "doc_id long, source string, n_tokens long")
+
+
+def _ref_rates(corpus_rows, tau, budget=None):
+    mass = {}
+    for _, s, n in corpus_rows:
+        mass[s] = mass.get(s, 0) + n
+    denom = sum(m**tau for m in mass.values())
+    total = budget if budget is not None else sum(mass.values())
+    return {s: total * (m**tau / denom) / m for s, m in mass.items()}
+
+
+def test_copy_counts_match_reference_exactly(spark, corpus):
+    rows = [(r["doc_id"], r["source"], r["n_tokens"]) for r in corpus.collect()]
+    rates = _ref_rates(rows, 0.5)
+    plan = temperature_mixture_plan(corpus, temperature=0.5)
+    for r in plan.collect():
+        rr = rates[r["source"]]
+        want = math.floor(rr) + (1 if _h(r["doc_id"]) < (rr - math.floor(rr)) * 1_000_000 else 0)
+        assert r["n_copies"] == want
+        assert abs(r["repeat_rate"] - rr) < 1e-9
+
+
+def test_tau_one_is_identity(spark, corpus):
+    plan = temperature_mixture_plan(corpus, temperature=1.0)
+    got = plan.agg(
+        F.min("n_copies").alias("lo"), F.max("n_copies").alias("hi")
+    ).first()
+    assert (got["lo"], got["hi"]) == (1, 1)  # r_s == 1.0 for every source
+
+
+def test_flattening_upsamples_rare_source(spark, corpus):
+    plan = temperature_mixture_plan(corpus, temperature=0.3)
+    rates = {
+        r["source"]: r["repeat_rate"]
+        for r in plan.select("source", "repeat_rate").distinct().collect()
+    }
+    assert rates["rare"] > 1.5  # rare source repeated
+    assert rates["big"] < 1.0  # big source thinned
+    # realized token mass tracks the tempered target within hash noise
+    realized = {
+        r["source"]: r["m"]
+        for r in plan.groupBy("source")
+        .agg(F.sum(F.col("n_copies") * F.col("n_tokens")).alias("m"))
+        .collect()
+    }
+    rows = [(r["doc_id"], r["source"], r["n_tokens"]) for r in corpus.collect()]
+    mass = {"big": 90_000, "rare": 3_000}
+    for s, rr in _ref_rates(rows, 0.3).items():
+        target = rr * mass[s]
+        assert abs(realized[s] - target) / target < 0.12
+
+
+def test_materialize_epoch_copies_and_reshuffles(spark, corpus):
+    plan = temperature_mixture_plan(corpus, temperature=0.3)
+    e0 = materialize_epoch(plan, epoch=0)
+    # one row per copy
+    want = plan.agg(F.sum("n_copies")).first()[0]
+    assert e0.count() == want
+    # a doc with n_copies = k appears with copy_idx 1..k
+    k_doc = plan.filter(F.col("n_copies") >= 2).first()
+    got = sorted(
+        r["copy_idx"]
+        for r in e0.filter(F.col("doc_id") == k_doc["doc_id"]).collect()
+    )
+    assert got == list(range(1, k_doc["n_copies"] + 1))
+    # epochs permute differently but deterministically
+    order0 = [r["doc_id"] for r in e0.orderBy("shuffle_key").limit(50).collect()]
+    order1 = [
+        r["doc_id"]
+        for r in materialize_epoch(plan, epoch=1).orderBy("shuffle_key").limit(50).collect()
+    ]
+    order0_again = [
+        r["doc_id"]
+        for r in materialize_epoch(plan, epoch=0).orderBy("shuffle_key").limit(50).collect()
+    ]
+    assert order0 != order1
+    assert order0 == order0_again
