@@ -1,0 +1,125 @@
+"""Join-key skew: measure it, then join through it.
+
+At 100 TB the single most common cluster-killer is one hot key: a
+shuffle join hashes every row of key k to ONE reducer, so a key holding
+1% of a 100 TB fact is a 1 TB partition — hours behind the p50 task.
+AQE's skew-join split (enabled in this repo's session defaults) handles
+much of this for sort-merge joins by splitting oversized partitions,
+but it cannot help when the hot side must ALSO be joined per-row with a
+large build side (split partitions still replay the same build rows),
+in stream-static joins where AQE is unavailable, or when you want the
+mitigation pinned in the plan rather than discovered at runtime. The
+classic manual fix is SPLIT + SALT, implemented here generically:
+
+- ``skew_profile``: per-key mass for the top-N keys plus summary
+  metrics (max key share, top-N share, a suggested salt factor =
+  ceil(max_key_rows / rows_per_healthy_partition)). One groupBy — the
+  diagnostic IS a shuffle, run it on a sample or reuse it as the
+  heavy-key detector it feeds.
+- ``skew_resilient_join``: equality join that splits the LEFT (fact)
+  side into heavy-key and light-key subsets via a broadcast heavy-key
+  list, joins the light part normally (AQE/broadcast applies as
+  usual), and joins the heavy part SALTED: each heavy left row gets a
+  deterministic salt in [0, n_salts), the right side's heavy-key rows
+  are replicated once per salt value, and the join key becomes
+  (key, salt) — the hot key's rows now land on n_salts reducers
+  instead of one. The union of both parts is row-identical to the
+  plain join (pinned by tests/test_skew.py for inner and left joins,
+  including duplicate right-side keys).
+
+Salting replicates only ``|right heavy rows| x n_salts`` build rows —
+heavy keys are by definition few, so the replication is bounded; the
+light path pays nothing. Salt is ``pmod(xxhash64(whole left row key +
+a disambiguator), n_salts)`` — deterministic, no rand(), stable under
+repartitioning.
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Sequence
+
+from pyspark.sql import DataFrame, functions as F
+
+
+def skew_profile(
+    df: DataFrame,
+    key_cols: Sequence[str],
+    top_n: int = 20,
+    rows_per_partition: int = 5_000_000,
+) -> dict:
+    """Key-mass diagnostic: returns {"total_rows", "n_keys",
+    "max_key_share", "top_share", "suggested_salts", "top_keys":
+    [(key values..., n), ...]}. ``suggested_salts`` sizes the salt
+    factor so the hottest key spreads to ~``rows_per_partition``-row
+    tasks (1 means: don't bother salting)."""
+    counts = df.groupBy(*key_cols).agg(F.count(F.lit(1)).alias("n"))
+    agg = counts.agg(
+        F.sum("n").alias("total"),
+        F.count(F.lit(1)).alias("n_keys"),
+        F.max("n").alias("max_n"),
+    ).first()
+    top = counts.orderBy(F.desc("n"), *key_cols).limit(top_n).collect()
+    total = agg["total"] or 0
+    return {
+        "total_rows": total,
+        "n_keys": agg["n_keys"],
+        "max_key_share": (agg["max_n"] / total) if total else 0.0,
+        "top_share": (sum(r["n"] for r in top) / total) if total else 0.0,
+        "suggested_salts": max(1, math.ceil((agg["max_n"] or 0) / rows_per_partition)),
+        "top_keys": [tuple(r)[:-1] + (r["n"],) for r in top],
+    }
+
+
+def skew_resilient_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: Sequence[str],
+    how: str = "inner",
+    n_salts: int = 16,
+    heavy_keys: DataFrame | None = None,
+    heavy_threshold_rows: int | None = None,
+) -> DataFrame:
+    """Equality join with heavy-key split + salt (see module docstring).
+
+    ``heavy_keys``: a DataFrame holding just the key columns of the
+    keys to treat as hot (broadcast; keep it small — that is the point).
+    If omitted, keys with more than ``heavy_threshold_rows`` left rows
+    are detected with one extra groupBy (default threshold: left rows
+    / 200 — a key holding >0.5% of the fact is hot).
+
+    Supports ``inner`` and ``left`` joins. Output columns = plain
+    ``left.join(right, on, how)``; row multiset is identical.
+    """
+    on = list(on)
+    if how not in ("inner", "left"):
+        raise ValueError(f"skew_resilient_join supports inner/left, got {how!r}")
+    if heavy_keys is None:
+        if heavy_threshold_rows is None:
+            heavy_threshold_rows = max(1, left.count() // 200)
+        heavy_keys = (
+            left.groupBy(*on)
+            .agg(F.count(F.lit(1)).alias("__n"))
+            .filter(F.col("__n") > heavy_threshold_rows)
+            .select(*on)
+        )
+    heavy_keys = heavy_keys.select(*on)
+
+    left_heavy = left.join(F.broadcast(heavy_keys), on, "left_semi")
+    left_light = left.join(F.broadcast(heavy_keys), on, "left_anti")
+    right_heavy = right.join(F.broadcast(heavy_keys), on, "left_semi")
+
+    light = left_light.join(right, on, how)
+
+    # deterministic left-row salt: hash every left column so equal key
+    # rows still spread (row content varies); right heavy rows replicate
+    # once per salt value
+    salt = F.pmod(F.xxhash64(*[F.col(c) for c in left_heavy.columns]), F.lit(n_salts))
+    lh = left_heavy.withColumn("__salt", salt)
+    rh = right_heavy.withColumn(
+        "__salt",
+        F.explode(F.sequence(F.lit(0), F.lit(n_salts - 1))),
+    )
+    heavy = lh.join(rh, on + ["__salt"], how).drop("__salt")
+
+    return light.unionByName(heavy)

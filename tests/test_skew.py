@@ -1,0 +1,68 @@
+"""Skew toolkit: the split+salt join must be row-multiset-identical to
+the plain join on a hot-keyed dataset (inner and left, duplicate right
+keys, missing right keys), and the profile must report the hot key."""
+
+from __future__ import annotations
+
+from collections import Counter
+
+import pytest
+from pyspark.sql import functions as F
+
+from big_data_processing_with_aws_glue_workshop_spark.operators.skew import (
+    skew_profile,
+    skew_resilient_join,
+)
+
+
+@pytest.fixture()
+def skewed(spark):
+    # 20k rows: 50% key 1, the rest spread over 2..999; key 999 absent
+    # from the right side (exercises left-join null extension)
+    left = spark.range(20_000).select(
+        F.when(F.col("id") % 2 == 0, 1)
+        .otherwise(F.pmod(F.xxhash64("id"), 998) + 2)
+        .alias("k"),
+        F.col("id").alias("payload"),
+    )
+    right = spark.range(2, 999).select(F.col("id").alias("k")).union(
+        spark.createDataFrame([(1,), (1,), (7,)], "k long")
+    ).withColumn("dim", F.concat(F.lit("d"), F.col("k").cast("string")))
+    return left, right
+
+
+def _multiset(df):
+    return Counter(tuple(r) for r in df.collect())
+
+
+@pytest.mark.parametrize("how", ["inner", "left"])
+def test_salted_join_equals_plain_join(spark, skewed, how):
+    left, right = skewed
+    plain = left.join(right, ["k"], how)
+    salted = skew_resilient_join(left, right, ["k"], how=how, n_salts=8)
+    assert salted.columns == plain.columns
+    assert _multiset(salted) == _multiset(plain)
+
+
+def test_explicit_heavy_keys_and_salt_spread(spark, skewed):
+    left, right = skewed
+    hot = spark.createDataFrame([(1,)], "k long")
+    salted = skew_resilient_join(left, right, ["k"], heavy_keys=hot, n_salts=8)
+    plain = left.join(right, ["k"], "inner")
+    assert _multiset(salted) == _multiset(plain)
+    # the hot key's left rows actually spread over the salt domain
+    from big_data_processing_with_aws_glue_workshop_spark.operators.skew import F as _F  # noqa: F401
+
+    lh = left.join(F.broadcast(hot), ["k"], "left_semi").withColumn(
+        "s", F.pmod(F.xxhash64("k", "payload"), F.lit(8))
+    )
+    assert lh.select("s").distinct().count() == 8
+
+
+def test_skew_profile_reports_hot_key(spark, skewed):
+    left, _ = skewed
+    prof = skew_profile(left, ["k"], top_n=3, rows_per_partition=1_000)
+    assert prof["total_rows"] == 20_000
+    assert prof["top_keys"][0][0] == 1 and prof["top_keys"][0][-1] == 10_000
+    assert 0.49 <= prof["max_key_share"] <= 0.51
+    assert prof["suggested_salts"] == 10  # ceil(10_000 / 1_000)
