@@ -649,3 +649,78 @@ def incremental_agg_refresh(
     )
     bookmark.commit_files(new_files)
     return healed + len(new_files)
+
+
+# ---------------------------------------------------------------------------
+# Incremental percentiles via log-bucket histograms
+# ---------------------------------------------------------------------------
+#
+# Percentile is not a monoid, so it cannot ride incremental_agg_refresh
+# directly — but a log-bucketed HISTOGRAM is (bucket counts are plain
+# counts), and a histogram answers any percentile with bounded relative
+# error. The pattern needs ZERO new framework: put the bucket in the
+# group keys and let the existing count monoid maintain it —
+#
+#     incremental_agg_refresh(
+#         spark, bm, pattern, ["svc", log-bucket-of(latency)],  # via the
+#         {"n": ("count", "*")}, state_dir)                     # transform
+#
+# — then read percentiles off the merged state with
+# approx_percentiles_from_hist. Relative error <= 2^(1/per_octave) - 1
+# per readout (~9% at the default 8 buckets/octave); the histogram
+# itself stays EXACT under any refresh/crash-replay sequence because it
+# is only ever counted, never approximated.
+
+
+def log2_bucket(col, per_octave: int = 8):
+    """Log-spaced bucket index for a nonnegative numeric column:
+    floor(per_octave * log2(v)) for v > 0, -(2^31) for v == 0 (its own
+    bucket), NULL propagates. Deterministic single IEEE log2."""
+    c = col.cast("double")
+    return (
+        F.when(c > 0, F.floor(F.lit(per_octave) * F.log2(c)).cast("bigint"))
+        .when(c == 0, F.lit(-(2**31)).cast("bigint"))
+        .otherwise(F.lit(None).cast("bigint"))
+    )
+
+
+def approx_percentiles_from_hist(
+    hist: DataFrame,
+    key_cols: Sequence[str],
+    qs: Sequence[float],
+    bucket_col: str = "bucket",
+    count_col: str = "n",
+    per_octave: int = 8,
+) -> DataFrame:
+    """Per-key approximate percentiles from a log-bucket histogram
+    (one row per (keys, bucket)): for each q, the geometric midpoint of
+    the first bucket whose cumulative count reaches q * total. Pure
+    window cumsum + conditional min — one shuffle on the keys. Returns
+    ``keys + p<q> ...`` columns (q=0.5 -> ``p50``; zero-bucket rows
+    read back as 0.0)."""
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy(*key_cols).orderBy(bucket_col)
+    cum = hist.select(
+        *key_cols,
+        F.col(bucket_col),
+        F.sum(count_col).over(w).alias("__cum"),
+        F.sum(count_col).over(
+            Window.partitionBy(*key_cols).rowsBetween(
+                Window.unboundedPreceding, Window.unboundedFollowing
+            )
+        ).alias("__total"),
+    )
+    mid = F.when(
+        F.col(bucket_col) == -(2**31), F.lit(0.0)
+    ).otherwise(
+        F.pow(F.lit(2.0), (F.col(bucket_col) + 0.5) / F.lit(float(per_octave)))
+    )
+    return cum.groupBy(*key_cols).agg(
+        *[
+            F.min(
+                F.when(F.col("__cum") >= F.lit(q) * F.col("__total"), mid)
+            ).alias(f"p{int(round(q * 100))}")
+            for q in qs
+        ]
+    )

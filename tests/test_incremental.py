@@ -599,3 +599,72 @@ def test_incremental_neardup_snapshot_compaction(spark, tmp_path):
     )
     assert stats["dropped_vs_corpus"] == 1
     assert {r["doc_id"] for r in read_deduped(spark, target).collect()} == {0, 10, 20}
+
+
+def test_incremental_percentiles_via_log_histogram(spark, tmp_path):
+    """Percentile maintenance with zero new framework: the log2 bucket
+    rides the group keys, the count monoid keeps the histogram EXACT
+    across waves, and the readout's relative error is bounded by the
+    bucket width."""
+    import math
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from big_data_processing_with_aws_glue_workshop_spark.plans.incremental import (
+        approx_percentiles_from_hist,
+        incremental_agg_refresh,
+        log2_bucket,
+        read_refreshed,
+    )
+
+    landing = tmp_path / "facts"
+    landing.mkdir()
+    pattern = str(landing / "*.parquet")
+    state = str(tmp_path / "state")
+    bm = JobBookmark(str(tmp_path / "bm.json"), "hist")
+
+    import random
+
+    rng = random.Random(7)
+    all_rows = []
+    for w in range(3):
+        rows = [("api", rng.lognormvariate(3, 1)) for _ in range(4000)] + [
+            ("batch", float(rng.randrange(0, 2))) for _ in range(1000)
+        ]
+        all_rows += rows
+        pq.write_table(
+            pa.table(
+                {"svc": [r[0] for r in rows], "v": [r[1] for r in rows]}
+            ),
+            str(landing / f"w{w}.parquet"),
+        )
+        # the landing transform computes the bucket; the refresh then
+        # maintains plain counts over (svc, bucket)
+        bucketed = spark.read.parquet(str(landing / f"w{w}.parquet")).select(
+            "svc", log2_bucket(F.col("v")).alias("bucket")
+        )
+        tmp_out = str(landing / f"b{w}.parquet")
+        bucketed.write.mode("overwrite").parquet(tmp_out)
+    incremental_agg_refresh(
+        spark, bm, str(landing / "b*.parquet"), ["svc", "bucket"],
+        {"n": ("count", "*")}, state,
+    )
+
+    hist = read_refreshed(spark, state)
+    # histogram is exact: equals one-shot bucket counts over everything
+    exact = {}
+    for svc, v in all_rows:
+        b = -(2**31) if v == 0 else math.floor(8 * math.log2(v))
+        exact[(svc, b)] = exact.get((svc, b), 0) + 1
+    got = {(r["svc"], r["bucket"]): r["n"] for r in hist.collect()}
+    assert got == exact
+
+    pct = approx_percentiles_from_hist(hist, ["svc"], [0.5, 0.99]).collect()
+    by_svc = {r["svc"]: r for r in pct}
+    api_vals = sorted(v for s, v in all_rows if s == "api")
+    for q, col in ((0.5, "p50"), (0.99, "p99")):
+        exact_q = api_vals[math.ceil(q * len(api_vals)) - 1]
+        assert abs(by_svc["api"][col] - exact_q) / exact_q < 0.10
+    # the batch service's median is one of {0, 1}: zero bucket reads 0.0
+    assert by_svc["batch"]["p50"] in (0.0, pytest.approx(2 ** (0.5 / 8)))
