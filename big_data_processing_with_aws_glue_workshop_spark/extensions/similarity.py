@@ -328,3 +328,57 @@ def near_dup_pairs_clustered(
         )
         .filter(F.col("cos_sim") >= threshold)
     )
+
+
+def semantic_contamination(
+    corpus: DataFrame,
+    benchmark: DataFrame,
+    threshold: float = 0.95,
+    id_col: str = "vec_id",
+    emb_col: str = "embedding",
+) -> DataFrame:
+    """Embedding-level benchmark decontamination: flag every corpus row
+    whose max cosine similarity against ANY benchmark embedding reaches
+    ``threshold`` — the semantic complement to the n-gram overlap
+    decontamination in queries/textops.py (which catches verbatim leaks;
+    this catches paraphrases and translations that share an embedding
+    neighborhood, the leak mode n-grams cannot see).
+
+    Returns ``(id_col, max_benchmark_sim, contaminated)`` — one row per
+    corpus row, so the caller can either filter or audit the margin
+    distribution.
+
+    Scale shape: eval benchmarks are small (10^3-10^5 rows), so the
+    benchmark side BROADCASTS and the corpus streams through one
+    map-side pass — a broadcast nested-loop with a max-aggregate, no
+    shuffle of the corpus beyond the final groupBy on ``id_col`` (and
+    Spark fuses that partial-agg map-side: the per-task state is one
+    running max per corpus row in the task). Cost is O(|corpus| x
+    |benchmark|) dot products — the price every exact decontamination
+    pays; for benchmark sets too big to broadcast, pre-prune with the
+    IVF/LSH index in this module and verify only bucket collisions
+    (recall then inherits the index's guarantee instead of being exact).
+    """
+    from ..queries.vectors import dot, norm
+
+    bench = benchmark.select(
+        F.col(emb_col).alias("__b_emb"), norm(F.col(emb_col)).alias("__b_norm")
+    )
+    scored = (
+        corpus.select(id_col, emb_col, norm(F.col(emb_col)).alias("__c_norm"))
+        .crossJoin(F.broadcast(bench))
+        .select(
+            id_col,
+            (
+                dot(F.col(emb_col), F.col("__b_emb"))
+                / (F.col("__c_norm") * F.col("__b_norm"))
+            ).alias("__sim"),
+        )
+        .groupBy(id_col)
+        .agg(F.max("__sim").alias("max_benchmark_sim"))
+    )
+    return scored.select(
+        id_col,
+        "max_benchmark_sim",
+        (F.col("max_benchmark_sim") >= F.lit(threshold)).alias("contaminated"),
+    )

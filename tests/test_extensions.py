@@ -217,3 +217,32 @@ def test_stress_probe_corpora_shapes(spark):
     assert stages["2_click"]["n_users"] == 40
     assert stages["3_purchase"]["n_users"] == 40
     assert stages["3_purchase"]["rate_from_prev"] == 1.0
+
+
+def test_semantic_contamination_matches_brute_force(spark, sf_dir):
+    """Exact parity with a numpy brute-force max-cosine per corpus row;
+    benchmark rows themselves must flag at sim 1.0."""
+    import numpy as np
+
+    from big_data_processing_with_aws_glue_workshop_spark.extensions.similarity import (
+        semantic_contamination,
+    )
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").limit(300)
+    bench = emb.filter(F.col("vec_id") < 20)
+    got = {
+        r["vec_id"]: (r["max_benchmark_sim"], r["contaminated"])
+        for r in semantic_contamination(emb, bench, threshold=0.9).collect()
+    }
+
+    rows = emb.collect()
+    B = np.array([r["embedding"] for r in rows if r["vec_id"] < 20])
+    Bn = B / np.linalg.norm(B, axis=1, keepdims=True)
+    for r in rows:
+        v = np.array(r["embedding"])
+        ref = float((Bn @ (v / np.linalg.norm(v))).max())
+        sim, flag = got[r["vec_id"]]
+        assert abs(sim - ref) < 1e-6
+        assert flag == (sim >= 0.9)
+        if r["vec_id"] < 20:
+            assert flag and sim > 0.999999
