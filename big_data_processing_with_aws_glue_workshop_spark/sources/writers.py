@@ -44,3 +44,60 @@ def write_csv_single(df: DataFrame, path: str, mode: str = "overwrite") -> None:
     safe for driver-scale data — keep it off any large path."""
     df.coalesce(1).write.mode(mode).option("header", "true").csv(path)
 
+
+def write_parquet_sized(
+    df: DataFrame,
+    path: str,
+    target_mb: int = 512,
+    sample_rows: int = 20_000,
+    mode: str = "overwrite",
+) -> dict:
+    """Parquet sink that SIZES its file count from measured bytes instead
+    of a guessed ``num_files``: writes a ``sample_rows`` sample through
+    the real parquet+snappy path, measures bytes/row, and repartitions to
+    ceil(total_bytes / target). The manual knob fails quietly in both
+    directions at scale — too few files starves read parallelism, too
+    many recreates the small-file problem compaction exists to fix; a
+    measured estimate tracks the table's actual compression (column
+    types, dictionary hit rate) rather than a rule of thumb.
+
+    Cost: one count + one sample write (bounded by ``sample_rows``).
+    The sample rides the same codecs, so skew in compressibility across
+    the table is the remaining error source — at the real scale, feed a
+    larger sample or reuse a prior refresh's measured ratio. Returns
+    {"n_files", "total_rows", "bytes_per_row"}.
+    """
+    import math
+    import os
+    import shutil
+    import tempfile
+
+    total_rows = df.count()
+    if total_rows == 0:
+        df.coalesce(1).write.mode(mode).option("compression", "snappy").parquet(path)
+        return {"n_files": 1, "total_rows": 0, "bytes_per_row": 0.0}
+
+    sample_dir = tempfile.mkdtemp(prefix="sized_sample_")
+    try:
+        n_sample = min(sample_rows, total_rows)
+        df.limit(n_sample).coalesce(1).write.mode("overwrite").option(
+            "compression", "snappy"
+        ).parquet(sample_dir)
+        sample_bytes = sum(
+            os.path.getsize(os.path.join(sample_dir, f))
+            for f in os.listdir(sample_dir)
+            if f.endswith(".parquet")
+        )
+        bytes_per_row = sample_bytes / n_sample
+    finally:
+        shutil.rmtree(sample_dir, ignore_errors=True)
+
+    n_files = max(1, math.ceil(total_rows * bytes_per_row / (target_mb * 1024 * 1024)))
+    df.repartition(n_files).write.mode(mode).option(
+        "compression", "snappy"
+    ).parquet(path)
+    return {
+        "n_files": n_files,
+        "total_rows": total_rows,
+        "bytes_per_row": round(bytes_per_row, 2),
+    }

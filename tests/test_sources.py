@@ -281,3 +281,33 @@ def test_tolerant_modified_after_filters_old_files(spark, tmp_path):
         spark, lake + "/*", modified_after="2020-01-01T00:00:00"
     )
     assert sorted(r["id"] for r in recent.collect()) == [4, 5]
+
+
+def test_write_parquet_sized_tracks_target(spark, tmp_path):
+    """The measured-size writer must land actual files near the target
+    size (within the sample-estimate error) and collapse tiny tables to
+    one file."""
+    import os
+
+    from big_data_processing_with_aws_glue_workshop_spark.sources.writers import (
+        write_parquet_sized,
+    )
+    from pyspark.sql import functions as F
+
+    # ~16 MB raw of incompressible-ish data (hash hex strings)
+    df = spark.range(200_000).select(
+        "id", F.md5(F.col("id").cast("string")).alias("h")
+    )
+    out = str(tmp_path / "sized")
+    stats = write_parquet_sized(df, out, target_mb=2, sample_rows=20_000)
+    files = [f for f in os.listdir(out) if f.endswith(".parquet")]
+    assert stats["n_files"] == len(files) > 1
+    sizes = [os.path.getsize(os.path.join(out, f)) for f in files]
+    for s in sizes:
+        assert 0.3 * 2 * 1024 * 1024 < s < 3 * 2 * 1024 * 1024, sizes
+    # round trip
+    assert spark.read.parquet(out).count() == 200_000
+
+    tiny = str(tmp_path / "tiny")
+    stats = write_parquet_sized(df.limit(10), tiny, target_mb=512)
+    assert stats["n_files"] == 1
