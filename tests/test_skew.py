@@ -66,3 +66,21 @@ def test_skew_profile_reports_hot_key(spark, skewed):
     assert prof["top_keys"][0][0] == 1 and prof["top_keys"][0][-1] == 10_000
     assert 0.49 <= prof["max_key_share"] <= 0.51
     assert prof["suggested_salts"] == 10  # ceil(10_000 / 1_000)
+
+
+@pytest.mark.parametrize("how", ["inner", "left"])
+def test_salted_join_null_keys_and_all_heavy(spark, how):
+    """Null join keys must follow plain-join semantics (dropped on
+    inner, null-extended on left — they route through the light path
+    because a null never matches the heavy-key semi join), and a
+    threshold of 0 rows (every key heavy) must still be exact."""
+    left = spark.createDataFrame(
+        [(1, "a"), (1, "b"), (None, "c"), (2, "d"), (None, "e")],
+        "k long, payload string",
+    )
+    right = spark.createDataFrame([(1, "d1"), (2, "d2")], "k long, dim string")
+    plain = left.join(right, ["k"], how)
+    salted = skew_resilient_join(
+        left, right, ["k"], how=how, n_salts=4, heavy_threshold_rows=0
+    )
+    assert _multiset(salted) == _multiset(plain)
