@@ -125,3 +125,28 @@ def materialize_epoch(
             F.xxhash64(F.col(id_col), F.col("copy_idx"), F.lit(seed + epoch)),
         )
     )
+
+
+def write_epoch_shards(
+    plan: DataFrame,
+    path: str,
+    n_shards: int,
+    epoch: int = 0,
+    seed: int = 42,
+    id_col: str = "doc_id",
+) -> None:
+    """Materialize one epoch as ``n_shards`` globally-shuffled parquet
+    shards: instances are range-partitioned by the epoch's deterministic
+    ``shuffle_key`` and sorted by it within each shard, so reading shard
+    files in name order and rows in stored order IS the epoch's global
+    permutation — the layout a sequential training loader consumes, with
+    no shuffling left to do at read time. One shuffle total (the range
+    partition); re-running the same (epoch, seed) rewrites byte-identical
+    order."""
+    inst = materialize_epoch(plan, epoch=epoch, seed=seed, id_col=id_col)
+    (
+        inst.repartitionByRange(n_shards, "shuffle_key")
+        .sortWithinPartitions("shuffle_key")
+        .write.mode("overwrite")
+        .parquet(path)
+    )

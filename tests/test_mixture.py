@@ -105,3 +105,52 @@ def test_materialize_epoch_copies_and_reshuffles(spark, corpus):
     ]
     assert order0 != order1
     assert order0 == order0_again
+
+
+def test_write_epoch_shards_is_the_global_permutation(spark, corpus, tmp_path):
+    """Reading shards in file order, rows in stored order, must equal the
+    epoch's global sort by shuffle_key — and rerunning the same epoch
+    reproduces it exactly."""
+    import os
+
+    from big_data_processing_with_aws_glue_workshop_spark.operators.mixture import (
+        write_epoch_shards,
+    )
+
+    plan = temperature_mixture_plan(corpus, temperature=0.3)
+    out = str(tmp_path / "epoch0")
+    write_epoch_shards(plan, out, n_shards=4, epoch=0)
+    files = sorted(
+        f for f in os.listdir(out) if f.endswith(".parquet")
+    )
+    assert len(files) == 4
+
+    seq = []
+    import pyarrow.parquet as pq
+
+    shard_maxes = []
+    for f in files:
+        t = pq.read_table(os.path.join(out, f)).to_pylist()
+        keys = [r["shuffle_key"] for r in t]
+        assert keys == sorted(keys)  # sorted within shard
+        if keys:
+            shard_maxes.append((keys[0], keys[-1]))
+        seq += [(r["doc_id"], r["copy_idx"]) for r in t]
+    # part-file name order IS range order: shard i's max key <= shard
+    # i+1's min key, so concatenation in name order is the global sort
+    for (_, hi), (lo, _) in zip(shard_maxes[:-1], shard_maxes[1:]):
+        assert hi <= lo
+    want = [
+        (r["doc_id"], r["copy_idx"])
+        for r in materialize_epoch(plan, epoch=0).orderBy("shuffle_key").collect()
+    ]
+    assert sorted(seq) == sorted(want) and len(seq) == len(want)
+    # rerun reproduces the identical byte order
+    out2 = str(tmp_path / "epoch0b")
+    write_epoch_shards(plan, out2, n_shards=4, epoch=0)
+    files2 = sorted(f for f in os.listdir(out2) if f.endswith(".parquet"))
+    seq2 = []
+    for f in files2:
+        t = pq.read_table(os.path.join(out2, f)).to_pylist()
+        seq2 += [(r["doc_id"], r["copy_idx"]) for r in t]
+    assert seq2 == seq
