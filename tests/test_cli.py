@@ -257,3 +257,55 @@ def test_cli_bpe_learn(spark, tmp_path, capsys):
     # "aa" appears 2x per "aaab" occurrence (4 words) = freq 8, the max
     assert merges[0] == ["a", "a"]
     assert len(merges) == 3
+
+
+def test_cli_neardup_refresh(spark, tmp_path, capsys):
+    """neardup-refresh subcommand: a lightly-edited re-crawl is dropped
+    against the standing LSH index on the second landing."""
+    import json as _json
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from big_data_processing_with_aws_glue_workshop_spark.cli import main
+    from big_data_processing_with_aws_glue_workshop_spark.plans.incremental import (
+        read_deduped,
+    )
+
+    landing = tmp_path / "crawl"
+    landing.mkdir()
+    args = [
+        "neardup-refresh",
+        "--pattern", str(landing / "*.parquet"),
+        "--bookmark", str(tmp_path / "bm.json"),
+        "--target", str(tmp_path / "corpus"),
+        "--sim-threshold", "0.5",
+    ]
+
+    def land(name, rows):
+        pq.write_table(
+            pa.Table.from_pandas(
+                pd.DataFrame(rows, columns=["doc_id", "text"]),
+                preserve_index=False,
+            ),
+            str(landing / name),
+        )
+
+    base = ("the quick brown fox jumps over the lazy dog while rain "
+            "falls softly on quiet village roofs and children watch")
+    other = ("completely different prose about columnar shuffles and "
+             "broadcast joins inside a distributed query engine runtime")
+    land("c1.parquet", [(1, base), (2, other)])
+    main(args)
+    out1 = _json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert out1["accepted"] == 2 and out1["dropped_vs_corpus"] == 0
+
+    land("c2.parquet", [(9, base.replace("children watch", "children wave"))])
+    main(args)
+    out2 = _json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert out2 == {
+        "job": "neardup-refresh", "new_files": 1, "new_docs": 1,
+        "accepted": 0, "dropped_within": 0, "dropped_vs_corpus": 1,
+    }
+    got = {r["doc_id"] for r in read_deduped(spark, str(tmp_path / "corpus")).collect()}
+    assert got == {1, 2}
