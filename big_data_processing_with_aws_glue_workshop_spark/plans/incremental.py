@@ -146,10 +146,6 @@ def incremental_dedup_refresh(
     Returns {"new_files", "new_docs", "accepted", "dropped_within",
     "dropped_vs_corpus"} (zeros when nothing landed).
     """
-    from pyspark.sql.window import Window
-
-    from ..util import atomic_write_json
-
     pointer_path = os.path.join(target_dir, "current.json")
     pointer = None
     if os.path.exists(pointer_path):
@@ -177,6 +173,44 @@ def incremental_dedup_refresh(
             "dropped_within": 0,
             "dropped_vs_corpus": 0,
         }
+
+    stats = apply_dedup_increment(
+        spark,
+        new_df,
+        target_dir,
+        pointer,
+        id_col=id_col,
+        text_col=text_col,
+        snapshot_compact_at=snapshot_compact_at,
+        extra_pointer_fields={"delta_files": sorted(new_files)},
+    )
+    bookmark.commit_files(new_files)
+    return {**stats, "new_files": healed + len(new_files)}
+
+
+def apply_dedup_increment(
+    spark: SparkSession,
+    new_df: DataFrame,
+    target_dir: str,
+    pointer: dict | None,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    snapshot_compact_at: int = 16,
+    extra_pointer_fields: dict | None = None,
+) -> dict:
+    """The dedup-increment core shared by the bookmark-driven refresh and
+    the streaming sink (streaming/corpus_dedup.py) — one implementation of
+    the within-increment min-id dedup, the standing-digest anti-join, the
+    append-only delta/digest writes with threshold compaction, and the
+    atomic pointer flip. Callers own increment discovery (files vs
+    micro-batch) and their idempotence bookkeeping, passed through
+    ``extra_pointer_fields`` (the batch path's ``delta_files`` healing
+    list; the stream path's ``last_stream_batch``)."""
+    from pyspark.sql.window import Window
+
+    from ..util import atomic_write_json
+
+    pointer_path = os.path.join(target_dir, "current.json")
 
     inc = new_df.withColumn("digest", F.md5(F.col(text_col)))
     n_new = inc.count()
@@ -230,10 +264,9 @@ def incremental_dedup_refresh(
             "batch_id": batch_id,
             "digest_deltas": digest_deltas,
             "deltas": deltas,
-            "delta_files": sorted(new_files),
+            **(extra_pointer_fields or {}),
         },
     )
-    bookmark.commit_files(new_files)
     # post-flip GC of compaction-superseded digest dirs: best-effort —
     # readers only follow the pointer, so a crash here leaves inert dirs
     import shutil
@@ -241,7 +274,7 @@ def incremental_dedup_refresh(
     for d in superseded:
         shutil.rmtree(os.path.join(target_dir, d), ignore_errors=True)
     return {
-        "new_files": healed + len(new_files),
+        "new_files": 0,
         "new_docs": n_new,
         "accepted": n_accepted,
         "dropped_within": n_new - n_unique,

@@ -1,0 +1,99 @@
+"""Streaming corpus dedup: micro-batches dedup against the standing
+corpus, replayed batches are no-ops, and the stream and the file-based
+batch refresh interleave on ONE corpus state."""
+
+from __future__ import annotations
+
+import pandas as pd
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+from big_data_processing_with_aws_glue_workshop_spark.plans.incremental import (
+    incremental_dedup_refresh,
+    read_deduped,
+)
+from big_data_processing_with_aws_glue_workshop_spark.sources.bookmarks import JobBookmark
+from big_data_processing_with_aws_glue_workshop_spark.streaming.corpus_dedup import (
+    CorpusDedupSink,
+    run_stream_corpus_dedup,
+)
+
+SCHEMA = "doc_id long, text string"
+
+
+def _land(path, rows):
+    pq.write_table(
+        pa.Table.from_pandas(
+            pd.DataFrame(rows, columns=["doc_id", "text"]), preserve_index=False
+        ),
+        str(path),
+    )
+
+
+def test_stream_dedups_across_batches_and_skips_replays(spark, tmp_path):
+    landing = tmp_path / "stream_in"
+    landing.mkdir()
+    target = str(tmp_path / "corpus")
+    ckpt = str(tmp_path / "ckpt")
+
+    _land(landing / "w0.parquet", [(1, "alpha"), (2, "beta"), (3, "alpha")])
+    stream = spark.readStream.schema(SCHEMA).parquet(str(landing))
+    run_stream_corpus_dedup(stream, target, checkpoint_dir=ckpt)
+    assert {r["doc_id"] for r in read_deduped(spark, target).collect()} == {1, 2}
+
+    # second drain: re-crawl dup of standing doc + a new doc
+    _land(landing / "w1.parquet", [(9, "beta"), (10, "gamma")])
+    stream = spark.readStream.schema(SCHEMA).parquet(str(landing))
+    run_stream_corpus_dedup(stream, target, checkpoint_dir=ckpt)
+    assert {r["doc_id"] for r in read_deduped(spark, target).collect()} == {1, 2, 10}
+
+    # replayed batch id is a no-op (exactly-once after recovery)
+    sink = CorpusDedupSink(target)
+    batch = spark.createDataFrame([(99, "delta")], SCHEMA)
+    import json
+
+    last = json.loads((tmp_path / "corpus" / "current.json").read_text())[
+        "last_stream_batch"
+    ]
+    sink(batch, last)  # same id as already applied -> skipped
+    assert {r["doc_id"] for r in read_deduped(spark, target).collect()} == {1, 2, 10}
+
+    # checkpoint-discipline guard
+    import pytest
+
+    fresh = spark.readStream.schema(SCHEMA).parquet(str(landing))
+    with pytest.raises(ValueError, match="checkpoint"):
+        run_stream_corpus_dedup(fresh, target, checkpoint_dir=None)
+
+
+def test_stream_and_batch_refresh_share_one_corpus(spark, tmp_path):
+    """A doc accepted by the STREAM dedups a later FILE-based backfill,
+    and a doc accepted by the backfill dedups a later stream batch."""
+    stream_in = tmp_path / "stream_in"
+    stream_in.mkdir()
+    files_in = tmp_path / "files_in"
+    files_in.mkdir()
+    target = str(tmp_path / "corpus")
+    ckpt = str(tmp_path / "ckpt")
+    bm = JobBookmark(str(tmp_path / "bm.json"), "backfill")
+
+    # stream lands first
+    _land(stream_in / "s0.parquet", [(1, "streamed text"), (2, "shared text")])
+    run_stream_corpus_dedup(
+        spark.readStream.schema(SCHEMA).parquet(str(stream_in)), target, ckpt
+    )
+
+    # file backfill: one dup of the streamed doc, one new
+    _land(files_in / "f0.parquet", [(20, "shared text"), (21, "backfill text")])
+    stats = incremental_dedup_refresh(
+        spark, bm, str(files_in / "*.parquet"), target
+    )
+    assert stats["dropped_vs_corpus"] == 1 and stats["accepted"] == 1
+
+    # stream again: dup of the BACKFILLED doc is dropped
+    _land(stream_in / "s1.parquet", [(30, "backfill text"), (31, "fresh text")])
+    run_stream_corpus_dedup(
+        spark.readStream.schema(SCHEMA).parquet(str(stream_in)), target, ckpt
+    )
+    got = {r["doc_id"] for r in read_deduped(spark, target).collect()}
+    assert got == {1, 2, 21, 31}
