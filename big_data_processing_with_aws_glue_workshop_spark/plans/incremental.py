@@ -335,12 +335,6 @@ def incremental_neardup_refresh(
     """
     import json
 
-    from pyspark.sql.window import Window
-
-    from ..extensions.dedup_fuzzy import lsh_candidate_pairs, minhash_signatures
-    from ..util import atomic_write_json
-
-    rows_per_band = n_hashes // bands
     pointer_path = os.path.join(target_dir, "current.json")
     pointer = None
     if os.path.exists(pointer_path):
@@ -366,6 +360,52 @@ def incremental_neardup_refresh(
             "dropped_within": 0,
             "dropped_vs_corpus": 0,
         }
+
+    stats = apply_neardup_increment(
+        spark,
+        new_df,
+        target_dir,
+        pointer,
+        id_col=id_col,
+        text_col=text_col,
+        n_hashes=n_hashes,
+        bands=bands,
+        shingle_n=shingle_n,
+        sim_threshold=sim_threshold,
+        seed=seed,
+        snapshot_compact_at=snapshot_compact_at,
+        extra_pointer_fields={"delta_files": sorted(new_files)},
+    )
+    bookmark.commit_files(new_files)
+    return {**stats, "new_files": healed + len(new_files)}
+
+
+def apply_neardup_increment(
+    spark: SparkSession,
+    new_df: DataFrame,
+    target_dir: str,
+    pointer: dict | None,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n_hashes: int = 32,
+    bands: int = 8,
+    shingle_n: int = 3,
+    sim_threshold: float = 0.7,
+    seed: int = 42,
+    snapshot_compact_at: int = 16,
+    extra_pointer_fields: dict | None = None,
+) -> dict:
+    """Near-dup increment core shared by the bookmark-driven refresh and
+    the streaming sink (streaming/corpus_dedup.py) — same division of
+    labor as ``apply_dedup_increment``: callers own increment discovery
+    and idempotence bookkeeping (via ``extra_pointer_fields``); this owns
+    signatures, both drop joins, the delta/index writes with compaction,
+    and the pointer flip."""
+    from ..extensions.dedup_fuzzy import lsh_candidate_pairs, minhash_signatures
+    from ..util import atomic_write_json
+
+    rows_per_band = n_hashes // bands
+    pointer_path = os.path.join(target_dir, "current.json")
 
     # the signature computation (shingling + n_hashes xxhash64 mins) is
     # the refresh's dominant map work and feeds four consumers (both drop
@@ -513,17 +553,16 @@ def incremental_neardup_refresh(
             "signature_deltas": sig_deltas,
             "bucket_deltas": bucket_deltas,
             "deltas": deltas,
-            "delta_files": sorted(new_files),
+            **(extra_pointer_fields or {}),
         },
     )
-    bookmark.commit_files(new_files)
     import shutil
 
     for d in superseded:
         shutil.rmtree(os.path.join(target_dir, d), ignore_errors=True)
     sigs.unpersist()
     return {
-        "new_files": healed + len(new_files),
+        "new_files": 0,
         "new_docs": n_new,
         "accepted": n_accepted,
         "dropped_within": n_new - n_after_within,

@@ -99,3 +99,79 @@ def run_stream_corpus_dedup(
 def read_stream_deduped(spark: SparkSession, target_dir: str) -> DataFrame:
     """Alias of the batch reader — it is the same corpus."""
     return read_deduped(spark, target_dir)
+
+
+class CorpusNearDupSink:
+    """``foreachBatch`` twin of CorpusDedupSink for NEAR-duplicates:
+    each micro-batch is dropped against the standing LSH bucket index +
+    signature state (plans/incremental.py::apply_neardup_increment) —
+    the same state the file-based ``incremental_neardup_refresh``
+    maintains, so a streamed firehose and batch backfills interleave on
+    one near-deduped corpus with one similarity calibration."""
+
+    def __init__(
+        self,
+        target_dir: str,
+        id_col: str = "doc_id",
+        text_col: str = "text",
+        sim_threshold: float = 0.7,
+        snapshot_compact_at: int = 16,
+    ) -> None:
+        self.target_dir = target_dir
+        self.id_col = id_col
+        self.text_col = text_col
+        self.sim_threshold = sim_threshold
+        self.snapshot_compact_at = snapshot_compact_at
+
+    def __call__(self, batch_df: DataFrame, batch_id: int) -> None:
+        from ..plans.incremental import apply_neardup_increment
+
+        pointer = read_pointer(self.target_dir)
+        if pointer is not None and batch_id <= pointer.get("last_stream_batch", -1):
+            return
+        apply_neardup_increment(
+            batch_df.sparkSession,
+            batch_df,
+            self.target_dir,
+            pointer,
+            id_col=self.id_col,
+            text_col=self.text_col,
+            sim_threshold=self.sim_threshold,
+            snapshot_compact_at=self.snapshot_compact_at,
+            extra_pointer_fields={"last_stream_batch": batch_id},
+        )
+
+
+def run_stream_corpus_neardup(
+    stream_df: DataFrame,
+    target_dir: str,
+    checkpoint_dir: str | None = None,
+    sim_threshold: float = 0.7,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> None:
+    """availableNow drain into the near-deduped corpus; same checkpoint
+    discipline as run_stream_corpus_dedup."""
+    sink = CorpusNearDupSink(
+        target_dir, id_col=id_col, text_col=text_col, sim_threshold=sim_threshold
+    )
+    pointer = read_pointer(target_dir)
+    if (
+        checkpoint_dir is None
+        and pointer is not None
+        and "last_stream_batch" in pointer
+    ):
+        raise ValueError(
+            f"target {target_dir!r} has committed stream batches; running "
+            "without a checkpoint restarts batch ids at 0 and the "
+            "idempotence guard would silently skip new data — pass the "
+            "original checkpoint_dir (or reset the target)"
+        )
+    writer = stream_df.writeStream.foreachBatch(sink)
+    if checkpoint_dir is not None:
+        writer = writer.option("checkpointLocation", checkpoint_dir)
+    q = writer.trigger(availableNow=True).start()
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()

@@ -97,3 +97,58 @@ def test_stream_and_batch_refresh_share_one_corpus(spark, tmp_path):
     )
     got = {r["doc_id"] for r in read_deduped(spark, target).collect()}
     assert got == {1, 2, 21, 31}
+
+
+def test_stream_neardup_interleaves_with_batch_refresh(spark, tmp_path):
+    """Near-dup twin: a streamed doc's LSH index drops a lightly-edited
+    FILE backfill, and the backfill's index drops a later stream batch."""
+    from big_data_processing_with_aws_glue_workshop_spark.plans.incremental import (
+        incremental_neardup_refresh,
+    )
+    from big_data_processing_with_aws_glue_workshop_spark.streaming.corpus_dedup import (
+        run_stream_corpus_neardup,
+    )
+
+    stream_in = tmp_path / "stream_in"
+    stream_in.mkdir()
+    files_in = tmp_path / "files_in"
+    files_in.mkdir()
+    target = str(tmp_path / "corpus")
+    ckpt = str(tmp_path / "ckpt")
+    bm = JobBookmark(str(tmp_path / "bm.json"), "backfill")
+
+    base = ("the quick brown fox jumps over the lazy dog while rain "
+            "falls softly on quiet village roofs and children watch")
+    other = ("entirely different prose describing columnar shuffles and "
+             "broadcast joins inside a distributed query engine runtime")
+
+    _land(stream_in / "s0.parquet", [(1, base), (2, other)])
+    run_stream_corpus_neardup(
+        spark.readStream.schema(SCHEMA).parquet(str(stream_in)),
+        target, ckpt, sim_threshold=0.5,
+    )
+    assert {r["doc_id"] for r in read_deduped(spark, target).collect()} == {1, 2}
+
+    # file backfill: light edit of the STREAMED doc + one new doc
+    _land(
+        files_in / "f0.parquet",
+        [(20, base.replace("children watch", "children wave")),
+         (21, "a wholly new document about medieval bread baking guild "
+              "regulations and seasonal river mill disputes")],
+    )
+    stats = incremental_neardup_refresh(
+        spark, bm, str(files_in / "*.parquet"), target, sim_threshold=0.5
+    )
+    assert stats["dropped_vs_corpus"] == 1 and stats["accepted"] == 1
+
+    # stream again: light edit of the BACKFILLED doc is dropped
+    _land(
+        stream_in / "s1.parquet",
+        [(30, "a wholly new document about medieval bread baking guild "
+              "regulations and seasonal river mill feuds")],
+    )
+    run_stream_corpus_neardup(
+        spark.readStream.schema(SCHEMA).parquet(str(stream_in)),
+        target, ckpt, sim_threshold=0.5,
+    )
+    assert {r["doc_id"] for r in read_deduped(spark, target).collect()} == {1, 2, 21}
