@@ -152,3 +152,56 @@ def test_stream_neardup_interleaves_with_batch_refresh(spark, tmp_path):
         target, ckpt, sim_threshold=0.5,
     )
     assert {r["doc_id"] for r in read_deduped(spark, target).collect()} == {1, 2, 21}
+
+
+def test_randomized_interleaving_matches_reference_simulation(spark, tmp_path):
+    """Six waves of docs from a small text pool, each wave randomly
+    routed to the STREAM sink or the FILE-based refresh (seeded): the
+    final corpus must equal a sequential reference simulation — per
+    wave, keep min-id per new digest, drop digests already standing."""
+    import random
+
+    rng = random.Random(2024)
+    pool = [f"text variant {i}" for i in range(12)]
+
+    stream_in = tmp_path / "stream_in"
+    stream_in.mkdir()
+    files_in = tmp_path / "files_in"
+    files_in.mkdir()
+    target = str(tmp_path / "corpus")
+    ckpt = str(tmp_path / "ckpt")
+    bm = JobBookmark(str(tmp_path / "bm.json"), "mix")
+
+    standing: dict = {}  # text -> owning doc_id (reference state)
+    next_id = 0
+    for w in range(6):
+        rows = []
+        for _ in range(rng.randrange(2, 6)):
+            rows.append((next_id, rng.choice(pool)))
+            next_id += 1
+        # reference: min-id per digest within the wave, standing wins
+        first = {}
+        for i, t in sorted(rows):
+            if t not in first:
+                first[t] = i
+        for t, i in first.items():
+            if t not in standing:
+                standing[t] = i
+
+        if rng.random() < 0.5:
+            _land(stream_in / f"s{w}.parquet", rows)
+            run_stream_corpus_dedup(
+                spark.readStream.schema(SCHEMA).parquet(str(stream_in)),
+                target, ckpt,
+            )
+        else:
+            _land(files_in / f"f{w}.parquet", rows)
+            incremental_dedup_refresh(
+                spark, bm, str(files_in / "*.parquet"), target
+            )
+
+    got = {
+        (r["doc_id"], r["text"])
+        for r in read_deduped(spark, target).collect()
+    }
+    assert got == {(i, t) for t, i in standing.items()}

@@ -84,3 +84,24 @@ def test_salted_join_null_keys_and_all_heavy(spark, how):
         left, right, ["k"], how=how, n_salts=4, heavy_threshold_rows=0
     )
     assert _multiset(salted) == _multiset(plain)
+
+
+@pytest.mark.parametrize("how", ["inner", "left"])
+def test_salted_join_composite_keys(spark, how):
+    """Multi-column equality keys: parity with the plain join, heavy
+    key auto-detected on the composite."""
+    left = spark.range(5_000).select(
+        F.when(F.col("id") % 2 == 0, 7).otherwise(F.col("id") % 50).alias("k1"),
+        F.when(F.col("id") % 2 == 0, F.lit("x")).otherwise(F.lit("y")).alias("k2"),
+        F.col("id").alias("payload"),
+    )
+    right = (
+        spark.range(50)
+        .select(F.col("id").alias("k1"))
+        .crossJoin(spark.createDataFrame([("x",), ("y",)], "k2 string"))
+        .withColumn("dim", F.concat_ws("-", "k1", "k2"))
+    )
+    plain = left.join(right, ["k1", "k2"], how)
+    salted = skew_resilient_join(left, right, ["k1", "k2"], how=how, n_salts=4)
+    assert salted.columns == plain.columns
+    assert _multiset(salted) == _multiset(plain)
