@@ -21,10 +21,11 @@ entries in iteration order. The registry is therefore laid out explicitly:
 - ``_TAIL`` (unscored, still registered): every tail query is gated by
   tests/test_queries_oracle.py on every pytest run — oracle-backed ones
   hash-checked, the rest rows-only.
-- ``_RETIRED`` (holds ``doc_fingerprint``, ``tumbling_windows`` and
-  ``sliding_windows`` today): the retirement mechanism for when the
-  two-round arithmetic below stops fitting — a retired query keeps its
-  implementation and pytest oracle coverage but leaves the driver
+- ``_RETIRED`` (holds ``doc_fingerprint``, ``tumbling_windows``,
+  ``sliding_windows``, ``ngram_jaccard_pairs`` and
+  ``embedding_near_dup_pairs`` today): the retirement mechanism for when
+  the two-round arithmetic below stops fitting — a retired query keeps
+  its implementation and pytest oracle coverage but leaves the driver
   registry.
 
 ROTATION POLICY (two-round cadence) and its arithmetic: a query whose
@@ -32,59 +33,61 @@ driver row was fully green in round N-1 may rotate to the tail in round
 N; every query returns to the window within two rounds of its last
 driver row. With a 50-slot window this is satisfiable **iff the
 registered surface stays ≤ 100** (two disjoint windows cover at most 100
-queries in two rounds). The LIVE surface after the round-7 rotation is
-99 (100 after r6, − 1: ``sliding_windows`` retired in the 1:1 swap for
-this round's planned tail addition). The ceiling remains effectively
+queries in two rounds). The LIVE surface after the round-8 rotation is
+100: the r7 surface was 100 (50 scored + 50 tail — the r7 docstring's
+"99" sentence undercounted by omitting the 1:1 ``shared_substring_pairs``
+swap it itself described; the invariants below always held at 100), − 2
+r8 retirements + 2 r8 tail additions. The ceiling remains effectively
 REACHED: every addition must be matched 1:1 by a retirement. Standing
 decision (resolving the r5 verdict's "What's wrong #3"): the two-round
 promise stays; the round that would push the surface past 100 must
 either add fewer queries or move superseded ones to ``_RETIRED``
-(executed in r6 for ``doc_fingerprint``/``tumbling_windows`` and in r7
-for ``sliding_windows``; the next named candidates are the superseded
-quadratic oracle twins ``ngram_jaccard_pairs`` and
-``embedding_near_dup_pairs``). Preference when
-choosing which green-last-round rows to keep scored: sole
-representatives of an operator family (cube, ntile, as-of join, range
-join, JSON extraction, connected components) and the composed flagships
-(training_pipeline_summary, the clustered embedding scale path) stay in.
+(executed r6, r7 and r8). Preference when choosing which
+green-last-round rows to keep scored: sole representatives of an
+operator family (cube, ntile, as-of join, JSON extraction, connected
+components) and the composed flagships (training_pipeline_summary, the
+clustered embedding scale path) stay in.
 
-Round-7 rotation (applied this round — the exact plan the r6
-feasibility check prescribed: 45 due-back promotions + 5 keeps, zero
-new scored-from-day-one queries):
-- kept scored (5): sole family representatives + the composed flagship,
-  all green in CORRECTNESS_r06 — ``asof_last_click_before_error``
-  (as-of join), ``range_join_interval_counts`` (range join),
-  ``json_props_extract`` (JSON extraction), ``doc_dup_components``
-  (connected components), ``training_pipeline_summary`` (composed
-  pipeline).
-- promoted, returning r6 demotions (36, last driver row r5 — the
-  two-round promise lands them here): every name from the r6 demotion
-  list except the retired ``doc_fingerprint``.
-- promoted, never driver-scored r6 tail additions (9):
-  ``trailing_window_rates``, ``table_stats_profile``,
-  ``cross_source_overlap``, ``embedding_dimension_profile``,
-  ``normalized_dedup_profile``, ``balanced_sample_plan``,
-  ``user_cohort_retention``, ``order_snapshot_diff``,
-  ``part_name_linkage``.
-- demoted (44, all driver-green in CORRECTNESS_r06, due back by round
-  9): the 50-member r6 window minus the 5 keeps minus the retired
-  ``sliding_windows``.
-- retired this round (1): ``sliding_windows`` — the r6 docstring's
-  next-named candidate; ``session_windows`` / ``hourly_rollup_from_minutes``
-  keep the event-window family scored, and the retirement frees the
-  registered-surface slot for this round's new tail query (1:1 swap,
-  same mechanism as r6's ``tumbling_windows``).
-- round-8 feasibility check: due-back promotions in r8 are the 44 r7
-  demotions + the five final-r6 tail queries due r8
+Round-8 rotation (applied this round — the exact plan the r7
+feasibility check prescribed, with zero slack: 50 due-back promotions,
+zero keeps, zero new scored-from-day-one queries):
+- promoted, returning r7 demotions (44, last driver row r6): every
+  name from the r7 demotion list.
+- promoted, first driver rows (6): the five final-r6 tail queries
   (``sole_late_supplier_blame``, ``large_volume_customers``,
   ``copurchase_pagerank``, ``copurchase_triangle_census``,
-  ``copurchase_seed_affinity``) + any new r7 tail additions. At one new
-  r7 tail query that is 44 + 5 + 1 = 50 exactly — r8 keeps nothing and
-  adds nothing scored-from-day-one; if r8 needs slack, its named
-  retirement candidates are the two superseded quadratic oracle twins
-  ``ngram_jaccard_pairs`` (covered by ``minhash_near_duplicates`` +
-  ``contained_doc_pairs``) and ``embedding_near_dup_pairs`` (covered by
-  ``embedding_near_dup_clustered``), both green r7 by then.
+  ``copurchase_seed_affinity``) and the r7 tail addition
+  ``shared_substring_pairs`` — all oracle-gated by the pytest gate
+  since they landed, and pre-verified against the driver's stringified
+  multiset compare via ``tools/driver_hash_check.py`` before this
+  rotation was committed.
+- demoted (48, all driver-green in CORRECTNESS_r07, due back r9): the
+  50-member r7 window minus the two retirements below.
+- retired this round (2): the superseded quadratic oracle twins the r7
+  docstring and the r7 VERDICT both named — ``ngram_jaccard_pairs``
+  (covered by ``minhash_near_duplicates`` + ``contained_doc_pairs``)
+  and ``embedding_near_dup_pairs`` (covered by
+  ``embedding_near_dup_clustered``), both green r7. Both keep their
+  pytest oracle gates; the scored/benched path no longer carries any
+  all-pairs plan, and the bench sheds ~18 s of intentional quadratic
+  verification work.
+- new tail additions (2, filling the retirement-freed slots,
+  oracle-gated from day one, due r9): ``doc_lm_perplexity``
+  (distributed Stupid-Backoff n-gram LM quality scoring — the
+  model-based curation stage the r7 verdict named as the last public
+  recipe gap) and ``supplier_part_share`` (decorrelated scalar
+  subquery on a two-column aggregate — TPC-H Q2-shape
+  min-per-group semi-join, a relational family with no current
+  representative).
+- round-9 feasibility check: due-back promotions in r9 are the 48 r8
+  demotions + the two new r8 tail additions = 50 exactly — r9 keeps
+  nothing and adds nothing scored-from-day-one; if r9 needs slack, its
+  retirement candidates should again be superseded oracle twins (e.g.
+  ``interval_join_batch`` is the batch twin of the streaming interval
+  join and ``deterministic_sample`` anchors ``bernoulli_sample`` —
+  retire only with the anchored query's gate story restated). After
+  r9, the 50 r9 demotions are due back r10 and the two-round cycle is
+  back to a pure 50/50 flip-flop unless the surface changes.
 """
 
 import functools
@@ -108,71 +111,8 @@ _ALL_QUERIES = {
 }
 
 _SCORED = (
-    # kept from the r6 window: sole family representatives + the composed
-    # flagship (all green r6)
-    "asof_last_click_before_error",
-    "range_join_interval_counts",
-    "json_props_extract",
-    "doc_dup_components",
-    "training_pipeline_summary",
-    # promoted: returning r6 demotions (last driver row r5)
-    "corpus_vocab_stats",
-    "source_lang_profile",
-    "doc_chunk_plan",
-    "boilerplate_ngram_profile",
-    "prefix_template_clusters",
-    "quality_filter_decisions",
-    "sequence_packing_plan",
-    "media_probe_profile",
-    "media_pixel_stats",
-    "media_audio_stats",
-    "media_frame_stats",
-    "top5_orders",
-    "balance_buckets",
-    "deterministic_sample",
-    "hourly_rollup_from_minutes",
-    "value_zscore_outliers",
-    "event_value_percentiles",
-    "user_event_deltas",
-    "ngram_jaccard_pairs",
-    "active_customers_by_segment",
-    "avg_balance_by_nation",
-    "fulfillment_rate_by_nation",
-    "priority_filter",
-    "latest_order_per_customer",
-    "distinct_projection",
-    "doc_token_stats",
-    "doc_quality_scores",
-    "above_nation_avg_customers",
-    "approx_distinct_profile",
-    "bernoulli_sample",
-    "customers_with_orders",
-    "embedding_near_dup_pairs",
-    "promo_revenue_share",
-    "returnflag_pivot",
-    "status_priority_rollup",
-    "unpivot_status_metrics",
-    # promoted: r6 tail additions, first driver rows (oracle-gated by the
-    # pytest gate since they landed)
-    "trailing_window_rates",
-    "table_stats_profile",
-    "cross_source_overlap",
-    "embedding_dimension_profile",
-    "normalized_dedup_profile",
-    "balanced_sample_plan",
-    "user_cohort_retention",
-    "order_snapshot_diff",
-    "part_name_linkage",
-)
-
-_TAIL = (
-    # r7 demotions — all green driver rows in CORRECTNESS_r06, rotated out
-    # per the two-round policy (due back by round 9; but note r8 is already
-    # exactly full with THESE 44 + the 5 graph/Q21 queries due r8 + this
-    # round's new tail additions — see the r8 feasibility check in the
-    # docstring). The pytest oracle gate still hash-checks every
-    # oracle-backed one on every run, and bench.py times the full
-    # registered surface.
+    # returning r7 demotions (44, last driver row r6 — the two-round
+    # promise lands them here)
     "customers_without_orders",
     "lineitem_cube_aggregates",
     "customer_balance_ntiles",
@@ -217,16 +157,10 @@ _TAIL = (
     "label_similarity_profile",
     "ann_lsh_topk",
     "ivf_ann_topk",
-    # new in r7 (due r8; surface slot freed by the sliding_windows
-    # retirement above): partial-overlap exact-substring dedup — hashed
-    # character-gram self-join + exact diagonal-islands LCS, the
-    # ExactSubstr granularity contained_doc_pairs doesn't cover —
-    # oracle-gated from day one
+    # first driver rows (6): the r7 tail addition + the five final-r6
+    # graph/Q21 queries, all oracle-gated by the pytest gate since they
+    # landed and pre-verified with tools/driver_hash_check.py
     "shared_substring_pairs",
-    # final-r6 additions, due r8 (oracle-gated from day one): Q21-shape
-    # decorrelated EXISTS/NOT-EXISTS, Q18-shape semi-join-on-aggregate,
-    # integer-exact iterative PageRank, degree-ordered triangle census,
-    # sparse personalized PageRank
     "sole_late_supplier_blame",
     "large_volume_customers",
     "copurchase_pagerank",
@@ -234,10 +168,76 @@ _TAIL = (
     "copurchase_seed_affinity",
 )
 
+_TAIL = (
+    # r8 demotions — all green driver rows in CORRECTNESS_r07, rotated out
+    # per the two-round policy (due back r9 — see the r9 feasibility check
+    # in the docstring; the r7 window's other two members,
+    # ngram_jaccard_pairs and embedding_near_dup_pairs, were retired this
+    # round instead of demoted). The pytest oracle gate still hash-checks
+    # every oracle-backed one on every run, and bench.py times the full
+    # registered surface.
+    "asof_last_click_before_error",
+    "range_join_interval_counts",
+    "json_props_extract",
+    "doc_dup_components",
+    "training_pipeline_summary",
+    "corpus_vocab_stats",
+    "source_lang_profile",
+    "doc_chunk_plan",
+    "boilerplate_ngram_profile",
+    "prefix_template_clusters",
+    "quality_filter_decisions",
+    "sequence_packing_plan",
+    "media_probe_profile",
+    "media_pixel_stats",
+    "media_audio_stats",
+    "media_frame_stats",
+    "top5_orders",
+    "balance_buckets",
+    "deterministic_sample",
+    "hourly_rollup_from_minutes",
+    "value_zscore_outliers",
+    "event_value_percentiles",
+    "user_event_deltas",
+    "active_customers_by_segment",
+    "avg_balance_by_nation",
+    "fulfillment_rate_by_nation",
+    "priority_filter",
+    "latest_order_per_customer",
+    "distinct_projection",
+    "doc_token_stats",
+    "doc_quality_scores",
+    "above_nation_avg_customers",
+    "approx_distinct_profile",
+    "bernoulli_sample",
+    "customers_with_orders",
+    "promo_revenue_share",
+    "returnflag_pivot",
+    "status_priority_rollup",
+    "unpivot_status_metrics",
+    "trailing_window_rates",
+    "table_stats_profile",
+    "cross_source_overlap",
+    "embedding_dimension_profile",
+    "normalized_dedup_profile",
+    "balanced_sample_plan",
+    "user_cohort_retention",
+    "order_snapshot_diff",
+    "part_name_linkage",
+)
+
 # Retirement mechanism (see docstring): retired names leave the driver
 # registry but MUST keep their implementation + pytest oracle coverage
 # (exported as RETIRED_QUERIES/RETIRED_ORACLES for the pytest gate).
-_RETIRED = ("doc_fingerprint", "tumbling_windows", "sliding_windows")
+# r8 retirements: the two superseded quadratic oracle twins the r7
+# docstring and verdict both named.
+_RETIRED = (
+    "doc_fingerprint",
+    "tumbling_windows",
+    "sliding_windows",
+    "ngram_jaccard_pairs",
+    "embedding_near_dup_pairs",
+)
 
 # Module-level invariants the correctness driver depends on. Explicit raises,
 # not assert: python -O strips asserts, which would silently disable the

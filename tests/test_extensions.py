@@ -13,7 +13,7 @@ from big_data_processing_with_aws_glue_workshop_spark.extensions.dedup_fuzzy imp
     simhash_near_duplicates,
 )
 from big_data_processing_with_aws_glue_workshop_spark.extensions.similarity import ann_lsh_topk
-from big_data_processing_with_aws_glue_workshop_spark.queries import QUERIES
+from big_data_processing_with_aws_glue_workshop_spark.queries import QUERIES, RETIRED_QUERIES
 
 
 @pytest.fixture(scope="module")
@@ -42,7 +42,7 @@ def test_minhash_lsh_recall_vs_exact(documents, spark, sf_dir):
     report a pair below threshold (verification is exact)."""
     exact = {
         (r["d1"], r["d2"])
-        for r in QUERIES["ngram_jaccard_pairs"](spark, sf_dir).collect()
+        for r in RETIRED_QUERIES["ngram_jaccard_pairs"](spark, sf_dir).collect()
     }
     approx_rows = minhash_near_duplicates(
         documents, n_hashes=32, bands=8, threshold=0.8
@@ -116,7 +116,7 @@ def test_clustered_near_dup_exact_equivalence(embeddings, spark, sf_dir):
 
     exact = sorted(
         (r["id_a"], r["id_b"], r["cos_sim"])
-        for r in QUERIES["embedding_near_dup_pairs"](spark, sf_dir).collect()
+        for r in RETIRED_QUERIES["embedding_near_dup_pairs"](spark, sf_dir).collect()
     )
     pruned = sorted(
         (r["id_a"], r["id_b"], r["cos_sim"])
