@@ -169,7 +169,11 @@ def encode_documents(
     text_col: str = "text",
 ) -> DataFrame:
     """Subword-encode ``text_col`` with a learned merge list; returns
-    ``(id_col, tokens array<string>, n_tokens)``.
+    ``(id_col, tokens array<string>, n_tokens)``. Every input id appears
+    in the output: empty / whitespace-only documents (which the word
+    filter would otherwise drop entirely) carry an empty tokens array and
+    n_tokens 0, so callers joining the result back to the corpus never
+    silently lose rows (r7 advisory).
 
     Scale shape: the merge loop runs ONCE PER DISTINCT WORD (Arrow
     batches via mapInPandas — the sequential rank-greedy loop is the
@@ -202,7 +206,7 @@ def encode_documents(
         enc, "word string, subwords array<string>"
     )
 
-    return (
+    encoded = (
         toks.join(F.broadcast(word_map), "word")
         .groupBy(id_col)
         .agg(
@@ -211,6 +215,14 @@ def encode_documents(
                     F.collect_list(F.struct("pos", "subwords"))
                 ).getField("subwords")
             ).alias("tokens")
+        )
+    )
+    return (
+        df.select(id_col)
+        .join(encoded, id_col, "left")
+        .withColumn(
+            "tokens",
+            F.coalesce(F.col("tokens"), F.array().cast("array<string>")),
         )
         .withColumn("n_tokens", F.size("tokens"))
     )

@@ -148,38 +148,60 @@ def zone_map_profile(path: str, cols: list[str]) -> dict:
     regression test can pin (tests/test_layout.py), and at the real
     scale it is the cheap health check to run after every compaction or
     clustered rewrite: O(files x row_groups) footer reads, zero data.
+
+    Statistics are compared in their NATIVE type (r7 advisory): numeric
+    columns get the full ``overlap_factor``; orderable non-numerics
+    (string/binary/date/decimal) report ``overlap_factor: None`` with the
+    ``disjoint`` check still computed — a width ratio over, say, string
+    mins has no meaning, but range disjointness does. The directory is
+    walked recursively, so hive-partitioned and compaction-nested layouts
+    (the very output this audits) are covered, not just top-level files.
     """
     import os
 
     import pyarrow.parquet as pq
 
-    files = [
-        os.path.join(path, f)
-        for f in sorted(os.listdir(path))
-        if f.endswith(".parquet")
-    ]
+    files = []
+    for root, _dirs, names in os.walk(path):
+        files.extend(
+            os.path.join(root, f) for f in names if f.endswith(".parquet")
+        )
+    files.sort()
+    metas = [pq.ParquetFile(fp).metadata for fp in files]
     out: dict = {}
     for col in cols:
         ranges = []
-        for fp in files:
-            meta = pq.ParquetFile(fp).metadata
+        for meta in metas:
             idx = meta.schema.names.index(col)
             for rg in range(meta.num_row_groups):
                 st = meta.row_group(rg).column(idx).statistics
                 if st is None or st.min is None:
                     continue
-                ranges.append((float(st.min), float(st.max)))
+                ranges.append((st.min, st.max))
         if not ranges:
             out[col] = {"n_row_groups": 0, "overlap_factor": None, "disjoint": True}
             continue
-        width = (max(hi for _, hi in ranges) - min(lo for lo, _ in ranges)) or 1.0
-        overlap = sum((hi - lo) / width for lo, hi in ranges)
         srt = sorted(ranges)
+        disjoint = all(srt[i][1] <= srt[i + 1][0] for i in range(len(srt) - 1))
+        numeric = all(
+            isinstance(v, (int, float)) and not isinstance(v, bool)
+            for pair in ranges
+            for v in pair
+        )
+        if not numeric:
+            out[col] = {
+                "n_row_groups": len(ranges),
+                "overlap_factor": None,
+                "disjoint": disjoint,
+            }
+            continue
+        width = float(
+            max(hi for _, hi in ranges) - min(lo for lo, _ in ranges)
+        ) or 1.0
+        overlap = sum((hi - lo) / width for lo, hi in ranges)
         out[col] = {
             "n_row_groups": len(ranges),
             "overlap_factor": round(max(overlap, 1.0), 2),
-            "disjoint": all(
-                srt[i][1] <= srt[i + 1][0] for i in range(len(srt) - 1)
-            ),
+            "disjoint": disjoint,
         }
     return out

@@ -188,6 +188,51 @@ def incremental_dedup_refresh(
     return {**stats, "new_files": healed + len(new_files)}
 
 
+def _flip_pointer(pointer_path: str, prior: dict | None, fields: dict) -> None:
+    """Atomic pointer flip shared by the dedup/near-dup increment cores.
+
+    Two guarantees the raw write lacked (r7 advisory):
+
+    - CARRY-FORWARD: every key of the pointer the increment READ survives
+      the flip unless this flip explicitly overwrites it — so the batch
+      path's ``delta_files`` healing list and the stream sink's
+      ``last_stream_batch`` (and the near-dup ``calibration``) coexist in
+      one pointer no matter which ingestion path flips last.
+    - CAS GUARD: the flip re-reads the pointer and requires it to still be
+      the exact version this increment was computed against. Two writers
+      racing on one target would otherwise both derive batch_id+1 from the
+      same pointer and silently overwrite each other's accepted delta and
+      pointer, losing one side's docs. Single-writer per target is the
+      deployment contract; this makes a violation loud instead of lossy.
+      (Best-effort on a non-atomic filesystem — the check and the rename
+      are not one transaction — but it converts the silent-loss race into
+      a detectable one for any writer overlap longer than the flip.)
+    """
+    import json
+
+    from ..util import atomic_write_json
+
+    if os.path.exists(pointer_path):
+        with open(pointer_path) as f:
+            now = json.load(f)
+        if prior is None or now.get("batch_id") != prior.get("batch_id"):
+            raise RuntimeError(
+                f"concurrent writer detected on {pointer_path!r}: pointer is at "
+                f"batch {now.get('batch_id')} but this increment was computed "
+                f"against batch "
+                f"{prior.get('batch_id') if prior is not None else '<none>'} — "
+                "corpus refresh targets require a single writer; rerun this "
+                "refresh (its unpublished delta is invisible and will be "
+                "recomputed against the advanced pointer)"
+            )
+    elif prior is not None:
+        raise RuntimeError(
+            f"pointer {pointer_path!r} vanished mid-refresh (read batch "
+            f"{prior.get('batch_id')}); refusing to re-initialize the target"
+        )
+    atomic_write_json(pointer_path, {**(prior or {}), **fields})
+
+
 def apply_dedup_increment(
     spark: SparkSession,
     new_df: DataFrame,
@@ -207,8 +252,6 @@ def apply_dedup_increment(
     ``extra_pointer_fields`` (the batch path's ``delta_files`` healing
     list; the stream path's ``last_stream_batch``)."""
     from pyspark.sql.window import Window
-
-    from ..util import atomic_write_json
 
     pointer_path = os.path.join(target_dir, "current.json")
 
@@ -258,8 +301,9 @@ def apply_dedup_increment(
         digest_deltas = [compact_rel]
 
     deltas = (pointer["deltas"] if pointer is not None else []) + [delta_rel]
-    atomic_write_json(
+    _flip_pointer(
         pointer_path,
+        pointer,
         {
             "batch_id": batch_id,
             "digest_deltas": digest_deltas,
@@ -402,10 +446,32 @@ def apply_neardup_increment(
     signatures, both drop joins, the delta/index writes with compaction,
     and the pointer flip."""
     from ..extensions.dedup_fuzzy import lsh_candidate_pairs, minhash_signatures
-    from ..util import atomic_write_json
 
     rows_per_band = n_hashes // bands
     pointer_path = os.path.join(target_dir, "current.json")
+
+    # signature-comparability contract: agreement against STORED signatures
+    # is meaningful only under the exact hash family that built them — a
+    # different seed scores ~0 against everything (near-dups of the corpus
+    # all pass, silently) and a different n_hashes makes zip_with produce
+    # nulls. The calibration is pinned in the pointer on first commit and
+    # enforced on every later refresh (r7 advisory).
+    calibration = {
+        "n_hashes": n_hashes,
+        "bands": bands,
+        "shingle_n": shingle_n,
+        "seed": seed,
+    }
+    if pointer is not None:
+        stored = pointer.get("calibration")
+        if stored is not None and stored != calibration:
+            raise ValueError(
+                f"near-dup calibration mismatch for {target_dir!r}: the "
+                f"standing signature state was built with {stored}, this "
+                f"refresh was called with {calibration} — signatures are "
+                "incomparable across calibrations; match the stored "
+                "parameters or rebuild the target"
+            )
 
     # the signature computation (shingling + n_hashes xxhash64 mins) is
     # the refresh's dominant map work and feeds four consumers (both drop
@@ -546,13 +612,15 @@ def apply_neardup_increment(
         sig_deltas, bucket_deltas = [sig_c], [bucket_c]
 
     deltas = (pointer["deltas"] if pointer is not None else []) + [delta_rel]
-    atomic_write_json(
+    _flip_pointer(
         pointer_path,
+        pointer,
         {
             "batch_id": batch_id,
             "signature_deltas": sig_deltas,
             "bucket_deltas": bucket_deltas,
             "deltas": deltas,
+            "calibration": calibration,
             **(extra_pointer_fields or {}),
         },
     )

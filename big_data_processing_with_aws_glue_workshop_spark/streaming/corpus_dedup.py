@@ -24,15 +24,51 @@ pointer: each ingestion path consults only its own key.
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame, SparkSession
 
 from ..plans.incremental import apply_dedup_increment, read_deduped
 from .sinks import read_pointer
 
 
+def _checkpoint_guard(target_dir: str, checkpoint_dir: str | None) -> None:
+    """A target with committed stream batches refuses to run without THE
+    checkpoint whose batch-id sequence makes the replay guard meaningful.
+    Both failure modes are caught (r7 advisory closed the second): no
+    checkpoint at all, and a FRESH (different) checkpoint — either
+    restarts batch ids at 0, and the sink's ``batch_id <=
+    last_stream_batch`` guard would then silently skip all new data up to
+    the standing watermark. The pointer records the checkpoint location on
+    the first streamed batch (``stream_checkpoint``) and this guard
+    enforces identity on every later run."""
+    pointer = read_pointer(target_dir)
+    if pointer is None or "last_stream_batch" not in pointer:
+        return
+    if checkpoint_dir is None:
+        raise ValueError(
+            f"target {target_dir!r} has committed stream batches; running "
+            "without a checkpoint restarts batch ids at 0 and the "
+            "idempotence guard would silently skip new data — pass the "
+            "original checkpoint_dir (or reset the target)"
+        )
+    stored = pointer.get("stream_checkpoint")
+    if stored is not None and os.path.abspath(checkpoint_dir) != stored:
+        raise ValueError(
+            f"target {target_dir!r} has committed stream batches under "
+            f"checkpoint {stored!r}; a different checkpoint "
+            f"({os.path.abspath(checkpoint_dir)!r}) restarts batch ids at 0 "
+            "and the idempotence guard would silently skip all new data up "
+            "to the standing watermark — pass the original checkpoint_dir "
+            "(or reset the target)"
+        )
+
+
 class CorpusDedupSink:
     """``foreachBatch`` callable: first-wins dedup of each micro-batch
-    against the standing corpus at ``target_dir``."""
+    against the standing corpus at ``target_dir``. ``checkpoint_dir``
+    (when known — the run_stream_* drivers pass it) is recorded in the
+    pointer so later runs can enforce checkpoint identity."""
 
     def __init__(
         self,
@@ -40,11 +76,19 @@ class CorpusDedupSink:
         id_col: str = "doc_id",
         text_col: str = "text",
         snapshot_compact_at: int = 16,
+        checkpoint_dir: str | None = None,
     ) -> None:
         self.target_dir = target_dir
         self.id_col = id_col
         self.text_col = text_col
         self.snapshot_compact_at = snapshot_compact_at
+        self.checkpoint_dir = checkpoint_dir
+
+    def _pointer_fields(self, batch_id: int) -> dict:
+        fields = {"last_stream_batch": batch_id}
+        if self.checkpoint_dir is not None:
+            fields["stream_checkpoint"] = os.path.abspath(self.checkpoint_dir)
+        return fields
 
     def __call__(self, batch_df: DataFrame, batch_id: int) -> None:
         pointer = read_pointer(self.target_dir)
@@ -58,7 +102,7 @@ class CorpusDedupSink:
             id_col=self.id_col,
             text_col=self.text_col,
             snapshot_compact_at=self.snapshot_compact_at,
-            extra_pointer_fields={"last_stream_batch": batch_id},
+            extra_pointer_fields=self._pointer_fields(batch_id),
         )
 
 
@@ -70,22 +114,11 @@ def run_stream_corpus_dedup(
     text_col: str = "text",
 ) -> None:
     """Drain ``stream_df`` into the deduped corpus with availableNow.
-    Same checkpoint discipline as run_foreach_batch_upsert: a target with
-    committed stream batches refuses to run without the checkpoint whose
-    batch-id sequence makes the replay guard meaningful."""
-    sink = CorpusDedupSink(target_dir, id_col=id_col, text_col=text_col)
-    pointer = read_pointer(target_dir)
-    if (
-        checkpoint_dir is None
-        and pointer is not None
-        and "last_stream_batch" in pointer
-    ):
-        raise ValueError(
-            f"target {target_dir!r} has committed stream batches; running "
-            "without a checkpoint restarts batch ids at 0 and the "
-            "idempotence guard would silently skip new data — pass the "
-            "original checkpoint_dir (or reset the target)"
-        )
+    Checkpoint discipline: see ``_checkpoint_guard``."""
+    sink = CorpusDedupSink(
+        target_dir, id_col=id_col, text_col=text_col, checkpoint_dir=checkpoint_dir
+    )
+    _checkpoint_guard(target_dir, checkpoint_dir)
     writer = stream_df.writeStream.foreachBatch(sink)
     if checkpoint_dir is not None:
         writer = writer.option("checkpointLocation", checkpoint_dir)
@@ -116,12 +149,16 @@ class CorpusNearDupSink:
         text_col: str = "text",
         sim_threshold: float = 0.7,
         snapshot_compact_at: int = 16,
+        checkpoint_dir: str | None = None,
     ) -> None:
         self.target_dir = target_dir
         self.id_col = id_col
         self.text_col = text_col
         self.sim_threshold = sim_threshold
         self.snapshot_compact_at = snapshot_compact_at
+        self.checkpoint_dir = checkpoint_dir
+
+    _pointer_fields = CorpusDedupSink._pointer_fields
 
     def __call__(self, batch_df: DataFrame, batch_id: int) -> None:
         from ..plans.incremental import apply_neardup_increment
@@ -138,7 +175,7 @@ class CorpusNearDupSink:
             text_col=self.text_col,
             sim_threshold=self.sim_threshold,
             snapshot_compact_at=self.snapshot_compact_at,
-            extra_pointer_fields={"last_stream_batch": batch_id},
+            extra_pointer_fields=self._pointer_fields(batch_id),
         )
 
 
@@ -153,20 +190,13 @@ def run_stream_corpus_neardup(
     """availableNow drain into the near-deduped corpus; same checkpoint
     discipline as run_stream_corpus_dedup."""
     sink = CorpusNearDupSink(
-        target_dir, id_col=id_col, text_col=text_col, sim_threshold=sim_threshold
+        target_dir,
+        id_col=id_col,
+        text_col=text_col,
+        sim_threshold=sim_threshold,
+        checkpoint_dir=checkpoint_dir,
     )
-    pointer = read_pointer(target_dir)
-    if (
-        checkpoint_dir is None
-        and pointer is not None
-        and "last_stream_batch" in pointer
-    ):
-        raise ValueError(
-            f"target {target_dir!r} has committed stream batches; running "
-            "without a checkpoint restarts batch ids at 0 and the "
-            "idempotence guard would silently skip new data — pass the "
-            "original checkpoint_dir (or reset the target)"
-        )
+    _checkpoint_guard(target_dir, checkpoint_dir)
     writer = stream_df.writeStream.foreachBatch(sink)
     if checkpoint_dir is not None:
         writer = writer.option("checkpointLocation", checkpoint_dir)

@@ -106,3 +106,24 @@ def test_encode_documents_round_trip_and_parity(spark, sf_dir):
         ref_tokens = [t for w in words for t in encode_word(w, ranks)]
         assert row["tokens"] == ref_tokens
         assert row["n_tokens"] == len(ref_tokens)
+
+
+def test_encode_documents_keeps_empty_docs(spark):
+    """Empty / whitespace-only documents must appear in the output with an
+    empty tokens array, not vanish (r7 advisory): callers join results
+    back to the corpus by id."""
+    from big_data_processing_with_aws_glue_workshop_spark.operators.bpe import encode_documents
+
+    df = spark.createDataFrame(
+        [(1, "low lower"), (2, ""), (3, "   "), (4, "low")],
+        "doc_id long, text string",
+    )
+    got = {
+        r["doc_id"]: (r["tokens"], r["n_tokens"])
+        for r in encode_documents(df, [("l", "o"), ("lo", "w")]).collect()
+    }
+    assert set(got) == {1, 2, 3, 4}
+    assert got[2] == ([], 0) and got[3] == ([], 0)
+    # non-empty docs unchanged (end-of-word marker per the learner's contract)
+    assert got[4][0] == ["low", "▁"] and got[4][1] == 2
+    assert got[1][1] == len(got[1][0]) > 0

@@ -205,3 +205,68 @@ def test_randomized_interleaving_matches_reference_simulation(spark, tmp_path):
         for r in read_deduped(spark, target).collect()
     }
     assert got == {(i, t) for t, i in standing.items()}
+
+
+def test_pointer_keys_survive_cross_path_interleaving(spark, tmp_path):
+    """The batch path's delta_files healing list and the stream sink's
+    last_stream_batch must COEXIST in the pointer — each flip carries
+    forward the other path's keys instead of erasing them (r7 advisory)."""
+    import json
+
+    stream_in = tmp_path / "stream_in"
+    stream_in.mkdir()
+    files_in = tmp_path / "files_in"
+    files_in.mkdir()
+    target = str(tmp_path / "corpus")
+    ckpt = str(tmp_path / "ckpt")
+    bm = JobBookmark(str(tmp_path / "bm.json"), "backfill")
+
+    _land(stream_in / "s0.parquet", [(1, "streamed text")])
+    run_stream_corpus_dedup(
+        spark.readStream.schema(SCHEMA).parquet(str(stream_in)), target, ckpt
+    )
+    _land(files_in / "f0.parquet", [(20, "backfill text")])
+    incremental_dedup_refresh(spark, bm, str(files_in / "*.parquet"), target)
+
+    with open(f"{target}/current.json") as f:
+        pointer = json.load(f)
+    # batch flip happened last and must have preserved the stream keys
+    assert "last_stream_batch" in pointer and "stream_checkpoint" in pointer
+    assert pointer["delta_files"] == [str(files_in / "f0.parquet")]
+
+    # ...and a subsequent stream flip preserves the batch healing list
+    _land(stream_in / "s1.parquet", [(30, "fresh text")])
+    run_stream_corpus_dedup(
+        spark.readStream.schema(SCHEMA).parquet(str(stream_in)), target, ckpt
+    )
+    with open(f"{target}/current.json") as f:
+        pointer = json.load(f)
+    assert pointer["delta_files"] == [str(files_in / "f0.parquet")]
+    assert pointer["last_stream_batch"] == 1
+
+
+def test_fresh_checkpoint_dir_is_rejected(spark, tmp_path):
+    """A FRESH (different) checkpoint restarts stream batch ids at 0, and
+    the batch_id <= last_stream_batch guard would silently skip all new
+    data up to the standing watermark — exactly the failure the error
+    message describes, now guarded (r7 advisory)."""
+    import pytest
+
+    landing = tmp_path / "stream_in"
+    landing.mkdir()
+    target = str(tmp_path / "corpus")
+
+    _land(landing / "w0.parquet", [(1, "alpha")])
+    stream = spark.readStream.schema(SCHEMA).parquet(str(landing))
+    run_stream_corpus_dedup(stream, target, checkpoint_dir=str(tmp_path / "ckptA"))
+
+    _land(landing / "w1.parquet", [(2, "beta")])
+    stream = spark.readStream.schema(SCHEMA).parquet(str(landing))
+    with pytest.raises(ValueError, match="different checkpoint"):
+        run_stream_corpus_dedup(
+            stream, target, checkpoint_dir=str(tmp_path / "ckptB")
+        )
+    # the original checkpoint still drains fine
+    run_stream_corpus_dedup(stream, target, checkpoint_dir=str(tmp_path / "ckptA"))
+    got = {r["doc_id"] for r in read_deduped(spark, target).collect()}
+    assert got == {1, 2}

@@ -668,3 +668,72 @@ def test_incremental_percentiles_via_log_histogram(spark, tmp_path):
         assert abs(by_svc["api"][col] - exact_q) / exact_q < 0.10
     # the batch service's median is one of {0, 1}: zero bucket reads 0.0
     assert by_svc["batch"]["p50"] in (0.0, pytest.approx(2 ** (0.5 / 8)))
+
+
+def _land_docs(path, rows):
+    pq.write_table(
+        pa.Table.from_pandas(
+            pd.DataFrame(rows, columns=["doc_id", "text"]), preserve_index=False
+        ),
+        str(path),
+    )
+
+
+def test_concurrent_writer_detected_on_pointer_flip(spark, tmp_path):
+    """Two writers deriving batch_id+1 from the same pointer must not
+    silently overwrite each other's delta and pointer: the flip's CAS
+    guard re-reads the pointer and fails loudly when it advanced under
+    the increment's feet (r7 advisory)."""
+    import json
+    import os
+
+    from big_data_processing_with_aws_glue_workshop_spark.plans.incremental import (
+        apply_dedup_increment,
+    )
+
+    target = str(tmp_path / "corpus")
+    first = spark.createDataFrame([(1, "alpha")], "doc_id long, text string")
+    apply_dedup_increment(spark, first, target, None)
+    with open(os.path.join(target, "current.json")) as f:
+        stale = json.load(f)
+
+    # writer B advances the pointer while writer A holds the stale read
+    apply_dedup_increment(
+        spark,
+        spark.createDataFrame([(2, "beta")], "doc_id long, text string"),
+        target,
+        stale,
+    )
+    with pytest.raises(RuntimeError, match="concurrent writer"):
+        apply_dedup_increment(
+            spark,
+            spark.createDataFrame([(3, "gamma")], "doc_id long, text string"),
+            target,
+            stale,
+        )
+
+
+def test_neardup_calibration_mismatch_raises(spark, tmp_path):
+    """A refresh with a different hash-family calibration scores ~0
+    agreement against every standing signature — near-dups of the corpus
+    would all silently pass. The calibration is pinned in the pointer on
+    first commit and enforced afterwards (r7 advisory)."""
+    from big_data_processing_with_aws_glue_workshop_spark.plans.incremental import (
+        incremental_neardup_refresh,
+    )
+
+    landing = tmp_path / "crawl"
+    landing.mkdir()
+    target = str(tmp_path / "corpus")
+    pattern = str(landing / "*.parquet")
+    text = "some document text long enough to shingle into several grams"
+    _land_docs(landing / "w0.parquet", [(1, text)])
+    bm = JobBookmark(str(tmp_path / "bm.json"), "cal")
+    incremental_neardup_refresh(spark, bm, pattern, target, seed=42)
+
+    _land_docs(landing / "w1.parquet", [(2, text + " extra")])
+    with pytest.raises(ValueError, match="calibration mismatch"):
+        incremental_neardup_refresh(spark, bm, pattern, target, seed=43)
+    # matching calibration proceeds normally
+    stats = incremental_neardup_refresh(spark, bm, pattern, target, seed=42)
+    assert stats["new_files"] == 1

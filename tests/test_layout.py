@@ -169,3 +169,37 @@ def test_zone_map_profile_quantifies_layout(spark, tmp_path):
     for c in ("x", "y"):
         g = pz[c]["n_row_groups"]
         assert 1.0 < pz[c]["overlap_factor"] <= g * 0.6, (c, pz[c])
+
+
+def test_zone_map_profile_native_types_and_nested_layout(spark, tmp_path):
+    """String/date columns must not crash the footer audit (native-type
+    compare, overlap_factor None but disjointness real), and a
+    hive-partitioned layout must be walked recursively (r7 advisory)."""
+    import pyspark.sql.functions as F
+
+    from big_data_processing_with_aws_glue_workshop_spark.operators.layout import zone_map_profile
+
+    df = spark.range(0, 1000).select(
+        F.col("id").alias("k"),
+        F.concat(F.lit("key_"), F.lpad(F.col("id").cast("string"), 6, "0")).alias(
+            "name"
+        ),
+        F.date_add(F.lit("2024-01-01").cast("date"), (F.col("id") % 30).cast("int")).alias("d"),
+        (F.col("id") % 4).alias("part"),
+    )
+    out = str(tmp_path / "hive")
+    df.repartitionByRange(4, "k").sortWithinPartitions("k").write.partitionBy(
+        "part"
+    ).parquet(out)
+
+    prof = zone_map_profile(out, ["k", "name", "d"])
+    # recursive walk found the partitioned files
+    assert prof["k"]["n_row_groups"] >= 4
+    # numeric column keeps the overlap factor
+    assert prof["k"]["overlap_factor"] is not None
+    # string column: no float() crash, disjointness computed in native order
+    assert prof["name"]["overlap_factor"] is None
+    assert prof["name"]["n_row_groups"] == prof["k"]["n_row_groups"]
+    assert isinstance(prof["name"]["disjoint"], bool)
+    # date column likewise
+    assert prof["d"]["overlap_factor"] is None
