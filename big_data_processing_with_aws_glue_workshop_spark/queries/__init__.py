@@ -72,13 +72,12 @@ zero keeps, zero new scored-from-day-one queries):
   all-pairs plan, and the bench sheds ~18 s of intentional quadratic
   verification work.
 - new tail additions (2, filling the retirement-freed slots,
-  oracle-gated from day one, due r9): ``doc_lm_perplexity``
-  (distributed Stupid-Backoff n-gram LM quality scoring — the
+  oracle-gated from day one, due r9): ``doc_lm_backoff_scores``
+  (distributed Stupid-Backoff trigram LM quality scoring — the
   model-based curation stage the r7 verdict named as the last public
   recipe gap) and ``supplier_part_share`` (decorrelated scalar
-  subquery on a two-column aggregate — TPC-H Q2-shape
-  min-per-group semi-join, a relational family with no current
-  representative).
+  subquery on a per-group minimum — TPC-H Q2-shape min-per-group
+  semi-join, a relational family with no current representative).
 - round-9 feasibility check: due-back promotions in r9 are the 48 r8
   demotions + the two new r8 tail additions = 50 exactly — r9 keeps
   nothing and adds nothing scored-from-day-one; if r9 needs slack, its
@@ -224,6 +223,11 @@ _TAIL = (
     "user_cohort_retention",
     "order_snapshot_diff",
     "part_name_linkage",
+    # new in r8 (due r9; surface slots freed by the two retirements
+    # above, oracle-gated from day one): the Stupid-Backoff LM quality
+    # scorer and the Q2-shape min-per-group semi-join
+    "doc_lm_backoff_scores",
+    "supplier_part_share",
 )
 
 # Retirement mechanism (see docstring): retired names leave the driver

@@ -1063,8 +1063,52 @@ def q_copurchase_seed_affinity(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_supplier_part_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q2-shape decorrelated scalar subquery (min-per-group
+    semi-join): for every part, the suppliers that shipped it at its
+    MINIMUM observed extended price, rolled up to the supplier's nation —
+    "which nations host the price-setting suppliers". The correlated form
+    (``WHERE l_extendedprice = (SELECT MIN(...) WHERE l_partkey = p)``)
+    decorrelates into an aggregate + equality join-back, the shape the
+    reference's engine (and Q2 itself) relies on; no current registry
+    query exercises it.
+
+    Scale shape: one partial-aggregated groupBy on l_partkey, a
+    same-key join-back (co-partitioned — Catalyst reuses the exchange on
+    l_partkey), then a broadcast dim join to supplier/nation. Exact:
+    MIN over doubles involves no arithmetic, the equality join-back
+    compares unmodified values, outputs are counts."""
+    l = load(spark, sf_dir, "lineitem")
+    s = load(spark, sf_dir, "supplier")
+    n = load(spark, sf_dir, "nation")
+    mins = (
+        l.groupBy("l_partkey")
+        .agg(F.min("l_extendedprice").alias("min_price"))
+        .withColumnRenamed("l_partkey", "mp_partkey")
+    )
+    winners = (
+        l.join(
+            mins,
+            (F.col("l_partkey") == F.col("mp_partkey"))
+            & (F.col("l_extendedprice") == F.col("min_price")),
+        )
+        .select("l_partkey", "l_suppkey")
+        .distinct()
+    )
+    return (
+        winners.join(F.broadcast(s), winners["l_suppkey"] == s["s_suppkey"])
+        .join(F.broadcast(n), s["s_nationkey"] == n["n_nationkey"])
+        .groupBy(F.col("n_name").alias("nation"))
+        .agg(
+            F.count(F.lit(1)).alias("n_min_price_pairs"),
+            F.countDistinct("l_partkey").alias("n_parts"),
+        )
+    )
+
+
 QUERIES = {
     "pricing_summary": q_pricing_summary,
+    "supplier_part_share": q_supplier_part_share,
     "ml_feature_dataset": q_ml_feature_dataset,
     "active_customers_by_segment": q_active_customers_by_segment,
     "avg_balance_by_nation": q_avg_balance_by_nation,
@@ -1782,3 +1826,26 @@ ORACLES = {
         FROM stats, tri
     """,
 }
+
+# Q2-shape twin: the correlated min-subquery decorrelated identically —
+# aggregate then equality join-back on the untouched double (no
+# arithmetic, so double equality is exact on both engines).
+ORACLES["supplier_part_share"] = """
+    WITH mins AS (
+      SELECT l_partkey, MIN(l_extendedprice) AS min_price
+      FROM lineitem GROUP BY l_partkey
+    ),
+    winners AS (
+      SELECT DISTINCT l.l_partkey, l.l_suppkey
+      FROM lineitem l
+      JOIN mins m
+        ON l.l_partkey = m.l_partkey AND l.l_extendedprice = m.min_price
+    )
+    SELECT n.n_name AS nation,
+           CAST(COUNT(*) AS BIGINT) AS n_min_price_pairs,
+           CAST(COUNT(DISTINCT w.l_partkey) AS BIGINT) AS n_parts
+    FROM winners w
+    JOIN supplier s ON s.s_suppkey = w.l_suppkey
+    JOIN nation n ON n.n_nationkey = s.s_nationkey
+    GROUP BY n.n_name
+"""

@@ -1630,8 +1630,31 @@ def q_balanced_sample_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_doc_lm_backoff_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Model-based quality scoring: every document scored under a
+    trigram Stupid Backoff LM (Brants et al. 2007) whose count tables
+    are built from the reference slice ``doc_id % 10 == 0`` — the
+    CCNet-style curation stage the rule stacks (`doc_quality_scores`)
+    can't express. Off-distribution text (template spam, non-prose)
+    scores low; in-distribution prose high.
+
+    Exactness: per-token integer micro-scores (one floored integer
+    division per backoff depth, alpha = 0.4 applied as exact scaled
+    integers), integer sum per doc, ONE IEEE division for the mean —
+    bit-identical to the DuckDB twin. Scale shape and the 100 TB story
+    live in operators/lm.py (count tables are Zipf-small one-pass
+    groupBys; scoring is a per-doc lag window + gram-key hash joins)."""
+    from ..operators.lm import stupid_backoff_doc_scores, tokenize_positions
+
+    d = parallelize_scan(load(spark, sf_dir, "documents"), "doc_id")
+    toks = tracked_cache(tokenize_positions(d, "doc_id", _tokens(F.col("text"))))
+    ref = toks.filter(F.col("doc_id") % 10 == 0)
+    return stupid_backoff_doc_scores(toks, ref)
+
+
 QUERIES = {
     "doc_token_stats": q_doc_token_stats,
+    "doc_lm_backoff_scores": q_doc_lm_backoff_scores,
     "token_length_histogram": q_token_length_histogram,
     "bigram_association_scores": q_bigram_association_scores,
     "doc_quality_scores": q_doc_quality_scores,
@@ -2583,4 +2606,71 @@ ORACLES["contained_doc_pairs"] = """
     JOIN d b
       ON a.doc_id <> b.doc_id
      AND position(a.text IN b.text) > 0
+"""
+
+# Stupid Backoff twin: identical tokenization (the portable whitespace
+# class), identical per-doc lag context, identical count tables from the
+# doc_id % 10 reference slice, and the same floored integer division at
+# every backoff depth (DuckDB // == Spark div on nonnegative ints) — the
+# only double is the final one-division mean.
+ORACLES["doc_lm_backoff_scores"] = """
+    WITH tok_arrays AS (
+      SELECT doc_id, string_split_regex(trim(lower(text)), '[ \\t\\n\\f\\r]+') AS w
+      FROM documents
+    ),
+    toks AS (
+      SELECT doc_id, i AS pos, w[i] AS w
+      FROM tok_arrays, UNNEST(range(1, len(w) + 1)) AS t(i)
+      WHERE w[i] <> ''
+    ),
+    ctx AS (
+      SELECT doc_id,
+             lag(w, 2) OVER (PARTITION BY doc_id ORDER BY pos) AS w1,
+             lag(w, 1) OVER (PARTITION BY doc_id ORDER BY pos) AS w2,
+             w AS w3
+      FROM toks
+    ),
+    refctx AS (SELECT * FROM ctx WHERE doc_id % 10 = 0),
+    uni AS (SELECT w3 AS w, CAST(COUNT(*) AS BIGINT) AS c FROM refctx GROUP BY w3),
+    bi AS (
+      SELECT w2 AS wa, w3 AS wb, CAST(COUNT(*) AS BIGINT) AS c
+      FROM refctx WHERE w2 IS NOT NULL GROUP BY w2, w3
+    ),
+    tri AS (
+      SELECT w1, w2, w3, CAST(COUNT(*) AS BIGINT) AS c
+      FROM refctx WHERE w1 IS NOT NULL GROUP BY w1, w2, w3
+    ),
+    nref AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_ref FROM refctx),
+    joined AS (
+      SELECT ctx.doc_id, ctx.w1, ctx.w2,
+             tri.c AS c_tri, b12.c AS c_ctx12, b23.c AS c_bi23,
+             u2.c AS c_uni2, u3.c AS c_uni3, nref.n_ref
+      FROM ctx
+      LEFT JOIN tri ON tri.w1 = ctx.w1 AND tri.w2 = ctx.w2 AND tri.w3 = ctx.w3
+      LEFT JOIN bi b12 ON b12.wa = ctx.w1 AND b12.wb = ctx.w2
+      LEFT JOIN bi b23 ON b23.wa = ctx.w2 AND b23.wb = ctx.w3
+      LEFT JOIN uni u2 ON u2.w = ctx.w2
+      LEFT JOIN uni u3 ON u3.w = ctx.w3
+      CROSS JOIN nref
+    ),
+    scored AS (
+      SELECT doc_id,
+        CASE
+          WHEN w2 IS NULL THEN (1000000 * COALESCE(c_uni3, 0)) // n_ref
+          WHEN w1 IS NULL THEN
+            CASE WHEN c_bi23 IS NOT NULL THEN (1000000 * c_bi23) // c_uni2
+                 ELSE (400000 * COALESCE(c_uni3, 0)) // n_ref END
+          ELSE
+            CASE WHEN c_tri IS NOT NULL THEN (1000000 * c_tri) // c_ctx12
+                 WHEN c_bi23 IS NOT NULL THEN (400000 * c_bi23) // c_uni2
+                 ELSE (160000 * COALESCE(c_uni3, 0)) // n_ref END
+        END AS micro
+      FROM joined
+    )
+    SELECT doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_tokens,
+           CAST(SUM(micro) AS BIGINT) AS lm_score_sum,
+           CAST(SUM(micro) AS DOUBLE) / COUNT(*) AS lm_score_avg
+    FROM scored
+    GROUP BY doc_id
 """
