@@ -88,12 +88,21 @@ def skew_resilient_join(
     are detected with one extra groupBy (default threshold: left rows
     / 200 — a key holding >0.5% of the fact is hot).
 
-    Supports ``inner`` and ``left`` joins. Output columns = plain
-    ``left.join(right, on, how)``; row multiset is identical.
+    Supports ``inner``, ``left``, ``left_semi`` and ``left_anti`` joins.
+    Output columns = plain ``left.join(right, on, how)``; row multiset
+    is identical. The existence joins (semi/anti — the
+    referential-integrity shapes of operators/joins.py) hit the same
+    single-reducer wall on a hot key as inner joins do; their salted
+    path replicates only the DISTINCT heavy right keys per salt
+    (existence depends on the key alone), so (key, salt) exists iff
+    the key exists and per-salt lookups stay equivalent.
     """
     on = list(on)
-    if how not in ("inner", "left"):
-        raise ValueError(f"skew_resilient_join supports inner/left, got {how!r}")
+    if how not in ("inner", "left", "left_semi", "left_anti"):
+        raise ValueError(
+            "skew_resilient_join supports inner/left/left_semi/left_anti, "
+            f"got {how!r}"
+        )
     if heavy_keys is None:
         if heavy_threshold_rows is None:
             heavy_threshold_rows = max(1, left.count() // 200)
@@ -108,6 +117,10 @@ def skew_resilient_join(
     left_heavy = left.join(F.broadcast(heavy_keys), on, "left_semi")
     left_light = left.join(F.broadcast(heavy_keys), on, "left_anti")
     right_heavy = right.join(F.broadcast(heavy_keys), on, "left_semi")
+    if how in ("left_semi", "left_anti"):
+        # existence joins care only whether the key is present: collapse
+        # the heavy build side to distinct keys before replication
+        right_heavy = right_heavy.select(*on).distinct()
 
     light = left_light.join(right, on, how)
 

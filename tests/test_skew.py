@@ -1,6 +1,7 @@
 """Skew toolkit: the split+salt join must be row-multiset-identical to
-the plain join on a hot-keyed dataset (inner and left, duplicate right
-keys, missing right keys), and the profile must report the hot key."""
+the plain join on a hot-keyed dataset (inner/left/left_semi/left_anti,
+duplicate right keys, missing right keys), and the profile must report
+the hot key."""
 
 from __future__ import annotations
 
@@ -35,7 +36,7 @@ def _multiset(df):
     return Counter(tuple(r) for r in df.collect())
 
 
-@pytest.mark.parametrize("how", ["inner", "left"])
+@pytest.mark.parametrize("how", ["inner", "left", "left_semi", "left_anti"])
 def test_salted_join_equals_plain_join(spark, skewed, how):
     left, right = skewed
     plain = left.join(right, ["k"], how)
@@ -68,7 +69,7 @@ def test_skew_profile_reports_hot_key(spark, skewed):
     assert prof["suggested_salts"] == 10  # ceil(10_000 / 1_000)
 
 
-@pytest.mark.parametrize("how", ["inner", "left"])
+@pytest.mark.parametrize("how", ["inner", "left", "left_semi", "left_anti"])
 def test_salted_join_null_keys_and_all_heavy(spark, how):
     """Null join keys must follow plain-join semantics (dropped on
     inner, null-extended on left — they route through the light path
@@ -86,7 +87,7 @@ def test_salted_join_null_keys_and_all_heavy(spark, how):
     assert _multiset(salted) == _multiset(plain)
 
 
-@pytest.mark.parametrize("how", ["inner", "left"])
+@pytest.mark.parametrize("how", ["inner", "left", "left_semi", "left_anti"])
 def test_salted_join_composite_keys(spark, how):
     """Multi-column equality keys: parity with the plain join, heavy
     key auto-detected on the composite."""
