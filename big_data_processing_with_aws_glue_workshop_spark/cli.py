@@ -258,11 +258,36 @@ def cmd_agg_refresh(args: argparse.Namespace) -> None:
     )
 
 
+def _refresh_drift_report(spark, args, stats) -> dict | None:
+    """Shared --drift gate for the corpus refresh commands: PSI of the
+    increment's doc-length histogram against the maintained standing
+    histogram (operators/drift.py::update_drift_state — O(buckets) state,
+    no corpus re-read). The accepted delta of THIS refresh is re-read
+    (O(increment)); first refresh seeds the state and reports no PSI."""
+    if not args.drift or stats["accepted"] == 0:
+        return None
+    from .operators.drift import update_drift_state
+    from .streaming.sinks import read_pointer
+
+    pointer = read_pointer(args.target)
+    delta = spark.read.parquet(
+        os.path.join(args.target, f"accepted/delta_{pointer['batch_id']}")
+    )
+    return update_drift_state(
+        delta.withColumn("__len", F.length(args.text_col)),
+        os.path.join(args.target, "drift_hist.json"),
+        "__len",
+        key_col=args.drift_key,
+    )
+
+
 def cmd_dedup_refresh(args: argparse.Namespace) -> None:
     """Incremental corpus dedup (plans/incremental.py): digest newly-landed
     crawl files, drop duplicates within the increment (min-id wins) and
     against the standing corpus digest set (standing wins), append the
-    survivors — the corpus text is never re-read."""
+    survivors — the corpus text is never re-read. With --drift, the
+    increment's doc-length histogram is PSI-checked against the standing
+    distribution (ingest -> dedup -> drift gate, one command)."""
     from .plans.incremental import incremental_dedup_refresh
     from .sources.bookmarks import JobBookmark
 
@@ -276,6 +301,9 @@ def cmd_dedup_refresh(args: argparse.Namespace) -> None:
         id_col=args.id_col,
         text_col=args.text_col,
     )
+    drift = _refresh_drift_report(spark, args, stats)
+    if drift is not None:
+        stats["drift"] = drift
     _emit({"job": "dedup-refresh", **stats})
 
 
@@ -298,6 +326,9 @@ def cmd_neardup_refresh(args: argparse.Namespace) -> None:
         text_col=args.text_col,
         sim_threshold=args.sim_threshold,
     )
+    drift = _refresh_drift_report(spark, args, stats)
+    if drift is not None:
+        stats["drift"] = drift
     _emit({"job": "neardup-refresh", **stats})
 
 
@@ -475,6 +506,17 @@ def build_parser() -> argparse.ArgumentParser:
     dr.add_argument("--job-name", default="dedup-refresh")
     dr.add_argument("--id-col", default="doc_id")
     dr.add_argument("--text-col", default="text")
+    dr.add_argument(
+        "--drift",
+        action="store_true",
+        help="PSI-check the increment's doc-length histogram against the "
+        "maintained standing distribution (operators/drift.py)",
+    )
+    dr.add_argument(
+        "--drift-key",
+        default=None,
+        help="segment the drift histogram by this column (e.g. lang)",
+    )
     dr.set_defaults(func=cmd_dedup_refresh)
 
     nr = sub.add_parser(
@@ -489,6 +531,17 @@ def build_parser() -> argparse.ArgumentParser:
     nr.add_argument("--id-col", default="doc_id")
     nr.add_argument("--text-col", default="text")
     nr.add_argument("--sim-threshold", type=float, default=0.7)
+    nr.add_argument(
+        "--drift",
+        action="store_true",
+        help="PSI-check the increment's doc-length histogram against the "
+        "maintained standing distribution (operators/drift.py)",
+    )
+    nr.add_argument(
+        "--drift-key",
+        default=None,
+        help="segment the drift histogram by this column (e.g. lang)",
+    )
     nr.set_defaults(func=cmd_neardup_refresh)
 
     c = sub.add_parser(

@@ -86,3 +86,107 @@ def psi_drift(
             F.count(F.lit(1)).alias("n_buckets"),
         )
     )
+
+
+def _psi_from_counts(p_counts: dict, q_counts: dict, epsilon: float) -> float:
+    """Driver-side twin of ``psi_drift``'s per-key formula over two
+    bucket->count dicts — IDENTICAL shares/epsilon/ln algebra (pinned by
+    tests/test_drift.py interop), for the tiny maintained-state path
+    where a Spark job per refresh would be overhead."""
+    import math
+
+    p_tot = sum(p_counts.values()) or 1
+    q_tot = sum(q_counts.values()) or 1
+    psi = 0.0
+    for b in set(p_counts) | set(q_counts):
+        pe = max(p_counts.get(b, 0) / p_tot, epsilon)
+        qe = max(q_counts.get(b, 0) / q_tot, epsilon)
+        psi += (qe - pe) * math.log(qe / pe)
+    return psi
+
+
+def update_drift_state(
+    df: DataFrame,
+    state_path: str,
+    value_col: str,
+    key_col: str | None = None,
+    per_octave: int = 1,
+    epsilon: float = 1e-6,
+) -> dict:
+    """The refresh-CLI drift gate: maintain a log2-bucket histogram of
+    ``value_col`` at ``state_path`` (tiny JSON, atomic rename) and return
+    the per-key PSI of ``df``'s histogram against the state BEFORE this
+    increment is merged in.
+
+    This is the composition the module docstring describes, packaged for
+    ``dedup-refresh`` / ``neardup-refresh``: the baseline is the standing
+    histogram (bytes — one int per (key, bucket), never corpus text), the
+    candidate is the increment, so the drift check rides every refresh
+    for one groupBy over the increment plus a driver-side merge. Buckets
+    default to 1/octave per the granularity caveat above (coarse for
+    drift; keep fine-grained histograms for percentiles). The state pins
+    {value_col, key_col, per_octave} and refuses a mismatched reconfig —
+    histograms across calibrations are not comparable. Advisory-only
+    state: it sits OUTSIDE the corpus pointer flip, so a crash between
+    the flip and this write under-counts one increment's histogram —
+    acceptable for a drift signal, never for corpus contents.
+
+    Returns ``{"first_refresh", "psi": {key: psi}, "n_rows"}``.
+    """
+    import json
+    import os
+
+    from ..plans.incremental import log2_bucket
+    from ..util import atomic_write_json
+
+    key = F.col(key_col) if key_col else F.lit("all")
+    rows = (
+        df.select(
+            key.cast("string").alias("k"),
+            log2_bucket(F.col(value_col), per_octave=per_octave).alias("bucket"),
+        )
+        .filter(F.col("bucket").isNotNull())
+        .groupBy("k", "bucket")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    )
+    inc: dict = {}
+    for r in rows:
+        inc[(r["k"], r["bucket"])] = r["n"]
+
+    config = {"value_col": value_col, "key_col": key_col, "per_octave": per_octave}
+    standing: dict = {}
+    if os.path.exists(state_path):
+        with open(state_path) as f:
+            data = json.load(f)
+        stored = {k: data[k] for k in config}
+        if stored != config:
+            raise ValueError(
+                f"drift state {state_path!r} was built with {stored}, "
+                f"called with {config} — histograms across calibrations "
+                "are not comparable; match the stored config or remove "
+                "the state file"
+            )
+        standing = {(k, b): n for k, b, n in data["hist"]}
+
+    psi: dict = {}
+    if standing:
+        for kk in {k for k, _ in standing} | {k for k, _ in inc}:
+            psi[kk] = _psi_from_counts(
+                {b: n for (k, b), n in standing.items() if k == kk},
+                {b: n for (k, b), n in inc.items() if k == kk},
+                epsilon,
+            )
+
+    merged = dict(standing)
+    for kb, n in inc.items():
+        merged[kb] = merged.get(kb, 0) + n
+    atomic_write_json(
+        state_path,
+        {**config, "hist": sorted([k, b, n] for (k, b), n in merged.items())},
+    )
+    return {
+        "first_refresh": not standing,
+        "psi": psi,
+        "n_rows": sum(inc.values()),
+    }

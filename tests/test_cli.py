@@ -309,3 +309,51 @@ def test_cli_neardup_refresh(spark, tmp_path, capsys):
     }
     got = {r["doc_id"] for r in read_deduped(spark, str(tmp_path / "corpus")).collect()}
     assert got == {1, 2}
+
+
+def test_cli_dedup_refresh_drift_gate(spark, tmp_path, capsys):
+    """--drift: the first wave seeds the histogram state, the second
+    reports PSI against it — ingest -> dedup -> drift gate, one command."""
+    import json as _json
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from big_data_processing_with_aws_glue_workshop_spark.cli import main
+
+    landing = tmp_path / "crawl"
+    landing.mkdir()
+    args = [
+        "dedup-refresh",
+        "--pattern", str(landing / "*.parquet"),
+        "--bookmark", str(tmp_path / "bm.json"),
+        "--target", str(tmp_path / "corpus"),
+        "--drift",
+    ]
+
+    def land(name, rows):
+        pq.write_table(
+            pa.Table.from_pandas(
+                pd.DataFrame(rows, columns=["doc_id", "text"]),
+                preserve_index=False,
+            ),
+            str(landing / name),
+        )
+
+    land("c1.parquet", [(i, "word " * (8 + i % 3)) for i in range(40)])
+    main(args)
+    out1 = _json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert out1["drift"]["first_refresh"] and out1["drift"]["psi"] == {}
+
+    # second wave: same length distribution -> PSI reads stable
+    land("c2.parquet", [(100 + i, "term " * (8 + i % 3)) for i in range(40)])
+    main(args)
+    out2 = _json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert not out2["drift"]["first_refresh"]
+    assert out2["drift"]["psi"]["all"] < 0.10
+
+    # third wave: 16x longer docs -> significant drift
+    land("c3.parquet", [(200 + i, "token " * (128 + i % 3)) for i in range(40)])
+    main(args)
+    out3 = _json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert out3["drift"]["psi"]["all"] > 0.25

@@ -55,3 +55,47 @@ def test_psi_one_sided_key_and_new_bucket(spark):
     # new bucket 7 holds 5% of candidate mass vs epsilon baseline: large term
     assert rows["api"]["psi"] > 0.25
     assert rows["fresh"]["psi"] > 10  # entirely new key: maximal drift
+
+
+def test_update_drift_state_matches_psi_drift_interop(spark, tmp_path):
+    """The maintained-state driver-side PSI must equal the DataFrame
+    operator's PSI on the same histograms — one formula, two surfaces."""
+    from pyspark.sql import functions as F
+
+    from big_data_processing_with_aws_glue_workshop_spark.operators.drift import (
+        update_drift_state,
+    )
+    from big_data_processing_with_aws_glue_workshop_spark.plans.incremental import (
+        log2_bucket,
+    )
+
+    state = str(tmp_path / "drift_hist.json")
+    base = spark.range(2_000).select(
+        (F.pmod(F.col("id"), 37) + 3).cast("double").alias("v")
+    )
+    cand = spark.range(2_000).select(
+        ((F.pmod(F.col("id"), 37) + 3) * 4).cast("double").alias("v")
+    )
+    first = update_drift_state(base, state, "v", per_octave=1)
+    assert first["first_refresh"] and first["psi"] == {}
+    second = update_drift_state(cand, state, "v", per_octave=1)
+
+    def hist(df):
+        return (
+            df.select(
+                F.lit("all").alias("k"),
+                log2_bucket(F.col("v"), per_octave=1).alias("bucket"),
+            )
+            .groupBy("k", "bucket")
+            .agg(F.count(F.lit(1)).alias("n"))
+        )
+
+    df_psi = psi_drift(hist(base), hist(cand), ["k"]).collect()[0]["psi"]
+    assert abs(second["psi"]["all"] - df_psi) < 1e-12
+    assert second["psi"]["all"] > 0.25  # a genuine 4x shift reads as drift
+
+    # reconfiguring the bucketing against standing state is refused
+    import pytest
+
+    with pytest.raises(ValueError, match="calibration"):
+        update_drift_state(cand, state, "v", per_octave=8)
