@@ -1,0 +1,129 @@
+"""Round-over-round bench diff with the SCALE.md measurement regime
+baked in — the tool the r7 review reconstructed by hand.
+
+Compares two ``bench_detail.json``-shaped files (``{"value": total,
+"sf": ..., "queries": {name: sec}}``) and reports, per query: prior
+sec, current sec, ratio. Queries above the flag ratio AND the absolute
+floor are listed with the confirm-run protocol, because on this box
+contention noise is one-sided (runs are only ever slower than steady
+state) — a >1.5x driver-run outlier on an unchanged plan is usually
+measurement, not regression, and the regime says: quiet-box rerun
+FIRST, record the confirm in docs/SCALE.md, only then touch the plan.
+
+Usage:
+    python tools/bench_diff.py PRIOR.json [CURRENT.json] \
+        [--flag-ratio 1.5] [--abs-floor 0.2] [--fail-on-flagged]
+
+CURRENT defaults to ./bench_detail.json (the latest local run). Exit
+status is 0 unless --fail-on-flagged is given and flags exist.
+
+Quiet-box confirm for a flagged query NAME:
+
+    python - <<'PY'
+    import time
+    from big_data_processing_with_aws_glue_workshop_spark.session import get_session
+    from big_data_processing_with_aws_glue_workshop_spark.queries import QUERIES
+    from big_data_processing_with_aws_glue_workshop_spark import util
+    spark = get_session()
+    with util.keep_tracked_caches():
+        QUERIES["NAME"](spark, "/root/testdata/sf0.1").count()   # warm
+        t0 = time.time()
+        QUERIES["NAME"](spark, "/root/testdata/sf0.1").count()   # timed
+    print(time.time() - t0)
+    PY
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+
+
+def load_detail(path: str) -> dict:
+    with open(path) as f:
+        data = json.load(f)
+    if "queries" not in data or not isinstance(data["queries"], dict):
+        raise SystemExit(f"{path}: not a bench_detail file (no 'queries' map)")
+    return data
+
+
+def diff(prior: dict, current: dict, flag_ratio: float, abs_floor: float) -> dict:
+    p, c = prior["queries"], current["queries"]
+    common = sorted(set(p) & set(c))
+    rows = []
+    flagged = []
+    for name in common:
+        ratio = c[name] / p[name] if p[name] > 0 else float("inf")
+        rows.append((name, p[name], c[name], ratio))
+        if ratio > flag_ratio and (c[name] - p[name]) > abs_floor:
+            flagged.append(name)
+    return {
+        "common": common,
+        "rows": rows,
+        "flagged": flagged,
+        "added": sorted(set(c) - set(p)),
+        "removed": sorted(set(p) - set(c)),
+        "prior_common_total": sum(p[n] for n in common),
+        "current_common_total": sum(c[n] for n in common),
+    }
+
+
+def main(argv: list[str] | None = None) -> int:
+    ap = argparse.ArgumentParser(description=__doc__.splitlines()[0])
+    ap.add_argument("prior", help="prior round's bench_detail.json")
+    ap.add_argument("current", nargs="?", default="bench_detail.json")
+    ap.add_argument("--flag-ratio", type=float, default=1.5)
+    ap.add_argument(
+        "--abs-floor",
+        type=float,
+        default=0.2,
+        help="ignore ratio outliers whose absolute slowdown is below this "
+        "(sub-second queries ratio-flip on pure noise)",
+    )
+    ap.add_argument("--fail-on-flagged", action="store_true")
+    args = ap.parse_args(argv)
+
+    prior, current = load_detail(args.prior), load_detail(args.current)
+    d = diff(prior, current, args.flag_ratio, args.abs_floor)
+
+    pct = d["prior_common_total"] or 1.0
+    print(
+        f"common set ({len(d['common'])} queries): "
+        f"{d['current_common_total']:.2f}s vs {d['prior_common_total']:.2f}s "
+        f"= {d['current_common_total'] / pct:.2f}x"
+    )
+    if d["added"]:
+        print(f"added ({len(d['added'])}): {', '.join(d['added'])}")
+    if d["removed"]:
+        print(f"removed ({len(d['removed'])}): {', '.join(d['removed'])}")
+
+    slowest = sorted(d["rows"], key=lambda r: -r[2])[:10]
+    print("\nslowest current queries:")
+    for name, ps, cs, ratio in slowest:
+        print(f"  {name:40s} {cs:7.2f}s  (prior {ps:6.2f}s, {ratio:4.2f}x)")
+
+    if d["flagged"]:
+        print(
+            f"\nFLAGGED >{args.flag_ratio}x and >{args.abs_floor}s slower "
+            f"({len(d['flagged'])}):"
+        )
+        for name in d["flagged"]:
+            ps = prior["queries"][name]
+            cs = current["queries"][name]
+            print(f"  {name}: {ps:.2f}s -> {cs:.2f}s ({cs / ps:.2f}x)")
+        print(
+            "\nRegime (docs/SCALE.md): contention noise on this box is "
+            "one-sided, so confirm each flagged query with a quiet-box "
+            "warm+timed rerun (recipe in this tool's docstring) and record "
+            "the confirm in docs/SCALE.md BEFORE treating it as a plan "
+            "regression. git log the query's source: unchanged code + "
+            "clean confirm = suite noise, not a regression."
+        )
+    else:
+        print("\nno flagged regressions")
+    return 1 if (d["flagged"] and args.fail_on_flagged) else 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
