@@ -246,16 +246,28 @@ def cmd_agg_refresh(args: argparse.Namespace) -> None:
     n = incremental_agg_refresh(
         spark, bm, args.pattern, args.keys, aggs, args.target
     )
-    has_table = read_pointer(args.target) is not None
-    _emit(
-        {
-            "job": "agg-refresh",
-            "new_files": n,
-            "state_rows": read_refreshed(spark, args.target).count()
-            if has_table
-            else 0,
-        }
-    )
+    summary = {
+        "job": "agg-refresh",
+        "new_files": n,
+        "state_rows": read_refreshed(spark, args.target).count()
+        if read_pointer(args.target) is not None
+        else 0,
+    }
+    if args.drift_col and n > 0:
+        # O(increment) re-read of exactly the files this refresh merged
+        # (the pointer's healing list), histogrammed against the
+        # maintained standing distribution of --drift-col
+        from .operators.drift import update_drift_state
+
+        pointer = read_pointer(args.target)
+        inc = spark.read.parquet(*pointer["delta_files"])
+        summary["drift"] = update_drift_state(
+            inc,
+            os.path.join(args.target, "drift_hist.json"),
+            args.drift_col,
+            key_col=args.drift_key,
+        )
+    _emit(summary)
 
 
 def _refresh_drift_report(spark, args, stats) -> dict | None:
@@ -492,6 +504,17 @@ def build_parser() -> argparse.ArgumentParser:
         action="append",
         required=True,
         help="out=kind:col (kind: count|sum|min|max; col '*' with count)",
+    )
+    ar.add_argument(
+        "--drift-col",
+        default=None,
+        help="PSI-check this numeric fact column's histogram against the "
+        "maintained standing distribution (operators/drift.py)",
+    )
+    ar.add_argument(
+        "--drift-key",
+        default=None,
+        help="segment the drift histogram by this column",
     )
     ar.set_defaults(func=cmd_agg_refresh)
 

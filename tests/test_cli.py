@@ -357,3 +357,48 @@ def test_cli_dedup_refresh_drift_gate(spark, tmp_path, capsys):
     main(args)
     out3 = _json.loads(capsys.readouterr().out.strip().splitlines()[-1])
     assert out3["drift"]["psi"]["all"] > 0.25
+
+
+def test_cli_agg_refresh_drift_gate(spark, tmp_path, capsys):
+    """agg-refresh --drift-col: the refresh's own delta_files are re-read
+    (O(increment)) and PSI-checked against the maintained standing fact
+    distribution."""
+    import json as _json
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from big_data_processing_with_aws_glue_workshop_spark.cli import main
+
+    landing = tmp_path / "facts"
+    landing.mkdir()
+    args = [
+        "agg-refresh",
+        "--pattern", str(landing / "*.parquet"),
+        "--bookmark", str(tmp_path / "bm.json"),
+        "--target", str(tmp_path / "state"),
+        "--keys", "svc",
+        "--agg", "n=count:*",
+        "--agg", "total=sum:latency",
+        "--drift-col", "latency",
+    ]
+
+    def land(name, rows):
+        pq.write_table(
+            pa.Table.from_pandas(
+                pd.DataFrame(rows, columns=["svc", "latency"]),
+                preserve_index=False,
+            ),
+            str(landing / name),
+        )
+
+    land("f1.parquet", [("api", 10.0 + i % 7) for i in range(60)])
+    main(args)
+    out1 = _json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert out1["drift"]["first_refresh"]
+
+    land("f2.parquet", [("api", 160.0 + i % 7) for i in range(60)])
+    main(args)
+    out2 = _json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert out2["drift"]["psi"]["all"] > 0.25  # 16x latency shift = drift
+    assert out2["state_rows"] == 1  # the aggregate state itself still merged
