@@ -74,6 +74,15 @@ def incremental_refresh(
 
     sink = UpsertSink(target_dir, keys, order_col)
     pointer = read_pointer(target_dir)
+    if pointer is not None and "stream_checkpoint" in pointer:
+        raise ValueError(
+            f"target {target_dir!r} is owned by the streaming upsert path "
+            f"(checkpoint {pointer['stream_checkpoint']!r}); the batch "
+            "refresh's pointer+1 batch ids would collide with the "
+            "checkpoint's id sequence and break the replay guard — use a "
+            "separate target (the corpus dedup refreshes, which DO support "
+            "stream+batch interleave, key their idempotence separately)"
+        )
     next_batch = pointer["batch_id"] + 1 if pointer is not None else 0
     sink(delta, next_batch)
 

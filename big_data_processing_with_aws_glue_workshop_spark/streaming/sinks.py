@@ -90,10 +90,15 @@ class UpsertSink:
         target_dir: str,
         keys: Sequence[str],
         order_col: str | None = None,
+        checkpoint_dir: str | None = None,
     ) -> None:
         self.target_dir = target_dir
         self.keys = list(keys)
         self.order_col = order_col
+        # recorded in the pointer so later runs can enforce checkpoint
+        # identity (run_foreach_batch_upsert's guard) — a fresh checkpoint
+        # restarts batch ids and the replay guard would skip new data
+        self.checkpoint_dir = checkpoint_dir
 
     # -- pointer management ----------------------------------------------
 
@@ -141,7 +146,12 @@ class UpsertSink:
         else:
             merged = source
 
-        commit_snapshot(merged, self.target_dir, batch_id)
+        extra = (
+            {"stream_checkpoint": os.path.abspath(self.checkpoint_dir)}
+            if self.checkpoint_dir is not None
+            else None
+        )
+        commit_snapshot(merged, self.target_dir, batch_id, extra)
 
 
 def read_current(spark: SparkSession, target_dir: str) -> DataFrame:
@@ -166,15 +176,40 @@ def run_foreach_batch_upsert(
     Refuses to run WITHOUT a checkpoint against a target that already has
     committed batches: a fresh (or absent) checkpoint restarts batch ids at
     0, every batch would hit the replay guard, and new data would be
-    silently discarded instead of merged."""
-    sink = UpsertSink(target_dir, keys, order_col)
-    if checkpoint_dir is None and sink._read_pointer() is not None:
-        raise ValueError(
-            f"target {target_dir!r} has committed batches; running without a "
-            "checkpoint restarts batch ids at 0 and the idempotence guard "
-            "would silently skip all new data — pass the original "
-            "checkpoint_dir (or reset the target)"
-        )
+    silently discarded instead of merged. The pointer records the
+    checkpoint location on the first streamed commit, so a DIFFERENT
+    checkpoint (same failure mode, restarted ids) and a target owned by
+    the BATCH upsert path (plans/incremental.py — whose batch-id
+    sequence is pointer+1, incompatible with checkpoint ids) are both
+    refused loudly instead of silently dropping data."""
+    sink = UpsertSink(target_dir, keys, order_col, checkpoint_dir=checkpoint_dir)
+    pointer = sink._read_pointer()
+    if pointer is not None:
+        if checkpoint_dir is None:
+            raise ValueError(
+                f"target {target_dir!r} has committed batches; running without "
+                "a checkpoint restarts batch ids at 0 and the idempotence "
+                "guard would silently skip all new data — pass the original "
+                "checkpoint_dir (or reset the target)"
+            )
+        stored = pointer.get("stream_checkpoint")
+        if stored is None:
+            raise ValueError(
+                f"target {target_dir!r} was committed by the batch upsert "
+                "path (no stream_checkpoint in its pointer); streaming onto "
+                "it would compare checkpoint batch ids against the batch "
+                "sequence and silently skip data — use a separate target "
+                "(or reset it)"
+            )
+        if os.path.abspath(checkpoint_dir) != stored:
+            raise ValueError(
+                f"target {target_dir!r} has committed stream batches under "
+                f"checkpoint {stored!r}; a different checkpoint "
+                f"({os.path.abspath(checkpoint_dir)!r}) restarts batch ids "
+                "at 0 and the idempotence guard would silently skip all new "
+                "data — pass the original checkpoint_dir (or reset the "
+                "target)"
+            )
     writer = stream_df.writeStream.foreachBatch(sink)
     if checkpoint_dir is not None:
         writer = writer.option("checkpointLocation", checkpoint_dir)

@@ -693,3 +693,68 @@ def test_sessionize_late_event_never_regresses_session_bounds(spark, tmp_path):
     # start backward and did NOT drag the end (or the timer) to 10:05
     assert (s["session_start_ms"], s["session_end_ms"]) == (ms(5), ms(10))
     assert (s["n_events"], s["total_value"]) == (2, 3.0)
+
+
+def test_upsert_target_ownership_is_enforced(spark, tmp_path):
+    """r8 hardening of the sink-pointer protocol: a different stream
+    checkpoint, a stream run onto a batch-owned target, and a batch
+    refresh onto a stream-owned target are all refused loudly — each
+    would otherwise collide batch-id sequences and silently skip data."""
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    import pytest
+
+    from big_data_processing_with_aws_glue_workshop_spark.plans.incremental import (
+        incremental_refresh,
+    )
+    from big_data_processing_with_aws_glue_workshop_spark.sources.bookmarks import (
+        JobBookmark,
+    )
+    from big_data_processing_with_aws_glue_workshop_spark.streaming.sinks import (
+        UpsertSink,
+        run_foreach_batch_upsert,
+    )
+
+    landing = tmp_path / "in"
+    landing.mkdir()
+    pq.write_table(
+        pa.Table.from_pandas(
+            pd.DataFrame([(1, 10)], columns=["k", "v"]), preserve_index=False
+        ),
+        str(landing / "a.parquet"),
+    )
+
+    # stream-owned target
+    stream_target = str(tmp_path / "stream_table")
+    stream = spark.readStream.schema("k long, v long").parquet(str(landing))
+    run_foreach_batch_upsert(
+        stream, stream_target, ["k"], checkpoint_dir=str(tmp_path / "ckptA")
+    )
+    # different checkpoint refused
+    stream = spark.readStream.schema("k long, v long").parquet(str(landing))
+    with pytest.raises(ValueError, match="different checkpoint"):
+        run_foreach_batch_upsert(
+            stream, stream_target, ["k"], checkpoint_dir=str(tmp_path / "ckptB")
+        )
+    # batch refresh onto the stream-owned target refused
+    with pytest.raises(ValueError, match="streaming upsert path"):
+        incremental_refresh(
+            spark,
+            JobBookmark(str(tmp_path / "bm.json"), "j"),
+            str(landing / "*.parquet"),
+            lambda df: df,
+            stream_target,
+            keys=["k"],
+        )
+
+    # batch-owned target: streaming onto it refused even WITH a checkpoint
+    batch_target = str(tmp_path / "batch_table")
+    UpsertSink(batch_target, keys=["k"])(
+        spark.createDataFrame([(1, 10)], "k long, v long"), 0
+    )
+    stream = spark.readStream.schema("k long, v long").parquet(str(landing))
+    with pytest.raises(ValueError, match="batch upsert path"):
+        run_foreach_batch_upsert(
+            stream, batch_target, ["k"], checkpoint_dir=str(tmp_path / "ckptC")
+        )
