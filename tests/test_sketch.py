@@ -1,0 +1,145 @@
+"""Count-Min sketch (operators/sketch.py): never-underestimate (an
+exact invariant, not probabilistic), bounded overestimate on Zipf data,
+exact monoid merge, heavy-hitter recall 1.0 over candidates, and the
+selling point — the sketch rides incremental_agg_refresh as bounded
+frequency state."""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+
+from big_data_processing_with_aws_glue_workshop_spark.operators.sketch import (
+    cms_estimate,
+    cms_heavy_hitters,
+    cms_merge,
+    cms_sketch,
+)
+
+DEPTH, WIDTH = 5, 2048
+
+
+def _zipf(spark, n=30_000, offset=0):
+    # key k appears ~ n/k times: heavy head, long tail
+    return spark.range(n).select(
+        F.concat(
+            F.lit("key_"),
+            F.floor(
+                F.lit(500) / (F.pmod(F.xxhash64(F.col("id") + offset), 500) + 1)
+            ).cast("string"),
+        ).alias("k")
+    )
+
+
+def _truth(df):
+    return {
+        r["k"]: r["n"] for r in df.groupBy("k").agg(F.count("*").alias("n")).collect()
+    }
+
+
+def test_never_underestimates_and_bounded_overestimate(spark):
+    df = _zipf(spark)
+    truth = _truth(df)
+    sketch = cms_sketch(df, "k", depth=DEPTH, width=WIDTH)
+    assert sketch.count() <= DEPTH * WIDTH
+    est = {
+        r["k"]: r["est"]
+        for r in cms_estimate(sketch, df, "k", depth=DEPTH, width=WIDTH).collect()
+    }
+    n_total = sum(truth.values())
+    eps_n = (2.718 / WIDTH) * n_total  # the classic e/w bound
+    overs = [est[k] - truth[k] for k in truth]
+    assert all(o >= 0 for o in overs)  # exact invariant: never under
+    assert max(overs) <= eps_n  # deterministic with the fixed seed
+
+
+def test_merge_is_exactly_the_combined_sketch(spark):
+    a, b = _zipf(spark, 10_000, 0), _zipf(spark, 10_000, 7_777)
+    merged = cms_merge(
+        cms_sketch(a, "k", depth=DEPTH, width=WIDTH),
+        cms_sketch(b, "k", depth=DEPTH, width=WIDTH),
+    )
+    combined = cms_sketch(a.unionByName(b), "k", depth=DEPTH, width=WIDTH)
+    left = {(r["row"], r["bucket"]): r["n"] for r in merged.collect()}
+    right = {(r["row"], r["bucket"]): r["n"] for r in combined.collect()}
+    assert left == right  # monoid equality is exact, not approximate
+
+
+def test_heavy_hitters_perfect_recall_over_candidates(spark):
+    df = _zipf(spark)
+    sketch = cms_sketch(df, "k", depth=DEPTH, width=WIDTH)
+    truth = _truth(df)
+    threshold = 500
+    hot_true = {k for k, n in truth.items() if n >= threshold}
+    got = {
+        r["k"]
+        for r in cms_heavy_hitters(
+            sketch, df, "k", threshold, depth=DEPTH, width=WIDTH
+        ).collect()
+    }
+    assert hot_true <= got  # recall 1.0 by construction
+    # precision: false positives only from bounded overestimates
+    n_total = sum(truth.values())
+    eps_n = (2.718 / WIDTH) * n_total
+    assert all(truth[k] >= threshold - eps_n for k in got)
+
+
+def test_sketch_rides_incremental_agg_refresh(spark, tmp_path):
+    """The 100 TB story: (row, bucket) are ordinary group keys, n an
+    ordinary count — landing each wave's sketch PAIRS and running
+    incremental_agg_refresh maintains the sketch with O(increment)
+    reads and bounded state, exactly equal to a one-shot sketch of all
+    data ever landed."""
+    import pandas as pd  # noqa: F401  (pyarrow from_pandas path)
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from big_data_processing_with_aws_glue_workshop_spark.plans.incremental import (
+        incremental_agg_refresh,
+        read_refreshed,
+    )
+    from big_data_processing_with_aws_glue_workshop_spark.sources.bookmarks import (
+        JobBookmark,
+    )
+
+    landing = tmp_path / "pairs"
+    landing.mkdir()
+    bm = JobBookmark(str(tmp_path / "bm.json"), "cms")
+    target = str(tmp_path / "sketch_state")
+
+    waves = [_zipf(spark, 5_000, 0), _zipf(spark, 5_000, 999)]
+    for i, w in enumerate(waves):
+        pairs = w.select(
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(
+                            F.lit(r).alias("row"),
+                            F.pmod(
+                                F.xxhash64(F.lit(42 + r), "k"), F.lit(WIDTH)
+                            ).alias("bucket"),
+                        )
+                        for r in range(DEPTH)
+                    ]
+                )
+            ).alias("rb")
+        ).select("rb.row", "rb.bucket")
+        pq.write_table(
+            pa.Table.from_pandas(pairs.toPandas(), preserve_index=False),
+            str(landing / f"w{i}.parquet"),
+        )
+        incremental_agg_refresh(
+            spark,
+            bm,
+            str(landing / "*.parquet"),
+            ["row", "bucket"],
+            {"n": ("count", "*")},
+            target,
+        )
+
+    state = read_refreshed(spark, target)
+    oneshot = cms_sketch(
+        waves[0].unionByName(waves[1]), "k", depth=DEPTH, width=WIDTH
+    )
+    assert {(r["row"], r["bucket"]): r["n"] for r in state.collect()} == {
+        (r["row"], r["bucket"]): r["n"] for r in oneshot.collect()
+    }
