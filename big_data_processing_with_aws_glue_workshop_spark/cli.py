@@ -371,6 +371,48 @@ def cmd_bpe_learn(args: argparse.Namespace) -> None:
     )
 
 
+def cmd_lm_score(args: argparse.Namespace) -> None:
+    """Score every document under a Stupid-Backoff trigram LM
+    (operators/lm.py) whose count tables come from --reference (another
+    document table) or, absent that, from the scored corpus itself —
+    the model-based quality filter of the curation pipeline. Writes
+    (id, n_tokens, lm_score_sum, lm_score_avg) parquet."""
+    from .operators.lm import stupid_backoff_doc_scores, tokenize_positions
+
+    spark = get_session(app_name="lm-score")
+    ws = r"[ \t\n\f\r]+"  # the portable whitespace class (queries/textops.py)
+
+    def toks_of(df):
+        return tokenize_positions(
+            df, args.id_col, F.split(F.trim(F.lower(F.col(args.text_col))), ws)
+        )
+
+    docs = spark.read.parquet(args.input)
+    toks = toks_of(docs)
+    ref_toks = toks_of(spark.read.parquet(args.reference)) if args.reference else toks
+    scores = stupid_backoff_doc_scores(toks, ref_toks, id_col=args.id_col).cache()
+    try:
+        scores.write.mode("overwrite").parquet(args.output)
+        agg = scores.agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.avg("lm_score_avg").alias("mean_score"),
+            F.min("lm_score_avg").alias("min_score"),
+            F.max("lm_score_avg").alias("max_score"),
+        ).first()
+        _emit(
+            {
+                "job": "lm-score",
+                "output": args.output,
+                "n_docs": agg["n_docs"],
+                "mean_score": round(agg["mean_score"], 1) if agg["n_docs"] else None,
+                "min_score": agg["min_score"],
+                "max_score": agg["max_score"],
+            }
+        )
+    finally:
+        scores.unpersist()
+
+
 def cmd_compact(args: argparse.Namespace) -> None:
     """Small-file compaction of a (possibly hive-partitioned) parquet lake
     (operators/compaction.py): rewrite each oversized partition into
@@ -588,6 +630,24 @@ def build_parser() -> argparse.ArgumentParser:
     bp.add_argument("--n-merges", type=int, default=200)
     bp.add_argument("--min-pair-freq", type=int, default=2)
     bp.set_defaults(func=cmd_bpe_learn)
+
+    lm = sub.add_parser(
+        "lm-score",
+        help="score documents under a Stupid-Backoff trigram LM built "
+        "from a reference corpus (model-based quality filtering; "
+        "operators/lm.py)",
+    )
+    lm.add_argument("--input", required=True, help="documents parquet path")
+    lm.add_argument("--output", required=True, help="scores parquet path")
+    lm.add_argument(
+        "--reference",
+        default=None,
+        help="reference documents parquet (count-table corpus); defaults "
+        "to scoring the input against itself",
+    )
+    lm.add_argument("--id-col", default="doc_id")
+    lm.add_argument("--text-col", default="text")
+    lm.set_defaults(func=cmd_lm_score)
 
     q = sub.add_parser("query", help="run a registered engine query by name")
     q.add_argument("--name", default="pricing_summary")

@@ -402,3 +402,37 @@ def test_cli_agg_refresh_drift_gate(spark, tmp_path, capsys):
     out2 = _json.loads(capsys.readouterr().out.strip().splitlines()[-1])
     assert out2["drift"]["psi"]["all"] > 0.25  # 16x latency shift = drift
     assert out2["state_rows"] == 1  # the aggregate state itself still merged
+
+
+def test_cli_lm_score(spark, tmp_path, capsys):
+    """lm-score subcommand: reference-corpus count tables, scores written
+    as parquet, every input id present (empty-doc contract included)."""
+    import json as _json
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from big_data_processing_with_aws_glue_workshop_spark.cli import main
+
+    ref_rows = [(i, "the cat sat on the mat and the dog sat on the rug")
+                for i in range(10)]
+    doc_rows = [(100, "the cat sat on the rug"), (101, "rug the on cat mat sat")]
+    for name, rows in [("ref.parquet", ref_rows), ("docs.parquet", doc_rows)]:
+        pq.write_table(
+            pa.Table.from_pandas(
+                pd.DataFrame(rows, columns=["doc_id", "text"]),
+                preserve_index=False,
+            ),
+            str(tmp_path / name),
+        )
+    out = str(tmp_path / "scores")
+    main([
+        "lm-score",
+        "--input", str(tmp_path / "docs.parquet"),
+        "--output", out,
+        "--reference", str(tmp_path / "ref.parquet"),
+    ])
+    summary = _json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert summary["n_docs"] == 2
+    got = {r["doc_id"]: r["lm_score_avg"] for r in spark.read.parquet(out).collect()}
+    assert got[100] > got[101] > 0  # prose outranks token salad
