@@ -67,3 +67,63 @@ def test_in_distribution_text_outscores_shuffled_text(spark):
         for r in stupid_backoff_doc_scores(scored, ref).collect()
     }
     assert got[1] > got[2] > 0
+
+
+def test_randomized_parity_with_pure_python_reference(spark):
+    """Exact-parity pin (the BPE-style guard): on random corpora over a
+    small vocabulary, every doc's integer lm_score_sum equals an
+    independent pure-Python Stupid Backoff implementation, bit for bit."""
+    import random
+
+    rng = random.Random(20260814)
+    vocab = [f"w{i}" for i in range(12)]
+    docs = {
+        d: " ".join(rng.choice(vocab) for _ in range(rng.randint(1, 30)))
+        for d in range(60)
+    }
+    ref_ids = [d for d in docs if d % 3 == 0]
+
+    # pure-Python reference: count tables + the documented micro algebra
+    uni, bi, tri = {}, {}, {}
+    n_ref = 0
+    for d in ref_ids:
+        ws = docs[d].split()
+        n_ref += len(ws)
+        for i, w in enumerate(ws):
+            uni[w] = uni.get(w, 0) + 1
+            if i >= 1:
+                bi[(ws[i - 1], w)] = bi.get((ws[i - 1], w), 0) + 1
+            if i >= 2:
+                tri[(ws[i - 2], ws[i - 1], w)] = tri.get(
+                    (ws[i - 2], ws[i - 1], w), 0
+                ) + 1
+
+    def score(ws):
+        total = 0
+        for i, w in enumerate(ws):
+            if i == 0:
+                total += (1_000_000 * uni.get(w, 0)) // n_ref
+            elif i == 1:
+                if (ws[0], w) in bi:
+                    total += (1_000_000 * bi[(ws[0], w)]) // uni[ws[0]]
+                else:
+                    total += (400_000 * uni.get(w, 0)) // n_ref
+            else:
+                t = (ws[i - 2], ws[i - 1], w)
+                if t in tri:
+                    total += (1_000_000 * tri[t]) // bi[(ws[i - 2], ws[i - 1])]
+                elif (ws[i - 1], w) in bi:
+                    total += (400_000 * bi[(ws[i - 1], w)]) // uni[ws[i - 1]]
+                else:
+                    total += (160_000 * uni.get(w, 0)) // n_ref
+        return total
+
+    expected = {d: score(docs[d].split()) for d in docs}
+
+    toks = _toks(spark, [(d, t) for d, t in docs.items()])
+    ref = toks.filter(F.col("doc_id") % 3 == 0)
+    got = {
+        r["doc_id"]: r["lm_score_sum"]
+        for r in stupid_backoff_doc_scores(toks, ref).collect()
+    }
+    assert got == expected
