@@ -1,0 +1,98 @@
+"""Measure the Count-Min sketch against exact groupBy counting on a
+wide-key-domain Zipf workload: state size, build wall time, and
+head-key estimate accuracy, at growing row counts.
+
+Usage: python tools/sketch_probe.py [n_rows ...]   (default 2M 8M 32M)
+Prints one JSON line per size; paste into docs/SCALE.md.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import functions as F
+
+from big_data_processing_with_aws_glue_workshop_spark.operators.sketch import cms_estimate, cms_sketch
+from big_data_processing_with_aws_glue_workshop_spark.session import get_session
+
+DEPTH, WIDTH = 5, 65_536
+
+
+def zipf(spark, n):
+    # realistic URL/shingle shape: 90% of rows over a ~1000-key hot head
+    # (mass ~ 1/k), 10% a long tail of UNIQUE keys — distinct count
+    # ~n/10, which is what makes exact counting state corpus-scale
+    h = F.pmod(F.xxhash64("id"), F.lit(1000))
+    head = F.concat(
+        F.lit("hot_"),
+        F.floor(F.lit(1000.0) / (h.cast("double") + F.lit(1.0))).cast("string"),
+    )
+    tail = F.concat(F.lit("tail_"), F.col("id").cast("string"))
+    return spark.range(n).select(
+        F.when(F.pmod(F.xxhash64("id", F.lit(1)), F.lit(10)) < 9, head)
+        .otherwise(tail)
+        .alias("k")
+    )
+
+
+def probe(spark, n) -> dict:
+    df = zipf(spark, n).persist()
+    df.count()
+
+    t0 = time.time()
+    exact = df.groupBy("k").agg(F.count("*").alias("n"))
+    n_distinct = exact.count()
+    t_exact = time.time() - t0
+
+    t0 = time.time()
+    sketch = cms_sketch(df, "k", depth=DEPTH, width=WIDTH).persist()
+    state_rows = sketch.count()
+    t_sketch = time.time() - t0
+
+    # probe head keys (the ones heavy-hitter queries care about) plus a
+    # slice of the count-1 tail; the CMS guarantee is ABSOLUTE (eps*N),
+    # so the tail's relative error is meaningless by design
+    top = exact.orderBy(F.desc("n"), "k").limit(200).collect()
+    truth = {r["k"]: r["n"] for r in top}
+    keys_df = spark.createDataFrame([(k,) for k in truth], "k string")
+    est = {
+        r["k"]: r["est"]
+        for r in cms_estimate(sketch, keys_df, "k", depth=DEPTH, width=WIDTH).collect()
+    }
+    eps_n = (2.718 / WIDTH) * n
+    max_abs = max(est[k] - truth[k] for k in truth)
+    head = {k: c for k, c in truth.items() if c >= 1000}
+    head_rel = (
+        max((est[k] - truth[k]) / truth[k] for k in head) if head else None
+    )
+    df.unpersist()
+    sketch.unpersist()
+    return {
+        "n_rows": n,
+        "n_distinct": n_distinct,
+        "exact_sec": round(t_exact, 2),
+        "sketch_sec": round(t_sketch, 2),
+        "state_rows": state_rows,
+        "state_vs_distinct": round(state_rows / n_distinct, 4),
+        "max_abs_overestimate": max_abs,
+        "eps_n_bound": round(eps_n, 1),
+        "head_max_rel_overestimate": (
+            round(head_rel, 6) if head_rel is not None else None
+        ),
+    }
+
+
+def main() -> None:
+    sizes = [int(a) for a in sys.argv[1:]] or [2_000_000, 8_000_000, 32_000_000]
+    spark = get_session(app_name="sketch-probe")
+    for n in sizes:
+        print(json.dumps(probe(spark, n)))
+
+
+if __name__ == "__main__":
+    main()
