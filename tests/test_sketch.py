@@ -143,3 +143,68 @@ def test_sketch_rides_incremental_agg_refresh(spark, tmp_path):
     assert {(r["row"], r["bucket"]): r["n"] for r in state.collect()} == {
         (r["row"], r["bucket"]): r["n"] for r in oneshot.collect()
     }
+
+
+def test_streaming_sketch_sink_equals_oneshot(spark, tmp_path):
+    """Streaming composition: two drained waves through the foreachBatch
+    sink leave a standing sketch EXACTLY equal to a one-shot sketch of
+    all data; a replayed batch id is a no-op; a different checkpoint and
+    a recalibrated sink are refused."""
+    import pandas as pd  # noqa: F401
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    import pytest
+
+    from big_data_processing_with_aws_glue_workshop_spark.streaming.sketch import (
+        CmsSketchSink,
+        read_stream_sketch,
+        run_stream_cms_sketch,
+    )
+
+    landing = tmp_path / "stream_in"
+    landing.mkdir()
+    target = str(tmp_path / "sketch")
+    ckpt = str(tmp_path / "ckpt")
+    waves = [_zipf(spark, 4_000, 0), _zipf(spark, 4_000, 123)]
+
+    for i, w in enumerate(waves):
+        pq.write_table(
+            pa.Table.from_pandas(w.toPandas(), preserve_index=False),
+            str(landing / f"w{i}.parquet"),
+        )
+        stream = spark.readStream.schema("k string").parquet(str(landing))
+        run_stream_cms_sketch(
+            stream, target, "k", checkpoint_dir=ckpt, depth=DEPTH, width=WIDTH
+        )
+
+    standing = {
+        (r["row"], r["bucket"]): r["n"]
+        for r in read_stream_sketch(spark, target).collect()
+    }
+    oneshot = {
+        (r["row"], r["bucket"]): r["n"]
+        for r in cms_sketch(
+            waves[0].unionByName(waves[1]), "k", depth=DEPTH, width=WIDTH
+        ).collect()
+    }
+    assert standing == oneshot
+
+    # replayed batch id: no-op
+    sink = CmsSketchSink(target, "k", depth=DEPTH, width=WIDTH)
+    sink(waves[0], 0)
+    assert {
+        (r["row"], r["bucket"]): r["n"]
+        for r in read_stream_sketch(spark, target).collect()
+    } == oneshot
+
+    # fresh checkpoint refused
+    stream = spark.readStream.schema("k string").parquet(str(landing))
+    with pytest.raises(ValueError, match="different checkpoint"):
+        run_stream_cms_sketch(
+            stream, target, "k",
+            checkpoint_dir=str(tmp_path / "ckptB"), depth=DEPTH, width=WIDTH,
+        )
+
+    # recalibrated sink refused
+    with pytest.raises(ValueError, match="calibration mismatch"):
+        CmsSketchSink(target, "k", depth=DEPTH, width=WIDTH * 2)(waves[0], 99)
