@@ -106,3 +106,42 @@ def test_salted_join_composite_keys(spark, how):
     salted = skew_resilient_join(left, right, ["k1", "k2"], how=how, n_salts=4)
     assert salted.columns == plain.columns
     assert _multiset(salted) == _multiset(plain)
+
+
+@pytest.mark.parametrize("seed", [11, 22, 33])
+def test_salted_join_randomized_parity(spark, seed):
+    """Randomized-equality sweep (the graph-family test style): random
+    key domains, salt counts, thresholds and right-side duplication —
+    all four join types must stay row-multiset-identical to the plain
+    join."""
+    import random
+
+    rng = random.Random(seed)
+    n_left = rng.randint(200, 2_000)
+    domain = rng.randint(3, 40)
+    n_salts = rng.choice([2, 3, 8, 16])
+    left = spark.range(n_left).select(
+        F.when(F.col("id") % 3 == 0, rng.randrange(domain))
+        .otherwise(F.pmod(F.xxhash64("id", F.lit(seed)), domain))
+        .alias("k"),
+        F.col("id").alias("payload"),
+    )
+    # right side: random subset of the domain, some keys duplicated
+    right_rows = [
+        (k, f"d{k}_{i}")
+        for k in range(domain)
+        if rng.random() < 0.7
+        for i in range(rng.choice([1, 1, 2]))
+    ]
+    right = spark.createDataFrame(right_rows or [(0, "d0")], "k long, dim string")
+    for how in ("inner", "left", "left_semi", "left_anti"):
+        plain = left.join(right, ["k"], how)
+        salted = skew_resilient_join(
+            left,
+            right,
+            ["k"],
+            how=how,
+            n_salts=n_salts,
+            heavy_threshold_rows=rng.choice([0, 5, n_left // 10]),
+        )
+        assert _multiset(salted) == _multiset(plain), (how, seed)
