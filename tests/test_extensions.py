@@ -246,3 +246,30 @@ def test_semantic_contamination_matches_brute_force(spark, sf_dir):
         assert flag == (sim >= 0.9)
         if r["vec_id"] < 20:
             assert flag and sim > 0.999999
+
+
+def test_pq_topk_recall_and_exact_rerank(embeddings, spark, sf_dir):
+    """PQ-ADC ANN: recall@5 vs brute force; rerank makes every reported
+    cos_sim EXACT (equal to the brute-force value for shared pairs)."""
+    from big_data_processing_with_aws_glue_workshop_spark.extensions.pq import pq_topk
+
+    exact = QUERIES["cosine_topk"](spark, sf_dir).collect()
+    truth: dict[int, set[int]] = {}
+    sims: dict[tuple[int, int], float] = {}
+    for r in exact:
+        truth.setdefault(r["query_id"], set()).add(r["neighbor_id"])
+        sims[(r["query_id"], r["neighbor_id"])] = r["cos_sim"]
+
+    queries = embeddings.filter(F.col("vec_id") < 20)
+    approx = pq_topk(embeddings, queries, kneighbors=5, m=8, k=32, rerank=48)
+    got: dict[int, set[int]] = {}
+    for r in approx.collect():
+        got.setdefault(r["query_id"], set()).add(r["neighbor_id"])
+        key = (r["query_id"], r["neighbor_id"])
+        if key in sims:  # rerank recomputes the true cosine
+            assert abs(r["cos_sim"] - sims[key]) < 1e-12
+
+    hits = sum(len(got.get(q, set()) & t) for q, t in truth.items())
+    total = sum(len(t) for t in truth.values())
+    recall = hits / total
+    assert recall >= 0.7, f"PQ recall@5 too low: {recall:.2f}"
