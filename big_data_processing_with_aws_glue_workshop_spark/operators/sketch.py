@@ -141,3 +141,79 @@ def cms_heavy_hitters(
     return cms_estimate(
         sketch, candidates, key_col, depth=depth, width=width, seed=seed
     ).filter(F.col("est") >= threshold)
+
+
+# ---------------------------------------------------------------------------
+# HyperLogLog register table: the distinct-count twin of the CMS story
+# ---------------------------------------------------------------------------
+#
+# Spark's approx_count_distinct answers one-shot queries; what it cannot
+# do is MAINTAIN a distinct count across incremental refreshes without
+# re-reading history. An explicit HLL register table can: registers are
+# (register, max_rho) rows — a MAX MONOID — so the same
+# incremental_agg_refresh that maintains counts maintains distincts
+# ({"rho": ("max", "rho")}), and merging corpora is a groupBy max. All
+# JVM-side: the register index and rank come from xxhash64 bit tricks,
+# deterministic across engines and runs.
+
+
+def hll_register_pairs(
+    df: DataFrame, key_col: str, p: int = 12, seed: int = 42
+) -> DataFrame:
+    """Per input row: the (register, rho) pair of ``key_col``'s hash —
+    land these (or groupBy-max them) and the max monoid does the rest.
+    m = 2^p registers; rho = leading-zeros-of-suffix + 1 per the HLL
+    paper, computed from bin() length (bit-exact, no floats)."""
+    h = F.xxhash64(F.lit(seed), F.col(key_col))
+    m = 1 << p
+    # register = low p bits; suffix = the remaining 64-p bits (as a
+    # nonnegative value): rho = (64-p) - bitlength(suffix) + 1, with the
+    # all-zero suffix taking the max rank (64-p+1). length(bin(x)) for
+    # x > 0 is exactly its bit length; shiftrightunsigned keeps the
+    # suffix nonnegative.
+    suffix = F.shiftrightunsigned(h, p)
+    rho = F.when(suffix == 0, F.lit(64 - p + 1)).otherwise(
+        F.lit(64 - p + 1) - F.length(F.bin(suffix))
+    )
+    return df.filter(F.col(key_col).isNotNull()).select(
+        F.pmod(h, F.lit(m)).cast("int").alias("register"),
+        rho.cast("int").alias("rho"),
+    )
+
+
+def hll_sketch(df: DataFrame, key_col: str, p: int = 12, seed: int = 42) -> DataFrame:
+    """The register table: (register, rho) with rho = max rank seen —
+    at most 2^p rows regardless of cardinality."""
+    return (
+        hll_register_pairs(df, key_col, p=p, seed=seed)
+        .groupBy("register")
+        .agg(F.max("rho").alias("rho"))
+    )
+
+
+def hll_merge(a: DataFrame, b: DataFrame) -> DataFrame:
+    """Union + groupBy max — the monoid. Same (p, seed) required, as
+    with cms_merge."""
+    return a.unionByName(b).groupBy("register").agg(F.max("rho").alias("rho"))
+
+
+def hll_estimate(sketch: DataFrame, p: int = 12) -> float:
+    """Cardinality estimate from a register table (Flajolet et al. 2007
+    with the standard small-range linear-counting correction). One tiny
+    aggregate over <= 2^p rows; the only driver-side math is the final
+    closed-form arithmetic."""
+    import math
+
+    m = 1 << p
+    agg = sketch.agg(
+        F.sum(F.pow(F.lit(2.0), -F.col("rho"))).alias("s"),
+        F.count(F.lit(1)).alias("nz"),
+    ).first()
+    nonzero = agg["nz"] or 0
+    zeros = m - nonzero
+    s = (agg["s"] or 0.0) + zeros  # absent registers contribute 2^0
+    alpha = 0.7213 / (1.0 + 1.079 / m)
+    raw = alpha * m * m / s
+    if raw <= 2.5 * m and zeros:
+        return m * math.log(m / zeros)  # linear counting
+    return raw

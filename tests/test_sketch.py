@@ -208,3 +208,82 @@ def test_streaming_sketch_sink_equals_oneshot(spark, tmp_path):
     # recalibrated sink refused
     with pytest.raises(ValueError, match="calibration mismatch"):
         CmsSketchSink(target, "k", depth=DEPTH, width=WIDTH * 2)(waves[0], 99)
+
+
+def test_hll_estimate_accuracy_and_exact_merge(spark):
+    """HLL register table: estimate within the expected relative error
+    (~1.04/sqrt(m) std at p=12), merge register-exact vs the combined
+    sketch."""
+    from big_data_processing_with_aws_glue_workshop_spark.operators.sketch import (
+        hll_estimate,
+        hll_merge,
+        hll_sketch,
+    )
+
+    a = spark.range(0, 40_000).select(F.concat(F.lit("u"), "id").alias("k"))
+    b = spark.range(30_000, 70_000).select(F.concat(F.lit("u"), "id").alias("k"))
+
+    est_a = hll_estimate(hll_sketch(a, "k"))
+    assert abs(est_a - 40_000) / 40_000 < 0.05
+
+    merged = hll_merge(hll_sketch(a, "k"), hll_sketch(b, "k"))
+    combined = hll_sketch(a.unionByName(b), "k")
+    assert {
+        (r["register"], r["rho"]) for r in merged.collect()
+    } == {(r["register"], r["rho"]) for r in combined.collect()}
+    # true distinct of the union is 70k (overlap 30k..40k)
+    assert abs(hll_estimate(merged) - 70_000) / 70_000 < 0.05
+
+
+def test_hll_rides_incremental_agg_refresh(spark, tmp_path):
+    """Distinct counting across refreshes without re-reading history:
+    land each wave's register PAIRS, maintain with the max monoid, and
+    the standing state equals the one-shot sketch of everything."""
+    import pandas as pd  # noqa: F401
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from big_data_processing_with_aws_glue_workshop_spark.operators.sketch import (
+        hll_estimate,
+        hll_register_pairs,
+        hll_sketch,
+    )
+    from big_data_processing_with_aws_glue_workshop_spark.plans.incremental import (
+        incremental_agg_refresh,
+        read_refreshed,
+    )
+    from big_data_processing_with_aws_glue_workshop_spark.sources.bookmarks import (
+        JobBookmark,
+    )
+
+    landing = tmp_path / "pairs"
+    landing.mkdir()
+    bm = JobBookmark(str(tmp_path / "bm.json"), "hll")
+    target = str(tmp_path / "hll_state")
+
+    waves = [
+        spark.range(0, 20_000).select(F.concat(F.lit("u"), "id").alias("k")),
+        spark.range(15_000, 45_000).select(F.concat(F.lit("u"), "id").alias("k")),
+    ]
+    for i, w in enumerate(waves):
+        pq.write_table(
+            pa.Table.from_pandas(
+                hll_register_pairs(w, "k").toPandas(), preserve_index=False
+            ),
+            str(landing / f"w{i}.parquet"),
+        )
+        incremental_agg_refresh(
+            spark,
+            bm,
+            str(landing / "*.parquet"),
+            ["register"],
+            {"rho": ("max", "rho")},
+            target,
+        )
+
+    state = read_refreshed(spark, target)
+    oneshot = hll_sketch(waves[0].unionByName(waves[1]), "k")
+    assert {
+        (r["register"], r["rho"]) for r in state.collect()
+    } == {(r["register"], r["rho"]) for r in oneshot.collect()}
+    assert abs(hll_estimate(state) - 45_000) / 45_000 < 0.05
