@@ -217,3 +217,110 @@ def hll_estimate(sketch: DataFrame, p: int = 12) -> float:
     if raw <= 2.5 * m and zeros:
         return m * math.log(m / zeros)  # linear counting
     return raw
+
+
+# ---------------------------------------------------------------------------
+# Bloom filter: map-side membership for decontamination-scale anti-joins
+# ---------------------------------------------------------------------------
+#
+# The decontamination shape at 100 TB: "does this corpus shingle appear
+# in the benchmark set" is an anti-join of a corpus-scale probe side
+# against a small-but-not-tiny build side. A Bloom filter turns it into
+# a MAP-SIDE membership check: the benchmark's shingles compress to an
+# n_bits bitmap (built with one groupBy bit_or over word indexes), the
+# bitmap's <= n_bits/64 words broadcast-join to the probes, and only
+# bloom-positive probes reach the exact verify. Zero false negatives by
+# construction (tested as an exact invariant) — the filter can only
+# ADMIT extra candidates, never lose a contaminated one — and the
+# false-positive rate follows (1 - e^{-kn/m})^k. All JVM-side xxhash64
+# bit arithmetic, deterministic under the seed.
+
+
+def bloom_build(
+    df: DataFrame,
+    key_col: str,
+    n_bits: int = 1 << 20,
+    k: int = 5,
+    seed: int = 42,
+) -> DataFrame:
+    """Build the bitmap as a (word, bits) table: word = bit_index div 64,
+    bits = OR of the member masks — at most n_bits/64 rows, a BIT-OR
+    MONOID (mergeable and incrementally maintainable like the other
+    sketch states)."""
+    positions = df.filter(F.col(key_col).isNotNull()).select(
+        F.explode(
+            F.array(
+                *[
+                    F.pmod(F.xxhash64(F.lit(seed + i), F.col(key_col)), F.lit(n_bits))
+                    for i in range(k)
+                ]
+            )
+        ).alias("pos")
+    )
+    return (
+        positions.select(
+            (F.col("pos") / 64).cast("long").alias("word"),
+            # SQL shiftleft: the Python API wants a literal bit count,
+            # the SQL form accepts a column
+            F.expr("shiftleft(CAST(1 AS BIGINT), CAST(pos % 64 AS INT))").alias(
+                "mask"
+            ),
+        )
+        .groupBy("word")
+        .agg(F.bit_or("mask").alias("bits"))
+    )
+
+
+def bloom_probe(
+    bloom: DataFrame,
+    probes: DataFrame,
+    key_col: str,
+    n_bits: int = 1 << 20,
+    k: int = 5,
+    seed: int = 42,
+) -> DataFrame:
+    """Rows of ``probes`` whose key is bloom-POSITIVE (all k bits set).
+    The k probe positions broadcast-join the bitmap words — map-side on
+    the probe side, no shuffle of probe rows — and a key is positive iff
+    every one of its k (word, mask) lookups finds its bit. Feed the
+    output to an exact verify: positives are candidates, negatives are
+    PROVEN absent."""
+    cols = probes.columns
+    # per-row id so duplicate probe rows stay independent through the
+    # explode/group round trip (only used within this one plan)
+    pid = probes.withColumn("__rid", F.monotonically_increasing_id()).withColumn(
+        "__probe_bits",
+        F.array(
+            *[
+                F.pmod(F.xxhash64(F.lit(seed + i), F.col(key_col)), F.lit(n_bits))
+                for i in range(k)
+            ]
+        ),
+    )
+    exploded = pid.select(
+        "*",
+        F.explode("__probe_bits").alias("__pos"),
+    ).select(
+        "*",
+        (F.col("__pos") / 64).cast("long").alias("word"),
+        F.expr("shiftleft(CAST(1 AS BIGINT), CAST(__pos % 64 AS INT))").alias(
+            "__mask"
+        ),
+    )
+    hit = (
+        exploded.join(F.broadcast(bloom), "word", "left")
+        .withColumn(
+            "__hit",
+            (
+                F.bitwise_not(F.coalesce(F.col("bits"), F.lit(0).cast("long")))
+                .bitwiseAND(F.col("__mask"))
+                == 0
+            ).cast("int"),
+        )
+        .groupBy("__rid")
+        .agg(
+            F.sum("__hit").alias("__hits"),
+            *[F.first(c).alias(c) for c in cols],
+        )
+    )
+    return hit.filter(F.col("__hits") == k).select(*cols)

@@ -287,3 +287,50 @@ def test_hll_rides_incremental_agg_refresh(spark, tmp_path):
         (r["register"], r["rho"]) for r in state.collect()
     } == {(r["register"], r["rho"]) for r in oneshot.collect()}
     assert abs(hll_estimate(state) - 45_000) / 45_000 < 0.05
+
+
+def test_bloom_zero_false_negatives_and_bounded_fp(spark):
+    """Bloom membership: every true member is bloom-positive (exact
+    invariant), the false-positive rate on non-members is near the
+    (1 - e^{-kn/m})^k theory, and duplicate probe rows survive."""
+    from big_data_processing_with_aws_glue_workshop_spark.operators.sketch import (
+        bloom_build,
+        bloom_probe,
+    )
+
+    n_bits, k = 1 << 16, 5
+    members = spark.range(4_000).select(F.concat(F.lit("m"), "id").alias("s"))
+    bloom = bloom_build(members, "s", n_bits=n_bits, k=k)
+    assert bloom.count() <= n_bits // 64
+
+    # zero false negatives, including duplicated probe rows
+    dup_members = members.unionByName(members.limit(100))
+    pos = bloom_probe(bloom, dup_members, "s", n_bits=n_bits, k=k)
+    assert pos.count() == dup_members.count()
+
+    # false positives bounded: theory ~ (1 - e^{-kn/m})^k = 2.2% here
+    others = spark.range(10_000).select(F.concat(F.lit("x"), "id").alias("s"))
+    fp = bloom_probe(bloom, others, "s", n_bits=n_bits, k=k).count()
+    assert fp / 10_000 < 0.05
+
+
+def test_bloom_decontamination_flow_matches_exact_join(spark):
+    """The decontamination composition: bloom-positive candidates +
+    exact verify == the exact semi-join, with the bloom having filtered
+    the probe side map-side."""
+    from big_data_processing_with_aws_glue_workshop_spark.operators.sketch import (
+        bloom_build,
+        bloom_probe,
+    )
+
+    bench = spark.range(500).select(F.concat(F.lit("gram"), "id").alias("s"))
+    corpus = spark.range(20_000).select(
+        F.concat(F.lit("gram"), (F.col("id") * 7).cast("string")).alias("s")
+    )
+    bloom = bloom_build(bench, "s")
+    candidates = bloom_probe(bloom, corpus, "s")
+    verified = candidates.join(bench, "s", "left_semi")
+    exact = corpus.join(bench, "s", "left_semi")
+    assert sorted(r["s"] for r in verified.collect()) == sorted(
+        r["s"] for r in exact.collect()
+    )
