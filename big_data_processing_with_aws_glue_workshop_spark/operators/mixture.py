@@ -150,3 +150,49 @@ def write_epoch_shards(
         .write.mode("overwrite")
         .parquet(path)
     )
+
+
+def weighted_sample_without_replacement(
+    df: DataFrame,
+    weight_col: str,
+    k: int,
+    id_col: str = "doc_id",
+    group_cols: list | None = None,
+    seed: int = 42,
+) -> DataFrame:
+    """Deterministic weighted sampling WITHOUT replacement: keep k rows
+    (per group, if ``group_cols``) with probability proportional to
+    ``weight_col`` — the Efraimidis-Spirakis (2006) one-pass reservoir
+    recipe, the standard way to select a quality-weighted corpus subset
+    ("10M docs, biased toward high quality scores") distributed.
+
+    Each row draws u ~ Uniform(0,1) from a seeded hash of its id and
+    scores key = ln(u) / w (the log form of u^(1/w) — monotone-equal
+    and numerically safer); the k LARGEST keys per group are the
+    sample. One window per group — a shuffle on the group key only;
+    ungrouped callers get a single top-k (use a group column at large k
+    to avoid the single-partition global window, then stratify).
+
+    Zero/negative/null weights never selected (key -> -inf). The whole
+    construction is hash-deterministic: same seed, same ids, same
+    sample, independent of partitioning — pinned against a pure-Python
+    reference in tests/test_mixture.py.
+    """
+    from pyspark.sql import Window
+
+    groups = list(group_cols or [])
+    # u in (0, 1]: (h + 1) / MOD over the md5-derived uniform integer
+    u = (_id_hash(F.concat(F.col(id_col).cast("string"), F.lit(f"#{seed}"))) + 1) / (
+        float(_HASH_MOD)
+    )
+    w = F.col(weight_col).cast("double")
+    key = F.when(w > 0, F.log(u) / w).otherwise(F.lit(float("-inf")))
+    win = (
+        Window.partitionBy(*groups) if groups else Window.partitionBy(F.lit(1))
+    ).orderBy(F.col("__es_key").desc(), F.col(id_col))
+    return (
+        df.withColumn("__es_key", key)
+        .withColumn("__es_rank", F.row_number().over(win))
+        .filter((F.col("__es_rank") <= k) & (F.col("__es_key") != float("-inf")))
+        .drop("__es_key", "__es_rank")
+    )

@@ -154,3 +154,61 @@ def test_write_epoch_shards_is_the_global_permutation(spark, corpus, tmp_path):
         t = pq.read_table(os.path.join(out2, f)).to_pylist()
         seq2 += [(r["doc_id"], r["copy_idx"]) for r in t]
     assert seq2 == seq
+
+
+def test_weighted_sample_matches_python_reference_and_bias(spark):
+    """Efraimidis-Spirakis sampling: exact parity with a pure-Python
+    reference over the same hash construction (determinism under any
+    partitioning), per-group k, zero-weight exclusion — and the bias
+    property: across seeds, heavy rows are selected far more often."""
+    import hashlib
+    import math
+
+    from big_data_processing_with_aws_glue_workshop_spark.operators.mixture import (
+        weighted_sample_without_replacement,
+    )
+
+    rows = [(i, "g1" if i < 40 else "g2", float(1 + (i % 7))) for i in range(80)]
+    rows += [(900, "g1", 0.0), (901, "g2", 0.0)]  # never selected
+    df = spark.createDataFrame(rows, "doc_id long, grp string, w double")
+
+    def py_u(doc_id, seed):
+        h = int(hashlib.md5(f"{doc_id}#{seed}".encode()).hexdigest()[:15], 16)
+        return (h % 1_000_000 + 1) / 1_000_000.0
+
+    def py_sample(seed, k):
+        out = {}
+        for i, g, w in rows:
+            if w <= 0:
+                continue
+            key = math.log(py_u(i, seed)) / w
+            out.setdefault(g, []).append((-key, i))
+        return {
+            g: {i for _, i in sorted(v)[:k]} for g, v in out.items()
+        }
+
+    for seed in (1, 42, 99):
+        got = {}
+        sampled = weighted_sample_without_replacement(
+            df, "w", k=10, group_cols=["grp"], seed=seed
+        )
+        for r in sampled.collect():
+            got.setdefault(r["grp"], set()).add(r["doc_id"])
+        assert got == py_sample(seed, 10), seed
+        assert all(len(v) == 10 for v in got.values())
+        assert 900 not in got.get("g1", set()) and 901 not in got.get("g2", set())
+
+    # bias: over many seeds (pure-Python twin — same construction), a
+    # weight-7 row is selected as top-1 ~7x as often as a weight-1 row
+    heavy = {1: 0, 7: 0}
+    trials = 2000
+    for seed in range(trials):
+        best = max(
+            (math.log(py_u(i, seed)) / w, w)
+            for i, g, w in rows
+            if g == "g1" and w in (1.0, 7.0)
+        )
+        heavy[best[1]] += 1
+    ratio = heavy[7.0] / max(heavy[1.0], 1)
+    # g1 has ~6 rows of weight 7 and ~6 of weight 1 -> expected ratio ~7
+    assert 4.0 < ratio < 12.0, ratio
