@@ -686,6 +686,7 @@ def incremental_agg_refresh(
     aggs: dict[str, tuple[str, str]],
     target_dir: str,
     fmt: str = "parquet",
+    transform: Callable[[DataFrame], DataFrame] | None = None,
     **reader_options: str,
 ) -> int:
     """Maintain a per-key aggregate table from an append-only fact in
@@ -697,6 +698,14 @@ def incremental_agg_refresh(
     schema is pinned to the first refresh's aggregate dtypes (merge
     results are cast back), so readers see a stable table across
     refreshes.
+
+    ``transform`` (optional) maps each increment BEFORE the partial
+    aggregation — a row-wise expansion like ``hll_register_pairs`` /
+    CMS (row, bucket) pairs or a ``log2_bucket`` column, so sketch and
+    histogram states maintain directly from RAW fact files with no
+    pre-landing step. Must be deterministic and row-wise (each output
+    row derives from one input row) for the crash-replay contract to
+    carry over unchanged.
 
     Equivalence contract (pinned by tests/test_incremental.py): after any
     sequence of refreshes the state equals the one-shot
@@ -759,6 +768,8 @@ def incremental_agg_refresh(
     )
     if not new_files:
         return healed
+    if transform is not None:
+        new_df = transform(new_df)
     partial = new_df.groupBy(*keys).agg(
         *[
             _AGG_PARTIAL[kind](col).alias(out)

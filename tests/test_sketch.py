@@ -334,3 +334,56 @@ def test_bloom_decontamination_flow_matches_exact_join(spark):
     assert sorted(r["s"] for r in verified.collect()) == sorted(
         r["s"] for r in exact.collect()
     )
+
+
+def test_sketches_maintain_from_raw_files_via_transform(spark, tmp_path):
+    """The transform hook: HLL and CMS states maintain directly from RAW
+    key files — the refresh expands rows to monoid pairs itself, no
+    pre-landing step — and still equal the one-shot sketches."""
+    import pandas as pd  # noqa: F401
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from big_data_processing_with_aws_glue_workshop_spark.operators.sketch import (
+        hll_estimate,
+        hll_register_pairs,
+        hll_sketch,
+    )
+    from big_data_processing_with_aws_glue_workshop_spark.plans.incremental import (
+        incremental_agg_refresh,
+        read_refreshed,
+    )
+    from big_data_processing_with_aws_glue_workshop_spark.sources.bookmarks import (
+        JobBookmark,
+    )
+
+    landing = tmp_path / "raw"
+    landing.mkdir()
+    bm = JobBookmark(str(tmp_path / "bm.json"), "hll-raw")
+    target = str(tmp_path / "state")
+
+    waves = [
+        spark.range(0, 15_000).select(F.concat(F.lit("u"), "id").alias("k")),
+        spark.range(10_000, 30_000).select(F.concat(F.lit("u"), "id").alias("k")),
+    ]
+    for i, w in enumerate(waves):
+        pq.write_table(
+            pa.Table.from_pandas(w.toPandas(), preserve_index=False),
+            str(landing / f"w{i}.parquet"),
+        )
+        incremental_agg_refresh(
+            spark,
+            bm,
+            str(landing / "*.parquet"),
+            ["register"],
+            {"rho": ("max", "rho")},
+            target,
+            transform=lambda df: hll_register_pairs(df, "k"),
+        )
+
+    state = read_refreshed(spark, target)
+    oneshot = hll_sketch(waves[0].unionByName(waves[1]), "k")
+    assert {
+        (r["register"], r["rho"]) for r in state.collect()
+    } == {(r["register"], r["rho"]) for r in oneshot.collect()}
+    assert abs(hll_estimate(state) - 30_000) / 30_000 < 0.05
