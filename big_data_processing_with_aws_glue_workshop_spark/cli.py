@@ -229,22 +229,36 @@ def cmd_agg_refresh(args: argparse.Namespace) -> None:
     """Incremental aggregate maintenance (plans/incremental.py): monoid-
     merge per-key partials from newly-landed files into the stored state —
     the materialized view never re-reads the fact. --agg out=kind:col,
-    e.g. --agg n=count:* --agg total=sum:amount."""
+    e.g. --agg n=count:* --agg total=sum:amount. --hll-key COL instead
+    maintains a distinct-count HLL register table of COL (the max-monoid
+    sketch from operators/sketch.py) and reports the running estimate."""
     from .plans.incremental import incremental_agg_refresh, read_refreshed
     from .sources.bookmarks import JobBookmark
     from .streaming.sinks import read_pointer
 
-    aggs: dict[str, tuple[str, str]] = {}
-    for spec in args.agg:
-        out, _, kindcol = spec.partition("=")
-        kind, _, col = kindcol.partition(":")
-        if not (out and kind and col):
-            raise SystemExit(f"bad --agg spec {spec!r}; want out=kind:col")
-        aggs[out] = (kind, col)
+    transform = None
+    if args.hll_key:
+        if args.keys or args.agg:
+            raise SystemExit("--hll-key replaces --keys/--agg; pass only one")
+        from .operators.sketch import hll_register_pairs
+
+        keys, aggs = ["register"], {"rho": ("max", "rho")}
+        transform = lambda df: hll_register_pairs(df, args.hll_key)  # noqa: E731
+    else:
+        if not (args.keys and args.agg):
+            raise SystemExit("--keys and --agg are required (or use --hll-key)")
+        keys = args.keys
+        aggs = {}
+        for spec in args.agg:
+            out, _, kindcol = spec.partition("=")
+            kind, _, col = kindcol.partition(":")
+            if not (out and kind and col):
+                raise SystemExit(f"bad --agg spec {spec!r}; want out=kind:col")
+            aggs[out] = (kind, col)
     spark = get_session(app_name="agg-refresh")
     bm = JobBookmark(args.bookmark, args.job_name)
     n = incremental_agg_refresh(
-        spark, bm, args.pattern, args.keys, aggs, args.target
+        spark, bm, args.pattern, keys, aggs, args.target, transform=transform
     )
     summary = {
         "job": "agg-refresh",
@@ -253,6 +267,12 @@ def cmd_agg_refresh(args: argparse.Namespace) -> None:
         if read_pointer(args.target) is not None
         else 0,
     }
+    if args.hll_key and read_pointer(args.target) is not None:
+        from .operators.sketch import hll_estimate
+
+        summary["distinct_estimate"] = round(
+            hll_estimate(read_refreshed(spark, args.target)), 1
+        )
     if args.drift_col and n > 0:
         # O(increment) re-read of exactly the files this refresh merged
         # (the pointer's healing list), histogrammed against the
@@ -540,12 +560,18 @@ def build_parser() -> argparse.ArgumentParser:
     ar.add_argument("--bookmark", required=True, help="bookmark state file")
     ar.add_argument("--job-name", default="agg-refresh")
     ar.add_argument("--target", required=True, help="state table dir")
-    ar.add_argument("--keys", nargs="+", required=True)
+    ar.add_argument("--keys", nargs="+", default=None)
     ar.add_argument(
         "--agg",
         action="append",
-        required=True,
+        default=None,
         help="out=kind:col (kind: count|sum|min|max; col '*' with count)",
+    )
+    ar.add_argument(
+        "--hll-key",
+        default=None,
+        help="maintain a distinct-count HLL register table of this "
+        "column instead of --keys/--agg (operators/sketch.py)",
     )
     ar.add_argument(
         "--drift-col",

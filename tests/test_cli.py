@@ -436,3 +436,44 @@ def test_cli_lm_score(spark, tmp_path, capsys):
     assert summary["n_docs"] == 2
     got = {r["doc_id"]: r["lm_score_avg"] for r in spark.read.parquet(out).collect()}
     assert got[100] > got[101] > 0  # prose outranks token salad
+
+
+def test_cli_agg_refresh_hll_distinct_state(spark, tmp_path, capsys):
+    """agg-refresh --hll-key: a distinct-count register table maintained
+    across waves from raw files, reporting the running estimate."""
+    import json as _json
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from big_data_processing_with_aws_glue_workshop_spark.cli import main
+
+    landing = tmp_path / "facts"
+    landing.mkdir()
+    args = [
+        "agg-refresh",
+        "--pattern", str(landing / "*.parquet"),
+        "--bookmark", str(tmp_path / "bm.json"),
+        "--target", str(tmp_path / "state"),
+        "--hll-key", "url",
+    ]
+
+    def land(name, lo, hi):
+        pq.write_table(
+            pa.Table.from_pandas(
+                pd.DataFrame({"url": [f"u{i}" for i in range(lo, hi)]}),
+                preserve_index=False,
+            ),
+            str(landing / name),
+        )
+
+    land("w0.parquet", 0, 20_000)
+    main(args)
+    out1 = _json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert abs(out1["distinct_estimate"] - 20_000) / 20_000 < 0.05
+
+    land("w1.parquet", 15_000, 45_000)  # overlap: union distinct = 45k
+    main(args)
+    out2 = _json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert abs(out2["distinct_estimate"] - 45_000) / 45_000 < 0.05
+    assert out2["state_rows"] <= 4096  # bounded register table
