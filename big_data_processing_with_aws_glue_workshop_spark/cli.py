@@ -257,6 +257,7 @@ def cmd_agg_refresh(args: argparse.Namespace) -> None:
             aggs[out] = (kind, col)
     spark = get_session(app_name="agg-refresh")
     bm = JobBookmark(args.bookmark, args.job_name)
+    pointer_before = read_pointer(args.target)
     n = incremental_agg_refresh(
         spark, bm, args.pattern, keys, aggs, args.target, transform=transform
     )
@@ -273,13 +274,21 @@ def cmd_agg_refresh(args: argparse.Namespace) -> None:
         summary["distinct_estimate"] = round(
             hll_estimate(read_refreshed(spark, args.target)), 1
         )
-    if args.drift_col and n > 0:
+    # drift gate only when THIS invocation merged a new increment (the
+    # pointer's batch_id advanced) — `n > 0` alone also covers heal-only
+    # runs, which would re-read the PREVIOUS increment's delta_files and
+    # double-count it into the drift histogram
+    pointer = read_pointer(args.target)
+    merged_new = pointer is not None and (
+        pointer_before is None
+        or pointer["batch_id"] != pointer_before["batch_id"]
+    )
+    if args.drift_col and merged_new:
         # O(increment) re-read of exactly the files this refresh merged
         # (the pointer's healing list), histogrammed against the
         # maintained standing distribution of --drift-col
         from .operators.drift import update_drift_state
 
-        pointer = read_pointer(args.target)
         inc = spark.read.parquet(*pointer["delta_files"])
         summary["drift"] = update_drift_state(
             inc,

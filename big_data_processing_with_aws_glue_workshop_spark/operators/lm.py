@@ -119,6 +119,13 @@ def stupid_backoff_doc_scores(
     """
     uni, bi, tri = ngram_count_tables(ref_toks, id_col=id_col)
     n_ref = ref_toks.count()
+    if n_ref == 0:
+        # every `div n_ref` readout would be NULL: documents would silently
+        # emit NULL lm_score_sum instead of failing loudly
+        raise ValueError(
+            "stupid_backoff_doc_scores: empty reference token stream "
+            "(n_ref == 0) — the count tables cannot score anything"
+        )
 
     w = Window.partitionBy(id_col).orderBy("pos")
     scored = toks.select(

@@ -280,47 +280,35 @@ def bloom_probe(
     seed: int = 42,
 ) -> DataFrame:
     """Rows of ``probes`` whose key is bloom-POSITIVE (all k bits set).
-    The k probe positions broadcast-join the bitmap words — map-side on
-    the probe side, no shuffle of probe rows — and a key is positive iff
-    every one of its k (word, mask) lookups finds its bit. Feed the
-    output to an exact verify: positives are candidates, negatives are
-    PROVEN absent."""
+    Each of the k hash positions broadcast-joins the bitmap words — k
+    map-side hash joins chained in ONE stage, no shuffle of probe rows,
+    no per-row id (a prior explode/groupBy formulation needed a
+    monotonically_increasing_id, which task retries can reassign; the
+    chained-join shape is deterministic by construction and keeps
+    duplicate probe rows independent for free). Every internal column is
+    __-prefixed on both sides, so probe frames may themselves carry
+    ``word``/``bits`` columns. Feed the output to an exact verify:
+    positives are candidates, negatives are PROVEN absent."""
     cols = probes.columns
-    # per-row id so duplicate probe rows stay independent through the
-    # explode/group round trip (only used within this one plan)
-    pid = probes.withColumn("__rid", F.monotonically_increasing_id()).withColumn(
-        "__probe_bits",
-        F.array(
-            *[
-                F.pmod(F.xxhash64(F.lit(seed + i), F.col(key_col)), F.lit(n_bits))
-                for i in range(k)
-            ]
-        ),
-    )
-    exploded = pid.select(
-        "*",
-        F.explode("__probe_bits").alias("__pos"),
-    ).select(
-        "*",
-        (F.col("__pos") / 64).cast("long").alias("word"),
-        F.expr("shiftleft(CAST(1 AS BIGINT), CAST(__pos % 64 AS INT))").alias(
-            "__mask"
-        ),
-    )
-    hit = (
-        exploded.join(F.broadcast(bloom), "word", "left")
-        .withColumn(
-            "__hit",
-            (
-                F.bitwise_not(F.coalesce(F.col("bits"), F.lit(0).cast("long")))
-                .bitwiseAND(F.col("__mask"))
-                == 0
-            ).cast("int"),
+    out = probes
+    conds = []
+    for i in range(k):
+        pos = F.pmod(F.xxhash64(F.lit(seed + i), F.col(key_col)), F.lit(n_bits))
+        out = out.withColumn(f"__pos{i}", pos)
+        side = bloom.select(
+            F.col("word").alias(f"__word{i}"), F.col("bits").alias(f"__bits{i}")
         )
-        .groupBy("__rid")
-        .agg(
-            F.sum("__hit").alias("__hits"),
-            *[F.first(c).alias(c) for c in cols],
+        out = out.join(
+            F.broadcast(side),
+            (F.col(f"__pos{i}") / 64).cast("long") == F.col(f"__word{i}"),
+            "left",
         )
-    )
-    return hit.filter(F.col("__hits") == k).select(*cols)
+        mask = F.expr(f"shiftleft(CAST(1 AS BIGINT), CAST(__pos{i} % 64 AS INT))")
+        conds.append(
+            F.coalesce(F.col(f"__bits{i}"), F.lit(0).cast("long")).bitwiseAND(mask)
+            != 0
+        )
+    hit = conds[0]
+    for c in conds[1:]:
+        hit = hit & c
+    return out.filter(hit).select(*cols)

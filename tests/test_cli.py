@@ -403,6 +403,23 @@ def test_cli_agg_refresh_drift_gate(spark, tmp_path, capsys):
     assert out2["drift"]["psi"]["all"] > 0.25  # 16x latency shift = drift
     assert out2["state_rows"] == 1  # the aggregate state itself still merged
 
+    # r8 advisory regression: a HEAL-ONLY run (crash lost the bookmark
+    # commit; the pointer shows f2 already merged) reports n > 0 but must
+    # NOT re-histogram the previous increment into the drift state
+    bm_path = tmp_path / "bm.json"
+    bm_state = _json.loads(bm_path.read_text())
+    job = next(iter(bm_state))
+    bm_state[job]["processed_files"] = [
+        f for f in bm_state[job]["processed_files"] if "f2" not in f
+    ]
+    bm_path.write_text(_json.dumps(bm_state))
+    hist_before = (tmp_path / "state" / "drift_hist.json").read_text()
+    main(args)
+    out3 = _json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert out3["new_files"] == 1  # the heal
+    assert "drift" not in out3  # gate did not fire
+    assert (tmp_path / "state" / "drift_hist.json").read_text() == hist_before
+
 
 def test_cli_lm_score(spark, tmp_path, capsys):
     """lm-score subcommand: reference-corpus count tables, scores written

@@ -127,3 +127,14 @@ def test_randomized_parity_with_pure_python_reference(spark):
         for r in stupid_backoff_doc_scores(toks, ref).collect()
     }
     assert got == expected
+
+
+def test_empty_reference_corpus_raises(spark):
+    """r8 advisory regression: an empty reference token stream (n_ref=0)
+    must fail loudly instead of silently emitting NULL scores."""
+    import pytest
+
+    ref = _toks(spark, [(0, "a b")]).filter(F.lit(False))
+    scored = _toks(spark, [(1, "a b c")])
+    with pytest.raises(ValueError, match="empty reference"):
+        stupid_backoff_doc_scores(scored, ref)

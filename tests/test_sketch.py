@@ -314,6 +314,27 @@ def test_bloom_zero_false_negatives_and_bounded_fp(spark):
     assert fp / 10_000 < 0.05
 
 
+def test_bloom_probe_tolerates_word_and_bits_probe_columns(spark):
+    """r8 advisory regression: the probe path's internals are all
+    __-prefixed, so a probes frame that ALREADY carries ``word`` /
+    ``bits`` columns joins cleanly and keeps them untouched."""
+    from big_data_processing_with_aws_glue_workshop_spark.operators.sketch import (
+        bloom_build,
+        bloom_probe,
+    )
+
+    members = spark.range(200).select(F.concat(F.lit("m"), "id").alias("s"))
+    bloom = bloom_build(members, "s")
+    probes = members.select(
+        "s", F.lit("w").alias("word"), F.lit(7).alias("bits")
+    )
+    out = bloom_probe(bloom, probes, "s")
+    assert out.columns == ["s", "word", "bits"]
+    rows = out.collect()
+    assert len(rows) == 200
+    assert all(r["word"] == "w" and r["bits"] == 7 for r in rows)
+
+
 def test_bloom_decontamination_flow_matches_exact_join(spark):
     """The decontamination composition: bloom-positive candidates +
     exact verify == the exact semi-join, with the bloom having filtered
