@@ -177,6 +177,12 @@ def weighted_sample_without_replacement(
     construction is hash-deterministic: same seed, same ids, same
     sample, independent of partitioning — pinned against a pure-Python
     reference in tests/test_mixture.py.
+
+    Cross-engine oracle status (measured, tools/weighted_sample_probe.py
+    + docs/SCALE.md r9): IEEE ``ln`` disagrees with DuckDB's on ~5-7% of
+    keys by up to 2 ulp, so the KEY column must never be exposed in a
+    driver-hash-oracled query; selection membership is safe by an 8-11
+    order-of-magnitude adjacent-gap margin.
     """
     from pyspark.sql import Window
 

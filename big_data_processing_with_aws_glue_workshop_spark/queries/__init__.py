@@ -11,34 +11,37 @@ ORDERING CONTRACT: the correctness driver scores the first 50 registry
 entries in iteration order. The registry is therefore laid out explicitly:
 
 - ``_SCORED`` (exactly 50 names): the window the driver scores this round,
-  oracle-backed wherever SQL can express the semantics. Exactly two scored
-  entries are rows-only BY DESIGN this round: ``approx_distinct_profile``
-  (HLL sketch — engine-specific estimates, error bound pytest-pinned) and
+  oracle-backed wherever SQL can express the semantics. The scored
+  rows-only-BY-DESIGN set is no longer hand-written here — it is DERIVED
+  as ``set(_SCORED) - set(_ALL_ORACLES)`` and raise-checked below against
+  the documented allowlist ``_SCORED_NO_ORACLE`` (the r8 verdict's "What's
+  wrong #1": two consecutive rounds had this paragraph drift from the
+  tuples, so the tuples are now the source of truth). This round the
+  derived set is ``approx_distinct_profile`` (HLL sketch —
+  engine-specific estimates, error bound pytest-pinned) and
   ``bernoulli_sample`` (engine RNG; its oracle-backed twin
-  ``deterministic_sample`` is scored alongside it). The ANN pair
-  (``ann_lsh_topk``/``ivf_ann_topk``, recall pytest-pinned) sits in the
-  tail this round.
+  ``deterministic_sample`` is scored alongside it); the ANN pair
+  (``ann_lsh_topk``/``ivf_ann_topk``, recall pytest-pinned) rotated to
+  the tail with the rest of the r8 window.
 - ``_TAIL`` (unscored, still registered): every tail query is gated by
   tests/test_queries_oracle.py on every pytest run — oracle-backed ones
   hash-checked, the rest rows-only.
 - ``_RETIRED`` (holds ``doc_fingerprint``, ``tumbling_windows``,
-  ``sliding_windows``, ``ngram_jaccard_pairs`` and
-  ``embedding_near_dup_pairs`` today): the retirement mechanism for when
-  the two-round arithmetic below stops fitting — a retired query keeps
-  its implementation and pytest oracle coverage but leaves the driver
-  registry.
+  ``sliding_windows``, ``ngram_jaccard_pairs``,
+  ``embedding_near_dup_pairs`` and ``interval_join_batch`` today): the
+  retirement mechanism for when the two-round arithmetic below stops
+  fitting — a retired query keeps its implementation and pytest oracle
+  coverage but leaves the driver registry.
 
 ROTATION POLICY (two-round cadence) and its arithmetic: a query whose
 driver row was fully green in round N-1 may rotate to the tail in round
 N; every query returns to the window within two rounds of its last
 driver row. With a 50-slot window this is satisfiable **iff the
 registered surface stays ≤ 100** (two disjoint windows cover at most 100
-queries in two rounds). The LIVE surface after the round-8 rotation is
-100: the r7 surface was 100 (50 scored + 50 tail — the r7 docstring's
-"99" sentence undercounted by omitting the 1:1 ``shared_substring_pairs``
-swap it itself described; the invariants below always held at 100), − 2
-r8 retirements + 2 r8 tail additions. The ceiling remains effectively
-REACHED: every addition must be matched 1:1 by a retirement. Standing
+queries in two rounds). The LIVE surface after the round-9 rotation is
+100: the r8 surface was 100, − 1 r9 retirement + 1 r9 tail addition.
+The ceiling remains effectively REACHED: every addition must be matched
+1:1 by a retirement. Standing
 decision (resolving the r5 verdict's "What's wrong #3"): the two-round
 promise stays; the round that would push the surface past 100 must
 either add fewer queries or move superseded ones to ``_RETIRED``
@@ -48,45 +51,44 @@ operator family (cube, ntile, as-of join, JSON extraction, connected
 components) and the composed flagships (training_pipeline_summary, the
 clustered embedding scale path) stay in.
 
-Round-8 rotation (applied this round — the exact plan the r7
+Round-9 rotation (applied this round — the exact plan the r8
 feasibility check prescribed, with zero slack: 50 due-back promotions,
 zero keeps, zero new scored-from-day-one queries):
-- promoted, returning r7 demotions (44, last driver row r6): every
-  name from the r7 demotion list.
-- promoted, first driver rows (6): the five final-r6 tail queries
-  (``sole_late_supplier_blame``, ``large_volume_customers``,
-  ``copurchase_pagerank``, ``copurchase_triangle_census``,
-  ``copurchase_seed_affinity``) and the r7 tail addition
-  ``shared_substring_pairs`` — all oracle-gated by the pytest gate
-  since they landed, and pre-verified against the driver's stringified
-  multiset compare via ``tools/driver_hash_check.py`` before this
-  rotation was committed.
-- demoted (48, all driver-green in CORRECTNESS_r07, due back r9): the
-  50-member r7 window minus the two retirements below.
-- retired this round (2): the superseded quadratic oracle twins the r7
-  docstring and the r7 VERDICT both named — ``ngram_jaccard_pairs``
-  (covered by ``minhash_near_duplicates`` + ``contained_doc_pairs``)
-  and ``embedding_near_dup_pairs`` (covered by
-  ``embedding_near_dup_clustered``), both green r7. Both keep their
-  pytest oracle gates; the scored/benched path no longer carries any
-  all-pairs plan, and the bench sheds ~18 s of intentional quadratic
-  verification work.
-- new tail additions (2, filling the retirement-freed slots,
-  oracle-gated from day one, due r9): ``doc_lm_backoff_scores``
-  (distributed Stupid-Backoff trigram LM quality scoring — the
-  model-based curation stage the r7 verdict named as the last public
-  recipe gap) and ``supplier_part_share`` (decorrelated scalar
-  subquery on a per-group minimum — TPC-H Q2-shape min-per-group
-  semi-join, a relational family with no current representative).
-- round-9 feasibility check: due-back promotions in r9 are the 48 r8
-  demotions + the two new r8 tail additions = 50 exactly — r9 keeps
-  nothing and adds nothing scored-from-day-one; if r9 needs slack, its
-  retirement candidates should again be superseded oracle twins (e.g.
-  ``interval_join_batch`` is the batch twin of the streaming interval
-  join and ``deterministic_sample`` anchors ``bernoulli_sample`` —
-  retire only with the anchored query's gate story restated). After
-  r9, the 50 r9 demotions are due back r10 and the two-round cycle is
-  back to a pure 50/50 flip-flop unless the surface changes.
+- promoted, returning r8 demotions (48, last driver row r7): every
+  name from the r8 demotion list.
+- promoted, first driver rows (2): the r8 tail additions
+  ``doc_lm_backoff_scores`` and ``supplier_part_share`` — oracle-gated
+  by the pytest gate since they landed, and pre-verified against the
+  driver's stringified multiset compare via
+  ``tools/driver_hash_check.py`` at sf0.01 before this rotation was
+  committed (the r8 verdict's prescribed pre-check for the
+  floored-integer-division and double-equality-join-back oracle
+  classes).
+- demoted (49, all driver-green in CORRECTNESS_r08, due back r10): the
+  50-member r8 window minus the one retirement below.
+- retired this round (1): ``interval_join_batch`` — the superseded
+  oracle twin the r8 feasibility paragraph named as the retirement
+  candidate. It is the batch materialization of
+  ``streaming/windows.py``'s streaming interval join; the
+  OPERATOR family stays triple-gated: the retired query keeps its
+  pytest hash oracle (RETIRED_QUERIES below), the streaming twin's
+  stream-vs-batch parity is pinned by tests/test_extensions.py, and
+  the bucketized batch operator's randomized equivalence by
+  tests/test_operators.py.
+- new tail addition (1, filling the retirement-freed slot,
+  oracle-gated from day one, due r10): ``bloom_decontaminated_docs`` —
+  the sketch family's first driver-scored representative (r8 verdict
+  "Next round #3"): broadcast-Bloom map-side pruning whose output is
+  PROVABLY the exact anti-join survivor set (zero false negatives), so
+  the sketch path is hash-oracleable against plain SQL.
+- round-10 feasibility check: due-back promotions in r10 are the 49 r9
+  demotions + the r9 tail addition = 50 exactly — r10 keeps nothing
+  and adds nothing scored-from-day-one; if r10 needs slack, the
+  remaining docstring-named retirement candidate is
+  ``deterministic_sample`` (anchors ``bernoulli_sample`` — retire only
+  with the anchored query's gate story restated). After r10, the 50
+  r10 demotions are due back r11 and the cycle is a pure 50/50
+  flip-flop unless the surface changes.
 """
 
 import functools
@@ -110,71 +112,8 @@ _ALL_QUERIES = {
 }
 
 _SCORED = (
-    # returning r7 demotions (44, last driver row r6 — the two-round
+    # returning r8 demotions (48, last driver row r7 — the two-round
     # promise lands them here)
-    "customers_without_orders",
-    "lineitem_cube_aggregates",
-    "customer_balance_ntiles",
-    "session_windows",
-    "tfidf_top_terms",
-    "doc_winnow_fingerprint",
-    "embedding_near_dup_clustered",
-    "media_byte_histogram",
-    "passage_dedup_profile",
-    "pii_redaction_profile",
-    "doc_embedding_typicality",
-    "dataset_split_assignment",
-    "user_conversion_funnel",
-    "interval_join_batch",
-    "event_type_transition_matrix",
-    "token_length_histogram",
-    "bigram_association_scores",
-    "embedding_quantization_profile",
-    "pricing_summary",
-    "ml_feature_dataset",
-    "validation_profile",
-    "customer_geography_rollup",
-    "revenue_by_supplier_nation",
-    "multiformat_date_parsing",
-    "supplier_unique_key",
-    "order_aging",
-    "name_pattern_filter",
-    "segment_set_ops",
-    "shipping_priority_topk",
-    "athena_q1_active_by_society",
-    "athena_q2_avg_age_by_activity",
-    "athena_q3_renewal_rate_by_chamber",
-    "contained_doc_pairs",
-    "language_id",
-    "doc_dedup_profile",
-    "simhash_fingerprints",
-    "minhash_near_duplicates",
-    "benchmark_contamination",
-    "source_mixture_plan",
-    "doc_repetition_scores",
-    "cosine_topk",
-    "label_similarity_profile",
-    "ann_lsh_topk",
-    "ivf_ann_topk",
-    # first driver rows (6): the r7 tail addition + the five final-r6
-    # graph/Q21 queries, all oracle-gated by the pytest gate since they
-    # landed and pre-verified with tools/driver_hash_check.py
-    "shared_substring_pairs",
-    "sole_late_supplier_blame",
-    "large_volume_customers",
-    "copurchase_pagerank",
-    "copurchase_triangle_census",
-    "copurchase_seed_affinity",
-)
-
-_TAIL = (
-    # r8 demotions — all green driver rows in CORRECTNESS_r07, rotated out
-    # per the two-round policy (due back r9 — see the r9 feasibility check
-    # in the docstring; the r7 window's other two members,
-    # ngram_jaccard_pairs and embedding_near_dup_pairs, were retired this
-    # round instead of demoted). The pytest oracle gate still hash-checks
-    # every oracle-backed one on every run, and bench.py times the full
-    # registered surface.
     "asof_last_click_before_error",
     "range_join_interval_counts",
     "json_props_extract",
@@ -223,25 +162,96 @@ _TAIL = (
     "user_cohort_retention",
     "order_snapshot_diff",
     "part_name_linkage",
-    # new in r8 (due r9; surface slots freed by the two retirements
-    # above, oracle-gated from day one): the Stupid-Backoff LM quality
-    # scorer and the Q2-shape min-per-group semi-join
+    # first driver rows (2): the r8 tail additions, oracle-gated by the
+    # pytest gate since they landed and pre-verified with
+    # tools/driver_hash_check.py at sf0.01
     "doc_lm_backoff_scores",
     "supplier_part_share",
+)
+
+_TAIL = (
+    # r9 demotions — all green driver rows in CORRECTNESS_r08, rotated out
+    # per the two-round policy (due back r10 — see the r10 feasibility
+    # check in the docstring; the r8 window's other member,
+    # interval_join_batch, was retired this round instead of demoted).
+    # The pytest oracle gate still hash-checks every oracle-backed one on
+    # every run, and bench.py times the full registered surface.
+    "customers_without_orders",
+    "lineitem_cube_aggregates",
+    "customer_balance_ntiles",
+    "session_windows",
+    "tfidf_top_terms",
+    "doc_winnow_fingerprint",
+    "embedding_near_dup_clustered",
+    "media_byte_histogram",
+    "passage_dedup_profile",
+    "pii_redaction_profile",
+    "doc_embedding_typicality",
+    "dataset_split_assignment",
+    "user_conversion_funnel",
+    "event_type_transition_matrix",
+    "token_length_histogram",
+    "bigram_association_scores",
+    "embedding_quantization_profile",
+    "pricing_summary",
+    "ml_feature_dataset",
+    "validation_profile",
+    "customer_geography_rollup",
+    "revenue_by_supplier_nation",
+    "multiformat_date_parsing",
+    "supplier_unique_key",
+    "order_aging",
+    "name_pattern_filter",
+    "segment_set_ops",
+    "shipping_priority_topk",
+    "athena_q1_active_by_society",
+    "athena_q2_avg_age_by_activity",
+    "athena_q3_renewal_rate_by_chamber",
+    "contained_doc_pairs",
+    "language_id",
+    "doc_dedup_profile",
+    "simhash_fingerprints",
+    "minhash_near_duplicates",
+    "benchmark_contamination",
+    "source_mixture_plan",
+    "doc_repetition_scores",
+    "cosine_topk",
+    "label_similarity_profile",
+    "ann_lsh_topk",
+    "ivf_ann_topk",
+    "shared_substring_pairs",
+    "sole_late_supplier_blame",
+    "large_volume_customers",
+    "copurchase_pagerank",
+    "copurchase_triangle_census",
+    "copurchase_seed_affinity",
+    # new in r9 (due r10; surface slot freed by the interval_join_batch
+    # retirement, oracle-gated from day one): the sketch family's
+    # driver-scored representative — Bloom-pruned decontamination whose
+    # output provably equals the exact anti-join
+    "bloom_decontaminated_docs",
 )
 
 # Retirement mechanism (see docstring): retired names leave the driver
 # registry but MUST keep their implementation + pytest oracle coverage
 # (exported as RETIRED_QUERIES/RETIRED_ORACLES for the pytest gate).
-# r8 retirements: the two superseded quadratic oracle twins the r7
-# docstring and verdict both named.
+# r9 retirement: interval_join_batch, the batch twin of the streaming
+# interval join (gate story in the docstring's rotation notes).
 _RETIRED = (
     "doc_fingerprint",
     "tumbling_windows",
     "sliding_windows",
     "ngram_jaccard_pairs",
     "embedding_near_dup_pairs",
+    "interval_join_batch",
 )
+
+# The scored rows-only-BY-DESIGN allowlist, raise-checked against the
+# DERIVED set below so the docstring's exceptions text can never drift
+# from the tuples again (r8 verdict "What's wrong #1"). Change this
+# tuple and the docstring TOGETHER when a rotation moves a no-oracle
+# query across the window boundary.
+_SCORED_NO_ORACLE = ("approx_distinct_profile", "bernoulli_sample")
 
 # Module-level invariants the correctness driver depends on. Explicit raises,
 # not assert: python -O strips asserts, which would silently disable the
@@ -294,6 +304,19 @@ _ALL_ORACLES = {
     **_VC_ORACLES,
     **_MD_ORACLES,
 }
+
+# Derived-not-declared: the actual scored no-oracle set must equal the
+# documented allowlist exactly (both directions — a no-oracle query
+# sneaking into the window, or an allowlisted one leaving it, is a
+# rotation error until the allowlist + docstring are updated with it).
+_derived_no_oracle = set(_SCORED) - set(_ALL_ORACLES)
+if _derived_no_oracle != set(_SCORED_NO_ORACLE):
+    raise RuntimeError(
+        "scored rows-only set drifted from the documented allowlist: "
+        f"derived={sorted(_derived_no_oracle)} "
+        f"documented={sorted(_SCORED_NO_ORACLE)} — update _SCORED_NO_ORACLE "
+        "and the docstring's exceptions paragraph together with the rotation"
+    )
 
 QUERIES = {name: _self_sufficient(_ALL_QUERIES[name]) for name in _SCORED + _TAIL}
 ORACLES = {

@@ -681,6 +681,60 @@ def q_benchmark_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_bloom_decontaminated_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-prefiltered benchmark decontamination: the exact SURVIVOR set —
+    training docs (doc_id % 17 != 0) sharing ZERO distinct 5-grams with the
+    eval slice — with each survivor's distinct-shingle count.
+
+    The sketch family's driver-scored representative (r8 verdict "Next
+    round #3"): the eval shingle set compresses to a 2^20-bit Bloom bitmap
+    (128 KB, 16,384 longs) that BROADCASTS, so corpus-side membership is a
+    map-side check (operators/sketch.py::bloom_probe — k chained broadcast
+    joins, one stage, no probe shuffle); only bloom-POSITIVE grams reach
+    the exact semi-join verify. Because a Bloom filter has zero false
+    negatives BY CONSTRUCTION (pinned by tests/test_sketch.py), the pruning
+    provably cannot change the answer: the output is identical to the plain
+    anti-join a DuckDB oracle expresses, making the sketch path
+    hash-oracleable even though the bitmap itself is not SQL-portable —
+    flow equivalence pinned by
+    tests/test_sketch.py::test_bloom_decontamination_flow_matches_exact_join.
+    Same eval slice and tokenizer as q_benchmark_contamination.
+
+    At 100 TB: the corpus-scale probe side is never shuffled for the
+    membership test; the shuffle semi-join sees only the contaminated grams
+    plus the eps*N false-positive sliver, and the per-doc shingle counts
+    reuse the shingle frame's doc_id partitioning."""
+    from ..functions.text import word_shingles
+    from ..operators.sketch import bloom_build, bloom_probe
+
+    d = load(spark, sf_dir, "documents")
+    sh = word_shingles(d, "doc_id", "text", n=_CONTAM_N)
+    eval_sh = sh.filter((F.col("doc_id") % _EVAL_MOD) == 0)
+    train_sh = sh.filter((F.col("doc_id") % _EVAL_MOD) != 0)
+    bloom = bloom_build(eval_sh, "shingle")
+    candidates = bloom_probe(bloom, train_sh, "shingle")
+    contaminated = (
+        candidates.join(eval_sh.select("shingle"), "shingle", "left_semi")
+        .select("doc_id")
+        .distinct()
+    )
+    counts = train_sh.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_shingles")
+    )
+    train_docs = d.filter((F.col("doc_id") % _EVAL_MOD) != 0).select(
+        "doc_id", "source"
+    )
+    return (
+        train_docs.join(contaminated, "doc_id", "left_anti")
+        .join(counts, "doc_id", "left")
+        .select(
+            "doc_id",
+            "source",
+            F.coalesce("n_shingles", F.lit(0)).cast("int").alias("n_shingles"),
+        )
+    )
+
+
 def q_source_mixture_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Training-data mixture planning: downsample every source to the SAME
     token budget (the smallest source's total) with deterministic
@@ -1670,6 +1724,7 @@ QUERIES = {
     "tfidf_top_terms": q_tfidf_top_terms,
     "doc_winnow_fingerprint": q_doc_winnow_fingerprint,
     "benchmark_contamination": q_benchmark_contamination,
+    "bloom_decontaminated_docs": q_bloom_decontaminated_docs,
     "source_mixture_plan": q_source_mixture_plan,
     "doc_repetition_scores": q_doc_repetition_scores,
     "sequence_packing_plan": q_sequence_packing_plan,
@@ -2010,6 +2065,37 @@ ORACLES["benchmark_contamination"] = """
            MAX(CASE WHEN rn = 1 THEN eval_id END) AS top_eval_id,
            CAST(MAX(CASE WHEN rn = 1 THEN n_shared END) AS INTEGER) AS top_shared
     FROM ranked GROUP BY doc_id
+"""
+
+# Decontamination-survivor twin: the Spark side prunes with a broadcast
+# Bloom filter (zero false negatives => provably answer-preserving), so
+# the oracle is the PLAIN anti-join the pruning is equivalent to. Same
+# eval slice (doc_id % 17 = 0) and DISTINCT 5-gram tokenization as the
+# contamination oracle above.
+ORACLES["bloom_decontaminated_docs"] = """
+    WITH toks AS (
+      SELECT doc_id, string_split_regex(trim(lower(text)), '[ \\t\\n\\f\\r]+') AS w
+      FROM documents
+    ),
+    shingles AS (
+      SELECT DISTINCT doc_id,
+             w[i] || ' ' || w[i+1] || ' ' || w[i+2] || ' ' || w[i+3] || ' ' || w[i+4] AS shingle
+      FROM toks, UNNEST(range(1, len(w) - 3)) AS t(i)
+    ),
+    contaminated AS (
+      SELECT DISTINCT t.doc_id
+      FROM shingles t JOIN shingles e USING (shingle)
+      WHERE t.doc_id % 17 <> 0 AND e.doc_id % 17 = 0
+    ),
+    counts AS (
+      SELECT doc_id, COUNT(*) AS n_shingles FROM shingles GROUP BY doc_id
+    )
+    SELECT d.doc_id, d.source,
+           CAST(COALESCE(c.n_shingles, 0) AS INTEGER) AS n_shingles
+    FROM documents d
+    LEFT JOIN counts c USING (doc_id)
+    WHERE d.doc_id % 17 <> 0
+      AND d.doc_id NOT IN (SELECT doc_id FROM contaminated)
 """
 
 # Mixture twin: identical md5-derived membership hash, identical IEEE rate
