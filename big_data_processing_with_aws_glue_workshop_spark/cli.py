@@ -231,12 +231,16 @@ def cmd_agg_refresh(args: argparse.Namespace) -> None:
     the materialized view never re-reads the fact. --agg out=kind:col,
     e.g. --agg n=count:* --agg total=sum:amount. --hll-key COL instead
     maintains a distinct-count HLL register table of COL (the max-monoid
-    sketch from operators/sketch.py) and reports the running estimate."""
+    sketch from operators/sketch.py) and reports the running estimate;
+    --bloom-key COL maintains a Bloom membership filter of COL (the
+    bit-or monoid) and reports fill ratio + implied FP rate."""
     from .plans.incremental import incremental_agg_refresh, read_refreshed
     from .sources.bookmarks import JobBookmark
     from .streaming.sinks import read_pointer
 
     transform = None
+    if args.hll_key and args.bloom_key:
+        raise SystemExit("--hll-key and --bloom-key are mutually exclusive")
     if args.hll_key:
         if args.keys or args.agg:
             raise SystemExit("--hll-key replaces --keys/--agg; pass only one")
@@ -244,9 +248,18 @@ def cmd_agg_refresh(args: argparse.Namespace) -> None:
 
         keys, aggs = ["register"], {"rho": ("max", "rho")}
         transform = lambda df: hll_register_pairs(df, args.hll_key)  # noqa: E731
+    elif args.bloom_key:
+        if args.keys or args.agg:
+            raise SystemExit("--bloom-key replaces --keys/--agg; pass only one")
+        from .operators.sketch import bloom_mask_pairs
+
+        keys, aggs = ["word"], {"bits": ("bit_or", "mask")}
+        transform = lambda df: bloom_mask_pairs(df, args.bloom_key)  # noqa: E731
     else:
         if not (args.keys and args.agg):
-            raise SystemExit("--keys and --agg are required (or use --hll-key)")
+            raise SystemExit(
+                "--keys and --agg are required (or use --hll-key/--bloom-key)"
+            )
         keys = args.keys
         aggs = {}
         for spec in args.agg:
@@ -274,6 +287,18 @@ def cmd_agg_refresh(args: argparse.Namespace) -> None:
         summary["distinct_estimate"] = round(
             hll_estimate(read_refreshed(spark, args.target)), 1
         )
+    if args.bloom_key and read_pointer(args.target) is not None:
+        # filter saturation readout: fraction of bits set and the implied
+        # false-positive rate (fill^k) at the module defaults
+        n_bits, k = 1 << 20, 5
+        set_bits = (
+            read_refreshed(spark, args.target)
+            .agg(F.sum(F.bit_count("bits")))
+            .first()[0]
+            or 0
+        )
+        summary["bloom_fill_ratio"] = round(set_bits / n_bits, 4)
+        summary["bloom_fp_rate_est"] = round((set_bits / n_bits) ** k, 6)
     # drift gate only when THIS invocation merged a new increment (the
     # pointer's batch_id advanced) — `n > 0` alone also covers heal-only
     # runs, which would re-read the PREVIOUS increment's delta_files and
@@ -581,6 +606,12 @@ def build_parser() -> argparse.ArgumentParser:
         default=None,
         help="maintain a distinct-count HLL register table of this "
         "column instead of --keys/--agg (operators/sketch.py)",
+    )
+    ar.add_argument(
+        "--bloom-key",
+        default=None,
+        help="maintain a Bloom membership filter of this column instead "
+        "of --keys/--agg (bit-or monoid, operators/sketch.py)",
     )
     ar.add_argument(
         "--drift-col",

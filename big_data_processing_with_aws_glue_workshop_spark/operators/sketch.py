@@ -236,6 +236,43 @@ def hll_estimate(sketch: DataFrame, p: int = 12) -> float:
 # bit arithmetic, deterministic under the seed.
 
 
+def bloom_mask_pairs(
+    df: DataFrame,
+    key_col: str,
+    n_bits: int = 1 << 20,
+    k: int = 5,
+    seed: int = 42,
+) -> DataFrame:
+    """Per input row: the k (word, mask) pairs of ``key_col``'s Bloom
+    bits — the ROW-WISE expansion that lets the filter state ride
+    ``plans/incremental.incremental_agg_refresh`` directly from raw key
+    files (keys=["word"], aggs={"bits": ("bit_or", "mask")}), exactly
+    like ``hll_register_pairs`` does for the HLL max monoid. NULL keys
+    excluded."""
+    return (
+        df.filter(F.col(key_col).isNotNull())
+        .select(
+            F.explode(
+                F.array(
+                    *[
+                        F.pmod(
+                            F.xxhash64(F.lit(seed + i), F.col(key_col)),
+                            F.lit(n_bits),
+                        )
+                        for i in range(k)
+                    ]
+                )
+            ).alias("pos")
+        )
+        .select(
+            (F.col("pos") / 64).cast("long").alias("word"),
+            F.expr("shiftleft(CAST(1 AS BIGINT), CAST(pos % 64 AS INT))").alias(
+                "mask"
+            ),
+        )
+    )
+
+
 def bloom_build(
     df: DataFrame,
     key_col: str,
@@ -245,27 +282,11 @@ def bloom_build(
 ) -> DataFrame:
     """Build the bitmap as a (word, bits) table: word = bit_index div 64,
     bits = OR of the member masks — at most n_bits/64 rows, a BIT-OR
-    MONOID (mergeable and incrementally maintainable like the other
-    sketch states)."""
-    positions = df.filter(F.col(key_col).isNotNull()).select(
-        F.explode(
-            F.array(
-                *[
-                    F.pmod(F.xxhash64(F.lit(seed + i), F.col(key_col)), F.lit(n_bits))
-                    for i in range(k)
-                ]
-            )
-        ).alias("pos")
-    )
+    MONOID (merge = groupBy bit_or; rides incremental_agg_refresh via
+    ``bloom_mask_pairs`` as the transform — pinned by
+    tests/test_sketch.py)."""
     return (
-        positions.select(
-            (F.col("pos") / 64).cast("long").alias("word"),
-            # SQL shiftleft: the Python API wants a literal bit count,
-            # the SQL form accepts a column
-            F.expr("shiftleft(CAST(1 AS BIGINT), CAST(pos % 64 AS INT))").alias(
-                "mask"
-            ),
-        )
+        bloom_mask_pairs(df, key_col, n_bits=n_bits, k=k, seed=seed)
         .groupBy("word")
         .agg(F.bit_or("mask").alias("bits"))
     )

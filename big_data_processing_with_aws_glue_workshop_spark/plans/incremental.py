@@ -674,8 +674,18 @@ _AGG_PARTIAL = {
     "sum": F.sum,
     "min": F.min,
     "max": F.max,
+    # bitwise-OR monoid: what the Bloom filter's (word, bits) state needs
+    # to ride this refresh (operators/sketch.py::bloom_mask_pairs is the
+    # row-wise transform that feeds it)
+    "bit_or": F.bit_or,
 }
-_AGG_MERGE = {"count": F.sum, "sum": F.sum, "min": F.min, "max": F.max}
+_AGG_MERGE = {
+    "count": F.sum,
+    "sum": F.sum,
+    "min": F.min,
+    "max": F.max,
+    "bit_or": F.bit_or,
+}
 
 
 def incremental_agg_refresh(

@@ -408,3 +408,94 @@ def test_sketches_maintain_from_raw_files_via_transform(spark, tmp_path):
         (r["register"], r["rho"]) for r in state.collect()
     } == {(r["register"], r["rho"]) for r in oneshot.collect()}
     assert abs(hll_estimate(state) - 30_000) / 30_000 < 0.05
+
+
+def test_bloom_state_maintains_via_refresh_bit_or(spark, tmp_path):
+    """The Bloom (word, bits) bit-or monoid rides incremental_agg_refresh
+    via the row-wise bloom_mask_pairs transform: after two waves the
+    state equals the one-shot bloom_build of the union, and probing the
+    refreshed state still has zero false negatives."""
+    import pandas as pd  # noqa: F401
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from big_data_processing_with_aws_glue_workshop_spark.operators.sketch import (
+        bloom_build,
+        bloom_mask_pairs,
+        bloom_probe,
+    )
+    from big_data_processing_with_aws_glue_workshop_spark.plans.incremental import (
+        incremental_agg_refresh,
+        read_refreshed,
+    )
+    from big_data_processing_with_aws_glue_workshop_spark.sources.bookmarks import (
+        JobBookmark,
+    )
+
+    landing = tmp_path / "raw"
+    landing.mkdir()
+    bm = JobBookmark(str(tmp_path / "bm.json"), "bloom-raw")
+    target = str(tmp_path / "state")
+
+    waves = [
+        spark.range(0, 3_000).select(F.concat(F.lit("g"), "id").alias("k")),
+        spark.range(2_000, 6_000).select(F.concat(F.lit("g"), "id").alias("k")),
+    ]
+    for i, w in enumerate(waves):
+        pq.write_table(
+            pa.Table.from_pandas(w.toPandas(), preserve_index=False),
+            str(landing / f"w{i}.parquet"),
+        )
+        incremental_agg_refresh(
+            spark,
+            bm,
+            str(landing / "*.parquet"),
+            ["word"],
+            {"bits": ("bit_or", "mask")},
+            target,
+            transform=lambda df: bloom_mask_pairs(df, "k"),
+        )
+
+    state = read_refreshed(spark, target)
+    union = waves[0].unionByName(waves[1])
+    oneshot = bloom_build(union, "k")
+    assert {
+        (r["word"], r["bits"]) for r in state.collect()
+    } == {(r["word"], r["bits"]) for r in oneshot.collect()}
+    # zero false negatives against the REFRESHED state
+    members = union.distinct()
+    pos = bloom_probe(state.select("word", "bits"), members, "k")
+    assert pos.count() == members.count()
+
+
+def test_cli_agg_refresh_bloom_key(spark, tmp_path, capsys):
+    """agg-refresh --bloom-key: the filter maintains from raw files and
+    the summary reports fill ratio + implied FP rate."""
+    import json as _json
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from big_data_processing_with_aws_glue_workshop_spark.cli import main
+
+    landing = tmp_path / "facts"
+    landing.mkdir()
+    pq.write_table(
+        pa.Table.from_pandas(
+            pd.DataFrame({"url": [f"u{i}" for i in range(5_000)]}),
+            preserve_index=False,
+        ),
+        str(landing / "f1.parquet"),
+    )
+    main([
+        "agg-refresh",
+        "--pattern", str(landing / "*.parquet"),
+        "--bookmark", str(tmp_path / "bm.json"),
+        "--target", str(tmp_path / "state"),
+        "--bloom-key", "url",
+    ])
+    out = _json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert out["new_files"] == 1
+    # 5k keys x 5 hashes in 2^20 bits: fill ~ 2.4%, fp ~ (0.024)^5
+    assert 0.01 < out["bloom_fill_ratio"] < 0.05
+    assert out["bloom_fp_rate_est"] < 1e-6
