@@ -292,6 +292,12 @@ def bloom_build(
     )
 
 
+def bloom_merge(a: DataFrame, b: DataFrame) -> DataFrame:
+    """Union + groupBy bit_or — the monoid. Same (n_bits, k, seed)
+    required, as with cms_merge/hll_merge."""
+    return a.unionByName(b).groupBy("word").agg(F.bit_or("bits").alias("bits"))
+
+
 def bloom_probe(
     bloom: DataFrame,
     probes: DataFrame,

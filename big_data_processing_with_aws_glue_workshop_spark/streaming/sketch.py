@@ -1,23 +1,25 @@
-"""Streaming heavy-hitter tracking: a ``foreachBatch`` sink that folds
-each micro-batch into a standing Count-Min sketch (operators/sketch.py)
-— the classic streaming-frequency shape, on the repo's snapshot-commit
-protocol.
+"""Streaming sketch maintenance: ``foreachBatch`` sinks that fold each
+micro-batch into a standing monoid sketch table (operators/sketch.py) —
+Count-Min for heavy hitters, Bloom for membership/decontamination — on
+the repo's snapshot-commit protocol.
 
 Why the monoid matters here: the sketch of everything-ever-streamed is
-``cms_merge(standing, cms_sketch(batch))`` — one bounded-size union +
-groupBy per micro-batch, never a re-read of history, and the state is
-depth x width counters no matter how wide the key domain grows (the
-measured saturation curve is in docs/SCALE.md). Heavy-hitter queries
-(``cms_heavy_hitters``) run against the live snapshot at any time with
-perfect recall over their candidates.
+``merge(standing, build(batch))`` — one bounded-size union + groupBy
+per micro-batch, never a re-read of history, and the state stays
+bounded no matter how wide the key domain grows (CMS: depth x width
+counters; Bloom: n_bits/64 words — measured curves in docs/SCALE.md).
+Heavy-hitter queries (``cms_heavy_hitters``) and membership probes
+(``bloom_probe``) run against the live snapshot at any time — for the
+Bloom case that means a crawl stream continuously maintains the
+decontamination filter that ``bloom_decontaminated_docs`` prunes with.
 
 Exactly-once and ownership: same contracts as UpsertSink —
 ``commit_snapshot`` versioned dirs + atomic pointer, replayed batch ids
 skipped, the stream checkpoint recorded in the pointer and enforced
 (a fresh checkpoint would restart ids and silently skip data), and the
-sketch calibration {depth, width, seed, key_col} pinned on first commit
-and refused on mismatch (sketches across calibrations do not merge —
-same contract as the near-dup signature state).
+sketch calibration pinned on first commit and refused on mismatch
+(sketches across calibrations do not merge — same contract as the
+near-dup signature state).
 """
 
 from __future__ import annotations
@@ -26,38 +28,28 @@ import os
 
 from pyspark.sql import DataFrame, SparkSession
 
-from ..operators.sketch import cms_merge, cms_sketch
+from ..operators.sketch import bloom_build, bloom_merge, cms_merge, cms_sketch
 from .sinks import commit_snapshot, read_current, read_pointer
 
 
-class CmsSketchSink:
-    """``foreachBatch`` callable: merge each micro-batch's sketch into
-    the standing sketch table at ``target_dir``."""
+class _MonoidSketchSink:
+    """``foreachBatch`` template: merge each micro-batch's sketch into
+    the standing sketch table at ``target_dir``. Subclasses supply the
+    per-batch ``_build`` and the monoid ``_merge`` plus ``calibration``."""
 
-    def __init__(
-        self,
-        target_dir: str,
-        key_col: str,
-        depth: int = 5,
-        width: int = 65_536,
-        seed: int = 42,
-        checkpoint_dir: str | None = None,
-    ) -> None:
+    def __init__(self, target_dir: str, checkpoint_dir: str | None) -> None:
         self.target_dir = target_dir
-        self.key_col = key_col
-        self.depth = depth
-        self.width = width
-        self.seed = seed
         self.checkpoint_dir = checkpoint_dir
 
     @property
     def calibration(self) -> dict:
-        return {
-            "depth": self.depth,
-            "width": self.width,
-            "seed": self.seed,
-            "key_col": self.key_col,
-        }
+        raise NotImplementedError
+
+    def _build(self, batch_df: DataFrame) -> DataFrame:
+        raise NotImplementedError
+
+    def _merge(self, standing: DataFrame, inc: DataFrame) -> DataFrame:
+        raise NotImplementedError
 
     def __call__(self, batch_df: DataFrame, batch_id: int) -> None:
         pointer = read_pointer(self.target_dir)
@@ -73,15 +65,9 @@ class CmsSketchSink:
                     "do not merge; match the stored parameters or reset the "
                     "target"
                 )
-        inc = cms_sketch(
-            batch_df,
-            self.key_col,
-            depth=self.depth,
-            width=self.width,
-            seed=self.seed,
-        )
+        inc = self._build(batch_df)
         if pointer is not None:
-            merged = cms_merge(
+            merged = self._merge(
                 read_current(batch_df.sparkSession, self.target_dir), inc
             )
         else:
@@ -90,6 +76,119 @@ class CmsSketchSink:
         if self.checkpoint_dir is not None:
             extra["stream_checkpoint"] = os.path.abspath(self.checkpoint_dir)
         commit_snapshot(merged, self.target_dir, batch_id, extra)
+
+
+class CmsSketchSink(_MonoidSketchSink):
+    """Standing Count-Min sketch of ``key_col`` frequencies."""
+
+    def __init__(
+        self,
+        target_dir: str,
+        key_col: str,
+        depth: int = 5,
+        width: int = 65_536,
+        seed: int = 42,
+        checkpoint_dir: str | None = None,
+    ) -> None:
+        super().__init__(target_dir, checkpoint_dir)
+        self.key_col = key_col
+        self.depth = depth
+        self.width = width
+        self.seed = seed
+
+    @property
+    def calibration(self) -> dict:
+        return {
+            "depth": self.depth,
+            "width": self.width,
+            "seed": self.seed,
+            "key_col": self.key_col,
+        }
+
+    def _build(self, batch_df: DataFrame) -> DataFrame:
+        return cms_sketch(
+            batch_df,
+            self.key_col,
+            depth=self.depth,
+            width=self.width,
+            seed=self.seed,
+        )
+
+    def _merge(self, standing: DataFrame, inc: DataFrame) -> DataFrame:
+        return cms_merge(standing, inc)
+
+
+class BloomFilterSink(_MonoidSketchSink):
+    """Standing Bloom membership filter of ``key_col`` (bit-or monoid):
+    the streaming twin of the batch ``--bloom-key`` refresh."""
+
+    def __init__(
+        self,
+        target_dir: str,
+        key_col: str,
+        n_bits: int = 1 << 20,
+        k: int = 5,
+        seed: int = 42,
+        checkpoint_dir: str | None = None,
+    ) -> None:
+        super().__init__(target_dir, checkpoint_dir)
+        self.key_col = key_col
+        self.n_bits = n_bits
+        self.k = k
+        self.seed = seed
+
+    @property
+    def calibration(self) -> dict:
+        return {
+            "n_bits": self.n_bits,
+            "k": self.k,
+            "seed": self.seed,
+            "key_col": self.key_col,
+        }
+
+    def _build(self, batch_df: DataFrame) -> DataFrame:
+        return bloom_build(
+            batch_df, self.key_col, n_bits=self.n_bits, k=self.k, seed=self.seed
+        )
+
+    def _merge(self, standing: DataFrame, inc: DataFrame) -> DataFrame:
+        return bloom_merge(standing, inc)
+
+
+def _guard_checkpoint(target_dir: str, checkpoint_dir: str | None) -> None:
+    """Refuse the silent-skip hole: a committed target must be resumed
+    under its ORIGINAL checkpoint, or batch ids restart at 0 and the
+    idempotence guard drops all new data."""
+    pointer = read_pointer(target_dir)
+    if pointer is None:
+        return
+    if checkpoint_dir is None:
+        raise ValueError(
+            f"target {target_dir!r} has committed batches; running "
+            "without a checkpoint restarts batch ids at 0 and the "
+            "idempotence guard would silently skip all new data — pass "
+            "the original checkpoint_dir (or reset the target)"
+        )
+    stored = pointer.get("stream_checkpoint")
+    if stored is not None and os.path.abspath(checkpoint_dir) != stored:
+        raise ValueError(
+            f"target {target_dir!r} has committed stream batches under "
+            f"checkpoint {stored!r}; a different checkpoint restarts "
+            "batch ids at 0 and the idempotence guard would silently "
+            "skip all new data — pass the original checkpoint_dir (or "
+            "reset the target)"
+        )
+
+
+def _drain(stream_df: DataFrame, sink, checkpoint_dir: str | None) -> None:
+    writer = stream_df.writeStream.foreachBatch(sink)
+    if checkpoint_dir is not None:
+        writer = writer.option("checkpointLocation", checkpoint_dir)
+    q = writer.trigger(availableNow=True).start()
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
 
 
 def run_stream_cms_sketch(
@@ -101,8 +200,9 @@ def run_stream_cms_sketch(
     width: int = 65_536,
     seed: int = 42,
 ) -> None:
-    """availableNow drain into the standing sketch; same checkpoint
+    """availableNow drain into the standing CMS; same checkpoint
     ownership discipline as run_foreach_batch_upsert."""
+    _guard_checkpoint(target_dir, checkpoint_dir)
     sink = CmsSketchSink(
         target_dir,
         key_col,
@@ -111,32 +211,30 @@ def run_stream_cms_sketch(
         seed=seed,
         checkpoint_dir=checkpoint_dir,
     )
-    pointer = read_pointer(target_dir)
-    if pointer is not None:
-        if checkpoint_dir is None:
-            raise ValueError(
-                f"target {target_dir!r} has committed batches; running "
-                "without a checkpoint restarts batch ids at 0 and the "
-                "idempotence guard would silently skip all new data — pass "
-                "the original checkpoint_dir (or reset the target)"
-            )
-        stored = pointer.get("stream_checkpoint")
-        if stored is not None and os.path.abspath(checkpoint_dir) != stored:
-            raise ValueError(
-                f"target {target_dir!r} has committed stream batches under "
-                f"checkpoint {stored!r}; a different checkpoint restarts "
-                "batch ids at 0 and the idempotence guard would silently "
-                "skip all new data — pass the original checkpoint_dir (or "
-                "reset the target)"
-            )
-    writer = stream_df.writeStream.foreachBatch(sink)
-    if checkpoint_dir is not None:
-        writer = writer.option("checkpointLocation", checkpoint_dir)
-    q = writer.trigger(availableNow=True).start()
-    try:
-        q.processAllAvailable()
-    finally:
-        q.stop()
+    _drain(stream_df, sink, checkpoint_dir)
+
+
+def run_stream_bloom_filter(
+    stream_df: DataFrame,
+    target_dir: str,
+    key_col: str,
+    checkpoint_dir: str | None = None,
+    n_bits: int = 1 << 20,
+    k: int = 5,
+    seed: int = 42,
+) -> None:
+    """availableNow drain into the standing Bloom filter; same
+    checkpoint ownership discipline as run_stream_cms_sketch."""
+    _guard_checkpoint(target_dir, checkpoint_dir)
+    sink = BloomFilterSink(
+        target_dir,
+        key_col,
+        n_bits=n_bits,
+        k=k,
+        seed=seed,
+        checkpoint_dir=checkpoint_dir,
+    )
+    _drain(stream_df, sink, checkpoint_dir)
 
 
 def read_stream_sketch(spark: SparkSession, target_dir: str) -> DataFrame:

@@ -362,3 +362,14 @@ def test_q21_blame_scans_fact_once(spark):
     first_def = plan.split("InMemoryRelation", 1)[1]
     agg_over_repartition = first_def.split("REPARTITION_BY_COL", 1)[0]
     assert "ENSURE_REQUIREMENTS" not in agg_over_repartition, plan
+
+
+def test_bloom_decontamination_probe_side_is_map_side(spark):
+    """bloom_decontaminated_docs: the k=5 membership lookups are chained
+    BROADCAST joins of the 128 KB bitmap (the corpus-scale probe side is
+    never shuffled for the membership test, and no cartesian shape may
+    appear anywhere)."""
+    plan = plan_of(spark, "bloom_decontaminated_docs")
+    assert plan.count("BroadcastHashJoin") >= 5, plan
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan

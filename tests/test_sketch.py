@@ -499,3 +499,72 @@ def test_cli_agg_refresh_bloom_key(spark, tmp_path, capsys):
     # 5k keys x 5 hashes in 2^20 bits: fill ~ 2.4%, fp ~ (0.024)^5
     assert 0.01 < out["bloom_fill_ratio"] < 0.05
     assert out["bloom_fp_rate_est"] < 1e-6
+
+
+def test_streaming_bloom_sink_equals_oneshot(spark, tmp_path):
+    """Streaming Bloom maintenance: two drained waves leave a standing
+    filter EXACTLY equal to the one-shot bloom_build of all data (the
+    crawl stream continuously maintaining the decontamination filter);
+    replay/checkpoint/calibration contracts mirror the CMS sink's."""
+    import pandas as pd  # noqa: F401
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    import pytest
+
+    from big_data_processing_with_aws_glue_workshop_spark.operators.sketch import (
+        bloom_build,
+        bloom_probe,
+    )
+    from big_data_processing_with_aws_glue_workshop_spark.streaming.sketch import (
+        BloomFilterSink,
+        read_stream_sketch,
+        run_stream_bloom_filter,
+    )
+
+    landing = tmp_path / "stream_in"
+    landing.mkdir()
+    target = str(tmp_path / "bloom")
+    ckpt = str(tmp_path / "ckpt")
+    waves = [
+        spark.range(0, 2_000).select(F.concat(F.lit("g"), "id").alias("k")),
+        spark.range(1_500, 4_000).select(F.concat(F.lit("g"), "id").alias("k")),
+    ]
+
+    for i, w in enumerate(waves):
+        pq.write_table(
+            pa.Table.from_pandas(w.toPandas(), preserve_index=False),
+            str(landing / f"w{i}.parquet"),
+        )
+        stream = spark.readStream.schema("k string").parquet(str(landing))
+        run_stream_bloom_filter(stream, target, "k", checkpoint_dir=ckpt)
+
+    union = waves[0].unionByName(waves[1])
+    standing = {
+        (r["word"], r["bits"])
+        for r in read_stream_sketch(spark, target).collect()
+    }
+    oneshot = {
+        (r["word"], r["bits"]) for r in bloom_build(union, "k").collect()
+    }
+    assert standing == oneshot
+
+    # zero false negatives probing the STREAMED state
+    members = union.distinct()
+    assert (
+        bloom_probe(read_stream_sketch(spark, target), members, "k").count()
+        == members.count()
+    )
+
+    # replayed batch id: no-op; fresh checkpoint + recalibration refused
+    BloomFilterSink(target, "k")(waves[0], 0)
+    assert {
+        (r["word"], r["bits"])
+        for r in read_stream_sketch(spark, target).collect()
+    } == oneshot
+    stream = spark.readStream.schema("k string").parquet(str(landing))
+    with pytest.raises(ValueError, match="different checkpoint"):
+        run_stream_bloom_filter(
+            stream, target, "k", checkpoint_dir=str(tmp_path / "ckptB")
+        )
+    with pytest.raises(ValueError, match="calibration mismatch"):
+        BloomFilterSink(target, "k", k=7)(waves[0], 99)
