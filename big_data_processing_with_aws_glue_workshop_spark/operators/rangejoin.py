@@ -80,12 +80,19 @@ def bucketized_range_join(
 
     bucket = lambda c: floor_time_bucket(c, bucket_seconds)
 
-    # synthetic unique row id: 'left' re-attaches unmatched points by THIS id
+    # synthetic row id: 'left' re-attaches unmatched points by THIS id
     # (anti-joining on the natural columns would be null-unsafe — a matched
-    # row with a NULL attribute would fail to match itself and duplicate)
-    p = points.withColumn("__pid", F.monotonically_increasing_id()).withColumn(
-        "__bucket", bucket(F.col(point_ts))
-    )
+    # row with a NULL attribute would fail to match itself and duplicate).
+    # DETERMINISTIC by construction: xxhash64 over every point column, so
+    # the two plan subtrees that recompute p (matched + unmatched) and any
+    # retried task always agree — monotonically_increasing_id here could
+    # desync them under partial replay. Exact-duplicate points collide on
+    # the id, harmlessly: identical rows have identical match status, so
+    # the anti-join keeps or drops all copies together (and keeps their
+    # multiplicity — left_anti never dedups the left side).
+    p = points.withColumn(
+        "__pid", F.xxhash64(*[F.col(c) for c in points.columns])
+    ).withColumn("__bucket", bucket(F.col(point_ts)))
     i = intervals.withColumn(
         "__bucket",
         F.explode(
