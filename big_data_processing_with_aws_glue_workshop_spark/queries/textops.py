@@ -708,7 +708,9 @@ def q_bloom_decontaminated_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.sketch import bloom_build, bloom_probe
 
     d = load(spark, sf_dir, "documents")
-    sh = word_shingles(d, "doc_id", "text", n=_CONTAM_N)
+    # three consumers (bloom build, probe side, per-doc counts): persist
+    # the one expensive shingle pass instead of recomputing it per subtree
+    sh = tracked_cache(word_shingles(d, "doc_id", "text", n=_CONTAM_N))
     eval_sh = sh.filter((F.col("doc_id") % _EVAL_MOD) == 0)
     train_sh = sh.filter((F.col("doc_id") % _EVAL_MOD) != 0)
     bloom = bloom_build(eval_sh, "shingle")
