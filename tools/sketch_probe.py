@@ -87,9 +87,95 @@ def probe(spark, n) -> dict:
     }
 
 
+def probe_bloom(spark, n, m=100_000, contam_pct=1) -> dict:
+    """Decontamination-at-scale shape: corpus of n keys (contam_pct%
+    contaminated from an m-key benchmark set) de-contaminated two ways,
+    with autoBroadcastJoinThreshold=-1 emulating the 100 TB case where
+    the RAW benchmark shingle set is too big to broadcast (its 128 KB
+    Bloom bitmap still broadcasts via the explicit hint):
+
+    - plain: one shuffle anti-join of all n corpus rows vs the benchmark
+    - bloom: map-side k-bit membership on the corpus (no probe shuffle),
+      then the exact verify + anti-join touch only bloom-POSITIVE rows
+
+    Survivor counts must be EQUAL (zero false negatives); the measured
+    quantities are wall times and the pruning factor (positives /
+    corpus), which is what bounds the shuffle at scale."""
+    from big_data_processing_with_aws_glue_workshop_spark.operators.sketch import (
+        bloom_build,
+        bloom_probe,
+    )
+
+    bench = (
+        spark.range(m).select(F.concat(F.lit("b"), "id").alias("s")).persist()
+    )
+    bench.count()
+    corpus = (
+        spark.range(n)
+        .select(
+            F.when(
+                F.pmod(F.xxhash64("id"), F.lit(100)) < contam_pct,
+                F.concat(
+                    F.lit("b"),
+                    F.pmod(F.xxhash64("id", F.lit(2)), F.lit(m)).cast("string"),
+                ),
+            )
+            .otherwise(F.concat(F.lit("c"), F.col("id").cast("string")))
+            .alias("s")
+        )
+        .persist()
+    )
+    corpus.count()
+
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        t0 = time.time()
+        survivors_plain = corpus.join(bench, "s", "left_anti").count()
+        t_plain = time.time() - t0
+
+        t0 = time.time()
+        bloom = bloom_build(bench, "s").persist()
+        bloom.count()
+        t_build = time.time() - t0
+
+        t0 = time.time()
+        pos = bloom_probe(bloom, corpus, "s").persist()
+        n_pos = pos.count()
+        t_probe = time.time() - t0
+
+        t0 = time.time()
+        survivors_bloom = n - pos.join(bench, "s", "left_semi").count()
+        t_verify = time.time() - t0
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+    for df in (bench, corpus, bloom, pos):
+        df.unpersist()
+    assert survivors_bloom == survivors_plain, "false negative!"
+    return {
+        "mode": "bloom",
+        "corpus_rows": n,
+        "bench_keys": m,
+        "plain_antijoin_sec": round(t_plain, 2),
+        "bloom_build_sec": round(t_build, 2),
+        "bloom_probe_sec": round(t_probe, 2),
+        "verify_sec": round(t_verify, 2),
+        "bloom_total_sec": round(t_build + t_probe + t_verify, 2),
+        "positives": n_pos,
+        "pruning_factor": round(n_pos / n, 4),
+        "survivors": survivors_plain,
+    }
+
+
 def main() -> None:
-    sizes = [int(a) for a in sys.argv[1:]] or [2_000_000, 8_000_000, 32_000_000]
+    args = sys.argv[1:]
     spark = get_session(app_name="sketch-probe")
+    if args and args[0] == "--bloom":
+        sizes = [int(a) for a in args[1:]] or [2_000_000, 8_000_000, 32_000_000]
+        for n in sizes:
+            print(json.dumps(probe_bloom(spark, n)))
+        return
+    sizes = [int(a) for a in args] or [2_000_000, 8_000_000, 32_000_000]
     for n in sizes:
         print(json.dumps(probe(spark, n)))
 
