@@ -234,11 +234,13 @@ def cmd_agg_refresh(args: argparse.Namespace) -> None:
     sketch from operators/sketch.py) and reports the running estimate;
     --bloom-key COL maintains a Bloom membership filter of COL (the
     bit-or monoid) and reports fill ratio + implied FP rate."""
+    from .operators.sketch import BLOOM_K, BLOOM_N_BITS, HLL_P, SKETCH_SEED
     from .plans.incremental import incremental_agg_refresh, read_refreshed
     from .sources.bookmarks import JobBookmark
     from .streaming.sinks import read_pointer
 
     transform = None
+    calibration = None
     if args.hll_key and args.bloom_key:
         raise SystemExit("--hll-key and --bloom-key are mutually exclusive")
     if args.hll_key:
@@ -248,6 +250,12 @@ def cmd_agg_refresh(args: argparse.Namespace) -> None:
 
         keys, aggs = ["register"], {"rho": ("max", "rho")}
         transform = lambda df: hll_register_pairs(df, args.hll_key)  # noqa: E731
+        calibration = {
+            "sketch": "hll",
+            "p": HLL_P,
+            "seed": SKETCH_SEED,
+            "key_col": args.hll_key,
+        }
     elif args.bloom_key:
         if args.keys or args.agg:
             raise SystemExit("--bloom-key replaces --keys/--agg; pass only one")
@@ -255,6 +263,13 @@ def cmd_agg_refresh(args: argparse.Namespace) -> None:
 
         keys, aggs = ["word"], {"bits": ("bit_or", "mask")}
         transform = lambda df: bloom_mask_pairs(df, args.bloom_key)  # noqa: E731
+        calibration = {
+            "sketch": "bloom",
+            "n_bits": BLOOM_N_BITS,
+            "k": BLOOM_K,
+            "seed": SKETCH_SEED,
+            "key_col": args.bloom_key,
+        }
     else:
         if not (args.keys and args.agg):
             raise SystemExit(
@@ -268,11 +283,34 @@ def cmd_agg_refresh(args: argparse.Namespace) -> None:
             if not (out and kind and col):
                 raise SystemExit(f"bad --agg spec {spec!r}; want out=kind:col")
             aggs[out] = (kind, col)
+
+    # calibration pin (same contract as the streaming sketch sinks): the
+    # monoid merge would happily combine sketches built with different
+    # (n_bits, k, seed) into a state whose probes can FALSE-NEGATIVE —
+    # refuse a mismatch before reading anything. Symmetric: a plain
+    # --keys/--agg run (calibration None) onto a sketch target is refused
+    # too.
+    stored_cal = (read_pointer(args.target) or {}).get("calibration")
+    if stored_cal is not None and stored_cal != calibration:
+        raise SystemExit(
+            f"sketch calibration mismatch for {args.target!r}: standing "
+            f"state was built with {stored_cal}, this invocation implies "
+            f"{calibration} — sketches across calibrations do not merge; "
+            "match the stored parameters or reset the target"
+        )
     spark = get_session(app_name="agg-refresh")
     bm = JobBookmark(args.bookmark, args.job_name)
-    pointer_before = read_pointer(args.target)
     n = incremental_agg_refresh(
-        spark, bm, args.pattern, keys, aggs, args.target, transform=transform
+        spark,
+        bm,
+        args.pattern,
+        keys,
+        aggs,
+        args.target,
+        transform=transform,
+        pointer_fields=(
+            {"calibration": calibration} if calibration is not None else None
+        ),
     )
     summary = {
         "job": "agg-refresh",
@@ -289,8 +327,10 @@ def cmd_agg_refresh(args: argparse.Namespace) -> None:
         )
     if args.bloom_key and read_pointer(args.target) is not None:
         # filter saturation readout: fraction of bits set and the implied
-        # false-positive rate (fill^k) at the module defaults
-        n_bits, k = 1 << 20, 5
+        # false-positive rate (fill^k) at the module constants (the same
+        # values the calibration pin above guarantees the state was built
+        # with)
+        n_bits, k = BLOOM_N_BITS, BLOOM_K
         set_bits = (
             read_refreshed(spark, args.target)
             .agg(F.sum(F.bit_count("bits")))
@@ -299,28 +339,30 @@ def cmd_agg_refresh(args: argparse.Namespace) -> None:
         )
         summary["bloom_fill_ratio"] = round(set_bits / n_bits, 4)
         summary["bloom_fp_rate_est"] = round((set_bits / n_bits) ** k, 6)
-    # drift gate only when THIS invocation merged a new increment (the
-    # pointer's batch_id advanced) — `n > 0` alone also covers heal-only
-    # runs, which would re-read the PREVIOUS increment's delta_files and
-    # double-count it into the drift histogram
+    # drift gate: batch-id-keyed IDEMPOTENT update (operators/drift.py).
+    # Every run offers the pointer's current increment; the state records
+    # which batch it last histogrammed, so a heal-only rerun RECOVERS an
+    # increment whose drift write was lost to a crash between the pointer
+    # flip and the bookmark commit, while an increment already recorded
+    # is a no-op — never double-counted (r9 review superseding the r8
+    # advisory's n>0 gate, which had to pick one failure or the other).
     pointer = read_pointer(args.target)
-    merged_new = pointer is not None and (
-        pointer_before is None
-        or pointer["batch_id"] != pointer_before["batch_id"]
-    )
-    if args.drift_col and merged_new:
-        # O(increment) re-read of exactly the files this refresh merged
-        # (the pointer's healing list), histogrammed against the
-        # maintained standing distribution of --drift-col
+    if args.drift_col and pointer is not None:
+        # O(increment) re-read of exactly the files the pointer's batch
+        # merged (its healing list), histogrammed against the maintained
+        # standing distribution of --drift-col
         from .operators.drift import update_drift_state
 
         inc = spark.read.parquet(*pointer["delta_files"])
-        summary["drift"] = update_drift_state(
+        drift = update_drift_state(
             inc,
             os.path.join(args.target, "drift_hist.json"),
             args.drift_col,
             key_col=args.drift_key,
+            batch_id=pointer["batch_id"],
         )
+        if not drift.get("already_recorded"):
+            summary["drift"] = drift
     _emit(summary)
 
 
@@ -339,11 +381,13 @@ def _refresh_drift_report(spark, args, stats) -> dict | None:
     delta = spark.read.parquet(
         os.path.join(args.target, f"accepted/delta_{pointer['batch_id']}")
     )
+    # batch-id-keyed: idempotent under any rerun of the same increment
     return update_drift_state(
         delta.withColumn("__len", F.length(args.text_col)),
         os.path.join(args.target, "drift_hist.json"),
         "__len",
         key_col=args.drift_key,
+        batch_id=pointer["batch_id"],
     )
 
 

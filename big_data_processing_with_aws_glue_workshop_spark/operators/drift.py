@@ -112,6 +112,7 @@ def update_drift_state(
     key_col: str | None = None,
     per_octave: int = 1,
     epsilon: float = 1e-6,
+    batch_id: int | None = None,
 ) -> dict:
     """The refresh-CLI drift gate: maintain a log2-bucket histogram of
     ``value_col`` at ``state_path`` (tiny JSON, atomic rename) and return
@@ -131,6 +132,16 @@ def update_drift_state(
     the flip and this write under-counts one increment's histogram —
     acceptable for a drift signal, never for corpus contents.
 
+    ``batch_id`` (optional) makes the update IDEMPOTENT per increment:
+    the state records the last batch it histogrammed, and a call for an
+    already-recorded batch returns ``{"already_recorded": True}``
+    without touching the state or running a job. This is what lets the
+    refresh CLIs histogram on heal-only reruns — recovering the
+    increment a crash between the pointer flip and this write would
+    otherwise lose — while remaining double-count-proof if the drift
+    write DID land before the crash (r9 review: an n>0 gate alone must
+    choose between losing that recovery and risking the double count).
+
     Returns ``{"first_refresh", "psi": {key: psi}, "n_rows"}``.
     """
     import json
@@ -138,6 +149,29 @@ def update_drift_state(
 
     from ..plans.incremental import log2_bucket
     from ..util import atomic_write_json
+
+    config = {"value_col": value_col, "key_col": key_col, "per_octave": per_octave}
+    standing: dict = {}
+    have_state = os.path.exists(state_path)
+    if have_state:
+        with open(state_path) as f:
+            data = json.load(f)
+        stored = {k: data[k] for k in config}
+        if stored != config:
+            raise ValueError(
+                f"drift state {state_path!r} was built with {stored}, "
+                f"called with {config} — histograms across calibrations "
+                "are not comparable; match the stored config or remove "
+                "the state file"
+            )
+        if batch_id is not None and data.get("last_batch_id") == batch_id:
+            return {
+                "first_refresh": False,
+                "psi": {},
+                "n_rows": 0,
+                "already_recorded": True,
+            }
+        standing = {(k, b): n for k, b, n in data["hist"]}
 
     key = F.col(key_col) if key_col else F.lit("all")
     rows = (
@@ -154,21 +188,6 @@ def update_drift_state(
     for r in rows:
         inc[(r["k"], r["bucket"])] = r["n"]
 
-    config = {"value_col": value_col, "key_col": key_col, "per_octave": per_octave}
-    standing: dict = {}
-    if os.path.exists(state_path):
-        with open(state_path) as f:
-            data = json.load(f)
-        stored = {k: data[k] for k in config}
-        if stored != config:
-            raise ValueError(
-                f"drift state {state_path!r} was built with {stored}, "
-                f"called with {config} — histograms across calibrations "
-                "are not comparable; match the stored config or remove "
-                "the state file"
-            )
-        standing = {(k, b): n for k, b, n in data["hist"]}
-
     psi: dict = {}
     if standing:
         for kk in {k for k, _ in standing} | {k for k, _ in inc}:
@@ -181,10 +200,13 @@ def update_drift_state(
     merged = dict(standing)
     for kb, n in inc.items():
         merged[kb] = merged.get(kb, 0) + n
-    atomic_write_json(
-        state_path,
-        {**config, "hist": sorted([k, b, n] for (k, b), n in merged.items())},
-    )
+    out_state = {
+        **config,
+        "hist": sorted([k, b, n] for (k, b), n in merged.items()),
+    }
+    if batch_id is not None:
+        out_state["last_batch_id"] = batch_id
+    atomic_write_json(state_path, out_state)
     return {
         "first_refresh": not standing,
         "psi": psi,

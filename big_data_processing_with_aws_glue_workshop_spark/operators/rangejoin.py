@@ -71,30 +71,29 @@ def bucketized_range_join(
 ) -> DataFrame:
     """Join each point to every interval containing it (start <= ts < end).
     ``how='inner'`` keeps matched points only; ``how='left'`` also keeps
-    points matching no interval, with NULL interval columns (the containment
-    filter runs on the inner core, THEN unmatched points are appended —
-    filtering after a null-padded outer join would silently drop them)."""
+    points matching no interval, with NULL interval columns.
+
+    Both modes are ONE join with the full containment predicate in the
+    join CONDITION: Catalyst extracts the bucket equality as the
+    shuffle/hash key and evaluates the time bounds as the join residual,
+    so a left outer join null-pads exactly the points with no containing
+    interval. A point meets any given interval in at most one bucket
+    (its own), so bucketization introduces no duplicate pairs. Earlier
+    formulations filtered AFTER the join and re-attached unmatched
+    points via a synthetic row id — an extra anti-join, a second scan of
+    the points, and (review findings, twice) an id that was either
+    retry-unstable (monotonically_increasing_id) or collision-prone on
+    NULL-bearing rows (xxhash64 folds identically over value/NULL
+    rearrangements) — the ON-condition form needs no id at all."""
     if how not in ("inner", "left"):
         raise ValueError(f"how must be 'inner' or 'left', got {how!r}")
     from ..functions.dates import floor_time_bucket
 
     bucket = lambda c: floor_time_bucket(c, bucket_seconds)
 
-    # synthetic row id: 'left' re-attaches unmatched points by THIS id
-    # (anti-joining on the natural columns would be null-unsafe — a matched
-    # row with a NULL attribute would fail to match itself and duplicate).
-    # DETERMINISTIC by construction: xxhash64 over every point column, so
-    # the two plan subtrees that recompute p (matched + unmatched) and any
-    # retried task always agree — monotonically_increasing_id here could
-    # desync them under partial replay. Exact-duplicate points collide on
-    # the id, harmlessly: identical rows have identical match status, so
-    # the anti-join keeps or drops all copies together (and keeps their
-    # multiplicity — left_anti never dedups the left side).
-    p = points.withColumn(
-        "__pid", F.xxhash64(*[F.col(c) for c in points.columns])
-    ).withColumn("__bucket", bucket(F.col(point_ts)))
+    p = points.withColumn("__bucket", bucket(F.col(point_ts)))
     i = intervals.withColumn(
-        "__bucket",
+        "__ibucket",
         F.explode(
             F.sequence(
                 bucket(F.col(interval_start)),
@@ -102,17 +101,9 @@ def bucketized_range_join(
             )
         ),
     )
-    matched = p.join(i, "__bucket", "inner").filter(
-        (F.col(point_ts) >= F.col(interval_start))
-        & (F.col(point_ts) < F.col(interval_end))
-    ).drop("__bucket")
-    if how == "inner":
-        return matched.drop("__pid")
-    unmatched = p.drop("__bucket").join(
-        matched.select("__pid").distinct(), on="__pid", how="left_anti"
+    cond = (
+        (p["__bucket"] == i["__ibucket"])
+        & (p[point_ts] >= i[interval_start])
+        & (p[point_ts] < i[interval_end])
     )
-    for c in intervals.columns:
-        unmatched = unmatched.withColumn(
-            c, F.lit(None).cast(intervals.schema[c].dataType)
-        )
-    return matched.unionByName(unmatched).drop("__pid")
+    return p.join(i, cond, how).drop("__bucket", "__ibucket")

@@ -43,6 +43,14 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+#: module defaults, exported so CLIs/readouts never re-type them (a
+#: hardcoded copy that drifts from these yields wrong fill/FP readouts
+#: — r9 review)
+BLOOM_N_BITS = 1 << 20
+BLOOM_K = 5
+HLL_P = 12
+SKETCH_SEED = 42
+
 
 def _bucket(key_col, row: int, width: int, seed: int):
     # one independent hash row per sketch row: seed the hash with the row
@@ -158,7 +166,7 @@ def cms_heavy_hitters(
 
 
 def hll_register_pairs(
-    df: DataFrame, key_col: str, p: int = 12, seed: int = 42
+    df: DataFrame, key_col: str, p: int = HLL_P, seed: int = SKETCH_SEED
 ) -> DataFrame:
     """Per input row: the (register, rho) pair of ``key_col``'s hash —
     land these (or groupBy-max them) and the max monoid does the rest.
@@ -181,7 +189,9 @@ def hll_register_pairs(
     )
 
 
-def hll_sketch(df: DataFrame, key_col: str, p: int = 12, seed: int = 42) -> DataFrame:
+def hll_sketch(
+    df: DataFrame, key_col: str, p: int = HLL_P, seed: int = SKETCH_SEED
+) -> DataFrame:
     """The register table: (register, rho) with rho = max rank seen —
     at most 2^p rows regardless of cardinality."""
     return (
@@ -197,7 +207,7 @@ def hll_merge(a: DataFrame, b: DataFrame) -> DataFrame:
     return a.unionByName(b).groupBy("register").agg(F.max("rho").alias("rho"))
 
 
-def hll_estimate(sketch: DataFrame, p: int = 12) -> float:
+def hll_estimate(sketch: DataFrame, p: int = HLL_P) -> float:
     """Cardinality estimate from a register table (Flajolet et al. 2007
     with the standard small-range linear-counting correction). One tiny
     aggregate over <= 2^p rows; the only driver-side math is the final
@@ -239,9 +249,9 @@ def hll_estimate(sketch: DataFrame, p: int = 12) -> float:
 def bloom_mask_pairs(
     df: DataFrame,
     key_col: str,
-    n_bits: int = 1 << 20,
-    k: int = 5,
-    seed: int = 42,
+    n_bits: int = BLOOM_N_BITS,
+    k: int = BLOOM_K,
+    seed: int = SKETCH_SEED,
 ) -> DataFrame:
     """Per input row: the k (word, mask) pairs of ``key_col``'s Bloom
     bits — the ROW-WISE expansion that lets the filter state ride
@@ -276,9 +286,9 @@ def bloom_mask_pairs(
 def bloom_build(
     df: DataFrame,
     key_col: str,
-    n_bits: int = 1 << 20,
-    k: int = 5,
-    seed: int = 42,
+    n_bits: int = BLOOM_N_BITS,
+    k: int = BLOOM_K,
+    seed: int = SKETCH_SEED,
 ) -> DataFrame:
     """Build the bitmap as a (word, bits) table: word = bit_index div 64,
     bits = OR of the member masks — at most n_bits/64 rows, a BIT-OR
@@ -302,9 +312,9 @@ def bloom_probe(
     bloom: DataFrame,
     probes: DataFrame,
     key_col: str,
-    n_bits: int = 1 << 20,
-    k: int = 5,
-    seed: int = 42,
+    n_bits: int = BLOOM_N_BITS,
+    k: int = BLOOM_K,
+    seed: int = SKETCH_SEED,
 ) -> DataFrame:
     """Rows of ``probes`` whose key is bloom-POSITIVE (all k bits set).
     Each of the k hash positions broadcast-joins the bitmap words — k

@@ -697,11 +697,18 @@ def incremental_agg_refresh(
     target_dir: str,
     fmt: str = "parquet",
     transform: Callable[[DataFrame], DataFrame] | None = None,
+    pointer_fields: dict | None = None,
     **reader_options: str,
 ) -> int:
     """Maintain a per-key aggregate table from an append-only fact in
     O(new files): read only uncommitted files, aggregate the increment
     alone, and monoid-merge the partials into the stored state.
+
+    ``pointer_fields`` (optional) adds caller metadata to every pointer
+    commit — e.g. a sketch CALIBRATION dict, so readers and later
+    refreshes can refuse a mismatched (n_bits, k, seed) merge the way
+    the streaming sketch sinks do (bit_or/max monoids happily combine
+    incompatible sketches into garbage if nobody checks).
 
     ``aggs`` maps output column -> (kind, input column) with kind in
     {count, sum, min, max}; ``("count", "*")`` counts rows. The published
@@ -815,7 +822,10 @@ def incremental_agg_refresh(
         batch_id = 0
 
     commit_snapshot(
-        merged, target_dir, batch_id, {"delta_files": sorted(new_files)}
+        merged,
+        target_dir,
+        batch_id,
+        {**(pointer_fields or {}), "delta_files": sorted(new_files)},
     )
     bookmark.commit_files(new_files)
     return healed + len(new_files)

@@ -405,7 +405,8 @@ def test_cli_agg_refresh_drift_gate(spark, tmp_path, capsys):
 
     # r8 advisory regression: a HEAL-ONLY run (crash lost the bookmark
     # commit; the pointer shows f2 already merged) reports n > 0 but must
-    # NOT re-histogram the previous increment into the drift state
+    # NOT re-histogram an increment whose drift write already landed —
+    # the batch-id-keyed idempotence makes it a no-op
     bm_path = tmp_path / "bm.json"
     bm_state = _json.loads(bm_path.read_text())
     job = next(iter(bm_state))
@@ -417,8 +418,55 @@ def test_cli_agg_refresh_drift_gate(spark, tmp_path, capsys):
     main(args)
     out3 = _json.loads(capsys.readouterr().out.strip().splitlines()[-1])
     assert out3["new_files"] == 1  # the heal
-    assert "drift" not in out3  # gate did not fire
+    assert "drift" not in out3  # already recorded: no double count
     assert (tmp_path / "state" / "drift_hist.json").read_text() == hist_before
+
+
+def test_cli_agg_refresh_drift_recovers_lost_write(spark, tmp_path, capsys):
+    """r9 review regression: if the drift write never happened for the
+    pointer's current batch (crash between the pointer flip and the
+    drift update — simulated by refreshing WITHOUT --drift-col), a later
+    run with --drift-col histograms that increment instead of skipping
+    it forever; rerunning again is then a no-op (idempotent)."""
+    import json as _json
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from big_data_processing_with_aws_glue_workshop_spark.cli import main
+
+    landing = tmp_path / "facts"
+    landing.mkdir()
+    base = [
+        "agg-refresh",
+        "--pattern", str(landing / "*.parquet"),
+        "--bookmark", str(tmp_path / "bm.json"),
+        "--target", str(tmp_path / "state"),
+        "--keys", "svc",
+        "--agg", "n=count:*",
+    ]
+    pq.write_table(
+        pa.Table.from_pandas(
+            pd.DataFrame([("api", 10.0 + i % 7) for i in range(60)],
+                         columns=["svc", "latency"]),
+            preserve_index=False,
+        ),
+        str(landing / "f1.parquet"),
+    )
+    main(base)  # no --drift-col: the increment merges, drift never recorded
+    capsys.readouterr()
+
+    main(base + ["--drift-col", "latency"])  # n=0 run: recovers the write
+    out = _json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert out["new_files"] == 0
+    assert out["drift"]["first_refresh"]
+    assert out["drift"]["n_rows"] == 60
+
+    main(base + ["--drift-col", "latency"])  # and again: no double count
+    out2 = _json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert "drift" not in out2
+    state = _json.loads((tmp_path / "state" / "drift_hist.json").read_text())
+    assert sum(n for _, _, n in state["hist"]) == 60
 
 
 def test_cli_lm_score(spark, tmp_path, capsys):

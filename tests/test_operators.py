@@ -807,3 +807,27 @@ def test_cap_vertex_degree_resymmetrize_restores_input_contract(spark):
     assert len(ranks) == 3
     total = sum(r["pr"] for r in ranks)
     assert scale - total < 1000  # truncation-bounded, no leaked base mass
+
+
+def test_range_join_left_null_rearranged_rows_both_kept(spark):
+    """Two DISTINCT points whose column values are value/NULL
+    rearrangements of each other (review finding: xxhash64 skips NULL
+    inputs, so an id hashed over the columns collided here and the
+    anti-join dropped the unmatched one). The ON-condition join keeps
+    both with their own match status."""
+    pts = spark.createDataFrame(
+        [
+            (dt.datetime(2024, 1, 1, 1), None),
+            (None, dt.datetime(2024, 1, 1, 1)),
+        ],
+        "ts timestamp, ts2 timestamp",
+    )
+    iv = spark.createDataFrame(
+        [(10, dt.datetime(2024, 1, 1), dt.datetime(2024, 1, 2))],
+        "interval_id long, start timestamp, end timestamp",
+    )
+    rows = bucketized_range_join(pts, iv, "ts", "start", "end", how="left").collect()
+    assert len(rows) == 2
+    got = {(r["ts"] is None): r["interval_id"] for r in rows}
+    # the valid-ts point matched; the NULL-ts point survives null-padded
+    assert got == {False: 10, True: None}

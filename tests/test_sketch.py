@@ -500,6 +500,32 @@ def test_cli_agg_refresh_bloom_key(spark, tmp_path, capsys):
     assert 0.01 < out["bloom_fill_ratio"] < 0.05
     assert out["bloom_fp_rate_est"] < 1e-6
 
+    # r9 review regression: the pointer pins the sketch calibration —
+    # merging a DIFFERENT sketch kind (or a plain agg) into this target
+    # is refused, the same contract the streaming sinks enforce
+    import pytest
+
+    pq.write_table(
+        pa.Table.from_pandas(
+            pd.DataFrame({"url": ["x1", "x2"]}), preserve_index=False
+        ),
+        str(landing / "f2.parquet"),
+    )
+    base = [
+        "agg-refresh",
+        "--pattern", str(landing / "*.parquet"),
+        "--bookmark", str(tmp_path / "bm.json"),
+        "--target", str(tmp_path / "state"),
+    ]
+    with pytest.raises(SystemExit, match="calibration mismatch"):
+        main(base + ["--hll-key", "url"])
+    with pytest.raises(SystemExit, match="calibration mismatch"):
+        main(base + ["--keys", "url", "--agg", "n=count:*"])
+    # the matching calibration still refreshes fine
+    main(base + ["--bloom-key", "url"])
+    out2 = _json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert out2["new_files"] == 1
+
 
 def test_streaming_bloom_sink_equals_oneshot(spark, tmp_path):
     """Streaming Bloom maintenance: two drained waves leave a standing

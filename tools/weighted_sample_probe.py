@@ -41,6 +41,10 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 from pyspark.sql import functions as F
 
+from big_data_processing_with_aws_glue_workshop_spark.operators.mixture import (
+    _HASH_MOD,
+    _id_hash,
+)
 from big_data_processing_with_aws_glue_workshop_spark.session import get_session
 
 SEED = 42
@@ -55,24 +59,13 @@ def main() -> None:
     spark = get_session(app_name="weighted-sample-probe")
     docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
 
-    # the sampler's exact key construction (mixture.py:184-189), weight =
+    # the sampler's key construction, built from the SAME helpers the
+    # shipped operator uses (weighted_sample_without_replacement) so the
+    # measured verdict cannot detach from the real code; weight =
     # character length of the text (positive, varies per row)
     u = (
-        (
-            F.conv(
-                F.substring(
-                    F.md5(F.concat(F.col("doc_id").cast("string"), F.lit(f"#{SEED}"))),
-                    1,
-                    15,
-                ),
-                16,
-                10,
-            ).cast("bigint")
-            % 1_000_000
-            + 1
-        ).cast("double")
-        / 1_000_000.0
-    )
+        _id_hash(F.concat(F.col("doc_id").cast("string"), F.lit(f"#{SEED}"))) + 1
+    ) / float(_HASH_MOD)
     key = F.log(u) / F.length("text").cast("double")
     sp = {
         r["doc_id"]: r["key"]
