@@ -233,16 +233,31 @@ def cmd_agg_refresh(args: argparse.Namespace) -> None:
     maintains a distinct-count HLL register table of COL (the max-monoid
     sketch from operators/sketch.py) and reports the running estimate;
     --bloom-key COL maintains a Bloom membership filter of COL (the
-    bit-or monoid) and reports fill ratio + implied FP rate."""
-    from .operators.sketch import BLOOM_K, BLOOM_N_BITS, HLL_P, SKETCH_SEED
+    bit-or monoid) and reports fill ratio + implied FP rate; --cms-key
+    COL maintains a Count-Min frequency sketch of COL (the count
+    monoid) and reports the exact rows-counted total. Each sketch mode
+    pins its calibration in the pointer and refuses a mismatch."""
+    from .operators.sketch import (
+        BLOOM_K,
+        BLOOM_N_BITS,
+        CMS_DEPTH,
+        CMS_WIDTH,
+        HLL_P,
+        SKETCH_SEED,
+    )
     from .plans.incremental import incremental_agg_refresh, read_refreshed
     from .sources.bookmarks import JobBookmark
     from .streaming.sinks import read_pointer
 
     transform = None
     calibration = None
-    if args.hll_key and args.bloom_key:
-        raise SystemExit("--hll-key and --bloom-key are mutually exclusive")
+    sketch_flags = [
+        f for f in (args.hll_key, args.bloom_key, args.cms_key) if f
+    ]
+    if len(sketch_flags) > 1:
+        raise SystemExit(
+            "--hll-key / --bloom-key / --cms-key are mutually exclusive"
+        )
     if args.hll_key:
         if args.keys or args.agg:
             raise SystemExit("--hll-key replaces --keys/--agg; pass only one")
@@ -270,10 +285,25 @@ def cmd_agg_refresh(args: argparse.Namespace) -> None:
             "seed": SKETCH_SEED,
             "key_col": args.bloom_key,
         }
+    elif args.cms_key:
+        if args.keys or args.agg:
+            raise SystemExit("--cms-key replaces --keys/--agg; pass only one")
+        from .operators.sketch import cms_bucket_pairs
+
+        keys, aggs = ["row", "bucket"], {"n": ("count", "*")}
+        transform = lambda df: cms_bucket_pairs(df, args.cms_key)  # noqa: E731
+        calibration = {
+            "sketch": "cms",
+            "depth": CMS_DEPTH,
+            "width": CMS_WIDTH,
+            "seed": SKETCH_SEED,
+            "key_col": args.cms_key,
+        }
     else:
         if not (args.keys and args.agg):
             raise SystemExit(
-                "--keys and --agg are required (or use --hll-key/--bloom-key)"
+                "--keys and --agg are required "
+                "(or use --hll-key/--bloom-key/--cms-key)"
             )
         keys = args.keys
         aggs = {}
@@ -339,6 +369,13 @@ def cmd_agg_refresh(args: argparse.Namespace) -> None:
         )
         summary["bloom_fill_ratio"] = round(set_bits / n_bits, 4)
         summary["bloom_fp_rate_est"] = round((set_bits / n_bits) ** k, 6)
+    if args.cms_key and read_pointer(args.target) is not None:
+        # each counted key contributes once to every sketch row: total
+        # mass / depth = rows ever counted (exact, NULL keys excluded)
+        total = (
+            read_refreshed(spark, args.target).agg(F.sum("n")).first()[0] or 0
+        )
+        summary["cms_rows_counted"] = int(total // CMS_DEPTH)
     # drift gate: batch-id-keyed IDEMPOTENT update (operators/drift.py).
     # Every run offers the pointer's current increment; the state records
     # which batch it last histogrammed, so a heal-only rerun RECOVERS an
@@ -370,25 +407,35 @@ def _refresh_drift_report(spark, args, stats) -> dict | None:
     """Shared --drift gate for the corpus refresh commands: PSI of the
     increment's doc-length histogram against the maintained standing
     histogram (operators/drift.py::update_drift_state — O(buckets) state,
-    no corpus re-read). The accepted delta of THIS refresh is re-read
-    (O(increment)); first refresh seeds the state and reports no PSI."""
-    if not args.drift or stats["accepted"] == 0:
+    no corpus re-read). The accepted delta of the pointer's CURRENT
+    batch is re-read (O(increment)); first refresh seeds the state and
+    reports no PSI. Batch-id-keyed and self-healing, like the
+    agg-refresh gate: a rerun after a crash that lost the drift write
+    histograms the batch; an already-recorded batch is a no-op; a
+    zero-row delta is skipped entirely (an empty increment contributes
+    nothing to the histogram, and PSI against an empty side would read
+    as spurious max drift)."""
+    if not args.drift:
         return None
     from .operators.drift import update_drift_state
     from .streaming.sinks import read_pointer
 
     pointer = read_pointer(args.target)
+    if pointer is None:
+        return None
     delta = spark.read.parquet(
         os.path.join(args.target, f"accepted/delta_{pointer['batch_id']}")
     )
-    # batch-id-keyed: idempotent under any rerun of the same increment
-    return update_drift_state(
+    if stats["accepted"] == 0 and delta.limit(1).count() == 0:
+        return None
+    rep = update_drift_state(
         delta.withColumn("__len", F.length(args.text_col)),
         os.path.join(args.target, "drift_hist.json"),
         "__len",
         key_col=args.drift_key,
         batch_id=pointer["batch_id"],
     )
+    return None if rep.get("already_recorded") else rep
 
 
 def cmd_dedup_refresh(args: argparse.Namespace) -> None:
@@ -656,6 +703,12 @@ def build_parser() -> argparse.ArgumentParser:
         default=None,
         help="maintain a Bloom membership filter of this column instead "
         "of --keys/--agg (bit-or monoid, operators/sketch.py)",
+    )
+    ar.add_argument(
+        "--cms-key",
+        default=None,
+        help="maintain a Count-Min frequency sketch of this column "
+        "instead of --keys/--agg (count monoid, operators/sketch.py)",
     )
     ar.add_argument(
         "--drift-col",

@@ -191,8 +191,21 @@ def pq_topk(
         .filter(F.col("query_id") != F.col("neighbor_id"))
         .distinct()
     )
+    return exact_rerank(cand, corpus, queries, kneighbors, vec_col, id_col)
 
-    # exact-cosine rerank of the shortlist against the original vectors
+
+def exact_rerank(
+    cand: DataFrame,
+    corpus: DataFrame,
+    queries: DataFrame,
+    kneighbors: int,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Exact-cosine rerank of a ``(query_id, neighbor_id)`` shortlist
+    against the original vectors — the standard PQ/IVF-PQ finishing
+    stage, shared by both index families. Output: (query_id, rank,
+    neighbor_id, cos_sim) with cos_sim EXACT."""
     qv = queries.select(
         F.col(id_col).alias("query_id"),
         F.col(vec_col).alias("qv"),

@@ -49,6 +49,8 @@ from pyspark.sql import functions as F
 BLOOM_N_BITS = 1 << 20
 BLOOM_K = 5
 HLL_P = 12
+CMS_DEPTH = 5
+CMS_WIDTH = 65_536
 SKETCH_SEED = 42
 
 
@@ -56,6 +58,40 @@ def _bucket(key_col, row: int, width: int, seed: int):
     # one independent hash row per sketch row: seed the hash with the row
     # index so rows disagree on collisions
     return F.pmod(F.xxhash64(F.lit(seed + row), key_col), F.lit(width))
+
+
+def cms_bucket_pairs(
+    df: DataFrame,
+    key_col: str,
+    depth: int = CMS_DEPTH,
+    width: int = CMS_WIDTH,
+    seed: int = SKETCH_SEED,
+) -> DataFrame:
+    """Per input row: the ``depth`` (row, bucket) pairs of ``key_col`` —
+    the ROW-WISE expansion that lets the CMS ride
+    ``plans/incremental.incremental_agg_refresh`` directly from raw key
+    files (keys=["row", "bucket"], aggs={"n": ("count", "*")}), exactly
+    like ``hll_register_pairs`` / ``bloom_mask_pairs``. NULL keys
+    excluded."""
+    return (
+        df.filter(F.col(key_col).isNotNull())
+        .select(
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(
+                            F.lit(r).alias("row"),
+                            _bucket(F.col(key_col), r, width, seed).alias("bucket"),
+                        )
+                        for r in range(depth)
+                    ]
+                )
+            ).alias("rb")
+        )
+        .select(
+            F.col("rb.row").alias("row"), F.col("rb.bucket").alias("bucket")
+        )
+    )
 
 
 def cms_sketch(
@@ -68,21 +104,8 @@ def cms_sketch(
     """Build a Count-Min sketch of ``key_col`` occurrences: returns
     ``(row, bucket, n)`` with at most depth*width rows. NULL keys are
     excluded (count them separately if they matter)."""
-    pairs = df.filter(F.col(key_col).isNotNull()).select(
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(r).alias("row"),
-                        _bucket(F.col(key_col), r, width, seed).alias("bucket"),
-                    )
-                    for r in range(depth)
-                ]
-            )
-        ).alias("rb")
-    )
     return (
-        pairs.select(F.col("rb.row").alias("row"), F.col("rb.bucket").alias("bucket"))
+        cms_bucket_pairs(df, key_col, depth=depth, width=width, seed=seed)
         .groupBy("row", "bucket")
         .agg(F.count(F.lit(1)).alias("n"))
     )

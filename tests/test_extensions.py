@@ -273,3 +273,54 @@ def test_pq_topk_recall_and_exact_rerank(embeddings, spark, sf_dir):
     total = sum(len(t) for t in truth.values())
     recall = hits / total
     assert recall >= 0.7, f"PQ recall@5 too low: {recall:.2f}"
+
+
+def test_ivfpq_topk_recall_and_exact_mode(embeddings, spark, sf_dir):
+    """IVF-PQ (coarse cells + residual-code ADC): recall@5 vs brute
+    force at nprobe=6/nlist=16, reported cos_sim EXACT (rerank), and —
+    the knob contract — nprobe=nlist with rerank >= corpus size equals
+    brute force EXACTLY."""
+    from big_data_processing_with_aws_glue_workshop_spark.extensions.ivfpq import (
+        ivfpq_topk,
+    )
+
+    exact = QUERIES["cosine_topk"](spark, sf_dir).collect()
+    truth: dict[int, set[int]] = {}
+    sims: dict[tuple[int, int], float] = {}
+    for r in exact:
+        truth.setdefault(r["query_id"], set()).add(r["neighbor_id"])
+        sims[(r["query_id"], r["neighbor_id"])] = r["cos_sim"]
+
+    queries = embeddings.filter(F.col("vec_id") < 20)
+    approx = ivfpq_topk(
+        embeddings, queries, kneighbors=5, nlist=16, nprobe=6, m=8, k=32,
+        rerank=48,
+    )
+    got: dict[int, set[int]] = {}
+    for r in approx.collect():
+        got.setdefault(r["query_id"], set()).add(r["neighbor_id"])
+        key = (r["query_id"], r["neighbor_id"])
+        if key in sims:
+            assert abs(r["cos_sim"] - sims[key]) < 1e-12
+
+    hits = sum(len(got.get(q, set()) & t) for q, t in truth.items())
+    total = sum(len(t) for t in truth.values())
+    recall = hits / total
+    assert recall >= 0.6, f"IVF-PQ recall@5 too low: {recall:.2f}"
+
+    # exactness invariant: probe everything + unbounded shortlist ==
+    # brute force (approximation only ever comes from the knobs)
+    n = embeddings.count()
+    full = ivfpq_topk(
+        embeddings, queries, kneighbors=5, nlist=16, nprobe=16, m=8, k=32,
+        rerank=n,
+    )
+    full_set = {
+        (r["query_id"], r["neighbor_id"], round(r["cos_sim"], 10))
+        for r in full.collect()
+    }
+    exact_set = {
+        (r["query_id"], r["neighbor_id"], round(r["cos_sim"], 10))
+        for r in exact
+    }
+    assert full_set == exact_set

@@ -594,3 +594,54 @@ def test_streaming_bloom_sink_equals_oneshot(spark, tmp_path):
         )
     with pytest.raises(ValueError, match="calibration mismatch"):
         BloomFilterSink(target, "k", k=7)(waves[0], 99)
+
+
+def test_cli_agg_refresh_cms_key(spark, tmp_path, capsys):
+    """agg-refresh --cms-key: the frequency sketch maintains from raw
+    files at the module calibration, equals the one-shot sketch, and
+    heavy-hitter queries work against the refreshed state."""
+    import json as _json
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from big_data_processing_with_aws_glue_workshop_spark.cli import main
+    from big_data_processing_with_aws_glue_workshop_spark.operators.sketch import (
+        CMS_DEPTH,
+        CMS_WIDTH,
+        cms_heavy_hitters,
+        cms_sketch,
+    )
+    from big_data_processing_with_aws_glue_workshop_spark.plans.incremental import (
+        read_refreshed,
+    )
+
+    landing = tmp_path / "facts"
+    landing.mkdir()
+    rows = ["hot"] * 500 + [f"tail{i}" for i in range(300)]
+    pq.write_table(
+        pa.Table.from_pandas(pd.DataFrame({"url": rows}), preserve_index=False),
+        str(landing / "f1.parquet"),
+    )
+    main([
+        "agg-refresh",
+        "--pattern", str(landing / "*.parquet"),
+        "--bookmark", str(tmp_path / "bm.json"),
+        "--target", str(tmp_path / "state"),
+        "--cms-key", "url",
+    ])
+    out = _json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert out["cms_rows_counted"] == 800
+
+    state = read_refreshed(spark, tmp_path.joinpath("state").as_posix())
+    src = spark.createDataFrame([(r,) for r in rows], "url string")
+    oneshot = cms_sketch(src, "url", depth=CMS_DEPTH, width=CMS_WIDTH)
+    assert {
+        (r["row"], r["bucket"]): r["n"] for r in state.collect()
+    } == {(r["row"], r["bucket"]): r["n"] for r in oneshot.collect()}
+
+    cands = spark.createDataFrame([("hot",), ("tail1",)], "url string")
+    hh = cms_heavy_hitters(
+        state, cands, "url", threshold=100, depth=CMS_DEPTH, width=CMS_WIDTH
+    )
+    assert [r["url"] for r in hh.collect()] == ["hot"]

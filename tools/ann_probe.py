@@ -1,4 +1,4 @@
-"""Measure the three ANN paths against exact brute force on the
+"""Measure the four ANN paths against exact brute force on the
 embeddings table: recall@5, candidate fraction, and warm wall time —
 the method-selection table for the similarity family.
 
@@ -18,6 +18,7 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 from pyspark.sql import functions as F
 
 from big_data_processing_with_aws_glue_workshop_spark.extensions.ivf import ivf_topk
+from big_data_processing_with_aws_glue_workshop_spark.extensions.ivfpq import ivfpq_topk
 from big_data_processing_with_aws_glue_workshop_spark.extensions.pq import pq_topk
 from big_data_processing_with_aws_glue_workshop_spark.extensions.similarity import ann_lsh_topk
 from big_data_processing_with_aws_glue_workshop_spark.queries.vectors import dot, norm
@@ -85,8 +86,11 @@ def main() -> None:
         "lsh": lambda: ann_lsh_topk(emb, queries, k=5, n_planes=4, n_tables=16),
         "ivf": lambda: ivf_topk(emb, queries, k=5, nlist=16, nprobe=4),
         "pq": lambda: pq_topk(emb, queries, kneighbors=5, m=8, k=32, rerank=48),
+        "ivfpq": lambda: ivfpq_topk(
+            emb, queries, kneighbors=5, nlist=16, nprobe=4, m=8, k=32, rerank=48
+        ),
     }
-    fractions = {"lsh": None, "ivf": 4 / 16, "pq": None}
+    fractions = {"lsh": None, "ivf": 4 / 16, "pq": None, "ivfpq": 4 / 16}
     for name, fn in runs.items():
         fn().count()  # warm (codebook/index fit + JIT)
         t0 = time.time()
