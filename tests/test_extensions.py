@@ -324,3 +324,26 @@ def test_ivfpq_topk_recall_and_exact_mode(embeddings, spark, sf_dir):
         for r in exact
     }
     assert full_set == exact_set
+
+
+def test_ivfpq_encode_append_equals_rebuild(embeddings, spark):
+    """Index maintenance contract (how FAISS-style indexes run at scale):
+    train ONCE, then encode arriving waves against the FIXED
+    centroids/codebooks and append — the encoded table of two waves
+    equals a one-shot encode of their union, so the (vec_id, cell,
+    codes) index rides the repo's ordinary append/upsert refresh
+    machinery with no retrain pass."""
+    from big_data_processing_with_aws_glue_workshop_spark.extensions.ivfpq import (
+        ivfpq_encode,
+        train_ivfpq,
+    )
+
+    centroids, codebooks = train_ivfpq(embeddings, nlist=8, m=8, k=16)
+    a = embeddings.filter(F.col("vec_id") % 2 == 0)
+    b = embeddings.filter(F.col("vec_id") % 2 == 1)
+    enc = lambda df: {
+        r["vec_id"]: (r["cell"], tuple(r["codes"]))
+        for r in ivfpq_encode(df, centroids, codebooks).collect()
+    }
+    appended = {**enc(a), **enc(b)}
+    assert appended == enc(embeddings)

@@ -66,7 +66,38 @@ def recall(truth: dict, approx_rows) -> float:
     return hits / sum(len(t) for t in truth.values())
 
 
+def sweep(spark, sf_dir: str) -> None:
+    """--sweep: recall-vs-nprobe curve for the cell-probing methods —
+    the knob curve that tells an operator what recall a probe budget
+    buys (IVF and IVF-PQ share the coarse-probe recall ceiling)."""
+    emb = spark.read.parquet(os.path.join(sf_dir, "embeddings.parquet")).persist()
+    emb.count()
+    queries = emb.filter(F.col("vec_id") < 20)
+    truth: dict = {}
+    for r in exact_topk(emb, queries).collect():
+        truth.setdefault(r["query_id"], set()).add(r["neighbor_id"])
+    for nprobe in (2, 4, 8, 16):
+        for name, fn in (
+            ("ivf", lambda: ivf_topk(emb, queries, k=5, nlist=16, nprobe=nprobe)),
+            ("ivfpq", lambda: ivfpq_topk(
+                emb, queries, kneighbors=5, nlist=16, nprobe=nprobe,
+                m=8, k=32, rerank=48,
+            )),
+        ):
+            rows = fn().collect()
+            print(json.dumps({
+                "method": name,
+                "nprobe": nprobe,
+                "recall_at_5": round(recall(truth, rows), 4),
+            }))
+
+
 def main() -> None:
+    args = [a for a in sys.argv[1:] if a != "--sweep"]
+    if "--sweep" in sys.argv[1:]:
+        sf_dir = args[0] if args else "/root/testdata/sf0.1"
+        sweep(get_session(app_name="ann-probe"), sf_dir)
+        return
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
     spark = get_session(app_name="ann-probe")
     emb = spark.read.parquet(os.path.join(sf_dir, "embeddings.parquet")).persist()
