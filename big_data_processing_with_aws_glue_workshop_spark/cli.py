@@ -317,11 +317,16 @@ def cmd_agg_refresh(args: argparse.Namespace) -> None:
     # calibration pin (same contract as the streaming sketch sinks): the
     # monoid merge would happily combine sketches built with different
     # (n_bits, k, seed) into a state whose probes can FALSE-NEGATIVE —
-    # refuse a mismatch before reading anything. Symmetric: a plain
-    # --keys/--agg run (calibration None) onto a sketch target is refused
-    # too.
-    stored_cal = (read_pointer(args.target) or {}).get("calibration")
-    if stored_cal is not None and stored_cal != calibration:
+    # refuse a mismatch before reading anything. Symmetric in BOTH
+    # directions: a plain --keys/--agg run onto a sketch target is
+    # refused (calibration None != stored), and a sketch run onto a
+    # committed target that carries NO calibration is refused too —
+    # accepting it would merge into a state of unknown provenance and
+    # then stamp the new calibration over it, making the corruption look
+    # pinned (r9 review).
+    pointer0 = read_pointer(args.target)
+    stored_cal = (pointer0 or {}).get("calibration")
+    if pointer0 is not None and stored_cal != calibration:
         raise SystemExit(
             f"sketch calibration mismatch for {args.target!r}: standing "
             f"state was built with {stored_cal}, this invocation implies "
@@ -377,12 +382,16 @@ def cmd_agg_refresh(args: argparse.Namespace) -> None:
         )
         summary["cms_rows_counted"] = int(total // CMS_DEPTH)
     # drift gate: batch-id-keyed IDEMPOTENT update (operators/drift.py).
-    # Every run offers the pointer's current increment; the state records
-    # which batch it last histogrammed, so a heal-only rerun RECOVERS an
-    # increment whose drift write was lost to a crash between the pointer
-    # flip and the bookmark commit, while an increment already recorded
-    # is a no-op — never double-counted (r9 review superseding the r8
-    # advisory's n>0 gate, which had to pick one failure or the other).
+    # Every run offers the pointer's CURRENT increment; the state records
+    # which batch it last histogrammed, so an already-recorded batch is a
+    # no-op (never double-counted) and a rerun that still sees the same
+    # pointer batch recovers a drift write lost to a crash between the
+    # pointer flip and the drift update. The recovery window is exactly
+    # that: if NEW files land and merge before the rerun, the pointer
+    # advances and the lost batch stays unhistogrammed — the advisory
+    # under-count the drift state's contract already accepts (it sits
+    # outside the pointer flip by design). (r9 review, superseding the
+    # r8 advisory's n>0 gate, which had to pick a failure mode.)
     pointer = read_pointer(args.target)
     if args.drift_col and pointer is not None:
         # O(increment) re-read of exactly the files the pointer's batch

@@ -181,6 +181,12 @@ def ivfpq_topk(
         queries.select(F.col(id_col).alias("qid"), F.col(vec_col).alias("v"))
         .collect()
     )
+    if not q_rows:
+        # an empty-but-valid query frame returns an empty result, not a
+        # numpy axis error out of the normalize (r9 review)
+        return corpus.sparkSession.createDataFrame(
+            [], "query_id long, rank int, neighbor_id long, cos_sim double"
+        )
     qids = np.array([r["qid"] for r in q_rows])
     Qn = _normalize(np.array([r["v"] for r in q_rows], dtype="float64"))
     mm, kk, dsub = codebooks.shape

@@ -145,6 +145,12 @@ def pq_topk(
         queries.select(F.col(id_col).alias("qid"), F.col(vec_col).alias("v"))
         .collect()
     )
+    if not q_rows:
+        # empty-but-valid query frame: empty result, not a numpy axis
+        # error out of the normalize (r9 review, shared with ivfpq)
+        return corpus.sparkSession.createDataFrame(
+            [], "query_id long, rank int, neighbor_id long, cos_sim double"
+        )
     qids = np.array([r["qid"] for r in q_rows])
     Q = np.array([r["v"] for r in q_rows], dtype="float64")
     qnorms = np.linalg.norm(Q, axis=1, keepdims=True)

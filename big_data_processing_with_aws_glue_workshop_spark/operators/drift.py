@@ -152,8 +152,8 @@ def update_drift_state(
 
     config = {"value_col": value_col, "key_col": key_col, "per_octave": per_octave}
     standing: dict = {}
-    have_state = os.path.exists(state_path)
-    if have_state:
+    stored_batch = None
+    if os.path.exists(state_path):
         with open(state_path) as f:
             data = json.load(f)
         stored = {k: data[k] for k in config}
@@ -164,7 +164,8 @@ def update_drift_state(
                 "are not comparable; match the stored config or remove "
                 "the state file"
             )
-        if batch_id is not None and data.get("last_batch_id") == batch_id:
+        stored_batch = data.get("last_batch_id")
+        if batch_id is not None and stored_batch == batch_id:
             return {
                 "first_refresh": False,
                 "psi": {},
@@ -204,8 +205,12 @@ def update_drift_state(
         **config,
         "hist": sorted([k, b, n] for (k, b), n in merged.items()),
     }
-    if batch_id is not None:
-        out_state["last_batch_id"] = batch_id
+    # a batch-less call must PRESERVE the stored marker, not erase it —
+    # dropping it would re-arm double-counting for the next keyed call
+    # (r9 review)
+    marker = batch_id if batch_id is not None else stored_batch
+    if marker is not None:
+        out_state["last_batch_id"] = marker
     atomic_write_json(state_path, out_state)
     return {
         "first_refresh": not standing,

@@ -340,35 +340,48 @@ def bloom_probe(
     seed: int = SKETCH_SEED,
 ) -> DataFrame:
     """Rows of ``probes`` whose key is bloom-POSITIVE (all k bits set).
-    Each of the k hash positions broadcast-joins the bitmap words — k
-    map-side hash joins chained in ONE stage, no shuffle of probe rows,
-    no per-row id (a prior explode/groupBy formulation needed a
-    monotonically_increasing_id, which task retries can reassign; the
-    chained-join shape is deterministic by construction and keeps
-    duplicate probe rows independent for free). Every internal column is
-    __-prefixed on both sides, so probe frames may themselves carry
-    ``word``/``bits`` columns. Feed the output to an exact verify:
-    positives are candidates, negatives are PROVEN absent."""
+
+    The bitmap is packed into ONE row — a DENSE ``array<long>`` of
+    n_bits/64 words (128 KB at the defaults; absent words filled with
+    0) — by a single aggregation, broadcast once, and the k membership
+    lookups run as pure JVM expressions (positional ``element_at`` +
+    bitwise AND, O(1) per lookup) over every probe row: map-side, no
+    shuffle of probe rows, no per-row id, fully deterministic under
+    retries. Every earlier formulation had a flaw this one doesn't
+    (all r9-measured): the explode/groupBy round trip needed a
+    retry-unstable monotonically_increasing_id; k chained broadcast
+    joins recomputed the entire bloom-build subtree k times (no
+    exchange reuse across differently-aliased projections); a
+    word->bits MAP pack made each lookup a linear scan over the 16k
+    entries (Spark's non-literal-map element_at does not hash — 7x
+    slower at an 8M-row probe side). The only internal columns are
+    ``__``-prefixed, so probe frames may themselves carry ``word``/
+    ``bits`` columns. Feed the output to an exact verify: positives
+    are candidates, negatives are PROVEN absent."""
     cols = probes.columns
-    out = probes
-    conds = []
+    n_words = (n_bits + 63) // 64
+    dense = (
+        bloom.sparkSession.range(n_words)
+        .select(F.col("id").alias("word"))
+        .join(bloom, "word", "left")
+        .select("word", F.coalesce("bits", F.lit(0).cast("long")).alias("bits"))
+    )
+    packed = dense.groupBy().agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct(F.col("word"), F.col("bits")))),
+            lambda s: s["bits"],
+        ).alias("__bloombits")
+    )
+    out = probes.crossJoin(F.broadcast(packed))
+    hit = None
     for i in range(k):
         pos = F.pmod(F.xxhash64(F.lit(seed + i), F.col(key_col)), F.lit(n_bits))
         out = out.withColumn(f"__pos{i}", pos)
-        side = bloom.select(
-            F.col("word").alias(f"__word{i}"), F.col("bits").alias(f"__bits{i}")
-        )
-        out = out.join(
-            F.broadcast(side),
-            (F.col(f"__pos{i}") / 64).cast("long") == F.col(f"__word{i}"),
-            "left",
-        )
+        # element_at is 1-based; word index = pos div 64. SQL shiftleft:
+        # the Python API wants a literal bit count, the SQL form accepts
+        # a column
+        word1 = (F.col(f"__pos{i}") / 64).cast("int") + 1
         mask = F.expr(f"shiftleft(CAST(1 AS BIGINT), CAST(__pos{i} % 64 AS INT))")
-        conds.append(
-            F.coalesce(F.col(f"__bits{i}"), F.lit(0).cast("long")).bitwiseAND(mask)
-            != 0
-        )
-    hit = conds[0]
-    for c in conds[1:]:
-        hit = hit & c
+        c = F.element_at(F.col("__bloombits"), word1).bitwiseAND(mask) != 0
+        hit = c if hit is None else hit & c
     return out.filter(hit).select(*cols)

@@ -688,10 +688,11 @@ def q_bloom_decontaminated_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     The sketch family's driver-scored representative (r8 verdict "Next
     round #3"): the eval shingle set compresses to a 2^20-bit Bloom bitmap
-    (128 KB, 16,384 longs) that BROADCASTS, so corpus-side membership is a
-    map-side check (operators/sketch.py::bloom_probe — k chained broadcast
-    joins, one stage, no probe shuffle); only bloom-POSITIVE grams reach
-    the exact semi-join verify. Because a Bloom filter has zero false
+    (128 KB, 16,384 longs) packed into ONE broadcast row, so corpus-side
+    membership is k pure-expression lookups per probe row
+    (operators/sketch.py::bloom_probe — element_at + bitwise AND, no
+    probe shuffle, build aggregation executed once); only bloom-POSITIVE
+    grams reach the exact semi-join verify. Because a Bloom filter has zero false
     negatives BY CONSTRUCTION (pinned by tests/test_sketch.py), the pruning
     provably cannot change the answer: the output is identical to the plain
     anti-join a DuckDB oracle expresses, making the sketch path

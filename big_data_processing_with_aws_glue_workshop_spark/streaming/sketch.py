@@ -28,7 +28,17 @@ import os
 
 from pyspark.sql import DataFrame, SparkSession
 
-from ..operators.sketch import bloom_build, bloom_merge, cms_merge, cms_sketch
+from ..operators.sketch import (
+    BLOOM_K,
+    BLOOM_N_BITS,
+    CMS_DEPTH,
+    CMS_WIDTH,
+    SKETCH_SEED,
+    bloom_build,
+    bloom_merge,
+    cms_merge,
+    cms_sketch,
+)
 from .sinks import commit_snapshot, read_current, read_pointer
 
 
@@ -85,9 +95,9 @@ class CmsSketchSink(_MonoidSketchSink):
         self,
         target_dir: str,
         key_col: str,
-        depth: int = 5,
-        width: int = 65_536,
-        seed: int = 42,
+        depth: int = CMS_DEPTH,
+        width: int = CMS_WIDTH,
+        seed: int = SKETCH_SEED,
         checkpoint_dir: str | None = None,
     ) -> None:
         super().__init__(target_dir, checkpoint_dir)
@@ -126,9 +136,9 @@ class BloomFilterSink(_MonoidSketchSink):
         self,
         target_dir: str,
         key_col: str,
-        n_bits: int = 1 << 20,
-        k: int = 5,
-        seed: int = 42,
+        n_bits: int = BLOOM_N_BITS,
+        k: int = BLOOM_K,
+        seed: int = SKETCH_SEED,
         checkpoint_dir: str | None = None,
     ) -> None:
         super().__init__(target_dir, checkpoint_dir)
@@ -196,9 +206,9 @@ def run_stream_cms_sketch(
     target_dir: str,
     key_col: str,
     checkpoint_dir: str | None = None,
-    depth: int = 5,
-    width: int = 65_536,
-    seed: int = 42,
+    depth: int = CMS_DEPTH,
+    width: int = CMS_WIDTH,
+    seed: int = SKETCH_SEED,
 ) -> None:
     """availableNow drain into the standing CMS; same checkpoint
     ownership discipline as run_foreach_batch_upsert."""
@@ -219,9 +229,9 @@ def run_stream_bloom_filter(
     target_dir: str,
     key_col: str,
     checkpoint_dir: str | None = None,
-    n_bits: int = 1 << 20,
-    k: int = 5,
-    seed: int = 42,
+    n_bits: int = BLOOM_N_BITS,
+    k: int = BLOOM_K,
+    seed: int = SKETCH_SEED,
 ) -> None:
     """availableNow drain into the standing Bloom filter; same
     checkpoint ownership discipline as run_stream_cms_sketch."""

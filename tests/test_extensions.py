@@ -347,3 +347,20 @@ def test_ivfpq_encode_append_equals_rebuild(embeddings, spark):
     }
     appended = {**enc(a), **enc(b)}
     assert appended == enc(embeddings)
+
+
+def test_ann_empty_query_frames_return_empty(embeddings, spark):
+    """r9 review regression: an empty-but-valid queries frame yields an
+    empty result from the PQ and IVF-PQ entry points, not a numpy axis
+    error."""
+    from big_data_processing_with_aws_glue_workshop_spark.extensions.ivfpq import (
+        ivfpq_topk,
+    )
+    from big_data_processing_with_aws_glue_workshop_spark.extensions.pq import pq_topk
+
+    none = embeddings.filter(F.lit(False))
+    assert pq_topk(embeddings, none, kneighbors=5, m=8, k=16).count() == 0
+    assert (
+        ivfpq_topk(embeddings, none, kneighbors=5, nlist=8, m=8, k=16).count()
+        == 0
+    )

@@ -365,11 +365,16 @@ def test_q21_blame_scans_fact_once(spark):
 
 
 def test_bloom_decontamination_probe_side_is_map_side(spark):
-    """bloom_decontaminated_docs: the k=5 membership lookups are chained
-    BROADCAST joins of the 128 KB bitmap (the corpus-scale probe side is
-    never shuffled for the membership test, and no cartesian shape may
-    appear anywhere)."""
+    """bloom_decontaminated_docs: the bitmap packs to ONE broadcast row
+    (a single BNLJ of a 1-row map side — formatted explain prints the
+    node twice) and all k membership lookups are pure expressions over
+    it, so the corpus-scale probe side is never shuffled for the
+    membership test, the bloom-build aggregation runs ONCE (the r9
+    chained-join formulation recomputed it k times), and no cartesian
+    shape appears."""
     plan = plan_of(spark, "bloom_decontaminated_docs")
-    assert plan.count("BroadcastHashJoin") >= 5, plan
+    assert 1 <= plan.count("BroadcastNestedLoopJoin") <= 2, plan
     assert "CartesianProduct" not in plan, plan
-    assert "BroadcastNestedLoopJoin" not in plan, plan
+    # one build subtree: partial+final bit_or aggregate mentions only —
+    # the k-chained-joins shape showed ~5x this
+    assert plan.count("bit_or") <= 10, plan

@@ -645,3 +645,35 @@ def test_cli_agg_refresh_cms_key(spark, tmp_path, capsys):
         state, cands, "url", threshold=100, depth=CMS_DEPTH, width=CMS_WIDTH
     )
     assert [r["url"] for r in hh.collect()] == ["hot"]
+
+
+def test_cli_sketch_refused_on_calibrationless_target(spark, tmp_path, capsys):
+    """r9 review regression: a committed PLAIN-agg target carries no
+    calibration — a sketch run onto it must be refused (merging would
+    corrupt the state and then stamp a calibration over it), not
+    silently accepted."""
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    import pytest
+
+    from big_data_processing_with_aws_glue_workshop_spark.cli import main
+
+    landing = tmp_path / "facts"
+    landing.mkdir()
+    pq.write_table(
+        pa.Table.from_pandas(
+            pd.DataFrame({"url": ["a", "b", "b"]}), preserve_index=False
+        ),
+        str(landing / "f1.parquet"),
+    )
+    base = [
+        "agg-refresh",
+        "--pattern", str(landing / "*.parquet"),
+        "--bookmark", str(tmp_path / "bm.json"),
+        "--target", str(tmp_path / "state"),
+    ]
+    main(base + ["--keys", "url", "--agg", "n=count:*"])
+    capsys.readouterr()
+    with pytest.raises(SystemExit, match="calibration mismatch"):
+        main(base + ["--bloom-key", "url"])
