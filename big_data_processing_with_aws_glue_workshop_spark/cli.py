@@ -235,14 +235,18 @@ def cmd_agg_refresh(args: argparse.Namespace) -> None:
     --bloom-key COL maintains a Bloom membership filter of COL (the
     bit-or monoid) and reports fill ratio + implied FP rate; --cms-key
     COL maintains a Count-Min frequency sketch of COL (the count
-    monoid) and reports the exact rows-counted total. Each sketch mode
-    pins its calibration in the pointer and refuses a mismatch."""
+    monoid) and reports the exact rows-counted total; --sample-key COL
+    maintains a slot-minima coordinated uniform sample of COL (min
+    monoid on a struct) and reports its rank-minima distinct estimate.
+    Each sketch mode pins its calibration in the pointer and refuses a
+    mismatch."""
     from .operators.sketch import (
         BLOOM_K,
         BLOOM_N_BITS,
         CMS_DEPTH,
         CMS_WIDTH,
         HLL_P,
+        SAMPLE_SLOTS,
         SKETCH_SEED,
     )
     from .plans.incremental import incremental_agg_refresh, read_refreshed
@@ -252,11 +256,14 @@ def cmd_agg_refresh(args: argparse.Namespace) -> None:
     transform = None
     calibration = None
     sketch_flags = [
-        f for f in (args.hll_key, args.bloom_key, args.cms_key) if f
+        f
+        for f in (args.hll_key, args.bloom_key, args.cms_key, args.sample_key)
+        if f
     ]
     if len(sketch_flags) > 1:
         raise SystemExit(
-            "--hll-key / --bloom-key / --cms-key are mutually exclusive"
+            "--hll-key / --bloom-key / --cms-key / --sample-key are "
+            "mutually exclusive"
         )
     if args.hll_key:
         if args.keys or args.agg:
@@ -298,6 +305,23 @@ def cmd_agg_refresh(args: argparse.Namespace) -> None:
             "width": CMS_WIDTH,
             "seed": SKETCH_SEED,
             "key_col": args.cms_key,
+        }
+    elif args.sample_key:
+        if args.keys or args.agg:
+            raise SystemExit(
+                "--sample-key replaces --keys/--agg; pass only one"
+            )
+        from .operators.sketch import sample_minima_pairs
+
+        keys, aggs = ["slot"], {"r": ("min", "r")}
+        transform = lambda df: sample_minima_pairs(  # noqa: E731
+            df, args.sample_key
+        )
+        calibration = {
+            "sketch": "minima_sample",
+            "slots": SAMPLE_SLOTS,
+            "seed": SKETCH_SEED,
+            "key_col": args.sample_key,
         }
     else:
         if not (args.keys and args.agg):
@@ -374,6 +398,15 @@ def cmd_agg_refresh(args: argparse.Namespace) -> None:
         )
         summary["bloom_fill_ratio"] = round(set_bits / n_bits, 4)
         summary["bloom_fp_rate_est"] = round((set_bits / n_bits) ** k, 6)
+    if args.sample_key and read_pointer(args.target) is not None:
+        # the maintained uniform sample doubles as a distinct estimator
+        # (rank-minima order statistics; cross-checks --hll-key) — and
+        # state_rows above IS the current sample size
+        from .operators.sketch import minima_distinct_estimate
+
+        summary["distinct_estimate_minima"] = round(
+            minima_distinct_estimate(read_refreshed(spark, args.target)), 1
+        )
     if args.cms_key and read_pointer(args.target) is not None:
         # each counted key contributes once to every sketch row: total
         # mass / depth = rows ever counted (exact, NULL keys excluded)
@@ -718,6 +751,13 @@ def build_parser() -> argparse.ArgumentParser:
         default=None,
         help="maintain a Count-Min frequency sketch of this column "
         "instead of --keys/--agg (count monoid, operators/sketch.py)",
+    )
+    ar.add_argument(
+        "--sample-key",
+        default=None,
+        help="maintain a slot-minima coordinated uniform sample of this "
+        "column instead of --keys/--agg (min monoid on a struct, "
+        "operators/sketch.py; doubles as a distinct estimator)",
     )
     ar.add_argument(
         "--drift-col",

@@ -385,3 +385,183 @@ def bloom_probe(
         c = F.element_at(F.col("__bloombits"), word1).bitwiseAND(mask) != 0
         hit = c if hit is None else hit & c
     return out.filter(hit).select(*cols)
+
+
+# ---------------------------------------------------------------------------
+# Slot-minima coordinated sample: bounded-size MERGEABLE uniform sample
+# ---------------------------------------------------------------------------
+#
+# The fourth member of the sketch family (frequency = CMS, distinct =
+# HLL, membership = Bloom, SAMPLE/quantiles = this): hash every key to
+# one of ``slots`` buckets with an md5-derived slot hash, rank it with
+# an INDEPENDENT md5-derived 60-bit uniform, and keep, per slot, the
+# single row with the minimum (rank, key, payload...) struct. The state
+# is at most ``slots`` rows and is a MIN MONOID on a struct column, so
+# it merges with plain ``union + groupBy min`` and rides
+# ``plans/incremental.incremental_agg_refresh`` UNCHANGED (group key =
+# slot, agg = min over the struct) — the no-new-framework property the
+# rest of the family establishes. Classic constructions this composes:
+# per-bucket minima of a shared hash are Cohen's coordinated /
+# bottom-k samples (Cohen & Kaplan 2007), the bucketed layout is
+# Flajolet-Martin stochastic averaging, and one shared permutation
+# across buckets is one-permutation hashing (Li, Owen & Zhang 2012).
+#
+# What the one small state answers, all order- and partition-
+# independently (every readout is deterministic given (slots, seed)):
+#
+# - a uniform-without-replacement sample of ~min(n, slots) rows that
+#   stays uniform under incremental refresh — the "maintain a held-out
+#   eval sample of the whole corpus as it grows" pipeline primitive;
+# - empirical quantiles of any payload column with DKW sampling error
+#   O(1/sqrt(slots)) INDEPENDENT of the value distribution (the
+#   log-histogram path bounds RELATIVE value error instead — the two
+#   are complementary);
+# - a distinct-count estimate from the rank minima (MinCount /
+#   order-statistics estimator, Lumbroso 2010, with a linear-counting
+#   small-range fallback, Whang et al. 1990) — cross-checks the HLL;
+# - corpus-vs-corpus resemblance: two states with the SAME calibration
+#   are coordinated, so slot-wise min agreement estimates the Jaccard
+#   of the two key sets (the one-permutation MinHash estimator).
+#
+# Unlike CMS/HLL (xxhash64, not SQL-portable), the md5 rank IS
+# cross-engine (same construction as operators/mixture.py::_id_hash;
+# DuckDB twin ('0x'||substr(md5(x),1,15))::BIGINT), so the sample —
+# and any exact readout over it, e.g. quantiles — can be DuckDB-
+# hash-oracled end to end.
+
+SAMPLE_SLOTS = 4_096
+_RANK_MOD = 1 << 60  # 15 hex digits of md5 — the full conv() width
+
+
+def _md5_uniform(col, salt: str):
+    """60-bit md5-derived uniform integer in [0, 2^60), engine-portable
+    (DuckDB: ('0x'||substr(md5(x||'<salt>'),1,15))::BIGINT)."""
+    return F.conv(
+        F.substring(F.md5(F.concat(col.cast("string"), F.lit(salt))), 1, 15),
+        16,
+        10,
+    ).cast("bigint")
+
+
+def sample_minima_pairs(
+    df: DataFrame,
+    key_col: str,
+    payload_cols: list | None = None,
+    slots: int = SAMPLE_SLOTS,
+    seed: int = SKETCH_SEED,
+) -> DataFrame:
+    """(slot, r) pairs feeding the min monoid: r = struct(rank, key,
+    payload...). The refresh ``transform`` partner (cf. cms_bucket_pairs/
+    hll_register_pairs/bloom_mask_pairs): row-wise, deterministic, so the
+    crash-replay contract of incremental_agg_refresh carries over. Slot
+    and rank hashes use different salts so they are independent."""
+    key = F.col(key_col)
+    fields = [
+        _md5_uniform(key, f"#{seed}").alias("rank"),
+        key.cast("string").alias("key"),
+    ]
+    for c in payload_cols or []:
+        fields.append(F.col(c))
+    return df.select(
+        F.pmod(_md5_uniform(key, f"@{seed}"), F.lit(slots)).alias("slot"),
+        F.struct(*fields).alias("r"),
+    )
+
+
+def minima_sample(
+    df: DataFrame,
+    key_col: str,
+    payload_cols: list | None = None,
+    slots: int = SAMPLE_SLOTS,
+    seed: int = SKETCH_SEED,
+) -> DataFrame:
+    """One-shot build: at most ``slots`` rows of (slot, r). Duplicate
+    keys collapse (same slot, same rank, min takes one) — the sample is
+    of the DISTINCT key set, which is what makes the distinct estimator
+    and the Jaccard readout sound."""
+    return (
+        sample_minima_pairs(df, key_col, payload_cols, slots, seed)
+        .groupBy("slot")
+        .agg(F.min("r").alias("r"))
+    )
+
+
+def minima_merge(a: DataFrame, b: DataFrame) -> DataFrame:
+    """Monoid merge — associative, commutative, idempotent (min of
+    struct). States must share (slots, seed, key_col): pin the
+    calibration exactly as the other sketches do."""
+    return a.unionByName(b).groupBy("slot").agg(F.min("r").alias("r"))
+
+
+def sample_rows(state: DataFrame) -> DataFrame:
+    """Unpack the state to plain sample rows (slot, rank, key,
+    payload...): ~min(n_distinct, slots) rows, uniform over the distinct
+    key set by symmetry of the hashes."""
+    return state.select("slot", "r.*")
+
+
+def minima_distinct_estimate(
+    state: DataFrame, slots: int = SAMPLE_SLOTS
+) -> float:
+    """Distinct-key estimate from the rank minima.
+
+    Large range (all slots filled): order-statistics MLE
+    n ~= m(m-1)/sum(u_i) with u_i = (rank_i+1)/2^60 (Lumbroso 2010) —
+    std error ~ 1/sqrt(m). Small range (empty slots exist): linear
+    counting n ~= -m ln(e/m) over the e empty slots (Whang et al.
+    1990), exact in expectation while collisions are rare. The
+    crossover is the same small-range-correction shape HLL uses.
+    Driver-side scalar readout of a <= ``slots``-row state."""
+    import math
+
+    rows = state.select("slot", "r.rank").collect()
+    filled = len(rows)
+    empty = slots - filled
+    if empty > 0:
+        return -slots * math.log(empty / slots)
+    total_u = sum((r["rank"] + 1) / _RANK_MOD for r in rows)
+    return slots * (slots - 1) / total_u
+
+
+def minima_jaccard(a: DataFrame, b: DataFrame) -> float:
+    """Estimate the Jaccard similarity of the two states' DISTINCT key
+    sets: same-calibration states are coordinated samples, so
+    P(slot minima agree | slot occupied by either) = J(A, B) up to
+    O(1/sqrt(slots)) (one-permutation MinHash, Li-Owen-Zhang 2012;
+    empty-slot alignment per Shrivastava-Li 2014 densification caveat:
+    slots occupied by NEITHER corpus are simply excluded, which keeps
+    the estimator unbiased without densifying). Scalar readout —
+    the full outer join is on <= slots rows per side."""
+    pa = a.select("slot", F.col("r.rank").alias("ra"), F.col("r.key").alias("ka"))
+    pb = b.select("slot", F.col("r.rank").alias("rb"), F.col("r.key").alias("kb"))
+    both = pa.join(pb, "slot", "full_outer")
+    agg = both.agg(
+        F.count(F.lit(1)).alias("union_slots"),
+        F.sum(
+            ((F.col("ra") == F.col("rb")) & (F.col("ka") == F.col("kb")))
+            .cast("int")
+        ).alias("agree"),
+    ).collect()[0]
+    if not agg["union_slots"]:
+        return 0.0
+    return (agg["agree"] or 0) / agg["union_slots"]
+
+
+def sample_quantiles(
+    state: DataFrame, field: str, qs: list
+) -> dict:
+    """Empirical quantiles of a payload column over the sample: sort
+    the <= slots sample values, take the LOWER empirical quantile
+    (index floor(q*(n-1))) — a deterministic selection of an actual
+    data value, so exact-dtype readouts survive cross-engine hashing.
+    Sampling error in RANK terms is bounded by DKW:
+    P(|F_sample - F| > eps) <= 2 exp(-2*n*eps^2) — eps ~ 2.1% at
+    n = 4096 slots with 99% confidence, independent of the value
+    distribution."""
+    vals = sorted(
+        r[0] for r in state.select(f"r.{field}").collect() if r[0] is not None
+    )
+    if not vals:
+        return {q: None for q in qs}
+    n = len(vals)
+    return {q: vals[int(q * (n - 1))] for q in qs}

@@ -82,13 +82,26 @@ zero keeps, zero new scored-from-day-one queries):
   PROVABLY the exact anti-join survivor set (zero false negatives), so
   the sketch path is hash-oracleable against plain SQL.
 - round-10 feasibility check: due-back promotions in r10 are the 49 r9
-  demotions + the r9 tail addition = 50 exactly — r10 keeps nothing
-  and adds nothing scored-from-day-one; if r10 needs slack, the
-  remaining docstring-named retirement candidate is
-  ``deterministic_sample`` (anchors ``bernoulli_sample`` — retire only
-  with the anchored query's gate story restated). After r10, the 50
-  r10 demotions are due back r11 and the cycle is a pure 50/50
-  flip-flop unless the surface changes.
+  demotions + the r9 tail addition (``bloom_decontaminated_docs``) =
+  50 exactly — r10 keeps nothing and adds nothing scored-from-day-one.
+  PLANNED r10 surface change (1:1, prepared this round): retire
+  ``deterministic_sample`` (demoting out of the r9 window with its
+  driver row taken) and add ``sampled_quantile_profile`` to the tail —
+  the slot-minima coordinated-sample quantile readout
+  (``queries/relational.py::q_sampled_quantile_profile``), already
+  implemented with a DuckDB oracle and pytest-hash-gated at two SFs
+  (tests/test_sketch.py) since r9. It supersedes its retiree: the
+  md5-uniform deterministic selection story is the same, but the
+  sample is bounded-size, MERGEABLE monoid state that rides
+  incremental refresh, and the readout exercises it. The anchored
+  ``bernoulli_sample`` gate story restated per the retirement rule:
+  its engine-RNG rows-only status stays pinned by the allowlist
+  meta-test, and its deterministic oracle-backed twin role passes from
+  deterministic_sample to sampled_quantile_profile (same md5-uniform
+  hash class, strictly stronger gate: value-hash at two SFs). After
+  r10, the 50 r10 demotions are due back r11 (including
+  sampled_quantile_profile's first driver row) and the cycle is a
+  pure 50/50 flip-flop unless the surface changes.
 """
 
 import functools

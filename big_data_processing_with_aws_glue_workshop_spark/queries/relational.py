@@ -353,6 +353,99 @@ def q_deterministic_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_sampled_quantile_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quantiles of l_extendedprice read off a slot-minima coordinated
+    sample of lineitem (operators/sketch.py: the bounded MERGEABLE
+    uniform sample that rides incremental refresh) — the sketch
+    family's quantile readout, hash-oracle-able end to end because the
+    slot and rank hashes are the repo's md5-uniform construction
+    (DuckDB: ('0x'||substr(md5(..),1,15))::BIGINT) and the readout is
+    a DETERMINISTIC positional selection (lower empirical quantile,
+    index floor(q*(n-1))) of an actual data value.
+
+    Scale shape: the ONLY full-corpus pass is the map-side hash +
+    slot-groupBy min (shuffles <= slots struct rows); ranking and the
+    quantile join touch <= slots rows. DKW bounds the rank error at
+    ~2.1% (n=4096, 99% conf) independent of the value distribution.
+
+    PENDING DRIVER REGISTRATION (r10): implemented and pytest-oracle-
+    gated this round (tests/test_sketch.py); enters the registry tail
+    in r10 paired 1:1 with the deterministic_sample retirement it
+    supersedes — see queries/__init__.py's r10 feasibility note.
+    """
+    from ..operators.sketch import minima_sample, sample_rows
+
+    li = load(spark, sf_dir, "lineitem")
+    keyed = li.select(
+        F.concat_ws(
+            "-",
+            F.col("l_orderkey").cast("string"),
+            F.col("l_linenumber").cast("string"),
+        ).alias("rk"),
+        "l_extendedprice",
+    )
+    rows = sample_rows(minima_sample(keyed, "rk", ["l_extendedprice"]))
+    w = Window.partitionBy(F.lit(1)).orderBy(
+        F.col("l_extendedprice").asc(), F.col("key").asc()
+    )
+    ranked = rows.select(
+        "l_extendedprice",
+        F.row_number().over(w).alias("vrn"),
+        F.count(F.lit(1)).over(Window.partitionBy(F.lit(1))).alias("n_sample"),
+    )
+    qs = spark.range(1).select(
+        F.explode(
+            F.array(*[F.lit(q) for q in (0.1, 0.25, 0.5, 0.75, 0.9)])
+        ).alias("q")
+    )
+    return (
+        ranked.join(
+            F.broadcast(qs),
+            F.floor(F.col("q") * (F.col("n_sample") - 1)).cast("long") + 1
+            == F.col("vrn"),
+        )
+        .select(
+            "q",
+            F.col("n_sample").cast("long").alias("n_sample"),
+            F.col("l_extendedprice").cast("double").alias("price_q"),
+        )
+        .orderBy("q")
+    )
+
+
+# DuckDB twin of q_sampled_quantile_profile (PENDING r10 registration —
+# gated by tests/test_sketch.py until then; the md5-uniform forms mirror
+# operators/mixture.py::_id_hash's documented DuckDB equivalence)
+SAMPLED_QUANTILE_PROFILE_ORACLE = """
+WITH keyed AS (
+  SELECT (l_orderkey::VARCHAR || '-' || l_linenumber::VARCHAR) AS rk,
+         l_extendedprice
+  FROM lineitem
+), hashed AS (
+  SELECT ('0x' || substr(md5(rk || '@42'), 1, 15))::BIGINT % 4096 AS slot,
+         ('0x' || substr(md5(rk || '#42'), 1, 15))::BIGINT AS rank,
+         rk, l_extendedprice
+  FROM keyed
+), minima AS (
+  SELECT slot, rank, rk, l_extendedprice,
+         row_number() OVER (
+           PARTITION BY slot ORDER BY rank, rk, l_extendedprice
+         ) AS mrn
+  FROM hashed
+), ranked AS (
+  SELECT l_extendedprice,
+         row_number() OVER (ORDER BY l_extendedprice, rk) AS vrn,
+         count(*) OVER () AS n
+  FROM minima WHERE mrn = 1
+)
+SELECT q, CAST(n AS BIGINT) AS n_sample,
+       CAST(l_extendedprice AS DOUBLE) AS price_q
+FROM ranked, (VALUES (0.1), (0.25), (0.5), (0.75), (0.9)) AS qv(q)
+WHERE vrn = CAST(floor(q * (n - 1)) AS BIGINT) + 1
+ORDER BY q
+"""
+
+
 def q_priority_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IN-list + BETWEEN + timestamp range predicates (P6/P8/P10;
     test/query_gold_validations.sql:95,150-151)."""

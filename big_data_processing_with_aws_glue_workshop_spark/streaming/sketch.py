@@ -33,11 +33,14 @@ from ..operators.sketch import (
     BLOOM_N_BITS,
     CMS_DEPTH,
     CMS_WIDTH,
+    SAMPLE_SLOTS,
     SKETCH_SEED,
     bloom_build,
     bloom_merge,
     cms_merge,
     cms_sketch,
+    minima_merge,
+    minima_sample,
 )
 from .sinks import commit_snapshot, read_current, read_pointer
 
@@ -165,6 +168,42 @@ class BloomFilterSink(_MonoidSketchSink):
         return bloom_merge(standing, inc)
 
 
+class MinimaSampleSink(_MonoidSketchSink):
+    """Standing slot-minima coordinated uniform sample of ``key_col``
+    (min monoid on a struct) — a bounded eval-set sample maintained
+    over an unbounded stream, exactly-once under replay like the other
+    sketch sinks."""
+
+    def __init__(
+        self,
+        target_dir: str,
+        key_col: str,
+        slots: int = SAMPLE_SLOTS,
+        seed: int = SKETCH_SEED,
+        checkpoint_dir: str | None = None,
+    ) -> None:
+        super().__init__(target_dir, checkpoint_dir)
+        self.key_col = key_col
+        self.slots = slots
+        self.seed = seed
+
+    @property
+    def calibration(self) -> dict:
+        return {
+            "slots": self.slots,
+            "seed": self.seed,
+            "key_col": self.key_col,
+        }
+
+    def _build(self, batch_df: DataFrame) -> DataFrame:
+        return minima_sample(
+            batch_df, self.key_col, slots=self.slots, seed=self.seed
+        )
+
+    def _merge(self, standing: DataFrame, inc: DataFrame) -> DataFrame:
+        return minima_merge(standing, inc)
+
+
 def _guard_checkpoint(target_dir: str, checkpoint_dir: str | None) -> None:
     """Refuse the silent-skip hole: a committed target must be resumed
     under its ORIGINAL checkpoint, or batch ids restart at 0 and the
@@ -241,6 +280,27 @@ def run_stream_bloom_filter(
         key_col,
         n_bits=n_bits,
         k=k,
+        seed=seed,
+        checkpoint_dir=checkpoint_dir,
+    )
+    _drain(stream_df, sink, checkpoint_dir)
+
+
+def run_stream_minima_sample(
+    stream_df: DataFrame,
+    target_dir: str,
+    key_col: str,
+    checkpoint_dir: str | None = None,
+    slots: int = SAMPLE_SLOTS,
+    seed: int = SKETCH_SEED,
+) -> None:
+    """availableNow drain into the standing slot-minima sample; same
+    checkpoint ownership discipline as run_stream_cms_sketch."""
+    _guard_checkpoint(target_dir, checkpoint_dir)
+    sink = MinimaSampleSink(
+        target_dir,
+        key_col,
+        slots=slots,
         seed=seed,
         checkpoint_dir=checkpoint_dir,
     )

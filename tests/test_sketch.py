@@ -677,3 +677,275 @@ def test_cli_sketch_refused_on_calibrationless_target(spark, tmp_path, capsys):
     capsys.readouterr()
     with pytest.raises(SystemExit, match="calibration mismatch"):
         main(base + ["--bloom-key", "url"])
+
+
+# ---------------------------------------------------------------------------
+# Slot-minima coordinated sample (the fourth sketch: uniform sample /
+# quantiles / distinct / Jaccard from one <= slots-row min-monoid state)
+# ---------------------------------------------------------------------------
+
+
+def _minima_mod():
+    from big_data_processing_with_aws_glue_workshop_spark.operators import sketch
+
+    return sketch
+
+
+def _keys(spark, lo, hi, payload=True):
+    df = spark.range(lo, hi).select(
+        F.concat(F.lit("doc_"), "id").alias("k"),
+        (F.col("id") * 7 % 1000).cast("double").alias("v"),
+    )
+    return df if payload else df.select("k")
+
+
+def test_minima_sample_merge_equals_oneshot_and_duplicate_collapse(spark):
+    """Min-monoid laws on the struct state: any split of the input
+    merges to EXACTLY the one-shot state (associativity + commutativity
+    + idempotence), and duplicated input rows change nothing — the
+    sample is of the distinct key set."""
+    S = _minima_mod()
+    df = _keys(spark, 0, 20_000)
+    oneshot = S.minima_sample(df, "k", ["v"], slots=512)
+
+    parts = [
+        df.filter(F.crc32(F.col("k")) % 3 == i) for i in range(3)
+    ]
+    merged = S.minima_merge(
+        S.minima_sample(parts[2], "k", ["v"], slots=512),
+        S.minima_merge(
+            S.minima_sample(parts[0], "k", ["v"], slots=512),
+            S.minima_sample(parts[1], "k", ["v"], slots=512),
+        ),
+    )
+    assert merged.exceptAll(oneshot).count() == 0
+    assert oneshot.exceptAll(merged).count() == 0
+
+    doubled = S.minima_sample(df.unionByName(df), "k", ["v"], slots=512)
+    assert doubled.exceptAll(oneshot).count() == 0
+    assert oneshot.exceptAll(doubled).count() == 0
+
+
+def test_minima_distinct_estimate_both_regimes(spark):
+    """Rank-minima distinct estimator: linear-counting regime (empty
+    slots exist) and order-statistics regime (all slots filled), each
+    within ~4 std errors of truth (deterministic given the fixed
+    seed — these are exact pins, not flaky tolerances)."""
+    S = _minima_mod()
+    small = S.minima_sample(_keys(spark, 0, 300), "k", slots=1024)
+    est_small = S.minima_distinct_estimate(small, 1024)
+    assert abs(est_small - 300) / 300 < 0.10
+
+    big = S.minima_sample(_keys(spark, 0, 60_000), "k", slots=1024)
+    est_big = S.minima_distinct_estimate(big, 1024)
+    assert abs(est_big - 60_000) / 60_000 < 0.13  # se ~ 1/sqrt(1024) ~ 3%
+
+
+def test_minima_jaccard_matches_exact_overlap(spark):
+    """Same-calibration states are coordinated samples: slot-wise min
+    agreement estimates the Jaccard of the two distinct key sets."""
+    S = _minima_mod()
+    a = S.minima_sample(_keys(spark, 0, 30_000), "k", slots=1024)
+    b = S.minima_sample(_keys(spark, 10_000, 40_000), "k", slots=1024)
+    est = S.minima_jaccard(a, b)
+    exact = 20_000 / 40_000
+    assert abs(est - exact) < 0.06  # se ~ sqrt(J(1-J)/1024) ~ 1.6%
+
+
+def test_sample_quantiles_within_dkw_band(spark):
+    """Quantile readout: the sample's empirical quantile of v sits
+    within a few DKW standard errors of the exact quantile IN RANK
+    TERMS, independent of the value distribution (v here is heavily
+    skewed: v^3)."""
+    S = _minima_mod()
+    df = spark.range(100_000).select(
+        F.concat(F.lit("r"), "id").alias("k"),
+        (F.pow(F.col("id").cast("double") / 100_000, 3)).alias("v"),
+    )
+    st = S.minima_sample(df, "k", ["v"], slots=1024)
+    qs = S.sample_quantiles(st, "v", [0.1, 0.5, 0.9])
+    for q, val in qs.items():
+        # invert: the exact rank of the sampled value
+        rank = (val ** (1.0 / 3))
+        assert abs(rank - q) < 0.05, (q, val, rank)
+
+
+def test_minima_sample_is_uniform_across_strata(spark):
+    """Uniformity: a stratum holding half the distinct keys contributes
+    ~half the sample (binomial se ~ 1.6% at 1024 slots)."""
+    S = _minima_mod()
+    df = _keys(spark, 0, 50_000)
+    st = S.minima_sample(df, "k", slots=1024)
+    rows = S.sample_rows(st)
+    frac = (
+        rows.filter(F.substring("key", 5, 9).cast("long") % 2 == 0).count()
+        / rows.count()
+    )
+    assert abs(frac - 0.5) < 0.06
+
+
+def test_minima_rides_incremental_agg_refresh_from_raw_files(spark, tmp_path):
+    """The no-new-framework property: group key = slot, agg = min over
+    the struct, transform = sample_minima_pairs — the maintained sample
+    EXACTLY equals the one-shot sample of every row ever landed, with
+    O(increment) reads and <= slots state rows."""
+    import pandas as pd  # noqa: F401
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from big_data_processing_with_aws_glue_workshop_spark.plans.incremental import (
+        incremental_agg_refresh,
+        read_refreshed,
+    )
+    from big_data_processing_with_aws_glue_workshop_spark.sources.bookmarks import (
+        JobBookmark,
+    )
+
+    S = _minima_mod()
+    landing = tmp_path / "facts"
+    landing.mkdir()
+    bm = JobBookmark(str(tmp_path / "bm.json"), "sample")
+    target = str(tmp_path / "sample_state")
+
+    waves = [_keys(spark, 0, 8_000), _keys(spark, 6_000, 15_000)]
+    for i, w in enumerate(waves):
+        pq.write_table(
+            pa.Table.from_pandas(w.toPandas(), preserve_index=False),
+            str(landing / f"w{i}.parquet"),
+        )
+        incremental_agg_refresh(
+            spark,
+            bm,
+            str(landing / "*.parquet"),
+            ["slot"],
+            {"r": ("min", "r")},
+            target,
+            transform=lambda df: S.sample_minima_pairs(
+                df, "k", ["v"], slots=512
+            ),
+        )
+
+    state = read_refreshed(spark, target)
+    oneshot = S.minima_sample(
+        waves[0].unionByName(waves[1]), "k", ["v"], slots=512
+    )
+    assert state.count() <= 512
+    assert state.exceptAll(oneshot).count() == 0
+    assert oneshot.exceptAll(state).count() == 0
+
+
+def test_cli_agg_refresh_sample_key(spark, tmp_path, capsys):
+    """agg-refresh --sample-key: maintains the sample from raw files,
+    reports the rank-minima distinct estimate, pins calibration (a
+    later --cms-key run onto the sample target is refused)."""
+    import json
+
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    import pytest
+
+    from big_data_processing_with_aws_glue_workshop_spark.cli import main
+
+    landing = tmp_path / "facts"
+    landing.mkdir()
+    base = [
+        "agg-refresh",
+        "--pattern", str(landing / "*.parquet"),
+        "--bookmark", str(tmp_path / "bm.json"),
+        "--target", str(tmp_path / "state"),
+    ]
+    for i, (lo, hi) in enumerate([(0, 4_000), (3_000, 9_000)]):
+        pq.write_table(
+            pa.Table.from_pandas(
+                pd.DataFrame({"url": [f"u{j}" for j in range(lo, hi)]}),
+                preserve_index=False,
+            ),
+            str(landing / f"w{i}.parquet"),
+        )
+        main(base + ["--sample-key", "url"])
+        out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert out["new_files"] == 1
+    est = out["distinct_estimate_minima"]
+    assert abs(est - 9_000) / 9_000 < 0.10
+    assert out["state_rows"] <= 4_096
+
+    with pytest.raises(SystemExit, match="calibration mismatch"):
+        main(base + ["--cms-key", "url"])
+
+
+def test_streaming_minima_sink_equals_oneshot(spark, tmp_path):
+    """Streaming sample maintenance: drained waves leave a standing
+    sample EXACTLY equal to the one-shot build over all data; replay is
+    a no-op; fresh checkpoint and recalibration are refused."""
+    import pandas as pd  # noqa: F401
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    import pytest
+
+    from big_data_processing_with_aws_glue_workshop_spark.streaming.sketch import (
+        MinimaSampleSink,
+        read_stream_sketch,
+        run_stream_minima_sample,
+    )
+
+    S = _minima_mod()
+    landing = tmp_path / "stream_in"
+    landing.mkdir()
+    target = str(tmp_path / "sample")
+    ckpt = str(tmp_path / "ckpt")
+    waves = [
+        spark.range(0, 3_000).select(F.concat(F.lit("s"), "id").alias("k")),
+        spark.range(2_000, 7_000).select(F.concat(F.lit("s"), "id").alias("k")),
+    ]
+    for i, w in enumerate(waves):
+        pq.write_table(
+            pa.Table.from_pandas(w.toPandas(), preserve_index=False),
+            str(landing / f"w{i}.parquet"),
+        )
+        stream = spark.readStream.schema("k string").parquet(str(landing))
+        run_stream_minima_sample(stream, target, "k", checkpoint_dir=ckpt)
+
+    union = waves[0].unionByName(waves[1])
+    oneshot = {
+        (r["slot"], tuple(r["r"]))
+        for r in S.minima_sample(union, "k").collect()
+    }
+    standing = {
+        (r["slot"], tuple(r["r"]))
+        for r in read_stream_sketch(spark, target).collect()
+    }
+    assert standing == oneshot
+
+    MinimaSampleSink(target, "k")(waves[0], 0)  # replayed batch: no-op
+    assert {
+        (r["slot"], tuple(r["r"]))
+        for r in read_stream_sketch(spark, target).collect()
+    } == oneshot
+    stream = spark.readStream.schema("k string").parquet(str(landing))
+    with pytest.raises(ValueError, match="different checkpoint"):
+        run_stream_minima_sample(
+            stream, target, "k", checkpoint_dir=str(tmp_path / "ckptB")
+        )
+    with pytest.raises(ValueError, match="calibration mismatch"):
+        MinimaSampleSink(target, "k", slots=128)(waves[0], 99)
+
+
+def test_sampled_quantile_profile_matches_duckdb_oracle(spark):
+    """The r10-bound driver query (PENDING registration — paired with
+    the deterministic_sample retirement, see queries/__init__.py):
+    Spark slot-minima sample + positional quantile readout hash-equals
+    the DuckDB twin at sf0.01 AND sf0.001 under the driver's exact
+    compare semantics (oracle_harness is dtype-kind-strict)."""
+    from big_data_processing_with_aws_glue_workshop_spark.queries.relational import (
+        SAMPLED_QUANTILE_PROFILE_ORACLE,
+        q_sampled_quantile_profile,
+    )
+    from tests.oracle_harness import compare
+
+    for sf in ("/root/testdata/sf0.001", "/root/testdata/sf0.01"):
+        compare(
+            q_sampled_quantile_profile(spark, sf),
+            SAMPLED_QUANTILE_PROFILE_ORACLE,
+            sf,
+        )
