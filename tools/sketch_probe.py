@@ -167,6 +167,64 @@ def probe_bloom(spark, n, m=100_000, contam_pct=1) -> dict:
     }
 
 
+def probe_minima(spark, n, slots) -> dict:
+    """Slot-minima sample probe: one corpus pass builds the <= slots
+    state; measure wall time vs the exact quantile job it substitutes
+    for, quantile RANK error on a skewed (cubed) value column, the
+    rank-minima distinct estimate error, and Jaccard error on a
+    constructed 1/3 overlap."""
+    from big_data_processing_with_aws_glue_workshop_spark.operators.sketch import (
+        minima_distinct_estimate,
+        minima_jaccard,
+        minima_sample,
+        sample_quantiles,
+    )
+
+    df = (
+        spark.range(n)
+        .select(
+            F.concat(F.lit("k"), "id").alias("k"),
+            F.pow(F.col("id").cast("double") / n, 3).alias("v"),
+        )
+        .persist()
+    )
+    df.count()
+
+    t0 = time.time()
+    st = minima_sample(df, "k", ["v"], slots=slots).persist()
+    st.count()
+    t_build = time.time() - t0
+
+    qs = sample_quantiles(st, "v", [0.1, 0.5, 0.9])
+    # v = (rank_fraction)^3, so the exact rank of a value is v^(1/3)
+    rank_errs = {q: abs(v ** (1.0 / 3) - q) for q, v in qs.items()}
+
+    t0 = time.time()
+    exact_q = df.agg(
+        F.percentile_approx("v", [0.1, 0.5, 0.9], 10_000)
+    ).first()[0]
+    t_exact = time.time() - t0
+    del exact_q
+
+    est = minima_distinct_estimate(st, slots)
+
+    a = minima_sample(df.filter(F.col("id") < 2 * n // 3), "k", slots=slots)
+    b = minima_sample(df.filter(F.col("id") >= n // 3), "k", slots=slots)
+    jac = minima_jaccard(a, b)  # truth: (n/3) / n = 1/3
+
+    df.unpersist()
+    st.unpersist()
+    return {
+        "n_rows": n,
+        "slots": slots,
+        "build_sec": round(t_build, 2),
+        "exact_percentile_sec": round(t_exact, 2),
+        "q_rank_err": {str(q): round(e, 4) for q, e in rank_errs.items()},
+        "distinct_rel_err": round(abs(est - n) / n, 4),
+        "jaccard_abs_err": round(abs(jac - 1 / 3), 4),
+    }
+
+
 def main() -> None:
     args = sys.argv[1:]
     spark = get_session(app_name="sketch-probe")
@@ -174,6 +232,13 @@ def main() -> None:
         sizes = [int(a) for a in args[1:]] or [2_000_000, 8_000_000, 32_000_000]
         for n in sizes:
             print(json.dumps(probe_bloom(spark, n)))
+        return
+    if args and args[0] == "--minima":
+        rest = [int(a) for a in args[1:]]
+        sizes = rest or [2_000_000, 8_000_000, 32_000_000]
+        for n in sizes:
+            for slots in (1_024, 4_096, 16_384):
+                print(json.dumps(probe_minima(spark, n, slots)))
         return
     sizes = [int(a) for a in args] or [2_000_000, 8_000_000, 32_000_000]
     for n in sizes:
