@@ -445,6 +445,29 @@ def cmd_agg_refresh(args: argparse.Namespace) -> None:
     _emit(summary)
 
 
+def cmd_join_refresh(args: argparse.Namespace) -> None:
+    """Incremental fact ⋈ dim materialized-view maintenance with a
+    late-arriving-dimension pending buffer (plans/incremental.py::
+    incremental_join_refresh) — O(increment) per refresh, append-only
+    view, crash-replay exactly-once. One bookmark file hosts both
+    sides under '<job>:facts' / '<job>:dims'."""
+    from .plans.incremental import incremental_join_refresh
+    from .sources.bookmarks import JobBookmark
+
+    spark = get_session(app_name="join-refresh")
+    stats = incremental_join_refresh(
+        spark,
+        JobBookmark(args.bookmark, args.job_name + ":facts"),
+        args.fact_pattern,
+        JobBookmark(args.bookmark, args.job_name + ":dims"),
+        args.dim_pattern,
+        args.target,
+        args.key,
+        dim_compact_at=args.dim_compact_at,
+    )
+    _emit({"job": "join-refresh", **stats})
+
+
 def _refresh_drift_report(spark, args, stats) -> dict | None:
     """Shared --drift gate for the corpus refresh commands: PSI of the
     increment's doc-length histogram against the maintained standing
@@ -771,6 +794,21 @@ def build_parser() -> argparse.ArgumentParser:
         help="segment the drift histogram by this column",
     )
     ar.set_defaults(func=cmd_agg_refresh)
+
+    jr = sub.add_parser(
+        "join-refresh",
+        help="incremental fact-join-dim materialized view with a "
+        "late-arriving-dimension pending buffer "
+        "(plans/incremental.py::incremental_join_refresh)",
+    )
+    jr.add_argument("--fact-pattern", required=True, help="glob of fact files")
+    jr.add_argument("--dim-pattern", required=True, help="glob of dim files")
+    jr.add_argument("--bookmark", required=True, help="bookmark state file")
+    jr.add_argument("--job-name", default="join-refresh")
+    jr.add_argument("--target", required=True, help="view state dir")
+    jr.add_argument("--key", required=True, help="join key column")
+    jr.add_argument("--dim-compact-at", type=int, default=16)
+    jr.set_defaults(func=cmd_join_refresh)
 
     dr = sub.add_parser(
         "dedup-refresh",

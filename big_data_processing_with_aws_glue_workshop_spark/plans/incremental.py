@@ -661,6 +661,291 @@ def read_deduped(spark: SparkSession, target_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Incremental JOIN-VIEW maintenance (fact ⋈ dim with late-arriving dims)
+# ---------------------------------------------------------------------------
+
+
+def incremental_join_refresh(
+    spark: SparkSession,
+    fact_bookmark: JobBookmark,
+    fact_pattern: str,
+    dim_bookmark: JobBookmark,
+    dim_pattern: str,
+    target_dir: str,
+    join_key: str,
+    fact_transform: Callable[[DataFrame], DataFrame] | None = None,
+    dim_transform: Callable[[DataFrame], DataFrame] | None = None,
+    dim_compact_at: int = 16,
+    fmt: str = "parquet",
+    **reader_options: str,
+) -> dict:
+    """Maintain a materialized INNER-join view ``fact ⋈ dim`` from two
+    append-only landing streams in O(increment): the classic
+    delta-rule view maintenance (Δ(F⋈D) = ΔF⋈D ∪ F⋈ΔD ∪ ΔF⋈ΔD,
+    Blakeley et al. 1986) specialized to the append-only shape a
+    pipeline actually has, where the F⋈ΔD term — the one that would
+    re-read the 100 TB fact corpus — is served by a bounded PENDING
+    buffer instead of the corpus.
+
+    Contract on the dimension: append-only BY KEY and immutable —
+    new ``join_key`` values arrive over time (the late-arriving-
+    dimension case: a fact can land before its dim row), but a key's
+    attributes never change once published. Within an increment,
+    duplicate dim keys resolve deterministically (min attribute
+    struct); across increments, FIRST WINS (same stance as the corpus
+    dedup: stable identity, no retroactive view churn — a mutable
+    SCD1 dim would invalidate already-published view rows and needs
+    retraction deltas, out of scope exactly as upstream UPDATEs are
+    for the agg refresh).
+
+    The invariant that makes the maintenance O(increment): every fact
+    row ever landed is in EXACTLY ONE of {view (matched, append-only),
+    pending (unmatched, rewritten per refresh)}. A refresh computes
+
+        matched_new = (ΔF ⋈ D_full) ∪ (P ⋈ ΔD_new)
+        P_next      = (P ∪ ΔF) ⟕̸ D_full        (left_anti on the key)
+
+    — ΔF must see the FULL dim (its facts may match any standing key),
+    but standing pending rows only need ΔD_new (they already failed
+    against everything older), so the expensive side of both joins is
+    increment-sized and the dim side broadcasts at dim scale. The fact
+    corpus and the published view are NEVER re-read.
+
+    State under ``target_dir`` (atomic pointer flip, CAS-guarded like
+    the corpus refreshes):
+
+    - ``view/delta_<batch>/``  — matched rows, APPEND-ONLY (write is
+      O(new matches); readers union the published list).
+    - ``dim/d<batch>/``        — accepted dim rows, append-only with
+      threshold compaction at ``dim_compact_at`` (the dim is re-read
+      each refresh, so small-file fan-out matters; the view is not).
+    - ``pending/p<batch>/``    — the unmatched-fact buffer, REWRITTEN
+      each refresh. O(|P|) per refresh is the honest cost: P is
+      bounded by the late-arrival horizon (facts whose dim eventually
+      arrives leave P; facts whose dim never arrives are your data-
+      quality signal — read_join_pending IS the referential-integrity
+      report, continuously maintained).
+    - ``current.json``         — batch_id, published dir lists, and
+      BOTH increments' file lists for crash healing.
+
+    Exactly-once EFFECT under crash-replay, same protocol as the other
+    refreshes: both bookmarks commit only after the pointer flips; a
+    crash between flip and commit is healed by committing pointer-
+    listed files before reading; a crash before the flip leaves only
+    unpublished (invisible) dirs that the replayed batch id overwrites.
+
+    Equivalence contract (pinned by tests/test_incremental.py): after
+    ANY interleaving of fact/dim arrivals and refreshes,
+    ``read_join_view == facts_all ⋈ first_wins(dims_all)`` and
+    ``read_join_pending == facts_all ∖ matched`` — the same result as
+    a one-shot join of everything ever landed.
+
+    Returns {"new_fact_files", "new_dim_files", "matched_new",
+    "pending_rows", "healed"}.
+    """
+    import json
+
+    pointer_path = os.path.join(target_dir, "current.json")
+    pointer = None
+    if os.path.exists(pointer_path):
+        with open(pointer_path) as f:
+            pointer = json.load(f)
+
+    # heal BOTH bookmarks from the pointer's recorded increments
+    healed = 0
+    if pointer is not None:
+        for bm, pat, field in (
+            (fact_bookmark, fact_pattern, "fact_delta_files"),
+            (dim_bookmark, dim_pattern, "dim_delta_files"),
+        ):
+            applied = set(pointer.get(field, []))
+            stale = [f for f in bm.pending_files(pat) if f in applied]
+            if stale:
+                bm.commit_files(stale)
+                healed += len(stale)
+
+    # either side's pattern may never have matched a file yet (dims
+    # usually land before facts, or the reverse) — treat that as an
+    # empty increment with no schema, not an error
+    try:
+        fact_df, fact_files = fact_bookmark.read_incremental(
+            spark, fact_pattern, fmt=fmt, **reader_options
+        )
+    except FileNotFoundError:
+        fact_df, fact_files = None, []
+    try:
+        dim_df, dim_files = dim_bookmark.read_incremental(
+            spark, dim_pattern, fmt=fmt, **reader_options
+        )
+    except FileNotFoundError:
+        dim_df, dim_files = None, []
+    if not fact_files and not dim_files:
+        return {
+            "new_fact_files": 0,
+            "new_dim_files": 0,
+            "matched_new": 0,
+            "pending_rows": (
+                read_join_pending(spark, target_dir).count()
+                if pointer is not None and pointer.get("pending")
+                else 0
+            ),
+            "healed": healed,
+        }
+
+    d_fact = fact_transform(fact_df) if fact_files and fact_transform else fact_df
+    d_dim = dim_transform(dim_df) if dim_files and dim_transform else dim_df
+
+    batch_id = pointer["batch_id"] + 1 if pointer is not None else 0
+
+    # dim increment: deterministic within-increment key resolution (min
+    # attribute struct — partitioning-independent), then first-wins
+    # against the standing dim
+    new_dim = None
+    if dim_files:
+        attrs = [c for c in d_dim.columns if c != join_key]
+        new_dim = (
+            d_dim.groupBy(join_key)
+            .agg(F.min(F.struct(*attrs)).alias("__a"))
+            .select(join_key, "__a.*")
+        )
+        if pointer is not None and pointer["dim_deltas"]:
+            standing_keys = spark.read.parquet(
+                *[os.path.join(target_dir, d) for d in pointer["dim_deltas"]]
+            ).select(join_key)
+            new_dim = new_dim.join(standing_keys, join_key, "left_anti")
+
+    dim_parts = []
+    if pointer is not None and pointer["dim_deltas"]:
+        dim_parts.append(
+            spark.read.parquet(
+                *[os.path.join(target_dir, d) for d in pointer["dim_deltas"]]
+            )
+        )
+    if new_dim is not None:
+        dim_parts.append(new_dim)
+    pending = (
+        read_join_pending(spark, target_dir)
+        if pointer is not None and pointer.get("pending")
+        else None
+    )
+
+    # the delta rule, append-only specialization
+    matched_parts = []
+    if fact_files and dim_parts:
+        full_dim = dim_parts[0]
+        for p in dim_parts[1:]:
+            full_dim = full_dim.unionByName(p)
+        matched_parts.append(d_fact.join(full_dim, join_key, "inner"))
+    if pending is not None and new_dim is not None:
+        matched_parts.append(pending.join(F.broadcast(new_dim), join_key, "inner"))
+    matched = matched_parts[0] if matched_parts else None
+    for p in (matched_parts or [])[1:]:
+        matched = matched.unionByName(p)
+
+    # next pending: everything unmatched so far
+    p_parts = [p for p in (pending, d_fact if fact_files else None) if p is not None]
+    p_next = p_parts[0] if p_parts else None
+    for p in p_parts[1:]:
+        p_next = p_next.unionByName(p)
+    if p_next is not None and dim_parts:
+        full_dim_keys = dim_parts[0].select(join_key)
+        for p in dim_parts[1:]:
+            full_dim_keys = full_dim_keys.unionByName(p.select(join_key))
+        p_next = p_next.join(full_dim_keys, join_key, "left_anti")
+
+    # writes (all invisible until the flip; replayed batch ids overwrite)
+    view_deltas = list(pointer["view_deltas"]) if pointer is not None else []
+    matched_new = 0
+    if matched is not None:
+        view_rel = f"view/delta_{batch_id}"
+        matched = matched.persist()
+        matched_new = matched.count()
+        if matched_new:
+            matched.write.mode("overwrite").parquet(
+                os.path.join(target_dir, view_rel)
+            )
+            view_deltas.append(view_rel)
+        matched.unpersist()
+
+    dim_deltas = list(pointer["dim_deltas"]) if pointer is not None else []
+    if new_dim is not None:
+        dim_rel = f"dim/d{batch_id}"
+        new_dim.write.mode("overwrite").parquet(os.path.join(target_dir, dim_rel))
+        dim_deltas.append(dim_rel)
+    if len(dim_deltas) >= dim_compact_at:
+        # compact BEFORE the flip (readers still see the old list);
+        # superseded dirs become unreferenced after it
+        compact_rel = f"dim/compact_{batch_id}"
+        spark.read.parquet(
+            *[os.path.join(target_dir, d) for d in dim_deltas]
+        ).coalesce(4).write.mode("overwrite").parquet(
+            os.path.join(target_dir, compact_rel)
+        )
+        dim_deltas = [compact_rel]
+
+    if p_next is not None:
+        pending_rel = f"pending/p{batch_id}"
+        p_next = p_next.persist()
+        pending_rows = p_next.count()
+        p_next.write.mode("overwrite").parquet(
+            os.path.join(target_dir, pending_rel)
+        )
+        p_next.unpersist()
+    else:  # no fact has ever landed — dims only so far
+        pending_rel = None
+        pending_rows = 0
+
+    _flip_pointer(
+        pointer_path,
+        pointer,
+        {
+            "batch_id": batch_id,
+            "view_deltas": view_deltas,
+            "dim_deltas": dim_deltas,
+            "pending": pending_rel,
+            "fact_delta_files": sorted(fact_files),
+            "dim_delta_files": sorted(dim_files),
+        },
+    )
+    if fact_files:
+        fact_bookmark.commit_files(fact_files)
+    if dim_files:
+        dim_bookmark.commit_files(dim_files)
+    return {
+        "new_fact_files": len(fact_files),
+        "new_dim_files": len(dim_files),
+        "matched_new": matched_new,
+        "pending_rows": pending_rows,
+        "healed": healed,
+    }
+
+
+def read_join_view(spark: SparkSession, target_dir: str) -> DataFrame:
+    """Live materialized join view: union of the published view deltas
+    (snapshot isolation — unpublished deltas are invisible)."""
+    import json
+
+    with open(os.path.join(target_dir, "current.json")) as f:
+        pointer = json.load(f)
+    paths = [os.path.join(target_dir, rel) for rel in pointer["view_deltas"]]
+    if not paths:
+        raise ValueError(
+            f"join view at {target_dir!r} has no published matches yet"
+        )
+    return spark.read.parquet(*paths)
+
+
+def read_join_pending(spark: SparkSession, target_dir: str) -> DataFrame:
+    """The unmatched-fact buffer — doubling as a continuously-maintained
+    referential-integrity report (facts whose dim key has not arrived)."""
+    import json
+
+    with open(os.path.join(target_dir, "current.json")) as f:
+        pointer = json.load(f)
+    return spark.read.parquet(os.path.join(target_dir, pointer["pending"]))
+
+
+# ---------------------------------------------------------------------------
 # Incremental AGGREGATE maintenance (materialized-view upkeep)
 # ---------------------------------------------------------------------------
 

@@ -737,3 +737,241 @@ def test_neardup_calibration_mismatch_raises(spark, tmp_path):
     # matching calibration proceeds normally
     stats = incremental_neardup_refresh(spark, bm, pattern, target, seed=42)
     assert stats["new_files"] == 1
+
+
+# ---------------------------------------------------------------------------
+# Incremental JOIN-VIEW maintenance (fact ⋈ dim, late-arriving dims)
+# ---------------------------------------------------------------------------
+
+
+def _jv(tmp_path, name="jv"):
+    from big_data_processing_with_aws_glue_workshop_spark.sources.bookmarks import (
+        JobBookmark,
+    )
+
+    facts = tmp_path / "facts"
+    dims = tmp_path / "dims"
+    facts.mkdir(exist_ok=True)
+    dims.mkdir(exist_ok=True)
+    return {
+        "facts": facts,
+        "dims": dims,
+        "fact_pattern": str(facts / "*.parquet"),
+        "dim_pattern": str(dims / "*.parquet"),
+        "fbm": JobBookmark(str(tmp_path / "fbm.json"), "facts"),
+        "dbm": JobBookmark(str(tmp_path / "dbm.json"), "dims"),
+        "target": str(tmp_path / name),
+    }
+
+
+def _land(path, df_dict):
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    pq.write_table(
+        pa.Table.from_pandas(pd.DataFrame(df_dict), preserve_index=False),
+        str(path),
+    )
+
+
+def _jv_refresh(spark, e):
+    from big_data_processing_with_aws_glue_workshop_spark.plans.incremental import (
+        incremental_join_refresh,
+    )
+
+    return incremental_join_refresh(
+        spark,
+        e["fbm"],
+        e["fact_pattern"],
+        e["dbm"],
+        e["dim_pattern"],
+        e["target"],
+        "k",
+        dim_compact_at=16,
+    )
+
+
+def _jv_state(spark, e):
+    from big_data_processing_with_aws_glue_workshop_spark.plans.incremental import (
+        read_join_pending,
+        read_join_view,
+    )
+
+    try:
+        view = {
+            (r["k"], r["x"], r["attr"])
+            for r in read_join_view(spark, e["target"]).collect()
+        }
+    except ValueError:
+        view = set()
+    pending = {
+        (r["k"], r["x"]) for r in read_join_pending(spark, e["target"]).collect()
+    }
+    return view, pending
+
+
+def test_join_refresh_equals_oneshot_any_arrival_order(spark, tmp_path):
+    """The delta-rule invariant: after ANY interleaving of fact/dim
+    arrivals, view == one-shot inner join of everything landed and
+    pending == the unmatched remainder (facts partition exactly into
+    the two)."""
+    e = _jv(tmp_path)
+    # wave 1: facts for keys 0..9, dims only for 0..4
+    _land(e["facts"] / "f0.parquet", {"k": list(range(10)), "x": list(range(10))})
+    _land(e["dims"] / "d0.parquet", {"k": list(range(5)), "attr": [f"a{i}" for i in range(5)]})
+    s = _jv_refresh(spark, e)
+    assert s["matched_new"] == 5 and s["pending_rows"] == 5
+    view, pending = _jv_state(spark, e)
+    assert view == {(i, i, f"a{i}") for i in range(5)}
+    assert pending == {(i, i) for i in range(5, 10)}
+
+    # wave 2: late dims 5..7 arrive alone — pending drains WITHOUT
+    # re-reading the fact corpus
+    _land(e["dims"] / "d1.parquet", {"k": [5, 6, 7], "attr": ["a5", "a6", "a7"]})
+    s = _jv_refresh(spark, e)
+    assert s["matched_new"] == 3 and s["pending_rows"] == 2
+
+    # wave 3: facts and dims together; fact 20 matches the NEW dim 20,
+    # fact 8 matches nothing, fact 3 matches the STANDING dim 3
+    _land(e["facts"] / "f1.parquet", {"k": [20, 8, 3], "x": [100, 101, 102]})
+    _land(e["dims"] / "d2.parquet", {"k": [20, 9], "attr": ["a20", "a9"]})
+    s = _jv_refresh(spark, e)
+    assert s["matched_new"] == 3  # fact 20, fact 3, pending fact 9
+    view, pending = _jv_state(spark, e)
+    assert (20, 100, "a20") in view and (3, 102, "a3") in view
+    assert (9, 9, "a9") in view  # drained from pending by the new dim
+    assert pending == {(8, 8), (8, 101)}  # both key-8 facts, old and new
+    # one-shot equivalence: 5 (wave1) + 3 (wave2 drain) + 3 (wave3)
+    assert len(view) == 11 and len(pending) == 2
+
+
+def test_join_refresh_dims_before_any_fact(spark, tmp_path):
+    """Dims landing before the fact pattern has EVER matched a file is
+    the normal bootstrap order, not an error; the first fact wave then
+    joins the standing dims."""
+    e = _jv(tmp_path)
+    _land(e["dims"] / "d0.parquet", {"k": [1, 2], "attr": ["a1", "a2"]})
+    s = _jv_refresh(spark, e)
+    assert s["new_dim_files"] == 1 and s["matched_new"] == 0
+    _land(e["facts"] / "f0.parquet", {"k": [1, 3], "x": [10, 30]})
+    s = _jv_refresh(spark, e)
+    assert s["matched_new"] == 1 and s["pending_rows"] == 1
+    view, pending = _jv_state(spark, e)
+    assert view == {(1, 10, "a1")} and pending == {(3, 30)}
+
+
+def test_join_refresh_dim_first_wins(spark, tmp_path):
+    """A re-arrived dim key with different attributes never changes the
+    standing dim or the published view (immutable-dim contract): both
+    the already-matched row and later matches keep the FIRST attrs."""
+    e = _jv(tmp_path)
+    _land(e["facts"] / "f0.parquet", {"k": [1], "x": [10]})
+    _land(e["dims"] / "d0.parquet", {"k": [1], "attr": ["first"]})
+    _jv_refresh(spark, e)
+    _land(e["dims"] / "d1.parquet", {"k": [1], "attr": ["second"]})
+    _land(e["facts"] / "f1.parquet", {"k": [1], "x": [11]})
+    s = _jv_refresh(spark, e)
+    assert s["matched_new"] == 1
+    view, _ = _jv_state(spark, e)
+    assert view == {(1, 10, "first"), (1, 11, "first")}
+
+    # within-increment duplicate keys resolve deterministically (min
+    # attr struct), independent of file/partition order
+    _land(e["dims"] / "d2.parquet", {"k": [7, 7], "attr": ["zz", "aa"]})
+    _land(e["facts"] / "f2.parquet", {"k": [7], "x": [70]})
+    _jv_refresh(spark, e)
+    view, _ = _jv_state(spark, e)
+    assert (7, 70, "aa") in view and (7, 70, "zz") not in view
+
+
+def test_join_refresh_crash_replay_is_exactly_once(spark, tmp_path):
+    """Crash between the pointer flip and the bookmark commits: a rerun
+    with un-committed bookmarks heals both sides from the pointer's file
+    lists and leaves the view/pending byte-identical — no duplicated
+    matches, no lost facts."""
+    from big_data_processing_with_aws_glue_workshop_spark.sources.bookmarks import (
+        JobBookmark,
+    )
+
+    e = _jv(tmp_path)
+    _land(e["facts"] / "f0.parquet", {"k": [1, 2, 3], "x": [10, 20, 30]})
+    _land(e["dims"] / "d0.parquet", {"k": [1, 2], "attr": ["a1", "a2"]})
+    _jv_refresh(spark, e)
+    before = _jv_state(spark, e)
+
+    # simulate the crash: fresh bookmark states that never saw the commit
+    e["fbm"] = JobBookmark(str(tmp_path / "fbm2.json"), "facts")
+    e["dbm"] = JobBookmark(str(tmp_path / "dbm2.json"), "dims")
+    s = _jv_refresh(spark, e)
+    assert s["healed"] == 2 and s["matched_new"] == 0
+    assert _jv_state(spark, e) == before
+
+    # and new arrivals after the heal process normally
+    _land(e["dims"] / "d1.parquet", {"k": [3], "attr": ["a3"]})
+    s = _jv_refresh(spark, e)
+    assert s["matched_new"] == 1 and s["pending_rows"] == 0
+
+
+def test_join_refresh_dim_compaction_preserves_results(spark, tmp_path):
+    """Past the compaction threshold the dim deltas collapse into one
+    dir with identical join semantics (and the pointer stops listing
+    the superseded dirs)."""
+    import json
+    import os
+
+    from big_data_processing_with_aws_glue_workshop_spark.plans.incremental import (
+        incremental_join_refresh,
+    )
+
+    e = _jv(tmp_path)
+    _land(e["facts"] / "f0.parquet", {"k": list(range(8)), "x": list(range(8))})
+    for i in range(4):
+        _land(e["dims"] / f"d{i}.parquet", {"k": [2 * i, 2 * i + 1], "attr": [f"a{2*i}", f"a{2*i+1}"]})
+        incremental_join_refresh(
+            spark,
+            e["fbm"],
+            e["fact_pattern"],
+            e["dbm"],
+            e["dim_pattern"],
+            e["target"],
+            "k",
+            dim_compact_at=3,
+        )
+    with open(os.path.join(e["target"], "current.json")) as f:
+        pointer = json.load(f)
+    assert len(pointer["dim_deltas"]) <= 3
+    assert any("compact" in d for d in pointer["dim_deltas"])
+    view, pending = _jv_state(spark, e)
+    assert view == {(i, i, f"a{i}") for i in range(8)}
+    assert pending == set()
+
+
+def test_cli_join_refresh(spark, tmp_path, capsys):
+    """join-refresh CLI: one bookmark file hosts both sides; summary
+    reports matched/pending; a dim-only follow-up drains pending."""
+    import json
+
+    from big_data_processing_with_aws_glue_workshop_spark.cli import main
+
+    e = _jv(tmp_path)
+    base = [
+        "join-refresh",
+        "--fact-pattern", e["fact_pattern"],
+        "--dim-pattern", e["dim_pattern"],
+        "--bookmark", str(tmp_path / "bm.json"),
+        "--target", e["target"],
+        "--key", "k",
+    ]
+    _land(e["facts"] / "f0.parquet", {"k": [1, 2], "x": [10, 20]})
+    _land(e["dims"] / "d0.parquet", {"k": [1], "attr": ["a1"]})
+    main(base)
+    out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert out["matched_new"] == 1 and out["pending_rows"] == 1
+
+    _land(e["dims"] / "d1.parquet", {"k": [2], "attr": ["a2"]})
+    main(base)
+    out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert out["matched_new"] == 1 and out["pending_rows"] == 0
+    view, pending = _jv_state(spark, e)
+    assert view == {(1, 10, "a1"), (2, 20, "a2")} and pending == set()
