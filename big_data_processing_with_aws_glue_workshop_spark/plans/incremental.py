@@ -872,15 +872,18 @@ def incremental_join_refresh(
         dim_rel = f"dim/d{batch_id}"
         new_dim.write.mode("overwrite").parquet(os.path.join(target_dir, dim_rel))
         dim_deltas.append(dim_rel)
+    superseded_dim_dirs: list[str] = []
     if len(dim_deltas) >= dim_compact_at:
         # compact BEFORE the flip (readers still see the old list);
-        # superseded dirs become unreferenced after it
+        # superseded dirs are GC'd after it, same discipline as the
+        # dedup refresh's digest compaction
         compact_rel = f"dim/compact_{batch_id}"
         spark.read.parquet(
             *[os.path.join(target_dir, d) for d in dim_deltas]
         ).coalesce(4).write.mode("overwrite").parquet(
             os.path.join(target_dir, compact_rel)
         )
+        superseded_dim_dirs = dim_deltas
         dim_deltas = [compact_rel]
 
     if p_next is not None:
@@ -907,6 +910,19 @@ def incremental_join_refresh(
             "dim_delta_files": sorted(dim_files),
         },
     )
+    # post-flip GC of compaction-superseded dim dirs and the previous
+    # pending version: best-effort — readers only follow the pointer,
+    # so a crash here leaves inert dirs, never a broken reader
+    import shutil
+
+    for d in superseded_dim_dirs:
+        shutil.rmtree(os.path.join(target_dir, d), ignore_errors=True)
+    if pointer is not None and pointer.get("pending") and pointer[
+        "pending"
+    ] != pending_rel:
+        shutil.rmtree(
+            os.path.join(target_dir, pointer["pending"]), ignore_errors=True
+        )
     if fact_files:
         fact_bookmark.commit_files(fact_files)
     if dim_files:

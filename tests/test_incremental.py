@@ -975,3 +975,61 @@ def test_cli_join_refresh(spark, tmp_path, capsys):
     assert out["matched_new"] == 1 and out["pending_rows"] == 0
     view, pending = _jv_state(spark, e)
     assert view == {(1, 10, "a1"), (2, 20, "a2")} and pending == set()
+
+
+def test_join_refresh_crash_replay_with_new_arrivals(spark, tmp_path):
+    """The hard replay case: crash between the pointer flip and the
+    bookmark commits, AND new files (fact + dim) land before the rerun.
+    The heal must commit exactly the pointer-listed files and process
+    only the genuinely-new remainder — replayed matches land once,
+    new matches land once."""
+    from big_data_processing_with_aws_glue_workshop_spark.sources.bookmarks import (
+        JobBookmark,
+    )
+
+    e = _jv(tmp_path)
+    _land(e["facts"] / "f0.parquet", {"k": [1, 2], "x": [10, 20]})
+    _land(e["dims"] / "d0.parquet", {"k": [1], "attr": ["a1"]})
+    _jv_refresh(spark, e)
+
+    # crash: bookmarks lost; new files land before the rerun
+    e["fbm"] = JobBookmark(str(tmp_path / "fbm2.json"), "facts")
+    e["dbm"] = JobBookmark(str(tmp_path / "dbm2.json"), "dims")
+    _land(e["facts"] / "f1.parquet", {"k": [3], "x": [30]})
+    _land(e["dims"] / "d1.parquet", {"k": [2, 3], "attr": ["a2", "a3"]})
+    s = _jv_refresh(spark, e)
+    assert s["healed"] == 2
+    assert s["new_fact_files"] == 1 and s["new_dim_files"] == 1
+    # new fact 3 matches new dim 3; pending fact 2 drains via new dim 2
+    assert s["matched_new"] == 2 and s["pending_rows"] == 0
+    view, pending = _jv_state(spark, e)
+    assert view == {(1, 10, "a1"), (2, 20, "a2"), (3, 30, "a3")}
+    assert pending == set()
+
+
+def test_join_refresh_gc_superseded_dirs(spark, tmp_path):
+    """Post-flip GC: compaction-superseded dim dirs and the previous
+    pending version are removed; only pointer-referenced dirs remain."""
+    import json
+    import os
+
+    from big_data_processing_with_aws_glue_workshop_spark.plans.incremental import (
+        incremental_join_refresh,
+    )
+
+    e = _jv(tmp_path)
+    _land(e["facts"] / "f0.parquet", {"k": list(range(6)), "x": list(range(6))})
+    for i in range(4):
+        _land(e["dims"] / f"d{i}.parquet", {"k": [i], "attr": [f"a{i}"]})
+        incremental_join_refresh(
+            spark, e["fbm"], e["fact_pattern"], e["dbm"], e["dim_pattern"],
+            e["target"], "k", dim_compact_at=3,
+        )
+    with open(os.path.join(e["target"], "current.json")) as f:
+        pointer = json.load(f)
+    on_disk_dim = {f"dim/{d}" for d in os.listdir(os.path.join(e["target"], "dim"))}
+    on_disk_pending = {
+        f"pending/{d}" for d in os.listdir(os.path.join(e["target"], "pending"))
+    }
+    assert on_disk_dim == set(pointer["dim_deltas"])
+    assert on_disk_pending == {pointer["pending"]}
