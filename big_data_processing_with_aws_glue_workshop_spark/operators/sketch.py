@@ -454,7 +454,9 @@ def sample_minima_pairs(
     payload...). The refresh ``transform`` partner (cf. cms_bucket_pairs/
     hll_register_pairs/bloom_mask_pairs): row-wise, deterministic, so the
     crash-replay contract of incremental_agg_refresh carries over. Slot
-    and rank hashes use different salts so they are independent."""
+    and rank hashes use different salts so they are independent. NULL
+    keys excluded, like the sibling pair builders (a NULL key would
+    hash to a NULL slot row and break the <= slots state bound)."""
     key = F.col(key_col)
     fields = [
         _md5_uniform(key, f"#{seed}").alias("rank"),
@@ -462,7 +464,7 @@ def sample_minima_pairs(
     ]
     for c in payload_cols or []:
         fields.append(F.col(c))
-    return df.select(
+    return df.filter(key.isNotNull()).select(
         F.pmod(_md5_uniform(key, f"@{seed}"), F.lit(slots)).alias("slot"),
         F.struct(*fields).alias("r"),
     )

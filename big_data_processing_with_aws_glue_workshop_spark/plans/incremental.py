@@ -724,7 +724,10 @@ def incremental_join_refresh(
       bounded by the late-arrival horizon (facts whose dim eventually
       arrives leave P; facts whose dim never arrives are your data-
       quality signal — read_join_pending IS the referential-integrity
-      report, continuously maintained).
+      report, continuously maintained). NULL-join-key facts are
+      permanent pending residents BY DESIGN (SQL inner-join semantics:
+      NULL matches nothing; they surface in the RI report instead of
+      silently vanishing).
     - ``current.json``         — batch_id, published dir lists, and
       BOTH increments' file lists for crash healing.
 

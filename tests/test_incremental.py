@@ -1033,3 +1033,29 @@ def test_join_refresh_gc_superseded_dirs(spark, tmp_path):
     }
     assert on_disk_dim == set(pointer["dim_deltas"])
     assert on_disk_pending == {pointer["pending"]}
+
+
+def test_join_refresh_null_key_facts_stay_pending(spark, tmp_path):
+    """NULL-join-key facts never match (SQL inner-join semantics) and
+    never disappear: they remain in the pending/RI report across
+    refreshes."""
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    e = _jv(tmp_path)
+    pq.write_table(
+        pa.Table.from_pandas(
+            pd.DataFrame({"k": pd.array([1, None], dtype="Int64"), "x": [10, 99]}),
+            preserve_index=False,
+        ),
+        str(e["facts"] / "f0.parquet"),
+    )
+    _land(e["dims"] / "d0.parquet", {"k": [1, 2], "attr": ["a1", "a2"]})
+    s = _jv_refresh(spark, e)
+    assert s["matched_new"] == 1 and s["pending_rows"] == 1
+    _land(e["dims"] / "d1.parquet", {"k": [3], "attr": ["a3"]})
+    s = _jv_refresh(spark, e)
+    assert s["pending_rows"] == 1  # the NULL-key fact persists
+    _, pending = _jv_state(spark, e)
+    assert pending == {(None, 99)}
