@@ -223,30 +223,35 @@ def simhash(
     return agg.select("doc_id", packed.alias("simhash"))
 
 
-def simhash_near_duplicates(
-    df: DataFrame,
-    id_col: str = "doc_id",
-    text_col: str = "text",
-    n_bits: int = 32,
+def hamming_near_pairs(
+    hashed: DataFrame,
+    id_col: str,
+    hash_col: str,
+    n_bits: int,
     max_hamming: int = 3,
     n_blocks: int = 4,
 ) -> DataFrame:
-    """SimHash near-dup pairs within ``max_hamming`` bits via the block trick
-    (pigeonhole: two hashes within k bits share at least one of k+1 blocks
-    exactly) — candidates join on block equality, verified with bit_count."""
+    """Near-pairs within ``max_hamming`` bits over PACKED bigint
+    fingerprints via the block trick (pigeonhole: two hashes within k
+    bits share at least one of k+1 blocks exactly) — candidates join on
+    block equality, verified with bit_count. Generic over the
+    fingerprint source: text SimHash and image dHash both feed this one
+    join (emits d1/d2/hamming with d1 < d2). Sign-safe at n_bits = 64:
+    the arithmetic shiftright's sign extension is masked off per block,
+    and bit_count(XOR) is the Hamming distance over all 64 two's-
+    complement bits."""
     assert n_blocks > max_hamming, "need more blocks than allowed bit flips"
-    hashed = simhash(df, id_col, text_col, n_bits)
     block_bits = n_bits // n_blocks
     mask = (1 << block_bits) - 1
     blocks = hashed.select(
-        "doc_id",
-        "simhash",
+        F.col(id_col).alias("__id"),
+        F.col(hash_col).alias("__h"),
         F.explode(
             F.array(
                 *[
                     F.struct(
                         F.lit(i).alias("block_idx"),
-                        F.shiftright(F.col("simhash"), i * block_bits)
+                        F.shiftright(F.col(hash_col), i * block_bits)
                         .bitwiseAND(F.lit(mask))
                         .alias("block_val"),
                     )
@@ -255,16 +260,16 @@ def simhash_near_duplicates(
             )
         ).alias("blk"),
     ).select(
-        "doc_id",
-        "simhash",
+        "__id",
+        "__h",
         F.col("blk.block_idx").alias("block_idx"),
         F.col("blk.block_val").alias("block_val"),
     )
     left = blocks.select(
-        F.col("doc_id").alias("d1"), F.col("simhash").alias("h1"), "block_idx", "block_val"
+        F.col("__id").alias("d1"), F.col("__h").alias("h1"), "block_idx", "block_val"
     )
     right = blocks.select(
-        F.col("doc_id").alias("d2"), F.col("simhash").alias("h2"), "block_idx", "block_val"
+        F.col("__id").alias("d2"), F.col("__h").alias("h2"), "block_idx", "block_val"
     )
     return (
         left.join(right, ["block_idx", "block_val"])
@@ -276,6 +281,26 @@ def simhash_near_duplicates(
         )
         .distinct()
         .filter(F.col("hamming") <= max_hamming)
+    )
+
+
+def simhash_near_duplicates(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n_bits: int = 32,
+    max_hamming: int = 3,
+    n_blocks: int = 4,
+) -> DataFrame:
+    """SimHash near-dup pairs within ``max_hamming`` bits — the text
+    instantiation of ``hamming_near_pairs``."""
+    return hamming_near_pairs(
+        simhash(df, id_col, text_col, n_bits),
+        "doc_id",
+        "simhash",
+        n_bits,
+        max_hamming,
+        n_blocks,
     )
 
 

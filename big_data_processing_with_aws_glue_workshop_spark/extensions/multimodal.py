@@ -411,3 +411,89 @@ def sample_frames(df: DataFrame, every_nth: int = 10) -> DataFrame:
             )
         ).alias("frame_idx"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Perceptual image hashing (dHash) + Hamming-banded image near-dup
+# ---------------------------------------------------------------------------
+
+DHASH_SCHEMA = "media_id long, valid boolean, dhash long"
+
+
+def _block_mean_gray(px, out_w: int, out_h: int):
+    """Integer area-mapped downsample of an (h, w, 3) uint8 plane to an
+    (out_h, out_w) int64 grayscale grid: gray = channel sum // 3, each
+    output cell = mean (// ) of its source block. Pure integer
+    arithmetic end to end, so the hash is bit-deterministic across
+    platforms (no float resampling kernels). Images smaller than the
+    grid clamp each block to at least one source pixel (a 1x1 image
+    yields a constant grid — gradients all zero, by design)."""
+    import numpy as np
+
+    h, w = px.shape[0], px.shape[1]
+    gray = px.astype("int64").sum(axis=2) // 3
+    out = np.zeros((out_h, out_w), dtype="int64")
+    for r in range(out_h):
+        r0 = min(r * h // out_h, h - 1)
+        r1 = max(r0 + 1, (r + 1) * h // out_h)
+        for c in range(out_w):
+            c0 = min(c * w // out_w, w - 1)
+            c1 = max(c0 + 1, (c + 1) * w // out_w)
+            block = gray[r0:r1, c0:c1]
+            out[r, c] = int(block.sum()) // block.size
+    return out
+
+
+def image_dhash(df: DataFrame) -> DataFrame:
+    """64-bit perceptual difference hash (dHash, Krawetz's construction:
+    9x8 downsample, one bit per horizontal gradient) over the REAL
+    decode path — the image analog of the text SimHash, and the
+    standard screening stage for image dedup in web-scale training-data
+    pipelines (near-identical crops/re-encodes land within a few bits).
+
+    Deterministic by construction: integer grayscale, integer block
+    means, fixed bit order (bit r*8+c = grid[r,c] > grid[r,c+1]), so
+    the same payload hashes identically on every platform and the
+    pytest pin against a pure-Python reference is exact. Corrupt
+    payloads surface as valid=false rows, matching image_pixel_stats.
+    Arrow-batched mapInPandas island (decode is the justified Python
+    stage; everything downstream of the hash is JVM-side)."""
+
+    def _dhash(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for media_id, content in zip(pdf["media_id"], pdf["content"]):
+                try:
+                    _w, _h, px = decode_ppm(content)
+                    grid = _block_mean_gray(px, 9, 8)
+                    val = 0
+                    for r in range(8):
+                        for c in range(8):
+                            if grid[r, c] > grid[r, c + 1]:
+                                val |= 1 << (r * 8 + c)
+                    if val >= 1 << 63:  # pack as signed bigint
+                        val -= 1 << 64
+                    rows.append((media_id, True, val))
+                except ValueError:
+                    rows.append((media_id, False, None))
+            yield pd.DataFrame(rows, columns=["media_id", "valid", "dhash"])
+
+    return df.select("media_id", "content").mapInPandas(
+        _dhash, schema=DHASH_SCHEMA
+    )
+
+
+def image_near_duplicates(
+    df: DataFrame, max_hamming: int = 3, n_blocks: int = 4
+) -> DataFrame:
+    """Image near-dup pairs within ``max_hamming`` dHash bits: the
+    Hamming-banded block-trick join shared with the text SimHash
+    (extensions/dedup_fuzzy.py::hamming_near_pairs — pigeonhole
+    recall 1.0 within the threshold, no all-pairs anywhere), over the
+    valid decodes only. Emits (d1, d2, hamming) with d1 < d2."""
+    from .dedup_fuzzy import hamming_near_pairs
+
+    hashed = image_dhash(df).filter(F.col("valid")).select("media_id", "dhash")
+    return hamming_near_pairs(
+        hashed, "media_id", "dhash", 64, max_hamming, n_blocks
+    )

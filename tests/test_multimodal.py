@@ -218,3 +218,143 @@ def test_video_frame_offsets_rejects_malformed(payload):
 
     with pytest.raises(ValueError):
         video_frame_offsets(payload)
+
+
+# ---------------------------------------------------------------------------
+# Perceptual image hashing (dHash) + Hamming-banded image near-dup
+# ---------------------------------------------------------------------------
+
+
+def _gradient_ppm(w: int, h: int, fn) -> bytes:
+    """Genuine P6 bytes with per-pixel structure: gray value fn(x, y)
+    replicated across RGB."""
+    header = f"P6\n{w} {h}\n255\n".encode()
+    plane = bytearray()
+    for y in range(h):
+        for x in range(w):
+            v = fn(x, y) % 256
+            plane += bytes((v, v, v))
+    return header + bytes(plane)
+
+
+def _ref_dhash(payload: bytes) -> int:
+    """Pure-Python reference dHash (independent of the numpy operator
+    path): parse the plane by hand, integer 9x8 block means, pack
+    left>right gradient bits."""
+    from big_data_processing_with_aws_glue_workshop_spark.extensions.multimodal import decode_ppm
+
+    w, h, px = decode_ppm(payload)
+    gray = [
+        [sum(int(px[y][x][ch]) for ch in range(3)) // 3 for x in range(w)]
+        for y in range(h)
+    ]
+
+    def block(r, c):
+        r0 = min(r * h // 8, h - 1)
+        r1 = max(r0 + 1, (r + 1) * h // 8)
+        c0 = min(c * w // 9, w - 1)
+        c1 = max(c0 + 1, (c + 1) * w // 9)
+        vals = [gray[y][x] for y in range(r0, r1) for x in range(c0, c1)]
+        return sum(vals) // len(vals)
+
+    grid = [[block(r, c) for c in range(9)] for r in range(8)]
+    val = 0
+    for r in range(8):
+        for c in range(8):
+            if grid[r][c] > grid[r][c + 1]:
+                val |= 1 << (r * 8 + c)
+    return val - (1 << 64) if val >= 1 << 63 else val
+
+
+def test_image_dhash_matches_pure_python_reference(spark):
+    """Bit-exact parity on structured images of varied shapes, including
+    degenerate 1x1; corrupt payloads surface valid=false."""
+    from big_data_processing_with_aws_glue_workshop_spark.extensions.multimodal import (
+        image_dhash,
+    )
+
+    payloads = {
+        1: _gradient_ppm(32, 24, lambda x, y: 7 * x + 3 * y),
+        2: _gradient_ppm(17, 11, lambda x, y: (x * x + y) % 251),
+        3: _gradient_ppm(9, 8, lambda x, y: 255 - 13 * x),
+        4: _gradient_ppm(1, 1, lambda x, y: 42),
+        5: b"P6\n trunc",
+    }
+    df = spark.createDataFrame(
+        [(k, bytearray(v)) for k, v in payloads.items()],
+        "media_id long, content binary",
+    )
+    got = {r["media_id"]: (r["valid"], r["dhash"]) for r in image_dhash(df).collect()}
+    for k in (1, 2, 3, 4):
+        assert got[k] == (True, _ref_dhash(payloads[k])), k
+    assert got[5] == (False, None)
+    # structure sanity: gradient images produce non-trivial hashes
+    assert got[1][1] != 0 and got[3][1] != 0
+    # 1x1: constant grid, all gradients false
+    assert got[4][1] == 0
+
+
+def test_image_near_duplicates_blocked_hamming_join(spark):
+    """A re-encoded/lightly-perturbed image lands within the threshold
+    and is FOUND (pigeonhole recall is structural); an unrelated image
+    is not paired; the corrupt row is excluded without failing."""
+    from big_data_processing_with_aws_glue_workshop_spark.extensions.multimodal import (
+        image_dhash,
+        image_near_duplicates,
+    )
+
+    base = lambda x, y: 11 * x + 2 * y  # noqa: E731
+    perturbed = lambda x, y: 11 * x + 2 * y + (3 if (x, y) == (5, 5) else 0)  # noqa: E731
+    unrelated = lambda x, y: 255 - 9 * x + 5 * y  # noqa: E731
+    df = spark.createDataFrame(
+        [
+            (1, bytearray(_gradient_ppm(36, 24, base))),
+            (2, bytearray(_gradient_ppm(36, 24, perturbed))),
+            (3, bytearray(_gradient_ppm(36, 24, unrelated))),
+            (4, bytearray(b"P6\nbroken")),
+        ],
+        "media_id long, content binary",
+    )
+    hashes = {
+        r["media_id"]: r["dhash"]
+        for r in image_dhash(df).filter("valid").collect()
+    }
+    true_ham = bin(hashes[1] ^ hashes[2]).count("1")
+    assert true_ham <= 3, "fixture: perturbation must stay within threshold"
+    pairs = {
+        (r["d1"], r["d2"]): r["hamming"]
+        for r in image_near_duplicates(df, max_hamming=3).collect()
+    }
+    assert pairs == {(1, 2): true_ham}
+
+
+def test_hamming_near_pairs_pigeonhole_recall_at_threshold(spark):
+    """Structural recall: hashes differing in EXACTLY max_hamming bits
+    spread across distinct blocks (the worst case for banding) are
+    still found — sign bit included (bit 63 exercises the arithmetic-
+    shift masking)."""
+    from big_data_processing_with_aws_glue_workshop_spark.extensions.dedup_fuzzy import (
+        hamming_near_pairs,
+    )
+
+    h1 = 0x0123456789ABCDEF
+    flips = (1 << 63) | (1 << 40) | (1 << 5)  # three blocks of four
+    h2 = h1 ^ flips
+
+    def signed(v):
+        return v - (1 << 64) if v >= 1 << 63 else v
+
+    df = spark.createDataFrame(
+        [(1, signed(h1)), (2, signed(h2))], "media_id long, dhash long"
+    )
+    pairs = hamming_near_pairs(df, "media_id", "dhash", 64, max_hamming=3).collect()
+    assert len(pairs) == 1 and pairs[0]["hamming"] == 3
+    # one bit past the threshold: excluded by the verify
+    df2 = spark.createDataFrame(
+        [(1, signed(h1)), (2, signed(h2 ^ (1 << 20)))],
+        "media_id long, dhash long",
+    )
+    assert (
+        hamming_near_pairs(df2, "media_id", "dhash", 64, max_hamming=3).count()
+        == 0
+    )
