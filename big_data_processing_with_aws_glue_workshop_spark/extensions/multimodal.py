@@ -497,3 +497,75 @@ def image_near_duplicates(
     return hamming_near_pairs(
         hashed, "media_id", "dhash", 64, max_hamming, n_blocks
     )
+
+
+AUDIO_HASH_SCHEMA = "media_id long, valid boolean, ahash long"
+
+
+def audio_energy_hash(df: DataFrame) -> DataFrame:
+    """64-bit energy-envelope fingerprint over the REAL WAV decode path —
+    the audio sibling of ``image_dhash``, feeding the same Hamming-
+    banded near-dup join: mono-mix (integer channel mean), 65 area-
+    mapped windows, per-window mean energy (sum of squares // length,
+    int64 — int16^2 sums stay well under 2^62), one bit per adjacent-
+    window energy gradient. All-integer arithmetic, so the hash is
+    bit-deterministic and robust to low-level noise (a gradient bit
+    only flips when a perturbation crosses an energy ordering). The
+    construction is the time-domain energy-envelope variant of classic
+    audio fingerprinting (Haitsma-Kalker 2002 band-energy differences,
+    without the FFT this sandbox can't make cross-platform
+    bit-reproducible). Corrupt payloads -> valid=false rows."""
+    import numpy as np
+
+    def _hash(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for media_id, content in zip(pdf["media_id"], pdf["content"]):
+                try:
+                    channels, _rate, samples = decode_wav(content)
+                    if samples.size == 0:
+                        raise ValueError("empty PCM stream")
+                    mono = (
+                        samples.astype("int64")
+                        .reshape(-1, channels)
+                        .sum(axis=1)
+                        // channels
+                    )
+                    n = mono.size
+                    sq = mono * mono
+                    energies = []
+                    for w in range(65):
+                        lo = min(w * n // 65, n - 1)
+                        hi = max(lo + 1, (w + 1) * n // 65)
+                        energies.append(int(sq[lo:hi].sum()) // (hi - lo))
+                    val = 0
+                    for w in range(64):
+                        if energies[w + 1] > energies[w]:
+                            val |= 1 << w
+                    if val >= 1 << 63:
+                        val -= 1 << 64
+                    rows.append((media_id, True, val))
+                except ValueError:
+                    rows.append((media_id, False, None))
+            yield pd.DataFrame(rows, columns=["media_id", "valid", "ahash"])
+
+    return df.select("media_id", "content").mapInPandas(
+        _hash, schema=AUDIO_HASH_SCHEMA
+    )
+
+
+def audio_near_duplicates(
+    df: DataFrame, max_hamming: int = 3, n_blocks: int = 4
+) -> DataFrame:
+    """Audio near-dup pairs within ``max_hamming`` envelope bits — the
+    third modality over dedup_fuzzy.py::hamming_near_pairs (text
+    SimHash, image dHash, audio energy hash: one banded join, no
+    all-pairs anywhere)."""
+    from .dedup_fuzzy import hamming_near_pairs
+
+    hashed = (
+        audio_energy_hash(df).filter(F.col("valid")).select("media_id", "ahash")
+    )
+    return hamming_near_pairs(
+        hashed, "media_id", "ahash", 64, max_hamming, n_blocks
+    )

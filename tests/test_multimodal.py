@@ -319,7 +319,7 @@ def test_image_near_duplicates_blocked_hamming_join(spark):
         r["media_id"]: r["dhash"]
         for r in image_dhash(df).filter("valid").collect()
     }
-    true_ham = bin(hashes[1] ^ hashes[2]).count("1")
+    true_ham = bin((hashes[1] ^ hashes[2]) & ((1 << 64) - 1)).count("1")
     assert true_ham <= 3, "fixture: perturbation must stay within threshold"
     pairs = {
         (r["d1"], r["d2"]): r["hamming"]
@@ -358,3 +358,95 @@ def test_hamming_near_pairs_pigeonhole_recall_at_threshold(spark):
         hamming_near_pairs(df2, "media_id", "dhash", 64, max_hamming=3).count()
         == 0
     )
+
+
+def _pcm_wav(samples: list[int], channels: int = 1, rate: int = 8000) -> bytes:
+    """Genuine RIFF/WAVE PCM16 bytes from an int sample list."""
+    import struct
+
+    body = b"".join(struct.pack("<h", s) for s in samples)
+    fmt = struct.pack("<HHIIHH", 1, channels, rate, rate * 2 * channels, 2 * channels, 16)
+    chunks = b"fmt " + struct.pack("<I", len(fmt)) + fmt
+    chunks += b"data" + struct.pack("<I", len(body)) + body
+    return b"RIFF" + struct.pack("<I", 4 + len(chunks)) + b"WAVE" + chunks
+
+
+def _ref_energy_hash(samples: list[int], channels: int = 1) -> int:
+    """Independent pure-Python reference of the energy-envelope hash."""
+    mono = [
+        sum(samples[i * channels + c] for c in range(channels)) // channels
+        for i in range(len(samples) // channels)
+    ]
+    n = len(mono)
+    sq = [v * v for v in mono]
+
+    def energy(w):
+        lo = min(w * n // 65, n - 1)
+        hi = max(lo + 1, (w + 1) * n // 65)
+        return sum(sq[lo:hi]) // (hi - lo)
+
+    e = [energy(w) for w in range(65)]
+    val = 0
+    for w in range(64):
+        if e[w + 1] > e[w]:
+            val |= 1 << w
+    return val - (1 << 64) if val >= 1 << 63 else val
+
+
+def test_audio_energy_hash_matches_pure_python_reference(spark):
+    """Bit-exact parity incl. stereo mono-mix; corrupt -> valid=false."""
+    from big_data_processing_with_aws_glue_workshop_spark.extensions.multimodal import (
+        audio_energy_hash,
+    )
+
+    ramp = [((i * 37) % 2000) - 1000 for i in range(1300)]
+    stereo = [v for i in range(500) for v in (((i * 13) % 700) - 350, ((i * 7) % 900) - 450)]
+    payloads = {
+        1: (_pcm_wav(ramp), ramp, 1),
+        2: (_pcm_wav(stereo, channels=2), stereo, 2),
+    }
+    df = spark.createDataFrame(
+        [(k, bytearray(v[0])) for k, v in payloads.items()]
+        + [(3, bytearray(b"RIFFbroken"))],
+        "media_id long, content binary",
+    )
+    got = {
+        r["media_id"]: (r["valid"], r["ahash"])
+        for r in audio_energy_hash(df).collect()
+    }
+    for k, (_, samples, ch) in payloads.items():
+        assert got[k] == (True, _ref_energy_hash(samples, ch)), k
+    assert got[3] == (False, None)
+    assert got[1][1] != 0
+
+
+def test_audio_near_duplicates_across_modal_shared_join(spark):
+    """A lightly-perturbed re-encode is found within the threshold; a
+    structurally different signal is not paired."""
+    from big_data_processing_with_aws_glue_workshop_spark.extensions.multimodal import (
+        audio_energy_hash,
+        audio_near_duplicates,
+    )
+
+    base = [((i * 29) % 3000) - 1500 for i in range(2600)]
+    perturbed = [v + (1 if i % 997 == 0 else 0) for i, v in enumerate(base)]
+    unrelated = [((i * i) % 2800) - 1400 for i in range(2600)]
+    df = spark.createDataFrame(
+        [
+            (1, bytearray(_pcm_wav(base))),
+            (2, bytearray(_pcm_wav(perturbed))),
+            (3, bytearray(_pcm_wav(unrelated))),
+        ],
+        "media_id long, content binary",
+    )
+    hashes = {
+        r["media_id"]: r["ahash"]
+        for r in audio_energy_hash(df).filter("valid").collect()
+    }
+    true_ham = bin((hashes[1] ^ hashes[2]) & ((1 << 64) - 1)).count("1")
+    assert true_ham <= 3, "fixture: perturbation must stay within threshold"
+    pairs = {
+        (r["d1"], r["d2"]): r["hamming"]
+        for r in audio_near_duplicates(df, max_hamming=3).collect()
+    }
+    assert pairs == {(1, 2): true_ham}
