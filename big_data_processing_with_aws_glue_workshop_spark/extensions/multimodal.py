@@ -444,6 +444,19 @@ def _block_mean_gray(px, out_w: int, out_h: int):
     return out
 
 
+def _dhash_of_px(px) -> int:
+    """The dHash core over a decoded (h, w, 3) plane: 9x8 integer block
+    means, bit r*8+c = grid[r,c] > grid[r,c+1], packed signed 64-bit.
+    Shared by the still-image and per-frame video paths."""
+    grid = _block_mean_gray(px, 9, 8)
+    val = 0
+    for r in range(8):
+        for c in range(8):
+            if grid[r, c] > grid[r, c + 1]:
+                val |= 1 << (r * 8 + c)
+    return val - (1 << 64) if val >= 1 << 63 else val
+
+
 def image_dhash(df: DataFrame) -> DataFrame:
     """64-bit perceptual difference hash (dHash, Krawetz's construction:
     9x8 downsample, one bit per horizontal gradient) over the REAL
@@ -465,15 +478,7 @@ def image_dhash(df: DataFrame) -> DataFrame:
             for media_id, content in zip(pdf["media_id"], pdf["content"]):
                 try:
                     _w, _h, px = decode_ppm(content)
-                    grid = _block_mean_gray(px, 9, 8)
-                    val = 0
-                    for r in range(8):
-                        for c in range(8):
-                            if grid[r, c] > grid[r, c + 1]:
-                                val |= 1 << (r * 8 + c)
-                    if val >= 1 << 63:  # pack as signed bigint
-                        val -= 1 << 64
-                    rows.append((media_id, True, val))
+                    rows.append((media_id, True, _dhash_of_px(px)))
                 except ValueError:
                     rows.append((media_id, False, None))
             yield pd.DataFrame(rows, columns=["media_id", "valid", "dhash"])
@@ -568,4 +573,65 @@ def audio_near_duplicates(
     )
     return hamming_near_pairs(
         hashed, "media_id", "ahash", 64, max_hamming, n_blocks
+    )
+
+
+FRAME_DHASH_SCHEMA = "media_id long, frame_idx int, dhash long"
+
+
+def video_frame_dhash(df: DataFrame, every_nth: int = 3) -> DataFrame:
+    """Per-sampled-frame dHash over the VID0 seek path: index the frame
+    table, decode ONLY every ``every_nth`` frame (same cost property as
+    video_frame_stats — decode tracks frames KEPT), hash each with the
+    shared dHash core. Corrupt containers emit one (media_id, -1, NULL)
+    sentinel, like the stats path."""
+
+    def _hash(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for media_id, content in zip(pdf["media_id"], pdf["content"]):
+                frame_rows = []
+                try:
+                    offsets = video_frame_offsets(content)
+                    for idx in range(0, len(offsets), every_nth):
+                        off, flen = offsets[idx]
+                        _, _, px = decode_ppm(content[off : off + flen])
+                        frame_rows.append((media_id, idx, _dhash_of_px(px)))
+                    rows.extend(frame_rows)
+                except ValueError:
+                    rows.append((media_id, -1, None))
+            yield pd.DataFrame(
+                rows, columns=["media_id", "frame_idx", "dhash"]
+            )
+
+    return df.select("media_id", "content").mapInPandas(
+        _hash, schema=FRAME_DHASH_SCHEMA
+    )
+
+
+def video_near_duplicates(
+    df: DataFrame, every_nth: int = 3, min_shared: int = 2
+) -> DataFrame:
+    """Video near-dup pairs by sampled-frame fingerprint overlap: two
+    videos pair when >= ``min_shared`` DISTINCT frame hashes coincide
+    exactly (the standard shot-level screen — re-encoded/trimmed copies
+    share most frame hashes; unrelated videos share none). The join
+    keys on the frame hash itself, so candidate buckets are bounded by
+    per-hash frequency — no all-pairs; a hash shared by f videos costs
+    f^2 pair rows for THAT bucket only, the same cost class as the
+    banded joins. Emits (d1, d2, shared_frames) with d1 < d2."""
+    hashed = (
+        video_frame_dhash(df, every_nth)
+        .filter(F.col("dhash").isNotNull())
+        .select("media_id", "dhash")
+        .distinct()
+    )
+    left = hashed.select(F.col("media_id").alias("d1"), "dhash")
+    right = hashed.select(F.col("media_id").alias("d2"), "dhash")
+    return (
+        left.join(right, "dhash")
+        .filter(F.col("d1") < F.col("d2"))
+        .groupBy("d1", "d2")
+        .agg(F.count(F.lit(1)).alias("shared_frames"))
+        .filter(F.col("shared_frames") >= min_shared)
     )

@@ -450,3 +450,47 @@ def test_audio_near_duplicates_across_modal_shared_join(spark):
         for r in audio_near_duplicates(df, max_hamming=3).collect()
     }
     assert pairs == {(1, 2): true_ham}
+
+
+def _vid0(frames: list[bytes]) -> bytes:
+    import struct
+
+    out = b"VID0" + struct.pack("<I", len(frames))
+    for f in frames:
+        out += struct.pack("<I", len(f)) + f
+    return out
+
+
+def test_video_near_duplicates_by_shared_frame_hashes(spark):
+    """Two videos sharing >= min_shared sampled-frame dHashes pair; a
+    video sharing only one does not; corrupt containers are excluded."""
+    from big_data_processing_with_aws_glue_workshop_spark.extensions.multimodal import (
+        video_frame_dhash,
+        video_near_duplicates,
+    )
+
+    # structurally distinct frames: dHash keys on gradients, so vary the
+    # gradient COEFFICIENTS per frame (an additive offset would cancel)
+    f = lambda s: _gradient_ppm(  # noqa: E731
+        18, 12, lambda x, y: ((s + 2) * x * x + (2 * s + 3) * y + x * y * s)
+    )
+    # every_nth=1 for the test: sampled set == all frames
+    a = _vid0([f(1), f(2), f(3), f(4)])
+    b = _vid0([f(3), f(1), f(9), f(2)])  # shares 3 frames with a
+    c = _vid0([f(4), f(11), f(12), f(13)])  # shares 1 frame with a
+    df = spark.createDataFrame(
+        [
+            (1, bytearray(a)),
+            (2, bytearray(b)),
+            (3, bytearray(c)),
+            (4, bytearray(b"VID0xx")),
+        ],
+        "media_id long, content binary",
+    )
+    hashed = video_frame_dhash(df, every_nth=1)
+    assert hashed.filter("media_id = 4").collect()[0]["frame_idx"] == -1
+    pairs = {
+        (r["d1"], r["d2"]): r["shared_frames"]
+        for r in video_near_duplicates(df, every_nth=1, min_shared=2).collect()
+    }
+    assert pairs == {(1, 2): 3}
