@@ -27,9 +27,43 @@ from __future__ import annotations
 import os
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 from ..plans.incremental import apply_dedup_increment, read_deduped
 from .sinks import read_pointer
+
+
+def _drift_after_commit(
+    spark: SparkSession, target_dir: str, text_col: str, drift_key: str | None
+) -> dict | None:
+    """Streaming twin of the refresh CLIs' --drift gate: PSI of the
+    just-accepted delta's doc-length histogram against the maintained
+    standing distribution (operators/drift.py — O(buckets) state, no
+    corpus re-read). Batch-id-keyed on the pointer's batch like the
+    batch path, so a foreachBatch retry that re-enters after the
+    pointer flip is a no-op, never a double count; an empty accepted
+    delta is skipped (PSI against an empty side reads as spurious max
+    drift). Returns the report or None (first seed / empty / already
+    recorded)."""
+    from ..operators.drift import update_drift_state
+
+    pointer = read_pointer(target_dir)
+    if pointer is None:
+        return None
+    path = os.path.join(target_dir, f"accepted/delta_{pointer['batch_id']}")
+    if not os.path.exists(path):
+        return None
+    delta = spark.read.parquet(path)
+    if delta.limit(1).count() == 0:
+        return None
+    rep = update_drift_state(
+        delta.withColumn("__len", F.length(text_col)),
+        os.path.join(target_dir, "drift_hist.json"),
+        "__len",
+        key_col=drift_key,
+        batch_id=pointer["batch_id"],
+    )
+    return None if rep.get("already_recorded") else rep
 
 
 def _checkpoint_guard(target_dir: str, checkpoint_dir: str | None) -> None:
@@ -77,12 +111,19 @@ class CorpusDedupSink:
         text_col: str = "text",
         snapshot_compact_at: int = 16,
         checkpoint_dir: str | None = None,
+        drift: bool = False,
+        drift_key: str | None = None,
     ) -> None:
         self.target_dir = target_dir
         self.id_col = id_col
         self.text_col = text_col
         self.snapshot_compact_at = snapshot_compact_at
         self.checkpoint_dir = checkpoint_dir
+        self.drift = drift
+        self.drift_key = drift_key
+        #: latest non-empty drift report (advisory, like the CLI summary
+        #: field; a foreachBatch callable has no return channel)
+        self.last_drift: dict | None = None
 
     def _pointer_fields(self, batch_id: int) -> dict:
         fields = {"last_stream_batch": batch_id}
@@ -104,6 +145,12 @@ class CorpusDedupSink:
             snapshot_compact_at=self.snapshot_compact_at,
             extra_pointer_fields=self._pointer_fields(batch_id),
         )
+        if self.drift:
+            rep = _drift_after_commit(
+                batch_df.sparkSession, self.target_dir, self.text_col, self.drift_key
+            )
+            if rep is not None:
+                self.last_drift = rep
 
 
 def run_stream_corpus_dedup(
@@ -150,6 +197,8 @@ class CorpusNearDupSink:
         sim_threshold: float = 0.7,
         snapshot_compact_at: int = 16,
         checkpoint_dir: str | None = None,
+        drift: bool = False,
+        drift_key: str | None = None,
     ) -> None:
         self.target_dir = target_dir
         self.id_col = id_col
@@ -157,6 +206,9 @@ class CorpusNearDupSink:
         self.sim_threshold = sim_threshold
         self.snapshot_compact_at = snapshot_compact_at
         self.checkpoint_dir = checkpoint_dir
+        self.drift = drift
+        self.drift_key = drift_key
+        self.last_drift: dict | None = None
 
     _pointer_fields = CorpusDedupSink._pointer_fields
 
@@ -177,6 +229,12 @@ class CorpusNearDupSink:
             snapshot_compact_at=self.snapshot_compact_at,
             extra_pointer_fields=self._pointer_fields(batch_id),
         )
+        if self.drift:
+            rep = _drift_after_commit(
+                batch_df.sparkSession, self.target_dir, self.text_col, self.drift_key
+            )
+            if rep is not None:
+                self.last_drift = rep
 
 
 def run_stream_corpus_neardup(

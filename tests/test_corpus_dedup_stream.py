@@ -270,3 +270,34 @@ def test_fresh_checkpoint_dir_is_rejected(spark, tmp_path):
     run_stream_corpus_dedup(stream, target, checkpoint_dir=str(tmp_path / "ckptA"))
     got = {r["doc_id"] for r in read_deduped(spark, target).collect()}
     assert got == {1, 2}
+
+
+def test_stream_sink_drift_gate(spark, tmp_path):
+    """The streaming twin of the refresh CLIs' --drift gate: the first
+    drained batch seeds the standing doc-length histogram, a
+    distribution-shifted second batch reports PSI drift, and a replayed
+    batch never double-counts (batch-id-keyed like the CLI path)."""
+    import os
+
+    target = str(tmp_path / "corpus")
+    sink = CorpusDedupSink(target, drift=True)
+    w0 = spark.createDataFrame(
+        [(i, "x" * 20) for i in range(40)], SCHEMA
+    )
+    sink(w0, 0)
+    assert sink.last_drift is not None and sink.last_drift["first_refresh"]
+    assert os.path.exists(os.path.join(target, "drift_hist.json"))
+
+    # shifted lengths: 20 chars -> 2000 chars
+    w1 = spark.createDataFrame(
+        [(100 + i, "y" * 2000 + str(i)) for i in range(40)], SCHEMA
+    )
+    sink(w1, 1)
+    rep = sink.last_drift
+    assert rep is not None and not rep["first_refresh"]
+    assert rep["psi"]["all"] > 0.2, rep  # classic "significant shift" line
+
+    # replayed batch id: sink skips entirely; drift state untouched
+    before = open(os.path.join(target, "drift_hist.json")).read()
+    sink(w1, 1)
+    assert open(os.path.join(target, "drift_hist.json")).read() == before
