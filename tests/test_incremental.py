@@ -1059,3 +1059,51 @@ def test_join_refresh_null_key_facts_stay_pending(spark, tmp_path):
     assert s["pending_rows"] == 1  # the NULL-key fact persists
     _, pending = _jv_state(spark, e)
     assert pending == {(None, 99)}
+
+
+def test_join_view_feeds_agg_refresh_two_stage_pipeline(spark, tmp_path):
+    """Composability: the join view's APPEND-ONLY delta dirs are ordinary
+    parquet files, so a second incremental_agg_refresh bookmark consumes
+    them directly — a fully incremental star rollup (facts land ->
+    join-enrich -> per-attr aggregate) where EVERY stage is O(increment)
+    and the end state equals the one-shot join+groupBy of everything
+    ever landed."""
+    from big_data_processing_with_aws_glue_workshop_spark.plans.incremental import (
+        incremental_agg_refresh,
+        incremental_join_refresh,
+        read_refreshed,
+    )
+    from big_data_processing_with_aws_glue_workshop_spark.sources.bookmarks import (
+        JobBookmark,
+    )
+
+    e = _jv(tmp_path)
+    agg_target = str(tmp_path / "rollup")
+    agg_bm = JobBookmark(str(tmp_path / "agg_bm.json"), "rollup")
+    view_glob = str(tmp_path / "jv" / "view" / "delta_*" / "*.parquet")
+
+    waves = [
+        ({"k": [1, 2, 1], "x": [10, 20, 30]}, {"k": [1], "attr": ["a"]}),
+        ({"k": [2, 3], "x": [40, 50]}, {"k": [2], "attr": ["b"]}),
+        ({"k": [3], "x": [60]}, {"k": [3], "attr": ["a"]}),
+    ]
+    for i, (facts, dims) in enumerate(waves):
+        _land(e["facts"] / f"f{i}.parquet", facts)
+        _land(e["dims"] / f"d{i}.parquet", dims)
+        _jv_refresh(spark, e)
+        incremental_agg_refresh(
+            spark,
+            agg_bm,
+            view_glob,
+            ["attr"],
+            {"n": ("count", "*"), "total": ("sum", "x")},
+            agg_target,
+        )
+
+    got = {
+        r["attr"]: (r["n"], r["total"])
+        for r in read_refreshed(spark, agg_target).collect()
+    }
+    # one-shot truth: all matched facts grouped by dim attr
+    # attr a: k=1 facts (10, 30) + k=3 facts (50, 60); attr b: k=2 (20, 40)
+    assert got == {"a": (4, 150), "b": (2, 60)}
