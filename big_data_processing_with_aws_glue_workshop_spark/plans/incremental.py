@@ -964,6 +964,19 @@ def read_join_pending(spark: SparkSession, target_dir: str) -> DataFrame:
     return spark.read.parquet(os.path.join(target_dir, pointer["pending"]))
 
 
+def read_join_view_left(spark: SparkSession, target_dir: str) -> DataFrame:
+    """LEFT-join materialization, derived with no extra state: the inner
+    view unioned with the pending facts padded to the view schema (their
+    dim attributes NULL — exactly what a left join emits for unmatched
+    rows). Because {view, pending} partition the facts, this equals
+    ``facts_all ⟕ first_wins(dims_all)`` whenever at least one match has
+    published (before that the view schema — i.e. the dim attribute
+    set — is unknown, and the inner reader's error applies)."""
+    view = read_join_view(spark, target_dir)
+    pending = read_join_pending(spark, target_dir)
+    return view.unionByName(pending, allowMissingColumns=True)
+
+
 # ---------------------------------------------------------------------------
 # Incremental AGGREGATE maintenance (materialized-view upkeep)
 # ---------------------------------------------------------------------------

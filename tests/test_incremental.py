@@ -1107,3 +1107,21 @@ def test_join_view_feeds_agg_refresh_two_stage_pipeline(spark, tmp_path):
     # one-shot truth: all matched facts grouped by dim attr
     # attr a: k=1 facts (10, 30) + k=3 facts (50, 60); attr b: k=2 (20, 40)
     assert got == {"a": (4, 150), "b": (2, 60)}
+
+
+def test_read_join_view_left_equals_oneshot_left_join(spark, tmp_path):
+    """The derived LEFT materialization equals the one-shot left join:
+    matched rows carry dim attrs, unmatched carry NULLs, nothing lost."""
+    from big_data_processing_with_aws_glue_workshop_spark.plans.incremental import (
+        read_join_view_left,
+    )
+
+    e = _jv(tmp_path)
+    _land(e["facts"] / "f0.parquet", {"k": [1, 2, 3], "x": [10, 20, 30]})
+    _land(e["dims"] / "d0.parquet", {"k": [1, 3], "attr": ["a1", "a3"]})
+    _jv_refresh(spark, e)
+    got = {
+        (r["k"], r["x"], r["attr"])
+        for r in read_join_view_left(spark, e["target"]).collect()
+    }
+    assert got == {(1, 10, "a1"), (3, 30, "a3"), (2, 20, None)}
