@@ -513,11 +513,20 @@ def minima_distinct_estimate(
     counting n ~= -m ln(e/m) over the e empty slots (Whang et al.
     1990), exact in expectation while collisions are rare. The
     crossover is the same small-range-correction shape HLL uses.
-    Driver-side scalar readout of a <= ``slots``-row state."""
+    Driver-side scalar readout of a <= ``slots``-row state. Refuses a
+    ``slots`` that contradicts the state (a slot id out of range or
+    more rows than slots) — a mismatched calibration would silently
+    skew the estimate instead of erroring."""
     import math
 
     rows = state.select("slot", "r.rank").collect()
     filled = len(rows)
+    if filled and (filled > slots or max(r["slot"] for r in rows) >= slots):
+        raise ValueError(
+            f"state has {filled} rows with max slot "
+            f"{max(r['slot'] for r in rows)} — inconsistent with "
+            f"slots={slots}; pass the calibration the state was built with"
+        )
     empty = slots - filled
     if empty > 0:
         return -slots * math.log(empty / slots)

@@ -753,6 +753,12 @@ def incremental_join_refresh(
     if os.path.exists(pointer_path):
         with open(pointer_path) as f:
             pointer = json.load(f)
+        if "view_deltas" not in pointer:
+            raise ValueError(
+                f"target {target_dir!r} is not a join-view state (its "
+                "pointer has no view_deltas) — it belongs to another "
+                "refresh family; use a separate target"
+            )
 
     # heal BOTH bookmarks from the pointer's recorded increments
     healed = 0

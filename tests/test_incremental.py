@@ -1125,3 +1125,26 @@ def test_read_join_view_left_equals_oneshot_left_join(spark, tmp_path):
         for r in read_join_view_left(spark, e["target"]).collect()
     }
     assert got == {(1, 10, "a1"), (3, 30, "a3"), (2, 20, None)}
+
+
+def test_join_refresh_refuses_foreign_target(spark, tmp_path):
+    """Pointing join-refresh at another refresh family's target raises a
+    descriptive error, not a KeyError deep in the plan."""
+    import pytest
+
+    from big_data_processing_with_aws_glue_workshop_spark.plans.incremental import (
+        incremental_agg_refresh,
+    )
+
+    e = _jv(tmp_path)
+    _land(e["facts"] / "f0.parquet", {"k": [1], "x": [1]})
+    incremental_agg_refresh(
+        spark,
+        JobBookmark(str(tmp_path / "abm.json"), "agg"),
+        e["fact_pattern"],
+        ["k"],
+        {"n": ("count", "*")},
+        e["target"],  # an AGG state now lives at the join target path
+    )
+    with pytest.raises(ValueError, match="not a join-view state"):
+        _jv_refresh(spark, e)

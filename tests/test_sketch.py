@@ -949,3 +949,14 @@ def test_sampled_quantile_profile_matches_duckdb_oracle(spark):
             SAMPLED_QUANTILE_PROFILE_ORACLE,
             sf,
         )
+
+
+def test_minima_distinct_estimate_refuses_wrong_slots(spark):
+    """A slots value that contradicts the state raises instead of
+    silently skewing the estimate."""
+    import pytest
+
+    S = _minima_mod()
+    st = S.minima_sample(_keys(spark, 0, 5_000), "k", slots=1024)
+    with pytest.raises(ValueError, match="inconsistent with slots"):
+        S.minima_distinct_estimate(st, 256)
