@@ -57,6 +57,48 @@ from big_data_processing_with_aws_glue_workshop_spark.util import (
 HEADLINE = list(QUERIES)
 
 
+def _box_calibration(spark) -> float:
+    """Best-of-two seconds for a FIXED synthetic workload — a box-state
+    thermometer, not a query benchmark.
+
+    Motivation (r9, docs/SCALE.md "r9 full-surface bench"): three
+    same-code full-suite runs landed at 65.3 s / 73.5 s / 82.6 s with
+    UNIFORM inflation across all 100 queries — the shared box's ambient
+    speed drifts by >1.25x between runs, and every such drift has cost a
+    worktree-bisect investigation to rule out a plan regression (r5, r6,
+    r8, r9 all record one). Measuring a constant workload inside the same
+    session turns "is the box slow or did the code regress?" into
+    arithmetic: tools/bench_diff.py divides per-query ratios by the
+    calibration ratio when both detail files carry one.
+
+    The workload is deterministic and cache-free: 100M synthetic rows
+    through whole-stage-codegen arithmetic into a 1M-group hash aggregate
+    and a 32-partition shuffle — the same CPU + shuffle machinery the
+    suite exercises, with zero I/O so parquet cache state cannot leak in.
+    Sized to ~1 s on this box quiet: large enough that the one-sided
+    contention noise the regime documents shows up in it exactly as it
+    does in the suite, small enough that two measurements add ~5 s.
+    """
+    from pyspark.sql import functions as F
+
+    def run() -> None:
+        (
+            spark.range(0, 100_000_000, 1, 32)
+            .select((F.col("id") * 2654435761 % 1048576).alias("k"))
+            .groupBy("k")
+            .agg(F.sum("k").alias("s"), F.count("*").alias("n"))
+            .count()
+        )
+
+    run()  # warm: codegen compile for this one plan
+    best = float("inf")
+    for _ in range(2):
+        t0 = time.perf_counter()
+        run()
+        best = min(best, time.perf_counter() - t0)
+    return round(best, 4)
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     m = re.search(r"sf([0-9.]+)", sf_dir)
@@ -87,6 +129,11 @@ def main() -> None:
         if w in QUERIES:
             QUERIES[w](spark, sf_dir).count()
 
+    # box-state thermometer BEFORE the suite (and again after: the state
+    # can drift DURING a ~10-minute run) — see _box_calibration
+    calib_pre = _box_calibration(spark)
+    print(json.dumps({"bench_calibration": "pre", "sec": calib_pre}), flush=True)
+
     timings: dict[str, float] = {}
     for name in names:
         # cross-query hygiene BEFORE the warm run: the previous query's
@@ -114,10 +161,18 @@ def main() -> None:
         # truncates, and the final summary line stays short
         print(json.dumps({"bench_query": name, "sec": timings[name]}), flush=True)
 
+    calib_post = _box_calibration(spark)
+    print(json.dumps({"bench_calibration": "post", "sec": calib_post}), flush=True)
+
     total = round(sum(timings.values()), 4)
-    detail_path = os.path.join(
-        os.path.dirname(os.path.abspath(__file__)), "bench_detail.json"
+    # bench_detail.json is the HEADLINE (sf0.1) record that bench_diff and
+    # the round notes key on — a smoke run at another SF must not clobber
+    # it (it did once, r9: an sf0.001 verify run overwrote the quiet-box
+    # sf0.1 detail and it had to be rebuilt from the streamed log lines)
+    detail_name = (
+        "bench_detail.json" if abs(sf - 0.1) < 1e-9 else f"bench_detail_sf{sf}.json"
     )
+    detail_path = os.path.join(os.path.dirname(os.path.abspath(__file__)), detail_name)
     with open(detail_path, "w") as f:
         json.dump(
             {
@@ -126,6 +181,8 @@ def main() -> None:
                 "unit": "sec",
                 "queries": timings,
                 "sf": sf,
+                "calib_pre": calib_pre,
+                "calib_post": calib_post,
             },
             f,
             indent=1,
@@ -140,6 +197,8 @@ def main() -> None:
                 "unit": "sec",
                 "sf": sf,
                 "n_queries": len(timings),
+                "calib_pre": calib_pre,
+                "calib_post": calib_post,
             }
         ),
         flush=True,

@@ -128,6 +128,48 @@ def test_bench_headline_names_resolve():
     assert len(bench.HEADLINE) == len(set(bench.HEADLINE)), "duplicate names"
 
 
+def test_bench_diff_calibration_normalizes_flags():
+    """A uniformly slower box (calib ratio 1.6x) must NOT flag unchanged
+    queries, while a genuine plan regression (slowdown far beyond the box
+    factor) must still flag — and with no calibration fields the diff
+    falls back to raw ratios (r9: three same-code suite runs spanned
+    65.3-82.6 s on ambient box drift alone)."""
+    import os
+    import sys
+
+    sys.path.insert(
+        0,
+        os.path.join(
+            os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "tools"
+        ),
+    )
+    from bench_diff import calib_factor, diff
+
+    prior = {
+        "queries": {"steady": 1.0, "regressed": 1.0},
+        "calib_pre": 1.0,
+        "calib_post": 1.0,
+    }
+    # box 1.6x slower: 'steady' scales with the box, 'regressed' blows
+    # past it (raw 4.0x, normalized 2.5x)
+    current = {
+        "queries": {"steady": 1.6, "regressed": 4.0},
+        "calib_pre": 1.5,
+        "calib_post": 1.7,
+    }
+    factor = calib_factor(prior, current)
+    assert factor == pytest.approx(1.6)
+    d = diff(prior, current, flag_ratio=1.5, abs_floor=0.2, factor=factor)
+    assert d["flagged"] == ["regressed"]
+
+    # without calibration fields, the same numbers flag both (raw ratios)
+    raw_prior = {"queries": prior["queries"]}
+    raw_current = {"queries": current["queries"]}
+    assert calib_factor(raw_prior, raw_current) is None
+    d_raw = diff(raw_prior, raw_current, flag_ratio=1.5, abs_floor=0.2)
+    assert set(d_raw["flagged"]) == {"steady", "regressed"}
+
+
 def test_cli_refresh_incremental_upsert(spark, tmp_path, capsys):
     """refresh subcommand: two landings, second run reads only the new
     file and upserts it (keep-latest on the order column)."""

@@ -48,15 +48,41 @@ def load_detail(path: str) -> dict:
     return data
 
 
-def diff(prior: dict, current: dict, flag_ratio: float, abs_floor: float) -> dict:
+def calib_factor(prior: dict, current: dict) -> float | None:
+    """current-box speed relative to prior-box speed, from the fixed
+    synthetic calibration workload bench.py times before and after each
+    suite run (``calib_pre``/``calib_post``; r9 addition — three
+    same-code suite runs spanned 65.3-82.6 s with uniform per-query
+    inflation, so raw ratios conflate box state with plan changes).
+    Returns None when either file predates the calibration fields."""
+
+    def mean_calib(d: dict) -> float | None:
+        vals = [d[k] for k in ("calib_pre", "calib_post") if d.get(k)]
+        return sum(vals) / len(vals) if vals else None
+
+    p, c = mean_calib(prior), mean_calib(current)
+    return (c / p) if (p and c) else None
+
+
+def diff(
+    prior: dict,
+    current: dict,
+    flag_ratio: float,
+    abs_floor: float,
+    factor: float | None = None,
+) -> dict:
+    """factor = calib_factor(...): per-query ratios are divided by it
+    (and the abs-floor slowdown deflated by it) so a uniformly slower box
+    doesn't flag every query; raw ratios are kept in rows for display."""
     p, c = prior["queries"], current["queries"]
+    norm = factor or 1.0
     common = sorted(set(p) & set(c))
     rows = []
     flagged = []
     for name in common:
         ratio = c[name] / p[name] if p[name] > 0 else float("inf")
         rows.append((name, p[name], c[name], ratio))
-        if ratio > flag_ratio and (c[name] - p[name]) > abs_floor:
+        if ratio / norm > flag_ratio and (c[name] / norm - p[name]) > abs_floor:
             flagged.append(name)
     return {
         "common": common,
@@ -66,6 +92,7 @@ def diff(prior: dict, current: dict, flag_ratio: float, abs_floor: float) -> dic
         "removed": sorted(set(p) - set(c)),
         "prior_common_total": sum(p[n] for n in common),
         "current_common_total": sum(c[n] for n in common),
+        "calib_factor": factor,
     }
 
 
@@ -85,7 +112,8 @@ def main(argv: list[str] | None = None) -> int:
     args = ap.parse_args(argv)
 
     prior, current = load_detail(args.prior), load_detail(args.current)
-    d = diff(prior, current, args.flag_ratio, args.abs_floor)
+    factor = calib_factor(prior, current)
+    d = diff(prior, current, args.flag_ratio, args.abs_floor, factor)
 
     pct = d["prior_common_total"] or 1.0
     print(
@@ -93,6 +121,18 @@ def main(argv: list[str] | None = None) -> int:
         f"{d['current_common_total']:.2f}s vs {d['prior_common_total']:.2f}s "
         f"= {d['current_common_total'] / pct:.2f}x"
     )
+    if factor is not None:
+        print(
+            f"box calibration: current box {factor:.2f}x prior "
+            f"(ratios below are raw; flags are calibration-normalized — "
+            f"normalized common-set ratio "
+            f"{d['current_common_total'] / pct / factor:.2f}x)"
+        )
+    else:
+        print(
+            "box calibration: unavailable (one file predates "
+            "calib_pre/calib_post) — flags use raw ratios"
+        )
     if d["added"]:
         print(f"added ({len(d['added'])}): {', '.join(d['added'])}")
     if d["removed"]:
