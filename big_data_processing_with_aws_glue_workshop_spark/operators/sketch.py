@@ -174,6 +174,43 @@ def cms_heavy_hitters(
     ).filter(F.col("est") >= threshold)
 
 
+def cms_join_size_estimate(a: DataFrame, b: DataFrame, depth: int = CMS_DEPTH) -> int:
+    """Equi-join OUTPUT cardinality estimate from two CMS tables — the
+    Cormode-Muthukrishnan inner-product estimator (2005, §4.2): per
+    sketch row, sum bucket-wise products of the two counter vectors;
+    report the MIN over rows.
+
+    Why it earns its place: |A ⋈ B| on a key equals the inner product
+    of the two key-frequency vectors, and that number — not |A| or |B|
+    — is what decides broadcast-vs-shuffle-vs-salt for a join whose
+    inputs are corpus-scale (a hot-key pair can make a "small" join's
+    OUTPUT explode; ``operators/skew.py::skew_profile`` sees one side's
+    skew, this sees the interaction). Both sketches are the bounded
+    depth*width tables the refresh machinery already maintains, so the
+    estimate costs one (row, bucket) inner join over <= depth*width
+    rows — no scan of either input.
+
+    Guarantees (same direction as every CMS readout): NEVER
+    underestimates — every row's inner product equals the true join
+    size plus nonnegative collision cross-terms — and overestimates by
+    at most eps * |A| * |B| (eps = e/width) with probability
+    1 - (1/e)^depth. Both sketches must share (depth, width, seed);
+    the caller owns that calibration, as with cms_merge. Missing
+    buckets contribute zero product, so the inner join is exact.
+    Driver-side scalar readout, like hll_estimate."""
+    prod = (
+        a.join(b.withColumnRenamed("n", "__n_b"), ["row", "bucket"])
+        .groupBy("row")
+        .agg(F.sum(F.col("n") * F.col("__n_b")).alias("ip"))
+    )
+    rows = prod.collect()
+    if len(rows) < depth:
+        # a row absent from the product means that row's vectors share
+        # no occupied bucket: its inner product — and the min — is 0
+        return 0
+    return int(min(r["ip"] for r in rows))
+
+
 # ---------------------------------------------------------------------------
 # HyperLogLog register table: the distinct-count twin of the CMS story
 # ---------------------------------------------------------------------------
@@ -250,6 +287,29 @@ def hll_estimate(sketch: DataFrame, p: int = HLL_P) -> float:
     if raw <= 2.5 * m and zeros:
         return m * math.log(m / zeros)  # linear counting
     return raw
+
+
+def hll_intersection_estimate(a: DataFrame, b: DataFrame, p: int = HLL_P) -> float:
+    """|A intersect B| by inclusion-exclusion over three HLL readouts:
+    est(A) + est(B) - est(A union B), with the union register table
+    coming free from the max monoid (hll_merge — EXACTLY the registers
+    a single pass over A ++ B would produce, no extra data pass).
+
+    The overlap-planning readout for corpus curation: "how much of this
+    new crawl is already in the standing corpus" / "how contaminated is
+    this source pair" from two register tables the refresh machinery
+    already maintains — without the exact distinct-join that is itself
+    a corpus-scale shuffle. Caveat callers must own: the absolute error
+    is driven by the UNION's cardinality (~1.04/sqrt(2^p) relative on
+    each term), so a small true intersection under a huge union drowns
+    in the union's noise — use the Jaccard readout of
+    ``minima_sample``/``minima_jaccard`` when the expected overlap
+    share is tiny; clamped at 0 below. Same (p, seed) required on both
+    sketches, as with hll_merge."""
+    est_a = hll_estimate(a, p=p)
+    est_b = hll_estimate(b, p=p)
+    est_union = hll_estimate(hll_merge(a, b), p=p)
+    return max(0.0, est_a + est_b - est_union)
 
 
 # ---------------------------------------------------------------------------

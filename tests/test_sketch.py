@@ -52,6 +52,74 @@ def test_never_underestimates_and_bounded_overestimate(spark):
     assert max(overs) <= eps_n  # deterministic with the fixed seed
 
 
+def test_cms_join_size_never_underestimates_and_exact_when_collisionless(spark):
+    """The inner-product readout: est >= |A join B| is an exact
+    invariant (collision cross-terms are nonnegative), and with a width
+    wide enough that no two keys collide in any row the estimate IS the
+    true join output cardinality."""
+    from big_data_processing_with_aws_glue_workshop_spark.operators.sketch import (
+        cms_join_size_estimate,
+    )
+
+    a, b = _zipf(spark, 8_000, 0), _zipf(spark, 8_000, 7_777)
+    true_size = a.join(b, "k").count()
+
+    # production-ish width: bounded overestimate, never under
+    sa = cms_sketch(a, "k", depth=DEPTH, width=WIDTH)
+    sb = cms_sketch(b, "k", depth=DEPTH, width=WIDTH)
+    est = cms_join_size_estimate(sa, sb, depth=DEPTH)
+    assert est >= true_size
+    eps = 2.718 / WIDTH
+    assert est - true_size <= eps * 8_000 * 8_000
+
+    # ~500 distinct keys into 2^20 buckets: collision-free in practice
+    # for this fixture, so the estimate is exact
+    wide = 1 << 20
+    est_wide = cms_join_size_estimate(
+        cms_sketch(a, "k", depth=DEPTH, width=wide),
+        cms_sketch(b, "k", depth=DEPTH, width=wide),
+        depth=DEPTH,
+    )
+    assert est_wide == true_size
+
+
+def test_cms_join_size_zero_for_disjoint_keys_at_wide_width(spark):
+    """Disjoint key sets at collision-free width: the min over rows
+    must reach 0 — including the case where a whole sketch row shares
+    no occupied bucket with the other side (absent from the inner
+    join), which must read as 0, not be skipped."""
+    from big_data_processing_with_aws_glue_workshop_spark.operators.sketch import (
+        cms_join_size_estimate,
+    )
+
+    a = spark.range(500).select(F.concat(F.lit("left_"), F.col("id")).alias("k"))
+    b = spark.range(500).select(F.concat(F.lit("right_"), F.col("id")).alias("k"))
+    est = cms_join_size_estimate(
+        cms_sketch(a, "k", depth=DEPTH, width=1 << 20),
+        cms_sketch(b, "k", depth=DEPTH, width=1 << 20),
+        depth=DEPTH,
+    )
+    assert est == 0
+
+
+def test_hll_intersection_estimate_tracks_true_overlap(spark):
+    """Inclusion-exclusion over the max-monoid union: two 6k-key sets
+    with a 2k-key true intersection estimate within the p=12 error
+    budget (three ~1.6% terms compound through the subtraction — allow
+    15% of the true intersection)."""
+    from big_data_processing_with_aws_glue_workshop_spark.operators.sketch import (
+        hll_intersection_estimate,
+        hll_sketch,
+    )
+
+    a = spark.range(0, 6_000).select(F.concat(F.lit("k"), F.col("id")).alias("k"))
+    b = spark.range(4_000, 10_000).select(
+        F.concat(F.lit("k"), F.col("id")).alias("k")
+    )
+    est = hll_intersection_estimate(hll_sketch(a, "k"), hll_sketch(b, "k"))
+    assert abs(est - 2_000) <= 300
+
+
 def test_merge_is_exactly_the_combined_sketch(spark):
     a, b = _zipf(spark, 10_000, 0), _zipf(spark, 10_000, 7_777)
     merged = cms_merge(

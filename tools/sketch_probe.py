@@ -23,18 +23,21 @@ from big_data_processing_with_aws_glue_workshop_spark.session import get_session
 DEPTH, WIDTH = 5, 65_536
 
 
-def zipf(spark, n):
+def zipf(spark, n, offset=0):
     # realistic URL/shingle shape: 90% of rows over a ~1000-key hot head
     # (mass ~ 1/k), 10% a long tail of UNIQUE keys — distinct count
-    # ~n/10, which is what makes exact counting state corpus-scale
-    h = F.pmod(F.xxhash64("id"), F.lit(1000))
+    # ~n/10, which is what makes exact counting state corpus-scale.
+    # offset decorrelates two sides' row-level draws (shared hot-head
+    # key SPACE, different per-row assignment) for the join-size probe.
+    ido = F.col("id") + F.lit(offset)
+    h = F.pmod(F.xxhash64(ido), F.lit(1000))
     head = F.concat(
         F.lit("hot_"),
         F.floor(F.lit(1000.0) / (h.cast("double") + F.lit(1.0))).cast("string"),
     )
-    tail = F.concat(F.lit("tail_"), F.col("id").cast("string"))
+    tail = F.concat(F.lit("tail_"), ido.cast("string"))
     return spark.range(n).select(
-        F.when(F.pmod(F.xxhash64("id", F.lit(1)), F.lit(10)) < 9, head)
+        F.when(F.pmod(F.xxhash64(ido, F.lit(1)), F.lit(10)) < 9, head)
         .otherwise(tail)
         .alias("k")
     )
@@ -225,9 +228,65 @@ def probe_minima(spark, n, slots) -> dict:
     }
 
 
+def probe_joinsize(spark, n) -> dict:
+    """cms_join_size_estimate vs the true equi-join output cardinality
+    on two decorrelated Zipf sides (shared ~1000-key hot head, unique
+    tails): the skewed many-to-many regime where the OUTPUT explodes
+    far past either input size and the planner needs the inner product,
+    not |A| or |B|. Truth comes from the count-vector inner product
+    (sum of cnt_a*cnt_b over shared keys) — same number as the join's
+    count, without materializing the quadratic output."""
+    from big_data_processing_with_aws_glue_workshop_spark.operators.sketch import (
+        CMS_DEPTH,
+        CMS_WIDTH,
+        cms_join_size_estimate,
+        cms_sketch,
+    )
+
+    a = zipf(spark, n).persist()
+    b = zipf(spark, n, offset=1_000_000_007).persist()
+    a.count(), b.count()
+
+    t0 = time.time()
+    ca = a.groupBy("k").agg(F.count("*").alias("na"))
+    cb = b.groupBy("k").agg(F.count("*").alias("nb"))
+    true_size = (
+        ca.join(cb, "k")
+        .agg(F.sum(F.col("na") * F.col("nb")).alias("s"))
+        .first()["s"]
+        or 0
+    )
+    t_truth = time.time() - t0
+
+    t0 = time.time()
+    est = cms_join_size_estimate(
+        cms_sketch(a, "k", depth=CMS_DEPTH, width=CMS_WIDTH),
+        cms_sketch(b, "k", depth=CMS_DEPTH, width=CMS_WIDTH),
+        depth=CMS_DEPTH,
+    )
+    t_est = time.time() - t0
+
+    a.unpersist(), b.unpersist()
+    return {
+        "n_rows_per_side": n,
+        "true_join_size": int(true_size),
+        "cms_estimate": est,
+        "rel_overestimate": round((est - true_size) / true_size, 6)
+        if true_size
+        else None,
+        "t_exact_truth_s": round(t_truth, 2),
+        "t_cms_estimate_s": round(t_est, 2),
+    }
+
+
 def main() -> None:
     args = sys.argv[1:]
     spark = get_session(app_name="sketch-probe")
+    if args and args[0] == "--joinsize":
+        sizes = [int(a) for a in args[1:]] or [2_000_000, 8_000_000, 32_000_000]
+        for n in sizes:
+            print(json.dumps(probe_joinsize(spark, n)))
+        return
     if args and args[0] == "--bloom":
         sizes = [int(a) for a in args[1:]] or [2_000_000, 8_000_000, 32_000_000]
         for n in sizes:
