@@ -469,38 +469,20 @@ def cmd_join_refresh(args: argparse.Namespace) -> None:
 
 
 def _refresh_drift_report(spark, args, stats) -> dict | None:
-    """Shared --drift gate for the corpus refresh commands: PSI of the
-    increment's doc-length histogram against the maintained standing
-    histogram (operators/drift.py::update_drift_state — O(buckets) state,
-    no corpus re-read). The accepted delta of the pointer's CURRENT
-    batch is re-read (O(increment)); first refresh seeds the state and
-    reports no PSI. Batch-id-keyed and self-healing, like the
-    agg-refresh gate: a rerun after a crash that lost the drift write
-    histograms the batch; an already-recorded batch is a no-op; a
-    zero-row delta is skipped entirely (an empty increment contributes
-    nothing to the histogram, and PSI against an empty side would read
-    as spurious max drift)."""
+    """--drift gate for the corpus refresh commands: a thin wrapper over
+    the SHARED protocol in operators/drift.py::corpus_drift_report (one
+    implementation for both ingestion tempos — the streaming corpus
+    sinks call the same function, so the batch-id-keyed idempotence and
+    the empty/missing-delta guards can never diverge between copies;
+    the r9 review caught the two hand-rolled twins already differing on
+    the missing-delta guard)."""
     if not args.drift:
         return None
-    from .operators.drift import update_drift_state
-    from .streaming.sinks import read_pointer
+    from .operators.drift import corpus_drift_report
 
-    pointer = read_pointer(args.target)
-    if pointer is None:
-        return None
-    delta = spark.read.parquet(
-        os.path.join(args.target, f"accepted/delta_{pointer['batch_id']}")
+    return corpus_drift_report(
+        spark, args.target, args.text_col, drift_key=args.drift_key
     )
-    if stats["accepted"] == 0 and delta.limit(1).count() == 0:
-        return None
-    rep = update_drift_state(
-        delta.withColumn("__len", F.length(args.text_col)),
-        os.path.join(args.target, "drift_hist.json"),
-        "__len",
-        key_col=args.drift_key,
-        batch_id=pointer["batch_id"],
-    )
-    return None if rep.get("already_recorded") else rep
 
 
 def cmd_dedup_refresh(args: argparse.Namespace) -> None:

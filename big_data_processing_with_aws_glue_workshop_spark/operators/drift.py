@@ -217,3 +217,46 @@ def update_drift_state(
         "psi": psi,
         "n_rows": sum(inc.values()),
     }
+
+
+def corpus_drift_report(
+    spark,
+    target_dir: str,
+    text_col: str,
+    drift_key: str | None = None,
+) -> dict | None:
+    """The corpus-refresh drift protocol, shared by BOTH ingestion
+    tempos (the refresh CLIs' ``--drift`` gate and the streaming corpus
+    sinks' ``drift=True``) so the protocol can never diverge between
+    copies again (r9 review: the two hand-rolled twins already
+    differed on the missing-delta guard).
+
+    PSI of the just-accepted delta's doc-length histogram against the
+    maintained standing distribution: re-reads ONLY the pointer's
+    CURRENT accepted delta (O(increment), never the corpus),
+    batch-id-keyed so a rerun/replay after the pointer flip is a no-op
+    rather than a double count. Returns the report, or None when there
+    is nothing to record: no pointer yet, no accepted delta dir for the
+    current batch, an empty delta (PSI against an empty side reads as
+    spurious max drift), or an already-recorded batch."""
+    import os
+
+    from ..streaming.sinks import read_pointer
+
+    pointer = read_pointer(target_dir)
+    if pointer is None:
+        return None
+    path = os.path.join(target_dir, f"accepted/delta_{pointer['batch_id']}")
+    if not os.path.exists(path):
+        return None
+    delta = spark.read.parquet(path)
+    if delta.limit(1).count() == 0:
+        return None
+    rep = update_drift_state(
+        delta.withColumn("__len", F.length(text_col)),
+        os.path.join(target_dir, "drift_hist.json"),
+        "__len",
+        key_col=drift_key,
+        batch_id=pointer["batch_id"],
+    )
+    return None if rep.get("already_recorded") else rep

@@ -418,6 +418,19 @@ def bloom_probe(
     ``__``-prefixed, so probe frames may themselves carry ``word``/
     ``bits`` columns. Feed the output to an exact verify: positives
     are candidates, negatives are PROVEN absent."""
+    # the packed formulation is only safe while the whole bitmap fits a
+    # single broadcast row: 2^28 bits = 32 MB of longs, already past the
+    # comfortable broadcast size. A billions-key filter needs n_bits ~
+    # 2^33+, which must NOT silently build a gigabyte collect_list row —
+    # refuse loudly and point at the scale paths.
+    if n_bits > (1 << 28):
+        raise ValueError(
+            f"bloom_probe: n_bits={n_bits} packs to a "
+            f"{n_bits // 64 * 8 / 2**20:.0f} MB single-row broadcast — "
+            "beyond 2^28 bits, shard the filter (one bloom_probe per key "
+            "range) or join the (word, bits) table directly instead of "
+            "broadcasting the packed bitmap"
+        )
     cols = probes.columns
     n_words = (n_bits + 63) // 64
     dense = (

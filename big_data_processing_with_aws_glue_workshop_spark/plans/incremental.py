@@ -29,6 +29,7 @@ bookmark/transform/merge contract is unchanged.
 from __future__ import annotations
 
 import os
+import shutil
 from collections.abc import Callable, Sequence
 
 from pyspark.sql import DataFrame, SparkSession
@@ -812,8 +813,16 @@ def incremental_join_refresh(
     new_dim = None
     if dim_files:
         attrs = [c for c in d_dim.columns if c != join_key]
+        # NULL dim keys are dropped: an inner join can never match them
+        # (NULL equals nothing), and — unlike NULL-key FACTS, which stay
+        # pending as the RI signal — a NULL-key dim row is pure dead
+        # weight that would also defeat the first-wins left_anti below
+        # (NULL never matches the standing NULLs, so one garbage row
+        # would re-append per increment, violating the one-row-per-key
+        # dim invariant). Same stance as the sketch pair-builders.
         new_dim = (
-            d_dim.groupBy(join_key)
+            d_dim.filter(F.col(join_key).isNotNull())
+            .groupBy(join_key)
             .agg(F.min(F.struct(*attrs)).alias("__a"))
             .select(join_key, "__a.*")
         )
@@ -822,6 +831,12 @@ def incremental_join_refresh(
                 *[os.path.join(target_dir, d) for d in pointer["dim_deltas"]]
             ).select(join_key)
             new_dim = new_dim.join(standing_keys, join_key, "left_anti")
+        # persist: this subtree (increment dedup agg + anti-join against
+        # the full standing dim read) is referenced by up to four
+        # consumers below — matched's full_dim, pending ⋈ new_dim,
+        # p_next's full_dim_keys, and the dim/d<batch> write — and would
+        # otherwise recompute per consumer
+        new_dim = new_dim.persist()
 
     dim_parts = []
     if pointer is not None and pointer["dim_deltas"]:
@@ -870,9 +885,24 @@ def incremental_join_refresh(
         matched = matched.persist()
         matched_new = matched.count()
         if matched_new:
-            matched.write.mode("overwrite").parquet(
-                os.path.join(target_dir, view_rel)
-            )
+            # stage-then-rename: the delta dir must appear ATOMICALLY and
+            # fully formed. Pointer-following readers never needed this,
+            # but the two-stage composition (a downstream
+            # incremental_agg_refresh bookmark consuming view files)
+            # must never observe task-committed part files of a delta
+            # mid-write, nor two part-file generations of a replayed
+            # unpublished batch — the staging dir is invisible to the
+            # delta_* glob, the rename is atomic, and the stale dir of a
+            # crashed pre-flip attempt is removed before the swap.
+            # (Downstream composition should ALSO pass
+            # join_view_published_filter as its file_filter — see that
+            # helper's docstring for the residual race this closes.)
+            staging_dir = os.path.join(target_dir, "view", f"_staging_{batch_id}")
+            final_dir = os.path.join(target_dir, view_rel)
+            shutil.rmtree(staging_dir, ignore_errors=True)
+            matched.write.mode("overwrite").parquet(staging_dir)
+            shutil.rmtree(final_dir, ignore_errors=True)
+            os.rename(staging_dir, final_dir)
             view_deltas.append(view_rel)
         matched.unpersist()
 
@@ -906,6 +936,8 @@ def incremental_join_refresh(
     else:  # no fact has ever landed — dims only so far
         pending_rel = None
         pending_rows = 0
+    if new_dim is not None:
+        new_dim.unpersist()
 
     _flip_pointer(
         pointer_path,
@@ -922,8 +954,6 @@ def incremental_join_refresh(
     # post-flip GC of compaction-superseded dim dirs and the previous
     # pending version: best-effort — readers only follow the pointer,
     # so a crash here leaves inert dirs, never a broken reader
-    import shutil
-
     for d in superseded_dim_dirs:
         shutil.rmtree(os.path.join(target_dir, d), ignore_errors=True)
     if pointer is not None and pointer.get("pending") and pointer[
@@ -962,12 +992,58 @@ def read_join_view(spark: SparkSession, target_dir: str) -> DataFrame:
 
 def read_join_pending(spark: SparkSession, target_dir: str) -> DataFrame:
     """The unmatched-fact buffer — doubling as a continuously-maintained
-    referential-integrity report (facts whose dim key has not arrived)."""
+    referential-integrity report (facts whose dim key has not arrived).
+    An EMPTY buffer (every fact matched) reads as an empty frame; a state
+    where no fact increment has ever refreshed has no buffer (and no fact
+    schema) at all and raises descriptively, like read_join_view."""
     import json
 
     with open(os.path.join(target_dir, "current.json")) as f:
         pointer = json.load(f)
+    if not pointer.get("pending"):
+        raise ValueError(
+            f"join view at {target_dir!r} has no pending buffer yet — no "
+            "fact increment has been refreshed (dims only so far), so the "
+            "fact schema is unknown"
+        )
     return spark.read.parquet(os.path.join(target_dir, pointer["pending"]))
+
+
+def join_view_published_filter(target_dir: str) -> Callable[[str], bool]:
+    """``file_filter`` for a downstream ``incremental_agg_refresh`` whose
+    bookmark consumes this join view's delta files (the two-stage star
+    rollup): admit only part files inside PUBLISHED view delta dirs.
+
+    Why the raw ``view/delta_*/*.parquet`` glob alone is not enough for
+    exactly-once: the glob can list a delta the join refresh wrote but
+    did not yet PUBLISH (crash before the pointer flip). The replayed
+    batch rewrites that dir with different part-file names — and by then
+    more fact files may have landed, so the rewrite is not even
+    row-identical — and the downstream bookmark, having committed the
+    first generation's paths, would merge the second generation as new
+    files: a permanent double-count. Filtering to pointer-listed dirs
+    closes it: published dirs are immutable (replay only ever rewrites
+    unpublished ones), so a file is either never visible or visible in
+    exactly one generation. (The staged-rename in
+    ``incremental_join_refresh`` independently keeps mid-write part
+    files out of the glob; this filter closes the replay window.)
+
+    Snapshots the pointer at construction — build a fresh filter per
+    refresh cycle, as the two-stage test does. Before the first flip
+    there is no pointer and nothing is published: everything is
+    filtered out, which is the correct exactly-once answer."""
+    import json
+
+    pointer_path = os.path.join(target_dir, "current.json")
+    if not os.path.exists(pointer_path):
+        return lambda _path: False
+    with open(pointer_path) as f:
+        pointer = json.load(f)
+    published = {
+        os.path.realpath(os.path.join(target_dir, rel))
+        for rel in pointer.get("view_deltas", [])
+    }
+    return lambda path: os.path.realpath(os.path.dirname(path)) in published
 
 
 def read_join_view_left(spark: SparkSession, target_dir: str) -> DataFrame:
@@ -1021,11 +1097,21 @@ def incremental_agg_refresh(
     fmt: str = "parquet",
     transform: Callable[[DataFrame], DataFrame] | None = None,
     pointer_fields: dict | None = None,
+    file_filter: Callable[[str], bool] | None = None,
     **reader_options: str,
 ) -> int:
     """Maintain a per-key aggregate table from an append-only fact in
     O(new files): read only uncommitted files, aggregate the increment
     alone, and monoid-merge the partials into the stored state.
+
+    ``file_filter`` (optional path predicate) narrows the pattern's
+    listing to files that are safe to consume — REQUIRED when the
+    pattern globs another refresh's output dirs, where unpublished
+    crash-replay rewrites would otherwise double-count (pass
+    ``join_view_published_filter(view_target)`` when consuming a join
+    view's deltas; see its docstring). Filtered-out files are simply
+    not visible this cycle and are picked up once the filter admits
+    them.
 
     ``pointer_fields`` (optional) adds caller metadata to every pointer
     commit — e.g. a sketch CALIBRATION dict, so readers and later
@@ -1094,7 +1180,9 @@ def incremental_agg_refresh(
     # heal FIRST: any pending file recorded in the pointer's delta_files
     # is already merged into the state — the crash lost only the bookmark
     # commit. Committing it here shrinks the incremental read below to
-    # the genuinely-new remainder.
+    # the genuinely-new remainder. Heal is NOT narrowed by file_filter: a
+    # pointer-listed file was admitted when it was merged, so its
+    # bookmark commit must land even if the filter no longer admits it.
     healed = 0
     if pointer is not None:
         applied = set(pointer.get("delta_files", []))
@@ -1104,7 +1192,7 @@ def incremental_agg_refresh(
             healed = len(stale)
 
     new_df, new_files = bookmark.read_incremental(
-        spark, pattern, fmt=fmt, **reader_options
+        spark, pattern, fmt=fmt, file_filter=file_filter, **reader_options
     )
     if not new_files:
         return healed

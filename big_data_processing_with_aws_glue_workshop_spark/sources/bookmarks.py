@@ -105,10 +105,17 @@ class JobBookmark:
     def processed_files(self) -> set[str]:
         return set(self._state.get("processed_files", []))
 
-    def pending_files(self, pattern: str) -> list[str]:
+    def pending_files(self, pattern: str, file_filter=None) -> list[str]:
         """Input files matching ``pattern`` (glob) not yet committed, sorted
-        for deterministic batch composition."""
-        return sorted(set(glob.glob(pattern)) - self.processed_files)
+        for deterministic batch composition. ``file_filter`` (optional
+        path predicate) narrows the listing — e.g.
+        ``plans/incremental.join_view_published_filter`` admits only
+        PUBLISHED join-view delta files, keeping unpublished
+        crash-replay rewrites out of the committed file set."""
+        files = sorted(set(glob.glob(pattern)) - self.processed_files)
+        if file_filter is not None:
+            files = [f for f in files if file_filter(f)]
+        return files
 
     def read_incremental(
         self,
@@ -116,6 +123,7 @@ class JobBookmark:
         pattern: str,
         fmt: str = "parquet",
         schema: T.StructType | None = None,
+        file_filter=None,
         **options: str,
     ) -> tuple[DataFrame, list[str]]:
         """Read only not-yet-committed files; returns (df, new_files).
@@ -126,7 +134,7 @@ class JobBookmark:
         committed file's footer. A pattern that has never matched ANY file
         and has no schema is an error (there is nothing to infer from).
         """
-        new_files = self.pending_files(pattern)
+        new_files = self.pending_files(pattern, file_filter=file_filter)
         reader = spark.read.format(fmt).options(**options)
         if schema is not None:
             reader = reader.schema(schema)

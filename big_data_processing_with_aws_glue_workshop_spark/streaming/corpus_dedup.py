@@ -36,34 +36,12 @@ from .sinks import read_pointer
 def _drift_after_commit(
     spark: SparkSession, target_dir: str, text_col: str, drift_key: str | None
 ) -> dict | None:
-    """Streaming twin of the refresh CLIs' --drift gate: PSI of the
-    just-accepted delta's doc-length histogram against the maintained
-    standing distribution (operators/drift.py — O(buckets) state, no
-    corpus re-read). Batch-id-keyed on the pointer's batch like the
-    batch path, so a foreachBatch retry that re-enters after the
-    pointer flip is a no-op, never a double count; an empty accepted
-    delta is skipped (PSI against an empty side reads as spurious max
-    drift). Returns the report or None (first seed / empty / already
-    recorded)."""
-    from ..operators.drift import update_drift_state
+    """Streaming alias of the shared corpus-drift protocol
+    (operators/drift.py::corpus_drift_report — ONE implementation for
+    both ingestion tempos; the CLI --drift gate wraps the same call)."""
+    from ..operators.drift import corpus_drift_report
 
-    pointer = read_pointer(target_dir)
-    if pointer is None:
-        return None
-    path = os.path.join(target_dir, f"accepted/delta_{pointer['batch_id']}")
-    if not os.path.exists(path):
-        return None
-    delta = spark.read.parquet(path)
-    if delta.limit(1).count() == 0:
-        return None
-    rep = update_drift_state(
-        delta.withColumn("__len", F.length(text_col)),
-        os.path.join(target_dir, "drift_hist.json"),
-        "__len",
-        key_col=drift_key,
-        batch_id=pointer["batch_id"],
-    )
-    return None if rep.get("already_recorded") else rep
+    return corpus_drift_report(spark, target_dir, text_col, drift_key=drift_key)
 
 
 def _checkpoint_guard(target_dir: str, checkpoint_dir: str | None) -> None:
@@ -159,11 +137,21 @@ def run_stream_corpus_dedup(
     checkpoint_dir: str | None = None,
     id_col: str = "doc_id",
     text_col: str = "text",
-) -> None:
+    drift: bool = False,
+    drift_key: str | None = None,
+) -> CorpusDedupSink:
     """Drain ``stream_df`` into the deduped corpus with availableNow.
-    Checkpoint discipline: see ``_checkpoint_guard``."""
+    Checkpoint discipline: see ``_checkpoint_guard``. ``drift=True``
+    enables the per-batch drift gate (the streaming twin of the CLI's
+    --drift); returns the sink so callers can read ``sink.last_drift``
+    — a foreachBatch callable has no other return channel."""
     sink = CorpusDedupSink(
-        target_dir, id_col=id_col, text_col=text_col, checkpoint_dir=checkpoint_dir
+        target_dir,
+        id_col=id_col,
+        text_col=text_col,
+        checkpoint_dir=checkpoint_dir,
+        drift=drift,
+        drift_key=drift_key,
     )
     _checkpoint_guard(target_dir, checkpoint_dir)
     writer = stream_df.writeStream.foreachBatch(sink)
@@ -174,6 +162,7 @@ def run_stream_corpus_dedup(
         q.processAllAvailable()
     finally:
         q.stop()
+    return sink
 
 
 def read_stream_deduped(spark: SparkSession, target_dir: str) -> DataFrame:
@@ -244,15 +233,20 @@ def run_stream_corpus_neardup(
     sim_threshold: float = 0.7,
     id_col: str = "doc_id",
     text_col: str = "text",
-) -> None:
+    drift: bool = False,
+    drift_key: str | None = None,
+) -> CorpusNearDupSink:
     """availableNow drain into the near-deduped corpus; same checkpoint
-    discipline as run_stream_corpus_dedup."""
+    and drift-gate plumbing as run_stream_corpus_dedup (returns the
+    sink — read ``sink.last_drift``)."""
     sink = CorpusNearDupSink(
         target_dir,
         id_col=id_col,
         text_col=text_col,
         sim_threshold=sim_threshold,
         checkpoint_dir=checkpoint_dir,
+        drift=drift,
+        drift_key=drift_key,
     )
     _checkpoint_guard(target_dir, checkpoint_dir)
     writer = stream_df.writeStream.foreachBatch(sink)
@@ -263,3 +257,4 @@ def run_stream_corpus_neardup(
         q.processAllAvailable()
     finally:
         q.stop()
+    return sink

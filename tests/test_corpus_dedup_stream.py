@@ -272,6 +272,28 @@ def test_fresh_checkpoint_dir_is_rejected(spark, tmp_path):
     assert got == {1, 2}
 
 
+def test_runner_forwards_drift_gate_and_returns_sink(spark, tmp_path):
+    """The drift gate must be reachable from the SUPPORTED entry point,
+    not only by hand-building the sink (r9 review: drift/drift_key
+    existed solely on the sink classes while the run_stream_* drivers
+    neither accepted nor forwarded them). The runner returns the sink so
+    callers can read last_drift."""
+    landing = tmp_path / "stream_in"
+    landing.mkdir()
+    target = str(tmp_path / "corpus")
+    ckpt = str(tmp_path / "ckpt")
+
+    _land(landing / "w0.parquet", [(i, "x" * 20) for i in range(40)])
+    stream = spark.readStream.schema(SCHEMA).parquet(str(landing))
+    sink = run_stream_corpus_dedup(stream, target, checkpoint_dir=ckpt, drift=True)
+    assert sink.last_drift is not None and sink.last_drift["first_refresh"]
+
+    _land(landing / "w1.parquet", [(100 + i, "y" * 2000 + str(i)) for i in range(40)])
+    stream = spark.readStream.schema(SCHEMA).parquet(str(landing))
+    sink = run_stream_corpus_dedup(stream, target, checkpoint_dir=ckpt, drift=True)
+    assert sink.last_drift is not None and sink.last_drift["psi"]["all"] > 0.2
+
+
 def test_stream_sink_drift_gate(spark, tmp_path):
     """The streaming twin of the refresh CLIs' --drift gate: the first
     drained batch seeds the standing doc-length histogram, a

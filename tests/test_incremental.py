@@ -1071,6 +1071,7 @@ def test_join_view_feeds_agg_refresh_two_stage_pipeline(spark, tmp_path):
     from big_data_processing_with_aws_glue_workshop_spark.plans.incremental import (
         incremental_agg_refresh,
         incremental_join_refresh,
+        join_view_published_filter,
         read_refreshed,
     )
     from big_data_processing_with_aws_glue_workshop_spark.sources.bookmarks import (
@@ -1098,6 +1099,10 @@ def test_join_view_feeds_agg_refresh_two_stage_pipeline(spark, tmp_path):
             ["attr"],
             {"n": ("count", "*"), "total": ("sum", "x")},
             agg_target,
+            # the exactly-once contract for glob-consuming another
+            # refresh's output: admit only pointer-published delta files
+            # (fresh filter per cycle — it snapshots the pointer)
+            file_filter=join_view_published_filter(e["target"]),
         )
 
     got = {
@@ -1107,6 +1112,112 @@ def test_join_view_feeds_agg_refresh_two_stage_pipeline(spark, tmp_path):
     # one-shot truth: all matched facts grouped by dim attr
     # attr a: k=1 facts (10, 30) + k=3 facts (50, 60); attr b: k=2 (20, 40)
     assert got == {"a": (4, 150), "b": (2, 60)}
+
+
+def test_two_stage_filter_skips_unpublished_delta_until_published(spark, tmp_path):
+    """The exactly-once hole the published filter closes: a view delta
+    dir that exists on disk but is NOT pointer-listed (a crash-before-
+    flip leftover, about to be rewritten by replay) must be invisible to
+    the downstream agg refresh — and consumed exactly once after it
+    publishes."""
+    import json
+
+    from big_data_processing_with_aws_glue_workshop_spark.plans.incremental import (
+        incremental_agg_refresh,
+        join_view_published_filter,
+        read_refreshed,
+    )
+    from big_data_processing_with_aws_glue_workshop_spark.sources.bookmarks import (
+        JobBookmark,
+    )
+
+    e = _jv(tmp_path)
+    _land(e["facts"] / "f0.parquet", {"k": [1, 1], "x": [10, 30]})
+    _land(e["dims"] / "d0.parquet", {"k": [1], "attr": ["a"]})
+    _jv_refresh(spark, e)
+
+    # simulate a crash-before-flip leftover: an on-disk delta dir the
+    # pointer does not list (same thing the staging rename narrowly
+    # avoids mid-write, reproduced here at rest)
+    stale = tmp_path / "jv" / "view" / "delta_99"
+    stale.mkdir(parents=True)
+    _land(stale / "part-0.parquet", {"k": [7], "x": [700], "attr": ["a"]})
+
+    agg_target = str(tmp_path / "rollup")
+    agg_bm = JobBookmark(str(tmp_path / "agg_bm.json"), "rollup")
+    view_glob = str(tmp_path / "jv" / "view" / "delta_*" / "*.parquet")
+    aggs = {"n": ("count", "*"), "total": ("sum", "x")}
+
+    incremental_agg_refresh(
+        spark, agg_bm, view_glob, ["attr"], aggs, agg_target,
+        file_filter=join_view_published_filter(e["target"]),
+    )
+    got = {r["attr"]: (r["n"], r["total"]) for r in read_refreshed(spark, agg_target).collect()}
+    assert got == {"a": (2, 40)}  # the unpublished 700 is invisible
+    # and its path is NOT bookmark-committed (it will be consumed when
+    # its generation publishes, not silently skipped forever)
+    assert not any("delta_99" in f for f in agg_bm.processed_files)
+
+    # "publish" it (what the replayed join refresh's flip does), rerun:
+    # consumed exactly once
+    ptr_path = tmp_path / "jv" / "current.json"
+    ptr = json.loads(ptr_path.read_text())
+    ptr["view_deltas"].append("view/delta_99")
+    ptr_path.write_text(json.dumps(ptr))
+    incremental_agg_refresh(
+        spark, agg_bm, view_glob, ["attr"], aggs, agg_target,
+        file_filter=join_view_published_filter(e["target"]),
+    )
+    got = {r["attr"]: (r["n"], r["total"]) for r in read_refreshed(spark, agg_target).collect()}
+    assert got == {"a": (3, 740)}
+
+
+def test_join_refresh_drops_null_dim_keys(spark, tmp_path):
+    """NULL-key dim rows can never match a fact (inner-join semantics)
+    and would defeat the first-wins left_anti guard (NULL never equals
+    the standing NULLs), re-appending one garbage row per increment —
+    they are dropped at ingest, keeping the one-row-per-key dim
+    invariant. NULL-key FACTS keep their pinned pending-resident
+    semantics."""
+    import json
+
+    e = _jv(tmp_path)
+    _land(e["facts"] / "f0.parquet", {"k": [1.0, None], "x": [10, 99]})
+    _land(e["dims"] / "d0.parquet", {"k": [1.0, None], "attr": ["a", "junk0"]})
+    _jv_refresh(spark, e)
+    _land(e["dims"] / "d1.parquet", {"k": [None, 2.0], "attr": ["junk1", "b"]})
+    _jv_refresh(spark, e)
+
+    ptr = json.loads((tmp_path / "jv" / "current.json").read_text())
+    dim_state = spark.read.parquet(
+        *[str(tmp_path / "jv" / d) for d in ptr["dim_deltas"]]
+    )
+    rows = {(r["k"], r["attr"]) for r in dim_state.collect()}
+    assert rows == {(1.0, "a"), (2.0, "b")}  # no NULL-key rows, ever
+    # the NULL-key fact is still the RI signal in pending
+    from big_data_processing_with_aws_glue_workshop_spark.plans.incremental import (
+        read_join_pending,
+    )
+
+    pend = {(r["k"], r["x"]) for r in read_join_pending(spark, e["target"]).collect()}
+    assert pend == {(None, 99)}
+
+
+def test_read_join_pending_dims_only_raises_descriptively(spark, tmp_path):
+    """A dims-only state has no pending buffer (and no fact schema):
+    read_join_pending must raise a descriptive error, not TypeError on
+    os.path.join(..., None)."""
+    import pytest
+
+    from big_data_processing_with_aws_glue_workshop_spark.plans.incremental import (
+        read_join_pending,
+    )
+
+    e = _jv(tmp_path)
+    _land(e["dims"] / "d0.parquet", {"k": [1], "attr": ["a"]})
+    _jv_refresh(spark, e)
+    with pytest.raises(ValueError, match="no pending buffer"):
+        read_join_pending(spark, e["target"])
 
 
 def test_read_join_view_left_equals_oneshot_left_join(spark, tmp_path):

@@ -403,6 +403,23 @@ def test_bloom_probe_tolerates_word_and_bits_probe_columns(spark):
     assert all(r["word"] == "w" and r["bits"] == 7 for r in rows)
 
 
+def test_bloom_probe_refuses_unbroadcastable_n_bits(spark):
+    """n_bits beyond 2^28 would pack into a multi-hundred-MB single
+    collect_list row and OOM the broadcast — refuse with the scale-path
+    pointer instead of failing deep in the exchange."""
+    import pytest
+
+    from big_data_processing_with_aws_glue_workshop_spark.operators.sketch import (
+        bloom_build,
+        bloom_probe,
+    )
+
+    df = spark.range(10).select(F.col("id").cast("string").alias("k"))
+    bloom = bloom_build(df, "k")
+    with pytest.raises(ValueError, match="shard the filter"):
+        bloom_probe(bloom, df, "k", n_bits=1 << 33)
+
+
 def test_bloom_decontamination_flow_matches_exact_join(spark):
     """The decontamination composition: bloom-positive candidates +
     exact verify == the exact semi-join, with the bloom having filtered
