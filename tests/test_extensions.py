@@ -364,3 +364,63 @@ def test_ann_empty_query_frames_return_empty(embeddings, spark):
         ivfpq_topk(embeddings, none, kneighbors=5, nlist=8, m=8, k=16).count()
         == 0
     )
+
+
+def test_compression_ratio_parity_and_signal_direction(spark):
+    """doc_compression_ratios: (1) bit-exact parity of all three fields
+    vs direct zlib.compress at the pinned level (unicode included);
+    (2) NULL/empty text yields NULL fields with every input column
+    passed through; (3) the signal points the right way — templated
+    repetition compresses far below natural-looking prose, which stays
+    below high-entropy noise."""
+    import zlib
+
+    from big_data_processing_with_aws_glue_workshop_spark.extensions.quality_signals import (
+        ZLIB_LEVEL,
+        doc_compression_ratios,
+    )
+
+    import hashlib
+
+    prose = (
+        "The survey crew reached the ridge a little after dawn, when the "
+        "valley below was still a pool of blue shadow. Measurements from "
+        "the previous season had suggested the glacier was retreating, "
+        "but nobody expected the terminus to have pulled back nearly "
+        "forty meters in a single year. They unpacked the instruments in "
+        "silence and began again."
+    )
+    noise = "".join(
+        chr(0x20 + b % 95)
+        for i in range(20)
+        for b in hashlib.sha256(str(i).encode()).digest()
+    )
+    docs = [
+        (1, prose),
+        (2, "buy now! " * 200),  # templated repetition
+        (3, noise),  # high-entropy printable noise
+        (4, "naïve café — ünïcode ensures multi-byte UTF-8 is counted"),
+        (5, None),
+        (6, ""),
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string").repartition(3)
+    got = {r["doc_id"]: r for r in doc_compression_ratios(df).collect()}
+
+    for doc_id, text in docs:
+        r = got[doc_id]
+        if not text:
+            assert (r["raw_bytes"], r["zlib_bytes"], r["compression_ratio"]) == (
+                None,
+                None,
+                None,
+            )
+            continue
+        b = text.encode("utf-8")
+        c = len(zlib.compress(b, ZLIB_LEVEL))
+        assert (r["raw_bytes"], r["zlib_bytes"]) == (len(b), c)
+        assert r["compression_ratio"] == c / len(b)
+        assert r["text"] == text  # input columns pass through
+
+    assert got[2]["compression_ratio"] < 0.1  # repetition collapses
+    assert got[2]["compression_ratio"] < got[1]["compression_ratio"]
+    assert got[1]["compression_ratio"] < got[3]["compression_ratio"]
