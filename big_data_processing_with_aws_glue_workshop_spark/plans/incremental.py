@@ -1098,11 +1098,19 @@ def incremental_agg_refresh(
     transform: Callable[[DataFrame], DataFrame] | None = None,
     pointer_fields: dict | None = None,
     file_filter: Callable[[str], bool] | None = None,
+    keep_versions: int = 1,
     **reader_options: str,
 ) -> int:
     """Maintain a per-key aggregate table from an append-only fact in
     O(new files): read only uncommitted files, aggregate the increment
     alone, and monoid-merge the partials into the stored state.
+
+    ``keep_versions`` > 1 retains that many published state versions for
+    time-travel reads (``streaming/sinks.read_version``) and
+    refresh-over-refresh auditing via ``operators/diff.snapshot_diff``
+    — e.g. "which keys' counts moved in the last increment", or what a
+    sketch state looked like N refreshes ago. Disk cost is
+    O(keep_versions x state), bounded exactly like the state itself.
 
     ``file_filter`` (optional path predicate) narrows the pattern's
     listing to files that are safe to consume — REQUIRED when the
@@ -1237,6 +1245,7 @@ def incremental_agg_refresh(
         target_dir,
         batch_id,
         {**(pointer_fields or {}), "delta_files": sorted(new_files)},
+        keep_versions=keep_versions,
     )
     bookmark.commit_files(new_files)
     return healed + len(new_files)

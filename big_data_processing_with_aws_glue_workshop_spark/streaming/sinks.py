@@ -47,14 +47,24 @@ def commit_snapshot(
     target_dir: str,
     batch_id: int,
     extra_pointer_fields: dict | None = None,
+    keep_versions: int = 1,
 ) -> None:
     """The shared snapshot-commit protocol (used by UpsertSink and
     plans/incremental.py — one implementation, not two drifting copies):
     write ``df`` as the immutable version directory ``v<batch_id>``, flip
-    the pointer atomically (tmp + rename), then retire EVERY other
-    version directory — not just the immediate predecessor, so a version
-    orphaned by a crash between a previous pointer flip and its cleanup
-    is healed by the next successful commit and disk stays O(table).
+    the pointer atomically (tmp + rename), then retire every version
+    directory beyond the retention window — not just the immediate
+    predecessor, so a version orphaned by a crash between a previous
+    pointer flip and its cleanup is healed by the next successful commit
+    and disk stays O(keep_versions x table).
+
+    ``keep_versions`` (default 1 — current only, the original behavior)
+    retains that many newest PUBLISHED versions, enabling time-travel
+    reads (``read_version``) and version-over-version auditing
+    (``operators/diff.py::snapshot_diff`` between two retained
+    versions). Published means batch id <= the pointer's: a leftover
+    dir from a crashed never-flipped attempt is always deleted,
+    whatever its id, so retention can never resurrect unpublished data.
     """
     version_dir = f"v{batch_id}"
     out = os.path.join(target_dir, version_dir)
@@ -70,11 +80,27 @@ def commit_snapshot(
             **(extra_pointer_fields or {}),
         },
     )
+    # retention sweep: keep the (keep_versions - 1) newest published
+    # predecessors alongside the just-committed current
+    prior: list[int] = []
     for entry in os.listdir(target_dir):
-        if entry != version_dir and entry.startswith("v"):
-            stale = os.path.join(target_dir, entry)
-            if os.path.isdir(stale):
-                shutil.rmtree(stale, ignore_errors=True)
+        if entry == version_dir or not entry.startswith("v"):
+            continue
+        if not os.path.isdir(os.path.join(target_dir, entry)):
+            continue
+        try:
+            vid = int(entry[1:])
+        except ValueError:
+            continue
+        prior.append(vid)
+    retained = set(
+        sorted((v for v in prior if v < batch_id), reverse=True)[
+            : max(0, keep_versions - 1)
+        ]
+    )
+    for vid in prior:
+        if vid not in retained:
+            shutil.rmtree(os.path.join(target_dir, f"v{vid}"), ignore_errors=True)
 
 
 class UpsertSink:
@@ -91,6 +117,7 @@ class UpsertSink:
         keys: Sequence[str],
         order_col: str | None = None,
         checkpoint_dir: str | None = None,
+        keep_versions: int = 1,
     ) -> None:
         self.target_dir = target_dir
         self.keys = list(keys)
@@ -99,6 +126,8 @@ class UpsertSink:
         # identity (run_foreach_batch_upsert's guard) — a fresh checkpoint
         # restarts batch ids and the replay guard would skip new data
         self.checkpoint_dir = checkpoint_dir
+        # retention window for time-travel reads (commit_snapshot)
+        self.keep_versions = keep_versions
 
     # -- pointer management ----------------------------------------------
 
@@ -151,7 +180,9 @@ class UpsertSink:
             if self.checkpoint_dir is not None
             else None
         )
-        commit_snapshot(merged, self.target_dir, batch_id, extra)
+        commit_snapshot(
+            merged, self.target_dir, batch_id, extra, keep_versions=self.keep_versions
+        )
 
 
 def read_current(spark: SparkSession, target_dir: str) -> DataFrame:
@@ -160,6 +191,47 @@ def read_current(spark: SparkSession, target_dir: str) -> DataFrame:
     with open(os.path.join(target_dir, "current.json"), encoding="utf-8") as f:
         pointer = json.load(f)
     return spark.read.parquet(os.path.join(target_dir, pointer["version"]))
+
+
+def list_versions(target_dir: str) -> list[int]:
+    """Batch ids of the PUBLISHED versions currently on disk (newest
+    last) — the time-travel index. Published = id <= the pointer's; a
+    leftover dir from a crashed never-flipped attempt (id beyond the
+    pointer) is excluded, the same rule the retention sweep applies."""
+    pointer = read_pointer(target_dir)
+    if pointer is None:
+        return []
+    out = []
+    for entry in os.listdir(target_dir):
+        if not entry.startswith("v"):
+            continue
+        if not os.path.isdir(os.path.join(target_dir, entry)):
+            continue
+        try:
+            vid = int(entry[1:])
+        except ValueError:
+            continue
+        if vid <= pointer["batch_id"]:
+            out.append(vid)
+    return sorted(out)
+
+
+def read_version(spark: SparkSession, target_dir: str, batch_id: int) -> DataFrame:
+    """Time-travel read of a RETAINED published version (Delta-style
+    ``VERSION AS OF``, over the retention window ``commit_snapshot``'s
+    ``keep_versions`` keeps). Pairs with ``operators/diff.py::
+    snapshot_diff`` for version-over-version change auditing of any
+    state riding the snapshot protocol (upsert tables, agg-refresh
+    states, sketch states). Raises with the available ids when the
+    requested version was never published or already aged out."""
+    available = list_versions(target_dir)
+    if batch_id not in available:
+        raise ValueError(
+            f"version {batch_id} is not retained at {target_dir!r} "
+            f"(available: {available}) — raise keep_versions on the "
+            "writer to widen the time-travel window"
+        )
+    return spark.read.parquet(os.path.join(target_dir, f"v{batch_id}"))
 
 
 def run_foreach_batch_upsert(

@@ -201,6 +201,52 @@ def test_incremental_agg_refresh_equals_full_rebuild(spark, tmp_path):
     assert incremental_agg_refresh(spark, bm, pattern, ["key"], _AGG_SPEC, target) == 0
 
 
+def test_agg_refresh_retention_enables_state_time_travel(spark, tmp_path):
+    """keep_versions > 1 on the agg refresh: the previous state version
+    stays readable (what did the counts look like before this
+    increment?) and snapshot_diff over the two versions shows exactly
+    the keys the increment moved — the refresh-audit story for any
+    monoid state riding this machinery (counts, CMS, HLL, Bloom,
+    minima sample)."""
+    from big_data_processing_with_aws_glue_workshop_spark.operators.diff import (
+        snapshot_diff,
+    )
+    from big_data_processing_with_aws_glue_workshop_spark.plans.incremental import (
+        incremental_agg_refresh,
+    )
+    from big_data_processing_with_aws_glue_workshop_spark.streaming.sinks import (
+        list_versions,
+        read_version,
+    )
+
+    landing = tmp_path / "facts"
+    landing.mkdir()
+    target = str(tmp_path / "agg")
+    bm = JobBookmark(str(tmp_path / "bm_agg.json"), "agg")
+    pattern = str(landing / "*.parquet")
+
+    _write_fact(landing / "w0.parquet", [(1, 10, 100), (2, 7, 100)])
+    incremental_agg_refresh(
+        spark, bm, pattern, ["key"], _AGG_SPEC, target, keep_versions=2
+    )
+    _write_fact(landing / "w1.parquet", [(2, 3, 110), (3, 8, 50)])
+    incremental_agg_refresh(
+        spark, bm, pattern, ["key"], _AGG_SPEC, target, keep_versions=2
+    )
+
+    assert list_versions(target) == [0, 1]
+    moved = {
+        r["key"]: r["change_type"]
+        for r in snapshot_diff(
+            read_version(spark, target, 0),
+            read_version(spark, target, 1),
+            keys=["key"],
+        ).collect()
+        if r["change_type"] != "unchanged"
+    }
+    assert moved == {2: "changed", 3: "added"}  # key 1 untouched by wave 1
+
+
 def test_incremental_agg_refresh_crash_replay_never_double_counts(spark, tmp_path):
     """The monoid-merge trap: re-applying a sum delta double-counts. A rerun
     whose increment fingerprint is already in the pointer (crash between

@@ -315,6 +315,67 @@ def test_upsert_sink_merges_and_skips_replayed_batches(spark, tmp_path):
     } == t1
 
 
+def test_snapshot_retention_time_travel_and_diff(spark, tmp_path):
+    """keep_versions > 1: the newest N published versions stay readable
+    (read_version = Delta-style VERSION AS OF), aged-out and
+    never-published versions are not, default behavior (current only)
+    is unchanged — and snapshot_diff over two retained versions audits
+    exactly what a refresh changed."""
+    import os
+
+    import pytest
+
+    from big_data_processing_with_aws_glue_workshop_spark.operators.diff import (
+        snapshot_diff,
+    )
+    from big_data_processing_with_aws_glue_workshop_spark.streaming.sinks import (
+        UpsertSink,
+        list_versions,
+        read_current,
+        read_version,
+    )
+
+    target = str(tmp_path / "table")
+    sink = UpsertSink(target, keys=["user_id"], order_col="seq", keep_versions=2)
+    schema = "user_id int, seq int, v string"
+    sink(spark.createDataFrame([(1, 10, "a"), (2, 10, "x")], schema), 0)
+    sink(spark.createDataFrame([(2, 20, "y"), (3, 20, "z")], schema), 1)
+    sink(spark.createDataFrame([(1, 30, "c")], schema), 2)
+
+    # v0 aged out; v1 and v2 retained; a never-published leftover is
+    # excluded from the index even before the next sweep deletes it
+    os.makedirs(os.path.join(target, "v9"))
+    assert list_versions(target) == [1, 2]
+    with pytest.raises(ValueError, match="available: \\[1, 2\\]"):
+        read_version(spark, target, 0)
+    with pytest.raises(ValueError, match="not retained"):
+        read_version(spark, target, 9)
+
+    v1 = {(r["user_id"], r["v"]) for r in read_version(spark, target, 1).collect()}
+    assert v1 == {(1, "a"), (2, "y"), (3, "z")}
+    assert {
+        (r["user_id"], r["v"]) for r in read_version(spark, target, 2).collect()
+    } == {(r["user_id"], r["v"]) for r in read_current(spark, target).collect()}
+
+    # the audit composition: what did batch 2 change?
+    d = snapshot_diff(
+        read_version(spark, target, 1),
+        read_version(spark, target, 2),
+        keys=["user_id"],
+    )
+    changed = {
+        r["user_id"]: r["change_type"] for r in d.collect() if r["change_type"] != "unchanged"
+    }
+    assert changed == {1: "changed"}
+
+    # default writer (keep_versions=1) still retires all predecessors
+    t2 = str(tmp_path / "table1")
+    s2 = UpsertSink(t2, keys=["user_id"])
+    s2(spark.createDataFrame([(1, 1, "a")], schema), 0)
+    s2(spark.createDataFrame([(2, 1, "b")], schema), 1)
+    assert list_versions(t2) == [1]
+
+
 def test_foreach_batch_upsert_end_to_end(spark, sf_dir, tmp_path):
     """Drive the real writeStream.foreachBatch path: stream the events table
     and keep the latest event per user; result equals the batch keep-latest."""
