@@ -370,6 +370,7 @@ def cmd_agg_refresh(args: argparse.Namespace) -> None:
         pointer_fields=(
             {"calibration": calibration} if calibration is not None else None
         ),
+        keep_versions=args.keep_versions,
     )
     summary = {
         "job": "agg-refresh",
@@ -733,6 +734,14 @@ def build_parser() -> argparse.ArgumentParser:
     ar.add_argument("--job-name", default="agg-refresh")
     ar.add_argument("--target", required=True, help="state table dir")
     ar.add_argument("--keys", nargs="+", default=None)
+    ar.add_argument(
+        "--keep-versions",
+        type=int,
+        default=1,
+        help="retain this many published state versions for time-travel "
+        "reads / refresh audits (streaming/sinks.read_version, "
+        "operators/diff.snapshot_diff); default 1 = current only",
+    )
     ar.add_argument(
         "--agg",
         action="append",

@@ -240,6 +240,7 @@ def run_foreach_batch_upsert(
     keys: Sequence[str],
     order_col: str | None = None,
     checkpoint_dir: str | None = None,
+    keep_versions: int = 1,
 ) -> None:
     """Drive a stream into an UpsertSink with availableNow (drain-the-source
     batch mode); with a checkpoint dir the batch-id sequence survives
@@ -254,7 +255,13 @@ def run_foreach_batch_upsert(
     the BATCH upsert path (plans/incremental.py — whose batch-id
     sequence is pointer+1, incompatible with checkpoint ids) are both
     refused loudly instead of silently dropping data."""
-    sink = UpsertSink(target_dir, keys, order_col, checkpoint_dir=checkpoint_dir)
+    sink = UpsertSink(
+        target_dir,
+        keys,
+        order_col,
+        checkpoint_dir=checkpoint_dir,
+        keep_versions=keep_versions,
+    )
     pointer = sink._read_pointer()
     if pointer is not None:
         if checkpoint_dir is None:

@@ -401,6 +401,56 @@ def test_cli_dedup_refresh_drift_gate(spark, tmp_path, capsys):
     assert out3["drift"]["psi"]["all"] > 0.25
 
 
+def test_cli_agg_refresh_keep_versions_time_travel(spark, tmp_path, capsys):
+    """--keep-versions reaches the snapshot retention from the supported
+    CLI entry point (the same unreachable-from-the-API class the r9
+    review flagged on the streaming drift gate): two refreshes with
+    --keep-versions 2 leave both state versions readable."""
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from big_data_processing_with_aws_glue_workshop_spark.cli import main
+    from big_data_processing_with_aws_glue_workshop_spark.streaming.sinks import (
+        list_versions,
+        read_version,
+    )
+
+    landing = tmp_path / "facts"
+    landing.mkdir()
+    target = str(tmp_path / "state")
+    args = [
+        "agg-refresh",
+        "--pattern", str(landing / "*.parquet"),
+        "--bookmark", str(tmp_path / "bm.json"),
+        "--target", target,
+        "--keys", "svc",
+        "--agg", "n=count:*",
+        "--keep-versions", "2",
+    ]
+
+    def land(name, rows):
+        pq.write_table(
+            pa.Table.from_pandas(
+                pd.DataFrame(rows, columns=["svc", "latency"]),
+                preserve_index=False,
+            ),
+            str(landing / name),
+        )
+
+    land("f1.parquet", [("api", 1.0), ("api", 2.0)])
+    main(args)
+    land("f2.parquet", [("db", 3.0)])
+    main(args)
+    capsys.readouterr()
+
+    assert list_versions(target) == [0, 1]
+    v0 = {(r["svc"], r["n"]) for r in read_version(spark, target, 0).collect()}
+    v1 = {(r["svc"], r["n"]) for r in read_version(spark, target, 1).collect()}
+    assert v0 == {("api", 2)}
+    assert v1 == {("api", 2), ("db", 1)}
+
+
 def test_cli_agg_refresh_drift_gate(spark, tmp_path, capsys):
     """agg-refresh --drift-col: the refresh's own delta_files are re-read
     (O(increment)) and PSI-checked against the maintained standing fact
