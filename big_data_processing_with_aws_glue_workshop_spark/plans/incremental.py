@@ -1009,6 +1009,29 @@ def read_join_pending(spark: SparkSession, target_dir: str) -> DataFrame:
     return spark.read.parquet(os.path.join(target_dir, pointer["pending"]))
 
 
+def _published_delta_filter(
+    target_dir: str, list_field: str
+) -> Callable[[str], bool]:
+    """Generic core of the published-delta ``file_filter``s: admit only
+    part files whose directory appears in the pointer's ``list_field``
+    dir list. Snapshots the pointer at construction — build a fresh
+    filter per downstream refresh cycle. Before the first flip there is
+    no pointer and nothing is published: everything is filtered out,
+    which is the correct exactly-once answer."""
+    import json
+
+    pointer_path = os.path.join(target_dir, "current.json")
+    if not os.path.exists(pointer_path):
+        return lambda _path: False
+    with open(pointer_path) as f:
+        pointer = json.load(f)
+    published = {
+        os.path.realpath(os.path.join(target_dir, rel))
+        for rel in pointer.get(list_field, [])
+    }
+    return lambda path: os.path.realpath(os.path.dirname(path)) in published
+
+
 def join_view_published_filter(target_dir: str) -> Callable[[str], bool]:
     """``file_filter`` for a downstream ``incremental_agg_refresh`` whose
     bookmark consumes this join view's delta files (the two-stage star
@@ -1026,24 +1049,23 @@ def join_view_published_filter(target_dir: str) -> Callable[[str], bool]:
     unpublished ones), so a file is either never visible or visible in
     exactly one generation. (The staged-rename in
     ``incremental_join_refresh`` independently keeps mid-write part
-    files out of the glob; this filter closes the replay window.)
+    files out of the glob; this filter closes the replay window.)"""
+    return _published_delta_filter(target_dir, "view_deltas")
 
-    Snapshots the pointer at construction — build a fresh filter per
-    refresh cycle, as the two-stage test does. Before the first flip
-    there is no pointer and nothing is published: everything is
-    filtered out, which is the correct exactly-once answer."""
-    import json
 
-    pointer_path = os.path.join(target_dir, "current.json")
-    if not os.path.exists(pointer_path):
-        return lambda _path: False
-    with open(pointer_path) as f:
-        pointer = json.load(f)
-    published = {
-        os.path.realpath(os.path.join(target_dir, rel))
-        for rel in pointer.get("view_deltas", [])
-    }
-    return lambda path: os.path.realpath(os.path.dirname(path)) in published
+def corpus_published_filter(target_dir: str) -> Callable[[str], bool]:
+    """``file_filter`` for a downstream bookmark consuming a deduped /
+    near-deduped corpus's ``accepted/delta_*`` files (the natural
+    crawl -> dedup -> incremental-stats chain: a second
+    ``incremental_agg_refresh`` maintaining token counts, quality
+    histograms, or sketch states over exactly the ACCEPTED corpus, each
+    stage O(increment)). Same exactly-once rationale as
+    ``join_view_published_filter``: both dedup refresh paths overwrite
+    the accepted delta dir on crash-replay before the pointer flip, so
+    only pointer-published dirs (the ``deltas`` list, shared by the
+    batch refreshes and the streaming corpus sinks) are safe to consume
+    by glob."""
+    return _published_delta_filter(target_dir, "deltas")
 
 
 def read_join_view_left(spark: SparkSession, target_dir: str) -> DataFrame:

@@ -725,6 +725,73 @@ def _land_docs(path, rows):
     )
 
 
+def test_corpus_published_filter_chains_dedup_into_incremental_stats(
+    spark, tmp_path
+):
+    """The crawl -> dedup -> incremental-stats chain, exactly-once: a
+    downstream agg refresh globs the corpus's accepted/delta_* files
+    with corpus_published_filter and maintains per-text-length doc
+    counts over exactly the ACCEPTED corpus — end state equals the
+    one-shot stats over read_deduped, an on-disk unpublished delta dir
+    stays invisible, and every stage is O(increment)."""
+    from big_data_processing_with_aws_glue_workshop_spark.plans.incremental import (
+        corpus_published_filter,
+        incremental_agg_refresh,
+        incremental_dedup_refresh,
+        read_deduped,
+        read_refreshed,
+    )
+
+    landing = tmp_path / "crawl"
+    landing.mkdir()
+    target = str(tmp_path / "corpus")
+    pattern = str(landing / "*.parquet")
+    bm = JobBookmark(str(tmp_path / "bm_dedup.json"), "dedup")
+
+    stats_target = str(tmp_path / "stats")
+    stats_bm = JobBookmark(str(tmp_path / "bm_stats.json"), "stats")
+    accepted_glob = str(tmp_path / "corpus" / "accepted" / "delta_*" / "*.parquet")
+    aggs = {"docs": ("count", "*")}
+
+    waves = [
+        [(3, "alpha"), (1, "beta"), (9, "alpha")],  # within-wave dup
+        [(12, "beta"), (15, "gamma!!")],  # re-crawl dup vs corpus + new
+        [(20, "delta-longer-text"), (21, "gamma!!")],
+    ]
+    for i, rows in enumerate(waves):
+        _land_docs(landing / f"w{i}.parquet", rows)
+        incremental_dedup_refresh(spark, bm, pattern, target)
+        if i == 1:
+            # a crash-before-flip leftover must stay invisible downstream
+            stale = tmp_path / "corpus" / "accepted" / "delta_77"
+            stale.mkdir(parents=True)
+            _land_docs(stale / "part-0.parquet", [(99, "ghost")])
+        incremental_agg_refresh(
+            spark,
+            stats_bm,
+            accepted_glob,
+            ["length"],
+            aggs,
+            stats_target,
+            transform=lambda df: df.select(F.length("text").alias("length")),
+            file_filter=corpus_published_filter(target),
+        )
+
+    got = {
+        (r["length"], r["docs"]) for r in read_refreshed(spark, stats_target).collect()
+    }
+    want = {
+        (r["length"], r["docs"])
+        for r in read_deduped(spark, target)
+        .select(F.length("text").alias("length"))
+        .groupBy("length")
+        .agg(F.count(F.lit(1)).alias("docs"))
+        .collect()
+    }
+    assert got == want
+    assert not any("delta_77" in f for f in stats_bm.processed_files)
+
+
 def test_concurrent_writer_detected_on_pointer_flip(spark, tmp_path):
     """Two writers deriving batch_id+1 from the same pointer must not
     silently overwrite each other's delta and pointer: the flip's CAS
