@@ -357,6 +357,30 @@ def cmd_agg_refresh(args: argparse.Namespace) -> None:
             f"{calibration} — sketches across calibrations do not merge; "
             "match the stored parameters or reset the target"
         )
+    file_filter = None
+    if args.published_of:
+        import json as _json
+
+        from .plans.incremental import _published_delta_filter
+
+        ptr_path = os.path.join(args.published_of, "current.json")
+        # pick the delta-list field by what the upstream pointer actually
+        # publishes (join view vs corpus family); an absent pointer means
+        # nothing is published yet — the filters treat that as admit-none,
+        # the correct exactly-once answer, so default to the corpus field
+        field = "deltas"
+        if os.path.exists(ptr_path):
+            with open(ptr_path) as f:
+                upstream = _json.load(f)
+            if "view_deltas" in upstream:
+                field = "view_deltas"
+            elif "deltas" not in upstream:
+                raise SystemExit(
+                    f"--published-of {args.published_of!r}: its pointer "
+                    "publishes neither view_deltas nor deltas — not a "
+                    "join-view or corpus refresh target"
+                )
+        file_filter = _published_delta_filter(args.published_of, field)
     spark = get_session(app_name="agg-refresh")
     bm = JobBookmark(args.bookmark, args.job_name)
     n = incremental_agg_refresh(
@@ -371,6 +395,7 @@ def cmd_agg_refresh(args: argparse.Namespace) -> None:
             {"calibration": calibration} if calibration is not None else None
         ),
         keep_versions=args.keep_versions,
+        file_filter=file_filter,
     )
     summary = {
         "job": "agg-refresh",
@@ -741,6 +766,17 @@ def build_parser() -> argparse.ArgumentParser:
         help="retain this many published state versions for time-travel "
         "reads / refresh audits (streaming/sinks.read_version, "
         "operators/diff.snapshot_diff); default 1 = current only",
+    )
+    ar.add_argument(
+        "--published-of",
+        default=None,
+        metavar="REFRESH_DIR",
+        help="exactly-once guard when --pattern globs another refresh's "
+        "output (a join view's view/delta_* or a deduped corpus's "
+        "accepted/delta_*): consume only delta files PUBLISHED in that "
+        "refresh's pointer (plans/incremental.py published-delta "
+        "filters); unpublished crash-replay rewrites would otherwise "
+        "double-count",
     )
     ar.add_argument(
         "--agg",

@@ -451,6 +451,61 @@ def test_cli_agg_refresh_keep_versions_time_travel(spark, tmp_path, capsys):
     assert v1 == {("api", 2), ("db", 1)}
 
 
+def test_cli_agg_refresh_published_of_skips_unpublished(spark, tmp_path, capsys):
+    """--published-of runs the exactly-once composition from the CLI:
+    a dedup-refreshed corpus feeds agg-refresh, and an on-disk
+    unpublished accepted-delta dir is neither counted nor
+    bookmark-committed."""
+    from big_data_processing_with_aws_glue_workshop_spark.cli import main
+    from big_data_processing_with_aws_glue_workshop_spark.plans.incremental import (
+        incremental_dedup_refresh,
+        read_refreshed,
+    )
+    from big_data_processing_with_aws_glue_workshop_spark.sources.bookmarks import (
+        JobBookmark,
+    )
+
+    landing = tmp_path / "crawl"
+    landing.mkdir()
+    corpus = str(tmp_path / "corpus")
+    bm = JobBookmark(str(tmp_path / "bm_dedup.json"), "dedup")
+    _land_docs_cli(landing / "w0.parquet", [(1, "alpha"), (2, "beta"), (7, "alpha")])
+    incremental_dedup_refresh(spark, bm, str(landing / "*.parquet"), corpus)
+
+    stale = tmp_path / "corpus" / "accepted" / "delta_55"
+    stale.mkdir(parents=True)
+    _land_docs_cli(stale / "part-0.parquet", [(99, "ghost")])
+
+    main([
+        "agg-refresh",
+        "--pattern", str(tmp_path / "corpus" / "accepted" / "delta_*" / "*.parquet"),
+        "--bookmark", str(tmp_path / "bm_stats.json"),
+        "--target", str(tmp_path / "stats"),
+        "--keys", "text",
+        "--agg", "docs=count:*",
+        "--published-of", corpus,
+    ])
+    capsys.readouterr()
+    got = {
+        (r["text"], r["docs"])
+        for r in read_refreshed(spark, str(tmp_path / "stats")).collect()
+    }
+    assert got == {("alpha", 1), ("beta", 1)}  # survivors only, no ghost
+
+
+def _land_docs_cli(path, rows):
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    pq.write_table(
+        pa.Table.from_pandas(
+            pd.DataFrame(rows, columns=["doc_id", "text"]), preserve_index=False
+        ),
+        str(path),
+    )
+
+
 def test_cli_agg_refresh_drift_gate(spark, tmp_path, capsys):
     """agg-refresh --drift-col: the refresh's own delta_files are re-read
     (O(increment)) and PSI-checked against the maintained standing fact
