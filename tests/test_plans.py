@@ -378,3 +378,51 @@ def test_bloom_decontamination_probe_side_is_map_side(spark):
     # one build subtree: partial+final bit_or aggregate mentions only —
     # the k-chained-joins shape showed ~5x this
     assert plan.count("bit_or") <= 10, plan
+
+
+# Queries whose plan legitimately contains a Python execution node: the
+# documented Arrow-batched mapInPandas islands (SURVEY §2.9 — multimodal
+# decode, ANN codebook scoring). Everything else in the registry must
+# stay entirely JVM-side; a row-at-a-time BatchEvalPython node is never
+# acceptable anywhere (the 10-100x slow path the zero-UDF policy bans).
+_ARROW_ISLAND_QUERIES = {
+    "media_probe_profile",
+    "media_pixel_stats",
+    "media_audio_stats",
+    "media_frame_stats",
+    "media_byte_histogram",
+    "ann_lsh_topk",
+    "ivf_ann_topk",
+    # k-means cell assignment + block-matmul candidate prefilter
+    # (extensions/similarity.py — numpy over Arrow batches, justified
+    # in-code; the exact verify that follows is JVM-side)
+    "embedding_near_dup_clustered",
+}
+
+
+def test_registry_wide_python_node_audit(spark):
+    """Sweep EVERY registered + retired query's physical plan: (1) no
+    row-at-a-time Python UDF node anywhere, ever; (2) Arrow/Pandas
+    nodes only in the allowlisted island queries — so a future edit
+    that quietly drops a hot path out of whole-stage codegen into
+    Python fails this test instead of shipping. Plans only (no
+    execution): the whole sweep builds ~100 plans in seconds."""
+    offenders_row_at_a_time = []
+    offenders_python = []
+    for name in {**QUERIES, **RETIRED_QUERIES}:
+        plan = plan_of(spark, name)
+        if "BatchEvalPython" in plan:
+            offenders_row_at_a_time.append(name)
+        if (
+            "ArrowEvalPython" in plan or "MapInPandas" in plan
+        ) and name not in _ARROW_ISLAND_QUERIES:
+            offenders_python.append(name)
+    assert not offenders_row_at_a_time, (
+        f"row-at-a-time Python UDF nodes in: {offenders_row_at_a_time}"
+    )
+    assert not offenders_python, (
+        f"unallowlisted Python execution nodes in: {offenders_python} — "
+        "either restore the JVM-side plan or (if the Python island is "
+        "genuinely justified) add the query to _ARROW_ISLAND_QUERIES "
+        "with the in-code justification §2.9 requires"
+    )
