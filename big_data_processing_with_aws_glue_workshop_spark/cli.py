@@ -359,28 +359,12 @@ def cmd_agg_refresh(args: argparse.Namespace) -> None:
         )
     file_filter = None
     if args.published_of:
-        import json as _json
+        from .plans.incremental import published_filter_for
 
-        from .plans.incremental import _published_delta_filter
-
-        ptr_path = os.path.join(args.published_of, "current.json")
-        # pick the delta-list field by what the upstream pointer actually
-        # publishes (join view vs corpus family); an absent pointer means
-        # nothing is published yet — the filters treat that as admit-none,
-        # the correct exactly-once answer, so default to the corpus field
-        field = "deltas"
-        if os.path.exists(ptr_path):
-            with open(ptr_path) as f:
-                upstream = _json.load(f)
-            if "view_deltas" in upstream:
-                field = "view_deltas"
-            elif "deltas" not in upstream:
-                raise SystemExit(
-                    f"--published-of {args.published_of!r}: its pointer "
-                    "publishes neither view_deltas nor deltas — not a "
-                    "join-view or corpus refresh target"
-                )
-        file_filter = _published_delta_filter(args.published_of, field)
+        try:
+            file_filter = published_filter_for(args.published_of)
+        except ValueError as e:
+            raise SystemExit(f"--published-of: {e}") from e
     spark = get_session(app_name="agg-refresh")
     bm = JobBookmark(args.bookmark, args.job_name)
     n = incremental_agg_refresh(
@@ -494,7 +478,7 @@ def cmd_join_refresh(args: argparse.Namespace) -> None:
     _emit({"job": "join-refresh", **stats})
 
 
-def _refresh_drift_report(spark, args, stats) -> dict | None:
+def _refresh_drift_report(spark, args) -> dict | None:
     """--drift gate for the corpus refresh commands: a thin wrapper over
     the SHARED protocol in operators/drift.py::corpus_drift_report (one
     implementation for both ingestion tempos — the streaming corpus
@@ -531,7 +515,7 @@ def cmd_dedup_refresh(args: argparse.Namespace) -> None:
         id_col=args.id_col,
         text_col=args.text_col,
     )
-    drift = _refresh_drift_report(spark, args, stats)
+    drift = _refresh_drift_report(spark, args)
     if drift is not None:
         stats["drift"] = drift
     _emit({"job": "dedup-refresh", **stats})
@@ -556,7 +540,7 @@ def cmd_neardup_refresh(args: argparse.Namespace) -> None:
         text_col=args.text_col,
         sim_threshold=args.sim_threshold,
     )
-    drift = _refresh_drift_report(spark, args, stats)
+    drift = _refresh_drift_report(spark, args)
     if drift is not None:
         stats["drift"] = drift
     _emit({"job": "neardup-refresh", **stats})

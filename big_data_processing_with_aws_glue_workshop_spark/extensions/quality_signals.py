@@ -49,6 +49,15 @@ def doc_compression_ratios(
     NULL or empty text yields NULL for all three ratio fields (an empty
     byte string has no meaningful ratio; zlib's ~8-byte header would
     read as a huge one). All input columns pass through unchanged."""
+    collisions = {"raw_bytes", "zlib_bytes", "compression_ratio"} & set(df.columns)
+    if collisions:
+        # appending a duplicate field name would fail deep in the Arrow
+        # serializer with a positional column-count mismatch — refuse
+        # upfront with the names instead
+        raise ValueError(
+            f"doc_compression_ratios: input already has column(s) "
+            f"{sorted(collisions)} — rename them before appending the signal"
+        )
     out_schema = T.StructType(
         list(df.schema.fields)
         + [

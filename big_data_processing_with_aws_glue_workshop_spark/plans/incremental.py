@@ -877,67 +877,71 @@ def incremental_join_refresh(
             full_dim_keys = full_dim_keys.unionByName(p.select(join_key))
         p_next = p_next.join(full_dim_keys, join_key, "left_anti")
 
-    # writes (all invisible until the flip; replayed batch ids overwrite)
+    # writes (all invisible until the flip; replayed batch ids overwrite).
+    # The persists (new_dim above, matched, p_next) are released in the
+    # finally: a failed write in a caught-per-wave driver loop must not
+    # leak cached partitions into the long-lived session (r9 review).
     view_deltas = list(pointer["view_deltas"]) if pointer is not None else []
     matched_new = 0
-    if matched is not None:
-        view_rel = f"view/delta_{batch_id}"
-        matched = matched.persist()
-        matched_new = matched.count()
-        if matched_new:
-            # stage-then-rename: the delta dir must appear ATOMICALLY and
-            # fully formed. Pointer-following readers never needed this,
-            # but the two-stage composition (a downstream
-            # incremental_agg_refresh bookmark consuming view files)
-            # must never observe task-committed part files of a delta
-            # mid-write, nor two part-file generations of a replayed
-            # unpublished batch — the staging dir is invisible to the
-            # delta_* glob, the rename is atomic, and the stale dir of a
-            # crashed pre-flip attempt is removed before the swap.
-            # (Downstream composition should ALSO pass
-            # join_view_published_filter as its file_filter — see that
-            # helper's docstring for the residual race this closes.)
-            staging_dir = os.path.join(target_dir, "view", f"_staging_{batch_id}")
-            final_dir = os.path.join(target_dir, view_rel)
-            shutil.rmtree(staging_dir, ignore_errors=True)
-            matched.write.mode("overwrite").parquet(staging_dir)
-            shutil.rmtree(final_dir, ignore_errors=True)
-            os.rename(staging_dir, final_dir)
-            view_deltas.append(view_rel)
-        matched.unpersist()
+    try:
+        if matched is not None:
+            view_rel = f"view/delta_{batch_id}"
+            matched = matched.persist()
+            matched_new = matched.count()
+            if matched_new:
+                # stage-then-rename: the delta dir must appear ATOMICALLY and
+                # fully formed. Pointer-following readers never needed this,
+                # but the two-stage composition (a downstream
+                # incremental_agg_refresh bookmark consuming view files)
+                # must never observe task-committed part files of a delta
+                # mid-write, nor two part-file generations of a replayed
+                # unpublished batch — the staging dir is invisible to the
+                # delta_* glob, the rename is atomic, and the stale dir of a
+                # crashed pre-flip attempt is removed before the swap.
+                # (Downstream composition should ALSO pass
+                # join_view_published_filter as its file_filter — see that
+                # helper's docstring for the residual race this closes.)
+                staging_dir = os.path.join(target_dir, "view", f"_staging_{batch_id}")
+                final_dir = os.path.join(target_dir, view_rel)
+                shutil.rmtree(staging_dir, ignore_errors=True)
+                matched.write.mode("overwrite").parquet(staging_dir)
+                shutil.rmtree(final_dir, ignore_errors=True)
+                os.rename(staging_dir, final_dir)
+                view_deltas.append(view_rel)
 
-    dim_deltas = list(pointer["dim_deltas"]) if pointer is not None else []
-    if new_dim is not None:
-        dim_rel = f"dim/d{batch_id}"
-        new_dim.write.mode("overwrite").parquet(os.path.join(target_dir, dim_rel))
-        dim_deltas.append(dim_rel)
-    superseded_dim_dirs: list[str] = []
-    if len(dim_deltas) >= dim_compact_at:
-        # compact BEFORE the flip (readers still see the old list);
-        # superseded dirs are GC'd after it, same discipline as the
-        # dedup refresh's digest compaction
-        compact_rel = f"dim/compact_{batch_id}"
-        spark.read.parquet(
-            *[os.path.join(target_dir, d) for d in dim_deltas]
-        ).coalesce(4).write.mode("overwrite").parquet(
-            os.path.join(target_dir, compact_rel)
-        )
-        superseded_dim_dirs = dim_deltas
-        dim_deltas = [compact_rel]
+        dim_deltas = list(pointer["dim_deltas"]) if pointer is not None else []
+        if new_dim is not None:
+            dim_rel = f"dim/d{batch_id}"
+            new_dim.write.mode("overwrite").parquet(os.path.join(target_dir, dim_rel))
+            dim_deltas.append(dim_rel)
+        superseded_dim_dirs: list[str] = []
+        if len(dim_deltas) >= dim_compact_at:
+            # compact BEFORE the flip (readers still see the old list);
+            # superseded dirs are GC'd after it, same discipline as the
+            # dedup refresh's digest compaction
+            compact_rel = f"dim/compact_{batch_id}"
+            spark.read.parquet(
+                *[os.path.join(target_dir, d) for d in dim_deltas]
+            ).coalesce(4).write.mode("overwrite").parquet(
+                os.path.join(target_dir, compact_rel)
+            )
+            superseded_dim_dirs = dim_deltas
+            dim_deltas = [compact_rel]
 
-    if p_next is not None:
-        pending_rel = f"pending/p{batch_id}"
-        p_next = p_next.persist()
-        pending_rows = p_next.count()
-        p_next.write.mode("overwrite").parquet(
-            os.path.join(target_dir, pending_rel)
-        )
-        p_next.unpersist()
-    else:  # no fact has ever landed — dims only so far
-        pending_rel = None
-        pending_rows = 0
-    if new_dim is not None:
-        new_dim.unpersist()
+        if p_next is not None:
+            pending_rel = f"pending/p{batch_id}"
+            p_next = p_next.persist()
+            pending_rows = p_next.count()
+            p_next.write.mode("overwrite").parquet(
+                os.path.join(target_dir, pending_rel)
+            )
+        else:  # no fact has ever landed — dims only so far
+            pending_rel = None
+            pending_rows = 0
+    finally:
+        for cached in (matched, p_next, new_dim):
+            if cached is not None:
+                cached.unpersist()  # no-op on never-persisted frames
 
     _flip_pointer(
         pointer_path,
@@ -1068,6 +1072,31 @@ def corpus_published_filter(target_dir: str) -> Callable[[str], bool]:
     return _published_delta_filter(target_dir, "deltas")
 
 
+def published_filter_for(target_dir: str) -> Callable[[str], bool]:
+    """The auto-detecting front door (what the CLI's ``--published-of``
+    calls): pick the published-delta list by what the upstream pointer
+    actually publishes — a join view's ``view_deltas`` or a corpus
+    family's ``deltas`` — so the pointer-schema knowledge lives HERE,
+    next to the filters, not in every caller. No pointer yet means
+    nothing is published (admit-none, the correct exactly-once answer);
+    a pointer publishing neither list is a foreign target and raises."""
+    import json
+
+    ptr_path = os.path.join(target_dir, "current.json")
+    if not os.path.exists(ptr_path):
+        return lambda _path: False
+    with open(ptr_path) as f:
+        upstream = json.load(f)
+    if "view_deltas" in upstream:
+        return _published_delta_filter(target_dir, "view_deltas")
+    if "deltas" in upstream:
+        return _published_delta_filter(target_dir, "deltas")
+    raise ValueError(
+        f"{target_dir!r}: its pointer publishes neither view_deltas nor "
+        "deltas — not a join-view or corpus refresh target"
+    )
+
+
 def read_join_view_left(spark: SparkSession, target_dir: str) -> DataFrame:
     """LEFT-join materialization, derived with no extra state: the inner
     view unioned with the pending facts padded to the view schema (their
@@ -1120,7 +1149,7 @@ def incremental_agg_refresh(
     transform: Callable[[DataFrame], DataFrame] | None = None,
     pointer_fields: dict | None = None,
     file_filter: Callable[[str], bool] | None = None,
-    keep_versions: int = 1,
+    keep_versions: int | None = None,
     **reader_options: str,
 ) -> int:
     """Maintain a per-key aggregate table from an append-only fact in

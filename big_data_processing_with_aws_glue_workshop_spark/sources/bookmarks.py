@@ -142,12 +142,21 @@ class JobBookmark:
             if schema is not None:
                 return spark.createDataFrame([], schema), []
             committed = sorted(set(glob.glob(pattern)) & self.processed_files)
-            if not committed:
-                raise FileNotFoundError(
-                    f"bookmark '{self.job_name}': no files match {pattern!r} and "
-                    "no schema was given — cannot build an empty increment"
-                )
-            return reader.load(committed[0]).limit(0), []
+            if committed:
+                return reader.load(committed[0]).limit(0), []
+            # nothing committed yet, but the glob may still see files a
+            # file_filter excluded (e.g. not-yet-published upstream
+            # deltas): borrow ONE for its schema footer only — zero rows
+            # read, nothing committed, so the filter's exactly-once
+            # contract ("not visible this cycle") holds and the first
+            # downstream run no-ops instead of crashing
+            excluded = sorted(set(glob.glob(pattern)) - self.processed_files)
+            if excluded:
+                return reader.load(excluded[0]).limit(0), []
+            raise FileNotFoundError(
+                f"bookmark '{self.job_name}': no files match {pattern!r} and "
+                "no schema was given — cannot build an empty increment"
+            )
         return reader.load(new_files), new_files
 
     def commit_files(self, files: list[str]) -> None:

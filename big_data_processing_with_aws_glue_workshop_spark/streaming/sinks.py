@@ -47,7 +47,7 @@ def commit_snapshot(
     target_dir: str,
     batch_id: int,
     extra_pointer_fields: dict | None = None,
-    keep_versions: int = 1,
+    keep_versions: int | None = None,
 ) -> None:
     """The shared snapshot-commit protocol (used by UpsertSink and
     plans/incremental.py — one implementation, not two drifting copies):
@@ -58,14 +58,22 @@ def commit_snapshot(
     pointer flip and its cleanup is healed by the next successful commit
     and disk stays O(keep_versions x table).
 
-    ``keep_versions`` (default 1 — current only, the original behavior)
-    retains that many newest PUBLISHED versions, enabling time-travel
-    reads (``read_version``) and version-over-version auditing
-    (``operators/diff.py::snapshot_diff`` between two retained
-    versions). Published means batch id <= the pointer's: a leftover
-    dir from a crashed never-flipped attempt is always deleted,
-    whatever its id, so retention can never resurrect unpublished data.
+    ``keep_versions`` retains that many newest PUBLISHED versions,
+    enabling time-travel reads (``read_version``) and
+    version-over-version auditing (``operators/diff.py::snapshot_diff``
+    between two retained versions). Published means batch id <= the
+    pointer's: a leftover dir from a crashed never-flipped attempt is
+    always deleted, whatever its id, so retention can never resurrect
+    unpublished data. The retention policy is DURABLE: the effective
+    value is recorded in the pointer, and ``None`` (the default)
+    inherits it — so one invocation that omits the flag (a cron twin, a
+    teammate's shell) cannot silently destroy the audit window. Pass an
+    explicit int to change the policy; 1 = current only, the original
+    behavior and the first-commit default.
     """
+    prior = read_pointer(target_dir)
+    if keep_versions is None:
+        keep_versions = (prior or {}).get("keep_versions", 1)
     version_dir = f"v{batch_id}"
     out = os.path.join(target_dir, version_dir)
     if os.path.exists(out):  # stale leftover from a crashed attempt
@@ -77,12 +85,13 @@ def commit_snapshot(
         {
             "batch_id": batch_id,
             "version": version_dir,
+            "keep_versions": keep_versions,
             **(extra_pointer_fields or {}),
         },
     )
     # retention sweep: keep the (keep_versions - 1) newest published
     # predecessors alongside the just-committed current
-    prior: list[int] = []
+    others: list[int] = []
     for entry in os.listdir(target_dir):
         if entry == version_dir or not entry.startswith("v"):
             continue
@@ -92,13 +101,13 @@ def commit_snapshot(
             vid = int(entry[1:])
         except ValueError:
             continue
-        prior.append(vid)
+        others.append(vid)
     retained = set(
-        sorted((v for v in prior if v < batch_id), reverse=True)[
+        sorted((v for v in others if v < batch_id), reverse=True)[
             : max(0, keep_versions - 1)
         ]
     )
-    for vid in prior:
+    for vid in others:
         if vid not in retained:
             shutil.rmtree(os.path.join(target_dir, f"v{vid}"), ignore_errors=True)
 
@@ -117,7 +126,7 @@ class UpsertSink:
         keys: Sequence[str],
         order_col: str | None = None,
         checkpoint_dir: str | None = None,
-        keep_versions: int = 1,
+        keep_versions: int | None = None,
     ) -> None:
         self.target_dir = target_dir
         self.keys = list(keys)
@@ -126,7 +135,8 @@ class UpsertSink:
         # identity (run_foreach_batch_upsert's guard) — a fresh checkpoint
         # restarts batch ids and the replay guard would skip new data
         self.checkpoint_dir = checkpoint_dir
-        # retention window for time-travel reads (commit_snapshot)
+        # retention window for time-travel reads; None inherits the
+        # pointer's durable policy (commit_snapshot)
         self.keep_versions = keep_versions
 
     # -- pointer management ----------------------------------------------
@@ -194,10 +204,14 @@ def read_current(spark: SparkSession, target_dir: str) -> DataFrame:
 
 
 def list_versions(target_dir: str) -> list[int]:
-    """Batch ids of the PUBLISHED versions currently on disk (newest
-    last) — the time-travel index. Published = id <= the pointer's; a
-    leftover dir from a crashed never-flipped attempt (id beyond the
-    pointer) is excluded, the same rule the retention sweep applies."""
+    """Batch ids of the PUBLISHED, INTACT versions currently on disk
+    (newest last) — the time-travel index. Published = id <= the
+    pointer's; a leftover dir from a crashed never-flipped attempt (id
+    beyond the pointer) is excluded, the same rule the retention sweep
+    applies. Intact = the Spark write's ``_SUCCESS`` marker is present:
+    the sweep's best-effort rmtree can leave a half-deleted aged-out
+    dir behind on a transient FS error, and serving it as data would
+    silently truncate a time-travel read — no marker, not a version."""
     pointer = read_pointer(target_dir)
     if pointer is None:
         return []
@@ -211,7 +225,9 @@ def list_versions(target_dir: str) -> list[int]:
             vid = int(entry[1:])
         except ValueError:
             continue
-        if vid <= pointer["batch_id"]:
+        if vid <= pointer["batch_id"] and os.path.exists(
+            os.path.join(target_dir, entry, "_SUCCESS")
+        ):
             out.append(vid)
     return sorted(out)
 
@@ -240,7 +256,7 @@ def run_foreach_batch_upsert(
     keys: Sequence[str],
     order_col: str | None = None,
     checkpoint_dir: str | None = None,
-    keep_versions: int = 1,
+    keep_versions: int | None = None,
 ) -> None:
     """Drive a stream into an UpsertSink with availableNow (drain-the-source
     batch mode); with a checkpoint dir the batch-id sequence survives

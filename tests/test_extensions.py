@@ -424,3 +424,9 @@ def test_compression_ratio_parity_and_signal_direction(spark):
     assert got[2]["compression_ratio"] < 0.1  # repetition collapses
     assert got[2]["compression_ratio"] < got[1]["compression_ratio"]
     assert got[1]["compression_ratio"] < got[3]["compression_ratio"]
+
+    # a pre-existing output-name column refuses upfront, not deep in Arrow
+    import pytest
+
+    with pytest.raises(ValueError, match="raw_bytes"):
+        doc_compression_ratios(df.withColumn("raw_bytes", F.lit(0)))

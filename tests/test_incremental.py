@@ -1285,6 +1285,33 @@ def test_two_stage_filter_skips_unpublished_delta_until_published(spark, tmp_pat
     assert got == {"a": (3, 740)}
 
 
+def test_agg_refresh_first_run_noops_when_filter_rejects_all(spark, tmp_path):
+    """The composition's cold start: upstream wrote a delta but crashed
+    before its flip, downstream's FIRST run sees files the published
+    filter rejects and nothing committed — must return 0 (admit-none),
+    not crash in schema inference (r9 review: read_incremental raised
+    FileNotFoundError here)."""
+    from big_data_processing_with_aws_glue_workshop_spark.plans.incremental import (
+        incremental_agg_refresh,
+    )
+
+    landing = tmp_path / "facts"
+    landing.mkdir()
+    _land(landing / "f0.parquet", {"k": [1], "x": [1]})
+    bm = JobBookmark(str(tmp_path / "bm.json"), "agg")
+    n = incremental_agg_refresh(
+        spark,
+        bm,
+        str(landing / "*.parquet"),
+        ["k"],
+        {"n": ("count", "*")},
+        str(tmp_path / "state"),
+        file_filter=lambda _p: False,
+    )
+    assert n == 0
+    assert bm.processed_files == set()  # nothing consumed, nothing committed
+
+
 def test_join_refresh_drops_null_dim_keys(spark, tmp_path):
     """NULL-key dim rows can never match a fact (inner-join semantics)
     and would defeat the first-wins left_anti guard (NULL never equals

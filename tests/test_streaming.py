@@ -368,7 +368,22 @@ def test_snapshot_retention_time_travel_and_diff(spark, tmp_path):
     }
     assert changed == {1: "changed"}
 
-    # default writer (keep_versions=1) still retires all predecessors
+    # the retention policy is DURABLE: a writer invocation that omits
+    # keep_versions (the cron-twin scenario) inherits the pointer's
+    # policy instead of collapsing the audit window to 1
+    plain = UpsertSink(target, keys=["user_id"], order_col="seq")
+    plain(spark.createDataFrame([(4, 40, "d")], schema), 3)
+    assert list_versions(target) == [2, 3]
+
+    # a half-deleted aged-out dir (no _SUCCESS marker) is NOT a version:
+    # serving it would silently truncate a time-travel read
+    os.remove(os.path.join(target, "v2", "_SUCCESS"))
+    assert list_versions(target) == [3]
+    with pytest.raises(ValueError, match="not retained"):
+        read_version(spark, target, 2)
+
+    # default writer (keep_versions=1 on first commit) still retires all
+    # predecessors
     t2 = str(tmp_path / "table1")
     s2 = UpsertSink(t2, keys=["user_id"])
     s2(spark.createDataFrame([(1, 1, "a")], schema), 0)
