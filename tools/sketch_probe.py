@@ -279,9 +279,41 @@ def probe_joinsize(spark, n) -> dict:
     }
 
 
+def probe_hll_intersection(spark, n_side, overlap) -> dict:
+    """hll_intersection_estimate vs exact |A ∩ B| at a given overlap
+    size: quantifies the docstring's caveat that inclusion-exclusion
+    error is driven by the UNION's cardinality, so small true overlaps
+    drown in register noise (and minima_jaccard is the tool there)."""
+    from big_data_processing_with_aws_glue_workshop_spark.operators.sketch import (
+        hll_intersection_estimate,
+        hll_sketch,
+    )
+
+    a = spark.range(0, n_side).select(F.concat(F.lit("k"), F.col("id")).alias("k"))
+    b = spark.range(n_side - overlap, 2 * n_side - overlap).select(
+        F.concat(F.lit("k"), F.col("id")).alias("k")
+    )
+    t0 = time.time()
+    est = hll_intersection_estimate(hll_sketch(a, "k"), hll_sketch(b, "k"))
+    t = time.time() - t0
+    return {
+        "n_per_side": n_side,
+        "true_intersection": overlap,
+        "hll_estimate": round(est, 1),
+        "abs_err": round(abs(est - overlap), 1),
+        "err_vs_union": round(abs(est - overlap) / (2 * n_side - overlap), 4),
+        "wall_s": round(t, 2),
+    }
+
+
 def main() -> None:
     args = sys.argv[1:]
     spark = get_session(app_name="sketch-probe")
+    if args and args[0] == "--hll-intersect":
+        n = int(args[1]) if len(args) > 1 else 1_000_000
+        for overlap in (n // 2, n // 10, n // 100, n // 1000):
+            print(json.dumps(probe_hll_intersection(spark, n, overlap)))
+        return
     if args and args[0] == "--joinsize":
         sizes = [int(a) for a in args[1:]] or [2_000_000, 8_000_000, 32_000_000]
         for n in sizes:
