@@ -17,29 +17,30 @@ entries in iteration order. The registry is therefore laid out explicitly:
   the documented allowlist ``_SCORED_NO_ORACLE`` (the r8 verdict's "What's
   wrong #1": two consecutive rounds had this paragraph drift from the
   tuples, so the tuples are now the source of truth). This round the
-  derived set is ``approx_distinct_profile`` (HLL sketch —
-  engine-specific estimates, error bound pytest-pinned) and
-  ``bernoulli_sample`` (engine RNG; its oracle-backed twin
-  ``deterministic_sample`` is scored alongside it); the ANN pair
-  (``ann_lsh_topk``/``ivf_ann_topk``, recall pytest-pinned) rotated to
-  the tail with the rest of the r8 window.
+  derived set is the ANN pair ``ann_lsh_topk``/``ivf_ann_topk``
+  (approximate by construction — hyperplanes/centroids are driver-RNG
+  constants, not SQL-expressible; recall pytest-pinned ≥0.8 / ≥0.6),
+  back in the window with the rest of the r9 demotions; the
+  HLL/Bernoulli pair (``approx_distinct_profile``/``bernoulli_sample``)
+  rotated to the tail with the rest of the r9 window.
 - ``_TAIL`` (unscored, still registered): every tail query is gated by
   tests/test_queries_oracle.py on every pytest run — oracle-backed ones
   hash-checked, the rest rows-only.
 - ``_RETIRED`` (holds ``doc_fingerprint``, ``tumbling_windows``,
   ``sliding_windows``, ``ngram_jaccard_pairs``,
-  ``embedding_near_dup_pairs`` and ``interval_join_batch`` today): the
-  retirement mechanism for when the two-round arithmetic below stops
-  fitting — a retired query keeps its implementation and pytest oracle
-  coverage but leaves the driver registry.
+  ``embedding_near_dup_pairs``, ``interval_join_batch`` and
+  ``deterministic_sample`` today): the retirement mechanism for when
+  the two-round arithmetic below stops fitting — a retired query keeps
+  its implementation and pytest oracle coverage but leaves the driver
+  registry.
 
 ROTATION POLICY (two-round cadence) and its arithmetic: a query whose
 driver row was fully green in round N-1 may rotate to the tail in round
 N; every query returns to the window within two rounds of its last
 driver row. With a 50-slot window this is satisfiable **iff the
 registered surface stays ≤ 100** (two disjoint windows cover at most 100
-queries in two rounds). The LIVE surface after the round-9 rotation is
-100: the r8 surface was 100, − 1 r9 retirement + 1 r9 tail addition.
+queries in two rounds). The LIVE surface after the round-10 rotation is
+100: the r9 surface was 100, − 1 r10 retirement + 1 r10 tail addition.
 The ceiling remains effectively REACHED: every addition must be matched
 1:1 by a retirement. Standing
 decision (resolving the r5 verdict's "What's wrong #3"): the two-round
@@ -51,57 +52,43 @@ operator family (cube, ntile, as-of join, JSON extraction, connected
 components) and the composed flagships (training_pipeline_summary, the
 clustered embedding scale path) stay in.
 
-Round-9 rotation (applied this round — the exact plan the r8
+Round-10 rotation (applied this round — the exact plan the r9
 feasibility check prescribed, with zero slack: 50 due-back promotions,
 zero keeps, zero new scored-from-day-one queries):
-- promoted, returning r8 demotions (48, last driver row r7): every
-  name from the r8 demotion list.
-- promoted, first driver rows (2): the r8 tail additions
-  ``doc_lm_backoff_scores`` and ``supplier_part_share`` — oracle-gated
-  by the pytest gate since they landed, and pre-verified against the
-  driver's stringified multiset compare via
+- promoted, returning r9 demotions (49, last driver row r8): every
+  name from the r9 demotion list.
+- promoted, first driver row (1): the r9 tail addition
+  ``bloom_decontaminated_docs`` — the sketch family's first
+  driver-scored representative (broadcast-Bloom map-side pruning whose
+  output provably equals the exact anti-join survivor set) —
+  oracle-gated by the pytest gate since it landed, and pre-verified
+  against the driver's stringified multiset compare via
   ``tools/driver_hash_check.py`` at sf0.01 before this rotation was
-  committed (the r8 verdict's prescribed pre-check for the
-  floored-integer-division and double-equality-join-back oracle
-  classes).
-- demoted (49, all driver-green in CORRECTNESS_r08, due back r10): the
-  50-member r8 window minus the one retirement below.
-- retired this round (1): ``interval_join_batch`` — the superseded
-  oracle twin the r8 feasibility paragraph named as the retirement
-  candidate. It is the batch materialization of
-  ``streaming/windows.py``'s streaming interval join; the
-  OPERATOR family stays triple-gated: the retired query keeps its
-  pytest hash oracle (RETIRED_QUERIES below), the streaming twin's
-  stream-vs-batch parity is pinned by tests/test_extensions.py, and
-  the bucketized batch operator's randomized equivalence by
-  tests/test_operators.py.
+  committed.
+- demoted (49, all driver-green in CORRECTNESS_r09, due back r11): the
+  50-member r9 window minus the one retirement below.
+- retired this round (1): ``deterministic_sample`` — demoted out of
+  the r9 window with its driver row taken, superseded 1:1 by the new
+  tail addition below. Gate story per the retirement rule: the
+  retired query keeps its pytest hash oracle (RETIRED_QUERIES below);
+  the anchored ``bernoulli_sample``'s engine-RNG rows-only status
+  stays pinned by the allowlist meta-test, and its deterministic
+  oracle-backed twin role passes from deterministic_sample to
+  sampled_quantile_profile (same md5-uniform hash class, strictly
+  stronger gate: value-hash at two SFs, tests/test_sketch.py).
 - new tail addition (1, filling the retirement-freed slot,
-  oracle-gated from day one, due r10): ``bloom_decontaminated_docs`` —
-  the sketch family's first driver-scored representative (r8 verdict
-  "Next round #3"): broadcast-Bloom map-side pruning whose output is
-  PROVABLY the exact anti-join survivor set (zero false negatives), so
-  the sketch path is hash-oracleable against plain SQL.
-- round-10 feasibility check: due-back promotions in r10 are the 49 r9
-  demotions + the r9 tail addition (``bloom_decontaminated_docs``) =
-  50 exactly — r10 keeps nothing and adds nothing scored-from-day-one.
-  PLANNED r10 surface change (1:1, prepared this round): retire
-  ``deterministic_sample`` (demoting out of the r9 window with its
-  driver row taken) and add ``sampled_quantile_profile`` to the tail —
-  the slot-minima coordinated-sample quantile readout
-  (``queries/relational.py::q_sampled_quantile_profile``), already
-  implemented with a DuckDB oracle and pytest-hash-gated at two SFs
-  (tests/test_sketch.py) since r9. It supersedes its retiree: the
-  md5-uniform deterministic selection story is the same, but the
-  sample is bounded-size, MERGEABLE monoid state that rides
-  incremental refresh, and the readout exercises it. The anchored
-  ``bernoulli_sample`` gate story restated per the retirement rule:
-  its engine-RNG rows-only status stays pinned by the allowlist
-  meta-test, and its deterministic oracle-backed twin role passes from
-  deterministic_sample to sampled_quantile_profile (same md5-uniform
-  hash class, strictly stronger gate: value-hash at two SFs). After
-  r10, the 50 r10 demotions are due back r11 (including
-  sampled_quantile_profile's first driver row) and the cycle is a
-  pure 50/50 flip-flop unless the surface changes.
+  oracle-gated since r9, due r11): ``sampled_quantile_profile`` — the
+  slot-minima coordinated-sample quantile readout
+  (``queries/relational.py::q_sampled_quantile_profile``). It
+  supersedes its retiree: the md5-uniform deterministic selection
+  story is the same, but the sample is bounded-size, MERGEABLE monoid
+  state that rides incremental refresh, and the readout exercises it.
+- round-11 feasibility check: due-back promotions in r11 are the 49
+  r10 demotions + the r10 tail addition (``sampled_quantile_profile``,
+  first driver row) = 50 exactly — r11 keeps nothing and adds nothing
+  scored-from-day-one. Absent a surface change the cycle is now a pure
+  50/50 flip-flop; any r11 addition must name a 1:1 retirement and
+  restate the retiree's gate story here.
 """
 
 import functools
@@ -125,70 +112,8 @@ _ALL_QUERIES = {
 }
 
 _SCORED = (
-    # returning r8 demotions (48, last driver row r7 — the two-round
+    # returning r9 demotions (49, last driver row r8 — the two-round
     # promise lands them here)
-    "asof_last_click_before_error",
-    "range_join_interval_counts",
-    "json_props_extract",
-    "doc_dup_components",
-    "training_pipeline_summary",
-    "corpus_vocab_stats",
-    "source_lang_profile",
-    "doc_chunk_plan",
-    "boilerplate_ngram_profile",
-    "prefix_template_clusters",
-    "quality_filter_decisions",
-    "sequence_packing_plan",
-    "media_probe_profile",
-    "media_pixel_stats",
-    "media_audio_stats",
-    "media_frame_stats",
-    "top5_orders",
-    "balance_buckets",
-    "deterministic_sample",
-    "hourly_rollup_from_minutes",
-    "value_zscore_outliers",
-    "event_value_percentiles",
-    "user_event_deltas",
-    "active_customers_by_segment",
-    "avg_balance_by_nation",
-    "fulfillment_rate_by_nation",
-    "priority_filter",
-    "latest_order_per_customer",
-    "distinct_projection",
-    "doc_token_stats",
-    "doc_quality_scores",
-    "above_nation_avg_customers",
-    "approx_distinct_profile",
-    "bernoulli_sample",
-    "customers_with_orders",
-    "promo_revenue_share",
-    "returnflag_pivot",
-    "status_priority_rollup",
-    "unpivot_status_metrics",
-    "trailing_window_rates",
-    "table_stats_profile",
-    "cross_source_overlap",
-    "embedding_dimension_profile",
-    "normalized_dedup_profile",
-    "balanced_sample_plan",
-    "user_cohort_retention",
-    "order_snapshot_diff",
-    "part_name_linkage",
-    # first driver rows (2): the r8 tail additions, oracle-gated by the
-    # pytest gate since they landed and pre-verified with
-    # tools/driver_hash_check.py at sf0.01
-    "doc_lm_backoff_scores",
-    "supplier_part_share",
-)
-
-_TAIL = (
-    # r9 demotions — all green driver rows in CORRECTNESS_r08, rotated out
-    # per the two-round policy (due back r10 — see the r10 feasibility
-    # check in the docstring; the r8 window's other member,
-    # interval_join_batch, was retired this round instead of demoted).
-    # The pytest oracle gate still hash-checks every oracle-backed one on
-    # every run, and bench.py times the full registered surface.
     "customers_without_orders",
     "lineitem_cube_aggregates",
     "customer_balance_ntiles",
@@ -238,18 +163,80 @@ _TAIL = (
     "copurchase_pagerank",
     "copurchase_triangle_census",
     "copurchase_seed_affinity",
-    # new in r9 (due r10; surface slot freed by the interval_join_batch
-    # retirement, oracle-gated from day one): the sketch family's
-    # driver-scored representative — Bloom-pruned decontamination whose
-    # output provably equals the exact anti-join
+    # first driver row (1): the r9 tail addition, oracle-gated by the
+    # pytest gate since it landed and pre-verified with
+    # tools/driver_hash_check.py at sf0.01
     "bloom_decontaminated_docs",
+)
+
+_TAIL = (
+    # r10 demotions — all green driver rows in CORRECTNESS_r09, rotated
+    # out per the two-round policy (due back r11 — see the r11
+    # feasibility check in the docstring; the r9 window's other member,
+    # deterministic_sample, was retired this round instead of demoted).
+    # The pytest oracle gate still hash-checks every oracle-backed one on
+    # every run, and bench.py times the full registered surface.
+    "asof_last_click_before_error",
+    "range_join_interval_counts",
+    "json_props_extract",
+    "doc_dup_components",
+    "training_pipeline_summary",
+    "corpus_vocab_stats",
+    "source_lang_profile",
+    "doc_chunk_plan",
+    "boilerplate_ngram_profile",
+    "prefix_template_clusters",
+    "quality_filter_decisions",
+    "sequence_packing_plan",
+    "media_probe_profile",
+    "media_pixel_stats",
+    "media_audio_stats",
+    "media_frame_stats",
+    "top5_orders",
+    "balance_buckets",
+    "hourly_rollup_from_minutes",
+    "value_zscore_outliers",
+    "event_value_percentiles",
+    "user_event_deltas",
+    "active_customers_by_segment",
+    "avg_balance_by_nation",
+    "fulfillment_rate_by_nation",
+    "priority_filter",
+    "latest_order_per_customer",
+    "distinct_projection",
+    "doc_token_stats",
+    "doc_quality_scores",
+    "above_nation_avg_customers",
+    "approx_distinct_profile",
+    "bernoulli_sample",
+    "customers_with_orders",
+    "promo_revenue_share",
+    "returnflag_pivot",
+    "status_priority_rollup",
+    "unpivot_status_metrics",
+    "trailing_window_rates",
+    "table_stats_profile",
+    "cross_source_overlap",
+    "embedding_dimension_profile",
+    "normalized_dedup_profile",
+    "balanced_sample_plan",
+    "user_cohort_retention",
+    "order_snapshot_diff",
+    "part_name_linkage",
+    "doc_lm_backoff_scores",
+    "supplier_part_share",
+    # new in r10 (due r11; surface slot freed by the
+    # deterministic_sample retirement, oracle-gated since r9): the
+    # slot-minima coordinated-sample quantile readout — bounded
+    # MERGEABLE sample state, value-hash gate at two SFs
+    "sampled_quantile_profile",
 )
 
 # Retirement mechanism (see docstring): retired names leave the driver
 # registry but MUST keep their implementation + pytest oracle coverage
 # (exported as RETIRED_QUERIES/RETIRED_ORACLES for the pytest gate).
-# r9 retirement: interval_join_batch, the batch twin of the streaming
-# interval join (gate story in the docstring's rotation notes).
+# r10 retirement: deterministic_sample, superseded by
+# sampled_quantile_profile (gate story in the docstring's rotation notes).
 _RETIRED = (
     "doc_fingerprint",
     "tumbling_windows",
@@ -257,6 +244,7 @@ _RETIRED = (
     "ngram_jaccard_pairs",
     "embedding_near_dup_pairs",
     "interval_join_batch",
+    "deterministic_sample",
 )
 
 # The scored rows-only-BY-DESIGN allowlist, raise-checked against the
@@ -264,7 +252,7 @@ _RETIRED = (
 # from the tuples again (r8 verdict "What's wrong #1"). Change this
 # tuple and the docstring TOGETHER when a rotation moves a no-oracle
 # query across the window boundary.
-_SCORED_NO_ORACLE = ("approx_distinct_profile", "bernoulli_sample")
+_SCORED_NO_ORACLE = ("ann_lsh_topk", "ivf_ann_topk")
 
 # Module-level invariants the correctness driver depends on. Explicit raises,
 # not assert: python -O strips asserts, which would silently disable the

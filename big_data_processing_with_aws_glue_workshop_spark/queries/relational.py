@@ -346,7 +346,12 @@ def q_order_aging(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_deterministic_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic sampling stand-in for ORDER BY RAND() LIMIT / Bernoulli
-    sample (O3/O4): modulo-hash on the key so both engines agree."""
+    sample (O3/O4): modulo-hash on the key so both engines agree.
+
+    RETIRED in the r10 rotation (driver row green r9), superseded 1:1 by
+    sampled_quantile_profile (same md5-uniform hash class, bounded
+    MERGEABLE sample state, value-hash gate at two SFs); stays
+    pytest-hash-gated via RETIRED_QUERIES."""
     orders = load(spark, sf_dir, "orders")
     return orders.filter(F.col("o_orderkey") % 97 == 0).select(
         "o_orderkey", "o_custkey", "o_totalprice"
@@ -368,10 +373,10 @@ def q_sampled_quantile_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     quantile join touch <= slots rows. DKW bounds the rank error at
     ~2.1% (n=4096, 99% conf) independent of the value distribution.
 
-    PENDING DRIVER REGISTRATION (r10): implemented and pytest-oracle-
-    gated this round (tests/test_sketch.py); enters the registry tail
-    in r10 paired 1:1 with the deterministic_sample retirement it
-    supersedes — see queries/__init__.py's r10 feasibility note.
+    Registered in the r10 rotation (tail, due r11), paired 1:1 with the
+    deterministic_sample retirement it supersedes — see
+    queries/__init__.py's rotation notes. Pytest-oracle-gated at two SFs
+    since r9 (tests/test_sketch.py).
     """
     from ..operators.sketch import minima_sample, sample_rows
 
@@ -413,9 +418,9 @@ def q_sampled_quantile_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-# DuckDB twin of q_sampled_quantile_profile (PENDING r10 registration —
-# gated by tests/test_sketch.py until then; the md5-uniform forms mirror
-# operators/mixture.py::_id_hash's documented DuckDB equivalence)
+# DuckDB twin of q_sampled_quantile_profile (registered r10; also
+# hash-gated at two SFs by tests/test_sketch.py; the md5-uniform forms
+# mirror operators/mixture.py::_id_hash's documented DuckDB equivalence)
 SAMPLED_QUANTILE_PROFILE_ORACLE = """
 WITH keyed AS (
   SELECT (l_orderkey::VARCHAR || '-' || l_linenumber::VARCHAR) AS rk,
@@ -1218,6 +1223,7 @@ QUERIES = {
     "supplier_unique_key": q_supplier_unique_key,
     "order_aging": q_order_aging,
     "deterministic_sample": q_deterministic_sample,
+    "sampled_quantile_profile": q_sampled_quantile_profile,
     "priority_filter": q_priority_filter,
     "name_pattern_filter": q_name_pattern_filter,
     "status_priority_rollup": q_status_priority_rollup,
@@ -1519,6 +1525,7 @@ ORACLES = {
         FROM orders
         WHERE o_orderkey % 97 = 0
     """,
+    "sampled_quantile_profile": SAMPLED_QUANTILE_PROFILE_ORACLE,
     "priority_filter": """
         SELECT
           o_orderpriority,
