@@ -28,11 +28,11 @@ entries in iteration order. The registry is therefore laid out explicitly:
   hash-checked, the rest rows-only.
 - ``_RETIRED`` (holds ``doc_fingerprint``, ``tumbling_windows``,
   ``sliding_windows``, ``ngram_jaccard_pairs``,
-  ``embedding_near_dup_pairs``, ``interval_join_batch`` and
-  ``deterministic_sample`` today): the retirement mechanism for when
-  the two-round arithmetic below stops fitting — a retired query keeps
-  its implementation and pytest oracle coverage but leaves the driver
-  registry.
+  ``embedding_near_dup_pairs``, ``interval_join_batch``,
+  ``deterministic_sample`` and ``top5_orders`` today): the retirement
+  mechanism for when the two-round arithmetic below stops fitting — a
+  retired query keeps its implementation and pytest oracle coverage but
+  leaves the driver registry.
 
 ROTATION POLICY (two-round cadence) and its arithmetic: a query whose
 driver row was fully green in round N-1 may rotate to the tail in round
@@ -65,30 +65,41 @@ zero keeps, zero new scored-from-day-one queries):
   against the driver's stringified multiset compare via
   ``tools/driver_hash_check.py`` at sf0.01 before this rotation was
   committed.
-- demoted (49, all driver-green in CORRECTNESS_r09, due back r11): the
-  50-member r9 window minus the one retirement below.
-- retired this round (1): ``deterministic_sample`` — demoted out of
-  the r9 window with its driver row taken, superseded 1:1 by the new
-  tail addition below. Gate story per the retirement rule: the
-  retired query keeps its pytest hash oracle (RETIRED_QUERIES below);
-  the anchored ``bernoulli_sample``'s engine-RNG rows-only status
-  stays pinned by the allowlist meta-test, and its deterministic
-  oracle-backed twin role passes from deterministic_sample to
-  sampled_quantile_profile (same md5-uniform hash class, strictly
-  stronger gate: value-hash at two SFs, tests/test_sketch.py).
-- new tail addition (1, filling the retirement-freed slot,
-  oracle-gated since r9, due r11): ``sampled_quantile_profile`` — the
+- demoted (48, all driver-green in CORRECTNESS_r09, due back r11): the
+  50-member r9 window minus the two retirements below.
+- retired this round (2, each matched 1:1 by a tail addition below):
+  ``deterministic_sample`` — demoted out of the r9 window with its
+  driver row taken, superseded by sampled_quantile_profile. Gate story
+  per the retirement rule: the retired query keeps its pytest hash
+  oracle (RETIRED_QUERIES below); the anchored ``bernoulli_sample``'s
+  engine-RNG rows-only status stays pinned by the allowlist meta-test,
+  and its deterministic oracle-backed twin role passes from
+  deterministic_sample to sampled_quantile_profile (same md5-uniform
+  hash class, strictly stronger gate: value-hash at two SFs,
+  tests/test_sketch.py). And ``top5_orders`` — also demoted with its
+  r9 driver row taken; the global top-k family (O2) it represented
+  keeps its driver-scored representative in ``shipping_priority_topk``
+  (scored this round, the strictly-wider join+agg+top-k shape), and
+  the retired query keeps its pytest hash oracle.
+- new tail additions (2, filling the retirement-freed slots, due
+  r11): ``sampled_quantile_profile`` (oracle-gated since r9) — the
   slot-minima coordinated-sample quantile readout
-  (``queries/relational.py::q_sampled_quantile_profile``). It
+  (``queries/relational.py::q_sampled_quantile_profile``); it
   supersedes its retiree: the md5-uniform deterministic selection
   story is the same, but the sample is bounded-size, MERGEABLE monoid
   state that rides incremental refresh, and the readout exercises it.
-- round-11 feasibility check: due-back promotions in r11 are the 49
-  r10 demotions + the r10 tail addition (``sampled_quantile_profile``,
-  first driver row) = 50 exactly — r11 keeps nothing and adds nothing
-  scored-from-day-one. Absent a surface change the cycle is now a pure
-  50/50 flip-flop; any r11 addition must name a 1:1 retirement and
-  restate the retiree's gate story here.
+  And ``semantic_dedup_decisions`` (oracle-gated from day one) — the
+  SemDeDup-style keep/drop decision table composing the clustered
+  exact pair path with min-label-propagation CC
+  (``queries/vectors.py::q_semantic_dedup_decisions``; DuckDB twin =
+  quadratic pair join + recursive CTE).
+- round-11 feasibility check: due-back promotions in r11 are the 48
+  r10 demotions + the two r10 tail additions
+  (``sampled_quantile_profile`` and ``semantic_dedup_decisions``,
+  first driver rows) = 50 exactly — r11 keeps nothing and adds
+  nothing scored-from-day-one. Absent a surface change the cycle is
+  now a pure 50/50 flip-flop; any r11 addition must name a 1:1
+  retirement and restate the retiree's gate story here.
 """
 
 import functools
@@ -192,7 +203,6 @@ _TAIL = (
     "media_pixel_stats",
     "media_audio_stats",
     "media_frame_stats",
-    "top5_orders",
     "balance_buckets",
     "hourly_rollup_from_minutes",
     "value_zscore_outliers",
@@ -225,18 +235,23 @@ _TAIL = (
     "part_name_linkage",
     "doc_lm_backoff_scores",
     "supplier_part_share",
-    # new in r10 (due r11; surface slot freed by the
-    # deterministic_sample retirement, oracle-gated since r9): the
-    # slot-minima coordinated-sample quantile readout — bounded
-    # MERGEABLE sample state, value-hash gate at two SFs
+    # new in r10 (due r11; surface slots freed by the
+    # deterministic_sample and top5_orders retirements): the
+    # slot-minima coordinated-sample quantile readout (bounded
+    # MERGEABLE sample state, value-hash gate at two SFs) and the
+    # SemDeDup keep/drop decision table (clustered exact pairs +
+    # min-label CC, recursive-CTE oracle)
     "sampled_quantile_profile",
+    "semantic_dedup_decisions",
 )
 
 # Retirement mechanism (see docstring): retired names leave the driver
 # registry but MUST keep their implementation + pytest oracle coverage
 # (exported as RETIRED_QUERIES/RETIRED_ORACLES for the pytest gate).
-# r10 retirement: deterministic_sample, superseded by
-# sampled_quantile_profile (gate story in the docstring's rotation notes).
+# r10 retirements: deterministic_sample, superseded by
+# sampled_quantile_profile, and top5_orders, whose top-k family keeps
+# shipping_priority_topk scored (gate stories in the docstring's
+# rotation notes).
 _RETIRED = (
     "doc_fingerprint",
     "tumbling_windows",
@@ -245,6 +260,7 @@ _RETIRED = (
     "embedding_near_dup_pairs",
     "interval_join_batch",
     "deterministic_sample",
+    "top5_orders",
 )
 
 # The scored rows-only-BY-DESIGN allowlist, raise-checked against the

@@ -222,6 +222,56 @@ def q_embedding_near_dup_clustered(spark: SparkSession, sf_dir: str) -> DataFram
     )
 
 
+def q_semantic_dedup_decisions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup-style semantic dedup DECISION table (Abbas et al. 2023
+    recipe shape): cosine near-dup pairs -> connected components -> keep
+    exactly one representative (the minimum vec_id) per semantic cluster,
+    with every corpus vector present (singletons keep, size 1).
+
+    Composes two independently-oracled pieces end to end: the clustered
+    EXACT pair path (extensions/similarity.py::near_dup_pairs_clustered —
+    triangle-inequality pruning, recall 1.0 by construction, the scale
+    path q_embedding_near_dup_clustered scores) and the iterative
+    min-label propagation CC (extensions/dedup_fuzzy.py, the
+    doc_dup_components engine). The DuckDB twin re-derives the pair set
+    with the quadratic join and walks it with a recursive CTE — the
+    decision table is hash-exact even though the engine path is
+    iterative and cluster-pruned.
+
+    Scale shape: pair generation is the measured n^1.3 clustered path
+    (no cross join); CC runs one job per round over the EDGE set only
+    (near-dup graphs are shallow cliques/chains, edges << corpus); the
+    final left join back to the corpus is id-keyed (bucketing makes it
+    shuffle-free at 100 TB) and singleton decisions never enter the
+    iteration. Output is corpus-sized but narrow (id, component, size,
+    keep) — the standard input to the downstream filter stage."""
+    from ..extensions.dedup_fuzzy import connected_components
+    from ..extensions.similarity import near_dup_pairs_clustered
+
+    e = load(spark, sf_dir, "embeddings")
+    pairs = near_dup_pairs_clustered(
+        e, threshold=NEAR_DUP_THRESHOLD, nlist=16, seed=42
+    )
+    labels = connected_components(pairs, "id_a", "id_b").withColumnRenamed(
+        "id", "vec_id"
+    )
+    dec = (
+        e.select("vec_id")
+        .join(labels, "vec_id", "left")
+        .select(
+            "vec_id",
+            F.coalesce(F.col("label"), F.col("vec_id")).alias("component"),
+        )
+    )
+    w = Window.partitionBy("component")
+    return dec.select(
+        "vec_id",
+        "component",
+        F.count(F.lit(1)).over(w).alias("component_size"),
+        (F.col("vec_id") == F.col("component")).alias("keep"),
+    )
+
+
 def q_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Approximate nearest neighbors via random-hyperplane LSH (rows-only
     check: approximate by design; recall vs the exact top-k is asserted in
@@ -431,6 +481,7 @@ QUERIES = {
     "label_similarity_profile": q_label_similarity_profile,
     "embedding_near_dup_pairs": q_embedding_near_dup_pairs,
     "embedding_near_dup_clustered": q_embedding_near_dup_clustered,
+    "semantic_dedup_decisions": q_semantic_dedup_decisions,
     "ann_lsh_topk": q_ann_lsh_topk,
     "ivf_ann_topk": q_ivf_ann_topk,
     "doc_embedding_typicality": q_doc_embedding_typicality,
@@ -539,6 +590,43 @@ ORACLES = {
         WHERE list_dot_product(a.e, b.e)
                 / (sqrt(list_dot_product(a.e, a.e)) * sqrt(list_dot_product(b.e, b.e)))
               >= {NEAR_DUP_THRESHOLD}
+    """,
+    # SemDeDup decision twin: the quadratic pair set (same cosine algebra
+    # as the near-dup oracles above — boolean thresholded, never emitted
+    # as a value) walked by the doc_dup_components recursive-CTE recipe,
+    # then left-joined to the corpus so singletons keep with size 1.
+    "semantic_dedup_decisions": f"""
+        WITH RECURSIVE v AS (
+          SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings
+        ),
+        pairs AS (
+          SELECT a.vec_id AS d1, b.vec_id AS d2
+          FROM v a JOIN v b ON a.vec_id < b.vec_id
+          WHERE list_dot_product(a.e, b.e)
+                  / (sqrt(list_dot_product(a.e, a.e))
+                     * sqrt(list_dot_product(b.e, b.e)))
+                >= {NEAR_DUP_THRESHOLD}
+        ),
+        edges AS (SELECT d1 AS a, d2 AS b FROM pairs
+                  UNION ALL SELECT d2, d1 FROM pairs),
+        nodes AS (SELECT DISTINCT a AS id FROM edges),
+        reach AS (
+          SELECT id AS src, id AS dst FROM nodes
+          UNION
+          SELECT r.src, e.b FROM reach r JOIN edges e ON e.a = r.dst
+        ),
+        comp AS (SELECT src AS vec_id, MIN(dst) AS component
+                 FROM reach GROUP BY src),
+        dec AS (
+          SELECT emb.vec_id,
+                 COALESCE(comp.component, emb.vec_id) AS component
+          FROM embeddings emb LEFT JOIN comp USING (vec_id)
+        )
+        SELECT vec_id, component,
+               CAST(COUNT(1) OVER (PARTITION BY component) AS BIGINT)
+                 AS component_size,
+               vec_id = component AS keep
+        FROM dec
     """,
 }
 

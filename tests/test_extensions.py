@@ -126,6 +126,39 @@ def test_clustered_near_dup_exact_equivalence(embeddings, spark, sf_dir):
     assert len(exact) > 0  # the fixture must actually exercise the threshold
 
 
+def test_semantic_dedup_decisions_invariants(spark, sf_dir):
+    """The SemDeDup decision table's structural contract, independent of
+    the hash oracle: one row per corpus vector; exactly one keep per
+    component; the component label IS its minimum member id; singleton
+    components keep with size 1; and every near-dup pair lands in the
+    same component (the pair set is the decision's only input)."""
+    from big_data_processing_with_aws_glue_workshop_spark.queries._tables import load
+    from big_data_processing_with_aws_glue_workshop_spark.queries.vectors import (
+        q_semantic_dedup_decisions,
+    )
+
+    rows = q_semantic_dedup_decisions(spark, sf_dir).collect()
+    n_vecs = load(spark, sf_dir, "embeddings").count()
+    assert len(rows) == n_vecs
+    by_comp = {}
+    for r in rows:
+        by_comp.setdefault(r["component"], []).append(r)
+    for comp, members in by_comp.items():
+        assert comp == min(m["vec_id"] for m in members)
+        assert sum(m["keep"] for m in members) == 1
+        assert all(m["component_size"] == len(members) for m in members)
+        assert all(
+            (m["vec_id"] == comp) == m["keep"] for m in members
+        )
+    # the fixture must actually exercise a multi-member component
+    assert any(len(m) > 1 for m in by_comp.values())
+    pairs = RETIRED_QUERIES["embedding_near_dup_pairs"](spark, sf_dir).collect()
+    comp_of = {r["vec_id"]: r["component"] for r in rows}
+    assert pairs, "threshold fixture must produce pairs"
+    for p in pairs:
+        assert comp_of[p["id_a"]] == comp_of[p["id_b"]]
+
+
 def test_connected_components_multi_hop(spark):
     """A 5-node chain needs several propagation rounds; two singleton-ish
     extra edges check component independence."""
