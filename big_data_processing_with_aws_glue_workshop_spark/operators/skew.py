@@ -136,3 +136,144 @@ def skew_resilient_join(
     heavy = lh.join(rh, on + ["__salt"], how).drop("__salt")
 
     return light.unionByName(heavy)
+
+
+def plan_equi_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: Sequence[str],
+    broadcast_threshold_rows: int = 1_000_000,
+    rows_per_partition: int = 5_000_000,
+    left_cms: DataFrame | None = None,
+    right_cms: DataFrame | None = None,
+) -> dict:
+    """Measure, then pick the join strategy — the decision procedure the
+    module docstring's three mitigations feed. Returns a decision record:
+
+        {"strategy": "broadcast" | "salted" | "shuffle",
+         "right_rows": int, "left_rows": int | None,
+         "left_max_key_rows": int | None, "left_n_keys": int | None,
+         "n_salts": int, "est_output_rows": int | None,
+         "output_amplified": bool | None, "reason": str}
+
+    Probe ladder, cheapest exit first — every probe is a bounded job:
+
+    1. ``right.count()`` (parquet sources answer from footer metadata;
+       no row scan). Small build side => **broadcast**: the join moves
+       only the dim, no fact shuffle at all, and a hot fact key is
+       harmless because fact rows never co-locate by key.
+    2. Otherwise ONE groupBy over the left key columns (max key mass,
+       key count, total). Hottest key above ``rows_per_partition`` =>
+       **salted** via :func:`skew_resilient_join`, with the salt factor
+       sized so the hot key spreads to ~healthy-partition tasks.
+       AQE's skew split covers much of this at runtime; pinning it in
+       the plan is for the stream-static and replayed-build cases the
+       module docstring names.
+    3. Else => **shuffle**: both sides are big and no key dominates —
+       the sort-merge exchange IS the right plan; AQE handles residual
+       imbalance.
+
+    If maintained CMS tables for BOTH sides are supplied (the bounded
+    depth*width frequency sketches ``incremental_agg_refresh`` keeps —
+    at 100 TB you pass these instead of paying probe 2's shuffle on
+    every call), the decision also records the Cormode-Muthukrishnan
+    join OUTPUT estimate and flags ``output_amplified`` when the
+    estimate exceeds ``4 * (|left| + |right|)`` — the "small inputs,
+    trillion-row output" regime docs/SCALE.md measures, where the right
+    fix is upstream pre-aggregation, not a join strategy. The flag is
+    advisory: strategy still follows the ladder.
+    """
+    on = list(on)
+    right_rows = right.count()
+    decision: dict = {
+        "strategy": "shuffle",
+        "right_rows": right_rows,
+        "left_rows": None,
+        "left_max_key_rows": None,
+        "left_n_keys": None,
+        "n_salts": 1,
+        "est_output_rows": None,
+        "output_amplified": None,
+        "reason": "",
+    }
+    if right_rows <= broadcast_threshold_rows:
+        decision["strategy"] = "broadcast"
+        decision["reason"] = (
+            f"right side {right_rows} rows <= broadcast threshold "
+            f"{broadcast_threshold_rows}"
+        )
+    else:
+        stats = (
+            left.groupBy(*on)
+            .agg(F.count(F.lit(1)).alias("n"))
+            .agg(
+                F.sum("n").alias("total"),
+                F.count(F.lit(1)).alias("n_keys"),
+                F.max("n").alias("max_n"),
+            )
+            .first()
+        )
+        decision["left_rows"] = stats["total"] or 0
+        decision["left_max_key_rows"] = stats["max_n"] or 0
+        decision["left_n_keys"] = stats["n_keys"]
+        if (stats["max_n"] or 0) > rows_per_partition:
+            decision["strategy"] = "salted"
+            decision["n_salts"] = math.ceil(stats["max_n"] / rows_per_partition)
+            decision["reason"] = (
+                f"hottest left key holds {stats['max_n']} rows > "
+                f"{rows_per_partition}/partition budget"
+            )
+        else:
+            decision["reason"] = (
+                f"right side {right_rows} rows too big to broadcast; "
+                f"hottest left key {stats['max_n']} rows within budget"
+            )
+    if left_cms is not None and right_cms is not None:
+        from .sketch import cms_join_size_estimate
+
+        est = cms_join_size_estimate(left_cms, right_cms)
+        decision["est_output_rows"] = est
+        left_rows = decision["left_rows"]
+        if left_rows is None:
+            left_rows = left.count()
+            decision["left_rows"] = left_rows
+        decision["output_amplified"] = est > 4 * (left_rows + right_rows)
+    return decision
+
+
+def adaptive_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: Sequence[str],
+    how: str = "inner",
+    decision: dict | None = None,
+    rows_per_partition: int = 5_000_000,
+    **plan_kwargs,
+) -> DataFrame:
+    """Execute the :func:`plan_equi_join` decision (computing it first if
+    not supplied). All three strategies produce the identical row
+    multiset as ``left.join(right, on, how)`` — broadcast and shuffle
+    trivially, salted by :func:`skew_resilient_join`'s pinned
+    equivalence — so callers can adopt this wherever a plain equi-join
+    stands. Supports the joins the salted path supports: inner, left,
+    left_semi, left_anti. Pass maintained counts/CMS via ``decision``
+    (or ``plan_kwargs``) at scale so the planner reads bounded sketch
+    state instead of probing the fact with a shuffle per call."""
+    on = list(on)
+    if decision is None:
+        decision = plan_equi_join(
+            left, right, on, rows_per_partition=rows_per_partition, **plan_kwargs
+        )
+    strategy = decision["strategy"]
+    if strategy == "broadcast":
+        return left.join(F.broadcast(right), on, how)
+    if strategy == "salted":
+        return skew_resilient_join(
+            left,
+            right,
+            on,
+            how=how,
+            n_salts=max(2, decision["n_salts"]),
+            heavy_threshold_rows=rows_per_partition,
+        )
+    return left.join(right, on, how)

@@ -11,6 +11,8 @@ import pytest
 from pyspark.sql import functions as F
 
 from big_data_processing_with_aws_glue_workshop_spark.operators.skew import (
+    adaptive_join,
+    plan_equi_join,
     skew_profile,
     skew_resilient_join,
 )
@@ -106,6 +108,76 @@ def test_salted_join_composite_keys(spark, how):
     salted = skew_resilient_join(left, right, ["k1", "k2"], how=how, n_salts=4)
     assert salted.columns == plain.columns
     assert _multiset(salted) == _multiset(plain)
+
+
+def test_plan_equi_join_strategy_ladder(spark, skewed):
+    """The probe ladder picks the right strategy in each regime: small
+    build side => broadcast (no left probe paid: left stats stay None);
+    big build + hot left key => salted with the right salt factor; big
+    build + flat keys => shuffle."""
+    left, right = skewed  # right is ~1000 rows
+    d = plan_equi_join(left, right, ["k"], broadcast_threshold_rows=2_000)
+    assert d["strategy"] == "broadcast" and d["left_rows"] is None
+
+    d = plan_equi_join(
+        left, right, ["k"], broadcast_threshold_rows=10, rows_per_partition=1_000
+    )
+    assert d["strategy"] == "salted"
+    assert d["left_max_key_rows"] == 10_000 and d["n_salts"] == 10
+
+    d = plan_equi_join(
+        left, right, ["k"], broadcast_threshold_rows=10, rows_per_partition=50_000
+    )
+    assert d["strategy"] == "shuffle" and d["left_rows"] == 20_000
+
+
+def test_plan_equi_join_cms_output_flag(spark):
+    """With maintained CMS tables for both sides, the decision records
+    the join-output estimate and flags amplification: a shared hot key
+    makes two 2k-row inputs produce ~1M output rows."""
+    from big_data_processing_with_aws_glue_workshop_spark.operators.sketch import cms_sketch
+
+    hot = spark.range(2_000).select(F.lit(1).alias("k"))
+    flat = spark.range(2_000).select(F.col("id").alias("k"))
+    cms_hot = cms_sketch(hot, "k")
+    cms_flat = cms_sketch(flat, "k")
+    amplified = plan_equi_join(
+        hot, hot, ["k"], broadcast_threshold_rows=10_000,
+        left_cms=cms_hot, right_cms=cms_hot,
+    )
+    assert amplified["est_output_rows"] >= 4_000_000
+    assert amplified["output_amplified"] is True
+    benign = plan_equi_join(
+        flat, flat, ["k"], broadcast_threshold_rows=10_000,
+        left_cms=cms_flat, right_cms=cms_flat,
+    )
+    assert benign["output_amplified"] is False
+
+
+@pytest.mark.parametrize("how", ["inner", "left", "left_semi", "left_anti"])
+def test_adaptive_join_equals_plain_join_all_strategies(spark, skewed, how):
+    """Whatever the planner picks, the output row multiset must equal the
+    plain join — all three strategies forced via thresholds."""
+    left, right = skewed
+    plain = left.join(right, ["k"], how)
+    expected = _multiset(plain)
+    for kwargs in (
+        {"broadcast_threshold_rows": 2_000},                               # broadcast
+        {"broadcast_threshold_rows": 10, "rows_per_partition": 1_000},     # salted
+        {"broadcast_threshold_rows": 10, "rows_per_partition": 50_000},    # shuffle
+    ):
+        got = adaptive_join(left, right, ["k"], how=how, **kwargs)
+        assert got.columns == plain.columns, kwargs
+        assert _multiset(got) == expected, kwargs
+
+
+def test_adaptive_join_broadcast_plan_is_broadcast(spark, skewed):
+    """The broadcast decision must reach the physical plan: a
+    BroadcastHashJoin node, not a sort-merge exchange of the fact."""
+    left, right = skewed
+    df = adaptive_join(left, right, ["k"], broadcast_threshold_rows=2_000)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
 
 
 @pytest.mark.parametrize("seed", [11, 22, 33])
