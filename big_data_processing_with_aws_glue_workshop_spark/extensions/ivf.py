@@ -94,7 +94,33 @@ def train_ivf_index(
         return None, None, None
     sample = np.array([r["v"] for r in sample_rows], dtype="float64")
     centroids_np = _kmeans_fit(sample, nlist, seed, iters)
+    assigned = assign_to_centroids(
+        corpus, centroids_np, vec_col=vec_col, id_col=id_col, emit_angle=emit_angle
+    )
+    centroids = corpus.sparkSession.createDataFrame(
+        [(i, [float(x) for x in c]) for i, c in enumerate(centroids_np)],
+        "cell int, centroid array<double>",
+    )
+    return assigned, centroids, centroids_np
 
+
+def assign_to_centroids(
+    corpus: DataFrame,
+    centroids_np: "np.ndarray",
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    emit_angle: bool = False,
+) -> DataFrame:
+    """Assign every corpus vector to its nearest FIXED centroid — the
+    assignment half of :func:`train_ivf_index`, exposed separately so
+    incremental maintenance (plans/incremental.py's semantic refresh)
+    can route new vectors against the PINNED centroid matrix its
+    standing state was built with instead of refitting (refitting would
+    silently re-cell the corpus and invalidate every stored angle).
+
+    ``emit_angle`` adds each member's angle to its centroid from the
+    SAME matmul (zero-norm rows report worst-case pi so downstream
+    triangle-inequality bounds stay conservative)."""
     # the assignment matmul is the expensive narrow stage; an under-split
     # source (one row group) would run it on one core. Keyed on the vector
     # id: deterministic, and downstream per-cell work reshuffles anyway.
@@ -104,7 +130,7 @@ def train_ivf_index(
 
     # broadcast-assign: one Arrow-batched matmul per batch against the
     # (nlist x dim) centroid matrix captured in the closure
-    cmat = centroids_np
+    cmat = np.asarray(centroids_np, dtype="float64")
     cnorm2 = (cmat * cmat).sum(axis=1)
     cnorm = np.sqrt(cnorm2)
 
@@ -127,7 +153,7 @@ def train_ivf_index(
                 {"cell": cells.astype("int32"), "theta": theta}
             )
 
-    assigned = corpus.select(
+    return corpus.select(
         F.col(id_col).alias("vec_id"),
         F.col(vec_col).alias("embedding"),
         _assign(F.col(vec_col)).alias("__a"),
@@ -137,11 +163,6 @@ def train_ivf_index(
         F.col("__a.cell").alias("cell"),
         *([F.col("__a.theta").alias("theta")] if emit_angle else []),
     )
-    centroids = corpus.sparkSession.createDataFrame(
-        [(i, [float(x) for x in c]) for i, c in enumerate(centroids_np)],
-        "cell int, centroid array<double>",
-    )
-    return assigned, centroids, centroids_np
 
 
 def ivf_topk(

@@ -651,7 +651,8 @@ def apply_neardup_increment(
 def read_deduped(spark: SparkSession, target_dir: str) -> DataFrame:
     """Live view of the incrementally-deduped corpus: the union of every
     PUBLISHED accepted-delta directory (snapshot isolation — an
-    in-flight refresh's unpublished delta is invisible)."""
+    in-flight refresh's unpublished delta is invisible). Also the reader
+    for the SEMANTIC refresh below (same pointer/delta layout)."""
     import json
 
     pointer_path = os.path.join(target_dir, "current.json")
@@ -659,6 +660,293 @@ def read_deduped(spark: SparkSession, target_dir: str) -> DataFrame:
         pointer = json.load(f)
     paths = [os.path.join(target_dir, rel) for rel in pointer["deltas"]]
     return spark.read.parquet(*paths)
+
+
+def incremental_semantic_refresh(
+    spark: SparkSession,
+    bookmark: JobBookmark,
+    pattern: str,
+    target_dir: str,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.45,
+    nlist: int = 16,
+    seed: int = 42,
+    fmt: str = "parquet",
+    **reader_options: str,
+) -> dict:
+    """SEMANTIC (embedding-cosine) twin of ``incremental_neardup_refresh``:
+    drop newly-arrived vectors that are near-duplicates (cos >= threshold)
+    of the standing accepted set, or of a smaller-id vector in the same
+    increment, WITHOUT an all-pairs comparison — candidate generation is
+    the angular triangle-inequality cell pruning of the batch path
+    (extensions/similarity.py::near_dup_pairs_clustered), made incremental.
+
+    Mechanics per refresh:
+
+    1. first refresh FITS the k-means cells on the increment and PINS the
+       centroid matrix in the pointer; every later refresh assigns new
+       vectors against the pinned matrix (extensions/ivf.py::
+       assign_to_centroids) — refitting would silently re-cell the corpus
+       and invalidate the stored angles;
+    2. per-cell radii for the increment and the standing state come from
+       two narrow (cell, max theta) aggregates; the driver-side cell-pair
+       allowlist keeps exactly the pairs the triangle inequality cannot
+       rule out, so candidate recall is 1.0 BY CONSTRUCTION on arbitrary
+       data (pinned by the randomized parity test against a quadratic
+       reference);
+    3. the exact sequential-fold cosine verifies candidates (increment x
+       standing over allowed cell pairs, plus increment x increment with
+       smaller-id-wins); within-increment dropping is CONSERVATIVE like
+       the text twin — similar to ANY smaller-id increment vector, even
+       one itself dropped (transitive chains collapse to their smallest
+       member, deterministic in one pass);
+    4. survivors append as a delta carrying their cell + theta (the
+       accepted delta IS the index state — no separate structure);
+       atomic pointer flip publishes, bookmark commits last (same
+       crash-healing protocol as the other refresh twins).
+
+    At 100 TB: per-refresh reads are the increment plus the standing
+    members of ALLOWED cells only (column-pruned to id/vector/cell/theta);
+    accepted deltas are append-only (never rewritten — compaction of
+    corpus-scale vector state would be O(corpus) per refresh, the same
+    reason the exact-dedup path leaves accepted text alone; use the
+    compaction CLI on a maintenance cadence if small files accumulate).
+    Real embedding corpora cluster strongly, so the allowlist discards
+    most cell pairs; the uniform-random worst case degrades toward
+    increment x corpus exact verifies — the same intrinsic bound as the
+    batch path, paid per increment instead of per rebuild.
+    """
+    import json
+
+    pointer_path = os.path.join(target_dir, "current.json")
+    pointer = None
+    if os.path.exists(pointer_path):
+        with open(pointer_path) as f:
+            pointer = json.load(f)
+
+    healed = 0
+    if pointer is not None:
+        applied = set(pointer.get("delta_files", []))
+        stale = [f for f in bookmark.pending_files(pattern) if f in applied]
+        if stale:
+            bookmark.commit_files(stale)
+            healed = len(stale)
+
+    new_df, new_files = bookmark.read_incremental(
+        spark, pattern, fmt=fmt, **reader_options
+    )
+    if not new_files:
+        return {
+            "new_files": healed,
+            "new_docs": 0,
+            "accepted": 0,
+            "dropped_within": 0,
+            "dropped_vs_corpus": 0,
+        }
+
+    stats = apply_semantic_increment(
+        spark,
+        new_df,
+        target_dir,
+        pointer,
+        id_col=id_col,
+        vec_col=vec_col,
+        threshold=threshold,
+        nlist=nlist,
+        seed=seed,
+        extra_pointer_fields={"delta_files": sorted(new_files)},
+    )
+    bookmark.commit_files(new_files)
+    return {**stats, "new_files": healed + len(new_files)}
+
+
+def apply_semantic_increment(
+    spark: SparkSession,
+    new_df: DataFrame,
+    target_dir: str,
+    pointer: dict | None,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.45,
+    nlist: int = 16,
+    seed: int = 42,
+    extra_pointer_fields: dict | None = None,
+) -> dict:
+    """Semantic increment core (see ``incremental_semantic_refresh``) —
+    callers own increment discovery and idempotence bookkeeping; this
+    owns assignment, both drop joins, the delta write, and the pointer
+    flip."""
+    import json
+    import math
+
+    from ..extensions.ivf import assign_to_centroids, train_ivf_index
+    from ..queries.vectors import dot, norm
+
+    pointer_path = os.path.join(target_dir, "current.json")
+
+    # angle-comparability contract: stored thetas and the cell-pair
+    # allowlist are meaningful only against the centroid matrix that
+    # produced them, and the drop decision only under the same threshold.
+    # Pinned on first commit, enforced on every later refresh (the same
+    # contract class as the near-dup signature calibration).
+    calibration = {"threshold": threshold, "nlist": nlist, "seed": seed}
+    if pointer is not None:
+        stored = pointer.get("calibration")
+        if stored is not None and stored != calibration:
+            raise ValueError(
+                f"semantic-dedup calibration mismatch for {target_dir!r}: "
+                f"standing state was built with {stored}, this refresh was "
+                f"called with {calibration} — angles/decisions are "
+                "incomparable across calibrations; match the stored "
+                "parameters or rebuild the target"
+            )
+
+    if pointer is None:
+        fitted, _, cmat = train_ivf_index(
+            new_df, vec_col, id_col, nlist, seed, iters=5, emit_angle=True
+        )
+        if fitted is None:
+            raise ValueError(
+                "cannot initialize a semantic-dedup target from an empty "
+                "first increment — the centroid fit needs at least one vector"
+            )
+        centroids = [[float(x) for x in c] for c in cmat]
+        assigned = fitted
+    else:
+        centroids = pointer["centroids"]
+        assigned = assign_to_centroids(
+            new_df, centroids, vec_col=vec_col, id_col=id_col, emit_angle=True
+        )
+
+    # assigned: (vec_id, embedding, cell, theta) with canonical names; the
+    # survivor delta re-attaches the caller's full row by id below.
+    assigned = assigned.persist()
+    n_new = assigned.count()
+
+    theta_t = math.acos(max(-1.0, min(1.0, threshold)))
+    eps = 1e-6  # float slack: widens bounds, can only ADD candidates
+
+    def _angle(u, v):
+        du = math.sqrt(sum(x * x for x in u))
+        dv = math.sqrt(sum(x * x for x in v))
+        if du == 0.0 or dv == 0.0:
+            return 0.0  # undefined -> keep the cell pair allowed
+        c = sum(x * y for x, y in zip(u, v)) / (du * dv)
+        return math.acos(max(-1.0, min(1.0, c)))
+
+    inc_radii = {
+        r["cell"]: r["radius"]
+        for r in assigned.groupBy("cell").agg(F.max("theta").alias("radius")).collect()
+    }
+
+    cos_sim = dot(F.col("va"), F.col("vb")) / (F.col("norm_a") * F.col("norm_b"))
+    inc_side = assigned.select(
+        F.col("vec_id").alias("id_a"),
+        F.col("cell").alias("cell_a"),
+        F.col("embedding").alias("va"),
+        norm(F.col("embedding")).alias("norm_a"),
+    )
+
+    # --- drop vs standing corpus (skipped on the first refresh) ---
+    drop_vs_corpus = None
+    if pointer is not None and pointer["deltas"]:
+        standing = spark.read.parquet(
+            *[os.path.join(target_dir, rel) for rel in pointer["deltas"]]
+        ).select(id_col, vec_col, "cell", "theta")
+        std_radii = {
+            r["cell"]: r["radius"]
+            for r in standing.groupBy("cell")
+            .agg(F.max("theta").alias("radius"))
+            .collect()
+        }
+        allowed = [
+            (c1, c2)
+            for c1, r1 in inc_radii.items()
+            for c2, r2 in std_radii.items()
+            if _angle(centroids[c1], centroids[c2]) <= r1 + r2 + theta_t + eps
+        ]
+        if allowed:
+            allow_df = spark.createDataFrame(allowed, "cell_a int, cell_b int")
+            std_side = standing.select(
+                F.col(id_col).alias("id_b"),
+                F.col("cell").alias("cell_b"),
+                F.col(vec_col).alias("vb"),
+                norm(F.col(vec_col)).alias("norm_b"),
+            )
+            drop_vs_corpus = (
+                inc_side.join(F.broadcast(allow_df), "cell_a")
+                .join(std_side, "cell_b")
+                .filter(cos_sim >= threshold)
+                .select(F.col("id_a").alias("vec_id"))
+                .distinct()
+            )
+
+    # --- drop within the increment (smaller id wins, conservative) ---
+    allowed_inc = [
+        (c1, c2)
+        for c1, r1 in inc_radii.items()
+        for c2, r2 in inc_radii.items()
+        if _angle(centroids[c1], centroids[c2]) <= r1 + r2 + theta_t + eps
+    ]
+    drop_within = None
+    if allowed_inc:
+        allow_inc_df = spark.createDataFrame(allowed_inc, "cell_a int, cell_b int")
+        inc_b = assigned.select(
+            F.col("vec_id").alias("id_b"),
+            F.col("cell").alias("cell_b"),
+            F.col("embedding").alias("vb"),
+            norm(F.col("embedding")).alias("norm_b"),
+        )
+        drop_within = (
+            inc_side.join(F.broadcast(allow_inc_df), "cell_a")
+            .join(inc_b, "cell_b")
+            .filter((F.col("id_a") < F.col("id_b")) & (cos_sim >= threshold))
+            .select(F.col("id_b").alias("vec_id"))
+            .distinct()
+        )
+
+    meta = assigned.select(
+        F.col("vec_id").alias("__aid"), "cell", "theta"
+    )
+    survivors = new_df.join(meta, new_df[id_col] == meta["__aid"]).drop("__aid")
+    if drop_within is not None:
+        dw = drop_within.select(F.col("vec_id").alias("__did"))
+        survivors = survivors.join(
+            dw, survivors[id_col] == dw["__did"], "left_anti"
+        )
+    n_after_within = survivors.count()
+    if drop_vs_corpus is not None:
+        dc = drop_vs_corpus.select(F.col("vec_id").alias("__did"))
+        survivors = survivors.join(
+            dc, survivors[id_col] == dc["__did"], "left_anti"
+        )
+
+    batch_id = pointer["batch_id"] + 1 if pointer is not None else 0
+    delta_rel = f"accepted/delta_{batch_id}"
+    survivors.write.mode("overwrite").parquet(os.path.join(target_dir, delta_rel))
+    n_accepted = spark.read.parquet(os.path.join(target_dir, delta_rel)).count()
+
+    deltas = (pointer["deltas"] if pointer is not None else []) + [delta_rel]
+    _flip_pointer(
+        pointer_path,
+        pointer,
+        {
+            "batch_id": batch_id,
+            "deltas": deltas,
+            "centroids": centroids,
+            "calibration": calibration,
+            **(extra_pointer_fields or {}),
+        },
+    )
+    assigned.unpersist()
+    return {
+        "new_files": 0,
+        "new_docs": n_new,
+        "accepted": n_accepted,
+        "dropped_within": n_new - n_after_within,
+        "dropped_vs_corpus": n_after_within - n_accepted,
+    }
 
 
 # ---------------------------------------------------------------------------

@@ -1399,3 +1399,180 @@ def test_join_refresh_refuses_foreign_target(spark, tmp_path):
     )
     with pytest.raises(ValueError, match="not a join-view state"):
         _jv_refresh(spark, e)
+
+
+# ---------------------------------------------------------------------------
+# Incremental SEMANTIC (embedding) near-dup refresh
+# ---------------------------------------------------------------------------
+
+
+def _write_vecs(path, rows):
+    pq.write_table(
+        pa.Table.from_pandas(
+            pd.DataFrame(
+                {"vec_id": [r[0] for r in rows], "embedding": [r[1] for r in rows]}
+            ),
+            preserve_index=False,
+        ).cast(
+            pa.schema(
+                [("vec_id", pa.int64()), ("embedding", pa.list_(pa.float32()))]
+            )
+        ),
+        str(path),
+    )
+
+
+def _cos(u, v):
+    import math
+
+    du = math.sqrt(sum(x * x for x in u))
+    dv = math.sqrt(sum(x * x for x in v))
+    if du == 0.0 or dv == 0.0:
+        return float("nan")
+    return sum(x * y for x, y in zip(u, v)) / (du * dv)
+
+
+def test_incremental_semantic_refresh(spark, tmp_path):
+    """Semantic twin of the near-dup refresh: a re-embedded near-copy of
+    a standing vector is dropped via the pinned-centroid cell pruning +
+    exact cosine verify; within-increment near-dups collapse to the
+    smallest id; genuinely new vectors append; crash healing replays
+    cleanly."""
+    from big_data_processing_with_aws_glue_workshop_spark.plans.incremental import (
+        incremental_semantic_refresh,
+        read_deduped,
+    )
+
+    landing = tmp_path / "vecs"
+    landing.mkdir()
+    target = str(tmp_path / "corpus")
+    pattern = str(landing / "*.parquet")
+    bm = JobBookmark(str(tmp_path / "bm.json"), "semantic")
+
+    base = [1.0, 0.2, -0.5, 0.8]
+    near = [1.01, 0.21, -0.49, 0.82]       # cos ~0.9999 with base
+    ortho = [-0.2, 1.0, 0.8, 0.1]          # far from base
+    _write_vecs(landing / "w0.parquet", [(1, base), (2, near), (3, ortho)])
+    stats = incremental_semantic_refresh(
+        spark, bm, pattern, target, threshold=0.95, nlist=2
+    )
+    assert stats["new_docs"] == 3
+    assert stats["dropped_within"] == 1     # 2 collapses into 1
+    assert stats["accepted"] == 2
+    assert {r["vec_id"] for r in read_deduped(spark, target).collect()} == {1, 3}
+
+    near2 = [0.99, 0.19, -0.51, 0.79]       # near-dup of standing base
+    fresh = [0.1, -0.9, 0.3, 0.6]           # genuinely new direction
+    _write_vecs(landing / "w1.parquet", [(9, near2), (10, fresh)])
+    stats = incremental_semantic_refresh(
+        spark, bm, pattern, target, threshold=0.95, nlist=2
+    )
+    assert stats["dropped_vs_corpus"] == 1
+    assert stats["accepted"] == 1
+    assert {r["vec_id"] for r in read_deduped(spark, target).collect()} == {1, 3, 10}
+
+    # crash between pointer flip and bookmark commit: heal, no re-append
+    crashed = JobBookmark(str(tmp_path / "bm_crashed.json"), "semantic")
+    crashed.commit_files([str(landing / "w0.parquet")])
+    stats = incremental_semantic_refresh(
+        spark, crashed, pattern, target, threshold=0.95, nlist=2
+    )
+    assert stats == {
+        "new_files": 1, "new_docs": 0, "accepted": 0,
+        "dropped_within": 0, "dropped_vs_corpus": 0,
+    }
+    assert {r["vec_id"] for r in read_deduped(spark, target).collect()} == {1, 3, 10}
+
+
+def test_semantic_calibration_mismatch_raises(spark, tmp_path):
+    from big_data_processing_with_aws_glue_workshop_spark.plans.incremental import (
+        incremental_semantic_refresh,
+    )
+
+    landing = tmp_path / "vecs"
+    landing.mkdir()
+    target = str(tmp_path / "corpus")
+    pattern = str(landing / "*.parquet")
+    bm = JobBookmark(str(tmp_path / "bm.json"), "semantic")
+    _write_vecs(landing / "w0.parquet", [(1, [1.0, 0.0]), (2, [0.0, 1.0])])
+    incremental_semantic_refresh(spark, bm, pattern, target, threshold=0.9)
+    _write_vecs(landing / "w1.parquet", [(3, [0.5, 0.5])])
+    with pytest.raises(ValueError, match="calibration mismatch"):
+        incremental_semantic_refresh(spark, bm, pattern, target, threshold=0.8)
+    stats = incremental_semantic_refresh(spark, bm, pattern, target, threshold=0.9)
+    assert stats["new_docs"] == 1
+
+
+@pytest.mark.parametrize("seed", [5, 17])
+def test_semantic_refresh_randomized_parity(spark, tmp_path, seed):
+    """Candidate recall 1.0 is a THEOREM (triangle inequality), so the
+    incremental path must reproduce, on random data with planted
+    near-dups, exactly the accepted set of a quadratic pure-Python
+    reference implementing the same conservative semantics: per wave,
+    drop vectors similar to any smaller-id wave member (even a dropped
+    one), then drop survivors similar to any previously-ACCEPTED vector."""
+    import random
+
+    from big_data_processing_with_aws_glue_workshop_spark.plans.incremental import (
+        incremental_semantic_refresh,
+        read_deduped,
+    )
+
+    rng = random.Random(seed)
+    dim, thr = 6, 0.92
+    def rand_vec():
+        return [rng.uniform(-1, 1) for _ in range(dim)]
+
+    vid = 0
+    waves = []
+    for _ in range(3):
+        wave = []
+        for _ in range(25):
+            vid += 1
+            v = rand_vec()
+            wave.append((vid, [float(x) for x in v]))
+            if rng.random() < 0.4:  # plant a near-copy (higher id)
+                vid += 1
+                w = [x * rng.uniform(0.97, 1.03) + rng.uniform(-0.01, 0.01) for x in v]
+                wave.append((vid, [float(x) for x in w]))
+        waves.append(wave)
+
+    # float32 storage: the engine reads float32 parquet; round-trip the
+    # reference vectors through float32 so both sides score identical bits
+    import numpy as np
+
+    waves = [
+        [(i, [float(np.float32(x)) for x in v]) for i, v in wave]
+        for wave in waves
+    ]
+
+    # quadratic reference with identical semantics
+    accepted: list[tuple[int, list]] = []
+    for wave in waves:
+        drop_within = set()
+        for i, (ida, va) in enumerate(wave):
+            for idb, vb in wave[:i]:
+                if _cos(vb, va) >= thr:
+                    drop_within.add(ida)
+                    break
+        for ida, va in wave:
+            if ida in drop_within:
+                continue
+            if any(_cos(vs, va) >= thr for _, vs in accepted):
+                continue
+            accepted.append((ida, va))
+    expected = {ida for ida, _ in accepted}
+
+    landing = tmp_path / "vecs"
+    landing.mkdir()
+    target = str(tmp_path / "corpus")
+    pattern = str(landing / "*.parquet")
+    bm = JobBookmark(str(tmp_path / "bm.json"), "semantic")
+    for w, wave in enumerate(waves):
+        _write_vecs(landing / f"w{w}.parquet", wave)
+        incremental_semantic_refresh(
+            spark, bm, pattern, target, threshold=thr, nlist=4, seed=seed
+        )
+    got = {r["vec_id"] for r in read_deduped(spark, target).collect()}
+    assert got == expected
+    assert len(expected) < vid  # the fixture actually dropped something
