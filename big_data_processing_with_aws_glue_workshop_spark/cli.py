@@ -546,6 +546,31 @@ def cmd_neardup_refresh(args: argparse.Namespace) -> None:
     _emit({"job": "neardup-refresh", **stats})
 
 
+def cmd_semantic_refresh(args: argparse.Namespace) -> None:
+    """Incremental SEMANTIC dedup refresh (plans/incremental.py): new
+    embedding files are assigned against the centroid matrix pinned at
+    first refresh, candidate cell pairs are pruned with the angular
+    triangle inequality, and near-copies (cos >= threshold) of the
+    standing corpus or of smaller-id increment vectors are dropped."""
+    from .plans.incremental import incremental_semantic_refresh
+    from .sources.bookmarks import JobBookmark
+
+    spark = get_session(app_name="semantic-refresh")
+    bm = JobBookmark(args.bookmark, args.job_name)
+    stats = incremental_semantic_refresh(
+        spark,
+        bm,
+        args.pattern,
+        args.target,
+        id_col=args.id_col,
+        vec_col=args.vec_col,
+        threshold=args.threshold,
+        nlist=args.nlist,
+        seed=args.seed,
+    )
+    _emit({"job": "semantic-refresh", **stats})
+
+
 def cmd_bpe_learn(args: argparse.Namespace) -> None:
     """Learn a BPE subword vocabulary from a document table
     (operators/bpe.py): one corpus pass builds the word-frequency
@@ -869,6 +894,22 @@ def build_parser() -> argparse.ArgumentParser:
         help="segment the drift histogram by this column (e.g. lang)",
     )
     nr.set_defaults(func=cmd_neardup_refresh)
+
+    sr = sub.add_parser(
+        "semantic-refresh",
+        help="semantic (embedding-cosine) dedup of newly-landed vector "
+        "files against the standing pinned-centroid state",
+    )
+    sr.add_argument("--pattern", required=True, help="landing-glob of vector files")
+    sr.add_argument("--target", required=True, help="deduped corpus directory")
+    sr.add_argument("--bookmark", required=True, help="bookmark state JSON path")
+    sr.add_argument("--job-name", default="semantic-refresh")
+    sr.add_argument("--id-col", default="vec_id")
+    sr.add_argument("--vec-col", default="embedding")
+    sr.add_argument("--threshold", type=float, default=0.45)
+    sr.add_argument("--nlist", type=int, default=16)
+    sr.add_argument("--seed", type=int, default=42)
+    sr.set_defaults(func=cmd_semantic_refresh)
 
     c = sub.add_parser(
         "compact",

@@ -226,6 +226,94 @@ class CorpusNearDupSink:
                 self.last_drift = rep
 
 
+class CorpusSemanticDupSink:
+    """``foreachBatch`` twin of CorpusNearDupSink for SEMANTIC
+    (embedding-cosine) duplicates: each micro-batch is dropped against
+    the standing pinned-centroid vector state
+    (plans/incremental.py::apply_semantic_increment) — the same state
+    the file-based ``incremental_semantic_refresh`` maintains, so a
+    streamed embedding firehose and batch backfills interleave on one
+    semantically-deduped corpus with one (threshold, nlist, seed)
+    calibration. The first COMMITTED batch fits and pins the centroids;
+    every later batch (either tempo) assigns against them. No drift
+    option: the corpus-drift report is text-keyed; embedding drift is
+    the centroid-radius story, visible in the stored thetas."""
+
+    def __init__(
+        self,
+        target_dir: str,
+        id_col: str = "vec_id",
+        vec_col: str = "embedding",
+        threshold: float = 0.45,
+        nlist: int = 16,
+        seed: int = 42,
+        checkpoint_dir: str | None = None,
+    ) -> None:
+        self.target_dir = target_dir
+        self.id_col = id_col
+        self.vec_col = vec_col
+        self.threshold = threshold
+        self.nlist = nlist
+        self.seed = seed
+        self.checkpoint_dir = checkpoint_dir
+
+    _pointer_fields = CorpusDedupSink._pointer_fields
+
+    def __call__(self, batch_df: DataFrame, batch_id: int) -> None:
+        from ..plans.incremental import apply_semantic_increment
+
+        pointer = read_pointer(self.target_dir)
+        if pointer is not None and batch_id <= pointer.get("last_stream_batch", -1):
+            return
+        if batch_df.isEmpty() and pointer is None:
+            return  # cannot fit centroids on an empty first batch
+        apply_semantic_increment(
+            batch_df.sparkSession,
+            batch_df,
+            self.target_dir,
+            pointer,
+            id_col=self.id_col,
+            vec_col=self.vec_col,
+            threshold=self.threshold,
+            nlist=self.nlist,
+            seed=self.seed,
+            extra_pointer_fields=self._pointer_fields(batch_id),
+        )
+
+
+def run_stream_corpus_semantic(
+    stream_df: DataFrame,
+    target_dir: str,
+    checkpoint_dir: str | None = None,
+    threshold: float = 0.45,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    nlist: int = 16,
+    seed: int = 42,
+) -> CorpusSemanticDupSink:
+    """availableNow drain into the semantically-deduped corpus; same
+    checkpoint discipline as the other two sinks."""
+    sink = CorpusSemanticDupSink(
+        target_dir,
+        id_col=id_col,
+        vec_col=vec_col,
+        threshold=threshold,
+        nlist=nlist,
+        seed=seed,
+        checkpoint_dir=checkpoint_dir,
+    )
+    _checkpoint_guard(target_dir, checkpoint_dir)
+    writer = stream_df.writeStream.foreachBatch(sink)
+    if checkpoint_dir is not None:
+        writer = writer.option("checkpointLocation", checkpoint_dir)
+    q = writer.trigger(availableNow=True).start()
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    return sink
+
+
 def run_stream_corpus_neardup(
     stream_df: DataFrame,
     target_dir: str,

@@ -689,3 +689,57 @@ def test_cli_agg_refresh_hll_distinct_state(spark, tmp_path, capsys):
     out2 = _json.loads(capsys.readouterr().out.strip().splitlines()[-1])
     assert abs(out2["distinct_estimate"] - 45_000) / 45_000 < 0.05
     assert out2["state_rows"] <= 4096  # bounded register table
+
+
+def test_cli_semantic_refresh(spark, tmp_path, capsys):
+    """semantic-refresh subcommand: a near-copy embedding re-landing is
+    dropped against the standing pinned-centroid state on the second
+    landing."""
+    import json as _json
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from big_data_processing_with_aws_glue_workshop_spark.cli import main
+    from big_data_processing_with_aws_glue_workshop_spark.plans.incremental import (
+        read_deduped,
+    )
+
+    landing = tmp_path / "vecs"
+    landing.mkdir()
+    args = [
+        "semantic-refresh",
+        "--pattern", str(landing / "*.parquet"),
+        "--bookmark", str(tmp_path / "bm.json"),
+        "--target", str(tmp_path / "corpus"),
+        "--threshold", "0.95",
+        "--nlist", "2",
+    ]
+
+    def land(name, rows):
+        pq.write_table(
+            pa.Table.from_pandas(
+                pd.DataFrame(
+                    {"vec_id": [r[0] for r in rows],
+                     "embedding": [r[1] for r in rows]}
+                ),
+                preserve_index=False,
+            ).cast(
+                pa.schema(
+                    [("vec_id", pa.int64()), ("embedding", pa.list_(pa.float32()))]
+                )
+            ),
+            str(landing / name),
+        )
+
+    land("v1.parquet", [(1, [1.0, 0.2, -0.5, 0.8]), (2, [-0.2, 1.0, 0.8, 0.1])])
+    main(args)
+    out1 = _json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert out1["accepted"] == 2 and out1["dropped_vs_corpus"] == 0
+
+    land("v2.parquet", [(9, [1.01, 0.21, -0.49, 0.82]), (10, [0.1, -0.9, 0.3, 0.6])])
+    main(args)
+    out2 = _json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert out2["dropped_vs_corpus"] == 1 and out2["accepted"] == 1
+    got = {r["vec_id"] for r in read_deduped(spark, str(tmp_path / "corpus")).collect()}
+    assert got == {1, 2, 10}

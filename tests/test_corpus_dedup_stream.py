@@ -323,3 +323,87 @@ def test_stream_sink_drift_gate(spark, tmp_path):
     before = open(os.path.join(target, "drift_hist.json")).read()
     sink(w1, 1)
     assert open(os.path.join(target, "drift_hist.json")).read() == before
+
+
+VEC_SCHEMA = "vec_id long, embedding array<float>"
+
+
+def _land_vecs(path, rows):
+    pq.write_table(
+        pa.Table.from_pandas(
+            pd.DataFrame(
+                {"vec_id": [r[0] for r in rows], "embedding": [r[1] for r in rows]}
+            ),
+            preserve_index=False,
+        ).cast(
+            pa.schema([("vec_id", pa.int64()), ("embedding", pa.list_(pa.float32()))])
+        ),
+        str(path),
+    )
+
+
+def test_stream_semantic_interleaves_with_batch_refresh(spark, tmp_path):
+    """Semantic twin: a streamed vector's pinned-centroid state drops a
+    near-copy FILE backfill, and the backfill's state drops a later
+    stream batch — one calibration, two ingestion tempos, plus replay
+    idempotence on a restarted stream."""
+    from big_data_processing_with_aws_glue_workshop_spark.plans.incremental import (
+        incremental_semantic_refresh,
+    )
+    from big_data_processing_with_aws_glue_workshop_spark.streaming.corpus_dedup import (
+        run_stream_corpus_semantic,
+    )
+
+    stream_in = tmp_path / "stream_in"
+    stream_in.mkdir()
+    files_in = tmp_path / "files_in"
+    files_in.mkdir()
+    target = str(tmp_path / "corpus")
+    ckpt = str(tmp_path / "ckpt")
+    bm = JobBookmark(str(tmp_path / "bm.json"), "backfill")
+
+    base = [1.0, 0.2, -0.5, 0.8]
+    ortho = [-0.2, 1.0, 0.8, 0.1]
+    _land_vecs(stream_in / "s0.parquet", [(1, base), (2, ortho)])
+    run_stream_corpus_semantic(
+        spark.readStream.schema(VEC_SCHEMA).parquet(str(stream_in)),
+        target, ckpt, threshold=0.95, nlist=2,
+    )
+    assert {r["vec_id"] for r in read_deduped(spark, target).collect()} == {1, 2}
+
+    # file backfill: near-copy of the STREAMED base + one new direction
+    fresh = [0.1, -0.9, 0.3, 0.6]
+    _land_vecs(
+        files_in / "f0.parquet",
+        [(20, [1.01, 0.21, -0.49, 0.82]), (21, fresh)],
+    )
+    stats = incremental_semantic_refresh(
+        spark, bm, str(files_in / "*.parquet"), target, threshold=0.95, nlist=2
+    )
+    assert stats["dropped_vs_corpus"] == 1 and stats["accepted"] == 1
+
+    # stream again: near-copy of the BACKFILLED fresh vector is dropped
+    _land_vecs(stream_in / "s1.parquet", [(30, [0.101, -0.91, 0.31, 0.59])])
+    run_stream_corpus_semantic(
+        spark.readStream.schema(VEC_SCHEMA).parquet(str(stream_in)),
+        target, ckpt, threshold=0.95, nlist=2,
+    )
+    assert {r["vec_id"] for r in read_deduped(spark, target).collect()} == {1, 2, 21}
+
+    # replay idempotence: a fresh run over the same checkpoint is a no-op
+    run_stream_corpus_semantic(
+        spark.readStream.schema(VEC_SCHEMA).parquet(str(stream_in)),
+        target, ckpt, threshold=0.95, nlist=2,
+    )
+    assert {r["vec_id"] for r in read_deduped(spark, target).collect()} == {1, 2, 21}
+
+    # calibration is shared across tempos: a mismatched stream refuses
+    # (the ValueError surfaces wrapped in the StreamingQueryException)
+    import pytest
+
+    _land_vecs(stream_in / "s2.parquet", [(40, [0.5, 0.5, 0.5, 0.5])])
+    with pytest.raises(Exception, match="calibration mismatch"):
+        run_stream_corpus_semantic(
+            spark.readStream.schema(VEC_SCHEMA).parquet(str(stream_in)),
+            target, ckpt, threshold=0.9, nlist=2,
+        )
