@@ -382,3 +382,120 @@ def semantic_contamination(
         "max_benchmark_sim",
         (F.col("max_benchmark_sim") >= F.lit(threshold)).alias("contaminated"),
     )
+
+
+def cosine_similarity_join(
+    left: DataFrame,
+    right: DataFrame,
+    threshold: float = 0.9,
+    left_id: str = "left_id",
+    right_id: str = "right_id",
+    left_vec: str = "embedding",
+    right_vec: str = "embedding",
+    nlist: int = 16,
+    seed: int = 42,
+) -> DataFrame:
+    """EXACT two-frame cosine similarity join: every (left, right) pair
+    with cos >= threshold, WITHOUT the cross join — the two-sided
+    generalization of :func:`near_dup_pairs_clustered`'s angular
+    triangle-inequality pruning (which stays the tuned SELF-join path).
+
+    The named join modern engines call a "vector similarity join":
+    match two corpora by embedding neighborhood — cross-dataset
+    decontamination where the benchmark side is too big to broadcast
+    (:func:`semantic_contamination`'s documented limit), record linkage
+    by description embedding, query-to-corpus candidate generation with
+    an exactness guarantee.
+
+    Mechanics: k-means cells fit on a deterministic RIGHT sample
+    (ivf.py), BOTH sides assigned against the same pinned matrix with
+    per-member angles; a driver-side (left-cell, right-cell) allowlist
+    keeps exactly the pairs theta(c1,c2) <= r_left(c1) + r_right(c2) +
+    arccos(threshold) + eps — any pruned cell pair provably cannot hold
+    a qualifying pair, so recall is 1.0 BY CONSTRUCTION on arbitrary
+    data; survivors pay the exact sequential-fold cosine (bit-identical
+    to the cross-join baseline; zero-norm vectors yield NaN and never
+    match, the baseline's semantics).
+
+    Scale shape: one assignment matmul per side, two narrow (cell, max
+    theta) aggregates, then a shuffle keyed on the cell pair whose
+    volume is sum over ALLOWED pairs of |left cell| + |right cell|
+    replicated rows. Clustered corpora discard most cell pairs
+    driver-side (measured for the shared pruning core in
+    docs/SCALE.md's semantic-probe section); the uniform worst case
+    degrades toward the cross join — the intrinsic bound of any exact
+    join. Raise nlist with corpus size (cells ~ sqrt(n) keeps block
+    volume balanced); for candidate-only workloads at extreme scale,
+    swap the exact verify for the PQ-ADC scorer (extensions/pq.py).
+    """
+    from ..queries.vectors import dot, norm
+    from .ivf import assign_to_centroids, train_ivf_index
+
+    fitted, _, cmat = train_ivf_index(
+        right, right_vec, right_id, nlist, seed, iters=5, emit_angle=True
+    )
+    if fitted is None:  # empty right side: no pairs
+        return left.sparkSession.createDataFrame(
+            [], f"{left_id} long, {right_id} long, cos_sim double"
+        )
+    r_assigned = fitted
+    l_assigned = assign_to_centroids(
+        left, cmat, vec_col=left_vec, id_col=left_id, emit_angle=True
+    )
+
+    theta_t = math.acos(max(-1.0, min(1.0, threshold)))
+    eps = 1e-6
+
+    def _angle(u, v):
+        du = math.sqrt(sum(x * x for x in u))
+        dv = math.sqrt(sum(x * x for x in v))
+        if du == 0.0 or dv == 0.0:
+            return 0.0
+        c = sum(x * y for x, y in zip(u, v)) / (du * dv)
+        return math.acos(max(-1.0, min(1.0, c)))
+
+    cents = [[float(x) for x in c] for c in cmat]
+    l_radii = {
+        r["cell"]: r["radius"]
+        for r in l_assigned.groupBy("cell").agg(F.max("theta").alias("radius")).collect()
+    }
+    r_radii = {
+        r["cell"]: r["radius"]
+        for r in r_assigned.groupBy("cell").agg(F.max("theta").alias("radius")).collect()
+    }
+    allowed = [
+        (cl, cr)
+        for cl, rl in l_radii.items()
+        for cr, rr in r_radii.items()
+        if _angle(cents[cl], cents[cr]) <= rl + rr + theta_t + eps
+    ]
+    spark = left.sparkSession
+    if not allowed:
+        return spark.createDataFrame(
+            [], f"{left_id} long, {right_id} long, cos_sim double"
+        )
+    allow_df = spark.createDataFrame(allowed, "cell_l int, cell_r int")
+    lhs = l_assigned.select(
+        F.col("vec_id").alias("__lid"),
+        F.col("cell").alias("cell_l"),
+        F.col("embedding").alias("va"),
+        norm(F.col("embedding")).alias("norm_a"),
+    )
+    rhs = r_assigned.select(
+        F.col("vec_id").alias("__rid"),
+        F.col("cell").alias("cell_r"),
+        F.col("embedding").alias("vb"),
+        norm(F.col("embedding")).alias("norm_b"),
+    )
+    return (
+        lhs.join(F.broadcast(allow_df), "cell_l")
+        .join(rhs, "cell_r")
+        .select(
+            F.col("__lid").alias(left_id),
+            F.col("__rid").alias(right_id),
+            (dot(F.col("va"), F.col("vb")) / (F.col("norm_a") * F.col("norm_b"))).alias(
+                "cos_sim"
+            ),
+        )
+        .filter(F.col("cos_sim") >= threshold)
+    )

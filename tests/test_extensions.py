@@ -463,3 +463,63 @@ def test_compression_ratio_parity_and_signal_direction(spark):
 
     with pytest.raises(ValueError, match="raw_bytes"):
         doc_compression_ratios(df.withColumn("raw_bytes", F.lit(0)))
+
+
+@pytest.mark.parametrize("seed", [3, 14])
+def test_cosine_similarity_join_equals_cross_join(spark, seed):
+    """The two-frame similarity join must reproduce the cross-join
+    baseline EXACTLY (ids and cos_sim bits) on random data with planted
+    matches — recall 1.0 is the triangle-inequality theorem, two-sided."""
+    import random
+
+    from big_data_processing_with_aws_glue_workshop_spark.extensions.similarity import (
+        cosine_similarity_join,
+    )
+    from big_data_processing_with_aws_glue_workshop_spark.queries.vectors import dot, norm
+
+    rng = random.Random(seed)
+    dim, thr = 8, 0.93
+    right_rows = [
+        (i, [float(rng.uniform(-1, 1)) for _ in range(dim)]) for i in range(120)
+    ]
+    left_rows = []
+    for j in range(80):
+        if rng.random() < 0.3:  # planted near-match of a right vector
+            _, v = right_rows[rng.randrange(len(right_rows))]
+            left_rows.append(
+                (1000 + j, [x * rng.uniform(0.98, 1.02) + rng.uniform(-0.01, 0.01) for x in v])
+            )
+        else:
+            left_rows.append((1000 + j, [float(rng.uniform(-1, 1)) for _ in range(dim)]))
+
+    schema_l = "left_id long, embedding array<float>"
+    schema_r = "right_id long, embedding array<float>"
+    ldf = spark.createDataFrame(left_rows, schema_l)
+    rdf = spark.createDataFrame(right_rows, schema_r)
+
+    got = sorted(
+        (r["left_id"], r["right_id"], r["cos_sim"])
+        for r in cosine_similarity_join(
+            ldf, rdf, threshold=thr, nlist=6, seed=seed
+        ).collect()
+    )
+    la = ldf.select(
+        F.col("left_id"), F.col("embedding").alias("va"),
+        norm(F.col("embedding")).alias("na"),
+    )
+    rb = rdf.select(
+        F.col("right_id"), F.col("embedding").alias("vb"),
+        norm(F.col("embedding")).alias("nb"),
+    )
+    expected = sorted(
+        (r["left_id"], r["right_id"], r["cos_sim"])
+        for r in la.crossJoin(rb)
+        .select(
+            "left_id", "right_id",
+            (dot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb"))).alias("cos_sim"),
+        )
+        .filter(F.col("cos_sim") >= thr)
+        .collect()
+    )
+    assert got == expected
+    assert len(expected) > 0  # the planted matches must actually exercise it
