@@ -139,6 +139,42 @@ def ann_lsh_topk(
     )
 
 
+def angle_between(u, v) -> float:
+    """Angle (radians) between two vectors; a zero-norm operand reports
+    0.0 so triangle-inequality ALLOWLISTS built on this can only widen
+    (the undefined-angle cell pair stays allowed). THE shared pruning
+    primitive — near_dup_pairs_clustered, cosine_similarity_join, the
+    incremental semantic refresh, and tools/semantic_probe.py must all
+    use this one definition or their recall-1.0 guarantees silently
+    diverge (r10 review finding)."""
+    du = math.sqrt(sum(x * x for x in u))
+    dv = math.sqrt(sum(x * x for x in v))
+    if du == 0.0 or dv == 0.0:
+        return 0.0  # undefined angle -> keep the cluster pair allowed
+    c = sum(x * y for x, y in zip(u, v)) / (du * dv)
+    return math.acos(max(-1.0, min(1.0, c)))
+
+
+def allowed_cell_pairs(
+    cents, radii_a: dict, radii_b: dict, threshold: float
+) -> list[tuple[int, int]]:
+    """Driver-side triangle-inequality allowlist over cell pairs: every
+    (ca, cb) with theta(cent_ca, cent_cb) <= r_a(ca) + r_b(cb) +
+    arccos(threshold) + eps — the pairs that COULD hold a qualifying
+    (cos >= threshold) member pair. Pruned pairs provably cannot; the
+    eps float slack only widens. Both orientations are emitted (the
+    self-join caller filters to ca <= cb itself)."""
+    theta_t = math.acos(max(-1.0, min(1.0, threshold)))
+    eps = 1e-6  # float slack: widens the bound, can only ADD candidates
+    return [
+        (ca, cb)
+        for ca, ra in radii_a.items()
+        for cb, rb in radii_b.items()
+        if ca == cb
+        or angle_between(cents[ca], cents[cb]) <= ra + rb + theta_t + eps
+    ]
+
+
 def near_dup_pairs_clustered(
     corpus: DataFrame,
     threshold: float = 0.45,
@@ -209,24 +245,12 @@ def near_dup_pairs_clustered(
         r["cell"]: r["radius"]
         for r in assigned.groupBy("cell").agg(F.max("theta").alias("radius")).collect()
     }
-    theta_t = math.acos(max(-1.0, min(1.0, threshold)))
-    eps = 1e-6  # float slack: widens the bound, can only ADD candidates
-
-    def _angle(u: list[float], v: list[float]) -> float:
-        du = math.sqrt(sum(x * x for x in u))
-        dv = math.sqrt(sum(x * x for x in v))
-        if du == 0.0 or dv == 0.0:
-            return 0.0  # undefined angle -> keep the cluster pair allowed
-        c = sum(x * y for x, y in zip(u, v)) / (du * dv)
-        return math.acos(max(-1.0, min(1.0, c)))
-
-    allowed: list[tuple[int, int]] = []
-    cells = sorted(radius_rows)  # cells with at least one member
-    for i, c1 in enumerate(cells):
-        for c2 in cells[i:]:
-            bound = radius_rows[c1] + radius_rows[c2] + theta_t + eps
-            if c1 == c2 or _angle(cent_rows[c1], cent_rows[c2]) <= bound:
-                allowed.append((c1, c2))  # one orientation: c1 <= c2
+    # one orientation (c1 <= c2): the shared helper emits both
+    allowed = sorted(
+        (c1, c2)
+        for c1, c2 in allowed_cell_pairs(cent_rows, radius_rows, radius_rows, threshold)
+        if c1 <= c2
+    )
     allow_df = corpus.sparkSession.createDataFrame(allowed, "c1 int, c2 int")
 
     # Stage 1 — block-matmul PREFILTER over allowed cluster pairs. Scoring
@@ -431,28 +455,37 @@ def cosine_similarity_join(
     from ..queries.vectors import dot, norm
     from .ivf import assign_to_centroids, train_ivf_index
 
+    if left_id == right_id:
+        raise ValueError(
+            "cosine_similarity_join needs distinct output id column names; "
+            f"both sides were given {left_id!r} — alias one side first"
+        )
+
+    def _empty():
+        # preserve the CALLERS' id dtypes in the empty result (string ids
+        # are common in record linkage; a hardcoded long schema would make
+        # empty and non-empty runs union-incompatible)
+        return (
+            left.select(F.col(left_id))
+            .limit(0)
+            .crossJoin(right.select(F.col(right_id)).limit(0))
+            .withColumn("cos_sim", F.lit(0.0).cast("double"))
+        )
+
     fitted, _, cmat = train_ivf_index(
         right, right_vec, right_id, nlist, seed, iters=5, emit_angle=True
     )
     if fitted is None:  # empty right side: no pairs
-        return left.sparkSession.createDataFrame(
-            [], f"{left_id} long, {right_id} long, cos_sim double"
+        return _empty()
+    # one materialization per side feeds BOTH the radii collect and the
+    # verify join (the near_dup_pairs_clustered reuse pattern; without it
+    # the assignment matmul and upstream scans run twice per side)
+    r_assigned = tracked_cache(fitted)
+    l_assigned = tracked_cache(
+        assign_to_centroids(
+            left, cmat, vec_col=left_vec, id_col=left_id, emit_angle=True
         )
-    r_assigned = fitted
-    l_assigned = assign_to_centroids(
-        left, cmat, vec_col=left_vec, id_col=left_id, emit_angle=True
     )
-
-    theta_t = math.acos(max(-1.0, min(1.0, threshold)))
-    eps = 1e-6
-
-    def _angle(u, v):
-        du = math.sqrt(sum(x * x for x in u))
-        dv = math.sqrt(sum(x * x for x in v))
-        if du == 0.0 or dv == 0.0:
-            return 0.0
-        c = sum(x * y for x, y in zip(u, v)) / (du * dv)
-        return math.acos(max(-1.0, min(1.0, c)))
 
     cents = [[float(x) for x in c] for c in cmat]
     l_radii = {
@@ -463,17 +496,10 @@ def cosine_similarity_join(
         r["cell"]: r["radius"]
         for r in r_assigned.groupBy("cell").agg(F.max("theta").alias("radius")).collect()
     }
-    allowed = [
-        (cl, cr)
-        for cl, rl in l_radii.items()
-        for cr, rr in r_radii.items()
-        if _angle(cents[cl], cents[cr]) <= rl + rr + theta_t + eps
-    ]
+    allowed = allowed_cell_pairs(cents, l_radii, r_radii, threshold)
     spark = left.sparkSession
     if not allowed:
-        return spark.createDataFrame(
-            [], f"{left_id} long, {right_id} long, cos_sim double"
-        )
+        return _empty()
     allow_df = spark.createDataFrame(allowed, "cell_l int, cell_r int")
     lhs = l_assigned.select(
         F.col("vec_id").alias("__lid"),

@@ -174,48 +174,110 @@ def plan_equi_join(
        imbalance.
 
     If maintained CMS tables for BOTH sides are supplied (the bounded
-    depth*width frequency sketches ``incremental_agg_refresh`` keeps —
-    at 100 TB you pass these instead of paying probe 2's shuffle on
-    every call), the decision also records the Cormode-Muthukrishnan
-    join OUTPUT estimate and flags ``output_amplified`` when the
-    estimate exceeds ``4 * (|left| + |right|)`` — the "small inputs,
-    trillion-row output" regime docs/SCALE.md measures, where the right
-    fix is upstream pre-aggregation, not a join strategy. The flag is
-    advisory: strategy still follows the ladder.
+    depth*width frequency sketches ``incremental_agg_refresh`` keeps),
+    probe 2's fact shuffle is REPLACED by driver-cheap sketch reads
+    (``probe: "cms"`` in the decision): each side's row total is any
+    sketch row's bucket sum (exact — every key is counted once per
+    row), and the hottest key's mass is bounded above by
+    min-over-rows(max bucket in row) — for any key, every row's bucket
+    holding it is >= its true count, so the hottest key cannot exceed
+    the smallest row-max. Collisions only INFLATE the bound, so the
+    salted decision errs toward a few extra salts, never toward missing
+    a hot key. The right count also comes from the sketch (zero touch
+    of either input). The CMS pair additionally records the
+    Cormode-Muthukrishnan join OUTPUT estimate and flags
+    ``output_amplified`` when the estimate exceeds ``4 * (|left| +
+    |right|)`` — the "small inputs, trillion-row output" regime
+    docs/SCALE.md measures, where the right fix is upstream
+    pre-aggregation, not a join strategy (advisory: strategy still
+    follows the ladder).
+
+    NULL join keys: rows whose key is NULL never match an equi-join
+    (and the salted path's heavy-key broadcast semi-join could not
+    route them anyway), so the probe EXCLUDES them from the hot-key
+    statistics and reports them as ``left_null_key_rows``. A
+    NULL-heavy left side in a LEFT OUTER join still funnels its NULL
+    rows through one hash partition inside the join — that skew is
+    AQE's skew-split to handle (it replays an empty build for them),
+    or the caller's to pre-split; salting cannot reach it. The CMS
+    probe is consistent: ``cms_sketch`` never counts NULL keys.
     """
     on = list(on)
-    right_rows = right.count()
+    cms_probe = left_cms is not None and right_cms is not None
+
+    def _cms_stats(cms: DataFrame) -> tuple[int, int]:
+        rows = cms.groupBy("row").agg(
+            F.max("n").alias("mx"), F.sum("n").alias("tot")
+        ).collect()
+        if not rows:
+            return 0, 0
+        return min(int(r["tot"] or 0) for r in rows), min(
+            int(r["mx"] or 0) for r in rows
+        )
+
+    if cms_probe:
+        right_rows, _ = _cms_stats(right_cms)
+    else:
+        right_rows = right.count()
     decision: dict = {
         "strategy": "shuffle",
         "right_rows": right_rows,
         "left_rows": None,
         "left_max_key_rows": None,
         "left_n_keys": None,
+        "left_null_key_rows": None,
         "n_salts": 1,
         "est_output_rows": None,
         "output_amplified": None,
+        "probe": "cms" if cms_probe else "exact",
         "reason": "",
     }
+    non_null = None
     if right_rows <= broadcast_threshold_rows:
         decision["strategy"] = "broadcast"
         decision["reason"] = (
             f"right side {right_rows} rows <= broadcast threshold "
             f"{broadcast_threshold_rows}"
         )
+    elif cms_probe:
+        left_rows, max_upper = _cms_stats(left_cms)
+        decision["left_rows"] = left_rows
+        decision["left_max_key_rows"] = max_upper
+        if max_upper > rows_per_partition:
+            decision["strategy"] = "salted"
+            decision["n_salts"] = math.ceil(max_upper / rows_per_partition)
+            decision["reason"] = (
+                f"CMS bounds the hottest left key at <= {max_upper} rows > "
+                f"{rows_per_partition}/partition budget (collisions only "
+                "widen the bound)"
+            )
+        else:
+            decision["reason"] = (
+                f"right side {right_rows} rows too big to broadcast; CMS "
+                f"bounds the hottest left key at <= {max_upper} rows, "
+                "within budget"
+            )
     else:
+        non_null_pred = None
+        for c in on:
+            p = F.col(c).isNotNull()
+            non_null_pred = p if non_null_pred is None else (non_null_pred & p)
         stats = (
             left.groupBy(*on)
             .agg(F.count(F.lit(1)).alias("n"))
+            .withColumn("nn", non_null_pred)
             .agg(
-                F.sum("n").alias("total"),
-                F.count(F.lit(1)).alias("n_keys"),
-                F.max("n").alias("max_n"),
+                F.sum(F.when(F.col("nn"), F.col("n"))).alias("total"),
+                F.count(F.when(F.col("nn"), 1)).alias("n_keys"),
+                F.max(F.when(F.col("nn"), F.col("n"))).alias("max_n"),
+                F.sum(F.when(~F.col("nn"), F.col("n"))).alias("null_rows"),
             )
             .first()
         )
         decision["left_rows"] = stats["total"] or 0
         decision["left_max_key_rows"] = stats["max_n"] or 0
         decision["left_n_keys"] = stats["n_keys"]
+        decision["left_null_key_rows"] = stats["null_rows"] or 0
         if (stats["max_n"] or 0) > rows_per_partition:
             decision["strategy"] = "salted"
             decision["n_salts"] = math.ceil(stats["max_n"] / rows_per_partition)
@@ -228,16 +290,16 @@ def plan_equi_join(
                 f"right side {right_rows} rows too big to broadcast; "
                 f"hottest left key {stats['max_n']} rows within budget"
             )
-    if left_cms is not None and right_cms is not None:
+    if cms_probe:
         from .sketch import cms_join_size_estimate
 
         est = cms_join_size_estimate(left_cms, right_cms)
         decision["est_output_rows"] = est
-        left_rows = decision["left_rows"]
-        if left_rows is None:
-            left_rows = left.count()
-            decision["left_rows"] = left_rows
-        decision["output_amplified"] = est > 4 * (left_rows + right_rows)
+        if decision["left_rows"] is None:  # broadcast exit skipped the probe
+            decision["left_rows"] = _cms_stats(left_cms)[0]
+        decision["output_amplified"] = est > 4 * (
+            decision["left_rows"] + right_rows
+        )
     return decision
 
 

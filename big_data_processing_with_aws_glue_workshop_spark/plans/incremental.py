@@ -778,9 +778,9 @@ def apply_semantic_increment(
     owns assignment, both drop joins, the delta write, and the pointer
     flip."""
     import json
-    import math
 
     from ..extensions.ivf import assign_to_centroids, train_ivf_index
+    from ..extensions.similarity import allowed_cell_pairs
     from ..queries.vectors import dot, norm
 
     pointer_path = os.path.join(target_dir, "current.json")
@@ -824,17 +824,6 @@ def apply_semantic_increment(
     assigned = assigned.persist()
     n_new = assigned.count()
 
-    theta_t = math.acos(max(-1.0, min(1.0, threshold)))
-    eps = 1e-6  # float slack: widens bounds, can only ADD candidates
-
-    def _angle(u, v):
-        du = math.sqrt(sum(x * x for x in u))
-        dv = math.sqrt(sum(x * x for x in v))
-        if du == 0.0 or dv == 0.0:
-            return 0.0  # undefined -> keep the cell pair allowed
-        c = sum(x * y for x, y in zip(u, v)) / (du * dv)
-        return math.acos(max(-1.0, min(1.0, c)))
-
     inc_radii = {
         r["cell"]: r["radius"]
         for r in assigned.groupBy("cell").agg(F.max("theta").alias("radius")).collect()
@@ -860,12 +849,7 @@ def apply_semantic_increment(
             .agg(F.max("theta").alias("radius"))
             .collect()
         }
-        allowed = [
-            (c1, c2)
-            for c1, r1 in inc_radii.items()
-            for c2, r2 in std_radii.items()
-            if _angle(centroids[c1], centroids[c2]) <= r1 + r2 + theta_t + eps
-        ]
+        allowed = allowed_cell_pairs(centroids, inc_radii, std_radii, threshold)
         if allowed:
             allow_df = spark.createDataFrame(allowed, "cell_a int, cell_b int")
             std_side = standing.select(
@@ -883,12 +867,7 @@ def apply_semantic_increment(
             )
 
     # --- drop within the increment (smaller id wins, conservative) ---
-    allowed_inc = [
-        (c1, c2)
-        for c1, r1 in inc_radii.items()
-        for c2, r2 in inc_radii.items()
-        if _angle(centroids[c1], centroids[c2]) <= r1 + r2 + theta_t + eps
-    ]
+    allowed_inc = allowed_cell_pairs(centroids, inc_radii, inc_radii, threshold)
     drop_within = None
     if allowed_inc:
         allow_inc_df = spark.createDataFrame(allowed_inc, "cell_a int, cell_b int")

@@ -40,7 +40,8 @@ N; every query returns to the window within two rounds of its last
 driver row. With a 50-slot window this is satisfiable **iff the
 registered surface stays ≤ 100** (two disjoint windows cover at most 100
 queries in two rounds). The LIVE surface after the round-10 rotation is
-100: the r9 surface was 100, − 1 r10 retirement + 1 r10 tail addition.
+100: the r9 surface was 100, − 2 r10 retirements + 2 r10 tail
+additions.
 The ceiling remains effectively REACHED: every addition must be matched
 1:1 by a retirement. Standing
 decision (resolving the r5 verdict's "What's wrong #3"): the two-round

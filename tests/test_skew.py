@@ -131,6 +131,60 @@ def test_plan_equi_join_strategy_ladder(spark, skewed):
     assert d["strategy"] == "shuffle" and d["left_rows"] == 20_000
 
 
+def test_plan_equi_join_cms_replaces_probe_shuffle(spark):
+    """With maintained CMS tables for both sides and a non-broadcastable
+    right side, the planner reads bounded sketch state (probe: cms) —
+    the hottest-key bound is min-over-rows(max bucket), row totals are
+    the per-row bucket sums — and still lands the right strategy in
+    both regimes."""
+    from big_data_processing_with_aws_glue_workshop_spark.operators.sketch import cms_sketch
+
+    hot = spark.range(20_000).select(
+        F.when(F.col("id") % 2 == 0, 1)
+        .otherwise(F.pmod(F.xxhash64("id"), 998) + 2)
+        .alias("k")
+    )
+    flat = spark.range(20_000).select(F.col("id").alias("k"))
+    big_right = spark.range(20_000).select(F.col("id").alias("k"))
+    cms_right = cms_sketch(big_right, "k")
+
+    d = plan_equi_join(
+        hot, big_right, ["k"],
+        broadcast_threshold_rows=10, rows_per_partition=1_000,
+        left_cms=cms_sketch(hot, "k"), right_cms=cms_right,
+    )
+    assert d["probe"] == "cms" and d["strategy"] == "salted"
+    assert d["right_rows"] == 20_000 and d["left_rows"] == 20_000  # exact totals
+    assert d["left_max_key_rows"] >= 10_000      # bound never under the truth
+    assert d["n_salts"] >= 10
+
+    d = plan_equi_join(
+        flat, big_right, ["k"],
+        broadcast_threshold_rows=10, rows_per_partition=1_000,
+        left_cms=cms_sketch(flat, "k"), right_cms=cms_right,
+    )
+    assert d["probe"] == "cms" and d["strategy"] == "shuffle"
+
+
+def test_plan_equi_join_null_keys_excluded(spark):
+    """A NULL-heavy left side must not trigger (or size) salting — NULL
+    keys never match an equi-join and the heavy-key broadcast semi-join
+    could not route them; they are counted separately."""
+    left = spark.range(10_000).select(
+        F.when(F.col("id") % 2 == 0, None)
+        .otherwise(F.pmod(F.xxhash64("id"), 500))
+        .alias("k")
+    )
+    right = spark.range(5_000).select(F.col("id").alias("k"))
+    d = plan_equi_join(
+        left, right, ["k"], broadcast_threshold_rows=10, rows_per_partition=1_000
+    )
+    assert d["strategy"] == "shuffle"           # no non-null key is hot
+    assert d["left_null_key_rows"] == 5_000
+    assert d["left_rows"] == 5_000              # non-null rows only
+    assert d["left_max_key_rows"] < 1_000
+
+
 def test_plan_equi_join_cms_output_flag(spark):
     """With maintained CMS tables for both sides, the decision records
     the join-output estimate and flags amplification: a shared hot key

@@ -25,7 +25,6 @@ Usage: python tools/semantic_probe.py [n_waves] [wave_size] [--uniform]
 from __future__ import annotations
 
 import json
-import math
 import os
 import random
 import shutil
@@ -121,22 +120,12 @@ def main() -> None:
             r["cell"]: r["radius"]
             for r in st.groupBy("cell").agg(F.max("theta").alias("radius")).collect()
         }
-        theta_t = math.acos(THRESHOLD)
-
-        def ang(u, v):
-            c = sum(x * y for x, y in zip(u, v)) / (
-                math.sqrt(sum(x * x for x in u)) * math.sqrt(sum(x * x for x in v))
-            )
-            return math.acos(max(-1.0, min(1.0, c)))
-
-        cells = sorted(radii)
-        total_pairs = len(cells) * len(cells)
-        allowed = sum(
-            1
-            for c1 in cells
-            for c2 in cells
-            if ang(cents[c1], cents[c2]) <= radii[c1] + radii[c2] + theta_t + 1e-6
+        from big_data_processing_with_aws_glue_workshop_spark.extensions.similarity import (
+            allowed_cell_pairs,
         )
+
+        total_pairs = len(radii) * len(radii)
+        allowed = len(allowed_cell_pairs(cents, radii, radii, THRESHOLD))
         cell_sizes = {
             r["cell"]: r["n"]
             for r in st.groupBy("cell").agg(F.count(F.lit(1)).alias("n")).collect()
