@@ -523,3 +523,31 @@ def test_cosine_similarity_join_equals_cross_join(spark, seed):
     )
     assert got == expected
     assert len(expected) > 0  # the planted matches must actually exercise it
+
+
+def test_cosine_similarity_join_empty_and_guards(spark):
+    """Empty-side results preserve the CALLERS' id dtypes (string ids are
+    common in record linkage — a hardcoded long schema would break
+    unionByName across runs), and colliding output id names are refused
+    up front."""
+    import pytest
+
+    from big_data_processing_with_aws_glue_workshop_spark.extensions.similarity import (
+        cosine_similarity_join,
+    )
+
+    ldf = spark.createDataFrame(
+        [("a", [1.0, 0.0])], "left_id string, embedding array<float>"
+    )
+    rdf = spark.createDataFrame([], "right_id string, embedding array<float>")
+    out = cosine_similarity_join(ldf, rdf, threshold=0.9)
+    assert out.count() == 0
+    assert dict(out.dtypes) == {
+        "left_id": "string", "right_id": "string", "cos_sim": "double"
+    }
+    with pytest.raises(ValueError, match="distinct output id column names"):
+        cosine_similarity_join(
+            ldf.withColumnRenamed("left_id", "vec_id"),
+            rdf.withColumnRenamed("right_id", "vec_id"),
+            left_id="vec_id", right_id="vec_id",
+        )
