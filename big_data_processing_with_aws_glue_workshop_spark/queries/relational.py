@@ -379,8 +379,13 @@ def q_sampled_quantile_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     since r9 (tests/test_sketch.py).
     """
     from ..operators.sketch import minima_sample, sample_rows
+    from ._tables import parallelize_scan
 
-    li = load(spark, sf_dir, "lineitem")
+    # the per-row double-md5 hashing is the dominant map work; an
+    # under-split scan (one row group at test SFs) would run it on one
+    # core. Safe here: the slot-min monoid is partitioning-independent
+    # and every readout selection carries a total-order tiebreak.
+    li = parallelize_scan(load(spark, sf_dir, "lineitem"), "l_orderkey")
     keyed = li.select(
         F.concat_ws(
             "-",
