@@ -271,3 +271,35 @@ def test_salted_join_randomized_parity(spark, seed):
             heavy_threshold_rows=rng.choice([0, 5, n_left // 10]),
         )
         assert _multiset(salted) == _multiset(plain), (how, seed)
+
+
+@pytest.mark.parametrize("seed", [2, 9])
+def test_cms_hot_key_bound_never_under(spark, seed):
+    """The planner's CMS hottest-key bound (min over rows of the row's
+    max bucket) must never undercut the true hottest key mass — the
+    property the salted decision's safety rests on — and the per-row
+    bucket sum must equal the exact row total."""
+    import random
+
+    from big_data_processing_with_aws_glue_workshop_spark.operators.sketch import cms_sketch
+
+    rng = random.Random(seed)
+    domain = rng.randint(5, 5_000)
+    hot_share = rng.choice([2, 3, 10])
+    left = spark.range(30_000).select(
+        F.when(F.col("id") % hot_share == 0, 7)
+        .otherwise(F.pmod(F.xxhash64("id", F.lit(seed)), domain))
+        .alias("k")
+    )
+    true_max = (
+        left.groupBy("k").count().agg(F.max("count").alias("m")).first()["m"]
+    )
+    rows = (
+        cms_sketch(left, "k")
+        .groupBy("row")
+        .agg(F.max("n").alias("mx"), F.sum("n").alias("tot"))
+        .collect()
+    )
+    bound = min(int(r["mx"]) for r in rows)
+    assert bound >= true_max, (seed, bound, true_max)
+    assert all(int(r["tot"]) == 30_000 for r in rows)

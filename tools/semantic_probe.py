@@ -20,6 +20,13 @@ pairs / total cell pairs, candidate rows actually verified vs the
 increment x standing quadratic, and the drop counts.
 
 Usage: python tools/semantic_probe.py [n_waves] [wave_size] [--uniform]
+       python tools/semantic_probe.py --join [right_sizes ...]
+
+``--join`` mode measures the two-frame cosine_similarity_join against
+the crossJoin baseline at growing right-side sizes (fixed 2k-query
+left side, clustered blobs): wall for each path plus the matched-pair
+count equality check — the crossover curve for the exact similarity
+join's pruning.
 """
 
 from __future__ import annotations
@@ -78,8 +85,60 @@ def make_waves(n_waves: int, wave: int, n_blobs: int, uniform: bool, seed: int =
     return waves
 
 
+def join_mode(sizes: list[int]) -> None:
+    import pyspark.sql.functions as F
+
+    from big_data_processing_with_aws_glue_workshop_spark.extensions.similarity import (
+        cosine_similarity_join,
+    )
+    from big_data_processing_with_aws_glue_workshop_spark.queries.vectors import dot, norm
+
+    spark = get_session(app_name="semantic-probe-join")
+    thr = THRESHOLD
+    for n in sizes:
+        rows = make_waves(1, n + 2_000, n_blobs=NLIST, uniform=False)[0]
+        left_rows = [(i, v) for i, v in rows[:2_000]]
+        right_rows = [(i, v) for i, v in rows[2_000:]]
+        ldf = spark.createDataFrame(
+            left_rows, "qid long, embedding array<float>"
+        ).repartition(32).cache()
+        rdf = spark.createDataFrame(
+            right_rows, "cid long, embedding array<float>"
+        ).repartition(32).cache()
+        ldf.count(), rdf.count()
+
+        t0 = time.time()
+        pruned = cosine_similarity_join(
+            ldf, rdf, threshold=thr, left_id="qid", right_id="cid",
+            nlist=NLIST,
+        ).count()
+        t_pruned = time.time() - t0
+
+        la = ldf.select("qid", F.col("embedding").alias("va"), norm(F.col("embedding")).alias("na"))
+        rb = rdf.select("cid", F.col("embedding").alias("vb"), norm(F.col("embedding")).alias("nb"))
+        t0 = time.time()
+        brute = (
+            la.crossJoin(rb)
+            .select((dot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb"))).alias("s"))
+            .filter(F.col("s") >= thr)
+            .count()
+        )
+        t_brute = time.time() - t0
+        print(json.dumps({
+            "right_n": n, "left_n": 2_000, "pairs": pruned,
+            "pairs_match": pruned == brute,
+            "join_wall_s": round(t_pruned, 2),
+            "crossjoin_wall_s": round(t_brute, 2),
+            "speedup": round(t_brute / t_pruned, 2),
+        }))
+        ldf.unpersist(), rdf.unpersist()
+
+
 def main() -> None:
     args = [a for a in sys.argv[1:] if not a.startswith("--")]
+    if "--join" in sys.argv:
+        join_mode([int(a) for a in args] or [20_000, 80_000, 200_000])
+        return
     uniform = "--uniform" in sys.argv
     n_waves = int(args[0]) if args else 5
     wave = int(args[1]) if len(args) > 1 else 20_000
