@@ -479,12 +479,19 @@ def cosine_similarity_join(
         return _empty()
     # one materialization per side feeds BOTH the radii collect and the
     # verify join (the near_dup_pairs_clustered reuse pattern; without it
-    # the assignment matmul and upstream scans run twice per side)
-    r_assigned = tracked_cache(fitted)
+    # the assignment matmul and upstream scans run twice per side).
+    # Zero-norm vectors are excluded up front: their cosine is NaN on
+    # either side (never >= threshold — the crossJoin baseline's
+    # semantics, pinned by the parity test), and keeping them would
+    # report worst-case pi radii that widen the allowlist to every cell
+    # pair — a perf cliff, not a correctness need.
+    r_assigned = tracked_cache(
+        fitted.filter(norm(F.col("embedding")) > 0)
+    )
     l_assigned = tracked_cache(
         assign_to_centroids(
             left, cmat, vec_col=left_vec, id_col=left_id, emit_angle=True
-        )
+        ).filter(norm(F.col("embedding")) > 0)
     )
 
     cents = [[float(x) for x in c] for c in cmat]

@@ -824,13 +824,23 @@ def apply_semantic_increment(
     assigned = assigned.persist()
     n_new = assigned.count()
 
+    # Zero-norm vectors can NEVER qualify as duplicates (cosine is NaN on
+    # either side, and NaN >= threshold is false — the same semantics the
+    # quadratic reference test pins), so they are excluded from BOTH the
+    # radii and the candidate joins: one zero-norm member would otherwise
+    # report the worst-case pi radius and widen the allowlist to every
+    # cell pair — a perf cliff, not a correctness need. They still land
+    # in the survivor delta (never dropped) with their pi theta; the
+    # radii filter below re-excludes them when they are read as standing
+    # state.
+    matchable = assigned.filter(norm(F.col("embedding")) > 0)
     inc_radii = {
         r["cell"]: r["radius"]
-        for r in assigned.groupBy("cell").agg(F.max("theta").alias("radius")).collect()
+        for r in matchable.groupBy("cell").agg(F.max("theta").alias("radius")).collect()
     }
 
     cos_sim = dot(F.col("va"), F.col("vb")) / (F.col("norm_a") * F.col("norm_b"))
-    inc_side = assigned.select(
+    inc_side = matchable.select(
         F.col("vec_id").alias("id_a"),
         F.col("cell").alias("cell_a"),
         F.col("embedding").alias("va"),
@@ -840,9 +850,13 @@ def apply_semantic_increment(
     # --- drop vs standing corpus (skipped on the first refresh) ---
     drop_vs_corpus = None
     if pointer is not None and pointer["deltas"]:
-        standing = spark.read.parquet(
-            *[os.path.join(target_dir, rel) for rel in pointer["deltas"]]
-        ).select(id_col, vec_col, "cell", "theta")
+        standing = (
+            spark.read.parquet(
+                *[os.path.join(target_dir, rel) for rel in pointer["deltas"]]
+            )
+            .select(id_col, vec_col, "cell", "theta")
+            .filter(norm(F.col(vec_col)) > 0)
+        )
         std_radii = {
             r["cell"]: r["radius"]
             for r in standing.groupBy("cell")
@@ -871,7 +885,7 @@ def apply_semantic_increment(
     drop_within = None
     if allowed_inc:
         allow_inc_df = spark.createDataFrame(allowed_inc, "cell_a int, cell_b int")
-        inc_b = assigned.select(
+        inc_b = matchable.select(
             F.col("vec_id").alias("id_b"),
             F.col("cell").alias("cell_b"),
             F.col("embedding").alias("vb"),

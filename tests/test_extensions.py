@@ -491,6 +491,10 @@ def test_cosine_similarity_join_equals_cross_join(spark, seed):
             )
         else:
             left_rows.append((1000 + j, [float(rng.uniform(-1, 1)) for _ in range(dim)]))
+    # zero-norm rows on both sides: NaN cosine never matches, and the
+    # pruned path must not let them widen the allowlist to everything
+    left_rows.append((1999, [0.0] * dim))
+    right_rows.append((999, [0.0] * dim))
 
     schema_l = "left_id long, embedding array<float>"
     schema_r = "right_id long, embedding array<float>"

@@ -1535,6 +1535,11 @@ def test_semantic_refresh_randomized_parity(spark, tmp_path, seed):
                 vid += 1
                 w = [x * rng.uniform(0.97, 1.03) + rng.uniform(-0.01, 0.01) for x in v]
                 wave.append((vid, [float(x) for x in w]))
+        # plant a zero-norm vector: NaN cosine on either side => it can
+        # neither drop nor be dropped (the engine excludes it from the
+        # pruning entirely; the reference's NaN >= thr is false)
+        vid += 1
+        wave.append((vid, [0.0] * dim))
         waves.append(wave)
 
     # float32 storage: the engine reads float32 parquet; round-trip the
