@@ -241,9 +241,17 @@ def near_dup_pairs_clustered(
     # Driver-side allowlist metadata: radii from one narrow groupBy collect
     # (nlist rows, not data rows); centroids already driver-side from fit.
     cent_rows = {i: [float(x) for x in c] for i, c in enumerate(cmat)}
+    # NULL/NaN thetas (NaN-component vectors via the Arrow transfer) pin
+    # to the worst-case pi — see cosine_similarity_join's radius note
     radius_rows = {
         r["cell"]: r["radius"]
-        for r in assigned.groupBy("cell").agg(F.max("theta").alias("radius")).collect()
+        for r in assigned.groupBy("cell")
+        .agg(
+            F.max(
+                F.coalesce(F.nanvl(F.col("theta"), F.lit(math.pi)), F.lit(math.pi))
+            ).alias("radius")
+        )
+        .collect()
     }
     # one orientation (c1 <= c2): the shared helper emits both
     allowed = sorted(
@@ -283,7 +291,15 @@ def near_dup_pairs_clustered(
         na[za] = 1.0
         nb[zb] = 1.0
         cos = (A / na[:, None]) @ (B / nb[:, None]).T
-        keep = (cos >= threshold - prefilter_margin) | za[:, None] | zb[None, :]
+        # force-keep zero-norm AND NaN rows: numpy's NaN >= t is False but
+        # the exact JVM verify (like the engine baseline) treats NaN as
+        # greatest — the prefilter must stay a superset on arbitrary data
+        keep = (
+            (cos >= threshold - prefilter_margin)
+            | np.isnan(cos)
+            | za[:, None]
+            | zb[None, :]
+        )
         ia, ib = np.nonzero(keep)
         id_a = left_pdf["vec_id"].to_numpy()[ia].astype("int64")
         id_b = right_pdf["vec_id"].to_numpy()[ib].astype("int64")
@@ -438,8 +454,12 @@ def cosine_similarity_join(
     arccos(threshold) + eps — any pruned cell pair provably cannot hold
     a qualifying pair, so recall is 1.0 BY CONSTRUCTION on arbitrary
     data; survivors pay the exact sequential-fold cosine (bit-identical
-    to the cross-join baseline; zero-norm vectors yield NaN and never
-    match, the baseline's semantics).
+    to the cross-join baseline). Degenerate vectors follow the
+    baseline's ENGINE semantics exactly: a zero-norm vector's cosine is
+    NULL in Spark (division by zero) and never matches, so those rows
+    are pre-filtered; a vector with NaN/Inf components has NaN cosines,
+    which Spark's >= treats as TRUE — its cell radius is nanvl'd to pi
+    so the allowlist keeps every pair the baseline would emit.
 
     Scale shape: one assignment matmul per side, two narrow (cell, max
     theta) aggregates, then a shuffle keyed on the cell pair whose
@@ -480,11 +500,12 @@ def cosine_similarity_join(
     # one materialization per side feeds BOTH the radii collect and the
     # verify join (the near_dup_pairs_clustered reuse pattern; without it
     # the assignment matmul and upstream scans run twice per side).
-    # Zero-norm vectors are excluded up front: their cosine is NaN on
-    # either side (never >= threshold — the crossJoin baseline's
-    # semantics, pinned by the parity test), and keeping them would
-    # report worst-case pi radii that widen the allowlist to every cell
-    # pair — a perf cliff, not a correctness need.
+    # Zero-norm vectors are excluded up front: their cosine is NULL in
+    # Spark (double division by zero yields NULL, not NaN — verified on
+    # this engine), and NULL never passes the >= threshold filter on
+    # either path, so dropping them is output-neutral; keeping them
+    # would report worst-case pi radii that widen the allowlist to every
+    # cell pair — a perf cliff, not a correctness need.
     r_assigned = tracked_cache(
         fitted.filter(norm(F.col("embedding")) > 0)
     )
@@ -495,13 +516,27 @@ def cosine_similarity_join(
     )
 
     cents = [[float(x) for x in c] for c in cmat]
+    # Degenerate-robust radii: a vector with a NaN/Inf component gets a
+    # NaN theta from the assignment matmul, which the Arrow pandas
+    # transfer surfaces as NULL (pandas NaN is Arrow's null sentinel) —
+    # F.max would silently SKIP it, under-reporting the radius and
+    # letting the allowlist prune a cell whose NaN cosines the crossJoin
+    # baseline MATCHES (Spark evaluates NaN >= t as true). Pin both
+    # representations to the worst-case pi (coalesce for the NULL form,
+    # nanvl for a genuine NaN): the cell's allowlist widens to
+    # everything, its NaN-cos pairs all pass the verify filter, and
+    # exactness vs the baseline holds on arbitrary data (r10 follow-up
+    # review finding).
+    _radius = F.max(
+        F.coalesce(F.nanvl(F.col("theta"), F.lit(math.pi)), F.lit(math.pi))
+    ).alias("radius")
     l_radii = {
         r["cell"]: r["radius"]
-        for r in l_assigned.groupBy("cell").agg(F.max("theta").alias("radius")).collect()
+        for r in l_assigned.groupBy("cell").agg(_radius).collect()
     }
     r_radii = {
         r["cell"]: r["radius"]
-        for r in r_assigned.groupBy("cell").agg(F.max("theta").alias("radius")).collect()
+        for r in r_assigned.groupBy("cell").agg(_radius).collect()
     }
     allowed = allowed_cell_pairs(cents, l_radii, r_radii, threshold)
     spark = left.sparkSession

@@ -824,16 +824,23 @@ def apply_semantic_increment(
     assigned = assigned.persist()
     n_new = assigned.count()
 
-    # Zero-norm vectors can NEVER qualify as duplicates (cosine is NaN on
-    # either side, and NaN >= threshold is false — the same semantics the
-    # quadratic reference test pins), so they are excluded from BOTH the
-    # radii and the candidate joins: one zero-norm member would otherwise
-    # report the worst-case pi radius and widen the allowlist to every
-    # cell pair — a perf cliff, not a correctness need. They still land
-    # in the survivor delta (never dropped) with their pi theta; the
-    # radii filter below re-excludes them when they are read as standing
-    # state.
-    matchable = assigned.filter(norm(F.col("embedding")) > 0)
+    # Degenerate vectors can NEVER qualify as duplicates here, so they
+    # are excluded from BOTH the radii and the candidate joins — one
+    # such member would otherwise report a worst-case (or NaN) radius
+    # and widen (or corrupt) the allowlist. The exact semantics, per
+    # engine verification: a zero-norm cosine is NULL in Spark (division
+    # by zero) and never passes >= threshold; a NaN/Inf-component vector
+    # has non-finite norm and its NaN cosines would pass Spark's >=
+    # (NaN compares greatest) — but the REFRESH's contract follows the
+    # quadratic Python reference, where NaN comparisons are false, so
+    # non-finite vectors are defined as never-matching and filtered with
+    # the zero-norm rows. Both kinds still land in the survivor delta
+    # (never dropped); the standing-state filter below re-excludes them
+    # on later refreshes.
+    _n = norm(F.col("embedding"))
+    matchable = assigned.filter(
+        (_n > 0) & ~F.isnan(_n) & (_n != F.lit(float("inf")))
+    )
     inc_radii = {
         r["cell"]: r["radius"]
         for r in matchable.groupBy("cell").agg(F.max("theta").alias("radius")).collect()
@@ -855,7 +862,11 @@ def apply_semantic_increment(
                 *[os.path.join(target_dir, rel) for rel in pointer["deltas"]]
             )
             .select(id_col, vec_col, "cell", "theta")
-            .filter(norm(F.col(vec_col)) > 0)
+            .filter(
+                (norm(F.col(vec_col)) > 0)
+                & ~F.isnan(norm(F.col(vec_col)))
+                & (norm(F.col(vec_col)) != F.lit(float("inf")))
+            )
         )
         std_radii = {
             r["cell"]: r["radius"]

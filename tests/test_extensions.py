@@ -555,3 +555,39 @@ def test_cosine_similarity_join_empty_and_guards(spark):
             rdf.withColumnRenamed("right_id", "vec_id"),
             left_id="vec_id", right_id="vec_id",
         )
+
+
+def test_cosine_similarity_join_nan_component_matches_baseline(spark):
+    """Spark evaluates NaN >= threshold as TRUE, so the crossJoin
+    baseline MATCHES every pair involving a NaN-component vector; the
+    pruned join must reproduce that (its NaN theta is nanvl'd to the
+    worst-case pi so the allowlist cannot silently prune the cell —
+    the r10 follow-up review's exactness hole)."""
+    from big_data_processing_with_aws_glue_workshop_spark.extensions.similarity import (
+        cosine_similarity_join,
+    )
+    from big_data_processing_with_aws_glue_workshop_spark.queries.vectors import dot, norm
+
+    ldf = spark.createDataFrame(
+        [(1, [1.0, 0.0, 0.0]), (2, [float("nan"), 1.0, 0.0])],
+        "left_id long, embedding array<float>",
+    )
+    rdf = spark.createDataFrame(
+        [(10, [0.0, 1.0, 0.0]), (11, [0.0, 0.0, 1.0]), (12, [1.0, 0.01, 0.0])],
+        "right_id long, embedding array<float>",
+    )
+    got = sorted(
+        (r["left_id"], r["right_id"])
+        for r in cosine_similarity_join(ldf, rdf, threshold=0.9, nlist=2).collect()
+    )
+    la = ldf.select("left_id", F.col("embedding").alias("va"), norm(F.col("embedding")).alias("na"))
+    rb = rdf.select("right_id", F.col("embedding").alias("vb"), norm(F.col("embedding")).alias("nb"))
+    expected = sorted(
+        (r["left_id"], r["right_id"])
+        for r in la.crossJoin(rb)
+        .filter((dot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb"))) >= 0.9)
+        .collect()
+    )
+    assert got == expected
+    # the NaN row's pairs are genuinely present (Spark NaN-compare)
+    assert {(2, 10), (2, 11), (2, 12)} <= set(expected)

@@ -54,15 +54,17 @@ THRESHOLD = 0.95
 NLIST = 16
 
 
-def make_waves(n_waves: int, wave: int, n_blobs: int, uniform: bool, seed: int = 7):
+def make_waves(n_waves: int, wave, n_blobs: int, uniform: bool, seed: int = 7):
+    """``wave`` is a per-wave size (int) or a list of per-wave sizes."""
+    sizes = wave if isinstance(wave, list) else [wave] * n_waves
     rng = random.Random(seed)
     nrng = np.random.default_rng(seed)
     centers = nrng.normal(size=(n_blobs, DIM))
     centers /= np.linalg.norm(centers, axis=1, keepdims=True)
     waves, all_rows, vid = [], [], 0
-    for _ in range(n_waves):
+    for size in sizes:
         rows = []
-        for _ in range(wave):
+        for _ in range(size):
             vid += 1
             if all_rows and rng.random() < 0.15:
                 _, base = rng.choice(all_rows)
@@ -96,9 +98,15 @@ def join_mode(sizes: list[int]) -> None:
     spark = get_session(app_name="semantic-probe-join")
     thr = THRESHOLD
     for n in sizes:
-        rows = make_waves(1, n + 2_000, n_blobs=NLIST, uniform=False)[0]
-        left_rows = [(i, v) for i, v in rows[:2_000]]
-        right_rows = [(i, v) for i, v in rows[2_000:]]
+        # two waves from ONE generator (same blob centers, so the query
+        # side clusters like the corpus): wave 0 = the right corpus,
+        # wave 1 = the 2k queries — make_waves' ~15% cross-wave
+        # near-copy planting gives the queries genuine matches
+        # (a single-wave split would leave only chance intra-blob
+        # matches — r10 follow-up review)
+        right_rows, left_rows = make_waves(
+            2, [n, 2_000], n_blobs=NLIST, uniform=False
+        )
         ldf = spark.createDataFrame(
             left_rows, "qid long, embedding array<float>"
         ).repartition(32).cache()
