@@ -395,7 +395,9 @@ def semantic_contamination(
     Spark fuses that partial-agg map-side: the per-task state is one
     running max per corpus row in the task). Cost is O(|corpus| x
     |benchmark|) dot products — the price every exact decontamination
-    pays; for benchmark sets too big to broadcast, pre-prune with the
+    pays; for benchmark sets too big to broadcast, use
+    :func:`cosine_similarity_join` (exact, recall 1.0 by the two-sided
+    triangle inequality — no broadcast needed) or pre-prune with the
     IVF/LSH index in this module and verify only bucket collisions
     (recall then inherits the index's guarantee instead of being exact).
     """
