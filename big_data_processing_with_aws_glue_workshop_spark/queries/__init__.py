@@ -17,12 +17,14 @@ entries in iteration order. The registry is therefore laid out explicitly:
   the documented allowlist ``_SCORED_NO_ORACLE`` (the r8 verdict's "What's
   wrong #1": two consecutive rounds had this paragraph drift from the
   tuples, so the tuples are now the source of truth). This round the
-  derived set is the ANN pair ``ann_lsh_topk``/``ivf_ann_topk``
-  (approximate by construction — hyperplanes/centroids are driver-RNG
-  constants, not SQL-expressible; recall pytest-pinned ≥0.8 / ≥0.6),
-  back in the window with the rest of the r9 demotions; the
-  HLL/Bernoulli pair (``approx_distinct_profile``/``bernoulli_sample``)
-  rotated to the tail with the rest of the r9 window.
+  derived set is the HLL/Bernoulli pair
+  (``approx_distinct_profile``/``bernoulli_sample``) — engine-RNG /
+  approximate by construction (HLL sketch internals and Spark's
+  Bernoulli sampler are not SQL-expressible; invariants pytest-pinned
+  in tests/test_queries_oracle.py) — back in the window with the rest
+  of the r10 demotions; the ANN pair
+  (``ann_lsh_topk``/``ivf_ann_topk``) rotated to the tail with the
+  rest of the r10 window.
 - ``_TAIL`` (unscored, still registered): every tail query is gated by
   tests/test_queries_oracle.py on every pytest run — oracle-backed ones
   hash-checked, the rest rows-only.
@@ -53,54 +55,31 @@ operator family (cube, ntile, as-of join, JSON extraction, connected
 components) and the composed flagships (training_pipeline_summary, the
 clustered embedding scale path) stay in.
 
-Round-10 rotation (applied this round — the exact plan the r9
+Round-11 rotation (applied this round — the exact plan the r10
 feasibility check prescribed, with zero slack: 50 due-back promotions,
 zero keeps, zero new scored-from-day-one queries):
-- promoted, returning r9 demotions (49, last driver row r8): every
-  name from the r9 demotion list.
-- promoted, first driver row (1): the r9 tail addition
-  ``bloom_decontaminated_docs`` — the sketch family's first
-  driver-scored representative (broadcast-Bloom map-side pruning whose
-  output provably equals the exact anti-join survivor set) —
-  oracle-gated by the pytest gate since it landed, and pre-verified
-  against the driver's stringified multiset compare via
+- promoted, returning r10 demotions (48, last driver row r9): every
+  name from the r10 demotion list.
+- promoted, first driver rows (2): the r10 tail additions
+  ``sampled_quantile_profile`` — the slot-minima coordinated-sample
+  quantile readout (bounded MERGEABLE monoid state; value-hash
+  pytest gate at two SFs since it landed) — and
+  ``semantic_dedup_decisions`` — the SemDeDup-style keep/drop decision
+  table (clustered exact pairs + min-label CC, recursive-CTE DuckDB
+  twin; oracle-gated from day one). Both pre-verified against the
+  driver's stringified multiset compare via
   ``tools/driver_hash_check.py`` at sf0.01 before this rotation was
   committed.
-- demoted (48, all driver-green in CORRECTNESS_r09, due back r11): the
-  50-member r9 window minus the two retirements below.
-- retired this round (2, each matched 1:1 by a tail addition below):
-  ``deterministic_sample`` — demoted out of the r9 window with its
-  driver row taken, superseded by sampled_quantile_profile. Gate story
-  per the retirement rule: the retired query keeps its pytest hash
-  oracle (RETIRED_QUERIES below); the anchored ``bernoulli_sample``'s
-  engine-RNG rows-only status stays pinned by the allowlist meta-test,
-  and its deterministic oracle-backed twin role passes from
-  deterministic_sample to sampled_quantile_profile (same md5-uniform
-  hash class, strictly stronger gate: value-hash at two SFs,
-  tests/test_sketch.py). And ``top5_orders`` — also demoted with its
-  r9 driver row taken; the global top-k family (O2) it represented
-  keeps its driver-scored representative in ``shipping_priority_topk``
-  (scored this round, the strictly-wider join+agg+top-k shape), and
-  the retired query keeps its pytest hash oracle.
-- new tail additions (2, filling the retirement-freed slots, due
-  r11): ``sampled_quantile_profile`` (oracle-gated since r9) — the
-  slot-minima coordinated-sample quantile readout
-  (``queries/relational.py::q_sampled_quantile_profile``); it
-  supersedes its retiree: the md5-uniform deterministic selection
-  story is the same, but the sample is bounded-size, MERGEABLE monoid
-  state that rides incremental refresh, and the readout exercises it.
-  And ``semantic_dedup_decisions`` (oracle-gated from day one) — the
-  SemDeDup-style keep/drop decision table composing the clustered
-  exact pair path with min-label-propagation CC
-  (``queries/vectors.py::q_semantic_dedup_decisions``; DuckDB twin =
-  quadratic pair join + recursive CTE).
-- round-11 feasibility check: due-back promotions in r11 are the 48
-  r10 demotions + the two r10 tail additions
-  (``sampled_quantile_profile`` and ``semantic_dedup_decisions``,
-  first driver rows) = 50 exactly — r11 keeps nothing and adds
-  nothing scored-from-day-one. Absent a surface change the cycle is
-  now a pure 50/50 flip-flop; any r11 addition must name a 1:1
-  retirement and restate the retiree's gate story here.
+- demoted (50, all driver-green or rows-only-by-design in
+  CORRECTNESS_r10, due back r12): the full r10 window, including
+  ``bloom_decontaminated_docs`` (first driver row taken r10,
+  hash-green) and the ANN pair.
+- retired this round: none in the rotation commit itself; see the
+  in-round addition note below if a similarity-join query lands later
+  this round (any addition must name a 1:1 retirement).
+- round-12 feasibility check: due-back promotions in r12 are the 50
+  r11 demotions = 50 exactly — the cycle is a pure 50/50 flip-flop
+  while the surface stays at 100 with no additions.
 """
 
 import functools
@@ -124,8 +103,69 @@ _ALL_QUERIES = {
 }
 
 _SCORED = (
-    # returning r9 demotions (49, last driver row r8 — the two-round
+    # returning r10 demotions (48, last driver row r9 — the two-round
     # promise lands them here)
+    "asof_last_click_before_error",
+    "range_join_interval_counts",
+    "json_props_extract",
+    "doc_dup_components",
+    "training_pipeline_summary",
+    "corpus_vocab_stats",
+    "source_lang_profile",
+    "doc_chunk_plan",
+    "boilerplate_ngram_profile",
+    "prefix_template_clusters",
+    "quality_filter_decisions",
+    "sequence_packing_plan",
+    "media_probe_profile",
+    "media_pixel_stats",
+    "media_audio_stats",
+    "media_frame_stats",
+    "balance_buckets",
+    "hourly_rollup_from_minutes",
+    "value_zscore_outliers",
+    "event_value_percentiles",
+    "user_event_deltas",
+    "active_customers_by_segment",
+    "avg_balance_by_nation",
+    "fulfillment_rate_by_nation",
+    "priority_filter",
+    "latest_order_per_customer",
+    "distinct_projection",
+    "doc_token_stats",
+    "doc_quality_scores",
+    "above_nation_avg_customers",
+    "approx_distinct_profile",
+    "bernoulli_sample",
+    "customers_with_orders",
+    "promo_revenue_share",
+    "returnflag_pivot",
+    "status_priority_rollup",
+    "unpivot_status_metrics",
+    "trailing_window_rates",
+    "table_stats_profile",
+    "cross_source_overlap",
+    "embedding_dimension_profile",
+    "normalized_dedup_profile",
+    "balanced_sample_plan",
+    "user_cohort_retention",
+    "order_snapshot_diff",
+    "part_name_linkage",
+    "doc_lm_backoff_scores",
+    "supplier_part_share",
+    # first driver rows (2): the r10 tail additions, oracle-gated by
+    # the pytest gate since they landed and pre-verified with
+    # tools/driver_hash_check.py at sf0.01
+    "sampled_quantile_profile",
+    "semantic_dedup_decisions",
+)
+
+_TAIL = (
+    # r11 demotions — all driver-green (or rows-only-by-design: the ANN
+    # pair) in CORRECTNESS_r10, rotated out per the two-round policy
+    # (due back r12 — see the r12 feasibility check in the docstring).
+    # The pytest oracle gate still hash-checks every oracle-backed one on
+    # every run, and bench.py times the full registered surface.
     "customers_without_orders",
     "lineitem_cube_aggregates",
     "customer_balance_ntiles",
@@ -175,75 +215,7 @@ _SCORED = (
     "copurchase_pagerank",
     "copurchase_triangle_census",
     "copurchase_seed_affinity",
-    # first driver row (1): the r9 tail addition, oracle-gated by the
-    # pytest gate since it landed and pre-verified with
-    # tools/driver_hash_check.py at sf0.01
     "bloom_decontaminated_docs",
-)
-
-_TAIL = (
-    # r10 demotions — all green driver rows in CORRECTNESS_r09, rotated
-    # out per the two-round policy (due back r11 — see the r11
-    # feasibility check in the docstring; the r9 window's other member,
-    # deterministic_sample, was retired this round instead of demoted).
-    # The pytest oracle gate still hash-checks every oracle-backed one on
-    # every run, and bench.py times the full registered surface.
-    "asof_last_click_before_error",
-    "range_join_interval_counts",
-    "json_props_extract",
-    "doc_dup_components",
-    "training_pipeline_summary",
-    "corpus_vocab_stats",
-    "source_lang_profile",
-    "doc_chunk_plan",
-    "boilerplate_ngram_profile",
-    "prefix_template_clusters",
-    "quality_filter_decisions",
-    "sequence_packing_plan",
-    "media_probe_profile",
-    "media_pixel_stats",
-    "media_audio_stats",
-    "media_frame_stats",
-    "balance_buckets",
-    "hourly_rollup_from_minutes",
-    "value_zscore_outliers",
-    "event_value_percentiles",
-    "user_event_deltas",
-    "active_customers_by_segment",
-    "avg_balance_by_nation",
-    "fulfillment_rate_by_nation",
-    "priority_filter",
-    "latest_order_per_customer",
-    "distinct_projection",
-    "doc_token_stats",
-    "doc_quality_scores",
-    "above_nation_avg_customers",
-    "approx_distinct_profile",
-    "bernoulli_sample",
-    "customers_with_orders",
-    "promo_revenue_share",
-    "returnflag_pivot",
-    "status_priority_rollup",
-    "unpivot_status_metrics",
-    "trailing_window_rates",
-    "table_stats_profile",
-    "cross_source_overlap",
-    "embedding_dimension_profile",
-    "normalized_dedup_profile",
-    "balanced_sample_plan",
-    "user_cohort_retention",
-    "order_snapshot_diff",
-    "part_name_linkage",
-    "doc_lm_backoff_scores",
-    "supplier_part_share",
-    # new in r10 (due r11; surface slots freed by the
-    # deterministic_sample and top5_orders retirements): the
-    # slot-minima coordinated-sample quantile readout (bounded
-    # MERGEABLE sample state, value-hash gate at two SFs) and the
-    # SemDeDup keep/drop decision table (clustered exact pairs +
-    # min-label CC, recursive-CTE oracle)
-    "sampled_quantile_profile",
-    "semantic_dedup_decisions",
 )
 
 # Retirement mechanism (see docstring): retired names leave the driver
@@ -269,7 +241,7 @@ _RETIRED = (
 # from the tuples again (r8 verdict "What's wrong #1"). Change this
 # tuple and the docstring TOGETHER when a rotation moves a no-oracle
 # query across the window boundary.
-_SCORED_NO_ORACLE = ("ann_lsh_topk", "ivf_ann_topk")
+_SCORED_NO_ORACLE = ("approx_distinct_profile", "bernoulli_sample")
 
 # Module-level invariants the correctness driver depends on. Explicit raises,
 # not assert: python -O strips asserts, which would silently disable the
