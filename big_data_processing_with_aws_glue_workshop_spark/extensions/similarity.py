@@ -139,6 +139,42 @@ def ann_lsh_topk(
     )
 
 
+# Block-prefilter slack: numpy's pairwise-summation float64 dot differs
+# from the exact JVM sequential fold by far less, so candidates kept at
+# threshold - margin are a strict SUPERSET of qualifying pairs.
+_PREFILTER_MARGIN = 1e-6
+
+
+def _block_pair_indices(left_pdf: pd.DataFrame, right_pdf: pd.DataFrame, threshold: float):
+    """Shared Arrow-batch block-scorer core for the clustered similarity
+    paths: ONE numpy matmul per cogrouped cell-pair block, returning the
+    positional index arrays (ia, ib) of pairs to KEEP — approximate
+    cosine >= threshold - _PREFILTER_MARGIN, plus force-kept degenerate
+    rows. Force-keeps make the prefilter a superset on ARBITRARY data:
+    NaN cells (the JVM baseline evaluates NaN >= t as true), zero-norm
+    members (engine cosine NULL or NaN depending on the partner), and
+    non-finite-norm members (a huge all-finite vector can overflow the
+    norm fold to Inf engine-side and yield a NaN cosine the normalized
+    numpy product would smooth over). The EXACT verify stage downstream,
+    never this float approximation, is the arbiter for all of them."""
+    A = np.vstack(left_pdf["embedding"].to_numpy()).astype("float64")
+    B = np.vstack(right_pdf["embedding"].to_numpy()).astype("float64")
+    na = np.sqrt((A * A).sum(axis=1))
+    nb = np.sqrt((B * B).sum(axis=1))
+    da = (na == 0.0) | ~np.isfinite(na)
+    db = (nb == 0.0) | ~np.isfinite(nb)
+    na[da] = 1.0
+    nb[db] = 1.0
+    cos = (A / na[:, None]) @ (B / nb[:, None]).T
+    keep = (
+        (cos >= threshold - _PREFILTER_MARGIN)
+        | np.isnan(cos)
+        | da[:, None]
+        | db[None, :]
+    )
+    return np.nonzero(keep)
+
+
 def angle_between(u, v) -> float:
     """Angle (radians) between two vectors; a zero-norm operand reports
     0.0 so triangle-inequality ALLOWLISTS built on this can only widen
@@ -264,14 +300,11 @@ def near_dup_pairs_clustered(
     # Stage 1 — block-matmul PREFILTER over allowed cluster pairs. Scoring
     # 12.5M surviving pairs as Catalyst fold expressions would materialize
     # two 64-float arrays per pair row (~GBs mid-plan) and cost ~2us/pair;
-    # instead each allowed (c1, c2) block is cogrouped and scored with ONE
-    # Arrow-batched numpy matmul (members(c1) x members(c2)). The margin
-    # makes the prefilter a strict SUPERSET of qualifying pairs (numpy's
-    # pairwise-summation dot differs from the sequential fold by far less),
-    # so recall stays 1.0; zero-norm rows are force-kept so the exact stage
-    # reproduces the baseline's NaN-comparison semantics on arbitrary data.
-    prefilter_margin = 1e-6
-
+    # instead each allowed (c1, c2) block is cogrouped and scored by the
+    # shared _block_pair_indices core: ONE Arrow-batched numpy matmul
+    # (members(c1) x members(c2)), superset-by-margin with degenerate
+    # rows force-kept (see the core's docstring), so recall stays 1.0 on
+    # arbitrary data.
     def _block_candidates(
         left_pdf: pd.DataFrame, right_pdf: pd.DataFrame
     ) -> pd.DataFrame:
@@ -283,24 +316,7 @@ def near_dup_pairs_clustered(
         )
         if len(left_pdf) == 0 or len(right_pdf) == 0:
             return empty
-        A = np.vstack(left_pdf["embedding"].to_numpy()).astype("float64")
-        B = np.vstack(right_pdf["embedding"].to_numpy()).astype("float64")
-        na = np.sqrt((A * A).sum(axis=1))
-        nb = np.sqrt((B * B).sum(axis=1))
-        za, zb = na == 0.0, nb == 0.0
-        na[za] = 1.0
-        nb[zb] = 1.0
-        cos = (A / na[:, None]) @ (B / nb[:, None]).T
-        # force-keep zero-norm AND NaN rows: numpy's NaN >= t is False but
-        # the exact JVM verify (like the engine baseline) treats NaN as
-        # greatest — the prefilter must stay a superset on arbitrary data
-        keep = (
-            (cos >= threshold - prefilter_margin)
-            | np.isnan(cos)
-            | za[:, None]
-            | zb[None, :]
-        )
-        ia, ib = np.nonzero(keep)
+        ia, ib = _block_pair_indices(left_pdf, right_pdf, threshold)
         id_a = left_pdf["vec_id"].to_numpy()[ia].astype("int64")
         id_b = right_pdf["vec_id"].to_numpy()[ib].astype("int64")
         if left_pdf["c1"].iat[0] == left_pdf["c2"].iat[0]:
@@ -455,24 +471,45 @@ def cosine_similarity_join(
     keeps exactly the pairs theta(c1,c2) <= r_left(c1) + r_right(c2) +
     arccos(threshold) + eps — any pruned cell pair provably cannot hold
     a qualifying pair, so recall is 1.0 BY CONSTRUCTION on arbitrary
-    data; survivors pay the exact sequential-fold cosine (bit-identical
-    to the cross-join baseline). Degenerate vectors follow the
-    baseline's ENGINE semantics exactly: a zero-norm vector's cosine is
-    NULL in Spark (division by zero) and never matches, so those rows
-    are pre-filtered; a vector with NaN/Inf components has NaN cosines,
-    which Spark's >= treats as TRUE — its cell radius is nanvl'd to pi
-    so the allowlist keeps every pair the baseline would emit.
+    data. Surviving cell-pair blocks then run the TWO-STAGE scorer its
+    self-join sibling :func:`near_dup_pairs_clustered` uses (the r10
+    review's perf finding — the old per-pair Catalyst fold materialized
+    two float arrays per pair row, exactly the shape the sibling
+    rejects): (1) cogrouped block-matmul prefilter — one Arrow-batched
+    numpy matmul per allowed block via the shared
+    :func:`_block_pair_indices` core, a strict superset of qualifying
+    pairs by margin with degenerate rows force-kept; (2) exact
+    sequential-fold re-verify of the surviving sliver, so emitted
+    cos_sim values are bit-identical to the cross-join baseline.
 
-    Scale shape: one assignment matmul per side, two narrow (cell, max
-    theta) aggregates, then a shuffle keyed on the cell pair whose
-    volume is sum over ALLOWED pairs of |left cell| + |right cell|
-    replicated rows. Clustered corpora discard most cell pairs
-    driver-side (measured for the shared pruning core in
+    Degenerate vectors follow the baseline's ENGINE semantics exactly.
+    A vector with NaN/Inf components has NaN cosines, which Spark's >=
+    treats as TRUE: it stays in the main path (its NaN norm compares
+    > 0), its cell radius is nanvl'd to pi so the allowlist keeps every
+    pair the baseline would emit, and the prefilter force-keeps it. A
+    zero-norm vector's cosine against any all-finite partner is NULL
+    (0/0 division) and never matches, so zero-norm rows are excluded
+    from the main candidate path (keeping them would pin pi radii that
+    widen the allowlist to every cell pair — a perf cliff); BUT against
+    a partner with non-finite norm the engine cosine is NaN/NaN = NaN,
+    which the baseline MATCHES (the r10 advice finding), so when one
+    side has zero-norm rows AND the other has non-finite-norm rows,
+    that (tiny x tiny) cross product is exact-verified out-of-band and
+    unioned in — output-identical to the baseline with no allowlist
+    widening.
+
+    Scale shape: one assignment matmul per side, two narrow per-cell
+    stats aggregates, a shuffle keyed on the cell pair whose volume is
+    sum over ALLOWED pairs of |left cell| + |right cell| replicated
+    rows, one dense matmul per block, then an id-keyed re-verify join
+    sized by the near-threshold sliver (AQE broadcasts it when small).
+    Clustered corpora discard most cell pairs driver-side (measured in
     docs/SCALE.md's semantic-probe section); the uniform worst case
-    degrades toward the cross join — the intrinsic bound of any exact
-    join. Raise nlist with corpus size (cells ~ sqrt(n) keeps block
-    volume balanced); for candidate-only workloads at extreme scale,
-    swap the exact verify for the PQ-ADC scorer (extensions/pq.py).
+    degrades toward the cross join's pair COUNT but pays it at dense
+    matmul speed — the intrinsic bound of any exact join. Raise nlist
+    with corpus size (cells ~ sqrt(n) keeps block volume balanced); for
+    candidate-only workloads at extreme scale, swap the exact verify
+    for the PQ-ADC scorer (extensions/pq.py).
     """
     from ..queries.vectors import dot, norm
     from .ivf import assign_to_centroids, train_ivf_index
@@ -499,73 +536,180 @@ def cosine_similarity_join(
     )
     if fitted is None:  # empty right side: no pairs
         return _empty()
-    # one materialization per side feeds BOTH the radii collect and the
-    # verify join (the near_dup_pairs_clustered reuse pattern; without it
-    # the assignment matmul and upstream scans run twice per side).
-    # Zero-norm vectors are excluded up front: their cosine is NULL in
-    # Spark (double division by zero yields NULL, not NaN — verified on
-    # this engine), and NULL never passes the >= threshold filter on
-    # either path, so dropping them is output-neutral; keeping them
-    # would report worst-case pi radii that widen the allowlist to every
-    # cell pair — a perf cliff, not a correctness need.
-    r_assigned = tracked_cache(
-        fitted.filter(norm(F.col("embedding")) > 0)
-    )
-    l_assigned = tracked_cache(
+    # one materialization per side feeds the per-cell stats collect, both
+    # cogroup sides, the verify join, AND the degenerate slivers (the
+    # near_dup_pairs_clustered reuse pattern; without it the assignment
+    # matmul and upstream scans run once per consumer). The norm rides
+    # the cache so filters and the verify join share one fold.
+    r_all = tracked_cache(fitted.withColumn("__n", norm(F.col("embedding"))))
+    l_all = tracked_cache(
         assign_to_centroids(
             left, cmat, vec_col=left_vec, id_col=left_id, emit_angle=True
-        ).filter(norm(F.col("embedding")) > 0)
+        ).withColumn("__n", norm(F.col("embedding")))
     )
 
+    _zero = F.col("__n") == 0
+    _nonfinite = F.isnan(F.col("__n")) | (F.col("__n") == F.lit(float("inf")))
+
+    def _cell_stats(assigned):
+        """One narrow per-cell collect: conservative radius plus
+        degenerate-row presence flags.
+
+        Radius: a vector with a NaN/Inf component gets a NaN theta from
+        the assignment matmul, which the Arrow pandas transfer surfaces
+        as NULL (pandas NaN is Arrow's null sentinel) — F.max would
+        silently SKIP it, under-reporting the radius and letting the
+        allowlist prune a cell whose NaN cosines the crossJoin baseline
+        MATCHES (Spark evaluates NaN >= t as true). Pin both
+        representations to the worst-case pi (coalesce for the NULL
+        form, nanvl for a genuine NaN). Zero-norm rows are EXCLUDED
+        from the radius (they never ride the main candidate path, and
+        their pinned-pi thetas would widen the allowlist to every cell
+        pair); a cell holding only zero-norm rows reports no radius and
+        drops out of the allowlist entirely."""
+        rows = (
+            assigned.groupBy("cell")
+            .agg(
+                F.max(
+                    F.when(
+                        ~_zero,
+                        F.coalesce(
+                            F.nanvl(F.col("theta"), F.lit(math.pi)), F.lit(math.pi)
+                        ),
+                    )
+                ).alias("radius"),
+                F.max(_zero.cast("int")).alias("has_zero"),
+                F.max(_nonfinite.cast("int")).alias("has_nonfinite"),
+            )
+            .collect()
+        )
+        radii = {r["cell"]: r["radius"] for r in rows if r["radius"] is not None}
+        has_zero = any(r["has_zero"] for r in rows)
+        has_nonfinite = any(r["has_nonfinite"] for r in rows)
+        return radii, has_zero, has_nonfinite
+
     cents = [[float(x) for x in c] for c in cmat]
-    # Degenerate-robust radii: a vector with a NaN/Inf component gets a
-    # NaN theta from the assignment matmul, which the Arrow pandas
-    # transfer surfaces as NULL (pandas NaN is Arrow's null sentinel) —
-    # F.max would silently SKIP it, under-reporting the radius and
-    # letting the allowlist prune a cell whose NaN cosines the crossJoin
-    # baseline MATCHES (Spark evaluates NaN >= t as true). Pin both
-    # representations to the worst-case pi (coalesce for the NULL form,
-    # nanvl for a genuine NaN): the cell's allowlist widens to
-    # everything, its NaN-cos pairs all pass the verify filter, and
-    # exactness vs the baseline holds on arbitrary data (r10 follow-up
-    # review finding).
-    _radius = F.max(
-        F.coalesce(F.nanvl(F.col("theta"), F.lit(math.pi)), F.lit(math.pi))
-    ).alias("radius")
-    l_radii = {
-        r["cell"]: r["radius"]
-        for r in l_assigned.groupBy("cell").agg(_radius).collect()
-    }
-    r_radii = {
-        r["cell"]: r["radius"]
-        for r in r_assigned.groupBy("cell").agg(_radius).collect()
-    }
+    l_radii, l_has_zero, l_has_nonfinite = _cell_stats(l_all)
+    r_radii, r_has_zero, r_has_nonfinite = _cell_stats(r_all)
     allowed = allowed_cell_pairs(cents, l_radii, r_radii, threshold)
     spark = left.sparkSession
-    if not allowed:
-        return _empty()
-    allow_df = spark.createDataFrame(allowed, "cell_l int, cell_r int")
-    lhs = l_assigned.select(
-        F.col("vec_id").alias("__lid"),
-        F.col("cell").alias("cell_l"),
-        F.col("embedding").alias("va"),
-        norm(F.col("embedding")).alias("norm_a"),
-    )
-    rhs = r_assigned.select(
-        F.col("vec_id").alias("__rid"),
-        F.col("cell").alias("cell_r"),
-        F.col("embedding").alias("vb"),
-        norm(F.col("embedding")).alias("norm_b"),
-    )
-    return (
-        lhs.join(F.broadcast(allow_df), "cell_l")
-        .join(rhs, "cell_r")
-        .select(
-            F.col("__lid").alias(left_id),
-            F.col("__rid").alias(right_id),
-            (dot(F.col("va"), F.col("vb")) / (F.col("norm_a") * F.col("norm_b"))).alias(
-                "cos_sim"
-            ),
+
+    def _lsel(frame):
+        return frame.select(
+            F.col("vec_id").alias("__lid"),
+            F.col("embedding").alias("va"),
+            F.col("__n").alias("norm_a"),
         )
-        .filter(F.col("cos_sim") >= threshold)
+
+    def _rsel(frame):
+        return frame.select(
+            F.col("vec_id").alias("__rid"),
+            F.col("embedding").alias("vb"),
+            F.col("__n").alias("norm_b"),
+        )
+
+    _cos = (dot(F.col("va"), F.col("vb")) / (F.col("norm_a") * F.col("norm_b"))).alias(
+        "cos_sim"
     )
+
+    def _exact_verify(pairs_with_vecs):
+        # the sequential-fold cosine: bit-identical to the baseline
+        return pairs_with_vecs.select(
+            F.col("__lid").alias(left_id), F.col("__rid").alias(right_id), _cos
+        ).filter(F.col("cos_sim") >= threshold)
+
+    parts = []
+    if allowed:
+        allow_df = spark.createDataFrame(allowed, "cell_l int, cell_r int")
+        # NaN/Inf-norm rows stay; zero-norm rows leave the main path
+        # (their engine cosine vs the all-finite bulk is NULL and never
+        # matches — the degenerate sliver below covers the one partner
+        # class that DOES match). The predicate is != 0, NOT > 0: on a
+        # CACHED frame the in-memory columnar batch filter evaluates
+        # NaN > 0 as false (stats-pruned), silently dropping NaN-norm
+        # rows the uncached stream keeps — != has no such divergence.
+        l_main = l_all.filter(F.col("__n") != 0)
+        r_main = r_all.filter(F.col("__n") != 0)
+        lmem = (
+            l_main.alias("lm")
+            .join(F.broadcast(allow_df.alias("la")), F.col("lm.cell") == F.col("la.cell_l"))
+            .select(
+                F.col("la.cell_l").alias("cell_l"),
+                F.col("la.cell_r").alias("cell_r"),
+                F.col("lm.vec_id").alias("vec_id"),
+                F.col("lm.embedding").alias("embedding"),
+            )
+        )
+        rmem = (
+            r_main.alias("rm")
+            .join(F.broadcast(allow_df.alias("ra")), F.col("rm.cell") == F.col("ra.cell_r"))
+            .select(
+                F.col("ra.cell_l").alias("cell_l"),
+                F.col("ra.cell_r").alias("cell_r"),
+                F.col("rm.vec_id").alias("vec_id"),
+                F.col("rm.embedding").alias("embedding"),
+            )
+        )
+
+        def _join_block_candidates(
+            left_pdf: pd.DataFrame, right_pdf: pd.DataFrame
+        ) -> pd.DataFrame:
+            if len(left_pdf) == 0 or len(right_pdf) == 0:
+                return pd.DataFrame(
+                    {
+                        "__lid": left_pdf["vec_id"].iloc[:0],
+                        "__rid": right_pdf["vec_id"].iloc[:0],
+                    }
+                )
+            ia, ib = _block_pair_indices(left_pdf, right_pdf, threshold)
+            return pd.DataFrame(
+                {
+                    "__lid": left_pdf["vec_id"].to_numpy()[ia],
+                    "__rid": right_pdf["vec_id"].to_numpy()[ib],
+                }
+            )
+
+        # candidate schema preserves the CALLERS' id dtypes (string ids
+        # are common in record linkage)
+        l_id_t = left.schema[left_id].dataType.simpleString()
+        r_id_t = right.schema[right_id].dataType.simpleString()
+        cand = (
+            lmem.groupBy("cell_l", "cell_r")
+            .cogroup(rmem.groupBy("cell_l", "cell_r"))
+            .applyInPandas(_join_block_candidates, f"__lid {l_id_t}, __rid {r_id_t}")
+        )
+        # id-keyed re-verify joins; cand is the near-threshold sliver, so
+        # AQE broadcasts it when small — unhinted on purpose, since a
+        # low-threshold linkage join can make the sliver corpus-sized
+        parts.append(
+            _exact_verify(
+                cand.join(_lsel(l_main), "__lid").join(_rsel(r_main), "__rid")
+            )
+        )
+    # Degenerate sliver (r10 advice finding): zero-norm x non-finite-norm
+    # pairs have engine cosine NaN/NaN = NaN, which the baseline MATCHES.
+    # Exact-verify that (tiny x tiny) cross product out-of-band — the
+    # non-finite side broadcasts (pathological rows are rare by premise;
+    # the output is the full product either way, as the baseline's is).
+    if l_has_zero and r_has_nonfinite:
+        parts.append(
+            _exact_verify(
+                _lsel(l_all.filter(_zero)).crossJoin(
+                    F.broadcast(_rsel(r_all.filter(_nonfinite)))
+                )
+            )
+        )
+    if l_has_nonfinite and r_has_zero:
+        parts.append(
+            _exact_verify(
+                F.broadcast(_lsel(l_all.filter(_nonfinite))).crossJoin(
+                    _rsel(r_all.filter(_zero))
+                )
+            )
+        )
+    if not parts:
+        return _empty()
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out

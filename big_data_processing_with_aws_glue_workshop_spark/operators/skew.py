@@ -98,6 +98,8 @@ def skew_resilient_join(
     the key exists and per-salt lookups stay equivalent.
     """
     on = list(on)
+    if not on:
+        raise ValueError("skew_resilient_join requires at least one join key")
     if how not in ("inner", "left", "left_semi", "left_anti"):
         raise ValueError(
             "skew_resilient_join supports inner/left/left_semi/left_anti, "
@@ -203,6 +205,8 @@ def plan_equi_join(
     probe is consistent: ``cms_sketch`` never counts NULL keys.
     """
     on = list(on)
+    if not on:
+        raise ValueError("plan_equi_join requires at least one join key")
     cms_probe = left_cms is not None and right_cms is not None
 
     def _cms_stats(cms: DataFrame) -> tuple[int, int]:
@@ -219,9 +223,18 @@ def plan_equi_join(
         right_rows, _ = _cms_stats(right_cms)
     else:
         right_rows = right.count()
+    # CMS undercount caveat (r10 advice): cms_sketch never counts NULL
+    # keys, so under probe: "cms" right_rows is the NON-NULL-key row
+    # count — a NULL-heavy right side can pass the broadcast threshold
+    # while its true broadcast size (NULL rows included) is far larger.
+    # The basis field makes the undercount explicit in the record;
+    # callers gating memory-critical broadcasts on a NULL-heavy dim
+    # should supply the exact count instead (probe: "exact" counts all
+    # rows from parquet footers).
     decision: dict = {
         "strategy": "shuffle",
         "right_rows": right_rows,
+        "right_rows_basis": "non-null keys (cms)" if cms_probe else "all rows (exact)",
         "left_rows": None,
         "left_max_key_rows": None,
         "left_n_keys": None,

@@ -970,6 +970,8 @@ def incremental_join_refresh(
     dim_transform: Callable[[DataFrame], DataFrame] | None = None,
     dim_compact_at: int = 16,
     fmt: str = "parquet",
+    join_broadcast_threshold_rows: int = 1_000_000,
+    join_rows_per_partition: int = 5_000_000,
     **reader_options: str,
 ) -> dict:
     """Maintain a materialized INNER-join view ``fact ⋈ dim`` from two
@@ -1036,8 +1038,22 @@ def incremental_join_refresh(
     ``read_join_pending == facts_all ∖ matched`` — the same result as
     a one-shot join of everything ever landed.
 
+    The ΔF ⋈ D_full join — the one whose left side is arbitrary landed
+    data and whose right side grows without bound — runs through the
+    measured planner (operators/skew.py): ``plan_equi_join`` probes the
+    standing dim's size (broadcast exit) and, past the broadcast
+    threshold, the increment's hottest key mass (salted exit via
+    ``skew_resilient_join``, row-multiset-identical by its pinned
+    equivalence), and the chosen strategy + evidence land in the
+    returned stats as ``join_decision`` — the refresh log IS the
+    planning audit trail. Thresholds are caller-tunable
+    (``join_broadcast_threshold_rows``, ``join_rows_per_partition``);
+    the P ⋈ ΔD_new term stays a pinned broadcast (ΔD_new is
+    increment-sized by construction) and the pending anti-join stays
+    key-only (narrow).
+
     Returns {"new_fact_files", "new_dim_files", "matched_new",
-    "pending_rows", "healed"}.
+    "pending_rows", "healed", "join_decision"}.
     """
     import json
 
@@ -1092,6 +1108,7 @@ def incremental_join_refresh(
                 else 0
             ),
             "healed": healed,
+            "join_decision": None,
         }
 
     d_fact = fact_transform(fact_df) if fact_files and fact_transform else fact_df
@@ -1146,12 +1163,34 @@ def incremental_join_refresh(
     )
 
     # the delta rule, append-only specialization
+    from ..operators.skew import adaptive_join, plan_equi_join
+
     matched_parts = []
+    join_decision = None
     if fact_files and dim_parts:
         full_dim = dim_parts[0]
         for p in dim_parts[1:]:
             full_dim = full_dim.unionByName(p)
-        matched_parts.append(d_fact.join(full_dim, join_key, "inner"))
+        # measured join planning (see docstring): small dim -> pinned
+        # broadcast; big dim + hot increment key -> salted; else plain
+        # shuffle. All strategies are row-multiset-identical.
+        join_decision = plan_equi_join(
+            d_fact,
+            full_dim,
+            [join_key],
+            broadcast_threshold_rows=join_broadcast_threshold_rows,
+            rows_per_partition=join_rows_per_partition,
+        )
+        matched_parts.append(
+            adaptive_join(
+                d_fact,
+                full_dim,
+                [join_key],
+                "inner",
+                decision=join_decision,
+                rows_per_partition=join_rows_per_partition,
+            )
+        )
     if pending is not None and new_dim is not None:
         matched_parts.append(pending.join(F.broadcast(new_dim), join_key, "inner"))
     matched = matched_parts[0] if matched_parts else None
@@ -1268,6 +1307,7 @@ def incremental_join_refresh(
         "matched_new": matched_new,
         "pending_rows": pending_rows,
         "healed": healed,
+        "join_decision": join_decision,
     }
 
 

@@ -591,3 +591,57 @@ def test_cosine_similarity_join_nan_component_matches_baseline(spark):
     assert got == expected
     # the NaN row's pairs are genuinely present (Spark NaN-compare)
     assert {(2, 10), (2, 11), (2, 12)} <= set(expected)
+
+
+def test_cosine_similarity_join_zero_norm_x_nonfinite_matches_baseline(spark):
+    """The r10 advice corner: the crossJoin baseline MATCHES a
+    (zero-norm, non-finite-norm) pair — the engine cosine is
+    NaN/NaN = NaN (denominator 0*NaN is NaN, not 0, so no
+    NULL-on-div-zero) and Spark evaluates NaN >= t as true. The pruned
+    join excludes zero-norm rows from its main path, so these pairs
+    must come back via the out-of-band degenerate sliver, in BOTH
+    orientations, without widening the allowlist."""
+    from big_data_processing_with_aws_glue_workshop_spark.extensions.similarity import (
+        cosine_similarity_join,
+    )
+    from big_data_processing_with_aws_glue_workshop_spark.queries.vectors import dot, norm
+
+    nan = float("nan")
+    ldf = spark.createDataFrame(
+        [
+            (1, [1.0, 0.0, 0.0]),   # normal
+            (2, [0.0, 0.0, 0.0]),   # zero-norm
+            (3, [nan, 1.0, 0.0]),   # NaN component -> NaN norm
+        ],
+        "left_id long, embedding array<float>",
+    )
+    rdf = spark.createDataFrame(
+        [
+            (10, [1.0, 0.01, 0.0]),  # near-match of left 1
+            (11, [0.0, 0.0, 0.0]),   # zero-norm
+            (12, [0.0, nan, 1.0]),   # NaN component
+        ],
+        "right_id long, embedding array<float>",
+    )
+    got = sorted(
+        (r["left_id"], r["right_id"])
+        for r in cosine_similarity_join(ldf, rdf, threshold=0.9, nlist=2).collect()
+    )
+    la = ldf.select(
+        "left_id", F.col("embedding").alias("va"), norm(F.col("embedding")).alias("na")
+    )
+    rb = rdf.select(
+        "right_id", F.col("embedding").alias("vb"), norm(F.col("embedding")).alias("nb")
+    )
+    expected = sorted(
+        (r["left_id"], r["right_id"])
+        for r in la.crossJoin(rb)
+        .filter((dot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb"))) >= 0.9)
+        .collect()
+    )
+    assert got == expected
+    # the corner pairs are genuinely in the baseline, both orientations:
+    # zero-norm left x NaN right, NaN left x zero-norm right
+    assert {(2, 12), (3, 11)} <= set(expected)
+    # and zero x zero is genuinely absent (0/0 -> NULL, never matches)
+    assert (2, 11) not in set(expected)

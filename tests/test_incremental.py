@@ -1026,6 +1026,57 @@ def test_join_refresh_crash_replay_is_exactly_once(spark, tmp_path):
     assert s["matched_new"] == 1 and s["pending_rows"] == 0
 
 
+def test_join_refresh_measured_join_planner(spark, tmp_path):
+    """The ΔF ⋈ D_full join runs through the measured planner
+    (operators/skew.py) and the decision lands in the refresh stats:
+    a small standing dim takes the pinned-broadcast exit; past the
+    broadcast threshold a planted hot increment key trips the salted
+    strategy — and either way the published view/pending state is
+    identical to the one-shot join (the planner's pinned equivalence,
+    exercised end to end inside the refresh pipeline)."""
+    from big_data_processing_with_aws_glue_workshop_spark.plans.incremental import (
+        incremental_join_refresh,
+    )
+
+    e = _jv(tmp_path)
+    # wave 1: dim comfortably under the default broadcast threshold
+    _land(e["facts"] / "f0.parquet", {"k": [1, 2, 3], "x": [10, 20, 30]})
+    _land(e["dims"] / "d0.parquet", {"k": [1, 2], "attr": ["a1", "a2"]})
+    s = _jv_refresh(spark, e)
+    assert s["join_decision"]["strategy"] == "broadcast"
+    assert s["join_decision"]["right_rows"] == 2
+    assert s["matched_new"] == 2 and s["pending_rows"] == 1
+
+    # wave 2: thresholds forced low + a planted hot key in the fact
+    # increment -> salted path, sized by the measured hot-key mass
+    _land(
+        e["facts"] / "f1.parquet",
+        {"k": [7] * 12 + [8], "x": list(range(100, 113))},
+    )
+    _land(e["dims"] / "d1.parquet", {"k": [7, 8, 9], "attr": ["a7", "a8", "a9"]})
+    s = incremental_join_refresh(
+        spark,
+        e["fbm"],
+        e["fact_pattern"],
+        e["dbm"],
+        e["dim_pattern"],
+        e["target"],
+        "k",
+        join_broadcast_threshold_rows=2,  # standing dim (5 rows) won't broadcast
+        join_rows_per_partition=4,  # hot key 7 (12 rows) trips salting
+    )
+    d = s["join_decision"]
+    assert d["strategy"] == "salted"
+    assert d["left_max_key_rows"] == 12 and d["n_salts"] == 3
+    assert d["right_rows"] == 5 and d["right_rows_basis"] == "all rows (exact)"
+    assert s["matched_new"] == 13
+    view, pending = _jv_state(spark, e)
+    expect_view = {(1, 10, "a1"), (2, 20, "a2"), (8, 112, "a8")} | {
+        (7, 100 + i, "a7") for i in range(12)
+    }
+    assert view == expect_view and pending == {(3, 30)}
+
+
 def test_join_refresh_dim_compaction_preserves_results(spark, tmp_path):
     """Past the compaction threshold the dim deltas collapse into one
     dir with identical join semantics (and the pointer stops listing
