@@ -571,6 +571,26 @@ def cmd_semantic_refresh(args: argparse.Namespace) -> None:
     _emit({"job": "semantic-refresh", **stats})
 
 
+def cmd_semantic_recell(args: argparse.Namespace) -> None:
+    """Maintenance re-fit of a semantic-dedup target's pinned centroid
+    state (plans/incremental.py::semantic_recell): refit nlist ~ sqrt(n)
+    centroids on the standing corpus, re-assign every accepted row, and
+    flip to the new calibration atomically. Run on a cadence when
+    measured allow_share degrades; later semantic-refresh calls must
+    pass the NEW nlist this prints."""
+    from .plans.incremental import semantic_recell
+
+    spark = get_session(app_name="semantic-recell")
+    stats = semantic_recell(
+        spark,
+        args.target,
+        id_col=args.id_col,
+        vec_col=args.vec_col,
+        nlist=args.nlist,
+    )
+    _emit({"job": "semantic-recell", **stats})
+
+
 def cmd_bpe_learn(args: argparse.Namespace) -> None:
     """Learn a BPE subword vocabulary from a document table
     (operators/bpe.py): one corpus pass builds the word-frequency
@@ -910,6 +930,23 @@ def build_parser() -> argparse.ArgumentParser:
     sr.add_argument("--nlist", type=int, default=16)
     sr.add_argument("--seed", type=int, default=42)
     sr.set_defaults(func=cmd_semantic_refresh)
+
+    src = sub.add_parser(
+        "semantic-recell",
+        help="maintenance re-fit of a semantic-dedup target's pinned "
+        "centroids (nlist ~ sqrt(n)); restores allowlist pruning on a "
+        "grown corpus without changing any drop decision",
+    )
+    src.add_argument("--target", required=True, help="deduped corpus directory")
+    src.add_argument("--id-col", default="vec_id")
+    src.add_argument("--vec-col", default="embedding")
+    src.add_argument(
+        "--nlist",
+        type=int,
+        default=None,
+        help="new cell count (default: ~sqrt(standing rows), capped at 1024)",
+    )
+    src.set_defaults(func=cmd_semantic_recell)
 
     c = sub.add_parser(
         "compact",

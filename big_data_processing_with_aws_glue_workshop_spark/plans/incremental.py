@@ -953,6 +953,130 @@ def apply_semantic_increment(
     }
 
 
+def semantic_recell(
+    spark: SparkSession,
+    target_dir: str,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    nlist: int | None = None,
+    iters: int = 5,
+    nlist_cap: int = 1024,
+) -> dict:
+    """Maintenance re-fit of a semantic-dedup target's PINNED centroid
+    state (the r10 verdict's watch item): the refresh contract freezes
+    the centroid matrix at the first increment, so as the corpus
+    outgrows those first cells the triangle-inequality allowlist prunes
+    less and less — correctness never degrades (the bound holds for any
+    cells), but per-refresh candidate volume creeps toward increment x
+    corpus. This operation restores pruning power on a maintenance
+    cadence, the same contract class as ``operators/compaction.py``:
+
+    1. reads the standing accepted set (union of published deltas);
+    2. refits ``nlist`` centroids on it (sample-fit, default sized
+       ~ sqrt(n) and capped at ``nlist_cap`` — the driver-side
+       allowlist is O(nlist^2) pairs);
+    3. re-assigns every standing row against the NEW matrix (one
+       assignment matmul pass — cell and theta are the only columns
+       that change; ids, vectors and caller columns pass through);
+    4. rewrites the state as ONE compacted delta under the new
+       calibration and flips the pointer atomically; superseded delta
+       dirs are GC'd post-flip (readers only follow the pointer, so a
+       crash anywhere leaves either the old state or the new one,
+       never a mix).
+
+    Drop decisions are CALIBRATION-INDEPENDENT given the same
+    threshold — the allowlist is recall-1.0 for any centroid matrix and
+    the verify stage is exact — so refreshes after a re-cell accept and
+    drop exactly the rows they would have before (pinned by
+    tests/test_incremental.py); only the candidate volume changes.
+    Later refresh calls MUST pass the new ``nlist`` (it becomes part of
+    the stored calibration; the refresh's mismatch guard will refuse
+    the old one) — read it from this function's returned stats.
+
+    Cost: O(standing corpus) — one read, one assignment matmul, one
+    write. That is exactly the cost class the per-refresh path refuses
+    to pay and the reason this is a separate cadence operation: run it
+    when measured allow_share degrades (tools/semantic_probe.py
+    --recell measures the recovery), not per increment.
+
+    Returns {"rows", "old_nlist", "new_nlist", "old_deltas",
+    "batch_id"}.
+    """
+    import json
+    import math as _math
+
+    from ..extensions.ivf import train_ivf_index
+
+    pointer_path = os.path.join(target_dir, "current.json")
+    if not os.path.exists(pointer_path):
+        raise ValueError(
+            f"no semantic-dedup state at {target_dir!r} — nothing to re-cell"
+        )
+    with open(pointer_path) as f:
+        pointer = json.load(f)
+    if "centroids" not in pointer or "calibration" not in pointer:
+        raise ValueError(
+            f"target {target_dir!r} is not a semantic-dedup state (its "
+            "pointer has no centroids/calibration) — it belongs to another "
+            "refresh family"
+        )
+    calibration = pointer["calibration"]
+    old_nlist = calibration["nlist"]
+    seed = calibration["seed"]
+
+    standing = spark.read.parquet(
+        *[os.path.join(target_dir, rel) for rel in pointer["deltas"]]
+    )
+    base = standing.drop("cell", "theta")
+    n = base.count()
+    new_nlist = nlist if nlist is not None else max(1, round(_math.sqrt(n)))
+    new_nlist = min(new_nlist, nlist_cap)
+
+    fitted, _, cmat = train_ivf_index(
+        base, vec_col, id_col, new_nlist, seed, iters=iters, emit_angle=True
+    )
+    if fitted is None:
+        raise ValueError(
+            f"semantic-dedup state at {target_dir!r} holds no rows — "
+            "re-celling an empty corpus is a caller error"
+        )
+    meta = fitted.select(F.col("vec_id").alias("__aid"), "cell", "theta")
+    rewritten = base.join(meta, base[id_col] == meta["__aid"]).drop("__aid")
+
+    batch_id = pointer["batch_id"] + 1
+    recell_rel = f"accepted/recell_{batch_id}"
+    rewritten.write.mode("overwrite").parquet(os.path.join(target_dir, recell_rel))
+    n_out = spark.read.parquet(os.path.join(target_dir, recell_rel)).count()
+    if n_out != n:
+        raise RuntimeError(
+            f"re-cell row-count drift at {target_dir!r}: standing {n} rows, "
+            f"rewrote {n_out} — duplicate or missing {id_col} values in the "
+            "accepted state; refusing to flip"
+        )
+
+    old_deltas = list(pointer["deltas"])
+    _flip_pointer(
+        pointer_path,
+        pointer,
+        {
+            "batch_id": batch_id,
+            "deltas": [recell_rel],
+            "centroids": [[float(x) for x in c] for c in cmat],
+            "calibration": {**calibration, "nlist": new_nlist},
+        },
+    )
+    # post-flip GC: best-effort, readers only follow the pointer
+    for rel in old_deltas:
+        shutil.rmtree(os.path.join(target_dir, rel), ignore_errors=True)
+    return {
+        "rows": n,
+        "old_nlist": old_nlist,
+        "new_nlist": new_nlist,
+        "old_deltas": len(old_deltas),
+        "batch_id": batch_id,
+    }
+
+
 # ---------------------------------------------------------------------------
 # Incremental JOIN-VIEW maintenance (fact ⋈ dim with late-arriving dims)
 # ---------------------------------------------------------------------------

@@ -743,3 +743,17 @@ def test_cli_semantic_refresh(spark, tmp_path, capsys):
     assert out2["dropped_vs_corpus"] == 1 and out2["accepted"] == 1
     got = {r["vec_id"] for r in read_deduped(spark, str(tmp_path / "corpus")).collect()}
     assert got == {1, 2, 10}
+
+    # semantic-recell maintenance: state collapses to one delta under the
+    # new calibration, standing rows unchanged; later refreshes name the
+    # printed nlist
+    main(["semantic-recell", "--target", str(tmp_path / "corpus"), "--nlist", "3"])
+    rc = _json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert rc["job"] == "semantic-recell"
+    assert rc["rows"] == 3 and rc["old_nlist"] == 2 and rc["new_nlist"] == 3
+    got = {r["vec_id"] for r in read_deduped(spark, str(tmp_path / "corpus")).collect()}
+    assert got == {1, 2, 10}
+    land("v3.parquet", [(11, [0.11, -0.89, 0.31, 0.59])])  # near-copy of 10
+    main([a if a != "2" else "3" for a in args])
+    out3 = _json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert out3["dropped_vs_corpus"] == 1 and out3["accepted"] == 0

@@ -1632,3 +1632,106 @@ def test_semantic_refresh_randomized_parity(spark, tmp_path, seed):
     got = {r["vec_id"] for r in read_deduped(spark, target).collect()}
     assert got == expected
     assert len(expected) < vid  # the fixture actually dropped something
+
+
+def test_semantic_recell_preserves_decisions(spark, tmp_path):
+    """Drop decisions are CALIBRATION-INDEPENDENT given the same
+    threshold (the allowlist is recall-1.0 for ANY centroid matrix and
+    the verify stage is exact), so a maintenance re-cell must change
+    per-refresh candidate volume ONLY: two targets fed identical waves,
+    one re-celled mid-stream, accept and drop identically — and the
+    re-celled state collapses to one delta under the new calibration,
+    which later refreshes must name (the mismatch guard refuses the old
+    nlist)."""
+    import random
+
+    from big_data_processing_with_aws_glue_workshop_spark.plans.incremental import (
+        incremental_semantic_refresh,
+        read_deduped,
+        semantic_recell,
+    )
+
+    rng = random.Random(11)
+    dim, thr = 6, 0.92
+
+    def rand_vec():
+        return [float(rng.uniform(-1, 1)) for _ in range(dim)]
+
+    vid = 0
+    waves = []
+    for _ in range(2):
+        wave = []
+        for _ in range(15):
+            vid += 1
+            wave.append((vid, rand_vec()))
+        waves.append(wave)
+    # wave 3: near-copies of standing wave-1 vectors (must drop vs
+    # corpus on BOTH targets) + fresh directions
+    wave3 = []
+    for base_id, base_v in waves[0][:4]:
+        vid += 1
+        wave3.append(
+            (vid, [x * rng.uniform(0.99, 1.01) + rng.uniform(-0.005, 0.005) for x in base_v])
+        )
+    for _ in range(6):
+        vid += 1
+        wave3.append((vid, rand_vec()))
+    waves.append(wave3)
+
+    import numpy as np
+
+    waves = [
+        [(i, [float(np.float32(x)) for x in v]) for i, v in wave] for wave in waves
+    ]
+
+    landing = tmp_path / "vecs"
+    landing.mkdir()
+    pattern = str(landing / "*.parquet")
+    targets = {n: str(tmp_path / f"corpus_{n}") for n in ("a", "b")}
+    bms = {n: JobBookmark(str(tmp_path / f"bm_{n}.json"), f"sem_{n}") for n in ("a", "b")}
+
+    # waves 1-2 land on both targets identically (nlist 4)
+    for w, wave in enumerate(waves[:2]):
+        _write_vecs(landing / f"w{w}.parquet", wave)
+        for n in ("a", "b"):
+            incremental_semantic_refresh(
+                spark, bms[n], pattern, targets[n], threshold=thr, nlist=4, seed=7
+            )
+    before = {r["vec_id"] for r in read_deduped(spark, targets["b"]).collect()}
+
+    # re-cell target B: state rewritten under nlist ~ sqrt(n), one delta
+    rc = semantic_recell(spark, targets["b"])
+    assert rc["old_nlist"] == 4 and rc["new_nlist"] != 4
+    assert rc["rows"] == len(before)
+    import json as _json
+    import os as _os
+
+    with open(_os.path.join(targets["b"], "current.json")) as f:
+        ptr = _json.load(f)
+    assert ptr["deltas"] == [f"accepted/recell_{rc['batch_id']}"]
+    assert ptr["calibration"]["nlist"] == rc["new_nlist"]
+    assert len(ptr["centroids"]) == rc["new_nlist"]
+    # the standing set itself is unchanged by the re-cell
+    assert {r["vec_id"] for r in read_deduped(spark, targets["b"]).collect()} == before
+
+    # wave 3: the old calibration is refused on B ...
+    _write_vecs(landing / "w2.parquet", waves[2])
+    with pytest.raises(ValueError, match="calibration mismatch"):
+        incremental_semantic_refresh(
+            spark, bms["b"], pattern, targets["b"], threshold=thr, nlist=4, seed=7
+        )
+    # ... and under the new one, A (never re-celled) and B decide
+    # identically, row for row and stat for stat
+    sa = incremental_semantic_refresh(
+        spark, bms["a"], pattern, targets["a"], threshold=thr, nlist=4, seed=7
+    )
+    sb = incremental_semantic_refresh(
+        spark, bms["b"], pattern, targets["b"], threshold=thr,
+        nlist=rc["new_nlist"], seed=7,
+    )
+    for k in ("new_docs", "accepted", "dropped_within", "dropped_vs_corpus"):
+        assert sa[k] == sb[k], k
+    assert sa["dropped_vs_corpus"] >= 1  # the planted near-copies really drop
+    got_a = {r["vec_id"] for r in read_deduped(spark, targets["a"]).collect()}
+    got_b = {r["vec_id"] for r in read_deduped(spark, targets["b"]).collect()}
+    assert got_a == got_b

@@ -21,6 +21,15 @@ increment x standing quadratic, and the drop counts.
 
 Usage: python tools/semantic_probe.py [n_waves] [wave_size] [--uniform]
        python tools/semantic_probe.py --join [right_sizes ...]
+       python tools/semantic_probe.py --recell [n_waves] [wave_size]
+
+``--recell`` measures the pinned-centroid decay + recovery story: a
+fixture with far MORE blob structure (128 blobs) than the pinned 16
+cells can resolve, so the allowlist share sits high for every wave;
+after the landed waves, ``semantic_recell`` refits nlist ~ sqrt(n)
+cells on the standing corpus and one more wave lands under the new
+calibration — the before/after allow_share and per-wave wall are the
+measured recovery.
 
 ``--join`` mode measures the two-frame cosine_similarity_join against
 the crossJoin baseline at growing right-side sizes (fixed 2k-query
@@ -142,10 +151,89 @@ def join_mode(sizes: list[int]) -> None:
         ldf.unpersist(), rdf.unpersist()
 
 
+def allow_report(spark, target: str) -> dict:
+    """Allowlist share recomputed from the PUBLISHED state (same math
+    the refresh used): cells, radii, driver-side triangle-inequality
+    pair count under the stored calibration's threshold."""
+    import pyspark.sql.functions as F
+
+    from big_data_processing_with_aws_glue_workshop_spark.extensions.similarity import (
+        allowed_cell_pairs,
+    )
+
+    with open(os.path.join(target, "current.json")) as f:
+        pointer = json.load(f)
+    cents = pointer["centroids"]
+    st = read_deduped(spark, target)
+    radii = {
+        r["cell"]: r["radius"]
+        for r in st.groupBy("cell").agg(F.max("theta").alias("radius")).collect()
+    }
+    total_pairs = len(radii) * len(radii)
+    allowed = len(allowed_cell_pairs(cents, radii, radii, THRESHOLD))
+    return {
+        "nlist": pointer["calibration"]["nlist"],
+        "allowed_cell_pairs": allowed,
+        "total_cell_pairs": total_pairs,
+        "allow_share": round(allowed / total_pairs, 3) if total_pairs else None,
+    }
+
+
+def recell_mode(n_waves: int, wave: int) -> None:
+    from big_data_processing_with_aws_glue_workshop_spark.plans.incremental import (
+        semantic_recell,
+    )
+
+    spark = get_session(app_name="semantic-probe-recell")
+    base = "/tmp/semantic_probe_recell"
+    shutil.rmtree(base, ignore_errors=True)
+    landing = os.path.join(base, "landing")
+    target = os.path.join(base, "corpus")
+    os.makedirs(landing)
+    bm = JobBookmark(os.path.join(base, "bm.json"), "probe-recell")
+
+    # 8x more blob structure than the pinned 16 cells can resolve: the
+    # decay regime the re-cell exists for
+    waves = make_waves(n_waves + 1, wave, n_blobs=128, uniform=False)
+    nlist = NLIST
+    for w, rows in enumerate(waves):
+        if w == n_waves:  # maintenance point: refit cells ~ sqrt(n)
+            t0 = time.time()
+            rc = semantic_recell(spark, target)
+            print(json.dumps({
+                "recell": rc,
+                "recell_wall_s": round(time.time() - t0, 2),
+                **allow_report(spark, target),
+            }))
+            nlist = rc["new_nlist"]
+        spark.createDataFrame(
+            rows, "vec_id long, embedding array<float>"
+        ).coalesce(4).write.parquet(os.path.join(landing, f"w{w}"))
+        t0 = time.time()
+        stats = incremental_semantic_refresh(
+            spark, bm, os.path.join(landing, "*"), target,
+            threshold=THRESHOLD, nlist=nlist,
+        )
+        print(json.dumps({
+            "wave": w, "new": stats["new_docs"], "accepted": stats["accepted"],
+            "dropped_vs_corpus": stats["dropped_vs_corpus"],
+            "dropped_within": stats["dropped_within"],
+            "wall_s": round(time.time() - t0, 2),
+            **allow_report(spark, target),
+        }))
+    shutil.rmtree(base, ignore_errors=True)
+
+
 def main() -> None:
     args = [a for a in sys.argv[1:] if not a.startswith("--")]
     if "--join" in sys.argv:
         join_mode([int(a) for a in args] or [20_000, 80_000, 200_000])
+        return
+    if "--recell" in sys.argv:
+        recell_mode(
+            int(args[0]) if args else 4,
+            int(args[1]) if len(args) > 1 else 5_000,
+        )
         return
     uniform = "--uniform" in sys.argv
     n_waves = int(args[0]) if args else 5
