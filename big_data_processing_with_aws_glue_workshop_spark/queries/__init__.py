@@ -70,16 +70,33 @@ zero keeps, zero new scored-from-day-one queries):
   driver's stringified multiset compare via
   ``tools/driver_hash_check.py`` at sf0.01 before this rotation was
   committed.
-- demoted (50, all driver-green or rows-only-by-design in
-  CORRECTNESS_r10, due back r12): the full r10 window, including
+- demoted (49 stay in the tail, all driver-green or
+  rows-only-by-design in CORRECTNESS_r10, due back r12): the r10
+  window minus the retirement below, including
   ``bloom_decontaminated_docs`` (first driver row taken r10,
   hash-green) and the ANN pair.
-- retired this round: none in the rotation commit itself; see the
-  in-round addition note below if a similarity-join query lands later
-  this round (any addition must name a 1:1 retirement).
-- round-12 feasibility check: due-back promotions in r12 are the 50
-  r11 demotions = 50 exactly — the cycle is a pure 50/50 flip-flop
-  while the surface stays at 100 with no additions.
+- retired this round (1, matched 1:1 by the tail addition below):
+  ``label_similarity_profile`` — demoted out of the r10 window with
+  its driver row taken. Gate story per the retirement rule: the
+  retired query keeps its pytest hash oracle (RETIRED_QUERIES below),
+  and its centroid-cosine integer-quantization algebra keeps a
+  driver-scored representative in ``doc_embedding_typicality`` (same
+  exactness recipe — 1e-9 floor-quantized units, integer centroid
+  sums, two IEEE sqrts + one division — over the strictly wider
+  documents ⋈ embeddings join; scored this round).
+- new tail addition (1, filling the retirement-freed slot, due r12):
+  ``cross_corpus_contamination`` (oracle-gated from day one) — the
+  exact two-frame cosine similarity join made driver-visible:
+  corpus-slice vs deterministic benchmark-slice decontamination via
+  extensions/similarity.py::cosine_similarity_join (triangle-
+  inequality allowlist + cogrouped block-matmul prefilter + exact
+  fold verify); DuckDB twin = the quadratic filtered join
+  (``queries/vectors.py::q_cross_corpus_contamination``).
+- round-12 feasibility check: due-back promotions in r12 are the 49
+  r11 demotions + ``cross_corpus_contamination`` (first driver row)
+  = 50 exactly — r12 keeps nothing and adds nothing
+  scored-from-day-one. Any r12 addition must name a 1:1 retirement
+  and restate the retiree's gate story here.
 """
 
 import functools
@@ -206,7 +223,6 @@ _TAIL = (
     "source_mixture_plan",
     "doc_repetition_scores",
     "cosine_topk",
-    "label_similarity_profile",
     "ann_lsh_topk",
     "ivf_ann_topk",
     "shared_substring_pairs",
@@ -216,6 +232,12 @@ _TAIL = (
     "copurchase_triangle_census",
     "copurchase_seed_affinity",
     "bloom_decontaminated_docs",
+    # new in r11 (due r12; surface slot freed by the
+    # label_similarity_profile retirement): the exact two-frame
+    # similarity join made driver-visible — cross-corpus semantic
+    # decontamination against a deterministic benchmark slice, DuckDB
+    # twin = the quadratic filtered join (hash oracle from day one)
+    "cross_corpus_contamination",
 )
 
 # Retirement mechanism (see docstring): retired names leave the driver
@@ -234,6 +256,7 @@ _RETIRED = (
     "interval_join_batch",
     "deterministic_sample",
     "top5_orders",
+    "label_similarity_profile",
 )
 
 # The scored rows-only-BY-DESIGN allowlist, raise-checked against the
