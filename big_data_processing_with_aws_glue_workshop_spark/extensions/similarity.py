@@ -175,6 +175,78 @@ def _block_pair_indices(left_pdf: pd.DataFrame, right_pdf: pd.DataFrame, thresho
     return np.nonzero(keep)
 
 
+def blocked_candidate_pairs(
+    l_members: DataFrame,
+    r_members: DataFrame,
+    allowed: list[tuple[int, int]],
+    threshold: float,
+) -> DataFrame | None:
+    """Stage-1 cogrouped block-matmul prefilter shared by the exact
+    similarity paths (:func:`cosine_similarity_join`, the incremental
+    semantic refresh): join each side's member frame — columns
+    ``(vec_id, cell, embedding)`` — to the driver-side allowlist,
+    cogroup by the (cell_l, cell_r) pair, and score each block with ONE
+    Arrow-batched numpy matmul (:func:`_block_pair_indices`). Returns a
+    ``(__lid, __rid)`` candidate frame that is a strict SUPERSET of the
+    qualifying (cos >= threshold) pairs — margin slack plus degenerate
+    force-keeps — or None for an empty allowlist. Callers MUST
+    re-verify survivors with the exact sequential-fold cosine; this
+    stage exists so the fold runs over the near-threshold sliver
+    instead of every allowed block pair (the r10 verdict's
+    pair-row-materialization finding). Id dtypes pass through from the
+    member frames (string ids are common in record linkage)."""
+    if not allowed:
+        return None
+    spark = l_members.sparkSession
+    allow_df = spark.createDataFrame(allowed, "cell_l int, cell_r int")
+    lmem = (
+        l_members.alias("lm")
+        .join(F.broadcast(allow_df.alias("la")), F.col("lm.cell") == F.col("la.cell_l"))
+        .select(
+            F.col("la.cell_l").alias("cell_l"),
+            F.col("la.cell_r").alias("cell_r"),
+            F.col("lm.vec_id").alias("vec_id"),
+            F.col("lm.embedding").alias("embedding"),
+        )
+    )
+    rmem = (
+        r_members.alias("rm")
+        .join(F.broadcast(allow_df.alias("ra")), F.col("rm.cell") == F.col("ra.cell_r"))
+        .select(
+            F.col("ra.cell_l").alias("cell_l"),
+            F.col("ra.cell_r").alias("cell_r"),
+            F.col("rm.vec_id").alias("vec_id"),
+            F.col("rm.embedding").alias("embedding"),
+        )
+    )
+
+    def _join_block_candidates(
+        left_pdf: pd.DataFrame, right_pdf: pd.DataFrame
+    ) -> pd.DataFrame:
+        if len(left_pdf) == 0 or len(right_pdf) == 0:
+            return pd.DataFrame(
+                {
+                    "__lid": left_pdf["vec_id"].iloc[:0],
+                    "__rid": right_pdf["vec_id"].iloc[:0],
+                }
+            )
+        ia, ib = _block_pair_indices(left_pdf, right_pdf, threshold)
+        return pd.DataFrame(
+            {
+                "__lid": left_pdf["vec_id"].to_numpy()[ia],
+                "__rid": right_pdf["vec_id"].to_numpy()[ib],
+            }
+        )
+
+    l_id_t = l_members.schema["vec_id"].dataType.simpleString()
+    r_id_t = r_members.schema["vec_id"].dataType.simpleString()
+    return (
+        lmem.groupBy("cell_l", "cell_r")
+        .cogroup(rmem.groupBy("cell_l", "cell_r"))
+        .applyInPandas(_join_block_candidates, f"__lid {l_id_t}, __rid {r_id_t}")
+    )
+
+
 def angle_between(u, v) -> float:
     """Angle (radians) between two vectors; a zero-norm operand reports
     0.0 so triangle-inequality ALLOWLISTS built on this can only widen
@@ -592,7 +664,6 @@ def cosine_similarity_join(
     l_radii, l_has_zero, l_has_nonfinite = _cell_stats(l_all)
     r_radii, r_has_zero, r_has_nonfinite = _cell_stats(r_all)
     allowed = allowed_cell_pairs(cents, l_radii, r_radii, threshold)
-    spark = left.sparkSession
 
     def _lsel(frame):
         return frame.select(
@@ -620,7 +691,6 @@ def cosine_similarity_join(
 
     parts = []
     if allowed:
-        allow_df = spark.createDataFrame(allowed, "cell_l int, cell_r int")
         # NaN/Inf-norm rows stay; zero-norm rows leave the main path
         # (their engine cosine vs the all-finite bulk is NULL and never
         # matches — the degenerate sliver below covers the one partner
@@ -630,53 +700,11 @@ def cosine_similarity_join(
         # rows the uncached stream keeps — != has no such divergence.
         l_main = l_all.filter(F.col("__n") != 0)
         r_main = r_all.filter(F.col("__n") != 0)
-        lmem = (
-            l_main.alias("lm")
-            .join(F.broadcast(allow_df.alias("la")), F.col("lm.cell") == F.col("la.cell_l"))
-            .select(
-                F.col("la.cell_l").alias("cell_l"),
-                F.col("la.cell_r").alias("cell_r"),
-                F.col("lm.vec_id").alias("vec_id"),
-                F.col("lm.embedding").alias("embedding"),
-            )
-        )
-        rmem = (
-            r_main.alias("rm")
-            .join(F.broadcast(allow_df.alias("ra")), F.col("rm.cell") == F.col("ra.cell_r"))
-            .select(
-                F.col("ra.cell_l").alias("cell_l"),
-                F.col("ra.cell_r").alias("cell_r"),
-                F.col("rm.vec_id").alias("vec_id"),
-                F.col("rm.embedding").alias("embedding"),
-            )
-        )
-
-        def _join_block_candidates(
-            left_pdf: pd.DataFrame, right_pdf: pd.DataFrame
-        ) -> pd.DataFrame:
-            if len(left_pdf) == 0 or len(right_pdf) == 0:
-                return pd.DataFrame(
-                    {
-                        "__lid": left_pdf["vec_id"].iloc[:0],
-                        "__rid": right_pdf["vec_id"].iloc[:0],
-                    }
-                )
-            ia, ib = _block_pair_indices(left_pdf, right_pdf, threshold)
-            return pd.DataFrame(
-                {
-                    "__lid": left_pdf["vec_id"].to_numpy()[ia],
-                    "__rid": right_pdf["vec_id"].to_numpy()[ib],
-                }
-            )
-
-        # candidate schema preserves the CALLERS' id dtypes (string ids
-        # are common in record linkage)
-        l_id_t = left.schema[left_id].dataType.simpleString()
-        r_id_t = right.schema[right_id].dataType.simpleString()
-        cand = (
-            lmem.groupBy("cell_l", "cell_r")
-            .cogroup(rmem.groupBy("cell_l", "cell_r"))
-            .applyInPandas(_join_block_candidates, f"__lid {l_id_t}, __rid {r_id_t}")
+        cand = blocked_candidate_pairs(
+            l_main.select("vec_id", "cell", "embedding"),
+            r_main.select("vec_id", "cell", "embedding"),
+            allowed,
+            threshold,
         )
         # id-keyed re-verify joins; cand is the near-threshold sliver, so
         # AQE broadcasts it when small — unhinted on purpose, since a

@@ -846,10 +846,23 @@ def apply_semantic_increment(
         for r in matchable.groupBy("cell").agg(F.max("theta").alias("radius")).collect()
     }
 
+    # Both drop joins run the TWO-STAGE scorer the batch similarity paths
+    # use (the r11 prefilter unification): the shared cogrouped
+    # block-matmul prefilter (extensions/similarity.py::
+    # blocked_candidate_pairs — superset by margin, one numpy matmul per
+    # allowed cell-pair block) generates candidates, then the exact
+    # sequential-fold cosine verifies the surviving near-threshold
+    # sliver, so drop decisions are bit-identical to the old per-pair
+    # Catalyst fold plan (pinned by the randomized parity tests) at a
+    # fraction of its expression cost — the old plan materialized two
+    # float arrays per candidate pair row, the scale shape the r10
+    # verdict flagged on the similarity join.
+    from ..extensions.similarity import blocked_candidate_pairs
+
     cos_sim = dot(F.col("va"), F.col("vb")) / (F.col("norm_a") * F.col("norm_b"))
-    inc_side = matchable.select(
-        F.col("vec_id").alias("id_a"),
-        F.col("cell").alias("cell_a"),
+    inc_members = matchable.select("vec_id", "cell", "embedding")
+    inc_vecs = matchable.select(
+        F.col("vec_id").alias("__lid"),
         F.col("embedding").alias("va"),
         norm(F.col("embedding")).alias("norm_a"),
     )
@@ -874,39 +887,42 @@ def apply_semantic_increment(
             .agg(F.max("theta").alias("radius"))
             .collect()
         }
+        std_members = standing.select(
+            F.col(id_col).alias("vec_id"),
+            F.col("cell"),
+            F.col(vec_col).alias("embedding"),
+        )
         allowed = allowed_cell_pairs(centroids, inc_radii, std_radii, threshold)
-        if allowed:
-            allow_df = spark.createDataFrame(allowed, "cell_a int, cell_b int")
-            std_side = standing.select(
-                F.col(id_col).alias("id_b"),
-                F.col("cell").alias("cell_b"),
-                F.col(vec_col).alias("vb"),
-                norm(F.col(vec_col)).alias("norm_b"),
+        cand = blocked_candidate_pairs(inc_members, std_members, allowed, threshold)
+        if cand is not None:
+            std_vecs = std_members.select(
+                F.col("vec_id").alias("__rid"),
+                F.col("embedding").alias("vb"),
+                norm(F.col("embedding")).alias("norm_b"),
             )
             drop_vs_corpus = (
-                inc_side.join(F.broadcast(allow_df), "cell_a")
-                .join(std_side, "cell_b")
+                cand.join(inc_vecs, "__lid")
+                .join(std_vecs, "__rid")
                 .filter(cos_sim >= threshold)
-                .select(F.col("id_a").alias("vec_id"))
+                .select(F.col("__lid").alias("vec_id"))
                 .distinct()
             )
 
     # --- drop within the increment (smaller id wins, conservative) ---
     allowed_inc = allowed_cell_pairs(centroids, inc_radii, inc_radii, threshold)
+    cand_w = blocked_candidate_pairs(inc_members, inc_members, allowed_inc, threshold)
     drop_within = None
-    if allowed_inc:
-        allow_inc_df = spark.createDataFrame(allowed_inc, "cell_a int, cell_b int")
-        inc_b = matchable.select(
-            F.col("vec_id").alias("id_b"),
-            F.col("cell").alias("cell_b"),
+    if cand_w is not None:
+        inc_vecs_b = matchable.select(
+            F.col("vec_id").alias("__rid"),
             F.col("embedding").alias("vb"),
             norm(F.col("embedding")).alias("norm_b"),
         )
         drop_within = (
-            inc_side.join(F.broadcast(allow_inc_df), "cell_a")
-            .join(inc_b, "cell_b")
-            .filter((F.col("id_a") < F.col("id_b")) & (cos_sim >= threshold))
-            .select(F.col("id_b").alias("vec_id"))
+            cand_w.join(inc_vecs, "__lid")
+            .join(inc_vecs_b, "__rid")
+            .filter((F.col("__lid") < F.col("__rid")) & (cos_sim >= threshold))
+            .select(F.col("__rid").alias("vec_id"))
             .distinct()
         )
 
