@@ -556,8 +556,8 @@ def cosine_similarity_join(
 
     Degenerate vectors follow the baseline's ENGINE semantics exactly.
     A vector with NaN/Inf components has NaN cosines, which Spark's >=
-    treats as TRUE: it stays in the main path (its NaN norm compares
-    > 0), its cell radius is nanvl'd to pi so the allowlist keeps every
+    treats as TRUE: it stays in the main path (the != 0 filter keeps
+    NaN norms), its cell radius is nanvl'd to pi so the allowlist keeps every
     pair the baseline would emit, and the prefilter force-keeps it. A
     zero-norm vector's cosine against any all-finite partner is NULL
     (0/0 division) and never matches, so zero-norm rows are excluded
