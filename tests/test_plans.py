@@ -397,6 +397,10 @@ _ARROW_ISLAND_QUERIES = {
     # (extensions/similarity.py — numpy over Arrow batches, justified
     # in-code; the exact verify that follows is JVM-side)
     "embedding_near_dup_clustered",
+    # same two islands through cosine_similarity_join (assignment
+    # pandas_udf + blocked_candidate_pairs cogroup); exact fold verify
+    # stays JVM-side
+    "cross_corpus_contamination",
 }
 
 
