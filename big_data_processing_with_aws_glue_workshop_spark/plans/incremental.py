@@ -1346,7 +1346,24 @@ def incremental_join_refresh(
         full_dim_keys = dim_parts[0].select(join_key)
         for p in dim_parts[1:]:
             full_dim_keys = full_dim_keys.unionByName(p.select(join_key))
-        p_next = p_next.join(full_dim_keys, join_key, "left_anti")
+        if join_decision is not None:
+            # the anti-join funnels every pending + new fact row through
+            # the same key shuffle as the inner join, so it reuses the
+            # same measured decision (strategy from ΔF stats; the salted
+            # path re-detects heavy keys from the ACTUAL left frame at
+            # execution, so the reuse only picks the shape, never stale
+            # key masses). Key-only right side: broadcast is cheaper
+            # than the inner join's, salted replicates distinct keys.
+            p_next = adaptive_join(
+                p_next,
+                full_dim_keys,
+                [join_key],
+                "left_anti",
+                decision=join_decision,
+                rows_per_partition=join_rows_per_partition,
+            )
+        else:  # dim-only increment: no ΔF stats this wave
+            p_next = p_next.join(full_dim_keys, join_key, "left_anti")
 
     # writes (all invisible until the flip; replayed batch ids overwrite).
     # The persists (new_dim above, matched, p_next) are released in the
