@@ -645,3 +645,58 @@ def test_cosine_similarity_join_zero_norm_x_nonfinite_matches_baseline(spark):
     assert {(2, 12), (3, 11)} <= set(expected)
     # and zero x zero is genuinely absent (0/0 -> NULL, never matches)
     assert (2, 11) not in set(expected)
+
+
+def test_blocked_candidate_pairs_superset_contract(spark):
+    """The shared stage-1 prefilter must emit a SUPERSET of the exact
+    qualifying pairs on arbitrary data — including zero-norm, NaN-component
+    and overflow-to-Inf rows (whose engine cosines are NULL/NaN and must
+    reach the exact verify stage, not be decided by the numpy
+    approximation). Direct contract test for the helper both
+    cosine_similarity_join and the semantic refresh build on."""
+    import random
+
+    from big_data_processing_with_aws_glue_workshop_spark.extensions.similarity import (
+        blocked_candidate_pairs,
+    )
+    from big_data_processing_with_aws_glue_workshop_spark.queries.vectors import dot, norm
+
+    rng = random.Random(23)
+    dim, thr = 6, 0.8
+    rows_l, rows_r = [], []
+    for i in range(40):
+        rows_l.append((i, [float(rng.uniform(-1, 1)) for _ in range(dim)], i % 3))
+    for j in range(30):
+        rows_r.append((100 + j, [float(rng.uniform(-1, 1)) for _ in range(dim)], j % 2))
+    # degenerates on both sides
+    rows_l += [(90, [0.0] * dim, 0), (91, [float("nan"), 1.0] + [0.0] * 4, 1),
+               (92, [1e200] * dim, 2)]
+    rows_r += [(190, [0.0] * dim, 0), (191, [0.0, float("nan")] + [1.0] * 4, 1)]
+    lm = spark.createDataFrame(rows_l, "vec_id long, embedding array<float>, cell int")
+    rm = spark.createDataFrame(rows_r, "vec_id long, embedding array<float>, cell int")
+    allowed = [(a, b) for a in range(3) for b in range(2)]  # every cell pair
+
+    cand = blocked_candidate_pairs(
+        lm.select("vec_id", "cell", "embedding"),
+        rm.select("vec_id", "cell", "embedding"),
+        allowed,
+        thr,
+    )
+    got = {(r["__lid"], r["__rid"]) for r in cand.collect()}
+
+    la = lm.select(F.col("vec_id").alias("a"), F.col("embedding").alias("va"),
+                   norm(F.col("embedding")).alias("na"))
+    rb = rm.select(F.col("vec_id").alias("b"), F.col("embedding").alias("vb"),
+                   norm(F.col("embedding")).alias("nb"))
+    qualifying = {
+        (r["a"], r["b"])
+        for r in la.crossJoin(rb)
+        .filter((dot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb"))) >= thr)
+        .collect()
+    }
+    assert qualifying, "fixture must actually qualify some pairs"
+    assert qualifying <= got  # superset: recall 1.0 before the exact verify
+    # NaN rows' pairs are in the exact set and therefore must be candidates
+    assert any(a == 91 for a, _ in qualifying)
+    # empty allowlist contract
+    assert blocked_candidate_pairs(lm, rm, [], thr) is None

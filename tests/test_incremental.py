@@ -1735,3 +1735,25 @@ def test_semantic_recell_preserves_decisions(spark, tmp_path):
     got_a = {r["vec_id"] for r in read_deduped(spark, targets["a"]).collect()}
     got_b = {r["vec_id"] for r in read_deduped(spark, targets["b"]).collect()}
     assert got_a == got_b
+
+
+def test_semantic_recell_guards(spark, tmp_path):
+    """Re-cell refuses targets that aren't semantic-dedup states (wrong
+    refresh family, no state at all) with actionable errors instead of
+    corrupting a pointer it doesn't own."""
+    from big_data_processing_with_aws_glue_workshop_spark.plans.incremental import (
+        semantic_recell,
+    )
+
+    with pytest.raises(ValueError, match="nothing to re-cell"):
+        semantic_recell(spark, str(tmp_path / "nowhere"))
+
+    import json as _json
+
+    other = tmp_path / "other_family"
+    other.mkdir()
+    (other / "current.json").write_text(
+        _json.dumps({"batch_id": 0, "deltas": [], "view_deltas": []})
+    )
+    with pytest.raises(ValueError, match="not a semantic-dedup state"):
+        semantic_recell(spark, str(other))
