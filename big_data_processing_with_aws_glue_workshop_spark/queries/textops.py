@@ -1178,6 +1178,99 @@ def q_training_pipeline_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
 _PASSAGE_WORDS = 8
 
 
+def dedup_passages(docs: DataFrame, words: int = _PASSAGE_WORDS) -> DataFrame:
+    """Passage-level duplicate REMOVAL — the rewrite stage the profile
+    query above only measures (Dolma / RefinedWeb run this between
+    doc-level dedup and n-gram decontamination: boilerplate paragraphs
+    and syndicated passages are excised, the surrounding document
+    survives).
+
+    Contract (deterministic, engine-independent): each document is cut
+    into consecutive non-overlapping ``words``-word passages on its
+    ORIGINAL whitespace tokenization plus a (< words)-word tail that is
+    always kept; a passage instance survives iff it is the globally
+    FIRST occurrence of its content — the minimum (doc_id, block index)
+    over the md5 digest of the space-joined words; the rewritten text
+    is the surviving passages in original order plus the tail, joined
+    by single spaces (whitespace-normalized — the one textual change
+    beyond removal). Every input document comes back exactly once,
+    including fully-boilerplate ones (empty rewrite) and sub-``words``
+    ones (normalized, nothing removable).
+
+    Scale shape: one explode pass cuts passages (array-native, no
+    shuffle beyond the scan redistribution); the winner election is a
+    hash aggregate + re-join on the 16-byte digest (map-side partials,
+    uniform keys — no hot digests); surviving block indices fold back
+    per doc_id (collect_list bounded by the doc's own passage count)
+    and the reassembly join is id-keyed, so bucketing by doc_id makes
+    it shuffle-free at 100 TB. Passage TEXT never shuffles — only
+    digests and integer block indices move; words are re-sliced from
+    the document row at reassembly.
+
+    Returns (doc_id, source, text_deduped, n_passages,
+    n_passages_dropped).
+    """
+    d = parallelize_scan(docs, "doc_id")
+    toks = _tokens(F.coalesce(F.col("text"), F.lit("")))
+    base = d.select(
+        "doc_id",
+        "source",
+        toks.alias("w"),
+        F.size(toks).alias("n"),
+        F.floor(F.size(toks) / words).cast("int").alias("nblk"),
+    )
+
+    blocks = F.explode(F.sequence(F.lit(0), F.col("nblk") - 1))
+    inst = (
+        base.filter(F.col("nblk") >= 1)
+        .select("doc_id", "w", blocks.alias("b"))
+        .select(
+            "doc_id",
+            "b",
+            F.md5(
+                F.concat_ws(
+                    " ", F.slice(F.col("w"), F.col("b") * words + 1, words)
+                ).cast("binary")
+            ).alias("h"),
+        )
+    )
+    winners = inst.groupBy("h").agg(
+        F.min(F.struct("doc_id", "b")).alias("w0")
+    )
+    kept_per_doc = (
+        inst.join(winners, "h")
+        .filter(
+            (F.col("doc_id") == F.col("w0.doc_id")) & (F.col("b") == F.col("w0.b"))
+        )
+        .groupBy("doc_id")
+        .agg(
+            F.sort_array(F.collect_list("b")).alias("kb"),
+            F.count(F.lit(1)).alias("nkept"),
+        )
+    )
+
+    w, n, nblk = F.col("w"), F.col("n"), F.col("nblk")
+    kb = F.coalesce(F.col("kb"), F.array().cast("array<int>"))
+    tail = F.when(
+        n > nblk * words, F.slice(w, nblk * words + 1, n - nblk * words)
+    ).otherwise(F.array().cast("array<string>"))
+    rebuilt = F.concat(
+        F.flatten(
+            F.transform(kb, lambda b: F.slice(w, b * words + 1, words))
+        ),
+        tail,
+    )
+    return base.join(kept_per_doc, "doc_id", "left").select(
+        "doc_id",
+        "source",
+        F.concat_ws(" ", rebuilt).alias("text_deduped"),
+        nblk.alias("n_passages"),
+        (nblk - F.coalesce(F.col("nkept"), F.lit(0))).cast("int").alias(
+            "n_passages_dropped"
+        ),
+    )
+
+
 def q_passage_dedup_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Passage-level deduplication profile (the granularity Dolma's and
     RefinedWeb's dedup stages work at between exact-doc and n-gram):

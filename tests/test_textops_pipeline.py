@@ -315,3 +315,91 @@ def test_contained_doc_pairs_short_doc_cap_fails_loud(spark, tmp_path, monkeypat
     monkeypatch.setattr(textops, "_CONTAIN_SHORT_DOC_CAP", 10)
     with pytest.raises(RuntimeError, match="broadcast-fallback cap"):
         textops.q_contained_doc_pairs(spark, str(tmp_path))
+
+
+_DEDUP_PASSAGES_ORACLE = """
+    WITH toks AS (
+      SELECT doc_id, source,
+             string_split_regex(trim(lower(coalesce(text, ''))),
+                                '[ \\t\\n\\f\\r]+') AS w
+      FROM documents
+    ),
+    base AS (
+      SELECT doc_id, source, w, len(w) AS n, len(w) // 8 AS nblk FROM toks
+    ),
+    inst AS (
+      SELECT doc_id, b.i AS b,
+             md5(array_to_string(w[b.i * 8 + 1 : b.i * 8 + 8], ' ')) AS h
+      FROM base, UNNEST(range(0, nblk)) AS b(i)
+      WHERE nblk >= 1
+    ),
+    kept AS (
+      SELECT doc_id, b FROM (
+        SELECT doc_id, b,
+               ROW_NUMBER() OVER (PARTITION BY h ORDER BY doc_id, b) AS rn
+        FROM inst
+      ) WHERE rn = 1
+    ),
+    kpd AS (
+      SELECT doc_id, list(b ORDER BY b) AS kb, COUNT(1) AS nkept
+      FROM kept GROUP BY doc_id
+    )
+    SELECT base.doc_id, source,
+           -- coalesce: DuckDB's array_to_string([]) is NULL where Spark's
+           -- concat_ws is '' (the fully-boilerplate-doc case)
+           coalesce(array_to_string(
+             list_concat(
+               flatten(list_transform(coalesce(kb, CAST([] AS BIGINT[])),
+                                      b -> w[b * 8 + 1 : b * 8 + 8])),
+               CASE WHEN n > nblk * 8 THEN w[nblk * 8 + 1 : n]
+                    ELSE CAST([] AS VARCHAR[]) END
+             ), ' '), '') AS text_deduped,
+           CAST(nblk AS INT) AS n_passages,
+           CAST(nblk - coalesce(nkept, 0) AS INT) AS n_passages_dropped
+    FROM base LEFT JOIN kpd USING (doc_id)
+"""
+
+
+def test_dedup_passages_matches_oracle(spark, sf_dir):
+    """The passage-removal REWRITE (not just the profile) is held to a
+    full DuckDB twin on the real documents table: identical rewritten
+    text, passage counts and drop counts for every document."""
+    from big_data_processing_with_aws_glue_workshop_spark.queries._tables import load
+    from big_data_processing_with_aws_glue_workshop_spark.queries.textops import (
+        dedup_passages,
+    )
+    from tests.oracle_harness import compare
+
+    out = dedup_passages(load(spark, sf_dir, "documents"))
+    compare(out, _DEDUP_PASSAGES_ORACLE, sf_dir)
+
+
+def test_dedup_passages_planted_fixture(spark):
+    """First occurrence survives, the later duplicate passage is excised
+    (the surrounding document survives), tails and short docs pass
+    through normalized, fully-boilerplate docs come back empty."""
+    from big_data_processing_with_aws_glue_workshop_spark.queries.textops import (
+        dedup_passages,
+    )
+
+    p1 = "a b c d e f g h"          # passage 1 (8 words)
+    p2 = "i j k l m n o p"          # passage 2
+    fresh = "q r s t u v w x"       # unique to doc 2
+    docs = spark.createDataFrame(
+        [
+            (1, "s", f"{p1} {p2}"),                # both passages original
+            (2, "s", f"{p2} {fresh} tail words"),  # block0 dups doc1's p2
+            (3, "s", "short doc"),                 # < 8 words: untouched
+            (4, "s", f"  {p1.upper()}  "),         # pure boilerplate (case/ws-normalized dup)
+        ],
+        "doc_id long, source string, text string",
+    )
+    got = {r["doc_id"]: r for r in dedup_passages(docs).collect()}
+    assert got[1]["text_deduped"] == f"{p1} {p2}"
+    assert (got[1]["n_passages"], got[1]["n_passages_dropped"]) == (2, 0)
+    assert got[2]["text_deduped"] == f"{fresh} tail words"
+    assert (got[2]["n_passages"], got[2]["n_passages_dropped"]) == (2, 1)
+    assert got[3]["text_deduped"] == "short doc"
+    assert (got[3]["n_passages"], got[3]["n_passages_dropped"]) == (0, 0)
+    assert got[4]["text_deduped"] == ""
+    assert (got[4]["n_passages"], got[4]["n_passages_dropped"]) == (1, 1)
