@@ -521,6 +521,29 @@ def cmd_dedup_refresh(args: argparse.Namespace) -> None:
     _emit({"job": "dedup-refresh", **stats})
 
 
+def cmd_passage_refresh(args: argparse.Namespace) -> None:
+    """Incremental PASSAGE-level dedup (plans/incremental.py): newly-
+    landed documents are REWRITTEN against the standing passage-digest
+    set — boilerplate paragraphs seen before are excised, the document
+    survives. First wins at passage granularity; standing text is never
+    re-read (the anti-join touches 16-byte digests only)."""
+    from .plans.incremental import incremental_passage_dedup_refresh
+    from .sources.bookmarks import JobBookmark
+
+    spark = get_session(app_name="passage-refresh")
+    bm = JobBookmark(args.bookmark, args.job_name)
+    stats = incremental_passage_dedup_refresh(
+        spark,
+        bm,
+        args.pattern,
+        args.target,
+        id_col=args.id_col,
+        text_col=args.text_col,
+        words=args.words,
+    )
+    _emit({"job": "passage-refresh", **stats})
+
+
 def cmd_neardup_refresh(args: argparse.Namespace) -> None:
     """Incremental NEAR-dup refresh (plans/incremental.py): banded-LSH
     bucket index + MinHash signature agreement against the standing
@@ -889,6 +912,21 @@ def build_parser() -> argparse.ArgumentParser:
         help="segment the drift histogram by this column (e.g. lang)",
     )
     dr.set_defaults(func=cmd_dedup_refresh)
+
+    pr = sub.add_parser(
+        "passage-refresh",
+        help="rewrite newly-landed documents against the standing "
+        "passage-digest set (boilerplate excision; first wins at "
+        "passage granularity, standing text never re-read)",
+    )
+    pr.add_argument("--pattern", required=True, help="landing-glob of doc files")
+    pr.add_argument("--target", required=True, help="rewritten corpus directory")
+    pr.add_argument("--bookmark", required=True, help="bookmark state JSON path")
+    pr.add_argument("--job-name", default="passage-refresh")
+    pr.add_argument("--id-col", default="doc_id")
+    pr.add_argument("--text-col", default="text")
+    pr.add_argument("--words", type=int, default=8, help="passage cut width")
+    pr.set_defaults(func=cmd_passage_refresh)
 
     nr = sub.add_parser(
         "neardup-refresh",

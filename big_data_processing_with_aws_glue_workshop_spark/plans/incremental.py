@@ -336,6 +336,187 @@ def apply_dedup_increment(
     }
 
 
+def incremental_passage_dedup_refresh(
+    spark: SparkSession,
+    bookmark: JobBookmark,
+    pattern: str,
+    target_dir: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    words: int = 8,
+    snapshot_compact_at: int = 16,
+    fmt: str = "parquet",
+    **reader_options: str,
+) -> dict:
+    """Passage-level twin of :func:`incremental_dedup_refresh`: newly
+    landed documents are REWRITTEN against a standing passage-digest set
+    instead of dropped whole — the incremental form of
+    ``queries/textops.py::dedup_passages`` (Dolma/RefinedWeb-style
+    boilerplate excision), sharing its exact cut/rewrite contract
+    (consecutive non-overlapping ``words``-word passages on the original
+    tokenization, always-kept tail, whitespace-normalized output).
+
+    Semantics: FIRST WINS at passage granularity. Within an increment,
+    the minimum (id, block index) instance of each digest survives;
+    across increments, the standing corpus always wins — a re-crawled
+    boilerplate paragraph is excised from the new document, never
+    replaces its original occurrence. Equivalent to running the
+    sequential single-node rule "keep a passage iff its digest was never
+    seen before" over instances in (arrival wave, id, block) order —
+    pinned by the randomized parity test against exactly that reference.
+
+    State under ``target_dir`` (atomic pointer flip, healing and
+    compaction protocol identical to the doc-level refresh):
+
+    - ``docs/delta_<batch>/``    — the increment's REWRITTEN rows
+      (original columns with ``text_col`` replaced, plus
+      ``n_passages``/``n_passages_dropped``), append-only;
+    - ``digests/d<batch>/``      — digests of the increment's KEPT
+      passage instances only, append-only with threshold compaction
+      (the anti-join reads the union; the write stays O(increment));
+    - ``current.json``           — batch id, published dir lists,
+      increment file list for crash healing, and the pinned
+      ``calibration`` ({"words": N} — passage boundaries are only
+      comparable under one cut width; a mismatched call refuses).
+
+    100 TB shape: per-refresh reads are the increment plus the standing
+    DIGEST set (16-byte rows — never standing text); passage text never
+    shuffles (digests + integer block indices move; words re-slice from
+    the doc row at an id-keyed reassembly join); all writes are
+    O(increment). Read the live rewritten corpus with ``read_deduped``.
+
+    Returns {"new_files", "new_docs", "passages", "dropped_within",
+    "dropped_vs_corpus", "kept_passages", "healed"}.
+    """
+    import json
+
+    from ..queries.textops import passage_frames, rewrite_from_kept
+
+    pointer_path = os.path.join(target_dir, "current.json")
+    pointer = None
+    if os.path.exists(pointer_path):
+        with open(pointer_path) as f:
+            pointer = json.load(f)
+
+    calibration = {"words": words}
+    if pointer is not None:
+        stored = pointer.get("calibration")
+        if stored is not None and stored != calibration:
+            raise ValueError(
+                f"passage-dedup calibration mismatch for {target_dir!r}: "
+                f"standing state was cut with {stored}, this refresh was "
+                f"called with {calibration} — passage boundaries are not "
+                "comparable across widths; match the stored parameters or "
+                "rebuild the target"
+            )
+
+    healed = 0
+    if pointer is not None:
+        applied = set(pointer.get("delta_files", []))
+        stale = [f for f in bookmark.pending_files(pattern) if f in applied]
+        if stale:
+            bookmark.commit_files(stale)
+            healed = len(stale)
+
+    new_df, new_files = bookmark.read_incremental(
+        spark, pattern, fmt=fmt, **reader_options
+    )
+    if not new_files:
+        return {
+            "new_files": healed,
+            "new_docs": 0,
+            "passages": 0,
+            "dropped_within": 0,
+            "dropped_vs_corpus": 0,
+            "kept_passages": 0,
+            "healed": healed,
+        }
+
+    base, inst = passage_frames(new_df, id_col, text_col, words)
+    n_inst = inst.count()
+    # within-increment first-wins: the minimum (id, block) per digest
+    winners = inst.groupBy("__h").agg(
+        F.min(F.struct(F.col(id_col), F.col("__b"))).alias("w0")
+    )
+    inc_unique = inst.join(winners, "__h").filter(
+        (F.col(id_col) == F.col(f"w0.{id_col}")) & (F.col("__b") == F.col("w0.__b"))
+    ).select(id_col, "__b", "__h")
+    n_unique = inc_unique.count()
+
+    # standing digests always win (16-byte rows — standing text unread)
+    if pointer is not None and pointer["digest_deltas"]:
+        standing = spark.read.parquet(
+            *[os.path.join(target_dir, d) for d in pointer["digest_deltas"]]
+        ).select(F.col("digest").alias("__h"))
+        kept = inc_unique.join(standing, "__h", "left_anti")
+    else:
+        kept = inc_unique
+    kept = kept.persist()  # feeds the rewrite join AND the digest delta
+    n_kept = kept.count()
+
+    batch_id = pointer["batch_id"] + 1 if pointer is not None else 0
+    delta_rel = f"docs/delta_{batch_id}"
+    digest_rel = f"digests/d{batch_id}"
+    try:
+        rewritten = rewrite_from_kept(base, kept, id_col, words)
+        out_cols = [
+            c
+            for c in rewritten.columns
+            if c not in ("__rebuilt", "n_passages", "n_passages_dropped")
+        ]
+        final = rewritten.select(
+            *out_cols,
+            F.col("__rebuilt").alias(text_col),
+            "n_passages",
+            "n_passages_dropped",
+        )
+        final.write.mode("overwrite").parquet(os.path.join(target_dir, delta_rel))
+        n_docs = spark.read.parquet(os.path.join(target_dir, delta_rel)).count()
+
+        kept.select(F.col("__h").alias("digest")).withColumn(
+            "batch_id", F.lit(batch_id).cast("bigint")
+        ).write.mode("overwrite").parquet(os.path.join(target_dir, digest_rel))
+    finally:
+        kept.unpersist()
+
+    digest_deltas = (
+        pointer["digest_deltas"] if pointer is not None else []
+    ) + [digest_rel]
+    superseded: list = []
+    if len(digest_deltas) >= snapshot_compact_at:
+        compact_rel = f"digests/compact_{batch_id}"
+        spark.read.parquet(
+            *[os.path.join(target_dir, d) for d in digest_deltas]
+        ).write.mode("overwrite").parquet(os.path.join(target_dir, compact_rel))
+        superseded = digest_deltas
+        digest_deltas = [compact_rel]
+
+    deltas = (pointer["deltas"] if pointer is not None else []) + [delta_rel]
+    _flip_pointer(
+        pointer_path,
+        pointer,
+        {
+            "batch_id": batch_id,
+            "digest_deltas": digest_deltas,
+            "deltas": deltas,
+            "calibration": calibration,
+            "delta_files": sorted(new_files),
+        },
+    )
+    for d in superseded:
+        shutil.rmtree(os.path.join(target_dir, d), ignore_errors=True)
+    bookmark.commit_files(new_files)
+    return {
+        "new_files": healed + len(new_files),
+        "new_docs": n_docs,
+        "passages": n_inst,
+        "dropped_within": n_inst - n_unique,
+        "dropped_vs_corpus": n_unique - n_kept,
+        "kept_passages": n_kept,
+        "healed": healed,
+    }
+
+
 def incremental_neardup_refresh(
     spark: SparkSession,
     bookmark: JobBookmark,

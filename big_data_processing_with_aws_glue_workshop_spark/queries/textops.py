@@ -1210,62 +1210,93 @@ def dedup_passages(docs: DataFrame, words: int = _PASSAGE_WORDS) -> DataFrame:
     Returns (doc_id, source, text_deduped, n_passages,
     n_passages_dropped).
     """
-    d = parallelize_scan(docs, "doc_id")
-    toks = _tokens(F.coalesce(F.col("text"), F.lit("")))
-    base = d.select(
+    base, inst = passage_frames(docs, "doc_id", "text", words)
+    winners = inst.groupBy("__h").agg(
+        F.min(F.struct("doc_id", "__b")).alias("w0")
+    )
+    kept = inst.join(winners, "__h").filter(
+        (F.col("doc_id") == F.col("w0.doc_id")) & (F.col("__b") == F.col("w0.__b"))
+    )
+    rewritten = rewrite_from_kept(base, kept, "doc_id", words)
+    return rewritten.select(
         "doc_id",
         "source",
-        toks.alias("w"),
-        F.size(toks).alias("n"),
-        F.floor(F.size(toks) / words).cast("int").alias("nblk"),
+        F.col("__rebuilt").alias("text_deduped"),
+        "n_passages",
+        "n_passages_dropped",
     )
 
-    blocks = F.explode(F.sequence(F.lit(0), F.col("nblk") - 1))
+
+def passage_frames(
+    docs: DataFrame, id_col: str, text_col: str, words: int
+) -> tuple[DataFrame, DataFrame]:
+    """Shared passage-cutting stage for the batch rewrite above and the
+    incremental refresh (plans/incremental.py): returns
+
+    - ``base``: every input row with its non-text columns plus
+      ``__w`` (tokens), ``__n`` (token count), ``__nblk`` (passage
+      count);
+    - ``inst``: one row per passage instance — (id_col, ``__b`` block
+      index, ``__h`` md5 digest of the space-joined words).
+
+    Array-native and shuffle-free after the scan redistribution;
+    passage text never leaves the document row."""
+    d = parallelize_scan(docs, id_col)
+    toks = _tokens(F.coalesce(F.col(text_col), F.lit("")))
+    others = [c for c in docs.columns if c != text_col]
+    base = d.select(
+        *others,
+        toks.alias("__w"),
+        F.size(toks).alias("__n"),
+        F.floor(F.size(toks) / words).cast("int").alias("__nblk"),
+    )
+    blocks = F.explode(F.sequence(F.lit(0), F.col("__nblk") - 1))
     inst = (
-        base.filter(F.col("nblk") >= 1)
-        .select("doc_id", "w", blocks.alias("b"))
+        base.filter(F.col("__nblk") >= 1)
+        .select(id_col, "__w", blocks.alias("__b"))
         .select(
-            "doc_id",
-            "b",
+            id_col,
+            "__b",
             F.md5(
                 F.concat_ws(
-                    " ", F.slice(F.col("w"), F.col("b") * words + 1, words)
+                    " ", F.slice(F.col("__w"), F.col("__b") * words + 1, words)
                 ).cast("binary")
-            ).alias("h"),
+            ).alias("__h"),
         )
     )
-    winners = inst.groupBy("h").agg(
-        F.min(F.struct("doc_id", "b")).alias("w0")
-    )
-    kept_per_doc = (
-        inst.join(winners, "h")
-        .filter(
-            (F.col("doc_id") == F.col("w0.doc_id")) & (F.col("b") == F.col("w0.b"))
-        )
-        .groupBy("doc_id")
-        .agg(
-            F.sort_array(F.collect_list("b")).alias("kb"),
-            F.count(F.lit(1)).alias("nkept"),
-        )
-    )
+    return base, inst
 
-    w, n, nblk = F.col("w"), F.col("n"), F.col("nblk")
-    kb = F.coalesce(F.col("kb"), F.array().cast("array<int>"))
+
+def rewrite_from_kept(
+    base: DataFrame, kept: DataFrame, id_col: str, words: int
+) -> DataFrame:
+    """Reassemble documents from surviving passage instances: joins the
+    per-doc sorted kept-block list back to ``base`` (id-keyed — bucketing
+    makes it shuffle-free at scale) and re-slices the document's own word
+    array, so passage text never shuffles. Output: base's non-helper
+    columns + ``__rebuilt`` (kept passages in order + tail, single-space
+    joined) + ``n_passages`` + ``n_passages_dropped``."""
+    kept_per_doc = kept.groupBy(id_col).agg(
+        F.sort_array(F.collect_list("__b")).alias("__kb"),
+        F.count(F.lit(1)).alias("__nkept"),
+    )
+    w, n, nblk = F.col("__w"), F.col("__n"), F.col("__nblk")
+    kb = F.coalesce(F.col("__kb"), F.array().cast("array<int>"))
     tail = F.when(
         n > nblk * words, F.slice(w, nblk * words + 1, n - nblk * words)
     ).otherwise(F.array().cast("array<string>"))
     rebuilt = F.concat(
-        F.flatten(
-            F.transform(kb, lambda b: F.slice(w, b * words + 1, words))
-        ),
+        F.flatten(F.transform(kb, lambda b: F.slice(w, b * words + 1, words))),
         tail,
     )
-    return base.join(kept_per_doc, "doc_id", "left").select(
-        "doc_id",
-        "source",
-        F.concat_ws(" ", rebuilt).alias("text_deduped"),
+    others = [
+        c for c in base.columns if c not in ("__w", "__n", "__nblk")
+    ]
+    return base.join(kept_per_doc, id_col, "left").select(
+        *others,
+        F.concat_ws(" ", rebuilt).alias("__rebuilt"),
         nblk.alias("n_passages"),
-        (nblk - F.coalesce(F.col("nkept"), F.lit(0))).cast("int").alias(
+        (nblk - F.coalesce(F.col("__nkept"), F.lit(0))).cast("int").alias(
             "n_passages_dropped"
         ),
     )

@@ -757,3 +757,52 @@ def test_cli_semantic_refresh(spark, tmp_path, capsys):
     main([a if a != "2" else "3" for a in args])
     out3 = _json.loads(capsys.readouterr().out.strip().splitlines()[-1])
     assert out3["dropped_vs_corpus"] == 1 and out3["accepted"] == 0
+
+
+def test_cli_passage_refresh(spark, tmp_path, capsys):
+    """passage-refresh subcommand: a boilerplate passage re-landing is
+    excised from the new document while the document itself survives."""
+    import json as _json
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from big_data_processing_with_aws_glue_workshop_spark.cli import main
+    from big_data_processing_with_aws_glue_workshop_spark.plans.incremental import (
+        read_deduped,
+    )
+
+    landing = tmp_path / "docs"
+    landing.mkdir()
+    args = [
+        "passage-refresh",
+        "--pattern", str(landing / "*.parquet"),
+        "--bookmark", str(tmp_path / "bm.json"),
+        "--target", str(tmp_path / "corpus"),
+    ]
+
+    def land(name, rows):
+        pq.write_table(
+            pa.Table.from_pandas(
+                pd.DataFrame({"doc_id": [r[0] for r in rows],
+                              "text": [r[1] for r in rows]}),
+                preserve_index=False,
+            ),
+            str(landing / name),
+        )
+
+    boiler = "a b c d e f g h"
+    land("d1.parquet", [(1, f"{boiler} i j k l m n o p")])
+    main(args)
+    out1 = _json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert out1["kept_passages"] == 2 and out1["dropped_vs_corpus"] == 0
+
+    land("d2.parquet", [(2, f"{boiler} q r s t u v w x trailing tail")])
+    main(args)
+    out2 = _json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert out2["dropped_vs_corpus"] == 1 and out2["kept_passages"] == 1
+    got = {
+        r["doc_id"]: r["text"]
+        for r in read_deduped(spark, str(tmp_path / "corpus")).collect()
+    }
+    assert got[2] == "q r s t u v w x trailing tail"

@@ -1757,3 +1757,134 @@ def test_semantic_recell_guards(spark, tmp_path):
     )
     with pytest.raises(ValueError, match="not a semantic-dedup state"):
         semantic_recell(spark, str(other))
+
+
+def _passage_reference(waves, words=8):
+    """Sequential single-node reference: walk passage instances in
+    (wave, doc_id, block) order, keep a passage iff its digest was never
+    seen before, rebuild each doc from kept blocks + tail."""
+    import hashlib
+
+    seen = set()
+    out = {}
+    for wave in waves:
+        for doc_id, text in sorted(wave):
+            import re
+
+            # mirror _tokens: split on whitespace runs after trim+lower
+            w = re.split(r"[ \t\n\f\r]+", (text or "").strip().lower())
+            nblk = len(w) // words
+            kept_blocks = []
+            for b in range(nblk):
+                h = hashlib.md5(" ".join(w[b * words:(b + 1) * words]).encode()).hexdigest()
+                if h in seen:
+                    continue
+                seen.add(h)
+                kept_blocks.append(b)
+            rebuilt = []
+            for b in kept_blocks:
+                rebuilt += w[b * words:(b + 1) * words]
+            rebuilt += w[nblk * words:]
+            out[doc_id] = (" ".join(rebuilt), nblk, nblk - len(kept_blocks))
+    return out
+
+
+@pytest.mark.parametrize("seed", [2, 19])
+def test_passage_dedup_refresh_randomized_parity(spark, tmp_path, seed):
+    """The incremental passage rewrite must reproduce, on random waves
+    with planted boilerplate, exactly the sequential never-seen-before
+    reference: same rewritten text, same per-doc passage counts, every
+    doc present once."""
+    import random
+
+    from big_data_processing_with_aws_glue_workshop_spark.plans.incremental import (
+        incremental_passage_dedup_refresh,
+        read_deduped,
+    )
+
+    rng = random.Random(seed)
+    vocab = [f"w{i}" for i in range(30)]
+    boiler = [
+        " ".join(rng.choice(vocab) for _ in range(8)) for _ in range(4)
+    ]  # 4 reusable boilerplate passages
+
+    def make_doc():
+        parts = []
+        for _ in range(rng.randrange(0, 4)):
+            if rng.random() < 0.5:
+                parts.append(rng.choice(boiler))
+            else:
+                parts.append(" ".join(rng.choice(vocab) for _ in range(8)))
+        tail = " ".join(rng.choice(vocab) for _ in range(rng.randrange(0, 7)))
+        return (" ".join(parts + ([tail] if tail else []))) or "x"
+
+    vid = 0
+    waves = []
+    for _ in range(3):
+        wave = []
+        for _ in range(20):
+            vid += 1
+            wave.append((vid, make_doc()))
+        waves.append(wave)
+
+    landing = tmp_path / "docs"
+    landing.mkdir()
+    target = str(tmp_path / "corpus")
+    pattern = str(landing / "*.parquet")
+    bm = JobBookmark(str(tmp_path / "bm.json"), "passages")
+    for i, wave in enumerate(waves):
+        spark.createDataFrame(
+            wave, "doc_id long, text string"
+        ).coalesce(1).write.parquet(str(landing / f"w{i}.parquet"))
+        incremental_passage_dedup_refresh(spark, bm, pattern, target)
+
+    expected = _passage_reference(waves)
+    got = {
+        r["doc_id"]: (r["text"], r["n_passages"], r["n_passages_dropped"])
+        for r in read_deduped(spark, target).collect()
+    }
+    assert set(got) == set(expected)
+    assert got == expected
+    assert any(v[2] > 0 for v in got.values())  # boilerplate really excised
+
+
+def test_passage_dedup_refresh_healing_and_calibration(spark, tmp_path):
+    """Crash between flip and bookmark commit heals without re-applying;
+    a mismatched cut width refuses before touching state."""
+    from big_data_processing_with_aws_glue_workshop_spark.plans.incremental import (
+        incremental_passage_dedup_refresh,
+        read_deduped,
+    )
+
+    landing = tmp_path / "docs"
+    landing.mkdir()
+    target = str(tmp_path / "corpus")
+    pattern = str(landing / "*.parquet")
+    bm = JobBookmark(str(tmp_path / "bm.json"), "passages")
+    p = "a b c d e f g h"
+    spark.createDataFrame(
+        [(1, f"{p} i j k l m n o q")], "doc_id long, text string"
+    ).coalesce(1).write.parquet(str(landing / "w0.parquet"))
+    s = incremental_passage_dedup_refresh(spark, bm, pattern, target)
+    assert (s["passages"], s["kept_passages"]) == (2, 2)
+
+    with pytest.raises(ValueError, match="calibration mismatch"):
+        incremental_passage_dedup_refresh(spark, bm, pattern, target, words=4)
+
+    # second wave: the boilerplate passage is excised from the new doc
+    spark.createDataFrame(
+        [(2, f"{p} z z z z z z z z trailing")], "doc_id long, text string"
+    ).coalesce(1).write.parquet(str(landing / "w1.parquet"))
+    s = incremental_passage_dedup_refresh(spark, bm, pattern, target)
+    assert s["dropped_vs_corpus"] == 1 and s["kept_passages"] == 1
+    got = {r["doc_id"]: r["text"] for r in read_deduped(spark, target).collect()}
+    assert got[2] == "z z z z z z z z trailing"
+
+    # crash replay: fresh bookmark that never saw the commits
+    crashed = JobBookmark(str(tmp_path / "bm2.json"), "passages")
+    crashed.commit_files([str(landing / "w0.parquet")])
+    before = got
+    s = incremental_passage_dedup_refresh(spark, crashed, pattern, target)
+    assert s["healed"] == 1 and s["new_docs"] == 0
+    got2 = {r["doc_id"]: r["text"] for r in read_deduped(spark, target).collect()}
+    assert got2 == before
