@@ -390,24 +390,25 @@ def incremental_passage_dedup_refresh(
     """
     import json
 
-    from ..queries.textops import passage_frames, rewrite_from_kept
-
     pointer_path = os.path.join(target_dir, "current.json")
     pointer = None
     if os.path.exists(pointer_path):
         with open(pointer_path) as f:
             pointer = json.load(f)
 
-    calibration = {"words": words}
+    # refuse a mismatched cut width up front, even with nothing to read —
+    # a misconfigured scheduled job should fail loudly on its first run,
+    # not on the first run that happens to see files (the core re-checks
+    # for the streaming path)
     if pointer is not None:
         stored = pointer.get("calibration")
-        if stored is not None and stored != calibration:
+        if stored is not None and stored != {"words": words}:
             raise ValueError(
                 f"passage-dedup calibration mismatch for {target_dir!r}: "
                 f"standing state was cut with {stored}, this refresh was "
-                f"called with {calibration} — passage boundaries are not "
-                "comparable across widths; match the stored parameters or "
-                "rebuild the target"
+                f"called with {{'words': {words}}} — passage boundaries are "
+                "not comparable across widths; match the stored parameters "
+                "or rebuild the target"
             )
 
     healed = 0
@@ -431,6 +432,54 @@ def incremental_passage_dedup_refresh(
             "kept_passages": 0,
             "healed": healed,
         }
+
+    stats = apply_passage_increment(
+        spark,
+        new_df,
+        target_dir,
+        pointer,
+        id_col=id_col,
+        text_col=text_col,
+        words=words,
+        snapshot_compact_at=snapshot_compact_at,
+        extra_pointer_fields={"delta_files": sorted(new_files)},
+    )
+    bookmark.commit_files(new_files)
+    return {**stats, "new_files": healed + len(new_files), "healed": healed}
+
+
+def apply_passage_increment(
+    spark: SparkSession,
+    new_df: DataFrame,
+    target_dir: str,
+    pointer: dict | None,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    words: int = 8,
+    snapshot_compact_at: int = 16,
+    extra_pointer_fields: dict | None = None,
+) -> dict:
+    """Passage-increment core shared by the bookmark-driven refresh above
+    and the streaming sink (streaming/corpus_dedup.py) — one
+    implementation of the cut, the within-increment winner election, the
+    standing-digest anti-join, the rewrite, the append-only doc/digest
+    writes with threshold compaction, the pinned cut-width calibration,
+    and the atomic pointer flip. Callers own increment discovery and
+    idempotence bookkeeping via ``extra_pointer_fields``."""
+    from ..queries.textops import passage_frames, rewrite_from_kept
+
+    pointer_path = os.path.join(target_dir, "current.json")
+    calibration = {"words": words}
+    if pointer is not None:
+        stored = pointer.get("calibration")
+        if stored is not None and stored != calibration:
+            raise ValueError(
+                f"passage-dedup calibration mismatch for {target_dir!r}: "
+                f"standing state was cut with {stored}, this refresh was "
+                f"called with {calibration} — passage boundaries are not "
+                "comparable across widths; match the stored parameters or "
+                "rebuild the target"
+            )
 
     base, inst = passage_frames(new_df, id_col, text_col, words)
     n_inst = inst.count()
@@ -500,20 +549,18 @@ def incremental_passage_dedup_refresh(
             "digest_deltas": digest_deltas,
             "deltas": deltas,
             "calibration": calibration,
-            "delta_files": sorted(new_files),
+            **(extra_pointer_fields or {}),
         },
     )
     for d in superseded:
         shutil.rmtree(os.path.join(target_dir, d), ignore_errors=True)
-    bookmark.commit_files(new_files)
     return {
-        "new_files": healed + len(new_files),
+        "new_files": 0,
         "new_docs": n_docs,
         "passages": n_inst,
         "dropped_within": n_inst - n_unique,
         "dropped_vs_corpus": n_unique - n_kept,
         "kept_passages": n_kept,
-        "healed": healed,
     }
 
 

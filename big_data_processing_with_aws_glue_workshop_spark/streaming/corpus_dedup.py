@@ -346,3 +346,79 @@ def run_stream_corpus_neardup(
     finally:
         q.stop()
     return sink
+
+
+class CorpusPassageDedupSink:
+    """``foreachBatch`` twin for PASSAGE-level dedup: each micro-batch's
+    documents are REWRITTEN against the standing passage-digest state
+    (plans/incremental.py::apply_passage_increment) — the same state the
+    file-based ``incremental_passage_dedup_refresh`` maintains, so a
+    streamed document firehose and batch backfills interleave on one
+    boilerplate-excised corpus under one pinned cut-width calibration.
+    First wins at passage granularity across tempos; standing text is
+    never re-read (the anti-join touches 16-byte digests only)."""
+
+    def __init__(
+        self,
+        target_dir: str,
+        id_col: str = "doc_id",
+        text_col: str = "text",
+        words: int = 8,
+        snapshot_compact_at: int = 16,
+        checkpoint_dir: str | None = None,
+    ) -> None:
+        self.target_dir = target_dir
+        self.id_col = id_col
+        self.text_col = text_col
+        self.words = words
+        self.snapshot_compact_at = snapshot_compact_at
+        self.checkpoint_dir = checkpoint_dir
+
+    _pointer_fields = CorpusDedupSink._pointer_fields
+
+    def __call__(self, batch_df: DataFrame, batch_id: int) -> None:
+        from ..plans.incremental import apply_passage_increment
+
+        pointer = read_pointer(self.target_dir)
+        if pointer is not None and batch_id <= pointer.get("last_stream_batch", -1):
+            return  # replayed batch after recovery: already applied
+        apply_passage_increment(
+            batch_df.sparkSession,
+            batch_df,
+            self.target_dir,
+            pointer,
+            id_col=self.id_col,
+            text_col=self.text_col,
+            words=self.words,
+            snapshot_compact_at=self.snapshot_compact_at,
+            extra_pointer_fields=self._pointer_fields(batch_id),
+        )
+
+
+def run_stream_corpus_passages(
+    stream_df: DataFrame,
+    target_dir: str,
+    checkpoint_dir: str | None = None,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    words: int = 8,
+) -> CorpusPassageDedupSink:
+    """availableNow drain into the passage-rewritten corpus; same
+    checkpoint discipline as the other corpus sinks."""
+    sink = CorpusPassageDedupSink(
+        target_dir,
+        id_col=id_col,
+        text_col=text_col,
+        words=words,
+        checkpoint_dir=checkpoint_dir,
+    )
+    _checkpoint_guard(target_dir, checkpoint_dir)
+    writer = stream_df.writeStream.foreachBatch(sink)
+    if checkpoint_dir is not None:
+        writer = writer.option("checkpointLocation", checkpoint_dir)
+    q = writer.trigger(availableNow=True).start()
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    return sink

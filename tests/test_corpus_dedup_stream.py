@@ -407,3 +407,67 @@ def test_stream_semantic_interleaves_with_batch_refresh(spark, tmp_path):
             spark.readStream.schema(VEC_SCHEMA).parquet(str(stream_in)),
             target, ckpt, threshold=0.9, nlist=2,
         )
+
+
+def test_stream_passages_interleave_with_batch_refresh(spark, tmp_path):
+    """Passage twin: a boilerplate passage STREAMED first is excised from
+    a later FILE backfill's document, and the backfill's new passage is
+    excised from a later stream batch — one cut-width calibration, two
+    ingestion tempos, plus replay idempotence and mismatch refusal."""
+    from big_data_processing_with_aws_glue_workshop_spark.plans.incremental import (
+        incremental_passage_dedup_refresh,
+    )
+    from big_data_processing_with_aws_glue_workshop_spark.streaming.corpus_dedup import (
+        run_stream_corpus_passages,
+    )
+
+    stream_in = tmp_path / "stream_in"
+    stream_in.mkdir()
+    files_in = tmp_path / "files_in"
+    files_in.mkdir()
+    target = str(tmp_path / "corpus")
+    ckpt = str(tmp_path / "ckpt")
+    bm = JobBookmark(str(tmp_path / "bm.json"), "backfill")
+
+    boiler = "a b c d e f g h"
+    body = "i j k l m n o p"
+    _land(stream_in / "s0.parquet", [(1, f"{boiler} {body}")])
+    run_stream_corpus_passages(
+        spark.readStream.schema(SCHEMA).parquet(str(stream_in)), target, ckpt
+    )
+    got = {r["doc_id"]: r["text"] for r in read_deduped(spark, target).collect()}
+    assert got == {1: f"{boiler} {body}"}
+
+    # file backfill: re-uses the streamed boilerplate + brings a new passage
+    fresh = "q r s t u v w x"
+    _land(files_in / "f0.parquet", [(20, f"{boiler} {fresh} tail")])
+    stats = incremental_passage_dedup_refresh(
+        spark, bm, str(files_in / "*.parquet"), target
+    )
+    assert stats["dropped_vs_corpus"] == 1 and stats["kept_passages"] == 1
+    got = {r["doc_id"]: r["text"] for r in read_deduped(spark, target).collect()}
+    assert got[20] == f"{fresh} tail"
+
+    # stream again: the BACKFILLED passage is now boilerplate too
+    _land(stream_in / "s1.parquet", [(30, f"{fresh} y y y y y y y y")])
+    run_stream_corpus_passages(
+        spark.readStream.schema(SCHEMA).parquet(str(stream_in)), target, ckpt
+    )
+    got = {r["doc_id"]: r["text"] for r in read_deduped(spark, target).collect()}
+    assert got[30] == "y y y y y y y y"
+
+    # replay idempotence: fresh run over the same checkpoint is a no-op
+    run_stream_corpus_passages(
+        spark.readStream.schema(SCHEMA).parquet(str(stream_in)), target, ckpt
+    )
+    assert len(read_deduped(spark, target).collect()) == 3
+
+    # cut-width calibration shared across tempos: mismatch refuses
+    import pytest
+
+    _land(stream_in / "s2.parquet", [(40, "z z z z z z z z")])
+    with pytest.raises(Exception, match="calibration mismatch"):
+        run_stream_corpus_passages(
+            spark.readStream.schema(SCHEMA).parquet(str(stream_in)),
+            target, ckpt, words=4,
+        )
