@@ -471,3 +471,59 @@ def test_stream_passages_interleave_with_batch_refresh(spark, tmp_path):
             spark.readStream.schema(SCHEMA).parquet(str(stream_in)),
             target, ckpt, words=4,
         )
+
+
+def test_semantic_recell_preserves_stream_bookkeeping(spark, tmp_path):
+    """A maintenance re-cell on a STREAM-built semantic corpus must carry
+    the stream's idempotence bookkeeping (last_stream_batch) through the
+    pointer flip — a replayed batch after the re-cell stays a no-op —
+    and restarted streams must name the NEW nlist (the old calibration
+    refuses) while deduping against the re-celled state correctly."""
+    import pytest
+
+    from big_data_processing_with_aws_glue_workshop_spark.plans.incremental import (
+        read_deduped,
+        semantic_recell,
+    )
+    from big_data_processing_with_aws_glue_workshop_spark.streaming.corpus_dedup import (
+        run_stream_corpus_semantic,
+    )
+
+    stream_in = tmp_path / "stream_in"
+    stream_in.mkdir()
+    target = str(tmp_path / "corpus")
+    ckpt = str(tmp_path / "ckpt")
+
+    base = [1.0, 0.2, -0.5, 0.8]
+    ortho = [-0.2, 1.0, 0.8, 0.1]
+    _land_vecs(stream_in / "s0.parquet", [(1, base), (2, ortho)])
+    run_stream_corpus_semantic(
+        spark.readStream.schema(VEC_SCHEMA).parquet(str(stream_in)),
+        target, ckpt, threshold=0.95, nlist=2,
+    )
+
+    rc = semantic_recell(spark, target, nlist=3)
+    assert rc["rows"] == 2 and rc["new_nlist"] == 3
+
+    # replay over the same checkpoint after the re-cell: still a no-op
+    # (last_stream_batch survived the flip via the carry-forward) — this
+    # would otherwise re-apply batch 0 and double the corpus
+    run_stream_corpus_semantic(
+        spark.readStream.schema(VEC_SCHEMA).parquet(str(stream_in)),
+        target, ckpt, threshold=0.95, nlist=3,
+    )
+    assert {r["vec_id"] for r in read_deduped(spark, target).collect()} == {1, 2}
+
+    # the old calibration refuses on genuinely new data ...
+    _land_vecs(stream_in / "s1.parquet", [(9, [1.01, 0.21, -0.49, 0.82])])
+    with pytest.raises(Exception, match="calibration mismatch"):
+        run_stream_corpus_semantic(
+            spark.readStream.schema(VEC_SCHEMA).parquet(str(stream_in)),
+            target, ckpt, threshold=0.95, nlist=2,
+        )
+    # ... and under the new one the near-copy of streamed vec 1 drops
+    run_stream_corpus_semantic(
+        spark.readStream.schema(VEC_SCHEMA).parquet(str(stream_in)),
+        target, ckpt, threshold=0.95, nlist=3,
+    )
+    assert {r["vec_id"] for r in read_deduped(spark, target).collect()} == {1, 2}
