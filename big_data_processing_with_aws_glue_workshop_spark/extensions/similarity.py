@@ -171,6 +171,15 @@ def _block_pair_indices(left_pdf: pd.DataFrame, right_pdf: pd.DataFrame, thresho
         | np.isnan(cos)
         | da[:, None]
         | db[None, :]
+        # norm-PRODUCT overflow (r11 ADVICE low): two individually
+        # finite norms ≳1e154 overflow their float64 product, so the
+        # engine cosine is inf/inf = NaN (baseline keeps: NaN >= t is
+        # true) while the normalized numpy product stays finite and
+        # could prune (e.g. anti-aligned huge vectors). By
+        # Cauchy–Schwarz |dot| <= na*nb, so engine dot overflow implies
+        # norm-product overflow — this term exactly covers the
+        # remaining NaN-cosine class the per-row force-keeps miss.
+        | ~np.isfinite(na[:, None] * nb[None, :])
     )
     return np.nonzero(keep)
 

@@ -354,7 +354,8 @@ def incremental_passage_dedup_refresh(
     ``queries/textops.py::dedup_passages`` (Dolma/RefinedWeb-style
     boilerplate excision), sharing its exact cut/rewrite contract
     (consecutive non-overlapping ``words``-word passages on the original
-    tokenization, always-kept tail, whitespace-normalized output).
+    case-preserving tokenization, case-insensitive digest matching,
+    always-kept tail, whitespace-normalized case-preserving output).
 
     Semantics: FIRST WINS at passage granularity. Within an increment,
     the minimum (id, block index) instance of each digest survives;

@@ -1190,12 +1190,16 @@ def dedup_passages(docs: DataFrame, words: int = _PASSAGE_WORDS) -> DataFrame:
     ORIGINAL whitespace tokenization plus a (< words)-word tail that is
     always kept; a passage instance survives iff it is the globally
     FIRST occurrence of its content — the minimum (doc_id, block index)
-    over the md5 digest of the space-joined words; the rewritten text
-    is the surviving passages in original order plus the tail, joined
-    by single spaces (whitespace-normalized — the one textual change
-    beyond removal). Every input document comes back exactly once,
-    including fully-boilerplate ones (empty rewrite) and sub-``words``
-    ones (normalized, nothing removable).
+    over the md5 digest of the LOWERCASED space-joined words (matching
+    is case-insensitive; the rewrite is not); the rewritten text is the
+    surviving passages in original order plus the tail, joined by
+    single spaces (whitespace-normalization — the one textual change
+    beyond removal: case, punctuation and word content pass through
+    untouched). Every input document comes back exactly once, assuming
+    unique doc_ids (duplicate-id inputs are collapsed per block at
+    reassembly — see rewrite_from_kept), including fully-boilerplate
+    ones (empty rewrite) and sub-``words`` ones (normalized, nothing
+    removable).
 
     Scale shape: one explode pass cuts passages (array-native, no
     shuffle beyond the scan redistribution); the winner election is a
@@ -1237,12 +1241,22 @@ def passage_frames(
       ``__w`` (tokens), ``__n`` (token count), ``__nblk`` (passage
       count);
     - ``inst``: one row per passage instance — (id_col, ``__b`` block
-      index, ``__h`` md5 digest of the space-joined words).
+      index, ``__h`` md5 digest of the LOWERCASED space-joined words:
+      passage MATCHING is case-insensitive, the REBUILT text is not).
+
+    The token array is built with a case-preserving split (trim +
+    whitespace split, no lower()) so the rewrite stage reassembles the
+    document's original words — case-folding lives ONLY inside the
+    digest expression. (r11 ADVICE high: ``_tokens`` lowercases, and
+    routing ``__w`` through it silently case-folded every rewritten
+    corpus while the oracle mirrored the same bug.)
 
     Array-native and shuffle-free after the scan redistribution;
     passage text never leaves the document row."""
     d = parallelize_scan(docs, id_col)
-    toks = _tokens(F.coalesce(F.col(text_col), F.lit("")))
+    # case-preserving twin of _tokens: same trim + whitespace split,
+    # NO lower() — the rewrite must hand back the original words
+    toks = F.split(F.trim(F.coalesce(F.col(text_col), F.lit(""))), _WS + "+")
     others = [c for c in docs.columns if c != text_col]
     base = d.select(
         *others,
@@ -1258,8 +1272,10 @@ def passage_frames(
             id_col,
             "__b",
             F.md5(
-                F.concat_ws(
-                    " ", F.slice(F.col("__w"), F.col("__b") * words + 1, words)
+                F.lower(
+                    F.concat_ws(
+                        " ", F.slice(F.col("__w"), F.col("__b") * words + 1, words)
+                    )
                 ).cast("binary")
             ).alias("__h"),
         )
@@ -1275,10 +1291,19 @@ def rewrite_from_kept(
     makes it shuffle-free at scale) and re-slices the document's own word
     array, so passage text never shuffles. Output: base's non-helper
     columns + ``__rebuilt`` (kept passages in order + tail, single-space
-    joined) + ``n_passages`` + ``n_passages_dropped``."""
+    joined) + ``n_passages`` + ``n_passages_dropped``.
+
+    Duplicate-id guard (r11 ADVICE low): if an id appears twice in one
+    input/increment, both copies' identical (id, block, digest) rows
+    pass the winner filter and a plain collect_list would hold each
+    block twice, repeating every kept passage in the rebuilt text. The
+    kept-block list is therefore DISTINCT per (id, block) — a
+    sort_array + array_distinct inside the same single aggregate, no
+    extra shuffle — and ``__nkept`` counts the distinct blocks."""
     kept_per_doc = kept.groupBy(id_col).agg(
-        F.sort_array(F.collect_list("__b")).alias("__kb"),
-        F.count(F.lit(1)).alias("__nkept"),
+        F.array_distinct(F.sort_array(F.collect_list("__b"))).alias("__kb"),
+    ).select(
+        id_col, "__kb", F.size("__kb").alias("__nkept")
     )
     w, n, nblk = F.col("__w"), F.col("__n"), F.col("__nblk")
     kb = F.coalesce(F.col("__kb"), F.array().cast("array<int>"))

@@ -647,6 +647,56 @@ def test_cosine_similarity_join_zero_norm_x_nonfinite_matches_baseline(spark):
     assert (2, 11) not in set(expected)
 
 
+def test_cosine_similarity_join_norm_product_overflow_matches_baseline(spark):
+    """r11 ADVICE low: a pair of double-precision vectors whose norms are
+    INDIVIDUALLY finite (~1.4e154) but whose product overflows float64
+    gets engine cosine -inf/inf = NaN, which the crossJoin baseline
+    MATCHES (NaN >= t is true) — yet the normalized numpy prefilter
+    computes a finite cosine (-1 for anti-aligned vectors) and used to
+    prune it. The norm-product force-keep term in _block_pair_indices
+    must carry the pair to the exact verify, which reproduces the
+    baseline's NaN semantics."""
+    from big_data_processing_with_aws_glue_workshop_spark.extensions.similarity import (
+        cosine_similarity_join,
+    )
+    from big_data_processing_with_aws_glue_workshop_spark.queries.vectors import dot, norm
+
+    big = 1.4e154  # big*big = 1.96e308 > float64 max: product overflows
+    ldf = spark.createDataFrame(
+        [
+            (1, [1.0, 0.0, 0.0]),
+            (2, [big, 0.0, 0.0]),    # finite norm, overflow-prone product
+        ],
+        "left_id long, embedding array<double>",
+    )
+    rdf = spark.createDataFrame(
+        [
+            (10, [1.0, 0.01, 0.0]),
+            (11, [-big, 0.0, 0.0]),  # anti-aligned: numpy cosine -1, engine NaN
+        ],
+        "right_id long, embedding array<double>",
+    )
+    got = sorted(
+        (r["left_id"], r["right_id"])
+        for r in cosine_similarity_join(ldf, rdf, threshold=0.9, nlist=2).collect()
+    )
+    la = ldf.select(
+        "left_id", F.col("embedding").alias("va"), norm(F.col("embedding")).alias("na")
+    )
+    rb = rdf.select(
+        "right_id", F.col("embedding").alias("vb"), norm(F.col("embedding")).alias("nb")
+    )
+    expected = sorted(
+        (r["left_id"], r["right_id"])
+        for r in la.crossJoin(rb)
+        .filter((dot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb"))) >= 0.9)
+        .collect()
+    )
+    assert got == expected
+    # the overflow pair is genuinely matched by the baseline (engine NaN)
+    assert (2, 11) in set(expected)
+
+
 def test_blocked_candidate_pairs_superset_contract(spark):
     """The shared stage-1 prefilter must emit a SUPERSET of the exact
     qualifying pairs on arbitrary data — including zero-norm, NaN-component

@@ -1771,12 +1771,15 @@ def _passage_reference(waves, words=8):
         for doc_id, text in sorted(wave):
             import re
 
-            # mirror _tokens: split on whitespace runs after trim+lower
-            w = re.split(r"[ \t\n\f\r]+", (text or "").strip().lower())
+            # mirror passage_frames: CASE-PRESERVING split on whitespace
+            # runs after trim; matching case-folds inside the digest only
+            w = re.split(r"[ \t\n\f\r]+", (text or "").strip())
             nblk = len(w) // words
             kept_blocks = []
             for b in range(nblk):
-                h = hashlib.md5(" ".join(w[b * words:(b + 1) * words]).encode()).hexdigest()
+                h = hashlib.md5(
+                    " ".join(w[b * words:(b + 1) * words]).lower().encode()
+                ).hexdigest()
                 if h in seen:
                     continue
                 seen.add(h)

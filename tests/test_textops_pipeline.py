@@ -319,8 +319,10 @@ def test_contained_doc_pairs_short_doc_cap_fails_loud(spark, tmp_path, monkeypat
 
 _DEDUP_PASSAGES_ORACLE = """
     WITH toks AS (
+      -- case-preserving split; matching is case-insensitive via
+      -- lower() INSIDE the digest only (mirrors passage_frames)
       SELECT doc_id, source,
-             string_split_regex(trim(lower(coalesce(text, ''))),
+             string_split_regex(trim(coalesce(text, '')),
                                 '[ \\t\\n\\f\\r]+') AS w
       FROM documents
     ),
@@ -385,12 +387,14 @@ def test_dedup_passages_planted_fixture(spark):
     p1 = "a b c d e f g h"          # passage 1 (8 words)
     p2 = "i j k l m n o p"          # passage 2
     fresh = "q r s t u v w x"       # unique to doc 2
+    mixed = "Alpha BRAVO charlie Delta Echo Foxtrot GOLF hotel"  # mixed case
     docs = spark.createDataFrame(
         [
             (1, "s", f"{p1} {p2}"),                # both passages original
             (2, "s", f"{p2} {fresh} tail words"),  # block0 dups doc1's p2
             (3, "s", "short doc"),                 # < 8 words: untouched
             (4, "s", f"  {p1.upper()}  "),         # pure boilerplate (case/ws-normalized dup)
+            (5, "s", f"{mixed} Tail CASE"),        # unique; case must survive
         ],
         "doc_id long, source string, text string",
     )
@@ -401,5 +405,32 @@ def test_dedup_passages_planted_fixture(spark):
     assert (got[2]["n_passages"], got[2]["n_passages_dropped"]) == (2, 1)
     assert got[3]["text_deduped"] == "short doc"
     assert (got[3]["n_passages"], got[3]["n_passages_dropped"]) == (0, 0)
+    # matching is case-insensitive (doc 4 is still a dup of p1) ...
     assert got[4]["text_deduped"] == ""
     assert (got[4]["n_passages"], got[4]["n_passages_dropped"]) == (1, 1)
+    # ... but the REWRITE is case-preserving (r11 ADVICE high: the r11
+    # cut lowercased every rewritten document via _tokens)
+    assert got[5]["text_deduped"] == f"{mixed} Tail CASE"
+    assert (got[5]["n_passages"], got[5]["n_passages_dropped"]) == (1, 0)
+
+
+def test_dedup_passages_duplicate_id_no_double_emit(spark):
+    """r11 ADVICE low: an id appearing twice in one input used to emit
+    each kept passage twice per copy (both identical (id, block, digest)
+    rows survive the winner filter and collect_list held the block
+    twice). The kept-block list is now distinct per (id, block): each
+    copy rebuilds the passage exactly once."""
+    from big_data_processing_with_aws_glue_workshop_spark.queries.textops import (
+        dedup_passages,
+    )
+
+    p1 = "a b c d e f g h"
+    docs = spark.createDataFrame(
+        [(1, "s", f"{p1} end"), (1, "s", f"{p1} end")],
+        "doc_id long, source string, text string",
+    )
+    rows = dedup_passages(docs).collect()
+    assert len(rows) == 2  # one output row per input row
+    for r in rows:
+        assert r["text_deduped"] == f"{p1} end"
+        assert (r["n_passages"], r["n_passages_dropped"]) == (1, 0)
