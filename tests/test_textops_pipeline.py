@@ -317,63 +317,21 @@ def test_contained_doc_pairs_short_doc_cap_fails_loud(spark, tmp_path, monkeypat
         textops.q_contained_doc_pairs(spark, str(tmp_path))
 
 
-_DEDUP_PASSAGES_ORACLE = """
-    WITH toks AS (
-      -- case-preserving split; matching is case-insensitive via
-      -- lower() INSIDE the digest only (mirrors passage_frames)
-      SELECT doc_id, source,
-             string_split_regex(trim(coalesce(text, '')),
-                                '[ \\t\\n\\f\\r]+') AS w
-      FROM documents
-    ),
-    base AS (
-      SELECT doc_id, source, w, len(w) AS n, len(w) // 8 AS nblk FROM toks
-    ),
-    inst AS (
-      SELECT doc_id, b.i AS b,
-             md5(array_to_string(w[b.i * 8 + 1 : b.i * 8 + 8], ' ')) AS h
-      FROM base, UNNEST(range(0, nblk)) AS b(i)
-      WHERE nblk >= 1
-    ),
-    kept AS (
-      SELECT doc_id, b FROM (
-        SELECT doc_id, b,
-               ROW_NUMBER() OVER (PARTITION BY h ORDER BY doc_id, b) AS rn
-        FROM inst
-      ) WHERE rn = 1
-    ),
-    kpd AS (
-      SELECT doc_id, list(b ORDER BY b) AS kb, COUNT(1) AS nkept
-      FROM kept GROUP BY doc_id
-    )
-    SELECT base.doc_id, source,
-           -- coalesce: DuckDB's array_to_string([]) is NULL where Spark's
-           -- concat_ws is '' (the fully-boilerplate-doc case)
-           coalesce(array_to_string(
-             list_concat(
-               flatten(list_transform(coalesce(kb, CAST([] AS BIGINT[])),
-                                      b -> w[b * 8 + 1 : b * 8 + 8])),
-               CASE WHEN n > nblk * 8 THEN w[nblk * 8 + 1 : n]
-                    ELSE CAST([] AS VARCHAR[]) END
-             ), ' '), '') AS text_deduped,
-           CAST(nblk AS INT) AS n_passages,
-           CAST(nblk - coalesce(nkept, 0) AS INT) AS n_passages_dropped
-    FROM base LEFT JOIN kpd USING (doc_id)
-"""
-
-
 def test_dedup_passages_matches_oracle(spark, sf_dir):
     """The passage-removal REWRITE (not just the profile) is held to a
     full DuckDB twin on the real documents table: identical rewritten
-    text, passage counts and drop counts for every document."""
+    text, passage counts and drop counts for every document. The SQL is
+    the registered driver oracle (single source of truth since the
+    rewrite went driver-visible in r12 as passage_dedup_rewrite)."""
     from big_data_processing_with_aws_glue_workshop_spark.queries._tables import load
     from big_data_processing_with_aws_glue_workshop_spark.queries.textops import (
+        ORACLES,
         dedup_passages,
     )
     from tests.oracle_harness import compare
 
     out = dedup_passages(load(spark, sf_dir, "documents"))
-    compare(out, _DEDUP_PASSAGES_ORACLE, sf_dir)
+    compare(out, ORACLES["passage_dedup_rewrite"], sf_dir)
 
 
 def test_dedup_passages_planted_fixture(spark):
