@@ -891,6 +891,21 @@ def read_deduped(spark: SparkSession, target_dir: str) -> DataFrame:
     return spark.read.parquet(*paths)
 
 
+# Maintenance trigger for the pinned-centroid decay story (r11 verdict
+# "What's missing #2"): every semantic refresh reports
+# ``allow_share`` — allowed cell pairs / possible cell pairs in the
+# increment-vs-standing triangle-inequality allowlist (falling back to
+# the within-increment allowlist on a first refresh). 0 means the cells
+# still prune almost everything; 1 means every block pair is scored and
+# the refresh has degraded to the uniform worst case. The 128-blob
+# decay fixture (docs/SCALE.md r11/r12) shows pruning is effectively
+# gone by ~0.9 — per-wave wall had already degraded 2-4x on the way
+# there — so schedule the `semantic-recell` CLI when a refresh (or the
+# streaming sink's ``last_allow_share``) reports a value at or above
+# this trigger.
+RECELL_ALLOW_SHARE_TRIGGER = 0.9
+
+
 def incremental_semantic_refresh(
     spark: SparkSession,
     bookmark: JobBookmark,
@@ -972,6 +987,7 @@ def incremental_semantic_refresh(
             "accepted": 0,
             "dropped_within": 0,
             "dropped_vs_corpus": 0,
+            "allow_share": None,
         }
 
     stats = apply_semantic_increment(
@@ -1098,6 +1114,7 @@ def apply_semantic_increment(
 
     # --- drop vs standing corpus (skipped on the first refresh) ---
     drop_vs_corpus = None
+    allow_share_vs = None
     if pointer is not None and pointer["deltas"]:
         standing = (
             spark.read.parquet(
@@ -1122,6 +1139,11 @@ def apply_semantic_increment(
             F.col(vec_col).alias("embedding"),
         )
         allowed = allowed_cell_pairs(centroids, inc_radii, std_radii, threshold)
+        # pruning-health signal (RECELL_ALLOW_SHARE_TRIGGER above):
+        # share of possible (increment cell, standing cell) pairs the
+        # triangle inequality could NOT rule out
+        if inc_radii and std_radii:
+            allow_share_vs = len(allowed) / (len(inc_radii) * len(std_radii))
         cand = blocked_candidate_pairs(inc_members, std_members, allowed, threshold)
         if cand is not None:
             std_vecs = std_members.select(
@@ -1139,6 +1161,9 @@ def apply_semantic_increment(
 
     # --- drop within the increment (smaller id wins, conservative) ---
     allowed_inc = allowed_cell_pairs(centroids, inc_radii, inc_radii, threshold)
+    allow_share_within = (
+        len(allowed_inc) / (len(inc_radii) ** 2) if inc_radii else None
+    )
     cand_w = blocked_candidate_pairs(inc_members, inc_members, allowed_inc, threshold)
     drop_within = None
     if cand_w is not None:
@@ -1195,6 +1220,13 @@ def apply_semantic_increment(
         "accepted": n_accepted,
         "dropped_within": n_new - n_after_within,
         "dropped_vs_corpus": n_after_within - n_accepted,
+        # increment-vs-standing when a standing corpus exists, else the
+        # within-increment share (first refresh); None when every
+        # increment vector is degenerate. Compare against
+        # RECELL_ALLOW_SHARE_TRIGGER to schedule `semantic-recell`.
+        "allow_share": (
+            allow_share_vs if allow_share_vs is not None else allow_share_within
+        ),
     }
 
 

@@ -237,7 +237,10 @@ class CorpusSemanticDupSink:
     calibration. The first COMMITTED batch fits and pins the centroids;
     every later batch (either tempo) assigns against them. No drift
     option: the corpus-drift report is text-keyed; embedding drift is
-    the centroid-radius story, visible in the stored thetas."""
+    the centroid-radius story, surfaced per batch as
+    ``last_allow_share`` (the refresh stats' allowlist share — compare
+    against plans/incremental.py::RECELL_ALLOW_SHARE_TRIGGER to
+    schedule the `semantic-recell` maintenance op)."""
 
     def __init__(
         self,
@@ -256,6 +259,9 @@ class CorpusSemanticDupSink:
         self.nlist = nlist
         self.seed = seed
         self.checkpoint_dir = checkpoint_dir
+        # allowlist pruning health of the most recent applied batch
+        # (None until one applies; see RECELL_ALLOW_SHARE_TRIGGER)
+        self.last_allow_share: float | None = None
 
     _pointer_fields = CorpusDedupSink._pointer_fields
 
@@ -267,7 +273,7 @@ class CorpusSemanticDupSink:
             return
         if batch_df.isEmpty() and pointer is None:
             return  # cannot fit centroids on an empty first batch
-        apply_semantic_increment(
+        stats = apply_semantic_increment(
             batch_df.sparkSession,
             batch_df,
             self.target_dir,
@@ -279,6 +285,7 @@ class CorpusSemanticDupSink:
             seed=self.seed,
             extra_pointer_fields=self._pointer_fields(batch_id),
         )
+        self.last_allow_share = stats.get("allow_share")
 
 
 def run_stream_corpus_semantic(

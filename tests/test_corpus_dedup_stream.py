@@ -384,11 +384,15 @@ def test_stream_semantic_interleaves_with_batch_refresh(spark, tmp_path):
 
     # stream again: near-copy of the BACKFILLED fresh vector is dropped
     _land_vecs(stream_in / "s1.parquet", [(30, [0.101, -0.91, 0.31, 0.59])])
-    run_stream_corpus_semantic(
+    sink = run_stream_corpus_semantic(
         spark.readStream.schema(VEC_SCHEMA).parquet(str(stream_in)),
         target, ckpt, threshold=0.95, nlist=2,
     )
     assert {r["vec_id"] for r in read_deduped(spark, target).collect()} == {1, 2, 21}
+    # the sink surfaces the allowlist pruning health of the applied
+    # batch (the re-cell trigger signal): a real share in [0, 1]
+    assert sink.last_allow_share is not None
+    assert 0.0 <= sink.last_allow_share <= 1.0
 
     # replay idempotence: a fresh run over the same checkpoint is a no-op
     run_stream_corpus_semantic(

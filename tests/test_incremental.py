@@ -1530,7 +1530,7 @@ def test_incremental_semantic_refresh(spark, tmp_path):
     )
     assert stats == {
         "new_files": 1, "new_docs": 0, "accepted": 0,
-        "dropped_within": 0, "dropped_vs_corpus": 0,
+        "dropped_within": 0, "dropped_vs_corpus": 0, "allow_share": None,
     }
     assert {r["vec_id"] for r in read_deduped(spark, target).collect()} == {1, 3, 10}
 
@@ -1735,6 +1735,69 @@ def test_semantic_recell_preserves_decisions(spark, tmp_path):
     got_a = {r["vec_id"] for r in read_deduped(spark, targets["a"]).collect()}
     got_b = {r["vec_id"] for r in read_deduped(spark, targets["b"]).collect()}
     assert got_a == got_b
+
+
+def test_semantic_refresh_allow_share_decay_signal(spark, tmp_path):
+    """The r11 verdict's operational gap: the measured pinned-centroid
+    decay (SCALE.md r11's 128-blob fixture, waves degrading 2-4x) had no
+    signal in the refresh stats. Every refresh now reports
+    ``allow_share`` — allowed / possible cell pairs in the vs-standing
+    allowlist — and the documented trigger must separate a corpus that
+    stayed clustered (share far below) from one that decayed off its
+    pinned centroids (share at/above): same wave-1 fit, different
+    wave 2."""
+    from big_data_processing_with_aws_glue_workshop_spark.plans.incremental import (
+        RECELL_ALLOW_SHARE_TRIGGER,
+        incremental_semantic_refresh,
+    )
+
+    dim, thr = 6, 0.99
+
+    def blob(axis, vid, eps):
+        v = [0.0] * dim
+        v[axis] = 1.0
+        v[(axis + 1) % dim] = eps  # small tilt: blob members, not copies
+        return (vid, v)
+
+    # wave 1 (both targets): 4 tight blobs along e0..e3 — the fit pins
+    # one centroid per blob and the standing radii stay small
+    wave1 = [blob(a, 10 * a + j, 0.02 * (j + 1)) for a in range(4) for j in range(3)]
+    # clustered wave 2: more members of the same blobs -> tiny radii,
+    # cross-cell pairs stay pruned (cell separation ~pi/2 each)
+    wave2_clustered = [blob(a, 100 + 10 * a + j, 0.03 * (j + 1)) for a in range(4) for j in range(2)]
+    # decayed wave 2: anti-aligned directions (-e0..-e3) — every vector
+    # sits ~pi/2 from its NEAREST pinned centroid, radii blow up to the
+    # point where the triangle inequality can rule nothing out
+    wave2_decayed = []
+    for a in range(4):
+        v = [0.0] * dim
+        v[a] = -1.0
+        wave2_decayed.append((200 + a, v))
+
+    shares = {}
+    for name, wave2 in (("clustered", wave2_clustered), ("decayed", wave2_decayed)):
+        landing = tmp_path / f"vecs_{name}"
+        landing.mkdir()
+        pattern = str(landing / "*.parquet")
+        target = str(tmp_path / f"corpus_{name}")
+        bm = JobBookmark(str(tmp_path / f"bm_{name}.json"), f"sem_{name}")
+        _write_vecs(landing / "w0.parquet", wave1)
+        s1 = incremental_semantic_refresh(
+            spark, bm, pattern, target, threshold=thr, nlist=4, seed=7
+        )
+        # first refresh: no standing corpus yet — the within-increment
+        # share is reported (clustered fit: only same-cell pairs allowed)
+        assert s1["allow_share"] is not None
+        _write_vecs(landing / "w1.parquet", wave2)
+        s2 = incremental_semantic_refresh(
+            spark, bm, pattern, target, threshold=thr, nlist=4, seed=7
+        )
+        shares[name] = s2["allow_share"]
+
+    assert shares["clustered"] < RECELL_ALLOW_SHARE_TRIGGER, shares
+    assert shares["decayed"] >= RECELL_ALLOW_SHARE_TRIGGER, shares
+    # and the clustered corpus genuinely still prunes most cell pairs
+    assert shares["clustered"] <= 0.5, shares
 
 
 def test_semantic_recell_guards(spark, tmp_path):
