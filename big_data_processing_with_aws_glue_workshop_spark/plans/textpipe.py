@@ -89,12 +89,28 @@ def run_text_pipeline(
     n_neardup = neardup.count()
 
     # 4. decontamination: drop the eval slice itself and any training doc
-    # sharing a _CONTAM_N-gram with it
+    # sharing a _CONTAM_N-gram with it. The shingle semi-join routes
+    # through the measured join planner (operators/skew.py — the same
+    # decision procedure incremental_join_refresh adopted in r11):
+    # benchmark/eval slices are small by construction, so the probe's
+    # footer-cheap right count pins a broadcast and the training-side
+    # shingles never shuffle; if a huge eval suite ever outgrows the
+    # threshold, the planner degrades to the hot-key probe and a salted
+    # or shuffle plan instead of silently building an oversized
+    # broadcast. The decision is logged in the summary dict.
+    from ..operators.skew import adaptive_join, plan_equi_join
+
     sh = word_shingles(neardup, "doc_id", "text", n=_CONTAM_N)
-    eval_sh = sh.filter((F.col("doc_id") % _EVAL_MOD) == 0).select("shingle")
+    # distinct: a semi-join probe only needs each eval shingle once, so
+    # the broadcast (and the planner's right-row count) shrink to the
+    # distinct shingle set without changing any decision
+    eval_sh = sh.filter((F.col("doc_id") % _EVAL_MOD) == 0).select("shingle").distinct()
+    train_sh = sh.filter((F.col("doc_id") % _EVAL_MOD) != 0)
+    decontam_decision = plan_equi_join(train_sh, eval_sh, ["shingle"])
     contaminated = (
-        sh.filter((F.col("doc_id") % _EVAL_MOD) != 0)
-        .join(eval_sh, "shingle", "left_semi")
+        adaptive_join(
+            train_sh, eval_sh, ["shingle"], "left_semi", decision=decontam_decision
+        )
         .select("doc_id")
         .distinct()
     )
@@ -147,6 +163,11 @@ def run_text_pipeline(
         "after_decontamination": n_clean,
         "after_mixture": n_mixed,
         "packed_sequences": n_sequences,
+        # the measured decontamination-join decision (audit trail, same
+        # shape incremental_join_refresh logs); stage counts above are
+        # strategy-independent — all planner strategies are
+        # row-multiset-identical
+        "decontam_join": decontam_decision,
     }
     if out_dir:
         packed.select(
