@@ -491,7 +491,11 @@ def _refresh_drift_report(spark, args) -> dict | None:
     from .operators.drift import corpus_drift_report
 
     return corpus_drift_report(
-        spark, args.target, args.text_col, drift_key=args.drift_key
+        spark,
+        args.target,
+        args.text_col,
+        drift_key=args.drift_key,
+        delta_subdir=getattr(args, "drift_delta_subdir", "accepted"),
     )
 
 
@@ -541,6 +545,11 @@ def cmd_passage_refresh(args: argparse.Namespace) -> None:
         text_col=args.text_col,
         words=args.words,
     )
+    # the passage layout publishes its rewritten delta under docs/
+    args.drift_delta_subdir = "docs"
+    drift = _refresh_drift_report(spark, args)
+    if drift is not None:
+        stats["drift"] = drift
     _emit({"job": "passage-refresh", **stats})
 
 
@@ -926,6 +935,18 @@ def build_parser() -> argparse.ArgumentParser:
     pr.add_argument("--id-col", default="doc_id")
     pr.add_argument("--text-col", default="text")
     pr.add_argument("--words", type=int, default=8, help="passage cut width")
+    pr.add_argument(
+        "--drift",
+        action="store_true",
+        help="PSI-check the increment's REWRITTEN doc-length histogram "
+        "against the maintained standing distribution (shared protocol, "
+        "operators/drift.py; reads the passage layout's docs/ delta)",
+    )
+    pr.add_argument(
+        "--drift-key",
+        default=None,
+        help="segment the drift histogram by this column (e.g. source)",
+    )
     pr.set_defaults(func=cmd_passage_refresh)
 
     nr = sub.add_parser(

@@ -224,6 +224,7 @@ def corpus_drift_report(
     target_dir: str,
     text_col: str,
     drift_key: str | None = None,
+    delta_subdir: str = "accepted",
 ) -> dict | None:
     """The corpus-refresh drift protocol, shared by BOTH ingestion
     tempos (the refresh CLIs' ``--drift`` gate and the streaming corpus
@@ -238,7 +239,13 @@ def corpus_drift_report(
     rather than a double count. Returns the report, or None when there
     is nothing to record: no pointer yet, no accepted delta dir for the
     current batch, an empty delta (PSI against an empty side reads as
-    spurious max drift), or an already-recorded batch."""
+    spurious max drift), or an already-recorded batch.
+
+    ``delta_subdir`` names the target family's delta layout: the doc-
+    and near-dup refreshes publish survivors under ``accepted/``, the
+    passage rewrite under ``docs/`` (its rows are rewritten, not
+    dropped — the length histogram there measures the POST-excision
+    text, still the incoming-shift signal the gate wants)."""
     import os
 
     from ..streaming.sinks import read_pointer
@@ -246,7 +253,7 @@ def corpus_drift_report(
     pointer = read_pointer(target_dir)
     if pointer is None:
         return None
-    path = os.path.join(target_dir, f"accepted/delta_{pointer['batch_id']}")
+    path = os.path.join(target_dir, f"{delta_subdir}/delta_{pointer['batch_id']}")
     if not os.path.exists(path):
         return None
     delta = spark.read.parquet(path)

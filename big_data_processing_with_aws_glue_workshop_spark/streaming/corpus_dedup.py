@@ -34,14 +34,22 @@ from .sinks import read_pointer
 
 
 def _drift_after_commit(
-    spark: SparkSession, target_dir: str, text_col: str, drift_key: str | None
+    spark: SparkSession,
+    target_dir: str,
+    text_col: str,
+    drift_key: str | None,
+    delta_subdir: str = "accepted",
 ) -> dict | None:
     """Streaming alias of the shared corpus-drift protocol
     (operators/drift.py::corpus_drift_report — ONE implementation for
-    both ingestion tempos; the CLI --drift gate wraps the same call)."""
+    both ingestion tempos; the CLI --drift gate wraps the same call).
+    ``delta_subdir``: "accepted" for the doc/near-dup sinks, "docs" for
+    the passage sink's rewritten-delta layout."""
     from ..operators.drift import corpus_drift_report
 
-    return corpus_drift_report(spark, target_dir, text_col, drift_key=drift_key)
+    return corpus_drift_report(
+        spark, target_dir, text_col, drift_key=drift_key, delta_subdir=delta_subdir
+    )
 
 
 def _checkpoint_guard(target_dir: str, checkpoint_dir: str | None) -> None:
@@ -363,7 +371,11 @@ class CorpusPassageDedupSink:
     streamed document firehose and batch backfills interleave on one
     boilerplate-excised corpus under one pinned cut-width calibration.
     First wins at passage granularity across tempos; standing text is
-    never re-read (the anti-join touches 16-byte digests only)."""
+    never re-read (the anti-join touches 16-byte digests only).
+    ``drift=True`` enables the shared per-batch drift gate the other
+    two sinks carry (r11 verdict stretch item) — PSI of the batch's
+    REWRITTEN doc-length histogram against the standing distribution,
+    read from the passage layout's ``docs/`` delta."""
 
     def __init__(
         self,
@@ -373,6 +385,8 @@ class CorpusPassageDedupSink:
         words: int = 8,
         snapshot_compact_at: int = 16,
         checkpoint_dir: str | None = None,
+        drift: bool = False,
+        drift_key: str | None = None,
     ) -> None:
         self.target_dir = target_dir
         self.id_col = id_col
@@ -380,6 +394,9 @@ class CorpusPassageDedupSink:
         self.words = words
         self.snapshot_compact_at = snapshot_compact_at
         self.checkpoint_dir = checkpoint_dir
+        self.drift = drift
+        self.drift_key = drift_key
+        self.last_drift: dict | None = None
 
     _pointer_fields = CorpusDedupSink._pointer_fields
 
@@ -400,6 +417,16 @@ class CorpusPassageDedupSink:
             snapshot_compact_at=self.snapshot_compact_at,
             extra_pointer_fields=self._pointer_fields(batch_id),
         )
+        if self.drift:
+            rep = _drift_after_commit(
+                batch_df.sparkSession,
+                self.target_dir,
+                self.text_col,
+                self.drift_key,
+                delta_subdir="docs",
+            )
+            if rep is not None:
+                self.last_drift = rep
 
 
 def run_stream_corpus_passages(
@@ -409,15 +436,20 @@ def run_stream_corpus_passages(
     id_col: str = "doc_id",
     text_col: str = "text",
     words: int = 8,
+    drift: bool = False,
+    drift_key: str | None = None,
 ) -> CorpusPassageDedupSink:
     """availableNow drain into the passage-rewritten corpus; same
-    checkpoint discipline as the other corpus sinks."""
+    checkpoint and drift-gate plumbing as the other corpus sinks
+    (returns the sink — read ``sink.last_drift``)."""
     sink = CorpusPassageDedupSink(
         target_dir,
         id_col=id_col,
         text_col=text_col,
         words=words,
         checkpoint_dir=checkpoint_dir,
+        drift=drift,
+        drift_key=drift_key,
     )
     _checkpoint_guard(target_dir, checkpoint_dir)
     writer = stream_df.writeStream.foreachBatch(sink)

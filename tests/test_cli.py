@@ -800,14 +800,18 @@ def test_cli_passage_refresh(spark, tmp_path, capsys):
 
     boiler = "a b c d e f g h"
     land("d1.parquet", [(1, f"{boiler} i j k l m n o p")])
-    main(args)
+    main(args + ["--drift"])
     out1 = _json.loads(capsys.readouterr().out.strip().splitlines()[-1])
     assert out1["kept_passages"] == 2 and out1["dropped_vs_corpus"] == 0
+    # --drift parity with the other refresh commands: the first wave
+    # seeds the standing histogram from the docs/ delta layout
+    assert out1["drift"]["first_refresh"]
 
     land("d2.parquet", [(2, f"{boiler} q r s t u v w x trailing tail")])
-    main(args)
+    main(args + ["--drift"])
     out2 = _json.loads(capsys.readouterr().out.strip().splitlines()[-1])
     assert out2["dropped_vs_corpus"] == 1 and out2["kept_passages"] == 1
+    assert "psi" in out2["drift"] and not out2["drift"]["first_refresh"]
     got = {
         r["doc_id"]: r["text"]
         for r in read_deduped(spark, str(tmp_path / "corpus")).collect()
