@@ -96,7 +96,7 @@ def make_waves(n_waves: int, wave, n_blobs: int, uniform: bool, seed: int = 7):
     return waves
 
 
-def join_mode(sizes: list[int]) -> None:
+def join_mode(sizes: list[int], derived: bool = False, brute: bool = True) -> None:
     import pyspark.sql.functions as F
 
     from big_data_processing_with_aws_glue_workshop_spark.extensions.similarity import (
@@ -124,30 +124,41 @@ def join_mode(sizes: list[int]) -> None:
         ).repartition(32).cache()
         ldf.count(), rdf.count()
 
+        # --derived: the rule q_cross_corpus_contamination adopted in
+        # r12 (cells ~ sqrt(right rows), capped) instead of the pinned
+        # fixture NLIST — confirms the operator's own 100x guidance on
+        # the same fixture the r10/r11 crossover tables used
+        import math as _math
+
+        nlist = max(4, min(1024, _math.isqrt(n))) if derived else NLIST
         t0 = time.time()
         pruned = cosine_similarity_join(
             ldf, rdf, threshold=thr, left_id="qid", right_id="cid",
-            nlist=NLIST,
+            nlist=nlist,
         ).count()
         t_pruned = time.time() - t0
 
-        la = ldf.select("qid", F.col("embedding").alias("va"), norm(F.col("embedding")).alias("na"))
-        rb = rdf.select("cid", F.col("embedding").alias("vb"), norm(F.col("embedding")).alias("nb"))
-        t0 = time.time()
-        brute = (
-            la.crossJoin(rb)
-            .select((dot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb"))).alias("s"))
-            .filter(F.col("s") >= thr)
-            .count()
-        )
-        t_brute = time.time() - t0
-        print(json.dumps({
-            "right_n": n, "left_n": 2_000, "pairs": pruned,
-            "pairs_match": pruned == brute,
+        row = {
+            "right_n": n, "left_n": 2_000, "nlist": nlist, "pairs": pruned,
             "join_wall_s": round(t_pruned, 2),
-            "crossjoin_wall_s": round(t_brute, 2),
-            "speedup": round(t_brute / t_pruned, 2),
-        }))
+        }
+        if brute:
+            la = ldf.select("qid", F.col("embedding").alias("va"), norm(F.col("embedding")).alias("na"))
+            rb = rdf.select("cid", F.col("embedding").alias("vb"), norm(F.col("embedding")).alias("nb"))
+            t0 = time.time()
+            bc = (
+                la.crossJoin(rb)
+                .select((dot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb"))).alias("s"))
+                .filter(F.col("s") >= thr)
+                .count()
+            )
+            t_brute = time.time() - t0
+            row.update({
+                "pairs_match": pruned == bc,
+                "crossjoin_wall_s": round(t_brute, 2),
+                "speedup": round(t_brute / t_pruned, 2),
+            })
+        print(json.dumps(row))
         ldf.unpersist(), rdf.unpersist()
 
 
@@ -227,7 +238,11 @@ def recell_mode(n_waves: int, wave: int) -> None:
 def main() -> None:
     args = [a for a in sys.argv[1:] if not a.startswith("--")]
     if "--join" in sys.argv:
-        join_mode([int(a) for a in args] or [20_000, 80_000, 200_000])
+        join_mode(
+            [int(a) for a in args] or [20_000, 80_000, 200_000],
+            derived="--derived" in sys.argv,
+            brute="--no-brute" not in sys.argv,
+        )
         return
     if "--recell" in sys.argv:
         recell_mode(
