@@ -213,6 +213,22 @@ def test_passage_dedup_partial_aggregation(spark):
     assert "Window" not in plan, plan
 
 
+def test_passage_dedup_rewrite_plan_shape(spark):
+    """The rewrite's scale contract: passage TEXT never shuffles — the
+    winner election and reassembly move 16-byte digests and int block
+    indices, and the document's words are re-sliced from its own row at
+    an id-keyed join. Plan must show hash aggregation on the digest (no
+    Window/row_number winner election), no Python/Arrow nodes, and no
+    cartesian/broadcast-NLJ shapes."""
+    plan = plan_of(spark, "passage_dedup_rewrite")
+    assert "md5" in plan
+    assert "Window" not in plan, plan
+    assert "Python" not in plan and "ArrowEval" not in plan, plan
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+    assert "HashAggregate" in plan, plan
+
+
 def test_interval_join_batch_pushes_type_filters(spark):
     """Both event_type filters must reach their parquet scans (the join's
     two sides are filters over one source — each scan should read only
