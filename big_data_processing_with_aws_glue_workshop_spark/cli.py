@@ -623,6 +623,18 @@ def cmd_semantic_recell(args: argparse.Namespace) -> None:
     _emit({"job": "semantic-recell", **stats})
 
 
+def cmd_semantic_allow_report(args: argparse.Namespace) -> None:
+    """On-demand re-cell trigger check (plans/incremental.py::
+    semantic_allow_report): standing-vs-standing allowlist share under
+    the stored calibration, no wave required. Schedule semantic-recell
+    when recell_recommended is true."""
+    from .plans.incremental import semantic_allow_report
+
+    spark = get_session(app_name="semantic-allow-report")
+    rep = semantic_allow_report(spark, args.target, vec_col=args.vec_col)
+    _emit({"job": "semantic-allow-report", **rep})
+
+
 def cmd_bpe_learn(args: argparse.Namespace) -> None:
     """Learn a BPE subword vocabulary from a document table
     (operators/bpe.py): one corpus pass builds the word-frequency
@@ -1006,6 +1018,16 @@ def build_parser() -> argparse.ArgumentParser:
         help="new cell count (default: ~sqrt(standing rows), capped at 1024)",
     )
     src.set_defaults(func=cmd_semantic_recell)
+
+    sar = sub.add_parser(
+        "semantic-allow-report",
+        help="on-demand allowlist-health report for a semantic-dedup "
+        "target (the re-cell trigger check, no wave required): one "
+        "narrow per-cell aggregate + the driver-side triangle count",
+    )
+    sar.add_argument("--target", required=True, help="deduped corpus directory")
+    sar.add_argument("--vec-col", default="embedding")
+    sar.set_defaults(func=cmd_semantic_allow_report)
 
     c = sub.add_parser(
         "compact",

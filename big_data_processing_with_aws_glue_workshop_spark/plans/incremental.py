@@ -1354,6 +1354,76 @@ def semantic_recell(
     }
 
 
+def semantic_allow_report(
+    spark: SparkSession, target_dir: str, vec_col: str = "embedding"
+) -> dict:
+    """On-demand allowlist-health report for a standing semantic-dedup
+    target — the re-cell trigger check WITHOUT waiting for a wave to
+    land (the per-wave refresh stats report increment-vs-standing
+    ``allow_share``; this reports the standing-vs-standing share, the
+    corpus-intrinsic version of the same signal: it is what every
+    future increment's share converges to when increments draw from
+    the standing distribution).
+
+    One narrow (cell, max theta) aggregate over the published deltas —
+    column-pruned, no vectors move to the driver — then the same
+    driver-side triangle-inequality count the refresh runs, under the
+    STORED calibration's threshold. Degenerate rows (zero/non-finite
+    norm) are excluded from radii exactly as the refresh excludes them.
+
+    Returns {"nlist", "rows", "cells_occupied", "allowed_cell_pairs",
+    "total_cell_pairs", "allow_share", "threshold", "trigger",
+    "recell_recommended"} — compare ``allow_share`` against
+    ``trigger`` (RECELL_ALLOW_SHARE_TRIGGER) or just read the boolean.
+    """
+    import json
+
+    from ..extensions.similarity import allowed_cell_pairs
+    from ..queries.vectors import norm
+
+    pointer_path = os.path.join(target_dir, "current.json")
+    if not os.path.exists(pointer_path):
+        raise ValueError(
+            f"no semantic-dedup state at {target_dir!r} — nothing to report"
+        )
+    with open(pointer_path) as f:
+        pointer = json.load(f)
+    if "centroids" not in pointer or "calibration" not in pointer:
+        raise ValueError(
+            f"target {target_dir!r} is not a semantic-dedup state (its "
+            "pointer has no centroids/calibration) — it belongs to another "
+            "refresh family"
+        )
+    threshold = pointer["calibration"]["threshold"]
+    standing = spark.read.parquet(
+        *[os.path.join(target_dir, rel) for rel in pointer["deltas"]]
+    )
+    _n = norm(F.col(vec_col))
+    matchable = standing.filter(
+        (_n > 0) & ~F.isnan(_n) & (_n != F.lit(float("inf")))
+    )
+    agg = matchable.groupBy("cell").agg(
+        F.max("theta").alias("radius"), F.count(F.lit(1)).alias("n")
+    ).collect()
+    radii = {r["cell"]: r["radius"] for r in agg}
+    rows = sum(int(r["n"]) for r in agg)
+    total = len(radii) ** 2
+    allowed = len(allowed_cell_pairs(pointer["centroids"], radii, radii, threshold))
+    share = (allowed / total) if total else None
+    return {
+        "nlist": pointer["calibration"]["nlist"],
+        "rows": rows,
+        "cells_occupied": len(radii),
+        "allowed_cell_pairs": allowed,
+        "total_cell_pairs": total,
+        "allow_share": share,
+        "threshold": threshold,
+        "trigger": RECELL_ALLOW_SHARE_TRIGGER,
+        "recell_recommended": share is not None
+        and share >= RECELL_ALLOW_SHARE_TRIGGER,
+    }
+
+
 # ---------------------------------------------------------------------------
 # Incremental JOIN-VIEW maintenance (fact ⋈ dim with late-arriving dims)
 # ---------------------------------------------------------------------------

@@ -765,6 +765,13 @@ def test_cli_semantic_refresh(spark, tmp_path, capsys):
     out3 = _json.loads(capsys.readouterr().out.strip().splitlines()[-1])
     assert out3["dropped_vs_corpus"] == 1 and out3["accepted"] == 0
 
+    # semantic-allow-report: on-demand trigger check, no wave required
+    main(["semantic-allow-report", "--target", str(tmp_path / "corpus")])
+    rep = _json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert rep["job"] == "semantic-allow-report"
+    assert rep["rows"] == 3 and 0.0 <= rep["allow_share"] <= 1.0
+    assert rep["trigger"] == 0.9 and isinstance(rep["recell_recommended"], bool)
+
 
 def test_cli_passage_refresh(spark, tmp_path, capsys):
     """passage-refresh subcommand: a boilerplate passage re-landing is

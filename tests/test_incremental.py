@@ -1765,13 +1765,19 @@ def test_semantic_refresh_allow_share_decay_signal(spark, tmp_path):
     # clustered wave 2: more members of the same blobs -> tiny radii,
     # cross-cell pairs stay pruned (cell separation ~pi/2 each)
     wave2_clustered = [blob(a, 100 + 10 * a + j, 0.03 * (j + 1)) for a in range(4) for j in range(2)]
-    # decayed wave 2: anti-aligned directions (-e0..-e3) — every vector
-    # sits ~pi/2 from its NEAREST pinned centroid, radii blow up to the
-    # point where the triangle inequality can rule nothing out
+    # decayed wave 2: one far member PER CELL, deterministically — a
+    # small component along the cell's own axis pins the assignment
+    # (cos 0.12 beats the 0 of every other centroid) while the bulk of
+    # the vector points off into dims the pinned cells never saw
+    # (+/-e4, +/-e5: four distinct directions, pairwise |cos| <= 0.986
+    # < thr so nothing drops), so EVERY cell's radius inflates to
+    # arccos(0.12) ~ 1.45 rad and the triangle inequality can rule
+    # nothing out
     wave2_decayed = []
     for a in range(4):
         v = [0.0] * dim
-        v[a] = -1.0
+        v[a] = 0.12
+        v[4 + a % 2] = 0.993 * (1.0 if a < 2 else -1.0)
         wave2_decayed.append((200 + a, v))
 
     shares = {}
@@ -1798,6 +1804,29 @@ def test_semantic_refresh_allow_share_decay_signal(spark, tmp_path):
     assert shares["decayed"] >= RECELL_ALLOW_SHARE_TRIGGER, shares
     # and the clustered corpus genuinely still prunes most cell pairs
     assert shares["clustered"] <= 0.5, shares
+
+    # the on-demand report (no wave required) reads the same signal
+    # from the published state and carries the recommendation bit
+    from big_data_processing_with_aws_glue_workshop_spark.plans.incremental import (
+        semantic_allow_report,
+    )
+
+    rep_c = semantic_allow_report(spark, str(tmp_path / "corpus_clustered"))
+    rep_d = semantic_allow_report(spark, str(tmp_path / "corpus_decayed"))
+    assert not rep_c["recell_recommended"], rep_c
+    assert rep_d["recell_recommended"], rep_d
+    assert rep_c["allow_share"] < RECELL_ALLOW_SHARE_TRIGGER <= rep_d["allow_share"]
+    assert rep_c["rows"] > 0 and rep_c["cells_occupied"] <= rep_c["nlist"]
+    # guard parity with semantic_recell: a non-semantic target refuses
+    import json as _json
+
+    other = tmp_path / "other_family"
+    other.mkdir()
+    (other / "current.json").write_text(
+        _json.dumps({"batch_id": 0, "deltas": [], "view_deltas": []})
+    )
+    with pytest.raises(ValueError, match="not a semantic-dedup state"):
+        semantic_allow_report(spark, str(other))
 
 
 def test_semantic_recell_guards(spark, tmp_path):

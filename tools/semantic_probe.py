@@ -163,30 +163,21 @@ def join_mode(sizes: list[int], derived: bool = False, brute: bool = True) -> No
 
 
 def allow_report(spark, target: str) -> dict:
-    """Allowlist share recomputed from the PUBLISHED state (same math
-    the refresh used): cells, radii, driver-side triangle-inequality
-    pair count under the stored calibration's threshold."""
-    import pyspark.sql.functions as F
-
-    from big_data_processing_with_aws_glue_workshop_spark.extensions.similarity import (
-        allowed_cell_pairs,
+    """Thin wrapper over the LIBRARY report (promoted r12 — the CLI
+    `semantic-allow-report` and this probe read the same math, so the
+    probe can never drift from what operators see)."""
+    from big_data_processing_with_aws_glue_workshop_spark.plans.incremental import (
+        semantic_allow_report,
     )
 
-    with open(os.path.join(target, "current.json")) as f:
-        pointer = json.load(f)
-    cents = pointer["centroids"]
-    st = read_deduped(spark, target)
-    radii = {
-        r["cell"]: r["radius"]
-        for r in st.groupBy("cell").agg(F.max("theta").alias("radius")).collect()
-    }
-    total_pairs = len(radii) * len(radii)
-    allowed = len(allowed_cell_pairs(cents, radii, radii, THRESHOLD))
+    rep = semantic_allow_report(spark, target)
     return {
-        "nlist": pointer["calibration"]["nlist"],
-        "allowed_cell_pairs": allowed,
-        "total_cell_pairs": total_pairs,
-        "allow_share": round(allowed / total_pairs, 3) if total_pairs else None,
+        "nlist": rep["nlist"],
+        "allowed_cell_pairs": rep["allowed_cell_pairs"],
+        "total_cell_pairs": rep["total_cell_pairs"],
+        "allow_share": (
+            round(rep["allow_share"], 3) if rep["allow_share"] is not None else None
+        ),
     }
 
 
