@@ -148,6 +148,7 @@ def plan_equi_join(
     rows_per_partition: int = 5_000_000,
     left_cms: DataFrame | None = None,
     right_cms: DataFrame | None = None,
+    right_rows_upper_bound: int | None = None,
 ) -> dict:
     """Measure, then pick the join strategy — the decision procedure the
     module docstring's three mitigations feed. Returns a decision record:
@@ -160,6 +161,11 @@ def plan_equi_join(
 
     Probe ladder, cheapest exit first — every probe is a bounded job:
 
+    0. ``right_rows_upper_bound`` (optional, caller-supplied, zero
+       cost): a bound already <= the broadcast threshold decides
+       broadcast without evaluating the right side — the true count is
+       only smaller (``probe: "bound"``). A bound above the threshold
+       proves nothing and falls through.
     1. ``right.count()`` (parquet sources answer from footer metadata;
        no row scan). Small build side => **broadcast**: the join moves
        only the dim, no fact shuffle at all, and a hot fact key is
@@ -208,6 +214,38 @@ def plan_equi_join(
     if not on:
         raise ValueError("plan_equi_join requires at least one join key")
     cms_probe = left_cms is not None and right_cms is not None
+
+    # Probe 0 (caller-supplied, zero marginal cost): a right-row-count
+    # UPPER BOUND that already fits the broadcast threshold decides
+    # broadcast without evaluating the right side at all — the true
+    # count can only be smaller. Callers derive the bound from state
+    # they have anyway (e.g. textpipe: sum of per-doc shingle-instance
+    # counts over an already-cached frame bounds the distinct eval
+    # shingle set). A bound ABOVE the threshold proves nothing and
+    # falls through to the measured ladder below.
+    if (
+        not cms_probe
+        and right_rows_upper_bound is not None
+        and right_rows_upper_bound <= broadcast_threshold_rows
+    ):
+        return {
+            "strategy": "broadcast",
+            "right_rows": int(right_rows_upper_bound),
+            "right_rows_basis": "upper bound (caller-supplied)",
+            "left_rows": None,
+            "left_max_key_rows": None,
+            "left_n_keys": None,
+            "left_null_key_rows": None,
+            "n_salts": 1,
+            "est_output_rows": None,
+            "output_amplified": None,
+            "probe": "bound",
+            "reason": (
+                f"caller-supplied right-row upper bound "
+                f"{right_rows_upper_bound} <= broadcast threshold "
+                f"{broadcast_threshold_rows} (true count only smaller)"
+            ),
+        }
 
     def _cms_stats(cms: DataFrame) -> tuple[int, int]:
         rows = cms.groupBy("row").agg(

@@ -92,21 +92,37 @@ def run_text_pipeline(
     # sharing a _CONTAM_N-gram with it. The shingle semi-join routes
     # through the measured join planner (operators/skew.py — the same
     # decision procedure incremental_join_refresh adopted in r11):
-    # benchmark/eval slices are small by construction, so the probe's
-    # footer-cheap right count pins a broadcast and the training-side
-    # shingles never shuffle; if a huge eval suite ever outgrows the
-    # threshold, the planner degrades to the hot-key probe and a salted
-    # or shuffle plan instead of silently building an oversized
-    # broadcast. The decision is logged in the summary dict.
+    # benchmark/eval slices are small by construction, so the caller-
+    # supplied shingle-count upper bound pins a broadcast at zero
+    # marginal cost and the training-side shingles never shuffle; if a
+    # huge eval suite ever outgrows the threshold, the planner degrades
+    # to the measured ladder (exact count, hot-key probe, salted or
+    # shuffle) instead of silently building an oversized broadcast. The
+    # decision is logged in the summary dict.
     from ..operators.skew import adaptive_join, plan_equi_join
 
     sh = word_shingles(neardup, "doc_id", "text", n=_CONTAM_N)
-    # distinct: a semi-join probe only needs each eval shingle once, so
-    # the broadcast (and the planner's right-row count) shrink to the
-    # distinct shingle set without changing any decision
-    eval_sh = sh.filter((F.col("doc_id") % _EVAL_MOD) == 0).select("shingle").distinct()
+    eval_sh = sh.filter((F.col("doc_id") % _EVAL_MOD) == 0).select("shingle")
     train_sh = sh.filter((F.col("doc_id") % _EVAL_MOD) != 0)
-    decontam_decision = plan_equi_join(train_sh, eval_sh, ["shingle"])
+    # the planner's probe-0 bound: per-doc shingle instances are at most
+    # max(n_tokens - (N-1), 0), so ONE narrow aggregate over the CACHED
+    # survivor frame (no explode, no shuffle — ~the eval slice's token
+    # counts) bounds the eval shingle set. When even the bound fits the
+    # broadcast threshold the planner never has to evaluate the eval
+    # side; a giant eval suite falls through to the measured ladder.
+    n_tok = F.size(_tokens(F.col("text")))
+    bound = (
+        neardup.filter((F.col("doc_id") % _EVAL_MOD) == 0)
+        .agg(
+            F.coalesce(
+                F.sum(F.greatest(n_tok - (_CONTAM_N - 1), F.lit(0))), F.lit(0)
+            ).alias("b")
+        )
+        .first()["b"]
+    )
+    decontam_decision = plan_equi_join(
+        train_sh, eval_sh, ["shingle"], right_rows_upper_bound=int(bound)
+    )
     contaminated = (
         adaptive_join(
             train_sh, eval_sh, ["shingle"], "left_semi", decision=decontam_decision

@@ -131,6 +131,36 @@ def test_plan_equi_join_strategy_ladder(spark, skewed):
     assert d["strategy"] == "shuffle" and d["left_rows"] == 20_000
 
 
+def test_plan_equi_join_upper_bound_short_circuit(spark):
+    """Probe 0: a caller-supplied right-row upper bound at/below the
+    broadcast threshold pins a broadcast WITHOUT evaluating the right
+    side (the true count is only smaller); a bound above the threshold
+    proves nothing and the planner falls through to the measured
+    ladder. The no-evaluation claim is pinned with a right side whose
+    evaluation would throw."""
+    left = spark.range(1_000).select(F.col("id").alias("k"))
+    # any action on this frame raises (ANSI division by zero)
+    poisoned = spark.range(10).select(
+        (F.lit(1) / (F.col("id") - F.col("id"))).cast("long").alias("k")
+    )
+    d = plan_equi_join(
+        left, poisoned, ["k"],
+        broadcast_threshold_rows=100, right_rows_upper_bound=100,
+    )
+    assert d["probe"] == "bound" and d["strategy"] == "broadcast"
+    assert d["right_rows"] == 100
+    assert "upper bound" in d["right_rows_basis"]
+
+    # bound above the threshold: falls through to the exact right count
+    small = spark.range(5).select(F.col("id").alias("k"))
+    d = plan_equi_join(
+        left, small, ["k"],
+        broadcast_threshold_rows=100, right_rows_upper_bound=10_000,
+    )
+    assert d["probe"] == "exact" and d["strategy"] == "broadcast"
+    assert d["right_rows"] == 5  # the real count, not the useless bound
+
+
 def test_plan_equi_join_cms_replaces_probe_shuffle(spark):
     """With maintained CMS tables for both sides and a non-broadcastable
     right side, the planner reads bounded sketch state (probe: cms) —
