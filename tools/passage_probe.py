@@ -17,6 +17,12 @@ wave: refresh wall, passages seen/kept, excision share, standing digest
 rows.
 
 Usage: python tools/passage_probe.py [n_waves] [wave_size]
+       python tools/passage_probe.py --batch [size ...]
+           one-shot batch rewrite (queries/textops.py::dedup_passages —
+           the driver row passage_dedup_rewrite) over corpora of the
+           given doc counts; prints wall + docs/s + excision share per
+           size, so the rewrite's own scale curve is measured, not just
+           its incremental twin's.
 """
 
 from __future__ import annotations
@@ -55,8 +61,59 @@ def make_wave(rng: random.Random, size: int, boiler: list[str]) -> list[tuple[in
 make_wave.vid = 0
 
 
+def batch_mode(sizes: list[int]) -> None:
+    import pyspark.sql.functions as F
+
+    from big_data_processing_with_aws_glue_workshop_spark.queries.textops import (
+        dedup_passages,
+    )
+
+    spark = get_session(app_name="passage-probe-batch")
+    rng = random.Random(11)
+    boiler = [" ".join(f"b{i}_{j}" for j in range(8)) for i in range(500)]
+    for n in sizes:
+        rows = [
+            (i, f"s{i % 7}", t) for i, t in make_wave(rng, n, boiler)
+        ]
+        docs = (
+            spark.createDataFrame(rows, "doc_id long, source string, text string")
+            .repartition(32)
+            .cache()
+        )
+        docs.count()
+        # warm + best-of-two, forced through a full-computation aggregate
+        # (summing both count columns consumes every rewritten row
+        # without collecting text)
+        def run():
+            return dedup_passages(docs).agg(
+                F.sum("n_passages").alias("p"),
+                F.sum("n_passages_dropped").alias("d"),
+            ).first()
+        run()
+        best, res = float("inf"), None
+        for _ in range(2):
+            t0 = time.time()
+            res = run()
+            best = min(best, time.time() - t0)
+        print(
+            json.dumps(
+                {
+                    "docs": n,
+                    "passages": int(res["p"]),
+                    "excised_share": round(int(res["d"]) / int(res["p"]), 3),
+                    "wall_s": round(best, 2),
+                    "docs_per_s": int(n / best),
+                }
+            )
+        )
+        docs.unpersist()
+
+
 def main() -> None:
     args = [a for a in sys.argv[1:] if not a.startswith("--")]
+    if "--batch" in sys.argv:
+        batch_mode([int(a) for a in args] or [20_000, 80_000, 200_000])
+        return
     n_waves = int(args[0]) if args else 3
     wave = int(args[1]) if len(args) > 1 else 20_000
 
