@@ -372,6 +372,102 @@ def test_dedup_passages_planted_fixture(spark):
     assert (got[5]["n_passages"], got[5]["n_passages_dropped"]) == (1, 0)
 
 
+def test_dedup_passages_adversarial_corpus_matches_reference(spark):
+    """Hypothesis-style adversarial corpus in ONE Spark pass (the
+    test_functions_properties pattern): random docs with planted
+    boilerplate — including CASE-VARIANT copies that must match via the
+    digest but rebuild with their own case — plus hand-picked edges
+    (None/empty/whitespace-only text, tab/newline separators, unicode,
+    token counts straddling the 8-word cut at 7/8/9/15/16/17), compared
+    row-for-row against a pure-Python reference of the exact contract.
+
+    Reference mirrors the ENGINE semantics precisely: trim strips
+    SPACES only (Spark trim == DuckDB trim; Python .strip() would also
+    eat tabs), split on whitespace runs, digest of the lowercased
+    space-joined words, winner = min (doc_id, block), rebuild =
+    case-preserving kept blocks + tail, single-space joined."""
+    import hashlib
+    import random
+    import re
+
+    from big_data_processing_with_aws_glue_workshop_spark.queries.textops import (
+        dedup_passages,
+    )
+
+    rng = random.Random(97)
+    vocab = ["Foo", "bar", "BAZ", "qux", "héllo", "世界", "x1", "Y2", "z_3", "W-4"]
+
+    def words(k):
+        return " ".join(rng.choice(vocab) for _ in range(k))
+
+    boiler = [words(8) for _ in range(5)]
+    rows = []
+    vid = 0
+    for _ in range(60):
+        vid += 1
+        parts = []
+        for _ in range(rng.randrange(0, 4)):
+            p = rng.choice(boiler)
+            if rng.random() < 0.3:
+                p = p.upper() if rng.random() < 0.5 else p.lower()  # case-variant dup
+            parts.append(p)
+        tail = words(rng.randrange(0, 8))
+        rows.append((vid, " ".join(parts + ([tail] if tail else [])) or "solo"))
+    # hand-picked edges
+    for text in [
+        None, "", "   ", "\t\n", "a\tb\nc d e f g h i",
+        " leading and trailing  ", "七 个 词 不 够 八 个",  # 7 CJK tokens
+        words(7), words(8), words(9), words(15), words(16), words(17),
+    ]:
+        vid += 1
+        rows.append((vid, text))
+
+    def reference(rows, k=8):
+        seen = {}
+        insts = []
+        toks = {}
+        for doc_id, text in rows:
+            w = re.split(r"[ \t\n\f\r]+", (text or "").strip(" "))  # spaces only
+            toks[doc_id] = w
+            for b in range(len(w) // k):
+                h = hashlib.md5(
+                    " ".join(w[b * k:(b + 1) * k]).lower().encode()
+                ).hexdigest()
+                insts.append((h, doc_id, b))
+        for h, doc_id, b in insts:
+            if h not in seen or (doc_id, b) < seen[h]:
+                seen[h] = (doc_id, b)
+        out = {}
+        for doc_id, _text in rows:
+            w = toks[doc_id]
+            nblk = len(w) // k
+            kept = []
+            for b in range(nblk):
+                h = hashlib.md5(
+                    " ".join(w[b * k:(b + 1) * k]).lower().encode()
+                ).hexdigest()
+                if seen[h] == (doc_id, b):
+                    kept.append(b)
+            rebuilt = []
+            for b in kept:
+                rebuilt += w[b * k:(b + 1) * k]
+            rebuilt += w[nblk * k:]
+            out[doc_id] = (" ".join(rebuilt), nblk, nblk - len(kept))
+        return out
+
+    expected = reference(rows)
+    docs = spark.createDataFrame(
+        [(i, "s", t) for i, t in rows], "doc_id long, source string, text string"
+    )
+    got = {
+        r["doc_id"]: (r["text_deduped"], r["n_passages"], r["n_passages_dropped"])
+        for r in dedup_passages(docs).collect()
+    }
+    assert got == expected
+    # the fixture genuinely exercised case-variant matching
+    assert any(v[2] > 0 for v in got.values())
+
+
 def test_dedup_passages_duplicate_id_no_double_emit(spark):
     """r11 ADVICE low: an id appearing twice in one input used to emit
     each kept passage twice per copy (both identical (id, block, digest)
