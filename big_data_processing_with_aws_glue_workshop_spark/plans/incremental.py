@@ -1351,6 +1351,12 @@ def semantic_recell(
         "new_nlist": new_nlist,
         "old_deltas": len(old_deltas),
         "batch_id": batch_id,
+        # post-flip pruning health: the maintenance op confirms its own
+        # effect (one narrow aggregate over the state it just wrote;
+        # compare against RECELL_ALLOW_SHARE_TRIGGER)
+        "allow_share": semantic_allow_report(spark, target_dir, vec_col=vec_col)[
+            "allow_share"
+        ],
     }
 
 

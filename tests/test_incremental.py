@@ -1703,6 +1703,8 @@ def test_semantic_recell_preserves_decisions(spark, tmp_path):
     rc = semantic_recell(spark, targets["b"])
     assert rc["old_nlist"] == 4 and rc["new_nlist"] != 4
     assert rc["rows"] == len(before)
+    # the maintenance op confirms its own effect: post-flip share
+    assert rc["allow_share"] is not None and 0.0 <= rc["allow_share"] <= 1.0
     import json as _json
     import os as _os
 
