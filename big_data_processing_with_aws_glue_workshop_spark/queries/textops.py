@@ -1231,6 +1231,98 @@ def dedup_passages(docs: DataFrame, words: int = _PASSAGE_WORDS) -> DataFrame:
     )
 
 
+def decontaminate_passages(
+    docs: DataFrame,
+    benchmark: DataFrame,
+    words: int = _PASSAGE_WORDS,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    bench_text_col: str = "text",
+) -> DataFrame:
+    """Passage-level BENCHMARK decontamination — the span-granularity
+    excision Dolma-style pipelines run where whole-document dropping is
+    too blunt (``benchmark_contamination`` flags and drops the DOC; this
+    rewrites it, removing only the leaked span's passages and keeping
+    the rest of the document in the training set).
+
+    Contract (shares dedup_passages' cut exactly): each document is cut
+    into consecutive non-overlapping ``words``-word passages on its
+    case-preserving whitespace tokenization + an always-kept tail; a
+    passage is EXCISED iff its lowercased digest equals the digest of
+    ANY ``words``-word SLIDING window of any benchmark text (sliding on
+    the benchmark side, so doc-side block alignment never hides a leak
+    that starts mid-block on the benchmark; a leaked span straddling a
+    doc-side block boundary is excised only where its blocks match —
+    the granularity bound of any fixed-cut rewrite). Rewrite is
+    whitespace-normalized and case-preserving, one output row per input
+    row, same columns as dedup_passages (text_deduped, n_passages,
+    n_passages_dropped).
+
+    Scale shape: the doc side is passage_frames' (digest, int) streams
+    — passage text never shuffles; the benchmark side explodes to
+    n-w+1 sliding digests per doc and DISTINCTs (eval suites are small
+    by construction). The anti-join routes through the measured join
+    planner with a caller-supplied bound (probe 0: total benchmark
+    token count bounds the distinct window set at zero evaluation
+    cost), so the common case is a broadcast anti-join against 16-byte
+    digests and a pathological benchmark degrades to the measured
+    ladder instead of an oversized broadcast."""
+    from ..operators.skew import adaptive_join, plan_equi_join
+
+    base, inst = passage_frames(docs, id_col, text_col, words)
+
+    btoks = F.split(
+        F.trim(F.coalesce(F.col(bench_text_col), F.lit(""))), _WS + "+"
+    )
+    bt = benchmark.select(btoks.alias("__bw"), F.size(btoks).alias("__bn")).filter(
+        F.col("__bn") >= words
+    )
+    starts = F.explode(F.sequence(F.lit(1), F.col("__bn") - words + 1))
+    bench_digests = (
+        bt.select("__bw", starts.alias("__s"))
+        .select(
+            F.md5(
+                F.lower(F.concat_ws(" ", F.slice(F.col("__bw"), F.col("__s"), words)))
+                .cast("binary")
+            ).alias("__h")
+        )
+        .distinct()
+    )
+    # probe-0 bound: each bench doc contributes at most __bn - words + 1
+    # windows <= __bn tokens; ONE narrow aggregate, no explode
+    bound = benchmark.select(
+        F.coalesce(
+            F.sum(
+                F.greatest(
+                    F.size(
+                        F.split(
+                            F.trim(F.coalesce(F.col(bench_text_col), F.lit(""))),
+                            _WS + "+",
+                        )
+                    )
+                    - (words - 1),
+                    F.lit(0),
+                )
+            ),
+            F.lit(0),
+        ).alias("b")
+    ).first()["b"]
+    decision = plan_equi_join(
+        inst.select("__h"), bench_digests, ["__h"], right_rows_upper_bound=int(bound)
+    )
+    kept = adaptive_join(inst, bench_digests, ["__h"], "left_anti", decision=decision)
+    rewritten = rewrite_from_kept(base, kept, id_col, words)
+    others = [c for c in rewritten.columns if c not in (
+        "__rebuilt", "n_passages", "n_passages_dropped"
+    )]
+    return rewritten.select(
+        *others,
+        F.col("__rebuilt").alias("text_deduped"),
+        "n_passages",
+        "n_passages_dropped",
+    )
+
+
 def passage_frames(
     docs: DataFrame, id_col: str, text_col: str, words: int
 ) -> tuple[DataFrame, DataFrame]:

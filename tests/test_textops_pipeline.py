@@ -372,6 +372,99 @@ def test_dedup_passages_planted_fixture(spark):
     assert (got[5]["n_passages"], got[5]["n_passages_dropped"]) == (1, 0)
 
 
+_DECONTAM_PASSAGES_ORACLE = """
+    WITH toks AS (
+      SELECT doc_id, source,
+             string_split_regex(trim(coalesce(text, '')),
+                                '[ \\t\\n\\f\\r]+') AS w
+      FROM documents
+    ),
+    base AS (
+      SELECT doc_id, source, w, len(w) AS n, len(w) // 8 AS nblk FROM toks
+    ),
+    inst AS (
+      SELECT doc_id, b.i AS b,
+             md5(lower(array_to_string(w[b.i * 8 + 1 : b.i * 8 + 8], ' '))) AS h
+      FROM base, UNNEST(range(0, nblk)) AS b(i)
+      WHERE nblk >= 1
+    ),
+    bw AS (SELECT w, len(w) AS n FROM toks WHERE doc_id % 20 = 7),
+    bh AS (
+      SELECT DISTINCT md5(lower(array_to_string(w[s.i : s.i + 7], ' '))) AS h
+      FROM bw, UNNEST(range(1, n - 8 + 2)) AS s(i)
+      WHERE n >= 8
+    ),
+    kept AS (SELECT doc_id, b FROM inst ANTI JOIN bh USING (h)),
+    kpd AS (
+      SELECT doc_id, list(b ORDER BY b) AS kb, COUNT(1) AS nkept
+      FROM kept GROUP BY doc_id
+    )
+    SELECT base.doc_id, source,
+           coalesce(array_to_string(
+             list_concat(
+               flatten(list_transform(coalesce(kb, CAST([] AS BIGINT[])),
+                                      b -> w[b * 8 + 1 : b * 8 + 8])),
+               CASE WHEN n > nblk * 8 THEN w[nblk * 8 + 1 : n]
+                    ELSE CAST([] AS VARCHAR[]) END
+             ), ' '), '') AS text_deduped,
+           CAST(nblk AS INT) AS n_passages,
+           CAST(nblk - coalesce(nkept, 0) AS INT) AS n_passages_dropped
+    FROM base LEFT JOIN kpd USING (doc_id)
+"""
+
+
+def test_decontaminate_passages_matches_oracle(spark, sf_dir):
+    """Passage-level benchmark decontamination held to a full DuckDB
+    twin on the real tables: corpus = documents, benchmark = the
+    deterministic doc_id % 20 == 7 slice (the cross_corpus fixture
+    convention); sliding windows on the benchmark side, block cut on
+    the doc side, identical rewrites for every document."""
+    from big_data_processing_with_aws_glue_workshop_spark.queries._tables import load
+    from big_data_processing_with_aws_glue_workshop_spark.queries.textops import (
+        decontaminate_passages,
+    )
+    from tests.oracle_harness import compare
+
+    docs = load(spark, sf_dir, "documents")
+    bench = docs.filter(F.col("doc_id") % 20 == 7).select("text")
+    # caller columns ride through (a library-op feature); the oracle
+    # compares the contract columns
+    out = decontaminate_passages(docs, bench).select(
+        "doc_id", "source", "text_deduped", "n_passages", "n_passages_dropped"
+    )
+    compare(out, _DECONTAM_PASSAGES_ORACLE, sf_dir)
+
+
+def test_decontaminate_passages_planted_alignments(spark):
+    """Sliding benchmark windows catch a leak at ANY benchmark offset
+    (case-insensitively); doc-side granularity stays the block cut —
+    a leak shifted WITHIN the doc block is the documented miss."""
+    from big_data_processing_with_aws_glue_workshop_spark.queries.textops import (
+        decontaminate_passages,
+    )
+
+    bench_text = "a b c d e f g h i j"  # windows: a..h, b..i, c..j
+    docs = spark.createDataFrame(
+        [
+            (1, "s", "a b c d e f g h tail1 tail2"),   # block == window 1
+            (2, "s", "b c d e f g h i " + " ".join(f"z{k}" for k in range(8))),
+            (3, "s", "x a b c d e f g h"),              # shifted IN DOC: kept
+            (4, "s", "A B C D E F G H end"),            # case-variant leak
+        ],
+        "doc_id long, source string, text string",
+    )
+    bench = spark.createDataFrame([(bench_text,)], "text string")
+    got = {r["doc_id"]: r for r in decontaminate_passages(docs, bench).collect()}
+    assert got[1]["text_deduped"] == "tail1 tail2"
+    assert (got[1]["n_passages"], got[1]["n_passages_dropped"]) == (1, 1)
+    assert got[2]["text_deduped"] == " ".join(f"z{k}" for k in range(8))
+    assert (got[2]["n_passages"], got[2]["n_passages_dropped"]) == (2, 1)
+    assert got[3]["text_deduped"] == "x a b c d e f g h"
+    assert (got[3]["n_passages"], got[3]["n_passages_dropped"]) == (1, 0)
+    assert got[4]["text_deduped"] == "end"
+    assert (got[4]["n_passages"], got[4]["n_passages_dropped"]) == (1, 1)
+
+
 def test_dedup_passages_adversarial_corpus_matches_reference(spark):
     """Hypothesis-style adversarial corpus in ONE Spark pass (the
     test_functions_properties pattern): random docs with planted
