@@ -465,6 +465,31 @@ def test_decontaminate_passages_planted_alignments(spark):
     assert (got[4]["n_passages"], got[4]["n_passages_dropped"]) == (1, 1)
 
 
+def test_decontaminate_passages_plan_shape(spark, sf_dir):
+    """Scale contract for the decontam rewrite: no Window winner
+    election, no Python/Arrow nodes, no cartesian shapes; the
+    benchmark anti-join lands as a broadcast (probe-0 bound on the
+    small-by-construction eval side)."""
+    import contextlib
+    import io
+
+    from big_data_processing_with_aws_glue_workshop_spark.queries._tables import load
+    from big_data_processing_with_aws_glue_workshop_spark.queries.textops import (
+        decontaminate_passages,
+    )
+
+    docs = load(spark, sf_dir, "documents")
+    bench = docs.filter(F.col("doc_id") % 20 == 7).select("text")
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        decontaminate_passages(docs, bench).explain("formatted")
+    plan = buf.getvalue()
+    assert "Window" not in plan, plan
+    assert "Python" not in plan and "ArrowEval" not in plan, plan
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastHashJoin" in plan and "LeftAnti" in plan, plan
+
+
 def test_dedup_passages_adversarial_corpus_matches_reference(spark):
     """Hypothesis-style adversarial corpus in ONE Spark pass (the
     test_functions_properties pattern): random docs with planted
