@@ -61,16 +61,20 @@ def make_wave(rng: random.Random, size: int, boiler: list[str]) -> list[tuple[in
 make_wave.vid = 0
 
 
-def batch_mode(sizes: list[int]) -> None:
+def batch_mode(sizes: list[int], decontam: bool = False) -> None:
     import pyspark.sql.functions as F
 
     from big_data_processing_with_aws_glue_workshop_spark.queries.textops import (
+        decontaminate_passages,
         dedup_passages,
     )
 
     spark = get_session(app_name="passage-probe-batch")
     rng = random.Random(11)
     boiler = [" ".join(f"b{i}_{j}" for j in range(8)) for i in range(500)]
+    # --decontam: the boilerplate pool IS the benchmark — planted leaks
+    # are excised, fresh passages survive
+    bench = spark.createDataFrame([(t,) for t in boiler], "text string") if decontam else None
     for n in sizes:
         rows = [
             (i, f"s{i % 7}", t) for i, t in make_wave(rng, n, boiler)
@@ -85,7 +89,12 @@ def batch_mode(sizes: list[int]) -> None:
         # (summing both count columns consumes every rewritten row
         # without collecting text)
         def run():
-            return dedup_passages(docs).agg(
+            out = (
+                decontaminate_passages(docs, bench)
+                if decontam
+                else dedup_passages(docs)
+            )
+            return out.agg(
                 F.sum("n_passages").alias("p"),
                 F.sum("n_passages_dropped").alias("d"),
             ).first()
@@ -111,8 +120,11 @@ def batch_mode(sizes: list[int]) -> None:
 
 def main() -> None:
     args = [a for a in sys.argv[1:] if not a.startswith("--")]
-    if "--batch" in sys.argv:
-        batch_mode([int(a) for a in args] or [20_000, 80_000, 200_000])
+    if "--batch" in sys.argv or "--decontam" in sys.argv:
+        batch_mode(
+            [int(a) for a in args] or [20_000, 80_000, 200_000],
+            decontam="--decontam" in sys.argv,
+        )
         return
     n_waves = int(args[0]) if args else 3
     wave = int(args[1]) if len(args) > 1 else 20_000
