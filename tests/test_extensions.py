@@ -647,6 +647,86 @@ def test_cosine_similarity_join_zero_norm_x_nonfinite_matches_baseline(spark):
     assert (2, 11) not in set(expected)
 
 
+def test_block_pair_indices_superset_fuzz():
+    """Pure-numpy fuzz of the stage-1 prefilter's SUPERSET contract (no
+    Spark: the scorer is a plain function). Reference = the ENGINE
+    semantics the exact verify reproduces — float64 sequential-fold dot
+    and norms (Python floats ARE IEEE doubles, so the fold is
+    bit-identical to the JVM's), keep iff cos >= threshold OR cos is
+    NaN (Spark NaN-compare) OR the division is 0/0-free NULL... i.e.
+    exactly: qualifying = (dot/(na*nb) >= t) or isnan(dot/(na*nb)).
+    Batches mix normal values with zero rows, NaN/Inf components and
+    1e150-1e160 magnitudes (the norm-product overflow class the r11
+    advice flagged). 200 seeded rounds."""
+    import math as m
+    import random
+
+    import numpy as np
+    import pandas as pd
+
+    from big_data_processing_with_aws_glue_workshop_spark.extensions.similarity import (
+        _block_pair_indices,
+    )
+
+    rng = random.Random(1234)
+    for round_i in range(200):
+        dim = rng.choice([2, 3, 5])
+        thr = rng.choice([-0.5, 0.0, 0.7, 0.95])
+
+        def vec():
+            kind = rng.random()
+            if kind < 0.55:
+                return [rng.uniform(-2, 2) for _ in range(dim)]
+            if kind < 0.65:
+                return [0.0] * dim
+            if kind < 0.75:
+                v = [rng.uniform(-1, 1) for _ in range(dim)]
+                v[rng.randrange(dim)] = float("nan")
+                return v
+            if kind < 0.85:
+                v = [rng.uniform(-1, 1) for _ in range(dim)]
+                v[rng.randrange(dim)] = rng.choice([1e200, -1e200, float("inf")])
+                return v
+            # finite norms whose PRODUCT overflows float64
+            s = rng.choice([1e150, 1e154, 1e160])
+            return [rng.uniform(-1, 1) * s for _ in range(dim)]
+
+        A = [vec() for _ in range(rng.randrange(1, 7))]
+        B = [vec() for _ in range(rng.randrange(1, 7))]
+
+        def fold_dot(x, y):
+            acc = 0.0
+            for a, b in zip(x, y):
+                acc += a * b
+            return acc
+
+        def fold_norm(x):
+            acc = 0.0
+            for a in x:
+                acc += a * a
+            return m.sqrt(acc) if acc >= 0 else float("nan")
+
+        qualifying = set()
+        for i, x in enumerate(A):
+            for j, y in enumerate(B):
+                denom = fold_norm(x) * fold_norm(y)
+                if denom == 0.0:
+                    continue  # engine 0/0 and finite/0 -> NULL, never matches
+                c = fold_dot(x, y) / denom
+                if m.isnan(c) or c >= thr:
+                    qualifying.add((i, j))
+
+        la = pd.DataFrame({"embedding": [np.array(v, dtype="float64") for v in A]})
+        rb = pd.DataFrame({"embedding": [np.array(v, dtype="float64") for v in B]})
+        ia, ib = _block_pair_indices(la, rb, thr)
+        kept = set(zip(ia.tolist(), ib.tolist()))
+        missing = qualifying - kept
+        assert not missing, (
+            f"round {round_i}: prefilter dropped qualifying pairs {missing} "
+            f"(thr={thr}, A={A}, B={B})"
+        )
+
+
 def test_cosine_similarity_join_norm_product_overflow_matches_baseline(spark):
     """r11 ADVICE low: a pair of double-precision vectors whose norms are
     INDIVIDUALLY finite (~1.4e154) but whose product overflows float64
