@@ -465,6 +465,27 @@ def test_decontaminate_passages_planted_alignments(spark):
     assert (got[4]["n_passages"], got[4]["n_passages_dropped"]) == (1, 1)
 
 
+def test_decontaminate_passages_empty_and_short_benchmark(spark):
+    """Empty benchmark (or one with only sub-``words`` texts, which
+    contribute no windows) excises nothing: every document comes back
+    whitespace-normalized with zero drops — the r10 empty-input-sweep
+    contract applied to the new op's small side."""
+    from big_data_processing_with_aws_glue_workshop_spark.queries.textops import (
+        decontaminate_passages,
+    )
+
+    docs = spark.createDataFrame(
+        [(1, "s", "a b c d e f g h  tail")],
+        "doc_id long, source string, text string",
+    )
+    for bench_rows in ([], [("too short",)], [(None,)]):
+        bench = spark.createDataFrame(bench_rows, "text string")
+        got = decontaminate_passages(docs, bench).collect()
+        assert len(got) == 1
+        assert got[0]["text_deduped"] == "a b c d e f g h tail"
+        assert (got[0]["n_passages"], got[0]["n_passages_dropped"]) == (1, 0)
+
+
 def test_decontaminate_passages_plan_shape(spark, sf_dir):
     """Scale contract for the decontam rewrite: no Window winner
     election, no Python/Arrow nodes, no cartesian shapes; the
