@@ -357,6 +357,14 @@ def incremental_passage_dedup_refresh(
     case-preserving tokenization, case-insensitive digest matching,
     always-kept tail, whitespace-normalized case-preserving output).
 
+    Migration note (r12 case-fold fix): targets built before the fix
+    hold LOWERCASED rewritten text in their standing doc deltas; the
+    digest state is fully compatible (digests were always computed on
+    lowercased joins, and lower(join(w)) == join(lower(w))), so such
+    targets keep refreshing correctly — only rows written post-fix
+    preserve the original case. Rebuild the target if uniform casing
+    matters.
+
     Semantics: FIRST WINS at passage granularity. Within an increment,
     the minimum (id, block index) instance of each digest survives;
     across increments, the standing corpus always wins — a re-crawled
