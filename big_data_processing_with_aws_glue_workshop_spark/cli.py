@@ -623,6 +623,48 @@ def cmd_semantic_recell(args: argparse.Namespace) -> None:
     _emit({"job": "semantic-recell", **stats})
 
 
+def cmd_passage_decontam(args: argparse.Namespace) -> None:
+    """One-shot passage-level benchmark decontamination (queries/
+    textops.py::decontaminate_passages): rewrite every input document
+    with benchmark-leaked passages excised — span-granularity where
+    doc-level decontamination would drop the whole document. Batch-job
+    style like zorder/compact: reads two parquet inputs, writes the
+    rewritten corpus."""
+    import pyspark.sql.functions as F
+
+    from .queries.textops import decontaminate_passages
+
+    spark = get_session(app_name="passage-decontam")
+    docs = spark.read.parquet(args.input)
+    bench = spark.read.parquet(args.benchmark)
+    out = decontaminate_passages(
+        docs,
+        bench,
+        words=args.words,
+        id_col=args.id_col,
+        text_col=args.text_col,
+        bench_text_col=args.bench_text_col,
+    )
+    out.write.mode("overwrite").parquet(args.output)
+    written = spark.read.parquet(args.output)
+    stats = written.agg(
+        F.count(F.lit(1)).alias("docs"),
+        F.coalesce(F.sum("n_passages"), F.lit(0)).alias("passages"),
+        F.coalesce(F.sum("n_passages_dropped"), F.lit(0)).alias("excised"),
+    ).first()
+    _emit(
+        {
+            "job": "passage-decontam",
+            "input": args.input,
+            "benchmark": args.benchmark,
+            "output": args.output,
+            "docs": int(stats["docs"]),
+            "passages": int(stats["passages"]),
+            "excised": int(stats["excised"]),
+        }
+    )
+
+
 def cmd_semantic_allow_report(args: argparse.Namespace) -> None:
     """On-demand re-cell trigger check (plans/incremental.py::
     semantic_allow_report): standing-vs-standing allowlist share under
@@ -1018,6 +1060,21 @@ def build_parser() -> argparse.ArgumentParser:
         help="new cell count (default: ~sqrt(standing rows), capped at 1024)",
     )
     src.set_defaults(func=cmd_semantic_recell)
+
+    pdc = sub.add_parser(
+        "passage-decontam",
+        help="one-shot passage-level benchmark decontamination: rewrite "
+        "documents with benchmark-leaked passages excised (sliding "
+        "windows on the benchmark side, block cut on the doc side)",
+    )
+    pdc.add_argument("--input", required=True, help="documents parquet path")
+    pdc.add_argument("--benchmark", required=True, help="benchmark parquet path")
+    pdc.add_argument("--output", required=True, help="rewritten corpus output dir")
+    pdc.add_argument("--id-col", default="doc_id")
+    pdc.add_argument("--text-col", default="text")
+    pdc.add_argument("--bench-text-col", default="text")
+    pdc.add_argument("--words", type=int, default=8, help="passage cut width")
+    pdc.set_defaults(func=cmd_passage_decontam)
 
     sar = sub.add_parser(
         "semantic-allow-report",

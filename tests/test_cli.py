@@ -80,6 +80,42 @@ def test_cli_zorder(spark, sf_dir, tmp_path):
     assert sorted(dst.columns) == sorted(src.columns)
 
 
+def test_cli_passage_decontam(spark, tmp_path, capsys):
+    """passage-decontam subcommand e2e: a benchmark-leaked passage is
+    excised at any benchmark alignment, the rest of the document
+    survives, stats summarize the rewrite."""
+    import json as _json
+
+    from big_data_processing_with_aws_glue_workshop_spark.cli import main
+
+    leak = "l1 l2 l3 l4 l5 l6 l7 l8"
+    spark.createDataFrame(
+        [
+            (1, f"{leak} keep1 keep2"),
+            (2, "c1 c2 c3 c4 c5 c6 c7 c8 tail"),
+        ],
+        "doc_id long, text string",
+    ).coalesce(1).write.parquet(str(tmp_path / "docs"))
+    spark.createDataFrame(
+        [(f"pre {leak} post",)], "text string"
+    ).coalesce(1).write.parquet(str(tmp_path / "bench"))
+
+    main([
+        "passage-decontam",
+        "--input", str(tmp_path / "docs"),
+        "--benchmark", str(tmp_path / "bench"),
+        "--output", str(tmp_path / "out"),
+    ])
+    out = _json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert out["docs"] == 2 and out["passages"] == 2 and out["excised"] == 1
+    got = {
+        r["doc_id"]: r["text_deduped"]
+        for r in spark.read.parquet(str(tmp_path / "out")).collect()
+    }
+    assert got[1] == "keep1 keep2"
+    assert got[2] == "c1 c2 c3 c4 c5 c6 c7 c8 tail"
+
+
 def test_textpipe_end_to_end(spark, sf_dir, tmp_path):
     """The composed training-data pipeline: stage counts monotonically
     decrease, stage invariants hold on the final corpus, output written."""
