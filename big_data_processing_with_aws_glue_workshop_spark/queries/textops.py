@@ -1693,6 +1693,74 @@ def q_dataset_split_assignment(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def component_aware_split(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n_hashes: int = 64,
+    bands: int = 16,
+    shingle_n: int = 3,
+    threshold: float = 0.8,
+    seed: int = 42,
+) -> DataFrame:
+    """Leakage-controlled train/val/test assignment: the split hash is
+    computed on the NEAR-DUP COMPONENT canonical (min id over the
+    MinHash-LSH + connected-components clustering), so two near-
+    duplicate documents can never land in different splits — the
+    eval-leakage mode a plain per-doc hash split
+    (``dataset_split_assignment``) cannot prevent when dedup runs AFTER
+    splitting, or keeps one representative per component per split.
+
+    Same 90/5/5 salted-hash arithmetic as the per-doc split (the
+    'split:' salt keeps membership independent of the mixture hash),
+    applied to the component id instead of the doc id; singleton
+    documents hash on their own id, so a corpus with no near-dups
+    splits identically to the per-doc op.
+
+    Returns (id_col, component, split) — one row per input document.
+
+    Scale shape: LSH banding + min-label CC are the measured shapes the
+    dedup family already runs (1 job per CC round, candidate volume
+    bounded by band collisions); the split itself adds one narrow
+    projection and a left join of docs to the (component-sized) label
+    frame on ``id_col``."""
+    from ..extensions.dedup_fuzzy import connected_components, minhash_near_duplicates
+
+    pairs = minhash_near_duplicates(
+        docs, n_hashes=n_hashes, bands=bands, shingle_n=shingle_n,
+        threshold=threshold, seed=seed,
+    )
+    labels = connected_components(pairs, "d1", "d2").select(
+        F.col("id").alias("__cid"), F.col("label").alias("__clabel")
+    )
+    with_comp = docs.select(F.col(id_col)).join(
+        labels, F.col(id_col) == F.col("__cid"), "left"
+    ).select(
+        id_col,
+        F.coalesce(F.col("__clabel"), F.col(id_col)).alias("component"),
+    )
+    h = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.lit("split:"), F.col("component").cast("string"))),
+                1,
+                15,
+            ),
+            16,
+            10,
+        ).cast("bigint")
+        % 1_000_000
+    )
+    return with_comp.select(
+        id_col,
+        "component",
+        F.when(h < _SPLIT_TRAIN_LT, "train")
+        .when(h < _SPLIT_VAL_LT, "val")
+        .otherwise("test")
+        .alias("split"),
+    )
+
+
 def q_token_length_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Log2-bucketed document-length histogram per source — the
     length-distribution profile every pretraining pipeline reads before

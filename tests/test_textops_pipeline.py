@@ -372,6 +372,70 @@ def test_dedup_passages_planted_fixture(spark):
     assert (got[5]["n_passages"], got[5]["n_passages_dropped"]) == (1, 0)
 
 
+def test_component_aware_split_no_leakage(spark):
+    """Near-dup components never straddle splits: every LSH-confirmed
+    near-dup pair shares a component AND a split; singletons hash on
+    their own id with the exact per-doc salted arithmetic (mirrored in
+    Python), so a dup-free corpus splits identically to the per-doc
+    op; reruns are byte-identical."""
+    import hashlib
+    import random
+
+    from big_data_processing_with_aws_glue_workshop_spark.extensions.dedup_fuzzy import (
+        minhash_near_duplicates,
+    )
+    from big_data_processing_with_aws_glue_workshop_spark.queries.textops import (
+        component_aware_split,
+    )
+
+    rng = random.Random(31)
+    vocab = [f"w{i}" for i in range(200)]
+    rows = []
+    vid = 0
+    for _ in range(25):  # near-dup pairs: copy with one word changed
+        vid += 1
+        base = [rng.choice(vocab) for _ in range(40)]
+        rows.append((vid, " ".join(base)))
+        vid += 1
+        twin = list(base)
+        twin[rng.randrange(40)] = rng.choice(vocab)
+        rows.append((vid, " ".join(twin)))
+    for _ in range(30):  # singletons
+        vid += 1
+        rows.append((vid, " ".join(rng.choice(vocab) for _ in range(40))))
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+
+    out = {r["doc_id"]: r for r in component_aware_split(docs).collect()}
+    assert set(out) == {i for i, _ in rows}  # one row per doc
+
+    pairs = [
+        (r["d1"], r["d2"])
+        for r in minhash_near_duplicates(
+            docs, n_hashes=64, bands=16, shingle_n=3, threshold=0.8, seed=42
+        ).collect()
+    ]
+    assert pairs, "fixture must produce near-dup pairs"
+    for a, b in pairs:
+        assert out[a]["component"] == out[b]["component"], (a, b)
+        assert out[a]["split"] == out[b]["split"], (a, b)
+
+    # singleton arithmetic mirrors the per-doc split exactly
+    paired = {x for p in pairs for x in p}
+    checked = 0
+    for doc_id, r in out.items():
+        if r["component"] == doc_id and doc_id not in paired:
+            h = int(hashlib.md5(f"split:{doc_id}".encode()).hexdigest()[:15], 16) % 1_000_000
+            expect = "train" if h < 900_000 else ("val" if h < 950_000 else "test")
+            assert r["split"] == expect, doc_id
+            checked += 1
+    assert checked >= 30
+
+    rerun = {r["doc_id"]: r for r in component_aware_split(docs).collect()}
+    assert {k: (v["component"], v["split"]) for k, v in out.items()} == {
+        k: (v["component"], v["split"]) for k, v in rerun.items()
+    }
+
+
 _DECONTAM_PASSAGES_ORACLE = """
     WITH toks AS (
       SELECT doc_id, source,
