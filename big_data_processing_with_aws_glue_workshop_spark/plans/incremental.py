@@ -492,13 +492,18 @@ def apply_passage_increment(
 
     base, inst = passage_frames(new_df, id_col, text_col, words)
     n_inst = inst.count()
-    # within-increment first-wins: the minimum (id, block) per digest
-    winners = inst.groupBy("__h").agg(
+    # within-increment first-wins: the minimum (id, block) per digest —
+    # the winner row IS the surviving instance, so the aggregate projects
+    # straight to (id, block, digest) with no re-join to inst (r12: the
+    # r11 join reproduced exactly these rows at the cost of a second
+    # explode pass and a digest-keyed shuffle of every instance)
+    inc_unique = inst.groupBy("__h").agg(
         F.min(F.struct(F.col(id_col), F.col("__b"))).alias("w0")
+    ).select(
+        F.col(f"w0.{id_col}").alias(id_col),
+        F.col("w0.__b").alias("__b"),
+        "__h",
     )
-    inc_unique = inst.join(winners, "__h").filter(
-        (F.col(id_col) == F.col(f"w0.{id_col}")) & (F.col("__b") == F.col("w0.__b"))
-    ).select(id_col, "__b", "__h")
     n_unique = inc_unique.count()
 
     # standing digests always win (16-byte rows — standing text unread)

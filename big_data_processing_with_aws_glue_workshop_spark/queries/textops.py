@@ -1201,10 +1201,13 @@ def dedup_passages(docs: DataFrame, words: int = _PASSAGE_WORDS) -> DataFrame:
     ones (empty rewrite) and sub-``words`` ones (normalized, nothing
     removable).
 
-    Scale shape: one explode pass cuts passages (array-native, no
+    Scale shape: ONE explode pass cuts passages (array-native, no
     shuffle beyond the scan redistribution); the winner election is a
-    hash aggregate + re-join on the 16-byte digest (map-side partials,
-    uniform keys — no hot digests); surviving block indices fold back
+    single hash aggregate on the 16-byte digest (map-side partials,
+    uniform keys — no hot digests) whose min-struct output IS the
+    survivor set — no re-join to the instance stream (r12: the r11 cut
+    paid a second explode pass + a digest-keyed shuffle to reproduce
+    rows the aggregate already held); surviving block indices fold back
     per doc_id (collect_list bounded by the doc's own passage count)
     and the reassembly join is id-keyed, so bucketing by doc_id makes
     it shuffle-free at 100 TB. Passage TEXT never shuffles — only
@@ -1215,11 +1218,15 @@ def dedup_passages(docs: DataFrame, words: int = _PASSAGE_WORDS) -> DataFrame:
     n_passages_dropped).
     """
     base, inst = passage_frames(docs, "doc_id", "text", words)
-    winners = inst.groupBy("__h").agg(
+    # the winner row IS the kept instance: min (doc_id, block) per digest
+    # projects straight to the survivor set — no join back to inst (the
+    # r11 cut re-joined inst to winners on the digest, which reproduced
+    # exactly the winner rows at the cost of a second explode pass over
+    # the corpus text and a full digest-keyed shuffle; r12 simplification)
+    kept = inst.groupBy("__h").agg(
         F.min(F.struct("doc_id", "__b")).alias("w0")
-    )
-    kept = inst.join(winners, "__h").filter(
-        (F.col("doc_id") == F.col("w0.doc_id")) & (F.col("__b") == F.col("w0.__b"))
+    ).select(
+        F.col("w0.doc_id").alias("doc_id"), F.col("w0.__b").alias("__b")
     )
     rewritten = rewrite_from_kept(base, kept, "doc_id", words)
     return rewritten.select(
@@ -1386,12 +1393,15 @@ def rewrite_from_kept(
     joined) + ``n_passages`` + ``n_passages_dropped``.
 
     Duplicate-id guard (r11 ADVICE low): if an id appears twice in one
-    input/increment, both copies' identical (id, block, digest) rows
-    pass the winner filter and a plain collect_list would hold each
-    block twice, repeating every kept passage in the rebuilt text. The
-    kept-block list is therefore DISTINCT per (id, block) — a
-    sort_array + array_distinct inside the same single aggregate, no
-    extra shuffle — and ``__nkept`` counts the distinct blocks."""
+    input/increment, a kept stream carrying one row per INSTANCE would
+    repeat each block and a plain collect_list would duplicate every
+    kept passage in the rebuilt text. Since the r12 winner-projection
+    simplification, both callers pass winner-derived kept streams that
+    are unique per (id, block) by construction — the DISTINCT
+    kept-block list here (sort_array + array_distinct inside the same
+    single aggregate, no extra shuffle; ``__nkept`` = distinct count)
+    stays as the documented contract so ANY caller-supplied kept frame
+    rebuilds each passage exactly once."""
     kept_per_doc = kept.groupBy(id_col).agg(
         F.array_distinct(F.sort_array(F.collect_list("__b"))).alias("__kb"),
     ).select(
