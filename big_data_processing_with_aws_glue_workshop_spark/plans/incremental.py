@@ -491,7 +491,12 @@ def apply_passage_increment(
             )
 
     base, inst = passage_frames(new_df, id_col, text_col, words)
-    n_inst = inst.count()
+    # instance count = sum of per-doc block counts: one narrow aggregate
+    # over base instead of counting the exploded stream (r12 — same
+    # number, no explode pass)
+    n_inst = int(
+        base.agg(F.coalesce(F.sum("__nblk"), F.lit(0)).alias("n")).first()["n"]
+    )
     # within-increment first-wins: the minimum (id, block) per digest —
     # the winner row IS the surviving instance, so the aggregate projects
     # straight to (id, block, digest) with no re-join to inst (r12: the
