@@ -795,6 +795,124 @@ def q_source_mixture_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def epoch_mixture_plan(
+    docs: DataFrame,
+    weights: dict[str, float],
+    total_tokens: int,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    source_col: str = "source",
+) -> DataFrame:
+    """Epoch-aware mixture planning — the UPSAMPLING half
+    ``q_source_mixture_plan`` deliberately lacks (its target is the min
+    source, so every rate is <= 1): given per-source WEIGHTS and a
+    global token budget, a source whose weighted target exceeds its
+    available mass runs WHOLE EPOCHS plus a deterministic fractional
+    residual — how Dolma/RedPajama-style mixtures run small high-quality
+    sources for >1 epoch while web crawl stays sub-sampled.
+
+    Per source: target_tokens = total_tokens * weight / sum(weights);
+    epochs = floor(target / available); the residual
+    (target - epochs * available) is filled by the salted-hash document
+    sample (md5('epoch:' || id) % 1e6 < residual_rate * 1e6 — salted so
+    membership is independent of both the mixture hash and the split
+    hash). Sources absent from ``weights`` get weight 0 (excluded, 0
+    epochs, 0 residual). planned_tokens = epochs * available +
+    selected residual mass — integer-exact except the single IEEE
+    divisions producing target and residual_rate, so a DuckDB twin
+    reproduces the plan bit-for-bit.
+
+    Returns one row per source present in the corpus:
+    (source, n_docs, total_tokens, weight, target_tokens, epochs,
+    residual_rate, n_residual_docs, residual_tokens, planned_tokens).
+
+    Scale shape: one per-source totals aggregate (tiny), the weight
+    table broadcast, and one survivor aggregate over the residual
+    filter — the same two-aggregate plan as the downsampler; the
+    expensive materialization (explode epochs + union residual) is the
+    caller's write job, not this plan."""
+    spark = docs.sparkSession
+    if total_tokens <= 0:
+        raise ValueError(f"total_tokens must be positive, got {total_tokens}")
+    wsum = float(sum(weights.values()))
+    if wsum <= 0:
+        raise ValueError("weights must sum to a positive value")
+    wdf = spark.createDataFrame(
+        [(s, float(w)) for s, w in sorted(weights.items())],
+        f"{source_col} string, weight double",
+    )
+    per_doc = docs.select(
+        F.col(source_col),
+        F.size(_tokens(F.col(text_col))).alias("n_tokens"),
+        (
+            F.conv(
+                F.substring(
+                    F.md5(F.concat(F.lit("epoch:"), F.col(id_col).cast("string"))),
+                    1,
+                    15,
+                ),
+                16,
+                10,
+            ).cast("bigint")
+            % 1_000_000
+        ).alias("h"),
+    )
+    totals = per_doc.groupBy(source_col).agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tokens").alias("total_tokens"),
+    )
+    rated = totals.join(F.broadcast(wdf), source_col, "left").select(
+        source_col,
+        "n_docs",
+        "total_tokens",
+        F.coalesce(F.col("weight"), F.lit(0.0)).alias("weight"),
+        (
+            F.lit(float(total_tokens)) * F.coalesce(F.col("weight"), F.lit(0.0))
+            / F.lit(wsum)
+        ).alias("target_tokens"),
+    ).select(
+        "*",
+        F.floor(F.col("target_tokens") / F.col("total_tokens"))
+        .cast("bigint")
+        .alias("epochs"),
+    ).select(
+        "*",
+        (
+            (
+                F.col("target_tokens")
+                - F.col("epochs").cast("double") * F.col("total_tokens")
+            )
+            / F.col("total_tokens")
+        ).alias("residual_rate"),
+    )
+    survivors = per_doc.join(
+        F.broadcast(rated.select(source_col, "residual_rate")), source_col
+    ).filter(F.col("h").cast("double") < F.col("residual_rate") * 1_000_000.0)
+    sel = survivors.groupBy(source_col).agg(
+        F.count(F.lit(1)).alias("n_residual_docs"),
+        F.sum("n_tokens").alias("residual_tokens"),
+    )
+    return rated.join(sel, source_col, "left").select(
+        source_col,
+        F.col("n_docs").cast("int").alias("n_docs"),
+        F.col("total_tokens").cast("bigint").alias("total_tokens"),
+        "weight",
+        "target_tokens",
+        F.col("epochs").cast("int").alias("epochs"),
+        "residual_rate",
+        F.coalesce(F.col("n_residual_docs"), F.lit(0)).cast("int").alias(
+            "n_residual_docs"
+        ),
+        F.coalesce(F.col("residual_tokens"), F.lit(0)).cast("bigint").alias(
+            "residual_tokens"
+        ),
+        (
+            F.col("epochs") * F.col("total_tokens")
+            + F.coalesce(F.col("residual_tokens"), F.lit(0))
+        ).cast("bigint").alias("planned_tokens"),
+    )
+
+
 def q_doc_repetition_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Within-document repetition scoring (the Gopher/MassiveText quality
     signal): fraction of NON-distinct word 3-grams inside each doc. Highly

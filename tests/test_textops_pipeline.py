@@ -372,6 +372,124 @@ def test_dedup_passages_planted_fixture(spark):
     assert (got[5]["n_passages"], got[5]["n_passages_dropped"]) == (1, 0)
 
 
+_EPOCH_MIX_ORACLE = """
+    WITH w(source, weight) AS (
+      VALUES ('src0', 5.0), ('src1', 1.0), ('src2', 0.25)
+    ),
+    per AS (
+      SELECT source,
+             CAST(len(string_split_regex(trim(lower(text)),
+                                         '[ \\t\\n\\f\\r]+')) AS BIGINT) AS n_tokens,
+             CAST(('0x' || substr(md5('epoch:' || CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT
+                  % 1000000 AS BIGINT) AS h
+      FROM documents
+    ),
+    totals AS (
+      SELECT source, COUNT(1) AS n_docs, SUM(n_tokens) AS total_tokens
+      FROM per GROUP BY 1
+    ),
+    rated AS (
+      SELECT t.source, n_docs, total_tokens,
+             coalesce(w.weight, 0.0) AS weight,
+             CAST(500000 AS DOUBLE) * coalesce(w.weight, 0.0) / 6.25 AS target_tokens
+      FROM totals t LEFT JOIN w ON t.source = w.source
+    ),
+    epochs AS (
+      SELECT *, CAST(FLOOR(target_tokens / total_tokens) AS BIGINT) AS epochs
+      FROM rated
+    ),
+    rr AS (
+      SELECT *,
+             (target_tokens - CAST(epochs AS DOUBLE) * total_tokens)
+               / total_tokens AS residual_rate
+      FROM epochs
+    ),
+    sel AS (
+      SELECT p.source, COUNT(1) AS n_residual_docs, SUM(n_tokens) AS residual_tokens
+      FROM per p JOIN rr ON p.source = rr.source
+      WHERE CAST(h AS DOUBLE) < rr.residual_rate * 1000000.0
+      GROUP BY 1
+    )
+    SELECT rr.source,
+           CAST(n_docs AS INT) AS n_docs,
+           CAST(total_tokens AS BIGINT) AS total_tokens,
+           weight, target_tokens,
+           CAST(epochs AS INT) AS epochs,
+           residual_rate,
+           CAST(coalesce(n_residual_docs, 0) AS INT) AS n_residual_docs,
+           CAST(coalesce(residual_tokens, 0) AS BIGINT) AS residual_tokens,
+           CAST(epochs * total_tokens + coalesce(residual_tokens, 0) AS BIGINT)
+             AS planned_tokens
+    FROM rr LEFT JOIN sel ON rr.source = sel.source
+"""
+
+
+def test_epoch_mixture_plan_matches_oracle(spark, sf_dir):
+    """The upsampling mixture planner is held to a DuckDB twin on the
+    real documents table: src0 weighted heavily enough to run multiple
+    epochs, src1 around one epoch, src2 sub-sampled, the other 17
+    sources excluded (weight 0) — every column bit-identical including
+    the IEEE target/rate divisions and the salted residual sample."""
+    from big_data_processing_with_aws_glue_workshop_spark.queries._tables import load
+    from big_data_processing_with_aws_glue_workshop_spark.queries.textops import (
+        epoch_mixture_plan,
+    )
+    from tests.oracle_harness import compare
+
+    out = epoch_mixture_plan(
+        load(spark, sf_dir, "documents"),
+        {"src0": 5.0, "src1": 1.0, "src2": 0.25},
+        total_tokens=500_000,
+    )
+    compare(out, _EPOCH_MIX_ORACLE, sf_dir)
+
+
+def test_epoch_mixture_plan_semantics(spark):
+    """Plan semantics on a hand-built corpus: a heavy small source runs
+    whole epochs + residual, a zero-weight source is excluded, planned
+    mass lands within one document of the target, and guards refuse
+    nonsense budgets/weights."""
+    import pytest
+
+    from big_data_processing_with_aws_glue_workshop_spark.queries.textops import (
+        epoch_mixture_plan,
+    )
+
+    rows = []
+    for i in range(10):  # tiny premium source: 10 docs x 10 tokens
+        rows.append((i, "prem", " ".join(f"p{i}_{j}" for j in range(10))))
+    for i in range(100, 300):  # big web source: 200 docs x 10 tokens
+        rows.append((i, "web", " ".join(f"w{i}_{j}" for j in range(10))))
+    docs = spark.createDataFrame(rows, "doc_id long, source string, text string")
+
+    plan = {
+        r["source"]: r
+        for r in epoch_mixture_plan(
+            docs, {"prem": 1.0, "web": 1.0}, total_tokens=700
+        ).collect()
+    }
+    prem, web = plan["prem"], plan["web"]
+    assert prem["total_tokens"] == 100 and web["total_tokens"] == 2000
+    # prem target 350 over 100 available -> 3 full epochs + 0.5 residual
+    assert prem["epochs"] == 3 and abs(prem["residual_rate"] - 0.5) < 1e-9
+    assert prem["planned_tokens"] == 300 + prem["residual_tokens"]
+    # web target 350 over 2000 -> pure subsample
+    assert web["epochs"] == 0 and abs(web["residual_rate"] - 0.175) < 1e-9
+    assert web["planned_tokens"] == web["residual_tokens"]
+
+    excl = {
+        r["source"]: r
+        for r in epoch_mixture_plan(docs, {"prem": 1.0}, total_tokens=100).collect()
+    }
+    assert excl["web"]["weight"] == 0.0 and excl["web"]["planned_tokens"] == 0
+    assert excl["web"]["epochs"] == 0 and excl["web"]["n_residual_docs"] == 0
+
+    with pytest.raises(ValueError, match="total_tokens"):
+        epoch_mixture_plan(docs, {"prem": 1.0}, total_tokens=0)
+    with pytest.raises(ValueError, match="weights"):
+        epoch_mixture_plan(docs, {}, total_tokens=100)
+
+
 def test_component_aware_split_no_leakage(spark):
     """Near-dup components never straddle splits: every LSH-confirmed
     near-dup pair shares a component AND a split; singletons hash on
