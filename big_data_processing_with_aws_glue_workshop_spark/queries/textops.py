@@ -913,6 +913,50 @@ def epoch_mixture_plan(
     )
 
 
+def materialize_epoch_mixture(
+    docs: DataFrame,
+    plan: DataFrame,
+    id_col: str = "doc_id",
+    source_col: str = "source",
+) -> DataFrame:
+    """Execute an :func:`epoch_mixture_plan`: every document appears once
+    per whole epoch (``epoch`` column 0..epochs-1) plus once more with
+    ``epoch = epochs`` iff its salted hash selects it for the residual —
+    the exact membership the plan's ``planned_tokens`` counted, so
+    ``sum(n_tokens)`` over the output equals the plan column by
+    construction (pinned in tests).
+
+    Scale shape: the (tiny) plan broadcasts onto the corpus scan; whole
+    epochs are an array-native ``explode(sequence(...))`` — no shuffle,
+    output volume is exactly the planned token mass, which any
+    materialization must write. Downstream packing should treat
+    (id, epoch) as the row identity."""
+    rated = plan.select(source_col, "epochs", "residual_rate")
+    h = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.lit("epoch:"), F.col(id_col).cast("string"))), 1, 15
+            ),
+            16,
+            10,
+        ).cast("bigint")
+        % 1_000_000
+    )
+    joined = docs.join(F.broadcast(rated), source_col).withColumn(
+        "__resid", h.cast("double") < F.col("residual_rate") * 1_000_000.0
+    )
+    reps = F.explode(
+        F.sequence(
+            F.lit(0),
+            F.col("epochs") + F.when(F.col("__resid"), 1).otherwise(0) - 1,
+        )
+    )
+    return (
+        joined.filter((F.col("epochs") > 0) | F.col("__resid"))
+        .select(*docs.columns, reps.alias("epoch"))
+    )
+
+
 def q_doc_repetition_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Within-document repetition scoring (the Gopher/MassiveText quality
     signal): fraction of NON-distinct word 3-grams inside each doc. Highly

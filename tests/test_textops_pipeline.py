@@ -490,6 +490,54 @@ def test_epoch_mixture_plan_semantics(spark):
         epoch_mixture_plan(docs, {}, total_tokens=100)
 
 
+def test_materialize_epoch_mixture_mass_equals_plan(spark):
+    """Materialization invariants: per-source token mass equals the
+    plan's planned_tokens exactly; each doc appears epochs (+1 iff
+    residual-selected) times with epoch ids 0..k; zero-weight sources
+    vanish."""
+    from big_data_processing_with_aws_glue_workshop_spark.queries.textops import (
+        _tokens,
+        epoch_mixture_plan,
+        materialize_epoch_mixture,
+    )
+
+    rows = []
+    for i in range(10):
+        rows.append((i, "prem", " ".join(f"p{i}_{j}" for j in range(10))))
+    for i in range(100, 300):
+        rows.append((i, "web", " ".join(f"w{i}_{j}" for j in range(10))))
+    docs = spark.createDataFrame(rows, "doc_id long, source string, text string")
+    plan = epoch_mixture_plan(docs, {"prem": 1.0, "web": 1.0}, total_tokens=700)
+    out = materialize_epoch_mixture(docs, plan)
+
+    got = {
+        r["source"]: r["mass"]
+        for r in out.select(
+            "source", F.size(_tokens(F.col("text"))).alias("n")
+        ).groupBy("source").agg(F.sum("n").alias("mass")).collect()
+    }
+    want = {r["source"]: r["planned_tokens"] for r in plan.collect()}
+    assert got == {s: t for s, t in want.items() if t > 0}
+
+    # per-doc multiplicity: epochs copies + 1 iff residual-selected,
+    # epoch ids are exactly 0..k-1
+    prem = [r for r in out.filter(F.col("source") == "prem").collect()]
+    by_doc = {}
+    for r in prem:
+        by_doc.setdefault(r["doc_id"], []).append(r["epoch"])
+    for doc_id, epochs in by_doc.items():
+        assert sorted(epochs) == list(range(len(epochs))), doc_id
+        assert len(epochs) in (3, 4)  # 3 whole epochs, +1 if residual
+    assert sum(len(v) == 4 for v in by_doc.values()) * 10 == (
+        want["prem"] - 300
+    )  # residual docs carry the remaining mass
+
+    # zero-weight source vanishes entirely
+    plan2 = epoch_mixture_plan(docs, {"prem": 1.0}, total_tokens=100)
+    out2 = materialize_epoch_mixture(docs, plan2)
+    assert out2.filter(F.col("source") == "web").count() == 0
+
+
 def test_component_aware_split_no_leakage(spark):
     """Near-dup components never straddle splits: every LSH-confirmed
     near-dup pair shares a component AND a split; singletons hash on
