@@ -665,6 +665,73 @@ def cmd_passage_decontam(args: argparse.Namespace) -> None:
     )
 
 
+def cmd_epoch_mixture(args: argparse.Namespace) -> None:
+    """Epoch-aware mixture job (queries/textops.py::epoch_mixture_plan +
+    materialize_epoch_mixture): plan whole-epoch upsampling + residual
+    sampling from per-source weights and a global token budget, write
+    the materialized corpus (one row per doc per epoch), and emit the
+    per-source plan as the job summary."""
+    import json as _json
+
+    from .queries.textops import epoch_mixture_plan, materialize_epoch_mixture
+
+    spark = get_session(app_name="epoch-mixture")
+    weights = _json.loads(args.weights)
+    if not isinstance(weights, dict):
+        raise SystemExit("--weights must be a JSON object of source -> weight")
+    docs = spark.read.parquet(args.input)
+    plan = epoch_mixture_plan(
+        docs,
+        {str(k): float(v) for k, v in weights.items()},
+        total_tokens=args.total_tokens,
+        id_col=args.id_col,
+        text_col=args.text_col,
+        source_col=args.source_col,
+    )
+    materialize_epoch_mixture(
+        docs, plan, id_col=args.id_col, source_col=args.source_col
+    ).write.mode("overwrite").parquet(args.output)
+    rows = [r.asDict() for r in plan.collect()]
+    _emit(
+        {
+            "job": "epoch-mixture",
+            "output": args.output,
+            "output_rows": spark.read.parquet(args.output).count(),
+            "plan": sorted(rows, key=lambda r: r[args.source_col]),
+        }
+    )
+
+
+def cmd_component_split(args: argparse.Namespace) -> None:
+    """Leakage-controlled split job (queries/textops.py::
+    component_aware_split): assign train/val/test on the near-dup
+    COMPONENT canonical so near-duplicates never straddle splits; write
+    (id, component, split) and summarize the split sizes."""
+    from .queries.textops import component_aware_split
+
+    spark = get_session(app_name="component-split")
+    docs = spark.read.parquet(args.input)
+    out = component_aware_split(
+        docs, id_col=args.id_col, text_col=args.text_col
+    )
+    out.write.mode("overwrite").parquet(args.output)
+    written = spark.read.parquet(args.output)
+    import pyspark.sql.functions as F
+
+    sizes = {
+        r["split"]: r["n"]
+        for r in written.groupBy("split").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    _emit(
+        {
+            "job": "component-split",
+            "output": args.output,
+            "docs": written.count(),
+            "splits": sizes,
+        }
+    )
+
+
 def cmd_semantic_allow_report(args: argparse.Namespace) -> None:
     """On-demand re-cell trigger check (plans/incremental.py::
     semantic_allow_report): standing-vs-standing allowlist share under
@@ -1075,6 +1142,36 @@ def build_parser() -> argparse.ArgumentParser:
     pdc.add_argument("--bench-text-col", default="text")
     pdc.add_argument("--words", type=int, default=8, help="passage cut width")
     pdc.set_defaults(func=cmd_passage_decontam)
+
+    em = sub.add_parser(
+        "epoch-mixture",
+        help="plan + materialize an epoch-aware training mixture: whole "
+        "epochs for heavily-weighted small sources, deterministic "
+        "residual sampling, one output row per doc per epoch",
+    )
+    em.add_argument("--input", required=True, help="documents parquet path")
+    em.add_argument("--output", required=True, help="materialized mixture dir")
+    em.add_argument(
+        "--weights", required=True,
+        help='JSON object of source -> weight, e.g. \'{"wiki": 5, "web": 1}\'',
+    )
+    em.add_argument("--total-tokens", type=int, required=True)
+    em.add_argument("--id-col", default="doc_id")
+    em.add_argument("--text-col", default="text")
+    em.add_argument("--source-col", default="source")
+    em.set_defaults(func=cmd_epoch_mixture)
+
+    cs = sub.add_parser(
+        "component-split",
+        help="leakage-controlled train/val/test assignment: the split "
+        "hash runs on the near-dup component canonical, so near-"
+        "duplicates never straddle splits",
+    )
+    cs.add_argument("--input", required=True, help="documents parquet path")
+    cs.add_argument("--output", required=True, help="(id, component, split) dir")
+    cs.add_argument("--id-col", default="doc_id")
+    cs.add_argument("--text-col", default="text")
+    cs.set_defaults(func=cmd_component_split)
 
     sar = sub.add_parser(
         "semantic-allow-report",

@@ -116,6 +116,53 @@ def test_cli_passage_decontam(spark, tmp_path, capsys):
     assert got[2] == "c1 c2 c3 c4 c5 c6 c7 c8 tail"
 
 
+def test_cli_epoch_mixture_and_component_split(spark, tmp_path, capsys):
+    """The two r12 curation jobs e2e: epoch-mixture writes exactly the
+    planned multiplicities (3 epochs + residual on the heavy source);
+    component-split assigns every doc once with near-dups co-split."""
+    import json as _json
+
+    import pyspark.sql.functions as F
+
+    from big_data_processing_with_aws_glue_workshop_spark.cli import main
+
+    rows = []
+    for i in range(10):
+        rows.append((i, "prem", " ".join(f"p{i}_{j}" for j in range(10))))
+    for i in range(100, 300):
+        rows.append((i, "web", " ".join(f"w{i}_{j}" for j in range(10))))
+    spark.createDataFrame(
+        rows, "doc_id long, source string, text string"
+    ).coalesce(2).write.parquet(str(tmp_path / "docs"))
+
+    main([
+        "epoch-mixture",
+        "--input", str(tmp_path / "docs"),
+        "--output", str(tmp_path / "mixed"),
+        "--weights", '{"prem": 1.0, "web": 1.0}',
+        "--total-tokens", "700",
+    ])
+    out = _json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    plan = {p["source"]: p for p in out["plan"]}
+    assert plan["prem"]["epochs"] == 3
+    mixed = spark.read.parquet(str(tmp_path / "mixed"))
+    assert out["output_rows"] == mixed.count()
+    # token mass of the output equals the plan, per source
+    mass = {
+        r["source"]: r["n"] * 10  # fixture: every doc is 10 tokens
+        for r in mixed.groupBy("source").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    assert mass == {p["source"]: p["planned_tokens"] for p in out["plan"]}
+
+    main([
+        "component-split",
+        "--input", str(tmp_path / "docs"),
+        "--output", str(tmp_path / "split"),
+    ])
+    out = _json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert out["docs"] == 210 and sum(out["splits"].values()) == 210
+
+
 def test_textpipe_end_to_end(spark, sf_dir, tmp_path):
     """The composed training-data pipeline: stage counts monotonically
     decrease, stage invariants hold on the final corpus, output written."""
