@@ -826,17 +826,34 @@ def epoch_mixture_plan(
     (source, n_docs, total_tokens, weight, target_tokens, epochs,
     residual_rate, n_residual_docs, residual_tokens, planned_tokens).
 
+    ``weights`` keys are VALIDATED against the sources actually present
+    in the corpus (one column-pruned distinct pass, |sources| rows
+    collected): a key naming an absent source raises, because the
+    normalizer sums over all weight keys — a typo'd source name would
+    otherwise silently shrink every present source's target and the
+    plan's total mass would fall short with no warning (r12 ADVICE).
+
     Scale shape: one per-source totals aggregate (tiny), the weight
     table broadcast, and one survivor aggregate over the residual
-    filter — the same two-aggregate plan as the downsampler; the
-    expensive materialization (explode epochs + union residual) is the
-    caller's write job, not this plan."""
+    filter — the same two-aggregate plan as the downsampler, plus the
+    validation pass above (source-column-only scan, map-side partial
+    agg; a planning job runs once per epoch, so the pass is cheap
+    insurance). The expensive materialization (explode epochs + union
+    residual) is the caller's write job, not this plan."""
     spark = docs.sparkSession
     if total_tokens <= 0:
         raise ValueError(f"total_tokens must be positive, got {total_tokens}")
     wsum = float(sum(weights.values()))
     if wsum <= 0:
         raise ValueError("weights must sum to a positive value")
+    present = {r[0] for r in docs.select(source_col).distinct().collect()}
+    unknown = sorted(set(weights) - present)
+    if unknown:
+        raise ValueError(
+            f"weights name sources absent from the corpus: {unknown} "
+            f"(present: {sorted(present)}) — an absent key would silently "
+            "shrink every present source's target via the normalizer"
+        )
     wdf = spark.createDataFrame(
         [(s, float(w)) for s, w in sorted(weights.items())],
         f"{source_col} string, weight double",
@@ -871,19 +888,31 @@ def epoch_mixture_plan(
             / F.lit(wsum)
         ).alias("target_tokens"),
     ).select(
+        # total_tokens > 0 guard: locally explicit (r12 verdict) rather
+        # than inherited from split('') -> [''] two functions away; a
+        # degenerate zero/negative-mass source (e.g. all-NULL text, where
+        # size(split(NULL)) is -1) plans 0 epochs / 0 residual instead of
+        # dividing by a non-positive mass (ANSI would raise on 0).
         "*",
-        F.floor(F.col("target_tokens") / F.col("total_tokens"))
+        F.when(
+            F.col("total_tokens") > 0,
+            F.floor(F.col("target_tokens") / F.col("total_tokens")),
+        )
+        .otherwise(F.lit(0))
         .cast("bigint")
         .alias("epochs"),
     ).select(
         "*",
-        (
+        F.when(
+            F.col("total_tokens") > 0,
             (
                 F.col("target_tokens")
                 - F.col("epochs").cast("double") * F.col("total_tokens")
             )
-            / F.col("total_tokens")
-        ).alias("residual_rate"),
+            / F.col("total_tokens"),
+        )
+        .otherwise(F.lit(0.0))
+        .alias("residual_rate"),
     )
     survivors = per_doc.join(
         F.broadcast(rated.select(source_col, "residual_rate")), source_col
@@ -892,15 +921,19 @@ def epoch_mixture_plan(
         F.count(F.lit(1)).alias("n_residual_docs"),
         F.sum("n_tokens").alias("residual_tokens"),
     )
+    # doc counts stay bigint: at the 100 TB scale these docstrings target
+    # a source can exceed 2^31 documents, and an int cast would overflow
+    # the report (ANSI mode would raise) — r12 ADVICE. epochs stays int:
+    # an epoch count near 2^31 is never a real plan.
     return rated.join(sel, source_col, "left").select(
         source_col,
-        F.col("n_docs").cast("int").alias("n_docs"),
+        F.col("n_docs").cast("bigint").alias("n_docs"),
         F.col("total_tokens").cast("bigint").alias("total_tokens"),
         "weight",
         "target_tokens",
         F.col("epochs").cast("int").alias("epochs"),
         "residual_rate",
-        F.coalesce(F.col("n_residual_docs"), F.lit(0)).cast("int").alias(
+        F.coalesce(F.col("n_residual_docs"), F.lit(0)).cast("bigint").alias(
             "n_residual_docs"
         ),
         F.coalesce(F.col("residual_tokens"), F.lit(0)).cast("bigint").alias(
@@ -1899,7 +1932,8 @@ def component_aware_split(
     from ..extensions.dedup_fuzzy import connected_components, minhash_near_duplicates
 
     pairs = minhash_near_duplicates(
-        docs, n_hashes=n_hashes, bands=bands, shingle_n=shingle_n,
+        docs, id_col=id_col, text_col=text_col,
+        n_hashes=n_hashes, bands=bands, shingle_n=shingle_n,
         threshold=threshold, seed=seed,
     )
     labels = connected_components(pairs, "d1", "d2").select(
