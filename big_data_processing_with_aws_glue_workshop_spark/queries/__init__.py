@@ -16,14 +16,15 @@ entries in iteration order. The registry is therefore laid out explicitly:
   as ``set(_SCORED) - set(_ALL_ORACLES)`` and raise-checked below against
   the documented allowlist ``_SCORED_NO_ORACLE`` (the r8 verdict's "What's
   wrong #1": two consecutive rounds had this paragraph drift from the
-  tuples, so the tuples are now the source of truth). This round the
-  derived set is the ANN pair (``ann_lsh_topk``/``ivf_ann_topk``) —
-  approximate by construction (banded LSH buckets / bounded-nprobe IVF
-  candidate sets are not SQL-expressible; recall floors pytest-pinned
-  in tests/test_queries_oracle.py) — back in the window with the rest
-  of the r11 demotions; the HLL/Bernoulli pair
-  (``approx_distinct_profile``/``bernoulli_sample``) rotated to the
-  tail with the rest of the r11 window.
+  tuples, so the tuples are now the source of truth). This round (r13)
+  the derived set is the HLL/Bernoulli pair
+  (``approx_distinct_profile``/``bernoulli_sample``) — engine-RNG /
+  sketch-internal results that SQL cannot reproduce bit-for-bit
+  (HLL register layout, Bernoulli RNG stream); their deterministic
+  oracle-backed twins (``sampled_quantile_profile``, the exact
+  ``distinct_projection``/``table_stats_profile`` counts) are
+  registered and gated. The ANN pair rotated back to the tail with
+  the rest of the r12 window.
 - ``_TAIL`` (unscored, still registered): every tail query is gated by
   tests/test_queries_oracle.py on every pytest run — oracle-backed ones
   hash-checked, the rest rows-only.
@@ -56,51 +57,59 @@ operator family (cube, ntile, as-of join, JSON extraction, connected
 components) and the composed flagships (training_pipeline_summary, the
 clustered embedding scale path) stay in.
 
-Round-12 rotation (applied this round — the r11 feasibility check's
-arithmetic, amended by the r11 verdict's order #4, which prescribed
-making the passage rewrite driver-visible under a 1:1 retirement):
-- promoted, returning r11 demotions (48 of the 49 — the 49th,
-  ``passage_dedup_profile``, is retired below): every other name from
-  the r11 demotion list, incl. the ANN pair (rows-only by design) and
-  the HLL/Bernoulli pair's oracle-backed replacements-in-window from
-  r11 rotating back out.
-- promoted, first driver row (1): ``cross_corpus_contamination`` (the
-  r11 tail addition, oracle-gated and pytest-hash-green at three SFs
-  since it landed; pre-verified with ``tools/driver_hash_check.py``
-  at sf0.01 before this rotation was committed).
-- kept scored (1, filling the slot the retirement vacated):
-  ``training_pipeline_summary`` — the composed six-stage flagship, the
-  docstring preference's named example for keeps; its r11 driver row
-  was hash-green, and keeping it scored preserves a 50-slot window
-  without adding a scored-from-day-one query.
-- demoted (49 stay in the tail, all driver-green or
-  rows-only-by-design in CORRECTNESS_r11, due back r13): the r11
-  window minus the keep above, including the first-row pair
-  ``sampled_quantile_profile``/``semantic_dedup_decisions``.
-- retired this round (1, matched 1:1 by the tail addition below):
-  ``passage_dedup_profile`` — demoted out of the r11 window with its
-  driver row taken r10 and its pytest hash oracle retained
-  (RETIRED_QUERIES below). Gate story per the retirement rule: the
-  rewrite STRICTLY supersedes the profile (precedent:
-  ``ngram_jaccard_pairs`` superseded by ``minhash_near_duplicates``
-  in r8) — ``passage_dedup_rewrite`` performs the removal the profile
-  only measured, over the same 8-word md5-digest cut, and its
-  per-document (n_passages, n_passages_dropped) columns carry the
-  profile's repetition signal; the per-source rollup stays covered by
-  the retired query's pytest gate on every run.
-- new tail addition (1, filling the retirement-freed slot, due r13):
-  ``passage_dedup_rewrite`` (oracle-gated from day one) — the
-  passage-level duplicate REMOVAL rewrite made driver-visible
-  (``queries/textops.py::dedup_passages``: global first occurrence
-  per lowercased digest survives, case-preserving whitespace-
-  normalized rebuild; full DuckDB twin incl. the fully-boilerplate
-  empty-rewrite corner).
-- round-13 feasibility check: due-back promotions in r13 are the 49
-  r12 demotions + ``passage_dedup_rewrite`` (first driver row)
-  = 50 exactly — r13 keeps nothing and adds nothing
-  scored-from-day-one (``training_pipeline_summary``, scored r12, is
-  due back by r14 and simply demotes in r13). Any r13 addition must
-  name a 1:1 retirement and restate the retiree's gate story here.
+Round-13 rotation (applied this round — pure arithmetic, exactly as
+the r12 feasibility check below wrote it):
+- promoted (50): the 49 r12 demotions (every r12 ``_TAIL`` name except
+  the new addition) + ``passage_dedup_rewrite`` taking its FIRST driver
+  row (oracle-gated and pytest-hash-green at three SFs since it landed
+  in r12; pre-verified with ``tools/driver_hash_check.py`` at sf0.01
+  before this rotation was committed).
+- kept scored: none. added scored-from-day-one: none.
+- demoted (50, due back r14): the entire r12 window, including
+  ``training_pipeline_summary`` (scored r11 AND r12, so its two-round
+  clock restarts — due back by r14 with the rest).
+- rows-only boundary: ``_SCORED_NO_ORACLE`` moves to the HLL/Bernoulli
+  pair (``approx_distinct_profile``/``bernoulli_sample``); the ANN pair
+  demotes to the tail where the pytest gate keeps its rows-only check.
+- round-14 feasibility check: due-back promotions in r14 are exactly
+  the 50 r13 demotions = 50 — zero keeps, zero additions
+  scored-from-day-one. Any r14 addition must name a 1:1 retirement and
+  restate the retiree's gate story here.
+
+DRIVER-VISIBILITY TIER DECISION for the r12 curation trio (r12 verdict
+"Next round #2" — making the implicit tiering explicit):
+``decontaminate_passages``, ``epoch_mixture_plan`` /
+``materialize_epoch_mixture`` and ``component_aware_split`` are
+**pytest+CLI-tier, not driver-tier**, by decision. Reasoning: the
+surface is at the 100-query cap, so a driver row requires a 1:1
+retirement, and the retirement rule demands STRICT supersession — no
+current query qualifies: ``benchmark_contamination`` is a different
+contract than passage excision (doc-level 5-gram flag vs block-level
+span rewrite — retiring it would lose a distinct capability's gate);
+``bloom_decontaminated_docs`` is the Bloom-sketch family's sole driver
+gate; ``dataset_split_assignment`` is the per-doc split primitive the
+component split composes (and its own driver gate doubles as the
+split-arithmetic oracle the component split's tests mirror);
+``source_mixture_plan`` is the downsampling half, not superseded by the
+upsampling half. Each trio member carries hard gates already:
+``decontaminate_passages`` a full DuckDB twin on the real tables +
+planted-alignment fixture + plan pin, the epoch-mixture pair a
+bit-exact DuckDB twin + exact planned-mass pin + CLI e2e, the
+component split Python-mirrored arithmetic + no-leakage property + CLI
+e2e — all run on every pytest run. Standing order of succession:
+should a future rotation create a vacancy (a genuine strict
+supersession or a policy change), ``decontaminate_passages`` takes the
+slot first (its twin is driver-shaped today), then the epoch-mixture
+plan; ``component_aware_split`` stays pytest-tier while
+``dataset_split_assignment`` holds the split family's driver row.
+
+(r12 rotation, for the record: 48 r11 due-backs + first row for
+``cross_corpus_contamination`` + the ``training_pipeline_summary``
+keep; ``passage_dedup_profile`` retired 1:1 against the
+``passage_dedup_rewrite`` tail addition — gate story (the rewrite
+STRICTLY supersedes the profile over the same 8-word md5-digest cut;
+precedent ``ngram_jaccard_pairs`` → ``minhash_near_duplicates`` in r8)
+in the r12 git history of this docstring and VERDICT.md r12.)
 
 (r11 rotation, for the record: 48 r10 due-backs + first rows for
 ``sampled_quantile_profile``/``semantic_dedup_decisions``;
@@ -130,73 +139,9 @@ _ALL_QUERIES = {
 }
 
 _SCORED = (
-    # returning r11 demotions (48 — the 49th, passage_dedup_profile,
-    # retired this round; last driver row r10, the two-round promise
-    # lands the rest here)
-    "customers_without_orders",
-    "lineitem_cube_aggregates",
-    "customer_balance_ntiles",
-    "session_windows",
-    "tfidf_top_terms",
-    "doc_winnow_fingerprint",
-    "embedding_near_dup_clustered",
-    "media_byte_histogram",
-    "pii_redaction_profile",
-    "doc_embedding_typicality",
-    "dataset_split_assignment",
-    "user_conversion_funnel",
-    "event_type_transition_matrix",
-    "token_length_histogram",
-    "bigram_association_scores",
-    "embedding_quantization_profile",
-    "pricing_summary",
-    "ml_feature_dataset",
-    "validation_profile",
-    "customer_geography_rollup",
-    "revenue_by_supplier_nation",
-    "multiformat_date_parsing",
-    "supplier_unique_key",
-    "order_aging",
-    "name_pattern_filter",
-    "segment_set_ops",
-    "shipping_priority_topk",
-    "athena_q1_active_by_society",
-    "athena_q2_avg_age_by_activity",
-    "athena_q3_renewal_rate_by_chamber",
-    "contained_doc_pairs",
-    "language_id",
-    "doc_dedup_profile",
-    "simhash_fingerprints",
-    "minhash_near_duplicates",
-    "benchmark_contamination",
-    "source_mixture_plan",
-    "doc_repetition_scores",
-    "cosine_topk",
-    "ann_lsh_topk",
-    "ivf_ann_topk",
-    "shared_substring_pairs",
-    "sole_late_supplier_blame",
-    "large_volume_customers",
-    "copurchase_pagerank",
-    "copurchase_triangle_census",
-    "copurchase_seed_affinity",
-    "bloom_decontaminated_docs",
-    # first driver row (1): the r11 tail addition, oracle-gated by the
-    # pytest gate since it landed and pre-verified with
-    # tools/driver_hash_check.py at sf0.01
-    "cross_corpus_contamination",
-    # kept scored (1, filling the retirement-vacated slot): the
-    # composed flagship — see the rotation notes in the docstring
-    "training_pipeline_summary",
-)
-
-_TAIL = (
-    # r12 demotions — all driver-green (or rows-only-by-design: the
-    # HLL/Bernoulli pair) in CORRECTNESS_r11, rotated out per the
-    # two-round policy (due back r13 — see the r13 feasibility check in
-    # the docstring). The pytest oracle gate still hash-checks every
-    # oracle-backed one on every run, and bench.py times the full
-    # registered surface.
+    # returning r12 demotions (49 — the whole r12 tail minus the r12
+    # addition, every one driver-green or rows-only-by-design in
+    # CORRECTNESS_r11, due back this round per the two-round promise)
     "asof_last_click_before_error",
     "range_join_interval_counts",
     "json_props_extract",
@@ -246,13 +191,71 @@ _TAIL = (
     "supplier_part_share",
     "sampled_quantile_profile",
     "semantic_dedup_decisions",
-    # new in r12 (due r13; surface slot freed by the
-    # passage_dedup_profile retirement): the passage-level duplicate
-    # REMOVAL rewrite made driver-visible — global first occurrence per
-    # lowercased digest survives, case-preserving rebuild; DuckDB twin
-    # = the full rewrite SQL (hash oracle from day one)
+    # first driver row (1): the r12 tail addition, oracle-gated by the
+    # pytest gate at three SFs since it landed and pre-verified with
+    # tools/driver_hash_check.py at sf0.01 before this rotation was
+    # committed — the window is exactly the 49 due-backs + this row.
     "passage_dedup_rewrite",
 )
+
+_TAIL = (
+    # r13 demotions — the entire r12 window (all driver-green or
+    # rows-only-by-design in CORRECTNESS_r12, due back r14 — see the
+    # r14 feasibility check in the docstring). The pytest oracle gate
+    # still hash-checks every oracle-backed one on every run, and
+    # bench.py times the full registered surface.
+    "customers_without_orders",
+    "lineitem_cube_aggregates",
+    "customer_balance_ntiles",
+    "session_windows",
+    "tfidf_top_terms",
+    "doc_winnow_fingerprint",
+    "embedding_near_dup_clustered",
+    "media_byte_histogram",
+    "pii_redaction_profile",
+    "doc_embedding_typicality",
+    "dataset_split_assignment",
+    "user_conversion_funnel",
+    "event_type_transition_matrix",
+    "token_length_histogram",
+    "bigram_association_scores",
+    "embedding_quantization_profile",
+    "pricing_summary",
+    "ml_feature_dataset",
+    "validation_profile",
+    "customer_geography_rollup",
+    "revenue_by_supplier_nation",
+    "multiformat_date_parsing",
+    "supplier_unique_key",
+    "order_aging",
+    "name_pattern_filter",
+    "segment_set_ops",
+    "shipping_priority_topk",
+    "athena_q1_active_by_society",
+    "athena_q2_avg_age_by_activity",
+    "athena_q3_renewal_rate_by_chamber",
+    "contained_doc_pairs",
+    "language_id",
+    "doc_dedup_profile",
+    "simhash_fingerprints",
+    "minhash_near_duplicates",
+    "benchmark_contamination",
+    "source_mixture_plan",
+    "doc_repetition_scores",
+    "cosine_topk",
+    "ann_lsh_topk",
+    "ivf_ann_topk",
+    "shared_substring_pairs",
+    "sole_late_supplier_blame",
+    "large_volume_customers",
+    "copurchase_pagerank",
+    "copurchase_triangle_census",
+    "copurchase_seed_affinity",
+    "bloom_decontaminated_docs",
+    "cross_corpus_contamination",
+    "training_pipeline_summary",
+)
+
 
 # Retirement mechanism (see docstring): retired names leave the driver
 # registry but MUST keep their implementation + pytest oracle coverage
@@ -280,7 +283,7 @@ _RETIRED = (
 # from the tuples again (r8 verdict "What's wrong #1"). Change this
 # tuple and the docstring TOGETHER when a rotation moves a no-oracle
 # query across the window boundary.
-_SCORED_NO_ORACLE = ("ann_lsh_topk", "ivf_ann_topk")
+_SCORED_NO_ORACLE = ("approx_distinct_profile", "bernoulli_sample")
 
 # Module-level invariants the correctness driver depends on. Explicit raises,
 # not assert: python -O strips asserts, which would silently disable the
