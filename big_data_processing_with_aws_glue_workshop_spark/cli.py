@@ -583,12 +583,26 @@ def cmd_semantic_refresh(args: argparse.Namespace) -> None:
     embedding files are assigned against the centroid matrix pinned at
     first refresh, candidate cell pairs are pruned with the angular
     triangle inequality, and near-copies (cos >= threshold) of the
-    standing corpus or of smaller-id increment vectors are dropped."""
-    from .plans.incremental import incremental_semantic_refresh
+    standing corpus or of smaller-id increment vectors are dropped.
+
+    With ``--recell-on-trigger``, a wave whose allow_share reaches
+    RECELL_ALLOW_SHARE_TRIGGER is followed in-band by the
+    semantic-recell maintenance op (the stats gain a "recell" object),
+    and the stored calibration's nlist is adopted over --nlist — a
+    prior auto-recell changed the calibration, and the refresh's
+    mismatch guard correctly refuses a stale caller-side value."""
+    from .plans.incremental import (
+        incremental_semantic_refresh,
+        maybe_recell_on_trigger,
+        stored_semantic_nlist,
+    )
     from .sources.bookmarks import JobBookmark
 
     spark = get_session(app_name="semantic-refresh")
     bm = JobBookmark(args.bookmark, args.job_name)
+    nlist = args.nlist
+    if args.recell_on_trigger:
+        nlist = stored_semantic_nlist(args.target) or nlist
     stats = incremental_semantic_refresh(
         spark,
         bm,
@@ -597,9 +611,19 @@ def cmd_semantic_refresh(args: argparse.Namespace) -> None:
         id_col=args.id_col,
         vec_col=args.vec_col,
         threshold=args.threshold,
-        nlist=args.nlist,
+        nlist=nlist,
         seed=args.seed,
     )
+    if args.recell_on_trigger:
+        rec = maybe_recell_on_trigger(
+            spark,
+            args.target,
+            stats.get("allow_share"),
+            id_col=args.id_col,
+            vec_col=args.vec_col,
+        )
+        if rec is not None:
+            stats["recell"] = rec
     _emit({"job": "semantic-refresh", **stats})
 
 
@@ -1109,6 +1133,13 @@ def build_parser() -> argparse.ArgumentParser:
     sr.add_argument("--threshold", type=float, default=0.45)
     sr.add_argument("--nlist", type=int, default=16)
     sr.add_argument("--seed", type=int, default=42)
+    sr.add_argument(
+        "--recell-on-trigger",
+        action="store_true",
+        help="after the wave, run semantic-recell in-band iff the wave's "
+        "allow_share reaches RECELL_ALLOW_SHARE_TRIGGER (0.9); adopts the "
+        "stored calibration's nlist over --nlist",
+    )
     sr.set_defaults(func=cmd_semantic_refresh)
 
     src = sub.add_parser(

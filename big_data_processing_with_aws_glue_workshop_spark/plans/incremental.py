@@ -1448,6 +1448,54 @@ def semantic_allow_report(
     }
 
 
+def maybe_recell_on_trigger(
+    spark: SparkSession,
+    target_dir: str,
+    allow_share: float | None,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> dict | None:
+    """Close the re-cell loop operationally (r12 verdict "Next round
+    #4"): given a just-reported ``allow_share`` (per-wave refresh stats
+    or the streaming sink's ``last_allow_share``), run
+    :func:`semantic_recell` iff the share is at/above
+    ``RECELL_ALLOW_SHARE_TRIGGER`` and return its stats; otherwise do
+    nothing and return None. The acting callers (the
+    ``semantic-refresh --recell-on-trigger`` CLI and the streaming
+    sink's ``recell_on_trigger`` flag) share this one decision point so
+    the trigger constant cannot fork.
+
+    Crash contract: the wave's pointer flip has already committed when
+    this runs, and the recell's own flip is atomic with carry-forward —
+    a crash anywhere between or during the two leaves either the
+    post-wave state (old calibration; the next triggered wave simply
+    re-fires the recell) or the post-recell state (new calibration;
+    auto-recell callers re-adopt the stored ``nlist`` before the next
+    wave). Never a mix."""
+    if allow_share is None or allow_share < RECELL_ALLOW_SHARE_TRIGGER:
+        return None
+    return semantic_recell(spark, target_dir, id_col=id_col, vec_col=vec_col)
+
+
+def stored_semantic_nlist(target_dir: str) -> int | None:
+    """The stored calibration's ``nlist`` for a semantic-dedup target,
+    or None when no pointer exists yet. Auto-recell callers read this
+    before each wave: a prior (possibly crashed-around) recell changed
+    the calibration, and the refresh's mismatch guard — correctly —
+    refuses a stale caller-side nlist."""
+    import json
+
+    pointer_path = os.path.join(target_dir, "current.json")
+    if not os.path.exists(pointer_path):
+        return None
+    with open(pointer_path) as f:
+        pointer = json.load(f)
+    calibration = pointer.get("calibration")
+    if not calibration or "nlist" not in calibration:
+        return None
+    return int(calibration["nlist"])
+
+
 # ---------------------------------------------------------------------------
 # Incremental JOIN-VIEW maintenance (fact ⋈ dim with late-arriving dims)
 # ---------------------------------------------------------------------------

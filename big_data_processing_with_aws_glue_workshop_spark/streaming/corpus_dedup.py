@@ -248,7 +248,19 @@ class CorpusSemanticDupSink:
     the centroid-radius story, surfaced per batch as
     ``last_allow_share`` (the refresh stats' allowlist share — compare
     against plans/incremental.py::RECELL_ALLOW_SHARE_TRIGGER to
-    schedule the `semantic-recell` maintenance op)."""
+    schedule the `semantic-recell` maintenance op, or pass
+    ``recell_on_trigger=True`` to have the sink run it itself after any
+    batch whose share crosses the trigger).
+
+    ``recell_on_trigger``: when True, a batch reporting allow_share >=
+    RECELL_ALLOW_SHARE_TRIGGER is followed by an in-band
+    ``semantic_recell`` (atomic; carry-forward keeps
+    ``last_stream_batch``, so exactly-once replay is unaffected), and
+    the sink ADOPTS the stored calibration's nlist before every batch —
+    the recell changed the calibration, and on restart the constructor
+    value would otherwise trip the refresh's mismatch guard. A crash
+    between the batch flip and the recell flip leaves the post-batch
+    state; the next triggered batch re-fires the recell."""
 
     def __init__(
         self,
@@ -259,6 +271,7 @@ class CorpusSemanticDupSink:
         nlist: int = 16,
         seed: int = 42,
         checkpoint_dir: str | None = None,
+        recell_on_trigger: bool = False,
     ) -> None:
         self.target_dir = target_dir
         self.id_col = id_col
@@ -267,20 +280,31 @@ class CorpusSemanticDupSink:
         self.nlist = nlist
         self.seed = seed
         self.checkpoint_dir = checkpoint_dir
+        self.recell_on_trigger = recell_on_trigger
         # allowlist pruning health of the most recent applied batch
-        # (None until one applies; see RECELL_ALLOW_SHARE_TRIGGER)
+        # (None until one applies; see RECELL_ALLOW_SHARE_TRIGGER) —
+        # post-recell, the recovered standing-vs-standing share
         self.last_allow_share: float | None = None
+        # recell executions this sink performed (observability + tests)
+        self.recell_count: int = 0
 
     _pointer_fields = CorpusDedupSink._pointer_fields
 
     def __call__(self, batch_df: DataFrame, batch_id: int) -> None:
-        from ..plans.incremental import apply_semantic_increment
+        from ..plans.incremental import (
+            apply_semantic_increment,
+            maybe_recell_on_trigger,
+        )
 
         pointer = read_pointer(self.target_dir)
         if pointer is not None and batch_id <= pointer.get("last_stream_batch", -1):
             return
         if batch_df.isEmpty() and pointer is None:
             return  # cannot fit centroids on an empty first batch
+        if self.recell_on_trigger and pointer is not None:
+            stored = (pointer.get("calibration") or {}).get("nlist")
+            if stored is not None:
+                self.nlist = int(stored)
         stats = apply_semantic_increment(
             batch_df.sparkSession,
             batch_df,
@@ -294,6 +318,18 @@ class CorpusSemanticDupSink:
             extra_pointer_fields=self._pointer_fields(batch_id),
         )
         self.last_allow_share = stats.get("allow_share")
+        if self.recell_on_trigger:
+            rec = maybe_recell_on_trigger(
+                batch_df.sparkSession,
+                self.target_dir,
+                self.last_allow_share,
+                id_col=self.id_col,
+                vec_col=self.vec_col,
+            )
+            if rec is not None:
+                self.recell_count += 1
+                self.nlist = int(rec["new_nlist"])
+                self.last_allow_share = rec["allow_share"]
 
 
 def run_stream_corpus_semantic(
@@ -305,6 +341,7 @@ def run_stream_corpus_semantic(
     vec_col: str = "embedding",
     nlist: int = 16,
     seed: int = 42,
+    recell_on_trigger: bool = False,
 ) -> CorpusSemanticDupSink:
     """availableNow drain into the semantically-deduped corpus; same
     checkpoint discipline as the other two sinks."""
@@ -316,6 +353,7 @@ def run_stream_corpus_semantic(
         nlist=nlist,
         seed=seed,
         checkpoint_dir=checkpoint_dir,
+        recell_on_trigger=recell_on_trigger,
     )
     _checkpoint_guard(target_dir, checkpoint_dir)
     writer = stream_df.writeStream.foreachBatch(sink)

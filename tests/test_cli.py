@@ -855,6 +855,21 @@ def test_cli_semantic_refresh(spark, tmp_path, capsys):
     assert rep["rows"] == 3 and 0.0 <= rep["allow_share"] <= 1.0
     assert rep["trigger"] == 0.9 and isinstance(rep["recell_recommended"], bool)
 
+    # --recell-on-trigger wiring: the flag adopts the STORED calibration's
+    # nlist (3, from the recell above) even though the command line still
+    # says --nlist 2 — without the flag that stale value would trip the
+    # refresh's calibration mismatch guard — and a wave below the
+    # trigger emits no "recell" object. (The firing path is pinned by
+    # test_incremental.py::test_recell_on_trigger_closes_the_loop and the
+    # streaming twin.)
+    land("v4.parquet", [(12, [0.98, 0.22, -0.48, 0.79])])  # near-copy of 1
+    main(args + ["--recell-on-trigger"])  # args still carries --nlist 2
+    out4 = _json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert out4["dropped_vs_corpus"] == 1 and out4["accepted"] == 0
+    assert "recell" not in out4
+    got = {r["vec_id"] for r in read_deduped(spark, str(tmp_path / "corpus")).collect()}
+    assert got == {1, 2, 10}
+
 
 def test_cli_passage_refresh(spark, tmp_path, capsys):
     """passage-refresh subcommand: a boilerplate passage re-landing is

@@ -588,3 +588,82 @@ def test_semantic_recell_preserves_stream_bookkeeping(spark, tmp_path):
         target, ckpt, threshold=0.95, nlist=3,
     )
     assert {r["vec_id"] for r in read_deduped(spark, target).collect()} == {1, 2}
+
+
+def test_stream_semantic_recell_on_trigger(spark, tmp_path):
+    """The sink's ``recell_on_trigger`` closes the re-cell loop in-band
+    (r12 verdict order #4): a streamed batch whose allow_share crosses
+    RECELL_ALLOW_SHARE_TRIGGER is followed by an atomic semantic_recell
+    inside the same foreachBatch call; carry-forward keeps
+    ``last_stream_batch`` so replay idempotence is unaffected; and a
+    RESTARTED sink with a stale constructor nlist adopts the stored
+    calibration instead of tripping the mismatch guard."""
+    import math
+
+    from big_data_processing_with_aws_glue_workshop_spark.plans.incremental import (
+        RECELL_ALLOW_SHARE_TRIGGER,
+    )
+    from big_data_processing_with_aws_glue_workshop_spark.streaming.corpus_dedup import (
+        run_stream_corpus_semantic,
+    )
+
+    dim, thr = 12, 0.999
+
+    def blob(a, vid, theta):
+        # unit vector cos(theta)*e_a + sin(theta)*e_(9 + a%3): exact
+        # within-blob angles, nothing dedups at thr 0.999 (0.0447 rad)
+        v = [0.0] * dim
+        v[a] = math.cos(theta)
+        v[9 + a % 3] = math.sin(theta)
+        return (vid, v)
+
+    wave1 = [blob(a, 100 * a + j, 0.05 * j) for a in range(3) for j in range(9)]
+    wave2 = [blob(a, 100 * a + j, 0.05 * j) for a in range(3, 9) for j in range(9)]
+    wave3 = [
+        blob(a, 100 * a + 50 + j, 0.05 * (9 + j)) for a in range(9) for j in range(2)
+    ]
+
+    stream_in = tmp_path / "stream_in"
+    stream_in.mkdir()
+    target = str(tmp_path / "corpus")
+    ckpt = str(tmp_path / "ckpt")
+
+    def drain(nlist):
+        return run_stream_corpus_semantic(
+            spark.readStream.schema(VEC_SCHEMA).parquet(str(stream_in)),
+            target, ckpt, threshold=thr, nlist=nlist, recell_on_trigger=True,
+        )
+
+    # batch 1: clustered fit — no trigger
+    _land_vecs(stream_in / "s0.parquet", wave1)
+    sink = drain(3)
+    assert sink.recell_count == 0 and sink.nlist == 3
+    assert sink.last_allow_share < RECELL_ALLOW_SHARE_TRIGGER
+
+    # batch 2: decayed wave — the sink recells IN-BAND, exactly once,
+    # and its post-recell share (the next wave's regime) is back below
+    _land_vecs(stream_in / "s1.parquet", wave2)
+    sink = drain(3)
+    assert sink.recell_count == 1
+    assert sink.nlist == 9  # ~sqrt(81) — the adopted new calibration
+    assert sink.last_allow_share < RECELL_ALLOW_SHARE_TRIGGER
+    assert {r["vec_id"] for r in read_deduped(spark, target).collect()} == {
+        100 * a + j for a in range(9) for j in range(9)
+    }
+
+    # replay idempotence across the recell: carry-forward preserved
+    # last_stream_batch through the recell flip, so a fresh run over the
+    # same checkpoint applies nothing and never recells
+    before = {r["vec_id"] for r in read_deduped(spark, target).collect()}
+    sink = drain(3)
+    assert sink.recell_count == 0
+    assert {r["vec_id"] for r in read_deduped(spark, target).collect()} == before
+
+    # restart with a STALE constructor nlist (3): the sink adopts the
+    # stored calibration's nlist (9) instead of tripping the mismatch
+    # guard, drains the post-recell wave, and does not recell again
+    _land_vecs(stream_in / "s2.parquet", wave3)
+    sink = drain(3)
+    assert sink.nlist == 9 and sink.recell_count == 0
+    assert sink.last_allow_share < RECELL_ALLOW_SHARE_TRIGGER
+    assert len({r["vec_id"] for r in read_deduped(spark, target).collect()}) == 99

@@ -1853,6 +1853,132 @@ def test_semantic_recell_guards(spark, tmp_path):
         semantic_recell(spark, str(other))
 
 
+def _axis_blob(dim, a, vid, theta):
+    """Unit vector cos(theta)*e_a + sin(theta)*e_(9 + a%3): blob `a`
+    member at exact angle theta off its axis — pairwise within-blob
+    angles are exact theta differences, so the dedup threshold can be
+    placed with zero slop."""
+    import math
+
+    v = [0.0] * dim
+    v[a] = math.cos(theta)
+    v[9 + a % 3] = math.sin(theta)
+    return (vid, v)
+
+
+def test_recell_on_trigger_closes_the_loop(spark, tmp_path):
+    """The r12 verdict's order #4 — acting on allow_share is no longer a
+    human reading stats. The decision point
+    (plans/incremental.py::maybe_recell_on_trigger, shared by the CLI
+    flag and the streaming sink flag) must: fire EXACTLY ONCE on a
+    decayed corpus (the wave after the recell reports a share back below
+    the trigger), never fire on a corpus that stayed clustered, and stay
+    consistent across a crash between the wave flip and the recell flip
+    (both flips are individually atomic; the restart path re-adopts the
+    stored nlist and simply re-fires).
+
+    Fixture: 9 tight blobs along axes e0..e8 (members at exact angles
+    0, .05, .., .40 off-axis; threshold 0.999 = 0.0447 rad, below the
+    .05 spacing, so nothing dedups away). Wave 1 fits+pins 3 cells on
+    blobs 0-2; a decayed wave 2 lands blobs 3-8, whose members sit
+    ~pi/2 from every pinned centroid — radii inflate to ~1.5 rad and
+    the allowlist degrades to share 1.0."""
+    from big_data_processing_with_aws_glue_workshop_spark.plans.incremental import (
+        RECELL_ALLOW_SHARE_TRIGGER,
+        incremental_semantic_refresh,
+        maybe_recell_on_trigger,
+        read_deduped,
+        semantic_allow_report,
+        stored_semantic_nlist,
+    )
+
+    dim, thr = 12, 0.999
+    wave1 = [_axis_blob(dim, a, 100 * a + j, 0.05 * j) for a in range(3) for j in range(9)]
+    wave2_decayed = [
+        _axis_blob(dim, a, 100 * a + j, 0.05 * j) for a in range(3, 9) for j in range(9)
+    ]
+    wave2_clustered = [
+        _axis_blob(dim, a, 100 * a + 50 + j, 0.05 * (9 + j))
+        for a in range(3)
+        for j in range(3)
+    ]
+    wave3 = [
+        _axis_blob(dim, a, 100 * a + 50 + j, 0.05 * (9 + j))
+        for a in range(9)
+        for j in range(2)
+    ]
+
+    def auto_wave(name, idx, rows):
+        """One CLI-shaped auto-recell wave: land the file, adopt the
+        stored nlist, refresh, act on the trigger."""
+        landing = tmp_path / f"vecs_{name}"
+        landing.mkdir(exist_ok=True)
+        target = str(tmp_path / f"corpus_{name}")
+        bm = JobBookmark(str(tmp_path / f"bm_{name}.json"), f"sem_{name}")
+        _write_vecs(landing / f"w{idx}.parquet", rows)
+        s = incremental_semantic_refresh(
+            spark, bm, str(landing / "*.parquet"), target,
+            threshold=thr, nlist=stored_semantic_nlist(target) or 3, seed=7,
+        )
+        rec = maybe_recell_on_trigger(spark, target, s["allow_share"])
+        return s, rec
+
+    # --- decayed corpus: exactly one recell, at the decayed wave ---
+    s1, r1 = auto_wave("decay", 0, wave1)
+    assert s1["accepted"] == 27 and r1 is None  # clustered first fit: no trigger
+    s2, r2 = auto_wave("decay", 1, wave2_decayed)
+    assert s2["allow_share"] >= RECELL_ALLOW_SHARE_TRIGGER
+    assert r2 is not None and r2["old_nlist"] == 3 and r2["new_nlist"] == 9
+    # the recell recovered pruning: its own post-flip share is the next
+    # wave's regime, far below the trigger
+    assert r2["allow_share"] < RECELL_ALLOW_SHARE_TRIGGER
+    s3, r3 = auto_wave("decay", 2, wave3)
+    assert s3["allow_share"] < RECELL_ALLOW_SHARE_TRIGGER and r3 is None
+    assert s3["accepted"] == len(wave3)  # post-recell refreshes still work
+    decay_ids = {r["vec_id"] for r in read_deduped(spark, str(tmp_path / "corpus_decay")).collect()}
+    assert len(decay_ids) == 27 + 54 + 18
+
+    # --- clustered corpus: the trigger never fires ---
+    c1, rc1 = auto_wave("clus", 0, wave1)
+    c2, rc2 = auto_wave("clus", 1, wave2_clustered)
+    assert rc1 is None and rc2 is None
+    assert c2["allow_share"] < RECELL_ALLOW_SHARE_TRIGGER
+    assert stored_semantic_nlist(str(tmp_path / "corpus_clus")) == 3
+
+    # --- crash between the wave flip and the recell flip ---
+    # Simulate: wave 2 lands and flips, but the process dies before
+    # maybe_recell_on_trigger runs (refresh WITHOUT the recell step).
+    landing = tmp_path / "vecs_crash"
+    landing.mkdir()
+    target = str(tmp_path / "corpus_crash")
+    bm = JobBookmark(str(tmp_path / "bm_crash.json"), "sem_crash")
+    _write_vecs(landing / "w0.parquet", wave1)
+    incremental_semantic_refresh(
+        spark, bm, str(landing / "*.parquet"), target, threshold=thr, nlist=3, seed=7
+    )
+    _write_vecs(landing / "w1.parquet", wave2_decayed)
+    s_crash = incremental_semantic_refresh(
+        spark, bm, str(landing / "*.parquet"), target, threshold=thr, nlist=3, seed=7
+    )
+    assert s_crash["allow_share"] >= RECELL_ALLOW_SHARE_TRIGGER  # would have fired
+    # post-crash state: the wave committed, calibration still the old one,
+    # and the standing report still reads (the acting signal is the NEXT
+    # wave's per-wave share — the standing-vs-standing share measures a
+    # different matrix and may legitimately sit lower)
+    assert stored_semantic_nlist(target) == 3
+    rep_crash = semantic_allow_report(spark, target)
+    assert rep_crash["allow_share"] is not None and rep_crash["rows"] == 81
+    # restart the auto path: the next wave adopts the stored nlist (3),
+    # still sees the degraded share, and the recell fires now
+    s_r, rec_r = auto_wave("crash", 2, wave3)
+    assert rec_r is not None and rec_r["old_nlist"] == 3
+    assert rec_r["allow_share"] < RECELL_ALLOW_SHARE_TRIGGER
+    # the crashed-around corpus converges to the SAME accepted set as the
+    # no-crash decayed corpus (drop decisions are calibration-independent)
+    crash_ids = {r["vec_id"] for r in read_deduped(spark, target).collect()}
+    assert crash_ids == decay_ids
+
+
 def _passage_reference(waves, words=8):
     """Sequential single-node reference: walk passage instances in
     (wave, doc_id, block) order, keep a passage iff its digest was never
