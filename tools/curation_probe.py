@@ -1,0 +1,208 @@
+"""Scale probes for the r12 curation ops that had no measured curve
+(r12 verdict orders #5/#6): the epoch-mixture MATERIALIZER and the
+composed component-aware split.
+
+--mixture [sizes...]  (default 20000 80000 200000)
+    epoch_mixture_plan + materialize_epoch_mixture over a corpus with a
+    small high-quality source (1% of docs) weighted to run ~8 whole
+    epochs while the web bulk sub-samples. Claims under test
+    (queries/textops.py::materialize_epoch_mixture):
+      1. written token mass == the plan's planned_tokens EXACTLY at
+         every size (the explode(sequence) membership is the same
+         salted-hash set the plan counted);
+      2. wall is dominated by output volume (the parquet write of
+         planned-mass rows) — the explode itself adds no shuffle, so
+         docs/s of OUTPUT rows should hold roughly flat with size.
+    Prints one JSON line per size: wall, input docs, output rows,
+    planned vs written mass, output rows/s.
+
+--split [sizes...]  (default 20000 80000 200000)
+    component_aware_split over a duplicate-heavy corpus (every 8th doc
+    has a one-word-changed near-copy — 25% of docs sit in a near-dup
+    pair). The parts (MinHash-LSH banding,
+    min-label CC) have measured curves (docs/SCALE.md r7/r9); this
+    composes them + one narrow projection + an id-keyed left join, so
+    the composed wall should track the LSH+CC shape. Prints one JSON
+    line per size: wall, docs, near-dup components (size >= 2),
+    docs/s, split shares (expect ~90/5/5).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import random
+import shutil
+import sys
+import tempfile
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import pyspark.sql.functions as F
+
+from big_data_processing_with_aws_glue_workshop_spark.session import get_session
+
+
+def _mixture_corpus(spark, n_docs: int):
+    """1% 'prem' + 99% 'web'; ~32 words/doc, deterministic content."""
+    words = F.transform(
+        F.sequence(F.lit(0), F.lit(31)),
+        lambda i: F.concat(
+            F.lit("w"),
+            ((F.col("doc_id") * 37 + i * 101) % 50_000).cast("string"),
+        ),
+    )
+    return (
+        spark.range(n_docs)
+        .withColumnRenamed("id", "doc_id")
+        .select(
+            "doc_id",
+            F.when((F.col("doc_id") % 100) == 0, "prem").otherwise("web").alias("source"),
+            F.array_join(words, " ").alias("text"),
+        )
+    )
+
+
+def probe_mixture(sizes: list[int]) -> None:
+    from big_data_processing_with_aws_glue_workshop_spark.queries.textops import (
+        _tokens,
+        epoch_mixture_plan,
+        materialize_epoch_mixture,
+    )
+
+    spark = get_session(app_name="curation-probe-mixture")
+    for n in sizes:
+        docs = _mixture_corpus(spark, n)
+        total_mass = docs.select(F.sum(F.size(_tokens(F.col("text"))))).first()[0]
+        # prem (1% of mass) weighted to ~8.5 epochs; web sub-samples
+        weights = {"prem": 0.085, "web": 0.915}
+        out_dir = tempfile.mkdtemp(prefix="mixprobe_")
+        t0 = time.time()
+        plan = epoch_mixture_plan(docs, weights, total_tokens=int(total_mass))
+        planned = {r["source"]: r for r in plan.collect()}
+        t_plan = time.time() - t0
+        t1 = time.time()
+        materialize_epoch_mixture(docs, plan).write.mode("overwrite").parquet(
+            os.path.join(out_dir, "epoch0")
+        )
+        t_mat = time.time() - t1
+        written = (
+            spark.read.parquet(os.path.join(out_dir, "epoch0"))
+            .groupBy("source")
+            .agg(
+                F.count(F.lit(1)).alias("rows"),
+                F.sum(F.size(_tokens(F.col("text")))).alias("mass"),
+            )
+        )
+        got = {r["source"]: r for r in written.collect()}
+        out_rows = sum(int(r["rows"]) for r in got.values())
+        exact = all(
+            int(got[s]["mass"]) == int(planned[s]["planned_tokens"])
+            for s in got
+        ) and set(got) == {s for s, r in planned.items() if r["planned_tokens"] > 0}
+        print(
+            json.dumps(
+                {
+                    "op": "materialize_epoch_mixture",
+                    "docs": n,
+                    "prem_epochs": int(planned["prem"]["epochs"]),
+                    "plan_s": round(t_plan, 2),
+                    "materialize_s": round(t_mat, 2),
+                    "out_rows": out_rows,
+                    "out_rows_per_s": int(out_rows / t_mat),
+                    "mass_exact": exact,
+                    "planned_mass": int(sum(r["planned_tokens"] for r in planned.values())),
+                }
+            ),
+            flush=True,
+        )
+        shutil.rmtree(out_dir, ignore_errors=True)
+
+
+def _dup_heavy_corpus(spark, n_docs: int):
+    """40-word docs; every doc_id % 8 == 1 row is a near-copy (one word
+    changed) of the preceding row — n/8 near-dup pairs, 25% of docs in
+    a pair."""
+    # md5-derived words: no cross-doc arithmetic alignment (a linear
+    # congruence here creates SHIFTED near-dup chains — components of
+    # depth n/delta that no curation corpus exhibits)
+    base_words = F.transform(
+        F.sequence(F.lit(0), F.lit(39)),
+        lambda i: F.substring(
+            F.md5(F.concat(F.col("base").cast("string"), F.lit("_"), i.cast("string"))),
+            1,
+            8,
+        ),
+    )
+    return (
+        spark.range(n_docs)
+        .withColumnRenamed("id", "doc_id")
+        # near-copy rows share the previous row's base; others own theirs
+        .withColumn(
+            "base",
+            F.when((F.col("doc_id") % 8) == 1, F.col("doc_id") - 1).otherwise(
+                F.col("doc_id")
+            ),
+        )
+        .withColumn("w", base_words)
+        # the near-copy flips one word so jaccard stays high but < 1
+        .select(
+            "doc_id",
+            F.when(
+                (F.col("doc_id") % 8) == 1,
+                F.concat(
+                    F.array_join(F.slice("w", 1, 39), " "), F.lit(" CHANGED")
+                ),
+            )
+            .otherwise(F.array_join("w", " "))
+            .alias("text"),
+        )
+    )
+
+
+def probe_split(sizes: list[int]) -> None:
+    from big_data_processing_with_aws_glue_workshop_spark.queries.textops import (
+        component_aware_split,
+    )
+
+    spark = get_session(app_name="curation-probe-split")
+    for n in sizes:
+        docs = _dup_heavy_corpus(spark, n)
+        t0 = time.time()
+        out = component_aware_split(docs)
+        agg = out.agg(
+            F.count(F.lit(1)).alias("rows"),
+            F.countDistinct("component").alias("components"),
+            F.sum(F.when(F.col("split") == "train", 1).otherwise(0)).alias("tr"),
+            F.sum(F.when(F.col("split") == "val", 1).otherwise(0)).alias("va"),
+            F.sum(F.when(F.col("split") == "test", 1).otherwise(0)).alias("te"),
+        ).first()
+        wall = time.time() - t0
+        print(
+            json.dumps(
+                {
+                    "op": "component_aware_split",
+                    "docs": n,
+                    "wall_s": round(wall, 2),
+                    "docs_per_s": int(n / wall),
+                    "neardup_components": int(agg["rows"]) - int(agg["components"]),
+                    "shares": [
+                        round(int(agg[k]) / int(agg["rows"]), 4)
+                        for k in ("tr", "va", "te")
+                    ],
+                }
+            ),
+            flush=True,
+        )
+
+
+if __name__ == "__main__":
+    mode = sys.argv[1] if len(sys.argv) > 1 else "--mixture"
+    sizes = [int(x) for x in sys.argv[2:]] or [20_000, 80_000, 200_000]
+    if mode == "--mixture":
+        probe_mixture(sizes)
+    elif mode == "--split":
+        probe_split(sizes)
+    else:
+        raise SystemExit(f"unknown mode {mode!r} (use --mixture or --split)")
