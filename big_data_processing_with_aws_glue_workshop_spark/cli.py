@@ -170,6 +170,7 @@ def cmd_textpipe(args: argparse.Namespace) -> None:
         out_dir=args.output,
         min_chars=args.min_chars,
         budget=args.budget,
+        passage_decontam=args.passage_decontam,
     )
     _emit({"job": "textpipe", **summary})
 
@@ -928,6 +929,13 @@ def build_parser() -> argparse.ArgumentParser:
     t.add_argument("--output", default=None)
     t.add_argument("--min-chars", type=int, default=100)
     t.add_argument("--budget", type=int, default=2048)
+    t.add_argument(
+        "--passage-decontam",
+        action="store_true",
+        help="stage 4 rewrites leaked 8-word passages out of training "
+        "docs (span excision) instead of dropping whole docs that share "
+        "a 5-gram with the eval slice",
+    )
     t.set_defaults(func=cmd_textpipe)
 
     z = sub.add_parser(

@@ -47,10 +47,25 @@ def run_text_pipeline(
     out_dir: str | None = None,
     min_chars: int = 100,
     budget: int = _PACK_BUDGET,
+    passage_decontam: bool = False,
 ) -> dict:
     """Run the full pipeline; returns a summary dict of per-stage counts.
     If ``out_dir`` is given, writes the packed corpus parquet plus a
-    summary.json next to it."""
+    summary.json next to it.
+
+    ``passage_decontam`` swaps stage 4's contract from doc-DROP to
+    span-EXCISION (queries/textops.py::decontaminate_passages): a
+    training document sharing content with the eval slice is REWRITTEN
+    with the leaked 8-word passages excised instead of dropped whole —
+    only documents whose entire body is leaked (empty rewrite) drop.
+    Granularity trade, stated plainly: the doc-drop stage catches any
+    shared 5-gram; the excision stage catches leaks at 8-word-block
+    granularity (sliding on the eval side, block-cut on the doc side),
+    so a sub-block leak keeps its document — span excision is for
+    pipelines that accept that bound to preserve training mass.
+    Downstream stages are contract-unchanged: they read the rewritten
+    text through the same (doc_id, source, lang, text) columns, and the
+    eval slice itself never reaches the output under either mode."""
     from ..extensions.dedup_fuzzy import connected_components, minhash_near_duplicates
     from ..functions.text import word_shingles
 
@@ -101,41 +116,81 @@ def run_text_pipeline(
     # decision is logged in the summary dict.
     from ..operators.skew import adaptive_join, plan_equi_join
 
-    sh = word_shingles(neardup, "doc_id", "text", n=_CONTAM_N)
-    eval_sh = sh.filter((F.col("doc_id") % _EVAL_MOD) == 0).select("shingle")
-    train_sh = sh.filter((F.col("doc_id") % _EVAL_MOD) != 0)
-    # the planner's probe-0 bound: per-doc shingle instances are at most
-    # max(n_tokens - (N-1), 0), so ONE narrow aggregate over the CACHED
-    # survivor frame (no explode, no shuffle — ~the eval slice's token
-    # counts) bounds the eval shingle set. When even the bound fits the
-    # broadcast threshold the planner never has to evaluate the eval
-    # side; a giant eval suite falls through to the measured ladder.
-    n_tok = F.size(_tokens(F.col("text")))
-    bound = (
-        neardup.filter((F.col("doc_id") % _EVAL_MOD) == 0)
-        .agg(
+    passage_stats = None
+    if passage_decontam:
+        # 4'. span excision: rewrite instead of drop. The op routes its
+        # benchmark anti-join through the same measured planner with its
+        # own probe-0 bound (total eval token count bounds the sliding
+        # digest set at zero evaluation cost) — the decision is returned
+        # for the same audit-trail key the doc-drop join logs.
+        from ..queries.textops import decontaminate_passages
+
+        train = neardup.filter((F.col("doc_id") % _EVAL_MOD) != 0)
+        bench = neardup.filter((F.col("doc_id") % _EVAL_MOD) == 0).select("text")
+        rewritten, decontam_decision = decontaminate_passages(
+            train, bench, return_decision=True
+        )
+        rewritten = tracked_cache(
+            rewritten.withColumnRenamed("text_deduped", "text")
+        )
+        agg = rewritten.agg(
+            F.coalesce(F.sum("n_passages_dropped"), F.lit(0)).alias("excised"),
             F.coalesce(
-                F.sum(F.greatest(n_tok - (_CONTAM_N - 1), F.lit(0))), F.lit(0)
-            ).alias("b")
+                F.sum(F.when(F.col("n_passages_dropped") > 0, 1).otherwise(0)),
+                F.lit(0),
+            ).alias("touched"),
+            F.coalesce(
+                F.sum(F.when(F.col("text") == "", 1).otherwise(0)), F.lit(0)
+            ).alias("emptied"),
+        ).first()
+        passage_stats = {
+            "passages_excised": int(agg["excised"]),
+            "docs_rewritten": int(agg["touched"]) - int(agg["emptied"]),
+            "docs_dropped_fully_leaked": int(agg["emptied"]),
+        }
+        clean = tracked_cache(
+            rewritten.filter(F.col("text") != "").drop(
+                "n_passages", "n_passages_dropped"
+            )
         )
-        .first()["b"]
-    )
-    decontam_decision = plan_equi_join(
-        train_sh, eval_sh, ["shingle"], right_rows_upper_bound=int(bound)
-    )
-    contaminated = (
-        adaptive_join(
-            train_sh, eval_sh, ["shingle"], "left_semi", decision=decontam_decision
+        n_clean = clean.count()
+    else:
+        sh = word_shingles(neardup, "doc_id", "text", n=_CONTAM_N)
+        eval_sh = sh.filter((F.col("doc_id") % _EVAL_MOD) == 0).select("shingle")
+        train_sh = sh.filter((F.col("doc_id") % _EVAL_MOD) != 0)
+        # the planner's probe-0 bound: per-doc shingle instances are at
+        # most max(n_tokens - (N-1), 0), so ONE narrow aggregate over the
+        # CACHED survivor frame (no explode, no shuffle — ~the eval
+        # slice's token counts) bounds the eval shingle set. When even
+        # the bound fits the broadcast threshold the planner never has to
+        # evaluate the eval side; a giant eval suite falls through to the
+        # measured ladder.
+        n_tok = F.size(_tokens(F.col("text")))
+        bound = (
+            neardup.filter((F.col("doc_id") % _EVAL_MOD) == 0)
+            .agg(
+                F.coalesce(
+                    F.sum(F.greatest(n_tok - (_CONTAM_N - 1), F.lit(0))), F.lit(0)
+                ).alias("b")
+            )
+            .first()["b"]
         )
-        .select("doc_id")
-        .distinct()
-    )
-    clean = tracked_cache(
-        neardup.filter((F.col("doc_id") % _EVAL_MOD) != 0).join(
-            contaminated, "doc_id", "left_anti"
+        decontam_decision = plan_equi_join(
+            train_sh, eval_sh, ["shingle"], right_rows_upper_bound=int(bound)
         )
-    )
-    n_clean = clean.count()
+        contaminated = (
+            adaptive_join(
+                train_sh, eval_sh, ["shingle"], "left_semi", decision=decontam_decision
+            )
+            .select("doc_id")
+            .distinct()
+        )
+        clean = tracked_cache(
+            neardup.filter((F.col("doc_id") % _EVAL_MOD) != 0).join(
+                contaminated, "doc_id", "left_anti"
+            )
+        )
+        n_clean = clean.count()
 
     # 5. mixture: equalize per-source token budgets on the SURVIVORS
     with_tok = _with_tokens(clean)
@@ -184,7 +239,10 @@ def run_text_pipeline(
         # strategy-independent — all planner strategies are
         # row-multiset-identical
         "decontam_join": decontam_decision,
+        "decontam_mode": "passage" if passage_decontam else "drop",
     }
+    if passage_stats is not None:
+        summary.update(passage_stats)
     if out_dir:
         packed.select(
             "doc_id", "source", "lang", "n_tokens", "seq_id", "text"

@@ -1440,6 +1440,7 @@ def decontaminate_passages(
     id_col: str = "doc_id",
     text_col: str = "text",
     bench_text_col: str = "text",
+    return_decision: bool = False,
 ) -> DataFrame:
     """Passage-level BENCHMARK decontamination — the span-granularity
     excision Dolma-style pipelines run where whole-document dropping is
@@ -1517,12 +1518,17 @@ def decontaminate_passages(
     others = [c for c in rewritten.columns if c not in (
         "__rebuilt", "n_passages", "n_passages_dropped"
     )]
-    return rewritten.select(
+    out = rewritten.select(
         *others,
         F.col("__rebuilt").alias("text_deduped"),
         "n_passages",
         "n_passages_dropped",
     )
+    if return_decision:
+        # composed pipelines (plans/textpipe.py) log the planner decision
+        # in their summary audit trail, same as the doc-drop join
+        return out, decision
+    return out
 
 
 def passage_frames(

@@ -163,6 +163,92 @@ def test_cli_epoch_mixture_and_component_split(spark, tmp_path, capsys):
     assert out["docs"] == 210 and sum(out["splits"].values()) == 210
 
 
+def test_textpipe_passage_decontam_stage(spark, tmp_path):
+    """The passage-excision alternative to stage 4 (r12 verdict order
+    #8): with ``passage_decontam=True`` a training doc that leaks an
+    eval 8-word passage is REWRITTEN (leak excised, document kept)
+    where the doc-drop stage removes it whole; downstream stage
+    invariants (monotone counts, eval exclusion, no exact dups, packed
+    output) hold unchanged. Planted corpus so the leak is certain:
+    doc 1 starts with the exact 8-word passage an eval doc (id 17)
+    contains mid-text."""
+    import pyspark.sql.functions as F
+
+    from big_data_processing_with_aws_glue_workshop_spark.plans.textpipe import run_text_pipeline
+    from big_data_processing_with_aws_glue_workshop_spark.queries.textops import _EVAL_MOD
+
+    leak = "alpha bravo charlie delta echo foxtrot golf hotel"
+    rows = []
+    # eval doc (doc_id % 17 == 0): unique filler around the leak span,
+    # deliberately NOT block-aligned on the eval side (sliding windows
+    # must find it anyway)
+    rows.append(
+        (
+            17,
+            "s",
+            "en",
+            " ".join(f"e{j}word" for j in range(5))
+            + f" {leak} "
+            + " ".join(f"f{j}word" for j in range(20)),
+        )
+    )
+    # doc 1: leak block-aligned at block 0 + unique tail -> rewritten
+    rows.append((1, "s", "en", f"{leak} " + " ".join(f"u1x{j}" for j in range(32))))
+    # clean unique docs
+    for i in range(2, 30):
+        if i % _EVAL_MOD == 0:
+            continue
+        rows.append((i, "s", "en", " ".join(f"u{i}x{j}" for j in range(40))))
+    sf = tmp_path / "sf"
+    sf.mkdir()
+    spark.createDataFrame(
+        rows, "doc_id long, source string, lang string, text string"
+    ).write.parquet(str(sf / "documents.parquet"))
+
+    drop = run_text_pipeline(spark, str(sf))
+    out = str(tmp_path / "pipe")
+    span = run_text_pipeline(spark, str(sf), out_dir=out, passage_decontam=True)
+
+    # drop mode loses doc 1 (shared 5-grams with the eval doc); span
+    # mode keeps it rewritten
+    assert drop["decontam_mode"] == "drop"
+    assert span["decontam_mode"] == "passage"
+    assert span["after_decontamination"] == drop["after_decontamination"] + 1
+    assert span["passages_excised"] == 1
+    assert span["docs_rewritten"] == 1
+    assert span["docs_dropped_fully_leaked"] == 0
+    # both modes log a measured planner decision; the eval side is tiny
+    # so both pin broadcasts
+    assert drop["decontam_join"]["strategy"] == "broadcast"
+    assert span["decontam_join"]["strategy"] == "broadcast"
+
+    # downstream invariants unchanged: monotone counts, packed output
+    assert (
+        span["input_docs"]
+        >= span["after_quality"]
+        >= span["after_exact_dedup"]
+        >= span["after_near_dedup"]
+        >= span["after_decontamination"]
+        >= span["after_mixture"]
+        > 0
+    )
+    corpus = spark.read.parquet(f"{out}/packed_corpus")
+    assert corpus.count() == span["after_mixture"]
+    assert corpus.filter(F.col("doc_id") % _EVAL_MOD == 0).count() == 0
+    assert (
+        corpus.select(F.md5(F.col("text").cast("binary"))).distinct().count()
+        == span["after_mixture"]
+    )
+    # doc 1 survived WITH the leak excised and its own words intact
+    doc1 = corpus.filter(F.col("doc_id") == 1).collect()
+    assert len(doc1) == 1
+    assert "alpha bravo" not in doc1[0]["text"]
+    assert doc1[0]["text"].startswith("u1x0 ")
+    # and its n_tokens reflects the REWRITTEN text (downstream stages
+    # read the excised document, not the original)
+    assert doc1[0]["n_tokens"] == 32
+
+
 def test_textpipe_end_to_end(spark, sf_dir, tmp_path):
     """The composed training-data pipeline: stage counts monotonically
     decrease, stage invariants hold on the final corpus, output written."""
