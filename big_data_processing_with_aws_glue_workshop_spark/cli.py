@@ -757,6 +757,86 @@ def cmd_component_split(args: argparse.Namespace) -> None:
     )
 
 
+def cmd_token_budget_select(args: argparse.Namespace) -> None:
+    """Token-budget corpus selection job (queries/textops.py::
+    token_budget_selection): score every document by lexical diversity
+    (or take a precomputed score column), keep the quality-ranked prefix
+    whose cumulative token mass fits the budget, write the selected ids
+    with rank + running mass."""
+    import pyspark.sql.functions as F
+
+    from .queries.textops import token_budget_selection
+
+    spark = get_session(app_name="token-budget-select")
+    docs = spark.read.parquet(args.input)
+    if args.score_col:
+        scored = docs.select(
+            args.id_col,
+            F.col(args.score_col).alias("score"),
+            F.col(args.n_tokens_col).cast("bigint").alias("n_tokens"),
+        )
+    else:
+        toks = F.split(
+            F.trim(F.lower(F.col(args.text_col))), r"[ \t\n\f\r]+"
+        )
+        scored = docs.select(
+            args.id_col,
+            (F.size(F.array_distinct(toks)).cast("double") / F.size(toks)).alias(
+                "score"
+            ),
+            F.size(toks).cast("bigint").alias("n_tokens"),
+        )
+    out = token_budget_selection(
+        scored, args.budget_tokens, "score", id_col=args.id_col,
+        n_buckets=args.n_buckets,
+    )
+    out.write.mode("overwrite").parquet(args.output)
+    written = spark.read.parquet(args.output)
+    stats = written.agg(
+        F.count(F.lit(1)).alias("selected_docs"),
+        F.max("cum_tokens").alias("selected_tokens"),
+    ).first()
+    _emit(
+        {
+            "job": "token-budget-select",
+            "output": args.output,
+            "budget_tokens": args.budget_tokens,
+            "selected_docs": stats["selected_docs"],
+            "selected_tokens": stats["selected_tokens"] or 0,
+        }
+    )
+
+
+def cmd_split_leakage_audit(args: argparse.Namespace) -> None:
+    """Split leakage audit job (queries/textops.py::split_leakage_audit):
+    MinHash near-dup pairs joined against a completed (id, split)
+    assignment; reports pair counts per unordered split pair and the
+    leaked share."""
+    from .queries.textops import split_leakage_audit
+
+    spark = get_session(app_name="split-leakage-audit")
+    docs = spark.read.parquet(args.input)
+    assignment = spark.read.parquet(args.assignment)
+    rows = [
+        r.asDict()
+        for r in split_leakage_audit(
+            docs, assignment, id_col=args.id_col, text_col=args.text_col,
+            split_col=args.split_col, threshold=args.threshold,
+        ).collect()
+    ]
+    total = sum(r["n_pairs"] for r in rows)
+    leaked = sum(r["n_pairs"] for r in rows if r["leaked"])
+    _emit(
+        {
+            "job": "split-leakage-audit",
+            "pairs_total": total,
+            "pairs_leaked": leaked,
+            "leak_share": (leaked / total) if total else 0.0,
+            "by_split_pair": rows,
+        }
+    )
+
+
 def cmd_semantic_allow_report(args: argparse.Namespace) -> None:
     """On-demand re-cell trigger check (plans/incremental.py::
     semantic_allow_report): standing-vs-standing allowlist share under
@@ -1211,6 +1291,42 @@ def build_parser() -> argparse.ArgumentParser:
     cs.add_argument("--id-col", default="doc_id")
     cs.add_argument("--text-col", default="text")
     cs.set_defaults(func=cmd_component_split)
+
+    tb = sub.add_parser(
+        "token-budget-select",
+        help="quality-ranked corpus selection under a token budget: "
+        "distributed two-phase prefix sum (no single-partition global "
+        "window), inclusive running mass <= budget",
+    )
+    tb.add_argument("--input", required=True, help="documents parquet path")
+    tb.add_argument("--output", required=True, help="selected-docs dir")
+    tb.add_argument("--budget-tokens", type=int, required=True)
+    tb.add_argument(
+        "--score-col", default=None,
+        help="precomputed quality column (default: lexical-diversity "
+        "score computed from --text-col)",
+    )
+    tb.add_argument("--n-tokens-col", default="n_tokens")
+    tb.add_argument("--id-col", default="doc_id")
+    tb.add_argument("--text-col", default="text")
+    tb.add_argument("--n-buckets", type=int, default=256)
+    tb.set_defaults(func=cmd_token_budget_select)
+
+    sla = sub.add_parser(
+        "split-leakage-audit",
+        help="post-hoc near-dup leakage audit of a completed train/val/"
+        "test split: MinHash pairs x (id, split) assignment -> counts "
+        "per unordered split pair + leaked share",
+    )
+    sla.add_argument("--input", required=True, help="documents parquet path")
+    sla.add_argument(
+        "--assignment", required=True, help="(id, split) assignment parquet path"
+    )
+    sla.add_argument("--id-col", default="doc_id")
+    sla.add_argument("--text-col", default="text")
+    sla.add_argument("--split-col", default="split")
+    sla.add_argument("--threshold", type=float, default=0.8)
+    sla.set_defaults(func=cmd_split_leakage_audit)
 
     sar = sub.add_parser(
         "semantic-allow-report",

@@ -990,6 +990,134 @@ def materialize_epoch_mixture(
     )
 
 
+def token_budget_selection(
+    docs: DataFrame,
+    budget_tokens: int,
+    score_col: str,
+    id_col: str = "doc_id",
+    n_tokens_col: str = "n_tokens",
+    n_buckets: int = 256,
+) -> DataFrame:
+    """Quality-ranked corpus selection under a token budget: order the
+    corpus by ``score_col`` DESC (deterministic md5 tiebreak on the id)
+    and keep the longest prefix whose cumulative token mass stays within
+    ``budget_tokens`` — the "best N tokens" knapsack every pretraining
+    run starts from once a token budget is fixed (DeepMind's Chinchilla
+    framing: the budget is the given; which documents fill it is this
+    operator's decision).
+
+    Semantics (exactly the SQL twin): a document is selected iff its
+    inclusive running token sum over (score DESC, tiebreak ASC) is
+    <= budget. Output one row per SELECTED document:
+    (id, score, n_tokens, sel_rank, cum_tokens), sel_rank the 1-based
+    global rank in selection order, cum_tokens the inclusive prefix sum.
+
+    Scale shape — the naive expression of this is a GLOBAL
+    ``sum() OVER (ORDER BY score DESC)`` window, which Spark executes in
+    a SINGLE partition: the whole corpus funnels through one task, the
+    100 TB scale-killer. This implementation is the classic two-phase
+    distributed prefix sum instead:
+
+    1. bucket each doc by a monotone transform of its score into
+       ``n_buckets`` range buckets (one tiny min/max aggregate fixes the
+       range; monotone => bucket order agrees with score order);
+    2. ONE hash aggregate to per-bucket (token mass, doc count) —
+       <= n_buckets rows collected to the driver;
+    3. driver-side prefix over the sorted bucket list classifies every
+       bucket FULL / PARTIAL / EXCLUDED and computes its token/rank
+       offsets (a broadcast-sized table by construction);
+    4. EXCLUDED buckets are filtered out BEFORE any shuffle (the
+       rejected mass never moves); survivors run the running sum as a
+       window partitioned BY BUCKET — parallel across buckets, and only
+       the single PARTIAL bucket's rows actually need the in-bucket
+       boundary cut.
+
+    Worst-case skew is one bucket holding most of the surviving mass
+    (near-constant scores); raise ``n_buckets`` (the driver table stays
+    tiny up to ~10^5 buckets) or pre-discretize the score. All cumulative
+    arithmetic is exact bigint; the float bucketing only PARTITIONS the
+    work and cannot move a document across the selection boundary.
+    """
+    if budget_tokens < 0:
+        raise ValueError(f"budget_tokens must be >= 0, got {budget_tokens}")
+    if n_buckets < 1:
+        raise ValueError(f"n_buckets must be >= 1, got {n_buckets}")
+    tiebreak = F.md5(F.concat(F.lit("tbs:"), F.col(id_col).cast("string")))
+    # NULL score = unrankable = never selected (the SQL twin filters the
+    # same way); keeping NULLs would poison the bucket map.
+    per = docs.select(
+        id_col,
+        F.col(score_col).cast("double").alias("score"),
+        F.col(n_tokens_col).cast("bigint").alias("n_tokens"),
+        tiebreak.alias("tiebreak"),
+    ).filter(F.col("score").isNotNull())
+    lo, hi = per.agg(F.min("score"), F.max("score")).first()
+    if lo is None:  # empty corpus (or all-NULL scores: nothing rankable)
+        return per.select(
+            id_col,
+            "score",
+            "n_tokens",
+            F.lit(0).cast("bigint").alias("sel_rank"),
+            F.lit(0).cast("bigint").alias("cum_tokens"),
+        ).limit(0)
+    span = hi - lo
+    # Monotone score -> bucket map; degenerate span (all-equal scores,
+    # or inf/nan span) collapses to one bucket — correct, just serial.
+    if span > 0 and span != float("inf") and span == span:
+        bucket = F.least(
+            F.lit(n_buckets - 1),
+            F.floor((F.col("score") - F.lit(lo)) / F.lit(span) * n_buckets),
+        ).cast("int")
+    else:
+        bucket = F.lit(0)
+    per = per.select("*", bucket.alias("bucket"))
+    bstats = {
+        int(r["bucket"]): (int(r["toks"]), int(r["cnt"]))
+        for r in per.groupBy("bucket")
+        .agg(F.sum("n_tokens").alias("toks"), F.count(F.lit(1)).alias("cnt"))
+        .collect()
+    }
+    # Driver prefix pass, high bucket (best score) first. A bucket is
+    # FULL when even its last doc fits, EXCLUDED when even its first
+    # doesn't; only the straddling bucket needs the in-bucket cut.
+    rows, tok_off, cnt_off = [], 0, 0
+    for b in sorted(bstats, reverse=True):
+        toks, cnt = bstats[b]
+        if tok_off + toks <= budget_tokens:
+            cls = "FULL"
+        elif tok_off < budget_tokens:
+            cls = "PARTIAL"
+        else:
+            cls = "EXCLUDED"
+        rows.append((b, tok_off, cnt_off, cls))
+        tok_off += toks
+        cnt_off += cnt
+    spark = docs.sparkSession
+    offsets = spark.createDataFrame(
+        rows, "bucket int, tok_off long, cnt_off long, cls string"
+    )
+    w = Window.partitionBy("bucket").orderBy(
+        F.col("score").desc(), F.col("tiebreak").asc()
+    )
+    return (
+        per.join(F.broadcast(offsets), "bucket")
+        .filter(F.col("cls") != "EXCLUDED")
+        .select(
+            id_col,
+            "score",
+            "n_tokens",
+            "cls",
+            (F.col("cnt_off") + F.row_number().over(w)).alias("sel_rank"),
+            (
+                F.col("tok_off")
+                + F.sum("n_tokens").over(w.rowsBetween(Window.unboundedPreceding, 0))
+            ).alias("cum_tokens"),
+        )
+        .filter((F.col("cls") == "FULL") | (F.col("cum_tokens") <= budget_tokens))
+        .select(id_col, "score", "n_tokens", "sel_rank", "cum_tokens")
+    )
+
+
 def q_doc_repetition_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Within-document repetition scoring (the Gopher/MassiveText quality
     signal): fraction of NON-distinct word 3-grams inside each doc. Highly
@@ -1970,6 +2098,78 @@ def component_aware_split(
         .when(h < _SPLIT_VAL_LT, "val")
         .otherwise("test")
         .alias("split"),
+    )
+
+
+def split_leakage_audit(
+    docs: DataFrame,
+    assignment: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    split_col: str = "split",
+    n_hashes: int = 64,
+    bands: int = 16,
+    shingle_n: int = 3,
+    threshold: float = 0.8,
+    seed: int = 42,
+) -> DataFrame:
+    """Post-hoc eval-leakage audit of a COMPLETED train/val/test split:
+    find the near-duplicate pairs (MinHash-LSH, same parameters as
+    :func:`component_aware_split`) and count them by the (unordered)
+    pair of splits their endpoints landed in. A pair with
+    ``leaked = 1`` (endpoints in different splits) is a benchmark
+    document whose near-twin is in train — exactly the contamination
+    mode the component-aware split PREVENTS by construction and a plain
+    per-doc hash split cannot; this operator is the verification side of
+    that pair: run it on any split you didn't build leakage-free (a
+    legacy split, a vendor's split, the per-doc hash split) before
+    trusting its eval numbers.
+
+    ``assignment`` is any (id, split) frame — the output of
+    :func:`component_aware_split`, the per-doc hash arithmetic, or an
+    external split table. Returns one row per observed unordered split
+    pair: (split_a, split_b, n_pairs, leaked), split_a <= split_b,
+    ordered by n_pairs DESC.
+
+    Scale shape: candidate volume is the LSH-banded pair stream (the
+    measured dedup-family bound — never all-pairs); the audit itself
+    adds two id-keyed equi-joins of that pair stream against the narrow
+    (id, split) projection and ONE hash aggregate over at most
+    |splits|^2 keys. The corpus text never moves after shingling."""
+    from ..extensions.dedup_fuzzy import minhash_near_duplicates
+
+    pairs = minhash_near_duplicates(
+        docs, id_col=id_col, text_col=text_col,
+        n_hashes=n_hashes, bands=bands, shingle_n=shingle_n,
+        threshold=threshold, seed=seed,
+    )
+    a = assignment.select(
+        F.col(id_col).alias("__aid"), F.col(split_col).alias("__asplit")
+    )
+    b = assignment.select(
+        F.col(id_col).alias("__bid"), F.col(split_col).alias("__bsplit")
+    )
+    tagged = (
+        pairs.join(a, pairs["d1"] == F.col("__aid"))
+        .join(b, pairs["d2"] == F.col("__bid"))
+        .select(
+            F.least("__asplit", "__bsplit").alias("split_a"),
+            F.greatest("__asplit", "__bsplit").alias("split_b"),
+        )
+    )
+    return (
+        tagged.groupBy("split_a", "split_b")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_pairs"))
+        .select(
+            "split_a",
+            "split_b",
+            "n_pairs",
+            F.when(F.col("split_a") != F.col("split_b"), 1)
+            .otherwise(0)
+            .cast("int")
+            .alias("leaked"),
+        )
+        .orderBy(F.col("n_pairs").desc(), "split_a", "split_b")
     )
 
 

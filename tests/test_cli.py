@@ -1008,3 +1008,60 @@ def test_cli_passage_refresh(spark, tmp_path, capsys):
         for r in read_deduped(spark, str(tmp_path / "corpus")).collect()
     }
     assert got[2] == "q r s t u v w x trailing tail"
+
+
+def test_cli_token_budget_select_and_split_leakage_audit(spark, tmp_path, capsys):
+    """The two r13 curation jobs e2e: token-budget-select keeps the
+    quality-ranked prefix whose running mass fits the budget (default
+    lexical-diversity score: the all-repeats doc is ranked last and
+    falls outside the budget); split-leakage-audit reports the planted
+    cross-split near-dup pair against a hand-written assignment."""
+    import json as _json
+
+    from big_data_processing_with_aws_glue_workshop_spark.cli import main
+
+    # twins: 20 distinct words, each twice -> diversity ~21/41, BETWEEN
+    # the high-diversity short docs (1.0) and the spam doc (0.1)
+    body = " ".join(f"w{j % 20}" for j in range(40))
+    rows = [
+        (1, "s", " ".join(f"a{j}" for j in range(10))),   # diversity 1.0
+        (2, "s", " ".join(f"b{j}" for j in range(10))),   # diversity 1.0
+        (3, "s", "spam " * 9 + "spam"),                   # diversity 0.1
+        (10, "s", body + " alpha"),                       # near-dup twin A
+        (11, "s", body + " beta"),                        # near-dup twin B
+    ]
+    spark.createDataFrame(
+        rows, "doc_id long, source string, text string"
+    ).coalesce(1).write.parquet(str(tmp_path / "docs"))
+
+    main([
+        "token-budget-select",
+        "--input", str(tmp_path / "docs"),
+        "--output", str(tmp_path / "sel"),
+        "--budget-tokens", "65",
+    ])
+    out = _json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    sel = spark.read.parquet(str(tmp_path / "sel"))
+    ids = {r["doc_id"] for r in sel.collect()}
+    # exact membership: ranks by (score desc): 1,2 (1.0, tiebreak
+    # between them), then 10/11 (~0.51, tiebreak), then 3 (0.1).
+    # 10+10+41 = 61 <= 65; the second twin would blow the budget, and
+    # doc 3 ranks after it so the PREFIX rule stops at 61.
+    assert ids == {1, 2, 10} or ids == {1, 2, 11}
+    assert out["selected_docs"] == 3 and out["selected_tokens"] == 61
+
+    assignment = [(1, "train"), (2, "train"), (3, "val"), (10, "train"), (11, "test")]
+    spark.createDataFrame(
+        assignment, "doc_id long, split string"
+    ).coalesce(1).write.parquet(str(tmp_path / "assign"))
+    main([
+        "split-leakage-audit",
+        "--input", str(tmp_path / "docs"),
+        "--assignment", str(tmp_path / "assign"),
+    ])
+    out = _json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert out["pairs_total"] == 1 and out["pairs_leaked"] == 1
+    assert out["leak_share"] == 1.0
+    assert out["by_split_pair"] == [
+        {"split_a": "test", "split_b": "train", "n_pairs": 1, "leaked": 1}
+    ]

@@ -930,3 +930,216 @@ def test_dedup_passages_duplicate_id_no_double_emit(spark):
     for r in rows:
         assert r["text_deduped"] == f"{p1} end"
         assert (r["n_passages"], r["n_passages_dropped"]) == (1, 0)
+
+
+# ---------------------------------------------------------------------------
+# token_budget_selection (r13): quality-ranked knapsack under a token budget
+
+
+_TOKEN_BUDGET_ORACLE = """
+    WITH per AS (
+      SELECT doc_id,
+             CAST(len(list_distinct(toks)) AS DOUBLE) / len(toks) AS score,
+             CAST(len(toks) AS BIGINT) AS n_tokens,
+             md5('tbs:' || CAST(doc_id AS VARCHAR)) AS tiebreak
+      FROM (
+        SELECT doc_id,
+               string_split_regex(trim(lower(text)), '[ \\t\\n\\f\\r]+') AS toks
+        FROM documents
+      )
+    ),
+    c AS (
+      SELECT doc_id, score, n_tokens,
+             ROW_NUMBER() OVER (ORDER BY score DESC, tiebreak ASC) AS sel_rank,
+             SUM(n_tokens) OVER (ORDER BY score DESC, tiebreak ASC
+                                 ROWS UNBOUNDED PRECEDING) AS cum_tokens
+      FROM per
+    )
+    SELECT doc_id, score, n_tokens,
+           CAST(sel_rank AS BIGINT) AS sel_rank,
+           CAST(cum_tokens AS BIGINT) AS cum_tokens
+    FROM c WHERE cum_tokens <= {budget}
+"""
+
+
+def _scored_docs(spark, sf_dir):
+    """documents scored by lexical diversity (distinct-token ratio) — an
+    order genuinely uncorrelated with doc_id, so the budget boundary cuts
+    mid-corpus and mid-bucket."""
+    from big_data_processing_with_aws_glue_workshop_spark.queries._tables import load
+
+    d = load(spark, sf_dir, "documents")
+    toks = F.split(F.trim(F.lower(F.col("text"))), r"[ \t\n\f\r]+")
+    return d.select(
+        "doc_id",
+        (F.size(F.array_distinct(toks)).cast("double") / F.size(toks)).alias(
+            "score"
+        ),
+        F.size(toks).cast("bigint").alias("n_tokens"),
+    )
+
+
+def test_token_budget_selection_matches_oracle(spark, sf_dir):
+    """The distributed two-phase prefix sum is held to the NAIVE global
+    window the SQL twin runs: identical selected set, ranks and inclusive
+    cumulative sums at half the corpus token mass (the boundary falls
+    inside a PARTIAL bucket, so the in-bucket cut is exercised)."""
+    from big_data_processing_with_aws_glue_workshop_spark.queries.textops import (
+        token_budget_selection,
+    )
+    from tests.oracle_harness import compare
+
+    scored = _scored_docs(spark, sf_dir)
+    total = scored.agg(F.sum("n_tokens")).first()[0]
+    budget = int(total) // 2
+    out = token_budget_selection(scored, budget, "score")
+    compare(out, _TOKEN_BUDGET_ORACLE.format(budget=budget), sf_dir)
+
+
+def test_token_budget_selection_bucket_invariance(spark, sf_dir):
+    """Bucketing only PARTITIONS the prefix-sum work: n_buckets=1 (fully
+    serial), 7 (every bucket straddles ties) and 256 must produce the
+    byte-identical selection, and a repartitioned input must too."""
+    from big_data_processing_with_aws_glue_workshop_spark.queries.textops import (
+        token_budget_selection,
+    )
+
+    scored = _scored_docs(spark, sf_dir)
+    total = int(scored.agg(F.sum("n_tokens")).first()[0])
+    budget = total // 3
+    base = sorted(
+        tuple(r) for r in token_budget_selection(scored, budget, "score").collect()
+    )
+    for nb in (1, 7):
+        got = sorted(
+            tuple(r)
+            for r in token_budget_selection(
+                scored, budget, "score", n_buckets=nb
+            ).collect()
+        )
+        assert got == base, f"n_buckets={nb} diverged"
+    got = sorted(
+        tuple(r)
+        for r in token_budget_selection(
+            scored.repartition(13), budget, "score"
+        ).collect()
+    )
+    assert got == base
+
+
+def test_token_budget_selection_semantics(spark):
+    """Contract on a hand-built corpus: inclusive-prefix selection rule,
+    budget monotonicity (smaller budget selects a PREFIX of the larger
+    selection), edge budgets, and NULL-score exclusion."""
+    from big_data_processing_with_aws_glue_workshop_spark.queries.textops import (
+        token_budget_selection,
+    )
+
+    rows = [(i, float((i * 7) % 10), 10 + (i % 4)) for i in range(40)]
+    rows.append((99, None, 5))  # NULL score: unrankable, never selected
+    docs = spark.createDataFrame(rows, "doc_id long, score double, n_tokens long")
+    total = sum(r[2] for r in rows if r[1] is not None)
+
+    assert token_budget_selection(docs, 0, "score").count() == 0
+    full = token_budget_selection(docs, total, "score").collect()
+    assert len(full) == 40  # every scored doc, never the NULL-score one
+    assert max(r["cum_tokens"] for r in full) == total
+    assert sorted(r["sel_rank"] for r in full) == list(range(1, 41))
+    # inclusive rule: cum_tokens of every selected row <= budget, and the
+    # selection is exactly the rank prefix
+    half = token_budget_selection(docs, total // 2, "score").collect()
+    assert all(r["cum_tokens"] <= total // 2 for r in half)
+    full_by_rank = {r["sel_rank"]: r["doc_id"] for r in full}
+    assert {r["sel_rank"]: r["doc_id"] for r in half} == {
+        k: v for k, v in full_by_rank.items() if k <= len(half)
+    }
+    with pytest.raises(ValueError, match="budget_tokens"):
+        token_budget_selection(docs, -1, "score")
+    with pytest.raises(ValueError, match="n_buckets"):
+        token_budget_selection(docs, 10, "score", n_buckets=0)
+    # empty corpus
+    empty = docs.limit(0)
+    assert token_budget_selection(empty, 100, "score").count() == 0
+    # all-equal scores collapse to one bucket and still select by tiebreak
+    eq = spark.createDataFrame(
+        [(i, 1.0, 10) for i in range(10)], "doc_id long, score double, n_tokens long"
+    )
+    sel = token_budget_selection(eq, 35, "score").collect()
+    assert len(sel) == 3 and max(r["cum_tokens"] for r in sel) == 30
+
+
+# ---------------------------------------------------------------------------
+# split_leakage_audit (r13): post-hoc near-dup leakage check on a split
+
+
+def _dup_heavy_corpus(spark):
+    """30 docs: ids 3k/3k+1 are near-identical (one trailing word differs
+    over a 40-word body -> Jaccard ~0.95), ids 3k+2 unique."""
+    import random
+
+    rng = random.Random(5)
+    vocab = [f"w{j}" for j in range(400)]
+    rows = []
+    for k in range(10):
+        body = " ".join(rng.choice(vocab) for _ in range(40))
+        rows.append((3 * k, "s", body + " alpha"))
+        rows.append((3 * k + 1, "s", body + " beta"))
+        rows.append((3 * k + 2, "s", " ".join(rng.choice(vocab) for _ in range(40))))
+    return spark.createDataFrame(rows, "doc_id long, source string, text string")
+
+
+def test_split_leakage_audit_counts_match_python_mirror(spark):
+    """The audit's (split pair -> count) table must equal a Python fold of
+    the SAME (already hash-gated) minhash pair stream against the
+    assignment — pins the join+normalize+aggregate layer exactly."""
+    from collections import Counter
+
+    from big_data_processing_with_aws_glue_workshop_spark.extensions.dedup_fuzzy import (
+        minhash_near_duplicates,
+    )
+    from big_data_processing_with_aws_glue_workshop_spark.queries.textops import (
+        split_leakage_audit,
+    )
+
+    docs = _dup_heavy_corpus(spark)
+    names = ["train", "val", "test"]
+    assignment = docs.select(
+        "doc_id",
+        F.element_at(
+            F.array(*[F.lit(n) for n in names]),
+            (F.col("doc_id") % 3 + 1).cast("int"),
+        ).alias("split"),
+    )
+    split_of = {r["doc_id"]: r["split"] for r in assignment.collect()}
+    pairs = minhash_near_duplicates(docs, n_hashes=64, bands=16).collect()
+    assert pairs, "fixture must produce near-dup pairs"
+    expected = Counter(
+        tuple(sorted((split_of[r["d1"]], split_of[r["d2"]])) ) for r in pairs
+    )
+    got = split_leakage_audit(docs, assignment).collect()
+    assert {
+        (r["split_a"], r["split_b"]): r["n_pairs"] for r in got
+    } == {k: v for k, v in expected.items()}
+    for r in got:
+        assert r["leaked"] == int(r["split_a"] != r["split_b"])
+    # the %3 assignment splits every planted twin pair (3k vs 3k+1), so
+    # leakage must be observed
+    assert any(r["leaked"] == 1 for r in got)
+
+
+def test_split_leakage_audit_component_split_is_leak_free(spark):
+    """The verification side of component_aware_split's guarantee: the
+    audit run WITH THE SAME MinHash parameters over the component-aware
+    assignment reports zero cross-split pairs, while the per-doc hash
+    split on the same corpus is not structurally protected."""
+    from big_data_processing_with_aws_glue_workshop_spark.queries.textops import (
+        component_aware_split,
+        split_leakage_audit,
+    )
+
+    docs = _dup_heavy_corpus(spark)
+    assignment = component_aware_split(docs)
+    got = split_leakage_audit(docs, assignment).collect()
+    assert got, "audit must see the planted near-dup pairs"
+    assert all(r["leaked"] == 0 for r in got)
+    assert all(r["split_a"] == r["split_b"] for r in got)
