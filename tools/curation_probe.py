@@ -1,6 +1,7 @@
-"""Scale probes for the r12 curation ops that had no measured curve
-(r12 verdict orders #5/#6): the epoch-mixture MATERIALIZER and the
-composed component-aware split.
+"""Scale probes for the r12/r13 curation ops: the epoch-mixture
+MATERIALIZER and the composed component-aware split (r12 verdict
+orders #5/#6), plus the r13 additions — token-budget selection
+(--budget) and the split leakage audit (--leakage).
 
 --mixture [sizes...]  (default 20000 80000 200000)
     epoch_mixture_plan + materialize_epoch_mixture over a corpus with a
@@ -197,6 +198,128 @@ def probe_split(sizes: list[int]) -> None:
         )
 
 
+def probe_budget(sizes: list[int]) -> None:
+    """token_budget_selection over a corpus with a deterministic,
+    id-uncorrelated score at budget = 50% of total mass. Claims under
+    test (queries/textops.py::token_budget_selection):
+      1. NO single-partition global window: the running sum is a window
+         PARTITIONED BY the score bucket (checked from the plan text);
+      2. wall grows ~linearly (two narrow aggregates + one bucketed
+         window over survivors), docs/s roughly flat with size;
+      3. selected mass is the maximal <=-budget prefix: max(cum_tokens)
+         <= budget < max + the smallest unselected FULL/PARTIAL doc —
+         verified exactly against the per-size totals."""
+    from big_data_processing_with_aws_glue_workshop_spark.queries.textops import (
+        token_budget_selection,
+    )
+
+    spark = get_session(app_name="curation-probe-budget")
+    for n in sizes:
+        docs = _dup_heavy_corpus(spark, n)
+        # score: md5-derived uniform in [0,1), uncorrelated with id order;
+        # n_tokens varies 10..49 so the boundary cuts mid-bucket
+        scored = docs.select(
+            "doc_id",
+            (
+                F.conv(F.substring(F.md5(F.concat(F.lit("s:"), F.col("doc_id"))), 1, 6), 16, 10)
+                .cast("double")
+                / F.lit(float(16**6))
+            ).alias("score"),
+            (10 + F.col("doc_id") % 40).cast("bigint").alias("n_tokens"),
+        ).cache()
+        total = int(scored.agg(F.sum("n_tokens")).first()[0])
+        budget = total // 2
+        t0 = time.time()
+        out = token_budget_selection(scored, budget, "score")
+        agg = out.agg(
+            F.count(F.lit(1)).alias("sel"), F.max("cum_tokens").alias("mass")
+        ).first()
+        wall = time.time() - t0
+        # a global ORDER BY window plans an `Exchange SinglePartition`;
+        # the bucketed window plans hashpartitioning(bucket)
+        plan = out._jdf.queryExecution().executedPlan().toString()
+        single_part_window = "SinglePartition" in plan
+        print(
+            json.dumps(
+                {
+                    "op": "token_budget_selection",
+                    "docs": n,
+                    "wall_s": round(wall, 2),
+                    "docs_per_s": int(n / wall),
+                    "selected": int(agg["sel"]),
+                    "selected_mass": int(agg["mass"]),
+                    "budget": budget,
+                    "mass_within_budget": int(agg["mass"]) <= budget,
+                    "single_partition_window": single_part_window,
+                }
+            ),
+            flush=True,
+        )
+        assert int(agg["mass"]) <= budget
+        assert not single_part_window, "global-window scale-killer detected"
+        scored.unpersist()
+
+
+def probe_leakage(sizes: list[int]) -> None:
+    """split_leakage_audit over the dup-heavy corpus with the PER-DOC
+    hash split (the assignment that CAN leak). Claims under test:
+      1. the audit wall tracks the minhash pair stream (the measured
+         LSH shape) + two id-keyed joins + one tiny aggregate;
+      2. the observed leak share of near-dup pairs is ~2*(0.05+0.05+
+         0.05*0.05... i.e. 1 - (0.9^2+0.05^2+0.05^2 normalized)) — the
+         split-independence arithmetic: P(two independent docs land in
+         different splits) = 1 - (0.9^2 + 0.05^2 + 0.05^2) = 0.185."""
+    from big_data_processing_with_aws_glue_workshop_spark.queries.textops import (
+        _SPLIT_TRAIN_LT,
+        _SPLIT_VAL_LT,
+        split_leakage_audit,
+    )
+
+    spark = get_session(app_name="curation-probe-leakage")
+    for n in sizes:
+        docs = _dup_heavy_corpus(spark, n).cache()
+        docs.count()
+        h = (
+            F.conv(
+                F.substring(
+                    F.md5(F.concat(F.lit("split:"), F.col("doc_id").cast("string"))),
+                    1,
+                    15,
+                ),
+                16,
+                10,
+            ).cast("bigint")
+            % 1_000_000
+        )
+        assignment = docs.select(
+            "doc_id",
+            F.when(h < _SPLIT_TRAIN_LT, "train")
+            .when(h < _SPLIT_VAL_LT, "val")
+            .otherwise("test")
+            .alias("split"),
+        )
+        t0 = time.time()
+        rows = split_leakage_audit(docs, assignment).collect()
+        wall = time.time() - t0
+        total = sum(r["n_pairs"] for r in rows)
+        leaked = sum(r["n_pairs"] for r in rows if r["leaked"])
+        print(
+            json.dumps(
+                {
+                    "op": "split_leakage_audit",
+                    "docs": n,
+                    "wall_s": round(wall, 2),
+                    "docs_per_s": int(n / wall),
+                    "pairs": total,
+                    "leaked": leaked,
+                    "leak_share": round(leaked / total, 4) if total else None,
+                }
+            ),
+            flush=True,
+        )
+        docs.unpersist()
+
+
 if __name__ == "__main__":
     mode = sys.argv[1] if len(sys.argv) > 1 else "--mixture"
     sizes = [int(x) for x in sys.argv[2:]] or [20_000, 80_000, 200_000]
@@ -204,5 +327,11 @@ if __name__ == "__main__":
         probe_mixture(sizes)
     elif mode == "--split":
         probe_split(sizes)
+    elif mode == "--budget":
+        probe_budget(sizes)
+    elif mode == "--leakage":
+        probe_leakage(sizes)
     else:
-        raise SystemExit(f"unknown mode {mode!r} (use --mixture or --split)")
+        raise SystemExit(
+            f"unknown mode {mode!r} (use --mixture, --split, --budget or --leakage)"
+        )

@@ -21,7 +21,14 @@ increment x standing quadratic, and the drop counts.
 
 Usage: python tools/semantic_probe.py [n_waves] [wave_size] [--uniform]
        python tools/semantic_probe.py --join [right_sizes ...]
+       python tools/semantic_probe.py --join-prod [right_sizes ...]
        python tools/semantic_probe.py --recell [n_waves] [wave_size]
+
+``--join-prod`` re-runs the derived-vs-fixed nlist comparison on a
+PRODUCTION-SHAPED fixture (cluster count scaling with the corpus,
+Zipf-skewed membership) — the r12 verdict's watch item on the derived
+~sqrt(n) default, whose only measured downside came from the 16-blob
+synthetic whose cluster count does NOT scale.
 
 ``--recell`` measures the pinned-centroid decay + recovery story: a
 fixture with far MORE blob structure (128 blobs) than the pinned 16
@@ -63,13 +70,23 @@ THRESHOLD = 0.95
 NLIST = 16
 
 
-def make_waves(n_waves: int, wave, n_blobs: int, uniform: bool, seed: int = 7):
-    """``wave`` is a per-wave size (int) or a list of per-wave sizes."""
+def make_waves(
+    n_waves: int, wave, n_blobs: int, uniform: bool, seed: int = 7,
+    zipf: float | None = None,
+):
+    """``wave`` is a per-wave size (int) or a list of per-wave sizes.
+    ``zipf`` skews blob membership heavy-tailed (weight 1/rank^zipf) —
+    the production-shaped regime where a few dominant topics hold most
+    of the corpus and a long tail of small clusters holds the rest."""
     sizes = wave if isinstance(wave, list) else [wave] * n_waves
     rng = random.Random(seed)
     nrng = np.random.default_rng(seed)
     centers = nrng.normal(size=(n_blobs, DIM))
     centers /= np.linalg.norm(centers, axis=1, keepdims=True)
+    blob_ids = list(range(n_blobs))
+    blob_weights = (
+        [1.0 / (r + 1) ** zipf for r in blob_ids] if zipf is not None else None
+    )
     waves, all_rows, vid = [], [], 0
     for size in sizes:
         rows = []
@@ -80,6 +97,9 @@ def make_waves(n_waves: int, wave, n_blobs: int, uniform: bool, seed: int = 7):
                 v = np.array(base) + nrng.normal(scale=0.01, size=DIM)
             elif uniform:
                 v = nrng.normal(size=DIM)
+            elif blob_weights is not None:
+                c = centers[rng.choices(blob_ids, weights=blob_weights, k=1)[0]]
+                v = c + nrng.normal(scale=0.035, size=DIM)
             else:
                 # sigma 0.035/dim => perturbation length ~0.28 vs unit
                 # centers: blob angular radius ~16 deg, so intra-blob
@@ -162,6 +182,54 @@ def join_mode(sizes: list[int], derived: bool = False, brute: bool = True) -> No
         ldf.unpersist(), rdf.unpersist()
 
 
+def join_prod_mode(sizes: list[int]) -> None:
+    """Production-shaped fixture for the derived-nlist rule (the r12
+    verdict's standing watch: the 16-blob synthetic showed derived
+    ~sqrt(n) cells up to 1.8x SLOWER at 80k-200k because over-celling a
+    16-cluster corpus pays fit + allowlist + finer blocks for no extra
+    pruning). Here the cluster structure scales WITH the corpus —
+    n_blobs = n/1500 (capped 2048), Zipf-1.1 membership (a few dominant
+    topics, long tail) — the regime a real embedding corpus exhibits.
+    Both nlist policies run the SAME fixture; the exact join's recall is
+    1.0 for any nlist, so equal pair counts double as the cross-check."""
+    import math as _math
+
+    from big_data_processing_with_aws_glue_workshop_spark.extensions.similarity import (
+        cosine_similarity_join,
+    )
+
+    spark = get_session(app_name="semantic-probe-join-prod")
+    for n in sizes:
+        n_blobs = max(16, min(2048, n // 1500))
+        right_rows, left_rows = make_waves(
+            2, [n, 2_000], n_blobs=n_blobs, uniform=False, zipf=1.1
+        )
+        ldf = spark.createDataFrame(
+            left_rows, "qid long, embedding array<float>"
+        ).repartition(32).cache()
+        rdf = spark.createDataFrame(
+            right_rows, "cid long, embedding array<float>"
+        ).repartition(32).cache()
+        ldf.count(), rdf.count()
+        pair_counts = {}
+        for derived in (False, True):
+            nlist = max(4, min(1024, _math.isqrt(n))) if derived else NLIST
+            t0 = time.time()
+            pairs = cosine_similarity_join(
+                ldf, rdf, threshold=THRESHOLD, left_id="qid", right_id="cid",
+                nlist=nlist,
+            ).count()
+            wall = time.time() - t0
+            pair_counts["derived" if derived else "fixed"] = pairs
+            print(json.dumps({
+                "right_n": n, "n_blobs": n_blobs, "policy":
+                "derived" if derived else "fixed16", "nlist": nlist,
+                "pairs": pairs, "join_wall_s": round(wall, 2),
+            }))
+        assert pair_counts["derived"] == pair_counts["fixed"], pair_counts
+        ldf.unpersist(), rdf.unpersist()
+
+
 def allow_report(spark, target: str) -> dict:
     """Thin wrapper over the LIBRARY report (promoted r12 — the CLI
     `semantic-allow-report` and this probe read the same math, so the
@@ -228,6 +296,9 @@ def recell_mode(n_waves: int, wave: int) -> None:
 
 def main() -> None:
     args = [a for a in sys.argv[1:] if not a.startswith("--")]
+    if "--join-prod" in sys.argv:
+        join_prod_mode([int(a) for a in args] or [80_000, 200_000])
+        return
     if "--join" in sys.argv:
         join_mode(
             [int(a) for a in args] or [20_000, 80_000, 200_000],
