@@ -990,6 +990,13 @@ def materialize_epoch_mixture(
     )
 
 
+# token_budget_selection: a straddling bucket below this row count takes
+# the exact cut as a single-task window (a few-second task at worst);
+# above it, the PARTIAL region re-buckets instead. Tests set it to 0 to
+# force the refinement path on small fixtures.
+_BUDGET_RECURSE_MIN = 2_000_000
+
+
 def token_budget_selection(
     docs: DataFrame,
     budget_tokens: int,
@@ -997,6 +1004,7 @@ def token_budget_selection(
     id_col: str = "doc_id",
     n_tokens_col: str = "n_tokens",
     n_buckets: int = 256,
+    recurse_min: int = _BUDGET_RECURSE_MIN,
 ) -> DataFrame:
     """Quality-ranked corpus selection under a token budget: order the
     corpus by ``score_col`` DESC (deterministic md5 tiebreak on the id)
@@ -1032,12 +1040,25 @@ def token_budget_selection(
        the single PARTIAL bucket's rows actually need the in-bucket
        boundary cut.
 
-    Worst-case skew is one bucket holding most of the surviving mass
-    (near-constant scores); raise ``n_buckets`` (the driver table stays
-    tiny up to ~10^5 buckets) or pre-discretize the score. All cumulative
-    arithmetic is exact bigint; the float bucketing only PARTITIONS the
-    work and cannot move a document across the selection boundary.
+    Skew resistance: one range pass is enough when scores vary smoothly,
+    but real quality scores are often DISCRETE (a 0-4 classifier grade),
+    so the straddling bucket can be one giant exactly-tied group. The
+    PARTIAL region therefore refines recursively (``max_levels`` deep,
+    each level one tiny aggregate over a shrinking region): by finer
+    score ranges while the region still spans distinct scores, and by
+    the md5 TIEBREAK PREFIX once the region is a single tied score —
+    within a tie the selection order IS tiebreak order, so the prefix
+    map is monotone there and uniform by construction (md5), which
+    guarantees a balanced split. Refinement stops early the moment the
+    straddler drops under ``recurse_min`` rows (a single-task window at
+    that size is cheaper than another pass — with smooth scores level 0
+    always stops there, giving the one-aggregate one-window plan); only
+    that final straddling remainder runs serially. All cumulative
+    arithmetic is exact bigint; bucketing only PARTITIONS the work and
+    cannot move a document across the selection boundary.
     """
+    from functools import reduce as _reduce
+
     if budget_tokens < 0:
         raise ValueError(f"budget_tokens must be >= 0, got {budget_tokens}")
     if n_buckets < 1:
@@ -1051,71 +1072,131 @@ def token_budget_selection(
         F.col(n_tokens_col).cast("bigint").alias("n_tokens"),
         tiebreak.alias("tiebreak"),
     ).filter(F.col("score").isNotNull())
-    lo, hi = per.agg(F.min("score"), F.max("score")).first()
-    if lo is None:  # empty corpus (or all-NULL scores: nothing rankable)
-        return per.select(
+    spark = docs.sparkSession
+    order = [F.col("score").desc(), F.col("tiebreak").asc()]
+    out_frames = []
+    region, tok_off, cnt_off, tb_hex_pos = per, 0, 0, 1
+    max_levels = 3
+
+    def _emit(frame, offsets_rows, bexpr):
+        """Rank/cumsum a classified region slice: window PER BUCKET,
+        EXCLUDED buckets dropped by the inner join before any shuffle,
+        the PARTIAL bucket (if present in the rows) budget-filtered."""
+        off = spark.createDataFrame(
+            offsets_rows, "bucket long, tok_off long, cnt_off long, cls string"
+        )
+        w = Window.partitionBy("bucket").orderBy(*order)
+        return (
+            frame.withColumn("bucket", bexpr)
+            .join(F.broadcast(off), "bucket")
+            .select(
+                id_col,
+                "score",
+                "n_tokens",
+                "cls",
+                (F.col("cnt_off") + F.row_number().over(w)).alias("sel_rank"),
+                (
+                    F.col("tok_off")
+                    + F.sum("n_tokens").over(
+                        w.rowsBetween(Window.unboundedPreceding, 0)
+                    )
+                ).alias("cum_tokens"),
+            )
+            .filter(
+                (F.col("cls") == "FULL")
+                | (F.col("cum_tokens") <= budget_tokens)
+            )
+            .drop("cls")
+        )
+
+    for level in range(max_levels + 1):
+        lo, hi = region.agg(F.min("score"), F.max("score")).first()
+        if lo is None:  # empty region: nothing left to classify
+            break
+        span = hi - lo
+        score_span = span > 0 and span != float("inf") and span == span
+        terminal = level == max_levels
+        if terminal or (not score_span and lo != hi):
+            # depth cap, or an unrefinable span (±inf scores): the
+            # remaining region takes a single serial cut — by
+            # construction a 1/4096^k (or 1/n_buckets^k) sliver of the
+            # corpus unless the score distribution is pathological.
+            bexpr, terminal = F.lit(0).cast("long"), True
+        elif score_span:
+            # bucket ASC == selection order (score DESC): higher score
+            # -> lower bucket; monotone float map, exact cut comes later
+            bexpr = F.least(
+                F.lit(n_buckets - 1),
+                F.floor(
+                    (F.lit(hi) - F.col("score")) / F.lit(span) * n_buckets
+                ),
+            ).cast("long")
+        else:
+            # single tied score: selection order within the region is
+            # tiebreak ASC, so a hex-prefix map is monotone AND uniform
+            bexpr = F.conv(
+                F.substring(F.col("tiebreak"), tb_hex_pos, 3), 16, 10
+            ).cast("long")
+            tb_hex_pos += 3
+        bstats = {
+            int(r["bucket"]): (int(r["toks"]), int(r["cnt"]))
+            for r in region.groupBy(bexpr.alias("bucket"))
+            .agg(F.sum("n_tokens").alias("toks"), F.count(F.lit(1)).alias("cnt"))
+            .collect()
+        }
+        # Driver prefix pass in selection (ascending-bucket) order: a
+        # bucket is FULL when even its last doc fits, EXCLUDED when even
+        # its first doesn't; only the straddler needs a finer look.
+        full_rows, partial, p_cnt = [], None, 0
+        for b in sorted(bstats):
+            toks, cnt = bstats[b]
+            if tok_off + toks <= budget_tokens:
+                full_rows.append((b, tok_off, cnt_off, "FULL"))
+            elif tok_off < budget_tokens:
+                partial, p_cnt = (b, tok_off, cnt_off, "PARTIAL"), cnt
+            # else EXCLUDED: never joins, never shuffles
+            tok_off += toks
+            cnt_off += cnt
+        # Recurse only when the straddling bucket is big enough that a
+        # single-task window over it would hurt; otherwise this level
+        # emits ONE frame (FULL buckets + the budget-filtered straddler)
+        # — the exact plan shape a smooth score distribution always gets
+        # at level 0.
+        # classification is a contiguous ascending run: FULLs, then at
+        # most one PARTIAL, then EXCLUDED — so a range predicate (not an
+        # IN list) selects the survivors
+        if partial is not None and not terminal and p_cnt > recurse_min:
+            if full_rows:
+                out_frames.append(
+                    _emit(
+                        region.filter(bexpr <= full_rows[-1][0]),
+                        full_rows,
+                        bexpr,
+                    )
+                )
+            region = region.filter(bexpr == partial[0])
+            tok_off, cnt_off = partial[1], partial[2]
+            continue
+        emit_rows = full_rows + ([partial] if partial is not None else [])
+        if emit_rows:
+            out_frames.append(
+                _emit(
+                    region.filter(bexpr <= emit_rows[-1][0]), emit_rows, bexpr
+                )
+            )
+        break
+    result = (
+        _reduce(DataFrame.unionByName, out_frames)
+        if out_frames
+        else per.select(
             id_col,
             "score",
             "n_tokens",
             F.lit(0).cast("bigint").alias("sel_rank"),
             F.lit(0).cast("bigint").alias("cum_tokens"),
         ).limit(0)
-    span = hi - lo
-    # Monotone score -> bucket map; degenerate span (all-equal scores,
-    # or inf/nan span) collapses to one bucket — correct, just serial.
-    if span > 0 and span != float("inf") and span == span:
-        bucket = F.least(
-            F.lit(n_buckets - 1),
-            F.floor((F.col("score") - F.lit(lo)) / F.lit(span) * n_buckets),
-        ).cast("int")
-    else:
-        bucket = F.lit(0)
-    per = per.select("*", bucket.alias("bucket"))
-    bstats = {
-        int(r["bucket"]): (int(r["toks"]), int(r["cnt"]))
-        for r in per.groupBy("bucket")
-        .agg(F.sum("n_tokens").alias("toks"), F.count(F.lit(1)).alias("cnt"))
-        .collect()
-    }
-    # Driver prefix pass, high bucket (best score) first. A bucket is
-    # FULL when even its last doc fits, EXCLUDED when even its first
-    # doesn't; only the straddling bucket needs the in-bucket cut.
-    rows, tok_off, cnt_off = [], 0, 0
-    for b in sorted(bstats, reverse=True):
-        toks, cnt = bstats[b]
-        if tok_off + toks <= budget_tokens:
-            cls = "FULL"
-        elif tok_off < budget_tokens:
-            cls = "PARTIAL"
-        else:
-            cls = "EXCLUDED"
-        rows.append((b, tok_off, cnt_off, cls))
-        tok_off += toks
-        cnt_off += cnt
-    spark = docs.sparkSession
-    offsets = spark.createDataFrame(
-        rows, "bucket int, tok_off long, cnt_off long, cls string"
     )
-    w = Window.partitionBy("bucket").orderBy(
-        F.col("score").desc(), F.col("tiebreak").asc()
-    )
-    return (
-        per.join(F.broadcast(offsets), "bucket")
-        .filter(F.col("cls") != "EXCLUDED")
-        .select(
-            id_col,
-            "score",
-            "n_tokens",
-            "cls",
-            (F.col("cnt_off") + F.row_number().over(w)).alias("sel_rank"),
-            (
-                F.col("tok_off")
-                + F.sum("n_tokens").over(w.rowsBetween(Window.unboundedPreceding, 0))
-            ).alias("cum_tokens"),
-        )
-        .filter((F.col("cls") == "FULL") | (F.col("cum_tokens") <= budget_tokens))
-        .select(id_col, "score", "n_tokens", "sel_rank", "cum_tokens")
-    )
+    return result.select(id_col, "score", "n_tokens", "sel_rank", "cum_tokens")
 
 
 def q_doc_repetition_scores(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -1143,3 +1143,54 @@ def test_split_leakage_audit_component_split_is_leak_free(spark):
     assert got, "audit must see the planted near-dup pairs"
     assert all(r["leaked"] == 0 for r in got)
     assert all(r["split_a"] == r["split_b"] for r in got)
+
+
+def test_token_budget_selection_tied_score_refinement(spark):
+    """Discrete classifier grades (0/1/2) put the budget boundary inside
+    one giant tied group — the skew case the recursive refinement
+    handles: with recurse_min=0 the straddling region re-buckets on the
+    md5 tiebreak prefix (monotone within a tie) instead of taking a
+    single-task window. The refined path must be byte-identical to the
+    unrefined one (recurse_min huge) at several bucket widths."""
+    from big_data_processing_with_aws_glue_workshop_spark.queries.textops import (
+        token_budget_selection,
+    )
+
+    docs = spark.createDataFrame(
+        [(i, float(i % 3), 10) for i in range(600)],
+        "doc_id long, score double, n_tokens long",
+    )
+    # grade-2 group holds 200 docs / 2000 tokens; budget cuts inside it
+    budget = 1_370
+    base = sorted(
+        tuple(r)
+        for r in token_budget_selection(
+            docs, budget, "score", recurse_min=10**9
+        ).collect()
+    )
+    assert len(base) == 137
+    # all selected docs are grade 2 (the top grade fills 2000 > 1370)
+    assert all(r[1] == 2.0 for r in base)
+    for nb in (4, 256):
+        got = sorted(
+            tuple(r)
+            for r in token_budget_selection(
+                docs, budget, "score", n_buckets=nb, recurse_min=0
+            ).collect()
+        )
+        assert got == base, f"refined path diverged at n_buckets={nb}"
+    # constant scores: every level is a tie -> pure tiebreak descent
+    eqdocs = spark.createDataFrame(
+        [(i, 1.0, 7) for i in range(300)], "doc_id long, score double, n_tokens long"
+    )
+    a = sorted(
+        tuple(r)
+        for r in token_budget_selection(eqdocs, 700, "score", recurse_min=0).collect()
+    )
+    b = sorted(
+        tuple(r)
+        for r in token_budget_selection(
+            eqdocs, 700, "score", recurse_min=10**9
+        ).collect()
+    )
+    assert a == b and len(a) == 100
