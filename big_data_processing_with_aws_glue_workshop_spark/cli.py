@@ -837,6 +837,57 @@ def cmd_split_leakage_audit(args: argparse.Namespace) -> None:
     )
 
 
+def cmd_dsir_select(args: argparse.Namespace) -> None:
+    """DSIR selection job (queries/textops.py::dsir_select): fit hashed
+    unigram+bigram bucket models on a TARGET corpus and the raw corpus
+    (optionally a sample of it), weight every raw doc by the micro-nat
+    importance log ratio, keep the Gumbel-top-k — sampling without
+    replacement proportional to the importance weights (Xie et al. 2023).
+    Writes the selected (id, n_grams, logw_micro, key_micro) rows."""
+    import pyspark.sql.functions as F
+
+    from .queries.textops import dsir_select
+
+    spark = get_session(app_name="dsir-select")
+    corpus = spark.read.parquet(args.input)
+    target = spark.read.parquet(args.target)
+    corpus_model = (
+        corpus.sample(fraction=args.model_sample, seed=args.seed)
+        if args.model_sample is not None
+        else None
+    )
+    out = dsir_select(
+        corpus,
+        target,
+        args.k,
+        seed=args.seed,
+        sample=not args.no_sample,
+        id_col=args.id_col,
+        text_col=args.text_col,
+        n_buckets=args.n_buckets,
+        alpha=args.alpha,
+        corpus_model=corpus_model,
+    )
+    out.write.mode("overwrite").parquet(args.output)
+    written = spark.read.parquet(args.output)
+    stats = written.agg(
+        F.count(F.lit(1)).alias("selected_docs"),
+        F.sum("n_grams").alias("selected_grams"),
+        F.min("key_micro").alias("cut_key_micro"),
+    ).first()
+    _emit(
+        {
+            "job": "dsir-select",
+            "output": args.output,
+            "k": args.k,
+            "sampled": not args.no_sample,
+            "selected_docs": stats["selected_docs"],
+            "selected_grams": stats["selected_grams"] or 0,
+            "cut_key_micro": stats["cut_key_micro"],
+        }
+    )
+
+
 def cmd_semantic_allow_report(args: argparse.Namespace) -> None:
     """On-demand re-cell trigger check (plans/incremental.py::
     semantic_allow_report): standing-vs-standing allowlist share under
@@ -1327,6 +1378,33 @@ def build_parser() -> argparse.ArgumentParser:
     sla.add_argument("--split-col", default="split")
     sla.add_argument("--threshold", type=float, default=0.8)
     sla.set_defaults(func=cmd_split_leakage_audit)
+
+    ds = sub.add_parser(
+        "dsir-select",
+        help="DSIR distribution-matching selection: hashed n-gram bucket "
+        "models (target vs corpus), micro-nat importance log ratios, "
+        "Gumbel-top-k resampling — shuffle-free scoring, distributed "
+        "top-k",
+    )
+    ds.add_argument("--input", required=True, help="raw corpus parquet path")
+    ds.add_argument("--target", required=True, help="target corpus parquet path")
+    ds.add_argument("--output", required=True, help="selected-docs dir")
+    ds.add_argument("--k", type=int, required=True, help="docs to select")
+    ds.add_argument("--seed", type=int, default=0)
+    ds.add_argument(
+        "--no-sample", action="store_true",
+        help="deterministic top-k by weight instead of Gumbel resampling",
+    )
+    ds.add_argument("--id-col", default="doc_id")
+    ds.add_argument("--text-col", default="text")
+    ds.add_argument("--n-buckets", type=int, default=4096)
+    ds.add_argument("--alpha", type=float, default=1.0)
+    ds.add_argument(
+        "--model-sample", type=float, default=None,
+        help="fit the CORPUS-side model on this sample fraction (the "
+        "paper's at-scale recipe; the target side always fits in full)",
+    )
+    ds.set_defaults(func=cmd_dsir_select)
 
     sar = sub.add_parser(
         "semantic-allow-report",

@@ -1199,6 +1199,249 @@ def token_budget_selection(
     return result.select(id_col, "score", "n_tokens", "sel_rank", "cum_tokens")
 
 
+# ---------------------------------------------------------------------------
+# DSIR: data selection via importance resampling (Xie et al. 2023, NeurIPS,
+# "Data Selection for Language Models via Importance Resampling") — select
+# raw-corpus documents whose hashed-n-gram distribution matches a TARGET
+# corpus (a high-quality seed set, a domain sample), the
+# distribution-MATCHING complement to the quality-RANKING selectors above
+# (quality_filter_decisions ranks by absolute signals; token_budget_selection
+# cuts a ranked prefix; DSIR reweights toward "looks like the target").
+
+_DSIR_BUCKETS = 4096
+_DSIR_MICRO = 1_000_000
+_DSIR_HEX = 12  # md5 prefix width for the bucket hash: 48 bits, exact in i64
+
+
+def _dsir_buckets(text_col, n_buckets: int):
+    """array<bigint> of hashed unigram+bigram feature buckets for ONE
+    document — the DSIR bag-of-hashed-ngrams featurizer. Occurrences
+    count (multinomial mass, not presence), order is irrelevant. Fully
+    array-native: no explode, no shuffle, one narrow projection."""
+    toks = _tokens(text_col)
+    bigrams = F.when(
+        F.size(toks) >= 2,
+        F.transform(
+            F.sequence(F.lit(1), F.size(toks) - 1),
+            lambda i: F.concat_ws(
+                " ",
+                F.element_at(toks, i.cast("int")),
+                F.element_at(toks, (i + 1).cast("int")),
+            ),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    return F.transform(
+        F.concat(toks, bigrams),
+        lambda g: F.conv(F.substring(F.md5(g), 1, _DSIR_HEX), 16, 10).cast("bigint")
+        % n_buckets,
+    )
+
+
+def _dsir_bucket_histogram(frame: DataFrame, text_col: str, n_buckets: int):
+    """ONE explode + hash aggregate -> {bucket: occurrence count}. At most
+    ``n_buckets`` rows reach the driver (bounded by construction — this is
+    the whole model state, same class as the sketch family's collects)."""
+    return {
+        int(r["b"]): int(r["n"])
+        for r in frame.filter(F.col(text_col).isNotNull())
+        .select(F.explode(_dsir_buckets(F.col(text_col), n_buckets)).alias("b"))
+        .groupBy("b")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+
+
+def _lit_bigint_array(values):
+    """One FOLDABLE literal array<bigint> column. ``F.lit(list)`` expands
+    to a CreateArray with len(values) py4j children (seconds of driver
+    time at 4096 buckets); split(lit(csv)) is ONE py4j call whose children
+    are all foldable, so ConstantFolding collapses it to a single Literal
+    before codegen — executors see one shared constant, never a per-row
+    array build."""
+    return F.split(F.lit(",".join(str(int(v)) for v in values)), ",").cast(
+        "array<bigint>"
+    )
+
+
+def dsir_log_ratio_table(
+    corpus: DataFrame,
+    target: DataFrame,
+    *,
+    text_col: str = "text",
+    n_buckets: int = _DSIR_BUCKETS,
+    alpha: float = 1.0,
+):
+    """Fit the two DSIR bucket models and return the per-bucket importance
+    log-ratio table as a Python list of MICRO-NAT bigints (length
+    ``n_buckets``): lam[b] = floor(1e6 * (ln p_target(b) - ln p_corpus(b)))
+    with Laplace ``alpha`` smoothing on both multinomials.
+
+    Fixed-point micro-nats make every DOWNSTREAM sum exact bigint
+    arithmetic (order-independent, partitioning-invariant — the same trick
+    as the graph family's integer micro-mass); floor (not round) so the
+    Python table and a SQL twin agree independent of half-rounding
+    convention. The table is the ENTIRE model: persist it and pass it back
+    via ``log_ratio=`` to skip both fits on re-runs. At 100 TB fit the
+    corpus side on a SAMPLE (pass ``corpus_model=corpus.sample(f)`` to the
+    callers below) — the paper does exactly this; the model only needs
+    bucket FREQUENCIES, not the full corpus."""
+    import math
+
+    if n_buckets < 1:
+        raise ValueError(f"n_buckets must be >= 1, got {n_buckets}")
+    if alpha <= 0:
+        raise ValueError(f"alpha must be > 0, got {alpha}")
+    tb = _dsir_bucket_histogram(target, text_col, n_buckets)
+    cb = _dsir_bucket_histogram(corpus, text_col, n_buckets)
+    t_total, c_total = sum(tb.values()), sum(cb.values())
+    if t_total == 0:
+        raise ValueError("target has no text rows: cannot fit the DSIR target model")
+    if c_total == 0:
+        raise ValueError("corpus has no text rows: cannot fit the DSIR corpus model")
+    return [
+        math.floor(
+            _DSIR_MICRO
+            * (
+                math.log((tb.get(b, 0) + alpha) / (t_total + alpha * n_buckets))
+                - math.log((cb.get(b, 0) + alpha) / (c_total + alpha * n_buckets))
+            )
+        )
+        for b in range(n_buckets)
+    ]
+
+
+def dsir_importance_weights(
+    corpus: DataFrame,
+    target: DataFrame = None,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n_buckets: int = _DSIR_BUCKETS,
+    alpha: float = 1.0,
+    log_ratio=None,
+    corpus_model: DataFrame = None,
+) -> DataFrame:
+    """Per-document DSIR importance weight over ``corpus``:
+    (id_col, n_grams, logw_micro) where logw_micro is the EXACT bigint sum
+    of the micro-nat log ratio over the doc's hashed unigram+bigram
+    occurrences — i.e. 1e6 * ln(p_target(doc)/p_corpus(doc)) under the two
+    bag-of-hashed-ngrams multinomials. NULL-text docs are unrankable and
+    excluded (the selector contract, same as token_budget_selection's
+    NULL-score rule).
+
+    Scale shape: the returned frame is scan -> ONE narrow projection —
+    the log-ratio table rides along as a single folded array literal, the
+    per-doc sum is array-native (F.aggregate), so the scoring pass is
+    shuffle-FREE and embarrassingly parallel. Model fitting (when
+    ``log_ratio`` is not supplied) is two bounded hash aggregates of at
+    most ``n_buckets`` rows each; ``corpus_model`` lets the corpus side
+    fit on a sample at scale."""
+    if log_ratio is None:
+        log_ratio = dsir_log_ratio_table(
+            corpus_model if corpus_model is not None else corpus,
+            target,
+            text_col=text_col,
+            n_buckets=n_buckets,
+            alpha=alpha,
+        )
+    if len(log_ratio) != n_buckets:
+        raise ValueError(
+            f"log_ratio length {len(log_ratio)} != n_buckets {n_buckets}"
+        )
+    arr = _lit_bigint_array(log_ratio)
+    return (
+        corpus.filter(F.col(text_col).isNotNull())
+        .select(id_col, _dsir_buckets(F.col(text_col), n_buckets).alias("bk"))
+        .select(
+            id_col,
+            F.size("bk").cast("bigint").alias("n_grams"),
+            F.aggregate(
+                "bk",
+                F.lit(0).cast("bigint"),
+                lambda acc, b: acc + F.element_at(arr, (b + 1).cast("int")),
+            ).alias("logw_micro"),
+        )
+    )
+
+
+def dsir_select(
+    corpus: DataFrame,
+    target: DataFrame = None,
+    k: int = 10_000,
+    *,
+    seed: int = 0,
+    sample: bool = True,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n_buckets: int = _DSIR_BUCKETS,
+    alpha: float = 1.0,
+    log_ratio=None,
+    corpus_model: DataFrame = None,
+) -> DataFrame:
+    """DSIR selection: the top-``k`` corpus documents by Gumbel-perturbed
+    importance weight — exactly sampling-without-replacement proportional
+    to the importance weights (the Gumbel-top-k identity), which is the
+    paper's resampling step. ``sample=False`` drops the noise: a pure
+    deterministic top-k by weight (mode-seeking, less diverse — the
+    documented trade-off).
+
+    Output (id_col, n_grams, logw_micro, key_micro), key_micro =
+    logw_micro + floor(1e6 * gumbel) with the Gumbel drawn from a
+    seeded md5 uniform on the doc id — deterministic, partition-invariant,
+    re-runnable. Scale shape: orderBy(...).limit(k) plans
+    TakeOrderedAndProject (per-partition top-k then a k-row merge), never
+    a global sort; ties at the boundary break on the id.
+
+    Float honesty: the Gumbel transform is the one transcendental in the
+    family (ln via StrictMath on the JVM vs libm elsewhere); landing the
+    FLOORED micro value on a 1-ulp disagreement boundary has probability
+    ~1e-13 per doc — accepted and documented rather than engineered away.
+    """
+    if k < 0:
+        raise ValueError(f"k must be >= 0, got {k}")
+    w = dsir_importance_weights(
+        corpus,
+        target,
+        id_col=id_col,
+        text_col=text_col,
+        n_buckets=n_buckets,
+        alpha=alpha,
+        log_ratio=log_ratio,
+        corpus_model=corpus_model,
+    )
+    if sample:
+        u = (
+            F.conv(
+                F.substring(
+                    F.md5(
+                        F.concat(
+                            F.lit(f"dsir:{int(seed)}:"),
+                            F.col(id_col).cast("string"),
+                        )
+                    ),
+                    1,
+                    13,
+                ),
+                16,
+                10,
+            ).cast("double")
+            + F.lit(1.0)
+        ) / F.lit(float(16**13 + 2))
+        noise = F.floor(-F.log(-F.log(u)) * _DSIR_MICRO).cast("bigint")
+    else:
+        noise = F.lit(0).cast("bigint")
+    return (
+        w.select(
+            id_col,
+            "n_grams",
+            "logw_micro",
+            (F.col("logw_micro") + noise).alias("key_micro"),
+        )
+        .orderBy(F.col("key_micro").desc(), F.col(id_col).asc())
+        .limit(k)
+    )
+
+
 def q_doc_repetition_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Within-document repetition scoring (the Gopher/MassiveText quality
     signal): fraction of NON-distinct word 3-grams inside each doc. Highly

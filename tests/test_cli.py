@@ -1065,3 +1065,49 @@ def test_cli_token_budget_select_and_split_leakage_audit(spark, tmp_path, capsys
     assert out["by_split_pair"] == [
         {"split_a": "test", "split_b": "train", "n_pairs": 1, "leaked": 1}
     ]
+
+
+def test_cli_dsir_select(spark, tmp_path, capsys):
+    """dsir-select e2e: a target drawn from the apple vocabulary pulls the
+    selection entirely from the apple half of a two-population corpus;
+    the emitted JSON reports the selection size and cut key."""
+    import json as _json
+    import random
+
+    from big_data_processing_with_aws_glue_workshop_spark.cli import main
+
+    rng = random.Random(11)
+    va = [f"apple{j}" for j in range(80)]
+    vb = [f"zebra{j}" for j in range(80)]
+    rows = [
+        (i, " ".join(rng.choice(va) for _ in range(25))) for i in range(120)
+    ] + [
+        (i, " ".join(rng.choice(vb) for _ in range(25)))
+        for i in range(120, 240)
+    ]
+    spark.createDataFrame(rows, "doc_id long, text string").coalesce(
+        2
+    ).write.parquet(str(tmp_path / "corpus"))
+    spark.createDataFrame(
+        [
+            (1000 + i, " ".join(rng.choice(va) for _ in range(25)))
+            for i in range(30)
+        ],
+        "doc_id long, text string",
+    ).coalesce(1).write.parquet(str(tmp_path / "target"))
+
+    main([
+        "dsir-select",
+        "--input", str(tmp_path / "corpus"),
+        "--target", str(tmp_path / "target"),
+        "--output", str(tmp_path / "sel"),
+        "--k", "40",
+        "--seed", "5",
+        "--n-buckets", "512",
+    ])
+    out = _json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert out["job"] == "dsir-select" and out["selected_docs"] == 40
+    sel = spark.read.parquet(str(tmp_path / "sel"))
+    ids = [r["doc_id"] for r in sel.collect()]
+    assert len(ids) == 40
+    assert sum(1 for i in ids if i < 120) >= 38  # apple-enriched

@@ -1194,3 +1194,249 @@ def test_token_budget_selection_tied_score_refinement(spark):
         ).collect()
     )
     assert a == b and len(a) == 100
+
+
+# ---------------------------------------------------------------------------
+# DSIR importance resampling (r13): distribution-matching selection
+# (Xie et al. 2023) — hashed unigram+bigram bucket models, micro-nat
+# bigint log ratios, Gumbel-top-k resampling.
+
+_DSIR_GRAMS_ORACLE = """
+tw AS (
+  SELECT string_split_regex(trim(lower(text)), '[ \\t\\n\\f\\r]+') AS w
+  FROM documents WHERE text IS NOT NULL AND doc_id % 17 = 0
+),
+tg AS (
+  SELECT g FROM (
+    SELECT unnest(w) AS g FROM tw
+    UNION ALL
+    SELECT w[i] || ' ' || w[i+1] AS g FROM tw, UNNEST(range(1, len(w))) AS t(i)
+  )
+),
+tb AS (SELECT ('0x' || substr(md5(g), 1, 12))::BIGINT % {B} AS b, COUNT(1) AS n
+       FROM tg GROUP BY 1),
+cw AS (
+  SELECT doc_id, string_split_regex(trim(lower(text)), '[ \\t\\n\\f\\r]+') AS w
+  FROM documents WHERE text IS NOT NULL
+),
+cg AS (
+  SELECT doc_id, g FROM (
+    SELECT doc_id, unnest(w) AS g FROM cw
+    UNION ALL
+    SELECT doc_id, w[i] || ' ' || w[i+1] AS g
+    FROM cw, UNNEST(range(1, len(w))) AS t(i)
+  )
+),
+cb AS (SELECT ('0x' || substr(md5(g), 1, 12))::BIGINT % {B} AS b, COUNT(1) AS n
+       FROM cg GROUP BY 1),
+lam AS (
+  SELECT r.range AS b,
+         CAST(FLOOR(1000000.0 * (
+             ln((COALESCE(tb.n, 0) + 1.0) / ((SELECT SUM(n) FROM tb) + 1.0 * {B}))
+           - ln((COALESCE(cb.n, 0) + 1.0) / ((SELECT SUM(n) FROM cb) + 1.0 * {B}))
+         )) AS BIGINT) AS lam
+  FROM range(0, {B}) r
+  LEFT JOIN tb ON tb.b = r.range
+  LEFT JOIN cb ON cb.b = r.range
+),
+docb AS (SELECT doc_id, ('0x' || substr(md5(g), 1, 12))::BIGINT % {B} AS b FROM cg),
+wts AS (
+  SELECT doc_id,
+         CAST(COUNT(1) AS BIGINT) AS n_grams,
+         CAST(SUM(lam) AS BIGINT) AS logw_micro
+  FROM docb JOIN lam USING (b)
+  GROUP BY doc_id
+)
+"""
+
+
+def _dsir_target(docs):
+    """Target slice for the oracle twins: every 17th doc (the established
+    _EVAL_MOD-style derived-benchmark idiom, reproducible in SQL)."""
+    return docs.filter((F.col("doc_id") % 17) == 0)
+
+
+def test_dsir_weights_match_oracle(spark, sf_dir):
+    """The shuffle-free scoring pass (folded literal table + array-native
+    bigint sum) is held to a from-scratch DuckDB twin: same md5 bucket
+    hash, same Laplace-smoothed floor-micro-nat table, same per-doc sums.
+    All-integer output -> bit-exact across engines."""
+    from big_data_processing_with_aws_glue_workshop_spark.queries._tables import load
+    from big_data_processing_with_aws_glue_workshop_spark.queries.textops import (
+        dsir_importance_weights,
+    )
+    from tests.oracle_harness import compare
+
+    docs = load(spark, sf_dir, "documents")
+    out = dsir_importance_weights(docs, _dsir_target(docs), n_buckets=1024)
+    compare(
+        out,
+        "WITH " + _DSIR_GRAMS_ORACLE.format(B=1024) + "SELECT * FROM wts",
+        sf_dir,
+    )
+
+
+def test_dsir_select_matches_oracle(spark, sf_dir):
+    """Gumbel-top-k resampling twin: seeded md5 uniform -> floored
+    micro-nat Gumbel -> top-k by perturbed key with id tiebreak. The one
+    transcendental (ln) is floored to micro on both engines; the boundary
+    flip probability is ~1e-13/doc (documented in the op docstring)."""
+    from big_data_processing_with_aws_glue_workshop_spark.queries._tables import load
+    from big_data_processing_with_aws_glue_workshop_spark.queries.textops import (
+        dsir_select,
+    )
+    from tests.oracle_harness import compare
+
+    docs = load(spark, sf_dir, "documents")
+    oracle = (
+        "WITH "
+        + _DSIR_GRAMS_ORACLE.format(B=1024)
+        + """
+, keyed AS (
+  SELECT doc_id, n_grams, logw_micro,
+         logw_micro + CAST(FLOOR(
+           (-ln(-ln((('0x' || substr(md5('dsir:7:' || CAST(doc_id AS VARCHAR)), 1, 13))::BIGINT + 1.0)
+                    / 4503599627370498.0))) * 1000000.0
+         ) AS BIGINT) AS key_micro
+  FROM wts
+)
+SELECT * FROM keyed ORDER BY key_micro DESC, doc_id ASC LIMIT 200
+"""
+    )
+    out = dsir_select(docs, _dsir_target(docs), 200, seed=7, n_buckets=1024)
+    compare(out, oracle, sf_dir)
+    # sample=False: the key IS the weight — pure deterministic top-k
+    det = (
+        "WITH "
+        + _DSIR_GRAMS_ORACLE.format(B=1024)
+        + """
+SELECT doc_id, n_grams, logw_micro, logw_micro AS key_micro
+FROM wts ORDER BY key_micro DESC, doc_id ASC LIMIT 200
+"""
+    )
+    out_det = dsir_select(
+        docs, _dsir_target(docs), 200, n_buckets=1024, sample=False
+    )
+    compare(out_det, det, sf_dir)
+
+
+def _dsir_two_population(spark):
+    """600-doc corpus: ids <300 from an 'apple*' vocabulary, ids >=300
+    from a disjoint 'zebra*' vocabulary; 60-doc target drawn fresh from
+    the apple vocabulary. Deterministic (seeded rng)."""
+    import random
+
+    rng = random.Random(7)
+    va = [f"apple{j}" for j in range(150)]
+    vb = [f"zebra{j}" for j in range(150)]
+    rows = [(i, " ".join(rng.choice(va) for _ in range(30))) for i in range(300)]
+    rows += [
+        (i, " ".join(rng.choice(vb) for _ in range(30))) for i in range(300, 600)
+    ]
+    corpus = spark.createDataFrame(rows, "doc_id long, text string")
+    target = spark.createDataFrame(
+        [
+            (1000 + i, " ".join(rng.choice(va) for _ in range(30)))
+            for i in range(60)
+        ],
+        "doc_id long, text string",
+    )
+    return corpus, target
+
+
+def test_dsir_enrichment_and_determinism(spark):
+    """The selection CONTRACT: a target drawn from population A must pull
+    the selection almost entirely from A (both sampled and deterministic
+    modes); same seed reruns and input repartitioning are byte-identical;
+    a precomputed log_ratio table reproduces the internal fit exactly."""
+    from big_data_processing_with_aws_glue_workshop_spark.queries.textops import (
+        dsir_importance_weights,
+        dsir_log_ratio_table,
+        dsir_select,
+    )
+
+    corpus, target = _dsir_two_population(spark)
+    sel = dsir_select(corpus, target, 100, seed=3, n_buckets=512).collect()
+    assert len(sel) == 100
+    share_a = sum(1 for r in sel if r["doc_id"] < 300) / 100
+    assert share_a >= 0.95, f"sampled selection not target-enriched: {share_a}"
+    det = dsir_select(corpus, target, 100, n_buckets=512, sample=False).collect()
+    assert sum(1 for r in det if r["doc_id"] < 300) == 100
+    # determinism + partition invariance
+    rerun = dsir_select(corpus, target, 100, seed=3, n_buckets=512).collect()
+    assert sorted(map(tuple, rerun)) == sorted(map(tuple, sel))
+    repart = dsir_select(
+        corpus.repartition(13), target, 100, seed=3, n_buckets=512
+    ).collect()
+    assert sorted(map(tuple, repart)) == sorted(map(tuple, sel))
+    # precomputed table path == internal fit (the persist-and-reuse lever)
+    lam = dsir_log_ratio_table(corpus, target, n_buckets=512)
+    assert len(lam) == 512 and all(isinstance(v, int) for v in lam)
+    w_fit = dsir_importance_weights(corpus, target, n_buckets=512).collect()
+    w_pre = dsir_importance_weights(
+        corpus, n_buckets=512, log_ratio=lam
+    ).collect()
+    assert sorted(map(tuple, w_pre)) == sorted(map(tuple, w_fit))
+
+
+def test_dsir_edges(spark):
+    """Raises and corners: empty target/corpus, bad alpha/k/n_buckets,
+    log_ratio length mismatch, NULL-text exclusion, n_buckets=1
+    degenerate (every gram in one bucket -> logw = n_grams * lam[0])."""
+    import pytest as _pytest
+
+    from big_data_processing_with_aws_glue_workshop_spark.queries.textops import (
+        dsir_importance_weights,
+        dsir_log_ratio_table,
+        dsir_select,
+    )
+
+    corpus, target = _dsir_two_population(spark)
+    empty = corpus.limit(0)
+    with _pytest.raises(ValueError, match="target has no text"):
+        dsir_log_ratio_table(corpus, empty)
+    with _pytest.raises(ValueError, match="corpus has no text"):
+        dsir_log_ratio_table(empty, target)
+    with _pytest.raises(ValueError, match="alpha"):
+        dsir_log_ratio_table(corpus, target, alpha=0.0)
+    with _pytest.raises(ValueError, match="n_buckets"):
+        dsir_log_ratio_table(corpus, target, n_buckets=0)
+    with _pytest.raises(ValueError, match="k must be"):
+        dsir_select(corpus, target, -1)
+    with _pytest.raises(ValueError, match="log_ratio length"):
+        dsir_importance_weights(corpus, n_buckets=512, log_ratio=[0, 1])
+    # NULL text is unrankable: excluded from weights, never selected
+    withnull = corpus.union(
+        spark.createDataFrame([(9999, None)], "doc_id long, text string")
+    )
+    w = dsir_importance_weights(withnull, target, n_buckets=512)
+    assert w.filter(F.col("doc_id") == 9999).count() == 0
+    # n_buckets=1: one bucket, logw = n_grams * lam[0] exactly
+    lam1 = dsir_log_ratio_table(corpus, target, n_buckets=1)
+    w1 = dsir_importance_weights(corpus, n_buckets=1, log_ratio=lam1).collect()
+    assert all(r["logw_micro"] == r["n_grams"] * lam1[0] for r in w1)
+    # k=0 selects nothing; k > corpus selects everything scored
+    assert dsir_select(corpus, target, 0, n_buckets=512).count() == 0
+    assert dsir_select(corpus, target, 10_000, n_buckets=512).count() == 600
+
+
+def test_dsir_plan_shape(spark, sf_dir):
+    """Scale pins: the scoring frame is scan -> narrow projections with NO
+    Exchange (the model rides as one folded literal; the per-doc sum is
+    array-native), and the selection plans TakeOrderedAndProject — the
+    distributed top-k operator — never a global sort."""
+    from big_data_processing_with_aws_glue_workshop_spark.queries._tables import load
+    from big_data_processing_with_aws_glue_workshop_spark.queries.textops import (
+        dsir_importance_weights,
+        dsir_select,
+    )
+
+    docs = load(spark, sf_dir, "documents")
+    target = _dsir_target(docs)
+    w = dsir_importance_weights(docs, target, n_buckets=1024)
+    plan_w = w._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan_w, f"scoring pass shuffles:\n{plan_w}"
+    sel = dsir_select(docs, target, 50, n_buckets=1024)
+    plan_s = sel._jdf.queryExecution().executedPlan().toString()
+    assert "TakeOrderedAndProject" in plan_s
+    assert "Exchange SinglePartition" not in plan_s
