@@ -320,6 +320,58 @@ def probe_leakage(sizes: list[int]) -> None:
         docs.unpersist()
 
 
+def probe_dsir(sizes: list[int]) -> None:
+    """dsir_select over the dup-heavy corpus with a 1%-slice target drawn
+    from the SAME generator (so weights spread around zero and the
+    selection exercises a real boundary). Claims under test
+    (queries/textops.py::dsir_importance_weights / dsir_select):
+      1. the scoring pass is shuffle-free (no Exchange in the weights
+         plan — checked from the plan text), so docs/s should RISE as
+         fixed overhead (two model-fit aggregates + plan build)
+         amortizes;
+      2. model fit cost is bounded: the two histograms collect
+         <= n_buckets rows regardless of corpus size;
+      3. k rows come back exactly, keyed deterministically."""
+    from big_data_processing_with_aws_glue_workshop_spark.queries.textops import (
+        dsir_importance_weights,
+        dsir_select,
+    )
+
+    spark = get_session(app_name="curation-probe-dsir")
+    for n in sizes:
+        docs = _dup_heavy_corpus(spark, n).cache()
+        docs.count()
+        target = docs.filter((F.col("doc_id") % 100) == 0)
+        k = n // 10
+        t0 = time.time()
+        sel = dsir_select(docs, target, k, seed=1)
+        got = sel.agg(
+            F.count(F.lit(1)).alias("rows"), F.min("key_micro").alias("cut")
+        ).first()
+        wall = time.time() - t0
+        plan = dsir_importance_weights(
+            docs, target, n_buckets=16
+        )._jdf.queryExecution().executedPlan().toString()
+        print(
+            json.dumps(
+                {
+                    "op": "dsir_select",
+                    "docs": n,
+                    "k": k,
+                    "wall_s": round(wall, 2),
+                    "docs_per_s": int(n / wall),
+                    "selected": int(got["rows"]),
+                    "cut_key_micro": int(got["cut"]),
+                    "scoring_shuffle_free": "Exchange" not in plan,
+                }
+            ),
+            flush=True,
+        )
+        assert int(got["rows"]) == k
+        assert "Exchange" not in plan, "scoring pass shuffles"
+        docs.unpersist()
+
+
 if __name__ == "__main__":
     mode = sys.argv[1] if len(sys.argv) > 1 else "--mixture"
     sizes = [int(x) for x in sys.argv[2:]] or [20_000, 80_000, 200_000]
@@ -331,7 +383,10 @@ if __name__ == "__main__":
         probe_budget(sizes)
     elif mode == "--leakage":
         probe_leakage(sizes)
+    elif mode == "--dsir":
+        probe_dsir(sizes)
     else:
         raise SystemExit(
-            f"unknown mode {mode!r} (use --mixture, --split, --budget or --leakage)"
+            f"unknown mode {mode!r} (use --mixture, --split, --budget, "
+            "--leakage or --dsir)"
         )
