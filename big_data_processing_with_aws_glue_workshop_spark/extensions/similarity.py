@@ -523,6 +523,31 @@ def semantic_contamination(
     )
 
 
+_DERIVED_NLIST_CAP = 32
+
+
+def derive_nlist(n_fit: int, cap: int = _DERIVED_NLIST_CAP) -> int:
+    """Default cell count for the similarity-join family from the fit-side
+    row count: min(cap, isqrt(n_fit)), floor 4.
+
+    The cap REPLACES the r12 sqrt(n)-to-1024 rule on direct measurement
+    (docs/SCALE.md r13 nlist ladder): at 500k fit rows the wall optimum
+    sat at 32-64 cells on ALL three geometries probed (production-Zipf
+    333 blobs, 16 tight blobs, structureless uniform), while sqrt(n)=707
+    cells cost 2-10x the optimum — k-means fit, the O(nlist^2) driver
+    allowlist and block fragmentation all grow with nlist, and the dense
+    block matmul prefers fewer, larger blocks. cap=32 lands within 12%
+    of the per-shape optimum everywhere measured; exactness NEVER
+    depends on the cell count (recall 1.0 by the triangle-inequality
+    allowlist), so this is purely a performance default. Raise ``cap``
+    explicitly when cluster parallelism needs more concurrent blocks
+    (allowed cell pairs ~ nlist^2/2 bounds the task count) or a block's
+    rows exceed executor memory."""
+    import math
+
+    return max(4, min(cap, math.isqrt(max(0, n_fit))))
+
+
 def cosine_similarity_join(
     left: DataFrame,
     right: DataFrame,
@@ -587,10 +612,17 @@ def cosine_similarity_join(
     Clustered corpora discard most cell pairs driver-side (measured in
     docs/SCALE.md's semantic-probe section); the uniform worst case
     degrades toward the cross join's pair COUNT but pays it at dense
-    matmul speed — the intrinsic bound of any exact join. Raise nlist
-    with corpus size (cells ~ sqrt(n) keeps block volume balanced); for
-    candidate-only workloads at extreme scale, swap the exact verify
-    for the PQ-ADC scorer (extensions/pq.py).
+    matmul speed — the intrinsic bound of any exact join. Choosing
+    nlist: use :func:`derive_nlist` unless you have a measured reason
+    not to — the r13 three-shape ladder (SCALE.md) found the optimum at
+    32-64 cells across 80k-500k fit rows on production-Zipf, tight-blob
+    and uniform geometries, with sqrt(n) cells up to 10x off (fit +
+    O(nlist^2) allowlist + fragmented blocks grow with nlist; block
+    matmul efficiency favors fewer, larger blocks). On a large cluster
+    raise it only as far as parallelism needs (allowed cell pairs ~
+    nlist^2/2 bounds concurrent tasks). For candidate-only workloads at
+    extreme scale, swap the exact verify for the PQ-ADC scorer
+    (extensions/pq.py).
     """
     from ..queries.vectors import dot, norm
     from .ivf import assign_to_centroids, train_ivf_index

@@ -12,7 +12,6 @@ emitted without rounding.
 
 from __future__ import annotations
 
-import math
 
 from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
@@ -297,12 +296,15 @@ def q_cross_corpus_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     cogrouped block-matmul prefilter, and only the near-threshold sliver
     pays the exact fold — measured 1.6-16.4x the broadcast-NLJ baseline
     at 20k-200k right rows (docs/SCALE.md r11), with the gap growing as
-    the pair count does. ``nlist`` follows the operator's own 100x
-    guidance (cells ~ sqrt(right rows), capped) from a cheap count of
-    the fit side instead of a pinned constant (r11 verdict "What's
-    wrong #2") — exactness never depends on the cell count, so the
-    oracle hash is invariant to it."""
-    from ..extensions.similarity import cosine_similarity_join
+    the pair count does. ``nlist`` comes from the operator's own
+    measured rule (extensions/similarity.py::derive_nlist — isqrt of
+    the fit-side count, CAP 32) from a cheap count of the fit side
+    instead of a pinned constant (r11 verdict "What's wrong #2"); the
+    r13 three-shape ladder replaced the r12 sqrt-to-1024 rule after
+    sqrt(n) cells measured 2-10x off the 32-64 optimum at 500k fit rows
+    (docs/SCALE.md r13). Exactness never depends on the cell count, so
+    the oracle hash is invariant to it."""
+    from ..extensions.similarity import cosine_similarity_join, derive_nlist
 
     e = load(spark, sf_dir, "embeddings")
     corpus = e.filter(F.col("vec_id") % _BENCH_MOD != _BENCH_RESIDUE).select(
@@ -311,10 +313,9 @@ def q_cross_corpus_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     bench = e.filter(F.col("vec_id") % _BENCH_MOD == _BENCH_RESIDUE).select(
         F.col("vec_id").alias("bench_id"), "embedding"
     )
-    # one narrow count on the 5% slice (column-pruned parquet scan);
-    # sqrt keeps per-cell block volume balanced as the slice grows
+    # one narrow count on the 5% slice (column-pruned parquet scan)
     n_bench = bench.count()
-    nlist = max(4, min(1024, int(math.isqrt(n_bench))))
+    nlist = derive_nlist(n_bench)
     return cosine_similarity_join(
         corpus,
         bench,

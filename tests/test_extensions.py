@@ -830,3 +830,21 @@ def test_blocked_candidate_pairs_superset_contract(spark):
     assert any(a == 91 for a, _ in qualifying)
     # empty allowlist contract
     assert blocked_candidate_pairs(lm, rm, [], thr) is None
+
+
+def test_derive_nlist_rule():
+    """The measured default (r13 three-shape ladder, SCALE.md): isqrt of
+    the fit-side count with floor 4 and CAP 32 — never the sqrt-to-1024
+    rule that measured 2-10x off the optimum at 500k fit rows."""
+    from big_data_processing_with_aws_glue_workshop_spark.extensions.similarity import (
+        derive_nlist,
+    )
+
+    assert derive_nlist(0) == 4
+    assert derive_nlist(10) == 4
+    assert derive_nlist(300) == 17          # sf0.01 bench slice: unchanged
+    assert derive_nlist(1_000) == 31
+    assert derive_nlist(1_200) == 32
+    assert derive_nlist(200_000) == 32      # capped
+    assert derive_nlist(500_000) == 32      # the ladder's robust point
+    assert derive_nlist(500_000, cap=64) == 64  # explicit parallelism lever

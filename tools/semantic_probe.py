@@ -144,13 +144,15 @@ def join_mode(sizes: list[int], derived: bool = False, brute: bool = True) -> No
         ).repartition(32).cache()
         ldf.count(), rdf.count()
 
-        # --derived: the rule q_cross_corpus_contamination adopted in
-        # r12 (cells ~ sqrt(right rows), capped) instead of the pinned
-        # fixture NLIST — confirms the operator's own 100x guidance on
-        # the same fixture the r10/r11 crossover tables used
-        import math as _math
+        # --derived: the operator's own derivation rule (shared helper,
+        # so probe and query can never fork) instead of the pinned
+        # fixture NLIST — r13 capped it at 32 after the three-shape
+        # ladder (SCALE.md r13)
+        from big_data_processing_with_aws_glue_workshop_spark.extensions.similarity import (
+            derive_nlist,
+        )
 
-        nlist = max(4, min(1024, _math.isqrt(n))) if derived else NLIST
+        nlist = derive_nlist(n) if derived else NLIST
         t0 = time.time()
         pruned = cosine_similarity_join(
             ldf, rdf, threshold=thr, left_id="qid", right_id="cid",
@@ -191,11 +193,13 @@ def join_prod_mode(sizes: list[int]) -> None:
     n_blobs = n/1500 (capped 2048), Zipf-1.1 membership (a few dominant
     topics, long tail) — the regime a real embedding corpus exhibits.
     Both nlist policies run the SAME fixture; the exact join's recall is
-    1.0 for any nlist, so equal pair counts double as the cross-check."""
-    import math as _math
-
+    1.0 for any nlist, so equal pair counts double as the cross-check.
+    (r13: this probe's first results + the follow-up three-shape ladder
+    at 500k are what replaced the sqrt-to-1024 rule with derive_nlist's
+    cap-32 — see SCALE.md r13.)"""
     from big_data_processing_with_aws_glue_workshop_spark.extensions.similarity import (
         cosine_similarity_join,
+        derive_nlist,
     )
 
     spark = get_session(app_name="semantic-probe-join-prod")
@@ -213,7 +217,7 @@ def join_prod_mode(sizes: list[int]) -> None:
         ldf.count(), rdf.count()
         pair_counts = {}
         for derived in (False, True):
-            nlist = max(4, min(1024, _math.isqrt(n))) if derived else NLIST
+            nlist = derive_nlist(n) if derived else NLIST
             t0 = time.time()
             pairs = cosine_similarity_join(
                 ldf, rdf, threshold=THRESHOLD, left_id="qid", right_id="cid",
