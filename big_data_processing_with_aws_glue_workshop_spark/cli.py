@@ -888,6 +888,39 @@ def cmd_dsir_select(args: argparse.Namespace) -> None:
     )
 
 
+def cmd_source_divergence(args: argparse.Namespace) -> None:
+    """Source drift audit job (queries/textops.py::source_divergence_audit):
+    per-source Jensen-Shannon divergence (micro-nats) between the source's
+    hashed n-gram distribution and a target corpus — the report that says
+    WHICH sources drifted before anyone reweights a mixture."""
+    from .queries.textops import source_divergence_audit
+
+    spark = get_session(app_name="source-divergence")
+    corpus = spark.read.parquet(args.input)
+    target = spark.read.parquet(args.target)
+    rows = sorted(
+        (
+            r.asDict()
+            for r in source_divergence_audit(
+                corpus,
+                target,
+                source_col=args.source_col,
+                text_col=args.text_col,
+                n_buckets=args.n_buckets,
+                alpha=args.alpha,
+            ).collect()
+        ),
+        key=lambda r: -r["jsd_micro"],
+    )
+    _emit(
+        {
+            "job": "source-divergence",
+            "n_sources": len(rows),
+            "by_source": rows,
+        }
+    )
+
+
 def cmd_semantic_allow_report(args: argparse.Namespace) -> None:
     """On-demand re-cell trigger check (plans/incremental.py::
     semantic_allow_report): standing-vs-standing allowlist share under
@@ -1405,6 +1438,20 @@ def build_parser() -> argparse.ArgumentParser:
         "paper's at-scale recipe; the target side always fits in full)",
     )
     ds.set_defaults(func=cmd_dsir_select)
+
+    sdv = sub.add_parser(
+        "source-divergence",
+        help="per-source JSD drift vs a target corpus in hashed n-gram "
+        "space (micro-nats): one bounded corpus aggregate, folded "
+        "target model, exact bigint sums",
+    )
+    sdv.add_argument("--input", required=True, help="corpus parquet path")
+    sdv.add_argument("--target", required=True, help="target corpus parquet path")
+    sdv.add_argument("--source-col", default="source")
+    sdv.add_argument("--text-col", default="text")
+    sdv.add_argument("--n-buckets", type=int, default=4096)
+    sdv.add_argument("--alpha", type=float, default=1.0)
+    sdv.set_defaults(func=cmd_source_divergence)
 
     sar = sub.add_parser(
         "semantic-allow-report",

@@ -1442,6 +1442,84 @@ def dsir_select(
     )
 
 
+def source_divergence_audit(
+    corpus: DataFrame,
+    target: DataFrame = None,
+    *,
+    source_col: str = "source",
+    text_col: str = "text",
+    n_buckets: int = _DSIR_BUCKETS,
+    alpha: float = 1.0,
+) -> DataFrame:
+    """Per-source distribution drift vs a TARGET corpus: the
+    Jensen-Shannon divergence (micro-nats, exact bigint) between each
+    source's hashed unigram+bigram multinomial and the target's — the
+    AUDIT complement to the mixture family (source_mixture_plan /
+    epoch_mixture_plan decide how much of each source to take; DSIR
+    selects documents; this reports WHICH sources drifted and how far,
+    the signal that tells an operator where reweighting will bite).
+
+    Output one row per source: (source_col, n_grams, jsd_micro) with
+    jsd_micro = sum over buckets of floor(1e6 * per-bucket JS term)
+    under Laplace ``alpha`` smoothing of both multinomials. Each bucket
+    term is non-negative (per-bucket f-divergence), the total is
+    bounded by ln 2 * 1e6 ~ 693147, and identical distributions score
+    near 0 — a calibrated, comparable drift scale across sources.
+
+    Scale shape: ONE explode + hash aggregate over the corpus to
+    (source, bucket) occurrence counts — bounded by |sources| *
+    n_buckets rows, the model space, never the corpus — and the target
+    model rides in as a folded literal array (the DSIR trick), so the
+    divergence arithmetic runs on the small grid: per-source totals,
+    explode(sequence) to the full bucket grid (absent buckets still
+    carry smoothing mass), one aggregate back to |sources| rows. After
+    the first aggregate nothing scales with corpus size."""
+    if n_buckets < 1:
+        raise ValueError(f"n_buckets must be >= 1, got {n_buckets}")
+    if alpha <= 0:
+        raise ValueError(f"alpha must be > 0, got {alpha}")
+    tb = _dsir_bucket_histogram(target, text_col, n_buckets)
+    t_total = sum(tb.values())
+    if t_total == 0:
+        raise ValueError("target has no text rows: cannot fit the target model")
+    tarr = _lit_bigint_array([tb.get(b, 0) for b in range(n_buckets)])
+    # ONE corpus pass -> bounded (source, bucket) model rows
+    pc = (
+        corpus.filter(F.col(text_col).isNotNull())
+        .select(
+            source_col,
+            F.explode(_dsir_buckets(F.col(text_col), n_buckets)).alias("b"),
+        )
+        .groupBy(source_col, "b")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    totals = pc.groupBy(source_col).agg(F.sum("c").alias("t_s"))
+    grid = totals.select(
+        source_col,
+        "t_s",
+        F.explode(F.sequence(F.lit(0), F.lit(n_buckets - 1))).alias("b"),
+    ).join(pc, [source_col, "b"], "left")
+    p = (F.coalesce(F.col("c"), F.lit(0)) + F.lit(alpha)) / (
+        F.col("t_s") + F.lit(alpha * n_buckets)
+    )
+    q = (F.element_at(tarr, (F.col("b") + 1).cast("int")) + F.lit(alpha)) / (
+        F.lit(float(t_total)) + F.lit(alpha * n_buckets)
+    )
+    m = (p + q) / F.lit(2.0)
+    term = F.lit(0.5) * (p * F.log(p / m) + q * F.log(q / m))
+    return (
+        grid.select(
+            source_col,
+            F.col("t_s").alias("n_grams"),
+            F.floor(F.lit(float(_DSIR_MICRO)) * term).cast("bigint").alias(
+                "term_micro"
+            ),
+        )
+        .groupBy(source_col, "n_grams")
+        .agg(F.sum("term_micro").alias("jsd_micro"))
+    )
+
+
 def q_doc_repetition_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Within-document repetition scoring (the Gopher/MassiveText quality
     signal): fraction of NON-distinct word 3-grams inside each doc. Highly

@@ -1111,3 +1111,43 @@ def test_cli_dsir_select(spark, tmp_path, capsys):
     ids = [r["doc_id"] for r in sel.collect()]
     assert len(ids) == 40
     assert sum(1 for i in ids if i < 120) >= 38  # apple-enriched
+
+
+def test_cli_source_divergence(spark, tmp_path, capsys):
+    """source-divergence e2e: the disjoint-vocabulary source tops the
+    drift report, the matched source sits far below it."""
+    import json as _json
+    import random
+
+    from big_data_processing_with_aws_glue_workshop_spark.cli import main
+
+    rng = random.Random(13)
+    va = [f"apple{j}" for j in range(80)]
+    vb = [f"zebra{j}" for j in range(80)]
+    rows = [
+        ("match", " ".join(rng.choice(va) for _ in range(25)))
+        for _ in range(100)
+    ] + [
+        ("drift", " ".join(rng.choice(vb) for _ in range(25)))
+        for _ in range(100)
+    ]
+    spark.createDataFrame(rows, "source string, text string").coalesce(
+        2
+    ).write.parquet(str(tmp_path / "corpus"))
+    spark.createDataFrame(
+        [(" ".join(rng.choice(va) for _ in range(25)),) for _ in range(30)],
+        "text string",
+    ).coalesce(1).write.parquet(str(tmp_path / "target"))
+
+    main([
+        "source-divergence",
+        "--input", str(tmp_path / "corpus"),
+        "--target", str(tmp_path / "target"),
+        "--n-buckets", "512",
+    ])
+    out = _json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert out["job"] == "source-divergence" and out["n_sources"] == 2
+    assert out["by_source"][0]["source"] == "drift"
+    assert (
+        out["by_source"][0]["jsd_micro"] > 5 * out["by_source"][1]["jsd_micro"]
+    )

@@ -1440,3 +1440,132 @@ def test_dsir_plan_shape(spark, sf_dir):
     plan_s = sel._jdf.queryExecution().executedPlan().toString()
     assert "TakeOrderedAndProject" in plan_s
     assert "Exchange SinglePartition" not in plan_s
+
+
+# ---------------------------------------------------------------------------
+# source_divergence_audit (r13): per-source JSD drift vs a target corpus
+
+_SDA_ORACLE = """
+WITH tw AS (
+  SELECT string_split_regex(trim(lower(text)), '[ \\t\\n\\f\\r]+') AS w
+  FROM documents WHERE text IS NOT NULL AND doc_id % 17 = 0
+),
+tg AS (
+  SELECT g FROM (
+    SELECT unnest(w) AS g FROM tw
+    UNION ALL
+    SELECT w[i] || ' ' || w[i+1] AS g FROM tw, UNNEST(range(1, len(w))) AS t(i)
+  )
+),
+tb AS (SELECT ('0x' || substr(md5(g), 1, 12))::BIGINT % {B} AS b, COUNT(1) AS n
+       FROM tg GROUP BY 1),
+cw AS (
+  SELECT source, string_split_regex(trim(lower(text)), '[ \\t\\n\\f\\r]+') AS w
+  FROM documents WHERE text IS NOT NULL
+),
+cg AS (
+  SELECT source, g FROM (
+    SELECT source, unnest(w) AS g FROM cw
+    UNION ALL
+    SELECT source, w[i] || ' ' || w[i+1] AS g
+    FROM cw, UNNEST(range(1, len(w))) AS t(i)
+  )
+),
+pc AS (SELECT source, ('0x' || substr(md5(g), 1, 12))::BIGINT % {B} AS b,
+              COUNT(1) AS c
+       FROM cg GROUP BY 1, 2),
+totals AS (SELECT source, SUM(c) AS t_s FROM pc GROUP BY 1),
+grid AS (
+  SELECT totals.source, totals.t_s, r.range AS b, pc.c
+  FROM totals CROSS JOIN range(0, {B}) r
+  LEFT JOIN pc ON pc.source = totals.source AND pc.b = r.range
+),
+terms AS (
+  SELECT source, t_s,
+         FLOOR(1000000.0 * (0.5 * (
+             ((COALESCE(c, 0) + 1.0) / (t_s + 1.0 * {B}))
+               * ln(((COALESCE(c, 0) + 1.0) / (t_s + 1.0 * {B}))
+                    / ((((COALESCE(c, 0) + 1.0) / (t_s + 1.0 * {B}))
+                        + ((COALESCE(tb2.n, 0) + 1.0)
+                           / ((SELECT SUM(n) FROM tb) + 1.0 * {B}))) / 2.0))
+           + ((COALESCE(tb2.n, 0) + 1.0) / ((SELECT SUM(n) FROM tb) + 1.0 * {B}))
+               * ln(((COALESCE(tb2.n, 0) + 1.0)
+                     / ((SELECT SUM(n) FROM tb) + 1.0 * {B}))
+                    / ((((COALESCE(c, 0) + 1.0) / (t_s + 1.0 * {B}))
+                        + ((COALESCE(tb2.n, 0) + 1.0)
+                           / ((SELECT SUM(n) FROM tb) + 1.0 * {B}))) / 2.0))
+         ))) AS term_micro
+  FROM grid LEFT JOIN tb tb2 ON tb2.b = grid.b
+)
+SELECT source, CAST(t_s AS BIGINT) AS n_grams,
+       CAST(SUM(term_micro) AS BIGINT) AS jsd_micro
+FROM terms GROUP BY 1, 2
+"""
+
+
+def test_source_divergence_matches_oracle(spark, sf_dir):
+    """The bounded-grid JSD (one corpus aggregate, folded target model,
+    micro-floored terms summed as exact bigints) against a from-scratch
+    DuckDB twin on the real tables."""
+    from big_data_processing_with_aws_glue_workshop_spark.queries._tables import load
+    from big_data_processing_with_aws_glue_workshop_spark.queries.textops import (
+        source_divergence_audit,
+    )
+    from tests.oracle_harness import compare
+
+    docs = load(spark, sf_dir, "documents")
+    out = source_divergence_audit(docs, _dsir_target(docs), n_buckets=1024)
+    compare(out, _SDA_ORACLE.format(B=1024), sf_dir)
+
+
+def test_source_divergence_semantics(spark):
+    """Drift ordering and bounds: a source sharing the target's
+    vocabulary scores far lower than a disjoint-vocabulary source; the
+    disjoint pair approaches (but never exceeds) the ln2 ceiling; a
+    source that IS the target distribution lands near zero; repartition
+    invariance; edge raises."""
+    import math
+
+    import pytest as _pytest
+
+    from big_data_processing_with_aws_glue_workshop_spark.queries.textops import (
+        source_divergence_audit,
+    )
+
+    corpus, target = _dsir_two_population(spark)
+    tagged = corpus.select(
+        F.when(F.col("doc_id") < 300, "apple_src")
+        .otherwise("zebra_src")
+        .alias("source"),
+        "text",
+    )
+    got = {
+        r["source"]: r["jsd_micro"]
+        for r in source_divergence_audit(tagged, target, n_buckets=512).collect()
+    }
+    ceiling = int(math.log(2) * 1_000_000)
+    # disjoint vocab drifts an order of magnitude past the matched source
+    # (smoothing mass + hash collisions keep even disjoint supports well
+    # under the ln2 ceiling at alpha=1, B=512: measured 146,699 vs 15,050)
+    assert got["apple_src"] * 5 < got["zebra_src"]
+    assert 0 <= got["zebra_src"] <= ceiling + 512  # ln2 bound (+floor slack)
+    # the target's own documents as a source: identical multinomials ->
+    # every per-bucket term is 0 exactly
+    self_src = target.select(F.lit("self").alias("source"), "text")
+    self_jsd = source_divergence_audit(self_src, target, n_buckets=512).collect()
+    assert self_jsd[0]["jsd_micro"] == 0
+    assert self_jsd[0]["jsd_micro"] < got["apple_src"]
+    # partition invariance (exact bigint arithmetic, order-independent)
+    rep = {
+        r["source"]: r["jsd_micro"]
+        for r in source_divergence_audit(
+            tagged.repartition(13), target, n_buckets=512
+        ).collect()
+    }
+    assert rep == got
+    with _pytest.raises(ValueError, match="target has no text"):
+        source_divergence_audit(tagged, target.limit(0))
+    with _pytest.raises(ValueError, match="alpha"):
+        source_divergence_audit(tagged, target, alpha=0.0)
+    with _pytest.raises(ValueError, match="n_buckets"):
+        source_divergence_audit(tagged, target, n_buckets=0)
