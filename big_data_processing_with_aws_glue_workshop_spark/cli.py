@@ -843,11 +843,16 @@ def cmd_dsir_select(args: argparse.Namespace) -> None:
     (optionally a sample of it), weight every raw doc by the micro-nat
     importance log ratio, keep the Gumbel-top-k — sampling without
     replacement proportional to the importance weights (Xie et al. 2023).
-    Writes the selected (id, n_grams, logw_micro, key_micro) rows."""
+    Writes the selected (id, n_grams, logw_micro, key_micro) rows —
+    or, with --budget-tokens instead of --k, spends a token budget
+    along the same ranking (dsir_select_budget: the key projection
+    composed with token_budget_selection's distributed prefix sum)."""
     import pyspark.sql.functions as F
 
-    from .queries.textops import dsir_select
+    from .queries.textops import dsir_select, dsir_select_budget
 
+    if (args.k is None) == (args.budget_tokens is None):
+        raise SystemExit("dsir-select: pass exactly one of --k / --budget-tokens")
     spark = get_session(app_name="dsir-select")
     corpus = spark.read.parquet(args.input)
     target = spark.read.parquet(args.target)
@@ -856,10 +861,7 @@ def cmd_dsir_select(args: argparse.Namespace) -> None:
         if args.model_sample is not None
         else None
     )
-    out = dsir_select(
-        corpus,
-        target,
-        args.k,
+    common = dict(
         seed=args.seed,
         sample=not args.no_sample,
         id_col=args.id_col,
@@ -868,24 +870,35 @@ def cmd_dsir_select(args: argparse.Namespace) -> None:
         alpha=args.alpha,
         corpus_model=corpus_model,
     )
+    if args.k is not None:
+        out = dsir_select(corpus, target, args.k, **common)
+    else:
+        out = dsir_select_budget(corpus, target, args.budget_tokens, **common)
     out.write.mode("overwrite").parquet(args.output)
     written = spark.read.parquet(args.output)
     stats = written.agg(
         F.count(F.lit(1)).alias("selected_docs"),
-        F.sum("n_grams").alias("selected_grams"),
         F.min("key_micro").alias("cut_key_micro"),
+        *(
+            [F.max("cum_tokens").alias("selected_tokens")]
+            if args.budget_tokens is not None
+            else [F.sum("n_grams").alias("selected_grams")]
+        ),
     ).first()
-    _emit(
-        {
-            "job": "dsir-select",
-            "output": args.output,
-            "k": args.k,
-            "sampled": not args.no_sample,
-            "selected_docs": stats["selected_docs"],
-            "selected_grams": stats["selected_grams"] or 0,
-            "cut_key_micro": stats["cut_key_micro"],
-        }
-    )
+    report = {
+        "job": "dsir-select",
+        "output": args.output,
+        "sampled": not args.no_sample,
+        "selected_docs": stats["selected_docs"],
+        "cut_key_micro": stats["cut_key_micro"],
+    }
+    if args.budget_tokens is not None:
+        report["budget_tokens"] = args.budget_tokens
+        report["selected_tokens"] = stats["selected_tokens"] or 0
+    else:
+        report["k"] = args.k
+        report["selected_grams"] = stats["selected_grams"] or 0
+    _emit(report)
 
 
 def cmd_source_divergence(args: argparse.Namespace) -> None:
@@ -1422,7 +1435,12 @@ def build_parser() -> argparse.ArgumentParser:
     ds.add_argument("--input", required=True, help="raw corpus parquet path")
     ds.add_argument("--target", required=True, help="target corpus parquet path")
     ds.add_argument("--output", required=True, help="selected-docs dir")
-    ds.add_argument("--k", type=int, required=True, help="docs to select")
+    ds.add_argument("--k", type=int, default=None, help="docs to select")
+    ds.add_argument(
+        "--budget-tokens", type=int, default=None,
+        help="spend a token budget along the DSIR ranking instead of a "
+        "fixed k (exactly one of --k / --budget-tokens)",
+    )
     ds.add_argument("--seed", type=int, default=0)
     ds.add_argument(
         "--no-sample", action="store_true",

@@ -1409,27 +1409,7 @@ def dsir_select(
         log_ratio=log_ratio,
         corpus_model=corpus_model,
     )
-    if sample:
-        u = (
-            F.conv(
-                F.substring(
-                    F.md5(
-                        F.concat(
-                            F.lit(f"dsir:{int(seed)}:"),
-                            F.col(id_col).cast("string"),
-                        )
-                    ),
-                    1,
-                    13,
-                ),
-                16,
-                10,
-            ).cast("double")
-            + F.lit(1.0)
-        ) / F.lit(float(16**13 + 2))
-        noise = F.floor(-F.log(-F.log(u)) * _DSIR_MICRO).cast("bigint")
-    else:
-        noise = F.lit(0).cast("bigint")
+    noise = _dsir_gumbel_micro(id_col, seed) if sample else F.lit(0).cast("bigint")
     return (
         w.select(
             id_col,
@@ -1439,6 +1419,123 @@ def dsir_select(
         )
         .orderBy(F.col("key_micro").desc(), F.col(id_col).asc())
         .limit(k)
+    )
+
+
+def _dsir_gumbel_micro(id_col: str, seed: int):
+    """Floored micro-nat Gumbel noise from a seeded md5 uniform on the doc
+    id — deterministic, partition-invariant, SQL-twinnable. Shared by the
+    k-mode and budget-mode selectors so the perturbed key cannot fork."""
+    u = (
+        F.conv(
+            F.substring(
+                F.md5(
+                    F.concat(
+                        F.lit(f"dsir:{int(seed)}:"),
+                        F.col(id_col).cast("string"),
+                    )
+                ),
+                1,
+                13,
+            ),
+            16,
+            10,
+        ).cast("double")
+        + F.lit(1.0)
+    ) / F.lit(float(16**13 + 2))
+    return F.floor(-F.log(-F.log(u)) * _DSIR_MICRO).cast("bigint")
+
+
+def dsir_select_budget(
+    corpus: DataFrame,
+    target: DataFrame = None,
+    budget_tokens: int = 0,
+    *,
+    seed: int = 0,
+    sample: bool = True,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n_tokens_col: str = None,
+    n_buckets: int = _DSIR_BUCKETS,
+    alpha: float = 1.0,
+    log_ratio=None,
+    corpus_model: DataFrame = None,
+    n_select_buckets: int = 256,
+) -> DataFrame:
+    """Budget-mode DSIR: spend a TOKEN budget along the
+    importance-resampled ranking instead of taking a fixed document
+    count — the composition every pretraining run actually wants once
+    the Chinchilla budget is fixed ("the best N tokens that look like
+    the target"), built from the two primitives this module already
+    gates: :func:`dsir_select`'s Gumbel-perturbed key orders the corpus,
+    :func:`token_budget_selection`'s distributed two-phase prefix sum
+    cuts it at the budget (no single-partition global window; the
+    rejected mass never shuffles).
+
+    ``n_tokens_col`` names a precomputed token-count column; left None,
+    whitespace tokens are counted in the SAME narrow projection that
+    scores the document (no extra pass). Output matches
+    token_budget_selection's contract with the key exposed:
+    (id_col, key_micro, n_tokens, sel_rank, cum_tokens) — selection
+    order is (key DESC, md5 tiebreak), ranks are global, cum_tokens the
+    inclusive running mass, every selected row's cum_tokens <= budget.
+    """
+    if log_ratio is None:
+        log_ratio = dsir_log_ratio_table(
+            corpus_model if corpus_model is not None else corpus,
+            target,
+            text_col=text_col,
+            n_buckets=n_buckets,
+            alpha=alpha,
+        )
+    if len(log_ratio) != n_buckets:
+        raise ValueError(
+            f"log_ratio length {len(log_ratio)} != n_buckets {n_buckets}"
+        )
+    arr = _lit_bigint_array(log_ratio)
+    ntok = (
+        F.col(n_tokens_col).cast("bigint")
+        if n_tokens_col is not None
+        else F.size(_tokens(F.col(text_col))).cast("bigint")
+    )
+    noise = _dsir_gumbel_micro(id_col, seed) if sample else F.lit(0).cast("bigint")
+    scored = (
+        corpus.filter(F.col(text_col).isNotNull())
+        .select(
+            id_col,
+            _dsir_buckets(F.col(text_col), n_buckets).alias("bk"),
+            ntok.alias("n_tokens"),
+        )
+        .select(
+            id_col,
+            "n_tokens",
+            (
+                F.aggregate(
+                    "bk",
+                    F.lit(0).cast("bigint"),
+                    lambda acc, b: acc + F.element_at(arr, (b + 1).cast("int")),
+                )
+                + noise
+            ).alias("key_micro"),
+        )
+    )
+    sel = token_budget_selection(
+        scored.select(
+            id_col,
+            F.col("key_micro").cast("double").alias("score"),
+            "n_tokens",
+        ),
+        budget_tokens,
+        "score",
+        id_col=id_col,
+        n_buckets=n_select_buckets,
+    )
+    return sel.select(
+        id_col,
+        F.col("score").cast("bigint").alias("key_micro"),
+        "n_tokens",
+        "sel_rank",
+        "cum_tokens",
     )
 
 

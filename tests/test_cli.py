@@ -1151,3 +1151,48 @@ def test_cli_source_divergence(spark, tmp_path, capsys):
     assert (
         out["by_source"][0]["jsd_micro"] > 5 * out["by_source"][1]["jsd_micro"]
     )
+
+
+def test_cli_dsir_select_budget_mode(spark, tmp_path, capsys):
+    """dsir-select --budget-tokens e2e: the budget cut reports its spent
+    mass; --k and --budget-tokens are mutually exclusive."""
+    import json as _json
+    import random
+
+    import pytest as _pytest
+
+    from big_data_processing_with_aws_glue_workshop_spark.cli import main
+
+    rng = random.Random(17)
+    va = [f"apple{j}" for j in range(60)]
+    rows = [
+        (i, " ".join(rng.choice(va) for _ in range(20))) for i in range(200)
+    ]
+    spark.createDataFrame(rows, "doc_id long, text string").coalesce(
+        2
+    ).write.parquet(str(tmp_path / "corpus"))
+    spark.createDataFrame(
+        [(1000 + i, " ".join(rng.choice(va) for _ in range(20))) for i in range(20)],
+        "doc_id long, text string",
+    ).coalesce(1).write.parquet(str(tmp_path / "target"))
+
+    main([
+        "dsir-select",
+        "--input", str(tmp_path / "corpus"),
+        "--target", str(tmp_path / "target"),
+        "--output", str(tmp_path / "sel"),
+        "--budget-tokens", "2000",
+        "--n-buckets", "512",
+    ])
+    out = _json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert out["job"] == "dsir-select"
+    assert out["budget_tokens"] == 2000
+    assert out["selected_docs"] == 100  # uniform 20-token docs
+    assert out["selected_tokens"] == 2000
+    with _pytest.raises(SystemExit, match="exactly one"):
+        main([
+            "dsir-select",
+            "--input", str(tmp_path / "corpus"),
+            "--target", str(tmp_path / "target"),
+            "--output", str(tmp_path / "sel2"),
+        ])

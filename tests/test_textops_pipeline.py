@@ -1569,3 +1569,92 @@ def test_source_divergence_semantics(spark):
         source_divergence_audit(tagged, target, alpha=0.0)
     with _pytest.raises(ValueError, match="n_buckets"):
         source_divergence_audit(tagged, target, n_buckets=0)
+
+
+def test_dsir_select_budget_matches_oracle(spark, sf_dir):
+    """Budget-mode DSIR twin: the Gumbel-perturbed key ordered by the
+    naive global window in DuckDB, cut at half the corpus token mass,
+    must equal the composed distributed path (key projection ->
+    token_budget_selection prefix sum) exactly — ids, keys, ranks and
+    running mass."""
+    from big_data_processing_with_aws_glue_workshop_spark.queries._tables import load
+    from big_data_processing_with_aws_glue_workshop_spark.queries.textops import (
+        dsir_select_budget,
+    )
+    from tests.oracle_harness import compare
+
+    docs = load(spark, sf_dir, "documents")
+    total = docs.selectExpr(
+        "sum(size(split(trim(lower(text)), '[ \\t\\n\\f\\r]+')))"
+    ).first()[0]
+    budget = int(total) // 2
+    out = dsir_select_budget(
+        docs, _dsir_target(docs), budget, seed=7, n_buckets=1024
+    )
+    oracle = (
+        "WITH "
+        + _DSIR_GRAMS_ORACLE.format(B=1024)
+        + """
+, keyed AS (
+  SELECT wts.doc_id,
+         logw_micro + CAST(FLOOR(
+           (-ln(-ln((('0x' || substr(md5('dsir:7:' || CAST(wts.doc_id AS VARCHAR)), 1, 13))::BIGINT + 1.0)
+                    / 4503599627370498.0))) * 1000000.0
+         ) AS BIGINT) AS key_micro,
+         nt.n_tokens
+  FROM wts
+  JOIN (SELECT doc_id, CAST(len(w) AS BIGINT) AS n_tokens FROM cw) nt
+    ON nt.doc_id = wts.doc_id
+),
+cut AS (
+  SELECT doc_id, key_micro, n_tokens,
+         ROW_NUMBER() OVER (
+           ORDER BY key_micro DESC, md5('tbs:' || CAST(doc_id AS VARCHAR)) ASC
+         ) AS sel_rank,
+         SUM(n_tokens) OVER (
+           ORDER BY key_micro DESC, md5('tbs:' || CAST(doc_id AS VARCHAR)) ASC
+           ROWS UNBOUNDED PRECEDING
+         ) AS cum_tokens
+  FROM keyed
+)
+SELECT doc_id, key_micro, n_tokens,
+       CAST(sel_rank AS BIGINT) AS sel_rank,
+       CAST(cum_tokens AS BIGINT) AS cum_tokens
+FROM cut WHERE cum_tokens <= {budget}
+""".format(budget=budget)
+    )
+    compare(out, oracle, sf_dir)
+
+
+def test_dsir_select_budget_semantics(spark):
+    """Contract: inclusive running mass <= budget, ranks are the exact
+    key-order prefix, full budget selects every scored doc, zero budget
+    selects none, and the n_tokens_col fast path equals the derived
+    count."""
+    from big_data_processing_with_aws_glue_workshop_spark.queries.textops import (
+        dsir_select_budget,
+    )
+
+    corpus, target = _dsir_two_population(spark)
+    total = 600 * 30  # every doc is exactly 30 whitespace tokens
+    full = dsir_select_budget(corpus, target, total, seed=3, n_buckets=512)
+    rows = full.collect()
+    assert len(rows) == 600
+    assert max(r["cum_tokens"] for r in rows) == total
+    half = dsir_select_budget(
+        corpus, target, total // 2, seed=3, n_buckets=512
+    ).collect()
+    assert len(half) == 300  # uniform 30-token docs: exactly half
+    assert all(r["cum_tokens"] <= total // 2 for r in half)
+    # prefix property: the half-budget selection is the rank prefix of full
+    full_by_rank = {r["sel_rank"]: r["doc_id"] for r in rows}
+    assert {r["sel_rank"]: r["doc_id"] for r in half} == {
+        k: v for k, v in full_by_rank.items() if k <= 300
+    }
+    assert dsir_select_budget(corpus, target, 0, n_buckets=512).count() == 0
+    # precomputed token counts: same selection through the fast path
+    pre = corpus.withColumn("nt", F.lit(30).cast("bigint"))
+    via_col = dsir_select_budget(
+        pre, target, total // 2, seed=3, n_buckets=512, n_tokens_col="nt"
+    ).collect()
+    assert sorted(map(tuple, via_col)) == sorted(map(tuple, half))
