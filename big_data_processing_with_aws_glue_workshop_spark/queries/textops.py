@@ -1570,18 +1570,38 @@ def source_divergence_audit(
     divergence arithmetic runs on the small grid: per-source totals,
     explode(sequence) to the full bucket grid (absent buckets still
     carry smoothing mass), one aggregate back to |sources| rows. After
-    the first aggregate nothing scales with corpus size."""
+    the first aggregate nothing scales with corpus size. The histogram
+    is a COUNT MONOID, so the streaming twin
+    (streaming/sketch.py::NgramHistogramSink) maintains the same
+    (source, bucket) table incrementally and its drift report calls the
+    same :func:`jsd_from_histogram` — the math cannot fork."""
     if n_buckets < 1:
         raise ValueError(f"n_buckets must be >= 1, got {n_buckets}")
     if alpha <= 0:
         raise ValueError(f"alpha must be > 0, got {alpha}")
     tb = _dsir_bucket_histogram(target, text_col, n_buckets)
-    t_total = sum(tb.values())
-    if t_total == 0:
-        raise ValueError("target has no text rows: cannot fit the target model")
-    tarr = _lit_bigint_array([tb.get(b, 0) for b in range(n_buckets)])
-    # ONE corpus pass -> bounded (source, bucket) model rows
-    pc = (
+    pc = ngram_bucket_histogram(
+        corpus, source_col=source_col, text_col=text_col, n_buckets=n_buckets
+    )
+    return jsd_from_histogram(
+        pc, tb, source_col=source_col, n_buckets=n_buckets, alpha=alpha
+    )
+
+
+def ngram_bucket_histogram(
+    corpus: DataFrame,
+    *,
+    source_col: str = "source",
+    text_col: str = "text",
+    n_buckets: int = _DSIR_BUCKETS,
+) -> DataFrame:
+    """ONE corpus pass -> the bounded (source_col, b, c) hashed-n-gram
+    occurrence histogram (<= |sources| * n_buckets rows). A count
+    monoid: histograms of disjoint corpus slices merge by summing c —
+    the property the streaming drift monitor builds on."""
+    if n_buckets < 1:
+        raise ValueError(f"n_buckets must be >= 1, got {n_buckets}")
+    return (
         corpus.filter(F.col(text_col).isNotNull())
         .select(
             source_col,
@@ -1590,6 +1610,29 @@ def source_divergence_audit(
         .groupBy(source_col, "b")
         .agg(F.count(F.lit(1)).alias("c"))
     )
+
+
+def jsd_from_histogram(
+    pc: DataFrame,
+    target_hist: dict,
+    *,
+    source_col: str = "source",
+    n_buckets: int = _DSIR_BUCKETS,
+    alpha: float = 1.0,
+) -> DataFrame:
+    """Per-source JSD (micro-nats, exact bigint) from a (source, b, c)
+    histogram frame and a {bucket: count} target histogram — the shared
+    arithmetic core of :func:`source_divergence_audit` and the streaming
+    drift monitor. Bounded-grid work only; nothing here scales with the
+    corpus that produced the histogram."""
+    if n_buckets < 1:
+        raise ValueError(f"n_buckets must be >= 1, got {n_buckets}")
+    if alpha <= 0:
+        raise ValueError(f"alpha must be > 0, got {alpha}")
+    t_total = sum(target_hist.values())
+    if t_total == 0:
+        raise ValueError("target has no text rows: cannot fit the target model")
+    tarr = _lit_bigint_array([target_hist.get(b, 0) for b in range(n_buckets)])
     totals = pc.groupBy(source_col).agg(F.sum("c").alias("t_s"))
     grid = totals.select(
         source_col,

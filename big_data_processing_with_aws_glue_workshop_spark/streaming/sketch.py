@@ -204,6 +204,87 @@ class MinimaSampleSink(_MonoidSketchSink):
         return minima_merge(standing, inc)
 
 
+class NgramHistogramSink(_MonoidSketchSink):
+    """Standing per-(source, bucket) hashed-n-gram occurrence histogram
+    (count-sum monoid) — the streaming side of the corpus drift monitor.
+    Each micro-batch folds its documents' hashed unigram+bigram bucket
+    counts into the standing table (queries/textops.py::
+    ngram_bucket_histogram, <= |sources| * n_buckets rows forever);
+    ``stream_drift_report`` then scores the LIVE distribution of every
+    source against a target corpus with the exact batch-audit arithmetic
+    (jsd_from_histogram), so an operator watches mixture drift on an
+    unbounded ingest stream without ever re-reading history."""
+
+    def __init__(
+        self,
+        target_dir: str,
+        source_col: str = "source",
+        text_col: str = "text",
+        n_buckets: int = None,
+        checkpoint_dir: str | None = None,
+    ) -> None:
+        from ..queries.textops import _DSIR_BUCKETS
+
+        super().__init__(target_dir, checkpoint_dir)
+        self.source_col = source_col
+        self.text_col = text_col
+        self.n_buckets = _DSIR_BUCKETS if n_buckets is None else n_buckets
+
+    @property
+    def calibration(self) -> dict:
+        return {
+            "n_buckets": self.n_buckets,
+            "source_col": self.source_col,
+            "text_col": self.text_col,
+        }
+
+    def _build(self, batch_df: DataFrame) -> DataFrame:
+        from ..queries.textops import ngram_bucket_histogram
+
+        return ngram_bucket_histogram(
+            batch_df,
+            source_col=self.source_col,
+            text_col=self.text_col,
+            n_buckets=self.n_buckets,
+        )
+
+    def _merge(self, standing: DataFrame, inc: DataFrame) -> DataFrame:
+        from pyspark.sql import functions as F
+
+        return (
+            standing.unionByName(inc)
+            .groupBy(self.source_col, "b")
+            .agg(F.sum("c").alias("c"))
+        )
+
+
+def stream_drift_report(
+    spark: SparkSession,
+    target_dir: str,
+    target: DataFrame,
+    alpha: float = 1.0,
+) -> DataFrame:
+    """Per-source JSD of the STANDING streamed histogram vs a target
+    corpus — byte-identical to running source_divergence_audit over
+    everything ever streamed (same jsd_from_histogram core, pinned by
+    test), priced at one target fit + bounded-grid arithmetic: the
+    corpus itself is never re-read."""
+    from ..queries.textops import _dsir_bucket_histogram, jsd_from_histogram
+
+    pointer = read_pointer(target_dir)
+    if pointer is None:
+        raise ValueError(f"no committed histogram at {target_dir!r}")
+    calib = pointer["calibration"]
+    tb = _dsir_bucket_histogram(target, calib["text_col"], calib["n_buckets"])
+    return jsd_from_histogram(
+        read_current(spark, target_dir),
+        tb,
+        source_col=calib["source_col"],
+        n_buckets=calib["n_buckets"],
+        alpha=alpha,
+    )
+
+
 def _guard_checkpoint(target_dir: str, checkpoint_dir: str | None) -> None:
     """Refuse the silent-skip hole: a committed target must be resumed
     under its ORIGINAL checkpoint, or batch ids restart at 0 and the
@@ -302,6 +383,27 @@ def run_stream_minima_sample(
         key_col,
         slots=slots,
         seed=seed,
+        checkpoint_dir=checkpoint_dir,
+    )
+    _drain(stream_df, sink, checkpoint_dir)
+
+
+def run_stream_ngram_histogram(
+    stream_df: DataFrame,
+    target_dir: str,
+    source_col: str = "source",
+    text_col: str = "text",
+    n_buckets: int = None,
+    checkpoint_dir: str | None = None,
+) -> None:
+    """availableNow drain into the standing n-gram histogram; same
+    checkpoint ownership discipline as run_stream_cms_sketch."""
+    _guard_checkpoint(target_dir, checkpoint_dir)
+    sink = NgramHistogramSink(
+        target_dir,
+        source_col=source_col,
+        text_col=text_col,
+        n_buckets=n_buckets,
         checkpoint_dir=checkpoint_dir,
     )
     _drain(stream_df, sink, checkpoint_dir)

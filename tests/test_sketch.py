@@ -1045,3 +1045,96 @@ def test_minima_distinct_estimate_refuses_wrong_slots(spark):
     st = S.minima_sample(_keys(spark, 0, 5_000), "k", slots=1024)
     with pytest.raises(ValueError, match="inconsistent with slots"):
         S.minima_distinct_estimate(st, 256)
+
+
+def test_streaming_ngram_histogram_drift_monitor(spark, tmp_path):
+    """The streaming drift monitor: two drained document waves leave a
+    standing (source, bucket) histogram whose drift report is
+    BYTE-IDENTICAL to source_divergence_audit over everything streamed
+    (the shared jsd_from_histogram core); the standing histogram equals
+    the one-shot histogram of the union; a replayed batch id is a no-op;
+    a recalibrated sink is refused."""
+    import random
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    import pytest
+
+    from big_data_processing_with_aws_glue_workshop_spark.queries.textops import (
+        ngram_bucket_histogram,
+        source_divergence_audit,
+    )
+    from big_data_processing_with_aws_glue_workshop_spark.streaming.sketch import (
+        NgramHistogramSink,
+        read_stream_sketch,
+        run_stream_ngram_histogram,
+        stream_drift_report,
+    )
+
+    rng = random.Random(23)
+    va = [f"apple{j}" for j in range(60)]
+    vb = [f"zebra{j}" for j in range(60)]
+
+    def _wave(n, off):
+        rows = []
+        for i in range(n):
+            vocab = va if (off + i) % 2 == 0 else vb
+            src = "even_src" if (off + i) % 2 == 0 else "odd_src"
+            rows.append((src, " ".join(rng.choice(vocab) for _ in range(15))))
+        return spark.createDataFrame(rows, "source string, text string")
+
+    landing = tmp_path / "stream_in"
+    landing.mkdir()
+    target_dir = str(tmp_path / "hist")
+    ckpt = str(tmp_path / "ckpt")
+    waves = [_wave(150, 0), _wave(150, 300)]
+    for i, w in enumerate(waves):
+        pq.write_table(
+            pa.Table.from_pandas(w.toPandas(), preserve_index=False),
+            str(landing / f"w{i}.parquet"),
+        )
+        stream = spark.readStream.schema("source string, text string").parquet(
+            str(landing)
+        )
+        run_stream_ngram_histogram(
+            stream, target_dir, checkpoint_dir=ckpt, n_buckets=512
+        )
+
+    union = waves[0].unionByName(waves[1])
+    standing = {
+        (r["source"], r["b"]): r["c"]
+        for r in read_stream_sketch(spark, target_dir).collect()
+    }
+    oneshot = {
+        (r["source"], r["b"]): r["c"]
+        for r in ngram_bucket_histogram(union, n_buckets=512).collect()
+    }
+    assert standing == oneshot
+
+    # the live drift report == the batch audit over everything streamed
+    target = spark.createDataFrame(
+        [(" ".join(rng.choice(va) for _ in range(15)),) for _ in range(40)],
+        "text string",
+    )
+    live = {
+        r["source"]: (r["n_grams"], r["jsd_micro"])
+        for r in stream_drift_report(spark, target_dir, target).collect()
+    }
+    batch = {
+        r["source"]: (r["n_grams"], r["jsd_micro"])
+        for r in source_divergence_audit(union, target, n_buckets=512).collect()
+    }
+    assert live == batch
+    # and the apple-matched source drifts far less than the zebra one
+    assert live["even_src"][1] * 5 < live["odd_src"][1]
+
+    # replayed batch id: no-op
+    NgramHistogramSink(target_dir, n_buckets=512)(waves[0], 0)
+    assert {
+        (r["source"], r["b"]): r["c"]
+        for r in read_stream_sketch(spark, target_dir).collect()
+    } == oneshot
+
+    # recalibrated sink refused
+    with pytest.raises(ValueError, match="calibration mismatch"):
+        NgramHistogramSink(target_dir, n_buckets=256)(waves[0], 99)
