@@ -855,7 +855,9 @@ def cmd_dsir_select(args: argparse.Namespace) -> None:
         raise SystemExit("dsir-select: pass exactly one of --k / --budget-tokens")
     spark = get_session(app_name="dsir-select")
     corpus = spark.read.parquet(args.input)
-    target = spark.read.parquet(args.target)
+    if args.target is None and args.log_ratio is None:
+        raise SystemExit("dsir-select: pass --target or a fitted --log-ratio")
+    target = spark.read.parquet(args.target) if args.target is not None else None
     corpus_model = (
         corpus.sample(fraction=args.model_sample, seed=args.seed)
         if args.model_sample is not None
@@ -869,6 +871,11 @@ def cmd_dsir_select(args: argparse.Namespace) -> None:
         n_buckets=args.n_buckets,
         alpha=args.alpha,
         corpus_model=corpus_model,
+        log_ratio=(
+            _load_log_ratio(spark, args.log_ratio, args.n_buckets)
+            if args.log_ratio is not None
+            else None
+        ),
     )
     if args.k is not None:
         out = dsir_select(corpus, target, args.k, **common)
@@ -899,6 +906,56 @@ def cmd_dsir_select(args: argparse.Namespace) -> None:
         report["k"] = args.k
         report["selected_grams"] = stats["selected_grams"] or 0
     _emit(report)
+
+
+def cmd_dsir_fit(args: argparse.Namespace) -> None:
+    """Fit-once job for the DSIR model (queries/textops.py::
+    dsir_log_ratio_table): fit the target and corpus bucket models,
+    write the per-bucket micro-nat log-ratio table as a tiny (b, lam)
+    parquet. At 100 TB this is the expensive pass you run ONCE (on a
+    corpus sample via --model-sample); every later dsir-select
+    --log-ratio run is then a single shuffle-free scan + top-k."""
+    from .queries.textops import dsir_log_ratio_table
+
+    spark = get_session(app_name="dsir-fit")
+    corpus = spark.read.parquet(args.input)
+    target = spark.read.parquet(args.target)
+    corpus_model = (
+        corpus.sample(fraction=args.model_sample, seed=args.seed)
+        if args.model_sample is not None
+        else corpus
+    )
+    lam = dsir_log_ratio_table(
+        corpus_model,
+        target,
+        text_col=args.text_col,
+        n_buckets=args.n_buckets,
+        alpha=args.alpha,
+    )
+    spark.createDataFrame(
+        [(b, v) for b, v in enumerate(lam)], "b int, lam bigint"
+    ).coalesce(1).write.mode("overwrite").parquet(args.output)
+    _emit(
+        {
+            "job": "dsir-fit",
+            "output": args.output,
+            "n_buckets": args.n_buckets,
+            "lam_min": min(lam),
+            "lam_max": max(lam),
+        }
+    )
+
+
+def _load_log_ratio(spark, path: str, n_buckets: int) -> list:
+    """(b, lam) parquet -> dense list; validates coverage of every bucket."""
+    rows = {int(r["b"]): int(r["lam"]) for r in spark.read.parquet(path).collect()}
+    if set(rows) != set(range(n_buckets)):
+        raise SystemExit(
+            f"log-ratio table at {path!r} covers {len(rows)} buckets; "
+            f"expected exactly 0..{n_buckets - 1} (check --n-buckets "
+            "matches the dsir-fit run)"
+        )
+    return [rows[b] for b in range(n_buckets)]
 
 
 def cmd_source_divergence(args: argparse.Namespace) -> None:
@@ -1433,7 +1490,14 @@ def build_parser() -> argparse.ArgumentParser:
         "top-k",
     )
     ds.add_argument("--input", required=True, help="raw corpus parquet path")
-    ds.add_argument("--target", required=True, help="target corpus parquet path")
+    ds.add_argument(
+        "--target", default=None,
+        help="target corpus parquet path (or pass a fitted --log-ratio)",
+    )
+    ds.add_argument(
+        "--log-ratio", default=None,
+        help="(b, lam) parquet from dsir-fit: skip both model fits",
+    )
     ds.add_argument("--output", required=True, help="selected-docs dir")
     ds.add_argument("--k", type=int, default=None, help="docs to select")
     ds.add_argument(
@@ -1456,6 +1520,24 @@ def build_parser() -> argparse.ArgumentParser:
         "paper's at-scale recipe; the target side always fits in full)",
     )
     ds.set_defaults(func=cmd_dsir_select)
+
+    df_ = sub.add_parser(
+        "dsir-fit",
+        help="fit the DSIR log-ratio table once (tiny (b, lam) parquet); "
+        "later dsir-select --log-ratio runs skip both model fits",
+    )
+    df_.add_argument("--input", required=True, help="raw corpus parquet path")
+    df_.add_argument("--target", required=True, help="target corpus parquet path")
+    df_.add_argument("--output", required=True, help="log-ratio table dir")
+    df_.add_argument("--text-col", default="text")
+    df_.add_argument("--n-buckets", type=int, default=4096)
+    df_.add_argument("--alpha", type=float, default=1.0)
+    df_.add_argument("--seed", type=int, default=0)
+    df_.add_argument(
+        "--model-sample", type=float, default=None,
+        help="fit the corpus-side model on this sample fraction",
+    )
+    df_.set_defaults(func=cmd_dsir_fit)
 
     sdv = sub.add_parser(
         "source-divergence",

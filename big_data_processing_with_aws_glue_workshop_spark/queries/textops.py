@@ -1291,6 +1291,11 @@ def dsir_log_ratio_table(
         raise ValueError(f"n_buckets must be >= 1, got {n_buckets}")
     if alpha <= 0:
         raise ValueError(f"alpha must be > 0, got {alpha}")
+    if target is None:
+        raise ValueError(
+            "target is required to fit the DSIR models (or pass a "
+            "precomputed log_ratio table to the caller instead)"
+        )
     tb = _dsir_bucket_histogram(target, text_col, n_buckets)
     cb = _dsir_bucket_histogram(corpus, text_col, n_buckets)
     t_total, c_total = sum(tb.values()), sum(cb.values())
@@ -1579,6 +1584,8 @@ def source_divergence_audit(
         raise ValueError(f"n_buckets must be >= 1, got {n_buckets}")
     if alpha <= 0:
         raise ValueError(f"alpha must be > 0, got {alpha}")
+    if target is None:
+        raise ValueError("target is required to fit the drift reference model")
     tb = _dsir_bucket_histogram(target, text_col, n_buckets)
     pc = ngram_bucket_histogram(
         corpus, source_col=source_col, text_col=text_col, n_buckets=n_buckets

@@ -1196,3 +1196,68 @@ def test_cli_dsir_select_budget_mode(spark, tmp_path, capsys):
             "--target", str(tmp_path / "target"),
             "--output", str(tmp_path / "sel2"),
         ])
+
+
+def test_cli_dsir_fit_then_select(spark, tmp_path, capsys):
+    """The fit-once/select-many flow: dsir-fit writes the (b, lam) table,
+    dsir-select --log-ratio (no --target) reproduces the fit-inline
+    selection exactly; a bucket-count mismatch is refused."""
+    import json as _json
+    import random
+
+    import pytest as _pytest
+
+    from big_data_processing_with_aws_glue_workshop_spark.cli import main
+
+    rng = random.Random(29)
+    va = [f"apple{j}" for j in range(60)]
+    vb = [f"zebra{j}" for j in range(60)]
+    rows = [
+        (i, " ".join(rng.choice(va if i % 2 == 0 else vb) for _ in range(20)))
+        for i in range(200)
+    ]
+    spark.createDataFrame(rows, "doc_id long, text string").coalesce(
+        2
+    ).write.parquet(str(tmp_path / "corpus"))
+    spark.createDataFrame(
+        [(1000 + i, " ".join(rng.choice(va) for _ in range(20))) for i in range(25)],
+        "doc_id long, text string",
+    ).coalesce(1).write.parquet(str(tmp_path / "target"))
+
+    main([
+        "dsir-fit",
+        "--input", str(tmp_path / "corpus"),
+        "--target", str(tmp_path / "target"),
+        "--output", str(tmp_path / "lam"),
+        "--n-buckets", "512",
+    ])
+    fit = _json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert fit["job"] == "dsir-fit" and fit["lam_min"] < 0 < fit["lam_max"]
+
+    common = [
+        "--input", str(tmp_path / "corpus"),
+        "--k", "50", "--seed", "9", "--n-buckets", "512",
+    ]
+    main(["dsir-select", *common, "--target", str(tmp_path / "target"),
+          "--output", str(tmp_path / "sel_inline")])
+    capsys.readouterr()
+    main(["dsir-select", *common, "--log-ratio", str(tmp_path / "lam"),
+          "--output", str(tmp_path / "sel_fitted")])
+    capsys.readouterr()
+    inline = sorted(
+        tuple(r) for r in spark.read.parquet(str(tmp_path / "sel_inline")).collect()
+    )
+    fitted = sorted(
+        tuple(r) for r in spark.read.parquet(str(tmp_path / "sel_fitted")).collect()
+    )
+    assert fitted == inline and len(fitted) == 50
+
+    # bucket-count mismatch refused; missing both --target/--log-ratio too
+    with _pytest.raises(SystemExit, match="covers 512 buckets"):
+        main(["dsir-select", "--input", str(tmp_path / "corpus"),
+              "--k", "5", "--n-buckets", "1024",
+              "--log-ratio", str(tmp_path / "lam"),
+              "--output", str(tmp_path / "x")])
+    with _pytest.raises(SystemExit, match="--target or a fitted"):
+        main(["dsir-select", "--input", str(tmp_path / "corpus"),
+              "--k", "5", "--output", str(tmp_path / "y")])
