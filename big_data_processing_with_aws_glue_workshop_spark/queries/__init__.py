@@ -103,6 +103,16 @@ slot first (its twin is driver-shaped today), then the epoch-mixture
 plan; ``component_aware_split`` stays pytest-tier while
 ``dataset_split_assignment`` holds the split family's driver row.
 
+The SAME tier decision extends to the r13 curation additions —
+``token_budget_selection``, ``split_leakage_audit``, the DSIR family
+(``dsir_importance_weights`` / ``dsir_select`` / ``dsir_select_budget``)
+and ``source_divergence_audit`` (+ its streaming twin): all
+pytest+CLI-tier by the same cap arithmetic (the surface is at 100 and
+no current query is strictly superseded by any of them). Every one
+carries a from-scratch DuckDB twin on the real tables (or, for the
+streaming sink, byte-parity with its twinned batch op) + CLI e2e on
+every pytest run; they join the succession queue behind the r12 trio.
+
 (r12 rotation, for the record: 48 r11 due-backs + first row for
 ``cross_corpus_contamination`` + the ``training_pipeline_summary``
 keep; ``passage_dedup_profile`` retired 1:1 against the
