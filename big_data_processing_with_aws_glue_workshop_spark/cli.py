@@ -765,7 +765,7 @@ def cmd_token_budget_select(args: argparse.Namespace) -> None:
     with rank + running mass."""
     import pyspark.sql.functions as F
 
-    from .queries.textops import token_budget_selection
+    from .queries.textops import _tokens, token_budget_selection
 
     spark = get_session(app_name="token-budget-select")
     docs = spark.read.parquet(args.input)
@@ -776,10 +776,13 @@ def cmd_token_budget_select(args: argparse.Namespace) -> None:
             F.col(args.n_tokens_col).cast("bigint").alias("n_tokens"),
         )
     else:
-        toks = F.split(
-            F.trim(F.lower(F.col(args.text_col))), r"[ \t\n\f\r]+"
-        )
-        scored = docs.select(
+        # the CANONICAL tokenizer (one source of truth with the operators
+        # this score feeds), and NULL text filtered BEFORE scoring: under
+        # legacy sizeOfNull, size(split(NULL)) = -1, which would score a
+        # NULL doc (-1.0)/(-1) = 1.0 with token mass -1 — top-ranked with
+        # selection-corrupting negative mass (r13 review finding)
+        toks = _tokens(F.col(args.text_col))
+        scored = docs.filter(F.col(args.text_col).isNotNull()).select(
             args.id_col,
             (F.size(F.array_distinct(toks)).cast("double") / F.size(toks)).alias(
                 "score"

@@ -1255,7 +1255,7 @@ def semantic_recell(
     vec_col: str = "embedding",
     nlist: int | None = None,
     iters: int = 5,
-    nlist_cap: int = 1024,
+    nlist_cap: int = 32,
 ) -> dict:
     """Maintenance re-fit of a semantic-dedup target's PINNED centroid
     state (the r10 verdict's watch item): the refresh contract freezes
@@ -1267,9 +1267,15 @@ def semantic_recell(
     cadence, the same contract class as ``operators/compaction.py``:
 
     1. reads the standing accepted set (union of published deltas);
-    2. refits ``nlist`` centroids on it (sample-fit, default sized
-       ~ sqrt(n) and capped at ``nlist_cap`` — the driver-side
-       allowlist is O(nlist^2) pairs);
+    2. refits ``nlist`` centroids on it (sample-fit, default
+       extensions/similarity.py::derive_nlist — isqrt(n) CAPPED at
+       ``nlist_cap``, default 32: the r13 three-shape nlist ladder
+       measured sqrt(n)-sized cell counts 2-10x off the 32-64 wall
+       optimum for exactly this machinery's cost drivers — k-means
+       fit, the O(nlist^2) driver allowlist, block fragmentation —
+       so the old sqrt-to-1024 default would make a TRIGGERED in-band
+       recell on a large standing corpus pay the measured penalty
+       unattended; raise the cap explicitly for cluster parallelism);
     3. re-assigns every standing row against the NEW matrix (one
        assignment matmul pass — cell and theta are the only columns
        that change; ids, vectors and caller columns pass through);
@@ -1324,7 +1330,10 @@ def semantic_recell(
     )
     base = standing.drop("cell", "theta")
     n = base.count()
-    new_nlist = nlist if nlist is not None else max(1, round(_math.sqrt(n)))
+    # extensions/similarity.py::derive_nlist's measured rule (r13 ladder),
+    # with the floor relaxed to 1: a tiny standing corpus legitimately
+    # re-cells to very few cells
+    new_nlist = nlist if nlist is not None else max(1, _math.isqrt(n))
     new_nlist = min(new_nlist, nlist_cap)
 
     fitted, _, cmat = train_ivf_index(

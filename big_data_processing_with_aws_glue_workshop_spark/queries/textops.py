@@ -1016,7 +1016,9 @@ def token_budget_selection(
 
     Semantics (exactly the SQL twin): a document is selected iff its
     inclusive running token sum over (score DESC, tiebreak ASC) is
-    <= budget. Output one row per SELECTED document:
+    <= budget; documents with a NULL score or a NULL/negative token
+    mass are unrankable and excluded. Output one row per SELECTED
+    document:
     (id, score, n_tokens, sel_rank, cum_tokens), sel_rank the 1-based
     global rank in selection order, cum_tokens the inclusive prefix sum.
 
@@ -1056,6 +1058,20 @@ def token_budget_selection(
     that final straddling remainder runs serially. All cumulative
     arithmetic is exact bigint; bucketing only PARTITIONS the work and
     cannot move a document across the selection boundary.
+
+    KNOWN LIMIT (r13 review, fix shape named for the next round): the
+    refinement currently applies only to the PARTIAL straddler. A
+    discrete score distribution also collapses each WHOLLY-SELECTED
+    grade into one FULL bucket whose rank/cumsum window then runs as a
+    single task (~corpus/|grades| rows) — correct, and invisible to the
+    `Exchange SinglePartition` plan check because hashpartitioning over
+    5 live buckets still reads as parallel, but a real skew cost at the
+    100 TB target. The fix is mechanical with the machinery already
+    here: turn the single-region loop into a WORKLIST that pushes any
+    bucket (FULL or PARTIAL) over ``recurse_min`` back through the same
+    score-range / tiebreak-prefix refinement with its offsets; FULL
+    buckets need no budget cut, only the offset arithmetic, so output
+    bytes are unchanged by construction.
     """
     from functools import reduce as _reduce
 
@@ -1065,13 +1081,24 @@ def token_budget_selection(
         raise ValueError(f"n_buckets must be >= 1, got {n_buckets}")
     tiebreak = F.md5(F.concat(F.lit("tbs:"), F.col(id_col).cast("string")))
     # NULL score = unrankable = never selected (the SQL twin filters the
-    # same way); keeping NULLs would poison the bucket map.
+    # same way); keeping NULLs would poison the bucket map. NULL or
+    # NEGATIVE token mass is likewise unrankable: a NULL mass poisons
+    # every downstream sum, and a negative mass breaks the classifier's
+    # monotone-prefix assumption (once tok_off passes the budget a bucket
+    # is EXCLUDED), silently diverging from the documented inclusive-
+    # prefix semantics (r13 review finding). Real masses are counts;
+    # negative ones are upstream bugs (e.g. size(NULL) = -1 under legacy
+    # sizeOfNull) and get the same exclusion rule, not garbage output.
     per = docs.select(
         id_col,
         F.col(score_col).cast("double").alias("score"),
         F.col(n_tokens_col).cast("bigint").alias("n_tokens"),
         tiebreak.alias("tiebreak"),
-    ).filter(F.col("score").isNotNull())
+    ).filter(
+        F.col("score").isNotNull()
+        & F.col("n_tokens").isNotNull()
+        & (F.col("n_tokens") >= 0)
+    )
     spark = docs.sparkSession
     order = [F.col("score").desc(), F.col("tiebreak").asc()]
     out_frames = []
@@ -2678,7 +2705,13 @@ def split_leakage_audit(
     :func:`component_aware_split`, the per-doc hash arithmetic, or an
     external split table. Returns one row per observed unordered split
     pair: (split_a, split_b, n_pairs, leaked), split_a <= split_b,
-    ordered by n_pairs DESC.
+    ordered by n_pairs DESC. A pair endpoint MISSING from the
+    assignment (exactly the id gaps legacy/vendor splits exhibit)
+    surfaces as the split value ``(unassigned)`` and counts as leaked —
+    conservative by design: an inner join would silently DROP such
+    pairs, and an audit that loses the contaminated docs' pairs would
+    report leak_share 0.0 and green-light a leaked split (r13 review
+    finding).
 
     Scale shape: candidate volume is the LSH-banded pair stream (the
     measured dedup-family bound — never all-pairs); the audit itself
@@ -2699,11 +2732,15 @@ def split_leakage_audit(
         F.col(id_col).alias("__bid"), F.col(split_col).alias("__bsplit")
     )
     tagged = (
-        pairs.join(a, pairs["d1"] == F.col("__aid"))
-        .join(b, pairs["d2"] == F.col("__bid"))
+        pairs.join(a, pairs["d1"] == F.col("__aid"), "left")
+        .join(b, pairs["d2"] == F.col("__bid"), "left")
         .select(
-            F.least("__asplit", "__bsplit").alias("split_a"),
-            F.greatest("__asplit", "__bsplit").alias("split_b"),
+            F.coalesce("__asplit", F.lit("(unassigned)")).alias("__sa"),
+            F.coalesce("__bsplit", F.lit("(unassigned)")).alias("__sb"),
+        )
+        .select(
+            F.least("__sa", "__sb").alias("split_a"),
+            F.greatest("__sa", "__sb").alias("split_b"),
         )
     )
     return (
@@ -2713,7 +2750,15 @@ def split_leakage_audit(
             "split_a",
             "split_b",
             "n_pairs",
-            F.when(F.col("split_a") != F.col("split_b"), 1)
+            # any (unassigned) endpoint sorts into split_a ('(' < letters),
+            # so the second clause marks EVERY uncovered pair leaked —
+            # including (unassigned, unassigned), which the inequality
+            # alone would miss
+            F.when(
+                (F.col("split_a") != F.col("split_b"))
+                | (F.col("split_a") == "(unassigned)"),
+                1,
+            )
             .otherwise(0)
             .cast("int")
             .alias("leaked"),

@@ -1038,6 +1038,15 @@ def test_token_budget_selection_semantics(spark):
     rows = [(i, float((i * 7) % 10), 10 + (i % 4)) for i in range(40)]
     rows.append((99, None, 5))  # NULL score: unrankable, never selected
     docs = spark.createDataFrame(rows, "doc_id long, score double, n_tokens long")
+    # NULL / NEGATIVE token mass: unrankable too (r13 review finding — a
+    # negative mass would break the classifier's monotone prefix and a
+    # NULL would poison the sums); appended AFTER `total` rows are built
+    # so every assertion below doubles as proof they were excluded
+    bad_mass = spark.createDataFrame(
+        [(97, 10.0, None), (98, 10.0, -1)],
+        "doc_id long, score double, n_tokens long",
+    )
+    docs = docs.unionByName(bad_mass)
     total = sum(r[2] for r in rows if r[1] is not None)
 
     assert token_budget_selection(docs, 0, "score").count() == 0
@@ -1125,6 +1134,30 @@ def test_split_leakage_audit_counts_match_python_mirror(spark):
     # the %3 assignment splits every planted twin pair (3k vs 3k+1), so
     # leakage must be observed
     assert any(r["leaked"] == 1 for r in got)
+
+    # assignment COVERAGE gap (r13 review finding): ids missing from the
+    # assignment must surface as '(unassigned)' leaked pairs, never drop
+    # silently — mirror the same fold with .get()
+    holey = assignment.filter(F.col("doc_id") % 3 != 1)  # drop the betas
+    split_holey = {r["doc_id"]: r["split"] for r in holey.collect()}
+    expected_holey = Counter(
+        tuple(
+            sorted(
+                (
+                    split_holey.get(r["d1"], "(unassigned)"),
+                    split_holey.get(r["d2"], "(unassigned)"),
+                )
+            )
+        )
+        for r in pairs
+    )
+    got_holey = split_leakage_audit(docs, holey).collect()
+    assert {
+        (r["split_a"], r["split_b"]): r["n_pairs"] for r in got_holey
+    } == {k: v for k, v in expected_holey.items()}
+    assert sum(r["n_pairs"] for r in got_holey) == len(pairs)  # nothing dropped
+    unassigned = [r for r in got_holey if "(unassigned)" in (r["split_a"], r["split_b"])]
+    assert unassigned and all(r["leaked"] == 1 for r in unassigned)
 
 
 def test_split_leakage_audit_component_split_is_leak_free(spark):
