@@ -16,15 +16,15 @@ entries in iteration order. The registry is therefore laid out explicitly:
   as ``set(_SCORED) - set(_ALL_ORACLES)`` and raise-checked below against
   the documented allowlist ``_SCORED_NO_ORACLE`` (the r8 verdict's "What's
   wrong #1": two consecutive rounds had this paragraph drift from the
-  tuples, so the tuples are now the source of truth). This round (r13)
-  the derived set is the HLL/Bernoulli pair
-  (``approx_distinct_profile``/``bernoulli_sample``) — engine-RNG /
-  sketch-internal results that SQL cannot reproduce bit-for-bit
-  (HLL register layout, Bernoulli RNG stream); their deterministic
-  oracle-backed twins (``sampled_quantile_profile``, the exact
-  ``distinct_projection``/``table_stats_profile`` counts) are
-  registered and gated. The ANN pair rotated back to the tail with
-  the rest of the r12 window.
+  tuples, so the tuples are now the source of truth). This round (r14)
+  the derived set is the ANN pair
+  (``ann_lsh_topk``/``ivf_ann_topk``) — approximate-nearest-neighbor
+  results whose candidate sets depend on LSH hyperplane draws / IVF
+  cell assignments that SQL cannot reproduce; their exact-twin gate
+  (``cosine_topk``, oracle-backed, in this same window) and the pytest
+  recall gates pin ANN-vs-exact agreement. The HLL/Bernoulli pair
+  rotated back to the tail with the rest of the r13 window, where the
+  pytest gate keeps its rows-only check.
 - ``_TAIL`` (unscored, still registered): every tail query is gated by
   tests/test_queries_oracle.py on every pytest run — oracle-backed ones
   hash-checked, the rest rows-only.
@@ -57,24 +57,29 @@ operator family (cube, ntile, as-of join, JSON extraction, connected
 components) and the composed flagships (training_pipeline_summary, the
 clustered embedding scale path) stay in.
 
-Round-13 rotation (applied this round — pure arithmetic, exactly as
-the r12 feasibility check below wrote it):
-- promoted (50): the 49 r12 demotions (every r12 ``_TAIL`` name except
-  the new addition) + ``passage_dedup_rewrite`` taking its FIRST driver
-  row (oracle-gated and pytest-hash-green at three SFs since it landed
-  in r12; pre-verified with ``tools/driver_hash_check.py`` at sf0.01
-  before this rotation was committed).
+Round-14 rotation (applied this round — pure arithmetic, exactly as
+the r13 feasibility check wrote it):
+- promoted (50): the 50 r13 demotions — the entire r12 window, every
+  one driver-green or rows-only-by-design in CORRECTNESS_r12, due back
+  this round per the two-round promise. Pre-verified with
+  ``tools/driver_hash_check.py`` at sf0.01 before this rotation was
+  committed.
 - kept scored: none. added scored-from-day-one: none.
-- demoted (50, due back r14): the entire r12 window, including
-  ``training_pipeline_summary`` (scored r11 AND r12, so its two-round
-  clock restarts — due back by r14 with the rest).
-- rows-only boundary: ``_SCORED_NO_ORACLE`` moves to the HLL/Bernoulli
-  pair (``approx_distinct_profile``/``bernoulli_sample``); the ANN pair
-  demotes to the tail where the pytest gate keeps its rows-only check.
-- round-14 feasibility check: due-back promotions in r14 are exactly
-  the 50 r13 demotions = 50 — zero keeps, zero additions
-  scored-from-day-one. Any r14 addition must name a 1:1 retirement and
+- demoted (50, due back r15): the entire r13 window (all 48 fully green
+  + the HLL/Bernoulli rows-only pair in CORRECTNESS_r13).
+- rows-only boundary: ``_SCORED_NO_ORACLE`` moves back to the ANN pair
+  (``ann_lsh_topk``/``ivf_ann_topk``); the HLL/Bernoulli pair demotes
+  to the tail where the pytest gate keeps its rows-only check.
+- round-15 feasibility check: due-back promotions in r15 are exactly
+  the 50 r14 demotions = 50 — zero keeps, zero additions
+  scored-from-day-one. Any r15 addition must name a 1:1 retirement and
   restate the retiree's gate story here.
+
+(r13 rotation, for the record: 49 r12 demotions + first driver row for
+``passage_dedup_rewrite`` (green); zero keeps;
+``training_pipeline_summary`` demoted with its two-round clock
+restarted after being scored r11 AND r12; ``_SCORED_NO_ORACLE`` was the
+HLL/Bernoulli pair that round.)
 
 DRIVER-VISIBILITY TIER DECISION for the r12 curation trio (r12 verdict
 "Next round #2" — making the implicit tiering explicit):
@@ -149,71 +154,11 @@ _ALL_QUERIES = {
 }
 
 _SCORED = (
-    # returning r12 demotions (49 — the whole r12 tail minus the r12
-    # addition, every one driver-green or rows-only-by-design in
-    # CORRECTNESS_r11, due back this round per the two-round promise)
-    "asof_last_click_before_error",
-    "range_join_interval_counts",
-    "json_props_extract",
-    "doc_dup_components",
-    "corpus_vocab_stats",
-    "source_lang_profile",
-    "doc_chunk_plan",
-    "boilerplate_ngram_profile",
-    "prefix_template_clusters",
-    "quality_filter_decisions",
-    "sequence_packing_plan",
-    "media_probe_profile",
-    "media_pixel_stats",
-    "media_audio_stats",
-    "media_frame_stats",
-    "balance_buckets",
-    "hourly_rollup_from_minutes",
-    "value_zscore_outliers",
-    "event_value_percentiles",
-    "user_event_deltas",
-    "active_customers_by_segment",
-    "avg_balance_by_nation",
-    "fulfillment_rate_by_nation",
-    "priority_filter",
-    "latest_order_per_customer",
-    "distinct_projection",
-    "doc_token_stats",
-    "doc_quality_scores",
-    "above_nation_avg_customers",
-    "approx_distinct_profile",
-    "bernoulli_sample",
-    "customers_with_orders",
-    "promo_revenue_share",
-    "returnflag_pivot",
-    "status_priority_rollup",
-    "unpivot_status_metrics",
-    "trailing_window_rates",
-    "table_stats_profile",
-    "cross_source_overlap",
-    "embedding_dimension_profile",
-    "normalized_dedup_profile",
-    "balanced_sample_plan",
-    "user_cohort_retention",
-    "order_snapshot_diff",
-    "part_name_linkage",
-    "doc_lm_backoff_scores",
-    "supplier_part_share",
-    "sampled_quantile_profile",
-    "semantic_dedup_decisions",
-    # first driver row (1): the r12 tail addition, oracle-gated by the
-    # pytest gate at three SFs since it landed and pre-verified with
-    # tools/driver_hash_check.py at sf0.01 before this rotation was
-    # committed — the window is exactly the 49 due-backs + this row.
-    "passage_dedup_rewrite",
-)
-
-_TAIL = (
-    # r13 demotions — the entire r12 window (all driver-green or
-    # rows-only-by-design in CORRECTNESS_r12, due back r14 — see the
-    # r14 feasibility check in the docstring). The pytest oracle gate
-    # still hash-checks every oracle-backed one on every run, and
-    # bench.py times the full registered surface.
+    # returning r13 demotions (all 50 — the whole r13 tail = the r12
+    # window, every one driver-green or rows-only-by-design in
+    # CORRECTNESS_r12, due back this round per the two-round promise;
+    # pre-verified with tools/driver_hash_check.py at sf0.01 before
+    # this rotation was committed)
     "customers_without_orders",
     "lineitem_cube_aggregates",
     "customer_balance_ntiles",
@@ -266,6 +211,64 @@ _TAIL = (
     "training_pipeline_summary",
 )
 
+_TAIL = (
+    # r14 demotions — the entire r13 window (48 fully green + the
+    # HLL/Bernoulli rows-only pair in CORRECTNESS_r13, due back r15 —
+    # see the r15 feasibility check in the docstring). The pytest
+    # oracle gate still hash-checks every oracle-backed one on every
+    # run, and bench.py times the full registered surface.
+    "asof_last_click_before_error",
+    "range_join_interval_counts",
+    "json_props_extract",
+    "doc_dup_components",
+    "corpus_vocab_stats",
+    "source_lang_profile",
+    "doc_chunk_plan",
+    "boilerplate_ngram_profile",
+    "prefix_template_clusters",
+    "quality_filter_decisions",
+    "sequence_packing_plan",
+    "media_probe_profile",
+    "media_pixel_stats",
+    "media_audio_stats",
+    "media_frame_stats",
+    "balance_buckets",
+    "hourly_rollup_from_minutes",
+    "value_zscore_outliers",
+    "event_value_percentiles",
+    "user_event_deltas",
+    "active_customers_by_segment",
+    "avg_balance_by_nation",
+    "fulfillment_rate_by_nation",
+    "priority_filter",
+    "latest_order_per_customer",
+    "distinct_projection",
+    "doc_token_stats",
+    "doc_quality_scores",
+    "above_nation_avg_customers",
+    "approx_distinct_profile",
+    "bernoulli_sample",
+    "customers_with_orders",
+    "promo_revenue_share",
+    "returnflag_pivot",
+    "status_priority_rollup",
+    "unpivot_status_metrics",
+    "trailing_window_rates",
+    "table_stats_profile",
+    "cross_source_overlap",
+    "embedding_dimension_profile",
+    "normalized_dedup_profile",
+    "balanced_sample_plan",
+    "user_cohort_retention",
+    "order_snapshot_diff",
+    "part_name_linkage",
+    "doc_lm_backoff_scores",
+    "supplier_part_share",
+    "sampled_quantile_profile",
+    "semantic_dedup_decisions",
+    "passage_dedup_rewrite",
+)
+
 
 # Retirement mechanism (see docstring): retired names leave the driver
 # registry but MUST keep their implementation + pytest oracle coverage
@@ -293,7 +296,7 @@ _RETIRED = (
 # from the tuples again (r8 verdict "What's wrong #1"). Change this
 # tuple and the docstring TOGETHER when a rotation moves a no-oracle
 # query across the window boundary.
-_SCORED_NO_ORACLE = ("approx_distinct_profile", "bernoulli_sample")
+_SCORED_NO_ORACLE = ("ann_lsh_topk", "ivf_ann_topk")
 
 # Module-level invariants the correctness driver depends on. Explicit raises,
 # not assert: python -O strips asserts, which would silently disable the

@@ -1044,34 +1044,29 @@ def token_budget_selection(
 
     Skew resistance: one range pass is enough when scores vary smoothly,
     but real quality scores are often DISCRETE (a 0-4 classifier grade),
-    so the straddling bucket can be one giant exactly-tied group. The
-    PARTIAL region therefore refines recursively (``max_levels`` deep,
-    each level one tiny aggregate over a shrinking region): by finer
-    score ranges while the region still spans distinct scores, and by
-    the md5 TIEBREAK PREFIX once the region is a single tied score —
-    within a tie the selection order IS tiebreak order, so the prefix
-    map is monotone there and uniform by construction (md5), which
-    guarantees a balanced split. Refinement stops early the moment the
-    straddler drops under ``recurse_min`` rows (a single-task window at
-    that size is cheaper than another pass — with smooth scores level 0
-    always stops there, giving the one-aggregate one-window plan); only
-    that final straddling remainder runs serially. All cumulative
-    arithmetic is exact bigint; bucketing only PARTITIONS the work and
-    cannot move a document across the selection boundary.
-
-    KNOWN LIMIT (r13 review, fix shape named for the next round): the
-    refinement currently applies only to the PARTIAL straddler. A
-    discrete score distribution also collapses each WHOLLY-SELECTED
-    grade into one FULL bucket whose rank/cumsum window then runs as a
-    single task (~corpus/|grades| rows) — correct, and invisible to the
-    `Exchange SinglePartition` plan check because hashpartitioning over
-    5 live buckets still reads as parallel, but a real skew cost at the
-    100 TB target. The fix is mechanical with the machinery already
-    here: turn the single-region loop into a WORKLIST that pushes any
-    bucket (FULL or PARTIAL) over ``recurse_min`` back through the same
-    score-range / tiebreak-prefix refinement with its offsets; FULL
-    buckets need no budget cut, only the offset arithmetic, so output
-    bytes are unchanged by construction.
+    which collapses whole grades into single giant buckets — both the
+    straddling PARTIAL bucket and every WHOLLY-SELECTED grade's FULL
+    bucket. Refinement is therefore a WORKLIST (closing the r13 review's
+    known limit): ANY classified bucket, FULL or PARTIAL, whose row
+    count exceeds ``recurse_min`` is pushed back through the same
+    refinement with its token/rank offsets — by finer score ranges while
+    the region still spans distinct scores, and by the md5 TIEBREAK
+    PREFIX once the region is a single tied score (within a tie the
+    selection order IS tiebreak order, so the prefix map is monotone
+    there and uniform by construction, which guarantees a balanced
+    split). FULL regions need no budget test — their children are all
+    FULL by inheritance, so refining them is pure offset arithmetic and
+    output bytes are unchanged by construction. Each worklist item costs
+    ONE tiny aggregate (the root adds a min/max pass; children inherit
+    their score bounds from the parent's bucket stats), the depth cap is
+    ``max_levels``, and a bucket at or under ``recurse_min`` rows (or a
+    single row, which no split can shrink) is emitted directly — with
+    smooth scores level 0 emits everything, giving the one-aggregate
+    one-window plan; a 5-grade 100 TB corpus costs ~|live grades| extra
+    aggregates and no window partition ever exceeds
+    max(recurse_min, corpus/4096^max_levels). All cumulative arithmetic
+    is exact bigint; bucketing only PARTITIONS the work and cannot move
+    a document across the selection boundary.
     """
     from functools import reduce as _reduce
 
