@@ -1005,6 +1005,7 @@ def token_budget_selection(
     n_tokens_col: str = "n_tokens",
     n_buckets: int = 256,
     recurse_min: int = _BUDGET_RECURSE_MIN,
+    _diag: dict | None = None,
 ) -> DataFrame:
     """Quality-ranked corpus selection under a token budget: order the
     corpus by ``score_col`` DESC (deterministic md5 tiebreak on the id)
@@ -1097,7 +1098,6 @@ def token_budget_selection(
     spark = docs.sparkSession
     order = [F.col("score").desc(), F.col("tiebreak").asc()]
     out_frames = []
-    region, tok_off, cnt_off, tb_hex_pos = per, 0, 0, 1
     max_levels = 3
 
     def _emit(frame, offsets_rows, bexpr):
@@ -1131,82 +1131,138 @@ def token_budget_selection(
             .drop("cls")
         )
 
-    for level in range(max_levels + 1):
-        lo, hi = region.agg(F.min("score"), F.max("score")).first()
-        if lo is None:  # empty region: nothing left to classify
-            break
+    def _refine(lo, hi, tb_pos):
+        """(bucket expr, child tiebreak pos, refinable) for a region with
+        known score bounds. Bucket ASC == selection order everywhere."""
         span = hi - lo
-        score_span = span > 0 and span != float("inf") and span == span
-        terminal = level == max_levels
-        if terminal or (not score_span and lo != hi):
-            # depth cap, or an unrefinable span (±inf scores): the
-            # remaining region takes a single serial cut — by
-            # construction a 1/4096^k (or 1/n_buckets^k) sliver of the
-            # corpus unless the score distribution is pathological.
-            bexpr, terminal = F.lit(0).cast("long"), True
-        elif score_span:
-            # bucket ASC == selection order (score DESC): higher score
-            # -> lower bucket; monotone float map, exact cut comes later
-            bexpr = F.least(
-                F.lit(n_buckets - 1),
-                F.floor(
-                    (F.lit(hi) - F.col("score")) / F.lit(span) * n_buckets
-                ),
-            ).cast("long")
-        else:
+        if span > 0 and span != float("inf") and span == span:
+            # higher score -> lower bucket; monotone float map, the
+            # exact cut comes later
+            return (
+                F.least(
+                    F.lit(n_buckets - 1),
+                    F.floor(
+                        (F.lit(hi) - F.col("score")) / F.lit(span) * n_buckets
+                    ),
+                ).cast("long"),
+                tb_pos,
+                True,
+            )
+        if lo == hi and tb_pos + 2 <= 32:
             # single tied score: selection order within the region is
             # tiebreak ASC, so a hex-prefix map is monotone AND uniform
-            bexpr = F.conv(
-                F.substring(F.col("tiebreak"), tb_hex_pos, 3), 16, 10
-            ).cast("long")
-            tb_hex_pos += 3
+            return (
+                F.conv(
+                    F.substring(F.col("tiebreak"), tb_pos, 3), 16, 10
+                ).cast("long"),
+                tb_pos + 3,
+                True,
+            )
+        # unrefinable: ±inf/NaN span, or md5 tiebreak hex exhausted
+        return F.lit(0).cast("long"), tb_pos, False
+
+    # WORKLIST of regions to classify (FIFO; closes the r13 known limit:
+    # FULL buckets refine too, so no discrete grade ever funnels through
+    # one window task). Each item:
+    #   (frame, tok_off, cnt_off, tb_pos, level, needs_cut, bounds)
+    # needs_cut=False marks a region already known WHOLLY selected (a
+    # FULL bucket): its children skip the budget test and inherit FULL.
+    # bounds=(lo, hi) and cnt come from the parent's bucket stats; None
+    # only for the root, which pays the one extra min/max aggregate.
+    # _diag (test/probe seam): when a dict is passed, records
+    # max_window_rows (largest emitted window partition — the skew claim
+    # under test) and items (worklist passes = extra tiny aggregates).
+    if _diag is not None:
+        _diag.update(max_window_rows=0, items=0)
+    work = [(per, 0, 0, 1, 0, True, None, None)]
+    while work:
+        region, tok_off, cnt_off, tb_pos, level, needs_cut, bounds, rcnt = work.pop(0)
+        if _diag is not None:
+            _diag["items"] += 1
+        if bounds is None:
+            lo, hi = region.agg(F.min("score"), F.max("score")).first()
+            if lo is None:  # empty corpus: nothing to classify
+                continue
+        else:
+            lo, hi = bounds
+        refinable = level < max_levels
+        if refinable:
+            bexpr, child_tb, refinable = _refine(lo, hi, tb_pos)
+        if not refinable:
+            # depth cap or unrefinable span: the remainder takes a single
+            # serial window — by construction a 1/n_buckets^k (or
+            # 1/4096^k) sliver of the corpus unless the score
+            # distribution is pathological. A FULL remainder needs no
+            # budget cut, only its offsets.
+            cls = "PARTIAL" if needs_cut else "FULL"
+            if _diag is not None and rcnt is not None:
+                _diag["max_window_rows"] = max(_diag["max_window_rows"], rcnt)
+            out_frames.append(
+                _emit(region, [(0, tok_off, cnt_off, cls)], F.lit(0).cast("long"))
+            )
+            continue
+        # ONE aggregate per item: per-bucket mass/count plus the score
+        # bounds the children inherit (saves their min/max pass).
         bstats = {
-            int(r["bucket"]): (int(r["toks"]), int(r["cnt"]))
+            int(r["bucket"]): (int(r["toks"]), int(r["cnt"]), r["lo"], r["hi"])
             for r in region.groupBy(bexpr.alias("bucket"))
-            .agg(F.sum("n_tokens").alias("toks"), F.count(F.lit(1)).alias("cnt"))
+            .agg(
+                F.sum("n_tokens").alias("toks"),
+                F.count(F.lit(1)).alias("cnt"),
+                F.min("score").alias("lo"),
+                F.max("score").alias("hi"),
+            )
             .collect()
         }
         # Driver prefix pass in selection (ascending-bucket) order: a
         # bucket is FULL when even its last doc fits, EXCLUDED when even
-        # its first doesn't; only the straddler needs a finer look.
-        full_rows, partial, p_cnt = [], None, 0
+        # its first doesn't; only the straddler needs the budget cut.
+        # An oversized survivor (FULL or PARTIAL) goes back on the
+        # worklist; the rest emit HERE in one batched per-bucket-window
+        # frame — the exact plan a smooth score distribution gets at
+        # level 0 (one aggregate, one windowed emit).
+        emit_rows = []
         for b in sorted(bstats):
-            toks, cnt = bstats[b]
-            if tok_off + toks <= budget_tokens:
-                full_rows.append((b, tok_off, cnt_off, "FULL"))
+            toks, cnt, b_lo, b_hi = bstats[b]
+            if not needs_cut or tok_off + toks <= budget_tokens:
+                cls = "FULL"
             elif tok_off < budget_tokens:
-                partial, p_cnt = (b, tok_off, cnt_off, "PARTIAL"), cnt
-            # else EXCLUDED: never joins, never shuffles
+                cls = "PARTIAL"
+            else:
+                cls = None  # EXCLUDED: never joins, never shuffles
+            if cls is not None:
+                if cnt > recurse_min and cnt > 1:
+                    work.append(
+                        (
+                            region.filter(bexpr == b),
+                            tok_off,
+                            cnt_off,
+                            child_tb,
+                            level + 1,
+                            cls == "PARTIAL",
+                            (b_lo, b_hi),
+                            cnt,
+                        )
+                    )
+                else:
+                    if _diag is not None:
+                        _diag["max_window_rows"] = max(
+                            _diag["max_window_rows"], cnt
+                        )
+                    emit_rows.append((b, tok_off, cnt_off, cls))
             tok_off += toks
             cnt_off += cnt
-        # Recurse only when the straddling bucket is big enough that a
-        # single-task window over it would hurt; otherwise this level
-        # emits ONE frame (FULL buckets + the budget-filtered straddler)
-        # — the exact plan shape a smooth score distribution always gets
-        # at level 0.
-        # classification is a contiguous ascending run: FULLs, then at
-        # most one PARTIAL, then EXCLUDED — so a range predicate (not an
-        # IN list) selects the survivors
-        if partial is not None and not terminal and p_cnt > recurse_min:
-            if full_rows:
-                out_frames.append(
-                    _emit(
-                        region.filter(bexpr <= full_rows[-1][0]),
-                        full_rows,
-                        bexpr,
-                    )
-                )
-            region = region.filter(bexpr == partial[0])
-            tok_off, cnt_off = partial[1], partial[2]
-            continue
-        emit_rows = full_rows + ([partial] if partial is not None else [])
         if emit_rows:
+            # classification is a contiguous ascending run (FULLs, at
+            # most one PARTIAL, then EXCLUDED), so a range predicate
+            # pre-filters the survivors; worklisted buckets inside the
+            # range are dropped by _emit's broadcast join before any
+            # shuffle.
             out_frames.append(
                 _emit(
                     region.filter(bexpr <= emit_rows[-1][0]), emit_rows, bexpr
                 )
             )
-        break
     result = (
         _reduce(DataFrame.unionByName, out_frames)
         if out_frames

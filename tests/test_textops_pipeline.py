@@ -1229,6 +1229,103 @@ def test_token_budget_selection_tied_score_refinement(spark):
     assert a == b and len(a) == 100
 
 
+def test_token_budget_selection_full_bucket_worklist(spark):
+    """r14 (closing the r13 known limit): WHOLLY-SELECTED grades refine
+    too. A 0-4 discrete classifier grade collapses each selected grade
+    into one giant FULL bucket; the worklist must push those back
+    through the tiebreak-prefix refinement so no rank/cumsum window
+    partition exceeds recurse_min — pinned via the _diag seam — while
+    the output stays byte-identical to the unrefined single-task path
+    at several bucket widths."""
+    from big_data_processing_with_aws_glue_workshop_spark.queries.textops import (
+        token_budget_selection,
+    )
+
+    docs = spark.createDataFrame(
+        [(i, float(i % 5), 10) for i in range(5000)],
+        "doc_id long, score double, n_tokens long",
+    )
+    # grades 4 and 3 (1000 docs / 10k tokens each) are WHOLLY selected,
+    # the budget cuts inside grade 2: two giant FULL grades + a PARTIAL
+    budget = 25_000
+    base = sorted(
+        tuple(r)
+        for r in token_budget_selection(
+            docs, budget, "score", recurse_min=10**9
+        ).collect()
+    )
+    assert len(base) == 2_500
+    diag = {}
+    got = sorted(
+        tuple(r)
+        for r in token_budget_selection(
+            docs, budget, "score", recurse_min=200, _diag=diag
+        ).collect()
+    )
+    assert got == base
+    # the skew claim itself: largest emitted window partition bounded by
+    # recurse_min even though each live grade holds 1000 tied rows
+    assert 0 < diag["max_window_rows"] <= 200
+    # root + the three oversized grade buckets = four worklist passes
+    assert diag["items"] == 4
+    # bucket-width invariance extended to the discrete fixture
+    for nb in (4, 64):
+        got = sorted(
+            tuple(r)
+            for r in token_budget_selection(
+                docs, budget, "score", n_buckets=nb, recurse_min=200
+            ).collect()
+        )
+        assert got == base, f"discrete fixture diverged at n_buckets={nb}"
+
+
+def test_token_budget_selection_discrete_matches_oracle(spark, sf_dir):
+    """DuckDB-twin exactness on a DISCRETE score over the real documents
+    table with the worklist forced on (recurse_min=0): the refined
+    multi-frame plan must still equal the naive global window."""
+    from big_data_processing_with_aws_glue_workshop_spark.queries._tables import load
+    from big_data_processing_with_aws_glue_workshop_spark.queries.textops import (
+        token_budget_selection,
+    )
+    from tests.oracle_harness import compare
+
+    d = load(spark, sf_dir, "documents")
+    toks = F.split(F.trim(F.lower(F.col("text"))), r"[ \t\n\f\r]+")
+    scored = d.select(
+        "doc_id",
+        (F.size(toks) % 5).cast("double").alias("score"),
+        F.size(toks).cast("bigint").alias("n_tokens"),
+    )
+    total = int(scored.agg(F.sum("n_tokens")).first()[0])
+    budget = total // 2
+    out = token_budget_selection(scored, budget, "score", recurse_min=0)
+    oracle = """
+        WITH per AS (
+          SELECT doc_id,
+                 CAST(len(toks) % 5 AS DOUBLE) AS score,
+                 CAST(len(toks) AS BIGINT) AS n_tokens,
+                 md5('tbs:' || CAST(doc_id AS VARCHAR)) AS tiebreak
+          FROM (
+            SELECT doc_id,
+                   string_split_regex(trim(lower(text)), '[ \\t\\n\\f\\r]+') AS toks
+            FROM documents
+          )
+        ),
+        c AS (
+          SELECT doc_id, score, n_tokens,
+                 ROW_NUMBER() OVER (ORDER BY score DESC, tiebreak ASC) AS sel_rank,
+                 SUM(n_tokens) OVER (ORDER BY score DESC, tiebreak ASC
+                                     ROWS UNBOUNDED PRECEDING) AS cum_tokens
+          FROM per
+        )
+        SELECT doc_id, score, n_tokens,
+               CAST(sel_rank AS BIGINT) AS sel_rank,
+               CAST(cum_tokens AS BIGINT) AS cum_tokens
+        FROM c WHERE cum_tokens <= {budget}
+    """
+    compare(out, oracle.format(budget=budget), sf_dir)
+
+
 # ---------------------------------------------------------------------------
 # DSIR importance resampling (r13): distribution-matching selection
 # (Xie et al. 2023) — hashed unigram+bigram bucket models, micro-nat

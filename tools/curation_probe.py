@@ -257,6 +257,53 @@ def probe_budget(sizes: list[int]) -> None:
         )
         assert int(agg["mass"]) <= budget
         assert not single_part_window, "global-window scale-killer detected"
+
+        # DISCRETE-grade pass (r14, closing the r13 known limit): a 0-4
+        # classifier grade collapses each selected grade into one giant
+        # FULL bucket; the worklist must keep every emitted window
+        # partition <= recurse_min. Claim under test: max_window_rows
+        # <= recurse_min even though each live grade holds n/5 tied rows.
+        disc = docs.select(
+            "doc_id",
+            (F.col("doc_id") % 5).cast("double").alias("score"),
+            (10 + F.col("doc_id") % 40).cast("bigint").alias("n_tokens"),
+        ).cache()
+        d_total = int(disc.agg(F.sum("n_tokens")).first()[0])
+        d_budget = d_total // 2  # ~grades 4,3 FULL + a cut inside grade 2
+        recurse_min = 20_000
+        diag: dict = {}
+        t0 = time.time()
+        d_out = token_budget_selection(
+            disc, d_budget, "score", recurse_min=recurse_min, _diag=diag
+        )
+        d_agg = d_out.agg(
+            F.count(F.lit(1)).alias("sel"), F.max("cum_tokens").alias("mass")
+        ).first()
+        d_wall = time.time() - t0
+        print(
+            json.dumps(
+                {
+                    "op": "token_budget_selection_discrete",
+                    "docs": n,
+                    "grades": 5,
+                    "recurse_min": recurse_min,
+                    "wall_s": round(d_wall, 2),
+                    "docs_per_s": int(n / d_wall),
+                    "selected": int(d_agg["sel"]),
+                    "mass_within_budget": int(d_agg["mass"]) <= d_budget,
+                    "max_window_rows": diag["max_window_rows"],
+                    "worklist_items": diag["items"],
+                    "bounded": diag["max_window_rows"] <= recurse_min,
+                }
+            ),
+            flush=True,
+        )
+        assert int(d_agg["mass"]) <= d_budget
+        assert diag["max_window_rows"] <= recurse_min, (
+            f"FULL-bucket skew: window partition of {diag['max_window_rows']} "
+            f"rows exceeds recurse_min={recurse_min}"
+        )
+        disc.unpersist()
         scored.unpersist()
 
 
