@@ -1275,7 +1275,8 @@ def semantic_recell(
        fit, the O(nlist^2) driver allowlist, block fragmentation —
        so the old sqrt-to-1024 default would make a TRIGGERED in-band
        recell on a large standing corpus pay the measured penalty
-       unattended; raise the cap explicitly for cluster parallelism);
+       unattended; the cap binds the DERIVED default only — an
+       explicitly passed ``nlist`` is taken verbatim, cap ignored);
     3. re-assigns every standing row against the NEW matrix (one
        assignment matmul pass — cell and theta are the only columns
        that change; ids, vectors and caller columns pass through);
@@ -1332,9 +1333,15 @@ def semantic_recell(
     n = base.count()
     # extensions/similarity.py::derive_nlist's measured rule (r13 ladder),
     # with the floor relaxed to 1: a tiny standing corpus legitimately
-    # re-cells to very few cells
-    new_nlist = nlist if nlist is not None else max(1, _math.isqrt(n))
-    new_nlist = min(new_nlist, nlist_cap)
+    # re-cells to very few cells. The cap applies ONLY to the DERIVED
+    # default (r13 ADVICE: silently clamping an explicit nlist changed
+    # existing callers' behavior when the default cap dropped 1024->32);
+    # an explicit nlist is the caller's deliberate cluster-parallelism
+    # choice and wins outright.
+    if nlist is not None:
+        new_nlist = nlist
+    else:
+        new_nlist = min(max(1, _math.isqrt(n)), nlist_cap)
 
     fitted, _, cmat = train_ivf_index(
         base, vec_col, id_col, new_nlist, seed, iters=iters, emit_angle=True

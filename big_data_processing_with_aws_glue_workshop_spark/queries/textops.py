@@ -1562,6 +1562,19 @@ def dsir_select_budget(
     (id_col, key_micro, n_tokens, sel_rank, cum_tokens) — selection
     order is (key DESC, md5 tiebreak), ranks are global, cum_tokens the
     inclusive running mass, every selected row's cum_tokens <= budget.
+
+    EXACTNESS BOUND (documented, r13 review): the bigint ``key_micro``
+    rides through token_budget_selection's double ``score`` column, so
+    the documented exact-bigint ordering holds only for |key_micro| <
+    2^53 micro-nats (~9e15). A doc's key is (sum of per-gram log ratios,
+    each bounded by the table's clip) + Gumbel noise (~1e7), so reaching
+    2^53 takes on the order of 1e9 grams in ONE document — unreachable
+    for chunked corpora (doc_chunk_plan caps far below), reachable only
+    by a pathological unchunked blob, and even then the failure mode is
+    two near-tied keys comparing equal and falling back to the
+    deterministic md5 tiebreak, never a wrong mass sum (n_tokens stays
+    bigint throughout). Pinned by
+    tests/test_textops_pipeline.py::test_dsir_budget_key_exactness_bound.
     """
     if log_ratio is None:
         log_ratio = dsir_log_ratio_table(
@@ -1605,6 +1618,9 @@ def dsir_select_budget(
     sel = token_budget_selection(
         scored.select(
             id_col,
+            # exact for |key_micro| < 2^53 (see the docstring's EXACTNESS
+            # BOUND — ~1e9 grams/doc to reach; beyond it near-ties merge
+            # and the md5 tiebreak decides, mass arithmetic unaffected)
             F.col("key_micro").cast("double").alias("score"),
             "n_tokens",
         ),
@@ -1683,13 +1699,22 @@ def ngram_bucket_histogram(
     """ONE corpus pass -> the bounded (source_col, b, c) hashed-n-gram
     occurrence histogram (<= |sources| * n_buckets rows). A count
     monoid: histograms of disjoint corpus slices merge by summing c —
-    the property the streaming drift monitor builds on."""
+    the property the streaming drift monitor builds on.
+
+    NULL-source rows are coalesced to the explicit sentinel ``(null)``
+    (r13 review finding: a bare NULL group would flow through
+    jsd_from_histogram and the divergence report as source=null —
+    surfaced and nameable beats silent). Lazy-op tradeoff, documented
+    rather than validated: a real source literally named ``(null)``
+    would merge with that group; rename it upstream if you have one."""
     if n_buckets < 1:
         raise ValueError(f"n_buckets must be >= 1, got {n_buckets}")
     return (
         corpus.filter(F.col(text_col).isNotNull())
         .select(
-            source_col,
+            F.coalesce(
+                F.col(source_col).cast("string"), F.lit("(null)")
+            ).alias(source_col),
             F.explode(_dsir_buckets(F.col(text_col), n_buckets)).alias("b"),
         )
         .groupBy(source_col, "b")
@@ -2764,6 +2789,17 @@ def split_leakage_audit(
     report leak_share 0.0 and green-light a leaked split (r13 review
     finding).
 
+    PRECONDITIONS (validated eagerly, r13 review findings): the
+    assignment must carry at most one row per id (a duplicate-id vendor
+    table would silently MULTIPLY pair counts through the joins), and
+    its split values must be non-NULL and never the literal
+    ``(unassigned)`` — the sentinel must mean exactly "id missing from
+    the assignment", or a NULL-split row / a real split named like the
+    sentinel would be indistinguishable from a coverage gap (and
+    intra-split pairs of such a split would all read as leaked). Both
+    checks are ONE narrow aggregate over the assignment; violations
+    raise instead of corrupting the report.
+
     Scale shape: candidate volume is the LSH-banded pair stream (the
     measured dedup-family bound — never all-pairs); the audit itself
     adds two id-keyed equi-joins of that pair stream against the narrow
@@ -2771,6 +2807,29 @@ def split_leakage_audit(
     |splits|^2 keys. The corpus text never moves after shingling."""
     from ..extensions.dedup_fuzzy import minhash_near_duplicates
 
+    chk = assignment.agg(
+        (F.count(F.lit(1)) - F.count_distinct(F.col(id_col))).alias("dups"),
+        F.sum(
+            (
+                F.col(split_col).isNull()
+                | (F.col(split_col) == "(unassigned)")
+            ).cast("bigint")
+        ).alias("bad_splits"),
+    ).first()
+    if int(chk["dups"] or 0) > 0:
+        raise ValueError(
+            f"assignment carries duplicate (or NULL) {id_col!r} rows — "
+            f"{int(chk['dups'])} surplus row(s); a duplicate-id assignment "
+            "would silently multiply pair counts through the audit joins. "
+            f"Deduplicate it first (e.g. dropDuplicates(['{id_col}']))"
+        )
+    if int(chk["bad_splits"] or 0) > 0:
+        raise ValueError(
+            f"assignment has {int(chk['bad_splits'])} row(s) whose "
+            f"{split_col!r} is NULL or the literal '(unassigned)' — the "
+            "audit reserves that sentinel for ids MISSING from the "
+            "assignment; rename the split or fix the NULLs first"
+        )
     pairs = minhash_near_duplicates(
         docs, id_col=id_col, text_col=text_col,
         n_hashes=n_hashes, bands=bands, shingle_n=shingle_n,

@@ -1853,6 +1853,38 @@ def test_semantic_recell_guards(spark, tmp_path):
         semantic_recell(spark, str(other))
 
 
+def test_semantic_recell_explicit_nlist_ignores_cap(spark, tmp_path):
+    """r13 ADVICE: nlist_cap binds only the DERIVED sqrt(n) default. An
+    explicitly passed nlist is the caller's deliberate parallelism
+    choice and must be taken verbatim even above the cap (the old code
+    silently clamped it, so a caller who previously got nlist=128 got
+    32 when the default cap dropped)."""
+    from big_data_processing_with_aws_glue_workshop_spark.plans.incremental import (
+        incremental_semantic_refresh,
+        semantic_recell,
+    )
+    from big_data_processing_with_aws_glue_workshop_spark.sources.bookmarks import (
+        JobBookmark,
+    )
+
+    landing = tmp_path / "vecs"
+    landing.mkdir()
+    rows = [_axis_blob(16, i % 8, i, 0.02 * (i // 8)) for i in range(64)]
+    _write_vecs(landing / "w0.parquet", rows)
+    target = str(tmp_path / "corpus")
+    bm = JobBookmark(str(tmp_path / "bm.json"), "sem")
+    incremental_semantic_refresh(
+        spark, bm, str(landing / "*.parquet"), target,
+        threshold=0.999, nlist=4, seed=7,
+    )
+    # explicit nlist above the cap wins outright
+    rc = semantic_recell(spark, target, nlist=40, nlist_cap=32)
+    assert rc["new_nlist"] == 40
+    # the derived default still respects the cap
+    rc2 = semantic_recell(spark, target, nlist_cap=1)
+    assert rc2["new_nlist"] == 1
+
+
 def _axis_blob(dim, a, vid, theta):
     """Unit vector cos(theta)*e_a + sin(theta)*e_(9 + a%3): blob `a`
     member at exact angle theta off its axis — pairwise within-blob

@@ -1160,6 +1160,66 @@ def test_split_leakage_audit_counts_match_python_mirror(spark):
     assert unassigned and all(r["leaked"] == 1 for r in unassigned)
 
 
+def test_split_leakage_audit_precondition_guards(spark):
+    """r13 review findings: a duplicate-id assignment would silently
+    MULTIPLY pair counts through the audit joins, and a NULL split or a
+    real split literally named '(unassigned)' would be indistinguishable
+    from a coverage gap — both must raise before any pair math runs."""
+    from big_data_processing_with_aws_glue_workshop_spark.queries.textops import (
+        split_leakage_audit,
+    )
+
+    docs = _dup_heavy_corpus(spark)
+    good = docs.select(
+        "doc_id",
+        F.when(F.col("doc_id") % 3 == 0, "train").otherwise("val").alias("split"),
+    )
+    # duplicate ids multiply counts -> refuse
+    with pytest.raises(ValueError, match="duplicate"):
+        split_leakage_audit(docs, good.unionAll(good.limit(2)))
+    # NULL split conflates with the coverage sentinel -> refuse
+    nullish = good.withColumn(
+        "split", F.when(F.col("doc_id") == 0, None).otherwise(F.col("split"))
+    )
+    with pytest.raises(ValueError, match="NULL or the literal"):
+        split_leakage_audit(docs, nullish)
+    # a real split named like the sentinel -> refuse
+    sentinel = good.withColumn(
+        "split",
+        F.when(F.col("doc_id") == 0, "(unassigned)").otherwise(F.col("split")),
+    )
+    with pytest.raises(ValueError, match="reserves that sentinel"):
+        split_leakage_audit(docs, sentinel)
+    # the clean assignment still audits fine
+    assert split_leakage_audit(docs, good).count() > 0
+
+
+def test_ngram_bucket_histogram_null_source_sentinel(spark):
+    """r13 ADVICE: NULL-source rows must surface as the explicit
+    '(null)' group, not a bare NULL key flowing through the divergence
+    report; their gram mass is preserved, never dropped."""
+    from big_data_processing_with_aws_glue_workshop_spark.queries.textops import (
+        ngram_bucket_histogram,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (1, "web", "alpha beta gamma"),
+            (2, None, "alpha beta gamma"),
+            (3, None, "delta epsilon"),
+        ],
+        "doc_id long, source string, text string",
+    )
+    hist = ngram_bucket_histogram(docs, n_buckets=64).collect()
+    srcs = {r["source"] for r in hist}
+    assert srcs == {"web", "(null)"}
+    mass = {}
+    for r in hist:
+        mass[r["source"]] = mass.get(r["source"], 0) + r["c"]
+    # doc1: 3 unigrams + 2 bigrams = 5 grams; docs 2+3: 5 + 3 = 8
+    assert mass["web"] == 5 and mass["(null)"] == 8
+
+
 def test_split_leakage_audit_component_split_is_leak_free(spark):
     """The verification side of component_aware_split's guarantee: the
     audit run WITH THE SAME MinHash parameters over the component-aware
@@ -1788,3 +1848,35 @@ def test_dsir_select_budget_semantics(spark):
         pre, target, total // 2, seed=3, n_buckets=512, n_tokens_col="nt"
     ).collect()
     assert sorted(map(tuple, via_col)) == sorted(map(tuple, half))
+
+
+def test_dsir_budget_key_exactness_bound(spark):
+    """Pins the docstring's EXACTNESS BOUND (r13 review): dsir_select_budget
+    routes the bigint key_micro through token_budget_selection's double
+    score, exact only for |key| < 2^53 micro-nats. Constructed overflow:
+    the round-trip is lossless just below the bound and collapses
+    adjacent keys just above it — in-engine, the same cast path the
+    operator runs. Reaching 2^53 takes ~1e9 grams in ONE document, so
+    the bound is unreachable for chunked corpora; beyond it the failure
+    mode is near-ties falling back to the md5 tiebreak, never a wrong
+    mass sum."""
+    row = (
+        spark.createDataFrame([(2**53 - 1, 2**53 + 1)], "below long, above long")
+        .select(
+            (F.col("below").cast("double").cast("bigint") == F.col("below")).alias(
+                "below_exact"
+            ),
+            (F.col("above").cast("double").cast("bigint") == F.col("above")).alias(
+                "above_exact"
+            ),
+            # the collapse itself: 2^53 and 2^53+1 compare equal as doubles
+            (
+                F.col("above").cast("double")
+                == (F.col("above") - 1).cast("double")
+            ).alias("adjacent_collapse"),
+        )
+        .first()
+    )
+    assert row["below_exact"]
+    assert not row["above_exact"]
+    assert row["adjacent_collapse"]
