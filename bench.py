@@ -120,14 +120,28 @@ def main() -> None:
     # close-out bench timed latest_order_per_customer at 1.41s in early
     # suite position vs 0.33s re-measured late-session). One throwaway
     # query per major execution path takes those hits instead.
+    # r14: one pass was not enough — the first SCORED slot still read
+    # 2.01x normalized in the r13 driver bench (asof at position 0; the
+    # r12 first slot showed 1.36x), because HotSpot's background C2
+    # compilation keeps running for several seconds after first use and
+    # the first query's timed runs overlap it. The preamble now executes
+    # the path-covering trio THREE times (plus a join-path query): the
+    # repeat executions are what promotes the hot loops to C2 before any
+    # timed run, and the whole preamble is FIXED (independent of which
+    # query the rotation put first), so cross-round per-query diffs stop
+    # being polluted at the window boundary. Measured collapse in
+    # docs/SCALE.md (r14 first-slot preamble note).
     _WARMUP = [
         "pricing_summary",  # scan + partial/final hash agg codegen
         "latest_order_per_customer",  # shuffle + WindowExec path
         "media_pixel_stats",  # Arrow batch + Python-runner startup
+        "asof_last_click_before_error",  # sort-merge/as-of join path
     ]
-    for w in _WARMUP:
-        if w in QUERIES:
-            QUERIES[w](spark, sf_dir).count()
+    _JIT_RAMP_ROUNDS = 3
+    for _ in range(_JIT_RAMP_ROUNDS):
+        for w in _WARMUP:
+            if w in QUERIES:
+                QUERIES[w](spark, sf_dir).count()
 
     # box-state thermometer BEFORE the suite (and again after: the state
     # can drift DURING a ~10-minute run) — see _box_calibration
