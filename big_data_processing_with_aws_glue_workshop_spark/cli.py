@@ -164,6 +164,11 @@ def cmd_textpipe(args: argparse.Namespace) -> None:
     from .plans.textpipe import run_text_pipeline
 
     spark = get_session(app_name="textpipe")
+    dsir_target = None
+    if args.dsir_budget is not None:
+        if not args.dsir_target:
+            raise SystemExit("--dsir-budget requires --dsir-target <parquet>")
+        dsir_target = spark.read.parquet(args.dsir_target)
     summary = run_text_pipeline(
         spark,
         args.sf_dir,
@@ -171,6 +176,9 @@ def cmd_textpipe(args: argparse.Namespace) -> None:
         min_chars=args.min_chars,
         budget=args.budget,
         passage_decontam=args.passage_decontam,
+        dsir_target=dsir_target,
+        dsir_budget_tokens=args.dsir_budget,
+        dsir_seed=args.dsir_seed,
     )
     _emit({"job": "textpipe", **summary})
 
@@ -917,24 +925,62 @@ def cmd_dsir_fit(args: argparse.Namespace) -> None:
     write the per-bucket micro-nat log-ratio table as a tiny (b, lam)
     parquet. At 100 TB this is the expensive pass you run ONCE (on a
     corpus sample via --model-sample); every later dsir-select
-    --log-ratio run is then a single shuffle-free scan + top-k."""
-    from .queries.textops import dsir_log_ratio_table
+    --log-ratio run is then a single shuffle-free scan + top-k.
+
+    ``--target`` repeats for a weighted MULTI-target mixture (r14,
+    queries/textops.py::dsir_multi_target_log_ratio_table): the written
+    table is the weights-geometric mixture of the per-target models —
+    a pure model-side composition, so every downstream selector
+    consumes it unchanged via --log-ratio."""
+    from .queries.textops import (
+        dsir_log_ratio_table,
+        dsir_multi_target_log_ratio_table,
+    )
 
     spark = get_session(app_name="dsir-fit")
     corpus = spark.read.parquet(args.input)
-    target = spark.read.parquet(args.target)
     corpus_model = (
         corpus.sample(fraction=args.model_sample, seed=args.seed)
         if args.model_sample is not None
         else corpus
     )
-    lam = dsir_log_ratio_table(
-        corpus_model,
-        target,
-        text_col=args.text_col,
-        n_buckets=args.n_buckets,
-        alpha=args.alpha,
-    )
+    targets = args.target
+    if len(targets) == 1 and args.weights is None:
+        lam = dsir_log_ratio_table(
+            corpus_model,
+            spark.read.parquet(targets[0]),
+            text_col=args.text_col,
+            n_buckets=args.n_buckets,
+            alpha=args.alpha,
+        )
+    else:
+        ws = (
+            [float(x) for x in args.weights.split(",")]
+            if args.weights
+            else [1.0] * len(targets)
+        )
+        if len(ws) != len(targets):
+            raise SystemExit(
+                f"--weights names {len(ws)} values for {len(targets)} "
+                "--target paths"
+            )
+        # zero-pad names so the weight-normalization tiebreak order is
+        # the command-line order
+        width = len(str(len(targets)))
+        tdict = {
+            f"t{i:0{width}d}": spark.read.parquet(p)
+            for i, p in enumerate(targets)
+        }
+        wdict = {f"t{i:0{width}d}": ws[i] for i in range(len(targets))}
+        lam = dsir_multi_target_log_ratio_table(
+            corpus,
+            tdict,
+            wdict,
+            text_col=args.text_col,
+            n_buckets=args.n_buckets,
+            alpha=args.alpha,
+            corpus_model=corpus_model,
+        )
     spark.createDataFrame(
         [(b, v) for b, v in enumerate(lam)], "b int, lam bigint"
     ).coalesce(1).write.mode("overwrite").parquet(args.output)
@@ -943,6 +989,7 @@ def cmd_dsir_fit(args: argparse.Namespace) -> None:
             "job": "dsir-fit",
             "output": args.output,
             "n_buckets": args.n_buckets,
+            "n_targets": len(targets),
             "lam_min": min(lam),
             "lam_max": max(lam),
         }
@@ -1173,6 +1220,21 @@ def build_parser() -> argparse.ArgumentParser:
         "docs (span excision) instead of dropping whole docs that share "
         "a 5-gram with the eval slice",
     )
+    t.add_argument(
+        "--dsir-budget",
+        type=int,
+        default=None,
+        help="stage 5 selects 'the best N tokens that look like the "
+        "target' along the DSIR importance ranking instead of "
+        "equalizing per-source token budgets (requires --dsir-target)",
+    )
+    t.add_argument(
+        "--dsir-target",
+        default=None,
+        help="parquet path of the target corpus (text column) the DSIR "
+        "selection should match",
+    )
+    t.add_argument("--dsir-seed", type=int, default=0)
     t.set_defaults(func=cmd_textpipe)
 
     z = sub.add_parser(
@@ -1530,7 +1592,19 @@ def build_parser() -> argparse.ArgumentParser:
         "later dsir-select --log-ratio runs skip both model fits",
     )
     df_.add_argument("--input", required=True, help="raw corpus parquet path")
-    df_.add_argument("--target", required=True, help="target corpus parquet path")
+    df_.add_argument(
+        "--target",
+        required=True,
+        action="append",
+        help="target corpus parquet path; repeat for a weighted "
+        "multi-target mixture",
+    )
+    df_.add_argument(
+        "--weights",
+        default=None,
+        help="comma-separated positive weights, one per --target "
+        "(default: equal)",
+    )
     df_.add_argument("--output", required=True, help="log-ratio table dir")
     df_.add_argument("--text-col", default="text")
     df_.add_argument("--n-buckets", type=int, default=4096)

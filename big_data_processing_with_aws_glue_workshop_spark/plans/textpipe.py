@@ -11,8 +11,11 @@ in via near-dup survivors):
                            keep each component's canonical (min id) doc
   4. decontamination     — drop the eval slice and every training doc
                            sharing a 5-gram with it
-  5. mixture sampling    — deterministic hash-downsample each source to
-                           the smallest surviving source's token budget
+  5. selection           — default: deterministic hash-downsample each
+                           source to the smallest surviving source's
+                           token budget; DSIR mode (flag): rank by
+                           importance toward a target corpus and cut at
+                           a token budget (dsir_select_budget)
   6. sequence packing    — greedy-prefix pack survivors into fixed
                            token-budget sequences per source
 
@@ -48,10 +51,27 @@ def run_text_pipeline(
     min_chars: int = 100,
     budget: int = _PACK_BUDGET,
     passage_decontam: bool = False,
+    dsir_target: DataFrame | None = None,
+    dsir_budget_tokens: int | None = None,
+    dsir_seed: int = 0,
 ) -> dict:
     """Run the full pipeline; returns a summary dict of per-stage counts.
     If ``out_dir`` is given, writes the packed corpus parquet plus a
     summary.json next to it.
+
+    ``dsir_budget_tokens`` (+ required ``dsir_target``) swaps stage 5's
+    selection contract the way ``passage_decontam`` swaps stage 4's
+    (r13 verdict "Next round #5" — the composed run used to take two
+    CLI invocations): instead of equalizing per-source token budgets,
+    the deduped+decontaminated survivors are ranked by DSIR importance
+    toward the target corpus and cut at the token budget
+    (queries/textops.py::dsir_select_budget — Gumbel-perturbed
+    log-ratio keys, then the distributed two-phase prefix sum; no
+    single-partition window, rejected mass never shuffles). "The best
+    N tokens that look like the target" as the pipeline's final
+    selection decision. Packing (stage 6) is contract-unchanged either
+    way; the summary records selection_mode, the selected token mass
+    (always <= the budget) and the budget itself.
 
     ``passage_decontam`` swaps stage 4's contract from doc-DROP to
     span-EXCISION (queries/textops.py::decontaminate_passages): a
@@ -192,27 +212,59 @@ def run_text_pipeline(
         )
         n_clean = clean.count()
 
-    # 5. mixture: equalize per-source token budgets on the SURVIVORS
+    # 5. selection on the SURVIVORS: DSIR budget mode (flag) ranks by
+    # importance toward the target and cuts at the token budget;
+    # default mode equalizes per-source token budgets
     with_tok = _with_tokens(clean)
-    totals = with_tok.groupBy("source").agg(
-        F.sum("n_tokens").alias("total_tokens")
-    )
-    target = totals.agg(F.min("total_tokens").cast("double").alias("target"))
-    rates = totals.crossJoin(F.broadcast(target)).select(
-        "source", (F.col("target") / F.col("total_tokens")).alias("rate")
-    )
-    h = (
-        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 15), 16, 10)
-        .cast("bigint")
-        % 1000000
-    )
-    mixed = tracked_cache(
-        with_tok.withColumn("h", h)
-        .join(F.broadcast(rates), "source")
-        .filter(F.col("h").cast("double") < F.col("rate") * 1000000.0)
-        .drop("h", "rate")
-    )
-    n_mixed = mixed.count()
+    dsir_stats = None
+    if dsir_budget_tokens is not None:
+        if dsir_target is None:
+            raise ValueError(
+                "dsir_budget_tokens requires dsir_target (the corpus whose "
+                "distribution the selection should match)"
+            )
+        from ..queries.textops import dsir_select_budget
+
+        sel = tracked_cache(
+            dsir_select_budget(
+                with_tok,
+                dsir_target,
+                dsir_budget_tokens,
+                seed=dsir_seed,
+                n_tokens_col="n_tokens",
+            )
+        )
+        sel_mass = int(
+            sel.agg(F.coalesce(F.max("cum_tokens"), F.lit(0)).alias("m")).first()["m"]
+        )
+        mixed = tracked_cache(
+            with_tok.join(sel.select("doc_id"), "doc_id", "left_semi")
+        )
+        n_mixed = mixed.count()
+        dsir_stats = {
+            "dsir_selected_tokens": sel_mass,
+            "dsir_budget_tokens": int(dsir_budget_tokens),
+        }
+    else:
+        totals = with_tok.groupBy("source").agg(
+            F.sum("n_tokens").alias("total_tokens")
+        )
+        target = totals.agg(F.min("total_tokens").cast("double").alias("target"))
+        rates = totals.crossJoin(F.broadcast(target)).select(
+            "source", (F.col("target") / F.col("total_tokens")).alias("rate")
+        )
+        h = (
+            F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 15), 16, 10)
+            .cast("bigint")
+            % 1000000
+        )
+        mixed = tracked_cache(
+            with_tok.withColumn("h", h)
+            .join(F.broadcast(rates), "source")
+            .filter(F.col("h").cast("double") < F.col("rate") * 1000000.0)
+            .drop("h", "rate")
+        )
+        n_mixed = mixed.count()
 
     # 6. packing: greedy-prefix sequences per source in doc_id order
     w = (
@@ -240,9 +292,14 @@ def run_text_pipeline(
         # row-multiset-identical
         "decontam_join": decontam_decision,
         "decontam_mode": "passage" if passage_decontam else "drop",
+        "selection_mode": (
+            "dsir_budget" if dsir_budget_tokens is not None else "source_equalize"
+        ),
     }
     if passage_stats is not None:
         summary.update(passage_stats)
+    if dsir_stats is not None:
+        summary.update(dsir_stats)
     if out_dir:
         packed.select(
             "doc_id", "source", "lang", "n_tokens", "seq_id", "text"

@@ -1393,6 +1393,100 @@ def dsir_log_ratio_table(
     ]
 
 
+def dsir_multi_target_log_ratio_table(
+    corpus: DataFrame,
+    targets: dict,
+    weights: dict,
+    *,
+    text_col: str = "text",
+    n_buckets: int = _DSIR_BUCKETS,
+    alpha: float = 1.0,
+    corpus_model: DataFrame = None,
+):
+    """Weighted MULTI-target DSIR model (r13 verdict stretch #8): real
+    curation balances several targets (code, math, reference prose), and
+    the geometric mixture makes that a pure MODEL-side change — the
+    combined table is the weighted sum of the per-target log-ratio
+    tables:
+
+        lam_mix[b] = floor( sum_t w_t * lam_t[b] )
+                   = 1e6 * ( ln prod_t p_t(b)^{w_t}  -  ln p_corpus(b) )
+
+    i.e. importance toward the weights-geometric mixture of the targets
+    (a product-of-experts: a bucket scores high when EVERY up-weighted
+    target likes it in proportion to its weight). The scoring pass is
+    untouched: feed the returned table to any selector via
+    ``log_ratio=``.
+
+    Exactness: weights are normalized to MICRO integers summing to
+    exactly 1e6 (largest-remainder rounding, deterministic name-ordered
+    tiebreak), so the combination is pure bigint arithmetic —
+    floordiv(sum_t w_micro_t * lam_t[b], 1e6) — reproducible bit-for-bit
+    by a SQL twin, independent of float summation order. The corpus
+    model is fitted ONCE and shared across all per-target tables (one
+    bounded histogram per frame, same cost class as the single-target
+    fit); ``corpus_model=`` samples it at scale exactly as before.
+
+    ``targets``/``weights`` are name-keyed dicts over the same keys;
+    weights must be > 0 (a zero-weight target is a caller error — drop
+    the key instead)."""
+    import math
+
+    if n_buckets < 1:
+        raise ValueError(f"n_buckets must be >= 1, got {n_buckets}")
+    if alpha <= 0:
+        raise ValueError(f"alpha must be > 0, got {alpha}")
+    if not targets:
+        raise ValueError("targets must name at least one target corpus")
+    if set(targets) != set(weights):
+        raise ValueError(
+            f"targets/weights key mismatch: {sorted(set(targets) ^ set(weights))}"
+        )
+    for name, w in weights.items():
+        if not (w > 0):
+            raise ValueError(
+                f"weight for target {name!r} must be > 0, got {w} "
+                "(drop the key to exclude a target)"
+            )
+    # largest-remainder normalization to micro ints summing to 1e6
+    total_w = float(sum(weights.values()))
+    names = sorted(targets)
+    raw = {n: weights[n] * _DSIR_MICRO / total_w for n in names}
+    w_micro = {n: int(math.floor(raw[n])) for n in names}
+    short = _DSIR_MICRO - sum(w_micro.values())
+    for n in sorted(names, key=lambda n: (-(raw[n] - w_micro[n]), n))[:short]:
+        w_micro[n] += 1
+
+    cb = _dsir_bucket_histogram(
+        corpus_model if corpus_model is not None else corpus, text_col, n_buckets
+    )
+    c_total = sum(cb.values())
+    if c_total == 0:
+        raise ValueError("corpus has no text rows: cannot fit the DSIR corpus model")
+    lam = {}
+    for name in names:
+        tb = _dsir_bucket_histogram(targets[name], text_col, n_buckets)
+        t_total = sum(tb.values())
+        if t_total == 0:
+            raise ValueError(
+                f"target {name!r} has no text rows: cannot fit its DSIR model"
+            )
+        lam[name] = [
+            math.floor(
+                _DSIR_MICRO
+                * (
+                    math.log((tb.get(b, 0) + alpha) / (t_total + alpha * n_buckets))
+                    - math.log((cb.get(b, 0) + alpha) / (c_total + alpha * n_buckets))
+                )
+            )
+            for b in range(n_buckets)
+        ]
+    return [
+        sum(w_micro[n] * lam[n][b] for n in names) // _DSIR_MICRO
+        for b in range(n_buckets)
+    ]
+
+
 def dsir_importance_weights(
     corpus: DataFrame,
     target: DataFrame = None,

@@ -249,6 +249,113 @@ def test_textpipe_passage_decontam_stage(spark, tmp_path):
     assert doc1[0]["n_tokens"] == 32
 
 
+def _two_vocab_sf(spark, tmp_path):
+    """48 docs, two sources with disjoint content vocabularies ('code'
+    vs 'prose'), each doc 40 tokens with per-doc unique fillers
+    interleaved so no near-dup pair exists; eval ids (%17==0) skipped so
+    decontamination drops nothing. Returns (sf_dir, target_path) where
+    the target corpus speaks the code vocabulary."""
+    rows = []
+    did = 1
+    from big_data_processing_with_aws_glue_workshop_spark.queries.textops import _EVAL_MOD
+
+    for source, stem in (("code", "code"), ("prose", "word")):
+        made = 0
+        while made < 24:
+            if did % _EVAL_MOD == 0:
+                did += 1
+                continue
+            toks = []
+            for j in range(20):
+                toks.append(f"{stem}{j}")
+                toks.append(f"u{did}{stem[0]}{j}")
+            rows.append((did, source, "en", " ".join(toks)))
+            did += 1
+            made += 1
+    sf = tmp_path / "sf"
+    sf.mkdir()
+    spark.createDataFrame(
+        rows, "doc_id long, source string, lang string, text string"
+    ).write.parquet(str(sf / "documents.parquet"))
+    tgt = tmp_path / "target"
+    spark.createDataFrame(
+        [(k, " ".join(f"code{j}" for j in range(20))) for k in range(4)],
+        "tid long, text string",
+    ).coalesce(1).write.parquet(str(tgt))
+    return str(sf), str(tgt)
+
+
+def test_textpipe_dsir_selection_stage(spark, tmp_path):
+    """r13 verdict "Next round #5": stage 5's DSIR budget mode — "select
+    the best N tokens that look like the target" as the pipeline's final
+    selection — composes behind a flag the way passage_decontam did.
+    With the flag on: selected mass <= budget, the selection is enriched
+    toward the target vocabulary, and stages 1-4 are bit-identical to
+    the default run; with the flag off nothing changes."""
+    import pyspark.sql.functions as F
+
+    from big_data_processing_with_aws_glue_workshop_spark.plans.textpipe import run_text_pipeline
+
+    sf, tgt = _two_vocab_sf(spark, tmp_path)
+    target = spark.read.parquet(tgt)
+
+    default = run_text_pipeline(spark, sf)
+    assert default["selection_mode"] == "source_equalize"
+    assert "dsir_selected_tokens" not in default
+
+    out = str(tmp_path / "pipe")
+    budget = 960  # half of the 48*40-token survivor mass
+    dsir = run_text_pipeline(
+        spark, sf, out_dir=out, dsir_target=target,
+        dsir_budget_tokens=budget, dsir_seed=5,
+    )
+    assert dsir["selection_mode"] == "dsir_budget"
+    assert dsir["dsir_budget_tokens"] == budget
+    assert 0 < dsir["dsir_selected_tokens"] <= budget
+    # upstream stages (1-4) are untouched by the selection swap
+    for k in (
+        "input_docs",
+        "after_quality",
+        "after_exact_dedup",
+        "after_near_dedup",
+        "after_decontamination",
+    ):
+        assert dsir[k] == default[k], k
+    assert dsir["after_decontamination"] >= dsir["after_mixture"] > 0
+    # the packed output is the selected set
+    corpus = spark.read.parquet(f"{out}/packed_corpus")
+    assert corpus.count() == dsir["after_mixture"]
+    # enrichment: the importance ranking pulls the target's vocabulary —
+    # code-source docs must dominate the selection
+    by_src = {
+        r["source"]: r["n"]
+        for r in corpus.groupBy("source").agg(F.count("*").alias("n")).collect()
+    }
+    assert by_src.get("code", 0) > by_src.get("prose", 0)
+    # flag validation: budget without a target is a caller error
+    with pytest.raises(ValueError, match="dsir_target"):
+        run_text_pipeline(spark, sf, dsir_budget_tokens=10)
+
+
+def test_cli_textpipe_dsir_flags(spark, tmp_path, capsys):
+    """textpipe --dsir-budget/--dsir-target e2e through the CLI."""
+    import json as _json
+
+    from big_data_processing_with_aws_glue_workshop_spark.cli import main
+
+    sf, tgt = _two_vocab_sf(spark, tmp_path)
+    main([
+        "textpipe",
+        "--sf-dir", sf,
+        "--dsir-budget", "960",
+        "--dsir-target", tgt,
+        "--dsir-seed", "5",
+    ])
+    out = _json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert out["selection_mode"] == "dsir_budget"
+    assert 0 < out["dsir_selected_tokens"] <= 960
+
+
 def test_textpipe_end_to_end(spark, sf_dir, tmp_path):
     """The composed training-data pipeline: stage counts monotonically
     decrease, stage invariants hold on the final corpus, output written."""
@@ -1261,3 +1368,68 @@ def test_cli_dsir_fit_then_select(spark, tmp_path, capsys):
     with _pytest.raises(SystemExit, match="--target or a fitted"):
         main(["dsir-select", "--input", str(tmp_path / "corpus"),
               "--k", "5", "--output", str(tmp_path / "y")])
+
+
+def test_cli_dsir_fit_multi_target(spark, tmp_path, capsys):
+    """r14: repeated --target + --weights writes the weighted geometric-
+    mixture table (queries/textops.py::dsir_multi_target_log_ratio_table)
+    — verified bit-for-bit against the library call — and a weights/
+    targets arity mismatch is refused."""
+    import json as _json
+    import random
+
+    import pytest as _pytest
+
+    from big_data_processing_with_aws_glue_workshop_spark.cli import main
+    from big_data_processing_with_aws_glue_workshop_spark.queries.textops import (
+        dsir_multi_target_log_ratio_table,
+    )
+
+    rng = random.Random(31)
+    va = [f"apple{j}" for j in range(60)]
+    vb = [f"zebra{j}" for j in range(60)]
+    rows = [
+        (i, " ".join(rng.choice(va if i % 2 == 0 else vb) for _ in range(20)))
+        for i in range(200)
+    ]
+    corpus = spark.createDataFrame(rows, "doc_id long, text string")
+    corpus.coalesce(2).write.parquet(str(tmp_path / "corpus"))
+    tframes = {}
+    for name, v in (("t0", va), ("t1", vb)):
+        tf = spark.createDataFrame(
+            [(2000 + i, " ".join(rng.choice(v) for _ in range(20))) for i in range(25)],
+            "doc_id long, text string",
+        )
+        tframes[name] = tf
+        tf.coalesce(1).write.parquet(str(tmp_path / name))
+
+    main([
+        "dsir-fit",
+        "--input", str(tmp_path / "corpus"),
+        "--target", str(tmp_path / "t0"),
+        "--target", str(tmp_path / "t1"),
+        "--weights", "7,3",
+        "--output", str(tmp_path / "lam_mix"),
+        "--n-buckets", "512",
+    ])
+    fit = _json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert fit["n_targets"] == 2
+    got = {
+        int(r["b"]): int(r["lam"])
+        for r in spark.read.parquet(str(tmp_path / "lam_mix")).collect()
+    }
+    want = dsir_multi_target_log_ratio_table(
+        corpus, tframes, {"t0": 7, "t1": 3}, n_buckets=512
+    )
+    assert [got[b] for b in range(512)] == want
+
+    with _pytest.raises(SystemExit, match="names 1 values for 2"):
+        main([
+            "dsir-fit",
+            "--input", str(tmp_path / "corpus"),
+            "--target", str(tmp_path / "t0"),
+            "--target", str(tmp_path / "t1"),
+            "--weights", "7",
+            "--output", str(tmp_path / "lam_bad"),
+            "--n-buckets", "512",
+        ])
