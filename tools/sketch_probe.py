@@ -306,9 +306,98 @@ def probe_hll_intersection(spark, n_side, overlap) -> dict:
     }
 
 
+def probe_drift_sustained(spark, n_waves=12, wave_docs=50_000, n_buckets=4096):
+    """Sustained-load curve for the streaming drift monitor (r14, r13
+    verdict #6): the batch/stream parity tests pin correctness, but no
+    measured curve existed for the per-wave cost as the standing
+    histogram accumulates. Claims under test:
+      1. per-wave commit wall is FLAT across waves (the merge cost is
+         bounded by the <= |sources| * n_buckets standing grid, never by
+         how much history was streamed);
+      2. the drift-report wall is flat too (target fit + bounded-grid
+         arithmetic, corpus never re-read);
+      3. the standing grid row count saturates at the bound.
+    Each wave is sunk via the foreachBatch callable directly (exactly
+    what run_stream_ngram_histogram invokes per micro-batch)."""
+    import shutil
+    import tempfile
+
+    from big_data_processing_with_aws_glue_workshop_spark.streaming.sketch import (
+        NgramHistogramSink,
+        read_stream_sketch,
+        stream_drift_report,
+    )
+
+    work = tempfile.mkdtemp(prefix="drift_probe_")
+    target_dir = os.path.join(work, "hist")
+    try:
+        sink = NgramHistogramSink(target_dir, n_buckets=n_buckets)
+        # two sources with disjoint 200-word vocabularies, deterministic
+        # text; the target speaks the alpha vocabulary so the report has
+        # a real drift ordering to show
+        target = spark.range(2_000).select(
+            F.concat_ws(
+                " ", *[F.concat(F.lit("alpha"), F.pmod(F.xxhash64(F.col("id"), F.lit(j)), F.lit(200)).cast("string")) for j in range(15)]
+            ).alias("text")
+        )
+        rows = []
+        for wave in range(n_waves):
+            batch = spark.range(wave * wave_docs, (wave + 1) * wave_docs).select(
+                F.when(F.col("id") % 2 == 0, F.lit("alpha_src"))
+                .otherwise(F.lit("beta_src"))
+                .alias("source"),
+                F.concat_ws(
+                    " ",
+                    *[
+                        F.concat(
+                            F.when(F.col("id") % 2 == 0, F.lit("alpha")).otherwise(
+                                F.lit("beta")
+                            ),
+                            F.pmod(
+                                F.xxhash64(F.col("id"), F.lit(j)), F.lit(200)
+                            ).cast("string"),
+                        )
+                        for j in range(15)
+                    ],
+                ).alias("text"),
+            )
+            t0 = time.time()
+            sink(batch, wave)
+            commit_wall = time.time() - t0
+            t0 = time.time()
+            report = stream_drift_report(spark, target_dir, target).collect()
+            report_wall = time.time() - t0
+            standing_rows = read_stream_sketch(spark, target_dir).count()
+            rec = {
+                "op": "ngram_histogram_sink_sustained",
+                "wave": wave,
+                "wave_docs": wave_docs,
+                "commit_wall_s": round(commit_wall, 2),
+                "report_wall_s": round(report_wall, 2),
+                "standing_rows": standing_rows,
+                "grid_bound": 2 * n_buckets,
+                "jsd": {r["source"]: int(r["jsd_micro"]) for r in report},
+            }
+            rows.append(rec)
+            print(json.dumps(rec), flush=True)
+        # flatness claim: late-wave commit cost within 2x of early steady
+        early = min(r["commit_wall_s"] for r in rows[1:4])
+        late = min(r["commit_wall_s"] for r in rows[-3:])
+        assert late <= 2 * early + 0.5, (early, late)
+        assert all(r["standing_rows"] <= 2 * n_buckets for r in rows)
+        return rows
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+
+
 def main() -> None:
     args = sys.argv[1:]
     spark = get_session(app_name="sketch-probe")
+    if args and args[0] == "--drift-sustained":
+        n_waves = int(args[1]) if len(args) > 1 else 12
+        wave_docs = int(args[2]) if len(args) > 2 else 50_000
+        probe_drift_sustained(spark, n_waves=n_waves, wave_docs=wave_docs)
+        return
     if args and args[0] == "--hll-intersect":
         n = int(args[1]) if len(args) > 1 else 1_000_000
         for overlap in (n // 2, n // 10, n // 100, n // 1000):
