@@ -179,6 +179,7 @@ def cmd_textpipe(args: argparse.Namespace) -> None:
         dsir_target=dsir_target,
         dsir_budget_tokens=args.dsir_budget,
         dsir_seed=args.dsir_seed,
+        mixture_by_quality=args.quality_mixture,
     )
     _emit({"job": "textpipe", **summary})
 
@@ -818,6 +819,70 @@ def cmd_token_budget_select(args: argparse.Namespace) -> None:
     )
 
 
+def cmd_stratified_budget_select(args: argparse.Namespace) -> None:
+    """Per-source constrained budget selection job (queries/textops.py::
+    stratified_budget_selection): every source's quality-ranked prefix is
+    cut at ITS OWN token budget — the selection stage a mixture plan
+    feeds. --budgets names every corpus source explicitly
+    (src=tokens,src=tokens)."""
+    import pyspark.sql.functions as F
+
+    from .queries.textops import _tokens, stratified_budget_selection
+
+    spark = get_session(app_name="stratified-budget-select")
+    docs = spark.read.parquet(args.input)
+    budgets = {}
+    for part in args.budgets.split(","):
+        if "=" not in part:
+            raise SystemExit(
+                f"--budgets entry {part!r} is not source=tokens"
+            )
+        k, v = part.rsplit("=", 1)
+        budgets[k] = int(v)
+    if args.score_col:
+        scored = docs.select(
+            args.id_col,
+            args.source_col,
+            F.col(args.score_col).alias("score"),
+            F.col(args.n_tokens_col).cast("bigint").alias("n_tokens"),
+        )
+    else:
+        toks = _tokens(F.col(args.text_col))
+        scored = docs.filter(F.col(args.text_col).isNotNull()).select(
+            args.id_col,
+            args.source_col,
+            (F.size(F.array_distinct(toks)).cast("double") / F.size(toks)).alias(
+                "score"
+            ),
+            F.size(toks).cast("bigint").alias("n_tokens"),
+        )
+    out = stratified_budget_selection(
+        scored, budgets, "score", source_col=args.source_col,
+        id_col=args.id_col, n_buckets=args.n_buckets,
+    )
+    out.write.mode("overwrite").parquet(args.output)
+    written = spark.read.parquet(args.output)
+    per_src = {
+        r[args.source_col]: (int(r["docs"]), int(r["tokens"]))
+        for r in written.groupBy(args.source_col)
+        .agg(
+            F.count(F.lit(1)).alias("docs"),
+            F.max("cum_tokens").alias("tokens"),
+        )
+        .collect()
+    }
+    _emit(
+        {
+            "job": "stratified-budget-select",
+            "output": args.output,
+            "budgets": budgets,
+            "selected": {
+                s: {"docs": d, "tokens": t} for s, (d, t) in sorted(per_src.items())
+            },
+        }
+    )
+
+
 def cmd_split_leakage_audit(args: argparse.Namespace) -> None:
     """Split leakage audit job (queries/textops.py::split_leakage_audit):
     MinHash near-dup pairs joined against a completed (id, split)
@@ -1235,6 +1300,13 @@ def build_parser() -> argparse.ArgumentParser:
         "selection should match",
     )
     t.add_argument("--dsir-seed", type=int, default=0)
+    t.add_argument(
+        "--quality-mixture",
+        action="store_true",
+        help="stage 5 fills the equalized per-source token budgets by "
+        "lexical-diversity rank (stratified prefix cut) instead of by "
+        "hash downsampling",
+    )
     t.set_defaults(func=cmd_textpipe)
 
     z = sub.add_parser(
@@ -1530,6 +1602,27 @@ def build_parser() -> argparse.ArgumentParser:
     tb.add_argument("--text-col", default="text")
     tb.add_argument("--n-buckets", type=int, default=256)
     tb.set_defaults(func=cmd_token_budget_select)
+
+    sb = sub.add_parser(
+        "stratified-budget-select",
+        help="per-source constrained budget selection: every source's "
+        "quality-ranked prefix cut at its own token budget; level-"
+        "batched prefix sums, jobs scale with depth not source count",
+    )
+    sb.add_argument("--input", required=True, help="documents parquet path")
+    sb.add_argument("--output", required=True, help="selected-docs dir")
+    sb.add_argument(
+        "--budgets", required=True,
+        help="comma-separated source=tokens pairs naming EVERY corpus "
+        "source (e.g. web=100000,code=50000)",
+    )
+    sb.add_argument("--score-col", default=None)
+    sb.add_argument("--n-tokens-col", default="n_tokens")
+    sb.add_argument("--id-col", default="doc_id")
+    sb.add_argument("--source-col", default="source")
+    sb.add_argument("--text-col", default="text")
+    sb.add_argument("--n-buckets", type=int, default=256)
+    sb.set_defaults(func=cmd_stratified_budget_select)
 
     sla = sub.add_parser(
         "split-leakage-audit",

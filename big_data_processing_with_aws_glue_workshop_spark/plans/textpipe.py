@@ -13,9 +13,12 @@ in via near-dup survivors):
                            sharing a 5-gram with it
   5. selection           — default: deterministic hash-downsample each
                            source to the smallest surviving source's
-                           token budget; DSIR mode (flag): rank by
-                           importance toward a target corpus and cut at
-                           a token budget (dsir_select_budget)
+                           token budget; quality mode (flag): fill the
+                           SAME equalized budgets by lexical-diversity
+                           rank (stratified_budget_selection); DSIR
+                           mode (flag): rank by importance toward a
+                           target corpus and cut at a token budget
+                           (dsir_select_budget)
   6. sequence packing    — greedy-prefix pack survivors into fixed
                            token-budget sequences per source
 
@@ -54,6 +57,7 @@ def run_text_pipeline(
     dsir_target: DataFrame | None = None,
     dsir_budget_tokens: int | None = None,
     dsir_seed: int = 0,
+    mixture_by_quality: bool = False,
 ) -> dict:
     """Run the full pipeline; returns a summary dict of per-stage counts.
     If ``out_dir`` is given, writes the packed corpus parquet plus a
@@ -72,6 +76,17 @@ def run_text_pipeline(
     selection decision. Packing (stage 6) is contract-unchanged either
     way; the summary records selection_mode, the selected token mass
     (always <= the budget) and the budget itself.
+
+    ``mixture_by_quality`` keeps the default mode's EQUALIZED per-source
+    allocation (every source capped at the smallest surviving source's
+    token mass) but fills each allocation by QUALITY instead of by
+    hash: a stratified inclusive-prefix cut at the shared budget along
+    the lexical-diversity ranking
+    (queries/textops.py::stratified_budget_selection — level-batched
+    prefix sums, never a per-source single-task window). Same mixture
+    arithmetic, best documents instead of random ones; mutually
+    exclusive with the DSIR mode (two final selection decisions cannot
+    both apply).
 
     ``passage_decontam`` swaps stage 4's contract from doc-DROP to
     span-EXCISION (queries/textops.py::decontaminate_passages): a
@@ -217,6 +232,12 @@ def run_text_pipeline(
     # default mode equalizes per-source token budgets
     with_tok = _with_tokens(clean)
     dsir_stats = None
+    quality_stats = None
+    if dsir_budget_tokens is not None and mixture_by_quality:
+        raise ValueError(
+            "dsir_budget_tokens and mixture_by_quality are mutually "
+            "exclusive — the pipeline takes ONE final selection decision"
+        )
     if dsir_budget_tokens is not None:
         if dsir_target is None:
             raise ValueError(
@@ -244,6 +265,45 @@ def run_text_pipeline(
         dsir_stats = {
             "dsir_selected_tokens": sel_mass,
             "dsir_budget_tokens": int(dsir_budget_tokens),
+        }
+    elif mixture_by_quality:
+        # the default mode's equalized allocation (smallest surviving
+        # source's token mass), filled by quality: stratified inclusive-
+        # prefix cut along the lexical-diversity ranking. One
+        # |sources|-row aggregate fixes the shared budget; the cut
+        # itself is the level-batched prefix sum (no per-source
+        # single-task window).
+        from ..queries.textops import stratified_budget_selection
+
+        totals = {
+            r["source"]: int(r["t"])
+            for r in with_tok.groupBy("source")
+            .agg(F.sum("n_tokens").alias("t"))
+            .collect()
+        }
+        target_mass = min(totals.values()) if totals else 0
+        budgets = {s: target_mass for s in totals}
+        toks = _tokens(F.col("text"))
+        scored = with_tok.withColumn(
+            "__q",
+            F.size(F.array_distinct(toks)).cast("double") / F.size(toks),
+        )
+        sel = tracked_cache(
+            stratified_budget_selection(scored, budgets, "__q")
+        )
+        sel_masses = {
+            r["source"]: int(r["m"])
+            for r in sel.groupBy("source")
+            .agg(F.max("cum_tokens").alias("m"))
+            .collect()
+        }
+        mixed = tracked_cache(
+            with_tok.join(sel.select("doc_id"), "doc_id", "left_semi")
+        )
+        n_mixed = mixed.count()
+        quality_stats = {
+            "mixture_budget_tokens": target_mass,
+            "mixture_selected_tokens": sel_masses,
         }
     else:
         totals = with_tok.groupBy("source").agg(
@@ -293,13 +353,17 @@ def run_text_pipeline(
         "decontam_join": decontam_decision,
         "decontam_mode": "passage" if passage_decontam else "drop",
         "selection_mode": (
-            "dsir_budget" if dsir_budget_tokens is not None else "source_equalize"
+            "dsir_budget"
+            if dsir_budget_tokens is not None
+            else ("quality_equalize" if mixture_by_quality else "source_equalize")
         ),
     }
     if passage_stats is not None:
         summary.update(passage_stats)
     if dsir_stats is not None:
         summary.update(dsir_stats)
+    if quality_stats is not None:
+        summary.update(quality_stats)
     if out_dir:
         packed.select(
             "doc_id", "source", "lang", "n_tokens", "seq_id", "text"

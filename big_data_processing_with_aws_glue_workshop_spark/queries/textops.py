@@ -1277,6 +1277,315 @@ def token_budget_selection(
     return result.select(id_col, "score", "n_tokens", "sel_rank", "cum_tokens")
 
 
+def stratified_budget_selection(
+    docs: DataFrame,
+    budgets: dict,
+    score_col: str,
+    *,
+    source_col: str = "source",
+    id_col: str = "doc_id",
+    n_tokens_col: str = "n_tokens",
+    n_buckets: int = 256,
+    recurse_min: int = _BUDGET_RECURSE_MIN,
+    _diag: dict | None = None,
+) -> DataFrame:
+    """STRATIFIED token-budget selection (r14): the per-source constrained
+    form of :func:`token_budget_selection` — every source gets its OWN
+    token budget and its own quality-ranked inclusive-prefix cut
+    (score DESC, md5 tiebreak ASC, prefix mass <= budgets[source]).
+    This is the selection stage of a mixture-aware pipeline: the mixture
+    planners (source_mixture_plan / epoch_mixture_plan) decide how many
+    tokens each source contributes; this operator decides WHICH
+    documents fill each source's allocation, by quality, exactly.
+
+    ``budgets`` maps source value -> token budget (>= 0). Sources
+    present in the corpus but missing from ``budgets`` raise (the
+    epoch-mixture precedent: silent zero-budgets hide typos); budget
+    sources absent from the corpus are fine. Output one row per
+    selected document: (id_col, source_col, score, n_tokens, sel_rank,
+    cum_tokens) with sel_rank/cum_tokens PER SOURCE.
+
+    Scale shape — the naive plan is a window partitioned by source,
+    i.e. ONE task per source holding that source's whole corpus slice
+    (a 10-source 100 TB corpus = 10 TB single tasks). This runs the
+    same two-phase distributed prefix sum as the global operator, with
+    every source's refinement BATCHED per level: one
+    (region, bucket) aggregate classifies ALL sources' buckets at once,
+    the driver walks each source's ascending-bucket prefix against its
+    own budget, EXCLUDED mass is dropped before any shuffle, survivors
+    window per (region, bucket), and oversized buckets (FULL or
+    PARTIAL — the worklist semantics) re-bucket next level by finer
+    score ranges or the md5 tiebreak prefix. Job count scales with
+    ``max_levels`` (<= 4 tiny aggregates), NEVER with the source count;
+    driver state is bounded by |active regions| * n_buckets rows per
+    level. All cumulative arithmetic is exact bigint; bucketing only
+    partitions the work.
+    """
+    from functools import reduce as _reduce
+
+    if n_buckets < 1:
+        raise ValueError(f"n_buckets must be >= 1, got {n_buckets}")
+    if not isinstance(budgets, dict):
+        raise ValueError("budgets must be a dict of source -> token budget")
+    # sources ride through the plan as strings; normalize the budget keys
+    # the same way so non-string source values keep working
+    bmap = {}
+    for s, b in budgets.items():
+        if int(b) < 0:
+            raise ValueError(f"budget for source {s!r} must be >= 0, got {b}")
+        bmap[str(s)] = int(b)
+    tiebreak = F.md5(F.concat(F.lit("tbs:"), F.col(id_col).cast("string")))
+    per = docs.select(
+        F.col(source_col).cast("string").alias("__src"),
+        id_col,
+        F.col(score_col).cast("double").alias("score"),
+        F.col(n_tokens_col).cast("bigint").alias("n_tokens"),
+        tiebreak.alias("tiebreak"),
+    ).filter(
+        F.col("score").isNotNull()
+        & F.col("n_tokens").isNotNull()
+        & (F.col("n_tokens") >= 0)
+    )
+    spark = docs.sparkSession
+    order = [F.col("score").desc(), F.col("tiebreak").asc()]
+    max_levels = 3
+    if _diag is not None:
+        _diag.update(max_window_rows=0, levels=0, regions=0)
+
+    def _emit(frame, offsets_rows, bexpr):
+        """Batched rank/cumsum over every region slice emitted at this
+        level: window per (region, bucket); EXCLUDED buckets never join;
+        each PARTIAL bucket filters against ITS source's budget."""
+        off = spark.createDataFrame(
+            offsets_rows,
+            "__rid long, bucket long, tok_off long, cnt_off long, "
+            "cls string, budget long",
+        )
+        w = Window.partitionBy("__rid", "bucket").orderBy(*order)
+        return (
+            frame.withColumn("bucket", bexpr)
+            .join(F.broadcast(off), ["__rid", "bucket"])
+            .select(
+                id_col,
+                F.col("__src").alias(source_col),
+                "score",
+                "n_tokens",
+                "cls",
+                "budget",
+                (F.col("cnt_off") + F.row_number().over(w)).alias("sel_rank"),
+                (
+                    F.col("tok_off")
+                    + F.sum("n_tokens").over(
+                        w.rowsBetween(Window.unboundedPreceding, 0)
+                    )
+                ).alias("cum_tokens"),
+            )
+            .filter(
+                (F.col("cls") == "FULL")
+                | (F.col("cum_tokens") <= F.col("budget"))
+            )
+            .drop("cls", "budget")
+        )
+
+    def _mode(lo, hi, tb_pos, level):
+        """(mode, child_tb) — 'range' / 'tie' / 'serial', the per-region
+        driver decision mirroring the global operator's _refine."""
+        if level >= max_levels:
+            return "serial", tb_pos
+        span = hi - lo
+        if span > 0 and span != float("inf") and span == span:
+            return "range", tb_pos
+        if lo == hi and tb_pos + 2 <= 32:
+            return "tie", tb_pos + 3
+        return "serial", tb_pos
+
+    # level-0 bootstrap: one aggregate gives each source's bounds; the
+    # source list it returns also validates budget coverage
+    lvl0 = {
+        r["__src"]: (r["lo"], r["hi"])
+        for r in per.groupBy("__src")
+        .agg(F.min("score").alias("lo"), F.max("score").alias("hi"))
+        .collect()
+    }
+    missing = sorted(set(lvl0) - set(bmap))
+    if missing:
+        raise ValueError(
+            f"corpus sources missing from budgets: {missing} — name every "
+            "source explicitly (a silent zero-budget would hide typos)"
+        )
+    # region table: rid -> driver state; rows bind to regions via a
+    # broadcast-joined params frame (the join also attaches the columns
+    # the NEXT bucket expression needs)
+    regions = {}
+    params_rows = []
+    for i, (src, (lo, hi)) in enumerate(sorted(lvl0.items())):
+        mode, child_tb = _mode(lo, hi, 1, 0)
+        regions[i] = {
+            "src": src,
+            "budget": bmap[src],
+            "tok_off": 0,
+            "cnt_off": 0,
+            "needs_cut": True,
+            "mode": mode,
+            "child_tb": child_tb,
+            "cnt": None,
+        }
+        params_rows.append((src, i, mode, float(lo), float(hi), 1))
+    frame = per.join(
+        F.broadcast(
+            spark.createDataFrame(
+                params_rows,
+                "__src string, __rid long, __mode string, __lo double, "
+                "__hi double, __tb int",
+            )
+        ),
+        "__src",
+    )
+    next_rid = len(regions)
+    out_frames = []
+    core = ["__src", id_col, "score", "n_tokens", "tiebreak"]
+
+    for level in range(max_levels + 1):
+        if not regions:
+            break
+        if _diag is not None:
+            _diag["levels"] += 1
+            _diag["regions"] += len(regions)
+        span = F.col("__hi") - F.col("__lo")
+        bexpr = (
+            F.when(F.col("__mode") == "serial", F.lit(0))
+            .when(
+                F.col("__mode") == "tie",
+                F.conv(F.col("tiebreak").substr(F.col("__tb"), F.lit(3)), 16, 10),
+            )
+            .otherwise(
+                F.least(
+                    F.lit(n_buckets - 1),
+                    F.floor((F.col("__hi") - F.col("score")) / span * n_buckets),
+                )
+            )
+            .cast("long")
+        )
+        # ONE aggregate classifies every region's buckets at this level
+        stats = {}
+        for r in (
+            frame.groupBy("__rid", bexpr.alias("bucket"))
+            .agg(
+                F.sum("n_tokens").alias("toks"),
+                F.count(F.lit(1)).alias("cnt"),
+                F.min("score").alias("lo"),
+                F.max("score").alias("hi"),
+            )
+            .collect()
+        ):
+            stats.setdefault(int(r["__rid"]), {})[int(r["bucket"])] = (
+                int(r["toks"]),
+                int(r["cnt"]),
+                r["lo"],
+                r["hi"],
+            )
+        emit_rows, cont_rows, nxt_regions = [], [], {}
+        for rid, st in sorted(regions.items()):
+            bstats = stats.get(rid)
+            if bstats is None:  # empty region (e.g. empty source slice)
+                continue
+            if st["mode"] == "serial":
+                cls = "PARTIAL" if st["needs_cut"] else "FULL"
+                if _diag is not None and st["cnt"] is not None:
+                    _diag["max_window_rows"] = max(
+                        _diag["max_window_rows"], st["cnt"]
+                    )
+                emit_rows.append(
+                    (rid, 0, st["tok_off"], st["cnt_off"], cls, st["budget"])
+                )
+                continue
+            tok_off, cnt_off = st["tok_off"], st["cnt_off"]
+            for b in sorted(bstats):
+                toks, cnt, b_lo, b_hi = bstats[b]
+                if not st["needs_cut"] or tok_off + toks <= st["budget"]:
+                    cls = "FULL"
+                elif tok_off < st["budget"]:
+                    cls = "PARTIAL"
+                else:
+                    cls = None  # EXCLUDED: never joins, never shuffles
+                if cls is not None:
+                    if cnt > recurse_min and cnt > 1 and level < max_levels:
+                        mode, child_tb = _mode(b_lo, b_hi, st["child_tb"], level + 1)
+                        nxt_regions[next_rid] = {
+                            "src": st["src"],
+                            "budget": st["budget"],
+                            "tok_off": tok_off,
+                            "cnt_off": cnt_off,
+                            "needs_cut": cls == "PARTIAL",
+                            "mode": mode,
+                            "child_tb": child_tb,
+                            "cnt": cnt,
+                        }
+                        cont_rows.append(
+                            (
+                                rid,
+                                b,
+                                next_rid,
+                                mode,
+                                float(b_lo),
+                                float(b_hi),
+                                st["child_tb"],
+                            )
+                        )
+                        next_rid += 1
+                    else:
+                        if _diag is not None:
+                            _diag["max_window_rows"] = max(
+                                _diag["max_window_rows"], cnt
+                            )
+                        emit_rows.append(
+                            (rid, b, tok_off, cnt_off, cls, st["budget"])
+                        )
+                tok_off += toks
+                cnt_off += cnt
+        if emit_rows:
+            out_frames.append(_emit(frame, emit_rows, bexpr))
+        if not cont_rows:
+            break
+        # rebind surviving rows to their next-level regions: the join
+        # filters to continued (region, bucket) pairs AND attaches the
+        # new params in one broadcast
+        cont = spark.createDataFrame(
+            cont_rows,
+            "__rid long, bucket long, __nrid long, __nmode string, "
+            "__nlo double, __nhi double, __ntb int",
+        )
+        frame = (
+            frame.withColumn("bucket", bexpr)
+            .select(*core, "__rid", "bucket")
+            .join(F.broadcast(cont), ["__rid", "bucket"])
+            .select(
+                *core,
+                F.col("__nrid").alias("__rid"),
+                F.col("__nmode").alias("__mode"),
+                F.col("__nlo").alias("__lo"),
+                F.col("__nhi").alias("__hi"),
+                F.col("__ntb").alias("__tb"),
+            )
+        )
+        regions = nxt_regions
+    result = (
+        _reduce(DataFrame.unionByName, out_frames)
+        if out_frames
+        else per.select(
+            id_col,
+            F.col("__src").alias(source_col),
+            "score",
+            "n_tokens",
+            F.lit(0).cast("bigint").alias("sel_rank"),
+            F.lit(0).cast("bigint").alias("cum_tokens"),
+        ).limit(0)
+    )
+    return result.select(
+        id_col, source_col, "score", "n_tokens", "sel_rank", "cum_tokens"
+    )
+
+
 # ---------------------------------------------------------------------------
 # DSIR: data selection via importance resampling (Xie et al. 2023, NeurIPS,
 # "Data Selection for Language Models via Importance Resampling") — select

@@ -337,6 +337,53 @@ def test_textpipe_dsir_selection_stage(spark, tmp_path):
         run_text_pipeline(spark, sf, dsir_budget_tokens=10)
 
 
+def test_textpipe_quality_mixture_stage(spark, tmp_path):
+    """r14: stage 5's quality mode — same equalized per-source token
+    allocation as the default, filled by lexical-diversity rank
+    (stratified_budget_selection) instead of by hash. Upstream stages
+    bit-identical; per-source selected mass <= the shared budget; within
+    each source the selection is its TOP-diversity prefix; mutually
+    exclusive with the DSIR mode."""
+    import pyspark.sql.functions as F
+
+    from big_data_processing_with_aws_glue_workshop_spark.plans.textpipe import run_text_pipeline
+
+    sf, tgt = _two_vocab_sf(spark, tmp_path)
+    default = run_text_pipeline(spark, sf)
+    out = str(tmp_path / "pipe_q")
+    q = run_text_pipeline(spark, sf, out_dir=out, mixture_by_quality=True)
+    assert q["selection_mode"] == "quality_equalize"
+    for k in (
+        "input_docs",
+        "after_quality",
+        "after_exact_dedup",
+        "after_near_dedup",
+        "after_decontamination",
+    ):
+        assert q[k] == default[k], k
+    assert q["after_decontamination"] >= q["after_mixture"] > 0
+    # every source's selected mass fits the shared equalized budget
+    budget = q["mixture_budget_tokens"]
+    assert budget > 0
+    assert all(m <= budget for m in q["mixture_selected_tokens"].values())
+    # within each source the kept docs are its top-diversity prefix: in
+    # the fixture every doc has 40 tokens with 20+N distinct, identical
+    # diversity — so the cut count per source is exactly budget//40
+    corpus = spark.read.parquet(f"{out}/packed_corpus")
+    per_src = {
+        r["source"]: r["n"]
+        for r in corpus.groupBy("source").agg(F.count("*").alias("n")).collect()
+    }
+    assert all(n == budget // 40 for n in per_src.values()), per_src
+    # the two selection flags cannot combine
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="mutually"):
+        run_text_pipeline(
+            spark, sf, mixture_by_quality=True, dsir_budget_tokens=10,
+        )
+
+
 def test_cli_textpipe_dsir_flags(spark, tmp_path, capsys):
     """textpipe --dsir-budget/--dsir-target e2e through the CLI."""
     import json as _json
@@ -1172,6 +1219,60 @@ def test_cli_token_budget_select_and_split_leakage_audit(spark, tmp_path, capsys
     assert out["by_split_pair"] == [
         {"split_a": "test", "split_b": "train", "n_pairs": 1, "leaked": 1}
     ]
+
+
+def test_cli_stratified_budget_select(spark, tmp_path, capsys):
+    """stratified-budget-select e2e: each source's quality-ranked prefix
+    cut at its own --budgets allocation; an unnamed corpus source is
+    refused with the coverage error."""
+    import json as _json
+
+    import pytest as _pytest
+
+    from big_data_processing_with_aws_glue_workshop_spark.cli import main
+
+    rows = []
+    for src in ("web", "code"):
+        for i in range(6):
+            did = (0 if src == "web" else 100) + i
+            # diversity falls with i: doc i repeats its first word i times
+            words = [f"{src}{did}w{j}" for j in range(10 - i)] + [f"{src}{did}w0"] * i
+            rows.append((did, src, " ".join(words)))
+    spark.createDataFrame(
+        rows, "doc_id long, source string, text string"
+    ).coalesce(1).write.parquet(str(tmp_path / "docs"))
+
+    main([
+        "stratified-budget-select",
+        "--input", str(tmp_path / "docs"),
+        "--output", str(tmp_path / "sel"),
+        "--budgets", "web=30,code=20",
+    ])
+    out = _json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert out["budgets"] == {"web": 30, "code": 20}
+    # every doc is 10 tokens: web keeps its best 3, code its best 2
+    assert out["selected"]["web"] == {"docs": 3, "tokens": 30}
+    assert out["selected"]["code"] == {"docs": 2, "tokens": 20}
+    sel = spark.read.parquet(str(tmp_path / "sel")).collect()
+    by_src = {}
+    for r in sel:
+        by_src.setdefault(r["source"], []).append(r)
+    # the per-source ranking is by diversity: lowest doc ids win
+    assert sorted(r["doc_id"] for r in by_src["web"]) == [0, 1, 2]
+    assert sorted(r["doc_id"] for r in by_src["code"]) == [100, 101]
+    for src, picks in by_src.items():
+        assert sorted(r["sel_rank"] for r in picks) == list(
+            range(1, len(picks) + 1)
+        )
+
+    # coverage: a corpus source not named in --budgets refuses
+    with _pytest.raises(ValueError, match="missing from budgets"):
+        main([
+            "stratified-budget-select",
+            "--input", str(tmp_path / "docs"),
+            "--output", str(tmp_path / "sel2"),
+            "--budgets", "web=30",
+        ])
 
 
 def test_cli_dsir_select(spark, tmp_path, capsys):

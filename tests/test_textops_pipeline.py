@@ -1078,6 +1078,209 @@ def test_token_budget_selection_semantics(spark):
 
 
 # ---------------------------------------------------------------------------
+# stratified_budget_selection (r14): per-source constrained budget cuts
+
+
+_STRATIFIED_BUDGET_ORACLE = """
+    WITH per AS (
+      SELECT doc_id, source,
+             CAST(len(list_distinct(toks)) AS DOUBLE) / len(toks) AS score,
+             CAST(len(toks) AS BIGINT) AS n_tokens,
+             md5('tbs:' || CAST(doc_id AS VARCHAR)) AS tiebreak
+      FROM (
+        SELECT doc_id, source,
+               string_split_regex(trim(lower(text)), '[ \\t\\n\\f\\r]+') AS toks
+        FROM documents
+      )
+    ),
+    c AS (
+      SELECT doc_id, source, score, n_tokens,
+             ROW_NUMBER() OVER (PARTITION BY source
+                                ORDER BY score DESC, tiebreak ASC) AS sel_rank,
+             SUM(n_tokens) OVER (PARTITION BY source
+                                 ORDER BY score DESC, tiebreak ASC
+                                 ROWS UNBOUNDED PRECEDING) AS cum_tokens
+      FROM per
+    ),
+    b(source, budget) AS (VALUES {values})
+    SELECT doc_id, source, score, n_tokens,
+           CAST(sel_rank AS BIGINT) AS sel_rank,
+           CAST(cum_tokens AS BIGINT) AS cum_tokens
+    FROM c JOIN b USING (source) WHERE cum_tokens <= budget
+"""
+
+
+def _scored_docs_with_source(spark, sf_dir):
+    from big_data_processing_with_aws_glue_workshop_spark.queries._tables import load
+
+    d = load(spark, sf_dir, "documents")
+    toks = F.split(F.trim(F.lower(F.col("text"))), r"[ \t\n\f\r]+")
+    return d.select(
+        "doc_id",
+        "source",
+        (F.size(F.array_distinct(toks)).cast("double") / F.size(toks)).alias(
+            "score"
+        ),
+        F.size(toks).cast("bigint").alias("n_tokens"),
+    )
+
+
+def test_stratified_budget_selection_matches_oracle(spark, sf_dir):
+    """The level-batched per-source prefix sum is held to the NAIVE
+    per-source global window the SQL twin runs: identical selected sets,
+    per-source ranks and inclusive masses, each source cut at ITS OWN
+    budget (40% of its mass, so every source has a mid-bucket boundary)."""
+    from big_data_processing_with_aws_glue_workshop_spark.queries.textops import (
+        stratified_budget_selection,
+    )
+    from tests.oracle_harness import compare
+
+    scored = _scored_docs_with_source(spark, sf_dir)
+    budgets = {
+        r["source"]: int(r["t"]) * 2 // 5
+        for r in scored.groupBy("source").agg(F.sum("n_tokens").alias("t")).collect()
+    }
+    out = stratified_budget_selection(scored, budgets, "score")
+    values = ", ".join(f"('{s}', {b})" for s, b in sorted(budgets.items()))
+    compare(out, _STRATIFIED_BUDGET_ORACLE.format(values=values), sf_dir)
+
+
+def test_stratified_budget_selection_invariances(spark, sf_dir):
+    """Bucketing/refinement only PARTITION the per-source work: n_buckets
+    1/7/256, a repartitioned input, and the fully-refined path
+    (recurse_min=0) all produce the byte-identical selection."""
+    from big_data_processing_with_aws_glue_workshop_spark.queries.textops import (
+        stratified_budget_selection,
+    )
+
+    scored = _scored_docs_with_source(spark, sf_dir)
+    budgets = {
+        r["source"]: int(r["t"]) // 3
+        for r in scored.groupBy("source").agg(F.sum("n_tokens").alias("t")).collect()
+    }
+    base = sorted(
+        tuple(r)
+        for r in stratified_budget_selection(scored, budgets, "score").collect()
+    )
+    assert base
+    for nb in (1, 7):
+        got = sorted(
+            tuple(r)
+            for r in stratified_budget_selection(
+                scored, budgets, "score", n_buckets=nb
+            ).collect()
+        )
+        assert got == base, f"n_buckets={nb} diverged"
+    got = sorted(
+        tuple(r)
+        for r in stratified_budget_selection(
+            scored.repartition(13), budgets, "score"
+        ).collect()
+    )
+    assert got == base
+    got = sorted(
+        tuple(r)
+        for r in stratified_budget_selection(
+            scored, budgets, "score", recurse_min=0
+        ).collect()
+    )
+    assert got == base
+
+
+def test_stratified_budget_selection_semantics(spark):
+    """Contract on a hand-built two-source corpus: per-source
+    independence (one source's budget never moves another's cut),
+    explicit-coverage raise for unnamed sources, zero-budget sources
+    select nothing, NULL/negative rows are unrankable, empty corpus."""
+    from big_data_processing_with_aws_glue_workshop_spark.queries.textops import (
+        stratified_budget_selection,
+    )
+
+    rows = [(i, "a" if i % 2 == 0 else "b", float((i * 7) % 10), 10) for i in range(40)]
+    rows += [(97, "a", None, 5), (98, "b", 5.0, None), (99, "a", 5.0, -2)]
+    docs = spark.createDataFrame(
+        rows, "doc_id long, source string, score double, n_tokens long"
+    )
+    # each source: 20 valid docs x 10 tokens = 200
+    full = stratified_budget_selection(docs, {"a": 200, "b": 200}, "score").collect()
+    assert len(full) == 40
+    for src in ("a", "b"):
+        ranks = sorted(r["sel_rank"] for r in full if r["source"] == src)
+        assert ranks == list(range(1, 21))
+        assert max(r["cum_tokens"] for r in full if r["source"] == src) == 200
+    # independence: shrinking b's budget leaves a's selection untouched
+    half_b = stratified_budget_selection(docs, {"a": 200, "b": 90}, "score").collect()
+    assert sorted(
+        tuple(r) for r in half_b if r["source"] == "a"
+    ) == sorted(tuple(r) for r in full if r["source"] == "a")
+    b_sel = [r for r in half_b if r["source"] == "b"]
+    assert len(b_sel) == 9 and all(r["cum_tokens"] <= 90 for r in b_sel)
+    # and b's selection is the rank prefix of its full-budget selection
+    full_b = {r["sel_rank"]: r["doc_id"] for r in full if r["source"] == "b"}
+    assert {r["sel_rank"]: r["doc_id"] for r in b_sel} == {
+        k: v for k, v in full_b.items() if k <= 9
+    }
+    # zero budget: source present, nothing selected
+    za = stratified_budget_selection(docs, {"a": 0, "b": 200}, "score").collect()
+    assert all(r["source"] == "b" for r in za) and len(za) == 20
+    # coverage raise: every corpus source must be named
+    with pytest.raises(ValueError, match="missing from budgets"):
+        stratified_budget_selection(docs, {"a": 100}, "score")
+    with pytest.raises(ValueError, match="must be >= 0"):
+        stratified_budget_selection(docs, {"a": -1, "b": 1}, "score")
+    # empty corpus: empty result, schema intact
+    empty = stratified_budget_selection(docs.limit(0), {}, "score")
+    assert empty.count() == 0
+    assert empty.columns == [
+        "doc_id", "source", "score", "n_tokens", "sel_rank", "cum_tokens"
+    ]
+
+
+def test_stratified_budget_selection_worklist_bound(spark):
+    """Discrete grades in BOTH sources: every oversized bucket (FULL or
+    PARTIAL, any source) refines via the level-batched worklist — the
+    _diag seam pins the largest emitted window partition under
+    recurse_min while the output stays byte-identical to the unrefined
+    path, and the whole refinement costs one aggregate per LEVEL, not
+    per source."""
+    from big_data_processing_with_aws_glue_workshop_spark.queries.textops import (
+        stratified_budget_selection,
+    )
+
+    rows = [
+        (i, "a" if i % 2 == 0 else "b", float(i % 3), 10) for i in range(3000)
+    ]
+    docs = spark.createDataFrame(
+        rows, "doc_id long, source string, score double, n_tokens long"
+    )
+    # per source: grades 0/1/2 x 500 docs x 10 tokens; budget cuts inside
+    # grade 1, so grade 2 is a giant FULL bucket and grade 1 a giant
+    # PARTIAL one, in each source
+    budgets = {"a": 7_500, "b": 7_500}
+    base = sorted(
+        tuple(r)
+        for r in stratified_budget_selection(
+            docs, budgets, "score", recurse_min=10**9
+        ).collect()
+    )
+    assert len(base) == 1_500  # 500 grade-2 + 250 grade-1 per source
+    diag = {}
+    got = sorted(
+        tuple(r)
+        for r in stratified_budget_selection(
+            docs, budgets, "score", recurse_min=100, _diag=diag
+        ).collect()
+    )
+    assert got == base
+    assert 0 < diag["max_window_rows"] <= 100
+    # level 0: 2 source regions; level 1: 4 oversized grade buckets
+    # (FULL grade-2 + PARTIAL grade-1, per source) — 2 levels total,
+    # each ONE aggregate regardless of source count
+    assert diag["levels"] == 2
+    assert diag["regions"] == 6
+
+
+# ---------------------------------------------------------------------------
 # split_leakage_audit (r13): post-hoc near-dup leakage check on a split
 
 

@@ -1,7 +1,8 @@
 """Scale probes for the r12/r13 curation ops: the epoch-mixture
 MATERIALIZER and the composed component-aware split (r12 verdict
 orders #5/#6), plus the r13 additions — token-budget selection
-(--budget) and the split leakage audit (--leakage).
+(--budget) and the split leakage audit (--leakage) — and the r14
+stratified per-source budget selection (--stratified).
 
 --mixture [sizes...]  (default 20000 80000 200000)
     epoch_mixture_plan + materialize_epoch_mixture over a corpus with a
@@ -307,6 +308,76 @@ def probe_budget(sizes: list[int]) -> None:
         scored.unpersist()
 
 
+def probe_stratified(sizes: list[int]) -> None:
+    """stratified_budget_selection (r14) over 8 sources with DISCRETE 0-2
+    grades (the worst shape: every (source, grade) is one giant tied
+    group) and per-source budgets cutting inside grade 1. Claims under
+    test (queries/textops.py::stratified_budget_selection):
+      1. per-source masses all land within their own budgets;
+      2. refinement is LEVEL-batched: one aggregate per level, so
+         _diag['levels'] stays at 2 regardless of the source count
+         (16 oversized (source, grade) regions refine in ONE pass);
+      3. the largest emitted window partition stays under recurse_min —
+         no (source, grade) group ever windows as one task."""
+    from pyspark.sql import functions as F
+
+    from big_data_processing_with_aws_glue_workshop_spark.queries.textops import (
+        stratified_budget_selection,
+    )
+
+    spark = get_session(app_name="curation-probe-stratified")
+    n_sources, recurse_min = 8, 5_000
+    for n in sizes:
+        docs = spark.range(n).select(
+            F.col("id").alias("doc_id"),
+            F.concat(F.lit("src"), (F.col("id") % n_sources).cast("string")).alias(
+                "source"
+            ),
+            ((F.col("id") / n_sources).cast("bigint") % 3).cast("double").alias(
+                "score"
+            ),
+            (10 + F.col("id") % 40).cast("bigint").alias("n_tokens"),
+        ).cache()
+        budgets = {
+            r["source"]: int(r["t"]) // 2
+            for r in docs.groupBy("source").agg(F.sum("n_tokens").alias("t")).collect()
+        }
+        diag: dict = {}
+        t0 = time.time()
+        out = stratified_budget_selection(
+            docs, budgets, "score", recurse_min=recurse_min, _diag=diag
+        )
+        per_src = {
+            r["source"]: int(r["m"])
+            for r in out.groupBy("source").agg(F.max("cum_tokens").alias("m")).collect()
+        }
+        wall = time.time() - t0
+        within = all(per_src[s] <= budgets[s] for s in per_src)
+        print(
+            json.dumps(
+                {
+                    "op": "stratified_budget_selection",
+                    "docs": n,
+                    "sources": n_sources,
+                    "grades": 3,
+                    "recurse_min": recurse_min,
+                    "wall_s": round(wall, 2),
+                    "docs_per_s": int(n / wall),
+                    "all_within_budget": within,
+                    "levels": diag["levels"],
+                    "regions": diag["regions"],
+                    "max_window_rows": diag["max_window_rows"],
+                    "bounded": diag["max_window_rows"] <= recurse_min,
+                }
+            ),
+            flush=True,
+        )
+        assert within
+        assert diag["max_window_rows"] <= recurse_min
+        assert diag["levels"] <= 2
+        docs.unpersist()
+
+
 def probe_leakage(sizes: list[int]) -> None:
     """split_leakage_audit over the dup-heavy corpus with the PER-DOC
     hash split (the assignment that CAN leak). Claims under test:
@@ -484,8 +555,10 @@ if __name__ == "__main__":
         probe_dsir(sizes)
     elif mode == "--divergence":
         probe_divergence(sizes)
+    elif mode == "--stratified":
+        probe_stratified(sizes)
     else:
         raise SystemExit(
             f"unknown mode {mode!r} (use --mixture, --split, --budget, "
-            "--leakage, --dsir or --divergence)"
+            "--leakage, --dsir, --divergence or --stratified)"
         )
