@@ -1,0 +1,204 @@
+"""Streaming budget admission: the streaming member of the selection
+family (token_budget_selection / stratified_budget_selection in
+queries/textops.py).
+
+An unbounded document stream cannot run the batch operators' GLOBAL
+quality ranking — the best document of wave 40 is unknowable at wave 3.
+The streaming contract is therefore WAVE-GREEDY, stated plainly: each
+micro-batch takes a stratified quality cut against the budgets
+REMAINING after every earlier wave, using the exact batch operator
+(`stratified_budget_selection`) per wave — the cut math cannot fork
+from the batch semantics because it IS the batch op. A later great
+document can be crowded out by an earlier mediocre one; pipelines that
+need the global ranking run the batch operator over the landed corpus
+instead. What the sink guarantees exactly:
+
+- per-source admitted mass NEVER exceeds the budget, at every moment
+  of the stream's life (the inclusive-prefix rule per wave + exact
+  bigint spent counters carried in the pointer);
+- within one wave, admission is the batch operator's quality order
+  (score DESC, md5 tiebreak) per source;
+- deterministic and exactly-once: replayed batch ids are skipped, the
+  admitted table and the spent counters commit ATOMICALLY in one
+  snapshot (a crash between write and pointer flip leaves the old
+  state), and a re-run over the same waves is byte-identical;
+- the calibration (budgets, columns, bucket count) is pinned on first
+  commit and refused on mismatch — admissions across different budget
+  tables do not compose.
+
+Scale shape per micro-batch: the batch operator's level-batched prefix
+sums over the WAVE (never history), one bounded per-source aggregate of
+the newly admitted mass, and a standing-table union whose size is
+bounded by the BUDGETS (total admitted mass / min doc tokens), not by
+the stream.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .sinks import commit_snapshot, read_current, read_pointer
+
+
+class BudgetAdmissionSink:
+    """``foreachBatch`` sink: admit each micro-batch's best documents
+    into the per-source token budgets remaining after earlier waves."""
+
+    def __init__(
+        self,
+        target_dir: str,
+        budgets: dict,
+        score_col: str,
+        *,
+        source_col: str = "source",
+        id_col: str = "doc_id",
+        n_tokens_col: str = "n_tokens",
+        n_buckets: int = 256,
+        checkpoint_dir: str | None = None,
+    ) -> None:
+        self.target_dir = target_dir
+        self.budgets = {str(k): int(v) for k, v in budgets.items()}
+        self.score_col = score_col
+        self.source_col = source_col
+        self.id_col = id_col
+        self.n_tokens_col = n_tokens_col
+        self.n_buckets = n_buckets
+        self.checkpoint_dir = checkpoint_dir
+
+    @property
+    def calibration(self) -> dict:
+        return {
+            "budgets": self.budgets,
+            "score_col": self.score_col,
+            "source_col": self.source_col,
+            "id_col": self.id_col,
+            "n_tokens_col": self.n_tokens_col,
+            "n_buckets": self.n_buckets,
+        }
+
+    def __call__(self, batch_df: DataFrame, batch_id: int) -> None:
+        from ..queries.textops import stratified_budget_selection
+
+        pointer = read_pointer(self.target_dir)
+        if pointer is not None and batch_id <= pointer["batch_id"]:
+            return  # replayed batch after recovery: already admitted
+        spent: dict = {}
+        if pointer is not None:
+            stored = pointer.get("calibration")
+            if stored is not None and stored != self.calibration:
+                raise ValueError(
+                    f"admission calibration mismatch for {self.target_dir!r}: "
+                    f"standing state was built with {stored}, sink configured "
+                    f"with {self.calibration} — admissions across different "
+                    "budget tables do not compose; match the stored "
+                    "parameters or reset the target"
+                )
+            spent = {k: int(v) for k, v in pointer.get("spent", {}).items()}
+        remaining = {
+            s: max(0, b - spent.get(s, 0)) for s, b in self.budgets.items()
+        }
+        # the batch operator IS the per-wave cut (its coverage raise also
+        # surfaces unknown stream sources loudly); its cum_tokens are
+        # relative to THIS wave's remaining budget — the spent offset
+        # lifts them to the global running mass
+        admitted = stratified_budget_selection(
+            batch_df,
+            remaining,
+            self.score_col,
+            source_col=self.source_col,
+            id_col=self.id_col,
+            n_tokens_col=self.n_tokens_col,
+            n_buckets=self.n_buckets,
+        )
+        spark = batch_df.sparkSession
+        off = spark.createDataFrame(
+            [(s, spent.get(s, 0)) for s in self.budgets],
+            f"{self.source_col} string, __spent long",
+        )
+        inc = (
+            admitted.join(F.broadcast(off), self.source_col)
+            .select(
+                self.id_col,
+                self.source_col,
+                "score",
+                "n_tokens",
+                (F.col("cum_tokens") + F.col("__spent")).alias("cum_tokens"),
+                F.lit(batch_id).cast("long").alias("admitted_batch"),
+            )
+        )
+        # bounded: the admitted table never outgrows the budgets
+        if pointer is not None:
+            merged = read_current(spark, self.target_dir).unionByName(inc)
+        else:
+            merged = inc
+        # the spent counters and the admitted table flip together: one
+        # snapshot commit, so a crash can never leave them disagreeing
+        new_mass = {
+            r[self.source_col]: int(r["m"])
+            for r in inc.groupBy(self.source_col)
+            .agg(F.sum("n_tokens").alias("m"))
+            .collect()
+        }
+        new_spent = {
+            s: spent.get(s, 0) + new_mass.get(s, 0) for s in self.budgets
+        }
+        extra: dict = {"calibration": self.calibration, "spent": new_spent}
+        if self.checkpoint_dir is not None:
+            extra["stream_checkpoint"] = os.path.abspath(self.checkpoint_dir)
+        commit_snapshot(merged, self.target_dir, batch_id, extra)
+
+
+def run_stream_budget_admission(
+    stream_df: DataFrame,
+    target_dir: str,
+    budgets: dict,
+    score_col: str,
+    *,
+    source_col: str = "source",
+    id_col: str = "doc_id",
+    n_tokens_col: str = "n_tokens",
+    n_buckets: int = 256,
+    checkpoint_dir: str | None = None,
+) -> None:
+    """availableNow drain into the standing admitted table; same
+    checkpoint-ownership discipline as the sketch sinks."""
+    from .sketch import _drain, _guard_checkpoint
+
+    _guard_checkpoint(target_dir, checkpoint_dir)
+    sink = BudgetAdmissionSink(
+        target_dir,
+        budgets,
+        score_col,
+        source_col=source_col,
+        id_col=id_col,
+        n_tokens_col=n_tokens_col,
+        n_buckets=n_buckets,
+        checkpoint_dir=checkpoint_dir,
+    )
+    _drain(stream_df, sink, checkpoint_dir)
+
+
+def read_admitted(spark: SparkSession, target_dir: str) -> DataFrame:
+    """The live standing admitted table (snapshot-isolated)."""
+    return read_current(spark, target_dir)
+
+
+def admission_report(target_dir: str) -> dict:
+    """Budget utilization from the pointer alone (no Spark needed):
+    {source: {budget, spent, remaining}}."""
+    pointer = read_pointer(target_dir)
+    if pointer is None:
+        raise ValueError(f"no committed admission state at {target_dir!r}")
+    budgets = pointer["calibration"]["budgets"]
+    spent = pointer.get("spent", {})
+    return {
+        s: {
+            "budget": int(b),
+            "spent": int(spent.get(s, 0)),
+            "remaining": int(b) - int(spent.get(s, 0)),
+        }
+        for s, b in sorted(budgets.items())
+    }

@@ -1138,3 +1138,124 @@ def test_streaming_ngram_histogram_drift_monitor(spark, tmp_path):
     # recalibrated sink refused
     with pytest.raises(ValueError, match="calibration mismatch"):
         NgramHistogramSink(target_dir, n_buckets=256)(waves[0], 99)
+
+
+def test_streaming_budget_admission(spark, tmp_path):
+    """r14 streaming selection: each drained wave takes the BATCH
+    stratified cut against the budgets remaining after earlier waves —
+    the sink state must equal a driver-side fold of
+    stratified_budget_selection over the same waves (the math cannot
+    fork), per-source mass never exceeds its budget at any point,
+    exhausted sources admit nothing, replayed batch ids are no-ops, a
+    recalibrated sink is refused, and the wave-greedy contract is shown
+    honestly: the streaming admitted set DIFFERS from the batch
+    operator over the union when later waves carry better documents."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    import pytest
+
+    from big_data_processing_with_aws_glue_workshop_spark.queries.textops import (
+        stratified_budget_selection,
+    )
+    from big_data_processing_with_aws_glue_workshop_spark.streaming.selection import (
+        BudgetAdmissionSink,
+        admission_report,
+        read_admitted,
+        run_stream_budget_admission,
+    )
+
+    # wave 0 is mediocre (score 50), wave 1 excellent (score 90): the
+    # greedy stream must fill budgets from wave 0; the global batch
+    # ranking would prefer wave 1 — both facts are asserted
+    def wave(n, off, score):
+        rows = [
+            (off + i, "a" if i % 2 == 0 else "b", float(score), 10)
+            for i in range(n)
+        ]
+        return spark.createDataFrame(
+            rows, "doc_id long, source string, score double, n_tokens long"
+        )
+
+    budgets = {"a": 100, "b": 60}
+    waves = [wave(30, 0, 50.0), wave(30, 100, 90.0), wave(30, 200, 70.0)]
+
+    landing = tmp_path / "stream_in"
+    landing.mkdir()
+    target_dir = str(tmp_path / "admitted")
+    ckpt = str(tmp_path / "ckpt")
+    for i, w in enumerate(waves):
+        pq.write_table(
+            pa.Table.from_pandas(w.toPandas(), preserve_index=False),
+            str(landing / f"w{i}.parquet"),
+        )
+        run_stream_budget_admission(
+            spark.readStream.schema(
+                "doc_id long, source string, score double, n_tokens long"
+            ).parquet(str(landing)),
+            target_dir,
+            budgets,
+            "score",
+            checkpoint_dir=ckpt,
+        )
+
+    # driver-side fold of the BATCH operator over the same waves
+    spent = {s: 0 for s in budgets}
+    expected = []
+    for i, w in enumerate(waves):
+        rem = {s: budgets[s] - spent[s] for s in budgets}
+        adm = stratified_budget_selection(w, rem, "score").collect()
+        for r in adm:
+            expected.append(
+                (
+                    r["doc_id"],
+                    r["source"],
+                    r["score"],
+                    r["n_tokens"],
+                    r["cum_tokens"] + spent[r["source"]],
+                    i,
+                )
+            )
+        for s in budgets:
+            spent[s] += sum(r["n_tokens"] for r in adm if r["source"] == s)
+    got = [
+        (
+            r["doc_id"],
+            r["source"],
+            r["score"],
+            r["n_tokens"],
+            r["cum_tokens"],
+            r["admitted_batch"],
+        )
+        for r in read_admitted(spark, target_dir).collect()
+    ]
+    assert sorted(got) == sorted(expected)
+
+    # budgets respected and exhausted: 10 a-docs (100) + 6 b-docs (60),
+    # all from wave 0 (its 15+15 docs already cover both budgets)
+    rep = admission_report(target_dir)
+    assert rep == {
+        "a": {"budget": 100, "spent": 100, "remaining": 0},
+        "b": {"budget": 60, "spent": 60, "remaining": 0},
+    }
+    assert all(r[5] == 0 for r in got)  # later waves admitted nothing
+    assert {r[0] for r in got} <= set(range(0, 30))
+
+    # wave-greedy honesty: the global batch ranking prefers wave 1
+    union = waves[0].unionByName(waves[1]).unionByName(waves[2])
+    global_sel = {
+        r["doc_id"]
+        for r in stratified_budget_selection(union, budgets, "score").collect()
+    }
+    assert global_sel <= set(range(100, 130))
+    assert global_sel.isdisjoint({r[0] for r in got})
+
+    # replayed batch id: no-op
+    BudgetAdmissionSink(target_dir, budgets, "score")(waves[1], 0)
+    assert sorted(
+        (r["doc_id"], r["cum_tokens"])
+        for r in read_admitted(spark, target_dir).collect()
+    ) == sorted((g[0], g[4]) for g in got)
+
+    # recalibrated sink refused
+    with pytest.raises(ValueError, match="calibration mismatch"):
+        BudgetAdmissionSink(target_dir, {"a": 9, "b": 9}, "score")(waves[0], 99)
