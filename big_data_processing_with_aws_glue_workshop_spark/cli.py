@@ -883,6 +883,45 @@ def cmd_stratified_budget_select(args: argparse.Namespace) -> None:
     )
 
 
+def cmd_budget_admission(args: argparse.Namespace) -> None:
+    """Streaming budget admission job (streaming/selection.py): drain
+    newly-landed documents (availableNow, checkpoint-tracked) into the
+    standing admitted table — each drain takes the batch stratified cut
+    against the per-source budgets REMAINING after earlier drains, and
+    the spent counters commit atomically with the admitted rows. Emits
+    the budget-utilization report from the pointer."""
+    from .streaming.selection import admission_report, run_stream_budget_admission
+
+    spark = get_session(app_name="budget-admission")
+    budgets = {}
+    for part in args.budgets.split(","):
+        if "=" not in part:
+            raise SystemExit(f"--budgets entry {part!r} is not source=tokens")
+        k, v = part.rsplit("=", 1)
+        budgets[k] = int(v)
+    # readStream needs an explicit schema: take it from the landed files
+    schema = spark.read.parquet(args.input).schema
+    stream = spark.readStream.schema(schema).parquet(args.input)
+    run_stream_budget_admission(
+        stream,
+        args.target,
+        budgets,
+        args.score_col,
+        source_col=args.source_col,
+        id_col=args.id_col,
+        n_tokens_col=args.n_tokens_col,
+        n_buckets=args.n_buckets,
+        checkpoint_dir=args.checkpoint,
+    )
+    _emit(
+        {
+            "job": "budget-admission",
+            "target": args.target,
+            "report": admission_report(args.target),
+        }
+    )
+
+
 def cmd_split_leakage_audit(args: argparse.Namespace) -> None:
     """Split leakage audit job (queries/textops.py::split_leakage_audit):
     MinHash near-dup pairs joined against a completed (id, split)
@@ -1623,6 +1662,31 @@ def build_parser() -> argparse.ArgumentParser:
     sb.add_argument("--text-col", default="text")
     sb.add_argument("--n-buckets", type=int, default=256)
     sb.set_defaults(func=cmd_stratified_budget_select)
+
+    ba = sub.add_parser(
+        "budget-admission",
+        help="streaming per-source budget admission: drain newly-landed "
+        "docs into the standing admitted table, each drain cutting at "
+        "the budgets remaining after earlier drains (exactly-once, "
+        "atomic spent counters)",
+    )
+    ba.add_argument("--input", required=True, help="landing parquet dir/glob")
+    ba.add_argument("--target", required=True, help="admission state dir")
+    ba.add_argument(
+        "--checkpoint", required=True,
+        help="stream checkpoint dir (pinned to the target on first drain)",
+    )
+    ba.add_argument(
+        "--budgets", required=True,
+        help="comma-separated source=tokens pairs (pinned in the "
+        "calibration on first drain)",
+    )
+    ba.add_argument("--score-col", required=True)
+    ba.add_argument("--n-tokens-col", default="n_tokens")
+    ba.add_argument("--id-col", default="doc_id")
+    ba.add_argument("--source-col", default="source")
+    ba.add_argument("--n-buckets", type=int, default=256)
+    ba.set_defaults(func=cmd_budget_admission)
 
     sla = sub.add_parser(
         "split-leakage-audit",

@@ -1221,6 +1221,63 @@ def test_cli_token_budget_select_and_split_leakage_audit(spark, tmp_path, capsys
     ]
 
 
+def test_cli_budget_admission(spark, tmp_path, capsys):
+    """budget-admission e2e: two drains against one checkpoint — the
+    second drain only sees the new file and cuts at the REMAINING
+    budgets; the report tracks utilization from the pointer."""
+    import json as _json
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from big_data_processing_with_aws_glue_workshop_spark.cli import main
+
+    landing = tmp_path / "landing"
+    landing.mkdir()
+
+    def land(name, rows):
+        pq.write_table(
+            pa.table(
+                {
+                    "doc_id": pa.array([r[0] for r in rows], pa.int64()),
+                    "source": pa.array([r[1] for r in rows], pa.string()),
+                    "score": pa.array([r[2] for r in rows], pa.float64()),
+                    "n_tokens": pa.array([r[3] for r in rows], pa.int64()),
+                }
+            ),
+            str(landing / name),
+        )
+
+    args = [
+        "budget-admission",
+        "--input", str(landing),
+        "--target", str(tmp_path / "adm"),
+        "--checkpoint", str(tmp_path / "ckpt"),
+        "--budgets", "a=30,b=20",
+        "--score-col", "score",
+    ]
+    land("w0.parquet", [(i, "a" if i % 2 == 0 else "b", 5.0, 10) for i in range(4)])
+    main(args)
+    out0 = _json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    # wave 0: 2 a-docs (20) + 2 b-docs (20, budget full)
+    assert out0["report"]["a"] == {"budget": 30, "spent": 20, "remaining": 10}
+    assert out0["report"]["b"] == {"budget": 20, "spent": 20, "remaining": 0}
+
+    land("w1.parquet", [(10 + i, "a" if i % 2 == 0 else "b", 9.0, 10) for i in range(4)])
+    main(args)
+    out1 = _json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    # wave 1: a admits ONE more doc (10 remaining), b none
+    assert out1["report"]["a"] == {"budget": 30, "spent": 30, "remaining": 0}
+    assert out1["report"]["b"] == {"budget": 20, "spent": 20, "remaining": 0}
+    adm = spark.read.parquet(
+        str(tmp_path / "adm" / _json.loads(
+            (tmp_path / "adm" / "current.json").read_text()
+        )["version"])
+    ).collect()
+    assert len(adm) == 5
+    assert sum(1 for r in adm if r["admitted_batch"] == 1) == 1
+
+
 def test_cli_stratified_budget_select(spark, tmp_path, capsys):
     """stratified-budget-select e2e: each source's quality-ranked prefix
     cut at its own --budgets allocation; an unnamed corpus source is
