@@ -118,6 +118,22 @@ carries a from-scratch DuckDB twin on the real tables (or, for the
 streaming sink, byte-parity with its twinned batch op) + CLI e2e on
 every pytest run; they join the succession queue behind the r12 trio.
 
+And to the r14 additions — ``stratified_budget_selection``,
+``dsir_multi_target_log_ratio_table`` and the streaming
+``BudgetAdmissionSink``: pytest+CLI-tier by the same arithmetic. None
+strictly supersedes a current query (the stratified form CONSTRAINS
+token_budget_selection rather than replacing its global contract; the
+multi-target table is a model-side composition consumed by the already-
+gated selectors; the admission sink is a deliberately different —
+wave-greedy — contract from any batch selector). Gates: stratified has
+a from-scratch DuckDB twin vs the naive per-source window + the
+worklist-bound diag pin + CLI `stratified-budget-select`; multi-target
+has a from-scratch DuckDB twin (both fits, the exact-bigint weighted
+combination, the scoring pass) + `dsir-fit --target... --weights`;
+the admission sink is pinned equal to a driver-side fold of the batch
+operator over the same waves + CLI `budget-admission`. They join the
+succession queue behind the r13 ops.
+
 (r12 rotation, for the record: 48 r11 due-backs + first row for
 ``cross_corpus_contamination`` + the ``training_pipeline_summary``
 keep; ``passage_dedup_profile`` retired 1:1 against the
