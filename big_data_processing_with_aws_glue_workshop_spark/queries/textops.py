@@ -1932,6 +1932,68 @@ def _dsir_gumbel_micro(id_col: str, seed: int):
     return F.floor(-F.log(-F.log(u)) * _DSIR_MICRO).cast("bigint")
 
 
+def _dsir_budget_scored(
+    corpus: DataFrame,
+    target: DataFrame,
+    *,
+    seed: int,
+    sample: bool,
+    id_col: str,
+    text_col: str,
+    n_tokens_col: str,
+    n_buckets: int,
+    alpha: float,
+    log_ratio,
+    corpus_model: DataFrame,
+    extra_cols: tuple = (),
+) -> DataFrame:
+    """The budget-mode scoring pass shared by :func:`dsir_select_budget`
+    and its stratified form: (id, *extra_cols, n_tokens, key_micro) in
+    ONE narrow shuffle-free projection — the table rides as a folded
+    literal, the per-doc sum is array-native, Gumbel noise optional."""
+    if log_ratio is None:
+        log_ratio = dsir_log_ratio_table(
+            corpus_model if corpus_model is not None else corpus,
+            target,
+            text_col=text_col,
+            n_buckets=n_buckets,
+            alpha=alpha,
+        )
+    if len(log_ratio) != n_buckets:
+        raise ValueError(
+            f"log_ratio length {len(log_ratio)} != n_buckets {n_buckets}"
+        )
+    arr = _lit_bigint_array(log_ratio)
+    ntok = (
+        F.col(n_tokens_col).cast("bigint")
+        if n_tokens_col is not None
+        else F.size(_tokens(F.col(text_col))).cast("bigint")
+    )
+    noise = _dsir_gumbel_micro(id_col, seed) if sample else F.lit(0).cast("bigint")
+    return (
+        corpus.filter(F.col(text_col).isNotNull())
+        .select(
+            id_col,
+            *extra_cols,
+            _dsir_buckets(F.col(text_col), n_buckets).alias("bk"),
+            ntok.alias("n_tokens"),
+        )
+        .select(
+            id_col,
+            *extra_cols,
+            "n_tokens",
+            (
+                F.aggregate(
+                    "bk",
+                    F.lit(0).cast("bigint"),
+                    lambda acc, b: acc + F.element_at(arr, (b + 1).cast("int")),
+                )
+                + noise
+            ).alias("key_micro"),
+        )
+    )
+
+
 def dsir_select_budget(
     corpus: DataFrame,
     target: DataFrame = None,
@@ -1979,44 +2041,18 @@ def dsir_select_budget(
     bigint throughout). Pinned by
     tests/test_textops_pipeline.py::test_dsir_budget_key_exactness_bound.
     """
-    if log_ratio is None:
-        log_ratio = dsir_log_ratio_table(
-            corpus_model if corpus_model is not None else corpus,
-            target,
-            text_col=text_col,
-            n_buckets=n_buckets,
-            alpha=alpha,
-        )
-    if len(log_ratio) != n_buckets:
-        raise ValueError(
-            f"log_ratio length {len(log_ratio)} != n_buckets {n_buckets}"
-        )
-    arr = _lit_bigint_array(log_ratio)
-    ntok = (
-        F.col(n_tokens_col).cast("bigint")
-        if n_tokens_col is not None
-        else F.size(_tokens(F.col(text_col))).cast("bigint")
-    )
-    noise = _dsir_gumbel_micro(id_col, seed) if sample else F.lit(0).cast("bigint")
-    scored = (
-        corpus.filter(F.col(text_col).isNotNull())
-        .select(
-            id_col,
-            _dsir_buckets(F.col(text_col), n_buckets).alias("bk"),
-            ntok.alias("n_tokens"),
-        )
-        .select(
-            id_col,
-            "n_tokens",
-            (
-                F.aggregate(
-                    "bk",
-                    F.lit(0).cast("bigint"),
-                    lambda acc, b: acc + F.element_at(arr, (b + 1).cast("int")),
-                )
-                + noise
-            ).alias("key_micro"),
-        )
+    scored = _dsir_budget_scored(
+        corpus,
+        target,
+        seed=seed,
+        sample=sample,
+        id_col=id_col,
+        text_col=text_col,
+        n_tokens_col=n_tokens_col,
+        n_buckets=n_buckets,
+        alpha=alpha,
+        log_ratio=log_ratio,
+        corpus_model=corpus_model,
     )
     sel = token_budget_selection(
         scored.select(
@@ -2034,6 +2070,84 @@ def dsir_select_budget(
     )
     return sel.select(
         id_col,
+        F.col("score").cast("bigint").alias("key_micro"),
+        "n_tokens",
+        "sel_rank",
+        "cum_tokens",
+    )
+
+
+def dsir_select_budget_stratified(
+    corpus: DataFrame,
+    target: DataFrame = None,
+    budgets: dict = None,
+    *,
+    seed: int = 0,
+    sample: bool = True,
+    source_col: str = "source",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n_tokens_col: str = None,
+    n_buckets: int = _DSIR_BUCKETS,
+    alpha: float = 1.0,
+    log_ratio=None,
+    corpus_model: DataFrame = None,
+    n_select_buckets: int = 256,
+) -> DataFrame:
+    """Per-source budget DSIR (r14): the mixture-aware corner of the
+    selection matrix — {global, per-source} x {quality, DSIR}. Each
+    source spends ITS OWN token budget along the shared DSIR importance
+    ranking ("code gets 40B tokens, prose 10B, both filled with the
+    documents that look most like the target"), composing the two
+    already-gated primitives: :func:`_dsir_budget_scored`'s shuffle-free
+    Gumbel-perturbed key and :func:`stratified_budget_selection`'s
+    level-batched per-source prefix sums. One model, one scoring pass,
+    per-source cuts — never a per-source window task.
+
+    ``budgets`` maps source -> token budget (every corpus source must be
+    named — the stratified coverage rule). Output
+    (id_col, source_col, key_micro, n_tokens, sel_rank, cum_tokens),
+    ranks and running mass PER SOURCE. The multi-target table composes
+    here unchanged via ``log_ratio=``
+    (:func:`dsir_multi_target_log_ratio_table`). Same documented 2^53
+    micro-nat exactness bound as :func:`dsir_select_budget`."""
+    if budgets is None:
+        raise ValueError(
+            "budgets is required: source -> token budget for every "
+            "corpus source"
+        )
+    scored = _dsir_budget_scored(
+        corpus,
+        target,
+        seed=seed,
+        sample=sample,
+        id_col=id_col,
+        text_col=text_col,
+        n_tokens_col=n_tokens_col,
+        n_buckets=n_buckets,
+        alpha=alpha,
+        log_ratio=log_ratio,
+        corpus_model=corpus_model,
+        extra_cols=(source_col,),
+    )
+    sel = stratified_budget_selection(
+        scored.select(
+            id_col,
+            source_col,
+            # exact for |key_micro| < 2^53 (dsir_select_budget's
+            # documented EXACTNESS BOUND applies verbatim)
+            F.col("key_micro").cast("double").alias("score"),
+            "n_tokens",
+        ),
+        budgets,
+        "score",
+        source_col=source_col,
+        id_col=id_col,
+        n_buckets=n_select_buckets,
+    )
+    return sel.select(
+        id_col,
+        source_col,
         F.col("score").cast("bigint").alias("key_micro"),
         "n_tokens",
         "sel_rank",

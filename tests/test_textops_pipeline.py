@@ -2261,6 +2261,128 @@ def test_dsir_select_budget_semantics(spark):
     assert sorted(map(tuple, via_col)) == sorted(map(tuple, half))
 
 
+def test_dsir_select_budget_stratified_matches_oracle(spark, sf_dir):
+    """r14: the mixture-aware corner of the selection matrix — per-source
+    budgets along the shared DSIR ranking — held to the naive PER-SOURCE
+    global window in DuckDB: same Gumbel keys, per-source ranks and
+    running masses, each source cut at its own budget."""
+    from big_data_processing_with_aws_glue_workshop_spark.queries._tables import load
+    from big_data_processing_with_aws_glue_workshop_spark.queries.textops import (
+        dsir_select_budget_stratified,
+    )
+    from tests.oracle_harness import compare
+
+    docs = load(spark, sf_dir, "documents")
+    budgets = {
+        r["source"]: int(r["t"]) // 2
+        for r in docs.selectExpr(
+            "source",
+            "size(split(trim(lower(text)), '[ \\t\\n\\f\\r]+')) AS n",
+        )
+        .groupBy("source")
+        .agg(F.sum("n").alias("t"))
+        .collect()
+    }
+    out = dsir_select_budget_stratified(
+        docs, _dsir_target(docs), budgets, seed=7, n_buckets=1024
+    )
+    values = ", ".join(f"('{s}', {b})" for s, b in sorted(budgets.items()))
+    oracle = (
+        "WITH "
+        + _DSIR_GRAMS_ORACLE.format(B=1024)
+        + """
+, keyed AS (
+  SELECT wts.doc_id, d.source,
+         logw_micro + CAST(FLOOR(
+           (-ln(-ln((('0x' || substr(md5('dsir:7:' || CAST(wts.doc_id AS VARCHAR)), 1, 13))::BIGINT + 1.0)
+                    / 4503599627370498.0))) * 1000000.0
+         ) AS BIGINT) AS key_micro,
+         nt.n_tokens
+  FROM wts
+  JOIN (SELECT doc_id, CAST(len(w) AS BIGINT) AS n_tokens FROM cw) nt
+    ON nt.doc_id = wts.doc_id
+  JOIN documents d ON d.doc_id = wts.doc_id
+),
+b(source, budget) AS (VALUES {values}),
+cut AS (
+  SELECT doc_id, source, key_micro, n_tokens,
+         ROW_NUMBER() OVER (
+           PARTITION BY source
+           ORDER BY key_micro DESC, md5('tbs:' || CAST(doc_id AS VARCHAR)) ASC
+         ) AS sel_rank,
+         SUM(n_tokens) OVER (
+           PARTITION BY source
+           ORDER BY key_micro DESC, md5('tbs:' || CAST(doc_id AS VARCHAR)) ASC
+           ROWS UNBOUNDED PRECEDING
+         ) AS cum_tokens
+  FROM keyed
+)
+SELECT doc_id, source, key_micro, n_tokens,
+       CAST(sel_rank AS BIGINT) AS sel_rank,
+       CAST(cum_tokens AS BIGINT) AS cum_tokens
+FROM cut JOIN b USING (source) WHERE cum_tokens <= budget
+""".format(values=values)
+    )
+    compare(out, oracle, sf_dir)
+
+
+def test_dsir_select_budget_stratified_semantics(spark):
+    """Per-source masses land within their own budgets; a single-source
+    corpus degenerates to dsir_select_budget exactly (same keys, ranks,
+    masses); the multi-target table composes unchanged via log_ratio=;
+    budgets are required."""
+    from big_data_processing_with_aws_glue_workshop_spark.queries.textops import (
+        dsir_multi_target_log_ratio_table,
+        dsir_select_budget,
+        dsir_select_budget_stratified,
+    )
+
+    corpus, target = _dsir_two_population(spark)
+    two_src = corpus.withColumn(
+        "source", F.when(F.col("doc_id") < 300, "a").otherwise("b")
+    )
+    budgets = {"a": 3_000, "b": 1_500}
+    sel = dsir_select_budget_stratified(
+        two_src, target, budgets, seed=3, n_buckets=512
+    ).collect()
+    mass = {}
+    ranks = {}
+    for r in sel:
+        mass[r["source"]] = max(mass.get(r["source"], 0), r["cum_tokens"])
+        ranks.setdefault(r["source"], []).append(r["sel_rank"])
+    assert mass["a"] <= 3_000 and mass["b"] <= 1_500
+    for src, rk in ranks.items():
+        assert sorted(rk) == list(range(1, len(rk) + 1)), src
+    # 30-token docs: the budgets fill exactly
+    assert mass["a"] == 3_000 and mass["b"] == 1_500
+
+    # single-source degenerate == the global budget selector
+    one = corpus.withColumn("source", F.lit("all"))
+    strat = dsir_select_budget_stratified(
+        one, target, {"all": 3_000}, seed=3, n_buckets=512
+    ).collect()
+    glob = dsir_select_budget(corpus, target, 3_000, seed=3, n_buckets=512).collect()
+    assert sorted(
+        (r["doc_id"], r["key_micro"], r["n_tokens"], r["sel_rank"], r["cum_tokens"])
+        for r in strat
+    ) == sorted(
+        (r["doc_id"], r["key_micro"], r["n_tokens"], r["sel_rank"], r["cum_tokens"])
+        for r in glob
+    )
+
+    # the multi-target model rides in unchanged
+    lam = dsir_multi_target_log_ratio_table(
+        corpus, {"t": target}, {"t": 1.0}, n_buckets=512
+    )
+    via_lam = dsir_select_budget_stratified(
+        two_src, budgets=budgets, seed=3, n_buckets=512, log_ratio=lam
+    ).collect()
+    assert sorted(map(tuple, via_lam)) == sorted(map(tuple, sel))
+
+    with pytest.raises(ValueError, match="budgets is required"):
+        dsir_select_budget_stratified(two_src, target)
+
+
 def test_dsir_budget_key_exactness_bound(spark):
     """Pins the docstring's EXACTNESS BOUND (r13 review): dsir_select_budget
     routes the bigint key_micro through token_budget_selection's double
