@@ -490,6 +490,57 @@ def probe_dsir(sizes: list[int]) -> None:
         docs.unpersist()
 
 
+def probe_dsir_multi(sizes: list[int]) -> None:
+    """dsir_multi_target_log_ratio_table (r14) fit-cost curve: the
+    combined model fits ONE corpus histogram + one histogram PER TARGET,
+    and the combination is driver-side bigint arithmetic over
+    <= n_buckets rows. Claims under test:
+      1. fit wall grows ~linearly with the target count (each target is
+         one bounded aggregate) at fixed corpus size;
+      2. the SCORING cost is target-count-INVARIANT: whatever the target
+         count, the combined table is one folded literal array and the
+         weights plan stays shuffle-free."""
+    from big_data_processing_with_aws_glue_workshop_spark.queries.textops import (
+        dsir_importance_weights,
+        dsir_multi_target_log_ratio_table,
+    )
+
+    spark = get_session(app_name="curation-probe-dsir-multi")
+    n = sizes[-1] if sizes else 200_000
+    docs = _dup_heavy_corpus(spark, n).cache()
+    docs.count()
+    for n_targets in (1, 2, 4):
+        targets = {
+            f"t{j}": docs.filter((F.col("doc_id") % (100 * n_targets)) == j)
+            for j in range(n_targets)
+        }
+        weights = {k: 1.0 for k in targets}
+        t0 = time.time()
+        lam = dsir_multi_target_log_ratio_table(docs, targets, weights)
+        fit_wall = time.time() - t0
+        t0 = time.time()
+        w = dsir_importance_weights(docs, log_ratio=lam)
+        w.agg(F.count(F.lit(1))).first()
+        score_wall = time.time() - t0
+        plan = w._jdf.queryExecution().executedPlan().toString()
+        print(
+            json.dumps(
+                {
+                    "op": "dsir_multi_target_fit",
+                    "docs": n,
+                    "targets": n_targets,
+                    "fit_wall_s": round(fit_wall, 2),
+                    "score_wall_s": round(score_wall, 2),
+                    "table_len": len(lam),
+                    "scoring_shuffle_free": "Exchange" not in plan,
+                }
+            ),
+            flush=True,
+        )
+        assert "Exchange" not in plan
+    docs.unpersist()
+
+
 def probe_divergence(sizes: list[int]) -> None:
     """source_divergence_audit over the dup-heavy corpus tagged into 16
     sources, 1%-slice target. Claims under test
@@ -557,8 +608,10 @@ if __name__ == "__main__":
         probe_divergence(sizes)
     elif mode == "--stratified":
         probe_stratified(sizes)
+    elif mode == "--dsir-multi":
+        probe_dsir_multi(sizes)
     else:
         raise SystemExit(
             f"unknown mode {mode!r} (use --mixture, --split, --budget, "
-            "--leakage, --dsir, --divergence or --stratified)"
+            "--leakage, --dsir, --dsir-multi, --divergence or --stratified)"
         )
