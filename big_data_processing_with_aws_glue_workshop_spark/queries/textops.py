@@ -1215,18 +1215,22 @@ def token_budget_selection(
             .collect()
         }
         # Driver prefix pass in selection (ascending-bucket) order: a
-        # bucket is FULL when even its last doc fits, EXCLUDED when even
-        # its first doesn't; only the straddler needs the budget cut.
-        # An oversized survivor (FULL or PARTIAL) goes back on the
-        # worklist; the rest emit HERE in one batched per-bucket-window
-        # frame — the exact plan a smooth score distribution gets at
-        # level 0 (one aggregate, one windowed emit).
+        # bucket is FULL when even its last doc fits, EXCLUDED only once
+        # the offset PASSES the budget (at tok_off == budget a
+        # zero-token doc at the bucket front still satisfies the
+        # inclusive rule cum <= budget — the r14 randomized-reference
+        # test caught the strict `<` dropping it; the window filter
+        # keeps the classification exact either way). An oversized
+        # survivor (FULL or PARTIAL) goes back on the worklist; the
+        # rest emit HERE in one batched per-bucket-window frame — the
+        # exact plan a smooth score distribution gets at level 0 (one
+        # aggregate, one windowed emit).
         emit_rows = []
         for b in sorted(bstats):
             toks, cnt, b_lo, b_hi = bstats[b]
             if not needs_cut or tok_off + toks <= budget_tokens:
                 cls = "FULL"
-            elif tok_off < budget_tokens:
+            elif tok_off <= budget_tokens:
                 cls = "PARTIAL"
             else:
                 cls = None  # EXCLUDED: never joins, never shuffles
@@ -1504,7 +1508,10 @@ def stratified_budget_selection(
                 toks, cnt, b_lo, b_hi = bstats[b]
                 if not st["needs_cut"] or tok_off + toks <= st["budget"]:
                     cls = "FULL"
-                elif tok_off < st["budget"]:
+                elif tok_off <= st["budget"]:
+                    # `<=`, not `<`: at tok_off == budget a zero-token
+                    # doc at the bucket front still satisfies the
+                    # inclusive rule (see token_budget_selection)
                     cls = "PARTIAL"
                 else:
                     cls = None  # EXCLUDED: never joins, never shuffles

@@ -1280,6 +1280,103 @@ def test_stratified_budget_selection_worklist_bound(spark):
     assert diag["regions"] == 6
 
 
+def _ref_budget_fold(rows, budgets):
+    """Pure-Python reference for the budget selectors: per source,
+    (score DESC, md5 tiebreak ASC) order, INCLUSIVE prefix mass <=
+    budget; NULL scores and NULL/negative masses unrankable. Returns
+    (id, source, score, n_tokens, sel_rank, cum_tokens) tuples."""
+    import hashlib
+
+    out = []
+    by_src = {}
+    for r in rows:
+        if r[2] is None or r[3] is None or r[3] < 0:
+            continue
+        by_src.setdefault(r[1], []).append(r)
+    for src, rs in by_src.items():
+        rs.sort(
+            key=lambda r: (
+                -r[2],
+                hashlib.md5(f"tbs:{r[0]}".encode()).hexdigest(),
+            )
+        )
+        cum, rank = 0, 0
+        for r in rs:
+            rank += 1
+            cum += r[3]
+            if cum <= budgets[src]:
+                out.append((r[0], src, r[2], r[3], rank, cum))
+            # NOTE: rank/cum keep advancing — the selectors' sel_rank is
+            # the rank among RANKABLE docs in selection order, and the
+            # selection is exactly the <=-budget prefix of that order,
+            # so unselected docs never reappear later
+    return out
+
+
+def test_budget_selectors_randomized_reference(spark):
+    """Randomized adversarial shapes (heavy score ties, zero-token docs,
+    zero budgets, unrankable rows, random bucket widths and recursion
+    thresholds) held to a pure-Python fold of the documented semantics —
+    for BOTH the global and the stratified selector. This class of test
+    caught a real boundary bug while being written: at tok_off == budget
+    the classifier's strict `<` EXCLUDED a bucket whose front zero-token
+    doc the inclusive rule admits (cum == budget) — the naive-window
+    oracle kept it, the distributed plan dropped it. Seeded, so every
+    run replays the same 12 scenarios."""
+    import random
+
+    from big_data_processing_with_aws_glue_workshop_spark.queries.textops import (
+        stratified_budget_selection,
+        token_budget_selection,
+    )
+
+    rng = random.Random(14)
+    for case in range(12):
+        n = rng.randrange(20, 120)
+        n_src = rng.choice([1, 2, 3])
+        grades = rng.choice([2, 3, 5, 40])
+        rows = []
+        for i in range(n):
+            score = float(rng.randrange(grades))
+            mass = rng.choice([0, 0, rng.randrange(0, 25), rng.randrange(0, 25)])
+            rows.append((i, f"s{rng.randrange(n_src)}", score, mass))
+        # a few unrankable rows: NULL score / NULL mass / negative mass
+        rows.append((900, "s0", None, 5))
+        rows.append((901, "s0", 1.0, None))
+        rows.append((902, "s0", 1.0, -3))
+        srcs = {r[1] for r in rows}
+        total = {s: sum(r[3] for r in rows if r[1] == s and r[3] and r[3] > 0) for s in srcs}
+        budgets = {s: rng.randrange(0, total[s] + 2) for s in srcs}
+        docs = spark.createDataFrame(
+            rows, "doc_id long, source string, score double, n_tokens long"
+        )
+        nb = rng.choice([1, 4, 256])
+        rmin = rng.choice([0, 3, 10**9])
+        expected = sorted(_ref_budget_fold(rows, budgets))
+        got = sorted(
+            tuple(r)
+            for r in stratified_budget_selection(
+                docs, budgets, "score", n_buckets=nb, recurse_min=rmin
+            ).collect()
+        )
+        assert got == expected, f"stratified diverged in case {case} (nb={nb}, rmin={rmin})"
+        # the GLOBAL selector must agree on each single-source slice
+        src = rng.choice(sorted(srcs))
+        g = sorted(
+            (r["doc_id"], src, r["score"], r["n_tokens"], r["sel_rank"], r["cum_tokens"])
+            for r in token_budget_selection(
+                docs.filter(F.col("source") == src),
+                budgets[src],
+                "score",
+                n_buckets=nb,
+                recurse_min=rmin,
+            ).collect()
+        )
+        assert g == sorted(t for t in expected if t[1] == src), (
+            f"global selector diverged in case {case} on source {src}"
+        )
+
+
 # ---------------------------------------------------------------------------
 # split_leakage_audit (r13): post-hoc near-dup leakage check on a split
 
