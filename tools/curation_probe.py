@@ -326,7 +326,8 @@ def probe_stratified(sizes: list[int]) -> None:
     )
 
     spark = get_session(app_name="curation-probe-stratified")
-    n_sources, recurse_min = 8, 5_000
+    recurse_min = 5_000
+    n_sources = int(os.environ.get("STRATIFIED_PROBE_SOURCES", "8"))
     for n in sizes:
         docs = spark.range(n).select(
             F.col("id").alias("doc_id"),
