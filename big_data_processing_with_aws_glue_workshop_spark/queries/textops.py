@@ -1322,8 +1322,20 @@ def stratified_budget_selection(
     score ranges or the md5 tiebreak prefix. Job count scales with
     ``max_levels`` (<= 4 tiny aggregates), NEVER with the source count;
     driver state is bounded by |active regions| * n_buckets rows per
-    level. All cumulative arithmetic is exact bigint; bucketing only
+    level (measured: 256 sources / 512 oversized tied groups at 4M docs
+    still = 2 aggregates, max window partition 10 rows — SCALE.md r14).
+    All cumulative arithmetic is exact bigint; bucketing only
     partitions the work.
+
+    DRIVER-STATE BOUND (stated, not hidden): the per-level collect is
+    <= |live regions| * n_buckets rows — at the default n_buckets=256
+    that is ~26M driver rows only past ~100k SOURCES, far beyond the
+    dozens-to-hundreds a mixture plan names. If a corpus ever carries
+    that many strata, the fix shape is a wrapper loop batching the
+    budget dict into ~4k-source groups (the level machinery already
+    accepts any region subset; per-source cuts are independent, so
+    batching cannot change a single output byte) or a smaller
+    ``n_buckets`` — both parameter-level, no algorithm change.
     """
     from functools import reduce as _reduce
 
