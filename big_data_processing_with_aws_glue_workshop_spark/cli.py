@@ -163,11 +163,24 @@ def cmd_analytics(args: argparse.Namespace) -> None:
 def cmd_textpipe(args: argparse.Namespace) -> None:
     from .plans.textpipe import run_text_pipeline
 
+    # flag validation BEFORE any Spark work (r14 review findings: the
+    # conflicting pair used to execute four stages before raising, and
+    # a lone --dsir-target was silently ignored)
+    if args.dsir_budget is not None and args.quality_mixture:
+        raise SystemExit(
+            "--dsir-budget and --quality-mixture are mutually exclusive — "
+            "stage 5 takes ONE selection decision"
+        )
+    if args.dsir_budget is not None and not args.dsir_target:
+        raise SystemExit("--dsir-budget requires --dsir-target <parquet>")
+    if args.dsir_target and args.dsir_budget is None:
+        raise SystemExit(
+            "--dsir-target does nothing without --dsir-budget <tokens> — "
+            "name the budget or drop the target"
+        )
     spark = get_session(app_name="textpipe")
     dsir_target = None
     if args.dsir_budget is not None:
-        if not args.dsir_target:
-            raise SystemExit("--dsir-budget requires --dsir-target <parquet>")
         dsir_target = spark.read.parquet(args.dsir_target)
     summary = run_text_pipeline(
         spark,
@@ -819,6 +832,18 @@ def cmd_token_budget_select(args: argparse.Namespace) -> None:
     )
 
 
+def _parse_budgets(arg: str) -> dict:
+    """Shared 'source=tokens,source=tokens' parser for the budgeted
+    selection jobs (r14 review: it was copy-pasted in two commands)."""
+    budgets = {}
+    for part in arg.split(","):
+        if "=" not in part:
+            raise SystemExit(f"--budgets entry {part!r} is not source=tokens")
+        k, v = part.rsplit("=", 1)
+        budgets[k] = int(v)
+    return budgets
+
+
 def cmd_stratified_budget_select(args: argparse.Namespace) -> None:
     """Per-source constrained budget selection job (queries/textops.py::
     stratified_budget_selection): every source's quality-ranked prefix is
@@ -831,14 +856,7 @@ def cmd_stratified_budget_select(args: argparse.Namespace) -> None:
 
     spark = get_session(app_name="stratified-budget-select")
     docs = spark.read.parquet(args.input)
-    budgets = {}
-    for part in args.budgets.split(","):
-        if "=" not in part:
-            raise SystemExit(
-                f"--budgets entry {part!r} is not source=tokens"
-            )
-        k, v = part.rsplit("=", 1)
-        budgets[k] = int(v)
+    budgets = _parse_budgets(args.budgets)
     if args.score_col:
         scored = docs.select(
             args.id_col,
@@ -893,12 +911,7 @@ def cmd_budget_admission(args: argparse.Namespace) -> None:
     from .streaming.selection import admission_report, run_stream_budget_admission
 
     spark = get_session(app_name="budget-admission")
-    budgets = {}
-    for part in args.budgets.split(","):
-        if "=" not in part:
-            raise SystemExit(f"--budgets entry {part!r} is not source=tokens")
-        k, v = part.rsplit("=", 1)
-        budgets[k] = int(v)
+    budgets = _parse_budgets(args.budgets)
     # readStream needs an explicit schema: take it from the landed files
     schema = spark.read.parquet(args.input).schema
     stream = spark.readStream.schema(schema).parquet(args.input)

@@ -104,6 +104,21 @@ def run_text_pipeline(
     from ..extensions.dedup_fuzzy import connected_components, minhash_near_duplicates
     from ..functions.text import word_shingles
 
+    # pure argument validation FIRST (r14 review finding): these used to
+    # raise only when stage 5 was reached — after quality, both dedups
+    # and decontamination had fully executed (hours at the 100 TB
+    # target, all wasted on a flag typo)
+    if dsir_budget_tokens is not None and mixture_by_quality:
+        raise ValueError(
+            "dsir_budget_tokens and mixture_by_quality are mutually "
+            "exclusive — the pipeline takes ONE final selection decision"
+        )
+    if dsir_budget_tokens is not None and dsir_target is None:
+        raise ValueError(
+            "dsir_budget_tokens requires dsir_target (the corpus whose "
+            "distribution the selection should match)"
+        )
+
     # Each stage output is persisted and materialized by its own count()
     # action, so downstream stages (and their counts) read the cached stage
     # instead of re-executing the whole upstream lineage from the scan —
@@ -233,17 +248,7 @@ def run_text_pipeline(
     with_tok = _with_tokens(clean)
     dsir_stats = None
     quality_stats = None
-    if dsir_budget_tokens is not None and mixture_by_quality:
-        raise ValueError(
-            "dsir_budget_tokens and mixture_by_quality are mutually "
-            "exclusive — the pipeline takes ONE final selection decision"
-        )
     if dsir_budget_tokens is not None:
-        if dsir_target is None:
-            raise ValueError(
-                "dsir_budget_tokens requires dsir_target (the corpus whose "
-                "distribution the selection should match)"
-            )
         from ..queries.textops import dsir_select_budget
 
         sel = tracked_cache(

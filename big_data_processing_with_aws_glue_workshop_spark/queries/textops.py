@@ -1336,6 +1336,16 @@ def stratified_budget_selection(
     accepts any region subset; per-source cuts are independent, so
     batching cannot change a single output byte) or a smaller
     ``n_buckets`` — both parameter-level, no algorithm change.
+
+    DELIBERATELY a sibling of :func:`token_budget_selection`, not its
+    replacement: the global op keeps a leaner plan (no per-region params
+    join) and a different ``_diag`` contract, so the shared classifier
+    logic lives twice by decision. The divergence risk is guarded
+    MECHANICALLY, not by discipline:
+    ``test_budget_selectors_randomized_reference`` compares the two
+    selectors on single-source slices of every randomized scenario, so
+    a boundary fix applied to one and not the other fails the suite
+    (that very test caught the ``<`` -> ``<=`` boundary bug in both).
     """
     from functools import reduce as _reduce
 
@@ -1351,13 +1361,23 @@ def stratified_budget_selection(
             raise ValueError(f"budget for source {s!r} must be >= 0, got {b}")
         bmap[str(s)] = int(b)
     tiebreak = F.md5(F.concat(F.lit("tbs:"), F.col(id_col).cast("string")))
-    per = docs.select(
-        F.col(source_col).cast("string").alias("__src"),
+    # NULL sources coalesce to the explicit '(null)' group (same sentinel
+    # and rationale as ngram_bucket_histogram: surfaced and nameable in
+    # the budgets dict beats a None key that can never be named and that
+    # broke the coverage error's sort — r14 review finding); a real
+    # source literally named '(null)' would merge with it, documented
+    # rather than validated (this op is otherwise lazy until its own
+    # aggregates).
+    per_raw = docs.select(
+        F.coalesce(F.col(source_col).cast("string"), F.lit("(null)")).alias(
+            "__src"
+        ),
         id_col,
         F.col(score_col).cast("double").alias("score"),
         F.col(n_tokens_col).cast("bigint").alias("n_tokens"),
         tiebreak.alias("tiebreak"),
-    ).filter(
+    )
+    per = per_raw.filter(
         F.col("score").isNotNull()
         & F.col("n_tokens").isNotNull()
         & (F.col("n_tokens") >= 0)
@@ -1415,11 +1435,18 @@ def stratified_budget_selection(
             return "tie", tb_pos + 3
         return "serial", tb_pos
 
-    # level-0 bootstrap: one aggregate gives each source's bounds; the
-    # source list it returns also validates budget coverage
+    # level-0 bootstrap: one aggregate over the RAW projection gives each
+    # source's bounds AND the coverage-check source list. Raw, not the
+    # rankable-filtered frame (r14 review finding): a source whose rows
+    # are ALL unrankable must still hit the coverage raise — it would
+    # otherwise silently select nothing, the exact typo-hiding the check
+    # exists to prevent. min/max skip NULL scores, and bounds from the
+    # superset (rows later dropped for invalid mass) can only WIDEN the
+    # range — the bucket map caps both ends, so wider bounds only
+    # repartition work, never move a document across the cut.
     lvl0 = {
         r["__src"]: (r["lo"], r["hi"])
-        for r in per.groupBy("__src")
+        for r in per_raw.groupBy("__src")
         .agg(F.min("score").alias("lo"), F.max("score").alias("hi"))
         .collect()
     }
@@ -1427,7 +1454,8 @@ def stratified_budget_selection(
     if missing:
         raise ValueError(
             f"corpus sources missing from budgets: {missing} — name every "
-            "source explicitly (a silent zero-budget would hide typos)"
+            "source explicitly (a silent zero-budget would hide typos; "
+            "NULL sources surface as '(null)')"
         )
     # region table: rid -> driver state; rows bind to regions via a
     # broadcast-joined params frame (the join also attaches the columns
@@ -1435,6 +1463,10 @@ def stratified_budget_selection(
     regions = {}
     params_rows = []
     for i, (src, (lo, hi)) in enumerate(sorted(lvl0.items())):
+        if lo is None:
+            # covered by the budgets check above, but every row of this
+            # source is unrankable: nothing to select, no region
+            continue
         mode, child_tb = _mode(lo, hi, 1, 0)
         regions[i] = {
             "src": src,
@@ -1457,7 +1489,9 @@ def stratified_budget_selection(
         ),
         "__src",
     )
-    next_rid = len(regions)
+    # max+1, not len(): a skipped all-unrankable source leaves a gap in
+    # the enumerate-assigned rids
+    next_rid = (max(regions) + 1) if regions else 0
     out_frames = []
     core = ["__src", id_col, "score", "n_tokens", "tiebreak"]
 

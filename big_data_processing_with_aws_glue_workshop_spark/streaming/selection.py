@@ -118,6 +118,11 @@ class BudgetAdmissionSink:
             [(s, spent.get(s, 0)) for s in self.budgets],
             f"{self.source_col} string, __spent long",
         )
+        # persisted: the selection plan (scan -> prefix sums -> windows)
+        # is consumed TWICE below — the spent-counter aggregate and the
+        # snapshot write — and without the pin each action re-runs it
+        # from the wave scan (r14 review finding: ~2x per-wave work;
+        # correctness survived only because the cut is deterministic)
         inc = (
             admitted.join(F.broadcast(off), self.source_col)
             .select(
@@ -128,27 +133,34 @@ class BudgetAdmissionSink:
                 (F.col("cum_tokens") + F.col("__spent")).alias("cum_tokens"),
                 F.lit(batch_id).cast("long").alias("admitted_batch"),
             )
+            .persist()
         )
-        # bounded: the admitted table never outgrows the budgets
-        if pointer is not None:
-            merged = read_current(spark, self.target_dir).unionByName(inc)
-        else:
-            merged = inc
-        # the spent counters and the admitted table flip together: one
-        # snapshot commit, so a crash can never leave them disagreeing
-        new_mass = {
-            r[self.source_col]: int(r["m"])
-            for r in inc.groupBy(self.source_col)
-            .agg(F.sum("n_tokens").alias("m"))
-            .collect()
-        }
-        new_spent = {
-            s: spent.get(s, 0) + new_mass.get(s, 0) for s in self.budgets
-        }
-        extra: dict = {"calibration": self.calibration, "spent": new_spent}
-        if self.checkpoint_dir is not None:
-            extra["stream_checkpoint"] = os.path.abspath(self.checkpoint_dir)
-        commit_snapshot(merged, self.target_dir, batch_id, extra)
+        try:
+            # the spent counters and the admitted table flip together:
+            # one snapshot commit, so a crash can never leave them
+            # disagreeing
+            new_mass = {
+                r[self.source_col]: int(r["m"])
+                for r in inc.groupBy(self.source_col)
+                .agg(F.sum("n_tokens").alias("m"))
+                .collect()
+            }
+            new_spent = {
+                s: spent.get(s, 0) + new_mass.get(s, 0) for s in self.budgets
+            }
+            # bounded: the admitted table never outgrows the budgets
+            if pointer is not None:
+                merged = read_current(spark, self.target_dir).unionByName(inc)
+            else:
+                merged = inc
+            extra: dict = {"calibration": self.calibration, "spent": new_spent}
+            if self.checkpoint_dir is not None:
+                extra["stream_checkpoint"] = os.path.abspath(
+                    self.checkpoint_dir
+                )
+            commit_snapshot(merged, self.target_dir, batch_id, extra)
+        finally:
+            inc.unpersist()
 
 
 def run_stream_budget_admission(

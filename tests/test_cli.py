@@ -401,6 +401,16 @@ def test_cli_textpipe_dsir_flags(spark, tmp_path, capsys):
     out = _json.loads(capsys.readouterr().out.strip().splitlines()[-1])
     assert out["selection_mode"] == "dsir_budget"
     assert 0 < out["dsir_selected_tokens"] <= 960
+    # r14 review findings: flag combinations refused BEFORE any Spark
+    # work — a lone --dsir-target used to be silently ignored, and the
+    # conflicting selection pair used to run four stages before raising
+    with pytest.raises(SystemExit, match="without --dsir-budget"):
+        main(["textpipe", "--sf-dir", sf, "--dsir-target", tgt])
+    with pytest.raises(SystemExit, match="mutually exclusive"):
+        main([
+            "textpipe", "--sf-dir", sf, "--quality-mixture",
+            "--dsir-budget", "960", "--dsir-target", tgt,
+        ])
 
 
 def test_textpipe_end_to_end(spark, sf_dir, tmp_path):

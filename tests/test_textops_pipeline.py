@@ -1234,6 +1234,39 @@ def test_stratified_budget_selection_semantics(spark):
     assert empty.columns == [
         "doc_id", "source", "score", "n_tokens", "sel_rank", "cum_tokens"
     ]
+    # r14 review findings, pinned:
+    # (a) NULL sources surface as the nameable '(null)' group — both the
+    # coverage raise and an explicit budget for it work (no None key
+    # that can never be named, no TypeError sorting mixed missing sets)
+    withnull = docs.unionByName(
+        spark.createDataFrame(
+            [(500, None, 9.0, 10), (501, None, 8.0, 10)],
+            "doc_id long, source string, score double, n_tokens long",
+        )
+    )
+    with pytest.raises(ValueError, match=r"\(null\)"):
+        stratified_budget_selection(withnull, {"a": 100, "b": 100}, "score")
+    got_null = stratified_budget_selection(
+        withnull, {"a": 100, "b": 100, "(null)": 10}, "score"
+    ).collect()
+    nulls = [r for r in got_null if r["source"] == "(null)"]
+    assert len(nulls) == 1 and nulls[0]["doc_id"] == 500  # best one fits
+    # (b) a source whose rows are ALL unrankable still hits the coverage
+    # raise — it must not silently select nothing
+    ghost = docs.unionByName(
+        spark.createDataFrame(
+            [(600, "ghost", None, 10), (601, "ghost", 1.0, None)],
+            "doc_id long, source string, score double, n_tokens long",
+        )
+    )
+    with pytest.raises(ValueError, match="ghost"):
+        stratified_budget_selection(ghost, {"a": 100, "b": 100}, "score")
+    # ...and once named, it contributes nothing but breaks nothing
+    got_ghost = stratified_budget_selection(
+        ghost, {"a": 100, "b": 100, "ghost": 50}, "score"
+    ).collect()
+    assert not [r for r in got_ghost if r["source"] == "ghost"]
+    assert len([r for r in got_ghost if r["source"] == "a"]) == 10
 
 
 def test_stratified_budget_selection_worklist_bound(spark):
