@@ -16,15 +16,16 @@ entries in iteration order. The registry is therefore laid out explicitly:
   as ``set(_SCORED) - set(_ALL_ORACLES)`` and raise-checked below against
   the documented allowlist ``_SCORED_NO_ORACLE`` (the r8 verdict's "What's
   wrong #1": two consecutive rounds had this paragraph drift from the
-  tuples, so the tuples are now the source of truth). This round (r14)
-  the derived set is the ANN pair
-  (``ann_lsh_topk``/``ivf_ann_topk``) — approximate-nearest-neighbor
-  results whose candidate sets depend on LSH hyperplane draws / IVF
-  cell assignments that SQL cannot reproduce; their exact-twin gate
-  (``cosine_topk``, oracle-backed, in this same window) and the pytest
-  recall gates pin ANN-vs-exact agreement. The HLL/Bernoulli pair
-  rotated back to the tail with the rest of the r13 window, where the
-  pytest gate keeps its rows-only check.
+  tuples, so the tuples are now the source of truth). This round (r15)
+  the derived set is the HLL/Bernoulli pair
+  (``approx_distinct_profile``/``bernoulli_sample``) — engine-RNG /
+  engine-sketch results whose exact values SQL cannot reproduce
+  (HLL++ register layout; Spark's sample() Bernoulli stream); the
+  deterministic oracle-backed twins (``table_stats_profile`` exact
+  distincts, ``sampled_quantile_profile``) sit in this same window, and
+  the pytest gate pins tolerance/determinism properties. The ANN pair
+  rotated back to the tail with the rest of the r14 window, where the
+  pytest gate keeps its rows-only + recall checks.
 - ``_TAIL`` (unscored, still registered): every tail query is gated by
   tests/test_queries_oracle.py on every pytest run — oracle-backed ones
   hash-checked, the rest rows-only.
@@ -57,23 +58,28 @@ operator family (cube, ntile, as-of join, JSON extraction, connected
 components) and the composed flagships (training_pipeline_summary, the
 clustered embedding scale path) stay in.
 
-Round-14 rotation (applied this round — pure arithmetic, exactly as
-the r13 feasibility check wrote it):
-- promoted (50): the 50 r13 demotions — the entire r12 window, every
-  one driver-green or rows-only-by-design in CORRECTNESS_r12, due back
+Round-15 rotation (applied this round — pure arithmetic, exactly as
+the r14 feasibility check wrote it):
+- promoted (50): the 50 r14 demotions — the entire r13 window, every
+  one driver-green or rows-only-by-design in CORRECTNESS_r13, due back
   this round per the two-round promise. Pre-verified with
   ``tools/driver_hash_check.py`` at sf0.01 before this rotation was
   committed.
 - kept scored: none. added scored-from-day-one: none.
-- demoted (50, due back r15): the entire r13 window (all 48 fully green
-  + the HLL/Bernoulli rows-only pair in CORRECTNESS_r13).
-- rows-only boundary: ``_SCORED_NO_ORACLE`` moves back to the ANN pair
-  (``ann_lsh_topk``/``ivf_ann_topk``); the HLL/Bernoulli pair demotes
-  to the tail where the pytest gate keeps its rows-only check.
-- round-15 feasibility check: due-back promotions in r15 are exactly
-  the 50 r14 demotions = 50 — zero keeps, zero additions
-  scored-from-day-one. Any r15 addition must name a 1:1 retirement and
+- demoted (50, due back r16): the entire r14 window (48 fully green +
+  the ANN rows-only pair in CORRECTNESS_r14).
+- rows-only boundary: ``_SCORED_NO_ORACLE`` moves back to the
+  HLL/Bernoulli pair (``approx_distinct_profile``/``bernoulli_sample``);
+  the ANN pair demotes to the tail where the pytest gate keeps its
+  rows-only + recall checks.
+- round-16 feasibility check: due-back promotions in r16 are exactly
+  the 50 r15 demotions = 50 — zero keeps, zero additions
+  scored-from-day-one. Any r16 addition must name a 1:1 retirement and
   restate the retiree's gate story here.
+
+(r14 rotation, for the record: the 50 r13 demotions = the entire r12
+window; zero keeps; ``_SCORED_NO_ORACLE`` was the ANN pair
+(``ann_lsh_topk``/``ivf_ann_topk``) that round.)
 
 (r13 rotation, for the record: 49 r12 demotions + first driver row for
 ``passage_dedup_rewrite`` (green); zero keeps;
@@ -170,69 +176,11 @@ _ALL_QUERIES = {
 }
 
 _SCORED = (
-    # returning r13 demotions (all 50 — the whole r13 tail = the r12
+    # returning r14 demotions (all 50 — the whole r14 tail = the r13
     # window, every one driver-green or rows-only-by-design in
-    # CORRECTNESS_r12, due back this round per the two-round promise;
+    # CORRECTNESS_r13, due back this round per the two-round promise;
     # pre-verified with tools/driver_hash_check.py at sf0.01 before
     # this rotation was committed)
-    "customers_without_orders",
-    "lineitem_cube_aggregates",
-    "customer_balance_ntiles",
-    "session_windows",
-    "tfidf_top_terms",
-    "doc_winnow_fingerprint",
-    "embedding_near_dup_clustered",
-    "media_byte_histogram",
-    "pii_redaction_profile",
-    "doc_embedding_typicality",
-    "dataset_split_assignment",
-    "user_conversion_funnel",
-    "event_type_transition_matrix",
-    "token_length_histogram",
-    "bigram_association_scores",
-    "embedding_quantization_profile",
-    "pricing_summary",
-    "ml_feature_dataset",
-    "validation_profile",
-    "customer_geography_rollup",
-    "revenue_by_supplier_nation",
-    "multiformat_date_parsing",
-    "supplier_unique_key",
-    "order_aging",
-    "name_pattern_filter",
-    "segment_set_ops",
-    "shipping_priority_topk",
-    "athena_q1_active_by_society",
-    "athena_q2_avg_age_by_activity",
-    "athena_q3_renewal_rate_by_chamber",
-    "contained_doc_pairs",
-    "language_id",
-    "doc_dedup_profile",
-    "simhash_fingerprints",
-    "minhash_near_duplicates",
-    "benchmark_contamination",
-    "source_mixture_plan",
-    "doc_repetition_scores",
-    "cosine_topk",
-    "ann_lsh_topk",
-    "ivf_ann_topk",
-    "shared_substring_pairs",
-    "sole_late_supplier_blame",
-    "large_volume_customers",
-    "copurchase_pagerank",
-    "copurchase_triangle_census",
-    "copurchase_seed_affinity",
-    "bloom_decontaminated_docs",
-    "cross_corpus_contamination",
-    "training_pipeline_summary",
-)
-
-_TAIL = (
-    # r14 demotions — the entire r13 window (48 fully green + the
-    # HLL/Bernoulli rows-only pair in CORRECTNESS_r13, due back r15 —
-    # see the r15 feasibility check in the docstring). The pytest
-    # oracle gate still hash-checks every oracle-backed one on every
-    # run, and bench.py times the full registered surface.
     "asof_last_click_before_error",
     "range_join_interval_counts",
     "json_props_extract",
@@ -285,6 +233,64 @@ _TAIL = (
     "passage_dedup_rewrite",
 )
 
+_TAIL = (
+    # r15 demotions — the entire r14 window (48 fully green + the ANN
+    # rows-only pair in CORRECTNESS_r14, due back r16 — see the r16
+    # feasibility check in the docstring). The pytest oracle gate still
+    # hash-checks every oracle-backed one on every run, and bench.py
+    # times the full registered surface.
+    "customers_without_orders",
+    "lineitem_cube_aggregates",
+    "customer_balance_ntiles",
+    "session_windows",
+    "tfidf_top_terms",
+    "doc_winnow_fingerprint",
+    "embedding_near_dup_clustered",
+    "media_byte_histogram",
+    "pii_redaction_profile",
+    "doc_embedding_typicality",
+    "dataset_split_assignment",
+    "user_conversion_funnel",
+    "event_type_transition_matrix",
+    "token_length_histogram",
+    "bigram_association_scores",
+    "embedding_quantization_profile",
+    "pricing_summary",
+    "ml_feature_dataset",
+    "validation_profile",
+    "customer_geography_rollup",
+    "revenue_by_supplier_nation",
+    "multiformat_date_parsing",
+    "supplier_unique_key",
+    "order_aging",
+    "name_pattern_filter",
+    "segment_set_ops",
+    "shipping_priority_topk",
+    "athena_q1_active_by_society",
+    "athena_q2_avg_age_by_activity",
+    "athena_q3_renewal_rate_by_chamber",
+    "contained_doc_pairs",
+    "language_id",
+    "doc_dedup_profile",
+    "simhash_fingerprints",
+    "minhash_near_duplicates",
+    "benchmark_contamination",
+    "source_mixture_plan",
+    "doc_repetition_scores",
+    "cosine_topk",
+    "ann_lsh_topk",
+    "ivf_ann_topk",
+    "shared_substring_pairs",
+    "sole_late_supplier_blame",
+    "large_volume_customers",
+    "copurchase_pagerank",
+    "copurchase_triangle_census",
+    "copurchase_seed_affinity",
+    "bloom_decontaminated_docs",
+    "cross_corpus_contamination",
+    "training_pipeline_summary",
+)
+
 
 # Retirement mechanism (see docstring): retired names leave the driver
 # registry but MUST keep their implementation + pytest oracle coverage
@@ -312,7 +318,7 @@ _RETIRED = (
 # from the tuples again (r8 verdict "What's wrong #1"). Change this
 # tuple and the docstring TOGETHER when a rotation moves a no-oracle
 # query across the window boundary.
-_SCORED_NO_ORACLE = ("ann_lsh_topk", "ivf_ann_topk")
+_SCORED_NO_ORACLE = ("approx_distinct_profile", "bernoulli_sample")
 
 # Module-level invariants the correctness driver depends on. Explicit raises,
 # not assert: python -O strips asserts, which would silently disable the
