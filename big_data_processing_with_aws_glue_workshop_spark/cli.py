@@ -166,21 +166,46 @@ def cmd_textpipe(args: argparse.Namespace) -> None:
     # flag validation BEFORE any Spark work (r14 review findings: the
     # conflicting pair used to execute four stages before raising, and
     # a lone --dsir-target was silently ignored)
-    if args.dsir_budget is not None and args.quality_mixture:
+    mode_flags = {
+        "--dsir-budget": args.dsir_budget is not None,
+        "--quality-mixture": args.quality_mixture,
+        "--stratified-budgets": args.stratified_budgets is not None,
+        "--dsir-stratified-budgets": args.dsir_stratified_budgets is not None,
+    }
+    if sum(mode_flags.values()) > 1:
+        on = sorted(k for k, v in mode_flags.items() if v)
         raise SystemExit(
-            "--dsir-budget and --quality-mixture are mutually exclusive — "
-            "stage 5 takes ONE selection decision"
+            f"{' and '.join(on)} are mutually exclusive — stage 5 takes "
+            "ONE selection decision"
         )
     if args.dsir_budget is not None and not args.dsir_target:
         raise SystemExit("--dsir-budget requires --dsir-target <parquet>")
-    if args.dsir_target and args.dsir_budget is None:
+    if args.dsir_stratified_budgets is not None and not args.dsir_target:
         raise SystemExit(
-            "--dsir-target does nothing without --dsir-budget <tokens> — "
-            "name the budget or drop the target"
+            "--dsir-stratified-budgets requires --dsir-target <parquet>"
         )
+    needs_target = (
+        args.dsir_budget is not None or args.dsir_stratified_budgets is not None
+    )
+    if args.dsir_target and not needs_target:
+        raise SystemExit(
+            "--dsir-target does nothing without --dsir-budget <tokens> or "
+            "--dsir-stratified-budgets — name a budget or drop the target"
+        )
+    # parse (and refuse) budget dicts BEFORE any Spark work too
+    strat_budgets = (
+        _parse_budgets(args.stratified_budgets)
+        if args.stratified_budgets is not None
+        else None
+    )
+    dsir_strat_budgets = (
+        _parse_budgets(args.dsir_stratified_budgets)
+        if args.dsir_stratified_budgets is not None
+        else None
+    )
     spark = get_session(app_name="textpipe")
     dsir_target = None
-    if args.dsir_budget is not None:
+    if needs_target:
         dsir_target = spark.read.parquet(args.dsir_target)
     summary = run_text_pipeline(
         spark,
@@ -193,6 +218,8 @@ def cmd_textpipe(args: argparse.Namespace) -> None:
         dsir_budget_tokens=args.dsir_budget,
         dsir_seed=args.dsir_seed,
         mixture_by_quality=args.quality_mixture,
+        stratified_budgets=strat_budgets,
+        dsir_stratified_budgets=dsir_strat_budgets,
     )
     _emit({"job": "textpipe", **summary})
 
@@ -840,7 +867,15 @@ def _parse_budgets(arg: str) -> dict:
         if "=" not in part:
             raise SystemExit(f"--budgets entry {part!r} is not source=tokens")
         k, v = part.rsplit("=", 1)
-        budgets[k] = int(v)
+        try:
+            budgets[k] = int(v)
+        except ValueError:
+            # consistent flag-error surface (r14 ADVICE): 'web=10k' used
+            # to escape as a raw int() traceback while a missing '=' got
+            # a clean SystemExit
+            raise SystemExit(
+                f"--budgets entry {part!r}: token count {v!r} is not an integer"
+            ) from None
     return budgets
 
 
@@ -912,8 +947,22 @@ def cmd_budget_admission(args: argparse.Namespace) -> None:
 
     spark = get_session(app_name="budget-admission")
     budgets = _parse_budgets(args.budgets)
-    # readStream needs an explicit schema: take it from the landed files
-    schema = spark.read.parquet(args.input).schema
+    # readStream needs an explicit schema: take it from the landed files.
+    # An empty landing dir is a legitimate first-drain/cron state (r14
+    # ADVICE): exit cleanly instead of letting Spark's opaque 'unable to
+    # infer schema' surface.
+    try:
+        schema = spark.read.parquet(args.input).schema
+    except Exception as exc:
+        if "infer schema" in str(exc).lower() or "path does not exist" in str(
+            exc
+        ).lower():
+            raise SystemExit(
+                f"no parquet files under {args.input!r} yet — nothing to "
+                "drain (run again after the first landing, or seed the dir "
+                "with a schema-bearing sample file)"
+            ) from None
+        raise
     stream = spark.readStream.schema(schema).parquet(args.input)
     run_stream_budget_admission(
         stream,
@@ -1358,6 +1407,22 @@ def build_parser() -> argparse.ArgumentParser:
         help="stage 5 fills the equalized per-source token budgets by "
         "lexical-diversity rank (stratified prefix cut) instead of by "
         "hash downsampling",
+    )
+    t.add_argument(
+        "--stratified-budgets",
+        default=None,
+        metavar="SRC=TOKENS,...",
+        help="stage 5 fills CALLER-NAMED per-source token budgets by "
+        "lexical-diversity rank (stratified_budget_selection); every "
+        "surviving source must be named (NULL sources as '(null)')",
+    )
+    t.add_argument(
+        "--dsir-stratified-budgets",
+        default=None,
+        metavar="SRC=TOKENS,...",
+        help="stage 5 fills CALLER-NAMED per-source token budgets by "
+        "DSIR importance toward --dsir-target "
+        "(dsir_select_budget_stratified)",
     )
     t.set_defaults(func=cmd_textpipe)
 

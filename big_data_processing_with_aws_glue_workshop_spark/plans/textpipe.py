@@ -18,7 +18,11 @@ in via near-dup survivors):
                            rank (stratified_budget_selection); DSIR
                            mode (flag): rank by importance toward a
                            target corpus and cut at a token budget
-                           (dsir_select_budget)
+                           (dsir_select_budget); stratified modes
+                           (flags, r15): fill CALLER-NAMED per-source
+                           budgets by quality rank
+                           (stratified_budget_selection) or by DSIR
+                           rank (dsir_select_budget_stratified)
   6. sequence packing    — greedy-prefix pack survivors into fixed
                            token-budget sequences per source
 
@@ -58,6 +62,8 @@ def run_text_pipeline(
     dsir_budget_tokens: int | None = None,
     dsir_seed: int = 0,
     mixture_by_quality: bool = False,
+    stratified_budgets: dict | None = None,
+    dsir_stratified_budgets: dict | None = None,
 ) -> dict:
     """Run the full pipeline; returns a summary dict of per-stage counts.
     If ``out_dir`` is given, writes the packed corpus parquet plus a
@@ -88,6 +94,24 @@ def run_text_pipeline(
     exclusive with the DSIR mode (two final selection decisions cannot
     both apply).
 
+    ``stratified_budgets`` (r15 — the r14 verdict's "Next round #2":
+    the selection matrix existed as operators but a per-source-budget
+    pipeline run took two CLI invocations) fills CALLER-NAMED per-source
+    token budgets by lexical-diversity rank: the mixture planner decides
+    each source's allocation, stage 5 fills each one with that source's
+    best documents (queries/textops.py::stratified_budget_selection —
+    level-batched prefix sums, jobs scale with refinement depth, never
+    source count). ``dsir_stratified_budgets`` (+ required
+    ``dsir_target``) fills the same caller-named budgets along the DSIR
+    importance ranking instead
+    (queries/textops.py::dsir_select_budget_stratified — one model, one
+    shuffle-free scoring pass, per-source cuts). Both inherit the
+    operator's coverage rule: every source surviving stage 4 must be
+    named in the dict (NULL sources surface as ``'(null)'``); a missing
+    source raises rather than silently selecting nothing. All four
+    selection flags are mutually exclusive — the pipeline takes ONE
+    final selection decision.
+
     ``passage_decontam`` swaps stage 4's contract from doc-DROP to
     span-EXCISION (queries/textops.py::decontaminate_passages): a
     training document sharing content with the eval slice is REWRITTEN
@@ -108,16 +132,34 @@ def run_text_pipeline(
     # raise only when stage 5 was reached — after quality, both dedups
     # and decontamination had fully executed (hours at the 100 TB
     # target, all wasted on a flag typo)
-    if dsir_budget_tokens is not None and mixture_by_quality:
+    modes = {
+        "dsir_budget_tokens": dsir_budget_tokens is not None,
+        "mixture_by_quality": mixture_by_quality,
+        "stratified_budgets": stratified_budgets is not None,
+        "dsir_stratified_budgets": dsir_stratified_budgets is not None,
+    }
+    if sum(modes.values()) > 1:
+        on = sorted(k for k, v in modes.items() if v)
         raise ValueError(
-            "dsir_budget_tokens and mixture_by_quality are mutually "
-            "exclusive — the pipeline takes ONE final selection decision"
+            f"{' and '.join(on)} are mutually exclusive — the pipeline "
+            "takes ONE final selection decision"
         )
     if dsir_budget_tokens is not None and dsir_target is None:
         raise ValueError(
             "dsir_budget_tokens requires dsir_target (the corpus whose "
             "distribution the selection should match)"
         )
+    if dsir_stratified_budgets is not None and dsir_target is None:
+        raise ValueError(
+            "dsir_stratified_budgets requires dsir_target (the corpus "
+            "whose distribution the selection should match)"
+        )
+    for name, b in (
+        ("stratified_budgets", stratified_budgets),
+        ("dsir_stratified_budgets", dsir_stratified_budgets),
+    ):
+        if b is not None and not isinstance(b, dict):
+            raise ValueError(f"{name} must be a dict of source -> token budget")
 
     # Each stage output is persisted and materialized by its own count()
     # action, so downstream stages (and their counts) read the cached stage
@@ -277,12 +319,19 @@ def run_text_pipeline(
         # prefix cut along the lexical-diversity ranking. One
         # |sources|-row aggregate fixes the shared budget; the cut
         # itself is the level-batched prefix sum (no per-source
-        # single-task window).
+        # single-task window). Totals key by the operator's OWN
+        # NULL-source sentinel ('(null)') — keying by the raw column
+        # built a None-keyed dict the operator str()'d to 'None' and
+        # then refused as 'missing (null)' AFTER stages 1-4 had run
+        # (r14 ADVICE finding).
         from ..queries.textops import stratified_budget_selection
 
+        src_sentinel = F.coalesce(
+            F.col("source").cast("string"), F.lit("(null)")
+        )
         totals = {
-            r["source"]: int(r["t"])
-            for r in with_tok.groupBy("source")
+            r["s"]: int(r["t"])
+            for r in with_tok.groupBy(src_sentinel.alias("s"))
             .agg(F.sum("n_tokens").alias("t"))
             .collect()
         }
@@ -309,6 +358,70 @@ def run_text_pipeline(
         quality_stats = {
             "mixture_budget_tokens": target_mass,
             "mixture_selected_tokens": sel_masses,
+        }
+    elif stratified_budgets is not None:
+        # caller-named per-source budgets filled by quality rank — the
+        # composed form of `textpipe | stratified-budget-select` (r14
+        # verdict "Next round #2"). The operator's coverage rule applies
+        # unchanged: every source surviving stage 4 must be named (NULL
+        # sources as '(null)'), so a typo'd dict raises here instead of
+        # silently selecting nothing for a source.
+        from ..queries.textops import stratified_budget_selection
+
+        toks = _tokens(F.col("text"))
+        scored = with_tok.withColumn(
+            "__q",
+            F.size(F.array_distinct(toks)).cast("double") / F.size(toks),
+        )
+        sel = tracked_cache(
+            stratified_budget_selection(scored, stratified_budgets, "__q")
+        )
+        sel_masses = {
+            r["source"]: int(r["m"])
+            for r in sel.groupBy("source")
+            .agg(F.max("cum_tokens").alias("m"))
+            .collect()
+        }
+        mixed = tracked_cache(
+            with_tok.join(sel.select("doc_id"), "doc_id", "left_semi")
+        )
+        n_mixed = mixed.count()
+        quality_stats = {
+            "stratified_budget_tokens": {
+                str(s): int(b) for s, b in stratified_budgets.items()
+            },
+            "stratified_selected_tokens": sel_masses,
+        }
+    elif dsir_stratified_budgets is not None:
+        # caller-named per-source budgets filled by DSIR importance
+        # toward the target — one model, one shuffle-free scoring pass,
+        # per-source level-batched cuts (dsir_select_budget_stratified).
+        from ..queries.textops import dsir_select_budget_stratified
+
+        sel = tracked_cache(
+            dsir_select_budget_stratified(
+                with_tok,
+                dsir_target,
+                dsir_stratified_budgets,
+                seed=dsir_seed,
+                n_tokens_col="n_tokens",
+            )
+        )
+        sel_masses = {
+            r["source"]: int(r["m"])
+            for r in sel.groupBy("source")
+            .agg(F.max("cum_tokens").alias("m"))
+            .collect()
+        }
+        mixed = tracked_cache(
+            with_tok.join(sel.select("doc_id"), "doc_id", "left_semi")
+        )
+        n_mixed = mixed.count()
+        quality_stats = {
+            "dsir_stratified_budget_tokens": {
+                str(s): int(b) for s, b in dsir_stratified_budgets.items()
+            },
+            "dsir_stratified_selected_tokens": sel_masses,
         }
     else:
         totals = with_tok.groupBy("source").agg(
@@ -360,7 +473,13 @@ def run_text_pipeline(
         "selection_mode": (
             "dsir_budget"
             if dsir_budget_tokens is not None
-            else ("quality_equalize" if mixture_by_quality else "source_equalize")
+            else "quality_equalize"
+            if mixture_by_quality
+            else "stratified_budgets"
+            if stratified_budgets is not None
+            else "dsir_stratified_budgets"
+            if dsir_stratified_budgets is not None
+            else "source_equalize"
         ),
     }
     if passage_stats is not None:

@@ -1364,14 +1364,17 @@ def stratified_budget_selection(
     # NULL sources coalesce to the explicit '(null)' group (same sentinel
     # and rationale as ngram_bucket_histogram: surfaced and nameable in
     # the budgets dict beats a None key that can never be named and that
-    # broke the coverage error's sort — r14 review finding); a real
-    # source literally named '(null)' would merge with it, documented
-    # rather than validated (this op is otherwise lazy until its own
-    # aggregates).
+    # broke the coverage error's sort — r14 review finding). A corpus
+    # carrying BOTH real NULL sources AND a source literally named
+    # '(null)' would merge the two under one budget silently — that
+    # collision is REFUSED below (r14 verdict nit), detected for free on
+    # the level-0 aggregate via the __wasnull flag; either population
+    # alone keeps the legitimate '(null)'-budget path.
     per_raw = docs.select(
         F.coalesce(F.col(source_col).cast("string"), F.lit("(null)")).alias(
             "__src"
         ),
+        F.col(source_col).isNull().alias("__wasnull"),
         id_col,
         F.col(score_col).cast("double").alias("score"),
         F.col(n_tokens_col).cast("bigint").alias("n_tokens"),
@@ -1444,12 +1447,25 @@ def stratified_budget_selection(
     # superset (rows later dropped for invalid mass) can only WIDEN the
     # range — the bucket map caps both ends, so wider bounds only
     # repartition work, never move a document across the cut.
-    lvl0 = {
-        r["__src"]: (r["lo"], r["hi"])
-        for r in per_raw.groupBy("__src")
-        .agg(F.min("score").alias("lo"), F.max("score").alias("hi"))
+    lvl0_rows = (
+        per_raw.groupBy("__src")
+        .agg(
+            F.min("score").alias("lo"),
+            F.max("score").alias("hi"),
+            F.max(F.col("__wasnull").cast("int")).alias("any_null"),
+            F.min(F.col("__wasnull").cast("int")).alias("all_null"),
+        )
         .collect()
-    }
+    )
+    lvl0 = {r["__src"]: (r["lo"], r["hi"]) for r in lvl0_rows}
+    for r in lvl0_rows:
+        if r["__src"] == "(null)" and r["any_null"] == 1 and r["all_null"] == 0:
+            raise ValueError(
+                "source collision on the NULL sentinel: the corpus carries "
+                "BOTH NULL sources and a source literally named '(null)' — "
+                "one budget cannot name two populations; rename the literal "
+                "source or fill the NULLs upstream"
+            )
     missing = sorted(set(lvl0) - set(bmap))
     if missing:
         raise ValueError(

@@ -29,8 +29,17 @@ instead. What the sink guarantees exactly:
 Scale shape per micro-batch: the batch operator's level-batched prefix
 sums over the WAVE (never history), one bounded per-source aggregate of
 the newly admitted mass, and a standing-table union whose size is
-bounded by the BUDGETS (total admitted mass / min doc tokens), not by
-the stream.
+bounded by the BUDGETS, not by the stream: the sink admits only
+TOKEN-BEARING documents (n_tokens > 0), so the admitted row count is
+<= the total budget mass (every admitted row spends >= 1 token). The
+batch operator's inclusive boundary deliberately admits zero-token
+documents (they spend nothing); a stream of them would grow the
+standing table without bound even after every budget is exhausted
+(r14 ADVICE finding), so the streaming contract excludes them — filter
+or re-tokenize upstream if zero-token rows are meaningful. Corollary:
+a stream source carrying ONLY zero-token documents never reaches the
+batch operator's unknown-source coverage raise (it has no admissible
+mass to mis-budget).
 """
 
 from __future__ import annotations
@@ -100,12 +109,19 @@ class BudgetAdmissionSink:
         remaining = {
             s: max(0, b - spent.get(s, 0)) for s, b in self.budgets.items()
         }
-        # the batch operator IS the per-wave cut (its coverage raise also
-        # surfaces unknown stream sources loudly); its cum_tokens are
-        # relative to THIS wave's remaining budget — the spent offset
-        # lifts them to the global running mass
+        # zero-token rows are inadmissible mass (module docstring: the
+        # inclusive boundary would admit them forever past exhaustion —
+        # the boundedness claim holds only over token-bearing rows)
+        wave = batch_df.filter(
+            F.col(self.n_tokens_col).isNotNull()
+            & (F.col(self.n_tokens_col) > 0)
+        )
+        # the batch operator IS the per-wave cut over the token-bearing
+        # rows (its coverage raise also surfaces unknown stream sources
+        # loudly); its cum_tokens are relative to THIS wave's remaining
+        # budget — the spent offset lifts them to the global running mass
         admitted = stratified_budget_selection(
-            batch_df,
+            wave,
             remaining,
             self.score_col,
             source_col=self.source_col,

@@ -413,6 +413,190 @@ def test_cli_textpipe_dsir_flags(spark, tmp_path, capsys):
         ])
 
 
+def test_textpipe_quality_mixture_null_source(spark, tmp_path):
+    """r14 ADVICE finding, closed: quality-mixture mode with NULL
+    `source` values used to build a None-keyed budgets dict that
+    stratified_budget_selection str()'d to 'None' and then refused as
+    "missing from budgets: ['(null)']" — AFTER stages 1-4 had executed.
+    The totals now key by the operator's own sentinel, so NULL-source
+    docs get a named '(null)' allocation and the run completes."""
+    from big_data_processing_with_aws_glue_workshop_spark.plans.textpipe import run_text_pipeline
+    from big_data_processing_with_aws_glue_workshop_spark.queries.textops import _EVAL_MOD
+
+    rows = []
+    did = 1
+    for source in ("web", None):
+        made = 0
+        while made < 6:
+            if did % _EVAL_MOD == 0:
+                did += 1
+                continue
+            rows.append(
+                (did, source, "en", " ".join(f"u{did}x{j}" for j in range(40)))
+            )
+            did += 1
+            made += 1
+    sf = tmp_path / "sf"
+    sf.mkdir()
+    spark.createDataFrame(
+        rows, "doc_id long, source string, lang string, text string"
+    ).write.parquet(str(sf / "documents.parquet"))
+
+    s = run_text_pipeline(spark, str(sf), mixture_by_quality=True)
+    assert s["selection_mode"] == "quality_equalize"
+    assert set(s["mixture_selected_tokens"]) == {"web", "(null)"}
+    budget = s["mixture_budget_tokens"]
+    assert budget > 0
+    assert all(m <= budget for m in s["mixture_selected_tokens"].values())
+
+
+def test_textpipe_stratified_budgets_stage(spark, tmp_path):
+    """r15 (r14 verdict "Next round #2"): stage 5 fills CALLER-NAMED
+    per-source token budgets by quality rank in ONE pipeline run —
+    previously `textpipe` + `stratified-budget-select` took two CLI
+    invocations. Upstream stages bit-identical to the default run; every
+    source's selected mass <= ITS OWN budget; the operator's coverage
+    rule surfaces unnamed sources."""
+    import pyspark.sql.functions as F
+
+    from big_data_processing_with_aws_glue_workshop_spark.plans.textpipe import run_text_pipeline
+
+    sf, _ = _two_vocab_sf(spark, tmp_path)
+    default = run_text_pipeline(spark, sf)
+
+    out = str(tmp_path / "pipe_sb")
+    budgets = {"code": 400, "prose": 200}  # asymmetric on purpose
+    s = run_text_pipeline(spark, sf, out_dir=out, stratified_budgets=budgets)
+    assert s["selection_mode"] == "stratified_budgets"
+    for k in (
+        "input_docs",
+        "after_quality",
+        "after_exact_dedup",
+        "after_near_dedup",
+        "after_decontamination",
+    ):
+        assert s[k] == default[k], k
+    assert s["stratified_budget_tokens"] == {"code": 400, "prose": 200}
+    # every source's selected mass fits ITS OWN budget
+    for src, mass in s["stratified_selected_tokens"].items():
+        assert mass <= budgets[src], (src, mass)
+    # fixture docs are 40 tokens each with identical diversity, so the
+    # per-source kept count is exactly budget//40 — the asymmetry must
+    # show up in the output
+    corpus = spark.read.parquet(f"{out}/packed_corpus")
+    per_src = {
+        r["source"]: r["n"]
+        for r in corpus.groupBy("source").agg(F.count("*").alias("n")).collect()
+    }
+    assert per_src == {"code": 10, "prose": 5}, per_src
+    assert corpus.count() == s["after_mixture"]
+    # coverage rule: a budgets dict missing a surviving source raises
+    # (after stages 1-4 — the dict's KEYS can't be checked against the
+    # survivor set any earlier; the type/negativity checks are eager)
+    with pytest.raises(ValueError, match="missing from budgets"):
+        run_text_pipeline(spark, sf, stratified_budgets={"code": 400})
+    # eager shape validation before any Spark work
+    with pytest.raises(ValueError, match="must be a dict"):
+        run_text_pipeline(spark, "/nonexistent", stratified_budgets=[1, 2])
+
+
+def test_textpipe_dsir_stratified_budgets_stage(spark, tmp_path):
+    """r15: stage 5 fills caller-named per-source budgets along the DSIR
+    importance ranking toward the target (dsir_select_budget_stratified)
+    — the {per-source} x {DSIR} corner of the selection matrix composed
+    into the pipeline. Upstream stages bit-identical; per-source mass <=
+    its budget; both sources keep representation (unlike the GLOBAL dsir
+    budget mode, which starves the off-target source)."""
+    import pyspark.sql.functions as F
+
+    from big_data_processing_with_aws_glue_workshop_spark.plans.textpipe import run_text_pipeline
+
+    sf, tgt = _two_vocab_sf(spark, tmp_path)
+    target = spark.read.parquet(tgt)
+    default = run_text_pipeline(spark, sf)
+
+    out = str(tmp_path / "pipe_dsb")
+    budgets = {"code": 400, "prose": 200}
+    s = run_text_pipeline(
+        spark, sf, out_dir=out, dsir_target=target,
+        dsir_stratified_budgets=budgets, dsir_seed=5,
+    )
+    assert s["selection_mode"] == "dsir_stratified_budgets"
+    for k in (
+        "input_docs",
+        "after_quality",
+        "after_exact_dedup",
+        "after_near_dedup",
+        "after_decontamination",
+    ):
+        assert s[k] == default[k], k
+    for src, mass in s["dsir_stratified_selected_tokens"].items():
+        assert mass <= budgets[src], (src, mass)
+    # the stratified contract keeps BOTH sources represented at their own
+    # budgets (40-token docs -> budget//40 docs each)
+    corpus = spark.read.parquet(f"{out}/packed_corpus")
+    per_src = {
+        r["source"]: r["n"]
+        for r in corpus.groupBy("source").agg(F.count("*").alias("n")).collect()
+    }
+    assert per_src == {"code": 10, "prose": 5}, per_src
+    # flag validation: budgets without a target is a caller error, eager
+    with pytest.raises(ValueError, match="dsir_target"):
+        run_text_pipeline(spark, sf, dsir_stratified_budgets=budgets)
+    with pytest.raises(ValueError, match="mutually exclusive"):
+        run_text_pipeline(
+            spark, sf, dsir_target=target,
+            dsir_stratified_budgets=budgets, stratified_budgets=budgets,
+        )
+
+
+def test_cli_textpipe_stratified_flags(spark, tmp_path, capsys):
+    """textpipe --stratified-budgets / --dsir-stratified-budgets e2e
+    through the CLI, plus the eager refusals (flag conflicts and budget
+    parse errors surface before any Spark work)."""
+    import json as _json
+
+    from big_data_processing_with_aws_glue_workshop_spark.cli import main
+
+    sf, tgt = _two_vocab_sf(spark, tmp_path)
+    main([
+        "textpipe", "--sf-dir", sf,
+        "--stratified-budgets", "code=400,prose=200",
+    ])
+    out = _json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert out["selection_mode"] == "stratified_budgets"
+    assert out["stratified_selected_tokens"]["code"] <= 400
+    assert out["stratified_selected_tokens"]["prose"] <= 200
+
+    main([
+        "textpipe", "--sf-dir", sf,
+        "--dsir-stratified-budgets", "code=400,prose=200",
+        "--dsir-target", tgt, "--dsir-seed", "5",
+    ])
+    out = _json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert out["selection_mode"] == "dsir_stratified_budgets"
+    assert out["dsir_stratified_selected_tokens"]["prose"] <= 200
+
+    # eager refusals
+    with pytest.raises(SystemExit, match="mutually exclusive"):
+        main([
+            "textpipe", "--sf-dir", sf, "--quality-mixture",
+            "--stratified-budgets", "code=1,prose=1",
+        ])
+    with pytest.raises(SystemExit, match="requires --dsir-target"):
+        main([
+            "textpipe", "--sf-dir", sf,
+            "--dsir-stratified-budgets", "code=1,prose=1",
+        ])
+    # r14 ADVICE: a non-integer token count gets the same clean
+    # SystemExit surface as a missing '='
+    with pytest.raises(SystemExit, match="not an integer"):
+        main([
+            "textpipe", "--sf-dir", sf,
+            "--stratified-budgets", "code=10k,prose=1",
+        ])
+
+
 def test_textpipe_end_to_end(spark, sf_dir, tmp_path):
     """The composed training-data pipeline: stage counts monotonically
     decrease, stage invariants hold on the final corpus, output written."""
@@ -1286,6 +1470,30 @@ def test_cli_budget_admission(spark, tmp_path, capsys):
     ).collect()
     assert len(adm) == 5
     assert sum(1 for r in adm if r["admitted_batch"] == 1) == 1
+
+    # r14 ADVICE: an EMPTY landing dir is a legitimate first-drain/cron
+    # state — clean SystemExit, not Spark's opaque schema-inference error
+    empty = tmp_path / "empty_landing"
+    empty.mkdir()
+    with pytest.raises(SystemExit, match="nothing to drain"):
+        main([
+            "budget-admission",
+            "--input", str(empty),
+            "--target", str(tmp_path / "adm2"),
+            "--checkpoint", str(tmp_path / "ckpt2"),
+            "--budgets", "a=30",
+            "--score-col", "score",
+        ])
+    # and a non-integer budget token count gets the consistent flag error
+    with pytest.raises(SystemExit, match="not an integer"):
+        main([
+            "budget-admission",
+            "--input", str(landing),
+            "--target", str(tmp_path / "adm3"),
+            "--checkpoint", str(tmp_path / "ckpt3"),
+            "--budgets", "a=10k",
+            "--score-col", "score",
+        ])
 
 
 def test_cli_stratified_budget_select(spark, tmp_path, capsys):

@@ -1259,3 +1259,67 @@ def test_streaming_budget_admission(spark, tmp_path):
     # recalibrated sink refused
     with pytest.raises(ValueError, match="calibration mismatch"):
         BudgetAdmissionSink(target_dir, {"a": 9, "b": 9}, "score")(waves[0], 99)
+
+
+def test_streaming_budget_admission_zero_token_bounded(spark, tmp_path):
+    """r14 ADVICE finding, closed: the batch operator's inclusive
+    boundary admits zero-token docs (they spend nothing), so a stream of
+    them would grow the standing admitted table without bound even after
+    every budget is exhausted. The sink therefore admits only
+    TOKEN-BEARING documents: zero-token rows never enter the standing
+    table — before exhaustion, after exhaustion, or from a source whose
+    budget was 0 all along — which makes the boundedness claim exact
+    (admitted rows <= total budget mass)."""
+    from big_data_processing_with_aws_glue_workshop_spark.streaming.selection import (
+        BudgetAdmissionSink,
+        admission_report,
+        read_admitted,
+    )
+
+    schema = "doc_id long, source string, score double, n_tokens long"
+    target_dir = str(tmp_path / "admitted")
+    sink = BudgetAdmissionSink(target_dir, {"a": 30, "z": 0}, "score")
+
+    # wave 0: token-bearing docs fill a's budget; zero-token rows ride
+    # along with TOP scores in both sources and must still not be
+    # admitted (z's budget is 0 — the old inclusive rule admitted its
+    # zero-token doc anyway)
+    w0 = spark.createDataFrame(
+        [
+            (1, "a", 99.0, 0),
+            (2, "a", 50.0, 10),
+            (3, "a", 40.0, 10),
+            (4, "a", 30.0, 10),
+            (5, "a", 20.0, 10),
+            (6, "z", 99.0, 0),
+            (7, "a", 10.0, None),
+        ],
+        schema,
+    )
+    sink(w0, 0)
+    got = sorted(r["doc_id"] for r in read_admitted(spark, target_dir).collect())
+    assert got == [2, 3, 4]  # 30 tokens spent, no zero/NULL-token rows
+    assert admission_report(target_dir)["a"]["remaining"] == 0
+
+    # wave 1: budgets exhausted — an all-zero-token wave admits nothing
+    # and the standing table does not grow (this is the unbounded-growth
+    # scenario from the finding)
+    w1 = spark.createDataFrame(
+        [(100 + i, "a", 99.0, 0) for i in range(5)], schema
+    )
+    sink(w1, 1)
+    after = sorted(r["doc_id"] for r in read_admitted(spark, target_dir).collect())
+    assert after == [2, 3, 4]
+    assert admission_report(target_dir) == {
+        "a": {"budget": 30, "spent": 30, "remaining": 0},
+        "z": {"budget": 0, "spent": 0, "remaining": 0},
+    }
+
+    # corollary (documented): a source carrying ONLY zero-token rows is
+    # filtered before the batch operator's coverage raise — no budget
+    # entry needed, nothing admitted, nothing raised
+    w2 = spark.createDataFrame([(200, "ghost", 99.0, 0)], schema)
+    sink(w2, 2)
+    assert sorted(
+        r["doc_id"] for r in read_admitted(spark, target_dir).collect()
+    ) == [2, 3, 4]

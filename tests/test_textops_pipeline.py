@@ -1269,6 +1269,42 @@ def test_stratified_budget_selection_semantics(spark):
     assert len([r for r in got_ghost if r["source"] == "a"]) == 10
 
 
+def test_stratified_budget_selection_null_sentinel_collision(spark):
+    """r14 verdict nit, closed: a corpus carrying BOTH real NULL sources
+    AND a source literally named '(null)' would merge two populations
+    under one budget silently — refused on the level-0 aggregate the op
+    already runs. Either population ALONE keeps the legitimate
+    '(null)'-budget path working."""
+    from big_data_processing_with_aws_glue_workshop_spark.queries.textops import (
+        stratified_budget_selection,
+    )
+
+    schema = "doc_id long, source string, score double, n_tokens long"
+    nulls = spark.createDataFrame([(1, None, 9.0, 10), (2, None, 8.0, 10)], schema)
+    literal = spark.createDataFrame(
+        [(3, "(null)", 7.0, 10), (4, "(null)", 6.0, 10)], schema
+    )
+    other = spark.createDataFrame([(5, "web", 5.0, 10)], schema)
+
+    # both populations present: refused, regardless of the budget dict
+    with pytest.raises(ValueError, match="collision on the NULL sentinel"):
+        stratified_budget_selection(
+            nulls.unionByName(literal).unionByName(other),
+            {"(null)": 100, "web": 100},
+            "score",
+        )
+    # NULL-only: '(null)' budget names the coalesced group
+    got = stratified_budget_selection(
+        nulls.unionByName(other), {"(null)": 100, "web": 100}, "score"
+    ).collect()
+    assert sorted(r["doc_id"] for r in got if r["source"] == "(null)") == [1, 2]
+    # literal-only: '(null)' budget names the real source
+    got = stratified_budget_selection(
+        literal.unionByName(other), {"(null)": 100, "web": 100}, "score"
+    ).collect()
+    assert sorted(r["doc_id"] for r in got if r["source"] == "(null)") == [3, 4]
+
+
 def test_stratified_budget_selection_worklist_bound(spark):
     """Discrete grades in BOTH sources: every oversized bucket (FULL or
     PARTIAL, any source) refines via the level-batched worklist — the
