@@ -99,6 +99,43 @@ def _box_calibration(spark) -> float:
     return round(best, 4)
 
 
+def _micro_calibration(spark, warm: bool = False) -> float:
+    """Quarter-size thermometer (25M rows, ~0.25 s quiet) interleaved
+    every ~20 queries DURING the suite (r15, r14 verdict #4a): the r14
+    driver run's box speed drifted 32% BETWEEN the pre and post probes,
+    so a single pre/post average normalizes the total honestly but makes
+    per-query cross-round diffs mostly noise — 3 of its 4 flags read
+    clean on a quiet box. Per-segment readings let tools/bench_diff.py
+    normalize each query by the box state NEAREST ITS POSITION instead
+    of a run-wide mean. Same plan shape as _box_calibration (codegen
+    arithmetic -> 1M-group hash agg -> 32-partition shuffle), distinct
+    row count so it compiles once on its own; ~6 segments x 2 runs add
+    ~3-6 s to a ~70 s suite."""
+    from pyspark.sql import functions as F
+
+    def run() -> None:
+        (
+            spark.range(0, 25_000_000, 1, 32)
+            .select((F.col("id") * 2654435761 % 1048576).alias("k"))
+            .groupBy("k")
+            .agg(F.sum("k").alias("s"), F.count("*").alias("n"))
+            .count()
+        )
+
+    if warm:
+        run()  # first call only: codegen compile for this plan
+    best = float("inf")
+    for _ in range(2):
+        t0 = time.perf_counter()
+        run()
+        best = min(best, time.perf_counter() - t0)
+    return round(best, 4)
+
+
+# interleave a micro-calibration after every N timed queries
+_CALIB_SEGMENT_EVERY = 20
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     m = re.search(r"sf([0-9.]+)", sf_dir)
@@ -131,11 +168,17 @@ def main() -> None:
     # query the rotation put first), so cross-round per-query diffs stop
     # being polluted at the window boundary. Measured collapse in
     # docs/SCALE.md (r14 first-slot preamble note).
+    # r15: + one broadcast-anti-join execution (verdict #4b) — the r14
+    # first slot (customers_without_orders, a broadcast anti join) read a
+    # CONSISTENT ~1.3x normalized in both full-suite runs because the
+    # quartet covered no anti-join shape; the list stays FIXED regardless
+    # of rotation order, so the preamble is rotation-independent.
     _WARMUP = [
         "pricing_summary",  # scan + partial/final hash agg codegen
         "latest_order_per_customer",  # shuffle + WindowExec path
         "media_pixel_stats",  # Arrow batch + Python-runner startup
         "asof_last_click_before_error",  # sort-merge/as-of join path
+        "customers_without_orders",  # broadcast anti-join path
     ]
     _JIT_RAMP_ROUNDS = 3
     for _ in range(_JIT_RAMP_ROUNDS):
@@ -147,6 +190,21 @@ def main() -> None:
     # can drift DURING a ~10-minute run) — see _box_calibration
     calib_pre = _box_calibration(spark)
     print(json.dumps({"bench_calibration": "pre", "sec": calib_pre}), flush=True)
+
+    # segment thermometer at position 0 (warm compiles its plan), then
+    # after every _CALIB_SEGMENT_EVERY queries, then after the last —
+    # bench_diff normalizes each query by its nearest segment
+    calib_segments: list[dict] = []
+
+    def _segment(after: int, warm: bool = False) -> None:
+        sec = _micro_calibration(spark, warm=warm)
+        calib_segments.append({"after": after, "sec": sec})
+        print(
+            json.dumps({"bench_calibration_segment": after, "sec": sec}),
+            flush=True,
+        )
+
+    _segment(0, warm=True)
 
     timings: dict[str, float] = {}
     for name in names:

@@ -390,9 +390,105 @@ def probe_drift_sustained(spark, n_waves=12, wave_docs=50_000, n_buckets=4096):
         shutil.rmtree(work, ignore_errors=True)
 
 
+def probe_admission_sustained(spark, n_waves=12, wave_docs=50_000):
+    """Sustained-load curve for the streaming budget-admission sink (r15,
+    r14 verdict #3): the semantics test pins the wave-greedy contract and
+    the fold parity, but the per-wave cost claim (bounded by the budgets
+    and the wave, never the stream) was argued from construction, not
+    measured. Budgets are sized so exhaustion hits MID-RUN — source
+    'fast' exhausts at wave 2, 'slow' at wave 6 — so the curve shows all
+    three regimes: filling, partially exhausted, fully exhausted. Claims
+    under test, asserted every wave:
+      1. per-source spent NEVER exceeds its budget (the invariant, at
+         every moment of the stream's life);
+      2. the standing admitted table is bounded by total budget mass /
+         min doc tokens, and STOPS GROWING once both budgets exhaust
+         while waves keep landing;
+      3. per-wave commit wall is FLAT across waves — in particular the
+         post-exhaustion waves (pure EXCLUDED classification + a
+         bounded-table rewrite) cost no more than the filling waves.
+    Each wave is sunk via the foreachBatch callable directly (exactly
+    what run_stream_budget_admission invokes per micro-batch)."""
+    import shutil
+    import tempfile
+
+    from big_data_processing_with_aws_glue_workshop_spark.streaming.selection import (
+        BudgetAdmissionSink,
+        admission_report,
+        read_admitted,
+    )
+
+    # per wave per source: wave_docs/2 docs x 10 tokens
+    per_wave_mass = (wave_docs // 2) * 10
+    budgets = {"fast": 2 * per_wave_mass, "slow": 6 * per_wave_mass}
+    rows_bound = sum(budgets.values()) // 10  # every admitted doc spends 10
+
+    work = tempfile.mkdtemp(prefix="admission_probe_")
+    target_dir = os.path.join(work, "admitted")
+    try:
+        sink = BudgetAdmissionSink(target_dir, budgets, "score")
+        rows = []
+        for wave in range(n_waves):
+            batch = spark.range(wave * wave_docs, (wave + 1) * wave_docs).select(
+                F.col("id").alias("doc_id"),
+                F.when(F.col("id") % 2 == 0, F.lit("fast"))
+                .otherwise(F.lit("slow"))
+                .alias("source"),
+                # deterministic quality spread inside every wave
+                (F.pmod(F.xxhash64("id"), F.lit(10_000)) / 100.0).alias("score"),
+                F.lit(10).cast("long").alias("n_tokens"),
+            )
+            t0 = time.time()
+            sink(batch, wave)
+            commit_wall = time.time() - t0
+            rep = admission_report(target_dir)
+            standing_rows = read_admitted(spark, target_dir).count()
+            # claim 1: the budget invariant holds at EVERY wave
+            assert all(v["spent"] <= v["budget"] for v in rep.values()), rep
+            # claim 2: standing table bounded by the budgets, never the stream
+            assert standing_rows <= rows_bound, (standing_rows, rows_bound)
+            rec = {
+                "op": "budget_admission_sink_sustained",
+                "wave": wave,
+                "wave_docs": wave_docs,
+                "commit_wall_s": round(commit_wall, 2),
+                "standing_rows": standing_rows,
+                "rows_bound": rows_bound,
+                "spent": {s: v["spent"] for s, v in rep.items()},
+                "remaining": {s: v["remaining"] for s, v in rep.items()},
+            }
+            rows.append(rec)
+            print(json.dumps(rec), flush=True)
+        # exhaustion hit mid-run and the table stopped growing after it
+        exhausted_at = next(
+            i
+            for i, r in enumerate(rows)
+            if all(v == 0 for v in r["remaining"].values())
+        )
+        assert 0 < exhausted_at < n_waves - 2, exhausted_at
+        assert all(
+            r["standing_rows"] == rows[exhausted_at]["standing_rows"]
+            for r in rows[exhausted_at:]
+        )
+        # claim 3: flatness — late (post-exhaustion) waves within 2x of
+        # the early filling steady-state (same tolerance as the drift
+        # probe; min-of-3 damps GC/JIT outliers)
+        early = min(r["commit_wall_s"] for r in rows[1:4])
+        late = min(r["commit_wall_s"] for r in rows[-3:])
+        assert late <= 2 * early + 0.5, (early, late)
+        return rows
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+
+
 def main() -> None:
     args = sys.argv[1:]
     spark = get_session(app_name="sketch-probe")
+    if args and args[0] == "--admission-sustained":
+        n_waves = int(args[1]) if len(args) > 1 else 12
+        wave_docs = int(args[2]) if len(args) > 2 else 50_000
+        probe_admission_sustained(spark, n_waves=n_waves, wave_docs=wave_docs)
+        return
     if args and args[0] == "--drift-sustained":
         n_waves = int(args[1]) if len(args) > 1 else 12
         wave_docs = int(args[2]) if len(args) > 2 else 50_000
