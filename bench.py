@@ -232,7 +232,10 @@ def main() -> None:
         # the driver's log even if a later query hangs or the tail buffer
         # truncates, and the final summary line stays short
         print(json.dumps({"bench_query": name, "sec": timings[name]}), flush=True)
+        if len(timings) % _CALIB_SEGMENT_EVERY == 0 and len(timings) < len(names):
+            _segment(len(timings))
 
+    _segment(len(timings))
     calib_post = _box_calibration(spark)
     print(json.dumps({"bench_calibration": "post", "sec": calib_post}), flush=True)
 
@@ -255,6 +258,7 @@ def main() -> None:
                 "sf": sf,
                 "calib_pre": calib_pre,
                 "calib_post": calib_post,
+                "calib_segments": calib_segments,
             },
             f,
             indent=1,

@@ -984,6 +984,31 @@ def cmd_budget_admission(args: argparse.Namespace) -> None:
     )
 
 
+def cmd_admission_regret(args: argparse.Namespace) -> None:
+    """Wave-greedy regret readout (streaming/selection.py::
+    admission_regret): the standing admitted table vs the batch
+    operator's hindsight selection over everything seen so far — docs
+    swapped and score mass lost, per source. Pure readout; no sink
+    state is touched."""
+    from .streaming.selection import admission_regret
+
+    spark = get_session(app_name="admission-regret")
+    corpus = spark.read.parquet(args.corpus)
+    out = admission_regret(spark, args.target, corpus)
+    src_col = out.columns[0]
+    by_source = {}
+    for r in out.collect():
+        d = r.asDict()
+        by_source[d.pop(src_col)] = d
+    _emit(
+        {
+            "job": "admission-regret",
+            "target": args.target,
+            "by_source": by_source,
+        }
+    )
+
+
 def cmd_split_leakage_audit(args: argparse.Namespace) -> None:
     """Split leakage audit job (queries/textops.py::split_leakage_audit):
     MinHash near-dup pairs joined against a completed (id, split)
@@ -1765,6 +1790,20 @@ def build_parser() -> argparse.ArgumentParser:
     ba.add_argument("--source-col", default="source")
     ba.add_argument("--n-buckets", type=int, default=256)
     ba.set_defaults(func=cmd_budget_admission)
+
+    ar = sub.add_parser(
+        "admission-regret",
+        help="wave-greedy regret readout: the standing admitted table vs "
+        "the batch hindsight selection over everything seen so far — "
+        "docs swapped and score mass lost, per source",
+    )
+    ar.add_argument("--target", required=True, help="admission state dir")
+    ar.add_argument(
+        "--corpus", required=True,
+        help="parquet of EVERYTHING seen so far (the sink retains "
+        "nothing it rejected — typically the landing dir itself)",
+    )
+    ar.set_defaults(func=cmd_admission_regret)
 
     sla = sub.add_parser(
         "split-leakage-audit",

@@ -214,6 +214,95 @@ def read_admitted(spark: SparkSession, target_dir: str) -> DataFrame:
     return read_current(spark, target_dir)
 
 
+def admission_regret(
+    spark: SparkSession, target_dir: str, corpus: DataFrame
+) -> DataFrame:
+    """Quantify the wave-greedy tradeoff (r15, r14 verdict stretch #7):
+    compare the standing admitted table against what the BATCH operator
+    would have selected over ``corpus`` (everything seen so far, caller-
+    supplied — the sink deliberately retains nothing it rejected) under
+    the SAME calibration. The divergence is documented and pinned as a
+    semantics fact ("a later great document can be crowded out by an
+    earlier mediocre one"); this readout turns it into numbers an
+    operator can act on: how many documents the greedy stream kept that
+    hindsight would swap, and how much score mass the swaps cost.
+
+    Output one row per source (plus every budgeted source, zero-filled):
+    (source, admitted_docs, hindsight_docs, common_docs,
+    only_streaming_docs, only_hindsight_docs, admitted_tokens,
+    hindsight_tokens, admitted_score_sum, hindsight_score_sum) —
+    ``hindsight_*`` being the batch selection. regret in score mass =
+    hindsight_score_sum - admitted_score_sum (>= 0 per source whenever
+    the corpus truly contains everything the stream saw, since the batch
+    cut is the per-source optimum of the same inclusive-prefix rule).
+
+    Pure readout: one batch selection over the corpus + one outer join
+    against the budget-bounded admitted table + one |sources|-row
+    aggregate. No sink state is touched; per-wave cost is unaffected.
+    The zero-token exclusion mirrors the sink's admission rule, so a
+    zero-token doc can never appear as false regret."""
+    from ..queries.textops import stratified_budget_selection
+
+    pointer = read_pointer(target_dir)
+    if pointer is None:
+        raise ValueError(f"no committed admission state at {target_dir!r}")
+    cal = pointer["calibration"]
+    src, idc, ntc = cal["source_col"], cal["id_col"], cal["n_tokens_col"]
+    admitted = read_current(spark, target_dir).select(
+        F.col(idc).alias("__id"),
+        F.col(src).alias("__src"),
+        F.col("n_tokens").alias("a_toks"),
+        F.col("score").alias("a_score"),
+    )
+    hindsight = stratified_budget_selection(
+        corpus.filter(F.col(ntc).isNotNull() & (F.col(ntc) > 0)),
+        cal["budgets"],
+        cal["score_col"],
+        source_col=src,
+        id_col=idc,
+        n_tokens_col=ntc,
+        n_buckets=cal["n_buckets"],
+    ).select(
+        F.col(idc).alias("__id"),
+        F.col(src).alias("__src"),
+        F.col("n_tokens").alias("h_toks"),
+        F.col("score").alias("h_score"),
+    )
+    both = admitted.join(hindsight, ["__id", "__src"], "full_outer")
+    per_src = both.groupBy("__src").agg(
+        F.count(F.col("a_toks")).alias("admitted_docs"),
+        F.count(F.col("h_toks")).alias("hindsight_docs"),
+        F.count(F.when(F.col("a_toks").isNotNull() & F.col("h_toks").isNotNull(), 1)).alias("common_docs"),
+        F.count(F.when(F.col("a_toks").isNotNull() & F.col("h_toks").isNull(), 1)).alias("only_streaming_docs"),
+        F.count(F.when(F.col("a_toks").isNull() & F.col("h_toks").isNotNull(), 1)).alias("only_hindsight_docs"),
+        F.coalesce(F.sum("a_toks"), F.lit(0)).alias("admitted_tokens"),
+        F.coalesce(F.sum("h_toks"), F.lit(0)).alias("hindsight_tokens"),
+        F.coalesce(F.sum("a_score"), F.lit(0.0)).alias("admitted_score_sum"),
+        F.coalesce(F.sum("h_score"), F.lit(0.0)).alias("hindsight_score_sum"),
+    )
+    # zero-fill budgeted sources the stream never admitted from (and the
+    # hindsight cut skipped): the report must name every budget row
+    budgeted = spark.createDataFrame(
+        [(s,) for s in cal["budgets"]], "__src string"
+    )
+    zero = [
+        "admitted_docs", "hindsight_docs", "common_docs",
+        "only_streaming_docs", "only_hindsight_docs",
+        "admitted_tokens", "hindsight_tokens",
+    ]
+    out = budgeted.join(per_src, "__src", "full_outer").select(
+        F.col("__src").alias(src),
+        *[F.coalesce(F.col(c), F.lit(0)).alias(c) for c in zero],
+        F.coalesce(F.col("admitted_score_sum"), F.lit(0.0)).alias(
+            "admitted_score_sum"
+        ),
+        F.coalesce(F.col("hindsight_score_sum"), F.lit(0.0)).alias(
+            "hindsight_score_sum"
+        ),
+    )
+    return out
+
+
 def admission_report(target_dir: str) -> dict:
     """Budget utilization from the pointer alone (no Spark needed):
     {source: {budget, spent, remaining}}."""

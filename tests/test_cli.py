@@ -1471,6 +1471,26 @@ def test_cli_budget_admission(spark, tmp_path, capsys):
     assert len(adm) == 5
     assert sum(1 for r in adm if r["admitted_batch"] == 1) == 1
 
+    # r15: admission-regret readout over the landing dir (everything
+    # seen) — waves 0 and 1 had EQUAL scores within each source slice
+    # here, so the greedy admissions coincide with the hindsight top-up
+    # only partially: wave 1 carried strictly better scores (9.0 > 5.0),
+    # so hindsight prefers wave-1 docs wherever budget allows
+    main([
+        "admission-regret",
+        "--target", str(tmp_path / "adm"),
+        "--corpus", str(landing),
+    ])
+    reg = _json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert reg["job"] == "admission-regret"
+    for s in ("a", "b"):
+        r = reg["by_source"][s]
+        assert r["hindsight_score_sum"] >= r["admitted_score_sum"]
+        assert r["admitted_tokens"] <= {"a": 30, "b": 20}[s]
+        assert r["hindsight_tokens"] <= {"a": 30, "b": 20}[s]
+    # a admitted 2 wave-0 docs before wave 1 landed; hindsight swaps them
+    assert reg["by_source"]["a"]["only_hindsight_docs"] >= 1
+
     # r14 ADVICE: an EMPTY landing dir is a legitimate first-drain/cron
     # state — clean SystemExit, not Spark's opaque schema-inference error
     empty = tmp_path / "empty_landing"

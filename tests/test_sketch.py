@@ -1261,6 +1261,65 @@ def test_streaming_budget_admission(spark, tmp_path):
         BudgetAdmissionSink(target_dir, {"a": 9, "b": 9}, "score")(waves[0], 99)
 
 
+def test_admission_regret_readout(spark, tmp_path):
+    """r14 verdict stretch #7: the wave-greedy vs global-ranking
+    divergence was documented and pinned as a fact; admission_regret
+    turns it into per-source numbers. Constructed divergence fixture
+    (wave 0 mediocre score 50, wave 1 excellent score 90, budgets filled
+    entirely by wave 0): hindsight swaps EVERY admitted doc, and the
+    counts/masses are Python-mirrored exactly. Also pinned: regret in
+    score mass is non-negative per source, zero-token docs in the corpus
+    never show up as false regret, and an un-admitted budgeted source
+    still gets a zero-filled report row."""
+    from big_data_processing_with_aws_glue_workshop_spark.streaming.selection import (
+        BudgetAdmissionSink,
+        admission_regret,
+    )
+
+    schema = "doc_id long, source string, score double, n_tokens long"
+    # source a: budget 30 (3 docs); source ghost: budgeted, never seen
+    budgets = {"a": 30, "ghost": 100}
+    target_dir = str(tmp_path / "admitted")
+    sink = BudgetAdmissionSink(target_dir, budgets, "score")
+    w0 = spark.createDataFrame(
+        [(1, "a", 50.0, 10), (2, "a", 49.0, 10), (3, "a", 48.0, 10),
+         (4, "a", 47.0, 10)],
+        schema,
+    )
+    w1 = spark.createDataFrame(
+        [(11, "a", 90.0, 10), (12, "a", 89.0, 10), (13, "a", 88.0, 10),
+         # zero-token doc with a TOP score: excluded from admission AND
+         # from the hindsight cut — must not appear as regret
+         (14, "a", 99.0, 0)],
+        schema,
+    )
+    sink(w0, 0)
+    sink(w1, 1)
+
+    corpus = w0.unionByName(w1)
+    rows = {r["source"]: r.asDict() for r in admission_regret(
+        spark, target_dir, corpus
+    ).collect()}
+    a = rows["a"]
+    # greedy admitted docs 1,2,3 (wave 0); hindsight picks 11,12,13
+    assert a["admitted_docs"] == 3 and a["hindsight_docs"] == 3
+    assert a["common_docs"] == 0
+    assert a["only_streaming_docs"] == 3 and a["only_hindsight_docs"] == 3
+    assert a["admitted_tokens"] == 30 and a["hindsight_tokens"] == 30
+    assert a["admitted_score_sum"] == 50.0 + 49.0 + 48.0
+    assert a["hindsight_score_sum"] == 90.0 + 89.0 + 88.0
+    assert a["hindsight_score_sum"] >= a["admitted_score_sum"]
+    # budgeted-but-never-seen source: zero-filled row, not absent
+    g = rows["ghost"]
+    assert g["admitted_docs"] == 0 and g["hindsight_docs"] == 0
+    assert g["admitted_score_sum"] == 0.0
+    # no admission state yet -> loud error
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="no committed admission state"):
+        admission_regret(spark, str(tmp_path / "nowhere"), corpus)
+
+
 def test_streaming_budget_admission_zero_token_bounded(spark, tmp_path):
     """r14 ADVICE finding, closed: the batch operator's inclusive
     boundary admits zero-token docs (they spend nothing), so a stream of

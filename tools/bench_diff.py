@@ -64,6 +64,25 @@ def calib_factor(prior: dict, current: dict) -> float | None:
     return (c / p) if (p and c) else None
 
 
+def segment_lookup(detail: dict):
+    """Position -> box-speed reading from the interleaved segment
+    calibrations bench.py records every ~20 queries (r15; the r14 run's
+    box drifted 32% INTRA-run, so the run-wide mean mis-normalized
+    early-position queries by up to that much). Returns
+    ``at(position) -> sec`` using the segment nearest the position in
+    THIS file's own suite order, or None when the file predates
+    ``calib_segments``."""
+    segs = detail.get("calib_segments")
+    if not segs:
+        return None
+    pts = sorted((s["after"], s["sec"]) for s in segs)
+
+    def at(pos: int) -> float:
+        return min(pts, key=lambda p: abs(p[0] - pos))[1]
+
+    return at
+
+
 def diff(
     prior: dict,
     current: dict,
@@ -73,18 +92,34 @@ def diff(
 ) -> dict:
     """factor = calib_factor(...): per-query ratios are divided by it
     (and the abs-floor slowdown deflated by it) so a uniformly slower box
-    doesn't flag every query; raw ratios are kept in rows for display."""
+    doesn't flag every query; raw ratios are kept in rows for display.
+
+    When BOTH files carry ``calib_segments``, each query normalizes by
+    the segment nearest its own position in each file instead of the
+    run-wide mean — intra-run drift (32% in the r14 driver run) stops
+    polluting per-query flags. Positions come from each file's OWN query
+    order, so a rotation reordering the suite still normalizes each
+    query by the box state it actually ran under."""
     p, c = prior["queries"], current["queries"]
     norm = factor or 1.0
+    p_at, c_at = segment_lookup(prior), segment_lookup(current)
+    p_pos = {name: i for i, name in enumerate(p)}
+    c_pos = {name: i for i, name in enumerate(c)}
+    use_segments = p_at is not None and c_at is not None
     common = sorted(set(p) & set(c))
     rows = []
     flagged = []
     for name in common:
         ratio = c[name] / p[name] if p[name] > 0 else float("inf")
         rows.append((name, p[name], c[name], ratio))
-        if ratio / norm > flag_ratio and (c[name] / norm - p[name]) > abs_floor:
+        if use_segments:
+            qnorm = c_at(c_pos[name]) / p_at(p_pos[name])
+        else:
+            qnorm = norm
+        if ratio / qnorm > flag_ratio and (c[name] / qnorm - p[name]) > abs_floor:
             flagged.append(name)
     return {
+        "segment_normalized": use_segments,
         "common": common,
         "rows": rows,
         "flagged": flagged,
@@ -122,9 +157,14 @@ def main(argv: list[str] | None = None) -> int:
         f"= {d['current_common_total'] / pct:.2f}x"
     )
     if factor is not None:
+        seg_note = (
+            "per-query flags use NEAREST-SEGMENT normalization"
+            if d.get("segment_normalized")
+            else "flags are run-mean calibration-normalized"
+        )
         print(
             f"box calibration: current box {factor:.2f}x prior "
-            f"(ratios below are raw; flags are calibration-normalized — "
+            f"(ratios below are raw; {seg_note} — "
             f"normalized common-set ratio "
             f"{d['current_common_total'] / pct / factor:.2f}x)"
         )
