@@ -912,6 +912,7 @@ def cmd_stratified_budget_select(args: argparse.Namespace) -> None:
     out = stratified_budget_selection(
         scored, budgets, "score", source_col=args.source_col,
         id_col=args.id_col, n_buckets=args.n_buckets,
+        source_batch=args.source_batch,
     )
     out.write.mode("overwrite").parquet(args.output)
     written = spark.read.parquet(args.output)
@@ -1764,6 +1765,12 @@ def build_parser() -> argparse.ArgumentParser:
     sb.add_argument("--source-col", default="source")
     sb.add_argument("--text-col", default="text")
     sb.add_argument("--n-buckets", type=int, default=256)
+    sb.add_argument(
+        "--source-batch", type=int, default=None,
+        help="process the budget dict in sorted chunks of this many "
+        "sources (bounds driver state at ~100k+ strata; output is "
+        "byte-identical to the single pass)",
+    )
     sb.set_defaults(func=cmd_stratified_budget_select)
 
     ba = sub.add_parser(

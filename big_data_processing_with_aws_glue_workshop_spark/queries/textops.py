@@ -1291,6 +1291,7 @@ def stratified_budget_selection(
     n_tokens_col: str = "n_tokens",
     n_buckets: int = 256,
     recurse_min: int = _BUDGET_RECURSE_MIN,
+    source_batch: int | None = None,
     _diag: dict | None = None,
 ) -> DataFrame:
     """STRATIFIED token-budget selection (r14): the per-source constrained
@@ -1327,15 +1328,22 @@ def stratified_budget_selection(
     All cumulative arithmetic is exact bigint; bucketing only
     partitions the work.
 
-    DRIVER-STATE BOUND (stated, not hidden): the per-level collect is
-    <= |live regions| * n_buckets rows — at the default n_buckets=256
-    that is ~26M driver rows only past ~100k SOURCES, far beyond the
-    dozens-to-hundreds a mixture plan names. If a corpus ever carries
-    that many strata, the fix shape is a wrapper loop batching the
-    budget dict into ~4k-source groups (the level machinery already
-    accepts any region subset; per-source cuts are independent, so
-    batching cannot change a single output byte) or a smaller
-    ``n_buckets`` — both parameter-level, no algorithm change.
+    DRIVER-STATE BOUND and its fix, now IMPLEMENTED (r15, the r14
+    verdict's stretch #8): the per-level collect is <= |live regions| *
+    n_buckets rows — at the default n_buckets=256 that is ~26M driver
+    rows only past ~100k SOURCES, far beyond the dozens-to-hundreds a
+    mixture plan names. ``source_batch=K`` converts the bound into a
+    non-bound: the budget dict is processed in sorted chunks of K
+    sources, each chunk running the identical machinery on its corpus
+    slice, results unioned — per-source cuts are INDEPENDENT (no
+    cross-source state anywhere in the cut), so batching cannot change
+    a single output byte (pinned by an equality test at two batch
+    sizes). Driver state drops to <= K * n_buckets rows per level. Cost:
+    the global coverage/collision pre-check is one extra corpus
+    aggregate, and each chunk re-scans the corpus behind a source-IN
+    filter (partition-prunable when the corpus is laid out by source) —
+    ceil(|sources|/K) bounded passes, the price of bounded driver
+    memory. Default None = single pass, unchanged plan.
 
     DELIBERATELY a sibling of :func:`token_budget_selection`, not its
     replacement: the global op keeps a leaner plan (no per-region params
@@ -1360,6 +1368,67 @@ def stratified_budget_selection(
         if int(b) < 0:
             raise ValueError(f"budget for source {s!r} must be >= 0, got {b}")
         bmap[str(s)] = int(b)
+    if source_batch is not None and source_batch < 1:
+        raise ValueError(f"source_batch must be >= 1, got {source_batch}")
+    if source_batch is not None and len(bmap) > source_batch:
+        # batched mode (docstring DRIVER-STATE BOUND): the global
+        # coverage + sentinel-collision checks must run over the WHOLE
+        # corpus FIRST — a source missing from budgets would otherwise
+        # fall outside every chunk's IN-filter and silently select
+        # nothing, the exact typo-hiding the coverage rule refuses
+        src_expr = F.coalesce(
+            F.col(source_col).cast("string"), F.lit("(null)")
+        )
+        gstats = (
+            docs.groupBy(src_expr.alias("__src"))
+            .agg(
+                F.max(F.col(source_col).isNull().cast("int")).alias("any_null"),
+                F.min(F.col(source_col).isNull().cast("int")).alias("all_null"),
+            )
+            .collect()
+        )
+        for r in gstats:
+            if r["__src"] == "(null)" and r["any_null"] == 1 and r["all_null"] == 0:
+                raise ValueError(
+                    "source collision on the NULL sentinel: the corpus "
+                    "carries BOTH NULL sources and a source literally named "
+                    "'(null)' — one budget cannot name two populations; "
+                    "rename the literal source or fill the NULLs upstream"
+                )
+        g_missing = sorted({r["__src"] for r in gstats} - set(bmap))
+        if g_missing:
+            raise ValueError(
+                f"corpus sources missing from budgets: {g_missing} — name "
+                "every source explicitly (a silent zero-budget would hide "
+                "typos; NULL sources surface as '(null)')"
+            )
+        keys = sorted(bmap)
+        outs = []
+        for i in range(0, len(keys), source_batch):
+            chunk = keys[i : i + source_batch]
+            cdiag: dict | None = {} if _diag is not None else None
+            outs.append(
+                stratified_budget_selection(
+                    docs.filter(src_expr.isin(chunk)),
+                    {s: bmap[s] for s in chunk},
+                    score_col,
+                    source_col=source_col,
+                    id_col=id_col,
+                    n_tokens_col=n_tokens_col,
+                    n_buckets=n_buckets,
+                    recurse_min=recurse_min,
+                    _diag=cdiag,
+                )
+            )
+            if _diag is not None and cdiag:
+                _diag["max_window_rows"] = max(
+                    _diag.get("max_window_rows", 0), cdiag["max_window_rows"]
+                )
+                _diag["levels"] = max(_diag.get("levels", 0), cdiag["levels"])
+                _diag["regions"] = _diag.get("regions", 0) + cdiag["regions"]
+        from functools import reduce as _greduce
+
+        return _greduce(DataFrame.unionByName, outs)
     tiebreak = F.md5(F.concat(F.lit("tbs:"), F.col(id_col).cast("string")))
     # NULL sources coalesce to the explicit '(null)' group (same sentinel
     # and rationale as ngram_bucket_histogram: surfaced and nameable in

@@ -1305,6 +1305,78 @@ def test_stratified_budget_selection_null_sentinel_collision(spark):
     assert sorted(r["doc_id"] for r in got if r["source"] == "(null)") == [3, 4]
 
 
+def test_stratified_budget_selection_source_batching(spark):
+    """r14 verdict stretch #8: source_batch=K processes the budget dict
+    in sorted K-source chunks (driver state <= K * n_buckets per level)
+    and must be BYTE-IDENTICAL to the single-pass output at every batch
+    size — per-source cuts are independent, so batching can only
+    repartition the work. Also pinned: the global coverage and
+    NULL-sentinel collision checks fire in batched mode (a source
+    missing from budgets must not silently vanish outside every chunk's
+    IN-filter), and NULL sources land in whichever chunk holds
+    '(null)'."""
+    from big_data_processing_with_aws_glue_workshop_spark.queries.textops import (
+        stratified_budget_selection,
+    )
+
+    # 7 sources (incl. a NULL population), ragged sizes, tied scores so
+    # the tiebreak path is exercised; budgets cut mid-source everywhere
+    rows = []
+    did = 0
+    for k in range(6):
+        for i in range(10 + 3 * k):
+            rows.append((did, f"s{k}", float((did * 7) % 5), 10))
+            did += 1
+    rows += [(900, None, 4.0, 10), (901, None, 3.0, 10), (902, None, 2.0, 10)]
+    docs = spark.createDataFrame(
+        rows, "doc_id long, source string, score double, n_tokens long"
+    )
+    budgets = {f"s{k}": 40 + 10 * k for k in range(6)}
+    budgets["(null)"] = 20
+
+    base = sorted(
+        tuple(r)
+        for r in stratified_budget_selection(docs, budgets, "score").collect()
+    )
+    assert base  # non-trivial fixture
+    for k in (2, 3):
+        diag: dict = {}
+        got = sorted(
+            tuple(r)
+            for r in stratified_budget_selection(
+                docs, budgets, "score", source_batch=k, _diag=diag
+            ).collect()
+        )
+        assert got == base, f"source_batch={k} diverged"
+        assert diag["regions"] > 0
+    # batch size >= |sources|: the single-pass path, same answer
+    got = sorted(
+        tuple(r)
+        for r in stratified_budget_selection(
+            docs, budgets, "score", source_batch=100
+        ).collect()
+    )
+    assert got == base
+    # coverage raise still fires in batched mode (the pre-check, not the
+    # chunks, must catch it)
+    with pytest.raises(ValueError, match="missing from budgets"):
+        stratified_budget_selection(
+            docs, {k: v for k, v in budgets.items() if k != "s3"},
+            "score", source_batch=2,
+        )
+    # sentinel collision raise still fires in batched mode
+    clash = docs.unionByName(
+        spark.createDataFrame(
+            [(950, "(null)", 1.0, 10)],
+            "doc_id long, source string, score double, n_tokens long",
+        )
+    )
+    with pytest.raises(ValueError, match="collision on the NULL sentinel"):
+        stratified_budget_selection(clash, budgets, "score", source_batch=2)
+    with pytest.raises(ValueError, match="source_batch"):
+        stratified_budget_selection(docs, budgets, "score", source_batch=0)
+
+
 def test_stratified_budget_selection_worklist_bound(spark):
     """Discrete grades in BOTH sources: every oversized bucket (FULL or
     PARTIAL, any source) refines via the level-batched worklist — the
