@@ -1129,7 +1129,72 @@ def cmd_dsir_fit(args: argparse.Namespace) -> None:
         dsir_multi_target_log_ratio_table,
     )
 
+    if (args.input is None) == (args.corpus_stream is None):
+        raise SystemExit(
+            "pass exactly one of --input (batch corpus) or "
+            "--corpus-stream (standing histogram dir)"
+        )
+    if args.corpus_stream is not None and args.model_sample is not None:
+        raise SystemExit(
+            "--model-sample applies to a batch --input fit; the streamed "
+            "histogram is already the (exact) corpus model"
+        )
     spark = get_session(app_name="dsir-fit")
+    if args.corpus_stream is not None:
+        # streaming-fed fit (r15): the standing drift-monitor grid IS the
+        # corpus model — one bounded aggregate, no corpus re-read.
+        # Single-target only: the multi-target mixture needs one shared
+        # corpus model across several per-target tables, a composition
+        # this command keeps on the batch path until someone needs it
+        # streamed (refused loudly below, with the workaround named).
+        from .streaming.sketch import dsir_fit_from_stream, read_pointer
+
+        targets = args.target
+        if len(targets) != 1:
+            raise SystemExit(
+                "--corpus-stream currently fits a SINGLE --target "
+                "(multi-target mixtures: run dsir-fit per target, then "
+                "combine, or use a batch --input fit)"
+            )
+        pointer = read_pointer(args.corpus_stream)
+        if pointer is None:
+            raise SystemExit(
+                f"no committed histogram at {args.corpus_stream!r}"
+            )
+        stream_buckets = pointer["calibration"]["n_buckets"]
+        if args.n_buckets != stream_buckets:
+            raise SystemExit(
+                f"--n-buckets {args.n_buckets} != the sink's pinned "
+                f"calibration ({stream_buckets}) — the streamed histogram "
+                "fixes the bucketing; pass the matching value"
+            )
+        srcs = (
+            args.stream_sources.split(",")
+            if args.stream_sources is not None
+            else None
+        )
+        lam = dsir_fit_from_stream(
+            spark,
+            args.corpus_stream,
+            spark.read.parquet(targets[0]),
+            alpha=args.alpha,
+            sources=srcs,
+        )
+        spark.createDataFrame(
+            [(b, v) for b, v in enumerate(lam)], "b int, lam bigint"
+        ).coalesce(1).write.mode("overwrite").parquet(args.output)
+        _emit(
+            {
+                "job": "dsir-fit",
+                "output": args.output,
+                "n_buckets": args.n_buckets,
+                "n_targets": 1,
+                "corpus_stream": args.corpus_stream,
+                "lam_min": min(lam),
+                "lam_max": max(lam),
+            }
+        )
+        return
     corpus = spark.read.parquet(args.input)
     corpus_model = (
         corpus.sample(fraction=args.model_sample, seed=args.seed)
@@ -1872,7 +1937,23 @@ def build_parser() -> argparse.ArgumentParser:
         help="fit the DSIR log-ratio table once (tiny (b, lam) parquet); "
         "later dsir-select --log-ratio runs skip both model fits",
     )
-    df_.add_argument("--input", required=True, help="raw corpus parquet path")
+    df_.add_argument(
+        "--input", default=None,
+        help="raw corpus parquet path (exactly one of --input / "
+        "--corpus-stream)",
+    )
+    df_.add_argument(
+        "--corpus-stream", default=None,
+        help="standing NgramHistogramSink dir: fit the corpus-side "
+        "model from the STREAMED histogram (same featurizer), never "
+        "re-reading a streamed document; bucketing comes from the "
+        "sink's pinned calibration",
+    )
+    df_.add_argument(
+        "--stream-sources", default=None,
+        help="with --corpus-stream: comma-separated subset of streamed "
+        "sources to fit against (default: all)",
+    )
     df_.add_argument(
         "--target",
         required=True,

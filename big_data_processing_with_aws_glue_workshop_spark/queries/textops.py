@@ -1810,8 +1810,6 @@ def dsir_log_ratio_table(
     corpus side on a SAMPLE (pass ``corpus_model=corpus.sample(f)`` to the
     callers below) — the paper does exactly this; the model only needs
     bucket FREQUENCIES, not the full corpus."""
-    import math
-
     if n_buckets < 1:
         raise ValueError(f"n_buckets must be >= 1, got {n_buckets}")
     if alpha <= 0:
@@ -1823,6 +1821,18 @@ def dsir_log_ratio_table(
         )
     tb = _dsir_bucket_histogram(target, text_col, n_buckets)
     cb = _dsir_bucket_histogram(corpus, text_col, n_buckets)
+    return _log_ratio_from_histograms(tb, cb, n_buckets, alpha)
+
+
+def _log_ratio_from_histograms(
+    tb: dict, cb: dict, n_buckets: int, alpha: float
+) -> list:
+    """The fit arithmetic from two {bucket: count} histograms — factored
+    (r15) so the STREAMING corpus model (the standing NgramHistogramSink
+    grid summed over sources) fits through the IDENTICAL code path as
+    the batch fit; the math cannot fork between them."""
+    import math
+
     t_total, c_total = sum(tb.values()), sum(cb.values())
     if t_total == 0:
         raise ValueError("target has no text rows: cannot fit the DSIR target model")

@@ -285,6 +285,79 @@ def stream_drift_report(
     )
 
 
+def dsir_fit_from_stream(
+    spark: SparkSession,
+    target_dir: str,
+    target: DataFrame,
+    *,
+    alpha: float = 1.0,
+    sources: list | None = None,
+) -> list:
+    """Fit the DSIR log-ratio table with the STREAMED corpus as the
+    corpus-side model (r15): the standing ``NgramHistogramSink`` grid
+    uses the exact DSIR featurizer (hashed unigram+bigram buckets, the
+    shared ``_dsir_buckets``), so its per-(source, bucket) counts summed
+    over sources ARE the corpus bucket histogram — the corpus side of
+    the fit costs one aggregate over the <= |sources| * n_buckets
+    standing grid and NEVER re-reads a streamed document. The returned
+    table is byte-identical to ``dsir_log_ratio_table`` over everything
+    ever streamed (same ``_log_ratio_from_histograms`` arithmetic —
+    pinned by test), so every selector consumes it unchanged via
+    ``log_ratio=`` / ``--log-ratio``.
+
+    This closes the loop between the drift monitor and the selection
+    family: the same standing state that tells an operator WHICH sources
+    drifted (``stream_drift_report``) now also fits the model that
+    selects AGAINST the drift, with zero additional corpus passes.
+
+    ``sources`` optionally restricts the corpus model to a subset of
+    streamed sources (fit "importance vs the web slice only"); unknown
+    names raise — a typo'd source silently fitting the full mixture
+    would be the exact failure mode the budget operators' coverage rule
+    refuses. ``target`` is featurized with the sink's pinned
+    ``text_col``/``n_buckets`` calibration, so stream and target models
+    can never disagree on bucketing."""
+    from pyspark.sql import functions as F
+
+    from ..queries.textops import (
+        _dsir_bucket_histogram,
+        _log_ratio_from_histograms,
+    )
+
+    if alpha <= 0:
+        raise ValueError(f"alpha must be > 0, got {alpha}")
+    pointer = read_pointer(target_dir)
+    if pointer is None:
+        raise ValueError(f"no committed histogram at {target_dir!r}")
+    calib = pointer["calibration"]
+    n_buckets, src_col = calib["n_buckets"], calib["source_col"]
+    grid = read_current(spark, target_dir)
+    if sources is not None:
+        wanted = [str(s) for s in sources]
+        have = {
+            r["s"]
+            for r in grid.select(
+                F.col(src_col).cast("string").alias("s")
+            )
+            .distinct()
+            .collect()
+        }
+        unknown = sorted(set(wanted) - have)
+        if unknown:
+            raise ValueError(
+                f"sources not present in the streamed histogram: {unknown} "
+                f"(streamed: {sorted(have)}) — a typo here would silently "
+                "fit the wrong corpus model"
+            )
+        grid = grid.filter(F.col(src_col).cast("string").isin(wanted))
+    cb = {
+        int(r["b"]): int(r["c"])
+        for r in grid.groupBy("b").agg(F.sum("c").alias("c")).collect()
+    }
+    tb = _dsir_bucket_histogram(target, calib["text_col"], n_buckets)
+    return _log_ratio_from_histograms(tb, cb, n_buckets, alpha)
+
+
 def _guard_checkpoint(target_dir: str, checkpoint_dir: str | None) -> None:
     """Refuse the silent-skip hole: a committed target must be resumed
     under its ORIGINAL checkpoint, or batch ids restart at 0 and the

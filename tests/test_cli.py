@@ -1829,3 +1829,84 @@ def test_cli_dsir_fit_multi_target(spark, tmp_path, capsys):
             "--output", str(tmp_path / "lam_bad"),
             "--n-buckets", "512",
         ])
+
+
+def test_cli_dsir_fit_from_stream(spark, tmp_path, capsys):
+    """r15: dsir-fit --corpus-stream fits the corpus-side model from the
+    standing NgramHistogramSink grid (no corpus re-read) and the written
+    table is bit-identical to a batch --input fit over everything
+    streamed; mismatched bucketing, --input+--corpus-stream together,
+    --model-sample with a stream, and multi-target+stream are all
+    refused eagerly."""
+    import json as _json
+
+    import pytest as _pytest
+
+    from big_data_processing_with_aws_glue_workshop_spark.cli import main
+    from big_data_processing_with_aws_glue_workshop_spark.streaming.sketch import (
+        NgramHistogramSink,
+    )
+
+    rows = [
+        (i,
+         "even_src" if i % 2 == 0 else "odd_src",
+         " ".join(f"{'apple' if i % 2 == 0 else 'zebra'}{(i + j) % 40}"
+                  for j in range(12)))
+        for i in range(240)
+    ]
+    corpus = spark.createDataFrame(rows, "doc_id long, source string, text string")
+    corpus.coalesce(2).write.parquet(str(tmp_path / "corpus"))
+    spark.createDataFrame(
+        [(900 + k, " ".join(f"apple{j % 40}" for j in range(12))) for k in range(8)],
+        "doc_id long, text string",
+    ).coalesce(1).write.parquet(str(tmp_path / "target"))
+
+    hist = str(tmp_path / "hist")
+    sink = NgramHistogramSink(hist, n_buckets=512)
+    sink(corpus.filter("doc_id < 120"), 0)
+    sink(corpus.filter("doc_id >= 120"), 1)
+
+    main([
+        "dsir-fit",
+        "--corpus-stream", hist,
+        "--target", str(tmp_path / "target"),
+        "--output", str(tmp_path / "lam_stream"),
+        "--n-buckets", "512",
+    ])
+    fit = _json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert fit["corpus_stream"] == hist
+    main([
+        "dsir-fit",
+        "--input", str(tmp_path / "corpus"),
+        "--target", str(tmp_path / "target"),
+        "--output", str(tmp_path / "lam_batch"),
+        "--n-buckets", "512",
+    ])
+    capsys.readouterr()
+    stream_tab = sorted(
+        tuple(r) for r in spark.read.parquet(str(tmp_path / "lam_stream")).collect()
+    )
+    batch_tab = sorted(
+        tuple(r) for r in spark.read.parquet(str(tmp_path / "lam_batch")).collect()
+    )
+    assert stream_tab == batch_tab and len(stream_tab) == 512
+
+    common = ["--target", str(tmp_path / "target"), "--output", str(tmp_path / "x")]
+    with _pytest.raises(SystemExit, match="exactly one of"):
+        main(["dsir-fit", "--input", str(tmp_path / "corpus"),
+              "--corpus-stream", hist, *common])
+    with _pytest.raises(SystemExit, match="exactly one of"):
+        main(["dsir-fit", *common])
+    with _pytest.raises(SystemExit, match="pinned calibration"):
+        main(["dsir-fit", "--corpus-stream", hist, *common, "--n-buckets", "1024"])
+    with _pytest.raises(SystemExit, match="model-sample"):
+        main(["dsir-fit", "--corpus-stream", hist, *common,
+              "--n-buckets", "512", "--model-sample", "0.5"])
+    with _pytest.raises(SystemExit, match="SINGLE --target"):
+        main(["dsir-fit", "--corpus-stream", hist,
+              "--target", str(tmp_path / "target"),
+              "--target", str(tmp_path / "target"),
+              "--output", str(tmp_path / "y"), "--n-buckets", "512"])
+    with _pytest.raises(SystemExit, match="no committed histogram"):
+        main(["dsir-fit", "--corpus-stream", str(tmp_path / "nowhere"),
+              *common, "--n-buckets", "512"])

@@ -1261,6 +1261,89 @@ def test_streaming_budget_admission(spark, tmp_path):
         BudgetAdmissionSink(target_dir, {"a": 9, "b": 9}, "score")(waves[0], 99)
 
 
+def test_dsir_fit_from_stream_parity(spark, tmp_path):
+    """r15: the standing NgramHistogramSink grid uses the exact DSIR
+    featurizer, so summing it over sources IS the corpus-side model —
+    dsir_fit_from_stream must be BYTE-IDENTICAL to dsir_log_ratio_table
+    over everything ever streamed (the shared _log_ratio_from_histograms
+    arithmetic), and a selector fed the stream-fitted table must pick
+    the same documents as a fit-inline run. Also pinned: the per-source
+    restriction equals a batch fit on that source's slice, unknown
+    sources raise, and the sink's pinned bucketing governs the target
+    featurization."""
+    from big_data_processing_with_aws_glue_workshop_spark.queries.textops import (
+        dsir_log_ratio_table,
+        dsir_select,
+    )
+    from big_data_processing_with_aws_glue_workshop_spark.streaming.sketch import (
+        NgramHistogramSink,
+        dsir_fit_from_stream,
+    )
+
+    def wave(n, off, stem_even, stem_odd):
+        rows = []
+        for i in range(n):
+            stem = stem_even if (off + i) % 2 == 0 else stem_odd
+            src = "even_src" if (off + i) % 2 == 0 else "odd_src"
+            rows.append(
+                (
+                    off + i,
+                    src,
+                    " ".join(f"{stem}{(off + i + j) % 40}" for j in range(12)),
+                )
+            )
+        return spark.createDataFrame(rows, "doc_id long, source string, text string")
+
+    target_dir = str(tmp_path / "hist")
+    sink = NgramHistogramSink(target_dir, n_buckets=512)
+    waves = [wave(120, 0, "apple", "zebra"), wave(120, 200, "apple", "zebra")]
+    for i, w in enumerate(waves):
+        sink(w, i)
+
+    target = spark.createDataFrame(
+        [(k, " ".join(f"apple{j % 40}" for j in range(12))) for k in range(8)],
+        "tid long, text string",
+    )
+    union = waves[0].unionByName(waves[1])
+
+    stream_lam = dsir_fit_from_stream(spark, target_dir, target)
+    batch_lam = dsir_log_ratio_table(union, target, n_buckets=512)
+    assert stream_lam == batch_lam  # bit-for-bit, all 512 buckets
+
+    # the stream-fitted table drives selection identically to fit-inline
+    got = {
+        r["doc_id"]
+        for r in dsir_select(
+            union, None, k=30, seed=7, n_buckets=512, log_ratio=stream_lam
+        ).collect()
+    }
+    want = {
+        r["doc_id"]
+        for r in dsir_select(union, target, k=30, seed=7, n_buckets=512).collect()
+    }
+    assert got == want
+
+    # per-source restriction == batch fit on that slice alone
+    even_lam = dsir_fit_from_stream(
+        spark, target_dir, target, sources=["even_src"]
+    )
+    even_batch = dsir_log_ratio_table(
+        union.filter("source = 'even_src'"), target, n_buckets=512
+    )
+    assert even_lam == even_batch
+    assert even_lam != stream_lam  # the restriction actually bites
+
+    # refusals: unknown source, bad alpha, no committed state
+    import pytest
+
+    with pytest.raises(ValueError, match="not present in the streamed"):
+        dsir_fit_from_stream(spark, target_dir, target, sources=["ghost"])
+    with pytest.raises(ValueError, match="alpha"):
+        dsir_fit_from_stream(spark, target_dir, target, alpha=0)
+    with pytest.raises(ValueError, match="no committed histogram"):
+        dsir_fit_from_stream(spark, str(tmp_path / "nowhere"), target)
+
+
 def test_admission_regret_readout(spark, tmp_path):
     """r14 verdict stretch #7: the wave-greedy vs global-ranking
     divergence was documented and pinned as a fact; admission_regret
