@@ -985,6 +985,26 @@ def cmd_budget_admission(args: argparse.Namespace) -> None:
     )
 
 
+def cmd_admission_recalibrate(args: argparse.Namespace) -> None:
+    """Migrate a standing admission table to new per-source budgets
+    (streaming/selection.py::recalibrate_admission): quality re-cut of
+    the admitted table under the new budgets, atomic snapshot + spent
+    flip; the next drain composes against the new remaining budgets."""
+    from .streaming.selection import admission_report, recalibrate_admission
+
+    spark = get_session(app_name="admission-recalibrate")
+    budgets = _parse_budgets(args.budgets)
+    out = recalibrate_admission(spark, args.target, budgets)
+    _emit(
+        {
+            "job": "admission-recalibrate",
+            "target": args.target,
+            **out,
+            "report": admission_report(args.target),
+        }
+    )
+
+
 def cmd_admission_regret(args: argparse.Namespace) -> None:
     """Wave-greedy regret readout (streaming/selection.py::
     admission_regret): the standing admitted table vs the batch
@@ -1862,6 +1882,20 @@ def build_parser() -> argparse.ArgumentParser:
     ba.add_argument("--source-col", default="source")
     ba.add_argument("--n-buckets", type=int, default=256)
     ba.set_defaults(func=cmd_budget_admission)
+
+    arc = sub.add_parser(
+        "admission-recalibrate",
+        help="migrate a standing admission table to new per-source "
+        "budgets: quality re-cut of the admitted docs (shrink evicts, "
+        "grow keeps + raises headroom), atomic snapshot + spent flip",
+    )
+    arc.add_argument("--target", required=True, help="admission state dir")
+    arc.add_argument(
+        "--budgets", required=True,
+        help="comma-separated source=tokens pairs — every source with "
+        "admitted rows must be named (evict explicitly with 0)",
+    )
+    arc.set_defaults(func=cmd_admission_recalibrate)
 
     ar = sub.add_parser(
         "admission-regret",

@@ -92,7 +92,15 @@ class BudgetAdmissionSink:
         from ..queries.textops import stratified_budget_selection
 
         pointer = read_pointer(self.target_dir)
-        if pointer is not None and batch_id <= pointer["batch_id"]:
+        # replay gate on the STREAM batch id, decoupled from the snapshot
+        # version counter (r15, the corpus_dedup precedent): maintenance
+        # commits (recalibrate_admission) bump the version without
+        # consuming a stream id, so the gate must key on
+        # last_stream_batch (falling back to batch_id for pre-r15
+        # pointers, where the two were the same number)
+        if pointer is not None and batch_id <= pointer.get(
+            "last_stream_batch", pointer["batch_id"]
+        ):
             return  # replayed batch after recovery: already admitted
         spent: dict = {}
         if pointer is not None:
@@ -169,12 +177,20 @@ class BudgetAdmissionSink:
                 merged = read_current(spark, self.target_dir).unionByName(inc)
             else:
                 merged = inc
-            extra: dict = {"calibration": self.calibration, "spent": new_spent}
+            extra: dict = {
+                "calibration": self.calibration,
+                "spent": new_spent,
+                "last_stream_batch": batch_id,
+            }
             if self.checkpoint_dir is not None:
                 extra["stream_checkpoint"] = os.path.abspath(
                     self.checkpoint_dir
                 )
-            commit_snapshot(merged, self.target_dir, batch_id, extra)
+            # snapshot versions are a monotone counter independent of the
+            # stream id: a recalibration commit in between must not force
+            # a version-dir collision with the next stream batch
+            version = (pointer["batch_id"] + 1) if pointer is not None else batch_id
+            commit_snapshot(merged, self.target_dir, version, extra)
         finally:
             inc.unpersist()
 
@@ -212,6 +228,101 @@ def run_stream_budget_admission(
 def read_admitted(spark: SparkSession, target_dir: str) -> DataFrame:
     """The live standing admitted table (snapshot-isolated)."""
     return read_current(spark, target_dir)
+
+
+def recalibrate_admission(
+    spark: SparkSession, target_dir: str, new_budgets: dict
+) -> dict:
+    """Migrate a standing admission table to NEW per-source budgets
+    (r15): the sink refuses a recalibrated configuration by design
+    (admissions across different budget tables do not compose), which
+    protected correctness but left no path for the real operational
+    event "the mixture plan changed mid-stream". This maintenance op IS
+    that path, with semantics stated plainly:
+
+    - the new admitted set is the batch operator's quality cut
+      (``stratified_budget_selection`` — score DESC, md5 tiebreak,
+      inclusive prefix) applied to the STANDING ADMITTED TABLE under the
+      new budgets. Shrinking a budget evicts exactly the re-cut
+      complement; growing one keeps every admitted doc (their mass fits
+      the old budget, hence the larger one) and raises headroom.
+    - recalibration CANNOT resurrect documents earlier waves rejected —
+      the sink retains nothing it rejected (the same wave-greedy
+      information bound the module docstring states; admission_regret
+      quantifies what hindsight would have kept).
+    - every source with admitted rows must be named in ``new_budgets``
+      (the operator's coverage rule — evict a source explicitly with
+      budget 0, never by omission); new sources may be added freely and
+      apply from the next drain.
+    - the commit is atomic and versioned: new snapshot + updated
+      calibration/spent flip together; the stream's replay gate
+      (``last_stream_batch``) and checkpoint pin carry forward
+      unchanged, so the next drain composes against the remaining
+      budgets with no stream id consumed.
+
+    Returns {"evicted_docs", "kept_docs", "spent": {source: tokens}}."""
+    from ..queries.textops import stratified_budget_selection
+
+    pointer = read_pointer(target_dir)
+    if pointer is None:
+        raise ValueError(f"no committed admission state at {target_dir!r}")
+    cal = pointer["calibration"]
+    bmap = {str(k): int(v) for k, v in new_budgets.items()}
+    for s, b in bmap.items():
+        if b < 0:
+            raise ValueError(f"budget for source {s!r} must be >= 0, got {b}")
+    src, idc = cal["source_col"], cal["id_col"]
+    admitted = read_current(spark, target_dir).persist()
+    try:
+        n_admitted = admitted.count()
+        recut = stratified_budget_selection(
+            admitted.select(idc, src, "score", "n_tokens"),
+            bmap,
+            "score",
+            source_col=src,
+            id_col=idc,
+            n_buckets=cal["n_buckets"],
+        )
+        # carry each surviving doc's original admitted_batch; cum_tokens
+        # are the re-cut's fresh per-source running mass under the new
+        # ranking-prefix (the standing table's old offsets described a
+        # budget table that no longer exists)
+        merged = recut.select(
+            idc, src, "score", "n_tokens", "cum_tokens"
+        ).join(
+            admitted.select(idc, src, "admitted_batch"), [idc, src]
+        ).persist()
+        try:
+            kept = merged.count()
+            new_spent_rows = {
+                r[src]: int(r["m"])
+                for r in merged.groupBy(src)
+                .agg(F.coalesce(F.sum("n_tokens"), F.lit(0)).alias("m"))
+                .collect()
+            }
+            new_spent = {s: new_spent_rows.get(s, 0) for s in bmap}
+            extra = {
+                k: v
+                for k, v in pointer.items()
+                if k not in ("batch_id", "version", "keep_versions")
+            }
+            extra["calibration"] = {**cal, "budgets": bmap}
+            extra["spent"] = new_spent
+            extra.setdefault(
+                "last_stream_batch", pointer["batch_id"]
+            )
+            commit_snapshot(
+                merged, target_dir, pointer["batch_id"] + 1, extra
+            )
+        finally:
+            merged.unpersist()
+    finally:
+        admitted.unpersist()
+    return {
+        "evicted_docs": int(n_admitted - kept),
+        "kept_docs": int(kept),
+        "spent": new_spent,
+    }
 
 
 def admission_regret(

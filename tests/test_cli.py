@@ -1491,6 +1491,20 @@ def test_cli_budget_admission(spark, tmp_path, capsys):
     # a admitted 2 wave-0 docs before wave 1 landed; hindsight swaps them
     assert reg["by_source"]["a"]["only_hindsight_docs"] >= 1
 
+    # r15: admission-recalibrate migrates the standing table to new
+    # budgets (shrink a 30->20 evicts its lowest-quality admitted doc;
+    # the emitted report reflects the new calibration)
+    main([
+        "admission-recalibrate",
+        "--target", str(tmp_path / "adm"),
+        "--budgets", "a=20,b=20",
+    ])
+    rec = _json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert rec["job"] == "admission-recalibrate"
+    assert rec["kept_docs"] == 4 and rec["evicted_docs"] == 1
+    assert rec["report"]["a"] == {"budget": 20, "spent": 20, "remaining": 0}
+    assert rec["report"]["b"] == {"budget": 20, "spent": 20, "remaining": 0}
+
     # r14 ADVICE: an EMPTY landing dir is a legitimate first-drain/cron
     # state — clean SystemExit, not Spark's opaque schema-inference error
     empty = tmp_path / "empty_landing"

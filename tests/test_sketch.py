@@ -1261,6 +1261,99 @@ def test_streaming_budget_admission(spark, tmp_path):
         BudgetAdmissionSink(target_dir, {"a": 9, "b": 9}, "score")(waves[0], 99)
 
 
+def test_recalibrate_admission(spark, tmp_path):
+    """r15: the sink refuses a recalibrated configuration by design;
+    recalibrate_admission is the sanctioned migration path. Pinned:
+    shrinking evicts exactly the quality re-cut's complement (score
+    DESC, tiebreak — NOT admission order), growing keeps every admitted
+    doc and raises headroom, a source with admitted rows missing from
+    the new budgets raises (evict explicitly with 0, never by
+    omission), the next drain composes against the new remaining
+    budgets under a sink built with the new config while the old config
+    is refused, and stream replay gating survives the maintenance
+    commit (the version bump consumes no stream id)."""
+    import pytest
+
+    from big_data_processing_with_aws_glue_workshop_spark.streaming.selection import (
+        BudgetAdmissionSink,
+        admission_report,
+        read_admitted,
+        recalibrate_admission,
+    )
+
+    schema = "doc_id long, source string, score double, n_tokens long"
+    target_dir = str(tmp_path / "admitted")
+    budgets = {"a": 50, "b": 30}
+    sink = BudgetAdmissionSink(target_dir, budgets, "score")
+    # wave 0: a gets docs 1-5 (scores 50..46), b gets 6-8 (scores 40..38)
+    w0 = spark.createDataFrame(
+        [(i, "a", 51.0 - i, 10) for i in range(1, 6)]
+        + [(i, "b", 46.0 - i, 10) for i in range(6, 9)],
+        schema,
+    )
+    sink(w0, 0)
+    assert admission_report(target_dir) == {
+        "a": {"budget": 50, "spent": 50, "remaining": 0},
+        "b": {"budget": 30, "spent": 30, "remaining": 0},
+    }
+
+    # no state / bad budget refusals
+    with pytest.raises(ValueError, match="no committed admission state"):
+        recalibrate_admission(spark, str(tmp_path / "nope"), {"a": 1})
+    with pytest.raises(ValueError, match="must be >= 0"):
+        recalibrate_admission(spark, target_dir, {"a": -1, "b": 0})
+    # coverage rule: b has admitted rows, must be named
+    with pytest.raises(ValueError, match="missing from budgets"):
+        recalibrate_admission(spark, target_dir, {"a": 50})
+
+    # shrink a to 30 (evicts its two LOWEST-scoring docs: 4, 5), grow b
+    # to 60, add a brand-new source c
+    out = recalibrate_admission(
+        spark, target_dir, {"a": 30, "b": 60, "c": 40}
+    )
+    assert out == {
+        "evicted_docs": 2,
+        "kept_docs": 6,
+        "spent": {"a": 30, "b": 30, "c": 0},
+    }
+    got = {
+        r["doc_id"]: r["admitted_batch"]
+        for r in read_admitted(spark, target_dir).collect()
+    }
+    assert sorted(got) == [1, 2, 3, 6, 7, 8]  # 4 and 5 evicted
+    assert set(got.values()) == {0}  # original provenance carried
+    rep = admission_report(target_dir)
+    assert rep["a"] == {"budget": 30, "spent": 30, "remaining": 0}
+    assert rep["b"] == {"budget": 60, "spent": 30, "remaining": 30}
+    assert rep["c"] == {"budget": 40, "spent": 0, "remaining": 40}
+
+    # the OLD sink config is now refused; the NEW one composes: wave 1
+    # fills b's new headroom and starts c, a admits nothing
+    with pytest.raises(ValueError, match="calibration mismatch"):
+        sink(w0, 1)
+    sink2 = BudgetAdmissionSink(target_dir, {"a": 30, "b": 60, "c": 40}, "score")
+    w1 = spark.createDataFrame(
+        [(20, "a", 99.0, 10), (21, "b", 99.0, 10), (22, "b", 98.0, 10),
+         (23, "b", 97.0, 10), (24, "c", 99.0, 10)],
+        schema,
+    )
+    sink2(w1, 1)
+    rep = admission_report(target_dir)
+    assert rep["a"]["spent"] == 30  # exhausted: doc 20 rejected
+    assert rep["b"]["spent"] == 60  # 21, 22, 23 admitted
+    assert rep["c"]["spent"] == 10  # 24 admitted
+    # replay gate keyed on the stream id, not the (bumped) version:
+    # re-delivering batch 1 is a no-op
+    before = sorted(
+        r["doc_id"] for r in read_admitted(spark, target_dir).collect()
+    )
+    sink2(w1, 1)
+    after = sorted(
+        r["doc_id"] for r in read_admitted(spark, target_dir).collect()
+    )
+    assert after == before == [1, 2, 3, 6, 7, 8, 21, 22, 23, 24]
+
+
 def test_dsir_fit_from_stream_parity(spark, tmp_path):
     """r15: the standing NgramHistogramSink grid uses the exact DSIR
     featurizer, so summing it over sources IS the corpus-side model —
