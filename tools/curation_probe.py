@@ -379,6 +379,85 @@ def probe_stratified(sizes: list[int]) -> None:
         docs.unpersist()
 
 
+def probe_stratified_batched(sizes: list[int]) -> None:
+    """source_batch wrapper at WIDTH (r15, the r14 verdict's stretch #8
+    measured): 512 sources with discrete grades, budgets cutting inside
+    a tied grade, run single-pass vs source_batch=64 (8 chunks). Claims:
+      1. the chunked output is byte-identical to the single pass (the
+         provable independence claim, checked at width, not argued);
+      2. per-level driver state drops by the chunking factor: the
+         single pass's per-level region table covers all 512 sources,
+         each chunk's covers <= 64 (diag regions reported per run);
+      3. all budgets respected either way; wall overhead is the
+         ceil(512/64)=8 filtered corpus passes, reported honestly."""
+    from pyspark.sql import functions as F
+
+    from big_data_processing_with_aws_glue_workshop_spark.queries.textops import (
+        stratified_budget_selection,
+    )
+
+    spark = get_session(app_name="curation-probe-stratified-batched")
+    recurse_min = 5_000
+    n_sources = 512
+    batch = 64
+    for n in sizes:
+        docs = spark.range(n).select(
+            F.col("id").alias("doc_id"),
+            F.concat(F.lit("src"), (F.col("id") % n_sources).cast("string")).alias(
+                "source"
+            ),
+            ((F.col("id") / n_sources).cast("bigint") % 3).cast("double").alias(
+                "score"
+            ),
+            (10 + F.col("id") % 40).cast("bigint").alias("n_tokens"),
+        ).cache()
+        budgets = {
+            r["source"]: int(r["t"]) // 2
+            for r in docs.groupBy("source").agg(F.sum("n_tokens").alias("t")).collect()
+        }
+        runs = {}
+        for label, kw in (
+            ("single", {}),
+            ("batched", {"source_batch": batch}),
+        ):
+            diag: dict = {}
+            t0 = time.time()
+            rows = sorted(
+                tuple(r)
+                for r in stratified_budget_selection(
+                    docs, budgets, "score", recurse_min=recurse_min,
+                    _diag=diag, **kw,
+                ).collect()
+            )
+            wall = time.time() - t0
+            runs[label] = (rows, wall, dict(diag))
+        identical = runs["single"][0] == runs["batched"][0]
+        per_src = {}
+        for r in runs["batched"][0]:
+            per_src[r[1]] = max(per_src.get(r[1], 0), r[5])
+        within = all(per_src[s] <= budgets[s] for s in per_src)
+        rec = {
+            "op": "stratified_budget_selection_batched",
+            "docs": n,
+            "sources": n_sources,
+            "source_batch": batch,
+            "recurse_min": recurse_min,
+            "byte_identical": identical,
+            "all_within_budget": within,
+            "single_wall_s": round(runs["single"][1], 2),
+            "batched_wall_s": round(runs["batched"][1], 2),
+            "single_regions": runs["single"][2]["regions"],
+            "batched_regions_total": runs["batched"][2]["regions"],
+            "batched_levels_max": runs["batched"][2]["levels"],
+            "max_window_rows": runs["batched"][2]["max_window_rows"],
+        }
+        print(json.dumps(rec), flush=True)
+        assert identical
+        assert within
+        assert runs["batched"][2]["max_window_rows"] <= recurse_min
+        docs.unpersist()
+
+
 def probe_leakage(sizes: list[int]) -> None:
     """split_leakage_audit over the dup-heavy corpus with the PER-DOC
     hash split (the assignment that CAN leak). Claims under test:
@@ -609,10 +688,13 @@ if __name__ == "__main__":
         probe_divergence(sizes)
     elif mode == "--stratified":
         probe_stratified(sizes)
+    elif mode == "--stratified-batched":
+        probe_stratified_batched(sizes)
     elif mode == "--dsir-multi":
         probe_dsir_multi(sizes)
     else:
         raise SystemExit(
             f"unknown mode {mode!r} (use --mixture, --split, --budget, "
-            "--leakage, --dsir, --dsir-multi, --divergence or --stratified)"
+            "--leakage, --dsir, --dsir-multi, --divergence, --stratified "
+            "or --stratified-batched)"
         )
