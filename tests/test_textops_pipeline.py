@@ -1501,6 +1501,20 @@ def test_budget_selectors_randomized_reference(spark):
             ).collect()
         )
         assert got == expected, f"stratified diverged in case {case} (nb={nb}, rmin={rmin})"
+        # the source_batch wrapper rides the same gate (r15): a boundary
+        # fix applied to the single-pass path but not the chunked
+        # pre-check (or vice versa) fails every scenario with >1 source
+        if len(srcs) > 1:
+            batched = sorted(
+                tuple(r)
+                for r in stratified_budget_selection(
+                    docs, budgets, "score", n_buckets=nb,
+                    recurse_min=rmin, source_batch=1,
+                ).collect()
+            )
+            assert batched == expected, (
+                f"source_batch=1 diverged in case {case} (nb={nb}, rmin={rmin})"
+            )
         # the GLOBAL selector must agree on each single-source slice
         src = rng.choice(sorted(srcs))
         g = sorted(
