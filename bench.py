@@ -197,6 +197,14 @@ def main() -> None:
     calib_segments: list[dict] = []
 
     def _segment(after: int, warm: bool = False) -> None:
+        # same cross-query hygiene the timed loop applies (r15 review
+        # finding): without it each segment is measured with the
+        # just-finished query's cache entries resident, so the reading
+        # absorbs query-dependent GC pressure (the documented tfidf
+        # 0.9s-vs-4.0s effect) and per-query normalization would UN-flag
+        # real regressions behind a cache-inflated segment
+        release_tracked_caches()
+        spark.catalog.clearCache()
         sec = _micro_calibration(spark, warm=warm)
         calib_segments.append({"after": after, "sec": sec})
         print(

@@ -887,7 +887,7 @@ def cmd_stratified_budget_select(args: argparse.Namespace) -> None:
     (src=tokens,src=tokens)."""
     import pyspark.sql.functions as F
 
-    from .queries.textops import _tokens, stratified_budget_selection
+    from .queries.textops import _tokens, lexical_diversity, stratified_budget_selection
 
     spark = get_session(app_name="stratified-budget-select")
     docs = spark.read.parquet(args.input)
@@ -904,9 +904,7 @@ def cmd_stratified_budget_select(args: argparse.Namespace) -> None:
         scored = docs.filter(F.col(args.text_col).isNotNull()).select(
             args.id_col,
             args.source_col,
-            (F.size(F.array_distinct(toks)).cast("double") / F.size(toks)).alias(
-                "score"
-            ),
+            lexical_diversity(F.col(args.text_col)).alias("score"),
             F.size(toks).cast("bigint").alias("n_tokens"),
         )
     out = stratified_budget_selection(
@@ -949,15 +947,22 @@ def cmd_budget_admission(args: argparse.Namespace) -> None:
     spark = get_session(app_name="budget-admission")
     budgets = _parse_budgets(args.budgets)
     # readStream needs an explicit schema: take it from the landed files.
-    # An empty landing dir is a legitimate first-drain/cron state (r14
-    # ADVICE): exit cleanly instead of letting Spark's opaque 'unable to
-    # infer schema' surface.
+    # An empty-but-EXISTING landing dir is a legitimate first-drain/cron
+    # state (r14 ADVICE): exit cleanly instead of letting Spark's opaque
+    # 'unable to infer schema' surface. A NONEXISTENT path is
+    # indistinguishable from a typo and stays a loud, distinct error
+    # (r15 review finding: the benign message told an operator with a
+    # mistyped --input to wait for a landing that would never come).
+    if not os.path.isdir(args.input):
+        raise SystemExit(
+            f"landing dir {args.input!r} does not exist — check --input "
+            "(an empty dir is fine for a first drain; a missing one is "
+            "usually a typo)"
+        )
     try:
         schema = spark.read.parquet(args.input).schema
     except Exception as exc:
-        if "infer schema" in str(exc).lower() or "path does not exist" in str(
-            exc
-        ).lower():
+        if "infer schema" in str(exc).lower():
             raise SystemExit(
                 f"no parquet files under {args.input!r} yet — nothing to "
                 "drain (run again after the first landing, or seed the dir "
@@ -1159,6 +1164,11 @@ def cmd_dsir_fit(args: argparse.Namespace) -> None:
             "--model-sample applies to a batch --input fit; the streamed "
             "histogram is already the (exact) corpus model"
         )
+    if args.input is not None and args.stream_sources is not None:
+        raise SystemExit(
+            "--stream-sources applies to a --corpus-stream fit; a batch "
+            "--input fit reads the corpus directly (filter it upstream)"
+        )
     spark = get_session(app_name="dsir-fit")
     if args.corpus_stream is not None:
         # streaming-fed fit (r15): the standing drift-monitor grid IS the
@@ -1193,12 +1203,16 @@ def cmd_dsir_fit(args: argparse.Namespace) -> None:
             if args.stream_sources is not None
             else None
         )
+        # --text-col names the TARGET's text column here (the streamed
+        # side is already bucketed; r15 review finding: the flag was
+        # silently ignored in stream mode)
         lam = dsir_fit_from_stream(
             spark,
             args.corpus_stream,
             spark.read.parquet(targets[0]),
             alpha=args.alpha,
             sources=srcs,
+            target_text_col=args.text_col,
         )
         spark.createDataFrame(
             [(b, v) for b, v in enumerate(lam)], "b int, lam bigint"
@@ -2002,7 +2016,12 @@ def build_parser() -> argparse.ArgumentParser:
         "(default: equal)",
     )
     df_.add_argument("--output", required=True, help="log-ratio table dir")
-    df_.add_argument("--text-col", default="text")
+    df_.add_argument(
+        "--text-col", default="text",
+        help="text column of the corpus AND target (batch fit) / of the "
+        "TARGET (stream fit — the streamed side is already bucketed "
+        "under the sink's own text_col)",
+    )
     df_.add_argument("--n-buckets", type=int, default=4096)
     df_.add_argument("--alpha", type=float, default=1.0)
     df_.add_argument("--seed", type=int, default=0)

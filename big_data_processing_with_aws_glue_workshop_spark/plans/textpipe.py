@@ -43,7 +43,13 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..queries._tables import load, parallelize_scan
-from ..queries.textops import _CONTAM_N, _EVAL_MOD, _PACK_BUDGET, _tokens
+from ..queries.textops import (
+    _CONTAM_N,
+    _EVAL_MOD,
+    _PACK_BUDGET,
+    _tokens,
+    lexical_diversity,
+)
 from ..util import release_tracked_caches, tracked_cache
 
 
@@ -290,6 +296,23 @@ def run_text_pipeline(
     with_tok = _with_tokens(clean)
     dsir_stats = None
     quality_stats = None
+
+    def _apply_selection(sel):
+        """Shared tail of every per-source selection branch (r15 review
+        finding: it lived four times): per-source selected masses, the
+        semi-join back to the survivor frame, and its count."""
+        sel = tracked_cache(sel)
+        masses = {
+            r["source"]: int(r["m"])
+            for r in sel.groupBy("source")
+            .agg(F.max("cum_tokens").alias("m"))
+            .collect()
+        }
+        picked = tracked_cache(
+            with_tok.join(sel.select("doc_id"), "doc_id", "left_semi")
+        )
+        return picked, picked.count(), masses
+
     if dsir_budget_tokens is not None:
         from ..queries.textops import dsir_select_budget
 
@@ -337,24 +360,10 @@ def run_text_pipeline(
         }
         target_mass = min(totals.values()) if totals else 0
         budgets = {s: target_mass for s in totals}
-        toks = _tokens(F.col("text"))
-        scored = with_tok.withColumn(
-            "__q",
-            F.size(F.array_distinct(toks)).cast("double") / F.size(toks),
-        )
-        sel = tracked_cache(
+        scored = with_tok.withColumn("__q", lexical_diversity(F.col("text")))
+        mixed, n_mixed, sel_masses = _apply_selection(
             stratified_budget_selection(scored, budgets, "__q")
         )
-        sel_masses = {
-            r["source"]: int(r["m"])
-            for r in sel.groupBy("source")
-            .agg(F.max("cum_tokens").alias("m"))
-            .collect()
-        }
-        mixed = tracked_cache(
-            with_tok.join(sel.select("doc_id"), "doc_id", "left_semi")
-        )
-        n_mixed = mixed.count()
         quality_stats = {
             "mixture_budget_tokens": target_mass,
             "mixture_selected_tokens": sel_masses,
@@ -368,24 +377,10 @@ def run_text_pipeline(
         # silently selecting nothing for a source.
         from ..queries.textops import stratified_budget_selection
 
-        toks = _tokens(F.col("text"))
-        scored = with_tok.withColumn(
-            "__q",
-            F.size(F.array_distinct(toks)).cast("double") / F.size(toks),
-        )
-        sel = tracked_cache(
+        scored = with_tok.withColumn("__q", lexical_diversity(F.col("text")))
+        mixed, n_mixed, sel_masses = _apply_selection(
             stratified_budget_selection(scored, stratified_budgets, "__q")
         )
-        sel_masses = {
-            r["source"]: int(r["m"])
-            for r in sel.groupBy("source")
-            .agg(F.max("cum_tokens").alias("m"))
-            .collect()
-        }
-        mixed = tracked_cache(
-            with_tok.join(sel.select("doc_id"), "doc_id", "left_semi")
-        )
-        n_mixed = mixed.count()
         quality_stats = {
             "stratified_budget_tokens": {
                 str(s): int(b) for s, b in stratified_budgets.items()
@@ -398,7 +393,7 @@ def run_text_pipeline(
         # per-source level-batched cuts (dsir_select_budget_stratified).
         from ..queries.textops import dsir_select_budget_stratified
 
-        sel = tracked_cache(
+        mixed, n_mixed, sel_masses = _apply_selection(
             dsir_select_budget_stratified(
                 with_tok,
                 dsir_target,
@@ -407,16 +402,6 @@ def run_text_pipeline(
                 n_tokens_col="n_tokens",
             )
         )
-        sel_masses = {
-            r["source"]: int(r["m"])
-            for r in sel.groupBy("source")
-            .agg(F.max("cum_tokens").alias("m"))
-            .collect()
-        }
-        mixed = tracked_cache(
-            with_tok.join(sel.select("doc_id"), "doc_id", "left_semi")
-        )
-        n_mixed = mixed.count()
         quality_stats = {
             "dsir_stratified_budget_tokens": {
                 str(s): int(b) for s, b in dsir_stratified_budgets.items()

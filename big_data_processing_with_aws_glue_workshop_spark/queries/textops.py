@@ -35,6 +35,16 @@ def _tokens(col):
     return F.split(F.trim(F.lower(col)), _WS + "+")
 
 
+def lexical_diversity(col):
+    """distinct-token share of a text column (double in (0, 1]) — the
+    quality score the budget-selection surfaces rank by. ONE expression
+    shared by textpipe's quality/stratified stage-5 modes and the
+    stratified-budget-select CLI (r15 review finding: it lived three
+    times and a scoring tweak would have forked them)."""
+    toks = _tokens(col)
+    return F.size(F.array_distinct(toks)).cast("double") / F.size(toks)
+
+
 def q_doc_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-document token counts / average token length / shortness flag —
     the quality-scoring primitives of a pretraining data pipeline."""
@@ -1281,6 +1291,30 @@ def token_budget_selection(
     return result.select(id_col, "score", "n_tokens", "sel_rank", "cum_tokens")
 
 
+def _refuse_sentinel_and_coverage(rows, bmap: dict) -> None:
+    """Shared by stratified_budget_selection's single-pass level-0
+    aggregate and its batched wrapper's global pre-check (r15 review
+    finding: the raises lived twice): the NULL-sentinel collision raise
+    and the explicit-coverage raise — ONE implementation, so a
+    semantics fix cannot fork the two paths. ``rows`` carry
+    (__src, any_null, all_null) from either aggregate."""
+    for r in rows:
+        if r["__src"] == "(null)" and r["any_null"] == 1 and r["all_null"] == 0:
+            raise ValueError(
+                "source collision on the NULL sentinel: the corpus carries "
+                "BOTH NULL sources and a source literally named '(null)' — "
+                "one budget cannot name two populations; rename the literal "
+                "source or fill the NULLs upstream"
+            )
+    missing = sorted({r["__src"] for r in rows} - set(bmap))
+    if missing:
+        raise ValueError(
+            f"corpus sources missing from budgets: {missing} — name every "
+            "source explicitly (a silent zero-budget would hide typos; "
+            "NULL sources surface as '(null)')"
+        )
+
+
 def stratified_budget_selection(
     docs: DataFrame,
     budgets: dict,
@@ -1387,21 +1421,7 @@ def stratified_budget_selection(
             )
             .collect()
         )
-        for r in gstats:
-            if r["__src"] == "(null)" and r["any_null"] == 1 and r["all_null"] == 0:
-                raise ValueError(
-                    "source collision on the NULL sentinel: the corpus "
-                    "carries BOTH NULL sources and a source literally named "
-                    "'(null)' — one budget cannot name two populations; "
-                    "rename the literal source or fill the NULLs upstream"
-                )
-        g_missing = sorted({r["__src"] for r in gstats} - set(bmap))
-        if g_missing:
-            raise ValueError(
-                f"corpus sources missing from budgets: {g_missing} — name "
-                "every source explicitly (a silent zero-budget would hide "
-                "typos; NULL sources surface as '(null)')"
-            )
+        _refuse_sentinel_and_coverage(gstats, bmap)
         keys = sorted(bmap)
         outs = []
         for i in range(0, len(keys), source_batch):
@@ -1426,9 +1446,7 @@ def stratified_budget_selection(
                 )
                 _diag["levels"] = max(_diag.get("levels", 0), cdiag["levels"])
                 _diag["regions"] = _diag.get("regions", 0) + cdiag["regions"]
-        from functools import reduce as _greduce
-
-        return _greduce(DataFrame.unionByName, outs)
+        return _reduce(DataFrame.unionByName, outs)
     tiebreak = F.md5(F.concat(F.lit("tbs:"), F.col(id_col).cast("string")))
     # NULL sources coalesce to the explicit '(null)' group (same sentinel
     # and rationale as ngram_bucket_histogram: surfaced and nameable in
@@ -1527,21 +1545,7 @@ def stratified_budget_selection(
         .collect()
     )
     lvl0 = {r["__src"]: (r["lo"], r["hi"]) for r in lvl0_rows}
-    for r in lvl0_rows:
-        if r["__src"] == "(null)" and r["any_null"] == 1 and r["all_null"] == 0:
-            raise ValueError(
-                "source collision on the NULL sentinel: the corpus carries "
-                "BOTH NULL sources and a source literally named '(null)' — "
-                "one budget cannot name two populations; rename the literal "
-                "source or fill the NULLs upstream"
-            )
-    missing = sorted(set(lvl0) - set(bmap))
-    if missing:
-        raise ValueError(
-            f"corpus sources missing from budgets: {missing} — name every "
-            "source explicitly (a silent zero-budget would hide typos; "
-            "NULL sources surface as '(null)')"
-        )
+    _refuse_sentinel_and_coverage(lvl0_rows, bmap)
     # region table: rid -> driver state; rows bind to regions via a
     # broadcast-joined params frame (the join also attaches the columns
     # the NEXT bucket expression needs)

@@ -292,6 +292,7 @@ def dsir_fit_from_stream(
     *,
     alpha: float = 1.0,
     sources: list | None = None,
+    target_text_col: str | None = None,
 ) -> list:
     """Fit the DSIR log-ratio table with the STREAMED corpus as the
     corpus-side model (r15): the standing ``NgramHistogramSink`` grid
@@ -315,8 +316,12 @@ def dsir_fit_from_stream(
     names raise — a typo'd source silently fitting the full mixture
     would be the exact failure mode the budget operators' coverage rule
     refuses. ``target`` is featurized with the sink's pinned
-    ``text_col``/``n_buckets`` calibration, so stream and target models
-    can never disagree on bucketing."""
+    ``n_buckets`` calibration (stream and target models can never
+    disagree on bucketing); ``target_text_col`` names the TARGET
+    frame's text column when it differs from the sink's ``text_col``
+    (r15 review finding: the target is a different table and need not
+    share the stream's column name — bucketing is pinned, column
+    naming is the caller's)."""
     from pyspark.sql import functions as F
 
     from ..queries.textops import (
@@ -354,7 +359,9 @@ def dsir_fit_from_stream(
         int(r["b"]): int(r["c"])
         for r in grid.groupBy("b").agg(F.sum("c").alias("c")).collect()
     }
-    tb = _dsir_bucket_histogram(target, calib["text_col"], n_buckets)
+    tb = _dsir_bucket_histogram(
+        target, target_text_col or calib["text_col"], n_buckets
+    )
     return _log_ratio_from_histograms(tb, cb, n_buckets, alpha)
 
 

@@ -1924,3 +1924,24 @@ def test_cli_dsir_fit_from_stream(spark, tmp_path, capsys):
     with _pytest.raises(SystemExit, match="no committed histogram"):
         main(["dsir-fit", "--corpus-stream", str(tmp_path / "nowhere"),
               *common, "--n-buckets", "512"])
+    # r15 review: --stream-sources with a batch fit was silently ignored
+    with _pytest.raises(SystemExit, match="stream-sources"):
+        main(["dsir-fit", "--input", str(tmp_path / "corpus"),
+              "--stream-sources", "even_src", *common, "--n-buckets", "512"])
+    # ...and --text-col now names the TARGET's column in stream mode
+    spark.read.parquet(str(tmp_path / "target")).withColumnRenamed(
+        "text", "body"
+    ).coalesce(1).write.parquet(str(tmp_path / "target_body"))
+    main([
+        "dsir-fit",
+        "--corpus-stream", hist,
+        "--target", str(tmp_path / "target_body"),
+        "--text-col", "body",
+        "--output", str(tmp_path / "lam_body"),
+        "--n-buckets", "512",
+    ])
+    capsys.readouterr()
+    body_tab = sorted(
+        tuple(r) for r in spark.read.parquet(str(tmp_path / "lam_body")).collect()
+    )
+    assert body_tab == stream_tab

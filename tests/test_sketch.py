@@ -1426,6 +1426,17 @@ def test_dsir_fit_from_stream_parity(spark, tmp_path):
     assert even_lam == even_batch
     assert even_lam != stream_lam  # the restriction actually bites
 
+    # a target whose text lives in a differently-named column fits
+    # identically through target_text_col (bucketing stays pinned by the
+    # sink calibration; column naming is the caller's — r15 review)
+    renamed = target.withColumnRenamed("text", "body")
+    assert (
+        dsir_fit_from_stream(
+            spark, target_dir, renamed, target_text_col="body"
+        )
+        == stream_lam
+    )
+
     # refusals: unknown source, bad alpha, no committed state
     import pytest
 
