@@ -935,6 +935,86 @@ def cmd_stratified_budget_select(args: argparse.Namespace) -> None:
     )
 
 
+def cmd_curriculum_select(args: argparse.Namespace) -> None:
+    """Phase-ordered exclusive curriculum selection job
+    (queries/textops.py::curriculum_phase_selection): each --phase takes
+    its per-source quality cut from what earlier phases left behind;
+    flag order is priority order (first phase skims the best docs)."""
+    import pyspark.sql.functions as F
+
+    from .queries.textops import (
+        _tokens,
+        curriculum_phase_selection,
+        lexical_diversity,
+    )
+
+    phases = []
+    seen = set()
+    for spec in args.phase:
+        if ":" not in spec:
+            raise SystemExit(
+                f"--phase {spec!r} is not name:src=tokens,src=tokens"
+            )
+        name, budget_str = spec.split(":", 1)
+        if not name:
+            raise SystemExit(f"--phase {spec!r} has an empty phase name")
+        if name in seen:
+            raise SystemExit(f"--phase names repeat: {name!r}")
+        seen.add(name)
+        phases.append((name, _parse_budgets(budget_str)))
+
+    spark = get_session(app_name="curriculum-select")
+    docs = spark.read.parquet(args.input)
+    if args.score_col:
+        scored = docs.select(
+            args.id_col,
+            args.source_col,
+            F.col(args.score_col).alias("score"),
+            F.col(args.n_tokens_col).cast("bigint").alias("n_tokens"),
+        )
+    else:
+        toks = _tokens(F.col(args.text_col))
+        scored = docs.filter(F.col(args.text_col).isNotNull()).select(
+            args.id_col,
+            args.source_col,
+            lexical_diversity(F.col(args.text_col)).alias("score"),
+            F.size(toks).cast("bigint").alias("n_tokens"),
+        )
+    out = curriculum_phase_selection(
+        scored, phases, "score", source_col=args.source_col,
+        id_col=args.id_col, n_buckets=args.n_buckets,
+    )
+    out.write.mode("overwrite").partitionBy("phase").parquet(args.output)
+    written = spark.read.parquet(args.output)
+    per = {
+        (r["phase"], r[args.source_col]): (int(r["docs"]), int(r["tokens"]))
+        for r in written.groupBy("phase", args.source_col)
+        .agg(
+            F.count(F.lit(1)).alias("docs"),
+            F.max("cum_tokens").alias("tokens"),
+        )
+        .collect()
+    }
+    _emit(
+        {
+            "job": "curriculum-select",
+            "output": args.output,
+            "phases": [
+                {
+                    "name": name,
+                    "budgets": budgets,
+                    "selected": {
+                        s: {"docs": d, "tokens": t}
+                        for (p, s), (d, t) in sorted(per.items())
+                        if p == name
+                    },
+                }
+                for name, budgets in phases
+            ],
+        }
+    )
+
+
 def cmd_budget_admission(args: argparse.Namespace) -> None:
     """Streaming budget admission job (streaming/selection.py): drain
     newly-landed documents (availableNow, checkpoint-tracked) into the
@@ -1871,6 +1951,28 @@ def build_parser() -> argparse.ArgumentParser:
         "byte-identical to the single pass)",
     )
     sb.set_defaults(func=cmd_stratified_budget_select)
+
+    cs = sub.add_parser(
+        "curriculum-select",
+        help="phase-ordered exclusive curriculum selection: each "
+        "--phase takes its per-source quality cut from what earlier "
+        "phases left behind (flag order = priority order)",
+    )
+    cs.add_argument("--input", required=True, help="documents parquet path")
+    cs.add_argument("--output", required=True, help="selected-docs dir (partitioned by phase)")
+    cs.add_argument(
+        "--phase", required=True, action="append",
+        metavar="NAME:SRC=TOKENS,...",
+        help="repeatable, ordered: phase name + its per-source token "
+        "budgets; the FIRST phase skims the best documents",
+    )
+    cs.add_argument("--score-col", default=None)
+    cs.add_argument("--n-tokens-col", default="n_tokens")
+    cs.add_argument("--id-col", default="doc_id")
+    cs.add_argument("--source-col", default="source")
+    cs.add_argument("--text-col", default="text")
+    cs.add_argument("--n-buckets", type=int, default=256)
+    cs.set_defaults(func=cmd_curriculum_select)
 
     ba = sub.add_parser(
         "budget-admission",

@@ -140,6 +140,21 @@ the admission sink is pinned equal to a driver-side fold of the batch
 operator over the same waves + CLI `budget-admission`. They join the
 succession queue behind the r13 ops.
 
+And to the r15 additions — ``curriculum_phase_selection``,
+``recalibrate_admission``, ``admission_regret``,
+``dsir_fit_from_stream`` and the ``source_batch`` wrapper: all
+pytest+CLI-tier by the same cap arithmetic (none strictly supersedes a
+current query: the curriculum composes the already-gated stratified
+cut phase-by-phase; the other four are maintenance/readout/fit-path
+surfaces over already-gated state). Gates: curriculum has a full
+Python-fold mirror + single-phase degeneracy to the DuckDB-twinned
+stratified op + CLI `curriculum-select`; recalibration/regret/
+stream-fit each pin byte-parity or Python-mirrored counts against
+their batch twins + CLI e2e; source_batch is equality-pinned at two
+batch sizes, rides the randomized-reference gate every multi-source
+scenario, and has a 512-source width probe. They join the succession
+queue behind the r14 ops.
+
 (r12 rotation, for the record: 48 r11 due-backs + first row for
 ``cross_corpus_contamination`` + the ``training_pipeline_summary``
 keep; ``passage_dedup_profile`` retired 1:1 against the

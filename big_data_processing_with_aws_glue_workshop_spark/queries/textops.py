@@ -1728,6 +1728,94 @@ def stratified_budget_selection(
     )
 
 
+def curriculum_phase_selection(
+    docs: DataFrame,
+    phases,
+    score_col: str,
+    *,
+    source_col: str = "source",
+    id_col: str = "doc_id",
+    n_tokens_col: str = "n_tokens",
+    n_buckets: int = 256,
+    recurse_min: int = _BUDGET_RECURSE_MIN,
+    source_batch: int | None = None,
+) -> DataFrame:
+    """Multi-PHASE curriculum selection (r15): the temporal half the
+    selection family lacked. The mixture planners decide how much of
+    each source; the budget selectors decide which documents; training
+    curricula additionally decide WHEN — e.g. an annealing schedule that
+    reserves the highest-quality tranche for the final phase while the
+    bulk phase trains on the next-best mass (miniCPM/Llama-style
+    anneal-to-quality, publicly described in their reports). This
+    operator assigns each document to AT MOST ONE phase:
+
+    ``phases`` is an ORDERED list of (phase_name, budgets_dict); phase
+    k takes its per-source quality cut (:func:`stratified_budget_selection`,
+    score DESC, md5 tiebreak, inclusive prefix per source) from the
+    documents NOT taken by phases 1..k-1. List order IS priority order:
+    the first phase skims the best documents. Map a training schedule
+    onto it by priority, not wall-clock — for anneal-to-quality, list
+    the (small) anneal phase FIRST so it gets the top tranche, then the
+    bulk phase; replay in whatever temporal order the trainer wants.
+
+    Output: one row per selected document —
+    (id_col, source_col, score, n_tokens, sel_rank, cum_tokens, phase)
+    with sel_rank/cum_tokens PER (phase, source). Exclusivity is
+    structural (each phase selects from the prior phases' anti-join),
+    so a document can never be double-counted across phases; a source a
+    phase must skip is named with budget 0, never omitted (each phase
+    inherits the stratified coverage raise — a typo'd dict fails loudly
+    instead of silently starving a phase).
+
+    Scale shape: P phases = P passes of the level-batched prefix-sum
+    machinery, each over a corpus shrunk by everything earlier phases
+    took (the anti-join is a shuffle-free broadcast when the taken set
+    is small, else a standard semi-join shuffle); curricula name a
+    handful of phases, so the pass count is a small constant, and
+    within each pass all the single-pass bounds hold (jobs scale with
+    refinement depth, never source count; ``source_batch`` composes
+    unchanged). The Python loop is driver-side ORCHESTRATION of a
+    bounded phase list, not a per-row loop."""
+    from functools import reduce as _reduce
+
+    if not phases:
+        raise ValueError("phases must be a non-empty ordered list of (name, budgets)")
+    names = [str(n) for n, _ in phases]
+    if len(set(names)) != len(names):
+        dupes = sorted({n for n in names if names.count(n) > 1})
+        raise ValueError(f"duplicate phase names: {dupes}")
+    for n, b in phases:
+        if not isinstance(b, dict):
+            raise ValueError(f"phase {n!r}: budgets must be a dict of source -> tokens")
+
+    remaining = docs
+    outs = []
+    for name, budgets in phases:
+        # pinned: phase k's selection is consumed by the output AND by
+        # every later phase's anti-join, and the stratified machinery's
+        # eager driver aggregates would otherwise re-run phases 1..k-1's
+        # whole window plans once per later phase (quadratic in P);
+        # tracked caches release with the session's usual hygiene
+        sel = tracked_cache(
+            stratified_budget_selection(
+                remaining,
+                budgets,
+                score_col,
+                source_col=source_col,
+                id_col=id_col,
+                n_tokens_col=n_tokens_col,
+                n_buckets=n_buckets,
+                recurse_min=recurse_min,
+                source_batch=source_batch,
+            )
+        )
+        outs.append(sel.withColumn("phase", F.lit(str(name))))
+        remaining = remaining.join(
+            sel.select(id_col), id_col, "left_anti"
+        )
+    return _reduce(DataFrame.unionByName, outs)
+
+
 # ---------------------------------------------------------------------------
 # DSIR: data selection via importance resampling (Xie et al. 2023, NeurIPS,
 # "Data Selection for Language Models via Importance Resampling") — select

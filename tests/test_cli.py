@@ -1415,6 +1415,62 @@ def test_cli_token_budget_select_and_split_leakage_audit(spark, tmp_path, capsys
     ]
 
 
+def test_cli_curriculum_select(spark, tmp_path, capsys):
+    """curriculum-select e2e: two ordered --phase flags produce an
+    exclusive phase-partitioned selection, the first phase skims the
+    top-diversity docs, per-phase masses respect their budgets; flag
+    parse errors and repeated names are refused eagerly."""
+    import json as _json
+
+    from big_data_processing_with_aws_glue_workshop_spark.cli import main
+
+    rows = []
+    for src in ("web", "code"):
+        for i in range(8):
+            did = (0 if src == "web" else 100) + i
+            # diversity falls with i (doc i repeats its first word i times)
+            words = [f"{src}{did}w{j}" for j in range(10 - i)] + [f"{src}{did}w0"] * i
+            rows.append((did, src, " ".join(words)))
+    spark.createDataFrame(
+        rows, "doc_id long, source string, text string"
+    ).coalesce(1).write.parquet(str(tmp_path / "docs"))
+
+    main([
+        "curriculum-select",
+        "--input", str(tmp_path / "docs"),
+        "--output", str(tmp_path / "sel"),
+        "--phase", "anneal:web=20,code=20",
+        "--phase", "bulk:web=40,code=40",
+    ])
+    out = _json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert [p["name"] for p in out["phases"]] == ["anneal", "bulk"]
+    sel = spark.read.parquet(str(tmp_path / "sel")).collect()
+    by_phase: dict = {}
+    for r in sel:
+        by_phase.setdefault(r["phase"], set()).add(r["doc_id"])
+    # exclusive, and anneal (every doc is 10 tokens) got 2 docs/source,
+    # bulk the next 4
+    assert not (by_phase["anneal"] & by_phase["bulk"])
+    assert {d for d in by_phase["anneal"] if d < 100} == {0, 1}
+    assert {d for d in by_phase["bulk"] if d < 100} == {2, 3, 4, 5}
+    for p in out["phases"]:
+        for s, st in p["selected"].items():
+            assert st["tokens"] <= p["budgets"][s]
+
+    # eager refusals
+    with pytest.raises(SystemExit, match="not name:src=tokens"):
+        main([
+            "curriculum-select", "--input", str(tmp_path / "docs"),
+            "--output", str(tmp_path / "x"), "--phase", "web=20",
+        ])
+    with pytest.raises(SystemExit, match="names repeat"):
+        main([
+            "curriculum-select", "--input", str(tmp_path / "docs"),
+            "--output", str(tmp_path / "x"),
+            "--phase", "p:web=20,code=20", "--phase", "p:web=1,code=1",
+        ])
+
+
 def test_cli_budget_admission(spark, tmp_path, capsys):
     """budget-admission e2e: two drains against one checkpoint — the
     second drain only sees the new file and cuts at the REMAINING

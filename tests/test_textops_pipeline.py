@@ -1377,6 +1377,112 @@ def test_stratified_budget_selection_source_batching(spark):
         stratified_budget_selection(docs, budgets, "score", source_batch=0)
 
 
+def test_curriculum_phase_selection(spark):
+    """r15: phase-ordered EXCLUSIVE quality selection — the temporal
+    half of the selection family (anneal-to-quality curricula). Pinned:
+    (1) the whole assignment equals a Python fold that runs the
+    reference budget fold phase-by-phase on the docs earlier phases
+    left behind; (2) exclusivity (no doc in two phases); (3) list order
+    IS priority — the first phase takes the top-quality tranche, the
+    second the next; (4) a single phase degenerates exactly to
+    stratified_budget_selection; (5) refusals: empty phases, duplicate
+    names, non-dict budgets, a phase dict missing a live source; and
+    (6) source_batch composes unchanged."""
+    from big_data_processing_with_aws_glue_workshop_spark.queries.textops import (
+        curriculum_phase_selection,
+        stratified_budget_selection,
+    )
+
+    rows = [
+        (i, "web" if i % 2 == 0 else "code", float(100 - i), 10)
+        for i in range(40)
+    ]
+    docs = spark.createDataFrame(
+        rows, "doc_id long, source string, score double, n_tokens long"
+    )
+    phases = [
+        ("anneal", {"web": 30, "code": 20}),   # skims the best
+        ("bulk", {"web": 100, "code": 50}),    # next tranche
+    ]
+    got = sorted(
+        tuple(r)
+        for r in curriculum_phase_selection(docs, phases, "score").collect()
+    )
+
+    # Python fold: per phase, per source, score-desc prefix cut over the
+    # docs earlier phases left behind
+    taken: set = set()
+    expected = []
+    for name, budgets in phases:
+        for src in ("web", "code"):
+            pool = sorted(
+                (r for r in rows if r[1] == src and r[0] not in taken),
+                key=lambda r: -r[2],
+            )
+            cum = 0
+            rank = 0
+            for r in pool:
+                if cum + r[3] > budgets[src]:
+                    break
+                cum += r[3]
+                rank += 1
+                taken.add(r[0])
+                expected.append((r[0], src, r[2], r[3], rank, cum, name))
+    assert got == sorted(expected)
+
+    # exclusivity + priority explicitly
+    by_phase: dict = {}
+    for t in got:
+        by_phase.setdefault(t[6], set()).add(t[0])
+    assert not (by_phase["anneal"] & by_phase["bulk"])
+    # anneal got strictly better docs per source than bulk
+    for src_docs, bulk_docs in (
+        ({t[0] for t in got if t[6] == "anneal" and t[1] == "web"},
+         {t[0] for t in got if t[6] == "bulk" and t[1] == "web"}),
+    ):
+        assert max(src_docs) < min(bulk_docs)  # lower id = higher score here
+
+    # single phase == the stratified operator exactly
+    single = sorted(
+        tuple(r)[:6]
+        for r in curriculum_phase_selection(
+            docs, [("only", {"web": 30, "code": 20})], "score"
+        ).collect()
+    )
+    direct = sorted(
+        tuple(r)
+        for r in stratified_budget_selection(
+            docs, {"web": 30, "code": 20}, "score"
+        ).collect()
+    )
+    assert single == direct
+
+    # source_batch composes unchanged
+    batched = sorted(
+        tuple(r)
+        for r in curriculum_phase_selection(
+            docs, phases, "score", source_batch=1
+        ).collect()
+    )
+    assert batched == got
+
+    # refusals
+    with pytest.raises(ValueError, match="non-empty"):
+        curriculum_phase_selection(docs, [], "score")
+    with pytest.raises(ValueError, match="duplicate phase names"):
+        curriculum_phase_selection(
+            docs, [("p", {"web": 1, "code": 1}), ("p", {"web": 1, "code": 1})],
+            "score",
+        )
+    with pytest.raises(ValueError, match="must be a dict"):
+        curriculum_phase_selection(docs, [("p", [1, 2])], "score")
+    with pytest.raises(ValueError, match="missing from budgets"):
+        curriculum_phase_selection(
+            docs, [("anneal", {"web": 30, "code": 20}), ("bulk", {"web": 10})],
+            "score",
+        )
+
+
 def test_stratified_budget_selection_worklist_bound(spark):
     """Discrete grades in BOTH sources: every oversized bucket (FULL or
     PARTIAL, any source) refines via the level-batched worklist — the
