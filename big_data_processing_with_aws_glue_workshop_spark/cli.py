@@ -171,6 +171,7 @@ def cmd_textpipe(args: argparse.Namespace) -> None:
         "--quality-mixture": args.quality_mixture,
         "--stratified-budgets": args.stratified_budgets is not None,
         "--dsir-stratified-budgets": args.dsir_stratified_budgets is not None,
+        "--curriculum-phase": args.curriculum_phase is not None,
     }
     if sum(mode_flags.values()) > 1:
         on = sorted(k for k, v in mode_flags.items() if v)
@@ -203,6 +204,24 @@ def cmd_textpipe(args: argparse.Namespace) -> None:
         if args.dsir_stratified_budgets is not None
         else None
     )
+    curriculum = None
+    if args.curriculum_phase is not None:
+        curriculum = []
+        seen_phases = set()
+        for spec in args.curriculum_phase:
+            if ":" not in spec:
+                raise SystemExit(
+                    f"--curriculum-phase {spec!r} is not name:src=tokens,..."
+                )
+            pname, budget_str = spec.split(":", 1)
+            if not pname:
+                raise SystemExit(
+                    f"--curriculum-phase {spec!r} has an empty phase name"
+                )
+            if pname in seen_phases:
+                raise SystemExit(f"--curriculum-phase names repeat: {pname!r}")
+            seen_phases.add(pname)
+            curriculum.append((pname, _parse_budgets(budget_str)))
     spark = get_session(app_name="textpipe")
     dsir_target = None
     if needs_target:
@@ -220,6 +239,7 @@ def cmd_textpipe(args: argparse.Namespace) -> None:
         mixture_by_quality=args.quality_mixture,
         stratified_budgets=strat_budgets,
         dsir_stratified_budgets=dsir_strat_budgets,
+        curriculum_phases=curriculum,
     )
     _emit({"job": "textpipe", **summary})
 
@@ -1628,6 +1648,15 @@ def build_parser() -> argparse.ArgumentParser:
         help="stage 5 fills CALLER-NAMED per-source token budgets by "
         "DSIR importance toward --dsir-target "
         "(dsir_select_budget_stratified)",
+    )
+    t.add_argument(
+        "--curriculum-phase",
+        default=None,
+        action="append",
+        metavar="NAME:SRC=TOKENS,...",
+        help="stage 5 runs the phase-ordered exclusive curriculum "
+        "(repeatable, ordered: the FIRST phase skims the best "
+        "survivors); the packed corpus is partitioned by phase",
     )
     t.set_defaults(func=cmd_textpipe)
 

@@ -70,6 +70,7 @@ def run_text_pipeline(
     mixture_by_quality: bool = False,
     stratified_budgets: dict | None = None,
     dsir_stratified_budgets: dict | None = None,
+    curriculum_phases: list | None = None,
 ) -> dict:
     """Run the full pipeline; returns a summary dict of per-stage counts.
     If ``out_dir`` is given, writes the packed corpus parquet plus a
@@ -114,9 +115,17 @@ def run_text_pipeline(
     shuffle-free scoring pass, per-source cuts). Both inherit the
     operator's coverage rule: every source surviving stage 4 must be
     named in the dict (NULL sources surface as ``'(null)'``); a missing
-    source raises rather than silently selecting nothing. All four
-    selection flags are mutually exclusive — the pipeline takes ONE
-    final selection decision.
+    source raises rather than silently selecting nothing.
+
+    ``curriculum_phases`` (r15) runs the phase-ordered exclusive
+    curriculum as stage 5 (queries/textops.py::
+    curriculum_phase_selection): an ordered list of (phase_name,
+    per-source budgets), the first phase skimming the top
+    lexical-diversity tranche of the survivors, each later phase the
+    next. The packed corpus carries a ``phase`` column so the trainer
+    can replay phases in schedule order. All five selection flags are
+    mutually exclusive — the pipeline takes ONE final selection
+    decision.
 
     ``passage_decontam`` swaps stage 4's contract from doc-DROP to
     span-EXCISION (queries/textops.py::decontaminate_passages): a
@@ -143,6 +152,7 @@ def run_text_pipeline(
         "mixture_by_quality": mixture_by_quality,
         "stratified_budgets": stratified_budgets is not None,
         "dsir_stratified_budgets": dsir_stratified_budgets is not None,
+        "curriculum_phases": curriculum_phases is not None,
     }
     if sum(modes.values()) > 1:
         on = sorted(k for k, v in modes.items() if v)
@@ -166,6 +176,24 @@ def run_text_pipeline(
     ):
         if b is not None and not isinstance(b, dict):
             raise ValueError(f"{name} must be a dict of source -> token budget")
+    if curriculum_phases is not None:
+        # the operator re-validates, but these are pure-argument checks
+        # and stage 5 runs AFTER four expensive stages — fail on a typo
+        # before any Spark work (the same eager rule as the other flags)
+        if not curriculum_phases:
+            raise ValueError(
+                "curriculum_phases must be a non-empty ordered list of "
+                "(name, budgets)"
+            )
+        _names = [str(n) for n, _ in curriculum_phases]
+        if len(set(_names)) != len(_names):
+            raise ValueError(f"duplicate phase names: "
+                             f"{sorted({n for n in _names if _names.count(n) > 1})}")
+        for n, b in curriculum_phases:
+            if not isinstance(b, dict):
+                raise ValueError(
+                    f"phase {n!r}: budgets must be a dict of source -> tokens"
+                )
 
     # Each stage output is persisted and materialized by its own count()
     # action, so downstream stages (and their counts) read the cached stage
@@ -408,6 +436,38 @@ def run_text_pipeline(
             },
             "dsir_stratified_selected_tokens": sel_masses,
         }
+    elif curriculum_phases is not None:
+        # phase-ordered exclusive curriculum as the final selection: the
+        # first phase skims the survivors' top lexical-diversity
+        # tranche, each later phase the next; the phase column rides
+        # into packing and the written corpus so the trainer replays
+        # phases in schedule order.
+        from ..queries.textops import curriculum_phase_selection
+
+        scored = with_tok.withColumn("__q", lexical_diversity(F.col("text")))
+        sel = tracked_cache(
+            curriculum_phase_selection(scored, curriculum_phases, "__q")
+        )
+        phase_masses = {
+            f"{r['phase']}/{r['source']}": int(r["m"])
+            for r in sel.groupBy("phase", "source")
+            .agg(F.max("cum_tokens").alias("m"))
+            .collect()
+        }
+        mixed = tracked_cache(
+            with_tok.join(sel.select("doc_id", "phase"), "doc_id")
+        )
+        n_mixed = mixed.count()
+        quality_stats = {
+            "curriculum_phases_spec": [
+                {
+                    "name": str(n),
+                    "budgets": {str(k): int(v) for k, v in b.items()},
+                }
+                for n, b in curriculum_phases
+            ],
+            "curriculum_selected_tokens": dict(sorted(phase_masses.items())),
+        }
     else:
         totals = with_tok.groupBy("source").agg(
             F.sum("n_tokens").alias("total_tokens")
@@ -429,9 +489,14 @@ def run_text_pipeline(
         )
         n_mixed = mixed.count()
 
-    # 6. packing: greedy-prefix sequences per source in doc_id order
+    # 6. packing: greedy-prefix sequences per source in doc_id order —
+    # per (source, phase) under a curriculum, so no sequence ever spans
+    # a phase boundary (a training batch belongs to exactly one phase)
+    pack_keys = (
+        ["source", "phase"] if curriculum_phases is not None else ["source"]
+    )
     w = (
-        Window.partitionBy("source")
+        Window.partitionBy(*pack_keys)
         .orderBy("doc_id")
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
@@ -439,7 +504,7 @@ def run_text_pipeline(
     packed = mixed.withColumn(
         "seq_id", F.floor(offset.cast("double") / budget).cast("bigint")
     )
-    n_sequences = packed.select("source", "seq_id").distinct().count()
+    n_sequences = packed.select(*pack_keys, "seq_id").distinct().count()
 
     summary = {
         "input_docs": n_input,
@@ -464,6 +529,8 @@ def run_text_pipeline(
             if stratified_budgets is not None
             else "dsir_stratified_budgets"
             if dsir_stratified_budgets is not None
+            else "curriculum_phases"
+            if curriculum_phases is not None
             else "source_equalize"
         ),
     }
@@ -474,11 +541,14 @@ def run_text_pipeline(
     if quality_stats is not None:
         summary.update(quality_stats)
     if out_dir:
-        packed.select(
-            "doc_id", "source", "lang", "n_tokens", "seq_id", "text"
-        ).write.mode("overwrite").partitionBy("source").parquet(
-            os.path.join(out_dir, "packed_corpus")
-        )
+        out_cols = ["doc_id", "source", "lang", "n_tokens", "seq_id", "text"]
+        part_cols = ["source"]
+        if curriculum_phases is not None:
+            out_cols.append("phase")
+            part_cols = ["phase", "source"]
+        packed.select(*out_cols).write.mode("overwrite").partitionBy(
+            *part_cols
+        ).parquet(os.path.join(out_dir, "packed_corpus"))
         with open(os.path.join(out_dir, "summary.json"), "w", encoding="utf-8") as f:
             json.dump(summary, f, indent=2)
     # every consumer of the stage pins (counts, the optional write) has run;

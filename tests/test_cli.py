@@ -550,6 +550,71 @@ def test_textpipe_dsir_stratified_budgets_stage(spark, tmp_path):
         )
 
 
+def test_textpipe_curriculum_stage(spark, tmp_path):
+    """r15: stage 5 runs the phase-ordered exclusive curriculum —
+    upstream stages bit-identical to the default run, phases exclusive,
+    per-(phase, source) masses within their budgets, no packed sequence
+    spans a phase boundary, and the written corpus is phase-partitioned
+    with the phase column readable back."""
+    import pyspark.sql.functions as F
+
+    from big_data_processing_with_aws_glue_workshop_spark.plans.textpipe import run_text_pipeline
+
+    sf, _ = _two_vocab_sf(spark, tmp_path)
+    default = run_text_pipeline(spark, sf)
+
+    out = str(tmp_path / "pipe_cur")
+    phases = [("anneal", {"code": 120, "prose": 120}),
+              ("bulk", {"code": 400, "prose": 200})]
+    s = run_text_pipeline(spark, sf, out_dir=out, curriculum_phases=phases)
+    assert s["selection_mode"] == "curriculum_phases"
+    for k in (
+        "input_docs",
+        "after_quality",
+        "after_exact_dedup",
+        "after_near_dedup",
+        "after_decontamination",
+    ):
+        assert s[k] == default[k], k
+    # per-(phase, source) masses within their budgets; fixture docs are
+    # 40 tokens so anneal takes 3 docs/source, bulk the next 10/5
+    masses = s["curriculum_selected_tokens"]
+    assert masses["anneal/code"] <= 120 and masses["anneal/prose"] <= 120
+    assert masses["bulk/code"] <= 400 and masses["bulk/prose"] <= 200
+    corpus = spark.read.parquet(f"{out}/packed_corpus")
+    assert corpus.count() == s["after_mixture"]
+    per = {
+        (r["phase"], r["source"]): r["n"]
+        for r in corpus.groupBy("phase", "source")
+        .agg(F.count("*").alias("n"))
+        .collect()
+    }
+    assert per == {
+        ("anneal", "code"): 3, ("anneal", "prose"): 3,
+        ("bulk", "code"): 10, ("bulk", "prose"): 5,
+    }, per
+    # exclusivity: every doc appears exactly once across phases
+    assert corpus.select("doc_id").distinct().count() == corpus.count()
+    # no sequence spans a phase boundary: (source, seq_id) pairs are
+    # unique per phase grouping key
+    assert (
+        corpus.select("phase", "source", "seq_id").distinct().count()
+        == s["packed_sequences"]
+    )
+    # eager validation
+    with pytest.raises(ValueError, match="mutually exclusive"):
+        run_text_pipeline(
+            spark, sf, curriculum_phases=phases, mixture_by_quality=True
+        )
+    with pytest.raises(ValueError, match="duplicate phase names"):
+        run_text_pipeline(
+            spark, sf,
+            curriculum_phases=[("p", {"a": 1}), ("p", {"a": 1})],
+        )
+    with pytest.raises(ValueError, match="non-empty"):
+        run_text_pipeline(spark, sf, curriculum_phases=[])
+
+
 def test_cli_textpipe_stratified_flags(spark, tmp_path, capsys):
     """textpipe --stratified-budgets / --dsir-stratified-budgets e2e
     through the CLI, plus the eager refusals (flag conflicts and budget
@@ -594,6 +659,34 @@ def test_cli_textpipe_stratified_flags(spark, tmp_path, capsys):
         main([
             "textpipe", "--sf-dir", sf,
             "--stratified-budgets", "code=10k,prose=1",
+        ])
+    # r15 curriculum flag: happy path threads ordered phases through
+    main([
+        "textpipe", "--sf-dir", sf,
+        "--curriculum-phase", "anneal:code=120,prose=120",
+        "--curriculum-phase", "bulk:code=400,prose=200",
+    ])
+    out = _json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert out["selection_mode"] == "curriculum_phases"
+    assert [p["name"] for p in out["curriculum_phases_spec"]] == [
+        "anneal", "bulk"
+    ]
+    assert out["curriculum_selected_tokens"]["anneal/code"] <= 120
+    # ...and mutual exclusion + parse refusals, eager
+    with pytest.raises(SystemExit, match="mutually exclusive"):
+        main([
+            "textpipe", "--sf-dir", sf, "--quality-mixture",
+            "--curriculum-phase", "p:code=1,prose=1",
+        ])
+    with pytest.raises(SystemExit, match="not name:src=tokens"):
+        main([
+            "textpipe", "--sf-dir", sf, "--curriculum-phase", "code=1",
+        ])
+    with pytest.raises(SystemExit, match="names repeat"):
+        main([
+            "textpipe", "--sf-dir", sf,
+            "--curriculum-phase", "p:code=1,prose=1",
+            "--curriculum-phase", "p:code=2,prose=2",
         ])
 
 
