@@ -458,6 +458,94 @@ def probe_stratified_batched(sizes: list[int]) -> None:
         docs.unpersist()
 
 
+def probe_curriculum(sizes: list[int]) -> None:
+    """curriculum_phase_selection (r15) at scale: 3 phases x 8 sources
+    over discrete grades (the tied-group worst case), phase budgets
+    cutting inside tied grades. Claims under test:
+      1. phases are EXCLUSIVE (no doc appears twice) and every
+         (phase, source) mass lands within its budget;
+      2. the pass count is the phase count: each phase runs the
+         level-batched machinery once over the shrinking remainder —
+         wall grows roughly linearly in phases, never quadratically
+         (the per-phase cache pin is what prevents later phases from
+         recomputing earlier windows);
+      3. priority order holds: phase 1's minimum selected score per
+         source >= phase 2's maximum (ties excepted), i.e. the first
+         phase skimmed the better tranche."""
+    from pyspark.sql import functions as F
+
+    from big_data_processing_with_aws_glue_workshop_spark.queries.textops import (
+        curriculum_phase_selection,
+    )
+
+    spark = get_session(app_name="curation-probe-curriculum")
+    n_sources = 8
+    for n in sizes:
+        docs = spark.range(n).select(
+            F.col("id").alias("doc_id"),
+            F.concat(F.lit("src"), (F.col("id") % n_sources).cast("string")).alias(
+                "source"
+            ),
+            ((F.col("id") / n_sources).cast("bigint") % 5).cast("double").alias(
+                "score"
+            ),
+            (10 + F.col("id") % 40).cast("bigint").alias("n_tokens"),
+        ).cache()
+        totals = {
+            r["source"]: int(r["t"])
+            for r in docs.groupBy("source").agg(F.sum("n_tokens").alias("t")).collect()
+        }
+        phases = [
+            ("anneal", {s: t // 10 for s, t in totals.items()}),
+            ("main", {s: t // 2 for s, t in totals.items()}),
+            ("warmup", {s: t // 5 for s, t in totals.items()}),
+        ]
+        t0 = time.time()
+        out = curriculum_phase_selection(docs, phases, "score").cache()
+        n_sel = out.count()
+        wall = time.time() - t0
+        n_distinct = out.select("doc_id").distinct().count()
+        per = {
+            (r["phase"], r["source"]): int(r["m"])
+            for r in out.groupBy("phase", "source")
+            .agg(F.max("cum_tokens").alias("m"))
+            .collect()
+        }
+        budgets_by_phase = dict(phases)
+        within = all(
+            m <= budgets_by_phase[p][s] for (p, s), m in per.items()
+        )
+        prio = {
+            (r["phase"], r["source"]): (r["lo"], r["hi"])
+            for r in out.groupBy("phase", "source")
+            .agg(F.min("score").alias("lo"), F.max("score").alias("hi"))
+            .collect()
+        }
+        prio_ok = all(
+            prio[("anneal", s)][0] >= prio[("main", s)][1]
+            for s in totals
+            if ("anneal", s) in prio and ("main", s) in prio
+        )
+        rec = {
+            "op": "curriculum_phase_selection",
+            "docs": n,
+            "sources": n_sources,
+            "phases": len(phases),
+            "selected": n_sel,
+            "wall_s": round(wall, 2),
+            "docs_per_s": int(n / wall),
+            "exclusive": n_distinct == n_sel,
+            "all_within_budget": within,
+            "priority_order_holds": prio_ok,
+        }
+        print(json.dumps(rec), flush=True)
+        assert n_distinct == n_sel
+        assert within
+        assert prio_ok
+        out.unpersist()
+        docs.unpersist()
+
+
 def probe_leakage(sizes: list[int]) -> None:
     """split_leakage_audit over the dup-heavy corpus with the PER-DOC
     hash split (the assignment that CAN leak). Claims under test:
@@ -690,6 +778,8 @@ if __name__ == "__main__":
         probe_stratified(sizes)
     elif mode == "--stratified-batched":
         probe_stratified_batched(sizes)
+    elif mode == "--curriculum":
+        probe_curriculum(sizes)
     elif mode == "--dsir-multi":
         probe_dsir_multi(sizes)
     else:
