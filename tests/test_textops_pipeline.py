@@ -1377,6 +1377,88 @@ def test_stratified_budget_selection_source_batching(spark):
         stratified_budget_selection(docs, budgets, "score", source_batch=0)
 
 
+_CURRICULUM_ORACLE = """
+    WITH per AS (
+      SELECT doc_id, source,
+             CAST(len(list_distinct(toks)) AS DOUBLE) / len(toks) AS score,
+             CAST(len(toks) AS BIGINT) AS n_tokens,
+             md5('tbs:' || CAST(doc_id AS VARCHAR)) AS tiebreak
+      FROM (
+        SELECT doc_id, source,
+               string_split_regex(trim(lower(text)), '[ \\t\\n\\f\\r]+') AS toks
+        FROM documents
+      )
+    ),
+    c1 AS (
+      SELECT doc_id, source, score, n_tokens,
+             ROW_NUMBER() OVER (PARTITION BY source
+                                ORDER BY score DESC, tiebreak ASC) AS sel_rank,
+             SUM(n_tokens) OVER (PARTITION BY source
+                                 ORDER BY score DESC, tiebreak ASC
+                                 ROWS UNBOUNDED PRECEDING) AS cum_tokens
+      FROM per
+    ),
+    b1(source, budget) AS (VALUES {v1}),
+    p1 AS (
+      SELECT doc_id, source, score, n_tokens, sel_rank, cum_tokens
+      FROM c1 JOIN b1 USING (source) WHERE cum_tokens <= budget
+    ),
+    rem AS (
+      SELECT * FROM per WHERE doc_id NOT IN (SELECT doc_id FROM p1)
+    ),
+    c2 AS (
+      SELECT doc_id, source, score, n_tokens,
+             ROW_NUMBER() OVER (PARTITION BY source
+                                ORDER BY score DESC, tiebreak ASC) AS sel_rank,
+             SUM(n_tokens) OVER (PARTITION BY source
+                                 ORDER BY score DESC, tiebreak ASC
+                                 ROWS UNBOUNDED PRECEDING) AS cum_tokens
+      FROM rem
+    ),
+    b2(source, budget) AS (VALUES {v2}),
+    p2 AS (
+      SELECT doc_id, source, score, n_tokens, sel_rank, cum_tokens
+      FROM c2 JOIN b2 USING (source) WHERE cum_tokens <= budget
+    )
+    SELECT doc_id, source, score, n_tokens,
+           CAST(sel_rank AS BIGINT) AS sel_rank,
+           CAST(cum_tokens AS BIGINT) AS cum_tokens,
+           'anneal' AS phase FROM p1
+    UNION ALL
+    SELECT doc_id, source, score, n_tokens,
+           CAST(sel_rank AS BIGINT) AS sel_rank,
+           CAST(cum_tokens AS BIGINT) AS cum_tokens,
+           'bulk' AS phase FROM p2
+"""
+
+
+def test_curriculum_phase_selection_matches_oracle(spark, sf_dir):
+    """Two-phase curriculum on the REAL documents table held to a
+    DuckDB twin that replays the contract naively: phase 1 = the
+    per-source window cut, phase 2 = the same cut over the rows phase 1
+    left behind — identical selected sets, per-(phase, source) ranks
+    and inclusive masses (budgets at 15% / 30% of each source's mass so
+    both phases cut mid-ranking)."""
+    from big_data_processing_with_aws_glue_workshop_spark.queries.textops import (
+        curriculum_phase_selection,
+    )
+    from tests.oracle_harness import compare
+
+    scored = _scored_docs_with_source(spark, sf_dir)
+    totals = {
+        r["source"]: int(r["t"])
+        for r in scored.groupBy("source").agg(F.sum("n_tokens").alias("t")).collect()
+    }
+    b1 = {s: (t * 3) // 20 for s, t in totals.items()}
+    b2 = {s: (t * 3) // 10 for s, t in totals.items()}
+    out = curriculum_phase_selection(
+        scored, [("anneal", b1), ("bulk", b2)], "score"
+    )
+    v1 = ", ".join(f"('{s}', {b})" for s, b in sorted(b1.items()))
+    v2 = ", ".join(f"('{s}', {b})" for s, b in sorted(b2.items()))
+    compare(out, _CURRICULUM_ORACLE.format(v1=v1, v2=v2), sf_dir)
+
+
 def test_curriculum_phase_selection(spark):
     """r15: phase-ordered EXCLUSIVE quality selection — the temporal
     half of the selection family (anneal-to-quality curricula). Pinned:
