@@ -38,6 +38,7 @@ from __future__ import annotations
 
 import json
 import os
+import time
 
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
@@ -201,13 +202,27 @@ def run_text_pipeline(
     # without the pins the final count re-runs quality->exact->LSH->CC->
     # decontam->mix from scratch (~6 redundant corpus passes at 100 TB).
     # All pins are released before returning (summary is a plain dict).
+    # per-stage wall clock (r15): the counts already materialize each
+    # stage exactly once, so the laps between them ARE the stage walls —
+    # free observability for a composed run an operator would otherwise
+    # have to tease out of the Spark UI
+    stage_walls: dict = {}
+    _lap_t = [time.time()]
+
+    def _lap(stage: str) -> None:
+        now = time.time()
+        stage_walls[stage] = round(now - _lap_t[0], 2)
+        _lap_t[0] = now
+
     docs = tracked_cache(parallelize_scan(load(spark, sf_dir, "documents"), "doc_id"))
     n_input = docs.count()
+    _lap("scan")
 
     # 1. quality: cheap narrow filter first — everything downstream pays
     # per-row cost, so shed rows before shuffling anything
     quality = tracked_cache(docs.filter(F.length("text") >= min_chars))
     n_quality = quality.count()
+    _lap("quality")
 
     # 2. exact dedup on the 16-byte digest, min-id winner
     keep_exact = (
@@ -217,6 +232,7 @@ def run_text_pipeline(
     )
     exact = tracked_cache(quality.join(keep_exact, "doc_id", "left_semi"))
     n_exact = exact.count()
+    _lap("exact_dedup")
 
     # 3. near-dup: LSH pairs -> CC -> drop non-canonical members
     pairs = minhash_near_duplicates(
@@ -228,6 +244,7 @@ def run_text_pipeline(
     )
     neardup = tracked_cache(exact.join(losers, "doc_id", "left_anti"))
     n_neardup = neardup.count()
+    _lap("near_dedup")
 
     # 4. decontamination: drop the eval slice itself and any training doc
     # sharing a _CONTAM_N-gram with it. The shingle semi-join routes
@@ -317,6 +334,8 @@ def run_text_pipeline(
             )
         )
         n_clean = clean.count()
+
+    _lap("decontamination")
 
     # 5. selection on the SURVIVORS: DSIR budget mode (flag) ranks by
     # importance toward the target and cuts at the token budget;
@@ -489,6 +508,8 @@ def run_text_pipeline(
         )
         n_mixed = mixed.count()
 
+    _lap("selection")
+
     # 6. packing: greedy-prefix sequences per source in doc_id order —
     # per (source, phase) under a curriculum, so no sequence ever spans
     # a phase boundary (a training batch belongs to exactly one phase)
@@ -505,6 +526,7 @@ def run_text_pipeline(
         "seq_id", F.floor(offset.cast("double") / budget).cast("bigint")
     )
     n_sequences = packed.select(*pack_keys, "seq_id").distinct().count()
+    _lap("packing")
 
     summary = {
         "input_docs": n_input,
@@ -520,6 +542,7 @@ def run_text_pipeline(
         # row-multiset-identical
         "decontam_join": decontam_decision,
         "decontam_mode": "passage" if passage_decontam else "drop",
+        "stage_walls": stage_walls,
         "selection_mode": (
             "dsir_budget"
             if dsir_budget_tokens is not None

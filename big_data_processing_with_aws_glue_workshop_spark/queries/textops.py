@@ -1775,7 +1775,18 @@ def curriculum_phase_selection(
     within each pass all the single-pass bounds hold (jobs scale with
     refinement depth, never source count; ``source_batch`` composes
     unchanged). The Python loop is driver-side ORCHESTRATION of a
-    bounded phase list, not a per-row loop."""
+    bounded phase list, not a per-row loop.
+
+    DSIR composes through the score column exactly as in
+    :func:`dsir_select_budget_stratified`: score the corpus ONCE with
+    the shuffle-free importance key (``_dsir_budget_scored``,
+    key_micro cast to double — exact below the documented 2^53
+    micro-nat bound) and run the phases over the scored frame — "the
+    anneal phase gets the documents that look MOST like the target,
+    the bulk phase the next tranche". One model, one scoring pass,
+    phase-ordered cuts; pinned by
+    ``test_curriculum_composes_with_dsir_scores`` (single phase
+    degenerates to ``dsir_select_budget_stratified`` bit-for-bit)."""
     from functools import reduce as _reduce
 
     if not phases:

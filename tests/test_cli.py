@@ -712,6 +712,13 @@ def test_textpipe_end_to_end(spark, sf_dir, tmp_path):
         > 0
     )
     assert s["packed_sequences"] > 0
+    # r15: per-stage wall clocks ride the summary (the counts already
+    # materialize each stage once, so the laps are free observability)
+    assert set(s["stage_walls"]) == {
+        "scan", "quality", "exact_dedup", "near_dedup",
+        "decontamination", "selection", "packing",
+    }
+    assert all(v >= 0 for v in s["stage_walls"].values())
     corpus = spark.read.parquet(f"{out}/packed_corpus")
     assert corpus.count() == s["after_mixture"]
     # invariant: no exact duplicates survive

@@ -1565,6 +1565,78 @@ def test_curriculum_phase_selection(spark):
         )
 
 
+def test_curriculum_composes_with_dsir_scores(spark):
+    """r15: DSIR rides the curriculum through the score column — one
+    importance-scoring pass, phase-ordered cuts. Pinned: (1) a single
+    DSIR-scored phase equals dsir_select_budget_stratified bit-for-bit
+    (two different compositions of the same primitives must agree);
+    (2) two phases stay exclusive with the anneal phase taking the
+    strictly-higher importance keys per source; (3) every
+    (phase, source) mass fits its budget."""
+    from big_data_processing_with_aws_glue_workshop_spark.queries.textops import (
+        _dsir_budget_scored,
+        curriculum_phase_selection,
+        dsir_select_budget_stratified,
+    )
+
+    rows = []
+    for i in range(60):
+        src = "web" if i % 2 == 0 else "code"
+        stem = "apple" if i % 3 == 0 else "zebra"
+        rows.append((i, src, " ".join(f"{stem}{(i + j) % 20}" for j in range(12))))
+    corpus = spark.createDataFrame(rows, "doc_id long, source string, text string")
+    target = spark.createDataFrame(
+        [(900 + k, " ".join(f"apple{j % 20}" for j in range(12))) for k in range(6)],
+        "tid long, text string",
+    )
+
+    scored = _dsir_budget_scored(
+        corpus, target, seed=3, sample=True, id_col="doc_id",
+        text_col="text", n_tokens_col=None, n_buckets=512, alpha=1.0,
+        log_ratio=None, corpus_model=None, extra_cols=("source",),
+    ).select(
+        "doc_id", "source",
+        F.col("key_micro").cast("double").alias("score"),
+        "n_tokens",
+    )
+    budgets = {"web": 120, "code": 120}
+
+    # (1) single phase == the stratified DSIR selector, bit-for-bit
+    via_curriculum = sorted(
+        (r["doc_id"], r["source"], int(r["score"]), r["n_tokens"],
+         r["sel_rank"], r["cum_tokens"])
+        for r in curriculum_phase_selection(
+            scored, [("only", budgets)], "score"
+        ).collect()
+    )
+    direct = sorted(
+        (r["doc_id"], r["source"], int(r["key_micro"]), r["n_tokens"],
+         r["sel_rank"], r["cum_tokens"])
+        for r in dsir_select_budget_stratified(
+            corpus, target, budgets, seed=3, n_buckets=512
+        ).collect()
+    )
+    assert via_curriculum == direct and via_curriculum
+
+    # (2)+(3) two phases: exclusive, anneal takes the higher keys
+    phases = [("anneal", {"web": 60, "code": 60}),
+              ("bulk", {"web": 120, "code": 120})]
+    got = curriculum_phase_selection(scored, phases, "score").collect()
+    by_phase: dict = {}
+    for r in got:
+        by_phase.setdefault(r["phase"], []).append(r)
+    ids_a = {r["doc_id"] for r in by_phase["anneal"]}
+    ids_b = {r["doc_id"] for r in by_phase["bulk"]}
+    assert not (ids_a & ids_b)
+    for src in ("web", "code"):
+        a = [r["score"] for r in by_phase["anneal"] if r["source"] == src]
+        b = [r["score"] for r in by_phase["bulk"] if r["source"] == src]
+        assert a and b and min(a) >= max(b)
+        mass_a = max(r["cum_tokens"] for r in by_phase["anneal"] if r["source"] == src)
+        mass_b = max(r["cum_tokens"] for r in by_phase["bulk"] if r["source"] == src)
+        assert mass_a <= 60 and mass_b <= 120
+
+
 def test_stratified_budget_selection_worklist_bound(spark):
     """Discrete grades in BOTH sources: every oversized bucket (FULL or
     PARTIAL, any source) refines via the level-batched worklist — the
