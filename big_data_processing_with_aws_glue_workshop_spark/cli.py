@@ -955,6 +955,45 @@ def cmd_stratified_budget_select(args: argparse.Namespace) -> None:
     )
 
 
+def cmd_dedup_threshold_sweep(args: argparse.Namespace) -> None:
+    """Threshold-tuning audit (queries/textops.py::dedup_threshold_sweep):
+    one LSH pass at the floor threshold, exact-Jaccard readouts per
+    candidate threshold — pairs fired, docs touched, exact docs a min-id
+    dedup at that cut would remove."""
+    from .queries.textops import dedup_threshold_sweep
+
+    try:
+        ts = [float(t) for t in args.thresholds.split(",")]
+    except ValueError:
+        raise SystemExit(
+            f"--thresholds {args.thresholds!r} is not a comma-separated "
+            "list of floats"
+        ) from None
+    spark = get_session(app_name="dedup-threshold-sweep")
+    docs = spark.read.parquet(args.input)
+    rows = dedup_threshold_sweep(
+        docs, ts, id_col=args.id_col, text_col=args.text_col,
+        n_hashes=args.n_hashes, bands=args.bands,
+        shingle_n=args.shingle_n, seed=args.seed,
+    ).collect()
+    _emit(
+        {
+            "job": "dedup-threshold-sweep",
+            "input": args.input,
+            "sweep": [
+                {
+                    "threshold": r["threshold"],
+                    "n_pairs": r["n_pairs"],
+                    "n_docs_in_pairs": r["n_docs_in_pairs"],
+                    "n_components": r["n_components"],
+                    "docs_removed": r["docs_removed"],
+                }
+                for r in sorted(rows, key=lambda r: r["threshold"])
+            ],
+        }
+    )
+
+
 def cmd_curriculum_select(args: argparse.Namespace) -> None:
     """Phase-ordered exclusive curriculum selection job
     (queries/textops.py::curriculum_phase_selection): each --phase takes
@@ -1980,6 +2019,26 @@ def build_parser() -> argparse.ArgumentParser:
         "byte-identical to the single pass)",
     )
     sb.set_defaults(func=cmd_stratified_budget_select)
+
+    dts = sub.add_parser(
+        "dedup-threshold-sweep",
+        help="near-dup threshold tuning audit: one LSH pass at the "
+        "floor, exact-Jaccard readouts per candidate threshold (pairs, "
+        "docs touched, exact docs a min-id dedup would remove)",
+    )
+    dts.add_argument("--input", required=True, help="documents parquet path")
+    dts.add_argument(
+        "--thresholds", required=True,
+        help="comma-separated Jaccard cuts in (0, 1], e.g. 0.6,0.8,0.9 "
+        "(tune --bands for the floor — see the S-curve note in the op)",
+    )
+    dts.add_argument("--id-col", default="doc_id")
+    dts.add_argument("--text-col", default="text")
+    dts.add_argument("--n-hashes", type=int, default=64)
+    dts.add_argument("--bands", type=int, default=16)
+    dts.add_argument("--shingle-n", type=int, default=3)
+    dts.add_argument("--seed", type=int, default=42)
+    dts.set_defaults(func=cmd_dedup_threshold_sweep)
 
     cs = sub.add_parser(
         "curriculum-select",

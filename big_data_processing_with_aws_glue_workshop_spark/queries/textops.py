@@ -525,6 +525,85 @@ def q_doc_dup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def dedup_threshold_sweep(
+    docs: DataFrame,
+    thresholds,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n_hashes: int = 64,
+    bands: int = 16,
+    shingle_n: int = 3,
+    seed: int = 42,
+) -> DataFrame:
+    """Near-dup THRESHOLD TUNING audit (r15): operators pick a Jaccard
+    cut blind today — this reports, for each candidate threshold, how
+    many pairs fire, how many documents are touched, and exactly how
+    many documents dedup would REMOVE (nodes − components under min-id
+    canonicalization), all from ONE corpus-scale LSH pass.
+
+    ``thresholds`` is a list of floats in (0, 1]. The LSH pass runs at
+    the FLOOR threshold (min) and the verify join attaches EXACT
+    Jaccard to every candidate pair, so per-threshold readouts are pure
+    filters + connected components over the pair set — work scales with
+    the duplicate mass, never re-touching the corpus. HONEST BOUND,
+    stated: LSH candidate recall follows the band S-curve tuned by
+    (n_hashes, bands); pairs whose similarity sits far BELOW the
+    operating point the defaults target (~0.8 at 64/16) may not be
+    candidates at all, so readouts at a floor well under the S-curve
+    knee UNDERCOUNT pairs — pick bands for the floor you care about
+    (more bands of fewer rows shifts the knee left; the tradeoff table
+    is in extensions/dedup_fuzzy.py).
+
+    Output one row per threshold: (threshold, n_pairs,
+    n_docs_in_pairs, n_components, docs_removed) — docs_removed is the
+    exact count min-id dedup at that threshold would drop.
+
+    Scale shape: one LSH + verify pass (the measured candidate-bounded
+    plan of :func:`extensions.dedup_fuzzy.minhash_near_duplicates`),
+    pairs cached once; each threshold then runs min-label CC over its
+    filtered edge list — iterations scale with component diameter
+    (near-dup clusters are shallow), edges bounded by the floor
+    threshold's pair count. |thresholds| is a handful, listed by the
+    caller."""
+    from ..extensions.dedup_fuzzy import connected_components, minhash_near_duplicates
+
+    ts = sorted({float(t) for t in thresholds})
+    if not ts:
+        raise ValueError("thresholds must be a non-empty list of floats in (0, 1]")
+    if ts[0] <= 0 or ts[-1] > 1:
+        raise ValueError(f"thresholds must lie in (0, 1], got {ts}")
+    pairs = tracked_cache(
+        minhash_near_duplicates(
+            docs,
+            id_col=id_col,
+            text_col=text_col,
+            n_hashes=n_hashes,
+            bands=bands,
+            shingle_n=shingle_n,
+            threshold=ts[0],
+            seed=seed,
+        )
+    )
+    spark = docs.sparkSession
+    rows = []
+    for t in ts:
+        sub = pairs.filter(F.col("jaccard") >= t)
+        n_pairs = sub.count()
+        if n_pairs == 0:
+            rows.append((t, 0, 0, 0, 0))
+            continue
+        labels = connected_components(sub, "d1", "d2")
+        n_nodes = labels.count()
+        n_comp = labels.select("label").distinct().count()
+        rows.append((t, n_pairs, n_nodes, n_comp, n_nodes - n_comp))
+    return spark.createDataFrame(
+        rows,
+        "threshold double, n_pairs bigint, n_docs_in_pairs bigint, "
+        "n_components bigint, docs_removed bigint",
+    )
+
+
 def q_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TF-IDF term salience: top-3 terms per document by tf x idf.
 

@@ -1515,6 +1515,49 @@ def test_cli_token_budget_select_and_split_leakage_audit(spark, tmp_path, capsys
     ]
 
 
+def test_cli_dedup_threshold_sweep(spark, tmp_path, capsys):
+    """dedup-threshold-sweep e2e: near-identical pairs survive the tight
+    cut, the loose cut also fires on moderate-overlap pairs, docs_removed
+    tracks the pair tiers; a malformed thresholds list is refused."""
+    import json as _json
+    import random
+
+    from big_data_processing_with_aws_glue_workshop_spark.cli import main
+
+    rng = random.Random(9)
+    vocab = [f"w{j}" for j in range(400)]
+    rows = []
+    for k in range(6):
+        body = [rng.choice(vocab) for _ in range(40)]
+        rows.append((10 * k, "s", " ".join(body) + " alpha"))
+        rows.append((10 * k + 1, "s", " ".join(body) + " beta"))
+        rows.append(
+            (10 * k + 2, "s",
+             " ".join(body[:30] + [rng.choice(vocab) for _ in range(10)]))
+        )
+    spark.createDataFrame(
+        rows, "doc_id long, source string, text string"
+    ).coalesce(1).write.parquet(str(tmp_path / "docs"))
+
+    main([
+        "dedup-threshold-sweep",
+        "--input", str(tmp_path / "docs"),
+        "--thresholds", "0.4,0.9",
+        "--bands", "32",
+    ])
+    out = _json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    sweep = {s["threshold"]: s for s in out["sweep"]}
+    assert sweep[0.9]["n_pairs"] >= 6  # the near-identical tier
+    assert sweep[0.4]["n_pairs"] > sweep[0.9]["n_pairs"]  # + moderate tier
+    assert sweep[0.4]["docs_removed"] > sweep[0.9]["docs_removed"]
+
+    with pytest.raises(SystemExit, match="not a comma-separated"):
+        main([
+            "dedup-threshold-sweep", "--input", str(tmp_path / "docs"),
+            "--thresholds", "0.4;0.9",
+        ])
+
+
 def test_cli_curriculum_select(spark, tmp_path, capsys):
     """curriculum-select e2e: two ordered --phase flags produce an
     exclusive phase-partitioned selection, the first phase skims the

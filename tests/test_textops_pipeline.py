@@ -1637,6 +1637,88 @@ def test_curriculum_composes_with_dsir_scores(spark):
         assert mass_a <= 60 and mass_b <= 120
 
 
+def test_dedup_threshold_sweep_matches_python_mirror(spark):
+    """r15: the threshold-tuning audit's per-threshold readouts (pairs,
+    touched docs, components, exact docs-removed) must equal a Python
+    union-find over the SAME (already gated elsewhere) exact-Jaccard
+    pair stream at the floor threshold — pins the sweep layer (filters +
+    CC + arithmetic) precisely. Constructed corpus with two similarity
+    tiers so the thresholds actually separate: near-identical pairs
+    (~0.95) and moderate-overlap pairs (~0.5-0.7). Also pinned:
+    monotonicity (raising the threshold never adds pairs or removals)
+    and the input-validation raises."""
+    from big_data_processing_with_aws_glue_workshop_spark.extensions.dedup_fuzzy import (
+        minhash_near_duplicates,
+    )
+    from big_data_processing_with_aws_glue_workshop_spark.queries.textops import (
+        dedup_threshold_sweep,
+    )
+
+    import random
+
+    rng = random.Random(7)
+    vocab = [f"w{j}" for j in range(500)]
+    rows = []
+    for k in range(8):
+        body = [rng.choice(vocab) for _ in range(40)]
+        # tier 1: one trailing word differs -> Jaccard ~0.95
+        rows.append((10 * k, "s", " ".join(body) + " alpha"))
+        rows.append((10 * k + 1, "s", " ".join(body) + " beta"))
+        # tier 2: last quarter replaced -> 3-shingle Jaccard ~0.58
+        # (28 shared of 48 distinct shingles)
+        half = body[:30] + [rng.choice(vocab) for _ in range(10)]
+        rows.append((10 * k + 2, "s", " ".join(half)))
+        # unique doc
+        rows.append((10 * k + 3, "s", " ".join(rng.choice(vocab) for _ in range(40))))
+    docs = spark.createDataFrame(rows, "doc_id long, source string, text string")
+
+    thresholds = [0.4, 0.8, 0.99]
+    kw = dict(n_hashes=64, bands=32, shingle_n=3, seed=42)
+    got = {
+        r["threshold"]: (
+            r["n_pairs"], r["n_docs_in_pairs"], r["n_components"],
+            r["docs_removed"],
+        )
+        for r in dedup_threshold_sweep(docs, thresholds, **kw).collect()
+    }
+
+    # Python mirror over the same floor pair stream
+    pair_rows = minhash_near_duplicates(
+        docs, threshold=0.4, **kw
+    ).collect()
+    for t in thresholds:
+        edges = [(r["d1"], r["d2"]) for r in pair_rows if r["jaccard"] >= t]
+        parent: dict = {}
+
+        def find(x):
+            parent.setdefault(x, x)
+            while parent[x] != x:
+                parent[x] = parent[parent[x]]
+                x = parent[x]
+            return x
+
+        for a, b in edges:
+            ra, rb = find(a), find(b)
+            if ra != rb:
+                parent[ra] = rb
+        nodes = {d for e in edges for d in e}
+        comps = {find(d) for d in nodes}
+        assert got[t] == (len(edges), len(nodes), len(comps),
+                          len(nodes) - len(comps)), t
+    # the tiers separate: the loose cut sees both tiers, the tight cut
+    # only the near-identical one
+    assert got[0.4][0] > got[0.8][0] > 0
+    assert got[0.99][0] == 0
+    # monotonicity across the board
+    for a, b in zip(thresholds, thresholds[1:]):
+        assert got[a][0] >= got[b][0] and got[a][3] >= got[b][3]
+
+    with pytest.raises(ValueError, match="non-empty"):
+        dedup_threshold_sweep(docs, [])
+    with pytest.raises(ValueError, match=r"\(0, 1\]"):
+        dedup_threshold_sweep(docs, [0.0, 0.5])
+
+
 def test_stratified_budget_selection_worklist_bound(spark):
     """Discrete grades in BOTH sources: every oversized bucket (FULL or
     PARTIAL, any source) refines via the level-batched worklist — the
