@@ -16,16 +16,15 @@ entries in iteration order. The registry is therefore laid out explicitly:
   as ``set(_SCORED) - set(_ALL_ORACLES)`` and raise-checked below against
   the documented allowlist ``_SCORED_NO_ORACLE`` (the r8 verdict's "What's
   wrong #1": two consecutive rounds had this paragraph drift from the
-  tuples, so the tuples are now the source of truth). This round (r15)
-  the derived set is the HLL/Bernoulli pair
-  (``approx_distinct_profile``/``bernoulli_sample``) — engine-RNG /
-  engine-sketch results whose exact values SQL cannot reproduce
-  (HLL++ register layout; Spark's sample() Bernoulli stream); the
-  deterministic oracle-backed twins (``table_stats_profile`` exact
-  distincts, ``sampled_quantile_profile``) sit in this same window, and
-  the pytest gate pins tolerance/determinism properties. The ANN pair
-  rotated back to the tail with the rest of the r14 window, where the
-  pytest gate keeps its rows-only + recall checks.
+  tuples, so the tuples are now the source of truth). This round (r16)
+  the derived set is the ANN pair (``ann_lsh_topk``/``ivf_ann_topk``) —
+  approximate top-k whose candidate sets depend on LSH/IVF cell
+  assignment no SQL oracle can reproduce; the exact brute-force twin
+  ``cosine_topk`` sits in this same window oracle-backed, and the
+  pytest gate pins recall-vs-exact properties for both. The
+  HLL/Bernoulli pair rotated back to the tail with the rest of the r15
+  window, where the pytest gate keeps its rows-only + tolerance and
+  determinism checks.
 - ``_TAIL`` (unscored, still registered): every tail query is gated by
   tests/test_queries_oracle.py on every pytest run — oracle-backed ones
   hash-checked, the rest rows-only.
@@ -58,24 +57,28 @@ operator family (cube, ntile, as-of join, JSON extraction, connected
 components) and the composed flagships (training_pipeline_summary, the
 clustered embedding scale path) stay in.
 
-Round-15 rotation (applied this round — pure arithmetic, exactly as
-the r14 feasibility check wrote it):
-- promoted (50): the 50 r14 demotions — the entire r13 window, every
-  one driver-green or rows-only-by-design in CORRECTNESS_r13, due back
+Round-16 rotation (applied this round — pure arithmetic, exactly as
+the r15 feasibility check wrote it):
+- promoted (50): the 50 r15 demotions — the entire r14 window, every
+  one driver-green or rows-only-by-design in CORRECTNESS_r14, due back
   this round per the two-round promise. Pre-verified with
   ``tools/driver_hash_check.py`` at sf0.01 before this rotation was
   committed.
 - kept scored: none. added scored-from-day-one: none.
-- demoted (50, due back r16): the entire r14 window (48 fully green +
-  the ANN rows-only pair in CORRECTNESS_r14).
-- rows-only boundary: ``_SCORED_NO_ORACLE`` moves back to the
-  HLL/Bernoulli pair (``approx_distinct_profile``/``bernoulli_sample``);
-  the ANN pair demotes to the tail where the pytest gate keeps its
-  rows-only + recall checks.
-- round-16 feasibility check: due-back promotions in r16 are exactly
-  the 50 r15 demotions = 50 — zero keeps, zero additions
-  scored-from-day-one. Any r16 addition must name a 1:1 retirement and
+- demoted (50, due back r17): the entire r15 window (48 fully green +
+  the HLL/Bernoulli rows-only pair in CORRECTNESS_r15).
+- rows-only boundary: ``_SCORED_NO_ORACLE`` moves back to the ANN
+  pair (``ann_lsh_topk``/``ivf_ann_topk``); the HLL/Bernoulli pair
+  demotes to the tail where the pytest gate keeps its rows-only +
+  tolerance/determinism checks.
+- round-17 feasibility check: due-back promotions in r17 are exactly
+  the 50 r16 demotions = 50 — zero keeps, zero additions
+  scored-from-day-one. Any r17 addition must name a 1:1 retirement and
   restate the retiree's gate story here.
+
+(r15 rotation, for the record: the 50 r14 demotions = the entire r13
+window; zero keeps; ``_SCORED_NO_ORACLE`` was the HLL/Bernoulli pair
+(``approx_distinct_profile``/``bernoulli_sample``) that round.)
 
 (r14 rotation, for the record: the 50 r13 demotions = the entire r12
 window; zero keeps; ``_SCORED_NO_ORACLE`` was the ANN pair
@@ -191,69 +194,11 @@ _ALL_QUERIES = {
 }
 
 _SCORED = (
-    # returning r14 demotions (all 50 — the whole r14 tail = the r13
+    # returning r15 demotions (all 50 — the whole r15 tail = the r14
     # window, every one driver-green or rows-only-by-design in
-    # CORRECTNESS_r13, due back this round per the two-round promise;
+    # CORRECTNESS_r14, due back this round per the two-round promise;
     # pre-verified with tools/driver_hash_check.py at sf0.01 before
     # this rotation was committed)
-    "asof_last_click_before_error",
-    "range_join_interval_counts",
-    "json_props_extract",
-    "doc_dup_components",
-    "corpus_vocab_stats",
-    "source_lang_profile",
-    "doc_chunk_plan",
-    "boilerplate_ngram_profile",
-    "prefix_template_clusters",
-    "quality_filter_decisions",
-    "sequence_packing_plan",
-    "media_probe_profile",
-    "media_pixel_stats",
-    "media_audio_stats",
-    "media_frame_stats",
-    "balance_buckets",
-    "hourly_rollup_from_minutes",
-    "value_zscore_outliers",
-    "event_value_percentiles",
-    "user_event_deltas",
-    "active_customers_by_segment",
-    "avg_balance_by_nation",
-    "fulfillment_rate_by_nation",
-    "priority_filter",
-    "latest_order_per_customer",
-    "distinct_projection",
-    "doc_token_stats",
-    "doc_quality_scores",
-    "above_nation_avg_customers",
-    "approx_distinct_profile",
-    "bernoulli_sample",
-    "customers_with_orders",
-    "promo_revenue_share",
-    "returnflag_pivot",
-    "status_priority_rollup",
-    "unpivot_status_metrics",
-    "trailing_window_rates",
-    "table_stats_profile",
-    "cross_source_overlap",
-    "embedding_dimension_profile",
-    "normalized_dedup_profile",
-    "balanced_sample_plan",
-    "user_cohort_retention",
-    "order_snapshot_diff",
-    "part_name_linkage",
-    "doc_lm_backoff_scores",
-    "supplier_part_share",
-    "sampled_quantile_profile",
-    "semantic_dedup_decisions",
-    "passage_dedup_rewrite",
-)
-
-_TAIL = (
-    # r15 demotions — the entire r14 window (48 fully green + the ANN
-    # rows-only pair in CORRECTNESS_r14, due back r16 — see the r16
-    # feasibility check in the docstring). The pytest oracle gate still
-    # hash-checks every oracle-backed one on every run, and bench.py
-    # times the full registered surface.
     "customers_without_orders",
     "lineitem_cube_aggregates",
     "customer_balance_ntiles",
@@ -306,6 +251,64 @@ _TAIL = (
     "training_pipeline_summary",
 )
 
+_TAIL = (
+    # r16 demotions — the entire r15 window (48 fully green + the
+    # HLL/Bernoulli rows-only pair in CORRECTNESS_r15, due back r17 —
+    # see the r17 feasibility check in the docstring). The pytest
+    # oracle gate still hash-checks every oracle-backed one on every
+    # run, and bench.py times the full registered surface.
+    "asof_last_click_before_error",
+    "range_join_interval_counts",
+    "json_props_extract",
+    "doc_dup_components",
+    "corpus_vocab_stats",
+    "source_lang_profile",
+    "doc_chunk_plan",
+    "boilerplate_ngram_profile",
+    "prefix_template_clusters",
+    "quality_filter_decisions",
+    "sequence_packing_plan",
+    "media_probe_profile",
+    "media_pixel_stats",
+    "media_audio_stats",
+    "media_frame_stats",
+    "balance_buckets",
+    "hourly_rollup_from_minutes",
+    "value_zscore_outliers",
+    "event_value_percentiles",
+    "user_event_deltas",
+    "active_customers_by_segment",
+    "avg_balance_by_nation",
+    "fulfillment_rate_by_nation",
+    "priority_filter",
+    "latest_order_per_customer",
+    "distinct_projection",
+    "doc_token_stats",
+    "doc_quality_scores",
+    "above_nation_avg_customers",
+    "approx_distinct_profile",
+    "bernoulli_sample",
+    "customers_with_orders",
+    "promo_revenue_share",
+    "returnflag_pivot",
+    "status_priority_rollup",
+    "unpivot_status_metrics",
+    "trailing_window_rates",
+    "table_stats_profile",
+    "cross_source_overlap",
+    "embedding_dimension_profile",
+    "normalized_dedup_profile",
+    "balanced_sample_plan",
+    "user_cohort_retention",
+    "order_snapshot_diff",
+    "part_name_linkage",
+    "doc_lm_backoff_scores",
+    "supplier_part_share",
+    "sampled_quantile_profile",
+    "semantic_dedup_decisions",
+    "passage_dedup_rewrite",
+)
+
 
 # Retirement mechanism (see docstring): retired names leave the driver
 # registry but MUST keep their implementation + pytest oracle coverage
@@ -333,7 +336,7 @@ _RETIRED = (
 # from the tuples again (r8 verdict "What's wrong #1"). Change this
 # tuple and the docstring TOGETHER when a rotation moves a no-oracle
 # query across the window boundary.
-_SCORED_NO_ORACLE = ("approx_distinct_profile", "bernoulli_sample")
+_SCORED_NO_ORACLE = ("ann_lsh_topk", "ivf_ann_topk")
 
 # Module-level invariants the correctness driver depends on. Explicit raises,
 # not assert: python -O strips asserts, which would silently disable the
