@@ -573,30 +573,36 @@ def dedup_threshold_sweep(
         raise ValueError("thresholds must be a non-empty list of floats in (0, 1]")
     if ts[0] <= 0 or ts[-1] > 1:
         raise ValueError(f"thresholds must lie in (0, 1], got {ts}")
-    pairs = tracked_cache(
-        minhash_near_duplicates(
-            docs,
-            id_col=id_col,
-            text_col=text_col,
-            n_hashes=n_hashes,
-            bands=bands,
-            shingle_n=shingle_n,
-            threshold=ts[0],
-            seed=seed,
-        )
-    )
+    # plain persist + finally, NOT tracked_cache: the result frame below
+    # is built from collected driver rows, so the pair cache is dead
+    # weight the moment the loop finishes — tying its release to the
+    # next maybe_release_tracked_caches() would let repeated library
+    # calls accumulate executor cache indefinitely (r15 ADVICE)
+    pairs = minhash_near_duplicates(
+        docs,
+        id_col=id_col,
+        text_col=text_col,
+        n_hashes=n_hashes,
+        bands=bands,
+        shingle_n=shingle_n,
+        threshold=ts[0],
+        seed=seed,
+    ).persist()
     spark = docs.sparkSession
     rows = []
-    for t in ts:
-        sub = pairs.filter(F.col("jaccard") >= t)
-        n_pairs = sub.count()
-        if n_pairs == 0:
-            rows.append((t, 0, 0, 0, 0))
-            continue
-        labels = connected_components(sub, "d1", "d2")
-        n_nodes = labels.count()
-        n_comp = labels.select("label").distinct().count()
-        rows.append((t, n_pairs, n_nodes, n_comp, n_nodes - n_comp))
+    try:
+        for t in ts:
+            sub = pairs.filter(F.col("jaccard") >= t)
+            n_pairs = sub.count()
+            if n_pairs == 0:
+                rows.append((t, 0, 0, 0, 0))
+                continue
+            labels = connected_components(sub, "d1", "d2")
+            n_nodes = labels.count()
+            n_comp = labels.select("label").distinct().count()
+            rows.append((t, n_pairs, n_nodes, n_comp, n_nodes - n_comp))
+    finally:
+        pairs.unpersist()
     return spark.createDataFrame(
         rows,
         "threshold double, n_pairs bigint, n_docs_in_pairs bigint, "

@@ -259,6 +259,20 @@ def recalibrate_admission(
       (``last_stream_batch``) and checkpoint pin carry forward
       unchanged, so the next drain composes against the remaining
       budgets with no stream id consumed.
+    - CONCURRENCY CONTRACT (r16, the r15-ADVICE medium finding):
+      recalibration must NOT run against a target with an active drain.
+      Both writers commit at ``pointer.batch_id + 1`` from their own
+      pointer read, so an interleaved drain commit would collide with
+      (and ``commit_snapshot`` would rmtree) this recalibration's
+      version dir, silently losing the new budgets/spent. Enforced: the
+      pointer is RE-READ immediately before commit and the whole
+      operation raises if anything changed since the initial read —
+      nothing has been written at that point, so the refusal is clean
+      (re-run the recalibration after the drain settles). The residual
+      window between the re-read and the pointer flip is microseconds
+      vs the batch-start-to-commit seconds the check closes; the
+      operational rule above remains the guarantee, the check makes
+      violating it loud instead of silent.
 
     Returns {"evicted_docs", "kept_docs", "spent": {source: tokens}}."""
     from ..queries.textops import stratified_budget_selection
@@ -286,11 +300,20 @@ def recalibrate_admission(
         # carry each surviving doc's original admitted_batch; cum_tokens
         # are the re-cut's fresh per-source running mass under the new
         # ranking-prefix (the standing table's old offsets described a
-        # budget table that no longer exists)
+        # budget table that no longer exists). The batch lookup is
+        # aggregated to ONE row per (id, source) first (r15-ADVICE low
+        # finding): the sink never dedups doc ids across waves, so a doc
+        # admitted in two waves has two standing rows — joining the raw
+        # frame would fan the re-cut out multiplicatively and inflate
+        # kept_docs/spent beyond the re-cut mass. F.min = the earliest
+        # wave that admitted the doc.
         merged = recut.select(
             idc, src, "score", "n_tokens", "cum_tokens"
         ).join(
-            admitted.select(idc, src, "admitted_batch"), [idc, src]
+            admitted.groupBy(idc, src).agg(
+                F.min("admitted_batch").alias("admitted_batch")
+            ),
+            [idc, src],
         ).persist()
         try:
             kept = merged.count()
@@ -311,6 +334,20 @@ def recalibrate_admission(
             extra.setdefault(
                 "last_stream_batch", pointer["batch_id"]
             )
+            # concurrent-writer guard (docstring CONCURRENCY CONTRACT):
+            # refuse — before anything is written — if a drain committed
+            # since the initial pointer read; proceeding would collide on
+            # version batch_id+1 and one writer's commit would be lost
+            now = read_pointer(target_dir)
+            if now != pointer:
+                raise RuntimeError(
+                    f"admission state at {target_dir!r} changed while "
+                    "recalibrating (an active drain committed "
+                    f"version {now and now.get('batch_id')} past the "
+                    f"{pointer['batch_id']} this recalibration read) — "
+                    "recalibrate_admission must not run against a target "
+                    "with an in-flight drain; re-run after it settles"
+                )
             commit_snapshot(
                 merged, target_dir, pointer["batch_id"] + 1, extra
             )

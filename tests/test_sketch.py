@@ -1448,6 +1448,106 @@ def test_dsir_fit_from_stream_parity(spark, tmp_path):
         dsir_fit_from_stream(spark, str(tmp_path / "nowhere"), target)
 
 
+def test_recalibrate_admission_refuses_inflight_drain(spark, tmp_path, monkeypatch):
+    """r15-ADVICE medium: recalibrate_admission and the drain sink both
+    commit at pointer.batch_id + 1 from their own pointer read, so a
+    drain landing while a recalibration computes would make the two
+    commits collide on one version id — commit_snapshot would rmtree the
+    loser's just-published dir and the new budgets/spent would be lost
+    SILENTLY. Pinned: the pre-commit pointer re-read detects the
+    interleaving and the recalibration refuses cleanly (nothing written),
+    leaving the drain's commit fully intact; re-running after the drain
+    settles succeeds."""
+    import pytest
+
+    from big_data_processing_with_aws_glue_workshop_spark.queries import textops
+    from big_data_processing_with_aws_glue_workshop_spark.streaming.selection import (
+        BudgetAdmissionSink,
+        admission_report,
+        read_admitted,
+        recalibrate_admission,
+    )
+
+    schema = "doc_id long, source string, score double, n_tokens long"
+    target_dir = str(tmp_path / "admitted")
+    budgets = {"a": 50}
+    sink = BudgetAdmissionSink(target_dir, budgets, "score")
+    w0 = spark.createDataFrame(
+        [(i, "a", 10.0 - i, 10) for i in range(1, 4)], schema
+    )
+    sink(w0, 0)
+
+    # simulate the race: while the recalibration is mid-computation
+    # (inside its re-cut), a drain commits wave 1 against the CURRENT
+    # calibration. The wrapper interleaves exactly once, then delegates.
+    real = textops.stratified_budget_selection
+    w1 = spark.createDataFrame([(9, "a", 9.5, 10)], schema)
+    state = {"fired": False}
+
+    def interleaving(*args, **kwargs):
+        if not state["fired"]:
+            state["fired"] = True
+            sink(w1, 1)  # the in-flight drain lands mid-recalibration
+        return real(*args, **kwargs)
+
+    monkeypatch.setattr(textops, "stratified_budget_selection", interleaving)
+    with pytest.raises(RuntimeError, match="changed while"):
+        recalibrate_admission(spark, target_dir, {"a": 20})
+
+    # the drain's commit survived untouched: wave-1 doc admitted, spent
+    # counters include it, standing table readable
+    assert state["fired"]
+    rep = admission_report(target_dir)
+    assert rep["a"]["spent"] == 40
+    assert sorted(
+        r["doc_id"] for r in read_admitted(spark, target_dir).collect()
+    ) == [1, 2, 3, 9]
+
+    # after the drain settles the same recalibration succeeds (keeps the
+    # two best-scoring docs within the shrunk budget: 9 at 9.5, 1 at 9.0)
+    out = recalibrate_admission(spark, target_dir, {"a": 20})
+    assert out == {"evicted_docs": 2, "kept_docs": 2, "spent": {"a": 20}}
+    assert sorted(
+        r["doc_id"] for r in read_admitted(spark, target_dir).collect()
+    ) == [1, 9]
+
+
+def test_recalibrate_admission_duplicate_doc_rows(spark, tmp_path):
+    """r15-ADVICE low: the sink never dedups doc ids across waves, so a
+    doc delivered (and admitted) in two waves has two standing rows.
+    recalibrate_admission recovers admitted_batch by joining back to the
+    standing table on (id, source) — unaggregated, that join fans out
+    multiplicatively and inflates kept_docs/spent past the re-cut mass
+    (spent could then exceed the new budget). Pinned: the lookup is
+    aggregated to one row per (id, source) first (F.min = earliest
+    admitting wave), so kept/spent equal the re-cut exactly."""
+    from big_data_processing_with_aws_glue_workshop_spark.streaming.selection import (
+        BudgetAdmissionSink,
+        read_admitted,
+        recalibrate_admission,
+    )
+
+    schema = "doc_id long, source string, score double, n_tokens long"
+    target_dir = str(tmp_path / "admitted")
+    sink = BudgetAdmissionSink(target_dir, {"a": 50}, "score")
+    # the SAME doc 1 arrives in waves 0 and 1; both admissions land
+    w = spark.createDataFrame([(1, "a", 9.0, 10)], schema)
+    sink(w, 0)
+    sink(w, 1)
+    standing = read_admitted(spark, target_dir).collect()
+    assert len(standing) == 2  # the duplicate standing rows are real
+
+    # recalibration over the 2-row standing table: the re-cut keeps both
+    # rows (mass 20 <= 50); without the lookup aggregation each re-cut
+    # row would join 2 standing rows -> kept=4, spent=40
+    out = recalibrate_admission(spark, target_dir, {"a": 50})
+    assert out == {"evicted_docs": 0, "kept_docs": 2, "spent": {"a": 20}}
+    rows = read_admitted(spark, target_dir).collect()
+    assert len(rows) == 2
+    # provenance resolves to the EARLIEST admitting wave for both rows
+    assert sorted(r["admitted_batch"] for r in rows) == [0, 0]
+
+
 def test_admission_regret_readout(spark, tmp_path):
     """r14 verdict stretch #7: the wave-greedy vs global-ranking
     divergence was documented and pinned as a fact; admission_regret

@@ -1718,6 +1718,31 @@ def test_dedup_threshold_sweep_matches_python_mirror(spark):
     with pytest.raises(ValueError, match=r"\(0, 1\]"):
         dedup_threshold_sweep(docs, [0.0, 0.5])
 
+    # r15-ADVICE low: the sweep's pair pin must be RELEASED by the time
+    # the function returns — its result is built from collected driver
+    # rows, so deferring the release to the tracked-cache registry would
+    # let repeated library calls accumulate executor cache until some
+    # later release_tracked_caches(). Pin at the registry level (raw
+    # persisted-RDD counts carry CC localCheckpoint residue and are
+    # GC-timing brittle): the sweep must register EXACTLY the tracked
+    # entries its internal minhash pass registers — its own pairs pin is
+    # plain persist + finally-unpersist, never tracked. Plus: every
+    # tracked entry the sweep leaves is still live (cached), i.e. the
+    # sweep didn't unpersist frames it doesn't own.
+    from big_data_processing_with_aws_glue_workshop_spark.util import (
+        _LIVE_CACHES,
+        release_tracked_caches,
+    )
+
+    release_tracked_caches()
+    minhash_near_duplicates(docs, threshold=0.4, **kw).count()
+    internal = len(_LIVE_CACHES)
+    release_tracked_caches()
+    dedup_threshold_sweep(docs, thresholds, **kw).collect()
+    assert len(_LIVE_CACHES) == internal  # no tracked pairs pin added
+    assert all(df.storageLevel.useMemory for df in _LIVE_CACHES)
+    release_tracked_caches()
+
 
 def test_stratified_budget_selection_worklist_bound(spark):
     """Discrete grades in BOTH sources: every oversized bucket (FULL or
