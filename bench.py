@@ -135,6 +135,29 @@ def _micro_calibration(spark, warm: bool = False) -> float:
 # interleave a micro-calibration after every N timed queries
 _CALIB_SEGMENT_EVERY = 20
 
+# record-adjudication bound (r16, r15 verdict #3): a run whose box speed
+# drifted more than this between its fastest and slowest segment is not
+# comparable as a record — the r15 close-out's run 1 (90.15 s, segments
+# 2.14 -> 1.41 = 52% drift) was correctly discarded by HAND-RUN quiet-box
+# confirms; this makes that regime mechanical. 1.3 sits above the flat
+# driver-run band actually observed (1.12-1.36 read max/min 1.21) and
+# well below the drifting run's 1.52.
+_SEGMENT_FLAT_BOUND = 1.3
+
+
+def segments_verdict(calib_segments, bound: float = _SEGMENT_FLAT_BOUND) -> dict:
+    """Mechanical record adjudication from the interleaved segment
+    calibrations: ``flat`` is True when max/min segment <= bound, False
+    when the box drifted past it (the run is real data but NOT
+    record-grade — rerun on a quiet box before citing it as a record),
+    and None when the run carries fewer than 2 segments (pre-r15 files:
+    nothing to adjudicate with)."""
+    secs = [s["sec"] for s in (calib_segments or []) if s.get("sec")]
+    if len(secs) < 2:
+        return {"flat": None, "max_over_min": None, "bound": bound}
+    ratio = max(secs) / min(secs)
+    return {"flat": ratio <= bound, "max_over_min": round(ratio, 4), "bound": bound}
+
 
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -248,6 +271,23 @@ def main() -> None:
     print(json.dumps({"bench_calibration": "post", "sec": calib_post}), flush=True)
 
     total = round(sum(timings.values()), 4)
+    verdict = segments_verdict(calib_segments)
+    if verdict["flat"] is False:
+        # loud, mechanical, and recorded in both outputs: the run is
+        # valid data but NOT record-grade — do not cite it as a record
+        print(
+            json.dumps(
+                {
+                    "bench_warning": "segments_drifting",
+                    "max_over_min": verdict["max_over_min"],
+                    "bound": verdict["bound"],
+                    "note": "box speed drifted past the record bound "
+                    "during this run; rerun on a quiet box before "
+                    "citing totals as a record",
+                }
+            ),
+            flush=True,
+        )
     # bench_detail.json is the HEADLINE (sf0.1) record that bench_diff and
     # the round notes key on — a smoke run at another SF must not clobber
     # it (it did once, r9: an sf0.001 verify run overwrote the quiet-box
@@ -267,6 +307,8 @@ def main() -> None:
                 "calib_pre": calib_pre,
                 "calib_post": calib_post,
                 "calib_segments": calib_segments,
+                "segments_flat": verdict["flat"],
+                "segment_drift": verdict["max_over_min"],
             },
             f,
             indent=1,
@@ -283,6 +325,7 @@ def main() -> None:
                 "n_queries": len(timings),
                 "calib_pre": calib_pre,
                 "calib_post": calib_post,
+                "segments_flat": verdict["flat"],
             }
         ),
         flush=True,

@@ -994,6 +994,43 @@ def cmd_dedup_threshold_sweep(args: argparse.Namespace) -> None:
     )
 
 
+def cmd_semantic_threshold_sweep(args: argparse.Namespace) -> None:
+    """Semantic eps-tuning audit (queries/vectors.py::
+    semantic_threshold_sweep): one clustered exact-pair pass at the
+    floor eps, exact-cosine readouts per candidate eps — pairs fired,
+    vectors touched, exact docs SemDeDup min-id dedup would remove."""
+    from .queries.vectors import semantic_threshold_sweep
+
+    try:
+        eps = [float(t) for t in args.eps.split(",")]
+    except ValueError:
+        raise SystemExit(
+            f"--eps {args.eps!r} is not a comma-separated list of floats"
+        ) from None
+    spark = get_session(app_name="semantic-threshold-sweep")
+    vecs = spark.read.parquet(args.input)
+    rows = semantic_threshold_sweep(
+        vecs, eps, vec_col=args.vec_col, id_col=args.id_col,
+        nlist=args.nlist, seed=args.seed,
+    ).collect()
+    _emit(
+        {
+            "job": "semantic-threshold-sweep",
+            "input": args.input,
+            "sweep": [
+                {
+                    "threshold": r["threshold"],
+                    "n_pairs": r["n_pairs"],
+                    "n_docs_in_pairs": r["n_docs_in_pairs"],
+                    "n_components": r["n_components"],
+                    "docs_removed": r["docs_removed"],
+                }
+                for r in sorted(rows, key=lambda r: r["threshold"])
+            ],
+        }
+    )
+
+
 def cmd_curriculum_select(args: argparse.Namespace) -> None:
     """Phase-ordered exclusive curriculum selection job
     (queries/textops.py::curriculum_phase_selection): each --phase takes
@@ -1125,6 +1162,72 @@ def cmd_budget_admission(args: argparse.Namespace) -> None:
             "job": "budget-admission",
             "target": args.target,
             "report": admission_report(args.target),
+        }
+    )
+
+
+def cmd_curriculum_admission(args: argparse.Namespace) -> None:
+    """Streaming phase-ordered admission job (streaming/selection.py::
+    CurriculumAdmissionSink): drain newly-landed documents into the
+    standing phase-admitted table — each drain runs the batch curriculum
+    cut against the per-(phase, source) budgets remaining after earlier
+    drains. Emits the per-phase utilization report from the pointer."""
+    from .streaming.selection import (
+        curriculum_admission_report,
+        run_stream_curriculum_admission,
+    )
+
+    spark = get_session(app_name="curriculum-admission")
+    phases = []
+    seen = set()
+    for spec in args.phase:
+        if ":" not in spec:
+            raise SystemExit(
+                f"--phase {spec!r} is not name:src=tokens,src=tokens"
+            )
+        name, budget_str = spec.split(":", 1)
+        if not name:
+            raise SystemExit(f"--phase {spec!r} has an empty phase name")
+        if name in seen:
+            raise SystemExit(f"--phase names repeat: {name!r}")
+        seen.add(name)
+        phases.append((name, _parse_budgets(budget_str)))
+    # same landing-dir ergonomics as budget-admission (r14 ADVICE / r15
+    # review): empty-but-existing dir = clean first-drain exit, missing
+    # dir = loud distinct error
+    if not os.path.isdir(args.input):
+        raise SystemExit(
+            f"landing dir {args.input!r} does not exist — check --input "
+            "(an empty dir is fine for a first drain; a missing one is "
+            "usually a typo)"
+        )
+    try:
+        schema = spark.read.parquet(args.input).schema
+    except Exception as exc:
+        if "infer schema" in str(exc).lower():
+            raise SystemExit(
+                f"no parquet files under {args.input!r} yet — nothing to "
+                "drain (run again after the first landing, or seed the dir "
+                "with a schema-bearing sample file)"
+            ) from None
+        raise
+    stream = spark.readStream.schema(schema).parquet(args.input)
+    run_stream_curriculum_admission(
+        stream,
+        args.target,
+        phases,
+        args.score_col,
+        source_col=args.source_col,
+        id_col=args.id_col,
+        n_tokens_col=args.n_tokens_col,
+        n_buckets=args.n_buckets,
+        checkpoint_dir=args.checkpoint,
+    )
+    _emit(
+        {
+            "job": "curriculum-admission",
+            "target": args.target,
+            "report": curriculum_admission_report(args.target),
         }
     )
 
@@ -2040,6 +2143,27 @@ def build_parser() -> argparse.ArgumentParser:
     dts.add_argument("--seed", type=int, default=42)
     dts.set_defaults(func=cmd_dedup_threshold_sweep)
 
+    sts = sub.add_parser(
+        "semantic-threshold-sweep",
+        help="semantic (cosine) eps tuning audit: one clustered "
+        "exact-pair pass at the floor eps, exact-cosine readouts per "
+        "candidate eps (pairs, vectors touched, exact docs SemDeDup "
+        "min-id dedup would remove); recall is exact at every eps — "
+        "the floor controls allowlist COST, not recall",
+    )
+    sts.add_argument("--input", required=True, help="embeddings parquet path")
+    sts.add_argument(
+        "--eps", required=True,
+        help="comma-separated cosine cuts in (0, 1], e.g. 0.4,0.6,0.8 "
+        "(the floor widens the cell allowlist toward all-pairs — see "
+        "the cost note in the op)",
+    )
+    sts.add_argument("--id-col", default="vec_id")
+    sts.add_argument("--vec-col", default="embedding")
+    sts.add_argument("--nlist", type=int, default=16)
+    sts.add_argument("--seed", type=int, default=42)
+    sts.set_defaults(func=cmd_semantic_threshold_sweep)
+
     cs = sub.add_parser(
         "curriculum-select",
         help="phase-ordered exclusive curriculum selection: each "
@@ -2086,6 +2210,31 @@ def build_parser() -> argparse.ArgumentParser:
     ba.add_argument("--source-col", default="source")
     ba.add_argument("--n-buckets", type=int, default=256)
     ba.set_defaults(func=cmd_budget_admission)
+
+    ca = sub.add_parser(
+        "curriculum-admission",
+        help="streaming phase-ordered budget admission: each drain runs "
+        "the batch curriculum cut over the wave against the per-(phase, "
+        "source) budgets remaining after earlier drains — each doc lands "
+        "in the highest-priority phase with headroom, exactly once",
+    )
+    ca.add_argument("--input", required=True, help="landing parquet dir/glob")
+    ca.add_argument("--target", required=True, help="admission state dir")
+    ca.add_argument(
+        "--checkpoint", required=True,
+        help="stream checkpoint dir (pinned to the target on first drain)",
+    )
+    ca.add_argument(
+        "--phase", action="append", required=True,
+        help="name:src=tokens,src=tokens — repeat per phase; flag order "
+        "is priority order (pinned in the calibration on first drain)",
+    )
+    ca.add_argument("--score-col", required=True)
+    ca.add_argument("--n-tokens-col", default="n_tokens")
+    ca.add_argument("--id-col", default="doc_id")
+    ca.add_argument("--source-col", default="source")
+    ca.add_argument("--n-buckets", type=int, default=256)
+    ca.set_defaults(func=cmd_curriculum_admission)
 
     arc = sub.add_parser(
         "admission-recalibrate",

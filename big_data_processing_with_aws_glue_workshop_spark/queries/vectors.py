@@ -273,6 +273,92 @@ def q_semantic_dedup_decisions(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def semantic_threshold_sweep(
+    corpus: DataFrame,
+    eps_list,
+    *,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    nlist: int = 16,
+    seed: int = 42,
+) -> DataFrame:
+    """Semantic (cosine) dedup THRESHOLD TUNING audit (r16): the
+    embedding family (``semantic_dedup_decisions`` /
+    ``embedding_near_dup_clustered`` / ``incremental_semantic_refresh``)
+    picks its cosine eps blind today — this reports, for each candidate
+    eps, how many pairs fire, how many vectors are touched, and exactly
+    how many documents SemDeDup-style min-id dedup would REMOVE (nodes −
+    components), all from ONE clustered exact-pair pass. The Jaccard
+    twin is ``queries/textops.py::dedup_threshold_sweep``; this is the
+    same sweep layer over the embedding family's pair machinery.
+
+    ``eps_list`` is a list of cosine cuts in (0, 1]. The clustered pair
+    pass (``extensions/similarity.py::near_dup_pairs_clustered``) runs
+    ONCE at the FLOOR eps (min) and already emits the EXACT
+    sequential-fold cosine per pair, so per-eps readouts are pure
+    filters + connected components over the cached pair set — work
+    scales with the near-dup mass, never re-touching the corpus.
+
+    HONEST BOUND, stated — and it differs from the Jaccard sweep's:
+    recall is EXACT at every eps (the cell allowlist is the angular
+    triangle inequality, a sound bound, and the verify stage recomputes
+    the exact cosine), so lowering the floor NEVER undercounts pairs
+    the way an LSH S-curve does. What the floor controls is COST:
+    arccos(floor) widens every cluster-pair admission bound, so the
+    allowlist grows toward all nlist^2 blocks and the block-matmul
+    prefilter volume (sum over allowed (c1,c2) of |c1|+|c2| replicated
+    rows) grows with it — at floor -> 0 the prefilter degenerates to
+    the full all-pairs matmul (batched, but quadratic). Pick the floor
+    you actually need to read out, not "0 to be safe".
+
+    Output one row per eps: (threshold, n_pairs, n_docs_in_pairs,
+    n_components, docs_removed) — docs_removed is the exact count
+    min-id semantic dedup at that eps would drop (SemDeDup, Abbas et
+    al. 2023, keep-one-per-cluster at the chosen eps).
+
+    Scale shape: one clustered pass (the measured n^1.3 plan the
+    registered scale path scores), pairs cached once (plain persist +
+    finally — the result is built from collected driver rows, so the
+    cache is dead weight after the loop; the tracked registry would
+    defer the release indefinitely for library callers); each eps then
+    runs min-label CC over its filtered edge list — iterations scale
+    with component diameter (near-dup clusters are shallow), edges
+    bounded by the floor's pair count. |eps_list| is a handful, listed
+    by the caller."""
+    from ..extensions.dedup_fuzzy import connected_components
+    from ..extensions.similarity import near_dup_pairs_clustered
+
+    eps = sorted({float(t) for t in eps_list})
+    if not eps:
+        raise ValueError("eps_list must be a non-empty list of floats in (0, 1]")
+    if eps[0] <= 0 or eps[-1] > 1:
+        raise ValueError(f"eps values must lie in (0, 1], got {eps}")
+    spark = corpus.sparkSession
+    pairs = near_dup_pairs_clustered(
+        corpus, threshold=eps[0], vec_col=vec_col, id_col=id_col,
+        nlist=nlist, seed=seed,
+    ).persist()
+    rows = []
+    try:
+        for t in eps:
+            sub = pairs.filter(F.col("cos_sim") >= t)
+            n_pairs = sub.count()
+            if n_pairs == 0:
+                rows.append((t, 0, 0, 0, 0))
+                continue
+            labels = connected_components(sub, "id_a", "id_b")
+            n_nodes = labels.count()
+            n_comp = labels.select("label").distinct().count()
+            rows.append((t, n_pairs, n_nodes, n_comp, n_nodes - n_comp))
+    finally:
+        pairs.unpersist()
+    return spark.createDataFrame(
+        rows,
+        "threshold double, n_pairs bigint, n_docs_in_pairs bigint, "
+        "n_components bigint, docs_removed bigint",
+    )
+
+
 CONTAM_THRESHOLD = 0.35  # calibrated: ~31 cross-slice pairs at sf0.01
 _BENCH_MOD, _BENCH_RESIDUE = 20, 7  # vec_id % 20 == 7 -> the benchmark slice
 

@@ -752,6 +752,46 @@ def test_bench_headline_names_resolve():
     assert len(bench.HEADLINE) == len(set(bench.HEADLINE)), "duplicate names"
 
 
+def test_bench_segments_verdict_adjudicates_records():
+    """r16 (r15 verdict #3): record adjudication is mechanical, not
+    judgment — a run whose interleaved segment calibrations stay within
+    the flat bound is record-grade, one that drifted past it is labeled
+    non-record, and a pre-segments file returns None (nothing to
+    adjudicate with). Constructed from the two real r15 close-out runs:
+    the accepted run's segments (max/min 1.21) and the hand-discarded
+    run 1 (2.14 -> 1.41 = 1.52x drift)."""
+    import bench
+
+    flat_segs = [
+        {"after": 0, "sec": 1.12}, {"after": 20, "sec": 1.36},
+        {"after": 40, "sec": 1.25}, {"after": 60, "sec": 1.18},
+        {"after": 80, "sec": 1.30}, {"after": 100, "sec": 1.21},
+    ]
+    v = bench.segments_verdict(flat_segs)
+    assert v["flat"] is True
+    assert v["max_over_min"] == pytest.approx(1.36 / 1.12, abs=1e-3)
+
+    drifting_segs = [
+        {"after": 0, "sec": 2.14}, {"after": 20, "sec": 1.95},
+        {"after": 40, "sec": 1.70}, {"after": 60, "sec": 1.55},
+        {"after": 80, "sec": 1.48}, {"after": 100, "sec": 1.41},
+    ]
+    v = bench.segments_verdict(drifting_segs)
+    assert v["flat"] is False
+    assert v["max_over_min"] == pytest.approx(2.14 / 1.41, abs=1e-3)
+
+    # boundary: exactly at the bound is still flat (<=)
+    v = bench.segments_verdict(
+        [{"after": 0, "sec": 1.0}, {"after": 20, "sec": 1.3}], bound=1.3
+    )
+    assert v["flat"] is True
+
+    # pre-segments files: nothing to adjudicate with
+    assert bench.segments_verdict([])["flat"] is None
+    assert bench.segments_verdict(None)["flat"] is None
+    assert bench.segments_verdict([{"after": 0, "sec": 1.2}])["flat"] is None
+
+
 def test_bench_diff_calibration_normalizes_flags():
     """A uniformly slower box (calib ratio 1.6x) must NOT flag unchanged
     queries, while a genuine plan regression (slowdown far beyond the box
@@ -1555,6 +1595,52 @@ def test_cli_dedup_threshold_sweep(spark, tmp_path, capsys):
         main([
             "dedup-threshold-sweep", "--input", str(tmp_path / "docs"),
             "--thresholds", "0.4;0.9",
+        ])
+
+
+def test_cli_semantic_threshold_sweep(spark, tmp_path, capsys):
+    """semantic-threshold-sweep e2e: near-identical vector pairs survive
+    the tight eps, the loose eps also fires on moderate-cosine pairs,
+    docs_removed tracks the tiers; a malformed eps list is refused."""
+    import json as _json
+    import math as _math
+
+    from big_data_processing_with_aws_glue_workshop_spark.cli import main
+
+    dims = 12
+    rows = []
+    for k in range(5):
+        a, b = 2 * k, 2 * k + 1
+
+        def vec(theta, a=a, b=b):
+            v = [0.0] * dims
+            v[a] = _math.cos(theta)
+            v[b] = _math.sin(theta)
+            return v
+
+        rows.append((10 * k, vec(0.0)))
+        rows.append((10 * k + 1, vec(_math.acos(0.97))))
+        rows.append((10 * k + 2, vec(_math.acos(0.65))))
+    spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>"
+    ).coalesce(1).write.parquet(str(tmp_path / "vecs"))
+
+    main([
+        "semantic-threshold-sweep",
+        "--input", str(tmp_path / "vecs"),
+        "--eps", "0.5,0.9",
+        "--nlist", "4",
+    ])
+    out = _json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    sweep = {s["threshold"]: s for s in out["sweep"]}
+    assert sweep[0.9]["n_pairs"] == 5  # the near-identical tier
+    assert sweep[0.5]["n_pairs"] > sweep[0.9]["n_pairs"]  # + moderate tier
+    assert sweep[0.5]["docs_removed"] > sweep[0.9]["docs_removed"]
+
+    with pytest.raises(SystemExit, match="not a comma-separated"):
+        main([
+            "semantic-threshold-sweep", "--input", str(tmp_path / "vecs"),
+            "--eps", "0.5;0.9",
         ])
 
 

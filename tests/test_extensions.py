@@ -126,6 +126,121 @@ def test_clustered_near_dup_exact_equivalence(embeddings, spark, sf_dir):
     assert len(exact) > 0  # the fixture must actually exercise the threshold
 
 
+def test_semantic_threshold_sweep_matches_python_mirror(spark):
+    """r16 (r15 verdict #2): the embedding family's eps-tuning audit —
+    per-eps readouts (pairs, vectors touched, components, exact docs a
+    SemDeDup min-id dedup would remove) must equal a Python union-find
+    over the SAME exact-cosine pair stream at the floor eps (the
+    clustered pair path is pinned exact elsewhere:
+    test_clustered_near_dup_exact_equivalence). Constructed corpus with
+    DETERMINISTIC similarity tiers — per group, three coplanar vectors
+    at cos 0.98 / 0.6 / 0.74 pairwise, groups mutually orthogonal, plus
+    orthogonal singletons — so every per-eps count is known in closed
+    form, not just mirrored. Also pinned: monotonicity, the zero-pair
+    eps row, input-validation raises, and (the r15-ADVICE precedent)
+    the sweep's pair pin is released by return — only the pair pass's
+    own tracked entries remain."""
+    import math as _math
+
+    from big_data_processing_with_aws_glue_workshop_spark.extensions.similarity import (
+        near_dup_pairs_clustered,
+    )
+    from big_data_processing_with_aws_glue_workshop_spark.queries.vectors import (
+        semantic_threshold_sweep,
+    )
+    from big_data_processing_with_aws_glue_workshop_spark.util import (
+        _LIVE_CACHES,
+        release_tracked_caches,
+    )
+
+    dims = 16
+    rows = []
+
+    def vec(coord_a, coord_b, theta):
+        v = [0.0] * dims
+        v[coord_a] = _math.cos(theta)
+        v[coord_b] = _math.sin(theta)
+        return v
+
+    for k in range(6):  # groups on coordinate planes (2k, 2k+1)
+        a, b = 2 * k, 2 * k + 1
+        rows.append((100 * k + 0, vec(a, b, 0.0)))
+        # cos to the first: 0.98 (tier 1) and 0.60 (tier 2); the pair
+        # between them sits at cos(theta2 - theta1) ~ 0.74
+        rows.append((100 * k + 1, vec(a, b, _math.acos(0.98))))
+        rows.append((100 * k + 2, vec(a, b, _math.acos(0.60))))
+    for j in range(4):  # orthogonal singletons on dedicated coords
+        v = [0.0] * dims
+        v[12 + j] = 1.0
+        rows.append((1000 + j, v))
+    corpus = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+
+    eps_list = [0.5, 0.9, 0.999]
+    got = {
+        r["threshold"]: (
+            r["n_pairs"], r["n_docs_in_pairs"], r["n_components"],
+            r["docs_removed"],
+        )
+        for r in semantic_threshold_sweep(corpus, eps_list, nlist=4).collect()
+    }
+
+    # closed-form expectations: per group at eps 0.5 all 3 pairs fire
+    # (0.98, 0.74, 0.60) merging the triple (remove 2); at 0.9 only the
+    # 0.98 pair (remove 1); at 0.999 nothing
+    assert got[0.5] == (18, 18, 6, 12)
+    assert got[0.9] == (6, 12, 6, 6)
+    assert got[0.999] == (0, 0, 0, 0)
+
+    # Python union-find mirror over the same floor pair stream
+    pair_rows = near_dup_pairs_clustered(corpus, threshold=0.5, nlist=4).collect()
+    for t in eps_list:
+        edges = [
+            (r["id_a"], r["id_b"]) for r in pair_rows if r["cos_sim"] >= t
+        ]
+        parent: dict = {}
+
+        def find(x):
+            parent.setdefault(x, x)
+            while parent[x] != x:
+                parent[x] = parent[parent[x]]
+                x = parent[x]
+            return x
+
+        for a, b in edges:
+            ra, rb = find(a), find(b)
+            if ra != rb:
+                parent[ra] = rb
+        nodes = {d for e in edges for d in e}
+        comps = {find(d) for d in nodes}
+        assert got[t] == (
+            len(edges), len(nodes), len(comps), len(nodes) - len(comps)
+        ), t
+
+    # monotonicity across the board
+    for a, b in zip(eps_list, eps_list[1:]):
+        assert got[a][0] >= got[b][0] and got[a][3] >= got[b][3]
+
+    with pytest.raises(ValueError, match="non-empty"):
+        semantic_threshold_sweep(corpus, [])
+    with pytest.raises(ValueError, match=r"\(0, 1\]"):
+        semantic_threshold_sweep(corpus, [0.0, 0.5])
+    with pytest.raises(ValueError, match=r"\(0, 1\]"):
+        semantic_threshold_sweep(corpus, [0.5, 1.2])
+
+    # cache hygiene at the registry level (the r15-ADVICE Jaccard-sweep
+    # precedent): the sweep registers exactly the tracked entries its
+    # internal pair pass registers — its own pairs pin is plain persist
+    # + finally-unpersist, never deferred to the tracked registry
+    release_tracked_caches()
+    near_dup_pairs_clustered(corpus, threshold=0.5, nlist=4).count()
+    internal = len(_LIVE_CACHES)
+    release_tracked_caches()
+    semantic_threshold_sweep(corpus, eps_list, nlist=4).collect()
+    assert len(_LIVE_CACHES) == internal
+    assert all(df.storageLevel.useMemory for df in _LIVE_CACHES)
+    release_tracked_caches()
+
+
 def test_semantic_dedup_decisions_invariants(spark, sf_dir):
     """The SemDeDup decision table's structural contract, independent of
     the hash oracle: one row per corpus vector; exactly one keep per

@@ -150,6 +150,35 @@ def main(argv: list[str] | None = None) -> int:
     factor = calib_factor(prior, current)
     d = diff(prior, current, args.flag_ratio, args.abs_floor, factor)
 
+    # record adjudication (r16): bench.py stamps each run flat/drifting
+    # from its own segment spread — surface the label so a drifting run
+    # is never silently cited as a record (the r15 close-out discarded
+    # its 52%-drift run 1 by hand; this is that regime, mechanical).
+    # Files that carry segments but predate the stamp (r15) are
+    # adjudicated here with the same arithmetic and bound.
+    for label, detail in (("prior", prior), ("current", current)):
+        flat, drift = detail.get("segments_flat"), detail.get("segment_drift")
+        if flat is None:
+            secs = [
+                s["sec"] for s in detail.get("calib_segments") or []
+                if s.get("sec")
+            ]
+            if len(secs) >= 2:
+                drift = round(max(secs) / min(secs), 4)
+                flat = drift <= 1.3  # bench.py's _SEGMENT_FLAT_BOUND
+                print(
+                    f"note: {label} run predates the segments_flat stamp — "
+                    f"derived from its segments: drift {drift}x, "
+                    f"{'flat' if flat else 'DRIFTING'}"
+                )
+        if flat is False:
+            print(
+                f"WARNING: {label} run is NOT record-grade — its segment "
+                f"calibrations drifted {drift}x (> the 1.3x flat bound); "
+                "totals below are real data but must not be cited as a "
+                "record. Quiet-box rerun first."
+            )
+
     pct = d["prior_common_total"] or 1.0
     print(
         f"common set ({len(d['common'])} queries): "
