@@ -451,6 +451,267 @@ def admission_regret(
     return out
 
 
+class CurriculumAdmissionSink:
+    """``foreachBatch`` sink: PHASE-ORDERED wave-greedy admission (r16,
+    r15 verdict stretch #5) — the streaming member of the curriculum
+    family, closing the same batch<->stream gap for
+    :func:`~..queries.textops.curriculum_phase_selection` that
+    :class:`BudgetAdmissionSink` closed for the flat stratified cut.
+
+    Contract, stated plainly: each micro-batch runs the EXACT batch
+    curriculum operator over the wave's token-bearing documents against
+    the per-(phase, source) budgets REMAINING after every earlier wave —
+    each document is admitted to the highest-priority phase with
+    remaining budget for its source (list order IS priority order,
+    exclusively, the batch op's structural anti-join), or rejected
+    forever. The cut math cannot fork from the batch semantics because
+    it IS the batch op, wave by wave. What is NOT promised: equality
+    with the batch curriculum over the concatenated corpus — the same
+    wave-greedy information bound the module docstring states (an early
+    mediocre doc can hold a phase slot hindsight would give a later
+    great one); pipelines needing the global ranking run the batch
+    operator over the landed corpus.
+
+    Guarantees (all pinned): per-(phase, source) admitted mass never
+    exceeds that phase's budget at any moment; a document lands in AT
+    MOST ONE phase; replayed batch ids are no-ops; admitted rows and
+    the per-(phase, source) spent counters commit ATOMICALLY in one
+    snapshot; the calibration (ordered phases + budgets, columns,
+    bucket count) is pinned on first commit and refused on mismatch;
+    zero-token rows are inadmissible (the boundedness rule inherited
+    from BudgetAdmissionSink — admitted rows <= total budget mass
+    across all phases).
+
+    Scale shape per micro-batch: P stratified passes over the WAVE
+    (never history; P = phase count, a small constant), one bounded
+    per-(phase, source) aggregate of newly admitted mass, one standing
+    union. The batch op's per-phase tracked caches are released
+    surgically after each commit (a long-lived stream must not
+    accumulate P cache pins per wave)."""
+
+    def __init__(
+        self,
+        target_dir: str,
+        phases,
+        score_col: str,
+        *,
+        source_col: str = "source",
+        id_col: str = "doc_id",
+        n_tokens_col: str = "n_tokens",
+        n_buckets: int = 256,
+        checkpoint_dir: str | None = None,
+    ) -> None:
+        if not phases:
+            raise ValueError(
+                "phases must be a non-empty ordered list of (name, budgets)"
+            )
+        self.phases = [
+            (str(n), {str(k): int(v) for k, v in b.items()}) for n, b in phases
+        ]
+        names = [n for n, _ in self.phases]
+        if len(set(names)) != len(names):
+            dupes = sorted({n for n in names if names.count(n) > 1})
+            raise ValueError(f"duplicate phase names: {dupes}")
+        if "phase" in (source_col, id_col, n_tokens_col, score_col):
+            raise ValueError(
+                "'phase' is the sink's output phase-label column — rename "
+                "the colliding input column"
+            )
+        self.target_dir = target_dir
+        self.score_col = score_col
+        self.source_col = source_col
+        self.id_col = id_col
+        self.n_tokens_col = n_tokens_col
+        self.n_buckets = n_buckets
+        self.checkpoint_dir = checkpoint_dir
+
+    @property
+    def calibration(self) -> dict:
+        return {
+            # JSON-shaped (lists, not tuples) so the stored pointer
+            # round-trips to an == comparable structure
+            "phases": [[n, dict(b)] for n, b in self.phases],
+            "score_col": self.score_col,
+            "source_col": self.source_col,
+            "id_col": self.id_col,
+            "n_tokens_col": self.n_tokens_col,
+            "n_buckets": self.n_buckets,
+        }
+
+    def __call__(self, batch_df: DataFrame, batch_id: int) -> None:
+        from ..queries.textops import curriculum_phase_selection
+        from ..util import _LIVE_CACHES
+
+        pointer = read_pointer(self.target_dir)
+        if pointer is not None and batch_id <= pointer.get(
+            "last_stream_batch", pointer["batch_id"]
+        ):
+            return  # replayed batch after recovery: already admitted
+        spent: dict = {}
+        if pointer is not None:
+            stored = pointer.get("calibration")
+            if stored is not None and stored != self.calibration:
+                raise ValueError(
+                    f"admission calibration mismatch for {self.target_dir!r}: "
+                    f"standing state was built with {stored}, sink configured "
+                    f"with {self.calibration} — admissions across different "
+                    "curricula do not compose; match the stored parameters "
+                    "or reset the target"
+                )
+            spent = {
+                p: {s: int(v) for s, v in per.items()}
+                for p, per in pointer.get("spent", {}).items()
+            }
+        remaining = [
+            (
+                name,
+                {
+                    s: max(0, b - spent.get(name, {}).get(s, 0))
+                    for s, b in budgets.items()
+                },
+            )
+            for name, budgets in self.phases
+        ]
+        wave = batch_df.filter(
+            F.col(self.n_tokens_col).isNotNull()
+            & (F.col(self.n_tokens_col) > 0)
+        )
+        spark = batch_df.sparkSession
+        n_cached = len(_LIVE_CACHES)
+        try:
+            # the batch operator IS the per-wave phase-ordered cut; its
+            # cum_tokens are per (phase, source) relative to THIS wave's
+            # remaining budgets — the spent offsets lift them to the
+            # global running mass
+            admitted = curriculum_phase_selection(
+                wave,
+                remaining,
+                self.score_col,
+                source_col=self.source_col,
+                id_col=self.id_col,
+                n_tokens_col=self.n_tokens_col,
+                n_buckets=self.n_buckets,
+            )
+            off = spark.createDataFrame(
+                [
+                    (name, s, spent.get(name, {}).get(s, 0))
+                    for name, budgets in self.phases
+                    for s in budgets
+                ],
+                f"phase string, {self.source_col} string, __spent long",
+            )
+            inc = (
+                admitted.join(F.broadcast(off), ["phase", self.source_col])
+                .select(
+                    self.id_col,
+                    self.source_col,
+                    "score",
+                    "n_tokens",
+                    (F.col("cum_tokens") + F.col("__spent")).alias("cum_tokens"),
+                    "phase",
+                    F.lit(batch_id).cast("long").alias("admitted_batch"),
+                )
+                .persist()
+            )
+            try:
+                new_mass = {
+                    (r["phase"], r[self.source_col]): int(r["m"])
+                    for r in inc.groupBy("phase", self.source_col)
+                    .agg(F.sum("n_tokens").alias("m"))
+                    .collect()
+                }
+                new_spent = {
+                    name: {
+                        s: spent.get(name, {}).get(s, 0)
+                        + new_mass.get((name, s), 0)
+                        for s in budgets
+                    }
+                    for name, budgets in self.phases
+                }
+                if pointer is not None:
+                    merged = read_current(spark, self.target_dir).unionByName(inc)
+                else:
+                    merged = inc
+                extra: dict = {
+                    "calibration": self.calibration,
+                    "spent": new_spent,
+                    "last_stream_batch": batch_id,
+                }
+                if self.checkpoint_dir is not None:
+                    extra["stream_checkpoint"] = os.path.abspath(
+                        self.checkpoint_dir
+                    )
+                version = (
+                    (pointer["batch_id"] + 1) if pointer is not None else batch_id
+                )
+                commit_snapshot(merged, self.target_dir, version, extra)
+            finally:
+                inc.unpersist()
+        finally:
+            # surgical release of THIS wave's phase caches only (the
+            # curriculum op tracked-caches each phase's selection to
+            # avoid quadratic re-execution; a stream must not accumulate
+            # P pins per wave, and a blanket release would evict caches
+            # the surrounding session owns)
+            while len(_LIVE_CACHES) > n_cached:
+                df = _LIVE_CACHES.pop()
+                try:
+                    df.unpersist()
+                except Exception:
+                    pass
+
+
+def run_stream_curriculum_admission(
+    stream_df: DataFrame,
+    target_dir: str,
+    phases,
+    score_col: str,
+    *,
+    source_col: str = "source",
+    id_col: str = "doc_id",
+    n_tokens_col: str = "n_tokens",
+    n_buckets: int = 256,
+    checkpoint_dir: str | None = None,
+) -> None:
+    """availableNow drain into the standing phase-admitted table; same
+    checkpoint-ownership discipline as the sketch sinks."""
+    from .sketch import _drain, _guard_checkpoint
+
+    _guard_checkpoint(target_dir, checkpoint_dir)
+    sink = CurriculumAdmissionSink(
+        target_dir,
+        phases,
+        score_col,
+        source_col=source_col,
+        id_col=id_col,
+        n_tokens_col=n_tokens_col,
+        n_buckets=n_buckets,
+        checkpoint_dir=checkpoint_dir,
+    )
+    _drain(stream_df, sink, checkpoint_dir)
+
+
+def curriculum_admission_report(target_dir: str) -> dict:
+    """Per-phase budget utilization from the pointer alone (no Spark):
+    {phase: {source: {budget, spent, remaining}}}, phases in priority
+    order."""
+    pointer = read_pointer(target_dir)
+    if pointer is None:
+        raise ValueError(f"no committed admission state at {target_dir!r}")
+    spent = pointer.get("spent", {})
+    report: dict = {}
+    for name, budgets in pointer["calibration"]["phases"]:
+        report[name] = {
+            s: {
+                "budget": int(b),
+                "spent": int(spent.get(name, {}).get(s, 0)),
+                "remaining": int(b) - int(spent.get(name, {}).get(s, 0)),
+            }
+            for s, b in sorted(budgets.items())
+        }
+    return report
+
+
 def admission_report(target_dir: str) -> dict:
     """Budget utilization from the pointer alone (no Spark needed):
     {source: {budget, spent, remaining}}."""

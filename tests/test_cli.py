@@ -1815,6 +1815,104 @@ def test_cli_budget_admission(spark, tmp_path, capsys):
         ])
 
 
+def test_cli_curriculum_admission(spark, tmp_path, capsys):
+    """curriculum-admission e2e: two drains against one checkpoint — the
+    second drain only sees the new file, its docs fill the
+    highest-priority phase with remaining headroom and overflow to the
+    next; the per-phase report tracks utilization from the pointer;
+    empty landing dir and malformed --phase are refused eagerly."""
+    import json as _json
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from big_data_processing_with_aws_glue_workshop_spark.cli import main
+
+    landing = tmp_path / "landing"
+    landing.mkdir()
+
+    def land(name, rows):
+        pq.write_table(
+            pa.table(
+                {
+                    "doc_id": pa.array([r[0] for r in rows], pa.int64()),
+                    "source": pa.array([r[1] for r in rows], pa.string()),
+                    "score": pa.array([r[2] for r in rows], pa.float64()),
+                    "n_tokens": pa.array([r[3] for r in rows], pa.int64()),
+                }
+            ),
+            str(landing / name),
+        )
+
+    args = [
+        "curriculum-admission",
+        "--input", str(landing),
+        "--target", str(tmp_path / "cadm"),
+        "--checkpoint", str(tmp_path / "ckpt"),
+        "--phase", "anneal:a=20",
+        "--phase", "bulk:a=30",
+        "--score-col", "score",
+    ]
+    # wave 0: 3 docs x 10 tokens — top 2 fill anneal, third overflows
+    land("w0.parquet", [(i, "a", 10.0 - i, 10) for i in range(3)])
+    main(args)
+    out0 = _json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert out0["report"]["anneal"]["a"] == {
+        "budget": 20, "spent": 20, "remaining": 0,
+    }
+    assert out0["report"]["bulk"]["a"] == {
+        "budget": 30, "spent": 10, "remaining": 20,
+    }
+
+    # wave 1: anneal exhausted — both docs land in bulk (filling it)
+    land("w1.parquet", [(10 + i, "a", 99.0 - i, 10) for i in range(2)])
+    main(args)
+    out1 = _json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert out1["report"]["anneal"]["a"]["spent"] == 20
+    assert out1["report"]["bulk"]["a"] == {
+        "budget": 30, "spent": 30, "remaining": 0,
+    }
+    adm = spark.read.parquet(
+        str(tmp_path / "cadm" / _json.loads(
+            (tmp_path / "cadm" / "current.json").read_text()
+        )["version"])
+    ).collect()
+    by_phase: dict = {}
+    for r in adm:
+        by_phase.setdefault(r["phase"], set()).add(r["doc_id"])
+    assert by_phase == {"anneal": {0, 1}, "bulk": {2, 10, 11}}
+
+    empty = tmp_path / "empty_landing"
+    empty.mkdir()
+    with pytest.raises(SystemExit, match="nothing to drain"):
+        main([
+            "curriculum-admission",
+            "--input", str(empty),
+            "--target", str(tmp_path / "cadm2"),
+            "--checkpoint", str(tmp_path / "ckpt2"),
+            "--phase", "anneal:a=20",
+            "--score-col", "score",
+        ])
+    with pytest.raises(SystemExit, match="not name:src=tokens"):
+        main([
+            "curriculum-admission",
+            "--input", str(landing),
+            "--target", str(tmp_path / "cadm3"),
+            "--checkpoint", str(tmp_path / "ckpt3"),
+            "--phase", "a=20",
+            "--score-col", "score",
+        ])
+    with pytest.raises(SystemExit, match="names repeat"):
+        main([
+            "curriculum-admission",
+            "--input", str(landing),
+            "--target", str(tmp_path / "cadm4"),
+            "--checkpoint", str(tmp_path / "ckpt4"),
+            "--phase", "p:a=20", "--phase", "p:a=30",
+            "--score-col", "score",
+        ])
+
+
 def test_cli_stratified_budget_select(spark, tmp_path, capsys):
     """stratified-budget-select e2e: each source's quality-ranked prefix
     cut at its own --budgets allocation; an unnamed corpus source is

@@ -1261,6 +1261,149 @@ def test_streaming_budget_admission(spark, tmp_path):
         BudgetAdmissionSink(target_dir, {"a": 9, "b": 9}, "score")(waves[0], 99)
 
 
+def test_streaming_curriculum_admission(spark, tmp_path):
+    """r16 (r15 verdict stretch #5): phase-ordered wave-greedy admission.
+    Pinned: (1) the sink's standing state equals a DRIVER-SIDE fold of
+    the batch curriculum operator over the same waves against remaining
+    budgets (the per-wave cut IS the batch op — semantics cannot fork);
+    (2) exclusivity: each doc admitted to at most one phase, wave docs
+    overflow to the next-priority phase only when the better phase's
+    source budget is exhausted; (3) per-(phase, source) spent <= budget
+    after every wave; (4) replayed batch ids are no-ops; (5) a
+    recalibrated phase list is refused; (6) zero-token docs are
+    inadmissible; (7) the per-wave phase caches are released (no pin
+    accumulation across waves)."""
+    import pytest
+
+    from big_data_processing_with_aws_glue_workshop_spark.queries.textops import (
+        curriculum_phase_selection,
+    )
+    from big_data_processing_with_aws_glue_workshop_spark.streaming.selection import (
+        CurriculumAdmissionSink,
+        curriculum_admission_report,
+        read_admitted,
+        run_stream_curriculum_admission,
+    )
+    from big_data_processing_with_aws_glue_workshop_spark.util import _LIVE_CACHES
+
+    schema = "doc_id long, source string, score double, n_tokens long"
+    phases = [
+        ("anneal", {"a": 30, "b": 20}),
+        ("bulk", {"a": 50, "b": 40}),
+    ]
+    # wave 0: a's best docs fill anneal(a) exactly (3 x 10), next two
+    # overflow to bulk(a); b sends 2 docs -> anneal(b)
+    w0_rows = (
+        [(i, "a", 100.0 - i, 10) for i in range(1, 6)]
+        + [(i, "b", 80.0 - i, 10) for i in range(6, 8)]
+        + [(99, "a", 999.0, 0)]  # zero-token: inadmissible at any score
+    )
+    # wave 1: anneal(a) is exhausted -> a docs go to bulk(a) until IT
+    # exhausts; b fills anneal(b) then bulk(b)
+    w1_rows = [(i, "a", 200.0 - i, 10) for i in range(10, 16)] + [
+        (i, "b", 90.0 - i, 10) for i in range(16, 22)
+    ]
+    waves = [
+        spark.createDataFrame(w0_rows, schema),
+        spark.createDataFrame(w1_rows, schema),
+    ]
+
+    target_dir = str(tmp_path / "cadmitted")
+    sink = CurriculumAdmissionSink(target_dir, phases, "score")
+    n_cached_before = len(_LIVE_CACHES)
+    for i, w in enumerate(waves):
+        sink(w, i)
+        # (7) no cache-pin accumulation across waves
+        assert len(_LIVE_CACHES) == n_cached_before
+
+    got = {
+        (r["doc_id"], r["source"]): (r["phase"], r["admitted_batch"])
+        for r in read_admitted(spark, target_dir).collect()
+    }
+
+    # (1) driver-side fold of the BATCH operator over the same waves
+    spent: dict = {p: {s: 0 for s in b} for p, b in phases}
+    want: dict = {}
+    for i, w in enumerate(waves):
+        remaining = [
+            (p, {s: b[s] - spent[p][s] for s in b}) for p, b in phases
+        ]
+        cut = curriculum_phase_selection(
+            w.filter("n_tokens > 0"), remaining, "score"
+        ).collect()
+        for r in cut:
+            want[(r["doc_id"], r["source"])] = (r["phase"], i)
+            spent[r["phase"]][r["source"]] += r["n_tokens"]
+    assert got == want
+
+    # (2) exclusivity + the constructed overflow story
+    assert len(got) == len(set(got))  # one row per (doc, source)
+    by_phase = {}
+    for (doc, src), (phase, _) in got.items():
+        by_phase.setdefault((phase, src), set()).add(doc)
+    assert by_phase[("anneal", "a")] == {1, 2, 3}  # wave-0 best three
+    assert by_phase[("bulk", "a")] == {4, 5, 10, 11, 12}  # overflow + w1
+    # w0 spent anneal(b)'s full 20 -> exhausted BEFORE wave 1, so every
+    # wave-1 b doc lands in bulk (best four of six fit its 40)
+    assert by_phase[("anneal", "b")] == {6, 7}
+    assert by_phase[("bulk", "b")] == {16, 17, 18, 19}
+    assert (99, "a") not in got  # (6) zero-token inadmissible
+
+    # (3) per-(phase, source) spent <= budget, and the report agrees
+    rep = curriculum_admission_report(target_dir)
+    for p, budgets in phases:
+        for s, b in budgets.items():
+            assert rep[p][s]["spent"] <= b
+    assert rep["anneal"]["a"] == {"budget": 30, "spent": 30, "remaining": 0}
+    assert rep["bulk"]["a"] == {"budget": 50, "spent": 50, "remaining": 0}
+    assert rep["anneal"]["b"] == {"budget": 20, "spent": 20, "remaining": 0}
+    assert rep["bulk"]["b"] == {"budget": 40, "spent": 40, "remaining": 0}
+
+    # (4) replay no-op
+    before = sorted(got)
+    sink(waves[1], 1)
+    after = sorted(
+        (r["doc_id"], r["source"])
+        for r in read_admitted(spark, target_dir).collect()
+    )
+    assert after == before
+
+    # (5) recalibrated phase list refused (same budgets, different order)
+    with pytest.raises(ValueError, match="calibration mismatch"):
+        CurriculumAdmissionSink(
+            target_dir, list(reversed(phases)), "score"
+        )(waves[0], 5)
+
+    # constructor refusals
+    with pytest.raises(ValueError, match="non-empty"):
+        CurriculumAdmissionSink(str(tmp_path / "x"), [], "score")
+    with pytest.raises(ValueError, match="duplicate phase names"):
+        CurriculumAdmissionSink(
+            str(tmp_path / "x"), [("p", {"a": 1}), ("p", {"a": 2})], "score"
+        )
+    with pytest.raises(ValueError, match="phase-label column"):
+        CurriculumAdmissionSink(
+            str(tmp_path / "x"), phases, "score", source_col="phase"
+        )
+
+    # availableNow drain path (run_stream_curriculum_admission) composes
+    # on a fresh target: one landing, drained via readStream
+    landing = tmp_path / "landing"
+    landing.mkdir()
+    waves[0].coalesce(1).write.parquet(str(landing / "w0"))
+    stream = spark.readStream.schema(waves[0].schema).parquet(
+        str(landing / "*")
+    )
+    t2 = str(tmp_path / "cadmitted2")
+    run_stream_curriculum_admission(
+        stream, t2, phases, "score",
+        checkpoint_dir=str(tmp_path / "ckpt2"),
+    )
+    rep2 = curriculum_admission_report(t2)
+    assert rep2["anneal"]["a"]["spent"] == 30
+    assert rep2["bulk"]["a"]["spent"] == 20  # docs 4, 5 overflowed
+
+
 def test_recalibrate_admission(spark, tmp_path):
     """r15: the sink refuses a recalibrated configuration by design;
     recalibrate_admission is the sanctioned migration path. Pinned:
