@@ -143,6 +143,20 @@ the admission sink is pinned equal to a driver-side fold of the batch
 operator over the same waves + CLI `budget-admission`. They join the
 succession queue behind the r13 ops.
 
+And to the r16 additions — ``semantic_threshold_sweep`` (the embedding
+family's eps-tuning audit) and the streaming
+``CurriculumAdmissionSink`` (+ CLI ``curriculum-admission``): both
+pytest+CLI-tier by the same cap arithmetic (the sweep is a tuning
+READOUT over the already-gated clustered pair machinery, not a new
+selection contract; the sink is the wave-greedy streaming twin of the
+already-gated curriculum op — deliberately a different contract from
+any batch selector, the BudgetAdmissionSink precedent). Gates: the
+sweep has a closed-form constructed-tier test + Python union-find
+mirror over the same exact-cosine pair stream + CLI e2e; the sink is
+pinned equal to a driver-side fold of the batch curriculum over the
+same waves + CLI two-drain e2e. They join the succession queue behind
+the r15 ops.
+
 And to the r15 additions — ``curriculum_phase_selection``,
 ``recalibrate_admission``, ``admission_regret``,
 ``dsir_fit_from_stream`` and the ``source_batch`` wrapper: all

@@ -1460,9 +1460,25 @@ def stratified_budget_selection(
     sizes). Driver state drops to <= K * n_buckets rows per level. Cost:
     the global coverage/collision pre-check is one extra corpus
     aggregate, and each chunk re-scans the corpus behind a source-IN
-    filter (partition-prunable when the corpus is laid out by source) —
-    ceil(|sources|/K) bounded passes, the price of bounded driver
-    memory. Default None = single pass, unchanged plan.
+    filter — ceil(|sources|/K) bounded passes, the price of bounded
+    driver memory. On a ``partitionBy(source)`` layout the chunk filter
+    partition-PRUNES — MEASURED, not claimed (r16,
+    ``tools/curation_probe.py --stratified-pruning``, 512 sources / 1M
+    docs / K=64): each chunk pass reads 0.1245-0.1254 of a full scan
+    (ideal 1/8 = 0.125; the coalesce/cast null-sentinel wrapper does
+    not defeat pruning — it references only the partition column), and
+    outputs are byte-identical across layouts. So the batched mode's
+    TOTAL scan bytes ~= one full pass (pre-check) + one full pass
+    spread across the chunks, vs K full passes on an unpartitioned
+    layout. Two operational caveats from the same probe: (a) file
+    sizing is part of the layout contract — ``partitionBy`` without a
+    prior ``repartition(source)`` wrote ~16k sliver files and
+    small-file opens swamped the pruning win (53.7s vs 23.7s flat);
+    sized, the layouts tie at probe scale where compute dominates, and
+    the I/O term pruning removes is what grows with corpus size;
+    (b) at probe scale the per-chunk job overhead is visible — batched
+    is for when driver state, not wall, is the binding constraint.
+    Default None = single pass, unchanged plan.
 
     DELIBERATELY a sibling of :func:`token_budget_selection`, not its
     replacement: the global op keeps a leaner plan (no per-region params

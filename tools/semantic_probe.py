@@ -298,8 +298,155 @@ def recell_mode(n_waves: int, wave: int) -> None:
     shutil.rmtree(base, ignore_errors=True)
 
 
+def sweep_mode(sizes: list[int]) -> None:
+    """Measure queries/vectors.py::semantic_threshold_sweep's cost
+    split: ONE clustered exact-pair pass at the floor eps vs the per-eps
+    readout cost (filter + CC over the cached pair set — the corpus must
+    never be re-touched), at growing corpus sizes; plus the floor's
+    allowlist-cost claim (lowering the floor widens the cell allowlist
+    toward all-pairs; recall is exact at every floor, so the floor is a
+    pure cost knob).
+
+    Fixture geometry matters here: blob members sit at ~22 deg pairwise
+    (cos ~0.93), so any floor below ~0.93 turns the whole blob structure
+    into qualifying pairs (~n^2/nlist of them) — the eps ladder probes
+    the DUP tiers planted above that background (tight copies at scale
+    0.01 -> cos ~0.997, moderate at 0.03 -> cos ~0.97), and the
+    floor-cost claim is measured on the driver-side allowlist share
+    (the quantity the floor actually controls), not by materializing a
+    quadratic pair set."""
+    import pyspark.sql.functions as F
+
+    from big_data_processing_with_aws_glue_workshop_spark.extensions.dedup_fuzzy import (
+        connected_components,
+    )
+    from big_data_processing_with_aws_glue_workshop_spark.extensions.ivf import (
+        train_ivf_index,
+    )
+    from big_data_processing_with_aws_glue_workshop_spark.extensions.similarity import (
+        allowed_cell_pairs,
+        near_dup_pairs_clustered,
+    )
+    from big_data_processing_with_aws_glue_workshop_spark.queries.vectors import (
+        semantic_threshold_sweep,
+    )
+
+    spark = get_session(app_name="semantic-probe-sweep")
+    # the floor is the COST knob the op documents: 0.95 sits inside the
+    # intra-blob background tail (~8M qualifying pairs at 100k vectors —
+    # the measured "too-loose floor" regime, a catastrophic-dedup
+    # threshold the audit exists to catch), 0.97 sits above it (pairs
+    # bounded by the planted duplicate mass — the scaling regime)
+    floor = 0.95 if "--loose" in sys.argv else 0.97
+    eps_list = sorted({floor, 0.98, 0.995})
+    rng = random.Random(11)
+    nrng = np.random.default_rng(11)
+    centers = nrng.normal(size=(NLIST, DIM))
+    centers /= np.linalg.norm(centers, axis=1, keepdims=True)
+    for n in sizes:
+        # fresh blob samples + two planted dup tiers (8% each)
+        n_dup = int(n * 0.08)
+        n_fresh = n - 2 * n_dup
+        fresh = []
+        for i in range(n_fresh):
+            c = centers[rng.randrange(NLIST)]
+            v = c + nrng.normal(scale=0.035, size=DIM)
+            fresh.append((i, [float(np.float32(x)) for x in v]))
+        rows = list(fresh)
+        for j in range(n_dup):  # tight tier: cos ~0.997
+            _, base = rng.choice(fresh)
+            v = np.array(base) + nrng.normal(scale=0.01, size=DIM)
+            rows.append((n_fresh + j, [float(np.float32(x)) for x in v]))
+        for j in range(n_dup):  # moderate tier: cos ~0.97
+            _, base = rng.choice(fresh)
+            v = np.array(base) + nrng.normal(scale=0.03, size=DIM)
+            rows.append((n_fresh + n_dup + j, [float(np.float32(x)) for x in v]))
+        corpus = spark.createDataFrame(
+            rows, "vec_id long, embedding array<float>"
+        ).repartition(32).cache()
+        corpus.count()
+
+        # cost split: the one-shot pair pass at the floor...
+        t0 = time.time()
+        pairs = near_dup_pairs_clustered(corpus, threshold=floor).persist()
+        n_floor_pairs = pairs.count()
+        pass_wall = time.time() - t0
+        # ...vs each eps readout over the CACHED pair set
+        per_eps = []
+        for t in eps_list:
+            t0 = time.time()
+            sub = pairs.filter(F.col("cos_sim") >= t)
+            n_pairs = sub.count()
+            removed = 0
+            if n_pairs:
+                labels = connected_components(sub, "id_a", "id_b")
+                removed = labels.count() - labels.select("label").distinct().count()
+            per_eps.append(
+                {
+                    "eps": t,
+                    "n_pairs": n_pairs,
+                    "docs_removed": removed,
+                    "readout_wall_s": round(time.time() - t0, 2),
+                }
+            )
+        pairs.unpersist()
+
+        # end-to-end through the public op (pass + all readouts)
+        t0 = time.time()
+        semantic_threshold_sweep(corpus, eps_list).collect()
+        sweep_wall = time.time() - t0
+
+        # the floor-cost claim, measured on what the floor controls: the
+        # driver-side cell allowlist share (block volume follows it).
+        # One assignment pass, then each floor is pure driver arithmetic.
+        assigned, _, cmat = train_ivf_index(
+            corpus, "embedding", "vec_id", NLIST, 42, iters=5, emit_angle=True
+        )
+        cent_rows = {i: [float(x) for x in c] for i, c in enumerate(cmat)}
+        import math as _math
+
+        radius_rows = {
+            r["cell"]: r["radius"]
+            for r in assigned.groupBy("cell")
+            .agg(
+                F.max(
+                    F.coalesce(
+                        F.nanvl(F.col("theta"), F.lit(_math.pi)), F.lit(_math.pi)
+                    )
+                ).alias("radius")
+            )
+            .collect()
+        }
+        total_cell_pairs = NLIST * (NLIST + 1) // 2
+        allow = {}
+        for f in (0.995, 0.95, 0.8, 0.5):
+            allowed = {
+                (min(c1, c2), max(c1, c2))
+                for c1, c2 in allowed_cell_pairs(
+                    cent_rows, radius_rows, radius_rows, f
+                )
+            }
+            allow[str(f)] = {
+                "allowed_cell_pairs": len(allowed),
+                "share": round(len(allowed) / total_cell_pairs, 3),
+            }
+        print(json.dumps({
+            "n_vectors": n,
+            "floor": floor,
+            "floor_pairs": n_floor_pairs,
+            "pair_pass_wall_s": round(pass_wall, 2),
+            "per_eps": per_eps,
+            "sweep_total_wall_s": round(sweep_wall, 2),
+            "allowlist_share_by_floor": allow,
+        }), flush=True)
+        corpus.unpersist()
+
+
 def main() -> None:
     args = [a for a in sys.argv[1:] if not a.startswith("--")]
+    if "--sweep" in sys.argv:
+        sweep_mode([int(a) for a in args] or [100_000, 400_000])
+        return
     if "--join-prod" in sys.argv:
         join_prod_mode([int(a) for a in args] or [80_000, 200_000])
         return
