@@ -344,31 +344,66 @@ def sweep_mode(sizes: list[int]) -> None:
     centers = nrng.normal(size=(NLIST, DIM))
     centers /= np.linalg.norm(centers, axis=1, keepdims=True)
     for n in sizes:
-        # fresh blob samples + two planted dup tiers (8% each)
+        # fresh blob samples + two planted dup tiers (8% each), built
+        # VECTORIZED in numpy and landed via pyarrow: the per-row
+        # Python-list construction make_waves uses blew the process
+        # memory cap at 400k x 64 (OOM-killed twice; numpy holds the
+        # same fixture in ~100 MB)
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
         n_dup = int(n * 0.08)
         n_fresh = n - 2 * n_dup
-        fresh = []
-        for i in range(n_fresh):
-            c = centers[rng.randrange(NLIST)]
-            v = c + nrng.normal(scale=0.035, size=DIM)
-            fresh.append((i, [float(np.float32(x)) for x in v]))
-        rows = list(fresh)
-        for j in range(n_dup):  # tight tier: cos ~0.997
-            _, base = rng.choice(fresh)
-            v = np.array(base) + nrng.normal(scale=0.01, size=DIM)
-            rows.append((n_fresh + j, [float(np.float32(x)) for x in v]))
-        for j in range(n_dup):  # moderate tier: cos ~0.97
-            _, base = rng.choice(fresh)
-            v = np.array(base) + nrng.normal(scale=0.03, size=DIM)
-            rows.append((n_fresh + n_dup + j, [float(np.float32(x)) for x in v]))
-        corpus = spark.createDataFrame(
-            rows, "vec_id long, embedding array<float>"
-        ).repartition(32).cache()
+        assign = nrng.integers(0, NLIST, size=n_fresh)
+        fresh = (
+            centers[assign] + nrng.normal(scale=0.035, size=(n_fresh, DIM))
+        ).astype(np.float32)
+        tight = (
+            fresh[nrng.integers(0, n_fresh, size=n_dup)]
+            + nrng.normal(scale=0.01, size=(n_dup, DIM))
+        ).astype(np.float32)
+        moderate = (
+            fresh[nrng.integers(0, n_fresh, size=n_dup)]
+            + nrng.normal(scale=0.03, size=(n_dup, DIM))
+        ).astype(np.float32)
+        mat = np.concatenate([fresh, tight, moderate])
+        tbl = pa.table(
+            {
+                "vec_id": pa.array(np.arange(n, dtype=np.int64)),
+                "embedding": pa.ListArray.from_arrays(
+                    pa.array(
+                        np.arange(0, (n + 1) * DIM, DIM, dtype=np.int32)
+                    ),
+                    pa.array(mat.reshape(-1)),
+                ),
+            }
+        )
+        fixture = f"/tmp/semantic_probe_sweep_{n}.parquet"
+        pq.write_table(tbl, fixture)
+        del mat, fresh, tight, moderate, tbl
+        corpus = (
+            spark.read.parquet(fixture)
+            .select(
+                "vec_id",
+                F.col("embedding").cast("array<float>").alias("embedding"),
+            )
+            .repartition(32)
+            .cache()
+        )
         corpus.count()
+
+        # nlist scales with the corpus (the r13 ladder's posture): at
+        # 400k vectors, nlist=16 leaves ~25k-member cells whose
+        # block-matmul workers (~2.5 GB of pair scores each) blow this
+        # sandbox's process memory cap — measured OOM; 64 cells keep
+        # blocks ~150 MB
+        nl = 16 if n <= 150_000 else 64
 
         # cost split: the one-shot pair pass at the floor...
         t0 = time.time()
-        pairs = near_dup_pairs_clustered(corpus, threshold=floor).persist()
+        pairs = near_dup_pairs_clustered(
+            corpus, threshold=floor, nlist=nl
+        ).persist()
         n_floor_pairs = pairs.count()
         pass_wall = time.time() - t0
         # ...vs each eps readout over the CACHED pair set
@@ -393,14 +428,14 @@ def sweep_mode(sizes: list[int]) -> None:
 
         # end-to-end through the public op (pass + all readouts)
         t0 = time.time()
-        semantic_threshold_sweep(corpus, eps_list).collect()
+        semantic_threshold_sweep(corpus, eps_list, nlist=nl).collect()
         sweep_wall = time.time() - t0
 
         # the floor-cost claim, measured on what the floor controls: the
         # driver-side cell allowlist share (block volume follows it).
         # One assignment pass, then each floor is pure driver arithmetic.
         assigned, _, cmat = train_ivf_index(
-            corpus, "embedding", "vec_id", NLIST, 42, iters=5, emit_angle=True
+            corpus, "embedding", "vec_id", nl, 42, iters=5, emit_angle=True
         )
         cent_rows = {i: [float(x) for x in c] for i, c in enumerate(cmat)}
         import math as _math
@@ -417,7 +452,7 @@ def sweep_mode(sizes: list[int]) -> None:
             )
             .collect()
         }
-        total_cell_pairs = NLIST * (NLIST + 1) // 2
+        total_cell_pairs = nl * (nl + 1) // 2
         allow = {}
         for f in (0.995, 0.95, 0.8, 0.5):
             allowed = {
@@ -440,6 +475,10 @@ def sweep_mode(sizes: list[int]) -> None:
             "allowlist_share_by_floor": allow,
         }), flush=True)
         corpus.unpersist()
+        try:
+            os.remove(fixture)
+        except OSError:
+            pass
 
 
 def main() -> None:
