@@ -1277,6 +1277,31 @@ def cmd_admission_regret(args: argparse.Namespace) -> None:
     )
 
 
+def cmd_curriculum_regret(args: argparse.Namespace) -> None:
+    """Phase-ordered regret readout (streaming/selection.py::
+    curriculum_admission_regret): the standing phase-admitted table vs
+    the batch curriculum's hindsight assignment over everything seen so
+    far — docs swapped and score mass, per (phase, source). Pure
+    readout; no sink state is touched."""
+    from .streaming.selection import curriculum_admission_regret
+
+    spark = get_session(app_name="curriculum-regret")
+    corpus = spark.read.parquet(args.corpus)
+    out = curriculum_admission_regret(spark, args.target, corpus)
+    src_col = out.columns[1]
+    by_phase: dict = {}
+    for r in out.collect():
+        d = r.asDict()
+        by_phase.setdefault(d.pop("phase"), {})[d.pop(src_col)] = d
+    _emit(
+        {
+            "job": "curriculum-regret",
+            "target": args.target,
+            "by_phase": by_phase,
+        }
+    )
+
+
 def cmd_split_leakage_audit(args: argparse.Namespace) -> None:
     """Split leakage audit job (queries/textops.py::split_leakage_audit):
     MinHash near-dup pairs joined against a completed (id, split)
@@ -2235,6 +2260,20 @@ def build_parser() -> argparse.ArgumentParser:
     ca.add_argument("--source-col", default="source")
     ca.add_argument("--n-buckets", type=int, default=256)
     ca.set_defaults(func=cmd_curriculum_admission)
+
+    crg = sub.add_parser(
+        "curriculum-regret",
+        help="phase-ordered wave-greedy regret readout: the standing "
+        "phase-admitted table vs the batch curriculum's hindsight "
+        "assignment over everything seen, per (phase, source)",
+    )
+    crg.add_argument("--target", required=True, help="admission state dir")
+    crg.add_argument(
+        "--corpus", required=True,
+        help="parquet path holding everything seen so far (the sink "
+        "retains nothing it rejected)",
+    )
+    crg.set_defaults(func=cmd_curriculum_regret)
 
     arc = sub.add_parser(
         "admission-recalibrate",

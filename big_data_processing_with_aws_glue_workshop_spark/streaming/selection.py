@@ -691,6 +691,113 @@ def run_stream_curriculum_admission(
     _drain(stream_df, sink, checkpoint_dir)
 
 
+def curriculum_admission_regret(
+    spark: SparkSession, target_dir: str, corpus: DataFrame
+) -> DataFrame:
+    """Phase-ordered wave-greedy tradeoff readout (r16, the
+    ``admission_regret`` shape applied to :class:`CurriculumAdmissionSink`):
+    compare the standing phase-admitted table against what the BATCH
+    curriculum (:func:`~..queries.textops.curriculum_phase_selection`)
+    would assign over ``corpus`` (everything seen so far,
+    caller-supplied — the sink retains nothing it rejected) under the
+    SAME calibration. Output one row per (phase, source) — every
+    budgeted pair present, zero-filled — with the same columns as
+    ``admission_regret`` (admitted/hindsight doc + token counts,
+    common/only-streaming/only-hindsight splits, score sums).
+
+    A document the stream admitted to one phase and hindsight assigns
+    to ANOTHER counts as only_streaming in its streamed phase and
+    only_hindsight in its hindsight phase — per-(phase, source)
+    accounting, deliberately: phase membership IS the decision this
+    sink makes, so a phase swap is two divergences, not zero.
+
+    HONEST BOUND, and it is weaker than the flat readout's: for the
+    FIRST-listed phase, hindsight_score_sum >= admitted_score_sum per
+    source whenever the corpus contains everything streamed (phase 1's
+    batch cut is the per-source optimum of the same inclusive-prefix
+    rule over a superset). For LATER phases no such inequality holds —
+    each selects from what earlier phases left, and greedy-vs-global
+    divergence upstream reshuffles the remainder both ways. The
+    readout reports the numbers; it does not claim per-phase optimality
+    it does not have.
+
+    Pure readout: one batch curriculum over the corpus + one outer
+    join against the budget-bounded admitted table + one bounded
+    |phases|x|sources|-row aggregate. No sink state is touched."""
+    from ..queries.textops import curriculum_phase_selection
+
+    pointer = read_pointer(target_dir)
+    if pointer is None:
+        raise ValueError(f"no committed admission state at {target_dir!r}")
+    cal = pointer["calibration"]
+    if "phases" not in cal:
+        raise ValueError(
+            f"{target_dir!r} holds a FLAT admission table (no phases in "
+            "its calibration) — use admission_regret for it"
+        )
+    phases = [(n, {str(k): int(v) for k, v in b.items()}) for n, b in cal["phases"]]
+    src, idc, ntc = cal["source_col"], cal["id_col"], cal["n_tokens_col"]
+    admitted = read_current(spark, target_dir).select(
+        F.col("phase").alias("__phase"),
+        F.col(src).alias("__src"),
+        F.col(idc).alias("__id"),
+        F.col("n_tokens").alias("a_toks"),
+        F.col("score").alias("a_score"),
+    )
+    hindsight = curriculum_phase_selection(
+        corpus.filter(F.col(ntc).isNotNull() & (F.col(ntc) > 0)),
+        phases,
+        cal["score_col"],
+        source_col=src,
+        id_col=idc,
+        n_tokens_col=ntc,
+        n_buckets=cal["n_buckets"],
+    ).select(
+        F.col("phase").alias("__phase"),
+        F.col(src).alias("__src"),
+        F.col(idc).alias("__id"),
+        F.col("n_tokens").alias("h_toks"),
+        F.col("score").alias("h_score"),
+    )
+    both = admitted.join(hindsight, ["__phase", "__src", "__id"], "full_outer")
+    per = both.groupBy("__phase", "__src").agg(
+        F.count(F.col("a_toks")).alias("admitted_docs"),
+        F.count(F.col("h_toks")).alias("hindsight_docs"),
+        F.count(
+            F.when(F.col("a_toks").isNotNull() & F.col("h_toks").isNotNull(), 1)
+        ).alias("common_docs"),
+        F.count(
+            F.when(F.col("a_toks").isNotNull() & F.col("h_toks").isNull(), 1)
+        ).alias("only_streaming_docs"),
+        F.count(
+            F.when(F.col("a_toks").isNull() & F.col("h_toks").isNotNull(), 1)
+        ).alias("only_hindsight_docs"),
+        F.coalesce(F.sum("a_toks"), F.lit(0)).alias("admitted_tokens"),
+        F.coalesce(F.sum("h_toks"), F.lit(0)).alias("hindsight_tokens"),
+        F.coalesce(F.sum("a_score"), F.lit(0.0)).alias("admitted_score_sum"),
+        F.coalesce(F.sum("h_score"), F.lit(0.0)).alias("hindsight_score_sum"),
+    )
+    budgeted = spark.createDataFrame(
+        [(n, s) for n, b in phases for s in b], "__phase string, __src string"
+    )
+    zero = [
+        "admitted_docs", "hindsight_docs", "common_docs",
+        "only_streaming_docs", "only_hindsight_docs",
+        "admitted_tokens", "hindsight_tokens",
+    ]
+    return budgeted.join(per, ["__phase", "__src"], "full_outer").select(
+        F.col("__phase").alias("phase"),
+        F.col("__src").alias(src),
+        *[F.coalesce(F.col(c), F.lit(0)).alias(c) for c in zero],
+        F.coalesce(F.col("admitted_score_sum"), F.lit(0.0)).alias(
+            "admitted_score_sum"
+        ),
+        F.coalesce(F.col("hindsight_score_sum"), F.lit(0.0)).alias(
+            "hindsight_score_sum"
+        ),
+    )
+
+
 def curriculum_admission_report(target_dir: str) -> dict:
     """Per-phase budget utilization from the pointer alone (no Spark):
     {phase: {source: {budget, spent, remaining}}}, phases in priority

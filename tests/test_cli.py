@@ -1882,6 +1882,24 @@ def test_cli_curriculum_admission(spark, tmp_path, capsys):
         by_phase.setdefault(r["phase"], set()).add(r["doc_id"])
     assert by_phase == {"anneal": {0, 1}, "bulk": {2, 10, 11}}
 
+    # r16: the phase-ordered regret readout over the landing dir —
+    # wave 1's strictly better docs (99, 98) hindsight-claim the anneal
+    # slots the greedy stream gave wave 0's best
+    main([
+        "curriculum-regret",
+        "--target", str(tmp_path / "cadm"),
+        "--corpus", str(landing),
+    ])
+    reg = _json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert reg["job"] == "curriculum-regret"
+    anneal = reg["by_phase"]["anneal"]["a"]
+    assert anneal["hindsight_score_sum"] >= anneal["admitted_score_sum"]
+    assert anneal["only_hindsight_docs"] >= 1  # the swapped-in wave-1 docs
+    for ph in ("anneal", "bulk"):
+        r = reg["by_phase"][ph]["a"]
+        assert r["admitted_tokens"] <= {"anneal": 20, "bulk": 30}[ph]
+        assert r["hindsight_tokens"] <= {"anneal": 20, "bulk": 30}[ph]
+
     empty = tmp_path / "empty_landing"
     empty.mkdir()
     with pytest.raises(SystemExit, match="nothing to drain"):

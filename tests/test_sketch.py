@@ -1750,6 +1750,98 @@ def test_admission_regret_readout(spark, tmp_path):
         admission_regret(spark, str(tmp_path / "nowhere"), corpus)
 
 
+def test_curriculum_admission_regret_readout(spark, tmp_path):
+    """r16: the admission_regret shape applied to the curriculum sink.
+    Constructed divergence fixture: wave 0's mediocre docs fill BOTH
+    phases before wave 1's excellent docs arrive — hindsight assigns
+    wave 1 to the top phase and demotes wave 0's best to bulk, so every
+    (phase, source) cell diverges. Pinned exactly (Python-mirrored
+    dicts): per-(phase, source) doc/token/score accounting, the
+    phase-SWAP convention (a doc streamed into one phase and hindsight-
+    assigned to another counts only_streaming there and only_hindsight
+    here), the first-phase regret bound (hindsight_score_sum >=
+    admitted_score_sum), zero-token corpus docs never surfacing as
+    false regret, zero-filled rows for budgeted sources never seen,
+    and the flat-table refusal."""
+    import pytest
+
+    from big_data_processing_with_aws_glue_workshop_spark.streaming.selection import (
+        BudgetAdmissionSink,
+        CurriculumAdmissionSink,
+        curriculum_admission_regret,
+    )
+
+    schema = "doc_id long, source string, score double, n_tokens long"
+    phases = [("anneal", {"a": 20, "b": 10}), ("bulk", {"a": 20, "b": 10})]
+    target_dir = str(tmp_path / "cadm")
+    sink = CurriculumAdmissionSink(target_dir, phases, "score")
+    w0 = spark.createDataFrame(
+        [(1, "a", 5.0, 10), (2, "a", 5.0, 10), (3, "a", 4.0, 10), (4, "a", 4.0, 10)],
+        schema,
+    )
+    w1 = spark.createDataFrame(
+        [(11, "a", 9.0, 10), (12, "a", 9.0, 10)], schema
+    )
+    sink(w0, 0)
+    sink(w1, 1)  # both phases exhausted: 11, 12 rejected forever
+
+    corpus = w0.unionByName(w1).unionByName(
+        spark.createDataFrame([(99, "a", 999.0, 0)], schema)  # zero-token
+    )
+    got = {
+        (r["phase"], r["source"]): {
+            k: r[k]
+            for k in (
+                "admitted_docs", "hindsight_docs", "common_docs",
+                "only_streaming_docs", "only_hindsight_docs",
+                "admitted_tokens", "hindsight_tokens",
+                "admitted_score_sum", "hindsight_score_sum",
+            )
+        }
+        for r in curriculum_admission_regret(spark, target_dir, corpus).collect()
+    }
+    zero_b = {
+        "admitted_docs": 0, "hindsight_docs": 0, "common_docs": 0,
+        "only_streaming_docs": 0, "only_hindsight_docs": 0,
+        "admitted_tokens": 0, "hindsight_tokens": 0,
+        "admitted_score_sum": 0.0, "hindsight_score_sum": 0.0,
+    }
+    assert got == {
+        # streamed {1,2}; hindsight {11,12} — full swap, 999-score
+        # zero-token doc never appears
+        ("anneal", "a"): {
+            "admitted_docs": 2, "hindsight_docs": 2, "common_docs": 0,
+            "only_streaming_docs": 2, "only_hindsight_docs": 2,
+            "admitted_tokens": 20, "hindsight_tokens": 20,
+            "admitted_score_sum": 10.0, "hindsight_score_sum": 18.0,
+        },
+        # streamed {3,4}; hindsight demotes {1,2} here — the phase-swap
+        # convention: 1,2 count only_hindsight in bulk AND
+        # only_streaming in anneal
+        ("bulk", "a"): {
+            "admitted_docs": 2, "hindsight_docs": 2, "common_docs": 0,
+            "only_streaming_docs": 2, "only_hindsight_docs": 2,
+            "admitted_tokens": 20, "hindsight_tokens": 20,
+            "admitted_score_sum": 8.0, "hindsight_score_sum": 10.0,
+        },
+        ("anneal", "b"): zero_b,
+        ("bulk", "b"): zero_b,
+    }
+    # first-phase bound (documented; later phases carry no such claim)
+    assert (
+        got[("anneal", "a")]["hindsight_score_sum"]
+        >= got[("anneal", "a")]["admitted_score_sum"]
+    )
+
+    # refusals: no state; a FLAT admission table
+    with pytest.raises(ValueError, match="no committed admission state"):
+        curriculum_admission_regret(spark, str(tmp_path / "nope"), corpus)
+    flat_dir = str(tmp_path / "flat")
+    BudgetAdmissionSink(flat_dir, {"a": 20}, "score")(w0, 0)
+    with pytest.raises(ValueError, match="FLAT admission table"):
+        curriculum_admission_regret(spark, flat_dir, corpus)
+
+
 def test_streaming_budget_admission_zero_token_bounded(spark, tmp_path):
     """r14 ADVICE finding, closed: the batch operator's inclusive
     boundary admits zero-token docs (they spend nothing), so a stream of
