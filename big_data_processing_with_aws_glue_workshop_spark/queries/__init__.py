@@ -145,8 +145,9 @@ succession queue behind the r13 ops.
 
 And to the r16 additions — ``semantic_threshold_sweep`` (the embedding
 family's eps-tuning audit) and the streaming
-``CurriculumAdmissionSink`` (+ CLI ``curriculum-admission``): both
-pytest+CLI-tier by the same cap arithmetic (the sweep is a tuning
+``CurriculumAdmissionSink`` (+ CLI ``curriculum-admission``, + the
+``curriculum_admission_regret`` hindsight readout / CLI
+``curriculum-regret``): all pytest+CLI-tier by the same cap arithmetic (the sweep is a tuning
 READOUT over the already-gated clustered pair machinery, not a new
 selection contract; the sink is the wave-greedy streaming twin of the
 already-gated curriculum op — deliberately a different contract from
