@@ -1252,6 +1252,43 @@ def cmd_admission_recalibrate(args: argparse.Namespace) -> None:
     )
 
 
+def cmd_curriculum_recalibrate(args: argparse.Namespace) -> None:
+    """Migrate a standing phase-admitted table to a new ordered phase
+    list (streaming/selection.py::recalibrate_curriculum_admission):
+    phase membership recomputed from scratch under the new priority
+    order (docs may move between phases), atomic snapshot + per-(phase,
+    source) spent flip; the next drain composes under the new phases."""
+    from .streaming.selection import (
+        curriculum_admission_report,
+        recalibrate_curriculum_admission,
+    )
+
+    spark = get_session(app_name="curriculum-recalibrate")
+    phases = []
+    seen = set()
+    for spec in args.phase:
+        if ":" not in spec:
+            raise SystemExit(
+                f"--phase {spec!r} is not name:src=tokens,src=tokens"
+            )
+        name, budget_str = spec.split(":", 1)
+        if not name:
+            raise SystemExit(f"--phase {spec!r} has an empty phase name")
+        if name in seen:
+            raise SystemExit(f"--phase names repeat: {name!r}")
+        seen.add(name)
+        phases.append((name, _parse_budgets(budget_str)))
+    out = recalibrate_curriculum_admission(spark, args.target, phases)
+    _emit(
+        {
+            "job": "curriculum-recalibrate",
+            "target": args.target,
+            **out,
+            "report": curriculum_admission_report(args.target),
+        }
+    )
+
+
 def cmd_admission_regret(args: argparse.Namespace) -> None:
     """Wave-greedy regret readout (streaming/selection.py::
     admission_regret): the standing admitted table vs the batch
@@ -2274,6 +2311,22 @@ def build_parser() -> argparse.ArgumentParser:
         "retains nothing it rejected)",
     )
     crg.set_defaults(func=cmd_curriculum_regret)
+
+    crc = sub.add_parser(
+        "curriculum-recalibrate",
+        help="migrate a standing phase-admitted table to a new ordered "
+        "phase list: phase membership recomputed under the new priority "
+        "order (docs may move between phases), atomic snapshot + "
+        "per-(phase, source) spent flip",
+    )
+    crc.add_argument("--target", required=True, help="admission state dir")
+    crc.add_argument(
+        "--phase", action="append", required=True,
+        help="name:src=tokens,src=tokens — repeat per phase, order is "
+        "the new priority order; every source with admitted rows must "
+        "be named in EVERY phase (evict explicitly with 0)",
+    )
+    crc.set_defaults(func=cmd_curriculum_recalibrate)
 
     arc = sub.add_parser(
         "admission-recalibrate",

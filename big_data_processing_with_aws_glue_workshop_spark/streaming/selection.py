@@ -691,6 +691,146 @@ def run_stream_curriculum_admission(
     _drain(stream_df, sink, checkpoint_dir)
 
 
+def recalibrate_curriculum_admission(
+    spark: SparkSession, target_dir: str, new_phases
+) -> dict:
+    """Migrate a standing PHASE-admitted table to a NEW ordered phase
+    list (r16): the curriculum sink refuses a changed calibration by
+    design; this is its sanctioned migration path — the
+    ``recalibrate_admission`` contract applied to the curriculum sink,
+    with the r15-ADVICE hardening built in from day one. Semantics:
+
+    - the new standing table is the batch curriculum
+      (:func:`~..queries.textops.curriculum_phase_selection`) applied to
+      the standing admitted DOCUMENTS (all phases pooled — phase
+      membership is recomputed from scratch under the new priority
+      order) with the new budgets. Shrinking total budget evicts
+      exactly the re-cut complement; documents may MOVE between phases
+      (that is the point of a phase recalibration).
+    - cannot resurrect documents earlier waves rejected (the sink
+      retains nothing it rejected; ``curriculum_admission_regret``
+      quantifies that bound).
+    - every source with admitted rows must be named in EVERY new
+      phase's budgets (each phase's cut inherits the stratified
+      coverage rule — evict a source explicitly with budget 0, never by
+      omission); new sources may be added freely and apply from the
+      next drain.
+    - provenance: each surviving doc keeps the EARLIEST
+      ``admitted_batch`` that admitted it, via a lookup aggregated to
+      one row per (id, source) BEFORE the join (duplicate standing rows
+      from re-delivered docs cannot fan the re-cut out).
+    - atomic + guarded: new snapshot, calibration and per-(phase,
+      source) spent flip together; the pointer is RE-READ immediately
+      before commit and the operation refuses (nothing written) if a
+      drain committed since the initial read — the same
+      version-collision race ``recalibrate_admission`` guards; the
+      stream replay gate and checkpoint pin carry forward unchanged.
+
+    Returns {"evicted_docs", "kept_docs", "moved_docs",
+    "spent": {phase: {source: tokens}}} — moved_docs counts survivors
+    whose phase changed."""
+    from ..queries.textops import curriculum_phase_selection
+
+    pointer = read_pointer(target_dir)
+    if pointer is None:
+        raise ValueError(f"no committed admission state at {target_dir!r}")
+    cal = pointer["calibration"]
+    if "phases" not in cal:
+        raise ValueError(
+            f"{target_dir!r} holds a FLAT admission table (no phases in "
+            "its calibration) — use recalibrate_admission for it"
+        )
+    if not new_phases:
+        raise ValueError(
+            "new_phases must be a non-empty ordered list of (name, budgets)"
+        )
+    phases = [
+        (str(n), {str(k): int(v) for k, v in b.items()}) for n, b in new_phases
+    ]
+    names = [n for n, _ in phases]
+    if len(set(names)) != len(names):
+        dupes = sorted({n for n in names if names.count(n) > 1})
+        raise ValueError(f"duplicate phase names: {dupes}")
+    for n, b in phases:
+        for s, v in b.items():
+            if v < 0:
+                raise ValueError(
+                    f"phase {n!r}: budget for source {s!r} must be >= 0, got {v}"
+                )
+    src, idc = cal["source_col"], cal["id_col"]
+    admitted = read_current(spark, target_dir).persist()
+    try:
+        n_admitted = admitted.count()
+        recut = curriculum_phase_selection(
+            admitted.select(idc, src, "score", "n_tokens"),
+            phases,
+            "score",
+            source_col=src,
+            id_col=idc,
+            n_buckets=cal["n_buckets"],
+        )
+        lookup = admitted.groupBy(idc, src).agg(
+            F.min("admitted_batch").alias("admitted_batch"),
+            # one standing phase per (id, source) suffices for the moved
+            # count; duplicates across waves always share a phase or the
+            # earliest wins — F.min keeps it deterministic
+            F.min("phase").alias("__old_phase"),
+        )
+        merged = (
+            recut.select(idc, src, "score", "n_tokens", "cum_tokens", "phase")
+            .join(lookup, [idc, src])
+            .persist()
+        )
+        try:
+            kept = merged.count()
+            moved = merged.filter(F.col("phase") != F.col("__old_phase")).count()
+            new_mass = {
+                (r["phase"], r[src]): int(r["m"])
+                for r in merged.groupBy("phase", src)
+                .agg(F.coalesce(F.sum("n_tokens"), F.lit(0)).alias("m"))
+                .collect()
+            }
+            new_spent = {
+                n: {s: new_mass.get((n, s), 0) for s in b} for n, b in phases
+            }
+            extra = {
+                k: v
+                for k, v in pointer.items()
+                if k not in ("batch_id", "version", "keep_versions")
+            }
+            extra["calibration"] = {
+                **cal, "phases": [[n, dict(b)] for n, b in phases],
+            }
+            extra["spent"] = new_spent
+            extra.setdefault("last_stream_batch", pointer["batch_id"])
+            now = read_pointer(target_dir)
+            if now != pointer:
+                raise RuntimeError(
+                    f"admission state at {target_dir!r} changed while "
+                    "recalibrating (an active drain committed "
+                    f"version {now and now.get('batch_id')} past the "
+                    f"{pointer['batch_id']} this recalibration read) — "
+                    "recalibration must not run against a target with an "
+                    "in-flight drain; re-run after it settles"
+                )
+            commit_snapshot(
+                merged.drop("__old_phase"),
+                target_dir,
+                pointer["batch_id"] + 1,
+                extra,
+            )
+        finally:
+            merged.unpersist()
+    finally:
+        admitted.unpersist()
+    return {
+        "evicted_docs": int(n_admitted - kept),
+        "kept_docs": int(kept),
+        "moved_docs": int(moved),
+        "spent": new_spent,
+    }
+
+
 def curriculum_admission_regret(
     spark: SparkSession, target_dir: str, corpus: DataFrame
 ) -> DataFrame:

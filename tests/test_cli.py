@@ -1900,6 +1900,28 @@ def test_cli_curriculum_admission(spark, tmp_path, capsys):
         assert r["admitted_tokens"] <= {"anneal": 20, "bulk": 30}[ph]
         assert r["hindsight_tokens"] <= {"anneal": 20, "bulk": 30}[ph]
 
+    # r16: curriculum-recalibrate — phase membership recomputed under a
+    # reshaped curriculum. Standing docs (score): anneal {0 (10), 1 (9)},
+    # bulk {2 (8), 10 (99), 11 (98)}. Re-cut at anneal=10/bulk=30:
+    # wave-1's doc 10 claims anneal, {11, 0, 1} fill bulk, doc 2 evicted
+    # — three docs changed phase
+    main([
+        "curriculum-recalibrate",
+        "--target", str(tmp_path / "cadm"),
+        "--phase", "anneal:a=10",
+        "--phase", "bulk:a=30",
+    ])
+    rec = _json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert rec["job"] == "curriculum-recalibrate"
+    assert rec["evicted_docs"] == 1 and rec["kept_docs"] == 4
+    assert rec["moved_docs"] == 3
+    assert rec["report"]["anneal"]["a"] == {
+        "budget": 10, "spent": 10, "remaining": 0,
+    }
+    assert rec["report"]["bulk"]["a"] == {
+        "budget": 30, "spent": 30, "remaining": 0,
+    }
+
     empty = tmp_path / "empty_landing"
     empty.mkdir()
     with pytest.raises(SystemExit, match="nothing to drain"):

@@ -1750,6 +1750,144 @@ def test_admission_regret_readout(spark, tmp_path):
         admission_regret(spark, str(tmp_path / "nowhere"), corpus)
 
 
+def test_recalibrate_curriculum_admission(spark, tmp_path, monkeypatch):
+    """r16: the curriculum sink's sanctioned migration path, with the
+    r15-ADVICE hardening built in from day one. Pinned: phase
+    membership is recomputed from scratch under the new priority order
+    (docs MOVE between phases — counted), shrinking evicts exactly the
+    re-cut complement, provenance keeps the earliest admitted_batch,
+    the per-phase coverage rule refuses an omitted source, the flat
+    table / dup names / negative budget / no-state refusals, the
+    in-flight-drain commit guard (pointer re-read), the replay gate
+    carries forward, and the next drain composes under a sink built
+    with the new calibration while the old one is refused."""
+    import pytest
+
+    from big_data_processing_with_aws_glue_workshop_spark.queries import textops
+    from big_data_processing_with_aws_glue_workshop_spark.streaming.selection import (
+        BudgetAdmissionSink,
+        CurriculumAdmissionSink,
+        curriculum_admission_report,
+        read_admitted,
+        recalibrate_curriculum_admission,
+    )
+
+    schema = "doc_id long, source string, score double, n_tokens long"
+    phases = [("anneal", {"a": 30}), ("bulk", {"a": 20})]
+    target_dir = str(tmp_path / "cadm")
+    sink = CurriculumAdmissionSink(target_dir, phases, "score")
+    w0 = spark.createDataFrame(
+        [(i, "a", 10.0 - i, 10) for i in range(1, 6)], schema
+    )
+    sink(w0, 0)  # anneal {1,2,3}, bulk {4,5}
+
+    # refusals first (state untouched)
+    with pytest.raises(ValueError, match="no committed admission state"):
+        recalibrate_curriculum_admission(
+            spark, str(tmp_path / "nope"), phases
+        )
+    with pytest.raises(ValueError, match="non-empty"):
+        recalibrate_curriculum_admission(spark, target_dir, [])
+    with pytest.raises(ValueError, match="duplicate phase names"):
+        recalibrate_curriculum_admission(
+            spark, target_dir, [("p", {"a": 1}), ("p", {"a": 2})]
+        )
+    with pytest.raises(ValueError, match="must be >= 0"):
+        recalibrate_curriculum_admission(
+            spark, target_dir, [("p", {"a": -1})]
+        )
+    # coverage: source a has admitted rows — every phase must name it
+    with pytest.raises(ValueError, match="missing from budgets"):
+        recalibrate_curriculum_admission(
+            spark, target_dir, [("anneal", {"b": 10}), ("bulk", {"a": 20})]
+        )
+    flat_dir = str(tmp_path / "flat")
+    BudgetAdmissionSink(flat_dir, {"a": 20}, "score")(w0, 0)
+    with pytest.raises(ValueError, match="FLAT admission table"):
+        recalibrate_curriculum_admission(spark, flat_dir, phases)
+
+    # re-cut under a reshaped curriculum: anneal shrinks to 20 (top two
+    # docs), bulk grows to 30 — doc 3 MOVES anneal -> bulk, nothing
+    # evicted; a brand-new source b appears with headroom
+    out = recalibrate_curriculum_admission(
+        spark, target_dir,
+        [("anneal", {"a": 20, "b": 10}), ("bulk", {"a": 30, "b": 0})],
+    )
+    assert out == {
+        "evicted_docs": 0,
+        "kept_docs": 5,
+        "moved_docs": 1,
+        "spent": {"anneal": {"a": 20, "b": 0}, "bulk": {"a": 30, "b": 0}},
+    }
+    got = {
+        r["doc_id"]: (r["phase"], r["admitted_batch"])
+        for r in read_admitted(spark, target_dir).collect()
+    }
+    assert got == {
+        1: ("anneal", 0), 2: ("anneal", 0),
+        3: ("bulk", 0), 4: ("bulk", 0), 5: ("bulk", 0),
+    }
+    rep = curriculum_admission_report(target_dir)
+    assert rep["anneal"]["b"] == {"budget": 10, "spent": 0, "remaining": 10}
+
+    # shrink both: anneal {1}, bulk {2} — three evicted, doc 2 moves
+    out2 = recalibrate_curriculum_admission(
+        spark, target_dir,
+        [("anneal", {"a": 10, "b": 0}), ("bulk", {"a": 10, "b": 0})],
+    )
+    assert out2 == {
+        "evicted_docs": 3,
+        "kept_docs": 2,
+        "moved_docs": 1,
+        "spent": {"anneal": {"a": 10, "b": 0}, "bulk": {"a": 10, "b": 0}},
+    }
+
+    # old sink config refused; the NEW one composes and the replay gate
+    # survived both maintenance commits (wave 0 re-delivery is a no-op)
+    with pytest.raises(ValueError, match="calibration mismatch"):
+        sink(w0, 1)
+    sink2 = CurriculumAdmissionSink(
+        target_dir,
+        [("anneal", {"a": 10, "b": 0}), ("bulk", {"a": 10, "b": 0})],
+        "score",
+    )
+    sink2(w0, 0)  # replay: no-op
+    assert sorted(
+        r["doc_id"] for r in read_admitted(spark, target_dir).collect()
+    ) == [1, 2]
+    w1 = spark.createDataFrame([(20, "a", 99.0, 10)], schema)
+    sink2(w1, 1)  # both phases exhausted for a: rejected
+    rep2 = curriculum_admission_report(target_dir)
+    assert rep2["anneal"]["a"]["spent"] == 10
+    assert rep2["bulk"]["a"]["spent"] == 10
+
+    # in-flight drain guard: a drain landing mid-recalibration is
+    # detected by the pre-commit pointer re-read and the recalibration
+    # refuses cleanly, leaving the drain's commit intact
+    real = textops.curriculum_phase_selection
+    state = {"fired": False}
+    w2 = spark.createDataFrame([(30, "b", 9.0, 10)], schema)
+
+    def interleaving(*args, **kwargs):
+        if not state["fired"]:
+            state["fired"] = True
+            sink2(w2, 2)
+        return real(*args, **kwargs)
+
+    monkeypatch.setattr(textops, "curriculum_phase_selection", interleaving)
+    with pytest.raises(RuntimeError, match="changed while"):
+        recalibrate_curriculum_admission(
+            spark, target_dir,
+            [("anneal", {"a": 10, "b": 10}), ("bulk", {"a": 10, "b": 0})],
+        )
+    assert state["fired"]
+    # b=0 budgets in the standing calibration: doc 30 was rejected, but
+    # the drain's commit (the stream id consumption) survived
+    assert curriculum_admission_report(target_dir)["anneal"]["b"] == {
+        "budget": 0, "spent": 0, "remaining": 0,
+    }
+
+
 def test_curriculum_admission_regret_readout(spark, tmp_path):
     """r16: the admission_regret shape applied to the curriculum sink.
     Constructed divergence fixture: wave 0's mediocre docs fill BOTH
