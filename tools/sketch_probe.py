@@ -481,9 +481,118 @@ def probe_admission_sustained(spark, n_waves=12, wave_docs=50_000):
         shutil.rmtree(work, ignore_errors=True)
 
 
+def probe_curriculum_sustained(spark, n_waves=12, wave_docs=50_000):
+    """Sustained-load curve for the streaming CURRICULUM admission sink
+    (r16, the flat sink's r15 curve applied to the phase-ordered
+    contract): phases are sized so the regimes STAGGER — the top phase
+    ('anneal', 2 waves of mass per source) exhausts first and docs
+    start overflowing to 'bulk' (6 waves of mass), which exhausts
+    mid-run; late waves land fully rejected. Claims, asserted every
+    wave:
+      1. per-(phase, source) spent NEVER exceeds its budget;
+      2. the standing table is bounded by TOTAL budget mass across all
+         phases / min doc tokens, and stops growing once every phase
+         exhausts while waves keep landing;
+      3. per-wave commit wall is FLAT across waves — P stratified
+         passes over the WAVE, never history, post-exhaustion waves no
+         costlier than filling ones."""
+    import shutil
+    import tempfile
+
+    from big_data_processing_with_aws_glue_workshop_spark.streaming.selection import (
+        CurriculumAdmissionSink,
+        curriculum_admission_report,
+        read_admitted,
+    )
+
+    per_wave_mass = (wave_docs // 2) * 10
+    # anneal holds 1.5 waves of mass per source (exhausts INSIDE wave
+    # 1, cutting a wave mid-prefix); bulk's fast lane adds 1 more wave
+    # (fast fully exhausts at wave 2) while its slow lane runs to wave
+    # 5 — three regimes: filling, partially exhausted (overflow
+    # rerouting), fully exhausted
+    phases = [
+        ("anneal", {
+            "fast": 3 * per_wave_mass // 2, "slow": 3 * per_wave_mass // 2,
+        }),
+        ("bulk", {
+            "fast": 1 * per_wave_mass, "slow": 9 * per_wave_mass // 2,
+        }),
+    ]
+    total_mass = sum(v for _, b in phases for v in b.values())
+    rows_bound = total_mass // 10
+
+    work = tempfile.mkdtemp(prefix="curriculum_probe_")
+    target_dir = os.path.join(work, "admitted")
+    try:
+        sink = CurriculumAdmissionSink(target_dir, phases, "score")
+        rows = []
+        for wave in range(n_waves):
+            batch = spark.range(wave * wave_docs, (wave + 1) * wave_docs).select(
+                F.col("id").alias("doc_id"),
+                F.when(F.col("id") % 2 == 0, F.lit("fast"))
+                .otherwise(F.lit("slow"))
+                .alias("source"),
+                (F.pmod(F.xxhash64("id"), F.lit(10_000)) / 100.0).alias("score"),
+                F.lit(10).cast("long").alias("n_tokens"),
+            )
+            t0 = time.time()
+            sink(batch, wave)
+            commit_wall = time.time() - t0
+            rep = curriculum_admission_report(target_dir)
+            standing_rows = read_admitted(spark, target_dir).count()
+            assert all(
+                v["spent"] <= v["budget"]
+                for per in rep.values()
+                for v in per.values()
+            ), rep
+            assert standing_rows <= rows_bound, (standing_rows, rows_bound)
+            rec = {
+                "op": "curriculum_admission_sink_sustained",
+                "wave": wave,
+                "wave_docs": wave_docs,
+                "commit_wall_s": round(commit_wall, 2),
+                "standing_rows": standing_rows,
+                "rows_bound": rows_bound,
+                "remaining": {
+                    p: {s: v["remaining"] for s, v in per.items()}
+                    for p, per in rep.items()
+                },
+            }
+            rows.append(rec)
+            print(json.dumps(rec), flush=True)
+        # staggered exhaustion: anneal fully exhausts before bulk does,
+        # bulk exhausts mid-run, table frozen from then on
+        def exhausted(r, phase):
+            return all(v == 0 for v in r["remaining"][phase].values())
+
+        anneal_at = next(i for i, r in enumerate(rows) if exhausted(r, "anneal"))
+        all_at = next(
+            i
+            for i, r in enumerate(rows)
+            if exhausted(r, "anneal") and exhausted(r, "bulk")
+        )
+        assert 0 < anneal_at < all_at < n_waves - 2, (anneal_at, all_at)
+        assert all(
+            r["standing_rows"] == rows[all_at]["standing_rows"]
+            for r in rows[all_at:]
+        )
+        early = min(r["commit_wall_s"] for r in rows[1:4])
+        late = min(r["commit_wall_s"] for r in rows[-3:])
+        assert late <= 2 * early + 0.5, (early, late)
+        return rows
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+
+
 def main() -> None:
     args = sys.argv[1:]
     spark = get_session(app_name="sketch-probe")
+    if args and args[0] == "--curriculum-sustained":
+        n_waves = int(args[1]) if len(args) > 1 else 12
+        wave_docs = int(args[2]) if len(args) > 2 else 50_000
+        probe_curriculum_sustained(spark, n_waves=n_waves, wave_docs=wave_docs)
+        return
     if args and args[0] == "--admission-sustained":
         n_waves = int(args[1]) if len(args) > 1 else 12
         wave_docs = int(args[2]) if len(args) > 2 else 50_000
