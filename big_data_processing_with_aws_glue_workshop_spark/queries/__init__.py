@@ -144,19 +144,23 @@ operator over the same waves + CLI `budget-admission`. They join the
 succession queue behind the r13 ops.
 
 And to the r16 additions — ``semantic_threshold_sweep`` (the embedding
-family's eps-tuning audit) and the streaming
-``CurriculumAdmissionSink`` (+ CLI ``curriculum-admission``, + the
-``curriculum_admission_regret`` hindsight readout / CLI
-``curriculum-regret``): all pytest+CLI-tier by the same cap arithmetic (the sweep is a tuning
+family's eps-tuning audit) and the streaming curriculum-admission
+family (``CurriculumAdmissionSink`` + ``curriculum_admission_regret``
++ ``recalibrate_curriculum_admission``, CLIs ``curriculum-admission``
+/ ``curriculum-regret`` / ``curriculum-recalibrate``): all
+pytest+CLI-tier by the same cap arithmetic (the sweep is a tuning
 READOUT over the already-gated clustered pair machinery, not a new
-selection contract; the sink is the wave-greedy streaming twin of the
-already-gated curriculum op — deliberately a different contract from
-any batch selector, the BudgetAdmissionSink precedent). Gates: the
+selection contract; the sink family is the wave-greedy streaming twin
+of the already-gated curriculum op — deliberately a different contract
+from any batch selector, the BudgetAdmissionSink precedent, with the
+same report/regret/recalibrate/sustained-probe surface). Gates: the
 sweep has a closed-form constructed-tier test + Python union-find
 mirror over the same exact-cosine pair stream + CLI e2e; the sink is
 pinned equal to a driver-side fold of the batch curriculum over the
-same waves + CLI two-drain e2e. They join the succession queue behind
-the r15 ops.
+same waves + CLI two-drain e2e + the measured sustained-load curve
+(SCALE.md r16); regret/recalibrate are Python-mirrored with the full
+refusal matrices incl. the in-flight-drain guard. They join the
+succession queue behind the r15 ops.
 
 And to the r15 additions — ``curriculum_phase_selection``,
 ``recalibrate_admission``, ``admission_regret``,
