@@ -994,6 +994,44 @@ def cmd_dedup_threshold_sweep(args: argparse.Namespace) -> None:
     )
 
 
+def cmd_simhash_threshold_sweep(args: argparse.Namespace) -> None:
+    """SimHash hamming tuning audit (queries/textops.py::
+    simhash_threshold_sweep): one block-join pass at the ceiling k,
+    exact-hamming readouts per candidate k — pairs fired, docs touched,
+    exact docs min-id dedup at hamming <= k would remove."""
+    from .queries.textops import simhash_threshold_sweep
+
+    try:
+        ks = [int(k) for k in args.hammings.split(",")]
+    except ValueError:
+        raise SystemExit(
+            f"--hammings {args.hammings!r} is not a comma-separated "
+            "list of ints"
+        ) from None
+    spark = get_session(app_name="simhash-threshold-sweep")
+    docs = spark.read.parquet(args.input)
+    rows = simhash_threshold_sweep(
+        docs, ks, id_col=args.id_col, text_col=args.text_col,
+        n_bits=args.n_bits,
+    ).collect()
+    _emit(
+        {
+            "job": "simhash-threshold-sweep",
+            "input": args.input,
+            "sweep": [
+                {
+                    "max_hamming": r["max_hamming"],
+                    "n_pairs": r["n_pairs"],
+                    "n_docs_in_pairs": r["n_docs_in_pairs"],
+                    "n_components": r["n_components"],
+                    "docs_removed": r["docs_removed"],
+                }
+                for r in sorted(rows, key=lambda r: r["max_hamming"])
+            ],
+        }
+    )
+
+
 def cmd_semantic_threshold_sweep(args: argparse.Namespace) -> None:
     """Semantic eps-tuning audit (queries/vectors.py::
     semantic_threshold_sweep): one clustered exact-pair pass at the
@@ -2225,6 +2263,25 @@ def build_parser() -> argparse.ArgumentParser:
     sts.add_argument("--nlist", type=int, default=16)
     sts.add_argument("--seed", type=int, default=42)
     sts.set_defaults(func=cmd_semantic_threshold_sweep)
+
+    shs = sub.add_parser(
+        "simhash-threshold-sweep",
+        help="simhash hamming tuning audit: one block-join pass at the "
+        "ceiling k, exact-hamming readouts per candidate k (pairs, docs "
+        "touched, exact docs min-id dedup would remove); recall exact "
+        "at every k (pigeonhole) — the ceiling controls candidate-join "
+        "cost, not recall",
+    )
+    shs.add_argument("--input", required=True, help="documents parquet path")
+    shs.add_argument(
+        "--hammings", required=True,
+        help="comma-separated hamming cuts, e.g. 1,2,3 (the ceiling "
+        "sets n_blocks = max+1 — see the cost note in the op)",
+    )
+    shs.add_argument("--id-col", default="doc_id")
+    shs.add_argument("--text-col", default="text")
+    shs.add_argument("--n-bits", type=int, default=32)
+    shs.set_defaults(func=cmd_simhash_threshold_sweep)
 
     cs = sub.add_parser(
         "curriculum-select",

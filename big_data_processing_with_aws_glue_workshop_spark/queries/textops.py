@@ -610,6 +610,85 @@ def dedup_threshold_sweep(
     )
 
 
+def simhash_threshold_sweep(
+    docs: DataFrame,
+    hammings,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n_bits: int = 32,
+    n_blocks: int | None = None,
+) -> DataFrame:
+    """SimHash HAMMING-threshold tuning audit (r16): the third member
+    of the tuning-audit family (Jaccard: :func:`dedup_threshold_sweep`;
+    cosine: ``queries/vectors.py::semantic_threshold_sweep``) —
+    operators pick a max-hamming cut blind today; this reports, for
+    each candidate k, how many pairs fire, how many documents are
+    touched, and exactly how many documents min-id dedup at hamming <=
+    k would REMOVE, all from ONE block-join pass.
+
+    ``hammings`` is a list of ints in [0, n_bits). The pair pass runs
+    at the CEILING k (max — for hamming the loose end is the larger
+    distance) and ``extensions/dedup_fuzzy.py::hamming_near_pairs``
+    already emits the exact bit_count distance per pair, so per-k
+    readouts are pure filters + connected components over the cached
+    pair set — work scales with the near-dup mass, never re-touching
+    the corpus.
+
+    HONEST BOUND, stated — and like the cosine sweep's it is EXACT:
+    ``n_blocks`` defaults to ceiling+1, satisfying the pigeonhole
+    guarantee (two hashes within k bits share at least one of k+1
+    blocks exactly), so recall is 1.0 at EVERY swept k. What the
+    ceiling controls is COST: more blocks means shorter blocks, and
+    the candidate block-join's collision rate grows ~2^-block_bits —
+    sweeping to a high ceiling pays candidate fanout, not recall. Pass
+    ``n_blocks`` explicitly only to trade that off knowingly (it must
+    stay > max(hammings) or the pair pass itself refuses).
+
+    Output one row per k: (max_hamming, n_pairs, n_docs_in_pairs,
+    n_components, docs_removed). Pair cache is plain persist +
+    finally-released (the r15-ADVICE precedent — the result is built
+    from collected driver rows)."""
+    from ..extensions.dedup_fuzzy import connected_components, simhash_near_duplicates
+
+    ks = sorted({int(k) for k in hammings})
+    if not ks:
+        raise ValueError(
+            "hammings must be a non-empty list of ints in [0, n_bits)"
+        )
+    if ks[0] < 0 or ks[-1] >= n_bits:
+        raise ValueError(f"hammings must lie in [0, {n_bits}), got {ks}")
+    blocks = (ks[-1] + 1) if n_blocks is None else int(n_blocks)
+    pairs = simhash_near_duplicates(
+        docs,
+        id_col=id_col,
+        text_col=text_col,
+        n_bits=n_bits,
+        max_hamming=ks[-1],
+        n_blocks=blocks,
+    ).persist()
+    spark = docs.sparkSession
+    rows = []
+    try:
+        for k in ks:
+            sub = pairs.filter(F.col("hamming") <= k)
+            n_pairs = sub.count()
+            if n_pairs == 0:
+                rows.append((k, 0, 0, 0, 0))
+                continue
+            labels = connected_components(sub, "d1", "d2")
+            n_nodes = labels.count()
+            n_comp = labels.select("label").distinct().count()
+            rows.append((k, n_pairs, n_nodes, n_comp, n_nodes - n_comp))
+    finally:
+        pairs.unpersist()
+    return spark.createDataFrame(
+        rows,
+        "max_hamming int, n_pairs bigint, n_docs_in_pairs bigint, "
+        "n_components bigint, docs_removed bigint",
+    )
+
+
 def q_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TF-IDF term salience: top-3 terms per document by tf x idf.
 

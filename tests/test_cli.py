@@ -1644,6 +1644,45 @@ def test_cli_semantic_threshold_sweep(spark, tmp_path, capsys):
         ])
 
 
+def test_cli_simhash_threshold_sweep(spark, tmp_path, capsys):
+    """simhash-threshold-sweep e2e: the tight hamming cut fires on the
+    near-identical tier, the loose cut at least as much, docs_removed
+    monotone; a malformed hammings list is refused."""
+    import json as _json
+    import random
+
+    from big_data_processing_with_aws_glue_workshop_spark.cli import main
+
+    rng = random.Random(5)
+    vocab = [f"w{j}" for j in range(400)]
+    rows = []
+    for k in range(8):
+        body = [rng.choice(vocab) for _ in range(40)]
+        rows.append((10 * k, "s", " ".join(body) + " alpha"))
+        rows.append((10 * k + 1, "s", " ".join(body) + " beta"))
+        rows.append((10 * k + 3, "s", " ".join(rng.choice(vocab) for _ in range(40))))
+    spark.createDataFrame(
+        rows, "doc_id long, source string, text string"
+    ).coalesce(1).write.parquet(str(tmp_path / "docs"))
+
+    main([
+        "simhash-threshold-sweep",
+        "--input", str(tmp_path / "docs"),
+        "--hammings", "2,6",
+    ])
+    out = _json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    sweep = {s["max_hamming"]: s for s in out["sweep"]}
+    assert sweep[2]["n_pairs"] >= 1  # near-identical tier fires tight
+    assert sweep[6]["n_pairs"] >= sweep[2]["n_pairs"]
+    assert sweep[6]["docs_removed"] >= sweep[2]["docs_removed"]
+
+    with pytest.raises(SystemExit, match="not a comma-separated"):
+        main([
+            "simhash-threshold-sweep", "--input", str(tmp_path / "docs"),
+            "--hammings", "2;6",
+        ])
+
+
 def test_cli_curriculum_select(spark, tmp_path, capsys):
     """curriculum-select e2e: two ordered --phase flags produce an
     exclusive phase-partitioned selection, the first phase skims the

@@ -1744,6 +1744,104 @@ def test_dedup_threshold_sweep_matches_python_mirror(spark):
     release_tracked_caches()
 
 
+def test_simhash_threshold_sweep_matches_python_mirror(spark):
+    """r16: the hamming-threshold tuning audit (third member of the
+    tuning-audit family) — per-k readouts must equal a Python
+    union-find over the SAME exact-hamming pair stream at the ceiling
+    k (hamming_near_pairs is gated elsewhere; recall is exact at every
+    swept k by the pigeonhole block guarantee, so the mirror IS the
+    ground truth). Two-tier corpus: near-identical docs (one trailing
+    word differs -> tiny hamming) and moderately-edited docs; plus
+    monotonicity (raising k never loses pairs or removals), the
+    zero-pair row, validation raises, and the cache-hygiene pin (the
+    r15-ADVICE precedent)."""
+    import random
+
+    from big_data_processing_with_aws_glue_workshop_spark.extensions.dedup_fuzzy import (
+        simhash_near_duplicates,
+    )
+    from big_data_processing_with_aws_glue_workshop_spark.queries.textops import (
+        simhash_threshold_sweep,
+    )
+    from big_data_processing_with_aws_glue_workshop_spark.util import (
+        _LIVE_CACHES,
+        release_tracked_caches,
+    )
+
+    rng = random.Random(11)
+    vocab = [f"w{j}" for j in range(500)]
+    rows = []
+    for k in range(8):
+        body = [rng.choice(vocab) for _ in range(40)]
+        rows.append((10 * k, "s", " ".join(body) + " alpha"))
+        rows.append((10 * k + 1, "s", " ".join(body) + " beta"))
+        rows.append(
+            (10 * k + 2, "s",
+             " ".join(body[:30] + [rng.choice(vocab) for _ in range(10)]))
+        )
+        rows.append((10 * k + 3, "s", " ".join(rng.choice(vocab) for _ in range(40))))
+    docs = spark.createDataFrame(rows, "doc_id long, source string, text string")
+
+    ks = [1, 3, 6]
+    got = {
+        r["max_hamming"]: (
+            r["n_pairs"], r["n_docs_in_pairs"], r["n_components"],
+            r["docs_removed"],
+        )
+        for r in simhash_threshold_sweep(docs, ks).collect()
+    }
+
+    # Python union-find mirror over the same ceiling pair stream
+    pair_rows = simhash_near_duplicates(
+        docs, max_hamming=ks[-1], n_blocks=ks[-1] + 1
+    ).collect()
+    for k in ks:
+        edges = [
+            (r["d1"], r["d2"]) for r in pair_rows if r["hamming"] <= k
+        ]
+        parent: dict = {}
+
+        def find(x):
+            parent.setdefault(x, x)
+            while parent[x] != x:
+                parent[x] = parent[parent[x]]
+                x = parent[x]
+            return x
+
+        for a, b in edges:
+            ra, rb = find(a), find(b)
+            if ra != rb:
+                parent[ra] = rb
+        nodes = {d for e in edges for d in e}
+        comps = {find(d) for d in nodes}
+        assert got[k] == (
+            len(edges), len(nodes), len(comps), len(nodes) - len(comps)
+        ), k
+
+    # the tiers separate: the near-identical tier fires well before the
+    # moderately-edited one; monotonicity across the board
+    assert got[6][0] >= got[3][0] >= got[1][0]
+    assert got[6][3] >= got[3][3] >= got[1][3]
+    assert got[6][0] > 0  # the fixture exercises the ceiling
+
+    with pytest.raises(ValueError, match="non-empty"):
+        simhash_threshold_sweep(docs, [])
+    with pytest.raises(ValueError, match=r"\[0, 32\)"):
+        simhash_threshold_sweep(docs, [-1, 3])
+    with pytest.raises(ValueError, match=r"\[0, 32\)"):
+        simhash_threshold_sweep(docs, [3, 32])
+
+    # cache hygiene at the registry level: the sweep's own pairs pin is
+    # plain persist + finally-unpersist, never tracked
+    release_tracked_caches()
+    simhash_near_duplicates(docs, max_hamming=6, n_blocks=7).count()
+    internal = len(_LIVE_CACHES)
+    release_tracked_caches()
+    simhash_threshold_sweep(docs, ks).collect()
+    assert len(_LIVE_CACHES) == internal
+    release_tracked_caches()
+
+
 def test_stratified_budget_selection_worklist_bound(spark):
     """Discrete grades in BOTH sources: every oversized bucket (FULL or
     PARTIAL, any source) refines via the level-batched worklist — the
