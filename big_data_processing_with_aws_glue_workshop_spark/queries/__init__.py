@@ -143,9 +143,11 @@ the admission sink is pinned equal to a driver-side fold of the batch
 operator over the same waves + CLI `budget-admission`. They join the
 succession queue behind the r13 ops.
 
-And to the r16 additions — ``semantic_threshold_sweep`` (the embedding
-family's eps-tuning audit) and the streaming curriculum-admission
-family (``CurriculumAdmissionSink`` + ``curriculum_admission_regret``
+And to the r16 additions — ``semantic_threshold_sweep`` and
+``simhash_threshold_sweep`` (the cosine and hamming members of the
+tuning-audit family — all three near-dup families now audited:
+Jaccard r15, cosine + hamming r16) and the streaming
+curriculum-admission family (``CurriculumAdmissionSink`` + ``curriculum_admission_regret``
 + ``recalibrate_curriculum_admission``, CLIs ``curriculum-admission``
 / ``curriculum-regret`` / ``curriculum-recalibrate``): all
 pytest+CLI-tier by the same cap arithmetic (the sweep is a tuning
