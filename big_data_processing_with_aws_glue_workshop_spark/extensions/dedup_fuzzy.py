@@ -19,6 +19,7 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 from ..util import tracked_cache
 
@@ -306,8 +307,53 @@ def simhash_near_duplicates(
 
 # Rounds the most recent connected_components() call took to converge.
 # Diagnostic only (tools/cc_chain_probe.py, SCALE.md curves); queries must
-# not branch on it.
+# not branch on it. 0 means the small-graph fast path answered without
+# any propagation rounds.
 LAST_CC_ROUNDS = 0
+
+# Edge-count bound for the driver-side union-find fast path (r17
+# optimization round, guide §1.2 — choose the distributed algorithm by the
+# data's actual shape). Near-dup edge lists are near-dup-mass-sized, NOT
+# corpus-sized: at every bench SF they are a few hundred rows, yet the
+# iterative path pays one full Spark job per propagation round (measured
+# 2.1-2.7 s for a 256-edge, 2-round graph at sf0.1 — almost entirely fixed
+# job overhead). Up to this many edges the graph is collected (bounded:
+# ~200k two-int rows, tens of MB of driver memory) and solved with exact
+# min-label union-find; past it the iterative min-label propagation runs
+# unchanged — the 100 TB path, where edge lists can be billions of rows.
+_CC_SMALL_EDGE_LIMIT = 200_000
+
+
+def _union_find_min_labels(edges) -> dict:
+    """Exact min-label connected components over an in-memory edge list:
+    returns {node: min node id in its component} — the identical result
+    the iterative min-label propagation converges to."""
+    parent: dict = {}
+
+    def find(x):
+        root = x
+        while parent[root] != root:
+            root = parent[root]
+        while parent[x] != root:  # path compression
+            parent[x], x = root, parent[x]
+        return root
+
+    for a, b in edges:
+        if a not in parent:
+            parent[a] = a
+        if b not in parent:
+            parent[b] = b
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[rb] = ra
+    # min member per root, then label every node with its component's min
+    comp_min: dict = {}
+    for node in parent:
+        r = find(node)
+        m = comp_min.get(r)
+        if m is None or node < m:
+            comp_min[r] = node
+    return {node: comp_min[find(node)] for node in parent}
 
 
 def connected_components(
@@ -315,6 +361,7 @@ def connected_components(
     a_col: str = "d1",
     b_col: str = "d2",
     max_iter: int = 25,
+    small_edge_limit: int = _CC_SMALL_EDGE_LIMIT,
 ) -> DataFrame:
     """Connected components over an undirected edge list by iterative
     min-label propagation — the canonicalization step of a dedup pipeline
@@ -335,9 +382,33 @@ def connected_components(
 
     Returns (id, label): one row per node appearing in any edge; label =
     the component's minimum node id.
+
+    Small-graph fast path (r17): one bounded ``limit(small_edge_limit + 1)``
+    collect probes the RAW edge list — if it fits, exact min-label
+    union-find runs driver-side (identical output by construction, zero
+    propagation jobs, no symmetrize/distinct shuffle) and LAST_CC_ROUNDS
+    reports 0. If the probe overflows, the iterative path runs unchanged
+    (its upstream shuffle stages are reused from the probe's partial run).
+    ``small_edge_limit=0`` disables the probe — tools/cc_chain_probe.py and
+    the convergence tests use that to measure the iterative path itself.
     """
     global LAST_CC_ROUNDS
     e = pairs.select(F.col(a_col).alias("a"), F.col(b_col).alias("b"))
+    if small_edge_limit:
+        head = e.limit(small_edge_limit + 1).collect()
+        if len(head) <= small_edge_limit:
+            labels = _union_find_min_labels([(r["a"], r["b"]) for r in head])
+            LAST_CC_ROUNDS = 0
+            id_type = e.schema["a"].dataType
+            out_schema = T.StructType(
+                [
+                    T.StructField("id", id_type, True),
+                    T.StructField("label", id_type, True),
+                ]
+            )
+            return pairs.sparkSession.createDataFrame(
+                sorted(labels.items()), out_schema
+            )
     sym = e.union(e.select(F.col("b").alias("a"), F.col("a").alias("b"))).distinct()
     sym = sym.localCheckpoint()
     labels = sym.select(F.col("a").alias("id")).distinct().withColumn(

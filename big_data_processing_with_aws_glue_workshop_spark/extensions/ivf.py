@@ -57,7 +57,7 @@ def train_ivf_index(
     corpus: DataFrame,
     vec_col: str = "embedding",
     id_col: str = "vec_id",
-    nlist: int = 16,
+    nlist: int | None = 16,
     seed: int = 42,
     sample_cap: int = 4096,
     iters: int = 15,
@@ -74,6 +74,14 @@ def train_ivf_index(
     driver CPU only — callers that need just a coarse partition (e.g. the
     exact near-dup pruner, whose recall is guaranteed by the triangle
     inequality regardless of cluster quality) can lower it freely.
+
+    ``nlist=None`` (r17) derives the cell count from the sample the fit
+    already collects — ``derive_nlist(len(sample))`` — instead of making
+    the caller pay a separate COUNT job for the same decision: below the
+    sample cap the sample size IS the exact corpus count, and at/above the
+    cap ``derive_nlist`` is pinned at its cap for every count >= 1024, so
+    the derived value equals ``derive_nlist(true count)`` exactly (holds
+    while the default cap 32 <= isqrt(sample_cap) = 64 — raise-checked).
 
     ``emit_angle`` adds a ``theta`` column — the angle (radians) between
     each member and its cell centroid, computed from the SAME matmul that
@@ -92,6 +100,17 @@ def train_ivf_index(
         # callers choose their empty-result shape instead of hitting an
         # obscure numpy axis error inside Lloyd's.
         return None, None, None
+    if nlist is None:
+        from .similarity import derive_nlist, _DERIVED_NLIST_CAP
+
+        if _DERIVED_NLIST_CAP ** 2 > sample_cap:
+            raise ValueError(
+                "nlist=None requires derive_nlist's cap^2 <= sample_cap "
+                "(otherwise the sample-derived value can differ from the "
+                f"true-count one): cap={_DERIVED_NLIST_CAP}, "
+                f"sample_cap={sample_cap}"
+            )
+        nlist = derive_nlist(len(sample_rows))
     sample = np.array([r["v"] for r in sample_rows], dtype="float64")
     centroids_np = _kmeans_fit(sample, nlist, seed, iters)
     assigned = assign_to_centroids(

@@ -144,12 +144,25 @@ def ann_lsh_topk(
 # threshold - margin are a strict SUPERSET of qualifying pairs.
 _PREFILTER_MARGIN = 1e-6
 
+# r17 (guide §4.2): the block matmul — the FLOP-dominant stage of every
+# clustered similarity path at scale — runs in float32 when the dimension
+# allows, at ~2x float64 throughput on AVX512. Normalization still happens
+# in float64 (norms of huge-magnitude vectors overflow float32), then the
+# unit rows are cast. Error bound for a float32 dot of unit vectors:
+# |err| <= (dim + 2) * 2^-23 * ||a||*||b|| ~ dim * 1.2e-7, so the widened
+# margin 1e-3 is a >60x superset guard up to the dim cap below — past the
+# cap the float64 path (original margin) runs instead. Candidates only
+# grow by the extra margin sliver; the EXACT sequential-fold verify stage
+# downstream remains the arbiter, so emitted values are unchanged.
+_PREFILTER_MARGIN_F32 = 1e-3
+_PREFILTER_F32_DIM_CAP = 4096
+
 
 def _block_pair_indices(left_pdf: pd.DataFrame, right_pdf: pd.DataFrame, threshold: float):
     """Shared Arrow-batch block-scorer core for the clustered similarity
     paths: ONE numpy matmul per cogrouped cell-pair block, returning the
     positional index arrays (ia, ib) of pairs to KEEP — approximate
-    cosine >= threshold - _PREFILTER_MARGIN, plus force-kept degenerate
+    cosine >= threshold - margin, plus force-kept degenerate
     rows. Force-keeps make the prefilter a superset on ARBITRARY data:
     NaN cells (the JVM baseline evaluates NaN >= t as true), zero-norm
     members (engine cosine NULL or NaN depending on the partner), and
@@ -165,9 +178,20 @@ def _block_pair_indices(left_pdf: pd.DataFrame, right_pdf: pd.DataFrame, thresho
     db = (nb == 0.0) | ~np.isfinite(nb)
     na[da] = 1.0
     nb[db] = 1.0
-    cos = (A / na[:, None]) @ (B / nb[:, None]).T
+    if A.shape[1] <= _PREFILTER_F32_DIM_CAP:
+        # float32 matmul over float64-normalized unit rows (see margin note
+        # above): same superset guarantee, ~half the prefilter wall. A unit
+        # row's entries are <= 1 in magnitude, so the cast cannot overflow;
+        # NaN/Inf from degenerate rows survive the cast and are force-kept.
+        cos = (A / na[:, None]).astype("float32") @ (
+            (B / nb[:, None]).astype("float32").T
+        )
+        margin = _PREFILTER_MARGIN_F32
+    else:
+        cos = (A / na[:, None]) @ (B / nb[:, None]).T
+        margin = _PREFILTER_MARGIN
     keep = (
-        (cos >= threshold - _PREFILTER_MARGIN)
+        (cos >= threshold - margin)
         | np.isnan(cos)
         | da[:, None]
         | db[None, :]
@@ -556,7 +580,7 @@ def cosine_similarity_join(
     right_id: str = "right_id",
     left_vec: str = "embedding",
     right_vec: str = "embedding",
-    nlist: int = 16,
+    nlist: int | None = 16,
     seed: int = 42,
 ) -> DataFrame:
     """EXACT two-frame cosine similarity join: every (left, right) pair

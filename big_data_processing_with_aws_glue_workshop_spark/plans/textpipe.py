@@ -214,14 +214,24 @@ def run_text_pipeline(
         stage_walls[stage] = round(now - _lap_t[0], 2)
         _lap_t[0] = now
 
-    docs = tracked_cache(parallelize_scan(load(spark, sf_dir, "documents"), "doc_id"))
-    n_input = docs.count()
+    docs = parallelize_scan(load(spark, sf_dir, "documents"), "doc_id")
+    # r17 (guide §1.2/§5): the input and quality-survivor counts are ONE
+    # narrow aggregate over the scan — the r16 shape cached the ENTIRE raw
+    # corpus just to count it and then count the filter (at 100 TB that
+    # pinned the full text column twice: raw + survivors). Only the
+    # survivors are worth caching; their cache materializes inside stage
+    # 2's first action, so the separate count pass disappears too.
+    counts = docs.agg(
+        F.count(F.lit(1)).alias("n_input"),
+        F.count(F.when(F.length("text") >= min_chars, 1)).alias("n_quality"),
+    ).first()
+    n_input, n_quality = int(counts["n_input"]), int(counts["n_quality"])
     _lap("scan")
 
     # 1. quality: cheap narrow filter first — everything downstream pays
-    # per-row cost, so shed rows before shuffling anything
+    # per-row cost, so shed rows before shuffling anything. Cached (every
+    # later stage reads it); materialized by stage 2's aggregate.
     quality = tracked_cache(docs.filter(F.length("text") >= min_chars))
-    n_quality = quality.count()
     _lap("quality")
 
     # 2. exact dedup on the 16-byte digest, min-id winner

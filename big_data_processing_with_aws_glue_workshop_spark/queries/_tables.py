@@ -74,6 +74,30 @@ def ntz_to_utc_instant(col: F.Column) -> F.Column:
     )
 
 
+# Session-keyed PLAN-METADATA memos (r17 optimization round, guide §1/§6).
+# NOT result caching: every action still computes from the parquet bytes.
+#
+# - _SCHEMA_MEMO: the inferred parquet schema per (applicationId, sf_dir,
+#   table). ``spark.read.parquet`` re-reads footers to infer the schema on
+#   EVERY call (~100 ms of driver latency measured at sf0.1);
+#   ``spark.read.schema(s).parquet`` skips that (~19 ms). The memoized
+#   schema IS the inference result from this same session and path, so the
+#   analyzed plan is identical — the same class of metadata reuse as
+#   Spark's own FileStatusCache / parquet footer cache. Keyed by
+#   applicationId so a fresh session re-infers from the files.
+# - _NPARTS_MEMO: parallelize_scan's scan-split count per (applicationId,
+#   sf_dir, table, defaultParallelism). The ``df.rdd.getNumPartitions()``
+#   probe converts the plan to an RDD (~80-140 ms of driver work) and its
+#   answer is a pure function of (file set, maxPartitionBytes, codec) —
+#   constant for an immutable table within one session.
+#
+# Assumption (holds for the driver contract): testdata tables are immutable
+# for the lifetime of a session. Tools that rewrite tables in place must use
+# a new session (they do — each CLI/probe run builds its own).
+_SCHEMA_MEMO: dict = {}
+_NPARTS_MEMO: dict = {}
+
+
 def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Columnar scan; Catalyst pushes filters/projections into this source.
 
@@ -92,7 +116,13 @@ def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     parity-pinned by tests/test_streaming.py::test_batch_stream_reader_parity.
     """
     ensure_session_confs(spark)
-    df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    key = (spark.sparkContext.applicationId, sf_dir, name)
+    schema = _SCHEMA_MEMO.get(key)
+    if schema is None:
+        df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+        _SCHEMA_MEMO[key] = df.schema
+    else:
+        df = spark.read.schema(schema).parquet(f"{sf_dir}/{name}.parquet")
     if name == "events":
         ts_type = df.schema["ts"].dataType
         if isinstance(ts_type, T.LongType):
@@ -101,6 +131,10 @@ def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
             df = df.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
         elif isinstance(ts_type, T.TimestampNTZType):
             df = df.withColumn("ts", ntz_to_utc_instant(F.col("ts")))
+    # tag for parallelize_scan's split-count memo; a DataFrame is a plain
+    # Python object, so the attribute rides only THIS handle (any transform
+    # between load() and parallelize_scan() drops it -> probe runs live)
+    df._sg_scan_key = key
     return df
 
 
@@ -137,6 +171,19 @@ def parallelize_scan(df: DataFrame, *key_cols: str) -> DataFrame:
     """
     spark = df.sparkSession
     target = spark.sparkContext.defaultParallelism
-    if df.rdd.getNumPartitions() >= target:
+    scan_key = getattr(df, "_sg_scan_key", None)
+    if scan_key is not None:
+        # fresh load() handle: the split count is a constant of the
+        # (immutable) file set and session confs — probe once per table
+        # per session instead of paying the plan->RDD conversion
+        # (~80-140 ms driver latency) on every query build
+        memo_key = scan_key + (target,)
+        nparts = _NPARTS_MEMO.get(memo_key)
+        if nparts is None:
+            nparts = df.rdd.getNumPartitions()
+            _NPARTS_MEMO[memo_key] = nparts
+    else:
+        nparts = df.rdd.getNumPartitions()
+    if nparts >= target:
         return df
     return df.repartition(target, *[F.col(c) for c in key_cols])

@@ -384,13 +384,15 @@ def q_cross_corpus_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     at 20k-200k right rows (docs/SCALE.md r11), with the gap growing as
     the pair count does. ``nlist`` comes from the operator's own
     measured rule (extensions/similarity.py::derive_nlist — isqrt of
-    the fit-side count, CAP 32) from a cheap count of the fit side
-    instead of a pinned constant (r11 verdict "What's wrong #2"); the
+    the fit-side count, CAP 32), since r17 derived from the fit SAMPLE
+    the trainer already collects (no separate count job; provably the
+    same value — see train_ivf_index) rather than a pinned constant
+    (r11 verdict "What's wrong #2"); the
     r13 three-shape ladder replaced the r12 sqrt-to-1024 rule after
     sqrt(n) cells measured 2-10x off the 32-64 optimum at 500k fit rows
     (docs/SCALE.md r13). Exactness never depends on the cell count, so
     the oracle hash is invariant to it."""
-    from ..extensions.similarity import cosine_similarity_join, derive_nlist
+    from ..extensions.similarity import cosine_similarity_join
 
     e = load(spark, sf_dir, "embeddings")
     corpus = e.filter(F.col("vec_id") % _BENCH_MOD != _BENCH_RESIDUE).select(
@@ -399,16 +401,16 @@ def q_cross_corpus_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     bench = e.filter(F.col("vec_id") % _BENCH_MOD == _BENCH_RESIDUE).select(
         F.col("vec_id").alias("bench_id"), "embedding"
     )
-    # one narrow count on the 5% slice (column-pruned parquet scan)
-    n_bench = bench.count()
-    nlist = derive_nlist(n_bench)
+    # nlist=None: derive_nlist runs on the fit SAMPLE the trainer already
+    # collects (r17, guide §1.2 — one fewer full count job per invocation;
+    # provably the same value as counting the slice, see train_ivf_index)
     return cosine_similarity_join(
         corpus,
         bench,
         threshold=CONTAM_THRESHOLD,
         left_id="corpus_id",
         right_id="bench_id",
-        nlist=nlist,
+        nlist=None,
         seed=42,
     )
 

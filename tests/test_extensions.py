@@ -293,6 +293,37 @@ def test_connected_components_multi_hop(spark):
     }
 
 
+def test_connected_components_fast_path_equals_iterative(spark):
+    """The r17 small-graph union-find fast path must return the exact
+    multiset the iterative min-label propagation converges to — same
+    nodes, same min labels, same schema — and the limit-overflow fallback
+    (small_edge_limit below the edge count) must route to the iterative
+    path and still agree."""
+    from big_data_processing_with_aws_glue_workshop_spark.extensions import dedup_fuzzy
+
+    edges = spark.createDataFrame(
+        # two chains, one clique, duplicate + reversed edges (the raw pair
+        # stream is NOT symmetrized or deduped on the fast path)
+        [(4, 5), (3, 4), (2, 3), (1, 2), (10, 11), (11, 12), (12, 10),
+         (2, 1), (4, 5), (20, 21)],
+        "d1 bigint, d2 bigint",
+    )
+    fast = dedup_fuzzy.connected_components(edges)  # default limit: fast path
+    assert dedup_fuzzy.LAST_CC_ROUNDS == 0
+    iterative = dedup_fuzzy.connected_components(edges, small_edge_limit=0)
+    assert dedup_fuzzy.LAST_CC_ROUNDS > 0
+    assert fast.schema == iterative.schema
+    assert sorted(map(tuple, fast.collect())) == sorted(
+        map(tuple, iterative.collect())
+    )
+    # overflow: a limit smaller than the edge count must fall back
+    fallback = dedup_fuzzy.connected_components(edges, small_edge_limit=3)
+    assert dedup_fuzzy.LAST_CC_ROUNDS > 0
+    assert sorted(map(tuple, fallback.collect())) == sorted(
+        map(tuple, iterative.collect())
+    )
+
+
 def test_cc_chain_probe_tool_smoke(spark):
     """The SCALE.md chain-probe tool stays runnable: a depth-4 planted
     chain graph converges in exactly depth+1 rounds with correct labels."""
@@ -304,7 +335,9 @@ def test_cc_chain_probe_tool_smoke(spark):
     from pyspark.sql import functions as F
 
     edges = chain_edges(spark, depth=4, width=16)
-    labels = dedup_fuzzy.connected_components(edges, max_iter=8)
+    # small_edge_limit=0: the probe measures the ITERATIVE path (the
+    # r17 fast path would answer a 64-edge graph driver-side)
+    labels = dedup_fuzzy.connected_components(edges, max_iter=8, small_edge_limit=0)
     assert dedup_fuzzy.LAST_CC_ROUNDS == 5  # diameter + 1 detection round
     wrong = labels.filter(
         F.col("label") != (F.col("id") - F.col("id") % 1_000_000)
@@ -840,6 +873,38 @@ def test_block_pair_indices_superset_fuzz():
             f"round {round_i}: prefilter dropped qualifying pairs {missing} "
             f"(thr={thr}, A={A}, B={B})"
         )
+
+
+def test_block_pair_indices_f32_near_threshold_kept():
+    """r17: the prefilter matmul runs in float32 (dim <= cap) behind a
+    widened margin. Pairs whose EXACT cosine sits within a hair of the
+    threshold — the zone where float32 rounding could flip a borderline
+    comparison — must still be kept: the f32 error bound (~dim * 1.2e-7)
+    is far inside the 1e-3 margin."""
+    import numpy as np
+    import pandas as pd
+
+    from big_data_processing_with_aws_glue_workshop_spark.extensions.similarity import (
+        _PREFILTER_F32_DIM_CAP,
+        _block_pair_indices,
+    )
+
+    dim = 64
+    assert dim <= _PREFILTER_F32_DIM_CAP
+    thr = 0.45
+    rows = []
+    for delta in (0.0, 1e-7, 1e-6, 1e-5, 1e-4):
+        c = thr + delta  # exact cosine just at/above the threshold
+        v = np.zeros(dim)
+        v[0], v[1] = c, np.sqrt(1 - c * c)
+        rows.append(v)
+    anchor = np.zeros(dim)
+    anchor[0] = 1.0
+    la = pd.DataFrame({"embedding": [anchor]})
+    rb = pd.DataFrame({"embedding": [np.array(r) for r in rows]})
+    ia, ib = _block_pair_indices(la, rb, thr)
+    # every near-threshold pair is kept (the exact verify decides later)
+    assert set(ib.tolist()) == set(range(len(rows)))
 
 
 def test_cosine_similarity_join_norm_product_overflow_matches_baseline(spark):

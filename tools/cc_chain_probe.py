@@ -52,7 +52,9 @@ def main() -> None:
     depths = [int(s) for s in sys.argv[1:]] or [8, 16, 32, 64]
     spark = get_session()
     # warm codegen + shuffle machinery so rows measure steady state
-    dedup_fuzzy.connected_components(chain_edges(spark, 2, 64), max_iter=8).count()
+    dedup_fuzzy.connected_components(
+        chain_edges(spark, 2, 64), max_iter=8, small_edge_limit=0
+    ).count()
 
     print("| chain depth | nodes | rounds | wall (s) | s/round | labels correct |")
     print("|---|---|---|---|---|---|")
@@ -60,7 +62,9 @@ def main() -> None:
         edges = chain_edges(spark, depth).localCheckpoint()
         n_nodes = WIDTH * (depth + 1)
         t0 = time.perf_counter()
-        labels = dedup_fuzzy.connected_components(edges, max_iter=depth + 2)
+        labels = dedup_fuzzy.connected_components(
+            edges, max_iter=depth + 2, small_edge_limit=0
+        )
         # correctness: every node's label is its chain's base id
         wrong = labels.filter(
             F.col("label") != (F.col("id") - F.col("id") % 1_000_000)
