@@ -195,7 +195,11 @@ def simhash(
     deliberately md5 rather than xxhash64 so the fingerprints are
     reproducible by any engine with a standard md5 (the DuckDB oracle twin
     computes the identical value); both hash JVM-side / vectorized."""
-    assert n_bits <= 60, "md5-derived hash exposes 60 bits (15 hex chars)"
+    if n_bits > 60:
+        raise ValueError(
+            f"n_bits ({n_bits}) > 60: the md5-derived per-token hash "
+            "exposes 60 bits (15 hex chars)"
+        )
     from ..queries._tables import parallelize_scan
 
     # md5-per-token + 32 conditional sums is the expensive narrow stage;
@@ -241,7 +245,13 @@ def hamming_near_pairs(
     the arithmetic shiftright's sign extension is masked off per block,
     and bit_count(XOR) is the Hamming distance over all 64 two's-
     complement bits."""
-    assert n_blocks > max_hamming, "need more blocks than allowed bit flips"
+    if n_blocks <= max_hamming:
+        # explicit raise, not assert: python -O strips asserts, which
+        # would silently drop the pigeonhole recall guarantee
+        raise ValueError(
+            f"n_blocks ({n_blocks}) must exceed max_hamming ({max_hamming}) "
+            "— the pigeonhole guarantee needs more blocks than bit flips"
+        )
     block_bits = n_bits // n_blocks
     mask = (1 << block_bits) - 1
     blocks = hashed.select(

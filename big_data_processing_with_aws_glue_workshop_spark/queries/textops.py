@@ -659,6 +659,15 @@ def simhash_threshold_sweep(
     if ks[0] < 0 or ks[-1] >= n_bits:
         raise ValueError(f"hammings must lie in [0, {n_bits}), got {ks}")
     blocks = (ks[-1] + 1) if n_blocks is None else int(n_blocks)
+    if blocks <= ks[-1]:
+        # explicit ValueError, not the pair pass's assert (r16-ADVICE
+        # low: python -O strips asserts, silently dropping the pigeonhole
+        # guarantee and undercounting pairs at the swept ks)
+        raise ValueError(
+            f"n_blocks ({blocks}) must exceed max(hammings) ({ks[-1]}) — "
+            "the pigeonhole recall guarantee needs more blocks than "
+            "allowed bit flips"
+        )
     pairs = simhash_near_duplicates(
         docs,
         id_col=id_col,

@@ -190,6 +190,25 @@ class BudgetAdmissionSink:
             # stream id: a recalibration commit in between must not force
             # a version-dir collision with the next stream batch
             version = (pointer["batch_id"] + 1) if pointer is not None else batch_id
+            # pre-commit pointer re-read (r16-ADVICE low, mirroring the
+            # recalibration-side guard): a recalibration that committed
+            # while THIS batch was draining would otherwise be silently
+            # destroyed — the drain writes at the stale version and
+            # commit_snapshot's stale-leftover cleanup removes the
+            # recalibration's newer dir. The target is checkpoint-pinned
+            # to one stream, so ANY mid-batch pointer change is a
+            # forbidden concurrent writer: fail loud, write nothing.
+            now = read_pointer(self.target_dir)
+            if now != pointer:
+                raise RuntimeError(
+                    f"admission state at {self.target_dir!r} changed while "
+                    "this batch was draining (a concurrent writer committed "
+                    f"version {now and now.get('batch_id')} past the "
+                    f"{pointer and pointer.get('batch_id')} this batch "
+                    "read) — recalibration must not run against a target "
+                    "with an in-flight drain; re-run the drain after it "
+                    "settles"
+                )
             commit_snapshot(merged, self.target_dir, version, extra)
         finally:
             inc.unpersist()
@@ -396,11 +415,21 @@ def admission_regret(
         raise ValueError(f"no committed admission state at {target_dir!r}")
     cal = pointer["calibration"]
     src, idc, ntc = cal["source_col"], cal["id_col"], cal["n_tokens_col"]
-    admitted = read_current(spark, target_dir).select(
-        F.col(idc).alias("__id"),
-        F.col(src).alias("__src"),
-        F.col("n_tokens").alias("a_toks"),
-        F.col("score").alias("a_score"),
+    # one row per (id, source) BEFORE the outer join (r16-ADVICE low,
+    # mirroring the recalibrate lookup aggregation): a doc admitted in two
+    # waves has two standing rows, and unaggregated they would fan the
+    # single hindsight row out — inflating hindsight_docs/common_docs/
+    # hindsight_tokens for that cell. F.min keeps the dedup deterministic.
+    admitted = (
+        read_current(spark, target_dir)
+        .select(
+            F.col(idc).alias("__id"),
+            F.col(src).alias("__src"),
+            F.col("n_tokens").alias("a_toks"),
+            F.col("score").alias("a_score"),
+        )
+        .groupBy("__id", "__src")
+        .agg(F.min("a_toks").alias("a_toks"), F.min("a_score").alias("a_score"))
     )
     hindsight = stratified_budget_selection(
         corpus.filter(F.col(ntc).isNotNull() & (F.col(ntc) > 0)),
@@ -644,6 +673,22 @@ class CurriculumAdmissionSink:
                 version = (
                     (pointer["batch_id"] + 1) if pointer is not None else batch_id
                 )
+                # pre-commit pointer re-read (r16-ADVICE low) — see
+                # BudgetAdmissionSink.__call__: a recalibration committed
+                # mid-drain must refuse THIS commit loudly instead of
+                # being silently destroyed by the stale-version write.
+                now = read_pointer(self.target_dir)
+                if now != pointer:
+                    raise RuntimeError(
+                        f"admission state at {self.target_dir!r} changed "
+                        "while this batch was draining (a concurrent "
+                        "writer committed version "
+                        f"{now and now.get('batch_id')} past the "
+                        f"{pointer and pointer.get('batch_id')} this batch "
+                        "read) — recalibration must not run against a "
+                        "target with an in-flight drain; re-run the drain "
+                        "after it settles"
+                    )
                 commit_snapshot(merged, self.target_dir, version, extra)
             finally:
                 inc.unpersist()
@@ -877,12 +922,21 @@ def curriculum_admission_regret(
         )
     phases = [(n, {str(k): int(v) for k, v in b.items()}) for n, b in cal["phases"]]
     src, idc, ntc = cal["source_col"], cal["id_col"], cal["n_tokens_col"]
-    admitted = read_current(spark, target_dir).select(
-        F.col("phase").alias("__phase"),
-        F.col(src).alias("__src"),
-        F.col(idc).alias("__id"),
-        F.col("n_tokens").alias("a_toks"),
-        F.col("score").alias("a_score"),
+    # one row per (phase, source, id) BEFORE the outer join (r16-ADVICE
+    # low, mirroring the recalibrate lookup aggregation): duplicate
+    # standing rows from a doc re-delivered across waves must not fan the
+    # single hindsight row out. F.min keeps the dedup deterministic.
+    admitted = (
+        read_current(spark, target_dir)
+        .select(
+            F.col("phase").alias("__phase"),
+            F.col(src).alias("__src"),
+            F.col(idc).alias("__id"),
+            F.col("n_tokens").alias("a_toks"),
+            F.col("score").alias("a_score"),
+        )
+        .groupBy("__phase", "__src", "__id")
+        .agg(F.min("a_toks").alias("a_toks"), F.min("a_score").alias("a_score"))
     )
     hindsight = curriculum_phase_selection(
         corpus.filter(F.col(ntc).isNotNull() & (F.col(ntc) > 0)),

@@ -1750,6 +1750,122 @@ def test_admission_regret_readout(spark, tmp_path):
         admission_regret(spark, str(tmp_path / "nowhere"), corpus)
 
 
+def test_admission_regret_duplicate_doc_rows_not_fanned(spark, tmp_path):
+    """r16-ADVICE low: a doc admitted in two waves has two standing rows;
+    unaggregated, the full_outer regret join fanned the single hindsight
+    row across them — inflating hindsight_docs/common_docs/
+    hindsight_tokens for that cell. Pinned: the admitted side is
+    aggregated to one row per (id, source) first, so the readout counts
+    the doc once on both sides."""
+    from big_data_processing_with_aws_glue_workshop_spark.streaming.selection import (
+        BudgetAdmissionSink,
+        admission_regret,
+        read_admitted,
+    )
+
+    schema = "doc_id long, source string, score double, n_tokens long"
+    target_dir = str(tmp_path / "admitted")
+    sink = BudgetAdmissionSink(target_dir, {"a": 50}, "score")
+    w = spark.createDataFrame([(1, "a", 9.0, 10)], schema)
+    sink(w, 0)
+    sink(w, 1)  # same doc re-delivered and re-admitted: 2 standing rows
+    assert read_admitted(spark, target_dir).count() == 2
+    rows = {
+        r["source"]: r.asDict()
+        for r in admission_regret(spark, target_dir, w).collect()
+    }
+    a = rows["a"]
+    # one doc, both sides; NOT hindsight_docs == 2 / common_docs == 2
+    assert a["admitted_docs"] == 1 and a["hindsight_docs"] == 1
+    assert a["common_docs"] == 1
+    assert a["admitted_tokens"] == 10 and a["hindsight_tokens"] == 10
+
+
+def test_curriculum_regret_duplicate_doc_rows_not_fanned(spark, tmp_path):
+    """Same pin for the curriculum readout: duplicate standing rows in
+    one (phase, source) cell must not fan the hindsight row out."""
+    from big_data_processing_with_aws_glue_workshop_spark.streaming.selection import (
+        CurriculumAdmissionSink,
+        curriculum_admission_regret,
+        read_admitted,
+    )
+
+    schema = "doc_id long, source string, score double, n_tokens long"
+    target_dir = str(tmp_path / "cadm")
+    sink = CurriculumAdmissionSink(target_dir, [("p1", {"a": 50})], "score")
+    w = spark.createDataFrame([(1, "a", 9.0, 10)], schema)
+    sink(w, 0)
+    sink(w, 1)
+    assert read_admitted(spark, target_dir).count() == 2
+    rows = {
+        (r["phase"], r["source"]): r.asDict()
+        for r in curriculum_admission_regret(spark, target_dir, w).collect()
+    }
+    c = rows[("p1", "a")]
+    assert c["admitted_docs"] == 1 and c["hindsight_docs"] == 1
+    assert c["common_docs"] == 1
+    assert c["admitted_tokens"] == 10 and c["hindsight_tokens"] == 10
+
+
+def test_drain_refuses_mid_batch_recalibration(spark, tmp_path, monkeypatch):
+    """r16-ADVICE low: the drain side of the recalibrate-vs-drain race —
+    a recalibration that commits while a batch is draining must make the
+    DRAIN refuse loudly at its pre-commit pointer re-read (otherwise the
+    drain writes at the stale version and commit_snapshot's stale-leftover
+    cleanup silently destroys the recalibration's newer snapshot)."""
+    import pytest as _pytest
+
+    from big_data_processing_with_aws_glue_workshop_spark.streaming import (
+        selection as sel,
+    )
+
+    schema = "doc_id long, source string, score double, n_tokens long"
+    target_dir = str(tmp_path / "raced")
+    sink = sel.BudgetAdmissionSink(target_dir, {"a": 100}, "score")
+    sink(spark.createDataFrame([(1, "a", 9.0, 10)], schema), 0)
+
+    orig = sel.read_pointer
+    state = {"raced": False}
+
+    def racing_read(path):
+        p = orig(path)
+        if not state["raced"]:
+            # fire exactly once, at the SINK's initial read: a
+            # recalibration commits while this batch is mid-drain
+            state["raced"] = True
+            sel.recalibrate_admission(spark, target_dir, {"a": 100})
+        return p
+
+    monkeypatch.setattr(sel, "read_pointer", racing_read)
+    before = orig(target_dir)
+    with _pytest.raises(RuntimeError, match="changed while"):
+        sink(spark.createDataFrame([(2, "a", 8.0, 10)], schema), 1)
+    # nothing written by the refused drain: the recalibration's commit
+    # is the live pointer, intact
+    monkeypatch.setattr(sel, "read_pointer", orig)
+    after = orig(target_dir)
+    assert after["batch_id"] == before["batch_id"] + 1
+    assert sel.read_admitted(spark, target_dir).count() == 1
+
+
+def test_simhash_sweep_refuses_insufficient_blocks(spark):
+    """r16-ADVICE low: the docstring's 'refuses' promise for an explicit
+    n_blocks <= max(hammings) is an eager ValueError (not the pair
+    pass's assert, which python -O strips)."""
+    import pytest as _pytest
+
+    from big_data_processing_with_aws_glue_workshop_spark.queries.textops import (
+        simhash_threshold_sweep,
+    )
+
+    docs = spark.createDataFrame(
+        [(1, "alpha beta gamma"), (2, "alpha beta gamma")],
+        "doc_id long, text string",
+    )
+    with _pytest.raises(ValueError, match="must exceed max"):
+        simhash_threshold_sweep(docs, [2, 3], n_blocks=3)
+
+
 def test_recalibrate_curriculum_admission(spark, tmp_path, monkeypatch):
     """r16: the curriculum sink's sanctioned migration path, with the
     r15-ADVICE hardening built in from day one. Pinned: phase

@@ -37,7 +37,15 @@ from __future__ import annotations
 
 import argparse
 import json
+import os
 import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+# ONE flat-bound definition (r16-ADVICE low): import bench.py's constant so
+# the two record adjudicators cannot drift if the bound is retuned. Falls
+# back to the stored 'bound' convention only if bench.py is unimportable.
+from bench import _SEGMENT_FLAT_BOUND
 
 
 def load_detail(path: str) -> dict:
@@ -165,7 +173,7 @@ def main(argv: list[str] | None = None) -> int:
             ]
             if len(secs) >= 2:
                 drift = round(max(secs) / min(secs), 4)
-                flat = drift <= 1.3  # bench.py's _SEGMENT_FLAT_BOUND
+                flat = drift <= _SEGMENT_FLAT_BOUND
                 print(
                     f"note: {label} run predates the segments_flat stamp — "
                     f"derived from its segments: drift {drift}x, "
@@ -174,7 +182,8 @@ def main(argv: list[str] | None = None) -> int:
         if flat is False:
             print(
                 f"WARNING: {label} run is NOT record-grade — its segment "
-                f"calibrations drifted {drift}x (> the 1.3x flat bound); "
+                f"calibrations drifted {drift}x (> the "
+                f"{_SEGMENT_FLAT_BOUND}x flat bound); "
                 "totals below are real data but must not be cited as a "
                 "record. Quiet-box rerun first."
             )
