@@ -688,46 +688,60 @@ def cosine_similarity_join(
     _zero = F.col("__n") == 0
     _nonfinite = F.isnan(F.col("__n")) | (F.col("__n") == F.lit(float("inf")))
 
-    def _cell_stats(assigned):
-        """One narrow per-cell collect: conservative radius plus
-        degenerate-row presence flags.
-
-        Radius: a vector with a NaN/Inf component gets a NaN theta from
-        the assignment matmul, which the Arrow pandas transfer surfaces
-        as NULL (pandas NaN is Arrow's null sentinel) — F.max would
-        silently SKIP it, under-reporting the radius and letting the
-        allowlist prune a cell whose NaN cosines the crossJoin baseline
-        MATCHES (Spark evaluates NaN >= t as true). Pin both
-        representations to the worst-case pi (coalesce for the NULL
-        form, nanvl for a genuine NaN). Zero-norm rows are EXCLUDED
-        from the radius (they never ride the main candidate path, and
-        their pinned-pi thetas would widen the allowlist to every cell
-        pair); a cell holding only zero-norm rows reports no radius and
-        drops out of the allowlist entirely."""
-        rows = (
-            assigned.groupBy("cell")
-            .agg(
-                F.max(
-                    F.when(
-                        ~_zero,
-                        F.coalesce(
-                            F.nanvl(F.col("theta"), F.lit(math.pi)), F.lit(math.pi)
-                        ),
-                    )
-                ).alias("radius"),
-                F.max(_zero.cast("int")).alias("has_zero"),
-                F.max(_nonfinite.cast("int")).alias("has_nonfinite"),
-            )
-            .collect()
+    # ONE fused per-(side, cell) collect for BOTH sides (r17, guide §1.2:
+    # two separate collects paid two job launches and materialized the two
+    # assignment caches in two actions; the union materializes both in one
+    # — identical per-cell arithmetic, so the allowlist is unchanged).
+    #
+    # Radius: a vector with a NaN/Inf component gets a NaN theta from
+    # the assignment matmul, which the Arrow pandas transfer surfaces
+    # as NULL (pandas NaN is Arrow's null sentinel) — F.max would
+    # silently SKIP it, under-reporting the radius and letting the
+    # allowlist prune a cell whose NaN cosines the crossJoin baseline
+    # MATCHES (Spark evaluates NaN >= t as true). Pin both
+    # representations to the worst-case pi (coalesce for the NULL
+    # form, nanvl for a genuine NaN). Zero-norm rows are EXCLUDED
+    # from the radius (they never ride the main candidate path, and
+    # their pinned-pi thetas would widen the allowlist to every cell
+    # pair); a cell holding only zero-norm rows reports no radius and
+    # drops out of the allowlist entirely.
+    _stat_cols = [
+        "cell",
+        F.col("__n").alias("__n"),
+        F.col("theta").alias("theta"),
+    ]
+    tagged = l_all.select(F.lit(0).alias("__side"), *_stat_cols).unionByName(
+        r_all.select(F.lit(1).alias("__side"), *_stat_cols)
+    )
+    stat_rows = (
+        tagged.groupBy("__side", "cell")
+        .agg(
+            F.max(
+                F.when(
+                    ~_zero,
+                    F.coalesce(
+                        F.nanvl(F.col("theta"), F.lit(math.pi)), F.lit(math.pi)
+                    ),
+                )
+            ).alias("radius"),
+            F.max(_zero.cast("int")).alias("has_zero"),
+            F.max(_nonfinite.cast("int")).alias("has_nonfinite"),
         )
+        .collect()
+    )
+
+    def _side_stats(side: int):
+        rows = [r for r in stat_rows if r["__side"] == side]
         radii = {r["cell"]: r["radius"] for r in rows if r["radius"] is not None}
-        has_zero = any(r["has_zero"] for r in rows)
-        has_nonfinite = any(r["has_nonfinite"] for r in rows)
-        return radii, has_zero, has_nonfinite
+        return (
+            radii,
+            any(r["has_zero"] for r in rows),
+            any(r["has_nonfinite"] for r in rows),
+        )
 
     cents = [[float(x) for x in c] for c in cmat]
-    l_radii, l_has_zero, l_has_nonfinite = _cell_stats(l_all)
-    r_radii, r_has_zero, r_has_nonfinite = _cell_stats(r_all)
+    l_radii, l_has_zero, l_has_nonfinite = _side_stats(0)
+    r_radii, r_has_zero, r_has_nonfinite = _side_stats(1)
     allowed = allowed_cell_pairs(cents, l_radii, r_radii, threshold)
 
     def _lsel(frame):
