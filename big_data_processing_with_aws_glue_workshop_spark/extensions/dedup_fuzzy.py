@@ -52,14 +52,22 @@ def minhash_signatures(
     """
     sh = shingle_frame(df, id_col, text_col, shingle_n)
     base = sh.withColumn("h", F.xxhash64("shingle"))
-    mins = [
-        F.min(F.xxhash64(F.col("h"), F.lit(seed), F.lit(i))).alias(f"m{i}")
-        for i in range(n_hashes)
-    ]
-    agg = base.groupBy("doc_id").agg(*mins)
-    return agg.select(
-        "doc_id", F.array(*[f"m{i}" for i in range(n_hashes)]).alias("signature")
+    # ONE parsed expression instead of n_hashes Column trees (r18, guide
+    # §1.2 — driver work per query build): constructing 64 alias(min(
+    # xxhash64(...))) Columns cost ~0.3 s of py4j round-trips PER
+    # invocation; a single SQL string parses JVM-side in ~ms. The
+    # expressions are identical — integer literals parse to the same INT
+    # type F.lit() produces (xxhash64 is type-sensitive, so this is
+    # load-bearing), and the optimizer collapsed the old select-into-agg
+    # projection to exactly this shape anyway.
+    sig = F.expr(
+        "array("
+        + ",".join(
+            f"min(xxhash64(h, {int(seed)}, {i}))" for i in range(n_hashes)
+        )
+        + ") AS signature"
     )
+    return base.groupBy("doc_id").agg(sig)
 
 
 def lsh_candidate_pairs(
@@ -84,24 +92,22 @@ def lsh_candidate_pairs(
             f"bands({bands}) x rows_per_band({rows_per_band}) exceeds the "
             f"signature length {n_hashes} — banding would read past the array"
         )
+    # ONE parsed expression instead of bands x rows_per_band Column trees
+    # (r18, guide §1.2 — same py4j-chatter cut as minhash_signatures;
+    # element_at keeps the identical 1-based indexing and INT literal
+    # types, so the banded buckets are bit-identical)
+    _structs = ",".join(
+        "struct({b} AS band, xxhash64({els}) AS bucket)".format(
+            b=b,
+            els=",".join(
+                f"element_at(signature, {b * rows_per_band + r + 1})"
+                for r in range(rows_per_band)
+            ),
+        )
+        for b in range(bands)
+    )
     banded = signatures.select(
-        "doc_id",
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(b).alias("band"),
-                        F.xxhash64(
-                            *[
-                                F.element_at("signature", b * rows_per_band + r + 1)
-                                for r in range(rows_per_band)
-                            ]
-                        ).alias("bucket"),
-                    )
-                    for b in range(bands)
-                ]
-            )
-        ).alias("bb"),
+        "doc_id", F.expr(f"explode(array({_structs})) AS bb")
     ).select("doc_id", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket"))
 
     left = banded.select(F.col("doc_id").alias("d1"), "band", "bucket")
@@ -211,21 +217,25 @@ def simhash(
     ).withColumn(
         "h", F.conv(F.substring(F.md5("token"), 1, 15), 16, 10).cast("bigint")
     )
+    # ONE parsed expression per stage instead of n_bits Column trees (r18,
+    # guide §1.2 — the py4j-chatter cut shared with minhash_signatures).
+    # Semantics are identical operand for operand: the same shiftright/
+    # bitwiseAND/when majority sums and the same left-associative addition
+    # chain of shifted bigint bits.
     bit_sums = [
-        F.sum(
-            F.when(F.shiftright(F.col("h"), b).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
-        ).alias(f"b{b}")
+        F.expr(
+            f"sum(CASE WHEN (shiftright(h, {b}) & 1) = 1 THEN 1 ELSE -1 END) "
+            f"AS b{b}"
+        )
         for b in range(n_bits)
     ]
     agg = tokens.groupBy("doc_id").agg(*bit_sums)
-    packed = None
-    for b in range(n_bits):
-        bit = F.when(F.col(f"b{b}") > 0, F.lit(1).cast("bigint")).otherwise(
-            F.lit(0).cast("bigint")
-        )
-        term = F.shiftleft(bit, b)
-        packed = term if packed is None else packed + term
-    return agg.select("doc_id", packed.alias("simhash"))
+    packed = " + ".join(
+        f"shiftleft(CASE WHEN b{b} > 0 THEN CAST(1 AS BIGINT) "
+        f"ELSE CAST(0 AS BIGINT) END, {b})"
+        for b in range(n_bits)
+    )
+    return agg.select("doc_id", F.expr(f"({packed}) AS simhash"))
 
 
 def hamming_near_pairs(
@@ -397,16 +407,28 @@ def connected_components(
     collect probes the RAW edge list — if it fits, exact min-label
     union-find runs driver-side (identical output by construction, zero
     propagation jobs, no symmetrize/distinct shuffle) and LAST_CC_ROUNDS
-    reports 0. If the probe overflows, the iterative path runs unchanged
-    (its upstream shuffle stages are reused from the probe's partial run).
+    reports 0. The edge list is persisted BEFORE the probe (r17 ADVICE:
+    Spark does not reuse shuffle map outputs across separate actions, so
+    an unpersisted overflow path would pay the upstream edge pipeline
+    twice — once discarded by the probe, once for the symmetrize); the
+    pin is released as soon as the fast path answers or the symmetrize
+    checkpoint materializes. If the probe overflows — or the endpoint
+    dtypes differ, or a probed endpoint is NULL (cases where the
+    driver-side solver and the iterative union-coerce/NULL-row semantics
+    could diverge, r17 ADVICE) — the iterative path runs unchanged.
     ``small_edge_limit=0`` disables the probe — tools/cc_chain_probe.py and
     the convergence tests use that to measure the iterative path itself.
     """
     global LAST_CC_ROUNDS
     e = pairs.select(F.col(a_col).alias("a"), F.col(b_col).alias("b"))
-    if small_edge_limit:
+    pinned = False
+    if small_edge_limit and e.schema["a"].dataType == e.schema["b"].dataType:
+        e = e.persist()
+        pinned = True
         head = e.limit(small_edge_limit + 1).collect()
-        if len(head) <= small_edge_limit:
+        if len(head) <= small_edge_limit and all(
+            r["a"] is not None and r["b"] is not None for r in head
+        ):
             labels = _union_find_min_labels([(r["a"], r["b"]) for r in head])
             LAST_CC_ROUNDS = 0
             id_type = e.schema["a"].dataType
@@ -416,11 +438,17 @@ def connected_components(
                     T.StructField("label", id_type, True),
                 ]
             )
+            e.unpersist()
             return pairs.sparkSession.createDataFrame(
                 sorted(labels.items()), out_schema
             )
     sym = e.union(e.select(F.col("b").alias("a"), F.col("a").alias("b"))).distinct()
     sym = sym.localCheckpoint()
+    if pinned:
+        # the (eager) checkpoint above materialized the symmetrized edge
+        # list from the cached partitions — the probe's partial run was
+        # reused, and the pin is no longer needed
+        e.unpersist()
     labels = sym.select(F.col("a").alias("id")).distinct().withColumn(
         "label", F.col("id")
     )

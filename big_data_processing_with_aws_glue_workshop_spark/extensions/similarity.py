@@ -149,13 +149,25 @@ _PREFILTER_MARGIN = 1e-6
 # allows, at ~2x float64 throughput on AVX512. Normalization still happens
 # in float64 (norms of huge-magnitude vectors overflow float32), then the
 # unit rows are cast. Error bound for a float32 dot of unit vectors:
-# |err| <= (dim + 2) * 2^-23 * ||a||*||b|| ~ dim * 1.2e-7, so the widened
-# margin 1e-3 is a >60x superset guard up to the dim cap below — past the
-# cap the float64 path (original margin) runs instead. Candidates only
-# grow by the extra margin sliver; the EXACT sequential-fold verify stage
-# downstream remains the arbiter, so emitted values are unchanged.
+# |err| <= (dim + 2) * 2^-23 * ||a||*||b|| ~ dim * 1.2e-7. The headroom of
+# the widened 1e-3 margin is dim-dependent: ~130x at dim 64, but only
+# ~2x AT THE DIM CAP below (4096 * 1.2e-7 ~ 4.9e-4) — anyone raising
+# _PREFILTER_F32_DIM_CAP must widen _PREFILTER_MARGIN_F32 in proportion
+# (the raise-check below enforces the 2x floor so the superset guarantee
+# cannot silently erode; past the cap the float64 path with the original
+# margin runs instead). Candidates only grow by the extra margin sliver;
+# the EXACT sequential-fold verify stage downstream remains the arbiter,
+# so emitted values are unchanged.
 _PREFILTER_MARGIN_F32 = 1e-3
 _PREFILTER_F32_DIM_CAP = 4096
+# static tie between the cap and the margin (r17 ADVICE low): the f32
+# error bound at the cap must leave >= 2x headroom under the margin
+if not _PREFILTER_F32_DIM_CAP * 1.2e-7 * 2 <= _PREFILTER_MARGIN_F32:
+    raise AssertionError(
+        "_PREFILTER_F32_DIM_CAP raised without widening "
+        "_PREFILTER_MARGIN_F32: the float32 superset guarantee needs "
+        "margin >= 2 * cap * 1.2e-7"
+    )
 
 
 def _block_pair_indices(left_pdf: pd.DataFrame, right_pdf: pd.DataFrame, threshold: float):

@@ -215,17 +215,6 @@ def run_text_pipeline(
         _lap_t[0] = now
 
     docs = parallelize_scan(load(spark, sf_dir, "documents"), "doc_id")
-    # r17 (guide §1.2/§5): the input and quality-survivor counts are ONE
-    # narrow aggregate over the scan — the r16 shape cached the ENTIRE raw
-    # corpus just to count it and then count the filter (at 100 TB that
-    # pinned the full text column twice: raw + survivors). Only the
-    # survivors are worth caching; their cache materializes inside stage
-    # 2's first action, so the separate count pass disappears too.
-    counts = docs.agg(
-        F.count(F.lit(1)).alias("n_input"),
-        F.count(F.when(F.length("text") >= min_chars, 1)).alias("n_quality"),
-    ).first()
-    n_input, n_quality = int(counts["n_input"]), int(counts["n_quality"])
     _lap("scan")
 
     # 1. quality: cheap narrow filter first — everything downstream pays
@@ -241,7 +230,30 @@ def run_text_pipeline(
         .select("doc_id")
     )
     exact = tracked_cache(quality.join(keep_exact, "doc_id", "left_semi"))
-    n_exact = exact.count()
+    # r17 fused the input/quality counts into one narrow aggregate (no raw
+    # cache); r18 (guide §1.2) fuses that aggregate with stage 2's count
+    # into ONE action — a tagged union of two one-row aggregates — so the
+    # scan counts, the quality cache, and the exact cache all materialize
+    # in a single job launch instead of two. Counts are bit-identical:
+    # same predicates, same frames, only the action boundary moved.
+    # (scan/quality stage walls now record plan-build time only; the fused
+    # wall lands in exact_dedup.)
+    _hdr = {
+        int(r["k"]): r
+        for r in docs.agg(
+            F.count(F.lit(1)).alias("a"),
+            F.count(F.when(F.length("text") >= min_chars, 1)).alias("b"),
+        )
+        .select(F.lit(0).alias("k"), "a", "b")
+        .unionByName(
+            exact.agg(F.count(F.lit(1)).alias("a")).select(
+                F.lit(1).alias("k"), "a", F.lit(None).cast("bigint").alias("b")
+            )
+        )
+        .collect()
+    }
+    n_input, n_quality = int(_hdr[0]["a"]), int(_hdr[0]["b"])
+    n_exact = int(_hdr[1]["a"])
     _lap("exact_dedup")
 
     # 3. near-dup: LSH pairs -> CC -> drop non-canonical members
@@ -253,7 +265,30 @@ def run_text_pipeline(
         F.col("id").alias("doc_id")
     )
     neardup = tracked_cache(exact.join(losers, "doc_id", "left_anti"))
-    n_neardup = neardup.count()
+    if passage_decontam:
+        n_neardup = neardup.count()
+        eval_shingle_bound = None
+    else:
+        # r18 (guide §1.2): the near-dedup survivor count and stage 4's
+        # eval-shingle upper bound are BOTH narrow aggregates over the
+        # cached survivor frame — fuse them into one action (the bound is
+        # the same greatest(n_tokens-(N-1), 0) sum as before, expressed as
+        # a conditional sum over the eval slice, so its value is
+        # unchanged; the count is strategy-independent).
+        _n_tok = F.size(_tokens(F.col("text")))
+        _nd = neardup.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.coalesce(
+                F.sum(
+                    F.when(
+                        (F.col("doc_id") % _EVAL_MOD) == 0,
+                        F.greatest(_n_tok - (_CONTAM_N - 1), F.lit(0)),
+                    )
+                ),
+                F.lit(0),
+            ).alias("b"),
+        ).first()
+        n_neardup, eval_shingle_bound = int(_nd["n"]), int(_nd["b"])
     _lap("near_dedup")
 
     # 4. decontamination: drop the eval slice itself and any training doc
@@ -312,24 +347,17 @@ def run_text_pipeline(
         eval_sh = sh.filter((F.col("doc_id") % _EVAL_MOD) == 0).select("shingle")
         train_sh = sh.filter((F.col("doc_id") % _EVAL_MOD) != 0)
         # the planner's probe-0 bound: per-doc shingle instances are at
-        # most max(n_tokens - (N-1), 0), so ONE narrow aggregate over the
-        # CACHED survivor frame (no explode, no shuffle — ~the eval
-        # slice's token counts) bounds the eval shingle set. When even
-        # the bound fits the broadcast threshold the planner never has to
-        # evaluate the eval side; a giant eval suite falls through to the
-        # measured ladder.
-        n_tok = F.size(_tokens(F.col("text")))
-        bound = (
-            neardup.filter((F.col("doc_id") % _EVAL_MOD) == 0)
-            .agg(
-                F.coalesce(
-                    F.sum(F.greatest(n_tok - (_CONTAM_N - 1), F.lit(0))), F.lit(0)
-                ).alias("b")
-            )
-            .first()["b"]
-        )
+        # most max(n_tokens - (N-1), 0), so the narrow aggregate fused
+        # into stage 3's survivor count above (no explode, no shuffle —
+        # ~the eval slice's token counts) bounds the eval shingle set.
+        # When even the bound fits the broadcast threshold the planner
+        # never has to evaluate the eval side; a giant eval suite falls
+        # through to the measured ladder.
         decontam_decision = plan_equi_join(
-            train_sh, eval_sh, ["shingle"], right_rows_upper_bound=int(bound)
+            train_sh,
+            eval_sh,
+            ["shingle"],
+            right_rows_upper_bound=int(eval_shingle_bound),
         )
         contaminated = (
             adaptive_join(
@@ -343,7 +371,11 @@ def run_text_pipeline(
                 contaminated, "doc_id", "left_anti"
             )
         )
-        n_clean = clean.count()
+        # n_clean is deferred: the default selection mode's per-source
+        # totals collect (below) materializes the clean cache and counts
+        # it in the SAME action (r18, guide §1.2); every other mode
+        # counts it at selection start exactly as before.
+        n_clean = None
 
     _lap("decontamination")
 
@@ -353,11 +385,24 @@ def run_text_pipeline(
     with_tok = _with_tokens(clean)
     dsir_stats = None
     quality_stats = None
+    # every non-default selection mode counts the decontamination
+    # survivors here, exactly as stage 4 used to (the default mode's
+    # per-source totals collect below subsumes it — r18 fusion)
+    if n_clean is None and (
+        dsir_budget_tokens is not None
+        or mixture_by_quality
+        or stratified_budgets is not None
+        or dsir_stratified_budgets is not None
+        or curriculum_phases is not None
+    ):
+        n_clean = clean.count()
 
     def _apply_selection(sel):
         """Shared tail of every per-source selection branch (r15 review
-        finding: it lived four times): per-source selected masses, the
-        semi-join back to the survivor frame, and its count."""
+        finding: it lived four times): per-source selected masses and the
+        semi-join back to the survivor frame. The selected-row count is
+        NOT a separate action anymore — stage 6's packing aggregate
+        counts the rows it packs (r18, guide §1.2)."""
         sel = tracked_cache(sel)
         masses = {
             r["source"]: int(r["m"])
@@ -368,7 +413,7 @@ def run_text_pipeline(
         picked = tracked_cache(
             with_tok.join(sel.select("doc_id"), "doc_id", "left_semi")
         )
-        return picked, picked.count(), masses
+        return picked, masses
 
     if dsir_budget_tokens is not None:
         from ..queries.textops import dsir_select_budget
@@ -388,7 +433,6 @@ def run_text_pipeline(
         mixed = tracked_cache(
             with_tok.join(sel.select("doc_id"), "doc_id", "left_semi")
         )
-        n_mixed = mixed.count()
         dsir_stats = {
             "dsir_selected_tokens": sel_mass,
             "dsir_budget_tokens": int(dsir_budget_tokens),
@@ -418,7 +462,7 @@ def run_text_pipeline(
         target_mass = min(totals.values()) if totals else 0
         budgets = {s: target_mass for s in totals}
         scored = with_tok.withColumn("__q", lexical_diversity(F.col("text")))
-        mixed, n_mixed, sel_masses = _apply_selection(
+        mixed, sel_masses = _apply_selection(
             stratified_budget_selection(scored, budgets, "__q")
         )
         quality_stats = {
@@ -435,7 +479,7 @@ def run_text_pipeline(
         from ..queries.textops import stratified_budget_selection
 
         scored = with_tok.withColumn("__q", lexical_diversity(F.col("text")))
-        mixed, n_mixed, sel_masses = _apply_selection(
+        mixed, sel_masses = _apply_selection(
             stratified_budget_selection(scored, stratified_budgets, "__q")
         )
         quality_stats = {
@@ -450,7 +494,7 @@ def run_text_pipeline(
         # per-source level-batched cuts (dsir_select_budget_stratified).
         from ..queries.textops import dsir_select_budget_stratified
 
-        mixed, n_mixed, sel_masses = _apply_selection(
+        mixed, sel_masses = _apply_selection(
             dsir_select_budget_stratified(
                 with_tok,
                 dsir_target,
@@ -486,7 +530,6 @@ def run_text_pipeline(
         mixed = tracked_cache(
             with_tok.join(sel.select("doc_id", "phase"), "doc_id")
         )
-        n_mixed = mixed.count()
         quality_stats = {
             "curriculum_phases_spec": [
                 {
@@ -498,25 +541,44 @@ def run_text_pipeline(
             "curriculum_selected_tokens": dict(sorted(phase_masses.items())),
         }
     else:
-        totals = with_tok.groupBy("source").agg(
-            F.sum("n_tokens").alias("total_tokens")
+        # r18 (guide §1.2/§2.4): ONE per-source aggregate-collect replaces
+        # the in-plan totals -> min -> rates broadcast-join chain AND the
+        # separate stage-4 clean count: n_clean = Σ per-source row counts,
+        # target = min total, and the keep predicate becomes a literal
+        # per-source disjunction. Arithmetic is unchanged step for step —
+        # rate = double(min)/double(total) (one IEEE division), compared
+        # against the same md5-derived h as double, with the old inner
+        # join's NULL-source drop reproduced by the equality chain — so
+        # the selected row set is identical; the mixed plan loses a second
+        # read of the clean cache, a crossJoin and two broadcast
+        # exchanges, and stage 5 runs one action instead of two.
+        src_rows = (
+            with_tok.groupBy("source")
+            .agg(F.sum("n_tokens").alias("t"), F.count(F.lit(1)).alias("c"))
+            .collect()
         )
-        target = totals.agg(F.min("total_tokens").cast("double").alias("target"))
-        rates = totals.crossJoin(F.broadcast(target)).select(
-            "source", (F.col("target") / F.col("total_tokens")).alias("rate")
-        )
+        n_clean = sum(int(r["c"]) for r in src_rows)
+        totals = [int(r["t"]) for r in src_rows if r["t"] is not None]
+        target = float(min(totals)) if totals else None
+        keep = F.lit(False)
+        for r in src_rows:
+            if r["source"] is None or r["t"] is None or target is None:
+                # the old inner join on source dropped NULL-source rows;
+                # a NULL total made the rate NULL (rows dropped)
+                continue
+            rate_x = (target / float(int(r["t"]))) * 1000000.0
+            keep = keep | (
+                (F.col("source") == F.lit(r["source"]))
+                & (F.col("h").cast("double") < F.lit(rate_x))
+            )
         h = (
             F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 15), 16, 10)
             .cast("bigint")
             % 1000000
         )
         mixed = tracked_cache(
-            with_tok.withColumn("h", h)
-            .join(F.broadcast(rates), "source")
-            .filter(F.col("h").cast("double") < F.col("rate") * 1000000.0)
-            .drop("h", "rate")
+            with_tok.withColumn("h", h).filter(keep).drop("h")
         )
-        n_mixed = mixed.count()
 
     _lap("selection")
 
@@ -535,7 +597,18 @@ def run_text_pipeline(
     packed = mixed.withColumn(
         "seq_id", F.floor(offset.cast("double") / budget).cast("bigint")
     )
-    n_sequences = packed.select(*pack_keys, "seq_id").distinct().count()
+    # r18 (guide §1.2): the packed-sequence count and the selected-row
+    # count ride ONE aggregate over the packing window's output — the
+    # per-(keys, seq_id) group count sums back to exactly the mixed row
+    # count (packing is row-preserving) and the group count IS the old
+    # select(...).distinct().count(); the separate n_mixed action is gone
+    # and the mixed cache materializes inside this same job.
+    _pk = packed.groupBy(*pack_keys, "seq_id").agg(F.count(F.lit(1)).alias("__c"))
+    _pr = _pk.agg(
+        F.coalesce(F.sum("__c"), F.lit(0)).alias("rows"),
+        F.count(F.lit(1)).alias("seqs"),
+    ).first()
+    n_mixed, n_sequences = int(_pr["rows"]), int(_pr["seqs"])
     _lap("packing")
 
     summary = {

@@ -178,12 +178,25 @@ def parallelize_scan(df: DataFrame, *key_cols: str) -> DataFrame:
         # per session instead of paying the plan->RDD conversion
         # (~80-140 ms driver latency) on every query build
         memo_key = scan_key + (target,)
-        nparts = _NPARTS_MEMO.get(memo_key)
-        if nparts is None:
-            nparts = df.rdd.getNumPartitions()
-            _NPARTS_MEMO[memo_key] = nparts
     else:
+        # non-load frame (cached filter, semi-join input, ...): the probe's
+        # answer is a pure function of the LOGICAL plan within one session
+        # (immutable tables, fixed confs), so key the memo on the analyzed
+        # plan's semantic hash — ~1 ms vs the 1.5-5 s plan->RDD conversion
+        # the probe costs on a composed plan (measured r18: the pipeline's
+        # verify-side shingle probe alone was 1.5 s of driver time PER
+        # invocation). A 32-bit hash collision can only mis-answer the
+        # repartition DECISION (performance, never results).
+        memo_key = (
+            spark.sparkContext.applicationId,
+            "__semhash__",
+            df._jdf.queryExecution().analyzed().semanticHash(),
+            target,
+        )
+    nparts = _NPARTS_MEMO.get(memo_key)
+    if nparts is None:
         nparts = df.rdd.getNumPartitions()
+        _NPARTS_MEMO[memo_key] = nparts
     if nparts >= target:
         return df
     return df.repartition(target, *[F.col(c) for c in key_cols])

@@ -420,6 +420,13 @@ def admission_regret(
     # waves has two standing rows, and unaggregated they would fan the
     # single hindsight row out — inflating hindsight_docs/common_docs/
     # hindsight_tokens for that cell. F.min keeps the dedup deterministic.
+    # Stated contract (r17 ADVICE low): the sink's committed 'spent'
+    # counters deliberately count RE-DELIVERIES (each admitted wave row
+    # debits the budget — the at-least-once stream's conservative
+    # accounting), while this readout is doc-deduplicated, so
+    # admitted_tokens here can be LOWER than the spent counters when the
+    # same doc was re-admitted across waves. That gap measures duplicate
+    # deliveries, not lost tokens.
     admitted = (
         read_current(spark, target_dir)
         .select(
@@ -926,6 +933,9 @@ def curriculum_admission_regret(
     # low, mirroring the recalibrate lookup aggregation): duplicate
     # standing rows from a doc re-delivered across waves must not fan the
     # single hindsight row out. F.min keeps the dedup deterministic.
+    # Same stated contract as admission_regret (r17 ADVICE low): 'spent'
+    # counters count re-deliveries; this readout is doc-deduplicated, so
+    # the gap between them measures duplicate deliveries.
     admitted = (
         read_current(spark, target_dir)
         .select(

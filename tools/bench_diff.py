@@ -44,8 +44,12 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 # ONE flat-bound definition (r16-ADVICE low): import bench.py's constant so
 # the two record adjudicators cannot drift if the bound is retuned. Falls
-# back to the stored 'bound' convention only if bench.py is unimportable.
-from bench import _SEGMENT_FLAT_BOUND
+# back to the documented 1.3 bound only if bench.py is unimportable (r17
+# ADVICE: the claim used to be a comment over an unconditional import).
+try:
+    from bench import _SEGMENT_FLAT_BOUND
+except ImportError:
+    _SEGMENT_FLAT_BOUND = 1.3
 
 
 def load_detail(path: str) -> dict:
