@@ -163,27 +163,48 @@ def minhash_near_duplicates(
             shingle_n,
         )
     )
-    counts = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
-    a = sh.select(F.col("doc_id").alias("d1"), "shingle")
-    b = sh.select(F.col("doc_id").alias("d2"), "shingle")
-    inter = (
-        cands.join(a, "d1")
-        .join(b, ["d2", "shingle"])
-        .groupBy("d1", "d2")
-        .agg(F.count(F.lit(1)).alias("n_inter"))
-    )
+    # r18 verify restructure (guide §2.3/§2.4): per-doc shingle SETS are
+    # folded into one sorted array per candidate doc, and |A ∩ B| / |A| /
+    # |B| all come from array algebra on the joined pair row. The r17
+    # shape exploded candidate shingles into a (d2, shingle)-keyed join —
+    # one exchange keyed on the shingle (a hot-shingle skew unit), a
+    # pair-keyed aggregation exchange, and two count joins. This shape
+    # keys every move by the unique doc id: the set aggregate reuses the
+    # shingle frame's doc_id distribution, the d1 join broadcasts the
+    # candidate pairs, and only the (pair, d1-array) rows cross the one
+    # remaining d2 exchange — array bytes are replicated per pair a doc
+    # appears in, which is candidate-mass-bounded by the dedup premise.
+    # Values are identical: word_shingles emits DISTINCT shingles per
+    # doc, so size(array_intersect) IS the old matched-row count and
+    # size(arr) the old per-doc count; the n_inter > 0 conjunct
+    # reproduces the old inner-join-on-shingle behavior (pairs sharing
+    # no shingle never surfaced) for every threshold including 0.
+    # collect_set order is partition-dependent, but every consumer below
+    # is order-insensitive (sizes and set intersection), so no sort
+    arrs = sh.groupBy("doc_id").agg(F.collect_set("shingle").alias("ss"))
+    a = arrs.select(F.col("doc_id").alias("d1"), F.col("ss").alias("ss1"))
+    b = arrs.select(F.col("doc_id").alias("d2"), F.col("ss").alias("ss2"))
     return (
-        inter.join(counts.select(F.col("doc_id").alias("d1"), F.col("n_sh").alias("n1")), "d1")
-        .join(counts.select(F.col("doc_id").alias("d2"), F.col("n_sh").alias("n2")), "d2")
+        cands.join(a, "d1")
+        .join(b, "d2")
         .select(
             "d1",
             "d2",
+            F.size(F.array_intersect("ss1", "ss2")).alias("n_inter"),
+            F.size("ss1").alias("n1"),
+            F.size("ss2").alias("n2"),
+        )
+        .select(
+            "d1",
+            "d2",
+            "n_inter",
             (
                 F.col("n_inter").cast("double")
                 / (F.col("n1") + F.col("n2") - F.col("n_inter"))
             ).alias("jaccard"),
         )
-        .filter(F.col("jaccard") >= threshold)
+        .filter((F.col("n_inter") > 0) & (F.col("jaccard") >= threshold))
+        .drop("n_inter")
     )
 
 

@@ -64,8 +64,19 @@ def pagerank_integer(
             "edgeless co-purchase graph)"
         )
     base = scale // n_nodes
-    edges_deg = adj.select(
-        "src", F.size("dsts").alias("outdeg"), F.explode("dsts").alias("dst")
+    # r18 (guide §2.4): the exploded edge list is ROUND-INVARIANT, yet the
+    # old plan re-exploded and re-exchanged it on the join key every
+    # round. Explode once, hash-partition on src once, persist — each
+    # round's join then reuses the cached partitioning (only the
+    # vertex-sized rank frame moves), the standard shuffle-once iterate
+    # shape for distributed PageRank. Plan-keyed and released by the
+    # entry points' cache hygiene like every other operator persist.
+    from ..util import tracked_cache
+
+    edges_deg = tracked_cache(
+        adj.select(
+            "src", F.size("dsts").alias("outdeg"), F.explode("dsts").alias("dst")
+        ).repartition("src")
     )
     ranks = adj.select(F.col("src").alias("node"), F.lit(base).alias("pr"))
     for i in range(n_iter):
@@ -129,8 +140,13 @@ def personalized_pagerank(
         raise ValueError("seed set is empty — personalized PageRank needs seeds")
     seed_base = scale // n_seeds
     reset = seed_nodes.select("node", F.lit(15 * seed_base).alias("reset"))
-    edges_deg = adj.select(
-        "src", F.size("dsts").alias("outdeg"), F.explode("dsts").alias("dst")
+    # round-invariant edge list: explode + partition on the join key once
+    # (r18, guide §2.4 — the same shuffle-once iterate shape as
+    # pagerank_integer; only the frontier-sized rank frame moves per round)
+    edges_deg = tracked_cache(
+        adj.select(
+            "src", F.size("dsts").alias("outdeg"), F.explode("dsts").alias("dst")
+        ).repartition("src")
     )
     ranks = seed_nodes.select("node", F.lit(seed_base).alias("pr"))
     for i in range(n_iter):
