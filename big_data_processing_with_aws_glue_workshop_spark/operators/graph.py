@@ -64,19 +64,19 @@ def pagerank_integer(
             "edgeless co-purchase graph)"
         )
     base = scale // n_nodes
-    # r18 (guide §2.4): the exploded edge list is ROUND-INVARIANT, yet the
-    # old plan re-exploded and re-exchanged it on the join key every
-    # round. Explode once, hash-partition on src once, persist — each
-    # round's join then reuses the cached partitioning (only the
-    # vertex-sized rank frame moves), the standard shuffle-once iterate
-    # shape for distributed PageRank. Plan-keyed and released by the
-    # entry points' cache hygiene like every other operator persist.
-    from ..util import tracked_cache
-
-    edges_deg = tracked_cache(
-        adj.select(
-            "src", F.size("dsts").alias("outdeg"), F.explode("dsts").alias("dst")
-        ).repartition("src")
+    # r18 note: a shuffle-once iterate shape (explode + repartition(src) +
+    # persist of the round-invariant edge list, the GraphX recipe) was
+    # implemented, measured NEUTRAL at sf0.1, and REVERTED on plan
+    # evidence: an InMemoryRelation whose child is an AdaptiveSparkPlan
+    # reports opaque output partitioning to the outer planner, so every
+    # round's join re-added the src exchange anyway — the DataFrame+AQE
+    # API cannot express the partitioning reuse the recipe needs (the
+    # same opacity q_sole_late_supplier_blame documents on its cached
+    # aggregate). The explode itself is cheap map work off the caller's
+    # cached adjacency; re-deriving it per round costs less than caching
+    # the per-edge rows would at 100 TB.
+    edges_deg = adj.select(
+        "src", F.size("dsts").alias("outdeg"), F.explode("dsts").alias("dst")
     )
     ranks = adj.select(F.col("src").alias("node"), F.lit(base).alias("pr"))
     for i in range(n_iter):
@@ -140,13 +140,11 @@ def personalized_pagerank(
         raise ValueError("seed set is empty — personalized PageRank needs seeds")
     seed_base = scale // n_seeds
     reset = seed_nodes.select("node", F.lit(15 * seed_base).alias("reset"))
-    # round-invariant edge list: explode + partition on the join key once
-    # (r18, guide §2.4 — the same shuffle-once iterate shape as
-    # pagerank_integer; only the frontier-sized rank frame moves per round)
-    edges_deg = tracked_cache(
-        adj.select(
-            "src", F.size("dsts").alias("outdeg"), F.explode("dsts").alias("dst")
-        ).repartition("src")
+    # r18: the shuffle-once edge-list persist was reverted here too — see
+    # pagerank_integer's note (AQE-cached partitioning is opaque, the
+    # per-round exchange came back in the plan dump)
+    edges_deg = adj.select(
+        "src", F.size("dsts").alias("outdeg"), F.explode("dsts").alias("dst")
     )
     ranks = seed_nodes.select("node", F.lit(seed_base).alias("pr"))
     for i in range(n_iter):

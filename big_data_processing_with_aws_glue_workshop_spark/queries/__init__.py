@@ -76,6 +76,20 @@ the r15 feasibility check wrote it):
   scored-from-day-one. Any r17 addition must name a 1:1 retirement and
   restate the retiree's gate story here.
 
+ROTATION FREEZE, rounds 17-18 (documented per the r17 verdict's "What's
+wrong #2" / "Next round #8"): r17 and r18 are OPTIMIZATION rounds whose
+brief forbids registry changes ("a query that disappears makes the round
+a REGRESSION"), so the r16 window stayed scored both rounds and the
+two-round promise to the r15 window is deliberately in debt. The NEXT
+BUILD round must execute, mechanically: promote the 50 r15-window
+queries (the r16 demotions — every one driver-green or
+rows-only-by-design in CORRECTNESS_r15), demote the current window
+(whose queries were green in CORRECTNESS_r16 AND r17), and move
+``_SCORED_NO_ORACLE`` back to the HLL/Bernoulli pair
+(``approx_distinct_profile``/``bernoulli_sample``) per the r16 verdict.
+Feasibility arithmetic is unchanged: surface = 100 = two disjoint
+50-windows, zero keeps, zero additions without a 1:1 retirement.
+
 (r15 rotation, for the record: the 50 r14 demotions = the entire r13
 window; zero keeps; ``_SCORED_NO_ORACLE`` was the HLL/Bernoulli pair
 (``approx_distinct_profile``/``bernoulli_sample``) that round.)
