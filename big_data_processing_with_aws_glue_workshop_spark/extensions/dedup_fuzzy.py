@@ -150,10 +150,12 @@ def minhash_near_duplicates(
     # semi join before re-shingling, then cache the (tiny) survivor set.
     # At 100 TB this is the difference between re-reading the corpus and
     # touching only the near-duplicate cluster.
-    cand_docs = (
-        cands.select(F.col("d1").alias("doc_id"))
-        .union(cands.select(F.col("d2").alias("doc_id")))
-        .distinct()
+    # no distinct on the id list (r18, guide §2.4): LEFT SEMI existence
+    # semantics dedup for free, so the aggregate exchange bought nothing —
+    # the right side carries at most 2x|pairs| rows instead of the unique
+    # doc set, a candidate-mass-bounded overhead either way
+    cand_docs = cands.select(F.col("d1").alias("doc_id")).union(
+        cands.select(F.col("d2").alias("doc_id"))
     )
     sh = tracked_cache(
         shingle_frame(

@@ -324,6 +324,65 @@ def test_connected_components_fast_path_equals_iterative(spark):
     )
 
 
+def test_connected_components_guards_route_to_iterative(spark):
+    """r18 fast-path guards (r17 ADVICE): a NULL endpoint in the probed
+    head and an endpoint-dtype mismatch must both decline the driver-side
+    union-find and run the iterative path, whose semantics (NULL label
+    row, union type coercion) are the operator's contract."""
+    from big_data_processing_with_aws_glue_workshop_spark.extensions import dedup_fuzzy
+
+    # NULL endpoint: fast path declines, result equals the iterative path
+    edges = spark.createDataFrame(
+        [(1, 2), (None, 2), (4, 5)], "d1 bigint, d2 bigint"
+    )
+    got = dedup_fuzzy.connected_components(edges)
+    assert dedup_fuzzy.LAST_CC_ROUNDS > 0  # iterative ran, not union-find
+    iterative = dedup_fuzzy.connected_components(edges, small_edge_limit=0)
+    assert sorted(
+        map(tuple, got.collect()), key=lambda t: (t[0] is None, t)
+    ) == sorted(map(tuple, iterative.collect()), key=lambda t: (t[0] is None, t))
+
+    # dtype mismatch: int vs bigint endpoints — fast path declines before
+    # probing; iterative union coerces to the common type
+    mixed = spark.createDataFrame([(1, 2), (2, 3)], "d1 int, d2 bigint")
+    got2 = dedup_fuzzy.connected_components(mixed)
+    assert dedup_fuzzy.LAST_CC_ROUNDS > 0
+    assert sorted(map(tuple, got2.collect())) == [(1, 1), (2, 1), (3, 1)]
+
+
+def test_minhash_pairs_unique_and_exact_jaccard(documents):
+    """r18 verify restructure (set-array intersection) regression pin:
+    every qualifying pair appears EXACTLY once, and its jaccard equals
+    the Python-set Jaccard of the docs' distinct word 3-shingles."""
+    from big_data_processing_with_aws_glue_workshop_spark.extensions.dedup_fuzzy import (
+        minhash_near_duplicates,
+    )
+
+    rows = minhash_near_duplicates(
+        documents, n_hashes=32, bands=8, threshold=0.5
+    ).collect()
+    pairs = [(r["d1"], r["d2"]) for r in rows]
+    assert len(pairs) == len(set(pairs)), "duplicate output pairs"
+
+    texts = {r["doc_id"]: r["text"] for r in documents.collect()}
+    import re
+
+    def shingles(t):
+        # replicate word_shingles exactly: trim strips SPACES only (Spark
+        # trim semantics), the split class is the oracle-pinned
+        # [ \t\n\f\r]+ (not Python's \s)
+        toks = re.split(r"[ \t\n\f\r]+", t.strip(" ").lower())
+        return {
+            " ".join(toks[i : i + 3]) for i in range(max(0, len(toks) - 2))
+        }
+
+    for r in rows:
+        s1, s2 = shingles(texts[r["d1"]]), shingles(texts[r["d2"]])
+        expect = len(s1 & s2) / len(s1 | s2)
+        assert abs(r["jaccard"] - expect) < 1e-12
+        assert r["jaccard"] >= 0.5
+
+
 def test_cc_chain_probe_tool_smoke(spark):
     """The SCALE.md chain-probe tool stays runnable: a depth-4 planted
     chain graph converges in exactly depth+1 rounds with correct labels."""
