@@ -7,6 +7,8 @@ round-trip: concatenated subwords reconstruct the original words."""
 
 from __future__ import annotations
 
+import pytest
+
 from pyspark.sql import functions as F
 
 from big_data_processing_with_aws_glue_workshop_spark.operators.bpe import (
@@ -79,6 +81,7 @@ def test_learn_bpe_matches_reference_exactly(spark, sf_dir):
     assert got_vocab == ref_vocab
 
 
+@pytest.mark.slow
 def test_learn_bpe_early_stop_agrees(spark, sf_dir):
     """A min_pair_freq high enough to trigger early stop must stop both
     implementations at the same merge."""

@@ -285,6 +285,7 @@ def _two_vocab_sf(spark, tmp_path):
     return str(sf), str(tgt)
 
 
+@pytest.mark.slow
 def test_textpipe_dsir_selection_stage(spark, tmp_path):
     """r13 verdict "Next round #5": stage 5's DSIR budget mode — "select
     the best N tokens that look like the target" as the pipeline's final
@@ -337,6 +338,7 @@ def test_textpipe_dsir_selection_stage(spark, tmp_path):
         run_text_pipeline(spark, sf, dsir_budget_tokens=10)
 
 
+@pytest.mark.slow
 def test_textpipe_quality_mixture_stage(spark, tmp_path):
     """r14: stage 5's quality mode — same equalized per-source token
     allocation as the default, filled by lexical-diversity rank
@@ -450,6 +452,7 @@ def test_textpipe_quality_mixture_null_source(spark, tmp_path):
     assert all(m <= budget for m in s["mixture_selected_tokens"].values())
 
 
+@pytest.mark.slow
 def test_textpipe_stratified_budgets_stage(spark, tmp_path):
     """r15 (r14 verdict "Next round #2"): stage 5 fills CALLER-NAMED
     per-source token budgets by quality rank in ONE pipeline run —
@@ -500,6 +503,7 @@ def test_textpipe_stratified_budgets_stage(spark, tmp_path):
         run_text_pipeline(spark, "/nonexistent", stratified_budgets=[1, 2])
 
 
+@pytest.mark.slow
 def test_textpipe_dsir_stratified_budgets_stage(spark, tmp_path):
     """r15: stage 5 fills caller-named per-source budgets along the DSIR
     importance ranking toward the target (dsir_select_budget_stratified)
@@ -550,6 +554,7 @@ def test_textpipe_dsir_stratified_budgets_stage(spark, tmp_path):
         )
 
 
+@pytest.mark.slow
 def test_textpipe_curriculum_stage(spark, tmp_path):
     """r15: stage 5 runs the phase-ordered exclusive curriculum —
     upstream stages bit-identical to the default run, phases exclusive,
@@ -615,6 +620,7 @@ def test_textpipe_curriculum_stage(spark, tmp_path):
         run_text_pipeline(spark, sf, curriculum_phases=[])
 
 
+@pytest.mark.slow
 def test_cli_textpipe_stratified_flags(spark, tmp_path, capsys):
     """textpipe --stratified-budgets / --dsir-stratified-budgets e2e
     through the CLI, plus the eager refusals (flag conflicts and budget
@@ -1355,6 +1361,7 @@ def test_cli_agg_refresh_hll_distinct_state(spark, tmp_path, capsys):
     assert out2["state_rows"] <= 4096  # bounded register table
 
 
+@pytest.mark.slow
 def test_cli_semantic_refresh(spark, tmp_path, capsys):
     """semantic-refresh subcommand: a near-copy embedding re-landing is
     dropped against the standing pinned-centroid state on the second
@@ -1739,6 +1746,7 @@ def test_cli_curriculum_select(spark, tmp_path, capsys):
         ])
 
 
+@pytest.mark.slow
 def test_cli_budget_admission(spark, tmp_path, capsys):
     """budget-admission e2e: two drains against one checkpoint — the
     second drain only sees the new file and cuts at the REMAINING
@@ -1854,6 +1862,7 @@ def test_cli_budget_admission(spark, tmp_path, capsys):
         ])
 
 
+@pytest.mark.slow
 def test_cli_curriculum_admission(spark, tmp_path, capsys):
     """curriculum-admission e2e: two drains against one checkpoint — the
     second drain only sees the new file, its docs fill the
@@ -2132,6 +2141,7 @@ def test_cli_source_divergence(spark, tmp_path, capsys):
     )
 
 
+@pytest.mark.slow
 def test_cli_dsir_select_budget_mode(spark, tmp_path, capsys):
     """dsir-select --budget-tokens e2e: the budget cut reports its spent
     mass; --k and --budget-tokens are mutually exclusive."""
@@ -2177,6 +2187,7 @@ def test_cli_dsir_select_budget_mode(spark, tmp_path, capsys):
         ])
 
 
+@pytest.mark.slow
 def test_cli_dsir_fit_then_select(spark, tmp_path, capsys):
     """The fit-once/select-many flow: dsir-fit writes the (b, lam) table,
     dsir-select --log-ratio (no --target) reproduces the fit-inline
@@ -2242,6 +2253,7 @@ def test_cli_dsir_fit_then_select(spark, tmp_path, capsys):
               "--k", "5", "--output", str(tmp_path / "y")])
 
 
+@pytest.mark.slow
 def test_cli_dsir_fit_multi_target(spark, tmp_path, capsys):
     """r14: repeated --target + --weights writes the weighted geometric-
     mixture table (queries/textops.py::dsir_multi_target_log_ratio_table)
@@ -2307,6 +2319,7 @@ def test_cli_dsir_fit_multi_target(spark, tmp_path, capsys):
         ])
 
 
+@pytest.mark.slow
 def test_cli_dsir_fit_from_stream(spark, tmp_path, capsys):
     """r15: dsir-fit --corpus-stream fits the corpus-side model from the
     standing NgramHistogramSink grid (no corpus re-read) and the written

@@ -5,6 +5,7 @@ batch refresh interleave on ONE corpus state."""
 from __future__ import annotations
 
 import pandas as pd
+import pytest
 import pyarrow as pa
 import pyarrow.parquet as pq
 
@@ -342,6 +343,7 @@ def _land_vecs(path, rows):
     )
 
 
+@pytest.mark.slow
 def test_stream_semantic_interleaves_with_batch_refresh(spark, tmp_path):
     """Semantic twin: a streamed vector's pinned-centroid state drops a
     near-copy FILE backfill, and the backfill's state drops a later
@@ -590,6 +592,7 @@ def test_semantic_recell_preserves_stream_bookkeeping(spark, tmp_path):
     assert {r["vec_id"] for r in read_deduped(spark, target).collect()} == {1, 2}
 
 
+@pytest.mark.slow
 def test_stream_semantic_recell_on_trigger(spark, tmp_path):
     """The sink's ``recell_on_trigger`` closes the re-cell loop in-band
     (r12 verdict order #4): a streamed batch whose allow_share crosses

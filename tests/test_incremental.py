@@ -1555,6 +1555,7 @@ def test_semantic_calibration_mismatch_raises(spark, tmp_path):
 
 
 @pytest.mark.parametrize("seed", [5, 17])
+@pytest.mark.slow
 def test_semantic_refresh_randomized_parity(spark, tmp_path, seed):
     """Candidate recall 1.0 is a THEOREM (triangle inequality), so the
     incremental path must reproduce, on random data with planted
@@ -1634,6 +1635,7 @@ def test_semantic_refresh_randomized_parity(spark, tmp_path, seed):
     assert len(expected) < vid  # the fixture actually dropped something
 
 
+@pytest.mark.slow
 def test_semantic_recell_preserves_decisions(spark, tmp_path):
     """Drop decisions are CALIBRATION-INDEPENDENT given the same
     threshold (the allowlist is recall-1.0 for ANY centroid matrix and
@@ -1739,6 +1741,7 @@ def test_semantic_recell_preserves_decisions(spark, tmp_path):
     assert got_a == got_b
 
 
+@pytest.mark.slow
 def test_semantic_refresh_allow_share_decay_signal(spark, tmp_path):
     """The r11 verdict's operational gap: the measured pinned-centroid
     decay (SCALE.md r11's 128-blob fixture, waves degrading 2-4x) had no
@@ -1898,6 +1901,7 @@ def _axis_blob(dim, a, vid, theta):
     return (vid, v)
 
 
+@pytest.mark.slow
 def test_recell_on_trigger_closes_the_loop(spark, tmp_path):
     """The r12 verdict's order #4 — acting on allow_share is no longer a
     human reading stats. The decision point
@@ -2045,6 +2049,7 @@ def _passage_reference(waves, words=8):
 
 
 @pytest.mark.parametrize("seed", [2, 19])
+@pytest.mark.slow
 def test_passage_dedup_refresh_randomized_parity(spark, tmp_path, seed):
     """The incremental passage rewrite must reproduce, on random waves
     with planted boilerplate, exactly the sequential never-seen-before

@@ -149,6 +149,7 @@ def test_bucketized_interval_join_equals_streaming_twin(spark, sf_dir):
     assert fast_set, "bound must capture some pairs"
 
 
+@pytest.mark.slow
 def test_bucketized_interval_join_randomized_equivalence(spark):
     """Seeded randomized sweep over adversarial timestamp layouts (bucket
     boundaries, exact-bound hits, duplicate timestamps): the bucketized

@@ -6,6 +6,8 @@ frequency state."""
 
 from __future__ import annotations
 
+import pytest
+
 import pyspark.sql.functions as F
 
 from big_data_processing_with_aws_glue_workshop_spark.operators.sketch import (
@@ -1140,6 +1142,7 @@ def test_streaming_ngram_histogram_drift_monitor(spark, tmp_path):
         NgramHistogramSink(target_dir, n_buckets=256)(waves[0], 99)
 
 
+@pytest.mark.slow
 def test_streaming_budget_admission(spark, tmp_path):
     """r14 streaming selection: each drained wave takes the BATCH
     stratified cut against the budgets remaining after earlier waves —
@@ -1261,6 +1264,7 @@ def test_streaming_budget_admission(spark, tmp_path):
         BudgetAdmissionSink(target_dir, {"a": 9, "b": 9}, "score")(waves[0], 99)
 
 
+@pytest.mark.slow
 def test_streaming_curriculum_admission(spark, tmp_path):
     """r16 (r15 verdict stretch #5): phase-ordered wave-greedy admission.
     Pinned: (1) the sink's standing state equals a DRIVER-SIDE fold of
@@ -1591,6 +1595,7 @@ def test_dsir_fit_from_stream_parity(spark, tmp_path):
         dsir_fit_from_stream(spark, str(tmp_path / "nowhere"), target)
 
 
+@pytest.mark.slow
 def test_recalibrate_admission_refuses_inflight_drain(spark, tmp_path, monkeypatch):
     """r15-ADVICE medium: recalibrate_admission and the drain sink both
     commit at pointer.batch_id + 1 from their own pointer read, so a
@@ -1781,6 +1786,7 @@ def test_admission_regret_duplicate_doc_rows_not_fanned(spark, tmp_path):
     assert a["admitted_tokens"] == 10 and a["hindsight_tokens"] == 10
 
 
+@pytest.mark.slow
 def test_curriculum_regret_duplicate_doc_rows_not_fanned(spark, tmp_path):
     """Same pin for the curriculum readout: duplicate standing rows in
     one (phase, source) cell must not fan the hindsight row out."""
@@ -1866,6 +1872,7 @@ def test_simhash_sweep_refuses_insufficient_blocks(spark):
         simhash_threshold_sweep(docs, [2, 3], n_blocks=3)
 
 
+@pytest.mark.slow
 def test_recalibrate_curriculum_admission(spark, tmp_path, monkeypatch):
     """r16: the curriculum sink's sanctioned migration path, with the
     r15-ADVICE hardening built in from day one. Pinned: phase
@@ -2004,6 +2011,7 @@ def test_recalibrate_curriculum_admission(spark, tmp_path, monkeypatch):
     }
 
 
+@pytest.mark.slow
 def test_curriculum_admission_regret_readout(spark, tmp_path):
     """r16: the admission_regret shape applied to the curriculum sink.
     Constructed divergence fixture: wave 0's mediocre docs fill BOTH

@@ -1744,6 +1744,7 @@ def test_dedup_threshold_sweep_matches_python_mirror(spark):
     release_tracked_caches()
 
 
+@pytest.mark.slow
 def test_simhash_threshold_sweep_matches_python_mirror(spark):
     """r16: the hamming-threshold tuning audit (third member of the
     tuning-audit family) — per-k readouts must equal a Python
@@ -1919,6 +1920,7 @@ def _ref_budget_fold(rows, budgets):
     return out
 
 
+@pytest.mark.slow
 def test_budget_selectors_randomized_reference(spark):
     """Randomized adversarial shapes (heavy score ties, zero-token docs,
     zero budgets, unrankable rows, random bucket widths and recursion
@@ -2158,6 +2160,7 @@ def test_split_leakage_audit_component_split_is_leak_free(spark):
     assert all(r["split_a"] == r["split_b"] for r in got)
 
 
+@pytest.mark.slow
 def test_token_budget_selection_tied_score_refinement(spark):
     """Discrete classifier grades (0/1/2) put the budget boundary inside
     one giant tied group — the skew case the recursive refinement
@@ -2209,6 +2212,7 @@ def test_token_budget_selection_tied_score_refinement(spark):
     assert a == b and len(a) == 100
 
 
+@pytest.mark.slow
 def test_token_budget_selection_full_bucket_worklist(spark):
     """r14 (closing the r13 known limit): WHOLLY-SELECTED grades refine
     too. A 0-4 discrete classifier grade collapses each selected grade
